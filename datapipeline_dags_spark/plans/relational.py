@@ -1,0 +1,668 @@
+"""Relational query corpus — SURVEY.md §2.3–2.8 declared surface.
+
+Scans/filters/projections, equi/semi/anti/outer/theta/range joins, hash
+aggregation, rollup/cube/grouping sets, distinct, windows, sorts/top-k,
+set ops, scalar function families, subqueries, watermark predicates,
+sessionization, as-of joins.
+
+Every query is declarative DataFrame/SQL — Catalyst supplies pushdown,
+column pruning, join selection (broadcast for dims), partial aggregation
+and AQE. No driver-side loops; every plan scales with partitions.
+
+Reference parity notes are cited per query (file:line into
+/root/reference).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from datapipeline_dags_spark.catalog import table
+from datapipeline_dags_spark.plans.helpers import dec, sql_dec
+from datapipeline_dags_spark.plans.registry import query
+
+# ---------------------------------------------------------------------------
+# Aggregations over a scan (SURVEY §2.6; reference's only aggregates are
+# count/min/max at postgresql_mysql_sync_dag.py:51,61-62 — the engine
+# declares the full hash-agg surface).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q01_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dec('SUM(l_quantity)')} AS sum_qty,
+           {sql_dec('SUM(l_extendedprice)')} AS sum_base_price,
+           {sql_dec('SUM(l_extendedprice * (1 - l_discount))')} AS sum_disc_price,
+           {sql_dec('SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax))')} AS sum_charge,
+           {sql_dec('AVG(l_quantity)', 4)} AS avg_qty,
+           {sql_dec('AVG(l_extendedprice)', 4)} AS avg_price,
+           {sql_dec('AVG(l_discount)', 4)} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: scan → filter → 8-way hash agg.
+
+    Catalyst plans partial (map-side) + final aggregation; the shipdate
+    predicate and 7-column projection push down to the parquet scan.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= "2000-12-01")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dec(F.sum("l_quantity")).alias("sum_qty"),
+            dec(F.sum("l_extendedprice")).alias("sum_base_price"),
+            dec(F.sum(disc_price)).alias("sum_disc_price"),
+            dec(F.sum(disc_price * (1 + F.col("l_tax")))).alias("sum_charge"),
+            dec(F.avg("l_quantity"), 4).alias("avg_qty"),
+            dec(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            dec(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q04_forecast_revenue",
+    oracle=f"""
+    SELECT {sql_dec('SUM(l_extendedprice * l_discount)')} AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q04_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-style: all predicates push to the scan; single global agg."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+        & (F.col("l_discount").between(0.03, 0.07))
+        & (F.col("l_quantity") < 24)
+    ).agg(dec(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias("revenue"))
+
+
+# ---------------------------------------------------------------------------
+# Joins (SURVEY §2.5). The reference's enrichment step is semantically a
+# lookup join (parallelized_data_pipeline_dag.py:272,297) — here the full
+# declared join surface.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q02_shipping_priority",
+    oracle=f"""
+    SELECT l.l_orderkey AS l_orderkey,
+           {sql_dec('SUM(l.l_extendedprice * (1 - l.l_discount))')} AS revenue,
+           o.o_orderdate AS o_orderdate, o.o_orderpriority AS o_orderpriority
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l.l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY SUM(l.l_extendedprice * (1 - l.l_discount)) DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def q02_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style: selective dim (customer) broadcast into fact joins,
+    agg, top-k (planned as TakeOrderedAndProject — no global sort)."""
+    cust = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-01-01")
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-01-01")
+    revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(revenue.alias("_rev"))
+        .orderBy(F.col("_rev").desc(), "l_orderkey")
+        .limit(10)
+        .select(
+            "l_orderkey",
+            dec(F.col("_rev")).alias("revenue"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
+    )
+
+
+@query(
+    "q03_local_supplier_volume",
+    oracle=f"""
+    SELECT n.n_name AS n_name,
+           {sql_dec('SUM(l.l_extendedprice * (1 - l.l_discount))')} AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+)
+def q03_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style 6-way star join; all dims broadcast, one shuffle for
+    the final agg."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1999-01-01")
+    )
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(dec(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+    )
+
+
+@query(
+    "q05_returned_items",
+    oracle=f"""
+    SELECT c.c_custkey AS c_custkey, c.c_name AS c_name,
+           {sql_dec('SUM(l.l_extendedprice * (1 - l.l_discount))')} AS revenue,
+           n.n_name AS n_name
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY SUM(l.l_extendedprice * (1 - l.l_discount)) DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def q05_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-style returned-item report; top-20 customers by lost revenue."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = table(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev"))
+        .orderBy(F.col("_rev").desc(), "c_custkey")
+        .limit(20)
+        .select("c_custkey", "c_name", dec(F.col("_rev")).alias("revenue"), "n_name")
+    )
+
+
+@query(
+    "q06_semi_join_big_spenders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    """,
+)
+def q06_semi_join_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join ≡ EXISTS — customers with ≥1 order above 400k."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "q07_anti_join_inactive_customers",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate < TIMESTAMP '1996-01-01 00:00:00')
+    """,
+)
+def q07_anti_join_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join ≡ NOT EXISTS — customers with no order before 1996."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1996-01-01")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+@query(
+    "q08_outer_join_order_counts",
+    oracle="""
+    SELECT c.c_custkey AS c_custkey, COUNT(o.o_orderkey) AS order_cnt
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def q08_outer_join_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join preserving zero-order customers (COUNT skips nulls)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("order_cnt"))
+    )
+
+
+@query(
+    "q18_theta_join_price_band",
+    oracle=f"""
+    SELECT p.p_brand AS p_brand, COUNT(*) AS n_li,
+           {sql_dec('SUM(l.l_extendedprice)')} AS sum_price
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+               AND l.l_extendedprice > p.p_retailprice * 20
+    GROUP BY p.p_brand
+    """,
+)
+def q18_theta_join_price_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta join: equi key + non-equi residual condition (Catalyst keeps the
+    hash join on the equi part, applies the residual as post-filter)."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    return (
+        li.join(
+            F.broadcast(p),
+            (li.l_partkey == p.p_partkey)
+            & (li.l_extendedprice > p.p_retailprice * 20),
+        )
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_li"), dec(F.sum("l_extendedprice")).alias("sum_price"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorts, top-k, distinct, rollup/cube/grouping sets (SURVEY §2.6–2.7)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q09_topk_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def q09_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Spark plans TakeOrderedAndProject (per-partition heap +
+    driver merge) — no full sort even at 100 TB."""
+    return (
+        table(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@query(
+    "q10_rollup_lineitem",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dec('SUM(l_quantity)')} AS sum_qty, COUNT(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q10_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP: hierarchical subtotals in one pass (Catalyst Expand node)."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(dec(F.sum("l_quantity")).alias("sum_qty"), F.count("*").alias("n"))
+    )
+
+
+@query(
+    "q11_cube_orders",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           {sql_dec('SUM(o_totalprice)')} AS sum_price
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q11_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all grouping-set combinations in one shuffle."""
+    return (
+        table(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"), dec(F.sum("o_totalprice")).alias("sum_price"))
+    )
+
+
+@query(
+    "q12_grouping_sets",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus, {sql_dec('SUM(l_extendedprice)')} AS sum_price
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def q12_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via Spark SQL (same Expand-based plan)."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_extendedprice), 2) AS sum_price
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@query(
+    "q13_distinct_segments",
+    oracle="SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+)
+def q13_distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT = hash aggregate without agg functions."""
+    return table(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
+
+
+@query(
+    "q14_count_distinct_parts",
+    oracle="""
+    SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q14_count_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column COUNT DISTINCT (Catalyst plans Expand + two-phase agg)."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions (SURVEY §2.7 declared surface; reference's watermark
+# top-1 at postgresql_mysql_sync_dag.py:40 is the observed seed)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q15_window_top3_per_customer",
+    oracle="""
+    SELECT c_custkey, o_orderkey, o_totalprice, rn FROM (
+      SELECT o_custkey AS c_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) t
+    WHERE rn <= 3
+    """,
+)
+def q15_window_top3_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via ROW_NUMBER window (single shuffle on the
+    partition key; Spark pushes a group-limit below the window)."""
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (
+        table(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select(F.col("o_custkey").alias("c_custkey"), "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@query(
+    "q16_window_running_total",
+    oracle=f"""
+    SELECT o_custkey, o_orderkey,
+           {sql_dec('SUM(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)')} AS running_total
+    FROM orders
+    """,
+)
+def q16_window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total per customer (cumulative frame)."""
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        dec(F.sum("o_totalprice").over(w)).alias("running_total"),
+    )
+
+
+@query(
+    "q17_window_lag_delta",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           o_totalprice - LAG(o_totalprice) OVER (PARTITION BY o_custkey
+                                                  ORDER BY o_orderdate, o_orderkey) AS delta,
+           RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS price_rank
+    FROM orders
+    """,
+)
+def q17_window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG + RANK in one window pass (single subtraction — exact in IEEE,
+    no rounding needed)."""
+    wo = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wr = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        (F.col("o_totalprice") - F.lag("o_totalprice").over(wo)).alias("delta"),
+        F.rank().over(wr).cast("long").alias("price_rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (SURVEY §2.7)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q19_set_ops_customers",
+    oracle="""
+    WITH c97 AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+                   AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'),
+         c98 AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+                   AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00')
+    SELECT 'both' AS bucket, COUNT(*) AS n FROM (SELECT * FROM c97 INTERSECT SELECT * FROM c98) t
+    UNION ALL
+    SELECT 'only_97' AS bucket, COUNT(*) AS n FROM (SELECT * FROM c97 EXCEPT SELECT * FROM c98) t
+    UNION ALL
+    SELECT 'either' AS bucket, COUNT(*) AS n FROM (SELECT * FROM c97 UNION SELECT * FROM c98) t
+    """,
+)
+def q19_set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION over yearly active-customer sets."""
+    o = table(spark, sf_dir, "orders")
+    c97 = (
+        o.filter((F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1998-01-01"))
+        .select("o_custkey")
+        .distinct()
+    )
+    c98 = (
+        o.filter((F.col("o_orderdate") >= "1998-01-01") & (F.col("o_orderdate") < "1999-01-01"))
+        .select("o_custkey")
+        .distinct()
+    )
+    spark_row = lambda bucket, df: df.agg(F.count("*").alias("n")).select(
+        F.lit(bucket).alias("bucket"), "n"
+    )
+    return (
+        spark_row("both", c97.intersect(c98))
+        .unionAll(spark_row("only_97", c97.exceptAll(c98)))
+        .unionAll(spark_row("either", c97.union(c98).distinct()))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Subqueries (SURVEY §2.5 declared; planned by Catalyst as joins)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q20_in_subquery",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+      AND o_orderstatus = 'F'
+    """,
+)
+def q20_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN subquery (Catalyst rewrites to left-semi join)."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+          AND o_orderstatus = 'F'
+        """
+    )
+
+
+@query(
+    "q21_correlated_exists",
+    oracle="""
+    SELECT p_partkey, p_brand FROM part p
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_partkey = p.p_partkey AND l.l_quantity >= 49)
+    """,
+)
+def q21_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS (decorrelated to semi join by Catalyst)."""
+    table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT p_partkey, p_brand FROM part p
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_partkey = p.p_partkey AND l.l_quantity >= 49)
+        """
+    )
+
+
+@query(
+    "q22_scalar_subquery_above_avg",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_totalprice > 1.5 * (SELECT AVG(o_totalprice) FROM orders)
+    """,
+)
+def q22_scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery — orders above 1.5× the global average price.
+
+    The avg is a double; the comparison threshold differs between engines
+    by at most one ulp of the sum order, but no order sits within 1e-6 of
+    2×avg in the fixture, so the predicate is stable (verified in tests).
+    """
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_totalprice > 1.5 * (SELECT AVG(o_totalprice) FROM orders)
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Watermark / incremental-scan predicate (SURVEY §2.3 P2, §2.1 S8;
+# reference: postgresql_mysql_sync_dag.py:40-50 — strictly-newer rows with
+# id tiebreak). Here expressed over the events fixture (ts ≡ processing_ts,
+# event_id ≡ id) so the oracle can check it.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q23_incremental_watermark_scan",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value FROM events
+    WHERE ts > TIMESTAMP '2024-01-15 00:00:00'
+       OR (ts = TIMESTAMP '2024-01-15 00:00:00' AND event_id > 5000)
+    """,
+)
+def q23_incremental_watermark_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's incremental watermark predicate
+    (postgresql_mysql_sync_dag.py:48-50): processing_ts > wm OR
+    (processing_ts = wm AND id > last_id). Pushed down to the scan."""
+    wm_ts, wm_id = "2024-01-15 00:00:00", 5000
+    ev = table(spark, sf_dir, "events")
+    return ev.filter(
+        (F.col("ts") > wm_ts) | ((F.col("ts") == wm_ts) & (F.col("event_id") > wm_id))
+    ).select("event_id", "ts", "user_id", "event_type", "value")
+
+
+# ---------------------------------------------------------------------------
+# Sessionization (gap-based) — SURVEY §2.9 ST7 declared batch analogue.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q24_sessionize_events",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > 1800000000
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    sessions AS (
+      SELECT user_id, ts, event_id,
+             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS session_id
+      FROM flagged)
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           MIN(ts) AS t_start, MAX(ts) AS t_end
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def q24_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: LAG + cumulative SUM over one window
+    partitioning — the classic scalable pattern (one shuffle on user_id)."""
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), F.lit(1)).otherwise(F.lit(0)),
+    )
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("new_session")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("long"),
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("t_start"),
+        F.max("ts").alias("t_end"),
+    )

@@ -1,0 +1,207 @@
+"""Scalar-function family queries — SURVEY.md §2.8 declared surface.
+
+The reference's scalar usage is driver-side Python (path splitting,
+JSON parse, timestamp arithmetic, rounding, int casts —
+parallelized_data_pipeline_dag.py:176-181, sqs_sensor_dag.py:72-98,
+postgresql_mysql_sync_dag.py:33,104-109). Here each family runs
+JVM-side inside whole-stage codegen.
+
+Float discipline: only IEEE-deterministic per-row math (abs/sqrt/
+floor/ceil/sign, exact +-*) is emitted raw; anything order-dependent
+is rounded to DECIMAL (see plans/helpers.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datapipeline_dags_spark.catalog import table
+from datapipeline_dags_spark.plans.registry import query
+
+
+@query(
+    "q25_string_funcs",
+    oracle="""
+    SELECT doc_id,
+           UPPER(SUBSTR(text, 1, 16)) AS head_upper,
+           LENGTH(text) AS n_len,
+           LENGTH(REPLACE(text, ' ', '')) AS n_nospace,
+           CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_words,
+           CONCAT(lang, ':', source) AS lang_source,
+           CONTAINS(text, 'spark') AS has_spark,
+           REGEXP_REPLACE(text, '[aeiou]', '', 'g') AS devoweled_head
+    FROM (SELECT doc_id, SUBSTR(text, 1, 64) AS text, lang, source FROM documents) t
+    """,
+)
+def q25_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family: upper/substr/length/replace/split/concat/contains/
+    regexp_replace (reference F1/F2 at parallelized_data_pipeline_dag.py:176-180)."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 64).alias("text"), "lang", "source"
+    )
+    return docs.select(
+        "doc_id",
+        F.upper(F.substring("text", 1, 16)).alias("head_upper"),
+        F.length("text").cast("long").alias("n_len"),
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("long").alias("n_nospace"),
+        F.size(F.split("text", " ")).cast("long").alias("n_words"),
+        F.concat_ws(":", "lang", "source").alias("lang_source"),
+        F.col("text").contains("spark").alias("has_spark"),
+        F.regexp_replace("text", "[aeiou]", "").alias("devoweled_head"),
+    )
+
+
+@query(
+    "q26_date_funcs",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+           CAST(month(o_orderdate) AS BIGINT) AS mth,
+           date_trunc('month', o_orderdate) AS month_start,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY 1, 2, 3
+    """,
+)
+def q26_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date family: year/month extraction + date_trunc grouping
+    (reference F3: timestamp arithmetic at postgresql_mysql_sync_dag.py:104-109)."""
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy(
+            F.year("o_orderdate").cast("long").alias("yr"),
+            F.month("o_orderdate").cast("long").alias("mth"),
+            F.date_trunc("month", "o_orderdate").alias("month_start"),
+        )
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@query(
+    "q27_math_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ABS(l_extendedprice - l_quantity * 1000.0) AS abs_diff,
+           SQRT(l_extendedprice) AS sqrt_price,
+           CAST(FLOOR(l_extendedprice / 1000.0) AS BIGINT) AS price_kilo_floor,
+           CAST(CEIL(l_discount * 100.0) AS BIGINT) AS disc_pct_ceil,
+           l_orderkey % 7 AS key_mod,
+           CAST(SIGN(l_discount - 0.05) AS DOUBLE) AS disc_sign
+    FROM lineitem WHERE l_orderkey < 2000
+    """,
+)
+def q27_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family restricted to IEEE-deterministic per-row ops
+    (reference F4: rounding at parallelized_data_pipeline_dag.py:110,119)."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_extendedprice") - F.col("l_quantity") * 1000.0).alias("abs_diff"),
+        F.sqrt("l_extendedprice").alias("sqrt_price"),
+        F.floor(F.col("l_extendedprice") / 1000.0).cast("long").alias("price_kilo_floor"),
+        F.ceil(F.col("l_discount") * 100.0).cast("long").alias("disc_pct_ceil"),
+        (F.col("l_orderkey") % 7).alias("key_mod"),
+        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+    )
+
+
+@query(
+    "q28_json_funcs",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num
+    FROM events
+    """,
+)
+def q28_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON family: path extraction from a JSON string column
+    (reference F2: json parse at sqs_sensor_dag.py:72, sqs_sync_verified_data_dag.py:32)."""
+    return table(spark, sf_dir, "events").select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.k").cast("long").alias("k_num"),
+    )
+
+
+@query(
+    "q29_array_funcs",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS BIGINT) AS dim,
+           embedding[1] AS first_val,
+           (ROUND(list_sum(embedding::DOUBLE[]), 3) + 0.0) AS vec_sum,
+           list_max(embedding) AS vec_max
+    FROM embeddings
+    """,
+)
+def q29_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array family over the embedding column: size/element_at/aggregate/
+    array_max — the building blocks of the similarity operators (§2.11)."""
+    emb = table(spark, sf_dir, "embeddings")
+    vec_sum = F.aggregate(
+        F.col("embedding"), F.lit(0.0), lambda acc, x: acc + x.cast("double")
+    )
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.element_at("embedding", 1).alias("first_val"),
+        (F.round(vec_sum, 3) + F.lit(0.0)).alias("vec_sum"),
+        F.array_max("embedding").alias("vec_max"),
+    )
+
+
+@query(
+    "q30_case_conditional_agg",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(CASE WHEN l_quantity >= 25 THEN 1 END) AS n_bulk,
+           COUNT(CASE WHEN l_quantity <  25 THEN 1 END) AS n_small,
+           ROUND(SUM(CASE WHEN l_discount > 0.05
+                          THEN l_extendedprice ELSE 0 END), 2) AS discounted_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q30_case_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN inside aggregates (conditional aggregation)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.when(F.col("l_quantity") >= 25, 1)).alias("n_bulk"),
+        F.count(F.when(F.col("l_quantity") < 25, 1)).alias("n_small"),
+        F.round(
+            F.sum(F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice")).otherwise(0.0)),
+            2,
+        ).alias("discounted_price"),
+    )
+
+
+@query(
+    "q31_pivot_event_types",
+    oracle="""
+    SELECT user_id,
+           COUNT(CASE WHEN event_type = 'click'    THEN 1 END) AS evt_click,
+           COUNT(CASE WHEN event_type = 'view'     THEN 1 END) AS evt_view,
+           COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS evt_purchase,
+           COUNT(CASE WHEN event_type = 'signup'   THEN 1 END) AS evt_signup,
+           COUNT(CASE WHEN event_type = 'error'    THEN 1 END) AS evt_error
+    FROM events GROUP BY user_id
+    """,
+)
+def q31_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: per-user event-type counts as columns (Spark `.pivot()` with
+    an explicit value list — no extra pass to discover values)."""
+    pivoted = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .count()
+        .na.fill(0)
+    )
+    return pivoted.select(
+        "user_id",
+        *[
+            F.col(c).cast("long").alias(f"evt_{c}")
+            for c in ("click", "view", "purchase", "signup", "error")
+        ],
+    )
