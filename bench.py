@@ -1,6 +1,13 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
+Methodology:
+  - each query runs REPS (3) times; reported time is the MEDIAN;
+  - materialization is a full noop-format write (every output expression
+    is computed — df.count() would let Catalyst prune projections);
+  - headline queries with no implementation are reported in "skipped",
+    never silently dropped.
+
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 """
@@ -9,6 +16,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -26,12 +34,19 @@ HEADLINE = [
     "q15_window_top3_per_customer",
     "q24_sessionize_events",
     "q31_pivot_event_types",
-    # extension operators (SURVEY §2.11) — appended as they land
+    # extension operators (SURVEY §2.11)
     "q40_dedup_exact",
     "q41_dedup_minhash_lsh",
     "q45_ann_topk_bruteforce",
     "q50_text_quality",
 ]
+
+REPS = 3
+
+
+def materialize(df) -> None:
+    """Execute the full plan: noop write computes every output column."""
+    df.write.format("noop").mode("overwrite").save()
 
 
 def main() -> None:
@@ -44,14 +59,17 @@ def main() -> None:
     spark.range(1000).count()
 
     timings: dict[str, float] = {}
+    skipped: list[str] = []
     for name in HEADLINE:
         if name not in QUERIES:
+            skipped.append(name)
             continue
-        t0 = time.time()
-        df = QUERIES[name](spark, sf_dir)
-        n = df.count()  # materialize the whole plan
-        timings[name] = round(time.time() - t0, 3)
-        _ = n
+        runs = []
+        for _ in range(REPS):
+            t0 = time.time()
+            materialize(QUERIES[name](spark, sf_dir))
+            runs.append(time.time() - t0)
+        timings[name] = round(statistics.median(runs), 3)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -60,6 +78,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "skipped": skipped,
+                "reps": REPS,
+                "agg": "median",
                 "sf": sf,
             }
         )

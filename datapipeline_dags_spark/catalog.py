@@ -31,16 +31,21 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table as a DataFrame (parquet, pushdown-capable).
 
     ``events.parquet`` stores ``ts`` as parquet TIMESTAMP(NANOS), which
-    Spark has no native type for. We read nanos as LONG
-    (``spark.sql.legacy.parquet.nanosAsLong``) and convert to a
-    microsecond TimestampType — lossless here (the generator emits
-    µs-aligned values; verified) and parity-exact with the DuckDB oracle.
+    Spark has no native type for. The session factory sets
+    ``spark.sql.legacy.parquet.nanosAsLong`` once (session.py), so nanos
+    arrive as LONG and are converted here to a microsecond TimestampType —
+    lossless (the generator emits µs-aligned values; verified) and
+    parity-exact with the DuckDB oracle.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
 
+        # The driver calls us on a VANILLA session (no get_session), so the
+        # factory-level conf may be absent — ensure it here as well. This is
+        # a session-wide flag, but it is only ever set to one value, so the
+        # mutation is idempotent, not order-dependent.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         # integer division — float division loses µs precision at 1.7e18 ns
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -112,30 +112,32 @@ def q04_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
       AND l.l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
     GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
-    ORDER BY SUM(l.l_extendedprice * (1 - l.l_discount)) DESC, l.l_orderkey
+    ORDER BY {sql_dec('SUM(l.l_extendedprice * (1 - l.l_discount))')} DESC, l.l_orderkey
     LIMIT 10
     """,
 )
 def q02_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3-style: selective dim (customer) broadcast into fact joins,
-    agg, top-k (planned as TakeOrderedAndProject — no global sort)."""
+    """TPC-H Q3-style: filtered fact joins, agg, top-k (planned as
+    TakeOrderedAndProject — no global sort).
+
+    customer scales with SF, so no broadcast hint — AQE and the 64 MB
+    autoBroadcastJoinThreshold pick the strategy (broadcast at small SF,
+    sort-merge/shuffled-hash at 100 TB).  The top-k cut orders by the
+    *rounded* revenue so the LIMIT boundary is deterministic across
+    engines (raw float sums differ by ulps between partition orders).
+    """
     cust = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-01-01")
     li = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-01-01")
     revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(revenue.alias("_rev"))
-        .orderBy(F.col("_rev").desc(), "l_orderkey")
+        .agg(dec(revenue).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
         .limit(10)
-        .select(
-            "l_orderkey",
-            dec(F.col("_rev")).alias("revenue"),
-            "o_orderdate",
-            "o_orderpriority",
-        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
     )
 
 
@@ -157,8 +159,13 @@ def q02_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q03_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5-style 6-way star join; all dims broadcast, one shuffle for
-    the final agg."""
+    """TPC-H Q5-style 6-way star join; one shuffle for the final agg.
+
+    Broadcast hints only on the fixed-cardinality dims (nation=25,
+    region=5).  customer/supplier scale linearly with SF — a forced
+    broadcast would OOM executors at 100 TB, so AQE + the threshold
+    choose their join strategy.
+    """
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1999-01-01")
@@ -169,11 +176,8 @@ def q03_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(
-            F.broadcast(s),
-            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
-        )
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
@@ -195,12 +199,15 @@ def q03_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
       AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
     GROUP BY c.c_custkey, c.c_name, n.n_name
-    ORDER BY SUM(l.l_extendedprice * (1 - l.l_discount)) DESC, c.c_custkey
+    ORDER BY {sql_dec('SUM(l.l_extendedprice * (1 - l.l_discount))')} DESC, c.c_custkey
     LIMIT 20
     """,
 )
 def q05_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q10-style returned-item report; top-20 customers by lost revenue."""
+    """TPC-H Q10-style returned-item report; top-20 customers by lost
+    revenue.  Broadcast hint only on nation (25 rows); customer is
+    SF-scaled so its join strategy is left to AQE.  Top-k cut ordered by
+    the rounded revenue for a deterministic LIMIT boundary."""
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1998-01-01")
@@ -209,13 +216,13 @@ def q05_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = table(spark, sf_dir, "nation")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev"))
-        .orderBy(F.col("_rev").desc(), "c_custkey")
+        .agg(dec(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
-        .select("c_custkey", "c_name", dec(F.col("_rev")).alias("revenue"), "n_name")
+        .select("c_custkey", "c_name", "revenue", "n_name")
     )
 
 
@@ -283,12 +290,13 @@ def q08_outer_join_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q18_theta_join_price_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theta join: equi key + non-equi residual condition (Catalyst keeps the
-    hash join on the equi part, applies the residual as post-filter)."""
+    hash join on the equi part, applies the residual as post-filter).
+    part is SF-scaled — no broadcast hint; AQE decides."""
     li = table(spark, sf_dir, "lineitem")
     p = table(spark, sf_dir, "part")
     return (
         li.join(
-            F.broadcast(p),
+            p,
             (li.l_partkey == p.p_partkey)
             & (li.l_extendedprice > p.p_retailprice * 20),
         )
@@ -363,15 +371,18 @@ def q11_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q12_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explicit GROUPING SETS via Spark SQL (same Expand-based plan)."""
-    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    """Explicit GROUPING SETS via Spark SQL (same Expand-based plan).
+
+    The DataFrame is passed by template (no global temp view — avoids
+    name collisions when queries run concurrently in one session)."""
     return spark.sql(
         """
         SELECT l_returnflag, l_linestatus,
-               ROUND(SUM(l_extendedprice), 2) AS sum_price
-        FROM lineitem
+               (ROUND(SUM(l_extendedprice), 2) + 0.0) AS sum_price
+        FROM {lineitem}
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-        """
+        """,
+        lineitem=table(spark, sf_dir, "lineitem"),
     )
 
 
@@ -537,14 +548,14 @@ def q19_set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q20_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IN subquery (Catalyst rewrites to left-semi join)."""
-    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     return spark.sql(
         """
-        SELECT o_orderkey, o_totalprice FROM orders
-        WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+        SELECT o_orderkey, o_totalprice FROM {orders} o
+        WHERE o_custkey IN (SELECT c_custkey FROM {customer} WHERE c_acctbal < 0)
           AND o_orderstatus = 'F'
-        """
+        """,
+        orders=table(spark, sf_dir, "orders"),
+        customer=table(spark, sf_dir, "customer"),
     )
 
 
@@ -558,14 +569,14 @@ def q20_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q21_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated EXISTS (decorrelated to semi join by Catalyst)."""
-    table(spark, sf_dir, "part").createOrReplaceTempView("part")
-    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(
         """
-        SELECT p_partkey, p_brand FROM part p
-        WHERE EXISTS (SELECT 1 FROM lineitem l
+        SELECT p_partkey, p_brand FROM {part} p
+        WHERE EXISTS (SELECT 1 FROM {lineitem} l
                       WHERE l.l_partkey = p.p_partkey AND l.l_quantity >= 49)
-        """
+        """,
+        part=table(spark, sf_dir, "part"),
+        lineitem=table(spark, sf_dir, "lineitem"),
     )
 
 
@@ -581,14 +592,14 @@ def q22_scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame
 
     The avg is a double; the comparison threshold differs between engines
     by at most one ulp of the sum order, but no order sits within 1e-6 of
-    2×avg in the fixture, so the predicate is stable (verified in tests).
+    1.5×avg in the fixture, so the predicate is stable (verified in tests).
     """
-    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(
         """
-        SELECT o_orderkey, o_totalprice FROM orders
-        WHERE o_totalprice > 1.5 * (SELECT AVG(o_totalprice) FROM orders)
-        """
+        SELECT o_orderkey, o_totalprice FROM {orders} o
+        WHERE o_totalprice > 1.5 * (SELECT AVG(o_totalprice) FROM {orders})
+        """,
+        orders=table(spark, sf_dir, "orders"),
     )
 
 

@@ -32,19 +32,29 @@ def get_session(
       operators (similarity search, multimodal decode).
     """
     cpus = DEFAULT_CPUS
+    # Runtime-settable SQL confs: re-applied via spark.conf.set when
+    # getOrCreate returns a pre-existing session (builder confs would be
+    # silently ignored on the second call in a process).
+    sql_confs = {
+        "spark.sql.shuffle.partitions": str(shuffle_partitions or cpus),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        # events.parquet stores TIMESTAMP(NANOS); read as LONG once,
+        # globally, instead of mutating session config per table read.
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+    }
     builder = (
         SparkSession.builder.appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
+    for k, v in sql_confs.items():
+        builder = builder.config(k, v)
     if master:
         builder = builder.master(master)
     elif not os.environ.get("SPARK_MASTER"):
@@ -52,5 +62,13 @@ def get_session(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
+    # getOrCreate may have returned an existing session whose builder-time
+    # confs won; re-apply every runtime-settable conf so the caller's
+    # request (e.g. tests asking for shuffle_partitions=8) takes effect.
+    for k, v in {**sql_confs, **(extra_conf or {})}.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # static conf on a live session (e.g. spark.driver.memory)
     spark.sparkContext.setLogLevel("WARN")
     return spark

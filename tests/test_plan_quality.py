@@ -1,0 +1,70 @@
+"""Plan-quality assertions — the 100 TB design gate.
+
+A correct plan that force-broadcasts an SF-scaled table passes at
+sf0.001 and OOMs executors at 100 TB, so these tests pin the *plan
+shape*, not the results:
+
+1. No broadcast HINT wraps an SF-scaled table anywhere in the corpus
+   (hints are hard overrides of autoBroadcastJoinThreshold; only the
+   fixed-cardinality dims nation/region may carry one).
+2. Global top-k queries plan TakeOrderedAndProject, never a full sort.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from datapipeline_dags_spark.plans.all import QUERIES
+from tests.conftest import SF_DIR
+
+# Fixed-cardinality dims (nation=25, region=5 at every SF) — the only
+# tables a broadcast hint is allowed to wrap.
+FIXED_SIZE_TABLES = {"nation", "region"}
+SCALED_TABLES = {
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+}
+
+
+def _hinted_scan_paths(df) -> list[str]:
+    """Collect parquet locations of every relation under a ResolvedHint
+    (broadcast) node in the analyzed logical plan."""
+    paths: list[str] = []
+
+    def walk(node, in_hint: bool) -> None:
+        name = node.nodeName()
+        if name == "ResolvedHint":
+            in_hint = True
+        if in_hint and "Relation" in name:
+            paths.append(node.simpleString(500))
+        children = node.children()
+        for i in range(children.size()):
+            walk(children.apply(i), in_hint)
+
+    walk(df._jdf.queryExecution().analyzed(), False)
+    return paths
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_forced_broadcast_of_scaled_tables(name, spark):
+    df = QUERIES[name](spark, SF_DIR)
+    for scan in _hinted_scan_paths(df):
+        offenders = [t for t in SCALED_TABLES if f"{t}.parquet" in scan]
+        assert not offenders, (
+            f"{name}: broadcast hint wraps SF-scaled table(s) {offenders} — "
+            f"would OOM at 100 TB. Hinted scan: {scan[:200]}"
+        )
+
+
+@pytest.mark.parametrize("name", ["q02_shipping_priority", "q05_returned_items", "q09_topk_orders"])
+def test_topk_plans_take_ordered(name, spark):
+    """Top-k must be a per-partition heap + driver merge, not a global sort."""
+    df = QUERIES[name](spark, SF_DIR)
+    physical = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in physical, physical[:500]
