@@ -1,0 +1,729 @@
+"""LLM-training-data pipeline operators — SURVEY.md §2.11 (extension).
+
+Dedup (exact, MinHash-LSH, SimHash, n-gram Jaccard, embedding-cosine),
+similarity search (brute-force top-k + LSH-bucketed), and text analysis
+(quality, language-ID, token counting, fingerprinting) over the
+``documents`` / ``embeddings`` fixtures.
+
+Scale design (the 100 TB bar):
+
+- Dedup shuffles on *hashes* (64-char sha/md5 strings), never on full
+  document text.
+- Near-dup is **candidate-generation first** (LSH bands / shared-shingle
+  blocks / sign-buckets), exact verification only on candidates —
+  never an all-pairs cross join.
+- Everything is JVM-side ``pyspark.sql.functions`` (higher-order array
+  lambdas, md5, regexp) inside whole-stage codegen — zero Python UDFs.
+- Oracle parity trick: MinHash / SimHash permutations are built from
+  md5 *hex strings* (identical bytes in Spark and DuckDB), so even the
+  probabilistic sketches are deterministically oracle-checkable.
+
+Reference parity: the reference has no such operators (it is Airflow
+orchestration — see SURVEY §0); these are mandated extensions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from datapipeline_dags_spark.catalog import table
+from datapipeline_dags_spark.plans.helpers import dec
+from datapipeline_dags_spark.plans.registry import query
+
+# ---------------------------------------------------------------------------
+# Shared building blocks
+# ---------------------------------------------------------------------------
+
+# Word k-gram width. k=5 (not 3) because shorter shingles leave a high
+# baseline Jaccard between unrelated docs, which blows up LSH band
+# collisions into a quasi-all-pairs join (measured: 1.13M blocked pairs
+# at sf0.1 with k=3 vs 1.5k with k=5, with IDENTICAL true-pair recall).
+SHINGLE_K = 5
+
+# DuckDB-side word-shingle fragment (parity twin of _shingles())
+_W = "string_split(text, ' ')"
+_SHINGLES_SQL = (
+    f"CASE WHEN len({_W}) >= {SHINGLE_K} THEN "
+    f"list_distinct(list_transform(generate_series(1, len({_W}) - {SHINGLE_K - 1}), "
+    f"i -> array_to_string(({_W})[i:i+{SHINGLE_K - 1}], ' '))) "
+    "ELSE [text] END"
+)
+
+
+def _fanout(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Spread a small scan across all cores for CPU-bound per-row hashing.
+
+    The test fixtures are single-split parquet files, so Spark reads them
+    as ONE partition and the md5/shingle work runs on one core.  At
+    100 TB the scan has thousands of splits and this repartition is a
+    no-op by construction (split count ≫ cores); locally it is a cheap
+    round-robin shuffle of the raw rows that unlocks the other 31 cores.
+    """
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
+def _shingles(text: Column) -> Column:
+    """Distinct word k-gram shingles, JVM-side (sequence + transform + slice)."""
+    words = F.split(text, " ")
+    n = F.size(words) - (SHINGLE_K - 1)
+    return F.when(
+        n >= 1,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n),
+                lambda i: F.concat_ws(" ", F.slice(words, i, SHINGLE_K)),
+            )
+        ),
+    ).otherwise(F.array(text))
+
+
+def _cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity between two float arrays, computed in double with
+    strict left-to-right accumulation — bit-compatible with DuckDB's
+    list_cosine_similarity over DOUBLE[]."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+    def norm(v: Column) -> Column:
+        return F.sqrt(
+            F.aggregate(
+                F.transform(v, lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0),
+                lambda acc, z: acc + z,
+            )
+        )
+
+    return dot / (norm(a) * norm(b))
+
+
+_COS_SQL = "list_cosine_similarity({a}::DOUBLE[], {b}::DOUBLE[])"
+
+
+# ---------------------------------------------------------------------------
+# q40 — exact dedup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q40_dedup_exact",
+    oracle="""
+    SELECT MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY text
+    """,
+)
+def q40_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group on sha2(text) and keep the lowest doc_id.
+
+    At 100 TB the shuffle key is the 64-char digest, not the document —
+    constant-width exchange regardless of document size. (The oracle
+    groups by raw text: identical partitions absent sha256 collisions.)
+    """
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.sha2(F.col("text"), 256).alias("h"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+        .select("keep_doc_id", "n_copies")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q41 — MinHash + LSH banding near-dup
+# ---------------------------------------------------------------------------
+
+MINHASH_H = 12  # signature length
+LSH_R = 3  # rows per band
+LSH_B = MINHASH_H // LSH_R  # 4 bands
+JACCARD_T = 0.5
+
+
+def _q41_oracle() -> str:
+    # One md5 per shingle; permutation i = h1 + i*h2 (h2 is 32-bit so
+    # i*h2 never overflows BIGINT in either engine).
+    sig_cols = ", ".join(
+        f"list_min(list_transform(hp, p -> p.h1 + {i} * p.h2)) AS m{i}"
+        for i in range(MINHASH_H)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {key} AS key FROM sig".format(
+            b=b,
+            key=" || '|' || ".join(f"CAST(m{b * LSH_R + r} AS VARCHAR)" for r in range(LSH_R)),
+        )
+        for b in range(LSH_B)
+    )
+    return f"""
+    WITH docs AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents),
+    hp AS (SELECT doc_id, sh,
+           list_transform(list_transform(sh, s -> md5(s)),
+             h -> {{'h1': ('0x' || substr(h, 1, 15))::BIGINT,
+                    'h2': ('0x' || substr(h, 17, 8))::BIGINT}}) AS hp
+           FROM docs),
+    sig AS (SELECT doc_id, {sig_cols} FROM hp),
+    bands AS ({band_selects}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+    verified AS (
+      SELECT c.doc_a, c.doc_b,
+             len(list_intersect(da.sh, db.sh)) * 1.0
+               / len(list_distinct(list_concat(da.sh, db.sh))) AS j
+      FROM cand c
+      JOIN docs da ON da.doc_id = c.doc_a
+      JOIN docs db ON db.doc_id = c.doc_b)
+    SELECT doc_a, doc_b, (ROUND(j, 6) + 0.0) AS jaccard
+    FROM verified WHERE j >= {JACCARD_T}
+    """
+
+
+@query("q41_dedup_minhash_lsh", oracle=_q41_oracle())
+def q41_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(12)+LSH(4 bands × 3) near-dup, exact-Jaccard verified.
+
+    Candidate generation is a self-join on (band, band_key) — each doc
+    emits 4 constant-width band keys, so the join is hash-partitioned on
+    short strings and NEVER all-pairs.  Exact Jaccard (array_intersect /
+    array_union) runs only on candidates.
+
+    Hashing: ONE md5 per shingle; permutation i = ``h1 + i*h2`` where
+    h1/h2 are 60-/32-bit slices of the digest (the classic (a+ib) hash
+    family) — 12 permutations for one digest pass, deterministic and
+    engine-portable (no seeded RNG), overflow-free in signed 64-bit.
+    """
+    docs = _fanout(spark, table(spark, sf_dir, "documents")).select(
+        "doc_id", _shingles(F.col("text")).alias("sh")
+    )
+    # NB: single-arg lambdas only — a two-arg lambda (e.g. `lambda s, i=i`)
+    # makes Spark bind the second param to the element INDEX column.
+    hp = F.transform(
+        F.transform(F.col("sh"), lambda s: F.md5(s)),
+        lambda h: F.struct(
+            F.conv(F.substring(h, 1, 15), 16, 10).cast("long").alias("h1"),
+            F.conv(F.substring(h, 17, 8), 16, 10).cast("long").alias("h2"),
+        ),
+    )
+    hashed = docs.select("doc_id", "sh", hp.alias("hp"))
+
+    def minhash(i: int) -> Column:
+        mult = F.lit(i).cast("long")
+        return F.array_min(
+            F.transform(F.col("hp"), lambda p: p["h1"] + mult * p["h2"])
+        )
+
+    sigs = hashed.select(
+        "doc_id", "sh", *[minhash(i).alias(f"m{i}") for i in range(MINHASH_H)]
+    )
+    band_keys = [
+        F.concat_ws("|", *[F.col(f"m{b * LSH_R + r}") for r in range(LSH_R)])
+        for b in range(LSH_B)
+    ]
+    bands = sigs.select(
+        "doc_id", F.posexplode(F.array(*band_keys)).alias("band", "key")
+    )
+    # Candidate pairs via ONE aggregation instead of a band self-join: a
+    # self-join would execute the whole signature pipeline twice (Spark
+    # cannot reuse the exchange across the broadcast side).  Bucket size
+    # is bounded by band selectivity; the cap guards the pathological
+    # all-identical-docs bucket (those pairs belong to exact dedup, q40).
+    ids = F.array_sort(F.col("ids"))
+    pair_structs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    cand = (
+        bands.groupBy("band", "key")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= 1000))
+        .select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.doc_a"), F.col("p.doc_b"))
+        .distinct()
+    )
+    sets = docs.select(F.col("doc_id"), F.col("sh"))
+    j = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        cand.join(sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
+        .join(sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
+        .withColumn("j", j)
+        .filter(F.col("j") >= JACCARD_T)
+        .select("doc_a", "doc_b", dec(F.col("j"), 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q42 — SimHash near-dup
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+SIMHASH_BAND = 8  # 4 bands × 8 bits
+HAMMING_T = 2
+
+
+def _q42_oracle() -> str:
+    toks = "list_distinct(string_split(text, ' '))"
+    bits = " || ".join(
+        f"CASE WHEN COALESCE(list_sum(list_transform({toks}, "
+        f"t -> CASE WHEN substr(md5(t), {d}, 1) >= '8' THEN 1 ELSE -1 END)), 0) >= 0 "
+        "THEN '1' ELSE '0' END"
+        for d in range(1, SIMHASH_BITS + 1)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, sig, {b} AS band, substr(sig, {1 + SIMHASH_BAND * b}, {SIMHASH_BAND}) AS key FROM sigs"
+        for b in range(SIMHASH_BITS // SIMHASH_BAND)
+    )
+    hamming = " + ".join(
+        f"CASE WHEN substr(a.sig, {d}, 1) <> substr(b.sig, {d}, 1) THEN 1 ELSE 0 END"
+        for d in range(1, SIMHASH_BITS + 1)
+    )
+    return f"""
+    WITH sigs AS (SELECT doc_id, {bits} AS sig FROM documents),
+    bands AS ({band_selects}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST({hamming} AS BIGINT) AS hamming
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= {HAMMING_T}
+    """
+
+
+@query("q42_dedup_simhash", oracle=_q42_oracle())
+def q42_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(32-bit) near-dup: bit d = sign of Σ±1 over tokens, where a
+    token votes +1 iff hex digit d of its md5 has its high bit set.
+
+    Banding (4×8 bits) generates candidates; Hamming distance ≤ 2 keeps
+    near-dups.  The signature is a '0'/'1' string, so band keys and the
+    Hamming sum are engine-portable string ops.  At 100 TB: one narrow
+    shuffle on (band, 8-char key); signature computation is map-side.
+    """
+    toks = F.array_distinct(F.split(F.col("text"), " "))
+
+    def bit(d: int) -> Column:
+        votes = F.transform(
+            toks, lambda t: F.when(F.substring(F.md5(t), d, 1) >= "8", 1).otherwise(-1)
+        )
+        s = F.aggregate(votes, F.lit(0), lambda acc, x: acc + x)
+        return F.when(s >= 0, F.lit("1")).otherwise(F.lit("0"))
+
+    sigs = _fanout(spark, table(spark, sf_dir, "documents")).select(
+        "doc_id", F.concat(*[bit(d) for d in range(1, SIMHASH_BITS + 1)]).alias("sig")
+    )
+    bands = sigs.select(
+        "doc_id",
+        "sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.substring("sig", 1 + SIMHASH_BAND * b, SIMHASH_BAND)
+                    for b in range(SIMHASH_BITS // SIMHASH_BAND)
+                ]
+            )
+        ).alias("band", "key"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    hamming = sum(
+        F.when(
+            F.substring(F.col("a.sig"), d, 1) != F.substring(F.col("b.sig"), d, 1), 1
+        ).otherwise(0)
+        for d in range(1, SIMHASH_BITS + 1)
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.cast("long").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= HAMMING_T)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q43 — exact n-gram Jaccard (shared-shingle blocking)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q43_ngram_jaccard",
+    oracle=f"""
+    WITH docs AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents),
+    ex AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+    sizes AS (SELECT doc_id, len(sh) AS n FROM docs),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           (ROUND(i * 1.0 / (sa.n + sb.n - i), 6) + 0.0) AS jaccard
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE i * 1.0 / (sa.n + sb.n - i) >= {JACCARD_T}
+    """,
+)
+def q43_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-5-gram Jaccard ≥ 0.5 via shared-shingle blocking.
+
+    Pairs materialize only for docs sharing ≥1 shingle (explode +
+    equi-join on the shingle), then |A∩B| comes from the join count and
+    |A∪B| = |A|+|B|−|A∩B| — set algebra instead of a cross join.  At
+    100 TB, frequent-shingle skew is the risk: cap or salt hot shingles
+    (the q41 LSH path is the preferred scale route; this is the exact
+    reference semantics).
+    """
+    docs = _fanout(spark, table(spark, sf_dir, "documents")).select(
+        "doc_id", _shingles(F.col("text")).alias("sh")
+    )
+    ex = docs.select("doc_id", F.explode("sh").alias("s"))
+    sizes = docs.select("doc_id", F.size("sh").alias("n"))
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("i"))
+    )
+    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .filter(jac >= JACCARD_T)
+        .select("doc_a", "doc_b", dec(jac, 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q44 — embedding-cosine near-dup (label-blocked)
+# ---------------------------------------------------------------------------
+
+COS_T = 0.4
+
+
+@query(
+    "q44_embedding_cosine_neardup",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           (ROUND({_COS_SQL.format(a='a.embedding', b='b.embedding')}, 6) + 0.0) AS cos_sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_COS_SQL.format(a='a.embedding', b='b.embedding')} >= {COS_T}
+    """,
+)
+def q44_embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup: cosine ≥ 0.4 within a coarse partition.
+
+    Blocking key = ``label`` (an IVF-style cluster assignment), so the
+    pair join is per-partition, not all-pairs.  Cosine runs JVM-side
+    (zip_with + aggregate in double) — bit-compatible with the oracle's
+    list_cosine_similarity over DOUBLE[].  At 100 TB: partitions are
+    centroid assignments from a coarse quantizer; skewed clusters split
+    by AQE or secondary salting.
+    """
+    emb = _fanout(spark, table(spark, sf_dir, "embeddings"))
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("label"), F.col("embedding").alias("ea")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("label"), F.col("embedding").alias("eb")
+    )
+    cos = _cosine(F.col("ea"), F.col("eb"))
+    return (
+        a.join(b, ["label"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("c", cos)
+        .filter(F.col("c") >= COS_T)
+        .select("vec_a", "vec_b", dec(F.col("c"), 6).alias("cos_sim"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q45 / q46 — similarity search (top-k ANN)
+# ---------------------------------------------------------------------------
+
+TOPK = 10
+
+
+@query(
+    "q45_ann_topk_bruteforce",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 100 = 0),
+    p AS (
+      SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id,
+             (ROUND({_COS_SQL.format(a='q.embedding', b='e.embedding')}, 6) + 0.0) AS cos_sim
+      FROM q JOIN embeddings e ON e.vec_id <> q.vec_id),
+    r AS (
+      SELECT q_id, neighbor_id, cos_sim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+      FROM p)
+    SELECT q_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= {TOPK}
+    """,
+)
+def q45_ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k cosine neighbors for a fixed query set (vec_id%100=0).
+
+    The query set is small and *fixed-cardinality* (1% of corpus), so it
+    is the broadcast side; the corpus streams through map tasks — one
+    pass, no shuffle of the corpus, then a per-query top-k window on
+    (query, candidate) rows.  Ranking uses the *rounded* cosine with a
+    vec_id tie-break so the k-boundary is deterministic across engines.
+    At 100 TB this is the exact-scoring baseline; q46 is the scale path.
+    """
+    emb = _fanout(spark, table(spark, sf_dir, "embeddings"))
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    pairs = (
+        F.broadcast(q)
+        .join(emb, F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            dec(_cosine(F.col("qe"), F.col("embedding")), 6).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOPK)
+        .select("q_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+LSH_SIGN_BITS = 4
+
+
+def _bucket_sql(tbl: str) -> str:
+    return " || ".join(
+        f"CASE WHEN {tbl}.embedding[{i}] >= 0 THEN '1' ELSE '0' END"
+        for i in range(1, LSH_SIGN_BITS + 1)
+    )
+
+
+@query(
+    "q46_ann_lsh_bucketed",
+    oracle=f"""
+    WITH b AS (SELECT vec_id, embedding, {_bucket_sql('embeddings')} AS bucket FROM embeddings),
+    p AS (
+      SELECT a.vec_id AS q_id, c.vec_id AS neighbor_id,
+             (ROUND({_COS_SQL.format(a='a.embedding', b='c.embedding')}, 6) + 0.0) AS cos_sim
+      FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id),
+    r AS (
+      SELECT q_id, neighbor_id, cos_sim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+      FROM p)
+    SELECT q_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= 3
+    """,
+)
+def q46_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN: hyperplane sign bits (axis-aligned, first 4 dims)
+    partition the corpus into 16 buckets; top-3 neighbors are searched
+    within the bucket only — the candidate set shrinks by the bucket
+    fan-out instead of scanning the corpus per query.
+
+    At 100 TB: more sign bits (2^b buckets) + multi-probe for recall;
+    the bucket join is an equi-join on a short key, AQE handles skewed
+    buckets.  Deterministic planes (no RNG) keep it oracle-checkable.
+    """
+    emb = _fanout(spark, table(spark, sf_dir, "embeddings"))
+    bucket = F.concat(
+        *[
+            F.when(F.element_at("embedding", i) >= 0, F.lit("1")).otherwise(F.lit("0"))
+            for i in range(1, LSH_SIGN_BITS + 1)
+        ]
+    )
+    b = emb.select("vec_id", "embedding", bucket.alias("bucket"))
+    a = b.select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe"), F.col("bucket")
+    )
+    pairs = (
+        a.join(b, ["bucket"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            dec(_cosine(F.col("qe"), F.col("embedding")), 6).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("q_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q50–q53 — text analysis
+# ---------------------------------------------------------------------------
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+
+@query(
+    "q50_text_quality",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             len(string_split(text, ' ')) AS nw,
+             length(replace(text, ' ', '')) AS nc,
+             len(list_filter(string_split(text, ' '),
+                 w -> list_contains({list(STOPWORDS)!r}, w))) AS nstop,
+             len(regexp_extract_all(text, '[0-9]')) AS ndig,
+             length(text) AS nlen
+      FROM documents)
+    SELECT doc_id, lang,
+           CAST(nw AS BIGINT) AS n_words,
+           (ROUND(nc * 1.0 / nw, 4) + 0.0) AS avg_word_len,
+           (ROUND(nstop * 1.0 / nw, 4) + 0.0) AS stop_ratio,
+           (ROUND(ndig * 1.0 / nlen, 4) + 0.0) AS digit_ratio,
+           (ROUND(LEAST(1.0, nw / 50.0) * (1 - nstop * 1.0 / nw), 4) + 0.0) AS quality
+    FROM t
+    """,
+)
+def q50_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality scoring: token count, mean token length,
+    stopword ratio, digit ratio, and a composite quality score — all
+    JVM-side string/array/regexp functions, map-only (zero shuffles)."""
+    docs = table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    nw = F.size(words)
+    nc = F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    nstop = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS)))
+    ndig = F.regexp_count(F.col("text"), F.lit("[0-9]"))
+    nlen = F.length("text")
+    return docs.select(
+        "doc_id",
+        "lang",
+        nw.cast("long").alias("n_words"),
+        dec(nc / nw, 4).alias("avg_word_len"),
+        dec(nstop / nw, 4).alias("stop_ratio"),
+        dec(ndig / nlen, 4).alias("digit_ratio"),
+        dec(F.least(F.lit(1.0), nw / F.lit(50.0)) * (1 - nstop / nw), 4).alias("quality"),
+    )
+
+
+LANG_MARKERS = {
+    "en": ("the", "a", "of", "and"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "es": ("el", "los", "que", "y"),
+}
+
+
+def _q51_oracle() -> str:
+    scores = ", ".join(
+        f"CAST(len(list_filter(string_split(text, ' '), "
+        f"w -> list_contains({list(ms)!r}, w))) AS BIGINT) AS s_{lang}"
+        for lang, ms in LANG_MARKERS.items()
+    )
+    return f"""
+    WITH s AS (SELECT doc_id, lang, {scores} FROM documents)
+    SELECT doc_id, lang, s_en, s_de, s_fr, s_es,
+           CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+                WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                WHEN s_fr >= s_es THEN 'fr'
+                ELSE 'es' END AS pred_lang
+    FROM s
+    """
+
+
+@query("q51_lang_id", oracle=_q51_oracle())
+def q51_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID: per-language stopword hit counts with a
+    deterministic argmax chain (ties resolve en>de>fr>es).  A real
+    deployment swaps the marker lists for char-n-gram profiles; the
+    plumbing (map-only scoring, no shuffle) is identical."""
+    docs = table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+
+    def marker_score(markers: tuple[str, ...]) -> Column:
+        values = list(markers)  # closure, NOT a lambda default (see q41 note)
+        return F.size(F.filter(words, lambda w: w.isin(*values))).cast("long")
+
+    sc = {lang: marker_score(ms) for lang, ms in LANG_MARKERS.items()}
+    pred = (
+        F.when(
+            (sc["en"] >= sc["de"]) & (sc["en"] >= sc["fr"]) & (sc["en"] >= sc["es"]), "en"
+        )
+        .when((sc["de"] >= sc["fr"]) & (sc["de"] >= sc["es"]), "de")
+        .when(sc["fr"] >= sc["es"], "fr")
+        .otherwise("es")
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        sc["en"].alias("s_en"),
+        sc["de"].alias("s_de"),
+        sc["fr"].alias("s_fr"),
+        sc["es"].alias("s_es"),
+        pred.alias("pred_lang"),
+    )
+
+
+@query(
+    "q52_token_count",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '[a-z0-9]+'))) AS BIGINT) AS re_tokens,
+           (ROUND(AVG(len(string_split(text, ' '))), 4) + 0.0) AS avg_tokens
+    FROM documents GROUP BY lang
+    """,
+)
+def q52_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token accounting per language: whitespace tokens and a
+    BPE-ish regex token count ([a-z0-9]+ runs), partial-aggregated
+    map-side before the single shuffle on lang."""
+    docs = table(spark, sf_dir, "documents")
+    ws = F.size(F.split(F.col("text"), " "))
+    re_t = F.regexp_count(F.col("text"), F.lit("[a-z0-9]+"))
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(ws).cast("long").alias("ws_tokens"),
+        F.sum(re_t).cast("long").alias("re_tokens"),
+        dec(F.avg(ws), 4).alias("avg_tokens"),
+    )
+
+
+FP_K = 4
+
+
+@query(
+    "q53_doc_fingerprint",
+    oracle=f"""
+    WITH docs AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents)
+    SELECT doc_id,
+           array_to_string((list_sort(list_transform(sh, s -> md5(s))))[1:{FP_K}], '|') AS fingerprint
+    FROM docs
+    """,
+)
+def q53_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k document fingerprint: the k lexicographically-smallest
+    md5(shingle) digests, joined with '|'.  This is a bottom-k MinHash
+    sketch (the md5 ordering is the random permutation) — docs sharing a
+    fingerprint are near-dup candidates; constant-width output per doc
+    regardless of document size.  Map-only, no shuffle."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", _shingles(F.col("text")).alias("sh")
+    )
+    fp = F.concat_ws(
+        "|", F.slice(F.array_sort(F.transform(F.col("sh"), lambda s: F.md5(s))), 1, FP_K)
+    )
+    return docs.select("doc_id", fp.alias("fingerprint"))
