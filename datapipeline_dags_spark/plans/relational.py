@@ -305,6 +305,133 @@ def q18_theta_join_price_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q32_right_outer_unused_parts",
+    oracle="""
+    SELECT p.p_partkey AS p_partkey, COUNT(l.l_orderkey) AS n_li
+    FROM lineitem l RIGHT JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_partkey
+    """,
+)
+def q32_right_outer_unused_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT OUTER join preserving parts never ordered (COUNT skips nulls)."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey, "right")
+        .groupBy("p_partkey")
+        .agg(F.count("l_orderkey").alias("n_li"))
+    )
+
+
+@query(
+    "q33_full_outer_yearly_spend",
+    oracle=f"""
+    WITH y97 AS (SELECT o_custkey, SUM(o_totalprice) AS s FROM orders
+                 WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+                   AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00' GROUP BY o_custkey),
+         y98 AS (SELECT o_custkey, SUM(o_totalprice) AS s FROM orders
+                 WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+                   AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00' GROUP BY o_custkey)
+    SELECT COALESCE(y97.o_custkey, y98.o_custkey) AS c_custkey,
+           {sql_dec('COALESCE(y97.s, 0)')} AS spend_97,
+           {sql_dec('COALESCE(y98.s, 0)')} AS spend_98
+    FROM y97 FULL OUTER JOIN y98 ON y97.o_custkey = y98.o_custkey
+    """,
+)
+def q33_full_outer_yearly_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two yearly per-customer aggregates — customers
+    active in either year survive, missing side coalesced to 0."""
+    o = table(spark, sf_dir, "orders")
+
+    def year(lo: str, hi: str) -> DataFrame:
+        return (
+            o.filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+            .groupBy("o_custkey")
+            .agg(F.sum("o_totalprice").alias("s"))
+        )
+
+    a, b = year("1997-01-01", "1998-01-01").alias("a"), year("1998-01-01", "1999-01-01").alias("b")
+    return a.join(b, F.col("a.o_custkey") == F.col("b.o_custkey"), "full").select(
+        F.coalesce(F.col("a.o_custkey"), F.col("b.o_custkey")).alias("c_custkey"),
+        dec(F.coalesce(F.col("a.s"), F.lit(0.0))).alias("spend_97"),
+        dec(F.coalesce(F.col("b.s"), F.lit(0.0))).alias("spend_98"),
+    )
+
+
+@query(
+    "q34_cross_join_status_grid",
+    oracle="""
+    SELECT r.r_name AS r_name, s.o_orderstatus AS o_orderstatus
+    FROM region r CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+    """,
+)
+def q34_cross_join_status_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS JOIN (nested loop) — the full region × order-status grid.
+    Both sides are tiny/deduplicated; Catalyst plans BroadcastNestedLoopJoin."""
+    r = table(spark, sf_dir, "region")
+    s = table(spark, sf_dir, "orders").select("o_orderstatus").distinct()
+    return r.crossJoin(s).select("r_name", "o_orderstatus")
+
+
+@query(
+    "q35_dense_rank_lead",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(DENSE_RANK() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderpriority, o_orderkey) AS BIGINT) AS prio_drank,
+           LEAD(o_totalprice) OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey) AS next_price
+    FROM orders
+    """,
+)
+def q35_dense_rank_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DENSE_RANK + LEAD in one pass (two window specs, one shuffle on
+    o_custkey — Spark reuses the exchange across compatible windows)."""
+    wd = W.partitionBy("o_custkey").orderBy("o_orderpriority", "o_orderkey")
+    wl = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.dense_rank().over(wd).cast("long").alias("prio_drank"),
+        F.lead("o_totalprice").over(wl).alias("next_price"),
+    )
+
+
+@query(
+    "q36_approx_count_distinct",
+    oracle="""
+    SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS approx_within_5pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q36_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) next to the exact count.
+
+    The sketch value itself is engine-specific, so the checked contract
+    is the HLL *error bound*: |approx − exact| ≤ 5% of exact (rsd=0.05).
+    At 100 TB the approx variant is the one you run — the sketch merges
+    map-side and never holds the distinct set in memory.
+    """
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("exact_parts"),
+            F.approx_count_distinct("l_partkey", rsd=0.05).alias("_approx"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            (
+                F.abs(F.col("_approx") - F.col("exact_parts"))
+                <= 0.05 * F.col("exact_parts")
+            ).alias("approx_within_5pct"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sorts, top-k, distinct, rollup/cube/grouping sets (SURVEY §2.6–2.7)
 # ---------------------------------------------------------------------------

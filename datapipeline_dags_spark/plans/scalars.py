@@ -153,6 +153,60 @@ def q29_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q37_map_funcs",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+           CAST(len(json_keys(props::JSON)) AS BIGINT) AS n_keys,
+           array_to_string(list_sort(json_keys(props::JSON)), ',') AS keys_csv
+    FROM events
+    """,
+)
+def q37_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map family: from_json into MapType, element_at / map_keys / size
+    (reference parses JSON message bodies into dicts at
+    sqs_sensor_dag.py:72, sqs_sync_verified_data_dag.py:32)."""
+    from pyspark.sql.types import LongType, MapType, StringType
+
+    m = F.from_json("props", MapType(StringType(), LongType()))
+    ev = table(spark, sf_dir, "events").withColumn("m", m)
+    return ev.select(
+        "event_id",
+        F.element_at("m", "k").alias("k_val"),
+        F.size(F.map_keys("m")).cast("long").alias("n_keys"),
+        F.concat_ws(",", F.array_sort(F.map_keys("m"))).alias("keys_csv"),
+    )
+
+
+@query(
+    "q38_json_codec",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           to_json(struct_pack(event_id := event_id,
+                               k := CAST(json_extract_string(props, '$.k') AS BIGINT))) AS canonical
+    FROM events
+    """,
+)
+def q38_json_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json (schema-directed parse) + to_json (canonical re-encode) —
+    the engine side of the reference's JSON wire codec
+    (parallelized_data_pipeline_dag.py:107,116). Both engines emit
+    compact {"event_id":N,"k":N} with struct-field ordering."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType([StructField("k", LongType())])
+    ev = table(spark, sf_dir, "events").withColumn(
+        "k", F.from_json("props", schema).getField("k")
+    )
+    return ev.select(
+        "event_id",
+        "k",
+        F.to_json(F.struct(F.col("event_id"), F.col("k"))).alias("canonical"),
+    )
+
+
+@query(
     "q30_case_conditional_agg",
     oracle="""
     SELECT l_returnflag,
