@@ -207,6 +207,67 @@ def q38_json_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q39_extended_json_codec",
+    oracle="""
+    WITH enc AS (
+      SELECT event_id, ts, value,
+             substr(md5(CAST(event_id AS VARCHAR)), 1, 24) AS oid
+      FROM events)
+    SELECT event_id, oid,
+           date_trunc('milliseconds', ts) AS created_at,
+           (ROUND(value, 2) + 0.0) AS amount,
+           to_json(struct_pack(
+             _id := struct_pack("$oid" := oid),
+             created_at := struct_pack("$date" := strftime(ts, '%Y-%m-%dT%H:%M:%S.%gZ')),
+             amount := struct_pack("$numberDecimal" :=
+               CAST(CAST(ROUND(value, 2) AS DECIMAL(38,6)) AS VARCHAR))
+           )) AS payload
+    FROM enc
+    """,
+)
+def q39_extended_json_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended-JSON round trip (SURVEY T4): encode events into Mongo
+    wire form ({"$oid"}, {"$date"}, {"$numberDecimal"}), then revive
+    through the schema-directed codec — parsed values and the canonical
+    payload both oracle-checked.  The codec is pure column expressions
+    (one from_json + struct rewrites), no Python in the row path."""
+    from pyspark.sql.types import DecimalType, StructField, StructType, TimestampType
+
+    from datapipeline_dags_spark.functions.extended_json import (
+        from_extended_json,
+        oid_field,
+        to_extended_json,
+    )
+
+    target = StructType(
+        [
+            oid_field("_id"),
+            StructField("created_at", TimestampType()),
+            StructField("amount", DecimalType(38, 6)),
+        ]
+    )
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        F.struct(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 24).alias("_id"),
+            F.col("ts").alias("created_at"),
+            F.round("value", 2).cast(DecimalType(38, 6)).alias("amount"),
+        ).alias("rec"),
+    )
+    encoded = ev.select(
+        "event_id", to_extended_json(F.col("rec"), target).alias("payload")
+    )
+    parsed = from_extended_json(F.col("payload"), target)
+    return encoded.select(
+        "event_id",
+        parsed["_id"].alias("oid"),
+        parsed["created_at"].alias("created_at"),
+        (parsed["amount"].cast("double") + F.lit(0.0)).alias("amount"),
+        "payload",
+    )
+
+
+@query(
     "q30_case_conditional_agg",
     oracle="""
     SELECT l_returnflag,
