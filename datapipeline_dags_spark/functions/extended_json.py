@@ -104,6 +104,14 @@ def _decode(col: Column, dt: DataType, is_oid: bool = False) -> Column:
     return col.cast(dt)
 
 
+def decode_wire(col: Column, target: DataType, is_oid: bool = False) -> Column:
+    """Rewrite an already-parsed wire-shaped column into typed form —
+    for callers that ran their own ``from_json`` against a composite
+    wire schema (e.g. the entity reader parsing ``{"contact": [...]}``
+    payloads in one pass)."""
+    return _decode(col, target, is_oid)
+
+
 def from_extended_json(col: Column | str, target: StructType) -> Column:
     """Parse an extended-JSON string column into a typed struct column.
 
