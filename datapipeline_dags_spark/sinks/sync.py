@@ -1,0 +1,159 @@
+"""Incremental watermark CDC sync — SURVEY ST3-ST5, S8/S9, K5/K7, P2/P3.
+
+The reference's 5-minute PostgreSQL→MySQL sync
+(postgresql_mysql_sync_dag.py:28-117):
+
+  for each entity:
+    (ts, id)  = last COMPLETED watermark from data_sync_stats   (S9)
+    rows      = source WHERE ts > wm OR (ts = wm AND id > wm_id)
+                ORDER BY id                                     (S8/P2)
+    if rows:    STARTED → bulk upsert → COMPLETED(new watermark) (ST5)
+    else:       NO_DATA                                          (P3)
+
+Engine mapping: the watermark predicate is a pushed-down DataFrame
+filter; the bulk insert is the set-based MERGE sink (idempotent), so
+the protocol's at-least-once re-run after a crash is exactly-once in
+effect; the bookkeeping table keeps the reference's observability.
+The application-level watermark is deliberately kept (vs streaming
+checkpoint offsets) — it is part of the reference's contract (ST4).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from datapipeline_dags_spark.sinks.db import connect
+from datapipeline_dags_spark.sinks.upsert import UpsertSink
+
+STARTED = "STARTED"
+COMPLETED = "COMPLETED"
+NO_DATA = "NO_DATA"
+
+#: bookkeeping DDL — FIXTURES.md §B4 / postgresql_mysql_sync_dag.py:53-58
+STATS_DDL = """
+CREATE TABLE IF NOT EXISTS data_sync_stats (
+  dag_run_id VARCHAR, entity_type VARCHAR, processing_ts TIMESTAMP,
+  records_count BIGINT, from_id BIGINT, to_id BIGINT, status VARCHAR,
+  logged_at TIMESTAMP DEFAULT now()
+)
+"""
+
+EPOCH = dt.datetime(1970, 1, 1)
+
+
+@dataclass
+class Watermark:
+    ts: dt.datetime
+    last_id: int
+
+
+def fetch_watermark(db_path: str, entity: str) -> Watermark:
+    """Last COMPLETED sync position for an entity (S9; reference
+    fetch_latest_completed_sync_ts, postgresql_mysql_sync_dag.py:40)."""
+    with connect(db_path) as con:
+        con.execute(STATS_DDL)
+        row = con.execute(
+            """
+            SELECT processing_ts, to_id FROM data_sync_stats
+            WHERE entity_type = ? AND status = ?
+            ORDER BY logged_at DESC, processing_ts DESC LIMIT 1
+            """,
+            [entity, COMPLETED],
+        ).fetchone()
+    return Watermark(*row) if row else Watermark(EPOCH, -1)
+
+
+def _log(db_path: str, run_id: str, entity: str, status: str, *,
+         ts: dt.datetime, count: int, from_id: int, to_id: int) -> None:
+    with connect(db_path) as con:
+        con.execute(STATS_DDL)
+        con.execute(
+            "INSERT INTO data_sync_stats (dag_run_id, entity_type, processing_ts,"
+            " records_count, from_id, to_id, status) VALUES (?, ?, ?, ?, ?, ?, ?)",
+            [run_id, entity, ts, count, from_id, to_id, status],
+        )
+
+
+def watermark_scan(df: DataFrame, wm: Watermark, ts_col: str, id_col: str) -> DataFrame:
+    """Strictly-newer rows with id tiebreak (P2/S8) — the predicate pushes
+    to the source scan (parquet row-group pruning / JDBC subquery)."""
+    return df.filter(
+        (F.col(ts_col) > F.lit(wm.ts))
+        | ((F.col(ts_col) == F.lit(wm.ts)) & (F.col(id_col) > wm.last_id))
+    )
+
+
+@dataclass
+class SyncResult:
+    entity: str
+    status: str
+    records: int
+    watermark: Watermark
+
+
+def sync_entity(
+    source: Callable[[], DataFrame],
+    db_path: str,
+    entity: str,
+    target_table: str,
+    run_id: str,
+    *,
+    ts_col: str = "processing_ts",
+    id_col: str = "id",
+    crash_after_upsert: bool = False,
+) -> SyncResult:
+    """One sync cycle for one entity (reference execute_sync_process_func,
+    postgresql_mysql_sync_dag.py:28-117).
+
+    ``crash_after_upsert`` is a test hook simulating a crash between the
+    data write and the COMPLETED bookkeeping row — the re-run re-reads
+    the same window and the MERGE sink absorbs the duplicates (ST5).
+    """
+    wm = fetch_watermark(db_path, entity)
+    batch = watermark_scan(source(), wm, ts_col, id_col)
+    # batch statistics in ONE distributed aggregate (reference takes
+    # len/first/last of the ordered row list, :51,61-62)
+    stats = batch.agg(
+        F.count("*").alias("n"),
+        F.min(id_col).alias("from_id"),
+        F.max(id_col).alias("to_id"),
+        F.max(ts_col).alias("max_ts"),
+    ).collect()[0]
+    if stats.n == 0:  # P3: non-empty guard
+        _log(db_path, run_id, entity, NO_DATA,
+             ts=wm.ts, count=0, from_id=wm.last_id, to_id=wm.last_id)
+        return SyncResult(entity, NO_DATA, 0, wm)
+
+    _log(db_path, run_id, entity, STARTED,
+         ts=wm.ts, count=stats.n, from_id=stats.from_id, to_id=stats.to_id)
+    sink = UpsertSink(db_path, target_table, keys=[id_col], order_by=ts_col)
+    n = sink.write(batch)
+    if crash_after_upsert:
+        raise RuntimeError("simulated crash before COMPLETED")
+    new_wm = Watermark(stats.max_ts, stats.to_id)
+    _log(db_path, run_id, entity, COMPLETED,
+         ts=new_wm.ts, count=n, from_id=stats.from_id, to_id=new_wm.last_id)
+    return SyncResult(entity, COMPLETED, n, new_wm)
+
+
+def sync_all(
+    sources: dict[str, Callable[[], DataFrame]],
+    db_path: str,
+    tables: dict[str, str],
+    run_id: str,
+    **kwargs,
+) -> list[SyncResult]:
+    """All entities in one cycle, isolating per-entity failures like the
+    reference's broad try/except (postgresql_mysql_sync_dag.py:111-112)."""
+    out = []
+    for entity, src in sources.items():
+        try:
+            out.append(sync_entity(src, db_path, entity, tables[entity], run_id, **kwargs))
+        except Exception as exc:  # noqa: BLE001 — per-entity isolation
+            out.append(SyncResult(entity, f"ERROR: {exc}", 0, fetch_watermark(db_path, entity)))
+    return out

@@ -1,0 +1,103 @@
+"""Keyed upsert (MERGE) sink — SURVEY K4-K6, "custom piece #2".
+
+Replaces the reference's write paths into PostgreSQL/MySQL:
+- PersistStep → Postgres (parallelized_data_pipeline_dag.py:322,345)
+- MySQL bulk insert per entity (postgresql_mysql_sync_dag.py:75-81)
+- per-row verified-data UPDATE keyed (company_id, external_id)
+  (sqs_sync_verified_data_dag.py:52-58)
+
+Semantics: set-based MERGE — insert new keys, update existing ones —
+executed as ONE statement over a parquet staging area the executors
+wrote.  Idempotent by construction: re-applying the same batch is a
+no-op, which is what makes the sync protocol's at-least-once re-runs
+exactly-once in effect (ST5).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from datapipeline_dags_spark.sinks.db import connect, ddl_for, staged_parquet
+
+
+@dataclass
+class UpsertSink:
+    """MERGE into ``table`` keyed on ``keys``.
+
+    ``order_by`` (optional column name) resolves duplicate keys WITHIN a
+    batch deterministically (keep the highest) before the merge — a
+    MERGE must see one source row per key.
+    """
+
+    db_path: str
+    table: str
+    keys: list[str]
+    order_by: str | None = None
+
+    def _dedupe(self, df: DataFrame) -> DataFrame:
+        order = F.col(self.order_by).desc() if self.order_by else F.lit(1)
+        w = W.partitionBy(*self.keys).orderBy(order)
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    def write(self, df: DataFrame) -> int:
+        """Stage the batch as parquet (distributed write), then apply one
+        set-based INSERT ... ON CONFLICT DO UPDATE.  Returns rows applied."""
+        batch = self._dedupe(df)
+        cols = [f.name for f in batch.schema.fields]
+        non_keys = [c for c in cols if c not in self.keys]
+        collist = ", ".join(f'"{c}"' for c in cols)
+        updates = ", ".join(f'"{c}" = excluded."{c}"' for c in non_keys) or (
+            f'"{self.keys[0]}" = excluded."{self.keys[0]}"'
+        )
+        with staged_parquet(batch) as glob:
+            with connect(self.db_path) as con:
+                con.execute(ddl_for(batch, self.table, self.keys))
+                con.execute(
+                    f'INSERT INTO "{self.table}" ({collist}) '
+                    f"SELECT {collist} FROM read_parquet('{glob}') "
+                    f"ON CONFLICT ({', '.join(self.keys)}) DO UPDATE SET {updates}"
+                )
+                n = con.execute(
+                    f"SELECT COUNT(*) FROM read_parquet('{glob}')"
+                ).fetchone()[0]
+        return int(n)
+
+
+def apply_verified_updates(
+    db_path: str, messages: DataFrame, entity_tables: dict[str, str]
+) -> dict[str, int]:
+    """Verified-data consumer (SURVEY K6; entry point C).
+
+    ``messages`` rows: (entity, company_id, external_id, verified_data).
+    For each entity, ONE set-based UPDATE...FROM over the staged batch
+    replaces the reference's N per-row UPDATE round trips
+    (sqs_sync_verified_data_dag.py:37-68).  Returns rows matched per
+    entity; unknown keys are ignored (UPDATE join misses them) exactly
+    like the reference's failed-update logging path.
+    """
+    counts: dict[str, int] = {}
+    for entity, table in entity_tables.items():
+        batch = messages.filter(F.col("entity") == entity).select(
+            "company_id", "external_id", "verified_data"
+        )
+        with staged_parquet(batch) as glob:
+            with connect(db_path) as con:
+                n = con.execute(
+                    f'''
+                    UPDATE "{table}" t
+                    SET verified_data = s.verified_data
+                    FROM (SELECT * FROM read_parquet('{glob}')) s
+                    WHERE t.company_id = s.company_id
+                      AND t.external_id = s.external_id
+                    '''
+                ).fetchone()
+        counts[entity] = int(n[0]) if n else 0
+    return counts
