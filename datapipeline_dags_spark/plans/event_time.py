@@ -1,0 +1,111 @@
+"""Event-time window queries — SURVEY ST7 declared surface.
+
+``window`` / sliding ``window`` / ``session_window`` are the SAME
+functions Structured Streaming executes incrementally; running them on
+the replayed ``events`` table makes their semantics DuckDB-checkable
+(streaming tests in tests/test_streaming.py cover the incremental +
+watermark behavior the oracle cannot).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datapipeline_dags_spark.catalog import table
+from datapipeline_dags_spark.plans.helpers import dec
+from datapipeline_dags_spark.plans.registry import query
+
+
+@query(
+    "q54_tumbling_window",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS w_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS w_end,
+           COUNT(*) AS n_events,
+           (ROUND(SUM(value), 2) + 0.0) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q54_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows (epoch-aligned, matching
+    date_trunc) — one shuffle on the window bucket."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n_events"), dec(F.sum("value")).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "q55_sliding_window",
+    oracle="""
+    WITH b AS (
+      SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS g, value FROM events),
+    hopped AS (
+      SELECT g AS w_start, value FROM b
+      UNION ALL
+      SELECT g - INTERVAL 30 MINUTE AS w_start, value FROM b)
+    SELECT w_start, w_start + INTERVAL 1 HOUR AS w_end,
+           COUNT(*) AS n_events
+    FROM hopped GROUP BY 1, 2
+    """,
+)
+def q55_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour window, 30-minute hop — each event lands in two
+    windows (Spark's Expand, the oracle's two-way UNION)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "n_events",
+        )
+    )
+
+
+@query(
+    "q56_session_window",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                  OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    sessions AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged)
+    SELECT user_id,
+           MIN(ts) AS s_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS s_end,
+           COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id, sid
+    """,
+)
+def q56_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window(gap=30m) per user — Spark's native session operator
+    (start = first event, end = last event + gap).  The oracle derives
+    identical sessions with the LAG/cumulative-sum construction, tying
+    the native operator to q24's hand-rolled batch analogue."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("s_start"),
+            F.col("w.end").alias("s_end"),
+            "n_events",
+        )
+    )
