@@ -1,0 +1,97 @@
+"""Multimodal operator tests: binaryFile ingest, fake-codec decode,
+frame sampling, histogram features, and the pandas_stage lift."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from datapipeline_dags_spark.operators.multimodal import (
+    IMG_MAGIC,
+    VID_MAGIC,
+    byte_histogram_features,
+    decode_images,
+    pandas_stage,
+    read_binary_dir,
+    sample_frames,
+)
+
+
+def fake_image(w: int, h: int, fill: int = 7) -> bytes:
+    return IMG_MAGIC + struct.pack("<HH", w, h) + bytes([fill]) * (w * h)
+
+
+def fake_video(n_frames: int, frame_len: int) -> bytes:
+    frames = b"".join(bytes([i]) * frame_len for i in range(n_frames))
+    return VID_MAGIC + struct.pack("<HH", n_frames, frame_len) + frames
+
+
+@pytest.fixture()
+def media_dir(tmp_path):
+    (tmp_path / "a.img").write_bytes(fake_image(4, 3))
+    (tmp_path / "b.img").write_bytes(fake_image(2, 2, fill=255))
+    (tmp_path / "c.vid").write_bytes(fake_video(6, 10))
+    return str(tmp_path)
+
+
+def test_binary_ingest_metadata(spark, media_dir):
+    df = read_binary_dir(spark, media_dir, glob="*.img")
+    rows = {r.meta.media_type: r for r in df.collect()}
+    assert set(rows) == {"img"}
+    assert rows["img"].meta.n_bytes in (8 + 12, 8 + 4)
+    assert len(rows["img"].meta.digest) == 64
+
+
+def test_decode_images_dimensions_and_plan(spark, media_dir):
+    df = read_binary_dir(spark, media_dir, glob="*.img")
+    decoded = decode_images(df)
+    plan = decoded._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan  # Arrow-batched, not row-at-a-time
+    rows = {r.width: r for r in decoded.collect()}
+    assert rows[4].height == 3 and rows[4].n_pixels == 12
+    assert rows[4].mean_intensity == pytest.approx(7.0)
+    assert rows[2].mean_intensity == pytest.approx(255.0)
+
+
+def test_decode_unknown_format_raises_not_implemented(spark, tmp_path):
+    (tmp_path / "real.jpg").write_bytes(b"\xff\xd8\xff\xe0 not supported")
+    df = read_binary_dir(spark, str(tmp_path), glob="*.jpg")
+    with pytest.raises(Exception, match="NotImplementedError|not available"):
+        decode_images(df).collect()
+
+
+def test_frame_sampling_explodes_rows(spark, media_dir):
+    df = read_binary_dir(spark, media_dir, glob="*.vid")
+    frames = sample_frames(df, every_n=2).collect()
+    assert [f.frame_idx for f in sorted(frames, key=lambda r: r.frame_idx)] == [0, 2, 4]
+    f0 = next(f for f in frames if f.frame_idx == 2)
+    assert bytes(f0.frame) == bytes([2]) * 10
+
+
+def test_byte_histogram_features_are_ann_ready(spark, media_dir):
+    df = read_binary_dir(spark, media_dir, glob="*.img")
+    feat = byte_histogram_features(df)
+    row = feat.filter(F.col("path").endswith("b.img")).collect()[0]
+    assert len(row.features) == 16
+    assert sum(row.features) == pytest.approx(1.0)
+    # fill=255 dominates bucket 15 (8 header bytes / 12 total vs 4 pixels)
+    assert row.features[15] == pytest.approx(4 / 12, abs=1e-6)
+
+
+def test_pandas_stage_lifts_batch_fn(spark):
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("shout", StringType())]
+    )
+
+    def upper(pdf):
+        out = pdf.copy()
+        out["shout"] = out["text"].str.upper()
+        return out[["doc_id", "shout"]]
+
+    stage = pandas_stage(upper, schema)
+    df = spark.createDataFrame([(1, "abc"), (2, "xy")], "doc_id long, text string")
+    rows = dict((r.doc_id, r.shout) for r in stage(None, df).collect())
+    assert rows == {1: "ABC", 2: "XY"}
