@@ -12,6 +12,10 @@ from datapipeline_dags_spark.sources.mapping import (
     source_schema,
     target_schema,
 )
+from datapipeline_dags_spark.sources.messages import (
+    parse_file_notifications,
+    parse_verified_messages,
+)
 
 __all__ = [
     "extract_archive",
@@ -22,4 +26,6 @@ __all__ = [
     "projection",
     "source_schema",
     "target_schema",
+    "parse_file_notifications",
+    "parse_verified_messages",
 ]

@@ -5,5 +5,12 @@ from datapipeline_dags_spark.streaming.ingest import (
     run_available_now,
     watch_json_directory,
 )
+from datapipeline_dags_spark.streaming.queue_source import QueueDataSource, enqueue
 
-__all__ = ["watch_json_directory", "run_available_now", "per_file_fanout"]
+__all__ = [
+    "watch_json_directory",
+    "run_available_now",
+    "per_file_fanout",
+    "QueueDataSource",
+    "enqueue",
+]
