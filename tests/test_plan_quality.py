@@ -68,3 +68,29 @@ def test_topk_plans_take_ordered(name, spark):
     df = QUERIES[name](spark, SF_DIR)
     physical = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in physical, physical[:500]
+
+
+# Nested-loop joins are allowed ONLY where they are the declared design:
+# q34 is the cross-join surface itself; q45 broadcasts a tiny fixed query
+# set against the corpus (one map-side pass — the intended ANN baseline).
+NESTED_LOOP_OK = {"q34_cross_join_status_grid", "q45_ann_topk_bruteforce"}
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_cartesian_or_accidental_nested_loop(name, spark):
+    plan = QUERIES[name](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+    if name not in NESTED_LOOP_OK:
+        assert "BroadcastNestedLoopJoin" not in plan, f"{name}: unexpected nested-loop join"
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_global_sort_outside_topk(name, spark):
+    """A global Sort (full-shuffle ordering) is a 100 TB red flag; every
+    ordered output in the corpus is a bounded top-k (TakeOrderedAndProject)."""
+    plan = QUERIES[name](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    if "TakeOrderedAndProject" in plan:
+        return
+    for line in plan.splitlines():
+        if "Sort [" in line and "global=true" in line:
+            raise AssertionError(f"{name}: global sort in plan: {line.strip()[:160]}")
