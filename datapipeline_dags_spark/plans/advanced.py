@@ -1,0 +1,121 @@
+"""Advanced operators: as-of join, deterministic sampling, percentiles.
+
+Each fills a gap a reference user (or a 100 TB training-data pipeline)
+hits quickly: point-in-time enrichment, reproducible corpus sampling,
+and distribution statistics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from datapipeline_dags_spark.catalog import table
+from datapipeline_dags_spark.plans.helpers import dec
+from datapipeline_dags_spark.plans.registry import query
+
+
+@query(
+    "q57_asof_join",
+    oracle="""
+    SELECT c.event_id AS click_id, c.user_id AS user_id,
+           c.ts AS click_ts, p.ts AS purchase_ts
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+)
+def q57_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join: each click matched to the user's most recent prior (or
+    simultaneous) purchase.
+
+    Spark has no native ASOF operator; the scalable pattern is
+    union + one window pass: tag both streams, sort within user by
+    (ts, tag) with purchases first at ties, and carry the last non-null
+    purchase ts forward.  ONE shuffle on user_id, no range-join
+    explosion — this is the plan you want at 100 TB (a naive range join
+    is O(clicks × purchases) per user).  Oracle: DuckDB's native ASOF.
+    """
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("ts").alias("p_ts"),
+        F.lit(0).alias("tag"),
+        F.lit(None).cast("long").alias("click_id"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("timestamp").alias("p_ts"),
+        F.lit(1).alias("tag"),
+        F.col("event_id").alias("click_id"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "tag")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        purchases.unionByName(clicks)
+        .withColumn("purchase_ts", F.last("p_ts", ignorenulls=True).over(w))
+        .filter(F.col("tag") == 1)
+        .select("click_id", "user_id", F.col("ts").alias("click_ts"), "purchase_ts")
+    )
+
+
+SAMPLE_MOD = 10  # keep 1/10th
+
+
+@query(
+    "q58_deterministic_sample",
+    oracle=f"""
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % {SAMPLE_MOD} = 0
+    """,
+)
+def q58_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible 10% corpus sample via hash-bucketing on the key
+    (md5 mod N) — the training-data way to carve stable train/eval
+    splits: no RNG state, stable under re-runs, resharding, and engine
+    changes, and pushes down as an ordinary filter.  (``TABLESAMPLE`` /
+    ``df.sample`` are partition-order-dependent — not reproducible.)"""
+    docs = table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % SAMPLE_MOD
+    )
+    return docs.filter(bucket == 0).select("doc_id", "lang", "n_chars")
+
+
+@query(
+    "q59_exact_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           (ROUND(quantile_cont(l_extendedprice, 0.5), 4) + 0.0) AS p50,
+           (ROUND(quantile_cont(l_extendedprice, 0.9), 4) + 0.0) AS p90,
+           (ROUND(quantile_cont(l_extendedprice, 0.99), 4) + 0.0) AS p99
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q59_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles per group (token-length /
+    price distribution analysis).  Exact percentile needs the sorted
+    group in memory — fine for bounded group counts; the 100 TB
+    unbounded-cardinality variant is approx_percentile (same call
+    shape, mergeable sketch), with q36 demonstrating the bounded-error
+    gating pattern."""
+    li = table(spark, sf_dir, "lineitem")
+    pct = F.percentile("l_extendedprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(pct.alias("p"))
+        .select(
+            "l_returnflag",
+            dec(F.element_at("p", 1), 4).alias("p50"),
+            dec(F.element_at("p", 2), 4).alias("p90"),
+            dec(F.element_at("p", 3), 4).alias("p99"),
+        )
+    )

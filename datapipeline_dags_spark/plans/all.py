@@ -1,6 +1,7 @@
 """Import every query module so the registry is fully populated."""
 
 from datapipeline_dags_spark.plans import (  # noqa: F401
+    advanced,
     event_time,
     llm_ops,
     relational,
