@@ -1,0 +1,105 @@
+"""Property-based tests (hypothesis): extended-JSON round-trip fidelity
+and upsert last-write-wins fold equivalence.
+
+Example counts are small — every example runs Spark jobs — but inputs
+are adversarial (random unicode, extreme decimals, duplicate keys)."""
+
+from __future__ import annotations
+
+import datetime as dt
+from decimal import Decimal
+
+import duckdb
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+    DecimalType,
+)
+
+from datapipeline_dags_spark.functions.extended_json import (
+    from_extended_json,
+    oid_field,
+    to_extended_json,
+)
+from datapipeline_dags_spark.sinks.upsert import UpsertSink
+
+SCHEMA = StructType(
+    [
+        oid_field("_id"),
+        StructField("when", TimestampType()),
+        StructField("amount", DecimalType(38, 6)),
+        StructField("n", LongType()),
+        StructField("note", StringType()),
+    ]
+)
+
+oids = st.text(alphabet="0123456789abcdef", min_size=24, max_size=24)
+# DATE_FMT carries millisecond precision — generate ms-aligned instants
+timestamps = st.datetimes(
+    min_value=dt.datetime(1971, 1, 1), max_value=dt.datetime(2200, 1, 1)
+).map(lambda d: d.replace(microsecond=(d.microsecond // 1000) * 1000))
+amounts = st.decimals(
+    min_value=Decimal("-99999999.999999"),
+    max_value=Decimal("99999999.999999"),
+    places=6,
+    allow_nan=False,
+    allow_infinity=False,
+)
+notes = st.text(min_size=0, max_size=40).filter(lambda s: "\x00" not in s)
+records = st.tuples(oids, timestamps, amounts, st.integers(-(2**62), 2**62), notes)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(records, min_size=1, max_size=10))
+def test_extended_json_roundtrip_property(spark, rows):
+    df = spark.createDataFrame(rows, SCHEMA)
+    back = (
+        df.select(to_extended_json(F.struct(*df.columns), SCHEMA).alias("j"))
+        .select(from_extended_json("j", SCHEMA).alias("r"))
+        .select("r.*")
+        .collect()
+    )
+    got = sorted((r._id, r.when, r.amount, r.n, r.note) for r in back)
+    want = sorted((o, w, a.quantize(Decimal("0.000001")), n, s) for o, w, a, n, s in rows)
+    assert got == want
+
+
+keys = st.sampled_from(["k1", "k2", "k3", "k4"])
+batch = st.lists(st.tuples(keys, st.integers(0, 100)), min_size=1, max_size=6)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(batch, min_size=1, max_size=3))
+def test_upsert_fold_equivalence(spark, tmp_path_factory, batches):
+    """Applying batches through the MERGE sink must equal the driver-side
+    fold: per key, the row with the highest seq wins (order_by), later
+    batches override earlier ones."""
+    db = str(tmp_path_factory.mktemp("prop") / "t.duckdb")
+    sink = UpsertSink(db, "t", keys=["k"], order_by="seq")
+    expected: dict[str, int] = {}
+    seq = 0
+    for b in batches:
+        rows = []
+        best: dict[str, tuple[int, int]] = {}
+        for k, v in b:
+            rows.append((k, v, seq))
+            # within a batch: keep the highest seq (ties keep the later row
+            # deterministically via seq uniqueness)
+            best[k] = (seq, v)
+            seq += 1
+        df = spark.createDataFrame(rows, "k string, v long, seq long")
+        sink.write(df)
+        for k, (_, v) in best.items():
+            expected[k] = v
+    con = duckdb.connect(db)
+    try:
+        got = dict(con.execute("SELECT k, v FROM t").fetchall())
+    finally:
+        con.close()
+    assert got == expected
