@@ -17,15 +17,23 @@ from typing import Any
 @dataclass(frozen=True)
 class FileRef:
     """A file location (reference message shape: {s3_bucket, s3_file_path,
-    size} — sqs_sensor_dag.py:73-81)."""
+    size} — sqs_sensor_dag.py:73-81).
+
+    ``scheme`` selects the Hadoop filesystem: "s3a" against object
+    storage (SURVEY S1), "" for local paths (S2) — the sandbox default.
+    Every reader takes ``uri()`` so the S3/local split is one string.
+    """
 
     bucket: str
     path: str
     size: int = -1
+    scheme: str = ""
 
     def uri(self) -> str:
-        # local-filesystem stand-in for s3a://bucket/path in the sandbox
-        return f"{self.bucket}/{self.path}" if self.bucket else self.path
+        if self.bucket:
+            scheme = self.scheme or "s3a"
+            return f"{scheme}://{self.bucket}/{self.path}"
+        return self.path
 
 
 @dataclass
