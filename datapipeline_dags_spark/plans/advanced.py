@@ -65,6 +65,48 @@ def q57_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHUNK_WORDS = 50
+CHUNK_STEP = 40  # 10-word overlap between consecutive chunks
+
+
+@query(
+    "q60_chunk_documents",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    starts AS (
+      SELECT doc_id, words, unnest(generate_series(1, len(words), {CHUNK_STEP})) AS s
+      FROM w)
+    SELECT doc_id,
+           CAST((s - 1) / {CHUNK_STEP} AS BIGINT) AS chunk_idx,
+           array_to_string(words[s:s+{CHUNK_WORDS - 1}], ' ') AS chunk_text,
+           CAST(len(words[s:s+{CHUNK_WORDS - 1}]) AS BIGINT) AS n_words
+    FROM starts
+    """,
+)
+def q60_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (50-word chunks, 10-word overlap)
+    — the standard pre-tokenization splitter for long documents in a
+    training pipeline.  Pure JVM: stepped sequence of chunk starts →
+    transform/slice → explode; map-only, output rows ∝ tokens/step
+    regardless of document length (no quadratic blowup on long docs).
+    A Python-UDTF variant of this operator demonstrates the §2.10
+    table-function extension point (tests/test_chunking.py)."""
+    docs = table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    starts = F.sequence(F.lit(1), F.size(words), F.lit(CHUNK_STEP))
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            ((s - 1) / CHUNK_STEP).cast("long").alias("chunk_idx"),
+            F.concat_ws(" ", F.slice(words, s, CHUNK_WORDS)).alias("chunk_text"),
+            F.size(F.slice(words, s, CHUNK_WORDS)).cast("long").alias("n_words"),
+        ),
+    )
+    return docs.select("doc_id", F.explode(chunks).alias("c")).select(
+        "doc_id", F.col("c.chunk_idx"), F.col("c.chunk_text"), F.col("c.n_words")
+    )
+
+
 SAMPLE_MOD = 10  # keep 1/10th
 
 
