@@ -132,6 +132,39 @@ def q58_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter(bucket == 0).select("doc_id", "lang", "n_chars")
 
 
+STRATA_FRAC = 0.1
+
+
+@query(
+    "q61_stratified_sample",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS n_lang
+      FROM documents)
+    SELECT doc_id, lang FROM ranked
+    WHERE rn <= CEIL(n_lang * {STRATA_FRAC})
+    """,
+)
+def q61_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified 10% sample: exactly ⌈n·frac⌉ docs per language, chosen
+    by md5 rank — proportional representation of every stratum (q58's
+    plain hash filter drifts on small strata), still fully
+    deterministic and engine-independent.  One shuffle on the stratum
+    key; rank + count share the window exchange."""
+    docs = table(spark, sf_dir, "documents")
+    order = W.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    counts = W.partitionBy("lang")
+    return (
+        docs.withColumn("rn", F.row_number().over(order))
+        .withColumn("n_lang", F.count("*").over(counts))
+        .filter(F.col("rn") <= F.ceil(F.col("n_lang") * STRATA_FRAC))
+        .select("doc_id", "lang")
+    )
+
+
 @query(
     "q59_exact_percentiles",
     oracle="""
