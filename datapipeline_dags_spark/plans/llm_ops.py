@@ -194,8 +194,16 @@ def q41_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     family) — 12 permutations for one digest pass, deterministic and
     engine-portable (no seeded RNG), overflow-free in signed 64-bit.
     """
-    docs = _fanout(spark, table(spark, sf_dir, "documents")).select(
-        "doc_id", _shingles(F.col("text")).alias("sh")
+    # The shingle table is read three times in one execution (signature
+    # pass + both sides of the candidate verification) — persist it so
+    # shingling runs once per job, not three times.  MEMORY_AND_DISK:
+    # at 100 TB the executor caches spill instead of OOMing.
+    from pyspark.storagelevel import StorageLevel
+
+    docs = (
+        _fanout(spark, table(spark, sf_dir, "documents"))
+        .select("doc_id", _shingles(F.col("text")).alias("sh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # NB: single-arg lambdas only — a two-arg lambda (e.g. `lambda s, i=i`)
     # makes Spark bind the second param to the element INDEX column.
