@@ -337,26 +337,39 @@ def q42_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band", "key"),
     )
-    a, b = bands.alias("a"), bands.alias("b")
+    # Pairs via one aggregation (same rationale as q41: a band self-join
+    # would run the 32-aggregate signature computation twice).  Structs
+    # sort by field order, so array_sort orders members by doc_id and
+    # generated pairs are (lower, higher).
+    ids = F.array_sort(F.col("ids"))
+    pair_structs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
     hamming = sum(
         F.when(
-            F.substring(F.col("a.sig"), d, 1) != F.substring(F.col("b.sig"), d, 1), 1
+            F.substring(F.col("sig_a"), d, 1) != F.substring(F.col("sig_b"), d, 1), 1
         ).otherwise(0)
         for d in range(1, SIMHASH_BITS + 1)
     )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        bands.groupBy("band", "key")
+        .agg(F.collect_list(F.struct("doc_id", "sig")).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= 1000))
+        .select(F.explode(pair_structs).alias("p"))
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            hamming.cast("long").alias("hamming"),
+            F.col("p.a.doc_id").alias("doc_a"),
+            F.col("p.b.doc_id").alias("doc_b"),
+            F.col("p.a.sig").alias("sig_a"),
+            F.col("p.b.sig").alias("sig_b"),
         )
         .distinct()
+        .select("doc_a", "doc_b", hamming.cast("long").alias("hamming"))
         .filter(F.col("hamming") <= HAMMING_T)
     )
 
