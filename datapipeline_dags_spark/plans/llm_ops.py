@@ -478,10 +478,13 @@ def q44_embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 TOPK = 10
 
 
+N_QUERIES = 20  # fixed query-set size — does NOT scale with the corpus
+
+
 @query(
     "q45_ann_topk_bruteforce",
     oracle=f"""
-    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 100 = 0),
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {N_QUERIES}),
     p AS (
       SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id,
              (ROUND({_COS_SQL.format(a='q.embedding', b='e.embedding')}, 6) + 0.0) AS cos_sim
@@ -495,17 +498,19 @@ TOPK = 10
     """,
 )
 def q45_ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact top-k cosine neighbors for a fixed query set (vec_id%100=0).
+    """Exact top-k cosine neighbors for a FIXED query set (20 ids).
 
-    The query set is small and *fixed-cardinality* (1% of corpus), so it
-    is the broadcast side; the corpus streams through map tasks — one
-    pass, no shuffle of the corpus, then a per-query top-k window on
-    (query, candidate) rows.  Ranking uses the *rounded* cosine with a
-    vec_id tie-break so the k-boundary is deterministic across engines.
-    At 100 TB this is the exact-scoring baseline; q46 is the scale path.
+    The query set has constant cardinality regardless of corpus size —
+    that is what justifies the broadcast (a %-of-corpus query set would
+    re-create the forced-broadcast-of-a-scaled-table antipattern); the
+    corpus streams through map tasks — one pass, no corpus shuffle,
+    then a per-query top-k window on (query, candidate) rows.  Ranking
+    uses the *rounded* cosine with a vec_id tie-break so the k-boundary
+    is deterministic across engines.  At 100 TB this is the
+    exact-scoring baseline; q46 is the scale path.
     """
     emb = _fanout(spark, table(spark, sf_dir, "embeddings"))
-    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
     )
     pairs = (
