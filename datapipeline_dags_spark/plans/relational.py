@@ -749,12 +749,33 @@ def q22_scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame
 def q23_incremental_watermark_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's incremental watermark predicate
     (postgresql_mysql_sync_dag.py:48-50): processing_ts > wm OR
-    (processing_ts = wm AND id > last_id). Pushed down to the scan."""
-    wm_ts, wm_id = "2024-01-15 00:00:00", 5000
-    ev = table(spark, sf_dir, "events")
-    return ev.filter(
-        (F.col("ts") > wm_ts) | ((F.col("ts") == wm_ts) & (F.col("event_id") > wm_id))
-    ).select("event_id", "ts", "user_id", "event_type", "value")
+    (processing_ts = wm AND id > last_id).
+
+    The predicate is applied to the RAW nanos LONG before the
+    timestamp conversion: a filter on ``timestamp_micros(ts div 1000)``
+    is a derived expression parquet cannot prune with, while a plain
+    ``ts > <nanos>`` comparison pushes to the scan and skips whole row
+    groups by column statistics — the difference between reading the
+    tail and rescanning history on every incremental cycle.
+    """
+    import datetime as dt
+    import os
+
+    wm = dt.datetime(2024, 1, 15, tzinfo=dt.timezone.utc)
+    wm_ns = int(wm.timestamp()) * 1_000_000_000
+    wm_id = 5000
+    # raw read bypasses catalog.table — ensure the nanos conf on vanilla
+    # driver sessions (idempotent, single-valued; see catalog.table)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return (
+        raw.filter(
+            (F.col("ts") > wm_ns)
+            | ((F.col("ts") == wm_ns) & (F.col("event_id") > wm_id))
+        )
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
 
 
 # ---------------------------------------------------------------------------

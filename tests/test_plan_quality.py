@@ -58,6 +58,19 @@ def _hinted_scan_paths(df) -> list[str]:
     return paths
 
 
+def test_watermark_predicate_pushes_to_parquet(spark):
+    """The incremental scan must prune row groups by the raw ts column —
+    a filter on the converted timestamp expression cannot."""
+    plan = (
+        QUERIES["q23_incremental_watermark_scan"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed and "GreaterThan(ts" in pushed[0], pushed
+
+
 # A hint may wrap a *bounded-cardinality filter* of a scaled table: q45
 # broadcasts `vec_id < 20` — 20 rows at every SF.  Nothing else may.
 BOUNDED_FILTER_HINT_OK = {"q45_ann_topk_bruteforce"}
