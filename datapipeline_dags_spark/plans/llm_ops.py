@@ -595,6 +595,133 @@ def q46_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q47 — IVF-partitioned ANN (coarse quantizer + cell probing)
+# ---------------------------------------------------------------------------
+
+N_CENTROIDS = 8  # coarse-quantizer size — fixed, does NOT scale with corpus
+NPROBE = 2  # cells probed per query
+IVF_K = 5
+
+
+def _q47_oracle() -> str:
+    return f"""
+    WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+                  WHERE vec_id < {N_CENTROIDS}),
+    scored AS (
+      SELECT e.vec_id, e.embedding, c.cid,
+             {_COS_SQL.format(a='e.embedding', b='c.ce')} AS cs
+      FROM embeddings e CROSS JOIN cent c),
+    cells AS (
+      SELECT vec_id, embedding, cid AS cell FROM (
+        SELECT vec_id, embedding, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+        FROM scored) t
+      WHERE rn = 1),
+    probes AS (
+      SELECT vec_id AS q_id, embedding AS qe, cid AS cell FROM (
+        SELECT vec_id, embedding, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+        FROM scored WHERE vec_id < {N_QUERIES}) t
+      WHERE rn <= {NPROBE}),
+    p AS (
+      SELECT pr.q_id, ce.vec_id AS neighbor_id,
+             (ROUND({_COS_SQL.format(a='pr.qe', b='ce.embedding')}, 6) + 0.0) AS cos_sim
+      FROM probes pr JOIN cells ce ON pr.cell = ce.cell AND ce.vec_id <> pr.q_id),
+    r AS (
+      SELECT q_id, neighbor_id, cos_sim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+      FROM p)
+    SELECT q_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= {IVF_K}
+    """
+
+
+@query("q47_ann_ivf", oracle=_q47_oracle())
+def q47_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k ANN: a fixed coarse quantizer partitions the corpus into
+    cells; each query probes only its NPROBE nearest cells.
+
+    The quantizer here is the first N_CENTROIDS corpus vectors (a trained
+    KMeans codebook in production — deterministic ids keep it
+    oracle-checkable).  The centroid set is collapsed to ONE row
+    (collect_list of (cid, vector) structs) and broadcast, so cell
+    assignment is a map-only pass over the corpus: per row, an
+    ``array_max`` over struct(cos, -cid) picks the nearest centroid with a
+    smallest-cid tie-break — no corpus shuffle, no window.  Candidate
+    scoring shuffles nothing either: the (q_id, cell) probe list
+    (N_QUERIES × NPROBE rows) broadcast-hash-joins the assigned corpus on
+    ``cell``, so each corpus row is scored against only the queries
+    probing its cell — candidates shrink by ~NPROBE/N_CENTROIDS vs the
+    q45 exact baseline.  The only shuffle is the final per-query top-k
+    window over candidate rows.  At 100 TB: more centroids (2^10–2^16
+    cells) + a real trained codebook; the structure is unchanged.
+    Ranking uses the rounded cosine with a neighbor_id tie-break so the
+    k-boundary is deterministic across engines (cf. q45).
+    """
+    corpus = table(spark, sf_dir, "embeddings")
+    cent = (
+        corpus.filter(F.col("vec_id") < N_CENTROIDS)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+        .agg(F.collect_list(F.struct("cid", "ce")).alias("cents"))
+    )
+
+    def best_cell(emb: Column) -> Column:
+        # argmax over (cosine, -cid): highest similarity, ties → lowest cid.
+        top = F.array_max(
+            F.transform(
+                F.col("cents"),
+                lambda c: F.struct(
+                    _cosine(emb, c["ce"]).alias("cs"), (-c["cid"]).alias("ncid")
+                ),
+            )
+        )
+        return -top["ncid"]
+
+    cells = (
+        _fanout(spark, corpus)
+        .crossJoin(F.broadcast(cent))
+        .select("vec_id", "embedding", best_cell(F.col("embedding")).alias("cell"))
+    )
+
+    # Probe list: per query, the NPROBE nearest cells by (cos desc, cid).
+    ranked = F.array_sort(
+        F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                (-_cosine(F.col("embedding"), c["ce"])).alias("ncs"),
+                c["cid"].alias("cid"),
+            ),
+        )
+    )
+    probes = (
+        corpus.filter(F.col("vec_id") < N_QUERIES)
+        .crossJoin(F.broadcast(cent))
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("qe"),
+            F.explode(
+                F.transform(F.slice(ranked, 1, NPROBE), lambda s: s["cid"])
+            ).alias("cell"),
+        )
+    )
+
+    cand = cells.join(F.broadcast(probes), "cell").filter(
+        F.col("vec_id") != F.col("q_id")
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
+    return (
+        cand.select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            dec(_cosine(F.col("qe"), F.col("embedding")), 6).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= IVF_K)
+        .select("q_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
 # q50–q53 — text analysis
 # ---------------------------------------------------------------------------
 

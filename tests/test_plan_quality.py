@@ -72,8 +72,10 @@ def test_watermark_predicate_pushes_to_parquet(spark):
 
 
 # A hint may wrap a *bounded-cardinality filter* of a scaled table: q45
-# broadcasts `vec_id < 20` — 20 rows at every SF.  Nothing else may.
-BOUNDED_FILTER_HINT_OK = {"q45_ann_topk_bruteforce"}
+# broadcasts `vec_id < 20` — 20 rows at every SF; q47 broadcasts the
+# N_CENTROIDS-row quantizer and the N_QUERIES×NPROBE probe list, both
+# fixed-size at every SF.  Nothing else may.
+BOUNDED_FILTER_HINT_OK = {"q45_ann_topk_bruteforce", "q47_ann_ivf"}
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
@@ -100,7 +102,9 @@ def test_topk_plans_take_ordered(name, spark):
 # Nested-loop joins are allowed ONLY where they are the declared design:
 # q34 is the cross-join surface itself; q45 broadcasts a tiny fixed query
 # set against the corpus (one map-side pass — the intended ANN baseline).
-NESTED_LOOP_OK = {"q34_cross_join_status_grid", "q45_ann_topk_bruteforce"}
+# (q47's quantizer attach is a 1-row broadcast cross join — the IVF
+# codebook shipped to every task, the intended map-side design.)
+NESTED_LOOP_OK = {"q34_cross_join_status_grid", "q45_ann_topk_bruteforce", "q47_ann_ivf"}
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
