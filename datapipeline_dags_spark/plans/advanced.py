@@ -65,6 +65,65 @@ def q57_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ATTR_WINDOW_US = 3_600_000_000  # 1-hour attribution window, microseconds
+
+
+@query(
+    "q48_range_join_attribution",
+    oracle=f"""
+    WITH p AS (SELECT event_id AS purchase_id, epoch_us(ts) AS p_us
+               FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT event_id AS click_id, epoch_us(ts) AS c_us
+          FROM events WHERE event_type = 'click')
+    SELECT p.purchase_id, CAST(COUNT(c.click_id) AS BIGINT) AS n_clicks
+    FROM p LEFT JOIN c
+      ON c.c_us >= p.p_us AND c.c_us < p.p_us + {ATTR_WINDOW_US}
+    GROUP BY p.purchase_id
+    """,
+)
+def q48_range_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure range join (no equi key): clicks attributed to every purchase
+    whose 1-hour window contains them, counted per purchase.
+
+    Spark plans a bare interval predicate as a nested-loop cross join —
+    O(P×C) and a 100 TB non-starter.  The scale pattern is GRID
+    BUCKETING: quantize time into window-width cells, explode each
+    interval to the cells it covers (≤2 here, since interval length =
+    cell width), map each point to its single cell, then equi-join on
+    the cell with the exact range predicate as a residual.  The join is
+    hash-partitioned on the cell key — work ∝ matches, AQE splits hot
+    cells.  Zero-click purchases survive via the left join (their
+    exploded cell rows count no clicks); each matching click lands in
+    exactly one of the purchase's cells, so no dedup pass is needed.
+    Oracle: DuckDB's native IEJoin evaluates the same predicate
+    directly.
+    """
+    ev = table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.unix_micros("ts").alias("p_us")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.unix_micros("ts").alias("c_us")
+    )
+    w = F.lit(ATTR_WINDOW_US)
+    cells = F.sequence(
+        F.expr(f"p_us div {ATTR_WINDOW_US}"),
+        F.expr(f"(p_us + {ATTR_WINDOW_US} - 1) div {ATTR_WINDOW_US}"),
+    )
+    p_cells = p.select("purchase_id", "p_us", F.explode(cells).alias("cell"))
+    c_cells = c.select("click_id", "c_us", F.expr(f"c_us div {ATTR_WINDOW_US}").alias("cell"))
+    joined = p_cells.join(
+        c_cells,
+        (p_cells["cell"] == c_cells["cell"])
+        & (F.col("c_us") >= F.col("p_us"))
+        & (F.col("c_us") < F.col("p_us") + w),
+        "left",
+    )
+    return joined.groupBy("purchase_id").agg(
+        F.count("click_id").cast("long").alias("n_clicks")
+    )
+
+
 CHUNK_WORDS = 50
 CHUNK_STEP = 40  # 10-word overlap between consecutive chunks
 
