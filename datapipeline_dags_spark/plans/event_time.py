@@ -109,3 +109,58 @@ def q56_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@query(
+    "q49_hypertable_rollup",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS bucket, event_type,
+             COUNT(*) AS n_events, SUM(value) AS sv
+      FROM events GROUP BY 1, 2)
+    SELECT 'hour' AS grain, bucket, event_type, n_events,
+           (ROUND(sv, 2) + 0.0) AS sum_value
+    FROM hourly
+    UNION ALL
+    SELECT 'day' AS grain, date_trunc('day', bucket) AS bucket, event_type,
+           CAST(SUM(n_events) AS BIGINT) AS n_events,
+           (ROUND(SUM(sv), 2) + 0.0) AS sum_value
+    FROM hourly GROUP BY 2, 3
+    """,
+)
+def q49_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: hour + day resolutions of
+    the same measure in one lineage.
+
+    The raw table is aggregated ONCE, at the finest grain (hour); the
+    day level re-aggregates the hourly partials (sum/count compose), so
+    the second shuffle moves only #hour-buckets × #event-types rows —
+    at 100 TB the coarse grains are near-free, and the hourly aggregate
+    is exactly what a streaming materialized view maintains
+    incrementally (q54's window shares its shape).  Rounding happens
+    only at the output edge; the day level composes unrounded partials
+    on both engines, keeping the cut parity-exact.
+    """
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("bucket"), F.col("event_type")
+    ).agg(F.count("*").alias("n_events"), F.sum("value").alias("sv"))
+    hour_level = hourly.select(
+        F.lit("hour").alias("grain"),
+        "bucket",
+        "event_type",
+        "n_events",
+        dec(F.col("sv")).alias("sum_value"),
+    )
+    day_level = (
+        hourly.groupBy(F.date_trunc("day", "bucket").alias("bucket"), F.col("event_type"))
+        .agg(F.sum("n_events").alias("n_events"), F.sum("sv").alias("sv"))
+        .select(
+            F.lit("day").alias("grain"),
+            "bucket",
+            "event_type",
+            "n_events",
+            dec(F.col("sv")).alias("sum_value"),
+        )
+    )
+    return hour_level.unionByName(day_level)
