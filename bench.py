@@ -69,6 +69,11 @@ def main() -> None:
             t0 = time.time()
             materialize(QUERIES[name](spark, sf_dir))
             runs.append(time.time() - t0)
+            # Queries that persist() intermediates (e.g. q41's shingle
+            # table) would otherwise leak one cache per rep — each rep
+            # must pay its own materialization, not inherit a warm cache
+            # or the GC pressure of abandoned ones.
+            spark.catalog.clearCache()
         timings[name] = round(statistics.median(runs), 3)
     total = round(sum(timings.values()), 3)
     print(
