@@ -880,3 +880,133 @@ def q53_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "|", F.slice(F.array_sort(F.transform(F.col("sh"), lambda s: F.md5(s))), 1, FP_K)
     )
     return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# q62–q64 — vocabulary, TF-IDF, label centroids
+# ---------------------------------------------------------------------------
+
+VOCAB_K = 100
+
+
+@query(
+    "q62_vocab_topk",
+    oracle=f"""
+    WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    SELECT token, COUNT(*) AS n FROM t GROUP BY token
+    ORDER BY n DESC, token LIMIT {VOCAB_K}
+    """,
+)
+def q62_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary heavy hitters: the top-k tokens by frequency —
+    the first pass of vocab/BPE construction.  explode → hash aggregate
+    (map-side partial combine collapses each partition's token counts
+    before the single shuffle) → top-k as TakeOrderedAndProject (per-
+    partition heap + driver merge, never a global sort).  Ties break on
+    the token so the k-cut is deterministic across engines."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(VOCAB_K)
+    )
+
+
+TFIDF_K = 3
+
+
+@query(
+    "q63_tfidf_top_terms",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    s AS (
+      SELECT tf.doc_id, tf.term,
+             (ROUND((tf.tf * 1.0 / SUM(tf.tf) OVER (PARTITION BY tf.doc_id))
+                    * ln((n.n * 1.0) / df.df), 6) + 0.0) AS tfidf
+      FROM tf JOIN df ON tf.term = df.term CROSS JOIN n),
+    r AS (
+      SELECT doc_id, term, tfidf,
+             CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY tfidf DESC, term) AS BIGINT) AS rank
+      FROM s)
+    SELECT doc_id, term, tfidf, rank FROM r WHERE rank <= {TFIDF_K}
+    """,
+)
+def q63_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 terms by TF-IDF (keyword extraction for corpus
+    curation).  One explode → (doc, term) hash aggregate; doc length via
+    a window SUM over the same doc partitioning; document frequency is a
+    second aggregate of the (doc, term) table (never re-reads raw text);
+    N joins in as a broadcast 1-row aggregate, so the plan has no
+    driver-side count.  Ranking is over the ROUNDED score with a term
+    tie-break — ulp differences between the engines' ln() cannot move
+    the k-cut.  Shuffles: terms (1), doc window (2), df + join-back
+    (3, AQE-broadcast), final per-doc window (4)."""
+    docs = table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dl = F.sum("tf").over(W.partitionBy("doc_id"))
+    df_tbl = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_tbl = docs.agg(F.count("*").alias("n"))
+    scored = (
+        tf.withColumn("dl", dl)
+        .join(df_tbl, "term")
+        .crossJoin(F.broadcast(n_tbl))
+        .select(
+            "doc_id",
+            "term",
+            dec(
+                (F.col("tf") * F.lit(1.0) / F.col("dl"))
+                * F.log((F.col("n") * F.lit(1.0)) / F.col("df")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TFIDF_K)
+        .select("doc_id", "term", "tfidf", "rank")
+    )
+
+
+@query(
+    "q64_label_centroids",
+    oracle="""
+    WITH u AS (
+      SELECT label, us.u.pos AS pos, us.u.v AS v FROM (
+        SELECT label,
+               unnest(list_transform(embedding,
+                 (x, i) -> {'pos': i - 1, 'v': x::DOUBLE})) AS u
+        FROM embeddings) us)
+    SELECT label, CAST(pos AS BIGINT) AS pos,
+           (ROUND(SUM(v) / COUNT(*), 6) + 0.0) AS mean_v,
+           COUNT(*) AS n_vectors
+    FROM u GROUP BY label, pos
+    """,
+)
+def q64_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid (element-wise mean), one output row
+    per (label, dimension) — codebook training / cluster drift stats.
+    posexplode → ONE hash aggregate on (label, pos): the scale-correct
+    shape — collect_list-of-arrays per label would bound a whole label's
+    vectors in one task's memory; (label, pos) cells never grow past
+    #labels × dim groups, and partial aggregation collapses each
+    partition before the shuffle."""
+    emb = table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", F.col("pos").cast("long").alias("pos"))
+        .agg(
+            dec(F.sum(F.col("v").cast("double")) / F.count("*"), 6).alias("mean_v"),
+            F.count("*").alias("n_vectors"),
+        )
+    )

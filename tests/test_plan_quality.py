@@ -75,7 +75,11 @@ def test_watermark_predicate_pushes_to_parquet(spark):
 # broadcasts `vec_id < 20` — 20 rows at every SF; q47 broadcasts the
 # N_CENTROIDS-row quantizer and the N_QUERIES×NPROBE probe list, both
 # fixed-size at every SF.  Nothing else may.
-BOUNDED_FILTER_HINT_OK = {"q45_ann_topk_bruteforce", "q47_ann_ivf"}
+BOUNDED_FILTER_HINT_OK = {
+    "q45_ann_topk_bruteforce",
+    "q47_ann_ivf",
+    "q63_tfidf_top_terms",  # broadcasts the 1-row corpus-count aggregate
+}
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
@@ -102,9 +106,15 @@ def test_topk_plans_take_ordered(name, spark):
 # Nested-loop joins are allowed ONLY where they are the declared design:
 # q34 is the cross-join surface itself; q45 broadcasts a tiny fixed query
 # set against the corpus (one map-side pass — the intended ANN baseline).
-# (q47's quantizer attach is a 1-row broadcast cross join — the IVF
-# codebook shipped to every task, the intended map-side design.)
-NESTED_LOOP_OK = {"q34_cross_join_status_grid", "q45_ann_topk_bruteforce", "q47_ann_ivf"}
+# (q47's quantizer attach and q63's corpus-count attach are 1-row
+# broadcast cross joins — model/scalar parameters shipped to every task,
+# the intended map-side design.)
+NESTED_LOOP_OK = {
+    "q34_cross_join_status_grid",
+    "q45_ann_topk_bruteforce",
+    "q47_ann_ivf",
+    "q63_tfidf_top_terms",
+}
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
