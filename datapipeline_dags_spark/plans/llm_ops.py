@@ -1010,3 +1010,101 @@ def q64_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_vectors"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q65–q66 — corpus contamination / split leakage
+# ---------------------------------------------------------------------------
+
+# q53's bottom-k fingerprint as the near-dup group key: exact-dup
+# grouping (sha2(text)) is vacuous on corpora whose duplicates are
+# near-dups, which is the realistic contamination mode.
+_FP_SQL = (
+    f"array_to_string((list_sort(list_transform({_SHINGLES_SQL}, s -> md5(s))))"
+    f"[1:{{k}}], '|')"
+)
+
+
+def _fingerprint(text: Column, k: int) -> Column:
+    return F.concat_ws(
+        "|", F.slice(F.array_sort(F.transform(_shingles(text), lambda s: F.md5(s))), 1, k)
+    )
+
+
+@query(
+    "q65_cross_source_contamination",
+    oracle=f"""
+    WITH g AS (
+      SELECT {_FP_SQL.format(k=FP_K)} AS fp, MIN(doc_id) AS first_doc,
+             COUNT(DISTINCT source) AS n_sources, COUNT(*) AS n_docs
+      FROM documents GROUP BY fp)
+    SELECT first_doc, CAST(n_sources AS BIGINT) AS n_sources, n_docs
+    FROM g WHERE n_sources > 1
+    """,
+)
+def q65_cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination: near-dup documents (same q53 bottom-k
+    fingerprint) appearing in more than one source — a benchmark leaked
+    into a crawl, mirrored sites, boilerplate shared across crawls.  The
+    shuffle key is the constant-width fingerprint, never the document;
+    COUNT(DISTINCT source) is a partial-aggregated two-phase distinct,
+    no extra corpus pass."""
+    docs = _fanout(spark, table(spark, sf_dir, "documents"))
+    return (
+        docs.groupBy(_fingerprint(F.col("text"), FP_K).alias("fp"))
+        .agg(
+            F.min("doc_id").alias("first_doc"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+            F.count("*").alias("n_docs"),
+        )
+        .filter(F.col("n_sources") > 1)
+        .select("first_doc", "n_sources", "n_docs")
+    )
+
+
+SPLIT_MOD = 10  # doc_id-hash buckets; bucket 0 = eval, rest = train
+
+
+@query(
+    "q66_split_leakage",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, {_FP_SQL.format(k=FP_K)} AS fp,
+             CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                       % {SPLIT_MOD} = 0
+                  THEN 'eval' ELSE 'train' END AS split
+      FROM documents),
+    g AS (
+      SELECT fp, MIN(doc_id) AS first_doc,
+             COUNT(DISTINCT split) AS n_splits, COUNT(*) AS n_copies
+      FROM s GROUP BY fp)
+    SELECT first_doc, n_copies FROM g WHERE n_splits = 2
+    """,
+)
+def q66_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval leakage detection: near-dup groups (q53 fingerprint)
+    with members on BOTH sides of the q58-style deterministic hash
+    split — the check every training pipeline must run before an eval
+    set is trusted.  One fingerprint-keyed aggregate over the corpus;
+    the split label is computed map-side from the same md5 bucketing the
+    sampler uses, so the split definition and the leakage check can
+    never drift apart."""
+    docs = _fanout(spark, table(spark, sf_dir, "documents"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+            "long"
+        )
+        % SPLIT_MOD
+    )
+    split = F.when(bucket == 0, F.lit("eval")).otherwise(F.lit("train"))
+    return (
+        docs.select("doc_id", F.col("text"), split.alias("split"))
+        .groupBy(_fingerprint(F.col("text"), FP_K).alias("fp"))
+        .agg(
+            F.min("doc_id").alias("first_doc"),
+            F.countDistinct("split").alias("n_splits"),
+            F.count("*").alias("n_copies"),
+        )
+        .filter(F.col("n_splits") == 2)
+        .select("first_doc", "n_copies")
+    )
