@@ -320,3 +320,30 @@ def q31_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
             for c in ("click", "view", "purchase", "signup", "error")
         ],
     )
+
+
+@query(
+    "q67_binary_codec",
+    oracle="""
+    SELECT doc_id,
+           substr(to_base64(encode(text)), 1, 32) AS b64_prefix,
+           (decode(from_base64(to_base64(encode(text)))) = text) AS roundtrip_ok,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+)
+def q67_binary_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary↔string codec family (SURVEY F6): utf-8 encode/decode +
+    base64 round trip + byte length, map-only JVM codegen.  The
+    reference decodes S3 object bytes driver-side
+    (sqs_sensor_dag.py:95-98); here the codec is a columnar expression,
+    so 100 TB of payloads decode inside the scan stage."""
+    docs = table(spark, sf_dir, "documents")
+    enc = F.encode(F.col("text"), "utf-8")
+    b64 = F.base64(enc)
+    return docs.select(
+        "doc_id",
+        F.substring(b64, 1, 32).alias("b64_prefix"),
+        (F.decode(F.unbase64(b64), "utf-8") == F.col("text")).alias("roundtrip_ok"),
+        F.octet_length(enc).cast("long").alias("n_bytes"),
+    )
