@@ -45,3 +45,45 @@ def running_user_totals(events: DataFrame, user_col: str = "user") -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+DEDUP_OUTPUT_SCHEMA = "fp string, keep_doc_id bigint"
+DEDUP_STATE_SCHEMA = "keep_doc_id bigint"
+
+
+def _keep_first(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        # fingerprint already admitted in an earlier micro-batch — every
+        # arrival is a duplicate; drain and emit nothing.
+        for _ in pdfs:
+            pass
+        return
+    best = None
+    for pdf in pdfs:
+        m = int(pdf["doc_id"].min())
+        best = m if best is None else min(best, m)
+    state.update((best,))
+    yield pd.DataFrame({"fp": [key[0]], "keep_doc_id": [best]})
+
+
+def streaming_dedup_first_seen(docs: DataFrame, fp_col: str = "fp") -> DataFrame:
+    """Incremental corpus dedup: admit a document only the FIRST time its
+    fingerprint (q53's bottom-k sketch, or sha2 for exact dedup) is seen
+    across the whole stream history — the streaming twin of q40.
+
+    State is one row-id per distinct fingerprint in the checkpointed
+    state store (RocksDB on a cluster): the historical corpus never
+    rescans, and a restart resumes from the checkpoint with no
+    re-admission.  In-batch duplicates collapse to the min doc_id before
+    touching state.  At 100 TB the state is #distinct-fingerprints ×
+    ~40 bytes, hash-partitioned across executors by the groupBy key.
+    """
+    return docs.groupBy(fp_col).applyInPandasWithState(
+        _keep_first,
+        outputStructType=DEDUP_OUTPUT_SCHEMA,
+        stateStructType=DEDUP_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
