@@ -137,14 +137,22 @@ def q49_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the second shuffle moves only #hour-buckets × #event-types rows —
     at 100 TB the coarse grains are near-free, and the hourly aggregate
     is exactly what a streaming materialized view maintains
-    incrementally (q54's window shares its shape).  Rounding happens
-    only at the output edge; the day level composes unrounded partials
-    on both engines, keeping the cut parity-exact.
+    incrementally (q54's window shares its shape).  The hourly table is
+    persisted because Spark does NOT dedupe the two identical aggregate
+    subtrees under a union (no ReusedExchange across differing expr
+    ids — verified on the executed plan); without the persist the day
+    branch silently re-scans the raw table.  Rounding happens only at
+    the output edge; the day level composes unrounded partials on both
+    engines, keeping the cut parity-exact.
     """
+    from pyspark.storagelevel import StorageLevel
+
     ev = table(spark, sf_dir, "events")
-    hourly = ev.groupBy(
-        F.date_trunc("hour", "ts").alias("bucket"), F.col("event_type")
-    ).agg(F.count("*").alias("n_events"), F.sum("value").alias("sv"))
+    hourly = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("bucket"), F.col("event_type"))
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sv"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     hour_level = hourly.select(
         F.lit("hour").alias("grain"),
         "bucket",
