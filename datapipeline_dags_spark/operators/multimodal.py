@@ -140,6 +140,42 @@ def sample_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
     return df.select("path", "content").mapInPandas(sample, FRAME_SCHEMA)
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("path", StringType()),
+        StructField("content", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+
+def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Resize images to (out_w, out_h) by nearest-neighbor resampling,
+    re-encoded in the same wire format — the thumbnail/normalization
+    pass before a vision encoder.  Same-cardinality mapInPandas; on the
+    IMG1 test format the resample is real (index mapping over the pixel
+    buffer), a production deploy swaps in PIL/opencv with the identical
+    signature and batch shape."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                w, h, pixels = _decode_image(bytes(content))
+                out = bytearray(IMG_MAGIC)
+                out += _struct.pack("<HH", out_w, out_h)
+                for y in range(out_h):
+                    sy = min(h - 1, (y * h) // out_h) if h else 0
+                    for x in range(out_w):
+                        sx = min(w - 1, (x * w) // out_w) if w else 0
+                        out.append(pixels[sy * w + sx] if pixels else 0)
+                rows.append((path, bytes(out), out_w, out_h))
+            yield pd.DataFrame(rows, columns=["path", "content", "width", "height"])
+
+    return df.select("path", "content").mapInPandas(resize, RESIZED_SCHEMA)
+
+
 N_BINS = 16
 
 

@@ -95,3 +95,29 @@ def test_pandas_stage_lifts_batch_fn(spark):
     df = spark.createDataFrame([(1, "abc"), (2, "xy")], "doc_id long, text string")
     rows = dict((r.doc_id, r.shout) for r in stage(None, df).collect())
     assert rows == {1: "ABC", 2: "XY"}
+
+
+def test_resize_images_nearest_neighbor_roundtrip(spark, tmp_path):
+    import struct as _s
+
+    from datapipeline_dags_spark.operators.multimodal import (
+        decode_images,
+        read_binary_dir,
+        resize_images,
+    )
+
+    # 4x4 gradient image: pixel value = row*4 + col
+    px = bytes(range(16))
+    (tmp_path / "g.img").write_bytes(IMG_MAGIC + _s.pack("<HH", 4, 4) + px)
+    df = read_binary_dir(spark, str(tmp_path), glob="*.img")
+    out = resize_images(df, 2, 2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.width, r.height) == (2, 2)
+    b = bytes(r.content)
+    assert b[:4] == IMG_MAGIC
+    # nearest-neighbor from 4x4 -> 2x2 picks source pixels (0,0),(0,2),(2,0),(2,2)
+    assert list(b[8:12]) == [0, 2, 8, 10]
+    # the resized bytes are themselves decodable (same wire format)
+    decoded = decode_images(resize_images(df, 2, 2)).collect()[0]
+    assert (decoded.width, decoded.height, decoded.n_pixels) == (2, 2, 4)
