@@ -253,3 +253,45 @@ def q59_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec(F.element_at("p", 3), 4).alias("p99"),
         )
     )
+
+
+@query(
+    "q68_approx_percentiles_gated",
+    oracle="""
+    SELECT l_returnflag,
+           (ROUND(quantile_cont(l_extendedprice, 0.5), 4) + 0.0) AS p50_exact,
+           (ROUND(quantile_cont(l_extendedprice, 0.9), 4) + 0.0) AS p90_exact,
+           TRUE AS p50_within_5pct,
+           TRUE AS p90_within_5pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q68_approx_percentiles_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (mergeable quantile sketch) next to the exact
+    value, gated on its error bound — q36's HLL pattern for the quantile
+    family.  The sketch value is engine-specific, so the checked
+    contract is |approx − exact| ≤ 5% of exact (accuracy=10000 bounds
+    rank error to n/10000, far inside 5% here; the ≤1-gap discrete-vs-
+    interpolated difference is likewise negligible at the tolerance).
+    At 100 TB the sketch is the variant you run: it merges map-side and
+    never materializes a sorted group."""
+    li = table(spark, sf_dir, "lineitem")
+    exact = F.percentile("l_extendedprice", F.array(F.lit(0.5), F.lit(0.9)))
+    approx = F.percentile_approx(
+        "l_extendedprice", F.array(F.lit(0.5), F.lit(0.9)), F.lit(10000)
+    )
+    gate = lambda i: (  # noqa: E731
+        F.abs(F.element_at("_a", i) - F.element_at("_e", i))
+        <= 0.05 * F.element_at("_e", i)
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(exact.alias("_e"), approx.alias("_a"))
+        .select(
+            "l_returnflag",
+            dec(F.element_at("_e", 1), 4).alias("p50_exact"),
+            dec(F.element_at("_e", 2), 4).alias("p90_exact"),
+            gate(1).alias("p50_within_5pct"),
+            gate(2).alias("p90_within_5pct"),
+        )
+    )
