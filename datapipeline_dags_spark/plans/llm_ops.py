@@ -29,7 +29,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from datapipeline_dags_spark.catalog import table
-from datapipeline_dags_spark.plans.helpers import dec
+from datapipeline_dags_spark.plans.helpers import dec, sql_dec
 from datapipeline_dags_spark.plans.registry import query
 
 # ---------------------------------------------------------------------------
@@ -1107,4 +1107,233 @@ def q66_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_splits") == 2)
         .select("first_doc", "n_copies")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q69 — dedup cluster resolution (connected components over candidate pairs)
+# ---------------------------------------------------------------------------
+
+ANCHOR_K = 4  # bottom-k md5(shingle) anchors emitted per document
+CC_MAX_ITERS = 20  # label propagation rounds before declaring non-convergence
+
+
+def _q69_oracle() -> str:
+    return f"""
+    WITH RECURSIVE
+    docs AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents),
+    anch AS (SELECT doc_id,
+             unnest((list_sort(list_transform(sh, s -> md5(s))))[1:{ANCHOR_K}]) AS a
+             FROM docs),
+    edges AS (SELECT DISTINCT x.doc_id AS src, y.doc_id AS dst
+              FROM anch x JOIN anch y ON x.a = y.a AND x.doc_id < y.doc_id),
+    sym AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+    reach AS (
+      SELECT DISTINCT src AS doc_id, src AS node FROM sym
+      UNION
+      SELECT r.doc_id, s.dst FROM reach r JOIN sym s ON s.src = r.node
+    ),
+    lab AS (SELECT doc_id, MIN(node) AS cluster_id FROM reach GROUP BY doc_id)
+    SELECT doc_id, cluster_id,
+           CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+    FROM lab
+    """
+
+
+@query("q69_dedup_clusters", oracle=_q69_oracle())
+def q69_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup cluster resolution: connected components over near-dup
+    candidate pairs, assigning every clustered doc its canonical id
+    (= the minimum doc_id reachable through the candidate graph).
+
+    Candidate generation here is *anchor blocking*: each doc emits its
+    ``ANCHOR_K`` smallest md5(shingle) digests (a bottom-k MinHash
+    sketch, q53's fingerprint split into individual keys) and docs
+    sharing ANY anchor become an edge.  Pairs chain — A~B on one anchor,
+    B~C on another — which is exactly why per-group dedup (q65/q66's
+    whole-fingerprint groupBy) under-merges and a transitive closure is
+    required before picking canonical docs.
+
+    Scale design: edges are built with the q41 bucket-explode pattern
+    (groupBy anchor + in-bucket pair explode — never a shingle-table
+    self-join), bucket size is capped, and components are resolved by
+    iterative min-label propagation: per round ONE join + ONE aggregate,
+    both hash-partitioned on doc_id, with the per-round action doubling
+    as the convergence test.  Rounds = graph diameter; near-dup cluster
+    diameters are tiny (anchors connect most members straight to the
+    cluster minimum — measured 1-2 at sf0.1).  For adversarial chain
+    graphs swap in the two-phase large-star/small-star contraction
+    (O(log^2 n) rounds) — same per-round plan shape.
+
+    The DuckDB oracle computes the same closure with a recursive CTE,
+    so the *transitive* semantics (not just the pair list) are
+    hash-checked.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    docs = _fanout(spark, table(spark, sf_dir, "documents")).select(
+        "doc_id", _shingles(F.col("text")).alias("sh")
+    )
+    anchors = docs.select(
+        "doc_id",
+        F.explode(
+            F.slice(
+                F.array_sort(F.transform(F.col("sh"), lambda s: F.md5(s))),
+                1,
+                ANCHOR_K,
+            )
+        ).alias("a"),
+    )
+    ids = F.array_sort(F.col("ids"))
+    pair_structs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("src"), y.alias("dst")),
+            ),
+        )
+    )
+    edges = (
+        anchors.groupBy("a")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= 1000))
+        .select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.src").alias("src"), F.col("p.dst").alias("dst"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sym = edges.union(edges.select(F.col("dst"), F.col("src"))).toDF("src", "dst")
+    # Iterative loops MUST truncate lineage each round or the plan (and
+    # the scheduler's task-closure size) grows with the iteration count.
+    # localCheckpoint materializes each round's labels on the executors
+    # and cuts the logical plan there — on a real cluster with lossy
+    # executors, swap in reliable checkpoint(dir) at the same call sites.
+    cur = (
+        sym.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("cluster_id"))
+        .localCheckpoint()
+    )
+    for _ in range(CC_MAX_ITERS):
+        nbr = sym.join(
+            cur.withColumnRenamed("doc_id", "src"), "src"
+        ).select(F.col("dst").alias("doc_id"), "cluster_id")
+        new = (
+            cur.union(nbr)
+            .groupBy("doc_id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.join(
+                cur.select("doc_id", F.col("cluster_id").alias("prev")), "doc_id"
+            )
+            .filter(F.col("cluster_id") != F.col("prev"))
+            .count()
+        )
+        cur = new
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"connected components: no fixpoint in {CC_MAX_ITERS} rounds")
+    edges.unpersist()
+    return cur.select(
+        "doc_id",
+        "cluster_id",
+        F.count("*").over(W.partitionBy("cluster_id")).cast("long").alias("cluster_size"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q70 — repetition-based quality filter (Gopher-style)
+# ---------------------------------------------------------------------------
+
+# Thresholds sized to the synthetic small-vocab fixtures (see PLANS.md);
+# the Gopher paper's production values (dup-line <= 0.30, top-2-gram
+# <= 0.20) apply to natural text.
+TOP_WORD_T = 0.125
+TOP_BIGRAM_T = 0.05
+DUP_WORD_T = 0.65
+
+
+def _q70_oracle() -> str:
+    return f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    uni AS (SELECT doc_id, unnest(words) AS tok FROM w),
+    ucnt AS (SELECT doc_id, tok, COUNT(*) AS c FROM uni GROUP BY doc_id, tok),
+    ustat AS (SELECT doc_id, SUM(c) AS total, MAX(c) AS topc, COUNT(*) AS ndist
+              FROM ucnt GROUP BY doc_id),
+    bi AS (SELECT doc_id, words[i] || ' ' || words[i+1] AS bg
+           FROM w, unnest(generate_series(1, len(words) - 1)) t(i)),
+    bcnt AS (SELECT doc_id, bg, COUNT(*) AS c FROM bi GROUP BY doc_id, bg),
+    bstat AS (SELECT doc_id, SUM(c) AS btotal, MAX(c) AS btopc
+              FROM bcnt GROUP BY doc_id)
+    SELECT doc_id,
+           CAST(total AS BIGINT) AS n_words,
+           {sql_dec('topc * 1.0 / total', 6)} AS top_word_frac,
+           {sql_dec('1.0 - ndist * 1.0 / total', 6)} AS dup_word_frac,
+           {sql_dec('btopc * 1.0 / btotal', 6)} AS top_bigram_frac,
+           (topc * 1.0 / total <= {TOP_WORD_T}
+            AND btopc * 1.0 / btotal <= {TOP_BIGRAM_T}
+            AND 1.0 - ndist * 1.0 / total <= {DUP_WORD_T}) AS keep
+    FROM ustat JOIN bstat USING (doc_id)
+    """
+
+
+@query("q70_repetition_filter", oracle=_q70_oracle())
+def q70_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality filter (the Gopher rules): per-doc
+    most-frequent-word fraction, duplicate-word fraction, and
+    most-frequent-bigram fraction, with a keep/drop verdict.
+
+    Scale design: token frequencies come from explode + two-level
+    hash aggregate (partial map-side combine on (doc_id, token) — the
+    classic word-count shape, linear at any corpus size), NOT from
+    per-row O(n * distinct) array scans.  Bigrams are zip_with over the
+    word array (JVM-side, no Python).  One final doc_id-keyed join of
+    the two stat tables; every shuffle key is doc_id or
+    (doc_id, token) — never document text.
+    """
+    docs = _fanout(spark, table(spark, sf_dir, "documents"))
+    words = F.split(F.col("text"), " ")
+    w = docs.select("doc_id", words.alias("words"))
+    ustat = (
+        w.select("doc_id", F.explode("words").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("total"),
+            F.max("c").alias("topc"),
+            F.count("*").alias("ndist"),
+        )
+    )
+    n1 = F.size(F.col("words")) - 1
+    bigrams = F.zip_with(
+        F.slice(F.col("words"), 1, n1),
+        F.slice(F.col("words"), 2, n1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    bstat = (
+        w.select("doc_id", F.explode(bigrams).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("btotal"), F.max("c").alias("btopc"))
+    )
+    top_w = F.col("topc") / F.col("total")
+    dup_w = F.lit(1.0) - F.col("ndist") / F.col("total")
+    top_b = F.col("btopc") / F.col("btotal")
+    return ustat.join(bstat, "doc_id").select(
+        "doc_id",
+        F.col("total").cast("long").alias("n_words"),
+        dec(top_w, 6).alias("top_word_frac"),
+        dec(dup_w, 6).alias("dup_word_frac"),
+        dec(top_b, 6).alias("top_bigram_frac"),
+        (
+            (top_w <= TOP_WORD_T)
+            & (top_b <= TOP_BIGRAM_T)
+            & (dup_w <= DUP_WORD_T)
+        ).alias("keep"),
     )
