@@ -1337,3 +1337,82 @@ def q70_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (dup_w <= DUP_WORD_T)
         ).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q71 — sequence packing (concat-and-split into fixed context windows)
+# ---------------------------------------------------------------------------
+
+CTX_LEN = 2048  # tokens per packed training sequence
+PACK_BLOCK = 100  # docs per prefix-sum block (>=1e6 at real scale)
+
+
+def _q71_oracle() -> str:
+    start = "(cum - n_tokens)"
+    return f"""
+    WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents),
+    c AS (SELECT doc_id, n_tokens,
+          SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+          FROM t)
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST({start} // {CTX_LEN} AS BIGINT) AS pack_id,
+           CAST({start} % {CTX_LEN} AS BIGINT) AS pack_offset,
+           ((cum - 1) // {CTX_LEN} != {start} // {CTX_LEN}) AS spans_boundary
+    FROM c
+    """
+
+
+@query("q71_sequence_packing", oracle=_q71_oracle())
+def q71_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training: concatenate docs in doc_id order
+    and split the token stream at CTX_LEN boundaries — each doc gets its
+    pack id, its offset inside the pack, and whether it straddles a
+    boundary (the rows a loader must split or mask).
+
+    Scale design: the global running token total is NOT one giant
+    window — a single ORDER BY window puts the whole corpus in one
+    partition.  Instead, a two-phase distributed prefix sum:
+
+      1. block-local cumulative sums, windowed per PACK_BLOCK bucket of
+         doc_ids (parallel across blocks);
+      2. per-block totals (tiny: corpus/PACK_BLOCK rows) prefix-summed
+         and broadcast-joined back as block offsets.
+
+    The oracle computes the same semantics with the naive global
+    window, so the decomposition itself is hash-checked against the
+    sequential definition.
+    """
+    docs = _fanout(spark, table(spark, sf_dir, "documents"))
+    t = docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        F.floor(F.col("doc_id") / PACK_BLOCK).alias("blk"),
+    )
+    local = t.withColumn(
+        "local_cum",
+        F.sum("n_tokens").over(
+            W.partitionBy("blk").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+        ),
+    )
+    offsets = (
+        t.groupBy("blk")
+        .agg(F.sum("n_tokens").alias("blk_total"))
+        .withColumn(
+            "blk_offset",
+            F.sum("blk_total")
+            .over(W.orderBy("blk").rowsBetween(W.unboundedPreceding, -1)),
+        )
+        .select("blk", F.coalesce("blk_offset", F.lit(0)).alias("blk_offset"))
+    )
+    cum = F.col("blk_offset") + F.col("local_cum")
+    start = cum - F.col("n_tokens")
+    return local.join(F.broadcast(offsets), "blk").select(
+        "doc_id",
+        "n_tokens",
+        F.floor(start / CTX_LEN).cast("long").alias("pack_id"),
+        (start % CTX_LEN).cast("long").alias("pack_offset"),
+        (F.floor((cum - 1) / CTX_LEN) != F.floor(start / CTX_LEN)).alias(
+            "spans_boundary"
+        ),
+    )
