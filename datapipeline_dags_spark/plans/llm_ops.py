@@ -1416,3 +1416,143 @@ def q71_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             "spans_boundary"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q72 — quality-weighted deterministic sampling
+# ---------------------------------------------------------------------------
+
+QW_BASE_RATE = 0.5  # acceptance rate for a perfect-quality doc
+
+
+def _q72_oracle() -> str:
+    q = "LEAST(1.0, nw / 50.0) * (1 - nstop * 1.0 / nw)"
+    return f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             len(string_split(text, ' ')) AS nw,
+             len(list_filter(string_split(text, ' '),
+                 w -> list_contains({list(STOPWORDS)!r}, w))) AS nstop,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               / 4294967296.0 AS u
+      FROM documents)
+    SELECT doc_id, lang, (ROUND({q}, 4) + 0.0) AS weight
+    FROM t WHERE u < {q} * {QW_BASE_RATE}
+    """
+
+
+@query("q72_quality_weighted_sample", oracle=_q72_oracle())
+def q72_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted Bernoulli sampling: accept a doc with
+    probability ``quality * QW_BASE_RATE``, where quality is q50's
+    composite score and the coin is the md5 hash fraction of the key —
+    the corpus-mixing primitive that up-samples good text without RNG
+    state (reproducible across re-runs, resharding, and engines).
+    Map-only: the accept predicate is an ordinary filter.
+    """
+    docs = table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    nw = F.size(words)
+    nstop = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS)))
+    q = F.least(F.lit(1.0), nw / F.lit(50.0)) * (1 - nstop / nw)
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        / F.lit(4294967296.0)
+    )
+    return docs.filter(u < q * QW_BASE_RATE).select(
+        "doc_id", "lang", dec(q, 4).alias("weight")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q73 — source-mixture rebalancing
+# ---------------------------------------------------------------------------
+
+
+def _q73_oracle() -> str:
+    return """
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents),
+    k AS (SELECT MIN(cnt) AS k FROM
+          (SELECT COUNT(*) AS cnt FROM documents GROUP BY lang))
+    SELECT doc_id, lang FROM ranked, k WHERE rn <= k.k
+    """
+
+
+@query("q73_mixture_rebalance", oracle=_q73_oracle())
+def q73_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mixture rebalancing: downsample every language to the
+    size of the smallest one (uniform target mixture; `en` is ~42% of
+    the fixture corpus), picking each stratum's md5-first k docs —
+    deterministic, exact per-stratum counts, no RNG.
+
+    Scale shape: one shuffle on `lang` for the rank window; the
+    per-stratum counts collapse to a 1-row global MIN that joins back
+    as a broadcast scalar.  The same plan serves any target mixture —
+    swap the scalar for a per-stratum rate table.
+    """
+    docs = table(spark, sf_dir, "documents")
+    order = W.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    k = (
+        docs.groupBy("lang")
+        .agg(F.count("*").alias("cnt"))
+        .agg(F.min("cnt").alias("k"))
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(order))
+        .join(F.broadcast(k))
+        .filter(F.col("rn") <= F.col("k"))
+        .select("doc_id", "lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q74 — unigram language-model scoring
+# ---------------------------------------------------------------------------
+
+
+def _q74_oracle() -> str:
+    return """
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+    freq AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+    n AS (SELECT SUM(c) AS n FROM freq)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           (ROUND(AVG(-LN(f.c / n.n)), 4) + 0.0) AS avg_neg_logp
+    FROM tok JOIN freq f USING (w) CROSS JOIN n
+    GROUP BY doc_id
+    """
+
+
+@query("q74_unigram_logprob", oracle=_q74_oracle())
+def q74_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram LM scoring: per-doc mean negative log-probability under
+    the corpus's own unigram distribution — the cheap perplexity proxy
+    used for quality filtering (CCNet-style) before anything
+    model-based runs.
+
+    Scale shape: token frequencies are a (token)-keyed hash aggregate;
+    the doc-token stream joins the frequency table ON TOKEN — a plain
+    shuffle join, NOT a broadcast, because a real vocabulary (token ×
+    count) is itself huge at 100 TB.  The grand total collapses to a
+    1-row broadcast scalar.  Everything stays JVM-side.
+    """
+    docs = _fanout(spark, table(spark, sf_dir, "documents"))
+    tok = docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("w"))
+    freq = tok.groupBy("w").agg(F.count("*").alias("c"))
+    n = freq.agg(F.sum("c").alias("n"))
+    return (
+        tok.join(freq, "w")
+        .join(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            dec(F.avg(-F.log(F.col("c") / F.col("n"))), 4).alias("avg_neg_logp"),
+        )
+    )

@@ -82,6 +82,8 @@ BOUNDED_FILTER_HINT_OK = {
     # broadcasts the per-block offset table: corpus/PACK_BLOCK rows, a
     # 1e-6 reduction of the scan at production block size
     "q71_sequence_packing",
+    "q73_mixture_rebalance",  # broadcasts the 1-row global-min stratum size
+    "q74_unigram_logprob",  # broadcasts the 1-row grand token total
 }
 
 
@@ -117,6 +119,9 @@ NESTED_LOOP_OK = {
     "q45_ann_topk_bruteforce",
     "q47_ann_ivf",
     "q63_tfidf_top_terms",
+    # 1-row scalar attach (global-min stratum size / grand token total)
+    "q73_mixture_rebalance",
+    "q74_unigram_logprob",
 }
 
 
