@@ -1556,3 +1556,154 @@ def q74_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec(F.avg(-F.log(F.col("c") / F.col("n"))), 4).alias("avg_neg_logp"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q75 — product-quantization ANN (ADC scoring)
+# ---------------------------------------------------------------------------
+
+PQ_M = 4  # subspaces
+PQ_D = 16  # dims per subspace (embedding dim 64 / PQ_M)
+PQ_K = 8  # centroids per subspace (sampled codebook, cf. q47's quantizer)
+
+
+def _q75_oracle() -> str:
+    d = PQ_D
+    return f"""
+    WITH cb AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+                WHERE vec_id < {PQ_K}),
+    ms AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m),
+    csub AS (SELECT cid, m, ce[m*{d}+1 : m*{d}+{d}] AS cs FROM cb, ms),
+    enc0 AS (SELECT e.vec_id, c.m, c.cid,
+             list_reduce(list_transform(generate_series(1, {d}),
+               i -> (e.embedding[c.m*{d}+i]::DOUBLE - c.cs[i]::DOUBLE)
+                    * (e.embedding[c.m*{d}+i]::DOUBLE - c.cs[i]::DOUBLE)),
+               (a, b) -> a + b) AS dist
+             FROM embeddings e CROSS JOIN csub c),
+    codes AS (SELECT vec_id, m, cid FROM (
+              SELECT vec_id, m, cid,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                        ORDER BY dist, cid) AS rn
+              FROM enc0) WHERE rn = 1),
+    qs AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+           WHERE vec_id < {N_QUERIES}),
+    lut AS (SELECT q_id, m, cid,
+            list_reduce(list_transform(generate_series(1, {d}),
+              i -> qe[m*{d}+i]::DOUBLE * cs[i]::DOUBLE),
+              (a, b) -> a + b) AS pd
+            FROM qs CROSS JOIN csub),
+    scored AS (SELECT l.q_id, c.vec_id AS neighbor_id,
+               list_reduce(array_agg(l.pd ORDER BY l.m), (a, b) -> a + b) AS s
+               FROM codes c JOIN lut l ON l.m = c.m AND l.cid = c.cid
+               WHERE c.vec_id != l.q_id
+               GROUP BY l.q_id, c.vec_id),
+    r AS (SELECT q_id, neighbor_id, (ROUND(s, 6) + 0.0) AS approx_dot,
+          ROW_NUMBER() OVER (PARTITION BY q_id
+                             ORDER BY ROUND(s, 6) DESC, neighbor_id) AS rank
+          FROM scored)
+    SELECT q_id, neighbor_id, approx_dot, CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= {TOPK}
+    """
+
+
+@query("q75_ann_pq", oracle=_q75_oracle())
+def q75_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric-distance (ADC) scoring.
+
+    Each 64-dim vector is encoded as PQ_M=4 one-byte codes (argmin-L2
+    centroid per 16-dim subspace); a query scores a corpus vector by
+    summing 4 lookup-table entries — dot(query_sub, centroid) partials —
+    never touching the original embedding.  The codebook is the first
+    PQ_K corpus vectors' subvectors (a trained per-subspace KMeans
+    codebook in production — deterministic ids keep it oracle-checkable,
+    cf. q47's quantizer).
+
+    Scale design: the corpus pass that matters reads ONLY (vec_id,
+    codes) — a 4-byte-per-vector structure, the 16x-compression that
+    makes PQ the memory workhorse of billion-vector ANN.  Encoding is
+    map-only (broadcast codebook); scoring broadcast-joins the
+    N_QUERIES x PQ_M x PQ_K LUT (tiny, fixed-size) against the codes
+    table and the only shuffle is the final per-query top-k window.
+    All sums accumulate strictly left-to-right in double on both
+    engines, so even the ADC scores hash-match the oracle.
+    """
+    corpus = table(spark, sf_dir, "embeddings")
+    cb1 = (
+        corpus.filter(F.col("vec_id") < PQ_K)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+        .agg(F.array_sort(F.collect_list(F.struct("cid", "ce"))).alias("cbs"))
+    )
+
+    def sub(v: Column, m: int) -> Column:
+        return F.slice(v, m * PQ_D + 1, PQ_D)
+
+    def l2(a: Column, b: Column) -> Column:
+        diff2 = F.zip_with(
+            a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double"))
+        )
+        return F.aggregate(diff2, F.lit(0.0), lambda acc, v: acc + v)
+
+    def dot(a: Column, b: Column) -> Column:
+        prod = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+        return F.aggregate(prod, F.lit(0.0), lambda acc, v: acc + v)
+
+    def code_for(emb: Column, m: int) -> Column:
+        best = F.array_min(
+            F.transform(
+                F.col("cbs"),
+                lambda c: F.struct(l2(sub(emb, m), sub(c["ce"], m)).alias("d"),
+                                   c["cid"].alias("cid")),
+            )
+        )
+        return best["cid"]
+
+    codes = (
+        _fanout(spark, corpus)
+        .crossJoin(F.broadcast(cb1))
+        .select(
+            "vec_id",
+            F.array(*[code_for(F.col("embedding"), m) for m in range(PQ_M)]).alias(
+                "codes"
+            ),
+        )
+    )
+    # Per-query LUT: lut[m][cid] = dot(query subvector m, centroid cid's
+    # subvector m) — N_QUERIES x 4 x 8 doubles, broadcast to the scorer.
+    lut_col = F.array(
+        *[
+            F.array(
+                *[
+                    dot(sub(F.col("embedding"), m), sub(F.get(F.col("cbs"), c)["ce"], m))
+                    for c in range(PQ_K)
+                ]
+            )
+            for m in range(PQ_M)
+        ]
+    )
+    qlut = (
+        corpus.filter(F.col("vec_id") < N_QUERIES)
+        .crossJoin(F.broadcast(cb1))
+        .select(F.col("vec_id").alias("q_id"), lut_col.alias("lut"))
+    )
+    score = F.lit(0.0)
+    for m in range(PQ_M):
+        score = score + F.element_at(
+            F.element_at(F.col("lut"), m + 1),
+            (F.element_at(F.col("codes"), m + 1) + 1).cast("int"),
+        )
+    scored = (
+        F.broadcast(qlut)
+        .join(codes, F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            dec(score, 6).alias("approx_dot"),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("approx_dot").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOPK)
+        .select("q_id", "neighbor_id", "approx_dot", "rank")
+    )

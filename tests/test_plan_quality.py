@@ -84,6 +84,7 @@ BOUNDED_FILTER_HINT_OK = {
     "q71_sequence_packing",
     "q73_mixture_rebalance",  # broadcasts the 1-row global-min stratum size
     "q74_unigram_logprob",  # broadcasts the 1-row grand token total
+    "q75_ann_pq",  # broadcasts the 1-row codebook and the fixed query-set LUT
 }
 
 
@@ -122,6 +123,7 @@ NESTED_LOOP_OK = {
     # 1-row scalar attach (global-min stratum size / grand token total)
     "q73_mixture_rebalance",
     "q74_unigram_logprob",
+    "q75_ann_pq",  # 1-row codebook attach + fixed query-set scoring pass
 }
 
 
