@@ -1707,3 +1707,71 @@ def q75_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOPK)
         .select("q_id", "neighbor_id", "approx_dot", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# q76 — incremental corpus dedup (delta admitted against a base snapshot)
+# ---------------------------------------------------------------------------
+
+DELTA_MOD = 5  # doc_id % DELTA_MOD == 0 plays the newly-arrived batch
+
+
+def _q76_oracle() -> str:
+    fp = _FP_SQL.format(k=FP_K)
+    return f"""
+    WITH tagged AS (SELECT doc_id, text, (doc_id % {DELTA_MOD} = 0) AS is_delta
+                    FROM documents),
+    base AS (SELECT sha256(text) AS h, {fp} AS fp FROM tagged WHERE NOT is_delta),
+    delta AS (SELECT doc_id, sha256(text) AS h, {fp} AS fp
+              FROM tagged WHERE is_delta)
+    SELECT d.doc_id,
+           (d.h IN (SELECT h FROM base)) AS exact_dup,
+           (d.fp IN (SELECT fp FROM base)) AS near_dup,
+           (d.h NOT IN (SELECT h FROM base)
+            AND d.fp NOT IN (SELECT fp FROM base)) AS admitted
+    FROM delta d
+    """
+
+
+@query("q76_incremental_dedup", oracle=_q76_oracle())
+def q76_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus dedup: admit a delta batch against the
+    existing base snapshot — drop delta docs that are exact dups
+    (sha256) OR near-dups (q53 bottom-k fingerprint) of ANY base doc.
+    This is the batch shape of every growing-corpus ingest: the base is
+    never rescanned against itself, only the (small) delta probes it.
+
+    Scale design: two LEFT ANTI joins keyed on constant-width digests —
+    the base side reduces to its digest projection (64-char hash +
+    fingerprint per doc, not text), the delta side is the arriving
+    batch.  At 100 TB the base digest table is exactly the persisted
+    state the streaming first-seen dedup (streaming/stateful.py) keeps
+    in its checkpoint — same admission semantics, same keys, batch vs
+    streaming execution.
+    """
+    docs = _fanout(spark, table(spark, sf_dir, "documents"))
+    tagged = docs.select(
+        "doc_id",
+        "text",
+        (F.col("doc_id") % DELTA_MOD == 0).alias("is_delta"),
+        F.sha2(F.col("text"), 256).alias("h"),
+        _fingerprint(F.col("text"), FP_K).alias("fp"),
+    )
+    base = tagged.filter(~F.col("is_delta")).select("h", "fp")
+    delta = tagged.filter(F.col("is_delta")).select("doc_id", "h", "fp")
+    # Distinct digest projections so the probe joins never multiply
+    # delta rows (identical base docs share a digest).
+    bh = base.select("h").distinct().withColumn("eh", F.lit(True))
+    bf = base.select("fp").distinct().withColumn("ef", F.lit(True))
+    exact_dup = F.coalesce(F.col("eh"), F.lit(False))
+    near_dup = F.coalesce(F.col("ef"), F.lit(False))
+    return (
+        delta.join(bh, "h", "left")
+        .join(bf, "fp", "left")
+        .select(
+            "doc_id",
+            exact_dup.alias("exact_dup"),
+            near_dup.alias("near_dup"),
+            (~exact_dup & ~near_dup).alias("admitted"),
+        )
+    )
