@@ -39,6 +39,9 @@ HEADLINE = [
     "q41_dedup_minhash_lsh",
     "q45_ann_topk_bruteforce",
     "q50_text_quality",
+    # round-2 additions: cluster resolution + compressed-code ANN
+    "q69_dedup_clusters",
+    "q75_ann_pq",
 ]
 
 REPS = 3
