@@ -1,0 +1,72 @@
+"""Distributed connected components over an edge DataFrame.
+
+The primitive behind dedup cluster resolution (plans/llm_ops.py q69):
+near-dup candidate pairs chain (A~B on one blocking key, B~C on
+another), so canonical-doc assignment needs the transitive closure,
+not per-block grouping.
+
+Algorithm: iterative min-label propagation — each round every node
+takes the minimum label among itself and its neighbors; fixpoint when
+no label changes.  Per round: ONE hash join + ONE hash aggregate, both
+partitioned on the node key, with the convergence probe as the round's
+action.  Rounds = graph diameter; dup-cluster diameters are tiny
+(blocking keys connect most members straight to the cluster minimum).
+For adversarial chain graphs swap in two-phase large-star/small-star
+contraction (O(log^2 n) rounds) — same per-round plan shape.
+
+Iterative loops MUST truncate lineage each round or the logical plan
+(and task-closure size) grows with the iteration count:
+``localCheckpoint`` materializes each round's labels on the executors
+and cuts the plan there.  On a cluster with lossy executors, use
+reliable ``checkpoint(dir)`` at the same call sites.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_MAX_ITERS = 20
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = DEFAULT_MAX_ITERS,
+) -> DataFrame:
+    """Resolve connected components of an undirected graph.
+
+    ``edges`` holds one row per edge (either direction; duplicates are
+    fine).  Returns (node, component) where ``component`` is the
+    minimum node id reachable from ``node``.  Isolated nodes never
+    appear in ``edges`` and so are absent — callers union them back as
+    their own singletons if needed.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    sym = e.union(e.select(F.col("dst"), F.col("src"))).toDF("src", "dst")
+    cur = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("component"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        nbr = sym.join(cur.withColumnRenamed("node", "src"), "src").select(
+            F.col("dst").alias("node"), "component"
+        )
+        new = (
+            cur.union(nbr)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.join(cur.select("node", F.col("component").alias("prev")), "node")
+            .filter(F.col("component") != F.col("prev"))
+            .count()
+        )
+        cur = new
+        if changed == 0:
+            return cur
+    raise RuntimeError(f"connected components: no fixpoint in {max_iters} rounds")

@@ -29,6 +29,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from datapipeline_dags_spark.catalog import table
+from datapipeline_dags_spark.operators.graph import connected_components
 from datapipeline_dags_spark.plans.helpers import dec, sql_dec
 from datapipeline_dags_spark.plans.registry import query
 
@@ -1156,14 +1157,11 @@ def q69_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale design: edges are built with the q41 bucket-explode pattern
     (groupBy anchor + in-bucket pair explode — never a shingle-table
-    self-join), bucket size is capped, and components are resolved by
-    iterative min-label propagation: per round ONE join + ONE aggregate,
-    both hash-partitioned on doc_id, with the per-round action doubling
-    as the convergence test.  Rounds = graph diameter; near-dup cluster
-    diameters are tiny (anchors connect most members straight to the
-    cluster minimum — measured 1-2 at sf0.1).  For adversarial chain
-    graphs swap in the two-phase large-star/small-star contraction
-    (O(log^2 n) rounds) — same per-round plan shape.
+    self-join), bucket size is capped, and the transitive closure runs
+    through ``operators.graph.connected_components`` (iterative
+    min-label propagation with per-round localCheckpoint; see that
+    module for the scale analysis — it is also property-tested against
+    a union-find reference on random graphs).
 
     The DuckDB oracle computes the same closure with a recursive CTE,
     so the *transitive* semantics (not just the pair list) are
@@ -1203,45 +1201,15 @@ def q69_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    sym = edges.union(edges.select(F.col("dst"), F.col("src"))).toDF("src", "dst")
-    # Iterative loops MUST truncate lineage each round or the plan (and
-    # the scheduler's task-closure size) grows with the iteration count.
-    # localCheckpoint materializes each round's labels on the executors
-    # and cuts the logical plan there — on a real cluster with lossy
-    # executors, swap in reliable checkpoint(dir) at the same call sites.
-    cur = (
-        sym.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .select("doc_id", F.col("doc_id").alias("cluster_id"))
-        .localCheckpoint()
-    )
-    for _ in range(CC_MAX_ITERS):
-        nbr = sym.join(
-            cur.withColumnRenamed("doc_id", "src"), "src"
-        ).select(F.col("dst").alias("doc_id"), "cluster_id")
-        new = (
-            cur.union(nbr)
-            .groupBy("doc_id")
-            .agg(F.min("cluster_id").alias("cluster_id"))
-            .localCheckpoint()
-        )
-        changed = (
-            new.join(
-                cur.select("doc_id", F.col("cluster_id").alias("prev")), "doc_id"
-            )
-            .filter(F.col("cluster_id") != F.col("prev"))
-            .count()
-        )
-        cur = new
-        if changed == 0:
-            break
-    else:
-        raise RuntimeError(f"connected components: no fixpoint in {CC_MAX_ITERS} rounds")
+    labels = connected_components(edges, max_iters=CC_MAX_ITERS)
     edges.unpersist()
-    return cur.select(
-        "doc_id",
-        "cluster_id",
-        F.count("*").over(W.partitionBy("cluster_id")).cast("long").alias("cluster_size"),
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        F.count("*")
+        .over(W.partitionBy("component"))
+        .cast("long")
+        .alias("cluster_size"),
     )
 
 

@@ -103,3 +103,46 @@ def test_upsert_fold_equivalence(spark, tmp_path_factory, batches):
     finally:
         con.close()
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# Connected components ≡ union-find on random graphs
+# ---------------------------------------------------------------------------
+
+
+def _union_find_components(edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+def test_connected_components_matches_union_find(spark, edges):
+    """Min-label propagation must agree with sequential union-find on
+    arbitrary graphs — including chains longer than the typical dup
+    cluster, which exercise the multi-round convergence path."""
+    from datapipeline_dags_spark.operators.graph import connected_components
+
+    df = spark.createDataFrame(edges, "src: long, dst: long")
+    got = {
+        r["node"]: r["component"] for r in connected_components(df).collect()
+    }
+    assert got == _union_find_components(edges)
