@@ -172,3 +172,120 @@ def q49_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return hour_level.unionByName(day_level)
+
+
+@query(
+    "q77_funnel_stages",
+    oracle="""
+    WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+          JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+                AND e.ts <= v.t1 + INTERVAL 6 HOUR
+          WHERE e.event_type = 'click' GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+          JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+                AND e.ts <= c.t2 + INTERVAL 6 HOUR
+          WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+    s AS (SELECT v.user_id,
+          1 + (c.user_id IS NOT NULL)::INT + (p.user_id IS NOT NULL)::INT AS stage
+          FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id))
+    SELECT CAST(stage AS BIGINT) AS stage, COUNT(*) AS n_users
+    FROM s GROUP BY stage
+    """,
+)
+def q77_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: how many users progressed view -> click ->
+    purchase, where each step must happen strictly AFTER the previous
+    step's first occurrence and within a 6-hour conversion window (the
+    ordering + recency constraints that separate a funnel from three
+    independent filters).
+
+    Scale shape: three min-timestamp aggregates chained by joins, every
+    one keyed on user_id — a single-key family, so each stage reuses
+    the same hash partitioning and the data never reshuffles on a new
+    key.  No window over per-user event lists, no collect_list of
+    event sequences.
+    """
+    ev = table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t1"))
+            & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 6 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t2"))
+            & (F.col("ts") <= F.col("t2") + F.expr("INTERVAL 6 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    stage = (
+        F.lit(1)
+        + F.col("t2").isNotNull().cast("int")
+        + F.col("t3").isNotNull().cast("int")
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(stage.cast("long").alias("stage"))
+        .groupBy("stage")
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+@query(
+    "q78_retention_cohorts",
+    oracle="""
+    WITH s AS (SELECT user_id, MIN(date_trunc('day', ts)) AS cohort
+               FROM events WHERE event_type = 'signup' GROUP BY user_id),
+    a AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events)
+    SELECT s.cohort AS cohort_day,
+           CAST(date_diff('day', s.cohort, a.d) AS BIGINT) AS day_offset,
+           COUNT(*) AS n_active
+    FROM a JOIN s USING (user_id)
+    WHERE a.d >= s.cohort
+    GROUP BY 1, 2
+    """,
+)
+def q78_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohorts: users grouped by first-signup day; for each
+    (cohort, day-offset) cell, how many of that cohort were active —
+    the standard retention triangle.
+
+    Scale shape: the (user, day) activity set is deduped FIRST (one
+    user_id-keyed distinct), so the cohort join fans out to at most
+    users x active-days rows, never raw events; both the signup
+    aggregate and the join key on user_id (single-key family), and the
+    final cell aggregate is bounded by cohorts x offsets, not users.
+    """
+    ev = table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.date_trunc("day", "ts")).alias("cohort"))
+    )
+    a = ev.select("user_id", F.date_trunc("day", "ts").alias("d")).distinct()
+    return (
+        a.join(s, "user_id")
+        .filter(F.col("d") >= F.col("cohort"))
+        .select(
+            F.col("cohort").alias("cohort_day"),
+            F.datediff("d", "cohort").cast("long").alias("day_offset"),
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count("*").alias("n_active"))
+    )
