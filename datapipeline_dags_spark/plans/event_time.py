@@ -10,6 +10,7 @@ watermark behavior the oracle cannot).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from datapipeline_dags_spark.catalog import table
@@ -288,4 +289,68 @@ def q78_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("cohort_day", "day_offset")
         .agg(F.count("*").alias("n_active"))
+    )
+
+
+@query(
+    "q79_gapfill_forward",
+    oracle="""
+    WITH b AS (SELECT date_trunc('hour', MIN(ts)) AS lo,
+                      date_trunc('hour', MAX(ts)) AS hi FROM events),
+    h AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM b),
+    u AS (SELECT DISTINCT user_id FROM events WHERE user_id < 5),
+    obs AS (SELECT user_id, date_trunc('hour', ts) AS hour,
+                   COUNT(*) AS c, (ROUND(AVG(value), 4) + 0.0) AS v
+            FROM events WHERE user_id < 5 AND event_type = 'purchase'
+            GROUP BY 1, 2)
+    SELECT u.user_id, h.hour,
+           CAST(COALESCE(obs.c, 0) AS BIGINT) AS n_events,
+           last_value(obs.v IGNORE NULLS) OVER (
+             PARTITION BY u.user_id ORDER BY h.hour
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled_avg_value
+    FROM h CROSS JOIN u
+    LEFT JOIN obs ON obs.user_id = u.user_id AND obs.hour = h.hour
+    """,
+)
+def q79_gapfill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly series with forward fill — the
+    time_bucket_gapfill + locf shape of hypertable analytics: a dense
+    hour spine per series, observed buckets joined on, missing buckets
+    carrying the last observed (rounded) value forward.
+
+    Scale shape: the spine is generated, not scanned — a 1-row min/max
+    aggregate exploded into sequence(lo, hi, 1 hour), cross-joined with
+    the (bounded) series-key set.  The fill is one window per series
+    (last ignoreNulls over the hour order).  Rounding happens BEFORE
+    the fill so both engines propagate identical doubles.
+    """
+    ev = table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine_h = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour")
+    )
+    users = ev.filter(F.col("user_id") < 5).select("user_id").distinct()
+    obs = (
+        ev.filter((F.col("user_id") < 5) & (F.col("event_type") == "purchase"))
+        .groupBy("user_id", F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.count("*").alias("c"), dec(F.avg("value"), 4).alias("v"))
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        spine_h.crossJoin(F.broadcast(users))
+        .join(obs, ["user_id", "hour"], "left")
+        .select(
+            "user_id",
+            "hour",
+            F.coalesce("c", F.lit(0)).cast("long").alias("n_events"),
+            F.last("v", ignorenulls=True).over(w).alias("filled_avg_value"),
+        )
     )

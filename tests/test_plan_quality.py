@@ -85,6 +85,7 @@ BOUNDED_FILTER_HINT_OK = {
     "q73_mixture_rebalance",  # broadcasts the 1-row global-min stratum size
     "q74_unigram_logprob",  # broadcasts the 1-row grand token total
     "q75_ann_pq",  # broadcasts the 1-row codebook and the fixed query-set LUT
+    "q79_gapfill_forward",  # broadcasts the bounded (user_id < 5) series-key set
 }
 
 
@@ -124,6 +125,7 @@ NESTED_LOOP_OK = {
     "q73_mixture_rebalance",
     "q74_unigram_logprob",
     "q75_ann_pq",  # 1-row codebook attach + fixed query-set scoring pass
+    "q79_gapfill_forward",  # generated spine x bounded series-key set
 }
 
 
