@@ -76,3 +76,40 @@ def write_clustered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def write_day_partitioned(
+    df: DataFrame, path: str, ts_col: str = "ts", mode: str = "overwrite"
+) -> None:
+    """Write a DataFrame day-partitioned (``day=YYYY-MM-DD`` dirs) so
+    downstream scans partition-prune on date predicates."""
+    from pyspark.sql import functions as F
+
+    (
+        df.withColumn("day", F.date_format(F.col(ts_col), "yyyy-MM-dd"))
+        .write.mode(mode)
+        .partitionBy("day")
+        .parquet(path)
+    )
+
+
+def overwrite_days(df: DataFrame, path: str, ts_col: str = "ts") -> None:
+    """Dynamic-partition overwrite: replace ONLY the day partitions
+    present in ``df``, leaving every other partition byte-identical —
+    the standard incremental-backfill primitive (re-run one late or
+    corrected day without touching the rest of the table).
+
+    Implemented with Spark's native
+    ``spark.sql.sources.partitionOverwriteMode=dynamic``, scoped to
+    this write and restored afterwards (the static default would TRUNCATE
+    the whole table).  At lake scale the same call shape maps to
+    ``INSERT OVERWRITE ... PARTITION`` / Delta ``replaceWhere``.
+    """
+    spark = df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, "STATIC")
+    spark.conf.set(key, "dynamic")
+    try:
+        write_day_partitioned(df, path, ts_col=ts_col, mode="overwrite")
+    finally:
+        spark.conf.set(key, prev)

@@ -53,3 +53,50 @@ def test_write_clustered_files_own_disjoint_ranges(spark, tmp_path):
 
     # fidelity
     assert spark.read.parquet(path).count() == 10000
+
+
+def test_dynamic_partition_overwrite_touches_only_written_days(spark, tmp_path):
+    """Re-running one day must leave every other day partition
+    byte-identical, and must fully replace (not append to) the
+    re-written day."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from datapipeline_dags_spark.operators.maintenance import (
+        overwrite_days,
+        write_day_partitioned,
+    )
+
+    path = str(tmp_path / "days")
+    base = spark.createDataFrame(
+        [(i, f"2024-01-{1 + i % 3:02d} 12:00:00", float(i)) for i in range(30)],
+        "id: long, ts_s: string, value: double",
+    ).select("id", F.to_timestamp("ts_s").alias("ts"), "value")
+    write_day_partitioned(base, path)
+
+    def day_bytes(day: str) -> bytes:
+        d = os.path.join(path, f"day={day}")
+        return b"".join(
+            open(os.path.join(d, f), "rb").read()
+            for f in sorted(os.listdir(d))
+            if f.endswith(".parquet")
+        )
+
+    before_d1 = day_bytes("2024-01-01")
+    before_d3 = day_bytes("2024-01-03")
+
+    # corrected re-run of day 2 only: fewer rows, new values
+    fix = spark.createDataFrame(
+        [(100, "2024-01-02 09:00:00", 9.5)], "id: long, ts_s: string, value: double"
+    ).select("id", F.to_timestamp("ts_s").alias("ts"), "value")
+    overwrite_days(fix, path)
+
+    assert day_bytes("2024-01-01") == before_d1
+    assert day_bytes("2024-01-03") == before_d3
+    got = spark.read.parquet(path).filter(F.col("day") == "2024-01-02")
+    assert [r["id"] for r in got.collect()] == [100]
+    # conf restored
+    assert spark.conf.get("spark.sql.sources.partitionOverwriteMode").lower() != "dynamic"
+    total = spark.read.parquet(path).count()
+    assert total == 21  # 10 rows each for day 1 & 3, 1 for day 2
