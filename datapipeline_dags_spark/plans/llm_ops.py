@@ -1743,3 +1743,84 @@ def q76_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (~exact_dup & ~near_dup).alias("admitted"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q80 — fuzzy join via deletion-neighborhood blocking
+# ---------------------------------------------------------------------------
+
+FUZZY_KEY_CAP = 100  # fixed-size probe set (bounded at every SF)
+
+
+def _q80_oracle() -> str:
+    return f"""
+    WITH c AS (SELECT c_custkey, c_name FROM customer
+               WHERE c_custkey < {FUZZY_KEY_CAP}),
+    v AS (SELECT c_custkey, c_name, i AS pos,
+                 substr(c_name, 1, i - 1) || substr(c_name, i + 1) AS var
+          FROM c, unnest(generate_series(1, length(c_name))) t(i)),
+    cand AS (SELECT DISTINCT a.c_custkey AS key_a, b.c_custkey AS key_b,
+                    a.c_name AS name_a, b.c_name AS name_b
+             FROM v a JOIN v b
+               ON a.pos = b.pos AND a.var = b.var
+              AND a.c_custkey < b.c_custkey)
+    SELECT key_a, key_b, name_a, name_b
+    FROM cand WHERE levenshtein(name_a, name_b) = 1
+    """
+
+
+@query("q80_fuzzy_name_join", oracle=_q80_oracle())
+def q80_fuzzy_name_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy self-join: pairs of names at edit distance exactly 1,
+    found WITHOUT an all-pairs comparison — the entity-resolution
+    blocking trick.
+
+    Blocking key = (position, deletion variant): two equal-length
+    strings differing by one substitution share the variant obtained by
+    deleting that position from either, so every true pair lands in a
+    block and candidates are verified with one exact ``levenshtein``
+    call.  Blocks are bucket-exploded (q41's pattern, capped) — at any
+    corpus size the shuffle carries (pos, n-1-char variant) keys, and
+    the quadratic step runs only inside blocks whose size the key
+    structure bounds (~alphabet size).
+    """
+    c = (
+        _fanout(spark, table(spark, sf_dir, "customer"))
+        .filter(F.col("c_custkey") < FUZZY_KEY_CAP)
+        .select("c_custkey", "c_name")
+    )
+    n = F.length("c_name")
+    variants = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.concat(
+            F.col("c_name").substr(F.lit(1), i - F.lit(1)),
+            F.col("c_name").substr(i + F.lit(1), F.length("c_name") - i),
+        ),
+    )
+    v = c.select(
+        "c_custkey", "c_name", F.posexplode(variants).alias("pos0", "var")
+    )
+    members = F.array_sort(F.col("ms"))
+    pair_structs = F.flatten(
+        F.transform(
+            members,
+            lambda x, i: F.transform(
+                F.slice(members, i + 2, F.size(members)),
+                lambda y: F.struct(
+                    x["c_custkey"].alias("key_a"),
+                    y["c_custkey"].alias("key_b"),
+                    x["c_name"].alias("name_a"),
+                    y["c_name"].alias("name_b"),
+                ),
+            ),
+        )
+    )
+    cand = (
+        v.groupBy("pos0", "var")
+        .agg(F.collect_list(F.struct("c_custkey", "c_name")).alias("ms"))
+        .filter((F.size("ms") >= 2) & (F.size("ms") <= 1000))
+        .select(F.explode(pair_structs).alias("p"))
+        .select("p.key_a", "p.key_b", "p.name_a", "p.name_b")
+        .distinct()
+    )
+    return cand.filter(F.levenshtein("name_a", "name_b") == 1)
