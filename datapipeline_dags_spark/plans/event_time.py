@@ -354,3 +354,49 @@ def q79_gapfill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("v", ignorenulls=True).over(w).alias("filled_avg_value"),
         )
     )
+
+
+@query(
+    "q81_rolling_median",
+    oracle="""
+    WITH r AS (
+      SELECT event_id, user_id, value, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             quantile_cont(value, 0.5) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 10 PRECEDING AND CURRENT ROW) AS med,
+             AVG(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 10 PRECEDING AND CURRENT ROW) AS mn
+      FROM events WHERE user_id < 10)
+    SELECT event_id, user_id,
+           (ROUND(med, 4) + 0.0) AS rolling_median,
+           (ROUND(mn, 4) + 0.0) AS rolling_mean
+    FROM r WHERE rn > 10
+    """,
+)
+def q81_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling robust statistics: per-user median and mean of the last
+    11 events — the outlier-resistant smoothing used on metric streams
+    (a rolling mean chases spikes; the median ignores them).
+
+    Scale shape: one shuffle on the series key, then a bounded
+    (11-row) sliding frame per row — state is O(frame), never the whole
+    series.  Only FULL 11-row frames are emitted (ramp-up rows are
+    dropped): an odd frame makes the median an exact element — no
+    midpoint interpolation, whose last-ulp arithmetic (and half-way
+    rounding) is the one place engines legitimately disagree."""
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w = order.rowsBetween(-10, 0)
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.row_number().over(order).alias("rn"),
+            dec(F.percentile("value", F.lit(0.5)).over(w), 4).alias("rolling_median"),
+            dec(F.avg("value").over(w), 4).alias("rolling_mean"),
+        )
+        .filter(F.col("rn") > 10)
+        .drop("rn")
+    )
