@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datapipeline_dags_spark.catalog import table
+from datapipeline_dags_spark.plans.helpers import dec
 from datapipeline_dags_spark.plans.registry import query
 
 
@@ -346,4 +347,55 @@ def q67_binary_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(b64, 1, 32).alias("b64_prefix"),
         (F.decode(F.unbase64(b64), "utf-8") == F.col("text")).alias("roundtrip_ok"),
         F.octet_length(enc).cast("long").alias("n_bytes"),
+    )
+
+
+@query(
+    "q82_value_histogram",
+    oracle="""
+    SELECT event_type,
+           CAST(FLOOR(value / 25.0) + 1 AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           (ROUND(SUM(value), 2) + 0.0) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q82_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned value distribution per event type (fixed 25-unit buckets
+    over the declared [0, 500) domain) — one hash aggregate on
+    (type, bucket); bucket count is fixed, so the result stays tiny at
+    any corpus size (the streaming-dashboard histogram shape)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "event_type",
+            (F.floor(F.col("value") / 25.0) + 1).cast("long").alias("bucket"),
+        )
+        .agg(F.count("*").alias("n"), dec(F.sum("value")).alias("sum_value"))
+    )
+
+
+@query(
+    "q83_stats_aggregates",
+    oracle="""
+    SELECT l_returnflag,
+           (ROUND(corr(l_quantity, l_extendedprice), 6) + 0.0) AS corr_qty_price,
+           (ROUND(covar_samp(l_quantity, l_extendedprice), 4) + 0.0) AS covar_qty_price,
+           (ROUND(stddev_samp(l_discount), 6) + 0.0) AS sd_discount,
+           (ROUND(var_samp(l_quantity), 4) + 0.0) AS var_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q83_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment statistics family: correlation, sample covariance,
+    stddev, variance per group — single-pass mergeable aggregates
+    (Welford-style partial states combine across partitions, so the
+    plan is one hash aggregate, same as SUM).  Rounded before compare:
+    partial-merge order perturbs the last few ulps across engines."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        dec(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        dec(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_qty_price"),
+        dec(F.stddev_samp("l_discount"), 6).alias("sd_discount"),
+        dec(F.var_samp("l_quantity"), 4).alias("var_qty"),
     )
