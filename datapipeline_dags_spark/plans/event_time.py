@@ -400,3 +400,48 @@ def q81_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") > 10)
         .drop("rn")
     )
+
+
+@query(
+    "q84_event_transitions",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events),
+    t AS (SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+          FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+    tot AS (SELECT prev_type, SUM(n) AS tn FROM t GROUP BY prev_type)
+    SELECT t.prev_type, t.next_type, CAST(t.n AS BIGINT) AS n,
+           (ROUND(t.n * 1.0 / tot.tn, 6) + 0.0) AS p
+    FROM t JOIN tot USING (prev_type)
+    """,
+)
+def q84_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavior model: the event-type transition matrix —
+    for each (prev, next) pair, its count and conditional probability
+    P(next | prev) across all per-user ordered streams.
+
+    Scale shape: ONE shuffle on user_id for the LAG window (the same
+    partitioning sessionization uses), then the transition aggregate is
+    keyed on the tiny (type x type) domain and the row-count collapses
+    map-side; normalization joins a per-prev total that is at most
+    |event_type| rows."""
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    t = (
+        ev.select(
+            "event_type", F.lag("event_type").over(w).alias("prev_type")
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    tot = t.groupBy("prev_type").agg(F.sum("n").alias("tn"))
+    return t.join(tot, "prev_type").select(
+        "prev_type",
+        "next_type",
+        F.col("n").cast("long").alias("n"),
+        dec(F.col("n") / F.col("tn"), 6).alias("p"),
+    )
