@@ -1824,3 +1824,63 @@ def q80_fuzzy_name_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return cand.filter(F.levenshtein("name_a", "name_b") == 1)
+
+
+# ---------------------------------------------------------------------------
+# q85 — weighted priority sampling (Efraimidis–Spirakis, deterministic)
+# ---------------------------------------------------------------------------
+
+PRIORITY_K = 10  # docs kept per stratum
+
+
+def _q85_oracle() -> str:
+    return f"""
+    WITH t AS (SELECT doc_id, lang, n_chars,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                 / 4294967296.0 AS u
+               FROM documents),
+    p AS (SELECT doc_id, lang, n_chars,
+          (ROUND(-LN(u) / n_chars, 9) + 0.0) AS priority FROM t),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                                       ORDER BY priority, doc_id) AS rn
+          FROM p)
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars, priority
+    FROM r WHERE rn <= {PRIORITY_K}
+    """
+
+
+@query("q85_weighted_priority_sample", oracle=_q85_oracle())
+def q85_weighted_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis): per
+    language, keep the PRIORITY_K docs with the smallest
+    ``-ln(u) / weight`` priority — equivalent to sampling proportional
+    to weight (here n_chars: longer docs preferred), u being the md5
+    hash fraction instead of RNG state, so the sample is exactly
+    reproducible across runs, resharding, and engines.
+
+    This is the distributed-friendly form of weighted reservoir
+    sampling: priorities are map-side per-row arithmetic, the per-
+    stratum top-k is one window (rank + cut — no global sort), and
+    merging partial samples from different partitions needs only
+    "keep the k smallest priorities", which is what the window does.
+    The priority is rounded (1e-9 grid, ~1e7x coarser than libm's ulp
+    differences) with a doc_id tiebreak so the cut is deterministic.
+    """
+    docs = table(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        / F.lit(4294967296.0)
+    )
+    p = docs.select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        dec(-F.log(u) / F.col("n_chars"), 9).alias("priority"),
+    )
+    w = W.partitionBy("lang").orderBy("priority", "doc_id")
+    return (
+        p.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= PRIORITY_K)
+        .drop("rn")
+    )
