@@ -1884,3 +1884,46 @@ def q85_weighted_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= PRIORITY_K)
         .drop("rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# q86 — inverted index build
+# ---------------------------------------------------------------------------
+
+POSTINGS_CAP = 20  # doc ids materialized per term in the sample output
+
+
+def _q86_oracle() -> str:
+    return f"""
+    WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+                 FROM documents),
+    g AS (SELECT term, COUNT(*) AS df,
+                 array_to_string(list_sort(array_agg(doc_id))[1:{POSTINGS_CAP}], '|')
+                   AS postings
+          FROM tok GROUP BY term)
+    SELECT term, CAST(df AS BIGINT) AS df, postings FROM g
+    """
+
+
+@query("q86_inverted_index", oracle=_q86_oracle())
+def q86_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index build: term -> document frequency + the first
+    POSTINGS_CAP doc ids of the posting list — the retrieval-side
+    structure a corpus search needs next to the embeddings ANN.
+
+    Scale shape: distinct (doc, term) pairs first (map-side combine on
+    the pair key), then ONE term-keyed aggregate building df and the
+    bounded posting prefix.  Postings are capped in the output here;
+    the full-list variant writes term-bucketed parquet (the posting
+    files) instead of materializing lists through the driver.
+    """
+    docs = _fanout(spark, table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).distinct()
+    return tok.groupBy("term").agg(
+        F.count("*").cast("long").alias("df"),
+        F.concat_ws(
+            "|", F.slice(F.array_sort(F.collect_list("doc_id")), 1, POSTINGS_CAP)
+        ).alias("postings"),
+    )
