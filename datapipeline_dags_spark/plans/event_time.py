@@ -445,3 +445,49 @@ def q84_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         dec(F.col("n") / F.col("tn"), 6).alias("p"),
     )
+
+
+@query(
+    "q87_growth_accounting",
+    oracle="""
+    WITH d AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+    firsts AS (SELECT user_id, MIN(day) AS first_day FROM d GROUP BY user_id),
+    daily AS (SELECT day, COUNT(*) AS active_users FROM d GROUP BY day),
+    news AS (SELECT first_day AS day, COUNT(*) AS new_users FROM firsts GROUP BY first_day)
+    SELECT daily.day,
+           CAST(daily.active_users AS BIGINT) AS active_users,
+           CAST(COALESCE(news.new_users, 0) AS BIGINT) AS new_users,
+           CAST(SUM(COALESCE(news.new_users, 0)) OVER (
+             ORDER BY daily.day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cumulative_users
+    FROM daily LEFT JOIN news USING (day)
+    """,
+)
+def q87_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting: per day, active users, first-seen (new)
+    users, and the cumulative user count — the DAU/new/retained
+    decomposition every product dashboard starts from.
+
+    Scale shape: the raw stream collapses to a distinct (user, day) set
+    first, then to per-day counts; the only ordered window (cumulative
+    sum) runs over the DAY domain — tens of rows per month regardless
+    of corpus size, so the unpartitioned window is bounded, not a
+    single-partition scan of user data."""
+    ev = table(spark, sf_dir, "events")
+    d = ev.select("user_id", F.date_trunc("day", "ts").alias("day")).distinct()
+    firsts = d.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    daily = d.groupBy("day").agg(F.count("*").alias("active_users"))
+    news = firsts.groupBy(F.col("first_day").alias("day")).agg(
+        F.count("*").alias("new_users")
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    new_users = F.coalesce("new_users", F.lit(0))
+    return (
+        daily.join(news, "day", "left")
+        .select(
+            "day",
+            F.col("active_users").cast("long").alias("active_users"),
+            new_users.cast("long").alias("new_users"),
+            F.sum(new_users).over(w).cast("long").alias("cumulative_users"),
+        )
+    )
