@@ -491,3 +491,42 @@ def q87_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(new_users).over(w).cast("long").alias("cumulative_users"),
         )
     )
+
+
+@query(
+    "q88_ntile_deciles",
+    oracle="""
+    WITH t AS (
+      SELECT event_type, value,
+             NTILE(10) OVER (PARTITION BY event_type
+                             ORDER BY value, event_id) AS decile
+      FROM events)
+    SELECT event_type, CAST(decile AS BIGINT) AS decile,
+           COUNT(*) AS n,
+           (ROUND(MIN(value), 2) + 0.0) AS lo,
+           (ROUND(MAX(value), 2) + 0.0) AS hi
+    FROM t GROUP BY 1, 2
+    """,
+)
+def q88_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency binning: NTILE(10) deciles of value per event
+    type with per-bin bounds — the feature-binning / SLA-banding shape
+    (completes the window family: row_number / rank / dense_rank /
+    lag / lead / ntile are now all exercised).
+
+    The tile order includes the unique event_id tiebreak so bin
+    assignment is total-order deterministic across engines; one shuffle
+    on the partition key, then the bin aggregate collapses map-side."""
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.select(
+            "event_type", "value", F.ntile(10).over(w).alias("decile")
+        )
+        .groupBy("event_type", F.col("decile").cast("long").alias("decile"))
+        .agg(
+            F.count("*").alias("n"),
+            dec(F.min("value")).alias("lo"),
+            dec(F.max("value")).alias("hi"),
+        )
+    )
