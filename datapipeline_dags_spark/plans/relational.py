@@ -825,3 +825,103 @@ def q24_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("t_start"),
         F.max("ts").alias("t_end"),
     )
+
+
+@query(
+    "q89_dq_checks",
+    oracle="""
+    WITH null_custkey AS (
+      SELECT COUNT(*) AS total, SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS bad
+      FROM orders),
+    orphan_li AS (
+      SELECT (SELECT COUNT(*) FROM lineitem) AS total,
+             (SELECT COUNT(*) FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_orderkey = l.l_orderkey)) AS bad),
+    neg_price AS (
+      SELECT COUNT(*) AS total,
+             SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS bad
+      FROM lineitem),
+    dup_pk AS (
+      SELECT (SELECT COUNT(*) FROM orders) AS total,
+             (SELECT COALESCE(SUM(c - 1), 0) FROM
+                (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey) g
+              WHERE c > 1) AS bad),
+    disc_range AS (
+      SELECT COUNT(*) AS total,
+             SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS bad
+      FROM lineitem)
+    SELECT 'null_o_custkey' AS check_name, CAST(total AS BIGINT) AS checked_rows,
+           CAST(bad AS BIGINT) AS violations, (bad = 0) AS passed FROM null_custkey
+    UNION ALL
+    SELECT 'orphan_lineitem', CAST(total AS BIGINT), CAST(bad AS BIGINT), bad = 0 FROM orphan_li
+    UNION ALL
+    SELECT 'nonpositive_price', CAST(total AS BIGINT), CAST(bad AS BIGINT), bad = 0 FROM neg_price
+    UNION ALL
+    SELECT 'duplicate_orderkey', CAST(total AS BIGINT), CAST(bad AS BIGINT), bad = 0 FROM dup_pk
+    UNION ALL
+    SELECT 'discount_range', CAST(total AS BIGINT), CAST(bad AS BIGINT), bad = 0 FROM disc_range
+    """,
+)
+def q89_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality constraint suite (the Deequ/expectations shape):
+    completeness (null rate), referential integrity (orphan facts),
+    value ranges, and primary-key uniqueness — one row per check with
+    its violation count and verdict, the table a pipeline gate reads
+    before promoting a batch.
+
+    Scale shape: every check is a map-side conditional aggregate
+    except referential integrity (one anti-join on the join key) and
+    PK uniqueness (one key-grouped count); each check's result is a
+    single row, so the union is driver-light no matter the table size.
+    """
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+
+    def one(name: str, total: Column, bad: Column, src: DataFrame) -> DataFrame:
+        return src.agg(
+            F.lit(name).alias("check_name"),
+            total.cast("long").alias("checked_rows"),
+            bad.cast("long").alias("violations"),
+            (bad == 0).alias("passed"),
+        )
+
+    null_ck = one(
+        "null_o_custkey",
+        F.count("*"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)),
+        orders,
+    )
+    hits = orders.select("o_orderkey", F.lit(1).alias("hit"))
+    orphan_ck = one(
+        "orphan_lineitem",
+        F.count("*"),
+        F.sum(F.when(F.col("hit").isNull(), 1).otherwise(0)),
+        li.join(hits, li["l_orderkey"] == F.col("o_orderkey"), "left"),
+    )
+    price_ck = one(
+        "nonpositive_price",
+        F.count("*"),
+        F.sum(F.when(F.col("l_extendedprice") <= 0, 1).otherwise(0)),
+        li,
+    )
+    dup = orders.groupBy("o_orderkey").agg(F.count("*").alias("c"))
+    dup_ck = dup.agg(
+        F.lit("duplicate_orderkey").alias("check_name"),
+        F.sum("c").cast("long").alias("checked_rows"),
+        F.coalesce(F.sum(F.when(F.col("c") > 1, F.col("c") - 1)), F.lit(0))
+        .cast("long")
+        .alias("violations"),
+        (
+            F.coalesce(F.sum(F.when(F.col("c") > 1, F.col("c") - 1)), F.lit(0)) == 0
+        ).alias("passed"),
+    )
+    disc_ck = one(
+        "discount_range",
+        F.count("*"),
+        F.sum(
+            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1).otherwise(0)
+        ),
+        li,
+    )
+    return null_ck.union(orphan_ck).union(price_ck).union(dup_ck).union(disc_ck)
