@@ -9,8 +9,11 @@ the scan in per-file overhead.  Two standard maintenance passes fix it:
 
 - ``compact_parquet``: bin-pack a directory into ~target-size files
   (OPTIMIZE-style).  Runs per partition directory at scale; the rewrite
-  is a plain distributed read→repartition→write, swapped in atomically
-  so concurrent readers see either the old or the new layout.
+  is a plain distributed read→repartition→write followed by a
+  directory swap.  NOTE the swap is NOT atomic for concurrent readers
+  (see the function docstring) — production lakes get atomicity from a
+  table format's manifest commit (Delta/Iceberg OPTIMIZE), not from
+  renames.
 - ``write_clustered``: range-partition + sort by the cluster columns so
   every output file owns a disjoint key range — parquet min/max footer
   stats then prune whole files for range predicates (the poor man's
@@ -41,9 +44,12 @@ def compact_parquet(
     ceil(total_bytes / target) files.  Returns before/after file counts.
 
     The data path is fully distributed (scan → round-robin repartition →
-    write); only the directory swap is driver-side.  On object stores
-    the swap becomes a manifest/metadata commit (Delta/Iceberg OPTIMIZE);
-    the Spark plan is identical.
+    write); only the directory swap is driver-side.  The two-rename swap
+    leaves a brief window where ``path`` does not exist, and the old
+    files are deleted right after — a reader that listed the old layout
+    mid-swap can fail.  Safe for quiesced/maintenance-window use only;
+    for concurrent readers use a table format whose manifest commit is
+    atomic (Delta/Iceberg OPTIMIZE — the Spark plan is identical).
     """
     files = _parquet_files(path)
     total = sum(os.path.getsize(f) for f in files)

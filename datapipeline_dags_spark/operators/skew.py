@@ -21,6 +21,17 @@ from pyspark.sql import functions as F
 SALT_COL = "__salt"
 
 
+def salt_expr(columns: list[str], salt_n: int):
+    """Deterministic per-row salt in [0, salt_n): a pure function of the
+    row's column values, so a task retry / AQE repartition / speculative
+    duplicate recomputes the SAME salt (F.rand(seed) is only stable for a
+    fixed partition layout — a replay could mis-route rows mid-join)."""
+    return F.pmod(
+        F.xxhash64(*[F.col(c) for c in columns], F.lit("salted_join")),
+        F.lit(salt_n),
+    ).cast("int")
+
+
 def salted_join(
     large: DataFrame,
     small: DataFrame,
@@ -38,9 +49,10 @@ def salted_join(
         raise ValueError("salted_join supports inner/left (large side preserved)")
     if SALT_COL in large.columns or SALT_COL in small.columns:
         raise ValueError(f"{SALT_COL} column name is reserved")
-    salted_large = large.withColumn(
-        SALT_COL, (F.rand(seed=42) * salt_n).cast("int")
-    )
+    # xxhash64 over all non-key columns spreads a hot key's rows uniformly;
+    # keys are excluded so the spread is independent of the join key value.
+    non_key = [c for c in large.columns if c not in on] or on
+    salted_large = large.withColumn(SALT_COL, salt_expr(non_key, salt_n))
     replicated_small = small.withColumn(
         SALT_COL, F.explode(F.array(*[F.lit(i) for i in range(salt_n)]))
     )

@@ -11,6 +11,8 @@ path works unchanged on a cluster with the S3 connector.
 
 from __future__ import annotations
 
+import json
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
@@ -36,9 +38,12 @@ def write_extended_jsonl(
     record = to_extended_json(F.struct(*[F.col(f.name) for f in target.fields]), target)
     if entity is not None:
         # splice the already-serialized record into the envelope (a
-        # to_json(struct(...)) would re-escape it as a string value)
+        # to_json(struct(...)) would re-escape it as a string value);
+        # json.dumps(entity) so quotes/backslashes in the tag stay valid JSON
         line = F.concat(
-            F.lit('{"entity": "' + entity + '", "record": '), record, F.lit("}")
+            F.lit('{"entity": ' + json.dumps(entity) + ', "record": '),
+            record,
+            F.lit("}"),
         )
     else:
         line = record

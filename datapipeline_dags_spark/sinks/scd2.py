@@ -17,6 +17,9 @@ set-based statements on the DB side —
 
 Unchanged rows are untouched, so re-applying a batch is a no-op —
 idempotent under the sync protocol's at-least-once re-runs (ST5).
+Out-of-order replays are guarded: a batch row whose effective_ts is
+older than the key's current ``valid_from`` is ignored (never closes a
+newer version, never reopens stale attributes).
 NULL-safe attribute comparison uses IS DISTINCT FROM.
 """
 
@@ -76,12 +79,18 @@ class Scd2Sink:
         with staged_parquet(batch) as glob:
             with connect(self.db_path) as con:
                 con.execute(self._ddl(batch))
+                # s.ts >= t.valid_from guards against out-of-order batches:
+                # replaying an OLDER batch after a newer one must not close
+                # the newer current version (valid_to < valid_from) nor
+                # reopen stale attributes — stale rows are ignored, which is
+                # the at-least-once re-run contract.
                 closed = con.execute(
                     f'''
                     UPDATE "{self.table}" t
                     SET valid_to = s."{self.ts_col}", is_current = FALSE
                     FROM (SELECT * FROM read_parquet('{glob}')) s
                     WHERE {key_eq} AND t.is_current AND ({changed})
+                      AND s."{self.ts_col}" >= t.valid_from
                     '''
                 ).fetchone()
                 opened = con.execute(
@@ -93,6 +102,10 @@ class Scd2Sink:
                     WHERE NOT EXISTS (
                       SELECT 1 FROM "{self.table}" t
                       WHERE {key_eq} AND t.is_current)
+                      AND NOT EXISTS (
+                      SELECT 1 FROM "{self.table}" t2
+                      WHERE {key_eq.replace('t."', 't2."')}
+                        AND t2.valid_from > s."{self.ts_col}")
                     '''
                 ).fetchone()
         return {

@@ -123,6 +123,14 @@ def sync_entity(
         F.min(id_col).alias("from_id"),
         F.max(id_col).alias("to_id"),
         F.max(ts_col).alias("max_ts"),
+        # watermark id PAIRED with the max ts (max id among rows whose ts
+        # == max_ts), like the reference's ORDER-BY last row — a global
+        # max id from a row with an older ts would make watermark_scan's
+        # (ts == wm.ts AND id > last_id) branch skip legitimate rows when
+        # ids are uncorrelated with processing_ts (update-style CDC)
+        F.max_by(
+            F.col(id_col), F.struct(F.col(ts_col), F.col(id_col))
+        ).alias("wm_id"),
     ).collect()[0]
     if stats.n == 0:  # P3: non-empty guard
         _log(db_path, run_id, entity, NO_DATA,
@@ -135,7 +143,7 @@ def sync_entity(
     n = sink.write(batch)
     if crash_after_upsert:
         raise RuntimeError("simulated crash before COMPLETED")
-    new_wm = Watermark(stats.max_ts, stats.to_id)
+    new_wm = Watermark(stats.max_ts, stats.wm_id)
     _log(db_path, run_id, entity, COMPLETED,
          ts=new_wm.ts, count=n, from_id=stats.from_id, to_id=new_wm.last_id)
     return SyncResult(entity, COMPLETED, n, new_wm)

@@ -49,7 +49,13 @@ class UpsertSink:
 
     def write(self, df: DataFrame) -> int:
         """Stage the batch as parquet (distributed write), then apply one
-        set-based INSERT ... ON CONFLICT DO UPDATE.  Returns rows applied."""
+        set-based INSERT ... ON CONFLICT DO UPDATE.
+
+        Returns the MERGE's changes count (rows inserted + rows updated,
+        as reported by the database), NOT the staged-batch size — safe to
+        read as an "applied" metric next to ``apply_verified_updates``'s
+        matched counts.
+        """
         batch = self._dedupe(df)
         cols = [f.name for f in batch.schema.fields]
         non_keys = [c for c in cols if c not in self.keys]
@@ -60,15 +66,12 @@ class UpsertSink:
         with staged_parquet(batch) as glob:
             with connect(self.db_path) as con:
                 con.execute(ddl_for(batch, self.table, self.keys))
-                con.execute(
+                row = con.execute(
                     f'INSERT INTO "{self.table}" ({collist}) '
                     f"SELECT {collist} FROM read_parquet('{glob}') "
                     f"ON CONFLICT ({', '.join(self.keys)}) DO UPDATE SET {updates}"
-                )
-                n = con.execute(
-                    f"SELECT COUNT(*) FROM read_parquet('{glob}')"
-                ).fetchone()[0]
-        return int(n)
+                ).fetchone()
+        return int(row[0]) if row else 0
 
 
 def apply_verified_updates(

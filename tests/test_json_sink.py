@@ -46,3 +46,21 @@ def test_sink_source_roundtrip_preserves_rich_types(spark, tmp_path):
     assert rows["a" * 24].amount == Decimal("10.500000")
     assert rows["a" * 24].created_at == dt.datetime(2026, 3, 1, 12, 0, 0, 500000)
     assert rows["b" * 24].created_at == dt.datetime(2026, 3, 2)
+
+
+def test_entity_tag_with_quotes_stays_valid_json(spark, tmp_path):
+    """The entity tag is spliced into the envelope as a literal — quotes
+    and backslashes in it must be escaped or every line is broken."""
+    import json
+
+    out = str(tmp_path / "weird")
+    df = spark.createDataFrame(
+        [("c" * 24, dt.datetime(2026, 1, 1), Decimal("1.000000"))], TARGET
+    )
+    entity = 'we"ird\\tag'
+    write_extended_jsonl(df, TARGET, out, entity=entity)
+    raw = [r.value for r in spark.read.text(out).collect()]
+    parsed = [json.loads(line) for line in raw]  # raises if escaping broke
+    assert parsed[0]["entity"] == entity
+    back = read_entity_jsonl(spark, out, entity, MAPPING)
+    assert back.count() == 1

@@ -80,6 +80,26 @@ def test_scd2_in_batch_dupes_collapse_to_latest(spark, tmp_path):
     assert got == [(1, "GOLD", "BERGEN", ts(3), None, True)]
 
 
+def test_scd2_out_of_order_replay_is_ignored(spark, tmp_path):
+    """Replaying an OLDER batch after a newer one must be a no-op:
+    never close the newer current version (which would set valid_to <
+    valid_from) nor reopen stale attributes as current."""
+    sink = make_sink(tmp_path)
+    schema = "cust_id long, segment string, city string, effective_ts timestamp"
+    b_old = spark.createDataFrame([(1, "GOLD", "OSLO", ts(1))], schema)
+    b_new = spark.createDataFrame([(1, "GOLD", "BERGEN", ts(5))], schema)
+    sink.write(b_old)
+    sink.write(b_new)
+    snapshot = rows(sink.db_path)
+
+    # stale replay: changed attrs but older effective_ts → ignored
+    assert sink.write(b_old) == {"closed": 0, "opened": 0}
+    assert rows(sink.db_path) == snapshot
+    # current version is still the day-5 one with a valid interval
+    cur = [r for r in snapshot if r[5]]
+    assert cur == [(1, "GOLD", "BERGEN", ts(5), None, True)]
+
+
 def test_scd2_null_safe_change_detection(spark, tmp_path):
     sink = make_sink(tmp_path)
     schema = "cust_id long, segment string, city string, effective_ts timestamp"

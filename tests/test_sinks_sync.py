@@ -47,8 +47,9 @@ def test_upsert_inserts_then_updates(spark, db):
     sink = UpsertSink(db, "verified_contact", keys=["company_id", "external_id"])
     n = sink.write(contacts_df(spark, [("c1", "x1", "Ada", "{}"), ("c1", "x2", "Grace", "{}")]))
     assert n == 2
-    # update one, insert one
-    sink.write(contacts_df(spark, [("c1", "x1", "Ada L.", "{}"), ("c1", "x3", "Edsger", "{}")]))
+    # update one, insert one — write() reports the MERGE's changes count
+    n2 = sink.write(contacts_df(spark, [("c1", "x1", "Ada L.", "{}"), ("c1", "x3", "Edsger", "{}")]))
+    assert n2 == 2
     rows = dict((r[1], r[2]) for r in q(db, "SELECT * FROM verified_contact ORDER BY external_id"))
     assert rows == {"x1": "Ada L.", "x2": "Grace", "x3": "Edsger"}
 
@@ -136,6 +137,36 @@ def test_incremental_sync_exactly_once_with_random_batches(spark, sf_dir, db):
     assert statuses.count(STARTED) == len(cuts)
     assert statuses.count(COMPLETED) == len(cuts)
     assert statuses[-1] == NO_DATA
+
+
+def test_watermark_id_paired_with_max_ts_not_global_max(spark, db):
+    """Update-style CDC: ids uncorrelated with processing_ts.  The
+    watermark id must come from the row carrying the max ts (reference
+    takes the ORDER-BY-id last row's own pair) — a GLOBAL max id would
+    make the (ts == wm.ts AND id > last_id) branch permanently skip a
+    row later committed with ts == max_ts and a smaller id."""
+    import datetime as dt
+
+    t1, t2 = dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 2)
+    schema = "id long, processing_ts timestamp, payload string"
+
+    def src(rows):
+        return lambda: spark.createDataFrame(rows, schema)
+
+    r1 = sync_entity(
+        src([(10, t1, "a"), (5, t2, "b")]), db, "cdc", "sync_cdc", run_id="r1"
+    )
+    assert r1.status == COMPLETED
+    # paired watermark: (t2, 5) — NOT (t2, 10)
+    assert (r1.watermark.ts, r1.watermark.last_id) == (t2, 5)
+
+    # a row committed later with ts == t2, id between 5 and 10 must sync
+    r2 = sync_entity(
+        src([(10, t1, "a"), (5, t2, "b"), (7, t2, "c")]),
+        db, "cdc", "sync_cdc", run_id="r2",
+    )
+    assert r2.status == COMPLETED and r2.records == 1
+    assert q(db, "SELECT COUNT(*) FROM sync_cdc") == [(3,)]
 
 
 def test_crash_rerun_resumes_exactly_once(spark, sf_dir, db):

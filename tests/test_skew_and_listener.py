@@ -10,7 +10,7 @@ import duckdb
 import pytest
 from pyspark.sql import functions as F
 
-from datapipeline_dags_spark.operators.skew import salted_join
+from datapipeline_dags_spark.operators.skew import SALT_COL, salt_expr, salted_join
 from datapipeline_dags_spark.streaming.listener import DbProgressListener
 
 
@@ -42,6 +42,28 @@ def test_salted_left_join_equals_plain(spark, skewed):
     plain = fact.join(sparse_dim, ["k"], "left").select("k", "v", "w")
     salted = salted_join(fact, sparse_dim, ["k"], how="left", salt_n=8).select("k", "v", "w")
     assert canon(salted) == canon(plain)
+
+
+def test_salt_is_retry_stable_across_partition_layouts(spark, skewed):
+    """Salt must be a pure function of row data: a task retry or AQE
+    repartition replays the SAME salt per row (rand(seed) would not)."""
+    fact, _ = skewed
+    expr = salt_expr(["v"], 8)
+    a = {r.v: r.s for r in fact.select("v", expr.alias("s")).collect()}
+    b = {
+        r.v: r.s
+        for r in fact.repartition(13).select("v", expr.alias("s")).collect()
+    }
+    assert a == b
+    assert set(a.values()) == set(range(8))  # hot key actually spreads
+
+
+def test_salted_join_result_stable_under_repartition(spark, skewed):
+    fact, dim = skewed
+    one = salted_join(fact, dim, ["k"], salt_n=8).select("k", "v", "w")
+    two = salted_join(fact.repartition(17), dim, ["k"], salt_n=8).select("k", "v", "w")
+    assert canon(one) == canon(two)
+    assert SALT_COL not in one.columns
 
 
 def test_salted_join_rejects_unsupported_how(spark, skewed):
