@@ -24,7 +24,7 @@ orchestration — see SURVEY §0); these are mandated extensions.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, Observation, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
@@ -63,6 +63,41 @@ def _fanout(spark: SparkSession, df: DataFrame) -> DataFrame:
     round-robin shuffle of the raw rows that unlocks the other 31 cores.
     """
     return df.repartition(spark.sparkContext.defaultParallelism)
+
+
+# Candidate-bucket cap shared by the blocking-based near-dup operators
+# (q41 LSH bands, q42 SimHash bands, q69 anchors, q80 deletion variants).
+# A bucket larger than this is TRUNCATED to its BUCKET_CAP smallest
+# members (never silently dropped — a dropped hot band would lose ALL of
+# its pairs at scale), and the truncation is mirrored in the DuckDB
+# oracle SQL (row_number per bucket ordered by the doc key), so the
+# contract stays hash-checkable at any scale.
+BUCKET_CAP = 1000
+
+#: Observation per capped query, refreshed on every plan build — after an
+#: action on the returned DataFrame, ``BUCKET_OBSERVATIONS[name].get``
+#: yields {"buckets": n, "capped_buckets": n, "max_bucket_size": n} so a
+#: cap that fires is an observable recall event, not a silent one.
+BUCKET_OBSERVATIONS: dict[str, Observation] = {}
+
+
+def _cap_buckets(bucketed: DataFrame, name: str, members_col: str) -> DataFrame:
+    """Truncate oversized candidate buckets to their BUCKET_CAP smallest
+    members (natural array_sort order == doc-key order for the id /
+    struct-with-leading-id members used here) and attach bucket counters
+    via ``df.observe`` — computed as rows flow, no extra action/shuffle.
+    """
+    obs = Observation()
+    BUCKET_OBSERVATIONS[name] = obs
+    size = F.size(F.col(members_col))
+    return bucketed.observe(
+        obs,
+        F.count(F.lit(1)).alias("buckets"),
+        F.sum((size > BUCKET_CAP).cast("long")).alias("capped_buckets"),
+        F.max(size).alias("max_bucket_size"),
+    ).withColumn(
+        members_col, F.slice(F.array_sort(F.col(members_col)), 1, BUCKET_CAP)
+    )
 
 
 def _shingles(text: Column) -> Column:
@@ -164,7 +199,10 @@ def _q41_oracle() -> str:
                     'h2': ('0x' || substr(h, 17, 8))::BIGINT}}) AS hp
            FROM docs),
     sig AS (SELECT doc_id, {sig_cols} FROM hp),
-    bands AS ({band_selects}),
+    bands_raw AS ({band_selects}),
+    bands AS (SELECT doc_id, band, key FROM bands_raw
+              QUALIFY row_number() OVER (PARTITION BY band, key
+                                         ORDER BY doc_id) <= {BUCKET_CAP}),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b
@@ -236,8 +274,9 @@ def q41_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Candidate pairs via ONE aggregation instead of a band self-join: a
     # self-join would execute the whole signature pipeline twice (Spark
     # cannot reuse the exchange across the broadcast side).  Bucket size
-    # is bounded by band selectivity; the cap guards the pathological
-    # all-identical-docs bucket (those pairs belong to exact dedup, q40).
+    # is bounded by band selectivity; a pathological all-identical-docs
+    # bucket (those pairs belong to exact dedup, q40) is TRUNCATED to
+    # BUCKET_CAP members with an observed counter — see _cap_buckets.
     ids = F.array_sort(F.col("ids"))
     pair_structs = F.flatten(
         F.transform(
@@ -248,10 +287,13 @@ def q41_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    cand = (
+    bucketed = (
         bands.groupBy("band", "key")
         .agg(F.collect_list("doc_id").alias("ids"))
-        .filter((F.size("ids") >= 2) & (F.size("ids") <= 1000))
+        .filter(F.size("ids") >= 2)
+    )
+    cand = (
+        _cap_buckets(bucketed, "q41_dedup_minhash_lsh", "ids")
         .select(F.explode(pair_structs).alias("p"))
         .select(F.col("p.doc_a"), F.col("p.doc_b"))
         .distinct()
@@ -294,7 +336,10 @@ def _q42_oracle() -> str:
     )
     return f"""
     WITH sigs AS (SELECT doc_id, {bits} AS sig FROM documents),
-    bands AS ({band_selects}),
+    bands_raw AS ({band_selects}),
+    bands AS (SELECT doc_id, sig, band, key FROM bands_raw
+              QUALIFY row_number() OVER (PARTITION BY band, key
+                                         ORDER BY doc_id) <= {BUCKET_CAP}),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
              CAST({hamming} AS BIGINT) AS hamming
@@ -358,10 +403,13 @@ def q42_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(0)
         for d in range(1, SIMHASH_BITS + 1)
     )
-    return (
+    bucketed = (
         bands.groupBy("band", "key")
         .agg(F.collect_list(F.struct("doc_id", "sig")).alias("ids"))
-        .filter((F.size("ids") >= 2) & (F.size("ids") <= 1000))
+        .filter(F.size("ids") >= 2)
+    )
+    return (
+        _cap_buckets(bucketed, "q42_dedup_simhash", "ids")
         .select(F.explode(pair_structs).alias("p"))
         .select(
             F.col("p.a.doc_id").alias("doc_a"),
@@ -1123,9 +1171,12 @@ def _q69_oracle() -> str:
     return f"""
     WITH RECURSIVE
     docs AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents),
-    anch AS (SELECT doc_id,
+    anch_raw AS (SELECT doc_id,
              unnest((list_sort(list_transform(sh, s -> md5(s))))[1:{ANCHOR_K}]) AS a
              FROM docs),
+    anch AS (SELECT doc_id, a FROM anch_raw
+             QUALIFY row_number() OVER (PARTITION BY a
+                                        ORDER BY doc_id) <= {BUCKET_CAP}),
     edges AS (SELECT DISTINCT x.doc_id AS src, y.doc_id AS dst
               FROM anch x JOIN anch y ON x.a = y.a AND x.doc_id < y.doc_id),
     sym AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
@@ -1192,10 +1243,13 @@ def q69_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    edges = (
+    bucketed = (
         anchors.groupBy("a")
         .agg(F.collect_list("doc_id").alias("ids"))
-        .filter((F.size("ids") >= 2) & (F.size("ids") <= 1000))
+        .filter(F.size("ids") >= 2)
+    )
+    edges = (
+        _cap_buckets(bucketed, "q69_dedup_clusters", "ids")
         .select(F.explode(pair_structs).alias("p"))
         .select(F.col("p.src").alias("src"), F.col("p.dst").alias("dst"))
         .distinct()
@@ -1756,9 +1810,12 @@ def _q80_oracle() -> str:
     return f"""
     WITH c AS (SELECT c_custkey, c_name FROM customer
                WHERE c_custkey < {FUZZY_KEY_CAP}),
-    v AS (SELECT c_custkey, c_name, i AS pos,
+    v_raw AS (SELECT c_custkey, c_name, i AS pos,
                  substr(c_name, 1, i - 1) || substr(c_name, i + 1) AS var
           FROM c, unnest(generate_series(1, length(c_name))) t(i)),
+    v AS (SELECT c_custkey, c_name, pos, var FROM v_raw
+          QUALIFY row_number() OVER (PARTITION BY pos, var
+                                     ORDER BY c_custkey) <= {BUCKET_CAP}),
     cand AS (SELECT DISTINCT a.c_custkey AS key_a, b.c_custkey AS key_b,
                     a.c_name AS name_a, b.c_name AS name_b
              FROM v a JOIN v b
@@ -1815,10 +1872,13 @@ def q80_fuzzy_name_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    cand = (
+    bucketed = (
         v.groupBy("pos0", "var")
         .agg(F.collect_list(F.struct("c_custkey", "c_name")).alias("ms"))
-        .filter((F.size("ms") >= 2) & (F.size("ms") <= 1000))
+        .filter(F.size("ms") >= 2)
+    )
+    cand = (
+        _cap_buckets(bucketed, "q80_fuzzy_name_join", "ms")
         .select(F.explode(pair_structs).alias("p"))
         .select("p.key_a", "p.key_b", "p.name_a", "p.name_b")
         .distinct()
