@@ -79,6 +79,21 @@ def main() -> None:
             spark.catalog.clearCache()
         timings[name] = round(statistics.median(runs), 3)
     total = round(sum(timings.values()), 3)
+
+    # ANN quality: recall@k of each approximate operator vs the exact
+    # top-k (q90), plus the IVF nprobe recall trade-off curve.  Quality
+    # is reported next to latency so a fast-but-blind ANN config can't
+    # look like a win.
+    from datapipeline_dags_spark.plans import llm_ops
+
+    recall_rows = llm_ops.q90_ann_recall(spark, sf_dir).collect()
+    ann_recall = {
+        f"{r.method}@{r.k}": float(r.recall) for r in recall_rows
+    }
+    ann_recall["ivf_nprobe"] = {
+        str(np_): r for np_, r in llm_ops.ivf_recall_sweep(spark, sf_dir).items()
+    }
+
     print(
         json.dumps(
             {
@@ -90,6 +105,7 @@ def main() -> None:
                 "reps": REPS,
                 "agg": "median",
                 "sf": sf,
+                "ann_recall": ann_recall,
             }
         )
     )

@@ -579,66 +579,111 @@ def q45_ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-LSH_SIGN_BITS = 4
+LSH_SIGN_BITS = 4  # bits per hash table (2^4 = 16 buckets)
+LSH_TABLES = 8  # hash tables over disjoint dim groups (dims 1..32)
+LSH_K = 3  # neighbors returned per vector
 
 
-def _bucket_sql(tbl: str) -> str:
+def _bucket_sql(tbl: str, t: int) -> str:
     return " || ".join(
-        f"CASE WHEN {tbl}.embedding[{i}] >= 0 THEN '1' ELSE '0' END"
+        f"CASE WHEN {tbl}.embedding[{t * LSH_SIGN_BITS + i}] >= 0 THEN '1' ELSE '0' END"
         for i in range(1, LSH_SIGN_BITS + 1)
     )
 
 
-@query(
-    "q46_ann_lsh_bucketed",
-    oracle=f"""
-    WITH b AS (SELECT vec_id, embedding, {_bucket_sql('embeddings')} AS bucket FROM embeddings),
+def _q46_oracle() -> str:
+    band_selects = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS t, {_bucket_sql('embeddings', t)} AS bucket FROM embeddings"
+        for t in range(LSH_TABLES)
+    )
+    return f"""
+    WITH b AS ({band_selects}),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS q_id, c.vec_id AS neighbor_id
+      FROM b a JOIN b c ON a.t = c.t AND a.bucket = c.bucket
+       AND a.vec_id <> c.vec_id),
     p AS (
-      SELECT a.vec_id AS q_id, c.vec_id AS neighbor_id,
-             (ROUND({_COS_SQL.format(a='a.embedding', b='c.embedding')}, 6) + 0.0) AS cos_sim
-      FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id),
+      SELECT cand.q_id, cand.neighbor_id,
+             (ROUND({_COS_SQL.format(a='qa.embedding', b='qc.embedding')}, 6) + 0.0) AS cos_sim
+      FROM cand
+      JOIN embeddings qa ON qa.vec_id = cand.q_id
+      JOIN embeddings qc ON qc.vec_id = cand.neighbor_id),
     r AS (
       SELECT q_id, neighbor_id, cos_sim,
              CAST(ROW_NUMBER() OVER (PARTITION BY q_id
                                      ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
       FROM p)
-    SELECT q_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= 3
-    """,
-)
-def q46_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN: hyperplane sign bits (axis-aligned, first 4 dims)
-    partition the corpus into 16 buckets; top-3 neighbors are searched
-    within the bucket only — the candidate set shrinks by the bucket
-    fan-out instead of scanning the corpus per query.
-
-    At 100 TB: more sign bits (2^b buckets) + multi-probe for recall;
-    the bucket join is an equi-join on a short key, AQE handles skewed
-    buckets.  Deterministic planes (no RNG) keep it oracle-checkable.
+    SELECT q_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= {LSH_K}
     """
-    emb = _fanout(spark, table(spark, sf_dir, "embeddings"))
-    bucket = F.concat(
-        *[
-            F.when(F.element_at("embedding", i) >= 0, F.lit("1")).otherwise(F.lit("0"))
-            for i in range(1, LSH_SIGN_BITS + 1)
-        ]
+
+
+@query("q46_ann_lsh_bucketed", oracle=_q46_oracle())
+def q46_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table LSH ANN: LSH_TABLES hash tables, each hashing a
+    DISJOINT group of LSH_SIGN_BITS dimensions into sign buckets; a
+    vector's top-LSH_K neighbors are searched within the union of its
+    buckets across tables.  Candidate union across independent tables is
+    the standard recall lever for sign-LSH (one 4-bit table: recall@3
+    ≈ 0.18 on the fixture; 8 tables: ≈ 0.73 — see q90/BENCH ann_recall;
+    the residual gap is the data: near-isotropic synthetic vectors are
+    sign-LSH's worst case, real clustered embeddings bucket far better).
+
+    Scale shape: ONE posexplode emits the (table, bucket) keys — the
+    signature pass runs once; candidates come from an equi-join on the
+    short (t, bucket) key (AQE splits skewed buckets), pair ids are
+    deduped BEFORE scoring so each surviving pair's cosine is computed
+    once, and scoring re-joins the narrow (vec_id, embedding) projection
+    on both sides.  Deterministic planes (no RNG) keep it
+    oracle-checkable.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+
+    def bucket(t: int) -> Column:
+        return F.concat(
+            *[
+                F.when(
+                    F.element_at("embedding", t * LSH_SIGN_BITS + i) >= 0,
+                    F.lit("1"),
+                ).otherwise(F.lit("0"))
+                for i in range(1, LSH_SIGN_BITS + 1)
+            ]
+        )
+
+    b = _fanout(spark, emb).select(
+        "vec_id",
+        F.posexplode(F.array(*[bucket(t) for t in range(LSH_TABLES)])).alias(
+            "t", "bucket"
+        ),
     )
-    b = emb.select("vec_id", "embedding", bucket.alias("bucket"))
-    a = b.select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe"), F.col("bucket")
-    )
-    pairs = (
-        a.join(b, ["bucket"])
+    a = b.select(F.col("vec_id").alias("q_id"), "t", "bucket")
+    cand = (
+        a.join(b, ["t", "bucket"])
         .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    vec = emb.select("vec_id", "embedding")
+    pairs = (
+        cand.join(
+            vec.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")),
+            "q_id",
+        )
+        .join(
+            vec.select(
+                F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne")
+            ),
+            "neighbor_id",
+        )
         .select(
             "q_id",
-            F.col("vec_id").alias("neighbor_id"),
-            dec(_cosine(F.col("qe"), F.col("embedding")), 6).alias("cos_sim"),
+            "neighbor_id",
+            dec(_cosine(F.col("qe"), F.col("ne")), 6).alias("cos_sim"),
         )
     )
     w = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
     return (
         pairs.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 3)
+        .filter(F.col("rank") <= LSH_K)
         .select("q_id", "neighbor_id", "cos_sim", "rank")
     )
 
@@ -647,8 +692,15 @@ def q46_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q47 — IVF-partitioned ANN (coarse quantizer + cell probing)
 # ---------------------------------------------------------------------------
 
-N_CENTROIDS = 8  # coarse-quantizer size — fixed, does NOT scale with corpus
-NPROBE = 2  # cells probed per query
+# Coarse-quantizer size — fixed, does NOT scale with corpus.  16 cells /
+# 8 probes gives recall@5 = 0.93 on the fixture (q90); the probe RATIO
+# looks high only because the synthetic vectors are near-isotropic —
+# with a trained codebook on real clustered embeddings the same recall
+# needs a far smaller nprobe/cells ratio (and production would run
+# 2^10..2^16 cells).  The nprobe knob's measured trade-off is in
+# BENCH ann_recall.ivf_nprobe.
+N_CENTROIDS = 16
+NPROBE = 8  # cells probed per query
 IVF_K = 5
 
 
@@ -686,7 +738,9 @@ def _q47_oracle() -> str:
 
 
 @query("q47_ann_ivf", oracle=_q47_oracle())
-def q47_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q47_ann_ivf(
+    spark: SparkSession, sf_dir: str, nprobe: int = NPROBE
+) -> DataFrame:
     """IVF top-k ANN: a fixed coarse quantizer partitions the corpus into
     cells; each query probes only its NPROBE nearest cells.
 
@@ -749,7 +803,7 @@ def q47_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("q_id"),
             F.col("embedding").alias("qe"),
             F.explode(
-                F.transform(F.slice(ranked, 1, NPROBE), lambda s: s["cid"])
+                F.transform(F.slice(ranked, 1, nprobe), lambda s: s["cid"])
             ).alias("cell"),
         )
     )
@@ -1584,9 +1638,15 @@ def q74_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q75 — product-quantization ANN (ADC scoring)
 # ---------------------------------------------------------------------------
 
-PQ_M = 4  # subspaces
-PQ_D = 16  # dims per subspace (embedding dim 64 / PQ_M)
-PQ_K = 8  # centroids per subspace (sampled codebook, cf. q47's quantizer)
+PQ_M = 16  # subspaces
+PQ_D = 4  # dims per subspace (embedding dim 64 / PQ_M)
+PQ_K = 32  # centroids per subspace (sampled codebook, cf. q47's quantizer)
+# ADC shortlist size for the exact-rerank refine step: ADC keeps the
+# top-PQ_REFINE by approximate dot, then those candidates alone are
+# scored with the TRUE cosine and re-ranked to TOPK — the standard
+# IVF-PQ "refine" stage.  Measured on the fixture (q90): recall@10
+# 0.17 without refine → 0.96 with it.
+PQ_REFINE = 100
 
 
 def _q75_oracle() -> str:
@@ -1619,35 +1679,50 @@ def _q75_oracle() -> str:
                FROM codes c JOIN lut l ON l.m = c.m AND l.cid = c.cid
                WHERE c.vec_id != l.q_id
                GROUP BY l.q_id, c.vec_id),
-    r AS (SELECT q_id, neighbor_id, (ROUND(s, 6) + 0.0) AS approx_dot,
+    r AS (SELECT q_id, neighbor_id,
           ROW_NUMBER() OVER (PARTITION BY q_id
-                             ORDER BY ROUND(s, 6) DESC, neighbor_id) AS rank
-          FROM scored)
-    SELECT q_id, neighbor_id, approx_dot, CAST(rank AS BIGINT) AS rank
-    FROM r WHERE rank <= {TOPK}
+                             ORDER BY ROUND(s, 6) DESC, neighbor_id) AS srank
+          FROM scored),
+    short AS (SELECT q_id, neighbor_id FROM r WHERE srank <= {PQ_REFINE}),
+    ref AS (SELECT s.q_id, s.neighbor_id,
+            (ROUND({_COS_SQL.format(a='qa.embedding', b='qc.embedding')}, 6) + 0.0) AS cos_sim
+            FROM short s
+            JOIN embeddings qa ON qa.vec_id = s.q_id
+            JOIN embeddings qc ON qc.vec_id = s.neighbor_id),
+    rr AS (SELECT q_id, neighbor_id, cos_sim,
+           ROW_NUMBER() OVER (PARTITION BY q_id
+                              ORDER BY cos_sim DESC, neighbor_id) AS rank
+           FROM ref)
+    SELECT q_id, neighbor_id, cos_sim, CAST(rank AS BIGINT) AS rank
+    FROM rr WHERE rank <= {TOPK}
     """
 
 
 @query("q75_ann_pq", oracle=_q75_oracle())
 def q75_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ANN with asymmetric-distance (ADC) scoring.
+    """Product-quantization ANN: ADC shortlist + exact-cosine refine.
 
-    Each 64-dim vector is encoded as PQ_M=4 one-byte codes (argmin-L2
-    centroid per 16-dim subspace); a query scores a corpus vector by
-    summing 4 lookup-table entries — dot(query_sub, centroid) partials —
-    never touching the original embedding.  The codebook is the first
+    Each 64-dim vector is encoded as PQ_M codes (argmin-L2 centroid per
+    PQ_D-dim subspace); a query scores a corpus vector by summing PQ_M
+    lookup-table entries — dot(query_sub, centroid) partials — never
+    touching the original embedding.  The ADC top-PQ_REFINE shortlist is
+    then re-scored with the TRUE cosine and re-ranked to TOPK (the
+    standard IVF-PQ refine stage; measured recall@10 on the fixture:
+    0.17 ADC-only → 0.96 refined, see q90).  The codebook is the first
     PQ_K corpus vectors' subvectors (a trained per-subspace KMeans
     codebook in production — deterministic ids keep it oracle-checkable,
     cf. q47's quantizer).
 
-    Scale design: the corpus pass that matters reads ONLY (vec_id,
-    codes) — a 4-byte-per-vector structure, the 16x-compression that
-    makes PQ the memory workhorse of billion-vector ANN.  Encoding is
-    map-only (broadcast codebook); scoring broadcast-joins the
-    N_QUERIES x PQ_M x PQ_K LUT (tiny, fixed-size) against the codes
-    table and the only shuffle is the final per-query top-k window.
-    All sums accumulate strictly left-to-right in double on both
-    engines, so even the ADC scores hash-match the oracle.
+    Scale design: the corpus-wide pass reads ONLY (vec_id, codes) — a
+    PQ_M-byte-per-vector structure, the compression that makes PQ the
+    memory workhorse of billion-vector ANN.  Encoding is map-only
+    (broadcast codebook); scoring broadcast-joins the N_QUERIES x PQ_M x
+    PQ_K LUT (tiny, fixed-size) against the codes table; the refine
+    joins broadcast the N_QUERIES×PQ_REFINE shortlist against the
+    narrow (vec_id, embedding) projection, so full vectors are read for
+    shortlisted candidates only.  The only shuffles are the two top-k
+    windows.  All sums accumulate strictly left-to-right in double on
+    both engines, so even the ADC scores hash-match the oracle.
     """
     corpus = table(spark, sf_dir, "embeddings")
     cb1 = (
@@ -1656,7 +1731,12 @@ def q75_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.array_sort(F.collect_list(F.struct("cid", "ce"))).alias("cbs"))
     )
 
-    def sub(v: Column, m: int) -> Column:
+    # The m-loop and cid-loop run INSIDE higher-order functions
+    # (transform over a sequence), not as PQ_M x PQ_K Python-unrolled
+    # column expressions — an unrolled tree at M=16, K=32 is ~512
+    # aggregate subtrees and its codegen/analysis time dwarfs the actual
+    # scan; the HOF form keeps the plan constant-size at any (M, K).
+    def sub(v: Column, m: Column) -> Column:
         return F.slice(v, m * PQ_D + 1, PQ_D)
 
     def l2(a: Column, b: Column) -> Column:
@@ -1670,50 +1750,49 @@ def q75_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         prod = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
         return F.aggregate(prod, F.lit(0.0), lambda acc, v: acc + v)
 
-    def code_for(emb: Column, m: int) -> Column:
-        best = F.array_min(
+    ms = F.sequence(F.lit(0), F.lit(PQ_M - 1))
+    codes_col = F.transform(
+        ms,
+        lambda m: F.array_min(
             F.transform(
                 F.col("cbs"),
-                lambda c: F.struct(l2(sub(emb, m), sub(c["ce"], m)).alias("d"),
-                                   c["cid"].alias("cid")),
+                lambda c: F.struct(
+                    l2(sub(F.col("embedding"), m), sub(c["ce"], m)).alias("d"),
+                    c["cid"].alias("cid"),
+                ),
             )
-        )
-        return best["cid"]
-
+        )["cid"],
+    )
     codes = (
         _fanout(spark, corpus)
         .crossJoin(F.broadcast(cb1))
-        .select(
-            "vec_id",
-            F.array(*[code_for(F.col("embedding"), m) for m in range(PQ_M)]).alias(
-                "codes"
-            ),
-        )
+        .select("vec_id", codes_col.alias("codes"))
     )
     # Per-query LUT: lut[m][cid] = dot(query subvector m, centroid cid's
-    # subvector m) — N_QUERIES x 4 x 8 doubles, broadcast to the scorer.
-    lut_col = F.array(
-        *[
-            F.array(
-                *[
-                    dot(sub(F.col("embedding"), m), sub(F.get(F.col("cbs"), c)["ce"], m))
-                    for c in range(PQ_K)
-                ]
-            )
-            for m in range(PQ_M)
-        ]
+    # subvector m) — N_QUERIES x PQ_M x PQ_K doubles, broadcast to the
+    # scorer.  cbs is sorted by cid with contiguous ids 0..PQ_K-1, so
+    # position i holds cid i-1 and codes index the inner array directly.
+    lut_col = F.transform(
+        ms,
+        lambda m: F.transform(
+            F.col("cbs"),
+            lambda c: dot(sub(F.col("embedding"), m), sub(c["ce"], m)),
+        ),
     )
     qlut = (
         corpus.filter(F.col("vec_id") < N_QUERIES)
         .crossJoin(F.broadcast(cb1))
         .select(F.col("vec_id").alias("q_id"), lut_col.alias("lut"))
     )
-    score = F.lit(0.0)
-    for m in range(PQ_M):
-        score = score + F.element_at(
-            F.element_at(F.col("lut"), m + 1),
-            (F.element_at(F.col("codes"), m + 1) + 1).cast("int"),
-        )
+    # ADC score = Σ_m lut[m][codes[m]] — strict left-to-right in m order
+    # (matches the oracle's ORDER BY m reduce).
+    score = F.aggregate(
+        F.zip_with(
+            "lut", "codes", lambda l, c: F.element_at(l, (c + 1).cast("int"))
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
     scored = (
         F.broadcast(qlut)
         .join(codes, F.col("vec_id") != F.col("q_id"))
@@ -1723,11 +1802,39 @@ def q75_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec(score, 6).alias("approx_dot"),
         )
     )
+    # Refine: the ADC pass never touches a full vector; only the
+    # top-PQ_REFINE shortlist (N_QUERIES × PQ_REFINE rows — tiny,
+    # broadcastable) is re-scored with the exact cosine and re-ranked.
     w = W.partitionBy("q_id").orderBy(F.col("approx_dot").desc(), "neighbor_id")
+    short = (
+        scored.withColumn("srank", F.row_number().over(w))
+        .filter(F.col("srank") <= PQ_REFINE)
+        .select("q_id", "neighbor_id")
+    )
+    vec = corpus.select("vec_id", "embedding")
+    refined = (
+        F.broadcast(short)
+        .join(
+            vec.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")),
+            "q_id",
+        )
+        .join(
+            vec.select(
+                F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne")
+            ),
+            "neighbor_id",
+        )
+        .select(
+            "q_id",
+            "neighbor_id",
+            dec(_cosine(F.col("qe"), F.col("ne")), 6).alias("cos_sim"),
+        )
+    )
+    w2 = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        refined.withColumn("rank", F.row_number().over(w2).cast("long"))
         .filter(F.col("rank") <= TOPK)
-        .select("q_id", "neighbor_id", "approx_dot", "rank")
+        .select("q_id", "neighbor_id", "cos_sim", "rank")
     )
 
 
@@ -1987,3 +2094,113 @@ def q86_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             "|", F.slice(F.array_sort(F.collect_list("doc_id")), 1, POSTINGS_CAP)
         ).alias("postings"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q90 — ANN recall measurement (approximate operators vs the exact baseline)
+# ---------------------------------------------------------------------------
+
+#: (method, query fn name, k) — each approximate ANN operator is measured
+#: at ITS OWN k against the exact top-k (q45) truncated to the same k.
+ANN_RECALL_METHODS = (
+    ("lsh", "q46_ann_lsh_bucketed", LSH_K),
+    ("ivf", "q47_ann_ivf", IVF_K),
+    ("pq", "q75_ann_pq", TOPK),
+)
+
+
+def _recall_row(
+    name: str, approx: DataFrame, exact: DataFrame, k: int
+) -> DataFrame:
+    """One (method, k, n_queries, recall) row: recall@k = fraction of the
+    exact top-k pairs the approximate method recovered.  Both sides rank
+    by (rounded score desc, neighbor_id), so the k-boundary — and hence
+    the metric itself — is deterministic and oracle-checkable."""
+    e = exact.filter(F.col("rank") <= k).select("q_id", "neighbor_id")
+    a = approx.filter(
+        (F.col("q_id") < N_QUERIES) & (F.col("rank") <= k)
+    ).select("q_id", "neighbor_id")
+    return (
+        e.join(a, ["q_id", "neighbor_id"], "left_semi")
+        .agg(F.count("*").alias("hits"))
+        .crossJoin(
+            e.agg(
+                F.count("*").alias("total"),
+                F.countDistinct("q_id").alias("nq"),
+            )
+        )
+        .select(
+            F.lit(name).alias("method"),
+            F.lit(k).cast("long").alias("k"),
+            F.col("nq").cast("long").alias("n_queries"),
+            dec(F.col("hits") / F.col("total"), 6).alias("recall"),
+        )
+    )
+
+
+def _q90_oracle() -> str:
+    from datapipeline_dags_spark.plans.registry import ORACLES
+
+    blocks = []
+    for name, qname, k in ANN_RECALL_METHODS:
+        rec = sql_dec(
+            "SUM(CASE WHEN m.q_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*)",
+            6,
+        )
+        blocks.append(
+            f"""
+      SELECT '{name}' AS method, CAST({k} AS BIGINT) AS k,
+             CAST(COUNT(DISTINCT e.q_id) AS BIGINT) AS n_queries,
+             {rec} AS recall
+      FROM (SELECT q_id, neighbor_id FROM exact_full WHERE rank <= {k}) e
+      LEFT JOIN (SELECT q_id, neighbor_id FROM m_{name}
+                 WHERE q_id < {N_QUERIES} AND rank <= {k}) m
+        ON m.q_id = e.q_id AND m.neighbor_id = e.neighbor_id"""
+        )
+    return f"""
+    WITH exact_full AS (SELECT * FROM ({ORACLES["q45_ann_topk_bruteforce"]}) t),
+    m_lsh AS (SELECT * FROM ({ORACLES["q46_ann_lsh_bucketed"]}) t),
+    m_ivf AS (SELECT * FROM ({ORACLES["q47_ann_ivf"]}) t),
+    m_pq AS (SELECT * FROM ({ORACLES["q75_ann_pq"]}) t)
+    {" UNION ALL ".join(blocks)}
+    """
+
+
+@query("q90_ann_recall", oracle=_q90_oracle())
+def q90_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of each approximate ANN operator (q46 LSH, q47 IVF, q75
+    PQ/ADC) against the exact brute-force top-k (q45) over the same
+    embeddings — the measurement that turns "deterministic approximate
+    operator" into "production ANN operator with a known quality floor".
+
+    The DuckDB oracle recomputes the SAME recall from its own
+    re-derivations of all four operators, so the metric itself is
+    hash-checked, not just eyeballed.  ``ivf_recall_sweep`` (bench.py)
+    reports the NPROBE recall/latency trade-off per round.
+    """
+    exact = q45_ann_topk_bruteforce(spark, sf_dir)
+    rows = [
+        _recall_row("lsh", q46_ann_lsh_bucketed(spark, sf_dir), exact, LSH_K),
+        _recall_row("ivf", q47_ann_ivf(spark, sf_dir), exact, IVF_K),
+        _recall_row("pq", q75_ann_pq(spark, sf_dir), exact, TOPK),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out
+
+
+def ivf_recall_sweep(
+    spark: SparkSession, sf_dir: str, nprobes: tuple[int, ...] = (1, 2, 4, 8)
+) -> dict[int, float]:
+    """Recall@IVF_K of q47 at each NPROBE setting — the knob a production
+    deployment turns to trade candidate volume for recall.  Returns
+    {nprobe: recall}; consumed by bench.py into the round artifact."""
+    exact = q45_ann_topk_bruteforce(spark, sf_dir)
+    out: dict[int, float] = {}
+    for np_ in nprobes:
+        row = _recall_row(
+            "ivf", q47_ann_ivf(spark, sf_dir, nprobe=np_), exact, IVF_K
+        ).collect()[0]
+        out[np_] = float(row.recall)
+    return out
