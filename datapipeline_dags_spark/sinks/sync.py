@@ -28,7 +28,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from datapipeline_dags_spark.sinks.db import connect
-from datapipeline_dags_spark.sinks.upsert import UpsertSink
+from datapipeline_dags_spark.sinks.jdbc import (
+    execute_statement,
+    is_jdbc,
+    query_rows,
+    sql_literal,
+    upsert_sink_for,
+)
 
 STARTED = "STARTED"
 COMPLETED = "COMPLETED"
@@ -46,6 +52,29 @@ CREATE TABLE IF NOT EXISTS data_sync_stats (
 EPOCH = dt.datetime(1970, 1, 1)
 
 
+def _db_execute(db_path: str, sql: str) -> None:
+    """Run bookkeeping DML on the sync-state store: a DuckDB file (the
+    tested sandbox default) or, for a ``jdbc:`` target, the same target
+    database the data lands in (the reference keeps data_sync_stats in
+    the target MySQL — postgresql_mysql_sync_dag.py:53-58)."""
+    if is_jdbc(db_path):
+        from pyspark.sql import SparkSession
+
+        execute_statement(SparkSession.getActiveSession(), db_path, sql)
+    else:
+        with connect(db_path) as con:
+            con.execute(sql)
+
+
+def _db_query(db_path: str, sql: str) -> list[tuple]:
+    if is_jdbc(db_path):
+        from pyspark.sql import SparkSession
+
+        return query_rows(SparkSession.getActiveSession(), db_path, sql)
+    with connect(db_path) as con:
+        return con.execute(sql).fetchall()
+
+
 @dataclass
 class Watermark:
     ts: dt.datetime
@@ -55,28 +84,28 @@ class Watermark:
 def fetch_watermark(db_path: str, entity: str) -> Watermark:
     """Last COMPLETED sync position for an entity (S9; reference
     fetch_latest_completed_sync_ts, postgresql_mysql_sync_dag.py:40)."""
-    with connect(db_path) as con:
-        con.execute(STATS_DDL)
-        row = con.execute(
-            """
-            SELECT processing_ts, to_id FROM data_sync_stats
-            WHERE entity_type = ? AND status = ?
-            ORDER BY logged_at DESC, processing_ts DESC LIMIT 1
-            """,
-            [entity, COMPLETED],
-        ).fetchone()
-    return Watermark(*row) if row else Watermark(EPOCH, -1)
+    _db_execute(db_path, STATS_DDL)
+    rows = _db_query(
+        db_path,
+        "SELECT processing_ts, to_id FROM data_sync_stats "
+        f"WHERE entity_type = {sql_literal(entity)} "
+        f"AND status = {sql_literal(COMPLETED)} "
+        "ORDER BY logged_at DESC, processing_ts DESC LIMIT 1",
+    )
+    return Watermark(*rows[0]) if rows else Watermark(EPOCH, -1)
 
 
 def _log(db_path: str, run_id: str, entity: str, status: str, *,
          ts: dt.datetime, count: int, from_id: int, to_id: int) -> None:
-    with connect(db_path) as con:
-        con.execute(STATS_DDL)
-        con.execute(
-            "INSERT INTO data_sync_stats (dag_run_id, entity_type, processing_ts,"
-            " records_count, from_id, to_id, status) VALUES (?, ?, ?, ?, ?, ?, ?)",
-            [run_id, entity, ts, count, from_id, to_id, status],
-        )
+    _db_execute(db_path, STATS_DDL)
+    values = ", ".join(
+        sql_literal(v) for v in (run_id, entity, ts, count, from_id, to_id, status)
+    )
+    _db_execute(
+        db_path,
+        "INSERT INTO data_sync_stats (dag_run_id, entity_type, processing_ts,"
+        f" records_count, from_id, to_id, status) VALUES ({values})",
+    )
 
 
 def watermark_scan(df: DataFrame, wm: Watermark, ts_col: str, id_col: str) -> DataFrame:
@@ -139,7 +168,7 @@ def sync_entity(
 
     _log(db_path, run_id, entity, STARTED,
          ts=wm.ts, count=stats.n, from_id=stats.from_id, to_id=stats.to_id)
-    sink = UpsertSink(db_path, target_table, keys=[id_col], order_by=ts_col)
+    sink = upsert_sink_for(db_path, target_table, keys=[id_col], order_by=ts_col)
     n = sink.write(batch)
     if crash_after_upsert:
         raise RuntimeError("simulated crash before COMPLETED")

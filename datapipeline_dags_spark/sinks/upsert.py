@@ -24,6 +24,19 @@ from pyspark.sql import Window as W
 from datapipeline_dags_spark.sinks.db import connect, ddl_for, staged_parquet
 
 
+def dedupe_keyed(df: DataFrame, keys: list[str], order_by: str | None) -> DataFrame:
+    """One row per key per batch (keep the highest ``order_by``, or an
+    arbitrary-but-deterministic row when None) — a MERGE must see one
+    source row per key.  Shared by the DuckDB and JDBC upsert sinks."""
+    order = F.col(order_by).desc() if order_by else F.lit(1)
+    w = W.partitionBy(*keys).orderBy(order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 @dataclass
 class UpsertSink:
     """MERGE into ``table`` keyed on ``keys``.
@@ -39,13 +52,7 @@ class UpsertSink:
     order_by: str | None = None
 
     def _dedupe(self, df: DataFrame) -> DataFrame:
-        order = F.col(self.order_by).desc() if self.order_by else F.lit(1)
-        w = W.partitionBy(*self.keys).orderBy(order)
-        return (
-            df.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-        )
+        return dedupe_keyed(df, self.keys, self.order_by)
 
     def write(self, df: DataFrame) -> int:
         """Stage the batch as parquet (distributed write), then apply one
