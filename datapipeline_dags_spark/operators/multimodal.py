@@ -7,12 +7,13 @@ Arrow-batched Pandas UDFs over ``mapInPandas`` — the ONLY place Python
 touches row data in this engine, used exactly where JVM expressions
 cannot express the semantics (byte-level codecs).
 
-Container note: real codecs (PIL/opencv/ffmpeg) are not available
-here, so decoding understands a deterministic fake wire format and
-raises ``NotImplementedError`` for real media — the Spark-side
-plumbing (schemas, batch iteration, explode-shaped frame sampling,
-partition parallelism) is real and tested, and a production deploy
-swaps only the bytes→array function body.
+Codec selection: ``_decode_image`` decodes the deterministic IMG1 test
+format natively and routes ANY other format through PIL when it is
+importable (``pip install pillow`` on a real cluster) — grayscale
+decode, so every downstream operator (resize, dHash, features) is
+codec-agnostic.  In this container PIL is absent, so real JPEG/PNG
+raise ``NotImplementedError`` while the full pipeline is exercised on
+IMG1; a production deploy changes NOTHING but the installed package.
 
 Fake formats (little-endian):
   image: b"IMG1" + uint16 width + uint16 height + width*height bytes
@@ -42,8 +43,18 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from datapipeline_dags_spark.shipping import ensure_package_shipped
+
 IMG_MAGIC = b"IMG1"
 VID_MAGIC = b"VID1"
+
+try:  # real-image codec path — available on a production cluster
+    from PIL import Image as _PILImage
+
+    _HAS_PIL = True
+except ImportError:  # sandbox: IMG1-only
+    _PILImage = None
+    _HAS_PIL = False
 
 
 def read_binary_dir(spark: SparkSession, path: str, glob: str = "*") -> DataFrame:
@@ -77,14 +88,27 @@ DECODED_IMAGE_SCHEMA = StructType(
 
 
 def _decode_image(content: bytes) -> tuple[int, int, bytes]:
-    if content[:4] != IMG_MAGIC:
-        raise NotImplementedError(
-            "real image codecs (PIL/opencv) are not available in this "
-            "container; only the IMG1 test format decodes"
-        )
-    w, h = _struct.unpack_from("<HH", content, 4)
-    pixels = content[8 : 8 + w * h]
-    return w, h, pixels
+    """Decode to (width, height, grayscale pixel bytes).
+
+    IMG1 decodes natively; every other format goes through PIL when
+    installed (JPEG/PNG/WebP/...; ``convert("L")`` normalizes to the
+    same grayscale buffer shape IMG1 uses, so downstream operators are
+    codec-agnostic).  Without PIL, non-IMG1 bytes raise — an explicit
+    boundary, never a silent wrong answer.
+    """
+    if content[:4] == IMG_MAGIC:
+        w, h = _struct.unpack_from("<HH", content, 4)
+        pixels = content[8 : 8 + w * h]
+        return w, h, pixels
+    if _HAS_PIL:
+        import io
+
+        img = _PILImage.open(io.BytesIO(content)).convert("L")
+        return img.width, img.height, img.tobytes()
+    raise NotImplementedError(
+        "real image codecs need PIL (pip install pillow); only the IMG1 "
+        "test format decodes in this container"
+    )
 
 
 def decode_images(df: DataFrame) -> DataFrame:
@@ -105,6 +129,7 @@ def decode_images(df: DataFrame) -> DataFrame:
                 out, columns=["path", "width", "height", "n_pixels", "mean_intensity"]
             )
 
+    ensure_package_shipped(df.sparkSession)
     return df.select("path", "content").mapInPandas(decode, DECODED_IMAGE_SCHEMA)
 
 
@@ -137,6 +162,7 @@ def sample_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
                     rows.append((path, i, b[off : off + frame_len]))
             yield pd.DataFrame(rows, columns=["path", "frame_idx", "frame"])
 
+    ensure_package_shipped(df.sparkSession)
     return df.select("path", "content").mapInPandas(sample, FRAME_SCHEMA)
 
 
@@ -163,16 +189,11 @@ def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
             rows = []
             for path, content in zip(pdf["path"], pdf["content"]):
                 w, h, pixels = _decode_image(bytes(content))
-                out = bytearray(IMG_MAGIC)
-                out += _struct.pack("<HH", out_w, out_h)
-                for y in range(out_h):
-                    sy = min(h - 1, (y * h) // out_h) if h else 0
-                    for x in range(out_w):
-                        sx = min(w - 1, (x * w) // out_w) if w else 0
-                        out.append(pixels[sy * w + sx] if pixels else 0)
-                rows.append((path, bytes(out), out_w, out_h))
+                body = _resample(w, h, pixels, out_w, out_h)
+                rows.append((path, encode_img1(out_w, out_h, body), out_w, out_h))
             yield pd.DataFrame(rows, columns=["path", "content", "width", "height"])
 
+    ensure_package_shipped(df.sparkSession)
     return df.select("path", "content").mapInPandas(resize, RESIZED_SCHEMA)
 
 
@@ -196,7 +217,113 @@ def byte_histogram_features(df: DataFrame, content_col: str = "content") -> Data
 
         return content.map(one)
 
+    ensure_package_shipped(df.sparkSession)
     return df.withColumn("features", hist(F.col(content_col)))
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash image dedup — the multimodal twin of q41's MinHash-LSH
+# ---------------------------------------------------------------------------
+
+DHASH_W, DHASH_H = 9, 8  # 9x8 downsample -> 8 comparisons x 8 rows = 64 bits
+DHASH_BANDS = 4  # 4 bands x 16 bits for candidate blocking
+
+DHASH_SCHEMA = StructType(
+    [StructField("id", LongType()), StructField("dhash", LongType())]
+)
+
+
+def _resample(w: int, h: int, pixels: bytes, out_w: int, out_h: int) -> bytes:
+    """Nearest-neighbor resample shared by resize_images and dhash."""
+    out = bytearray()
+    for y in range(out_h):
+        sy = min(h - 1, (y * h) // out_h) if h else 0
+        for x in range(out_w):
+            sx = min(w - 1, (x * w) // out_w) if w else 0
+            out.append(pixels[sy * w + sx] if pixels else 0)
+    return bytes(out)
+
+
+def _dhash64(content: bytes) -> int:
+    """Difference hash: downsample to 9x8 grayscale, bit = left pixel >
+    right pixel — 64 bits stored as a signed long.  Robust to uniform
+    brightness shifts and re-encoding; near-identical images differ in
+    few bits, so Hamming distance is the dedup metric."""
+    w, h, pixels = _decode_image(content)
+    small = _resample(w, h, pixels, DHASH_W, DHASH_H)
+    bits = 0
+    for y in range(DHASH_H):
+        row = y * DHASH_W
+        for x in range(DHASH_W - 1):
+            bits = (bits << 1) | (1 if small[row + x] > small[row + x + 1] else 0)
+    # wrap to signed 64-bit so it round-trips through LongType
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+
+def dhash_images(df: DataFrame, id_col: str = "id") -> DataFrame:
+    """(id, content) -> (id, dhash) via one map-only Arrow pass — the
+    only Python step; banding and verification stay JVM-side."""
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "dhash": [_dhash64(bytes(c)) for c in pdf["content"]],
+                }
+            )
+
+    ensure_package_shipped(df.sparkSession)
+    return df.select(F.col(id_col).alias(id_col), "content").mapInPandas(
+        compute, DHASH_SCHEMA
+    )
+
+
+def dhash_near_dup(hashes: DataFrame, hamming_t: int = 4) -> DataFrame:
+    """Near-duplicate image pairs from (id, dhash) rows: q41's banded
+    blocking applied to the 64-bit perceptual hash — 4 x 16-bit band
+    keys generate candidates (equal near-dups share >= 1 full band when
+    <= hamming_t bits differ across 4 bands only if the differing bits
+    cluster; like all banding this trades a small recall loss for never
+    comparing all pairs), then ONE JVM expression verifies:
+    hamming = bit_count(a XOR b).  Zero Python in this half.
+    """
+    bands = hashes.select(
+        "id",
+        "dhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("dhash"), 16 * b).bitwiseAND(
+                        F.lit(0xFFFF)
+                    )
+                    for b in range(DHASH_BANDS)
+                ]
+            )
+        ).alias("band", "key"),
+    )
+    a = bands.select(
+        F.col("id").alias("id_a"), F.col("dhash").alias("h_a"), "band", "key"
+    )
+    cand = (
+        a.join(bands, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id"))
+        .select("id_a", F.col("id").alias("id_b"), "h_a", F.col("dhash").alias("h_b"))
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).cast("long")
+        )
+        .filter(F.col("hamming") <= hamming_t)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def encode_img1(width: int, height: int, pixels: bytes) -> bytes:
+    """Pack a grayscale buffer in the IMG1 wire format (test helper and
+    the normalized re-encode target for resize_images)."""
+    return IMG_MAGIC + _struct.pack("<HH", width, height) + pixels[: width * height]
 
 
 # ---------------------------------------------------------------------------
@@ -214,6 +341,7 @@ def pandas_stage(fn, schema: StructType):
             for pdf in batches:
                 yield fn(pdf)
 
+        ensure_package_shipped(df.sparkSession)
         return df.mapInPandas(apply, schema)
 
     return stage

@@ -38,6 +38,9 @@ def _update_totals(
 def running_user_totals(events: DataFrame, user_col: str = "user") -> DataFrame:
     """Lifetime per-user totals over a stream: emits one updated row per
     user per micro-batch; state persists in the checkpoint."""
+    from datapipeline_dags_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(events.sparkSession)
     return events.groupBy(user_col).applyInPandasWithState(
         _update_totals,
         outputStructType=OUTPUT_SCHEMA,
@@ -80,6 +83,9 @@ def streaming_dedup_first_seen(docs: DataFrame, fp_col: str = "fp") -> DataFrame
     touching state.  At 100 TB the state is #distinct-fingerprints ×
     ~40 bytes, hash-partitioned across executors by the groupBy key.
     """
+    from datapipeline_dags_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(docs.sparkSession)
     return docs.groupBy(fp_col).applyInPandasWithState(
         _keep_first,
         outputStructType=DEDUP_OUTPUT_SCHEMA,

@@ -121,3 +121,80 @@ def test_resize_images_nearest_neighbor_roundtrip(spark, tmp_path):
     # the resized bytes are themselves decodable (same wire format)
     decoded = decode_images(resize_images(df, 2, 2)).collect()[0]
     assert (decoded.width, decoded.height, decoded.n_pixels) == (2, 2, 4)
+
+
+# ---------------------------------------------------------------------------
+# perceptual-hash dedup (dHash + banded near-dup)
+# ---------------------------------------------------------------------------
+
+
+def gradient_image(w: int, h: int, flips: tuple[tuple[int, int], ...] = ()) -> bytes:
+    """Horizontal-gradient IMG1 image (rich dHash structure) with
+    optional flipped pixels to create controlled near-duplicates."""
+    from datapipeline_dags_spark.operators.multimodal import encode_img1
+
+    px = bytearray((x * 255) // max(1, w - 1) for _ in range(h) for x in range(w))
+    for (x, y) in flips:
+        px[y * w + x] = 255 - px[y * w + x]
+    return encode_img1(w, h, bytes(px))
+
+
+def test_dhash_golden_values_and_invariance(spark):
+    """Pinned dHash facts: identical images hash equal; a resized copy of
+    the same gradient hashes equal (scale invariance); a heavily flipped
+    copy differs."""
+    from datapipeline_dags_spark.operators.multimodal import _dhash64
+
+    a = gradient_image(18, 16)
+    assert _dhash64(a) == _dhash64(gradient_image(18, 16))
+    # same pattern at 2x resolution -> same downsampled hash
+    assert _dhash64(a) == _dhash64(gradient_image(36, 32))
+    # monotone horizontal gradient: every left < right -> all bits 0
+    assert _dhash64(a) == 0
+    heavy = gradient_image(18, 16, flips=tuple((x, y) for x in (4, 9, 14) for y in range(16)))
+    assert _dhash64(heavy) != _dhash64(a)
+
+
+def test_dhash_near_dup_blocks_and_verifies(spark):
+    from datapipeline_dags_spark.operators.multimodal import (
+        _dhash64,
+        dhash_images,
+        dhash_near_dup,
+    )
+
+    base = gradient_image(18, 16)
+    near = gradient_image(18, 16, flips=((4, 2),))  # one flipped pixel
+    far = gradient_image(18, 16, flips=tuple((x, y) for x in (2, 6, 10, 14) for y in range(0, 16, 2)))
+    assert 0 < bin(_dhash64(near)).count("1") <= 4  # truly near
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far), (4, base)], "id long, content binary"
+    )
+    hashes = dhash_images(df)
+    pairs = {(r.id_a, r.id_b): r.hamming for r in dhash_near_dup(hashes, hamming_t=4).collect()}
+    assert pairs[(1, 4)] == 0          # exact perceptual copy
+    assert 0 < pairs[(1, 2)] <= 4      # near-dup caught with its distance
+    assert (2, 4) in pairs             # transitively near base's copy
+    assert not any(3 in p for p in pairs)  # far image excluded
+
+
+def test_q91_image_neardup_query_recovers_text_neardups(spark, sf_dir):
+    from datapipeline_dags_spark.plans.llm_ops import q41_dedup_minhash_lsh
+    from datapipeline_dags_spark.plans.multimodal_queries import (
+        HAMMING_T,
+        q91_image_phash_neardup,
+    )
+
+    got = q91_image_phash_neardup(spark, sf_dir)
+    rows = got.collect()
+    assert got.columns == ["id_a", "id_b", "hamming"]
+    assert len(rows) > 0
+    assert all(0 <= r.hamming <= HAMMING_T for r in rows)
+    # cross-modality sanity: most of q41's TEXT near-dup pairs are also
+    # found from PIXELS alone (near-dup text -> near-identical render)
+    text_pairs = {
+        (min(r.doc_a, r.doc_b), max(r.doc_a, r.doc_b))
+        for r in q41_dedup_minhash_lsh(spark, sf_dir).collect()
+    }
+    img_pairs = {(r.id_a, r.id_b) for r in rows}
+    if text_pairs:
+        assert len(text_pairs & img_pairs) / len(text_pairs) >= 0.5
