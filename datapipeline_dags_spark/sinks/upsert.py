@@ -82,7 +82,10 @@ class UpsertSink:
 
 
 def apply_verified_updates(
-    db_path: str, messages: DataFrame, entity_tables: dict[str, str]
+    db_path: str,
+    messages: DataFrame,
+    entity_tables: dict[str, str],
+    order_by: str | None = None,
 ) -> dict[str, int]:
     """Verified-data consumer (SURVEY K6; entry point C).
 
@@ -92,12 +95,20 @@ def apply_verified_updates(
     (sqs_sync_verified_data_dag.py:37-68).  Returns rows matched per
     entity; unknown keys are ignored (UPDATE join misses them) exactly
     like the reference's failed-update logging path.
+
+    ``order_by`` (e.g. the queue's ``seq`` column) makes a batch that
+    carries SEVERAL updates for one key apply last-write-wins — the
+    reference's in-order per-row loop guarantees this implicitly; a
+    set-based UPDATE must dedupe explicitly or the applied row is
+    arbitrary.  Required whenever batches can coalesce (streaming
+    restart replay, backlog drains).
     """
     counts: dict[str, int] = {}
     for entity, table in entity_tables.items():
-        batch = messages.filter(F.col("entity") == entity).select(
-            "company_id", "external_id", "verified_data"
-        )
+        batch = messages.filter(F.col("entity") == entity)
+        if order_by is not None:
+            batch = dedupe_keyed(batch, ["company_id", "external_id"], order_by)
+        batch = batch.select("company_id", "external_id", "verified_data")
         with staged_parquet(batch) as glob:
             with connect(db_path) as con:
                 n = con.execute(

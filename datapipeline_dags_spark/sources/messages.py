@@ -61,13 +61,18 @@ def parse_file_notifications(
     )
 
 
-def parse_verified_messages(messages: DataFrame, body_col: str = "body") -> DataFrame:
+def parse_verified_messages(
+    messages: DataFrame, body_col: str = "body", keep: tuple[str, ...] = ()
+) -> DataFrame:
     """Message bodies → verified-data rows, dropping malformed bodies
     (the reference logs-and-skips them per row; here the null filter is
-    part of the plan).  Output feeds sinks.apply_verified_updates."""
+    part of the plan).  Output feeds sinks.apply_verified_updates.
+
+    ``keep`` passes transport columns through (e.g. the queue ``seq``,
+    which apply_verified_updates needs for last-write-wins ordering)."""
     parsed = messages.withColumn("_m", F.from_json(F.col(body_col), VERIFIED_DATA_SCHEMA))
     return parsed.filter(
         F.col("_m.entity").isNotNull()
         & F.col("_m.company_id").isNotNull()
         & F.col("_m.external_id").isNotNull()
-    ).select("_m.entity", "_m.company_id", "_m.external_id", "_m.verified_data")
+    ).select(*keep, "_m.entity", "_m.company_id", "_m.external_id", "_m.verified_data")
