@@ -28,6 +28,13 @@ from pyspark.sql import functions as F
 
 DEFAULT_MAX_ITERS = 20
 
+#: rounds used by the most recent connected_components call — observable
+#: scale signal: for blocking-key dup graphs this should stay flat as
+#: the corpus grows (diameter is a property of cluster shape, not corpus
+#: size); a growing round count means adversarial chain structure and
+#: time to switch to large-star/small-star.
+LAST_ROUNDS: int = 0
+
 
 def connected_components(
     edges: DataFrame,
@@ -51,7 +58,8 @@ def connected_components(
         .select("node", F.col("node").alias("component"))
         .localCheckpoint()
     )
-    for _ in range(max_iters):
+    global LAST_ROUNDS
+    for i in range(max_iters):
         nbr = sym.join(cur.withColumnRenamed("node", "src"), "src").select(
             F.col("dst").alias("node"), "component"
         )
@@ -68,5 +76,6 @@ def connected_components(
         )
         cur = new
         if changed == 0:
+            LAST_ROUNDS = i + 1
             return cur
     raise RuntimeError(f"connected components: no fixpoint in {max_iters} rounds")
