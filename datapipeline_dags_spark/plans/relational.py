@@ -638,7 +638,67 @@ def q17_window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q19_set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INTERSECT / EXCEPT / UNION over yearly active-customer sets."""
+    """Set-membership COUNTS over yearly active-customer sets.
+
+    Declared as INTERSECT/EXCEPT/UNION (the oracle keeps that form),
+    but planned as ONE aggregation: per customer, a year-membership
+    flag pair, then three conditional sums — 2 shuffles total where the
+    literal three-branch set-op plan re-shuffles the shared scans 10
+    times (measured).  When only the CARDINALITIES of set combinations
+    are needed, membership flags beat materializing each set expression
+    — the classic trick for set-overlap dashboards at scale.  The
+    set-op OPERATORS themselves are exercised by q92 (key-level
+    results, where the operator output IS the answer).
+    """
+    o = table(spark, sf_dir, "orders")
+    flags = (
+        o.filter(
+            (F.col("o_orderdate") >= "1997-01-01")
+            & (F.col("o_orderdate") < "1999-01-01")
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.max((F.col("o_orderdate") < "1998-01-01").cast("int")).alias("in97"),
+            F.max((F.col("o_orderdate") >= "1998-01-01").cast("int")).alias("in98"),
+        )
+    )
+    totals = flags.agg(
+        F.sum(F.col("in97") * F.col("in98")).cast("long").alias("both"),
+        F.sum(F.col("in97") * (1 - F.col("in98"))).cast("long").alias("only_97"),
+        F.count("*").cast("long").alias("either"),
+    )
+    return totals.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("both").alias("bucket"), F.col("both").alias("n")),
+                F.struct(F.lit("only_97").alias("bucket"), F.col("only_97").alias("n")),
+                F.struct(F.lit("either").alias("bucket"), F.col("either").alias("n")),
+            )
+        ).alias("r")
+    ).select("r.bucket", "r.n")
+
+
+@query(
+    "q92_set_ops_keys",
+    oracle="""
+    WITH c97 AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+                   AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'),
+         c98 AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+                   AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00')
+    SELECT 'both' AS bucket, o_custkey FROM (SELECT * FROM c97 INTERSECT SELECT * FROM c98) t
+    UNION ALL
+    SELECT 'only_97' AS bucket, o_custkey FROM (SELECT * FROM c97 EXCEPT SELECT * FROM c98) t
+    UNION ALL
+    SELECT 'either' AS bucket, o_custkey FROM (SELECT * FROM c97 UNION SELECT * FROM c98) t
+    """,
+)
+def q92_set_ops_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION-DISTINCT at the KEY level — here the
+    set-operator output is the result itself, so the literal operators
+    are the right plan (unlike q19, where only cardinalities are needed
+    and membership flags collapse everything into one aggregation)."""
     o = table(spark, sf_dir, "orders")
     c97 = (
         o.filter((F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1998-01-01"))
@@ -650,13 +710,11 @@ def q19_set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_custkey")
         .distinct()
     )
-    spark_row = lambda bucket, df: df.agg(F.count("*").alias("n")).select(
-        F.lit(bucket).alias("bucket"), "n"
-    )
+    tag = lambda bucket, df: df.select(F.lit(bucket).alias("bucket"), "o_custkey")
     return (
-        spark_row("both", c97.intersect(c98))
-        .unionAll(spark_row("only_97", c97.exceptAll(c98)))
-        .unionAll(spark_row("either", c97.union(c98).distinct()))
+        tag("both", c97.intersect(c98))
+        .unionAll(tag("only_97", c97.exceptAll(c98)))
+        .unionAll(tag("either", c97.union(c98).distinct()))
     )
 
 
