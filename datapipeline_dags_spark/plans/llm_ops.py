@@ -2088,11 +2088,22 @@ def q86_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
     ).distinct()
-    return tok.groupBy("term").agg(
+    agg = tok.groupBy("term").agg(
         F.count("*").cast("long").alias("df"),
         F.concat_ws(
             "|", F.slice(F.array_sort(F.collect_list("doc_id")), 1, POSTINGS_CAP)
         ).alias("postings"),
+    )
+    # surface the truncation (same pattern as _cap_buckets): the cap is
+    # part of the output contract here, but how often it fires is the
+    # signal for moving to term-bucketed posting files
+    obs = Observation()
+    BUCKET_OBSERVATIONS["q86_inverted_index"] = obs
+    return agg.observe(
+        obs,
+        F.count(F.lit(1)).alias("buckets"),
+        F.sum((F.col("df") > POSTINGS_CAP).cast("long")).alias("capped_buckets"),
+        F.max("df").alias("max_bucket_size"),
     )
 
 
