@@ -2215,3 +2215,175 @@ def ivf_recall_sweep(
         ).collect()[0]
         out[np_] = float(row.recall)
     return out
+
+
+# ---------------------------------------------------------------------------
+# q93 — exact duplicate-span detection (substring-level dedup)
+# ---------------------------------------------------------------------------
+
+SPAN_K = 20  # tokens per span — the "memorized span" unit
+
+
+def _kgram_sql(k: int) -> str:
+    w = "string_split(text, ' ')"
+    return (
+        f"CASE WHEN len({w}) >= {k} THEN "
+        f"list_distinct(list_transform(generate_series(1, len({w}) - {k - 1}), "
+        f"i -> array_to_string(({w})[i:i+{k - 1}], ' '))) "
+        "ELSE [text] END"
+    )
+
+
+def _kgrams(text: Column, k: int) -> Column:
+    """Distinct word k-grams (generalized _shingles — same short-doc
+    fallback so both engines agree on degenerate inputs)."""
+    words = F.split(text, " ")
+    n = F.size(words) - (k - 1)
+    return F.when(
+        n >= 1,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n),
+                lambda i: F.concat_ws(" ", F.slice(words, i, k)),
+            )
+        ),
+    ).otherwise(F.array(text))
+
+
+@query(
+    "q93_duplicate_spans",
+    oracle=f"""
+    WITH g AS (SELECT doc_id, unnest({_kgram_sql(SPAN_K)}) AS span FROM documents),
+    h AS (SELECT doc_id, md5(span) AS span_hash FROM g)
+    SELECT span_hash,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM h GROUP BY span_hash HAVING COUNT(DISTINCT doc_id) >= 2
+    """,
+)
+def q93_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-SPAN detection: every {SPAN_K}-token span appearing
+    in >= 2 distinct documents — substring-level dedup a la "Deduplicating
+    Training Data Makes Language Models Better" (Lee et al.), the unit
+    at which models memorize.  Document-level dedup (q40/q41) misses a
+    copied paragraph inside otherwise-distinct documents; this catches
+    it.
+
+    Scale shape: the span table never leaves the executors as text —
+    spans hash to md5 immediately and the single shuffle carries
+    (span_hash, doc_id) pairs; the group-by is the word-count shape.
+    Production removes the spans (or their docs) and uses a
+    suffix-array sketch for arbitrary-length matches; the fixed-K scan
+    is the standard streaming approximation.
+    """
+    docs = _fanout(spark, table(spark, sf_dir, "documents"))
+    spans = docs.select(
+        "doc_id", F.explode(_kgrams(F.col("text"), SPAN_K)).alias("span")
+    ).select("doc_id", F.md5("span").alias("span_hash"))
+    return (
+        spans.groupBy("span_hash")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q94 — PII scan + redaction (map-only, regex families)
+# ---------------------------------------------------------------------------
+
+ID_RUN_PAT = "[0-9]{6,}"  # long digit runs = account-number-like ids
+EMAIL_PAT = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+
+
+@query(
+    "q94_pii_redaction",
+    oracle=f"""
+    SELECT c_custkey,
+           CAST(len(regexp_extract_all(c_name, '{ID_RUN_PAT}')) AS BIGINT) AS n_id_runs,
+           CAST(len(regexp_extract_all(lower(c_name), '{EMAIL_PAT}')) AS BIGINT) AS n_emails,
+           regexp_replace(c_name, '{ID_RUN_PAT}', '#ID#', 'g') AS redacted
+    FROM customer
+    """,
+)
+def q94_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scan + redaction: count sensitive-pattern hits per record and
+    emit the redacted text — the pre-release privacy pass of a training
+    corpus.  Two pattern families here (long digit runs standing in for
+    account ids — the fixture's only PII-shaped content — and emails as
+    a structurally-real negative class); production adds phone/SSN/
+    address families to the same shape.  Map-only: regex families run
+    inside one projection, no shuffle, no UDF (regexp_count /
+    regexp_replace are JVM expressions; patterns restricted to syntax
+    with identical Java/RE2 semantics so the oracle hash-matches).
+    """
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.regexp_count(F.col("c_name"), F.lit(ID_RUN_PAT)).cast("long").alias("n_id_runs"),
+        F.regexp_count(F.lower(F.col("c_name")), F.lit(EMAIL_PAT)).cast("long").alias("n_emails"),
+        F.regexp_replace(F.col("c_name"), ID_RUN_PAT, "#ID#").alias("redacted"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q95 — span-level decontamination (13-gram overlap vs a held-out split)
+# ---------------------------------------------------------------------------
+
+DECON_K = 13  # the GPT-3-style decontamination n-gram width
+EVAL_MOD = 10  # eval split = md5(doc_id) % 10 == 0 (q58's bucket rule)
+
+
+def _q95_oracle() -> str:
+    bucket = f"('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % {EVAL_MOD}"
+    return f"""
+    WITH tagged AS (SELECT doc_id, text, {bucket} = 0 AS is_eval FROM documents),
+    grams AS (SELECT doc_id, is_eval, md5(unnest({_kgram_sql(DECON_K)})) AS g
+              FROM tagged),
+    train AS (SELECT DISTINCT g FROM grams WHERE NOT is_eval),
+    ev AS (SELECT doc_id, g FROM grams WHERE is_eval)
+    SELECT ev.doc_id,
+           CAST(SUM(CASE WHEN train.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared_ngrams,
+           (SUM(CASE WHEN train.g IS NOT NULL THEN 1 ELSE 0 END) > 0)
+             AS contaminated
+    FROM ev LEFT JOIN train ON ev.g = train.g
+    GROUP BY ev.doc_id
+    """
+
+
+@query("q95_eval_decontamination", oracle=_q95_oracle())
+def q95_eval_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level decontamination: for every held-out (eval) document,
+    how many of its distinct {DECON_K}-grams appear anywhere in the
+    training split — the GPT-3-style n-gram overlap check.  q65/q66
+    catch whole-document leakage via fingerprints; this catches the
+    partial overlaps that survive them (an eval answer pasted inside a
+    training doc).
+
+    Scale shape: grams hash to md5 at the scan; the train side reduces
+    to DISTINCT hashes before the join, so the only shuffle carries
+    (hash, doc) pairs for the 1/{EVAL_MOD} eval slice against a
+    hash-keyed train set — at corpus scale the train set is the big
+    side and the join stays hash-partitioned, never broadcast.
+    """
+    docs = _fanout(spark, table(spark, sf_dir, "documents"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % EVAL_MOD
+    )
+    tagged = docs.select(
+        "doc_id", (bucket == 0).alias("is_eval"),
+        F.explode(_kgrams(F.col("text"), DECON_K)).alias("gram"),
+    ).select("doc_id", "is_eval", F.md5("gram").alias("g"))
+    train = tagged.filter(~F.col("is_eval")).select("g").distinct()
+    ev = tagged.filter(F.col("is_eval")).select("doc_id", "g")
+    hit = ev.join(train.select(F.col("g"), F.lit(1).alias("_hit")), "g", "left")
+    return hit.groupBy("doc_id").agg(
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("n_shared_ngrams"),
+        (F.sum(F.coalesce(F.col("_hit"), F.lit(0))) > 0).alias("contaminated"),
+    )

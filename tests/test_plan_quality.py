@@ -86,6 +86,9 @@ BOUNDED_FILTER_HINT_OK = {
     "q74_unigram_logprob",  # broadcasts the 1-row grand token total
     "q75_ann_pq",  # broadcasts the 1-row codebook and the fixed query-set LUT
     "q79_gapfill_forward",  # broadcasts the bounded (user_id < 5) series-key set
+    # composes q45+q46+q47+q75 and inherits exactly their allowed
+    # bounded-filter hints (fixed query set, quantizer, codebook/LUT)
+    "q90_ann_recall",
 }
 
 
@@ -126,6 +129,9 @@ NESTED_LOOP_OK = {
     "q74_unigram_logprob",
     "q75_ann_pq",  # 1-row codebook attach + fixed query-set scoring pass
     "q79_gapfill_forward",  # generated spine x bounded series-key set
+    # composes the ANN queries above and inherits their declared
+    # tiny-side nested-loop attaches; adds none of its own
+    "q90_ann_recall",
 }
 
 
