@@ -277,7 +277,8 @@ def q41_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is bounded by band selectivity; a pathological all-identical-docs
     # bucket (those pairs belong to exact dedup, q40) is TRUNCATED to
     # BUCKET_CAP members with an observed counter — see _cap_buckets.
-    ids = F.array_sort(F.col("ids"))
+    # members arrive SORTED from _cap_buckets — no second sort
+    ids = F.col("ids")
     pair_structs = F.flatten(
         F.transform(
             ids,
@@ -387,7 +388,8 @@ def q42_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # would run the 32-aggregate signature computation twice).  Structs
     # sort by field order, so array_sort orders members by doc_id and
     # generated pairs are (lower, higher).
-    ids = F.array_sort(F.col("ids"))
+    # members arrive SORTED from _cap_buckets — no second sort
+    ids = F.col("ids")
     pair_structs = F.flatten(
         F.transform(
             ids,
@@ -1287,7 +1289,8 @@ def q69_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("a"),
     )
-    ids = F.array_sort(F.col("ids"))
+    # members arrive SORTED from _cap_buckets — no second sort
+    ids = F.col("ids")
     pair_structs = F.flatten(
         F.transform(
             ids,
@@ -1964,7 +1967,8 @@ def q80_fuzzy_name_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = c.select(
         "c_custkey", "c_name", F.posexplode(variants).alias("pos0", "var")
     )
-    members = F.array_sort(F.col("ms"))
+    # members arrive SORTED from _cap_buckets — no second sort
+    members = F.col("ms")
     pair_structs = F.flatten(
         F.transform(
             members,
