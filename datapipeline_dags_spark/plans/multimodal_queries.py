@@ -50,9 +50,12 @@ RENDER_SCHEMA = StructType(
 
 
 def _render_one(text: str, side: int) -> bytes:
-    """Visual bag-of-shingles: md5(shingle|k) picks (pixel, intensity);
+    """Visual bag-of-shingles: ONE md5 per shingle, its 16-byte digest
+    split into N_PIXEL_HASHES (3-byte pixel, 1-byte intensity) pairs;
     max-composite like a bloom filter.  Deterministic, dense (~NHASH x
-    shingles lit pixels), position-independent."""
+    shingles lit pixels), position-independent.  (One digest per
+    shingle instead of one per (shingle, k) — same statistical shape,
+    4x fewer hash calls; the render dominates q91's runtime.)"""
     words = text.split(" ")
     shingles = (
         {" ".join(words[i : i + SHINGLE_K]) for i in range(len(words) - SHINGLE_K + 1)}
@@ -62,10 +65,12 @@ def _render_one(text: str, side: int) -> bytes:
     n = side * side
     px = bytearray(n)
     for s in shingles:
+        h = hashlib.md5(s.encode()).digest()
         for k in range(N_PIXEL_HASHES):
-            h = hashlib.md5(f"{s}|{k}".encode()).digest()
-            b = int.from_bytes(h[:4], "little") % n
-            px[b] = max(px[b], h[4])
+            b = int.from_bytes(h[4 * k : 4 * k + 3], "little") % n
+            v = h[4 * k + 3]
+            if v > px[b]:
+                px[b] = v
     return encode_img1(side, side, bytes(px))
 
 
