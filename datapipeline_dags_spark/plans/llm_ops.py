@@ -2433,3 +2433,249 @@ def q95_eval_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("n_shared_ngrams"),
         (F.sum(F.coalesce(F.col("_hit"), F.lit(0))) > 0).alias("contaminated"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q96 — semantic dedup (SemDeDup: cluster-blocked cosine pruning)
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_T = 0.4  # within-cluster cosine above which the later doc is pruned
+
+
+def _q96_oracle() -> str:
+    cos = _COS_SQL.format(a="a.embedding", b="b.embedding")
+    return f"""
+    WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+                  WHERE vec_id < {N_CENTROIDS}),
+    scored AS (
+      SELECT e.vec_id, e.embedding, c.cid,
+             {_COS_SQL.format(a='e.embedding', b='c.ce')} AS cs
+      FROM embeddings e CROSS JOIN cent c),
+    cells AS (
+      SELECT vec_id, embedding, cid AS cell FROM (
+        SELECT vec_id, embedding, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+        FROM scored) t
+      WHERE rn = 1),
+    pairs AS (
+      SELECT b.vec_id, a.vec_id AS dup_of, a.cell,
+             (ROUND({cos}, 6) + 0.0) AS cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY a.vec_id) AS rn
+      FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE {cos} >= {SEMDEDUP_T})
+    SELECT vec_id, dup_of, cell, cos_sim FROM pairs WHERE rn = 1
+    """
+
+
+@query("q96_semantic_dedup", oracle=_q96_oracle())
+def q96_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup, SemDeDup-style (Abbas et al.): cluster the corpus
+    with the coarse quantizer, then prune any vector whose cosine to a
+    LOWER-id vector in the SAME cluster is >= {SEMDEDUP_T} — one row
+    per pruned vector with its kept anchor (the smallest qualifying
+    id).  q44 blocks on the ground-truth ``label``; this is the
+    production variant where the blocking key is LEARNED (the same
+    k-means cells q47 probes), so it needs no labels at 100 TB.
+
+    Scale shape: cell assignment is the map-only pass shared with q47
+    (``ivf_cell_assignment``); the pair join shuffles on ``cell``, so
+    work is quadratic only within a cluster — and cluster size is held
+    ~constant by scaling N_CENTROIDS with the corpus (the SemDeDup
+    paper's regime), with AQE skew-split as the hot-cell backstop.
+    The per-vector min-anchor window partitions on vec_id — no global
+    ordering anywhere.
+    """
+    cells = ivf_cell_assignment(spark, sf_dir)
+    a = cells.select(
+        F.col("vec_id").alias("dup_of"), "cell", F.col("embedding").alias("ea")
+    )
+    b = cells.select("vec_id", "cell", F.col("embedding").alias("eb"))
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("dup_of") < F.col("vec_id"))
+        .withColumn("c", _cosine(F.col("ea"), F.col("eb")))
+        .filter(F.col("c") >= SEMDEDUP_T)
+    )
+    w = W.partitionBy("vec_id").orderBy("dup_of")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "dup_of", "cell", dec(F.col("c"), 6).alias("cos_sim"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q97 — DSIR importance weights (hashed n-gram log-likelihood ratio)
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 1024  # hashed feature space size
+DSIR_TARGET_LANG = "en"  # the "target distribution" slice
+
+
+def _q97_oracle() -> str:
+    b = DSIR_BUCKETS
+    return f"""
+    WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+                 FROM documents),
+    feat AS (SELECT doc_id,
+                    ('0x' || substr(md5(w), 1, 8))::BIGINT % {b} AS f,
+                    (lang = '{DSIR_TARGET_LANG}') AS is_tgt
+             FROM tok),
+    cnt AS (SELECT f, COUNT(*) AS cr,
+                   SUM(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS ct
+            FROM feat GROUP BY f),
+    tot AS (SELECT SUM(cr) AS nr, SUM(ct) AS nt FROM cnt)
+    SELECT fe.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           (ROUND(AVG(LN(((c.ct + 1.0) / (t.nt + {b}))
+                       / ((c.cr + 1.0) / (t.nr + {b})))), 4) + 0.0) AS avg_loglr
+    FROM feat fe JOIN cnt c USING (f) CROSS JOIN tot t
+    GROUP BY fe.doc_id
+    """
+
+
+@query("q97_dsir_importance", oracle=_q97_oracle())
+def q97_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al., "Data Selection for Language
+    Models via Importance Resampling"): per document, the mean hashed
+    n-gram log-likelihood ratio between a TARGET distribution (here the
+    '{DSIR_TARGET_LANG}' slice plays the high-quality target) and the
+    RAW corpus — the score importance resampling then samples by
+    (composable with q85's weighted priority sampler).  Laplace
+    +1 smoothing on both sides over {DSIR_BUCKETS} hashed buckets.
+
+    Scale shape: exactly q74's — ONE (bucket)-keyed aggregate computes
+    raw and target counts together (a conditional sum, not two
+    passes), the token stream joins it ON BUCKET (hash-partitioned,
+    never broadcast: a real feature table is huge), totals collapse to
+    a 1-row broadcast scalar, and the per-doc mean is a doc-keyed hash
+    aggregate.  No global window anywhere; everything JVM-side.
+    """
+    b = DSIR_BUCKETS
+    docs = _fanout(spark, table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id", "lang", F.explode(F.split(F.col("text"), " ")).alias("w")
+    )
+    feat = tok.select(
+        "doc_id",
+        (F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long") % b).alias("f"),
+        (F.col("lang") == DSIR_TARGET_LANG).alias("is_tgt"),
+    )
+    cnt = feat.groupBy("f").agg(
+        F.count("*").alias("cr"),
+        F.sum(F.col("is_tgt").cast("long")).alias("ct"),
+    )
+    tot = cnt.agg(F.sum("cr").alias("nr"), F.sum("ct").alias("nt"))
+    loglr = F.log(
+        ((F.col("ct") + 1.0) / (F.col("nt") + b))
+        / ((F.col("cr") + 1.0) / (F.col("nr") + b))
+    )
+    return (
+        feat.join(cnt, "f")
+        .join(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            dec(F.avg(loglr), 4).alias("avg_loglr"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q98 — Bloom-filter incremental dedup (approximate q76)
+# ---------------------------------------------------------------------------
+
+BLOOM_M = 2048  # bits — deliberately tight so false positives are OBSERVED
+BLOOM_K = 3  # hash functions
+
+
+def _bloom_pos_sql(h: str, i: str) -> str:
+    return f"('0x' || substr(md5({h} || '|' || {i}), 1, 8))::BIGINT % {BLOOM_M}"
+
+
+def _q98_oracle() -> str:
+    return f"""
+    WITH tagged AS (SELECT doc_id, (doc_id % {DELTA_MOD} = 0) AS is_delta,
+                           sha256(text) AS h
+                    FROM documents),
+    base_pos AS (SELECT DISTINCT {_bloom_pos_sql('h', 'i')} AS p
+                 FROM tagged, unnest(generate_series(1, {BLOOM_K})) t(i)
+                 WHERE NOT is_delta),
+    base_h AS (SELECT DISTINCT h FROM tagged WHERE NOT is_delta),
+    dpos AS (SELECT doc_id, h, {_bloom_pos_sql('h', 'i')} AS p
+             FROM tagged, unnest(generate_series(1, {BLOOM_K})) t(i)
+             WHERE is_delta),
+    hits AS (SELECT doc_id, h,
+                    SUM(CASE WHEN p IN (SELECT p FROM base_pos)
+                        THEN 1 ELSE 0 END) AS nhit
+             FROM dpos GROUP BY doc_id, h)
+    SELECT doc_id,
+           (nhit = {BLOOM_K}) AS bloom_dup,
+           (h IN (SELECT h FROM base_h)) AS exact_dup,
+           (nhit = {BLOOM_K} AND h NOT IN (SELECT h FROM base_h))
+               AS false_positive
+    FROM hits
+    """
+
+
+@query("q98_bloom_incremental_dedup", oracle=_q98_oracle())
+def q98_bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter admission for incremental dedup — the approximate
+    scale path for q76's exact anti-joins.  The base corpus folds into
+    a {BLOOM_M}-bit / {BLOOM_K}-hash Bloom set; a delta doc is
+    ``bloom_dup`` iff ALL {BLOOM_K} of its digest positions are set.
+    The exact digest check runs alongside, so every ``false_positive``
+    (bloom says dup, digests say new — the price of the compressed
+    filter) is OBSERVED in the output, not hidden.  M is deliberately
+    undersized (~0.5 bits/key at fixture scale) so the fixture
+    actually exercises that column; production sizes M at 10-20
+    bits/key for <1% FP.
+
+    Scale shape: the base side collapses to <= {BLOOM_M} DISTINCT
+    positions — CONSTANT-bounded, so AQE broadcasts the probe join on
+    its own (no forced broadcast); the delta side is map-only digest +
+    position fan-out.  At 100 TB the position set packs into an
+    M/64-long bitmap via per-partition OR-aggregation (bit_or over
+    packed words) and ships as one scalar array — same semantics, one
+    broadcast word-array instead of a position table; the reduction
+    below IS that aggregation, pre-packing.
+    """
+    docs = _fanout(spark, table(spark, sf_dir, "documents"))
+    tagged = docs.select(
+        "doc_id",
+        (F.col("doc_id") % DELTA_MOD == 0).alias("is_delta"),
+        F.sha2(F.col("text"), 256).alias("h"),
+    )
+
+    def pos(i: int) -> Column:
+        hashed = F.md5(F.concat(F.col("h"), F.lit(f"|{i}")))
+        return F.conv(F.substring(hashed, 1, 8), 16, 10).cast("long") % BLOOM_M
+
+    positions = F.array(*[pos(i) for i in range(1, BLOOM_K + 1)])
+    base_pos = (
+        tagged.filter(~F.col("is_delta"))
+        .select(F.explode(positions).alias("p"))
+        .distinct()
+        .withColumn("_in", F.lit(1))
+    )
+    base_h = (
+        tagged.filter(~F.col("is_delta"))
+        .select("h")
+        .distinct()
+        .withColumn("_eh", F.lit(True))
+    )
+    delta = tagged.filter(F.col("is_delta"))
+    hits = (
+        delta.select("doc_id", "h", F.explode(positions).alias("p"))
+        .join(base_pos, "p", "left")
+        .groupBy("doc_id", "h")
+        .agg(F.sum(F.coalesce(F.col("_in"), F.lit(0))).alias("nhit"))
+    )
+    bloom_dup = F.col("nhit") == BLOOM_K
+    exact_dup = F.coalesce(F.col("_eh"), F.lit(False))
+    return hits.join(base_h, "h", "left").select(
+        "doc_id",
+        bloom_dup.alias("bloom_dup"),
+        exact_dup.alias("exact_dup"),
+        (bloom_dup & ~exact_dup).alias("false_positive"),
+    )
