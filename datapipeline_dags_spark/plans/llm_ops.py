@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 from datapipeline_dags_spark.catalog import table
 from datapipeline_dags_spark.operators.graph import connected_components
 from datapipeline_dags_spark.plans.helpers import dec, sql_dec
-from datapipeline_dags_spark.plans.registry import query
+from datapipeline_dags_spark.plans.registry import QUERIES, query
 
 # ---------------------------------------------------------------------------
 # Shared building blocks
@@ -2678,4 +2678,91 @@ def q98_bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         bloom_dup.alias("bloom_dup"),
         exact_dup.alias("exact_dup"),
         (bloom_dup & ~exact_dup).alias("false_positive"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q99 — quality filter chain (C4/FineWeb-style admission pipeline)
+# ---------------------------------------------------------------------------
+
+CHAIN_MIN_WORDS = 40  # Gopher word-count floor (fixture-scaled)
+CHAIN_MIN_QUALITY = 0.8  # q50 composite floor (~p05 of len-ok fixture docs)
+
+
+def _q99_oracle() -> str:
+    from datapipeline_dags_spark.plans.registry import ORACLES
+
+    # composed at decoration time — q50/q70/q51 are registered above
+    return f"""
+    WITH f50 AS ({ORACLES["q50_text_quality"]}),
+    f70 AS ({ORACLES["q70_repetition_filter"]}),
+    f51 AS ({ORACLES["q51_lang_id"]})
+    SELECT f50.doc_id, f50.n_words, f50.quality,
+           (f50.n_words >= {CHAIN_MIN_WORDS}) AS len_ok,
+           (f50.quality >= {CHAIN_MIN_QUALITY}) AS quality_ok,
+           f70.keep AS repetition_ok,
+           (f51.pred_lang = f51.lang) AS lang_ok,
+           (f50.n_words >= {CHAIN_MIN_WORDS}
+            AND f50.quality >= {CHAIN_MIN_QUALITY}
+            AND f70.keep
+            AND f51.pred_lang = f51.lang) AS keep,
+           CASE WHEN f50.n_words < {CHAIN_MIN_WORDS} THEN 'too_short'
+                WHEN f50.quality < {CHAIN_MIN_QUALITY} THEN 'low_quality'
+                WHEN NOT f70.keep THEN 'repetitive'
+                WHEN f51.pred_lang <> f51.lang THEN 'lang_mismatch'
+                ELSE 'kept' END AS drop_reason
+    FROM f50 JOIN f70 USING (doc_id) JOIN f51 USING (doc_id)
+    """
+
+
+@query("q99_quality_filter_chain", oracle=_q99_oracle())
+def q99_quality_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4/FineWeb-style admission chain: length floor -> composite
+    quality floor (q50) -> Gopher repetition filter (q70) -> language
+    consistency (q51's prediction must agree with the declared lang),
+    evaluated in that fixed order so every dropped doc carries ONE
+    deterministic ``drop_reason`` — the per-stage accounting a corpus
+    curation run reports.  Built by COMPOSING the registered operators
+    (their DataFrames join on doc_id), demonstrating that every filter
+    in the chain is reusable outside its own query.
+
+    Scale shape: each component is a map-only/doc-keyed aggregate over
+    the same scan; the composition joins on doc_id — doc-partitioned,
+    no skew (doc_id unique).  A fused production variant computes all
+    component columns in one pass; the chain semantics (and this
+    oracle) are unchanged by that fusion.
+    """
+    f50 = QUERIES["q50_text_quality"](spark, sf_dir).select(
+        "doc_id", "n_words", "quality"
+    )
+    f70 = QUERIES["q70_repetition_filter"](spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("repetition_ok")
+    )
+    f51 = QUERIES["q51_lang_id"](spark, sf_dir).select(
+        "doc_id", (F.col("pred_lang") == F.col("lang")).alias("lang_ok")
+    )
+    len_ok = F.col("n_words") >= CHAIN_MIN_WORDS
+    quality_ok = F.col("quality") >= CHAIN_MIN_QUALITY
+    keep = len_ok & quality_ok & F.col("repetition_ok") & F.col("lang_ok")
+    reason = (
+        F.when(~len_ok, F.lit("too_short"))
+        .when(~quality_ok, F.lit("low_quality"))
+        .when(~F.col("repetition_ok"), F.lit("repetitive"))
+        .when(~F.col("lang_ok"), F.lit("lang_mismatch"))
+        .otherwise(F.lit("kept"))
+    )
+    return (
+        f50.join(f70, "doc_id")
+        .join(f51, "doc_id")
+        .select(
+            "doc_id",
+            "n_words",
+            "quality",
+            len_ok.alias("len_ok"),
+            quality_ok.alias("quality_ok"),
+            "repetition_ok",
+            "lang_ok",
+            keep.alias("keep"),
+            reason.alias("drop_reason"),
+        )
     )
