@@ -42,6 +42,10 @@ HEADLINE = [
     # round-2 additions: cluster resolution + compressed-code ANN
     "q69_dedup_clusters",
     "q75_ann_pq",
+    # round-3 additions: semantic dedup, DSIR selection, filter chain
+    "q96_semantic_dedup",
+    "q97_dsir_importance",
+    "q99_quality_filter_chain",
 ]
 
 REPS = 3

@@ -33,7 +33,50 @@ from datapipeline_dags_spark.session import get_session  # noqa: E402
 BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 WORK = "/tmp/spark_graft_scale"
 REPS = 2
-TARGETS = ("q41_dedup_minhash_lsh", "q69_dedup_clusters", "q75_ann_pq")
+TARGETS = (
+    "q41_dedup_minhash_lsh",
+    "q69_dedup_clusters",
+    "q75_ann_pq",
+    "q96_semantic_dedup",
+    "q96_semantic_dedup_2level",
+    "q96_semantic_dedup_2level_numpy",
+)
+
+# Per-(target, scale) keyword overrides: the SemDeDup contract is that
+# the quantizer grows WITH the corpus so cluster size stays constant —
+# the x10 runs get 10x centroids (the paper's regime).  That keeps the
+# PAIR stage linear but makes the FLAT assignment pass O(n*k) = 100x
+# compute at 10x — measured by the plain q96 row; the _2level row runs
+# the SAME workload through the hierarchical O(sqrt(k)) assignment,
+# the production path that removes the blowup.
+SCALE_KWARGS: dict[tuple[str, str], dict] = {
+    ("q96_semantic_dedup", "x1"): {"n_centroids": llm_ops.N_CENTROIDS},
+    ("q96_semantic_dedup", "x10"): {"n_centroids": llm_ops.N_CENTROIDS * 10},
+    ("q96_semantic_dedup_2level", "x1"): {
+        "n_centroids": llm_ops.N_CENTROIDS,
+        "two_level": True,
+    },
+    ("q96_semantic_dedup_2level", "x10"): {
+        "n_centroids": llm_ops.N_CENTROIDS * 10,
+        "two_level": True,
+    },
+    ("q96_semantic_dedup_2level_numpy", "x1"): {
+        "n_centroids": llm_ops.N_CENTROIDS,
+        "two_level": True,
+        "pair_backend": "numpy",
+    },
+    ("q96_semantic_dedup_2level_numpy", "x10"): {
+        "n_centroids": llm_ops.N_CENTROIDS * 10,
+        "two_level": True,
+        "pair_backend": "numpy",
+    },
+}
+
+# Harness-only labels resolve to a registered query + fixed kwargs.
+TARGET_FN = {
+    "q96_semantic_dedup_2level": "q96_semantic_dedup",
+    "q96_semantic_dedup_2level_numpy": "q96_semantic_dedup",
+}
 
 
 def build_fixtures() -> dict[str, str]:
@@ -83,9 +126,11 @@ def main() -> None:
         for qname in TARGETS:
             runs = []
             info: dict = {}
+            kwargs = SCALE_KWARGS.get((qname, scale), {})
+            fn = QUERIES[TARGET_FN.get(qname, qname)]
             for _ in range(REPS):
                 t0 = time.time()
-                QUERIES[qname](spark, sf_dir).write.format("noop").mode(
+                fn(spark, sf_dir, **kwargs).write.format("noop").mode(
                     "overwrite"
                 ).save()
                 runs.append(time.time() - t0)
@@ -125,6 +170,10 @@ def main() -> None:
                 f"{b1['capped_buckets']} -> {b10['capped_buckets']}, max "
                 f"{b1['max_bucket_size']} -> {b10['max_bucket_size']}"
             )
+        kw1 = SCALE_KWARGS.get((qname, "x1"))
+        kw10 = SCALE_KWARGS.get((qname, "x10"))
+        if kw1 or kw10:
+            signals.append(f"knobs {kw1 or {}} -> {kw10 or {}} (scaled with corpus)")
         lines.append(
             f"| {qname} | {r1['sec']} | {r10['sec']} | {ratio}x | "
             f"{'; '.join(signals) or '—'} |"
@@ -140,7 +189,21 @@ def main() -> None:
         "counters staying at zero (no hot bucket appeared at 10x) are the",
         "structural signals that the same plans survive further scale-up;",
         "a capped_buckets > 0 at production scale is an observable recall",
-        "event (see BUCKET_OBSERVATIONS), not a silent drop.",
+        "event (see BUCKET_OBSERVATIONS), not a silent drop.  The q96",
+        "pair runs the SemDeDup regime (quantizer scales with the corpus,",
+        "so per-cell pair work stays constant) and isolates the one",
+        "super-linear term: FLAT nearest-centroid assignment is O(n*k) =",
+        "100x compute at 10x data + 10x centroids (the plain row), while",
+        "the hierarchical two-level assignment (route via sqrt(k) top",
+        "cells — ivf_cell_assignment_2level) does O(n*sqrt(k)) (the",
+        "_2level row).  The remaining cost is the within-cell pairwise",
+        "stage, which the _2level_numpy row replaces with ONE BLAS",
+        "matmul per Arrow-batched cell (applyInPandas) — the dense",
+        "linear algebra the JVM expression engine cannot vectorize.",
+        "Flat+JVM remains the oracle-checked default at fixture scale",
+        "(bit-exact with DuckDB); two-level+numpy is the production",
+        "configuration at large k, and produces the identical pruned",
+        "set on the fixture (test_data_selection).",
     ]
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.md")
     with open(out, "w") as f:
