@@ -530,3 +530,64 @@ def q88_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec(F.max("value")).alias("hi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q100 — time-decayed engagement score (exponential decay aggregate)
+# ---------------------------------------------------------------------------
+
+DECAY_TAU_US = 7 * 24 * 3600 * 1_000_000  # 7-day e-folding time
+# event-type weights: the "value model" a feature pipeline assigns
+DECAY_WEIGHTS = (("purchase", 5.0), ("signup", 3.0), ("click", 1.0), ("view", 0.5))
+_W_SQL = " ".join(
+    f"WHEN event_type = '{t}' THEN {w}" for t, w in DECAY_WEIGHTS
+)
+
+
+@query(
+    "q100_time_decay_engagement",
+    oracle=f"""
+    WITH ref AS (SELECT MAX(epoch_us(ts)) AS ref_us FROM events),
+    scored AS (
+      SELECT user_id, ts,
+             (CASE {_W_SQL} ELSE 0.0 END)
+               * exp(-(ref.ref_us - epoch_us(ts)) / {DECAY_TAU_US}.0) AS s
+      FROM events CROSS JOIN ref)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MAX(ts) AS last_seen,
+           (ROUND(SUM(s), 4) + 0.0) AS engagement
+    FROM scored GROUP BY user_id
+    """,
+)
+def q100_time_decay_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed engagement per user: each event
+    contributes weight(event_type) * exp(-age/tau) relative to the
+    corpus's newest event — the standard recency-weighted feature a
+    ranking/personalization pipeline materializes, and the batch
+    equivalent of a decayed streaming accumulator (new_score =
+    old_score * exp(-dt/tau) + w, folded over arrivals).
+
+    Scale shape: the reference timestamp collapses to a 1-row broadcast
+    scalar; scoring is map-only arithmetic on integer microseconds; the
+    per-user reduce is one hash aggregate — the word-count shape.  The
+    unordered float sum is pinned by the 4-dp round (cf. q74).
+    """
+    ev = table(spark, sf_dir, "events")
+    ref = ev.agg(F.max(F.unix_micros("ts")).alias("ref_us"))
+    weight = F.lit(0.0)
+    for t, w in DECAY_WEIGHTS:
+        weight = F.when(F.col("event_type") == t, F.lit(w)).otherwise(weight)
+    s = weight * F.exp(
+        -(F.col("ref_us") - F.unix_micros("ts")) / F.lit(float(DECAY_TAU_US))
+    )
+    return (
+        ev.join(F.broadcast(ref))
+        .select("user_id", "ts", s.alias("s"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.max("ts").alias("last_seen"),
+            dec(F.sum("s"), 4).alias("engagement"),
+        )
+    )

@@ -93,6 +93,7 @@ BOUNDED_FILTER_HINT_OK = {
     # quantizer (fixed-size at every SF), nothing else
     "q96_semantic_dedup",
     "q97_dsir_importance",  # broadcasts the 1-row feature-count totals
+    "q100_time_decay_engagement",  # broadcasts the 1-row reference timestamp
 }
 
 
@@ -138,6 +139,7 @@ NESTED_LOOP_OK = {
     "q90_ann_recall",
     "q96_semantic_dedup",  # q47's 1-row quantizer attach, per cells side
     "q97_dsir_importance",  # 1-row totals attach (cf. q74)
+    "q100_time_decay_engagement",  # 1-row reference-timestamp attach
 }
 
 
