@@ -93,3 +93,60 @@ def streaming_dedup_first_seen(docs: DataFrame, fp_col: str = "fp") -> DataFrame
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+DECAY_OUTPUT_SCHEMA = "user_id bigint, last_us bigint, score double"
+DECAY_STATE_SCHEMA = "last_us bigint, score double"
+
+
+def _make_decay_update(tau_us: float, weights: dict[str, float]):
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import math
+
+        last_us, score = state.get if state.exists else (None, 0.0)
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ev_us")
+            for ev_us, etype in zip(pdf["ev_us"], pdf["event_type"]):
+                ev_us = int(ev_us)
+                if last_us is not None:
+                    score *= math.exp(-(ev_us - last_us) / tau_us)
+                score += weights.get(etype, 0.0)
+                last_us = ev_us
+        state.update((last_us, score))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "last_us": [last_us], "score": [score]}
+        )
+
+    return update
+
+
+def streaming_decayed_engagement(
+    events: DataFrame, tau_us: float, weights: dict[str, float]
+) -> DataFrame:
+    """Exponentially time-decayed per-user engagement over a stream —
+    the streaming twin of the batch q100 (plans/event_time.py): on each
+    arrival the accumulated score decays by exp(-dt/tau) and the
+    event's weight folds in, so state is TWO numbers per user
+    ((last_us, score) in the checkpointed store) yet the emitted score
+    equals the full sum over history w_i * exp(-(t_last - t_i)/tau) —
+    verified against an eager recomputation in
+    tests/test_stateful_streaming.py.
+
+    Expects ``ev_us`` (event-time microseconds), ``event_type`` and the
+    grouping column ``user_id``; within-batch rows fold in event-time
+    order (micro-batches are assumed event-time-ordered across batches
+    — the ingest contract; a production variant buffers a watermark's
+    worth of late rows in state before folding).
+    """
+    from datapipeline_dags_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(events.sparkSession)
+    return events.groupBy("user_id").applyInPandasWithState(
+        _make_decay_update(tau_us, weights),
+        outputStructType=DECAY_OUTPUT_SCHEMA,
+        stateStructType=DECAY_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

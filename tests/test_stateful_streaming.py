@@ -86,3 +86,68 @@ def test_streaming_dedup_admits_first_seen_only(spark, tmp_path):
     drop(src, "d2.json", [{"doc_id": 11, "fp": "A"}, {"doc_id": 12, "fp": "C"}])
     run_tick()
     assert admitted == [("C", 12)]
+
+
+EV_SCHEMA = "user_id long, ev_us long, event_type string"
+
+
+def test_streaming_decay_matches_batch_closed_form(spark, tmp_path):
+    """The two-number state fold (decay + add) must equal the full
+    closed-form sum w_i * exp(-(t_last - t_i)/tau) over the whole
+    history — q100's math, restated at the user's own last event —
+    and survive a checkpoint restart between micro-batches."""
+    import math
+
+    from datapipeline_dags_spark.streaming.stateful import (
+        streaming_decayed_engagement,
+    )
+
+    tau = 1_000_000.0  # 1 s e-folding so decay is visible in the fixture
+    weights = {"click": 1.0, "purchase": 5.0}
+    src = str(tmp_path / "ev")
+    ckpt = str(tmp_path / "ckpt")
+    final: dict[int, tuple] = {}
+
+    def run_tick():
+        stream = spark.readStream.schema(EV_SCHEMA).json(src)
+        q = (
+            streaming_decayed_engagement(stream, tau, weights)
+            .writeStream.foreachBatch(
+                lambda b, _id: final.update(
+                    {r.user_id: (r.last_us, r.score) for r in b.collect()}
+                )
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    batch1 = [
+        {"user_id": 1, "ev_us": 0, "event_type": "click"},
+        {"user_id": 1, "ev_us": 500_000, "event_type": "purchase"},
+        {"user_id": 2, "ev_us": 100_000, "event_type": "click"},
+    ]
+    batch2 = [
+        {"user_id": 1, "ev_us": 2_000_000, "event_type": "click"},
+        {"user_id": 2, "ev_us": 3_100_000, "event_type": "purchase"},
+    ]
+    drop(src, "b1.json", batch1)
+    run_tick()
+    drop(src, "b2.json", batch2)
+    run_tick()  # fresh query object; state must come from the checkpoint
+
+    history: dict[int, list] = {}
+    for ev in batch1 + batch2:
+        history.setdefault(ev["user_id"], []).append(ev)
+    for uid, evs in history.items():
+        evs.sort(key=lambda e: e["ev_us"])
+        t_last = evs[-1]["ev_us"]
+        expect = sum(
+            weights[e["event_type"]] * math.exp(-(t_last - e["ev_us"]) / tau)
+            for e in evs
+        )
+        got_last, got_score = final[uid]
+        assert got_last == t_last
+        assert abs(got_score - expect) < 1e-9, (uid, got_score, expect)
