@@ -2920,3 +2920,134 @@ def q99_quality_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
             reason.alias("drop_reason"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q101 — BPE tokenizer induction (distributed greedy pair merging)
+# ---------------------------------------------------------------------------
+
+BPE_ROUNDS = 3
+
+
+def _bpe_sql_round(prev_s: str, p: str) -> str:
+    """One unrolled oracle round: top weighted pair of ``prev_s``, then
+    the rewritten symbol table."""
+    arr = "string_split(trim(sym), ' ')"
+    return f"""
+    {p} AS (SELECT pr AS pair, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+         SELECT unnest(list_transform(generate_series(1, len({arr}) - 1),
+                i -> {arr}[i] || ' ' || {arr}[i + 1])) AS pr, freq
+         FROM {prev_s}) t
+       GROUP BY pr ORDER BY cnt DESC, pair LIMIT 1),
+    s_{p} AS (SELECT replace(sym, ' ' || {p}.pair || ' ',
+                             ' ' || replace({p}.pair, ' ', '') || ' ') AS sym,
+                     freq
+              FROM {prev_s}, {p})"""
+
+
+def _q101_oracle() -> str:
+    rounds = []
+    prev = "s0"
+    for r in range(1, BPE_ROUNDS + 1):
+        rounds.append(_bpe_sql_round(prev, f"p{r}"))
+        prev = f"s_p{r}"
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS merge_round, pair, "
+        f"replace(pair, ' ', '') AS merged, cnt AS pair_count FROM p{r}"
+        for r in range(1, BPE_ROUNDS + 1)
+    )
+    return f"""
+    WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+    vocab AS (SELECT w, COUNT(*) AS freq FROM tok GROUP BY w),
+    s0 AS (SELECT ' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' ' AS sym,
+                  freq
+           FROM vocab),
+    {",".join(rounds)}
+    {selects}
+    """
+
+
+def _bpe_pairs(sym: Column) -> Column:
+    arr = F.split(F.trim(sym), " ")
+    n = F.size(arr) - 1
+    return F.when(
+        n >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.concat_ws(
+                " ", F.element_at(arr, i), F.element_at(arr, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+@query("q101_bpe_merges", oracle=_q101_oracle())
+def q101_bpe_merges(
+    spark: SparkSession, sf_dir: str, rounds: int = BPE_ROUNDS
+) -> DataFrame:
+    """Distributed BPE tokenizer induction: {BPE_ROUNDS} greedy merge
+    rounds over the corpus word-frequency table — per round, the
+    highest-weighted adjacent symbol pair (ties → lexicographically
+    first) becomes one symbol everywhere, exactly how a BPE vocabulary
+    is trained.  Output is the merge table (round, pair, merged,
+    weighted count) — the artifact a tokenizer ships.
+
+    Merging uses literal left-to-right non-overlapping string replace
+    on the space-joined symbol string — verified bit-identical between
+    the JVM and DuckDB (' a a a a ' + 'a a' merges greedily, the
+    standard BPE tie behavior for repeated symbols).
+
+    Scale shape: everything runs on the VOCAB table (|distinct words| ×
+    avg word length — orders of magnitude smaller than the corpus; the
+    corpus is touched ONCE for frequencies).  Each round is one explode
+    + one hash agg + a global top-1 (TakeOrderedAndProject) broadcast
+    back as a 1-row join — the q69-style driver loop with bounded
+    per-round state, unrolled lazily here (rounds is small and fixed,
+    so the whole merge table is ONE action; a 50k-merge production run
+    collects each top-1 and localCheckpoints the symbol table, the CC
+    pattern).
+    """
+    docs = _fanout(spark, table(spark, sf_dir, "documents"))
+    vocab = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    sym = vocab.select(
+        F.concat(
+            F.lit(" "),
+            F.trim(F.regexp_replace(F.col("w"), "(.)", "$1 ")),
+            F.lit(" "),
+        ).alias("sym"),
+        "freq",
+    ).persist()
+
+    out = None
+    for r in range(1, rounds + 1):
+        top = (
+            sym.select(F.explode(_bpe_pairs(F.col("sym"))).alias("pair"), "freq")
+            .groupBy("pair")
+            .agg(F.sum("freq").cast("long").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "pair")
+            .limit(1)
+        )
+        row = top.select(
+            F.lit(r).cast("long").alias("merge_round"),
+            "pair",
+            F.replace(F.col("pair"), F.lit(" "), F.lit("")).alias("merged"),
+            F.col("cnt").alias("pair_count"),
+        )
+        out = row if out is None else out.unionAll(row)
+        sym = sym.crossJoin(F.broadcast(top.select("pair"))).select(
+            F.replace(
+                F.col("sym"),
+                F.concat(F.lit(" "), F.col("pair"), F.lit(" ")),
+                F.concat(
+                    F.lit(" "),
+                    F.replace(F.col("pair"), F.lit(" "), F.lit("")),
+                    F.lit(" "),
+                ),
+            ).alias("sym"),
+            "freq",
+        )
+    return out
