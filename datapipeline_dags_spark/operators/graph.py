@@ -8,8 +8,11 @@ not per-block grouping.
 Algorithm: iterative min-label propagation — each round every node
 takes the minimum label among itself and its neighbors; fixpoint when
 no label changes.  Per round: ONE hash join + ONE hash aggregate, both
-partitioned on the node key, with the convergence probe as the round's
-action.  Rounds = graph diameter; dup-cluster diameters are tiny
+partitioned on the node key, and ONE action — the convergence probe
+rides the checkpoint materialization as an ``observe`` metric (each
+node's previous label is unioned in alongside the candidates, so
+"changed" is a conditional sum computed as rows flow; no second
+join-and-count job).  Rounds = graph diameter; dup-cluster diameters are tiny
 (blocking keys connect most members straight to the cluster minimum).
 For adversarial chain graphs swap in two-phase large-star/small-star
 contraction (O(log^2 n) rounds) — same per-round plan shape.
@@ -23,7 +26,7 @@ reliable ``checkpoint(dir)`` at the same call sites.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 DEFAULT_MAX_ITERS = 20
@@ -61,19 +64,33 @@ def connected_components(
     global LAST_ROUNDS
     for i in range(max_iters):
         nbr = sym.join(cur.withColumnRenamed("node", "src"), "src").select(
-            F.col("dst").alias("node"), "component"
+            F.col("dst").alias("node"),
+            "component",
+            F.lit(None).cast("long").alias("prev"),
         )
+        cand = cur.select(
+            "node", "component", F.col("component").cast("long").alias("prev")
+        )
+        obs = Observation()
         new = (
-            cur.union(nbr)
+            cand.unionByName(nbr)
             .groupBy("node")
-            .agg(F.min("component").alias("component"))
+            .agg(
+                F.min("component").alias("component"),
+                # every node carries exactly one non-null prev (its own
+                # cur row); max() recovers it without a second join
+                F.max("prev").alias("prev"),
+            )
+            .observe(
+                obs,
+                F.sum(
+                    (F.col("component") != F.col("prev")).cast("long")
+                ).alias("changed"),
+            )
+            .select("node", "component")
             .localCheckpoint()
         )
-        changed = (
-            new.join(cur.select("node", F.col("component").alias("prev")), "node")
-            .filter(F.col("component") != F.col("prev"))
-            .count()
-        )
+        changed = int(obs.get["changed"] or 0)
         cur = new
         if changed == 0:
             LAST_ROUNDS = i + 1
