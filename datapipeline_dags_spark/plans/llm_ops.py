@@ -2929,9 +2929,10 @@ def q99_quality_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_ROUNDS = 3
 
 
-def _bpe_sql_round(prev_s: str, p: str) -> str:
+def _bpe_sql_round(prev_s: str, p: str, carry: str = "") -> str:
     """One unrolled oracle round: top weighted pair of ``prev_s``, then
-    the rewritten symbol table."""
+    the rewritten symbol table.  ``carry`` names extra columns to keep
+    through the rewrite (q102 carries the word itself)."""
     arr = "string_split(trim(sym), ' ')"
     return f"""
     {p} AS (SELECT pr AS pair, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
@@ -2941,30 +2942,36 @@ def _bpe_sql_round(prev_s: str, p: str) -> str:
        GROUP BY pr ORDER BY cnt DESC, pair LIMIT 1),
     s_{p} AS (SELECT replace(sym, ' ' || {p}.pair || ' ',
                              ' ' || replace({p}.pair, ' ', '') || ' ') AS sym,
-                     freq
+                     freq{carry}
               FROM {prev_s}, {p})"""
 
 
-def _q101_oracle() -> str:
+def _bpe_sql_chain(carry: str = "") -> str:
+    """The shared WITH-clause prefix: tok → vocab → s0 → unrolled merge
+    rounds p1/s_p1 .. p{BPE_ROUNDS}/s_p{BPE_ROUNDS}."""
     rounds = []
     prev = "s0"
     for r in range(1, BPE_ROUNDS + 1):
-        rounds.append(_bpe_sql_round(prev, f"p{r}"))
+        rounds.append(_bpe_sql_round(prev, f"p{r}", carry))
         prev = f"s_p{r}"
+    return f"""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                 FROM documents),
+    vocab AS (SELECT w, COUNT(*) AS freq FROM tok GROUP BY w),
+    s0 AS (SELECT ' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' ' AS sym,
+                  freq{carry}
+           FROM vocab),
+    {",".join(rounds)}
+    """
+
+
+def _q101_oracle() -> str:
     selects = " UNION ALL ".join(
         f"SELECT CAST({r} AS BIGINT) AS merge_round, pair, "
         f"replace(pair, ' ', '') AS merged, cnt AS pair_count FROM p{r}"
         for r in range(1, BPE_ROUNDS + 1)
     )
-    return f"""
-    WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
-    vocab AS (SELECT w, COUNT(*) AS freq FROM tok GROUP BY w),
-    s0 AS (SELECT ' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' ' AS sym,
-                  freq
-           FROM vocab),
-    {",".join(rounds)}
-    {selects}
-    """
+    return _bpe_sql_chain() + selects
 
 
 def _bpe_pairs(sym: Column) -> Column:
