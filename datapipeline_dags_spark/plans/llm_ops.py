@@ -3058,3 +3058,88 @@ def q101_bpe_merges(
             "freq",
         )
     return out
+
+def _q102_oracle() -> str:
+    last = f"s_p{BPE_ROUNDS}"
+    return _bpe_sql_chain(carry=", w") + f"""
+    SELECT tok,
+           CAST(COUNT(DISTINCT w) AS BIGINT) AS n_words,
+           CAST(SUM(freq) AS BIGINT) AS total_freq
+    FROM (SELECT w, freq, unnest(string_split(trim(sym), ' ')) AS tok
+          FROM {last})
+    GROUP BY tok
+    """
+
+
+@query("q102_bpe_tokenize", oracle=_q102_oracle())
+def q102_bpe_tokenize(
+    spark: SparkSession, sf_dir: str, rounds: int = BPE_ROUNDS
+) -> DataFrame:
+    """BPE tokenizer APPLICATION: segment every distinct corpus word with
+    the merge table q101 learns, then report the resulting subword
+    vocabulary — (token, n_words it appears in, corpus-weighted total
+    frequency).  This is the other half of shipping a tokenizer: q101
+    trains the merges, q102 measures what they do to the corpus
+    (fertility / subword distribution), the standard pre-training sanity
+    check before a tokenizer is frozen.
+
+    Same lazy per-round top-1-broadcast loop as q101, but the symbol
+    table carries the source word so the final explode can attribute
+    tokens back to words.  Everything still runs on the VOCAB table (the
+    corpus is touched once for frequencies); the final step is one
+    explode + one hash agg.  At a production 50k-merge scale the merge
+    table is collected (it is the bounded tokenizer artifact) and the
+    segmentation becomes one broadcast map pass — the shape here differs
+    only in keeping the whole 3-round chain lazy so the oracle contract
+    stays a single action.
+    """
+    docs = _fanout(spark, table(spark, sf_dir, "documents"))
+    vocab = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    sym = vocab.select(
+        "w",
+        F.concat(
+            F.lit(" "),
+            F.trim(F.regexp_replace(F.col("w"), "(.)", "$1 ")),
+            F.lit(" "),
+        ).alias("sym"),
+        "freq",
+    ).persist()
+
+    for _ in range(rounds):
+        top = (
+            sym.select(F.explode(_bpe_pairs(F.col("sym"))).alias("pair"), "freq")
+            .groupBy("pair")
+            .agg(F.sum("freq").cast("long").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "pair")
+            .limit(1)
+        )
+        sym = sym.crossJoin(F.broadcast(top.select("pair"))).select(
+            "w",
+            F.replace(
+                F.col("sym"),
+                F.concat(F.lit(" "), F.col("pair"), F.lit(" ")),
+                F.concat(
+                    F.lit(" "),
+                    F.replace(F.col("pair"), F.lit(" "), F.lit("")),
+                    F.lit(" "),
+                ),
+            ).alias("sym"),
+            "freq",
+        )
+
+    return (
+        sym.select(
+            "w",
+            "freq",
+            F.explode(F.split(F.trim(F.col("sym")), " ")).alias("tok"),
+        )
+        .groupBy("tok")
+        .agg(
+            F.countDistinct("w").cast("long").alias("n_words"),
+            F.sum("freq").cast("long").alias("total_freq"),
+        )
+    )
