@@ -3143,3 +3143,91 @@ def q102_bpe_tokenize(
             F.sum("freq").cast("long").alias("total_freq"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q103 — segment-level corpus-wide dedup (line-dedup analog)
+# ---------------------------------------------------------------------------
+
+# Dedup unit width in words.  Real corpora dedup at line/paragraph
+# boundaries (CCNet / FineWeb line-dedup); the synthetic fixture has no
+# newlines, so the unit is a fixed non-overlapping word window — the
+# same unit family as q93's duplicate spans, but *removal* instead of
+# detection.
+SEG_W = 10
+
+
+def _q103_oracle() -> str:
+    return f"""
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    segs AS (
+      SELECT doc_id, i AS seg_idx,
+             array_to_string(w[(i - 1) * {SEG_W} + 1 : i * {SEG_W}], ' ') AS seg
+      FROM words,
+           unnest(generate_series(
+             1, CAST(ceil(len(w) / {SEG_W}.0) AS INT))) AS t(i)),
+    ranked AS (
+      SELECT doc_id, seg_idx, seg,
+             row_number() OVER (PARTITION BY seg
+                                ORDER BY doc_id, seg_idx) AS rn
+      FROM segs)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           COALESCE(string_agg(seg, ' ' ORDER BY seg_idx)
+                    FILTER (WHERE rn = 1), '') AS clean_text
+    FROM ranked GROUP BY doc_id
+    """
+
+
+@query("q103_segment_dedup", oracle=_q103_oracle())
+def q103_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-level corpus-wide dedup with document reconstruction —
+    the CCNet/FineWeb "line dedup" operator: every {SEG_W}-word segment
+    that already appeared anywhere earlier in the corpus (first
+    occurrence = lowest (doc_id, seg_idx)) is REMOVED, and each document
+    is rebuilt from its surviving segments.
+
+    Scale shape: posexplode to (doc, idx, segment) → rank within
+    segment-hash partitions (shuffle key = sha2 digest, constant width,
+    never the document) → rebuild via one doc-keyed agg whose
+    collect_list is array_sort-ed on the carried index, so reassembly is
+    deterministic without a global sort.  Two hash shuffles total, both
+    on bounded keys; no window over the whole corpus.
+    """
+    docs = _fanout(spark, table(spark, sf_dir, "documents"))
+    words = docs.select("doc_id", F.split(F.col("text"), " ").alias("w"))
+    segs = words.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.ceil(F.size(F.col("w")) / F.lit(SEG_W)).cast("int")
+                ),
+                lambda i: F.concat_ws(
+                    " ", F.slice(F.col("w"), (i - F.lit(1)) * SEG_W + 1, SEG_W)
+                ),
+            )
+        ).alias("idx0", "seg"),
+    ).select("doc_id", (F.col("idx0") + 1).alias("seg_idx"), "seg")
+    ranked = segs.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy(F.sha2(F.col("seg"), 256)).orderBy("doc_id", "seg_idx")
+        ),
+    )
+    return ranked.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_segments"),
+        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).cast("long").alias("n_dropped"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("rn") == 1, F.struct("seg_idx", "seg"))
+                    )
+                ),
+                lambda s: s["seg"],
+            ),
+        ).alias("clean_text"),
+    )

@@ -95,6 +95,7 @@ BOUNDED_FILTER_HINT_OK = {
     "q97_dsir_importance",  # broadcasts the 1-row feature-count totals
     "q100_time_decay_engagement",  # broadcasts the 1-row reference timestamp
     "q101_bpe_merges",  # broadcasts the 1-row per-round top pair
+    "q102_bpe_tokenize",  # same 1-row per-round top-pair broadcast as q101
 }
 
 
@@ -142,6 +143,7 @@ NESTED_LOOP_OK = {
     "q97_dsir_importance",  # 1-row totals attach (cf. q74)
     "q100_time_decay_engagement",  # 1-row reference-timestamp attach
     "q101_bpe_merges",  # 1-row top-pair attach per merge round
+    "q102_bpe_tokenize",  # same 1-row top-pair attach as q101
 }
 
 
