@@ -30,26 +30,42 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table as a DataFrame (parquet, pushdown-capable).
 
-    ``events.parquet`` stores ``ts`` as parquet TIMESTAMP(NANOS), which
-    Spark has no native type for. The session factory sets
-    ``spark.sql.legacy.parquet.nanosAsLong`` once (session.py), so nanos
-    arrive as LONG and are converted here to a microsecond TimestampType —
-    lossless (the generator emits µs-aligned values; verified) and
-    parity-exact with the DuckDB oracle.
+    ``events.parquet`` has shipped with two physical layouts for ``ts``:
+    parquet TIMESTAMP(NANOS) (read as LONG via the session factory's
+    ``spark.sql.legacy.parquet.nanosAsLong``) and plain TIMESTAMP(MICROS)
+    (read as TIMESTAMP_NTZ). Both normalize here to a microsecond
+    TimestampType under the UTC session zone — lossless either way and
+    parity-exact with the DuckDB oracle, regardless of which fixture
+    generation is on disk.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        from pyspark.sql import functions as F
-
         # The driver calls us on a VANILLA session (no get_session), so the
         # factory-level conf may be absent — ensure it here as well. This is
         # a session-wide flag, but it is only ever set to one value, so the
         # mutation is idempotent, not order-dependent.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-        # integer division — float division loses µs precision at 1.7e18 ns
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return normalize_event_ts(spark.read.parquet(path))
     return spark.read.parquet(path)
+
+
+def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to microsecond TimestampType.
+
+    Handles every layout the fixtures have used: raw nanos LONG
+    (integer-divided — float division loses µs precision at 1.7e18 ns),
+    TIMESTAMP_NTZ (reinterpreted in the UTC session zone, wall-clock
+    preserved), or already TimestampType (no-op).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    dt = df.schema[col].dataType
+    if isinstance(dt, T.LongType):
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    if isinstance(dt, T.TimestampNTZType):
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
 
 
 def write_bucketed(

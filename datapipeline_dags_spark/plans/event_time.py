@@ -591,3 +591,68 @@ def q100_time_decay_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec(F.sum("s"), 4).alias("engagement"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q108 — rolling z-score anomaly detection
+# ---------------------------------------------------------------------------
+
+ZS_LOOKBACK = 24  # trailing full-window size (rows), current row excluded
+ZS_THRESHOLD = 3.0
+
+
+@query(
+    "q108_rolling_zscore_anomalies",
+    oracle=f"""
+    WITH w AS (
+      SELECT event_id, event_type, ts, value,
+             AVG(value) OVER tw AS mu,
+             STDDEV_SAMP(value) OVER tw AS sigma,
+             COUNT(*) OVER tw AS n_prev
+      FROM events
+      WINDOW tw AS (PARTITION BY event_type ORDER BY ts, event_id
+                    ROWS BETWEEN {ZS_LOOKBACK} PRECEDING AND 1 PRECEDING))
+    SELECT event_id, event_type, ts, value,
+           (ROUND((value - mu) / sigma, 4) + 0.0) AS zscore
+    FROM w
+    WHERE n_prev = {ZS_LOOKBACK} AND sigma > 0
+      AND ABS((value - mu) / sigma) > {ZS_THRESHOLD}
+    """,
+)
+def q108_rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection: each event's value against the
+    mean/stddev of the TRAILING {ZS_LOOKBACK} events of the same type
+    (current row excluded — no self-contamination); emit events more
+    than {ZS_THRESHOLD}σ out.  The monitoring primitive for metric
+    streams (data-quality drift, abuse spikes).
+
+    Scale shape: ONE window pass partitioned by event_type (bounded
+    cardinality → consider salting by day at extreme per-type volume),
+    trailing frame only — mean and stddev are O(1) mergeable frame
+    aggregates, full frames only so results are interpolation-free and
+    engine-exact (the q81 discipline).
+    """
+    ev = table(spark, sf_dir, "events")
+    tw = (
+        W.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-ZS_LOOKBACK, -1)
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        ev.select(
+            "event_id",
+            "event_type",
+            "ts",
+            "value",
+            F.avg("value").over(tw).alias("mu"),
+            F.stddev_samp("value").over(tw).alias("sigma"),
+            F.count("*").over(tw).alias("n_prev"),
+        )
+        .filter(
+            (F.col("n_prev") == ZS_LOOKBACK)
+            & (F.col("sigma") > 0)
+            & (F.abs(z) > ZS_THRESHOLD)
+        )
+        .select("event_id", "event_type", "ts", "value", dec(z, 4).alias("zscore"))
+    )

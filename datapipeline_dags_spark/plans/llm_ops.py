@@ -3231,3 +3231,272 @@ def q103_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("clean_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q104 — PMI collocations (corpus-level bigram association mining)
+# ---------------------------------------------------------------------------
+
+PMI_MIN_COUNT = 5  # bigram support floor (drops noise pairs)
+PMI_TOP_K = 50
+
+
+def _q104_oracle() -> str:
+    return f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    toks AS (SELECT unnest(words) AS tok FROM w),
+    uni AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+    tot AS (SELECT SUM(c) AS t FROM uni),
+    bi AS (SELECT words[i] AS a, words[i+1] AS b
+           FROM w, unnest(generate_series(1, len(words) - 1)) t(i)),
+    bcnt AS (SELECT a, b, COUNT(*) AS cab FROM bi GROUP BY a, b),
+    btot AS (SELECT SUM(cab) AS bt FROM bcnt),
+    scored AS (
+      SELECT a, b, cab,
+             (cab * 1.0 * t * t) / (ua.c * 1.0 * ub.c * bt) AS ratio
+      FROM bcnt JOIN uni ua ON bcnt.a = ua.tok
+                JOIN uni ub ON bcnt.b = ub.tok, tot, btot
+      WHERE cab >= {PMI_MIN_COUNT})
+    SELECT a, b, CAST(cab AS BIGINT) AS n_pair,
+           {sql_dec('log2(ratio)', 6)} AS pmi
+    FROM scored
+    ORDER BY ratio DESC, a, b LIMIT {PMI_TOP_K}
+    """
+
+
+@query("q104_pmi_collocations", oracle=_q104_oracle())
+def q104_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise-mutual-information collocation mining: the corpus-level
+    bigram pairs that co-occur far more than their unigram frequencies
+    predict — the classic multi-word-expression / tokenizer-seed signal
+    (Church & Hanks 1990).
+
+    Scale shape: ONE token explode feeds the unigram hash agg, one
+    zip_with bigram explode feeds the pair agg; the two corpus totals
+    are 1-row aggregates broadcast into the scoring join; the bigram →
+    unigram joins shuffle on the token key only (never document text).
+    The final TOP_K is TakeOrderedAndProject — no global sort.  The
+    ranking key is the RAW exact-integer ratio (monotone with PMI),
+    bit-identical across engines, so the cutoff never depends on
+    floating-point log rounding; log2 is applied only to the reported
+    column.
+    """
+    docs = _fanout(spark, table(spark, sf_dir, "documents"))
+    words = F.split(F.col("text"), " ")
+    w = docs.select(words.alias("words"))
+    uni = (
+        w.select(F.explode("words").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = uni.agg(F.sum("c").alias("t"))
+    n1 = F.size(F.col("words")) - 1
+    pairs = F.zip_with(
+        F.slice(F.col("words"), 1, n1),
+        F.slice(F.col("words"), 2, n1),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+    )
+    bcnt = (
+        w.select(F.explode(pairs).alias("p"))
+        .select("p.a", "p.b")
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("cab"))
+    )
+    # total over ALL bigrams (the probability denominator) = Σ(len−1),
+    # a map-only 1-row aggregate over the doc scan — avoids re-running
+    # the bigram aggregation just for its sum; support floor applies
+    # only to the scored candidates
+    btot = w.agg(F.sum(F.greatest(n1, F.lit(0))).alias("bt"))
+    bcnt = bcnt.filter(F.col("cab") >= PMI_MIN_COUNT)
+    ua = uni.select(F.col("tok").alias("a"), F.col("c").alias("ca"))
+    ub = uni.select(F.col("tok").alias("b"), F.col("c").alias("cb"))
+    scored = (
+        bcnt.join(ua, "a")
+        .join(ub, "b")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(btot))
+        .withColumn(
+            "ratio",
+            (F.col("cab") * 1.0 * F.col("t") * F.col("t"))
+            / (F.col("ca") * 1.0 * F.col("cb") * F.col("bt")),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("ratio"), "a", "b")
+        .limit(PMI_TOP_K)
+        .select(
+            "a",
+            "b",
+            F.col("cab").cast("long").alias("n_pair"),
+            dec(F.log2("ratio"), 6).alias("pmi"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q105 — temperature-smoothed multilingual mixture sampling
+# ---------------------------------------------------------------------------
+
+MIX_ALPHA = 0.3  # smoothing exponent (XLM-R / mT5 style)
+MIX_TARGET_N = 250  # expected sample size at fixture scale
+
+
+def _q105_oracle() -> str:
+    rate = f"LEAST(1.0, (w / sw) * {MIX_TARGET_N} / nl)"
+    return f"""
+    WITH lc AS (SELECT lang, COUNT(*) AS nl FROM documents GROUP BY lang),
+    wt AS (SELECT lang, nl, POW(nl, {MIX_ALPHA}) AS w FROM lc),
+    sm AS (SELECT SUM(w) AS sw FROM wt),
+    rates AS (SELECT lang, {rate} AS rate FROM wt, sm)
+    SELECT d.doc_id, d.lang, {sql_dec('r.rate', 6)} AS rate
+    FROM documents d JOIN rates r ON d.lang = r.lang
+    WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+          / 4294967296.0 < r.rate
+    """
+
+
+@query("q105_alpha_mixture_sample", oracle=_q105_oracle())
+def q105_alpha_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-smoothed language mixture sampling: acceptance rate
+    per language ∝ n_l^α / n_l (α = 0.3), so low-resource languages are
+    up-weighted relative to their corpus share — the standard
+    multilingual rebalancing curve (XLM-R), generalizing q73's uniform
+    rebalance.
+
+    Scale shape: the per-language rate table is a tiny aggregate
+    (|langs| rows) broadcast into a map-only accept filter over the
+    corpus; the coin is the md5 fraction of the doc key (reproducible
+    across re-runs, resharding, and engines — no RNG state).
+    """
+    docs = table(spark, sf_dir, "documents")
+    lc = docs.groupBy("lang").agg(F.count("*").alias("nl"))
+    wt = lc.withColumn("w", F.pow("nl", F.lit(MIX_ALPHA)))
+    sm = wt.agg(F.sum("w").alias("sw"))
+    rates = wt.crossJoin(F.broadcast(sm)).select(
+        "lang",
+        F.least(
+            F.lit(1.0), (F.col("w") / F.col("sw")) * MIX_TARGET_N / F.col("nl")
+        ).alias("rate"),
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        / F.lit(4294967296.0)
+    )
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .filter(u < F.col("rate"))
+        .select("doc_id", "lang", dec(F.col("rate"), 6).alias("rate"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q106 — token-level text cleaning (stopword / short-token / stutter strip)
+# ---------------------------------------------------------------------------
+
+CLEAN_MIN_TOKEN_LEN = 3
+
+
+def _q106_oracle() -> str:
+    keep = (
+        f"list_filter(w, x -> len(x) >= {CLEAN_MIN_TOKEN_LEN} "
+        f"AND NOT list_contains({list(STOPWORDS)!r}, x))"
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    f AS (SELECT doc_id, len(w) AS n_before, {keep} AS kept FROM t),
+    c AS (SELECT doc_id, n_before,
+                 list_filter(kept, (x, i) -> i = 1 OR kept[i - 1] != x) AS cw
+          FROM f)
+    SELECT doc_id,
+           CAST(n_before AS BIGINT) AS n_before,
+           CAST(len(cw) AS BIGINT) AS n_after,
+           array_to_string(cw, ' ') AS clean_text
+    FROM c
+    """
+
+
+@query("q106_token_cleaning", oracle=_q106_oracle())
+def q106_token_cleaning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-level cleaning: drop stopwords and sub-length tokens, then
+    collapse consecutive repeats ("a a a" → "a") — the C4-style
+    normalization pass that runs before dedup so near-identical noise
+    doesn't defeat exact hashing.
+
+    Scale shape: map-only — every step is a higher-order array lambda
+    (filter with index) inside whole-stage codegen; no shuffle, no UDF,
+    trivially partition-parallel at any corpus size.
+    """
+    docs = table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    kept = F.filter(
+        w,
+        lambda x: (F.length(x) >= CLEAN_MIN_TOKEN_LEN) & ~x.isin(*STOPWORDS),
+    )
+    docs = docs.select("doc_id", F.size(w).alias("n_before"), kept.alias("kept"))
+    collapsed = F.filter(
+        F.col("kept"),
+        lambda x, i: (i == 0) | (F.col("kept")[i - 1] != x),
+    )
+    return docs.select(
+        "doc_id",
+        F.col("n_before").cast("long").alias("n_before"),
+        F.size(collapsed).cast("long").alias("n_after"),
+        F.concat_ws(" ", collapsed).alias("clean_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q107 — per-document token entropy / lexical-diversity features
+# ---------------------------------------------------------------------------
+
+
+def _q107_oracle() -> str:
+    ent = "log2(total * 1.0) - (slc / total)"
+    return f"""
+    WITH uni AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                 FROM documents),
+    cnt AS (SELECT doc_id, tok, COUNT(*) AS c FROM uni GROUP BY doc_id, tok),
+    st AS (SELECT doc_id, SUM(c) AS total, COUNT(*) AS ndist,
+                  SUM(c * log2(c * 1.0)) AS slc
+           FROM cnt GROUP BY doc_id)
+    SELECT doc_id,
+           CAST(total AS BIGINT) AS n_tokens,
+           CAST(ndist AS BIGINT) AS n_distinct,
+           {sql_dec('ndist * 1.0 / total', 6)} AS type_token_ratio,
+           {sql_dec(ent, 6)} AS entropy_bits
+    FROM st
+    """
+
+
+@query("q107_token_entropy", oracle=_q107_oracle())
+def q107_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram entropy and type-token ratio — the
+    lexical-diversity quality features (low entropy = templated/spam
+    text) used alongside q50's ratios and q70's repetition fractions.
+
+    Entropy via the algebraic form H = log2(N) − Σc·log2(c)/N so both
+    engines sum the SAME per-token terms (one two-level hash agg: token
+    counts, then per-doc moments — the q70 shape, shuffle on (doc,tok)
+    hash then doc).
+    """
+    docs = _fanout(spark, table(spark, sf_dir, "documents"))
+    cnt = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    st = cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("total"),
+        F.count("*").alias("ndist"),
+        F.sum(F.col("c") * F.log2(F.col("c") * 1.0)).alias("slc"),
+    )
+    return st.select(
+        "doc_id",
+        F.col("total").cast("long").alias("n_tokens"),
+        F.col("ndist").cast("long").alias("n_distinct"),
+        dec(F.col("ndist") * 1.0 / F.col("total"), 6).alias("type_token_ratio"),
+        dec(
+            F.log2(F.col("total") * 1.0) - F.col("slc") / F.col("total"), 6
+        ).alias("entropy_bits"),
+    )

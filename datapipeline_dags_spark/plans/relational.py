@@ -809,31 +809,38 @@ def q23_incremental_watermark_scan(spark: SparkSession, sf_dir: str) -> DataFram
     (postgresql_mysql_sync_dag.py:48-50): processing_ts > wm OR
     (processing_ts = wm AND id > last_id).
 
-    The predicate is applied to the RAW nanos LONG before the
-    timestamp conversion: a filter on ``timestamp_micros(ts div 1000)``
-    is a derived expression parquet cannot prune with, while a plain
-    ``ts > <nanos>`` comparison pushes to the scan and skips whole row
-    groups by column statistics — the difference between reading the
-    tail and rescanning history on every incremental cycle.
+    The predicate is applied to the RAW scan column before any
+    normalization, in the column's PHYSICAL type: a filter on
+    ``timestamp_micros(ts div 1000)`` is a derived expression parquet
+    cannot prune with, while a comparison against the raw column (nanos
+    LONG in the legacy layout, TIMESTAMP_NTZ in the current one) pushes
+    to the scan and skips whole row groups by column statistics — the
+    difference between reading the tail and rescanning history on every
+    incremental cycle.
     """
     import datetime as dt
     import os
 
+    from pyspark.sql import types as T
+
+    from ..catalog import normalize_event_ts
+
     wm = dt.datetime(2024, 1, 15, tzinfo=dt.timezone.utc)
-    wm_ns = int(wm.timestamp()) * 1_000_000_000
     wm_id = 5000
     # raw read bypasses catalog.table — ensure the nanos conf on vanilla
     # driver sessions (idempotent, single-valued; see catalog.table)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    return (
+    if isinstance(raw.schema["ts"].dataType, T.LongType):
+        wm_col = F.lit(int(wm.timestamp()) * 1_000_000_000)
+    else:  # TIMESTAMP_NTZ / TIMESTAMP — literal in the column's own type
+        wm_col = F.lit(wm.replace(tzinfo=None)).cast(raw.schema["ts"].dataType)
+    return normalize_event_ts(
         raw.filter(
-            (F.col("ts") > wm_ns)
-            | ((F.col("ts") == wm_ns) & (F.col("event_id") > wm_id))
+            (F.col("ts") > wm_col)
+            | ((F.col("ts") == wm_col) & (F.col("event_id") > wm_id))
         )
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        .select("event_id", "ts", "user_id", "event_type", "value")
-    )
+    ).select("event_id", "ts", "user_id", "event_type", "value")
 
 
 # ---------------------------------------------------------------------------

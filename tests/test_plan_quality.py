@@ -96,6 +96,9 @@ BOUNDED_FILTER_HINT_OK = {
     "q100_time_decay_engagement",  # broadcasts the 1-row reference timestamp
     "q101_bpe_merges",  # broadcasts the 1-row per-round top pair
     "q102_bpe_tokenize",  # same 1-row per-round top-pair broadcast as q101
+    "q104_pmi_collocations",  # broadcasts the two 1-row corpus totals
+    # broadcasts the |langs|-row rate table (fixed language set at any SF)
+    "q105_alpha_mixture_sample",
 }
 
 
@@ -144,6 +147,10 @@ NESTED_LOOP_OK = {
     "q100_time_decay_engagement",  # 1-row reference-timestamp attach
     "q101_bpe_merges",  # 1-row top-pair attach per merge round
     "q102_bpe_tokenize",  # same 1-row top-pair attach as q101
+    # two 1-row total attaches (grand token total, grand bigram total)
+    "q104_pmi_collocations",
+    # 1-row weight-sum attach into the |langs|-row rate table
+    "q105_alpha_mixture_sample",
 }
 
 
