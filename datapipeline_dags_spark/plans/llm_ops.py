@@ -3500,3 +3500,274 @@ def q107_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.log2(F.col("total") * 1.0) - F.col("slc") / F.col("total"), 6
         ).alias("entropy_bits"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q109 — fuzzy cross-split decontamination (MinHash-LSH eval-vs-train)
+# ---------------------------------------------------------------------------
+
+
+def _q109_oracle() -> str:
+    bucket = f"('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % {EVAL_MOD}"
+    sig_cols = ", ".join(
+        f"list_min(list_transform(hp, p -> p.h1 + {i} * p.h2)) AS m{i}"
+        for i in range(MINHASH_H)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, is_eval, {b} AS band, {key} AS key FROM sig".format(
+            b=b,
+            key=" || '|' || ".join(
+                f"CAST(m{b * LSH_R + r} AS VARCHAR)" for r in range(LSH_R)
+            ),
+        )
+        for b in range(LSH_B)
+    )
+    return f"""
+    WITH docs AS (SELECT doc_id, {bucket} = 0 AS is_eval, {_SHINGLES_SQL} AS sh
+                  FROM documents),
+    hp AS (SELECT doc_id, is_eval, sh,
+           list_transform(list_transform(sh, s -> md5(s)),
+             h -> {{'h1': ('0x' || substr(h, 1, 15))::BIGINT,
+                    'h2': ('0x' || substr(h, 17, 8))::BIGINT}}) AS hp
+           FROM docs),
+    sig AS (SELECT doc_id, is_eval, {sig_cols} FROM hp),
+    bands AS ({band_selects}),
+    tb AS (SELECT doc_id, band, key FROM bands WHERE NOT is_eval
+           QUALIFY row_number() OVER (PARTITION BY band, key
+                                      ORDER BY doc_id) <= {BUCKET_CAP}),
+    eb AS (SELECT doc_id, band, key FROM bands WHERE is_eval),
+    cand AS (SELECT DISTINCT eb.doc_id AS eval_id, tb.doc_id AS train_id
+             FROM eb JOIN tb ON eb.band = tb.band AND eb.key = tb.key),
+    verified AS (
+      SELECT c.eval_id, c.train_id,
+             len(list_intersect(de.sh, dt.sh)) * 1.0
+               / len(list_distinct(list_concat(de.sh, dt.sh))) AS j
+      FROM cand c
+      JOIN docs de ON de.doc_id = c.eval_id
+      JOIN docs dt ON dt.doc_id = c.train_id),
+    hits AS (SELECT eval_id, COUNT(*) AS nc, MAX(j) AS mj
+             FROM verified WHERE j >= {JACCARD_T} GROUP BY eval_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(h.nc, 0) AS BIGINT) AS n_contaminating,
+           (ROUND(COALESCE(h.mj, 0.0), 6) + 0.0) AS max_jaccard,
+           COALESCE(h.nc, 0) > 0 AS contaminated
+    FROM docs d LEFT JOIN hits h ON d.doc_id = h.eval_id
+    WHERE d.is_eval
+    """
+
+
+@query("q109_lsh_decontamination", oracle=_q109_oracle())
+def q109_lsh_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy cross-split decontamination: every held-out (eval) document
+    checked for NEAR-duplicate training documents via MinHash-LSH band
+    blocking + exact-Jaccard verify — catching the paraphrased /
+    lightly-edited leaks that q95's exact 13-gram overlap misses
+    (q41's machinery pointed across the q95 split instead of at itself).
+
+    Scale shape: ONE signature pass over the tagged union corpus; the
+    eval band table (1/{EVAL_MOD} of the corpus) joins the train band
+    table hash-partitioned on constant-width (band, key) — never
+    all-pairs; train buckets carry the q41 BUCKET_CAP; exact Jaccard
+    touches candidates only.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % EVAL_MOD
+    )
+    docs = (
+        _fanout(spark, table(spark, sf_dir, "documents"))
+        .select(
+            "doc_id", (bucket == 0).alias("is_eval"),
+            _shingles(F.col("text")).alias("sh"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    hp = F.transform(
+        F.transform(F.col("sh"), lambda s: F.md5(s)),
+        lambda h: F.struct(
+            F.conv(F.substring(h, 1, 15), 16, 10).cast("long").alias("h1"),
+            F.conv(F.substring(h, 17, 8), 16, 10).cast("long").alias("h2"),
+        ),
+    )
+    hashed = docs.select("doc_id", "is_eval", hp.alias("hp"))
+
+    def minhash(i: int) -> Column:
+        mult = F.lit(i).cast("long")
+        return F.array_min(
+            F.transform(F.col("hp"), lambda p: p["h1"] + mult * p["h2"])
+        )
+
+    sigs = hashed.select(
+        "doc_id", "is_eval", *[minhash(i).alias(f"m{i}") for i in range(MINHASH_H)]
+    )
+    band_entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "|", *[F.col(f"m{b * LSH_R + r}") for r in range(LSH_R)]
+                ).alias("key"),
+            )
+            for b in range(LSH_B)
+        ]
+    )
+    bands = sigs.select(
+        "doc_id", "is_eval", F.explode(band_entries).alias("bk")
+    ).select("doc_id", "is_eval", "bk.band", "bk.key")
+    tb = (
+        bands.filter(~F.col("is_eval"))
+        .withColumn(
+            "rn",
+            F.row_number().over(W.partitionBy("band", "key").orderBy("doc_id")),
+        )
+        .filter(F.col("rn") <= BUCKET_CAP)
+        .select(F.col("doc_id").alias("train_id"), "band", "key")
+    )
+    eb = bands.filter(F.col("is_eval")).select(
+        F.col("doc_id").alias("eval_id"), "band", "key"
+    )
+    cand = eb.join(tb, ["band", "key"]).select("eval_id", "train_id").distinct()
+    de = docs.select(F.col("doc_id").alias("eval_id"), F.col("sh").alias("esh"))
+    dt = docs.select(F.col("doc_id").alias("train_id"), F.col("sh").alias("tsh"))
+    j = F.size(F.array_intersect("esh", "tsh")) * 1.0 / F.size(
+        F.array_distinct(F.concat("esh", "tsh"))
+    )
+    hits = (
+        cand.join(de, "eval_id")
+        .join(dt, "train_id")
+        .withColumn("j", j)
+        .filter(F.col("j") >= JACCARD_T)
+        .groupBy("eval_id")
+        .agg(F.count("*").alias("nc"), F.max("j").alias("mj"))
+    )
+    return (
+        docs.filter(F.col("is_eval"))
+        .select("doc_id")
+        .join(hits, docs.doc_id == hits.eval_id, "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("nc"), F.lit(0)).cast("long").alias("n_contaminating"),
+            dec(F.coalesce(F.col("mj"), F.lit(0.0)), 6).alias("max_jaccard"),
+            (F.coalesce(F.col("nc"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q110 — per-source quota cap (domain-cap admission)
+# ---------------------------------------------------------------------------
+
+SOURCE_QUOTA = 15  # max docs admitted per source (binds at every fixture SF)
+
+
+def _q110_oracle() -> str:
+    q = "LEAST(1.0, nw / 50.0) * (1 - nstop * 1.0 / nw)"
+    return f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             len(string_split(text, ' ')) AS nw,
+             len(list_filter(string_split(text, ' '),
+                 w -> list_contains({list(STOPWORDS)!r}, w))) AS nstop
+      FROM documents),
+    ranked AS (
+      SELECT doc_id, source, ROUND({q}, 4) + 0.0 AS score,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY ROUND({q}, 4) DESC, doc_id) AS rk
+      FROM t)
+    SELECT doc_id, source, score, CAST(rk AS BIGINT) AS source_rank
+    FROM ranked WHERE rk <= {SOURCE_QUOTA}
+    """
+
+
+@query("q110_source_quota_cap", oracle=_q110_oracle())
+def q110_source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota admission: keep only the SOURCE_QUOTA
+    highest-quality documents from each source — the per-domain cap a
+    web-crawl pipeline applies so no single site dominates the corpus
+    (quality = q50/q72's composite; rounded BEFORE ranking so the
+    cutoff is float-stable across engines; doc_id tiebreak makes the
+    selection a total order).
+
+    Scale shape: one window top-k per source key — a single shuffle on
+    source, rank truncation map-side after it (no global sort).  A
+    pathologically hot source is exactly the case the cap exists for;
+    at extreme skew the q41 salting/AQE machinery applies upstream.
+    """
+    docs = table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    nw = F.size(words)
+    nstop = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS)))
+    score = dec(F.least(F.lit(1.0), nw / F.lit(50.0)) * (1 - nstop / nw), 4)
+    ranked = docs.select("doc_id", "source", score.alias("score")).withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("source").orderBy(F.desc("score"), "doc_id")
+        ),
+    )
+    return ranked.filter(F.col("rk") <= SOURCE_QUOTA).select(
+        "doc_id", "source", "score", F.col("rk").cast("long").alias("source_rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q111 — winsorized (percentile-clipped) robust feature statistics
+# ---------------------------------------------------------------------------
+
+WINSOR_LO = 0.05
+WINSOR_HI = 0.95
+
+
+def _q111_oracle() -> str:
+    return f"""
+    WITH b AS (
+      SELECT event_type,
+             quantile_cont(value, {WINSOR_LO}) AS lo,
+             quantile_cont(value, {WINSOR_HI}) AS hi
+      FROM events GROUP BY event_type),
+    c AS (
+      SELECT e.event_type,
+             GREATEST(b.lo, LEAST(b.hi, e.value)) AS cv,
+             CASE WHEN e.value < b.lo OR e.value > b.hi THEN 1 ELSE 0 END AS clipped
+      FROM events e JOIN b ON e.event_type = b.event_type)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(clipped) AS BIGINT) AS n_clipped,
+           {sql_dec('AVG(cv)', 4)} AS clipped_mean,
+           {sql_dec('STDDEV_SAMP(cv)', 4)} AS clipped_std
+    FROM c GROUP BY event_type
+    """
+
+
+@query("q111_winsorized_stats", oracle=_q111_oracle())
+def q111_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized feature statistics: per-type values clipped to the
+    [p05, p95] band before mean/std — the outlier-robust normalization
+    a feature pipeline applies before training (clipping bounds double
+    as the serving-time clamp).
+
+    Scale shape: pass 1 computes exact interpolated percentiles per
+    bounded-cardinality type key (q59's pattern; approx_percentile is
+    the same call shape when group counts explode); the |types|-row
+    bounds table broadcasts into a map-only clip + one hash agg.
+    """
+    ev = table(spark, sf_dir, "events")
+    pct = F.percentile("value", F.array(F.lit(WINSOR_LO), F.lit(WINSOR_HI)))
+    bounds = ev.groupBy("event_type").agg(
+        F.element_at(pct, 1).alias("lo"), F.element_at(pct, 2).alias("hi")
+    )
+    cv = F.greatest(F.col("lo"), F.least(F.col("hi"), F.col("value")))
+    clipped = (F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))
+    return (
+        ev.join(F.broadcast(bounds), "event_type")
+        .select("event_type", cv.alias("cv"), clipped.cast("int").alias("clipped"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("clipped").cast("long").alias("n_clipped"),
+            dec(F.avg("cv"), 4).alias("clipped_mean"),
+            dec(F.stddev_samp("cv"), 4).alias("clipped_std"),
+        )
+    )

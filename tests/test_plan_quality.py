@@ -99,6 +99,8 @@ BOUNDED_FILTER_HINT_OK = {
     "q104_pmi_collocations",  # broadcasts the two 1-row corpus totals
     # broadcasts the |langs|-row rate table (fixed language set at any SF)
     "q105_alpha_mixture_sample",
+    # broadcasts the |event_types|-row percentile-bounds table
+    "q111_winsorized_stats",
 }
 
 
