@@ -2279,11 +2279,13 @@ def _q90_oracle() -> str:
                  WHERE q_id < {N_QUERIES} AND rank <= {k}) m
         ON m.q_id = e.q_id AND m.neighbor_id = e.neighbor_id"""
         )
+    ctes = ",\n    ".join(
+        f"m_{name} AS (SELECT * FROM ({ORACLES[qname]}) t)"
+        for name, qname, _ in ANN_RECALL_METHODS
+    )
     return f"""
     WITH exact_full AS (SELECT * FROM ({ORACLES["q45_ann_topk_bruteforce"]}) t),
-    m_lsh AS (SELECT * FROM ({ORACLES["q46_ann_lsh_bucketed"]}) t),
-    m_ivf AS (SELECT * FROM ({ORACLES["q47_ann_ivf"]}) t),
-    m_pq AS (SELECT * FROM ({ORACLES["q75_ann_pq"]}) t)
+    {ctes}
     {" UNION ALL ".join(blocks)}
     """
 
@@ -2307,9 +2309,8 @@ def q90_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     exact = q45_ann_topk_bruteforce(spark, sf_dir).persist()
     rows = [
-        _recall_row("lsh", q46_ann_lsh_bucketed(spark, sf_dir), exact, LSH_K),
-        _recall_row("ivf", q47_ann_ivf(spark, sf_dir), exact, IVF_K),
-        _recall_row("pq", q75_ann_pq(spark, sf_dir), exact, TOPK),
+        _recall_row(name, QUERIES[qname](spark, sf_dir), exact, k)
+        for name, qname, k in ANN_RECALL_METHODS
     ]
     out = rows[0]
     for r in rows[1:]:
@@ -3771,3 +3772,260 @@ def q111_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec(F.stddev_samp("cv"), 4).alias("clipped_std"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q112 — IVF-PQ combined ANN (cell-restricted ADC over residual codes)
+# ---------------------------------------------------------------------------
+
+
+def _q112_oracle() -> str:
+    d, dim = PQ_D, 64
+    res = (
+        f"list_transform(generate_series(1, {dim}), "
+        "i -> embedding[i]::DOUBLE - ce[i]::DOUBLE)"
+    )
+    return f"""
+    WITH cent AS (SELECT vec_id AS ccid, embedding AS ce FROM embeddings
+                  WHERE vec_id < {N_CENTROIDS}),
+    scored0 AS (
+      SELECT e.vec_id, e.embedding, c.ccid,
+             {_COS_SQL.format(a='e.embedding', b='c.ce')} AS cs
+      FROM embeddings e CROSS JOIN cent c),
+    cells AS (
+      SELECT vec_id, embedding, ccid AS cell FROM (
+        SELECT vec_id, embedding, ccid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, ccid) AS rn
+        FROM scored0) t
+      WHERE rn = 1),
+    resid AS (
+      SELECT cl.vec_id, cl.cell, {res} AS res
+      FROM cells cl JOIN cent ON cent.ccid = cl.cell),
+    cbres AS (SELECT vec_id AS cid, res AS re FROM resid WHERE vec_id < {PQ_K}),
+    ms AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m),
+    csub AS (SELECT cid, m, re[m*{d}+1 : m*{d}+{d}] AS cs FROM cbres, ms),
+    enc0 AS (SELECT r.vec_id, r.cell, c.m, c.cid,
+             list_reduce(list_transform(generate_series(1, {d}),
+               i -> (r.res[c.m*{d}+i] - c.cs[i]) * (r.res[c.m*{d}+i] - c.cs[i])),
+               (a, b) -> a + b) AS dist
+             FROM resid r CROSS JOIN csub c),
+    codes AS (SELECT vec_id, cell, m, cid FROM (
+              SELECT vec_id, cell, m, cid,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                        ORDER BY dist, cid) AS rn
+              FROM enc0) WHERE rn = 1),
+    probes AS (
+      SELECT vec_id AS q_id, embedding AS qe, ccid AS cell,
+             list_reduce(list_transform(generate_series(1, {dim}),
+               i -> embedding[i]::DOUBLE * ce[i]::DOUBLE),
+               (a, b) -> a + b) AS base
+      FROM (
+        SELECT s.vec_id, s.embedding, s.ccid, c.ce,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                                  ORDER BY s.cs DESC, s.ccid) AS rn
+        FROM scored0 s JOIN cent c ON c.ccid = s.ccid
+        WHERE s.vec_id < {N_QUERIES}) t
+      WHERE rn <= {NPROBE}),
+    lut AS (SELECT q.vec_id AS q_id, c.m, c.cid,
+            list_reduce(list_transform(generate_series(1, {d}),
+              i -> q.embedding[c.m*{d}+i]::DOUBLE * c.cs[i]),
+              (a, b) -> a + b) AS pd
+            FROM embeddings q CROSS JOIN csub c WHERE q.vec_id < {N_QUERIES}),
+    adc AS (SELECT p.q_id, co.vec_id AS neighbor_id,
+            ANY_VALUE(p.base) + list_reduce(array_agg(l.pd ORDER BY l.m),
+                                            (a, b) -> a + b) AS s
+            FROM probes p
+            JOIN codes co ON co.cell = p.cell AND co.vec_id != p.q_id
+            JOIN lut l ON l.q_id = p.q_id AND l.m = co.m AND l.cid = co.cid
+            GROUP BY p.q_id, co.vec_id),
+    r AS (SELECT q_id, neighbor_id,
+          ROW_NUMBER() OVER (PARTITION BY q_id
+                             ORDER BY ROUND(s, 6) DESC, neighbor_id) AS srank
+          FROM adc),
+    short AS (SELECT q_id, neighbor_id FROM r WHERE srank <= {PQ_REFINE}),
+    ref AS (SELECT s.q_id, s.neighbor_id,
+            (ROUND({_COS_SQL.format(a='qa.embedding', b='qc.embedding')}, 6) + 0.0) AS cos_sim
+            FROM short s
+            JOIN embeddings qa ON qa.vec_id = s.q_id
+            JOIN embeddings qc ON qc.vec_id = s.neighbor_id),
+    rr AS (SELECT q_id, neighbor_id, cos_sim,
+           ROW_NUMBER() OVER (PARTITION BY q_id
+                              ORDER BY cos_sim DESC, neighbor_id) AS rank
+           FROM ref)
+    SELECT q_id, neighbor_id, cos_sim, CAST(rank AS BIGINT) AS rank
+    FROM rr WHERE rank <= {TOPK}
+    """
+
+
+@query("q112_ann_ivfpq", oracle=_q112_oracle())
+def q112_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ: the production billion-vector ANN layout (FAISS IVFPQ) —
+    coarse cells restrict WHICH vectors a query scores (q47), residual
+    product-quantization compresses HOW each one is scored (q75), and
+    an exact-cosine refine fixes the shortlist.
+
+    score(q, v) ≈ dot(q, cell_centroid) + Σ_m lut_m[code_m], where the
+    codes quantize the RESIDUAL v − centroid(cell(v)) — residual coding
+    is what separates IVF-PQ from naively stacking q47 on q75: residual
+    magnitudes are much smaller than raw vectors, so the same PQ_K
+    codebook spends its resolution on the within-cell detail.
+
+    Scale design: corpus touched by exactly TWO map-only passes
+    (assign+residual, then encode) against two broadcast 1-row
+    codebooks; the ADC pass reads ONLY (vec_id, cell, codes) joined to
+    the broadcast N_QUERIES×NPROBE probe list — each query scores only
+    its probed cells' members (the IVF restriction the flat q75 pass
+    lacks); full vectors are re-read only for the PQ_REFINE shortlist.
+    Shuffles: the two top-k windows, nothing else.  Every double sum
+    accumulates strictly left-to-right on both engines (ANY_VALUE(base)
+    first, then the m-ordered LUT fold), so even the ADC scores
+    hash-match the oracle.
+    """
+    corpus = table(spark, sf_dir, "embeddings")
+    cent1 = (
+        corpus.filter(F.col("vec_id") < N_CENTROIDS)
+        .select(F.col("vec_id").alias("ccid"), F.col("embedding").alias("ce"))
+        .agg(F.array_sort(F.collect_list(F.struct("ccid", "ce"))).alias("cents"))
+    )
+
+    def dot(a: Column, b: Column) -> Column:
+        prod = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+        return F.aggregate(prod, F.lit(0.0), lambda acc, v: acc + v)
+
+    def best_cell(emb: Column) -> Column:
+        top = F.array_max(
+            F.transform(
+                F.col("cents"),
+                lambda c: F.struct(
+                    _cosine(emb, c["ce"]).alias("cs"), (-c["ccid"]).alias("ncid")
+                ),
+            )
+        )
+        return -top["ncid"]
+
+    # pass 1: cell assignment + residual (cents sorted by contiguous ccid,
+    # so element_at(cell+1) is the assigned centroid)
+    resid = (
+        _fanout(spark, corpus)
+        .crossJoin(F.broadcast(cent1))
+        .withColumn("cell", best_cell(F.col("embedding")))
+        .select(
+            "vec_id",
+            "cell",
+            F.zip_with(
+                "embedding",
+                F.element_at(F.col("cents"), (F.col("cell") + 1).cast("int"))["ce"],
+                lambda x, y: x.cast("double") - y.cast("double"),
+            ).alias("res"),
+        )
+    )
+    cbres1 = (
+        resid.filter(F.col("vec_id") < PQ_K)
+        .select(F.col("vec_id").alias("cid"), F.col("res").alias("re"))
+        .agg(F.array_sort(F.collect_list(F.struct("cid", "re"))).alias("cbs"))
+    )
+
+    def sub(v: Column, m: Column) -> Column:
+        return F.slice(v, m * PQ_D + 1, PQ_D)
+
+    def l2(a: Column, b: Column) -> Column:
+        diff2 = F.zip_with(a, b, lambda x, y: (x - y) * (x - y))
+        return F.aggregate(diff2, F.lit(0.0), lambda acc, v: acc + v)
+
+    ms = F.sequence(F.lit(0), F.lit(PQ_M - 1))
+    codes_col = F.transform(
+        ms,
+        lambda m: F.array_min(
+            F.transform(
+                F.col("cbs"),
+                lambda c: F.struct(
+                    l2(sub(F.col("res"), m), sub(c["re"], m)).alias("d"),
+                    c["cid"].alias("cid"),
+                ),
+            )
+        )["cid"],
+    )
+    # pass 2: encode residuals against the broadcast residual codebook
+    codes = resid.crossJoin(F.broadcast(cbres1)).select(
+        "vec_id", "cell", codes_col.alias("codes")
+    )
+    # probe list: top-NPROBE cells per query with the dot(q, centroid) base
+    queries = corpus.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    pw = W.partitionBy("q_id").orderBy(F.col("cs").desc(), "cell")
+    probes = (
+        queries.crossJoin(F.broadcast(cent1))
+        .select("q_id", "qe", F.explode("cents").alias("c"))
+        .select(
+            "q_id",
+            "qe",
+            F.col("c.ccid").alias("cell"),
+            _cosine(F.col("qe"), F.col("c.ce")).alias("cs"),
+            dot(F.col("qe"), F.col("c.ce")).alias("base"),
+        )
+        .withColumn("rn", F.row_number().over(pw))
+        .filter(F.col("rn") <= NPROBE)
+        .select("q_id", "cell", "base")
+    )
+    # per-query LUT over the residual codebook
+    lut_col = F.transform(
+        ms,
+        lambda m: F.transform(
+            F.col("cbs"), lambda c: dot(sub(F.col("qe"), m), sub(c["re"], m))
+        ),
+    )
+    qlut = queries.crossJoin(F.broadcast(cbres1)).select("q_id", lut_col.alias("lut"))
+    adc_sum = F.aggregate(
+        F.zip_with("lut", "codes", lambda l, c: F.element_at(l, (c + 1).cast("int"))),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        codes.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .join(F.broadcast(qlut), "q_id")
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            dec(F.col("base") + adc_sum, 6).alias("approx"),
+        )
+    )
+    sw = W.partitionBy("q_id").orderBy(F.col("approx").desc(), "neighbor_id")
+    short = (
+        scored.withColumn("srank", F.row_number().over(sw))
+        .filter(F.col("srank") <= PQ_REFINE)
+        .select("q_id", "neighbor_id")
+    )
+    vec = corpus.select("vec_id", "embedding")
+    refined = (
+        F.broadcast(short)
+        .join(vec.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")), "q_id")
+        .join(
+            vec.select(
+                F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne")
+            ),
+            "neighbor_id",
+        )
+        .select(
+            "q_id",
+            "neighbor_id",
+            dec(_cosine(F.col("qe"), F.col("ne")), 6).alias("cos_sim"),
+        )
+    )
+    w2 = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
+    return (
+        refined.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rank") <= TOPK)
+        .select("q_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+# q112 joins the measured-recall roster AFTER its registration above;
+# q90's oracle is rebuilt so the metric row for ivfpq is hash-checked
+# exactly like the other three methods.
+ANN_RECALL_METHODS = ANN_RECALL_METHODS + (("ivfpq", "q112_ann_ivfpq", TOPK),)
+
+from datapipeline_dags_spark.plans.registry import ORACLES as _ORACLES  # noqa: E402
+
+_ORACLES["q90_ann_recall"] = _q90_oracle()

@@ -101,6 +101,9 @@ BOUNDED_FILTER_HINT_OK = {
     "q105_alpha_mixture_sample",
     # broadcasts the |event_types|-row percentile-bounds table
     "q111_winsorized_stats",
+    # q47's quantizer + q75's codebook/LUT/probe-list attaches, all
+    # fixed-size at every SF (N_CENTROIDS / PQ_K / N_QUERIES x NPROBE)
+    "q112_ann_ivfpq",
 }
 
 
@@ -153,6 +156,9 @@ NESTED_LOOP_OK = {
     "q104_pmi_collocations",
     # 1-row weight-sum attach into the |langs|-row rate table
     "q105_alpha_mixture_sample",
+    # inherits q47+q75's tiny-side attaches (quantizer, residual
+    # codebook, probe list, per-query LUT)
+    "q112_ann_ivfpq",
 }
 
 
