@@ -35,8 +35,10 @@ WORK = "/tmp/spark_graft_scale"
 REPS = 2
 TARGETS = (
     "q41_dedup_minhash_lsh",
+    "q42_dedup_simhash",
     "q69_dedup_clusters",
     "q75_ann_pq",
+    "q112_ann_ivfpq",
     "q96_semantic_dedup",
     "q96_semantic_dedup_2level",
     "q96_semantic_dedup_2level_numpy",
