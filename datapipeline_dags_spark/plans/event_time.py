@@ -656,3 +656,52 @@ def q108_rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .select("event_id", "event_type", "ts", "value", dec(z, 4).alias("zscore"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q113 — mergeable-sketch rollup (daily HLL sketches → weekly union)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q113_sketch_rollup",
+    oracle="""
+    SELECT date_trunc('week', ts) AS week,
+           CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_weekly_users,
+           TRUE AS merged_within_5pct
+    FROM events GROUP BY 1
+    """,
+)
+def q113_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup: per-DAY HLL sketches of distinct users,
+    union-merged to WEEKLY estimates — the production pattern for
+    distinct-count metrics at 100 TB (daily sketch bytes persist once;
+    every coarser grain is a cheap sketch union, never a re-scan of
+    raw events; cf. q49's additive-partial rollup, which this extends
+    to the non-additive COUNT DISTINCT).
+
+    The sketch estimate is engine-specific, so the checked contract is
+    the q36 discipline: the merged weekly estimate must land within 5%
+    of the exact weekly distinct count (HLL lgConfigK=12 ≈ 1.6% rsd).
+    """
+    ev = table(spark, sf_dir, "events")
+    day_sketches = ev.groupBy(
+        F.date_trunc("week", "ts").alias("wk"), F.to_date("ts").alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    weekly = day_sketches.groupBy("wk").agg(
+        F.count("*").alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+    )
+    exact = ev.groupBy(F.date_trunc("week", "ts").alias("wk")).agg(
+        F.countDistinct("user_id").alias("exact_weekly_users")
+    )
+    return weekly.join(exact, "wk").select(
+        F.col("wk").alias("week"),
+        F.col("n_days").cast("long").alias("n_days"),
+        F.col("exact_weekly_users").cast("long").alias("exact_weekly_users"),
+        (
+            F.abs(F.col("est") - F.col("exact_weekly_users"))
+            <= 0.05 * F.col("exact_weekly_users")
+        ).alias("merged_within_5pct"),
+    )
