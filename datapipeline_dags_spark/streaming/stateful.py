@@ -150,3 +150,72 @@ def streaming_decayed_engagement(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# TTL'd streaming dedup — bounded state for unbounded streams
+# ---------------------------------------------------------------------------
+
+TTL_DEDUP_OUTPUT_SCHEMA = "fp string, keep_doc_id bigint"
+
+
+def streaming_dedup_with_ttl(
+    docs: DataFrame, ttl_ms: int = 24 * 3600 * 1000
+) -> DataFrame:
+    """First-seen dedup over an UNBOUNDED stream with a TTL on the
+    per-fingerprint state — the scale-correct variant of
+    ``streaming_dedup_first_seen``: NoTimeout state grows with the
+    number of distinct fingerprints ever seen, while a processing-time
+    timeout bounds the state store to the dedup horizon the pipeline
+    actually promises (e.g. "no re-crawl admitted within 24 h").  When
+    a fingerprint's state times out it is evicted, and a later
+    re-arrival is admitted as new.
+
+    State: ONE bigint per live fingerprint, RocksDB-backed and
+    checkpoint-restored on a cluster.  Built on
+    ``applyInPandasWithState`` + ``ProcessingTimeTimeout``; Spark 4's
+    ``transformWithStateInPandas`` (ValueState with ttlDurationMs) is
+    the successor API with identical semantics — its state-server
+    protocol needs google.protobuf, absent in this sandbox, so the
+    portable API is used here.
+
+    Timeout semantics (Spark contract): a key that receives data in a
+    batch does NOT fire its timeout that batch; expiry is observed on
+    the first subsequent batch where the key is silent.  Run this
+    operator with a PACED or continuous trigger — pending
+    processing-time timers never let a ``Trigger.AvailableNow`` run
+    terminate (observed on Spark 4.1: the engine keeps scheduling
+    batches while any timer is registered), so bounded catch-up ticks
+    must use the plain ``streaming_dedup_first_seen``.
+    """
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()  # horizon lapsed: forget the fingerprint
+            return
+        if state.exists:
+            for _ in pdfs:  # duplicate inside the horizon -> drop
+                pass
+            return
+        best = None
+        for pdf in pdfs:
+            m = int(pdf["doc_id"].min())
+            best = m if best is None else min(best, m)
+        if best is None:
+            return
+        state.update((best,))
+        state.setTimeoutDuration(ttl_ms)
+        yield pd.DataFrame({"fp": [key[0]], "keep_doc_id": [best]})
+
+    from datapipeline_dags_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(docs.sparkSession)
+    return docs.groupBy("fp").applyInPandasWithState(
+        update,
+        outputStructType=TTL_DEDUP_OUTPUT_SCHEMA,
+        stateStructType=DEDUP_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -151,3 +151,106 @@ def test_streaming_decay_matches_batch_closed_form(spark, tmp_path):
         got_last, got_score = final[uid]
         assert got_last == t_last
         assert abs(got_score - expect) < 1e-9, (uid, got_score, expect)
+
+
+def _poll(predicate, deadline_s=60):
+    import time as _t
+
+    end = _t.time() + deadline_s
+    while _t.time() < end:
+        if predicate():
+            return True
+        _t.sleep(0.2)
+    return False
+
+
+def test_ttl_dedup_live_query(spark, tmp_path):
+    """TTL dedup runs as its natural shape — a continuously-triggered
+    query (engine processing-time timers never terminate an
+    availableNow trigger, so bounded ticks are not an option): first
+    batch admits first-seen per fingerprint; an in-horizon duplicate is
+    dropped; after the TTL lapses the engine evicts the key and a
+    re-arrival is admitted as NEW."""
+    from datapipeline_dags_spark.streaming.stateful import streaming_dedup_with_ttl
+
+    src = str(tmp_path / "docs_ttl")
+    ckpt = str(tmp_path / "ckpt_ttl")
+    import os
+
+    os.makedirs(src, exist_ok=True)
+    admitted: list[tuple] = []
+    stream = spark.readStream.schema(DOC_SCHEMA).json(src)
+    q = (
+        streaming_dedup_with_ttl(stream, ttl_ms=2000)
+        .writeStream.foreachBatch(
+            lambda b, _id: admitted.extend(
+                (r.fp, r.keep_doc_id) for r in b.collect()
+            )
+        )
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    try:
+        drop(src, "t1.json", [{"doc_id": 7, "fp": "A"}, {"doc_id": 3, "fp": "A"},
+                              {"doc_id": 9, "fp": "B"}])
+        assert _poll(lambda: sorted(admitted) == [("A", 3), ("B", 9)]), admitted
+
+        # in-horizon duplicate dropped; new fingerprint admitted
+        drop(src, "t2.json", [{"doc_id": 11, "fp": "A"}, {"doc_id": 12, "fp": "C"}])
+        assert _poll(lambda: ("C", 12) in admitted), admitted
+        assert ("A", 11) not in admitted
+
+        # past the horizon the engine evicts A; its return is NEW
+        import time as _t
+
+        _t.sleep(3.0)  # > ttl_ms; eviction fires on an A-silent batch
+        drop(src, "t3.json", [{"doc_id": 20, "fp": "A"}])
+        assert _poll(lambda: ("A", 20) in admitted), admitted
+    finally:
+        q.stop()
+
+
+def test_ttl_dedup_checkpoint_restart(spark, tmp_path):
+    """State survives a stop/restart from the checkpoint: an in-horizon
+    duplicate stays dropped across the restart."""
+    from datapipeline_dags_spark.streaming.stateful import streaming_dedup_with_ttl
+
+    src = str(tmp_path / "docs_ttl_r")
+    ckpt = str(tmp_path / "ckpt_ttl_r")
+    import os
+
+    os.makedirs(src, exist_ok=True)
+    admitted: list[tuple] = []
+
+    def start_query():
+        stream = spark.readStream.schema(DOC_SCHEMA).json(src)
+        return (
+            streaming_dedup_with_ttl(stream, ttl_ms=3_600_000)
+            .writeStream.foreachBatch(
+                lambda b, _id: admitted.extend(
+                    (r.fp, r.keep_doc_id) for r in b.collect()
+                )
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="300 milliseconds")
+            .start()
+        )
+
+    q = start_query()
+    try:
+        drop(src, "r1.json", [{"doc_id": 5, "fp": "X"}])
+        assert _poll(lambda: admitted == [("X", 5)]), admitted
+    finally:
+        q.stop()
+
+    admitted.clear()
+    q = start_query()
+    try:
+        drop(src, "r2.json", [{"doc_id": 6, "fp": "X"}, {"doc_id": 8, "fp": "Y"}])
+        assert _poll(lambda: ("Y", 8) in admitted), admitted
+        assert ("X", 6) not in admitted  # restored state still drops X
+    finally:
+        q.stop()
