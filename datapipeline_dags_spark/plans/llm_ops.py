@@ -4042,3 +4042,112 @@ ANN_RECALL_METHODS = ANN_RECALL_METHODS + (("ivfpq", "q112_ann_ivfpq", TOPK),)
 from datapipeline_dags_spark.plans.registry import ORACLES as _ORACLES  # noqa: E402
 
 _ORACLES["q90_ann_recall"] = _q90_oracle()
+
+
+# ---------------------------------------------------------------------------
+# q114 — one-pass column profiler (Deequ-style dataset profiling)
+# ---------------------------------------------------------------------------
+
+PROFILE_COLS = ("o_orderstatus", "o_orderpriority", "o_custkey", "o_totalprice")
+
+
+def _q114_oracle() -> str:
+    blocks = []
+    for c in PROFILE_COLS:
+        blocks.append(f"""
+      SELECT '{c}' AS column_name,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             {sql_dec(f'AVG(CASE WHEN {c} IS NULL THEN 1.0 ELSE 0.0 END)', 6)}
+               AS null_frac,
+             CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+             CAST(MIN({c}) AS VARCHAR) AS min_repr,
+             CAST(MAX({c}) AS VARCHAR) AS max_repr
+      FROM orders""")
+    return " UNION ALL ".join(blocks)
+
+
+@query("q114_column_profile", oracle=_q114_oracle())
+def q114_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset profiling: per-column row count, null fraction, distinct
+    count, and min/max — the Deequ/Great-Expectations-style profile a
+    pipeline materializes before writing constraints (q89 checks what
+    this measures).
+
+    Scale shape: ONE wide aggregate pass computes every column's
+    moments simultaneously (the scan is touched once, not once per
+    column); the per-column rows are unpivoted from that single result
+    row driver-side — output is |columns| rows at any SF.  Distinct
+    counts are exact here (bounded-cardinality profile columns); the
+    unbounded variant swaps in approx_count_distinct (q36 discipline).
+    """
+    o = table(spark, sf_dir, "orders")
+    aggs = []
+    for c in PROFILE_COLS:
+        aggs += [
+            F.count("*").alias(f"{c}__n"),
+            F.avg(F.when(F.col(c).isNull(), 1.0).otherwise(0.0)).alias(
+                f"{c}__nullf"
+            ),
+            F.countDistinct(c).alias(f"{c}__nd"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    row = o.agg(*aggs)
+    profile = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("column_name"),
+                    F.col(f"{c}__n").cast("long").alias("n_rows"),
+                    dec(F.col(f"{c}__nullf"), 6).alias("null_frac"),
+                    F.col(f"{c}__nd").cast("long").alias("n_distinct"),
+                    F.col(f"{c}__min").alias("min_repr"),
+                    F.col(f"{c}__max").alias("max_repr"),
+                )
+                for c in PROFILE_COLS
+            ]
+        )
+    )
+    return row.select(profile.alias("p")).select("p.*")
+
+
+# ---------------------------------------------------------------------------
+# q115 — k-anonymity audit (quasi-identifier group sizes)
+# ---------------------------------------------------------------------------
+
+KANON_K = 5  # minimum admissible group size
+KANON_QI = ("c_nationkey", "c_mktsegment")  # quasi-identifier columns
+
+
+def _q115_oracle() -> str:
+    qi = ", ".join(KANON_QI)
+    return f"""
+    WITH g AS (SELECT {qi}, COUNT(*) AS group_size FROM customer GROUP BY {qi})
+    SELECT {qi},
+           CAST(group_size AS BIGINT) AS group_size,
+           group_size < {KANON_K} AS below_k
+    FROM g
+    """
+
+
+@query("q115_k_anonymity", oracle=_q115_oracle())
+def q115_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit: the size of every quasi-identifier
+    combination, flagging groups smaller than k = {KANON_K} — the rows
+    a privacy-preserving release must suppress or generalize
+    (complements q94's direct-identifier PII scan with the
+    re-identification-risk view).
+
+    Scale shape: one hash aggregate on the QI key; output cardinality
+    is the QI domain (bounded), never the row count.
+    """
+    c = table(spark, sf_dir, "customer")
+    return (
+        c.groupBy(*KANON_QI)
+        .agg(F.count("*").alias("group_size"))
+        .select(
+            *KANON_QI,
+            F.col("group_size").cast("long").alias("group_size"),
+            (F.col("group_size") < KANON_K).alias("below_k"),
+        )
+    )
