@@ -4151,3 +4151,112 @@ def q115_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("group_size") < KANON_K).alias("below_k"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q116 — random projection (Johnson–Lindenstrauss dimensionality reduction)
+# ---------------------------------------------------------------------------
+
+RP_IN_DIM = 64
+RP_OUT_DIM = 16
+
+
+def _rp_sign_py(i: int, j: int) -> int:
+    """±1 sign for projection cell (i, j): high bit of md5("i_j")'s
+    first hex digit — the same derivation the oracle does in SQL, so
+    the matrix is identical bytes in both engines with no RNG state."""
+    import hashlib
+
+    return 1 if hashlib.md5(f"{i}_{j}".encode()).hexdigest()[0] >= "8" else -1
+
+
+def _q116_oracle() -> str:
+    scale = f"sqrt({RP_OUT_DIM}.0)"
+    sign = (
+        "(CASE WHEN substr(md5(CAST(i AS VARCHAR) || '_' || CAST(j - 1 AS VARCHAR)), 1, 1)"
+        " >= '8' THEN 1.0 ELSE -1.0 END)"
+    )
+    comp = (
+        f"list_reduce(list_transform(generate_series(1, {RP_IN_DIM}), "
+        f"j -> embedding[j]::DOUBLE * {sign}), (a, b) -> a + b) / {scale}"
+    )
+    norm = (
+        "sqrt(list_reduce(list_transform({v}, x -> x * x), (a, b) -> a + b))"
+    )
+    return f"""
+    WITH p AS (
+      SELECT vec_id, embedding,
+             list_transform(generate_series(0, {RP_OUT_DIM - 1}),
+                            i -> {comp}) AS proj
+      FROM embeddings)
+    SELECT vec_id,
+           array_to_string(list_transform(proj,
+             x -> CAST(CAST(ROUND(x * 1000000, 0) AS BIGINT) AS VARCHAR)),
+             '|') AS proj_repr,
+           {sql_dec(
+               norm.format(v="proj")
+               + " / "
+               + norm.format(v="list_transform(embedding, e -> e::DOUBLE)"),
+               4,
+           )} AS norm_ratio
+    FROM p
+    """
+
+
+@query("q116_random_projection", oracle=_q116_oracle())
+def q116_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss random projection: {RP_IN_DIM}-dim
+    embeddings down to {RP_OUT_DIM} dims via a ±1 sign matrix scaled by
+    1/√{RP_OUT_DIM} — the standard pre-reduction before LSH/clustering
+    (Achlioptas 2003: sign matrices satisfy the JL lemma).  The
+    reported norm_ratio ≈ 1 IS the lemma's distance-preservation check,
+    computed per vector.
+
+    Scale shape: map-only — the {RP_OUT_DIM}×{RP_IN_DIM} matrix is a
+    plan literal folded into one nested higher-order expression (never
+    a join); the matrix derives from md5 cell coordinates, so both
+    engines build identical bytes with no RNG state or broadcast.
+    """
+    r_lit = F.array(
+        *[
+            F.array(
+                *[
+                    F.lit(float(_rp_sign_py(i, j)))
+                    for j in range(RP_IN_DIM)
+                ]
+            )
+            for i in range(RP_OUT_DIM)
+        ]
+    )
+
+    def dotrow(row: Column) -> Column:
+        return F.aggregate(
+            F.zip_with("embedding", row, lambda x, r: x.cast("double") * r),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ) / F.sqrt(F.lit(float(RP_OUT_DIM)))
+
+    def norm(v: Column) -> Column:
+        return F.sqrt(
+            F.aggregate(
+                F.transform(v, lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0),
+                lambda acc, z: acc + z,
+            )
+        )
+
+    proj = F.transform(r_lit, dotrow)
+    emb = _fanout(spark, table(spark, sf_dir, "embeddings"))
+    return emb.withColumn("proj", proj).select(
+        "vec_id",
+        # components as integer micro-units: double->string formatting
+        # (scientific vs plain) differs between engines, int64 doesn't
+        F.concat_ws(
+            "|",
+            F.transform(
+                "proj",
+                lambda x: F.round(x * 1e6, 0).cast("long").cast("string"),
+            ),
+        ).alias("proj_repr"),
+        dec(norm(F.col("proj")) / norm(F.col("embedding")), 4).alias("norm_ratio"),
+    )
