@@ -4260,3 +4260,99 @@ def q116_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("proj_repr"),
         dec(norm(F.col("proj")) / norm(F.col("embedding")), 4).alias("norm_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q117 — count-min sketch frequency estimation (heavy hitters)
+# ---------------------------------------------------------------------------
+
+CMS_D = 4  # hash rows
+CMS_W = 64  # buckets per row
+CMS_TOP = 20  # heavy hitters to audit
+
+
+def _cms_bucket_sql(r: str, tok: str) -> str:
+    return (
+        f"('0x' || substr(md5(CAST({r} AS VARCHAR) || '_' || {tok}), 1, 8))::BIGINT"
+        f" % {CMS_W}"
+    )
+
+
+def _q117_oracle() -> str:
+    return f"""
+    WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+    exact AS (SELECT tok, COUNT(*) AS exact_count FROM toks GROUP BY tok),
+    rows_ AS (SELECT unnest(generate_series(0, {CMS_D - 1})) AS r),
+    counters AS (
+      SELECT r, {_cms_bucket_sql("r", "tok")} AS bucket,
+             SUM(exact_count) AS cnt
+      FROM exact, rows_ GROUP BY 1, 2),
+    top AS (SELECT tok, exact_count FROM exact
+            ORDER BY exact_count DESC, tok LIMIT {CMS_TOP}),
+    est AS (
+      SELECT t.tok, t.exact_count, MIN(c.cnt) AS cms_estimate
+      FROM top t JOIN rows_ ON TRUE
+      JOIN counters c
+        ON c.r = rows_.r AND c.bucket = {_cms_bucket_sql("rows_.r", "t.tok")}
+      GROUP BY t.tok, t.exact_count)
+    SELECT tok, CAST(exact_count AS BIGINT) AS exact_count,
+           CAST(cms_estimate AS BIGINT) AS cms_estimate,
+           cms_estimate >= exact_count AS never_underestimates
+    FROM est
+    """
+
+
+@query("q117_count_min_sketch", oracle=_q117_oracle())
+def q117_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation: token counts folded into a
+    {CMS_D}×{CMS_W} counter grid (md5-derived row hashes); a token's
+    estimate is the MIN of its {CMS_D} counters — audited here against
+    the exact counts of the top {CMS_TOP} heavy hitters, including the
+    CMS guarantee (estimate ≥ truth, one-sided error).
+
+    Scale shape: the counter grid is a FIXED {CMS_D * CMS_W}-cell
+    aggregate regardless of vocabulary size — the structure you keep
+    when the exact (token, count) table no longer fits; the grid and
+    the audited top-k both broadcast.  Deterministic md5 row hashes
+    make the sketch itself hash-checkable against the oracle (the q41
+    discipline applied to a frequency sketch).
+    """
+    docs = _fanout(spark, table(spark, sf_dir, "documents"))
+    exact = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("exact_count"))
+    )
+
+    def bucket(r: Column, tok: Column) -> Column:
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(r.cast("string"), F.lit("_"), tok)), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % CMS_W
+        )
+
+    rows = F.explode(F.sequence(F.lit(0), F.lit(CMS_D - 1))).alias("r")
+    counters = (
+        exact.select("tok", "exact_count", rows)
+        .select("r", bucket(F.col("r"), F.col("tok")).alias("bucket"), "exact_count")
+        .groupBy("r", "bucket")
+        .agg(F.sum("exact_count").alias("cnt"))
+    )
+    top = exact.orderBy(F.desc("exact_count"), "tok").limit(CMS_TOP)
+    probes = top.select(
+        "tok", "exact_count", rows
+    ).withColumn("bucket", bucket(F.col("r"), F.col("tok")))
+    est = (
+        probes.join(F.broadcast(counters), ["r", "bucket"])
+        .groupBy("tok", "exact_count")
+        .agg(F.min("cnt").alias("cms_estimate"))
+    )
+    return est.select(
+        "tok",
+        F.col("exact_count").cast("long").alias("exact_count"),
+        F.col("cms_estimate").cast("long").alias("cms_estimate"),
+        (F.col("cms_estimate") >= F.col("exact_count")).alias("never_underestimates"),
+    )

@@ -104,6 +104,8 @@ BOUNDED_FILTER_HINT_OK = {
     # q47's quantizer + q75's codebook/LUT/probe-list attaches, all
     # fixed-size at every SF (N_CENTROIDS / PQ_K / N_QUERIES x NPROBE)
     "q112_ann_ivfpq",
+    # broadcasts the FIXED CMS_D x CMS_W counter grid (256 cells at any SF)
+    "q117_count_min_sketch",
 }
 
 
