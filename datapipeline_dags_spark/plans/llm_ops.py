@@ -3870,8 +3870,54 @@ def _q112_oracle() -> str:
     """
 
 
+def _ivfpq_encode_numpy(spark: SparkSession, resid: DataFrame) -> DataFrame:
+    """PQ residual encoding as one BLAS distance matrix per Arrow batch.
+
+    The codebook is PQ_K residual vectors — a fixed-size model
+    parameter collected once to the driver (bounded control plane, cf.
+    the 1-row broadcast aggregates) and closed over by the encoder.
+    Per batch and subspace m: distances = ||R_m[:,None] - C_m[None]||²
+    (n × PQ_K), codes = argmin — numpy's argmin takes the FIRST minimum,
+    which is the lowest cid, matching the JVM/oracle tiebreak.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from datapipeline_dags_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    cb_rows = resid.filter(F.col("vec_id") < PQ_K).select("vec_id", "res").collect()
+    cb = np.array(
+        [r["res"] for r in sorted(cb_rows, key=lambda r: r["vec_id"])],
+        dtype=np.float64,
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            r = np.stack(pdf["res"].to_numpy()).astype(np.float64)
+            codes = np.empty((len(pdf), PQ_M), dtype=np.int32)
+            for m in range(PQ_M):
+                rm = r[:, m * PQ_D : (m + 1) * PQ_D]
+                cm = cb[:, m * PQ_D : (m + 1) * PQ_D]
+                d = ((rm[:, None, :] - cm[None, :, :]) ** 2).sum(-1)
+                codes[:, m] = d.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "cell": pdf["cell"],
+                    "codes": list(codes),
+                }
+            )
+
+    return resid.mapInPandas(encode, schema="vec_id long, cell long, codes array<int>")
+
+
 @query("q112_ann_ivfpq", oracle=_q112_oracle())
-def q112_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q112_ann_ivfpq(
+    spark: SparkSession, sf_dir: str, *, encode_backend: str = "jvm"
+) -> DataFrame:
     """IVF-PQ: the production billion-vector ANN layout (FAISS IVFPQ) —
     coarse cells restrict WHICH vectors a query scores (q47), residual
     product-quantization compresses HOW each one is scored (q75), and
@@ -3958,10 +4004,18 @@ def q112_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )["cid"],
     )
-    # pass 2: encode residuals against the broadcast residual codebook
-    codes = resid.crossJoin(F.broadcast(cbres1)).select(
-        "vec_id", "cell", codes_col.alias("codes")
-    )
+    # pass 2: encode residuals against the residual codebook.
+    # "jvm" (default, oracle-checked) folds the argmin into one
+    # constant-size HOF expression; "numpy" is the production fast path
+    # for the heaviest math — one BLAS distance matrix per Arrow batch
+    # via mapInPandas (identical codes on the fixture, asserted in
+    # tests; cf. q96's pair_backend).
+    if encode_backend == "numpy":
+        codes = _ivfpq_encode_numpy(spark, resid)
+    else:
+        codes = resid.crossJoin(F.broadcast(cbres1)).select(
+            "vec_id", "cell", codes_col.alias("codes")
+        )
     # probe list: top-NPROBE cells per query with the dot(q, centroid) base
     queries = corpus.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")

@@ -43,3 +43,26 @@ def test_ivf_recall_monotone_in_nprobe(spark, sf_dir):
     vals = [sweep[n] for n in sorted(sweep)]
     assert vals == sorted(vals)
     assert sweep[llm_ops.N_CENTROIDS] == 1.0
+
+
+def test_ivfpq_numpy_encode_matches_jvm(spark):
+    """The BLAS encode fast path must produce the IDENTICAL final
+    ranking as the oracle-checked JVM HOF encode (same codes, same ADC
+    scores, same refine) — the q96 pair_backend discipline applied to
+    the PQ encoder."""
+    from datapipeline_dags_spark.plans.llm_ops import q112_ann_ivfpq
+    from tests.conftest import SF_DIR
+
+    a = (
+        q112_ann_ivfpq(spark, SF_DIR)
+        .toPandas()
+        .sort_values(["q_id", "rank"])
+        .reset_index(drop=True)
+    )
+    b = (
+        q112_ann_ivfpq(spark, SF_DIR, encode_backend="numpy")
+        .toPandas()
+        .sort_values(["q_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)

@@ -39,6 +39,7 @@ TARGETS = (
     "q69_dedup_clusters",
     "q75_ann_pq",
     "q112_ann_ivfpq",
+    "q112_ann_ivfpq_numpy",
     "q96_semantic_dedup",
     "q96_semantic_dedup_2level",
     "q96_semantic_dedup_2level_numpy",
@@ -52,6 +53,8 @@ TARGETS = (
 # the SAME workload through the hierarchical O(sqrt(k)) assignment,
 # the production path that removes the blowup.
 SCALE_KWARGS: dict[tuple[str, str], dict] = {
+    ("q112_ann_ivfpq_numpy", "x1"): {"encode_backend": "numpy"},
+    ("q112_ann_ivfpq_numpy", "x10"): {"encode_backend": "numpy"},
     ("q96_semantic_dedup", "x1"): {"n_centroids": llm_ops.N_CENTROIDS},
     ("q96_semantic_dedup", "x10"): {"n_centroids": llm_ops.N_CENTROIDS * 10},
     ("q96_semantic_dedup_2level", "x1"): {
@@ -76,6 +79,7 @@ SCALE_KWARGS: dict[tuple[str, str], dict] = {
 
 # Harness-only labels resolve to a registered query + fixed kwargs.
 TARGET_FN = {
+    "q112_ann_ivfpq_numpy": "q112_ann_ivfpq",
     "q96_semantic_dedup_2level": "q96_semantic_dedup",
     "q96_semantic_dedup_2level_numpy": "q96_semantic_dedup",
 }
