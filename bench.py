@@ -46,6 +46,9 @@ HEADLINE = [
     "q96_semantic_dedup",
     "q97_dsir_importance",
     "q99_quality_filter_chain",
+    # round-3 (cont.): integer-signature SimHash, combined IVF-PQ
+    "q42_dedup_simhash",
+    "q112_ann_ivfpq",
 ]
 
 REPS = 3
