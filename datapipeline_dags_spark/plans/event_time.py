@@ -705,3 +705,99 @@ def q113_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05 * F.col("exact_weekly_users")
         ).alias("merged_within_5pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q118 — sweep-line concurrency (max concurrent sessions per hour)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q118_session_concurrency",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > 1800000000
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    sessions2 AS (
+      SELECT user_id, session_id, MIN(ts) AS t_start, MAX(ts) AS t_end
+      FROM (
+        SELECT user_id, ts,
+               CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        FROM flagged) s
+      GROUP BY user_id, session_id
+    ),
+    deltas AS (
+      SELECT t_start AS ts, 1 AS d, user_id, session_id FROM sessions2
+      UNION ALL
+      SELECT t_end AS ts, -1 AS d, user_id, session_id FROM sessions2),
+    running AS (
+      SELECT ts, d,
+             SUM(d) OVER (ORDER BY ts, d, user_id, session_id
+                          ROWS UNBOUNDED PRECEDING) AS conc
+      FROM deltas)
+    SELECT date_trunc('hour', ts) AS hour,
+           CAST(MAX(conc) AS BIGINT) AS max_concurrent
+    FROM running GROUP BY 1
+    """,
+)
+def q118_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line concurrency: the peak number of simultaneously-active
+    user sessions in each hour — the capacity-planning metric computed
+    the classic way (each session contributes +1 at t_start and −1 at
+    t_end; the running sum of deltas IS the concurrency curve).  Tie
+    contract at an identical instant: releases before claims
+    (d = −1 sorts first), then (user_id, session_id) for a total order.
+
+    Scale shape: sessions come from q24's one-shuffle sessionization;
+    the global running sum does NOT use one giant ORDER BY window — it
+    is the q71 two-phase distributed prefix sum (per-hour local cumsum
+    + a broadcast table of per-hour offsets, |hours| rows), then one
+    bounded per-hour max.  Output cardinality = hour domain.
+    """
+    from datapipeline_dags_spark.plans.registry import QUERIES as _Q
+
+    sess = _Q["q24_sessionize_events"](spark, sf_dir)
+    deltas = sess.select(
+        F.col("t_start").alias("ts"), F.lit(1).alias("d"), "user_id", "session_id"
+    ).unionAll(
+        sess.select(
+            F.col("t_end").alias("ts"), F.lit(-1).alias("d"), "user_id", "session_id"
+        )
+    )
+    hour = F.date_trunc("hour", "ts")
+    local_w = (
+        W.partitionBy("hr")
+        .orderBy("ts", "d", "user_id", "session_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    local = deltas.withColumn("hr", hour).withColumn(
+        "local_conc", F.sum("d").over(local_w)
+    )
+    offsets = (
+        local.groupBy("hr")
+        .agg(F.sum("d").alias("hr_total"))
+        .withColumn(
+            "hr_offset",
+            F.coalesce(
+                F.sum("hr_total").over(
+                    W.orderBy("hr").rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("hr", "hr_offset")
+    )
+    return (
+        local.join(F.broadcast(offsets), "hr")
+        .groupBy(F.col("hr").alias("hour"))
+        .agg(
+            F.max(F.col("hr_offset") + F.col("local_conc"))
+            .cast("long")
+            .alias("max_concurrent")
+        )
+    )

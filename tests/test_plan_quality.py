@@ -106,6 +106,8 @@ BOUNDED_FILTER_HINT_OK = {
     "q112_ann_ivfpq",
     # broadcasts the FIXED CMS_D x CMS_W counter grid (256 cells at any SF)
     "q117_count_min_sketch",
+    # broadcasts the |hours|-row prefix-sum offset table (q71 discipline)
+    "q118_session_concurrency",
 }
 
 
