@@ -4410,3 +4410,84 @@ def q117_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cms_estimate").cast("long").alias("cms_estimate"),
         (F.col("cms_estimate") >= F.col("exact_count")).alias("never_underestimates"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q119 — corpus snapshot diff (dataset-versioning changelog)
+# ---------------------------------------------------------------------------
+
+DIFF_V1_MOD = 7  # v1 snapshot = docs with doc_id % 7 != 0
+DIFF_V2_MOD = 5  # v2 snapshot = docs with doc_id % 5 != 0
+DIFF_EDIT_MOD = 3  # v2 "edits" every doc_id % 3 == 0 (appended revision tag)
+
+
+def _q119_oracle() -> str:
+    return f"""
+    WITH v1 AS (SELECT doc_id, sha256(text) AS dg FROM documents
+                WHERE doc_id % {DIFF_V1_MOD} != 0),
+    v2 AS (SELECT doc_id,
+                  sha256(CASE WHEN doc_id % {DIFF_EDIT_MOD} = 0
+                              THEN text || ' rev2' ELSE text END) AS dg
+           FROM documents WHERE doc_id % {DIFF_V2_MOD} != 0),
+    j AS (SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+                 v1.dg AS dg1, v2.dg AS dg2
+          FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id),
+    tagged AS (
+      SELECT CASE WHEN dg1 IS NULL THEN 'added'
+                  WHEN dg2 IS NULL THEN 'removed'
+                  WHEN dg1 != dg2 THEN 'modified'
+                  ELSE 'unchanged' END AS status,
+             doc_id
+      FROM j)
+    SELECT status, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS last_doc
+    FROM tagged GROUP BY status
+    """
+
+
+@query("q119_corpus_diff", oracle=_q119_oracle())
+def q119_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff: the added / removed / modified / unchanged
+    changelog between two dataset versions, keyed by document id and
+    detected by content digest — the versioning primitive behind
+    incremental re-training decisions (what actually changed since the
+    last corpus build?).  The two "snapshots" derive deterministically
+    from the one fixture table (disjoint drop rules + a simulated edit)
+    so the contract stays oracle-checkable.
+
+    Scale shape: each side reduces to its (doc_id, sha256) projection
+    AT THE SCAN (the full-outer join shuffles 40-byte digests keyed by
+    doc_id, never document text); status is a map-side CASE; output is
+    4 rows at any corpus size.
+    """
+    docs = _fanout(spark, table(spark, sf_dir, "documents"))
+    v1 = docs.filter(F.col("doc_id") % DIFF_V1_MOD != 0).select(
+        "doc_id", F.sha2(F.col("text"), 256).alias("dg1")
+    )
+    v2 = docs.filter(F.col("doc_id") % DIFF_V2_MOD != 0).select(
+        "doc_id",
+        F.sha2(
+            F.when(
+                F.col("doc_id") % DIFF_EDIT_MOD == 0,
+                F.concat(F.col("text"), F.lit(" rev2")),
+            ).otherwise(F.col("text")),
+            256,
+        ).alias("dg2"),
+    )
+    status = (
+        F.when(F.col("dg1").isNull(), "added")
+        .when(F.col("dg2").isNull(), "removed")
+        .when(F.col("dg1") != F.col("dg2"), "modified")
+        .otherwise("unchanged")
+    )
+    return (
+        v1.join(v2, "doc_id", "full_outer")
+        .select(status.alias("status"), "doc_id")
+        .groupBy("status")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+            F.max("doc_id").cast("long").alias("last_doc"),
+        )
+    )
