@@ -4491,3 +4491,71 @@ def q119_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").cast("long").alias("last_doc"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q120 — data-mixing schedule (per-source epochs under a token budget)
+# ---------------------------------------------------------------------------
+
+MIX_BUDGET_FRAC = 0.5  # training-token budget as a fraction of corpus tokens
+MIX_SMOOTH_EXP = 0.5  # weight ∝ tokens^0.5 (sqrt smoothing)
+
+
+def _q120_oracle() -> str:
+    return f"""
+    WITH s AS (
+      SELECT source,
+             COUNT(*) AS n_docs,
+             SUM(len(string_split(text, ' '))) AS n_tokens
+      FROM documents GROUP BY source),
+    t AS (SELECT SUM(n_tokens) AS total,
+                 SUM(POW(n_tokens, {MIX_SMOOTH_EXP})) AS wsum
+          FROM s)
+    SELECT source,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           {sql_dec(f'POW(n_tokens, {MIX_SMOOTH_EXP}) / wsum', 6)} AS weight,
+           CAST(ROUND(total * {MIX_BUDGET_FRAC}
+                      * POW(n_tokens, {MIX_SMOOTH_EXP}) / wsum, 0) AS BIGINT)
+             AS target_tokens,
+           {sql_dec(
+               f'total * {MIX_BUDGET_FRAC} * POW(n_tokens, {MIX_SMOOTH_EXP})'
+               ' / wsum / n_tokens',
+               4,
+           )} AS epochs
+    FROM s, t
+    """
+
+
+@query("q120_mixing_schedule", oracle=_q120_oracle())
+def q120_mixing_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing schedule: allocate a training-token budget across
+    sources with sqrt-smoothed weights (weight ∝ tokens^0.5, the
+    up-weight-the-tail curve of published pretraining mixes) and report
+    each source's target tokens and EPOCH count — epochs > 1 means the
+    source repeats, < 1 means it is subsampled (the number q72/q85's
+    samplers then enforce).
+
+    Scale shape: one map-side token count + per-source hash agg; the
+    corpus totals are a 1-row broadcast attach; output is |sources|
+    rows.
+    """
+    docs = table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
+    )
+    t = s.agg(
+        F.sum("n_tokens").alias("total"),
+        F.sum(F.pow("n_tokens", F.lit(MIX_SMOOTH_EXP))).alias("wsum"),
+    )
+    w = F.pow("n_tokens", F.lit(MIX_SMOOTH_EXP)) / F.col("wsum")
+    target = F.col("total") * MIX_BUDGET_FRAC * w
+    return s.crossJoin(F.broadcast(t)).select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        dec(w, 6).alias("weight"),
+        F.round(target, 0).cast("long").alias("target_tokens"),
+        dec(target / F.col("n_tokens"), 4).alias("epochs"),
+    )

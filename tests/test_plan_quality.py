@@ -108,6 +108,7 @@ BOUNDED_FILTER_HINT_OK = {
     "q117_count_min_sketch",
     # broadcasts the |hours|-row prefix-sum offset table (q71 discipline)
     "q118_session_concurrency",
+    "q120_mixing_schedule",  # broadcasts the 1-row corpus totals
 }
 
 
@@ -163,6 +164,7 @@ NESTED_LOOP_OK = {
     # inherits q47+q75's tiny-side attaches (quantizer, residual
     # codebook, probe list, per-query LUT)
     "q112_ann_ivfpq",
+    "q120_mixing_schedule",  # 1-row totals attach (cf. q74)
 }
 
 
