@@ -4559,3 +4559,91 @@ def q120_mixing_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(target, 0).cast("long").alias("target_tokens"),
         dec(target / F.col("n_tokens"), 4).alias("epochs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q121 — interpolated bigram LM scoring (perplexity-proxy quality filter)
+# ---------------------------------------------------------------------------
+
+LM_LAMBDA = 0.7  # bigram weight; (1-λ) backs off to the unigram model
+
+
+def _q121_oracle() -> str:
+    p = (
+        f"({LM_LAMBDA} * (bc.cab * 1.0 / ua.c) "
+        f"+ {1 - LM_LAMBDA} * (ub.c * 1.0 / t.t))"
+    )
+    return f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    uni AS (SELECT tok, COUNT(*) AS c
+            FROM (SELECT unnest(words) AS tok FROM w) GROUP BY tok),
+    t AS (SELECT SUM(c) AS t FROM uni),
+    bcnt AS (SELECT a, b, COUNT(*) AS cab
+             FROM (SELECT words[i] AS a, words[i+1] AS b
+                   FROM w, unnest(generate_series(1, len(words) - 1)) s(i))
+             GROUP BY a, b),
+    db AS (SELECT doc_id, words[i] AS a, words[i+1] AS b
+           FROM w, unnest(generate_series(1, len(words) - 1)) s(i)),
+    scored AS (
+      SELECT db.doc_id, -log2({p}) AS nll
+      FROM db JOIN bcnt bc ON db.a = bc.a AND db.b = bc.b
+              JOIN uni ua ON db.a = ua.tok
+              JOIN uni ub ON db.b = ub.tok, t)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           (ROUND(AVG(nll), 4) + 0.0) AS mean_nll_bits
+    FROM scored GROUP BY doc_id
+    """
+
+
+@query("q121_bigram_lm_score", oracle=_q121_oracle())
+def q121_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram language-model scoring: per-document mean
+    −log2 of λ·p(b|a) + (1−λ)·p(b) under the corpus's own counts — the
+    CCNet-style perplexity filter one order up from q74's unigram
+    model (low score = predictable in-distribution text, high =
+    outlier/noise).
+
+    Scale shape: corpus unigram/bigram counts are hash aggs on token
+    keys; each document's bigram instances join those tables on the
+    (a, b) / token keys — constant-width shuffle keys, never document
+    text; the grand total is a 1-row broadcast attach; one final
+    doc-keyed agg.  The unordered float mean is pinned by the 4-dp
+    round (the q74 discipline).
+    """
+    docs = _fanout(spark, table(spark, sf_dir, "documents"))
+    words = F.split(F.col("text"), " ")
+    w = docs.select("doc_id", words.alias("words"))
+    uni = (
+        w.select(F.explode("words").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    t = uni.agg(F.sum("c").alias("t"))
+    n1 = F.size(F.col("words")) - 1
+    pairs = F.zip_with(
+        F.slice(F.col("words"), 1, n1),
+        F.slice(F.col("words"), 2, n1),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+    )
+    db = w.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", "p.a", "p.b"
+    )
+    bcnt = db.groupBy("a", "b").agg(F.count("*").alias("cab"))
+    ua = uni.select(F.col("tok").alias("a"), F.col("c").alias("ca"))
+    ub = uni.select(F.col("tok").alias("b"), F.col("c").alias("cb"))
+    prob = F.lit(LM_LAMBDA) * (F.col("cab") * 1.0 / F.col("ca")) + F.lit(
+        1 - LM_LAMBDA
+    ) * (F.col("cb") * 1.0 / F.col("t"))
+    return (
+        db.join(bcnt, ["a", "b"])
+        .join(ua, "a")
+        .join(ub, "b")
+        .crossJoin(F.broadcast(t))
+        .select("doc_id", (-F.log2(prob)).alias("nll"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            dec(F.avg("nll"), 4).alias("mean_nll_bits"),
+        )
+    )

@@ -109,6 +109,7 @@ BOUNDED_FILTER_HINT_OK = {
     # broadcasts the |hours|-row prefix-sum offset table (q71 discipline)
     "q118_session_concurrency",
     "q120_mixing_schedule",  # broadcasts the 1-row corpus totals
+    "q121_bigram_lm_score",  # broadcasts the 1-row grand token total
 }
 
 
@@ -165,6 +166,7 @@ NESTED_LOOP_OK = {
     # codebook, probe list, per-query LUT)
     "q112_ann_ivfpq",
     "q120_mixing_schedule",  # 1-row totals attach (cf. q74)
+    "q121_bigram_lm_score",  # 1-row grand-total attach (cf. q74)
 }
 
 
