@@ -4647,3 +4647,90 @@ def q121_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec(F.avg("nll"), 4).alias("mean_nll_bits"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q122 — quality-arbitrated cluster representatives
+# ---------------------------------------------------------------------------
+
+
+def _q122_oracle() -> str:
+    # q69's transitive closure, wrapped: within each cluster keep the
+    # HIGHEST-quality member (q50/q72's composite), ties to lowest id.
+    q = "LEAST(1.0, nw / 50.0) * (1 - nstop * 1.0 / nw)"
+    return f"""
+    WITH RECURSIVE
+    docs AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents),
+    anch_raw AS (SELECT doc_id,
+             unnest((list_sort(list_transform(sh, s -> md5(s))))[1:{ANCHOR_K}]) AS a
+             FROM docs),
+    anch AS (SELECT doc_id, a FROM anch_raw
+             QUALIFY row_number() OVER (PARTITION BY a
+                                        ORDER BY doc_id) <= {BUCKET_CAP}),
+    edges AS (SELECT DISTINCT x.doc_id AS src, y.doc_id AS dst
+              FROM anch x JOIN anch y ON x.a = y.a AND x.doc_id < y.doc_id),
+    sym AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+    reach AS (
+      SELECT DISTINCT src AS doc_id, src AS node FROM sym
+      UNION
+      SELECT r.doc_id, s.dst FROM reach r JOIN sym s ON s.src = r.node
+    ),
+    lab AS (SELECT doc_id, MIN(node) AS cluster_id FROM reach GROUP BY doc_id),
+    qual AS (
+      SELECT doc_id,
+             ROUND({q}, 4) + 0.0 AS score
+      FROM (SELECT doc_id,
+                   len(string_split(text, ' ')) AS nw,
+                   len(list_filter(string_split(text, ' '),
+                       w -> list_contains({list(STOPWORDS)!r}, w))) AS nstop
+            FROM documents) t),
+    ranked AS (
+      SELECT lab.cluster_id, lab.doc_id, qual.score,
+             ROW_NUMBER() OVER (PARTITION BY lab.cluster_id
+                                ORDER BY qual.score DESC, lab.doc_id) AS rk
+      FROM lab JOIN qual ON lab.doc_id = qual.doc_id)
+    SELECT cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS cluster_size,
+           CAST(MAX(CASE WHEN rk = 1 THEN doc_id END) AS BIGINT) AS keep_doc_id,
+           MAX(CASE WHEN rk = 1 THEN score END) AS keep_score
+    FROM ranked GROUP BY cluster_id
+    """
+
+
+@query("q122_cluster_representatives", oracle=_q122_oracle())
+def q122_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-arbitrated dedup: within each q69 near-dup cluster keep
+    the HIGHEST-quality member (q50/q72's composite score, ties to the
+    lowest id) instead of the arbitrary lowest-id canonical — the
+    curation policy that preserves the best copy of duplicated content
+    rather than whichever crawled first.
+
+    Scale shape: composes two registered operators — q69's connected
+    components (anchor-blocked, capped buckets, per-round checkpoint)
+    joined to a map-only quality score — plus ONE window top-1 per
+    cluster key.  Output is one row per cluster.
+    """
+    clusters = QUERIES["q69_dedup_clusters"](spark, sf_dir)
+    docs = table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    nw = F.size(words)
+    nstop = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS)))
+    qual = docs.select(
+        "doc_id",
+        dec(F.least(F.lit(1.0), nw / F.lit(50.0)) * (1 - nstop / nw), 4).alias(
+            "score"
+        ),
+    )
+    ranked = clusters.join(qual, "doc_id").withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("cluster_id").orderBy(F.desc("score"), "doc_id")
+        ),
+    )
+    return ranked.groupBy("cluster_id").agg(
+        F.count("*").cast("long").alias("cluster_size"),
+        F.max(F.when(F.col("rk") == 1, F.col("doc_id"))).cast("long").alias(
+            "keep_doc_id"
+        ),
+        F.max(F.when(F.col("rk") == 1, F.col("score"))).alias("keep_score"),
+    )
