@@ -801,3 +801,105 @@ def q118_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("max_concurrent")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q123 — distribution drift (Population Stability Index per event type)
+# ---------------------------------------------------------------------------
+
+PSI_BINS = 10
+PSI_ALERT = 0.2  # the conventional "significant drift" threshold
+
+
+@query(
+    "q123_psi_drift",
+    oracle=f"""
+    WITH span AS (SELECT MIN(ts) AS t0, MAX(ts) AS t1 FROM events),
+    rng AS (SELECT event_type, MIN(value) AS lo, MAX(value) AS hi
+            FROM events GROUP BY event_type),
+    binned AS (
+      SELECT e.event_type,
+             (epoch_us(e.ts) - epoch_us(s.t0)) * 2
+               < (epoch_us(s.t1) - epoch_us(s.t0)) AS is_ref,
+             LEAST({PSI_BINS - 1}, GREATEST(0, CAST(FLOOR(
+               (e.value - r.lo) / ((r.hi - r.lo) / {PSI_BINS})) AS INT)))
+               AS bin
+      FROM events e, span s JOIN rng r ON e.event_type = r.event_type),
+    cnt AS (
+      SELECT event_type, bin,
+             SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS c_ref,
+             SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS c_cur
+      FROM binned GROUP BY event_type, bin),
+    tot AS (
+      SELECT event_type, SUM(c_ref) AS n_ref, SUM(c_cur) AS n_cur
+      FROM cnt GROUP BY event_type),
+    terms AS (
+      SELECT c.event_type,
+             ((c.c_ref + 1.0) / (t.n_ref + {PSI_BINS})
+              - (c.c_cur + 1.0) / (t.n_cur + {PSI_BINS}))
+             * ln(((c.c_ref + 1.0) / (t.n_ref + {PSI_BINS}))
+                  / ((c.c_cur + 1.0) / (t.n_cur + {PSI_BINS}))) AS term
+      FROM cnt c JOIN tot t ON c.event_type = t.event_type)
+    SELECT event_type,
+           (ROUND(SUM(term), 6) + 0.0) AS psi,
+           SUM(term) > {PSI_ALERT} AS drifted
+    FROM terms GROUP BY event_type
+    """,
+)
+def q123_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift via the Population Stability Index: per event
+    type, the value distribution of the FIRST half of the time range
+    (reference window) vs the SECOND half (current window) over
+    {PSI_BINS} fixed-width bins, add-one smoothed — PSI > {PSI_ALERT}
+    is the conventional retrain/alert threshold.  The
+    distribution-level monitoring complement to q108's per-point
+    z-score anomalies.
+
+    Scale shape: the time span and per-type value ranges are 1-row /
+    |types|-row broadcast aggregates; binning is map-side arithmetic;
+    everything after is hash aggs on (type, bin) — output and
+    intermediate cardinality bounded by |types| × {PSI_BINS} at any
+    event volume.  The unordered float sum over {PSI_BINS} smoothed
+    terms is pinned by the 6-dp round.
+    """
+    ev = table(spark, sf_dir, "events")
+    span = ev.agg(
+        F.min(F.unix_micros("ts")).alias("t0"), F.max(F.unix_micros("ts")).alias("t1")
+    )
+    rng = ev.groupBy("event_type").agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    width = (F.col("hi") - F.col("lo")) / PSI_BINS
+    bin_ = F.least(
+        F.lit(PSI_BINS - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor((F.col("value") - F.col("lo")) / width).cast("int"),
+        ),
+    )
+    is_ref = (F.unix_micros("ts") - F.col("t0")) * 2 < (F.col("t1") - F.col("t0"))
+    cnt = (
+        ev.crossJoin(F.broadcast(span))
+        .join(F.broadcast(rng), "event_type")
+        .select("event_type", is_ref.alias("is_ref"), bin_.alias("bin"))
+        .groupBy("event_type", "bin")
+        .agg(
+            F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("c_ref"),
+            F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).alias("c_cur"),
+        )
+    )
+    tot = cnt.groupBy("event_type").agg(
+        F.sum("c_ref").alias("n_ref"), F.sum("c_cur").alias("n_cur")
+    )
+    p_ref = (F.col("c_ref") + 1.0) / (F.col("n_ref") + PSI_BINS)
+    p_cur = (F.col("c_cur") + 1.0) / (F.col("n_cur") + PSI_BINS)
+    term = (p_ref - p_cur) * F.log(p_ref / p_cur)
+    return (
+        cnt.join(tot, "event_type")
+        .select("event_type", term.alias("term"))
+        .groupBy("event_type")
+        .agg(
+            dec(F.sum("term"), 6).alias("psi"),
+            (F.sum("term") > PSI_ALERT).alias("drifted"),
+        )
+    )

@@ -110,6 +110,8 @@ BOUNDED_FILTER_HINT_OK = {
     "q118_session_concurrency",
     "q120_mixing_schedule",  # broadcasts the 1-row corpus totals
     "q121_bigram_lm_score",  # broadcasts the 1-row grand token total
+    # broadcasts the 1-row time span + |types|-row value-range table
+    "q123_psi_drift",
 }
 
 
@@ -167,6 +169,7 @@ NESTED_LOOP_OK = {
     "q112_ann_ivfpq",
     "q120_mixing_schedule",  # 1-row totals attach (cf. q74)
     "q121_bigram_lm_score",  # 1-row grand-total attach (cf. q74)
+    "q123_psi_drift",  # 1-row time-span attach (cf. q100)
 }
 
 
