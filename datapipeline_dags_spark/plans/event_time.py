@@ -903,3 +903,94 @@ def q123_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("term") > PSI_ALERT).alias("drifted"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q124 — WOE / IV binning (feature predictive power, no global sort)
+# ---------------------------------------------------------------------------
+
+WOE_EDGES = tuple(i / 10 for i in range(1, 10))  # decile edges p10..p90
+
+
+@query(
+    "q124_woe_iv_binning",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id, COUNT(*) AS n_events,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS pos
+      FROM events GROUP BY user_id),
+    e AS (SELECT [{", ".join(f"quantile_cont(n_events, {p})" for p in WOE_EDGES)}]
+            AS edges FROM u),
+    b AS (SELECT u.pos,
+                 len(list_filter(e.edges, x -> u.n_events > x)) AS bin
+          FROM u, e),
+    cnt AS (SELECT bin, COUNT(*) AS n_users, SUM(pos) AS n_pos,
+                   COUNT(*) - SUM(pos) AS n_neg
+            FROM b GROUP BY bin),
+    tot AS (SELECT SUM(n_pos) AS p, SUM(n_neg) AS n,
+                   COUNT(*) AS nb FROM cnt)
+    SELECT bin,
+           CAST(n_users AS BIGINT) AS n_users,
+           CAST(n_pos AS BIGINT) AS n_pos,
+           (ROUND(ln(((n_pos + 0.5) / (p + 0.5 * nb))
+                     / ((n_neg + 0.5) / (n + 0.5 * nb))), 6) + 0.0) AS woe,
+           (ROUND(((n_pos + 0.5) / (p + 0.5 * nb)
+                   - (n_neg + 0.5) / (n + 0.5 * nb))
+                  * ln(((n_pos + 0.5) / (p + 0.5 * nb))
+                       / ((n_neg + 0.5) / (n + 0.5 * nb))), 6) + 0.0)
+             AS iv_term
+    FROM cnt, tot
+    """,
+)
+def q124_woe_iv_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / information-value binning: how predictive a
+    user's activity level (event count) is of conversion (any
+    purchase) — the credit-scoring feature-selection staple.  Bins
+    come from exact decile EDGES (q59's percentile, one 1-row
+    broadcast), NOT a global NTILE sort: bin(x) = #edges below x is
+    map-side arithmetic, so no operator ever orders the full user set
+    (the q111 broadcast-bounds pattern).  WOE/IV use 0.5-smoothed
+    fractions; Σ iv_term is the feature's IV.
+
+    Scale shape: one user-keyed agg; a 1-row edge vector and a 1-row
+    pos/neg total, both broadcast; output ≤ 10 rows at any volume.
+    """
+    ev = table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "pos"
+        ),
+    )
+    edges = u.agg(
+        F.percentile("n_events", F.array(*[F.lit(p) for p in WOE_EDGES])).alias(
+            "edges"
+        )
+    )
+    bin_ = F.size(F.filter(F.col("edges"), lambda x: F.col("n_events") > x))
+    cnt = (
+        u.crossJoin(F.broadcast(edges))
+        .select("pos", bin_.alias("bin"))
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum("pos").alias("n_pos"),
+            (F.count("*") - F.sum("pos")).alias("n_neg"),
+        )
+    )
+    tot = cnt.agg(
+        F.sum("n_pos").alias("p"),
+        F.sum("n_neg").alias("n"),
+        F.count("*").alias("nb"),
+    )
+    # totals smoothed by the same 0.5-per-bin mass, so a degenerate
+    # all-positive (or all-negative) corpus never divides by zero
+    fp = (F.col("n_pos") + 0.5) / (F.col("p") + 0.5 * F.col("nb"))
+    fn = (F.col("n_neg") + 0.5) / (F.col("n") + 0.5 * F.col("nb"))
+    return cnt.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        F.col("n_users").cast("long").alias("n_users"),
+        F.col("n_pos").cast("long").alias("n_pos"),
+        dec(F.log(fp / fn), 6).alias("woe"),
+        dec((fp - fn) * F.log(fp / fn), 6).alias("iv_term"),
+    )

@@ -112,6 +112,8 @@ BOUNDED_FILTER_HINT_OK = {
     "q121_bigram_lm_score",  # broadcasts the 1-row grand token total
     # broadcasts the 1-row time span + |types|-row value-range table
     "q123_psi_drift",
+    # broadcasts the 1-row decile-edge vector + 1-row pos/neg totals
+    "q124_woe_iv_binning",
 }
 
 
@@ -170,6 +172,7 @@ NESTED_LOOP_OK = {
     "q120_mixing_schedule",  # 1-row totals attach (cf. q74)
     "q121_bigram_lm_score",  # 1-row grand-total attach (cf. q74)
     "q123_psi_drift",  # 1-row time-span attach (cf. q100)
+    "q124_woe_iv_binning",  # 1-row edge-vector + totals attaches
 }
 
 
