@@ -24,11 +24,82 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["q01_pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
+# Driver-gate rotation (VERDICT r3 ask #2): the driver's CORRECTNESS
+# artifact samples the 50 most-recently-registered queries, so a corpus
+# growing faster than the window leaves old queries perpetually
+# unchecked.  41 of 124 queries had no driver row after r1-r3 (union in
+# README.md "Driver correctness coverage").  ``queries()`` therefore
+# returns the registry re-ordered so the tail-50 window = those 41
+# never-checked queries + 9 queries whose implementation changed this
+# round — closing the union at 124/124.  Rounds >= 5 rotate the tail to
+# whatever is least-recently-checked.
+_ROTATION_TAIL = [
+    # 9 refreshed this round (changed code or newly benchmarked):
+    "q42_dedup_simhash",
+    "q47_ann_ivf",
+    "q100_time_decay_engagement",
+    "q108_rolling_zscore_anomalies",
+    "q113_sketch_rollup",
+    "q118_session_concurrency",
+    "q123_psi_drift",
+    "q124_woe_iv_binning",
+    "q41_dedup_minhash_lsh",
+    # the 41 with no CORRECTNESS_r01..r03 row, original order:
+    "q90_ann_recall",
+    "q93_duplicate_spans",
+    "q94_pii_redaction",
+    "q95_eval_decontamination",
+    "q96_semantic_dedup",
+    "q97_dsir_importance",
+    "q98_bloom_incremental_dedup",
+    "q99_quality_filter_chain",
+    "q101_bpe_merges",
+    "q102_bpe_tokenize",
+    "q103_segment_dedup",
+    "q104_pmi_collocations",
+    "q105_alpha_mixture_sample",
+    "q106_token_cleaning",
+    "q107_token_entropy",
+    "q109_lsh_decontamination",
+    "q110_source_quota_cap",
+    "q111_winsorized_stats",
+    "q112_ann_ivfpq",
+    "q114_column_profile",
+    "q115_k_anonymity",
+    "q116_random_projection",
+    "q117_count_min_sketch",
+    "q119_corpus_diff",
+    "q120_mixing_schedule",
+    "q121_bigram_lm_score",
+    "q122_cluster_representatives",
+    "q91_image_phash_neardup",
+    "q32_right_outer_unused_parts",
+    "q33_full_outer_yearly_spend",
+    "q34_cross_join_status_grid",
+    "q35_dense_rank_lead",
+    "q36_approx_count_distinct",
+    "q92_set_ops_keys",
+    "q89_dq_checks",
+    "q37_map_funcs",
+    "q38_json_codec",
+    "q39_extended_json_codec",
+    "q67_binary_codec",
+    "q82_value_histogram",
+    "q83_stats_aggregates",
+]
+
+
+def _rotated(names: dict[str, object]) -> list[str]:
+    tail = [n for n in _ROTATION_TAIL if n in names]
+    head = [n for n in names if n not in set(tail)]
+    return head + tail
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return dict(QUERIES)
+    return {n: QUERIES[n] for n in _rotated(QUERIES)}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL oracle per query (absent ⇒ rows-only check)."""
-    return dict(ORACLES)
+    return {n: ORACLES[n] for n in _rotated(ORACLES)}

@@ -2564,13 +2564,43 @@ def _q96_oracle() -> str:
     """
 
 
+def _numpy_available() -> bool:
+    try:
+        import numpy  # noqa: F401
+
+        return True
+    except ImportError:  # pragma: no cover - numpy is baked into this env
+        return False
+
+
+# Flat nearest-centroid assignment is O(n*k); SemDeDup's regime grows k
+# with the corpus, so past this k the hierarchical O(n*sqrt(k)) routing
+# is the only plan that survives scale-up (SCALING.md measures 13.3x vs
+# 2-3x at 10x).  Below it, flat is both cheaper and bit-exact with the
+# DuckDB oracle, so the auto-default keeps correctness-gate parity at
+# fixture scale and flips to the production path exactly when the knob
+# that breaks flat (k) is turned.
+SEMDEDUP_TWO_LEVEL_AUTO_K = 32
+
+
+def resolve_semdedup_knobs(
+    n_centroids: int, two_level: bool | None, pair_backend: str | None
+) -> tuple[bool, str]:
+    """Resolve q96's auto knobs (None -> scale-appropriate choice)."""
+    if two_level is None:
+        two_level = n_centroids > SEMDEDUP_TWO_LEVEL_AUTO_K
+    if pair_backend is None:
+        pair_backend = "numpy" if _numpy_available() else "jvm"
+    return two_level, pair_backend
+
+
 @query("q96_semantic_dedup", oracle=_q96_oracle())
 def q96_semantic_dedup(
     spark: SparkSession,
     sf_dir: str,
     n_centroids: int = N_CENTROIDS,
-    two_level: bool = False,
-    pair_backend: str = "jvm",
+    two_level: bool | None = None,
+    pair_backend: str | None = None,
 ) -> DataFrame:
     """Semantic dedup, SemDeDup-style (Abbas et al.): cluster the corpus
     with the coarse quantizer, then prune any vector whose cosine to a
@@ -2587,22 +2617,29 @@ def q96_semantic_dedup(
     paper's regime — tools/scaling.py demonstrates exactly this), with
     AQE skew-split as the hot-cell backstop.  The per-vector min-anchor
     window partitions on vec_id — no global ordering anywhere.
-    ``two_level=True`` swaps in the hierarchical O(sqrt(k)) assignment
-    (``ivf_cell_assignment_2level``) — the large-k production path the
-    scaling harness exercises; the oracle-checked default stays flat.
+    ``two_level`` (default auto): hierarchical O(sqrt(k)) assignment
+    (``ivf_cell_assignment_2level``) — auto-selected whenever
+    ``n_centroids > SEMDEDUP_TWO_LEVEL_AUTO_K``, i.e. exactly the
+    large-k production regime where flat assignment's O(n*k) blows up
+    (SCALING.md: 13.3x at 10x flat vs ~2-3x two-level).  At fixture k
+    the auto-default stays flat, which is what the DuckDB oracle
+    computes — pass ``two_level=True/False`` to force either side.
 
-    ``pair_backend`` picks the within-cell pairwise stage:
-    - "jvm" (default): cell-keyed self-join + HOF cosine — bit-exact
-      with the DuckDB oracle, the correctness gate.
+    ``pair_backend`` (default auto: "numpy" when numpy imports, the
+    baked-in case) picks the within-cell pairwise stage:
     - "numpy": ONE Arrow batch per cell through ``applyInPandas``; the
       whole cell scores as a single BLAS matmul (E @ E.T) — the dense
       linear algebra the JVM expression engine can't vectorize, ~an
-      order of magnitude faster at production cell sizes.  Float sums
-      are SIMD-reordered, so last-ulp cosines can differ from the
-      oracle's left-to-right accumulation — the scale path, not the
-      parity path (tools/scaling.py measures it; a structural test
-      pins its invariants).
+      order of magnitude faster at production cell sizes.  Produces
+      the identical pruned set / anchors / 6-dp cosines as the JVM
+      backend on the fixture (test_data_selection pins it; the driver
+      oracle gate hash-checks it at sf0.01).
+    - "jvm": cell-keyed self-join + HOF cosine — same expression shape
+      as the DuckDB oracle, kept as the explicit A/B fallback.
     """
+    two_level, pair_backend = resolve_semdedup_knobs(
+        n_centroids, two_level, pair_backend
+    )
     assign = ivf_cell_assignment_2level if two_level else ivf_cell_assignment
     cells = assign(spark, sf_dir, n_centroids)
     if pair_backend == "numpy":

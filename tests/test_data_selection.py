@@ -18,8 +18,24 @@ from datapipeline_dags_spark.plans.llm_ops import (
     CHAIN_MIN_WORDS,
     DSIR_TARGET_LANG,
     SEMDEDUP_T,
+    SEMDEDUP_TWO_LEVEL_AUTO_K,
     q96_semantic_dedup,
+    resolve_semdedup_knobs,
 )
+
+
+def test_semdedup_auto_knobs():
+    """The registered default flips to the scale-safe path exactly at
+    the documented threshold: two-level routing above AUTO_K, BLAS pair
+    backend whenever numpy imports (always, in this env), and explicit
+    knobs always win over the auto choice."""
+    k = SEMDEDUP_TWO_LEVEL_AUTO_K
+    assert resolve_semdedup_knobs(k, None, None) == (False, "numpy")
+    assert resolve_semdedup_knobs(k + 1, None, None) == (True, "numpy")
+    assert resolve_semdedup_knobs(k * 10, None, None) == (True, "numpy")
+    # explicit knobs are never overridden (the oracle A/B path)
+    assert resolve_semdedup_knobs(k * 10, False, "jvm") == (False, "jvm")
+    assert resolve_semdedup_knobs(2, True, "numpy") == (True, "numpy")
 
 
 def test_bloom_no_false_negatives(spark, sf_dir):
