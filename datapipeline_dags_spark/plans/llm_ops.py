@@ -709,22 +709,71 @@ def q46_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q47 — IVF-partitioned ANN (coarse quantizer + cell probing)
 # ---------------------------------------------------------------------------
 
-# Coarse-quantizer size — fixed, does NOT scale with corpus.  16 cells /
-# 8 probes gives recall@5 = 0.93 on the fixture (q90); the probe RATIO
-# looks high only because the synthetic vectors are near-isotropic —
-# with a trained codebook on real clustered embeddings the same recall
-# needs a far smaller nprobe/cells ratio (and production would run
-# 2^10..2^16 cells).  The nprobe knob's measured trade-off is in
-# BENCH ann_recall.ivf_nprobe.
-N_CENTROIDS = 16
-NPROBE = 8  # cells probed per query
+# Coarse-quantizer floor values.  The IVF family's ACTUAL parameters
+# scale with the corpus via ``ann_params`` (sqrt-n centroids — the
+# standard IVF sizing rule — with a fixed probe fraction and a refine
+# depth proportional to n), because fixed parameters are exactly what
+# made ivfpq recall drift below its floor when the corpus grew 4x
+# (BENCH_r03: 0.84 at sf0.1 vs the 0.85 fixture floor).  The floors
+# keep tiny fixtures away from degenerate quantizers.  The probe RATIO
+# (1/2) looks high only because the synthetic vectors are
+# near-isotropic — with a trained codebook on real clustered
+# embeddings the same recall needs a far smaller nprobe/cells ratio
+# (and production runs 2^10..2^16 cells).  The nprobe knob's measured
+# trade-off is in BENCH ann_recall.ivf_nprobe.
+N_CENTROIDS = 16  # floor; also the legacy fixed-k default for q96's quantizer
+NPROBE = 8  # floor
+ANN_MIN_REFINE = 100  # floor for the IVF-PQ exact-refine shortlist depth
 IVF_K = 5
+
+
+def ann_params(n: int) -> tuple[int, int, int]:
+    """(n_centroids, nprobe, refine) for a corpus of ``n`` vectors.
+
+    sqrt-n centroids keeps cells ~constant-sized as the corpus grows
+    (so per-cell candidate work is flat); nprobe holds the probe
+    FRACTION at 1/2 (untrained-codebook regime — see the constant-block
+    comment); refine scales as n/20 so the exact-rescore shortlist
+    keeps covering the same fraction of the corpus the ADC shortlist
+    was drawn from.  The identical arithmetic runs in SQL inside
+    ``_ANN_PARAMS_SQL`` — DuckDB and Python both evaluate FLOOR(SQRT)
+    and CEIL on the same IEEE doubles, so both engines always agree on
+    the derived parameters.
+    """
+    n_cent = max(N_CENTROIDS, int(math.floor(math.sqrt(n))))
+    nprobe = max(NPROBE, math.ceil(n_cent / 2.0))
+    refine = max(ANN_MIN_REFINE, math.ceil(n / 20.0))
+    return n_cent, nprobe, refine
+
+
+#: CTE fragment computing the same three parameters inside the oracle —
+#: splice right after WITH.  ``ann_p`` exposes n_cent / nprobe / refine.
+_ANN_PARAMS_SQL = f"""ann_n AS (SELECT COUNT(*) AS n FROM embeddings),
+    ann_c AS (SELECT GREATEST({N_CENTROIDS}, CAST(FLOOR(SQRT(n)) AS BIGINT)) AS n_cent, n
+              FROM ann_n),
+    ann_p AS (SELECT n_cent,
+                     GREATEST({NPROBE}, CAST(CEIL(n_cent / 2.0) AS BIGINT)) AS nprobe,
+                     GREATEST({ANN_MIN_REFINE}, CAST(CEIL(n / 20.0) AS BIGINT)) AS refine
+              FROM ann_c)"""
+
+
+_CORPUS_N_CACHE: dict[str, int] = {}
+
+
+def corpus_size(spark: SparkSession, sf_dir: str) -> int:
+    """Row count of the embeddings corpus — the scale signal the ANN
+    parameter rules key on.  One metadata-cheap count per (process,
+    sf_dir); cached because every IVF-family query re-derives it."""
+    if sf_dir not in _CORPUS_N_CACHE:
+        _CORPUS_N_CACHE[sf_dir] = table(spark, sf_dir, "embeddings").count()
+    return _CORPUS_N_CACHE[sf_dir]
 
 
 def _q47_oracle() -> str:
     return f"""
-    WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
-                  WHERE vec_id < {N_CENTROIDS}),
+    WITH {_ANN_PARAMS_SQL},
+    cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+                  WHERE vec_id < (SELECT n_cent FROM ann_p)),
     scored AS (
       SELECT e.vec_id, e.embedding, c.cid,
              {_COS_SQL.format(a='e.embedding', b='c.ce')} AS cs
@@ -740,7 +789,7 @@ def _q47_oracle() -> str:
         SELECT vec_id, embedding, cid,
                ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
         FROM scored WHERE vec_id < {N_QUERIES}) t
-      WHERE rn <= {NPROBE}),
+      WHERE rn <= (SELECT nprobe FROM ann_p)),
     p AS (
       SELECT pr.q_id, ce.vec_id AS neighbor_id,
              (ROUND({_COS_SQL.format(a='pr.qe', b='ce.embedding')}, 6) + 0.0) AS cos_sim
@@ -877,7 +926,7 @@ def ivf_cell_assignment_2level(
 def q47_ann_ivf(
     spark: SparkSession,
     sf_dir: str,
-    nprobe: int = NPROBE,
+    nprobe: int | None = None,
     cells: DataFrame | None = None,
 ) -> DataFrame:
     """IVF top-k ANN: a fixed coarse quantizer partitions the corpus into
@@ -901,12 +950,17 @@ def q47_ann_ivf(
     k-boundary is deterministic across engines (cf. q45).
 
     ``cells`` may carry a precomputed (persisted) cell assignment from
-    ``ivf_cell_assignment`` — the sweep path; None recomputes it.
+    ``ivf_cell_assignment`` — the sweep path (it must be built with the
+    same ``ann_params`` quantizer size); None recomputes it.  ``nprobe``
+    None resolves via ``ann_params(corpus_size)``.
     """
     corpus = table(spark, sf_dir, "embeddings")
-    cent = _ivf_centroids(corpus)
+    n_cent, auto_nprobe, _ = ann_params(corpus_size(spark, sf_dir))
+    if nprobe is None:
+        nprobe = auto_nprobe
+    cent = _ivf_centroids(corpus, n_cent)
     if cells is None:
-        cells = ivf_cell_assignment(spark, sf_dir)
+        cells = ivf_cell_assignment(spark, sf_dir, n_cent)
 
     # Probe list: per query, the NPROBE nearest cells by (cos desc, cid).
     ranked = F.array_sort(
@@ -2232,135 +2286,6 @@ def q86_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q90 — ANN recall measurement (approximate operators vs the exact baseline)
-# ---------------------------------------------------------------------------
-
-#: (method, query fn name, k) — each approximate ANN operator is measured
-#: at ITS OWN k against the exact top-k (q45) truncated to the same k.
-ANN_RECALL_METHODS = (
-    ("lsh", "q46_ann_lsh_bucketed", LSH_K),
-    ("ivf", "q47_ann_ivf", IVF_K),
-    ("pq", "q75_ann_pq", TOPK),
-)
-
-
-def _recall_row(
-    name: str, approx: DataFrame, exact: DataFrame, k: int
-) -> DataFrame:
-    """One (method, k, n_queries, recall) row: recall@k = fraction of the
-    exact top-k pairs the approximate method recovered.  Both sides rank
-    by (rounded score desc, neighbor_id), so the k-boundary — and hence
-    the metric itself — is deterministic and oracle-checkable."""
-    e = exact.filter(F.col("rank") <= k).select("q_id", "neighbor_id")
-    a = approx.filter(
-        (F.col("q_id") < N_QUERIES) & (F.col("rank") <= k)
-    ).select("q_id", "neighbor_id")
-    return (
-        e.join(a, ["q_id", "neighbor_id"], "left_semi")
-        .agg(F.count("*").alias("hits"))
-        .crossJoin(
-            e.agg(
-                F.count("*").alias("total"),
-                F.countDistinct("q_id").alias("nq"),
-            )
-        )
-        .select(
-            F.lit(name).alias("method"),
-            F.lit(k).cast("long").alias("k"),
-            F.col("nq").cast("long").alias("n_queries"),
-            dec(F.col("hits") / F.col("total"), 6).alias("recall"),
-        )
-    )
-
-
-def _q90_oracle() -> str:
-    from datapipeline_dags_spark.plans.registry import ORACLES
-
-    blocks = []
-    for name, qname, k in ANN_RECALL_METHODS:
-        rec = sql_dec(
-            "SUM(CASE WHEN m.q_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*)",
-            6,
-        )
-        blocks.append(
-            f"""
-      SELECT '{name}' AS method, CAST({k} AS BIGINT) AS k,
-             CAST(COUNT(DISTINCT e.q_id) AS BIGINT) AS n_queries,
-             {rec} AS recall
-      FROM (SELECT q_id, neighbor_id FROM exact_full WHERE rank <= {k}) e
-      LEFT JOIN (SELECT q_id, neighbor_id FROM m_{name}
-                 WHERE q_id < {N_QUERIES} AND rank <= {k}) m
-        ON m.q_id = e.q_id AND m.neighbor_id = e.neighbor_id"""
-        )
-    ctes = ",\n    ".join(
-        f"m_{name} AS (SELECT * FROM ({ORACLES[qname]}) t)"
-        for name, qname, _ in ANN_RECALL_METHODS
-    )
-    return f"""
-    WITH exact_full AS (SELECT * FROM ({ORACLES["q45_ann_topk_bruteforce"]}) t),
-    {ctes}
-    {" UNION ALL ".join(blocks)}
-    """
-
-
-@query("q90_ann_recall", oracle=_q90_oracle())
-def q90_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@k of each approximate ANN operator (q46 LSH, q47 IVF, q75
-    PQ/ADC) against the exact brute-force top-k (q45) over the same
-    embeddings — the measurement that turns "deterministic approximate
-    operator" into "production ANN operator with a known quality floor".
-
-    The DuckDB oracle recomputes the SAME recall from its own
-    re-derivations of all four operators, so the metric itself is
-    hash-checked, not just eyeballed.  ``ivf_recall_sweep`` (bench.py)
-    reports the NPROBE recall/latency trade-off per round.
-
-    The exact baseline is PERSISTED: its result is N_QUERIES x TOPK
-    rows (constant, tiny) but computing it is a full corpus scan — the
-    one expensive input every recall row shares.  Without the persist
-    the three union branches each re-run the brute-force pass.
-    """
-    exact = q45_ann_topk_bruteforce(spark, sf_dir).persist()
-    rows = [
-        _recall_row(name, QUERIES[qname](spark, sf_dir), exact, k)
-        for name, qname, k in ANN_RECALL_METHODS
-    ]
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionAll(r)
-    return out
-
-
-def ivf_recall_sweep(
-    spark: SparkSession, sf_dir: str, nprobes: tuple[int, ...] = (1, 2, 4, 8)
-) -> dict[int, float]:
-    """Recall@IVF_K of q47 at each NPROBE setting — the knob a production
-    deployment turns to trade candidate volume for recall.  Returns
-    {nprobe: recall}; consumed by bench.py into the round artifact.
-
-    The two NPROBE-independent inputs are persisted for the duration of
-    the sweep and released before returning: the exact baseline (full
-    corpus scan, tiny result) and the IVF cell assignment (the map-only
-    corpus pass every probe setting shares)."""
-    exact = q45_ann_topk_bruteforce(spark, sf_dir).persist()
-    cells = ivf_cell_assignment(spark, sf_dir).persist()
-    out: dict[int, float] = {}
-    try:
-        for np_ in nprobes:
-            row = _recall_row(
-                "ivf",
-                q47_ann_ivf(spark, sf_dir, nprobe=np_, cells=cells),
-                exact,
-                IVF_K,
-            ).collect()[0]
-            out[np_] = float(row.recall)
-    finally:
-        exact.unpersist()
-        cells.unpersist()
-    return out
-
-
-# ---------------------------------------------------------------------------
 # q93 — exact duplicate-span detection (substring-level dedup)
 # ---------------------------------------------------------------------------
 
@@ -3327,10 +3252,13 @@ def q104_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     are 1-row aggregates broadcast into the scoring join; the bigram →
     unigram joins shuffle on the token key only (never document text).
     The final TOP_K is TakeOrderedAndProject — no global sort.  The
-    ranking key is the RAW exact-integer ratio (monotone with PMI),
-    bit-identical across engines, so the cutoff never depends on
-    floating-point log rounding; log2 is applied only to the reported
-    column.
+    ranking key is the raw count ratio (monotone with PMI) rather than
+    the PMI itself: it is one double multiply/divide chain evaluated in
+    the same operand order by both engines — identical IEEE expression,
+    NOT exact integer arithmetic (the products exceed 2^53 well below
+    production scale) — which keeps the k-boundary engine-agreed while
+    avoiding each engine's own log implementation; log2 is applied only
+    to the reported column.
     """
     docs = _fanout(spark, table(spark, sf_dir, "documents"))
     words = F.split(F.col("text"), " ")
@@ -3836,8 +3764,9 @@ def _q112_oracle() -> str:
         "i -> embedding[i]::DOUBLE - ce[i]::DOUBLE)"
     )
     return f"""
-    WITH cent AS (SELECT vec_id AS ccid, embedding AS ce FROM embeddings
-                  WHERE vec_id < {N_CENTROIDS}),
+    WITH {_ANN_PARAMS_SQL},
+    cent AS (SELECT vec_id AS ccid, embedding AS ce FROM embeddings
+                  WHERE vec_id < (SELECT n_cent FROM ann_p)),
     scored0 AS (
       SELECT e.vec_id, e.embedding, c.ccid,
              {_COS_SQL.format(a='e.embedding', b='c.ce')} AS cs
@@ -3875,7 +3804,7 @@ def _q112_oracle() -> str:
                                   ORDER BY s.cs DESC, s.ccid) AS rn
         FROM scored0 s JOIN cent c ON c.ccid = s.ccid
         WHERE s.vec_id < {N_QUERIES}) t
-      WHERE rn <= {NPROBE}),
+      WHERE rn <= (SELECT nprobe FROM ann_p)),
     lut AS (SELECT q.vec_id AS q_id, c.m, c.cid,
             list_reduce(list_transform(generate_series(1, {d}),
               i -> q.embedding[c.m*{d}+i]::DOUBLE * c.cs[i]),
@@ -3892,7 +3821,8 @@ def _q112_oracle() -> str:
           ROW_NUMBER() OVER (PARTITION BY q_id
                              ORDER BY ROUND(s, 6) DESC, neighbor_id) AS srank
           FROM adc),
-    short AS (SELECT q_id, neighbor_id FROM r WHERE srank <= {PQ_REFINE}),
+    short AS (SELECT q_id, neighbor_id FROM r
+              WHERE srank <= (SELECT refine FROM ann_p)),
     ref AS (SELECT s.q_id, s.neighbor_id,
             (ROUND({_COS_SQL.format(a='qa.embedding', b='qc.embedding')}, 6) + 0.0) AS cos_sim
             FROM short s
@@ -3924,10 +3854,17 @@ def _ivfpq_encode_numpy(spark: SparkSession, resid: DataFrame) -> DataFrame:
 
     ensure_package_shipped(spark)
     cb_rows = resid.filter(F.col("vec_id") < PQ_K).select("vec_id", "res").collect()
-    cb = np.array(
-        [r["res"] for r in sorted(cb_rows, key=lambda r: r["vec_id"])],
-        dtype=np.float64,
-    )
+    cb_rows = sorted(cb_rows, key=lambda r: r["vec_id"])
+    # positional indexing below assumes vec_ids 0..PQ_K-1 are ALL present;
+    # a fixture missing one id would silently shift every code, so fail
+    # loudly instead (the JVM path's element_at(cell+1) shares this
+    # contract).
+    got = [r["vec_id"] for r in cb_rows]
+    if got != list(range(PQ_K)):
+        raise ValueError(
+            f"PQ codebook requires contiguous vec_ids 0..{PQ_K - 1}, got {got}"
+        )
+    cb = np.array([r["res"] for r in cb_rows], dtype=np.float64)
 
     def encode(batches):
         for pdf in batches:
@@ -3978,8 +3915,9 @@ def q112_ann_ivfpq(
     hash-match the oracle.
     """
     corpus = table(spark, sf_dir, "embeddings")
+    n_cent, nprobe, refine = ann_params(corpus_size(spark, sf_dir))
     cent1 = (
-        corpus.filter(F.col("vec_id") < N_CENTROIDS)
+        corpus.filter(F.col("vec_id") < n_cent)
         .select(F.col("vec_id").alias("ccid"), F.col("embedding").alias("ce"))
         .agg(F.array_sort(F.collect_list(F.struct("ccid", "ce"))).alias("cents"))
     )
@@ -4069,7 +4007,7 @@ def q112_ann_ivfpq(
             dot(F.col("qe"), F.col("c.ce")).alias("base"),
         )
         .withColumn("rn", F.row_number().over(pw))
-        .filter(F.col("rn") <= NPROBE)
+        .filter(F.col("rn") <= nprobe)
         .select("q_id", "cell", "base")
     )
     # per-query LUT over the residual codebook
@@ -4098,7 +4036,7 @@ def q112_ann_ivfpq(
     sw = W.partitionBy("q_id").orderBy(F.col("approx").desc(), "neighbor_id")
     short = (
         scored.withColumn("srank", F.row_number().over(sw))
-        .filter(F.col("srank") <= PQ_REFINE)
+        .filter(F.col("srank") <= refine)
         .select("q_id", "neighbor_id")
     )
     vec = corpus.select("vec_id", "embedding")
@@ -4125,14 +4063,141 @@ def q112_ann_ivfpq(
     )
 
 
-# q112 joins the measured-recall roster AFTER its registration above;
-# q90's oracle is rebuilt so the metric row for ivfpq is hash-checked
-# exactly like the other three methods.
-ANN_RECALL_METHODS = ANN_RECALL_METHODS + (("ivfpq", "q112_ann_ivfpq", TOPK),)
+# ---------------------------------------------------------------------------
+# q90 — ANN recall measurement (approximate operators vs the exact baseline)
+# ---------------------------------------------------------------------------
 
-from datapipeline_dags_spark.plans.registry import ORACLES as _ORACLES  # noqa: E402
+#: (method, query fn name, k) — each approximate ANN operator is measured
+#: at ITS OWN k against the exact top-k (q45) truncated to the same k.
+#: Built ONCE, here, after every member's registration (this section
+#: deliberately sits below q112 in the file) — the roster, the q90
+#: query, and its oracle registration are adjacent, so adding a method
+#: means adding a line HERE and nothing else.
+ANN_RECALL_METHODS = (
+    ("lsh", "q46_ann_lsh_bucketed", LSH_K),
+    ("ivf", "q47_ann_ivf", IVF_K),
+    ("pq", "q75_ann_pq", TOPK),
+    ("ivfpq", "q112_ann_ivfpq", TOPK),
+)
 
-_ORACLES["q90_ann_recall"] = _q90_oracle()
+
+def _recall_row(
+    name: str, approx: DataFrame, exact: DataFrame, k: int
+) -> DataFrame:
+    """One (method, k, n_queries, recall) row: recall@k = fraction of the
+    exact top-k pairs the approximate method recovered.  Both sides rank
+    by (rounded score desc, neighbor_id), so the k-boundary — and hence
+    the metric itself — is deterministic and oracle-checkable."""
+    e = exact.filter(F.col("rank") <= k).select("q_id", "neighbor_id")
+    a = approx.filter(
+        (F.col("q_id") < N_QUERIES) & (F.col("rank") <= k)
+    ).select("q_id", "neighbor_id")
+    return (
+        e.join(a, ["q_id", "neighbor_id"], "left_semi")
+        .agg(F.count("*").alias("hits"))
+        .crossJoin(
+            e.agg(
+                F.count("*").alias("total"),
+                F.countDistinct("q_id").alias("nq"),
+            )
+        )
+        .select(
+            F.lit(name).alias("method"),
+            F.lit(k).cast("long").alias("k"),
+            F.col("nq").cast("long").alias("n_queries"),
+            dec(F.col("hits") / F.col("total"), 6).alias("recall"),
+        )
+    )
+
+
+def _q90_oracle() -> str:
+    from datapipeline_dags_spark.plans.registry import ORACLES
+
+    blocks = []
+    for name, qname, k in ANN_RECALL_METHODS:
+        rec = sql_dec(
+            "SUM(CASE WHEN m.q_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*)",
+            6,
+        )
+        blocks.append(
+            f"""
+      SELECT '{name}' AS method, CAST({k} AS BIGINT) AS k,
+             CAST(COUNT(DISTINCT e.q_id) AS BIGINT) AS n_queries,
+             {rec} AS recall
+      FROM (SELECT q_id, neighbor_id FROM exact_full WHERE rank <= {k}) e
+      LEFT JOIN (SELECT q_id, neighbor_id FROM m_{name}
+                 WHERE q_id < {N_QUERIES} AND rank <= {k}) m
+        ON m.q_id = e.q_id AND m.neighbor_id = e.neighbor_id"""
+        )
+    ctes = ",\n    ".join(
+        f"m_{name} AS (SELECT * FROM ({ORACLES[qname]}) t)"
+        for name, qname, _ in ANN_RECALL_METHODS
+    )
+    return f"""
+    WITH exact_full AS (SELECT * FROM ({ORACLES["q45_ann_topk_bruteforce"]}) t),
+    {ctes}
+    {" UNION ALL ".join(blocks)}
+    """
+
+
+@query("q90_ann_recall", oracle=_q90_oracle())
+def q90_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of each approximate ANN operator (q46 LSH, q47 IVF, q75
+    PQ/ADC) against the exact brute-force top-k (q45) over the same
+    embeddings — the measurement that turns "deterministic approximate
+    operator" into "production ANN operator with a known quality floor".
+
+    The DuckDB oracle recomputes the SAME recall from its own
+    re-derivations of all four operators, so the metric itself is
+    hash-checked, not just eyeballed.  ``ivf_recall_sweep`` (bench.py)
+    reports the NPROBE recall/latency trade-off per round.
+
+    The exact baseline is PERSISTED: its result is N_QUERIES x TOPK
+    rows (constant, tiny) but computing it is a full corpus scan — the
+    one expensive input every recall row shares.  Without the persist
+    the three union branches each re-run the brute-force pass.
+    """
+    exact = q45_ann_topk_bruteforce(spark, sf_dir).persist()
+    rows = [
+        _recall_row(name, QUERIES[qname](spark, sf_dir), exact, k)
+        for name, qname, k in ANN_RECALL_METHODS
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out
+
+
+def ivf_recall_sweep(
+    spark: SparkSession, sf_dir: str, nprobes: tuple[int, ...] = (1, 2, 4, 8)
+) -> dict[int, float]:
+    """Recall@IVF_K of q47 at each NPROBE setting — the knob a production
+    deployment turns to trade candidate volume for recall.  Returns
+    {nprobe: recall}; consumed by bench.py into the round artifact.
+
+    The two NPROBE-independent inputs are persisted for the duration of
+    the sweep and released before returning: the exact baseline (full
+    corpus scan, tiny result) and the IVF cell assignment (the map-only
+    corpus pass every probe setting shares)."""
+    exact = q45_ann_topk_bruteforce(spark, sf_dir).persist()
+    n_cent, _, _ = ann_params(corpus_size(spark, sf_dir))
+    cells = ivf_cell_assignment(spark, sf_dir, n_cent).persist()
+    out: dict[int, float] = {}
+    try:
+        for np_ in nprobes:
+            row = _recall_row(
+                "ivf",
+                q47_ann_ivf(spark, sf_dir, nprobe=np_, cells=cells),
+                exact,
+                IVF_K,
+            ).collect()[0]
+            out[np_] = float(row.recall)
+    finally:
+        exact.unpersist()
+        cells.unpersist()
+    return out
+
+
 
 
 # ---------------------------------------------------------------------------

@@ -18,6 +18,48 @@ from datapipeline_dags_spark.plans import llm_ops
 FLOORS = {"lsh": 0.60, "ivf": 0.85, "pq": 0.90, "ivfpq": 0.85}
 
 
+@pytest.mark.parametrize("n", [1, 100, 256, 500, 2000, 20000, 10**6, 10**9])
+def test_ann_params_match_sql(n):
+    """The Python parameter rule and the oracle's SQL fragment must
+    derive IDENTICAL (n_centroids, nprobe, refine) for any corpus size
+    — the cross-engine contract every IVF-family oracle rests on."""
+    import duckdb
+
+    con = duckdb.connect()
+    # a stand-in `embeddings` view with exactly n rows
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM range({n})")
+    row = con.execute(
+        f"WITH {llm_ops._ANN_PARAMS_SQL} SELECT n_cent, nprobe, refine FROM ann_p"
+    ).fetchone()
+    assert tuple(row) == llm_ops.ann_params(n)
+    con.close()
+
+
+def test_ann_params_monotone_and_floored():
+    """Parameters never shrink as the corpus grows, and tiny corpora
+    stay at the documented floors."""
+    assert llm_ops.ann_params(1) == (16, 8, 100)
+    prev = None
+    for n in (1, 50, 500, 2000, 50000, 10**6):
+        cur = llm_ops.ann_params(n)
+        if prev is not None:
+            assert all(c >= p for c, p in zip(cur, prev))
+        prev = cur
+
+
+def test_q90_oracle_covers_every_roster_method():
+    """The hash-checked q90 oracle must re-derive EVERY method in
+    ANN_RECALL_METHODS — a method registered into the roster but
+    missing from the oracle would silently drop out of the correctness
+    gate (the import-order bug this file pins against)."""
+    from datapipeline_dags_spark.plans.all import ORACLES
+
+    sql = ORACLES["q90_ann_recall"]
+    for name, qname, _k in llm_ops.ANN_RECALL_METHODS:
+        assert f"m_{name} " in sql or f"m_{name}\n" in sql, name
+        assert f"'{name}'" in sql, name
+
+
 @pytest.fixture(scope="module")
 def recalls(spark, sf_dir):
     rows = llm_ops.q90_ann_recall(spark, sf_dir).collect()
@@ -37,12 +79,15 @@ def test_ivf_recall_monotone_in_nprobe(spark, sf_dir):
     """More probed cells may only widen the candidate set, so recall is
     monotone non-decreasing in nprobe — and reaches 1.0 when every cell
     is probed (the candidate set becomes the whole corpus)."""
+    n_cent, auto_nprobe, _ = llm_ops.ann_params(
+        llm_ops.corpus_size(spark, sf_dir)
+    )
     sweep = llm_ops.ivf_recall_sweep(
-        spark, sf_dir, nprobes=(1, llm_ops.NPROBE, llm_ops.N_CENTROIDS)
+        spark, sf_dir, nprobes=(1, auto_nprobe, n_cent)
     )
     vals = [sweep[n] for n in sorted(sweep)]
     assert vals == sorted(vals)
-    assert sweep[llm_ops.N_CENTROIDS] == 1.0
+    assert sweep[n_cent] == 1.0
 
 
 def test_ivfpq_numpy_encode_matches_jvm(spark):
