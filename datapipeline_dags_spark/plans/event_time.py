@@ -821,9 +821,10 @@ PSI_ALERT = 0.2  # the conventional "significant drift" threshold
       SELECT e.event_type,
              (epoch_us(e.ts) - epoch_us(s.t0)) * 2
                < (epoch_us(s.t1) - epoch_us(s.t0)) AS is_ref,
-             LEAST({PSI_BINS - 1}, GREATEST(0, CAST(FLOOR(
-               (e.value - r.lo) / ((r.hi - r.lo) / {PSI_BINS})) AS INT)))
-               AS bin
+             CASE WHEN r.hi = r.lo THEN 0
+                  ELSE LEAST({PSI_BINS - 1}, GREATEST(0, CAST(FLOOR(
+                    (e.value - r.lo) / ((r.hi - r.lo) / {PSI_BINS})) AS INT)))
+             END AS bin
       FROM events e, span s JOIN rng r ON e.event_type = r.event_type),
     cnt AS (
       SELECT event_type, bin,
@@ -870,12 +871,18 @@ def q123_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("lo"), F.max("value").alias("hi")
     )
     width = (F.col("hi") - F.col("lo")) / PSI_BINS
-    bin_ = F.least(
-        F.lit(PSI_BINS - 1),
-        F.greatest(
-            F.lit(0),
-            F.floor((F.col("value") - F.col("lo")) / width).cast("int"),
-        ),
+    # hi == lo (a constant-valued type) makes width 0; without the guard
+    # Spark folds NaN -> null -> greatest-skips-null into bin 0 while
+    # DuckDB's FLOOR(x/0) can diverge — pin bin 0 EXPLICITLY on both
+    # sides so the degenerate-but-legal input stays engine-agreed.
+    bin_ = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+        F.least(
+            F.lit(PSI_BINS - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor((F.col("value") - F.col("lo")) / width).cast("int"),
+            ),
+        )
     )
     is_ref = (F.unix_micros("ts") - F.col("t0")) * 2 < (F.col("t1") - F.col("t0"))
     cnt = (

@@ -158,6 +158,13 @@ def streaming_decayed_engagement(
 
 TTL_DEDUP_OUTPUT_SCHEMA = "fp string, keep_doc_id bigint"
 
+#: keep_doc_id + the admit DEADLINE (processing-time ms).  The deadline
+#: lets the duplicate branch re-register the REMAINING duration — the
+#: GroupState contract says the timeout must be set on every invocation
+#: that keeps state, and relying on Spark retaining an old timer when
+#: nothing is written is implementation-specific behavior.
+TTL_DEDUP_STATE_SCHEMA = "keep_doc_id bigint, deadline_ms bigint"
+
 
 def streaming_dedup_with_ttl(
     docs: DataFrame, ttl_ms: int = 24 * 3600 * 1000
@@ -171,8 +178,11 @@ def streaming_dedup_with_ttl(
     a fingerprint's state times out it is evicted, and a later
     re-arrival is admitted as new.
 
-    State: ONE bigint per live fingerprint, RocksDB-backed and
-    checkpoint-restored on a cluster.  Built on
+    State: TWO bigints per live fingerprint (kept doc + admit
+    deadline), RocksDB-backed and checkpoint-restored on a cluster.
+    The deadline lets every invocation re-register the remaining
+    timeout, per the documented set-each-call GroupState contract,
+    while preserving the first-admit horizon.  Built on
     ``applyInPandasWithState`` + ``ProcessingTimeTimeout``; Spark 4's
     ``transformWithStateInPandas`` (ValueState with ttlDurationMs) is
     the successor API with identical semantics — its state-server
@@ -198,6 +208,17 @@ def streaming_dedup_with_ttl(
         if state.exists:
             for _ in pdfs:  # duplicate inside the horizon -> drop
                 pass
+            # Honor the set-the-timeout-every-call contract WITHOUT
+            # extending the horizon: re-arm with the remaining duration
+            # to the first-admit deadline stored in state.  (Spark 4.1
+            # happens to retain the old timer when nothing is written,
+            # but that behavior is undocumented — a version honoring
+            # the documented contract would otherwise leave duplicated
+            # fingerprints timer-less: unbounded state.)
+            keep, deadline = state.get
+            remaining = max(1, int(deadline) - state.getCurrentProcessingTimeMs())
+            state.update((keep, deadline))
+            state.setTimeoutDuration(remaining)
             return
         best = None
         for pdf in pdfs:
@@ -205,7 +226,8 @@ def streaming_dedup_with_ttl(
             best = m if best is None else min(best, m)
         if best is None:
             return
-        state.update((best,))
+        deadline = state.getCurrentProcessingTimeMs() + ttl_ms
+        state.update((best, deadline))
         state.setTimeoutDuration(ttl_ms)
         yield pd.DataFrame({"fp": [key[0]], "keep_doc_id": [best]})
 
@@ -215,7 +237,7 @@ def streaming_dedup_with_ttl(
     return docs.groupBy("fp").applyInPandasWithState(
         update,
         outputStructType=TTL_DEDUP_OUTPUT_SCHEMA,
-        stateStructType=DEDUP_STATE_SCHEMA,
+        stateStructType=TTL_DEDUP_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
