@@ -30,6 +30,15 @@ def test_rotation_preserves_registry():
     assert list(entry.oracle_sql()) == [n for n in qs if n in ORACLES]
 
 
+def test_every_query_has_an_oracle():
+    """124/124 hash-checked: since q91 gained its integer-SQL oracle no
+    registered query is rows-only."""
+    from datapipeline_dags_spark.plans.all import ORACLES, QUERIES
+
+    missing = [n for n in QUERIES if n not in ORACLES]
+    assert not missing, f"queries without oracles: {missing}"
+
+
 def test_tail_window_covers_never_checked_queries():
     """Union(CORRECTNESS_r01..r03) + this round's tail-50 = all queries."""
     covered: set[str] = set()
