@@ -49,6 +49,11 @@ HEADLINE = [
     # round-3 (cont.): integer-signature SimHash, combined IVF-PQ
     "q42_dedup_simhash",
     "q112_ann_ivfpq",
+    # round-4 additions: one representative per newest operator family —
+    # BPE induction, sweep-line concurrency, PSI drift
+    "q101_bpe_merges",
+    "q118_session_concurrency",
+    "q123_psi_drift",
 ]
 
 REPS = 3

@@ -316,16 +316,27 @@ def q41_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q42 — SimHash near-dup
 # ---------------------------------------------------------------------------
 
-SIMHASH_BITS = 32
-SIMHASH_BAND = 8  # 4 bands × 8 bits
-HAMMING_T = 2
+SIMHASH_BITS = 64
+SIMHASH_BAND = 16  # 4 bands × 16 bits (Manku et al., WWW'07: 64-bit fingerprints)
+HAMMING_T = 3  # 4 bands guarantee recall for ≤3 differing bits (pigeonhole)
+
+
+def _simhash_bit_sql(d: int) -> str:
+    """DuckDB predicate: bit ``d`` (1-based, 1..64) of the token's md5 is
+    set.  Bits 1..32 = high bit of hex digit d; bits 33..64 = bit 2 of
+    hex digit d−32 — two independent bits per digit give 64 signature
+    bits from ONE md5 per token."""
+    if d <= 32:
+        return f"substr(md5(t), {d}, 1) >= '8'"
+    p = d - 32
+    return f"(substr(md5(t), {p}, 1) BETWEEN '4' AND '7' OR substr(md5(t), {p}, 1) >= 'c')"
 
 
 def _q42_oracle() -> str:
     toks = "list_distinct(string_split(text, ' '))"
     bits = " || ".join(
         f"CASE WHEN COALESCE(list_sum(list_transform({toks}, "
-        f"t -> CASE WHEN substr(md5(t), {d}, 1) >= '8' THEN 1 ELSE -1 END)), 0) >= 0 "
+        f"t -> CASE WHEN {_simhash_bit_sql(d)} THEN 1 ELSE -1 END)), 0) >= 0 "
         "THEN '1' ELSE '0' END"
         for d in range(1, SIMHASH_BITS + 1)
     )
@@ -339,10 +350,7 @@ def _q42_oracle() -> str:
     )
     return f"""
     WITH sigs AS (SELECT doc_id, {bits} AS sig FROM documents),
-    bands_raw AS ({band_selects}),
-    bands AS (SELECT doc_id, sig, band, key FROM bands_raw
-              QUALIFY row_number() OVER (PARTITION BY band, key
-                                         ORDER BY doc_id) <= {BUCKET_CAP}),
+    bands AS ({band_selects}),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
              CAST({hamming} AS BIGINT) AS hamming
@@ -352,19 +360,73 @@ def _q42_oracle() -> str:
     """
 
 
+def _chunk_buckets(bucketed: DataFrame, name: str, members_col: str) -> DataFrame:
+    """Split each candidate bucket's (sorted) member array into chunks of
+    ≤ BUCKET_CAP and explode to one row per (chunk_i, chunk_j) pair with
+    i ≤ j — so pair generation over an oversized bucket is DISTRIBUTED
+    across ≤ C² -sized tasks instead of truncated (zero recall loss,
+    bounded per-task memory).  A bucket of m members becomes
+    ceil(m/C)·(ceil(m/C)+1)/2 rows; small buckets (m ≤ C) stay one row.
+    The same counters as ``_cap_buckets`` attach via ``df.observe`` —
+    ``capped_buckets`` now counts buckets that *overflowed into chunks*
+    (an observable fan-out event, no longer a recall event).
+
+    Output columns: the bucket's grouping keys + ``ci``/``left`` and
+    ``cj``/``right`` chunk arrays; ``ci == cj`` rows are intra-chunk
+    (emit ordered pairs within ``left``), ``ci < cj`` rows are
+    cross-chunk (emit the full left×right product — global member order
+    is preserved because chunks are slices of one sorted array).
+    """
+    obs = Observation()
+    BUCKET_OBSERVATIONS[name] = obs
+    size = F.size(F.col(members_col))
+    ids = F.array_sort(F.col(members_col))
+    nchunks = F.ceil(size / F.lit(BUCKET_CAP)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), nchunks - 1),
+        lambda i: F.slice(ids, i * BUCKET_CAP + 1, BUCKET_CAP),
+    )
+    observed = bucketed.observe(
+        obs,
+        F.count(F.lit(1)).alias("buckets"),
+        F.sum((size > BUCKET_CAP).cast("long")).alias("capped_buckets"),
+        F.max(size).alias("max_bucket_size"),
+    )
+    keys = [c for c in bucketed.columns if c != members_col]
+    lhs = observed.select(
+        *keys, F.posexplode(chunks).alias("ci", "left"), chunks.alias("chunks")
+    )
+    return lhs.select(
+        *keys, "ci", "left", F.posexplode("chunks").alias("cj", "right")
+    ).filter(F.col("cj") >= F.col("ci"))
+
+
 @query("q42_dedup_simhash", oracle=_q42_oracle())
 def q42_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash(32-bit) near-dup: bit d = sign of Σ±1 over tokens, where a
-    token votes +1 iff hex digit d of its md5 has its high bit set.
+    """SimHash(64-bit) near-dup — the Manku et al. (WWW'07) web-dedup
+    configuration: bit d = sign of Σ±1 token votes, 4×16-bit bands for
+    candidate generation, Hamming distance ≤ 3 keeps near-dups.
 
-    Banding (4×8 bits) generates candidates; Hamming distance ≤ 2 keeps
-    near-dups.  The signature is a '0'/'1' string, so band keys and the
-    Hamming sum are engine-portable string ops.  At 100 TB: one narrow
-    shuffle on (band, 8-char key); signature computation is map-side.
+    Two bits derive from each md5 hex digit (high bit → bits 1..32, bit
+    2 → bits 33..64), so md5 still runs ONCE per token and all 64
+    bit-sums accumulate in a single fold over the digest array.
 
-    Hashing: md5 runs ONCE per token; all 32 bit-sums accumulate in a
-    single fold over the digest array (32 separately-built bit columns
-    would re-hash every token 32 times — measured 2.4× slower).
+    Scale shape (the 100 TB story, in order of importance):
+    - 16-bit band keys: 65 536 buckets per band, so baseline bucket
+      occupancy is n/65 536 per band — the previous 8-bit keyspace put
+      n/256 docs in EVERY bucket, unusable past ~10⁵ docs.
+    - Oversized buckets (genuinely similar signature mass) are CHUNKED
+      and their pair generation distributed (``_chunk_buckets``), not
+      truncated: recall loss from hot buckets is now zero by
+      construction, per-task memory stays ≤ BUCKET_CAP².  (Collapse
+      byte-identical docs with q40 first — an exact-dup class of size m
+      is inherently m²/2 pairs for any pairwise contract.)
+    - NO distinct shuffle on candidate pairs: a pair found in band b is
+      emitted only if no earlier band also matched (the band segments
+      are recomputable from the carried hi/lo signature halves with two
+      shifts and a mask), so cross-band dedup is a map-side filter
+      instead of a shuffle of every candidate pair.  Total: 2 shuffles
+      (fan-out + one (band, key) agg).
     """
     toks = F.array_distinct(F.split(F.col("text"), " "))
     hexes = F.transform(toks, lambda t: F.md5(t))
@@ -375,7 +437,13 @@ def q42_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             acc,
             F.sequence(F.lit(1), F.lit(SIMHASH_BITS)),
             lambda a, d: a
-            + F.when(h.substr(d, F.lit(1)) >= "8", 1).otherwise(-1),
+            + F.when(
+                F.when(d <= 32, h.substr(d, F.lit(1)) >= "8").otherwise(
+                    h.substr(d - 32, F.lit(1)).between("4", "7")
+                    | (h.substr(d - 32, F.lit(1)) >= "c")
+                ),
+                1,
+            ).otherwise(-1),
         ),
     )
     sig = F.concat_ws(
@@ -389,7 +457,11 @@ def q42_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bands = sigs.select(
         "doc_id",
-        "sig",
+        # The 64-bit signature rides as two 32-bit longs (conv of a full
+        # 64-char bitstring would overflow a signed long): hamming is
+        # two bit_count(xor)s, band segments are shift+mask.
+        F.conv(F.substring("sig", 1, 32), 2, 10).cast("long").alias("hi"),
+        F.conv(F.substring("sig", 33, 32), 2, 10).cast("long").alias("lo"),
         F.posexplode(
             F.array(
                 *[
@@ -400,43 +472,52 @@ def q42_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("band", "key"),
     )
     # Pairs via one aggregation (same rationale as q41: a band self-join
-    # would run the 32-aggregate signature computation twice).  Structs
-    # sort by field order, so array_sort orders members by doc_id and
-    # generated pairs are (lower, higher).
-    # members arrive SORTED from _cap_buckets — no second sort
-    ids = F.col("ids")
-    pair_structs = F.flatten(
+    # would run the 64-fold signature computation twice).  Structs sort
+    # by field order, so array_sort in _chunk_buckets orders members by
+    # doc_id and generated pairs are (lower, higher).
+    bucketed = bands.groupBy("band", "key").agg(
+        F.collect_list(F.struct("doc_id", "hi", "lo")).alias("ids")
+    ).filter(F.size("ids") >= 2)
+    left, right = F.col("left"), F.col("right")
+    intra = F.flatten(
         F.transform(
-            ids,
+            left,
             lambda x, i: F.transform(
-                F.slice(ids, i + 2, F.size(ids)),
+                F.slice(right, i + 2, F.size(right)),
                 lambda y: F.struct(x.alias("a"), y.alias("b")),
             ),
         )
     )
-    # Pairs carry the signature as ONE long (conv base-2) so the
-    # distinct shuffles 16 bytes per pair instead of two 32-char
-    # strings, and the verify is a single bit_count(xor) — same values
-    # as the oracle's 32 per-character comparisons.
-    hamming = F.bit_count(F.col("isig_a").bitwiseXOR(F.col("isig_b")))
-    bucketed = (
-        bands.withColumn("isig", F.conv("sig", 2, 10).cast("long"))
-        .groupBy("band", "key")
-        .agg(F.collect_list(F.struct("doc_id", "isig")).alias("ids"))
-        .filter(F.size("ids") >= 2)
+    cross = F.flatten(
+        F.transform(
+            left,
+            lambda x: F.transform(right, lambda y: F.struct(x.alias("a"), y.alias("b"))),
+        )
     )
+    pair_structs = F.when(F.col("ci") == F.col("cj"), intra).otherwise(cross)
+
+    def seg(side: str, k: int) -> Column:
+        half = F.col(f"p.{side}.hi") if k < 2 else F.col(f"p.{side}.lo")
+        shifted = F.shiftright(half, 16) if k % 2 == 0 else half
+        return shifted.bitwiseAND(F.lit(0xFFFF))
+
+    first_match = F.lit(True)
+    for k in range(SIMHASH_BITS // SIMHASH_BAND):
+        first_match = first_match & (
+            (F.col("band") <= k) | (seg("a", k) != seg("b", k))
+        )
+    hamming = F.bit_count(
+        F.col("p.a.hi").bitwiseXOR(F.col("p.b.hi"))
+    ) + F.bit_count(F.col("p.a.lo").bitwiseXOR(F.col("p.b.lo")))
     return (
-        _cap_buckets(bucketed, "q42_dedup_simhash", "ids")
-        .select(F.explode(pair_structs).alias("p"))
+        _chunk_buckets(bucketed, "q42_dedup_simhash", "ids")
+        .select("band", F.explode(pair_structs).alias("p"))
+        .filter(first_match & (hamming <= HAMMING_T))
         .select(
             F.col("p.a.doc_id").alias("doc_a"),
             F.col("p.b.doc_id").alias("doc_b"),
-            F.col("p.a.isig").alias("isig_a"),
-            F.col("p.b.isig").alias("isig_b"),
+            hamming.cast("long").alias("hamming"),
         )
-        .distinct()
-        .select("doc_a", "doc_b", hamming.cast("long").alias("hamming"))
-        .filter(F.col("hamming") <= HAMMING_T)
     )
 
 
@@ -3034,6 +3115,97 @@ def q101_bpe_merges(
             "freq",
         )
     return out
+
+def bpe_train(
+    spark: SparkSession,
+    sf_dir: str,
+    n_merges: int,
+    batch_size: int = 1,
+    overprovision: int = 4,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Production-scale BPE trainer: the q101 greedy loop with BATCHED
+    merges — per round, collect the top ``batch_size * overprovision``
+    weighted pairs, greedily keep the top ``batch_size`` that are
+    pairwise NON-INTERACTING (no shared symbol), and apply them all in
+    ONE rewrite pass over the symbol table.  A 50k-merge production
+    vocabulary then needs ~vocab/B rounds instead of vocab rounds, and
+    per-round cost stays flat: one explode + one hash agg + one
+    driver-side top-k collect (the merge table is the bounded tokenizer
+    artifact — collecting it is control plane, not data plane) + one
+    map-only batched replace, with ``localCheckpoint`` every few rounds
+    so lineage does not grow with the round count.
+
+    Greedy-equivalence caveat (tested on the fixture): batching equals
+    merge-at-a-time greedy when the batch's pairs do not interact AND no
+    merge in the batch creates a new pair outweighing a later batch
+    member; corpora with flat pair-count tails (real ones) satisfy this
+    for small B.  Disjointness alone always guarantees the REWRITE is
+    order-independent — batching never corrupts the symbol table, it
+    can only reorder which merges happen first.
+
+    Returns the merge table (merge_round, pair, merged, pair_count) —
+    ``merge_round`` is the batch round the pair was applied in.
+    """
+    docs = _fanout(spark, table(spark, sf_dir, "documents"))
+    vocab = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    sym = vocab.select(
+        F.concat(
+            F.lit(" "),
+            F.trim(F.regexp_replace(F.col("w"), "(.)", "$1 ")),
+            F.lit(" "),
+        ).alias("sym"),
+        "freq",
+    ).localCheckpoint()
+
+    merges: list[tuple[int, str, str, int]] = []
+    rnd = 0
+    while len(merges) < n_merges:
+        rnd += 1
+        want = min(batch_size, n_merges - len(merges))
+        cand = (
+            sym.select(F.explode(_bpe_pairs(F.col("sym"))).alias("pair"), "freq")
+            .groupBy("pair")
+            .agg(F.sum("freq").cast("long").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "pair")
+            .limit(want * overprovision)
+            .collect()
+        )
+        if not cand:
+            break
+        used: set[str] = set()
+        batch: list[tuple[str, int]] = []
+        for row in cand:
+            a, b = row.pair.split(" ")
+            if a in used or b in used:
+                continue
+            used.update((a, b))
+            batch.append((row.pair, row.cnt))
+            if len(batch) == want:
+                break
+        if not batch:
+            # every candidate interacts with a higher-count one: fall
+            # back to strict top-1 for this round (always applicable).
+            batch = [(cand[0].pair, cand[0].cnt)]
+        merges += [(rnd, p, p.replace(" ", ""), c) for p, c in batch]
+        new_sym = F.col("sym")
+        for p, _ in batch:
+            new_sym = F.replace(
+                new_sym,
+                F.lit(f" {p} "),
+                F.lit(f" {p.replace(' ', '')} "),
+            )
+        sym = sym.select(new_sym.alias("sym"), "freq")
+        if rnd % checkpoint_every == 0:
+            sym = sym.localCheckpoint()
+    return spark.createDataFrame(
+        merges, "merge_round long, pair string, merged string, pair_count long"
+    )
+
 
 def _q102_oracle() -> str:
     last = f"s_p{BPE_ROUNDS}"

@@ -55,6 +55,29 @@ def test_cap_not_firing_reports_zero(spark, sf_dir):
     assert obs["capped_buckets"] == 0  # fixture buckets are tiny
 
 
+def test_q42_oversized_bucket_chunks_without_recall_loss(
+    spark, hot_corpus_dir, monkeypatch
+):
+    """q42 distributes oversized buckets across chunk-pair tasks instead
+    of truncating: every pair among the 12 identical docs must survive a
+    cap of 5 (pre-chunking: only pairs among the 5 smallest did)."""
+    monkeypatch.setattr(llm_ops, "BUCKET_CAP", 5)
+    got = llm_ops.q42_dedup_simhash(spark, hot_corpus_dir)
+    pairs = {(r.doc_a, r.doc_b) for r in got.collect()}
+    assert pairs >= set(itertools.combinations(range(1, 13), 2))
+    obs = llm_ops.BUCKET_OBSERVATIONS["q42_dedup_simhash"].get
+    assert obs["capped_buckets"] >= 1  # chunk fan-out observed
+    assert obs["max_bucket_size"] == 12
+
+
+def test_q42_emits_each_pair_exactly_once(spark, sf_dir):
+    """Identical signatures match in all 4 bands; the first-match-band
+    filter (not a distinct shuffle) must still emit each pair once."""
+    df = llm_ops.q42_dedup_simhash(spark, sf_dir)
+    total = df.count()
+    assert df.select("doc_a", "doc_b").distinct().count() == total
+
+
 def test_q69_truncated_bucket_keeps_transitive_clusters(
     spark, hot_corpus_dir, monkeypatch
 ):
