@@ -34,16 +34,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # round — closing the union at 124/124.  Rounds >= 5 rotate the tail to
 # whatever is least-recently-checked.
 _ROTATION_TAIL = [
-    # 9 refreshed this round (changed code or newly benchmarked):
+    # changed this round (q42's result set changed: 64-bit signatures):
     "q42_dedup_simhash",
-    "q47_ann_ivf",
-    "q100_time_decay_engagement",
-    "q108_rolling_zscore_anomalies",
-    "q113_sketch_rollup",
-    "q118_session_concurrency",
-    "q123_psi_drift",
-    "q124_woe_iv_binning",
-    "q41_dedup_minhash_lsh",
+    # new this round (registered after r03 — no driver row yet):
+    "q125_tfidf_sparse_cosine",
+    "q126_embedding_outliers",
+    "q127_knn_label_audit",
+    "q128_zipf_vocab_audit",
+    "q129_source_score_calibration",
+    "q130_shard_assignment",
+    "q131_containment_dedup",
+    "q132_data_card",
     # the 41 with no CORRECTNESS_r01..r03 row, original order:
     "q90_ann_recall",
     "q93_duplicate_spans",

@@ -5008,3 +5008,657 @@ def q122_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.max(F.when(F.col("rk") == 1, F.col("score"))).alias("keep_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q125 — sparse TF-IDF cosine similarity (rare-term blocking)
+# ---------------------------------------------------------------------------
+
+# Blocking key: candidate pairs must share at least one word-5-gram
+# shingle (q43's blocking — rare by construction even when the unigram
+# vocabulary is tiny, as in the fixture where every term has df >= 5%).
+# On natural-vocabulary corpora the equivalent prefix-filter blocks on
+# rare terms (Bayardo et al., WWW'07 "Scaling Up All Pairs Similarity
+# Search"); either way the exact dot product runs over ALL shared terms.
+SPARSE_COS_T = 0.5
+
+
+def _q125_oracle() -> str:
+    return f"""
+    WITH sdocs AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents),
+    ex AS (SELECT doc_id, unnest(sh) AS s FROM sdocs),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id),
+    t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    w AS (SELECT doc_id, term, tf.tf * ln(n.n * 1.0 / df.df) AS w
+          FROM tf JOIN df USING (term) CROSS JOIN n),
+    nrm AS (SELECT doc_id, sqrt(SUM(w * w)) AS nrm FROM w GROUP BY 1),
+    dot AS (SELECT c.doc_a, c.doc_b, SUM(a.w * b.w) AS dot
+            FROM cand c
+            JOIN w a ON a.doc_id = c.doc_a
+            JOIN w b ON b.doc_id = c.doc_b AND b.term = a.term
+            GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           {sql_dec('dot / (na.nrm * nb.nrm)', 6)} AS cosine
+    FROM dot
+    JOIN nrm na ON doc_a = na.doc_id
+    JOIN nrm nb ON doc_b = nb.doc_id
+    WHERE dot / (na.nrm * nb.nrm) >= {SPARSE_COS_T}
+    """
+
+
+@query("q125_tfidf_sparse_cosine", oracle=_q125_oracle())
+def q125_tfidf_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise document cosine similarity over sparse TF-IDF vectors —
+    the lexical near-dup / template-detection complement to the dense
+    q44 (docs can be lexically near-identical while their embeddings
+    drift, and vice versa).
+
+    Scale shape: candidates come from shared-shingle blocking (q43's
+    join — rare keys by construction; hot shingles cap per that
+    query's notes), then the exact dot product joins the two
+    candidates' FULL unigram weight vectors on term (shuffle key =
+    term / doc_id, never text).  All weights are (int tf) x ln(N/df)
+    doubles; the only rounding is the final 6-dp cosine, same
+    expression both engines.
+    """
+    docs = _fanout(spark, table(spark, sf_dir, "documents"))
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_tbl = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_tbl = docs.agg(F.count("*").alias("n"))
+    w = (
+        tf.join(df_tbl, "term")
+        .crossJoin(F.broadcast(n_tbl))
+        .select(
+            "doc_id",
+            "term",
+            (F.col("tf") * F.log(F.col("n") * F.lit(1.0) / F.col("df"))).alias("w"),
+        )
+        .persist()
+    )
+    nrm = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    ex = docs.select("doc_id", F.explode(_shingles(F.col("text"))).alias("s"))
+    cand = (
+        ex.alias("a")
+        .join(
+            ex.alias("b"),
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    dot = (
+        cand.join(w.alias("wa"), F.col("doc_a") == F.col("wa.doc_id"))
+        .join(
+            w.alias("wb"),
+            (F.col("doc_b") == F.col("wb.doc_id"))
+            & (F.col("wa.term") == F.col("wb.term")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("wa.w") * F.col("wb.w")).alias("dot"))
+    )
+    cos = F.col("dot") / (F.col("na.nrm") * F.col("nb.nrm"))
+    return (
+        dot.join(nrm.alias("na"), F.col("doc_a") == F.col("na.doc_id"))
+        .join(nrm.alias("nb"), F.col("doc_b") == F.col("nb.doc_id"))
+        .filter(cos >= SPARSE_COS_T)
+        .select("doc_a", "doc_b", dec(cos, 6).alias("cosine"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q126 — embedding outlier audit (distance-to-centroid z-score)
+# ---------------------------------------------------------------------------
+
+OUTLIER_Z = 2.0
+
+
+def _q126_oracle() -> str:
+    # Distance accumulates in EMBEDDING ARRAY ORDER on both engines
+    # (list_zip fold, not a row-order-dependent SUM), so dist is exact;
+    # the per-label mean/std round to 6dp before the z-score so the
+    # outlier verdict compares identically rounded values.
+    return f"""
+    WITH u AS (SELECT label, us.u.pos AS pos, us.u.v AS v FROM (
+        SELECT label,
+               unnest(list_transform(embedding,
+                 (x, i) -> {{'pos': i - 1, 'v': x::DOUBLE}})) AS u
+        FROM embeddings) us),
+    cent AS (SELECT label, pos, SUM(v) / COUNT(*) AS m
+             FROM u GROUP BY label, pos),
+    carr AS (SELECT label, list(m ORDER BY pos) AS cm FROM cent GROUP BY label),
+    d AS (SELECT vec_id, e.label,
+                 (ROUND(sqrt(list_sum(list_transform(
+                    list_zip(embedding, cm),
+                    p -> (p[1]::DOUBLE - p[2]) * (p[1]::DOUBLE - p[2])))), 6) + 0.0)
+                 AS dist
+          FROM embeddings e JOIN carr USING (label)),
+    s AS (SELECT label, ROUND(AVG(dist), 6) AS mu,
+                 ROUND(stddev(dist), 6) AS sd
+          FROM d GROUP BY label)
+    SELECT vec_id, d.label, dist,
+           CASE WHEN sd IS NULL OR sd = 0 THEN NULL
+                ELSE (ROUND((dist - mu) / sd, 4) + 0.0) END AS z,
+           CASE WHEN sd IS NULL OR sd = 0 THEN FALSE
+                ELSE abs(ROUND((dist - mu) / sd, 4)) > {OUTLIER_Z} END AS is_outlier
+    FROM d JOIN s ON d.label = s.label
+    """
+
+
+@query("q126_embedding_outliers", oracle=_q126_oracle())
+def q126_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier audit: each vector's Euclidean distance to
+    its label centroid, z-scored within the label — the curation filter
+    that surfaces mislabeled / out-of-distribution points before they
+    enter a training mix (the per-cluster analog of SemDeDup's pruning).
+
+    Scale shape: centroids via posexplode + ONE (label, pos) hash agg
+    (bounded #labels x dim cells), re-assembled into per-label arrays
+    and broadcast; distance is a map-side fold over the embedding array
+    (deterministic accumulation order — same fold both engines); label
+    stats are a bounded second agg, broadcast back.  No corpus shuffle
+    at any point.
+    """
+    emb = _fanout(spark, table(spark, sf_dir, "embeddings"))
+    cent = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg((F.sum(F.col("v").cast("double")) / F.count("*")).alias("m"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+            ).alias("cm")
+        )
+    )
+    dist_sq = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("cm"),
+            lambda x, m: (x.cast("double") - m) * (x.cast("double") - m),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    d = emb.join(F.broadcast(cent), "label").select(
+        "vec_id", "label", dec(F.sqrt(dist_sq), 6).alias("dist")
+    )
+    s = d.groupBy("label").agg(
+        F.round(F.avg("dist"), 6).alias("mu"),
+        F.round(F.stddev("dist"), 6).alias("sd"),
+    )
+    # sd NULL (single-member label) or 0 (all members equidistant) would
+    # divide to NaN/Infinity — and Spark and DuckDB disagree on double
+    # division by zero, so the degenerate case is pinned to NULL / not
+    # an outlier identically on both sides.
+    degenerate = F.col("sd").isNull() | (F.col("sd") == 0)
+    z = F.round((F.col("dist") - F.col("mu")) / F.col("sd"), 4)
+    return d.join(F.broadcast(s), "label").select(
+        "vec_id",
+        "label",
+        "dist",
+        F.when(degenerate, F.lit(None).cast("double"))
+        .otherwise(z + F.lit(0.0))
+        .alias("z"),
+        F.when(degenerate, F.lit(False))
+        .otherwise(F.abs(z) > OUTLIER_Z)
+        .alias("is_outlier"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q127 — kNN label-noise audit (leave-one-out majority vote)
+# ---------------------------------------------------------------------------
+
+KNN_K = 5
+AUDIT_N = 50  # bounded audit batch — fixed size at every SF (q45 discipline)
+
+
+def _q127_oracle() -> str:
+    return f"""
+    WITH q AS (SELECT vec_id, embedding, label FROM embeddings
+               WHERE vec_id < {AUDIT_N}),
+    p AS (SELECT q.vec_id AS q_id, q.label AS label, e.label AS n_label,
+                 (ROUND({_COS_SQL.format(a='q.embedding', b='e.embedding')}, 6) + 0.0) AS cos_sim,
+                 e.vec_id AS neighbor_id
+          FROM q JOIN embeddings e ON e.vec_id <> q.vec_id),
+    r AS (SELECT q_id, label, n_label,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                                    ORDER BY cos_sim DESC, neighbor_id) AS rk
+          FROM p),
+    votes AS (SELECT q_id, label, n_label, COUNT(*) AS votes
+              FROM r WHERE rk <= {KNN_K} GROUP BY 1, 2, 3),
+    top AS (SELECT q_id, label, n_label AS pred_label, votes,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                                      ORDER BY votes DESC, n_label) AS vr
+            FROM votes)
+    SELECT q_id, label, pred_label, CAST(votes AS BIGINT) AS votes,
+           label = pred_label AS agree
+    FROM top WHERE vr = 1
+    """
+
+
+@query("q127_knn_label_audit", oracle=_q127_oracle())
+def q127_knn_label_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise audit via leave-one-out kNN: for a BOUNDED audit
+    batch ({AUDIT_N} vectors — fixed size at every SF, the q45 query-set
+    discipline; rotate the id window across runs to sweep the corpus),
+    the majority label of the {KNN_K} nearest neighbors (exact cosine,
+    self excluded) vs the vector's own label — the
+    Confident-Learning-style screen for mislabeled training points.
+
+    Scale shape: q45's pattern — the bounded batch broadcasts, the
+    corpus streams through ONE map pass, then two bounded aggregates
+    (per-query top-k window, vote count).  Ranking uses the rounded
+    cosine + neighbor-id tie-break; votes tie-break on the smaller
+    label — both k-cuts deterministic across engines.
+    """
+    emb = _fanout(spark, table(spark, sf_dir, "embeddings"))
+    q = emb.filter(F.col("vec_id") < AUDIT_N).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("label"),
+        F.col("embedding").alias("qe"),
+    )
+    nbr = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("n_label"),
+        F.col("embedding").alias("ne"),
+    )
+    pairs = (
+        F.broadcast(q)
+        .join(nbr, F.col("neighbor_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "label",
+            "n_label",
+            "neighbor_id",
+            dec(_cosine(F.col("qe"), F.col("ne")), 6).alias("cos_sim"),
+        )
+    )
+    wk = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
+    votes = (
+        pairs.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= KNN_K)
+        .groupBy("q_id", "label", "n_label")
+        .agg(F.count("*").alias("votes"))
+    )
+    wv = W.partitionBy("q_id").orderBy(F.col("votes").desc(), "n_label")
+    return (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select(
+            "q_id",
+            "label",
+            F.col("n_label").alias("pred_label"),
+            F.col("votes").cast("long").alias("votes"),
+            (F.col("label") == F.col("n_label")).alias("agree"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q128 — Zipf power-law vocabulary audit
+# ---------------------------------------------------------------------------
+
+ZIPF_TOP_R = 500  # rank-frequency fit over the top-R vocabulary
+
+
+def _q128_oracle() -> str:
+    return f"""
+    WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+    v AS (SELECT token, COUNT(*) AS freq FROM t GROUP BY token),
+    r AS (SELECT freq,
+                 ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS rank
+          FROM v QUALIFY rank <= {ZIPF_TOP_R}),
+    x AS (SELECT ln(rank * 1.0) AS lx, ln(freq * 1.0) AS ly FROM r)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+           (ROUND(regr_slope(ly, lx), 4) + 0.0) AS slope,
+           (ROUND(regr_intercept(ly, lx), 4) + 0.0) AS intercept,
+           (ROUND(corr(ly, lx) * corr(ly, lx), 4) + 0.0) AS r2
+    FROM x
+    """
+
+
+@query("q128_zipf_vocab_audit", oracle=_q128_oracle())
+def q128_zipf_vocab_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf power-law audit of the corpus vocabulary: OLS fit of
+    ln(freq) against ln(rank) over the top-{ZIPF_TOP_R} tokens — slope
+    ~ −1 and high R² is the signature of natural text; synthetic,
+    boilerplate-heavy, or scraped-junk corpora bend the curve (a cheap
+    corpus-health gate before training).
+
+    Scale shape: one word-count aggregate (map-side combine) → top-R
+    cut (TakeOrderedAndProject-able ordering with a token tie-break —
+    rank assignment over equal frequencies cannot move the fit, since
+    the x-values are the fixed set ln(1..R) and tied y-values are
+    interchangeable) → ONE bounded regression aggregate over R rows via
+    the built-in regr_slope/regr_intercept/corr (mergeable partials,
+    identical definitions in DuckDB).
+    """
+    docs = _fanout(spark, table(spark, sf_dir, "documents"))
+    v = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+    )
+    r = (
+        v.withColumn(
+            "rank", F.row_number().over(W.orderBy(F.col("freq").desc(), "token"))
+        )
+        .filter(F.col("rank") <= ZIPF_TOP_R)
+        .select(
+            F.log(F.col("rank") * F.lit(1.0)).alias("lx"),
+            F.log(F.col("freq") * F.lit(1.0)).alias("ly"),
+        )
+    )
+    return r.agg(
+        F.count("*").alias("n_terms"),
+        dec(F.regr_slope("ly", "lx"), 4).alias("slope"),
+        dec(F.regr_intercept("ly", "lx"), 4).alias("intercept"),
+        dec(F.corr("ly", "lx") * F.corr("ly", "lx"), 4).alias("r2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q129 — per-source quality-score calibration
+# ---------------------------------------------------------------------------
+
+
+def _q129_oracle() -> str:
+    q = "LEAST(1.0, nw / 50.0) * (1 - nstop * 1.0 / nw)"
+    return f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             len(string_split(text, ' ')) AS nw,
+             len(list_filter(string_split(text, ' '),
+                 w -> list_contains({list(STOPWORDS)!r}, w))) AS nstop
+      FROM documents),
+    sc AS (SELECT doc_id, source, ROUND({q}, 4) AS score FROM t),
+    st AS (SELECT source, ROUND(AVG(score), 6) AS mu,
+                  ROUND(stddev(score), 6) AS sd
+           FROM sc GROUP BY source)
+    SELECT doc_id, sc.source, (score + 0.0) AS score,
+           {sql_dec('percent_rank() OVER (PARTITION BY sc.source ORDER BY score, doc_id)', 6)} AS pct_rank,
+           CASE WHEN sd IS NULL OR sd = 0 THEN NULL
+                ELSE (ROUND((score - mu) / sd, 4) + 0.0) END AS z
+    FROM sc JOIN st ON sc.source = st.source
+    """
+
+
+@query("q129_source_score_calibration", oracle=_q129_oracle())
+def q129_source_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality-score calibration: each doc's composite quality
+    (q50's formula) re-expressed as a within-source percentile and
+    z-score.  Raw quality scores are NOT comparable across sources
+    (each crawl has its own score distribution); mixing and quota
+    policies (q73/q110) should cut on the calibrated rank, not the raw
+    score — this operator produces that rank.
+
+    Scale shape: score is map-only; percent_rank partitions by source
+    (parallel across sources — a single mega-source is the skew case:
+    fall back to approx-quantile bucketing there); per-source mu/sd is
+    a bounded agg broadcast back.  Rounded score + doc_id ordering and
+    6-dp/4-dp outputs keep both engines' ranks identical.
+    """
+    docs = _fanout(spark, table(spark, sf_dir, "documents"))
+    words = F.split(F.col("text"), " ")
+    nw = F.size(words)
+    nstop = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS)))
+    sc = docs.select(
+        "doc_id",
+        "source",
+        F.round(F.least(F.lit(1.0), nw / F.lit(50.0)) * (1 - nstop / nw), 4).alias(
+            "score"
+        ),
+    )
+    st = sc.groupBy("source").agg(
+        F.round(F.avg("score"), 6).alias("mu"),
+        F.round(F.stddev("score"), 6).alias("sd"),
+    )
+    wp = W.partitionBy("source").orderBy("score", "doc_id")
+    # degenerate source (one doc, or constant scores): sd NULL/0 — pin z
+    # to NULL on both engines instead of NaN/Infinity divergence.
+    degenerate = F.col("sd").isNull() | (F.col("sd") == 0)
+    return (
+        sc.join(F.broadcast(st), "source")
+        .select(
+            "doc_id",
+            "source",
+            (F.col("score") + F.lit(0.0)).alias("score"),
+            dec(F.percent_rank().over(wp), 6).alias("pct_rank"),
+            F.when(degenerate, F.lit(None).cast("double"))
+            .otherwise(dec((F.col("score") - F.col("mu")) / F.col("sd"), 4))
+            .alias("z"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q130 — token-balanced shard assignment (corpus writer)
+# ---------------------------------------------------------------------------
+
+SHARD_TOKENS = 8192  # target tokens per output shard
+
+
+def _q130_oracle() -> str:
+    start = "(cum - n_tokens)"
+    return f"""
+    WITH t AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+                      len(string_split(text, ' ')) AS n_tokens
+               FROM documents),
+    c AS (SELECT doc_id, n_tokens,
+          SUM(n_tokens) OVER (ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+          FROM t)
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST({start} // {SHARD_TOKENS} AS BIGINT) AS shard_id,
+           CAST({start} % {SHARD_TOKENS} AS BIGINT) AS shard_offset
+    FROM c
+    """
+
+
+@query("q130_shard_assignment", oracle=_q130_oracle())
+def q130_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-balanced shard assignment for writing a training corpus:
+    docs are laid out in a deterministic hash-shuffled order (md5 of
+    doc_id — decorrelates shard fill from ingestion order, so every
+    shard is an unbiased corpus sample) and cut into shards of
+    {SHARD_TOKENS} tokens by cumulative token count.  The writer-side
+    twin of q71's sequence packing.
+
+    Scale shape: q71's two-phase distributed prefix sum, with the block
+    key = the leading byte of the SAME md5 that orders the docs — a
+    PREFIX of the global sort key, so ordering by (blk, h, doc_id)
+    equals ordering by (h, doc_id) and block-local sums + prefix-summed
+    block offsets compose to the exact global running total without any
+    single-partition global window.  256 blocks here; widen the prefix
+    to 2 bytes (65 536 blocks) at production scale.
+    """
+    docs = _fanout(spark, table(spark, sf_dir, "documents"))
+    t = docs.select(
+        "doc_id",
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    ).withColumn("blk", F.conv(F.substring("h", 1, 2), 16, 10).cast("int"))
+    local = t.withColumn(
+        "local_cum",
+        F.sum("n_tokens").over(
+            W.partitionBy("blk").orderBy("h", "doc_id").rowsBetween(
+                W.unboundedPreceding, 0
+            )
+        ),
+    )
+    offsets = (
+        t.groupBy("blk")
+        .agg(F.sum("n_tokens").alias("blk_total"))
+        .withColumn(
+            "blk_offset",
+            F.sum("blk_total").over(
+                W.orderBy("blk").rowsBetween(W.unboundedPreceding, -1)
+            ),
+        )
+        .select("blk", F.coalesce("blk_offset", F.lit(0)).alias("blk_offset"))
+    )
+    cum = F.col("blk_offset") + F.col("local_cum")
+    start = cum - F.col("n_tokens")
+    return local.join(F.broadcast(offsets), "blk").select(
+        "doc_id",
+        "n_tokens",
+        F.floor(start / SHARD_TOKENS).cast("long").alias("shard_id"),
+        (start % SHARD_TOKENS).cast("long").alias("shard_offset"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q131 — containment dedup (asymmetric subset-duplication)
+# ---------------------------------------------------------------------------
+
+CONTAIN_T = 0.8  # |A ∩ B| / |A| — A is (mostly) contained in B
+
+
+def _q131_oracle() -> str:
+    return f"""
+    WITH docs AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents),
+    ex AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+    sizes AS (SELECT doc_id, len(sh) AS n FROM docs),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pairstats AS (
+      SELECT doc_a, doc_b, i, sa.n AS na, sb.n AS nb
+      FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+                 JOIN sizes sb ON doc_b = sb.doc_id)
+    SELECT doc_a AS doc_sub, doc_b AS doc_sup,
+           {sql_dec('i * 1.0 / na', 6)} AS containment
+    FROM pairstats WHERE i * 1.0 / na >= {CONTAIN_T}
+    UNION ALL
+    SELECT doc_b AS doc_sub, doc_a AS doc_sup,
+           {sql_dec('i * 1.0 / nb', 6)} AS containment
+    FROM pairstats WHERE i * 1.0 / nb >= {CONTAIN_T}
+    """
+
+
+@query("q131_containment_dedup", oracle=_q131_oracle())
+def q131_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup (Broder's containment coefficient
+    C(A,B) = |A∩B| / |A| over word-5-gram shingles): detects SUBSET
+    duplication — quotes, excerpts, and wrapper pages that embed
+    another document — which symmetric Jaccard (q43) misses when the
+    host document is much longer than the embedded one.
+
+    Scale shape: identical to q43 (shared-shingle blocking, set algebra
+    on join counts, no cross join); each unordered candidate pair then
+    emits up to two DIRECTED rows (A-in-B, B-in-A), a map-side union.
+    """
+    docs = _fanout(spark, table(spark, sf_dir, "documents")).select(
+        "doc_id", _shingles(F.col("text")).alias("sh")
+    )
+    ex = docs.select("doc_id", F.explode("sh").alias("s"))
+    sizes = docs.select("doc_id", F.size("sh").alias("n"))
+    inter = (
+        ex.alias("a")
+        .join(
+            ex.alias("b"),
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("i"))
+    )
+    both = (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
+            "doc_b",
+        )
+        .persist()
+    )
+    c_ab = F.col("i") / F.col("na")
+    c_ba = F.col("i") / F.col("nb")
+    fwd = both.filter(c_ab >= CONTAIN_T).select(
+        F.col("doc_a").alias("doc_sub"),
+        F.col("doc_b").alias("doc_sup"),
+        dec(c_ab, 6).alias("containment"),
+    )
+    rev = both.filter(c_ba >= CONTAIN_T).select(
+        F.col("doc_b").alias("doc_sub"),
+        F.col("doc_a").alias("doc_sup"),
+        dec(c_ba, 6).alias("containment"),
+    )
+    return fwd.unionAll(rev)
+
+
+# ---------------------------------------------------------------------------
+# q132 — corpus data card (source × lang rollup)
+# ---------------------------------------------------------------------------
+
+
+def _q132_oracle() -> str:
+    return """
+    SELECT COALESCE(source, 'ALL') AS source,
+           COALESCE(lang, 'ALL') AS lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           (ROUND(AVG(n_chars), 2) + 0.0) AS avg_chars,
+           (ROUND(1.0 - COUNT(DISTINCT md5(text)) * 1.0 / COUNT(*), 6) + 0.0)
+             AS dup_rate
+    FROM documents
+    GROUP BY ROLLUP (source, lang)
+    """
+
+
+@query("q132_data_card", oracle=_q132_oracle())
+def q132_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus data card: per (source, lang), per source, and overall
+    — doc count, token total, mean char length, and exact duplicate
+    rate (1 − distinct-digest/count).  The one-page summary a dataset
+    release ships (datasheets-for-datasets), produced as ONE rollup
+    pass.
+
+    Scale shape: ROLLUP computes all three grouping levels in a single
+    hash-aggregate tree (no re-scan per level); the dup-rate's COUNT
+    DISTINCT shuffles md5 digests, never text.  Keys are never null in
+    this schema, so COALESCE('ALL') marks only the rollup rows.
+    """
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "source",
+            "lang",
+            "n_chars",
+            F.size(F.split(F.col("text"), " ")).alias("nt"),
+            F.md5("text").alias("digest"),
+        )
+        .rollup("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("nt").cast("long").alias("total_tokens"),
+            dec(F.avg("n_chars"), 2).alias("avg_chars"),
+            dec(
+                F.lit(1.0) - F.countDistinct("digest") * F.lit(1.0) / F.count("*"), 6
+            ).alias("dup_rate"),
+        )
+        .select(
+            F.coalesce("source", F.lit("ALL")).alias("source"),
+            F.coalesce("lang", F.lit("ALL")).alias("lang"),
+            "n_docs",
+            "total_tokens",
+            "avg_chars",
+            "dup_rate",
+        )
+    )

@@ -114,6 +114,17 @@ BOUNDED_FILTER_HINT_OK = {
     "q123_psi_drift",
     # broadcasts the 1-row decile-edge vector + 1-row pos/neg totals
     "q124_woe_iv_binning",
+    "q125_tfidf_sparse_cosine",  # broadcasts the 1-row corpus-count aggregate
+    # broadcasts the |labels|-row centroid-array table + |labels|-row
+    # mu/sd stats — both fixed by the label set at every SF
+    "q126_embedding_outliers",
+    # broadcasts the AUDIT_N-row bounded audit batch (vec_id < 50, the
+    # q45 fixed-query-set discipline)
+    "q127_knn_label_audit",
+    # broadcasts the |sources|-row mu/sd stats (fixed source set)
+    "q129_source_score_calibration",
+    # broadcasts the 256-row hash-prefix block-offset table (q71 discipline)
+    "q130_shard_assignment",
 }
 
 
@@ -173,6 +184,9 @@ NESTED_LOOP_OK = {
     "q121_bigram_lm_score",  # 1-row grand-total attach (cf. q74)
     "q123_psi_drift",  # 1-row time-span attach (cf. q100)
     "q124_woe_iv_binning",  # 1-row edge-vector + totals attaches
+    "q125_tfidf_sparse_cosine",  # 1-row corpus-count attach (cf. q63)
+    # AUDIT_N-row bounded audit batch x corpus scoring pass (cf. q45)
+    "q127_knn_label_audit",
 }
 
 
