@@ -34,17 +34,30 @@ def entry(spark: SparkSession) -> DataFrame:
 # round — closing the union at 124/124.  Rounds >= 5 rotate the tail to
 # whatever is least-recently-checked.
 _ROTATION_TAIL = [
+    # New this round but OUTSIDE the 50-slot window (the 41 stale + the
+    # changed q42 + 8 highest-risk new queries fill it): these 7 get
+    # their driver rows next round and are covered by the full
+    # check_oracle sweep meanwhile.
+    "q128_zipf_vocab_audit",
+    "q129_source_score_calibration",
+    "q132_data_card",
+    "q134_cross_source_dup_matrix",
+    "q136_length_histogram",
+    "q138_label_balance",
+    "q139_normalization_audit",
+    # ---- the driver's tail-50 window starts here ----
     # changed this round (q42's result set changed: 64-bit signatures):
     "q42_dedup_simhash",
-    # new this round (registered after r03 — no driver row yet):
+    # new this round, highest-risk first (multi-stage plans / composed
+    # operators / chunk-distributed blocking):
     "q125_tfidf_sparse_cosine",
     "q126_embedding_outliers",
     "q127_knn_label_audit",
-    "q128_zipf_vocab_audit",
-    "q129_source_score_calibration",
     "q130_shard_assignment",
     "q131_containment_dedup",
-    "q132_data_card",
+    "q133_boilerplate_segments",
+    "q135_minhash_calibration",
+    "q137_survivorship_funnel",
     # the 41 with no CORRECTNESS_r01..r03 row, original order:
     "q90_ann_recall",
     "q93_duplicate_spans",

@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 from datapipeline_dags_spark.catalog import table
 from datapipeline_dags_spark.operators.graph import connected_components
 from datapipeline_dags_spark.plans.helpers import dec, sql_dec
-from datapipeline_dags_spark.plans.registry import QUERIES, query
+from datapipeline_dags_spark.plans.registry import ORACLES, QUERIES, query
 
 # ---------------------------------------------------------------------------
 # Shared building blocks
@@ -5661,4 +5661,518 @@ def q132_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_chars",
             "dup_rate",
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q133 — per-source boilerplate segment detection (CCNet-style)
+# ---------------------------------------------------------------------------
+
+BP_MIN_DOCS = 3  # a segment is boilerplate when >= this many docs repeat it
+BP_TOP = 10  # report the top segments per source
+
+
+def _q133_oracle() -> str:
+    return f"""
+    WITH words AS (SELECT doc_id, source, string_split(text, ' ') AS w
+                   FROM documents),
+    segs AS (
+      SELECT DISTINCT doc_id, source,
+             array_to_string(w[(i - 1) * {SEG_W} + 1 : i * {SEG_W}], ' ') AS seg
+      FROM words,
+           unnest(generate_series(
+             1, CAST(ceil(len(w) / {SEG_W}.0) AS INT))) AS t(i)),
+    src AS (SELECT source, COUNT(DISTINCT doc_id) AS src_docs
+            FROM documents GROUP BY source),
+    rep AS (SELECT source, seg, COUNT(*) AS n_docs
+            FROM segs GROUP BY source, seg),
+    ranked AS (
+      SELECT rep.source, seg, n_docs,
+             ROUND(n_docs * 1.0 / src_docs, 6) + 0.0 AS doc_frac,
+             ROW_NUMBER() OVER (PARTITION BY rep.source
+                                ORDER BY n_docs DESC, seg) AS rk
+      FROM rep JOIN src ON rep.source = src.source
+      WHERE n_docs >= {BP_MIN_DOCS})
+    SELECT source, seg, CAST(n_docs AS BIGINT) AS n_docs, doc_frac,
+           CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= {BP_TOP}
+    """
+
+
+@query("q133_boilerplate_segments", oracle=_q133_oracle())
+def q133_boilerplate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source boilerplate detection (the CCNet insight: navigation /
+    footer / template segments repeat across many documents OF THE SAME
+    SOURCE): the top {BP_TOP} fixed-width word segments (q103's unit)
+    appearing in >= {BP_MIN_DOCS} distinct docs, with the fraction of
+    the source's docs that carry them — the removal list a curation run
+    feeds back into q103-style rebuilding.
+
+    Scale shape: segment explode → per-doc DISTINCT (a segment repeated
+    inside one doc counts once) → (source, seg) hash agg shuffling only
+    fixed-width segments, + a bounded per-source top-k window.
+    """
+    docs = _fanout(spark, table(spark, sf_dir, "documents"))
+    words = docs.select("doc_id", "source", F.split(F.col("text"), " ").alias("w"))
+    segs = words.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.ceil(F.size(F.col("w")) / F.lit(SEG_W)).cast("int")
+                ),
+                lambda i: F.concat_ws(
+                    " ", F.slice(F.col("w"), (i - F.lit(1)) * SEG_W + 1, SEG_W)
+                ),
+            )
+        ).alias("seg"),
+    ).distinct()
+    src = docs.groupBy("source").agg(F.countDistinct("doc_id").alias("src_docs"))
+    rep = segs.groupBy("source", "seg").agg(F.count("*").alias("n_docs"))
+    rk = F.row_number().over(
+        W.partitionBy("source").orderBy(F.col("n_docs").desc(), "seg")
+    )
+    return (
+        rep.filter(F.col("n_docs") >= BP_MIN_DOCS)
+        .join(F.broadcast(src), "source")
+        .withColumn("doc_frac", dec(F.col("n_docs") / F.col("src_docs"), 6))
+        .withColumn("rk", rk.cast("long"))
+        .filter(F.col("rk") <= BP_TOP)
+        .select("source", "seg", F.col("n_docs").cast("long").alias("n_docs"),
+                "doc_frac", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q134 — cross-source duplication matrix
+# ---------------------------------------------------------------------------
+
+
+def _q134_oracle() -> str:
+    return f"""
+    WITH pairs AS (SELECT doc_a, doc_b FROM ({ORACLES["q41_dedup_minhash_lsh"]}) t)
+    SELECT LEAST(da.source, db.source) AS source_a,
+           GREATEST(da.source, db.source) AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM pairs
+    JOIN documents da ON doc_a = da.doc_id
+    JOIN documents db ON doc_b = db.doc_id
+    GROUP BY 1, 2
+    """
+
+
+@query("q134_cross_source_dup_matrix", oracle=_q134_oracle())
+def q134_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: q41's verified near-dup pairs
+    rolled up by (source, source) — which crawls/dumps overlap, and how
+    much.  The number that decides whether two acquisitions are worth
+    deduplicating against each other before a training run (and the
+    denominator of inter-source contamination rates).
+
+    Scale shape: composes the registered q41 (candidate-first, capped
+    buckets) with two doc_id-keyed joins projecting ONLY (doc_id,
+    source), then a bounded (source, source) agg — |sources|² output
+    rows at any SF.
+    """
+    pairs = QUERIES["q41_dedup_minhash_lsh"](spark, sf_dir).select("doc_a", "doc_b")
+    src = table(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        pairs.join(
+            src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")),
+            "doc_b",
+        )
+        .groupBy(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q135 — MinHash estimate calibration (sketch accuracy audit)
+# ---------------------------------------------------------------------------
+
+
+def _q135_oracle() -> str:
+    sig_cols = ", ".join(
+        f"list_min(list_transform(hp, p -> p.h1 + {i} * p.h2)) AS m{i}"
+        for i in range(MINHASH_H)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {key} AS key FROM sig".format(
+            b=b,
+            key=" || '|' || ".join(
+                f"CAST(m{b * LSH_R + r} AS VARCHAR)" for r in range(LSH_R)
+            ),
+        )
+        for b in range(LSH_B)
+    )
+    matches = " + ".join(
+        f"CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END" for i in range(MINHASH_H)
+    )
+    return f"""
+    WITH docs AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents),
+    hp AS (SELECT doc_id, sh,
+           list_transform(list_transform(sh, s -> md5(s)),
+             h -> {{'h1': ('0x' || substr(h, 1, 15))::BIGINT,
+                    'h2': ('0x' || substr(h, 17, 8))::BIGINT}}) AS hp
+           FROM docs),
+    sig AS (SELECT doc_id, {sig_cols} FROM hp),
+    bands_raw AS ({band_selects}),
+    bands AS (SELECT doc_id, band, key FROM bands_raw
+              QUALIFY row_number() OVER (PARTITION BY band, key
+                                         ORDER BY doc_id) <= {BUCKET_CAP}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+    est AS (
+      SELECT c.doc_a, c.doc_b, ({matches}) * 1.0 / {MINHASH_H} AS est
+      FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a
+                  JOIN sig sb ON sb.doc_id = c.doc_b),
+    ex AS (
+      SELECT c.doc_a, c.doc_b,
+             len(list_intersect(da.sh, db.sh)) * 1.0
+               / len(list_distinct(list_concat(da.sh, db.sh))) AS j
+      FROM cand c JOIN docs da ON da.doc_id = c.doc_a
+                  JOIN docs db ON db.doc_id = c.doc_b)
+    SELECT est.doc_a, est.doc_b,
+           {sql_dec('est', 6)} AS est_jaccard,
+           {sql_dec('j', 6)} AS exact_jaccard,
+           {sql_dec('abs(est - j)', 6)} AS abs_err
+    FROM est JOIN ex ON est.doc_a = ex.doc_a AND est.doc_b = ex.doc_b
+    """
+
+
+@query("q135_minhash_calibration", oracle=_q135_oracle())
+def q135_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy audit: for every q41 LSH candidate pair, the
+    MinHash ESTIMATE of Jaccard (matching signature fraction, the
+    E[match] = J identity) next to the exact shingle Jaccard and the
+    absolute error — the calibration evidence behind trusting the
+    {MINHASH_H}-hash sketch at thresholds like q41's {JACCARD_T}
+    (stderr ≈ sqrt(J(1-J)/{MINHASH_H})).
+
+    Scale shape: one signature pass (q41's shapes: per-shingle md5,
+    (a + i·b) permutations, capped band buckets), candidates joined
+    back to the 12-value signatures and shingle sets by doc_id.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    docs = (
+        _fanout(spark, table(spark, sf_dir, "documents"))
+        .select("doc_id", _shingles(F.col("text")).alias("sh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    hp = F.transform(
+        F.transform(F.col("sh"), lambda s: F.md5(s)),
+        lambda h: F.struct(
+            F.conv(F.substring(h, 1, 15), 16, 10).cast("long").alias("h1"),
+            F.conv(F.substring(h, 17, 8), 16, 10).cast("long").alias("h2"),
+        ),
+    )
+    hashed = docs.select("doc_id", "sh", hp.alias("hp"))
+
+    def minhash(i: int) -> Column:
+        mult = F.lit(i).cast("long")
+        return F.array_min(
+            F.transform(F.col("hp"), lambda p: p["h1"] + mult * p["h2"])
+        )
+
+    sigs = hashed.select(
+        "doc_id", "sh", *[minhash(i).alias(f"m{i}") for i in range(MINHASH_H)]
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    band_keys = [
+        F.concat_ws("|", *[F.col(f"m{b * LSH_R + r}") for r in range(LSH_R)])
+        for b in range(LSH_B)
+    ]
+    bands = sigs.select(
+        "doc_id", F.posexplode(F.array(*band_keys)).alias("band", "key")
+    )
+    ids = F.col("ids")
+    pair_structs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("b")),
+            ),
+        )
+    )
+    bucketed = (
+        bands.groupBy("band", "key")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    cand = (
+        _cap_buckets(bucketed, "q135_minhash_calibration", "ids")
+        .select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+        .distinct()
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sh").alias("sh_a"),
+        *[F.col(f"m{i}").alias(f"a{i}") for i in range(MINHASH_H)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sh").alias("sh_b"),
+        *[F.col(f"m{i}").alias(f"b{i}") for i in range(MINHASH_H)],
+    )
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(MINHASH_H)
+    )
+    est = matches * F.lit(1.0) / MINHASH_H
+    j = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            dec(est, 6).alias("est_jaccard"),
+            dec(j, 6).alias("exact_jaccard"),
+            dec(F.abs(est - j), 6).alias("abs_err"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q136 — sequence-length histogram (loader planning)
+# ---------------------------------------------------------------------------
+
+
+def _q136_oracle() -> str:
+    return """
+    WITH t AS (SELECT CAST(floor(log2(len(string_split(text, ' ')))) AS BIGINT)
+                        AS bucket,
+                      len(string_split(text, ' ')) AS nt
+               FROM documents),
+    n AS (SELECT COUNT(*) AS n FROM documents)
+    SELECT bucket,
+           CAST(2 ** bucket AS BIGINT) AS lo_tokens,
+           CAST(2 ** (bucket + 1) - 1 AS BIGINT) AS hi_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(nt) AS BIGINT) AS total_tokens,
+           (ROUND(COUNT(*) * 1.0 / MAX(n.n), 6) + 0.0) AS doc_frac
+    FROM t CROSS JOIN n
+    GROUP BY bucket
+    """
+
+
+@query("q136_length_histogram", oracle=_q136_oracle())
+def q136_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length histogram in power-of-two buckets: doc and token
+    mass per length class — the distribution a training loader needs to
+    pick context length, packing strategy (q71), and length-bucketed
+    batch shapes.  Map-only bucket assignment + ONE bounded hash agg
+    (≤ ~40 buckets at any corpus size); the 1-row total attaches for
+    the fraction column.
+    """
+    docs = _fanout(spark, table(spark, sf_dir, "documents"))
+    nt = F.size(F.split(F.col("text"), " "))
+    t = docs.select(
+        F.floor(F.log2(nt)).cast("long").alias("bucket"), nt.alias("nt")
+    )
+    n_tbl = docs.agg(F.count("*").alias("n"))
+    return (
+        t.crossJoin(F.broadcast(n_tbl))
+        .groupBy("bucket")
+        .agg(
+            F.pow(F.lit(2.0), F.col("bucket")).cast("long").alias("lo_tokens"),
+            (F.pow(F.lit(2.0), F.col("bucket") + 1) - 1).cast("long").alias(
+                "hi_tokens"
+            ),
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("nt").cast("long").alias("total_tokens"),
+            dec(F.count("*") * F.lit(1.0) / F.max("n"), 6).alias("doc_frac"),
+        )
+        .select("bucket", "lo_tokens", "hi_tokens", "n_docs", "total_tokens",
+                "doc_frac")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q137 — curation survivorship funnel
+# ---------------------------------------------------------------------------
+
+
+def _q137_oracle() -> str:
+    return f"""
+    WITH total AS (SELECT COUNT(*) AS n FROM documents),
+    s1 AS (SELECT keep_doc_id AS doc_id FROM ({ORACLES["q40_dedup_exact"]}) t40),
+    cl AS (SELECT doc_id, cluster_id FROM ({ORACLES["q69_dedup_clusters"]}) t69),
+    s2 AS (SELECT s1.doc_id FROM s1 LEFT JOIN cl ON s1.doc_id = cl.doc_id
+           WHERE cl.doc_id IS NULL OR cl.cluster_id = s1.doc_id),
+    q AS (SELECT doc_id, keep FROM ({ORACLES["q99_quality_filter_chain"]}) t99),
+    s3 AS (SELECT s2.doc_id FROM s2 JOIN q ON s2.doc_id = q.doc_id WHERE q.keep),
+    counts AS (
+      SELECT 0 AS stage, 'ingested' AS name, n FROM total
+      UNION ALL SELECT 1, 'exact_dedup', COUNT(*) FROM s1
+      UNION ALL SELECT 2, 'neardup_dedup', COUNT(*) FROM s2
+      UNION ALL SELECT 3, 'quality_chain', COUNT(*) FROM s3)
+    SELECT CAST(stage AS BIGINT) AS stage, name,
+           CAST(n AS BIGINT) AS n_docs,
+           {sql_dec('n * 1.0 / (SELECT n FROM total)', 6)} AS frac
+    FROM counts
+    """
+
+
+@query("q137_survivorship_funnel", oracle=_q137_oracle())
+def q137_survivorship_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation survivorship funnel: how many docs remain after each
+    stage of the standard pipeline — exact dedup (q40's keeper per text
+    group), near-dup cluster resolution (q69: only a cluster's canonical
+    member survives), then the quality-filter chain (q99's keep) — the
+    per-stage accounting a curation run publishes.
+
+    Scale shape: pure composition of three registered operators joined
+    on doc_id projections, folded to FOUR output rows; each component
+    keeps its own scale story (digest groupBy / capped-bucket CC /
+    map-only filters).
+    """
+    docs = table(spark, sf_dir, "documents")
+    n_total = docs.count()
+    s1 = QUERIES["q40_dedup_exact"](spark, sf_dir).select(
+        F.col("keep_doc_id").alias("doc_id")
+    )
+    cl = QUERIES["q69_dedup_clusters"](spark, sf_dir).select("doc_id", "cluster_id")
+    s2 = s1.join(cl, "doc_id", "left").filter(
+        F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col("doc_id"))
+    ).select("doc_id")
+    keep = QUERIES["q99_quality_filter_chain"](spark, sf_dir).select(
+        "doc_id", "keep"
+    )
+    s3 = s2.join(keep, "doc_id").filter(F.col("keep")).select("doc_id")
+
+    def stage(i: int, name: str, df_or_n) -> DataFrame:
+        n = df_or_n if isinstance(df_or_n, DataFrame) else None
+        base = (
+            n.agg(F.count("*").alias("n"))
+            if n is not None
+            else docs.sparkSession.range(1).select(F.lit(df_or_n).alias("n"))
+        )
+        return base.select(
+            F.lit(i).cast("long").alias("stage"),
+            F.lit(name).alias("name"),
+            F.col("n").cast("long").alias("n_docs"),
+            dec(F.col("n") * F.lit(1.0) / n_total, 6).alias("frac"),
+        )
+
+    return (
+        stage(0, "ingested", n_total)
+        .unionAll(stage(1, "exact_dedup", s1))
+        .unionAll(stage(2, "neardup_dedup", s2))
+        .unionAll(stage(3, "quality_chain", s3))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q138 — label balance audit
+# ---------------------------------------------------------------------------
+
+
+def _q138_oracle() -> str:
+    return """
+    WITH c AS (SELECT label, COUNT(*) AS cnt FROM embeddings GROUP BY label),
+    n AS (SELECT SUM(cnt) AS n, COUNT(*) AS k FROM c)
+    SELECT CAST(MAX(n.k) AS BIGINT) AS n_labels,
+           CAST(MAX(n.n) AS BIGINT) AS n_vectors,
+           (ROUND(MAX(cnt * 1.0 / n.n), 6) + 0.0) AS max_frac,
+           (ROUND(MIN(cnt * 1.0 / n.n), 6) + 0.0) AS min_frac,
+           (ROUND(-SUM((cnt * 1.0 / n.n) * ln(cnt * 1.0 / n.n)), 4) + 0.0)
+             AS entropy,
+           (ROUND(-SUM((cnt * 1.0 / n.n) * ln(cnt * 1.0 / n.n))
+                  / ln(MAX(n.k)), 4) + 0.0) AS balance
+    FROM c CROSS JOIN n
+    """
+
+
+@query("q138_label_balance", oracle=_q138_oracle())
+def q138_label_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balance audit of the labeled embedding corpus: label count,
+    min/max label share, Shannon entropy, and normalized balance
+    (entropy / ln k — 1.0 = perfectly uniform), the one-row health
+    check before stratified sampling (q61) or per-label training mixes.
+
+    Scale shape: one (label) hash agg → a ≤|labels|-row frame folded by
+    a second bounded agg with the 1-row totals attached; entropy sums
+    |labels| rounded terms (bounded cardinality, 4-dp output).
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    c = emb.groupBy("label").agg(F.count("*").alias("cnt"))
+    n_tbl = c.agg(F.sum("cnt").alias("n"), F.count("*").alias("k"))
+    p = F.col("cnt") * F.lit(1.0) / F.col("n")
+    return (
+        c.crossJoin(F.broadcast(n_tbl))
+        .agg(
+            F.max("k").cast("long").alias("n_labels"),
+            F.max("n").cast("long").alias("n_vectors"),
+            dec(F.max(p), 6).alias("max_frac"),
+            dec(F.min(p), 6).alias("min_frac"),
+            dec(-F.sum(p * F.log(p)), 4).alias("entropy"),
+            dec(-F.sum(p * F.log(p)) / F.log(F.max("k") * F.lit(1.0)), 4).alias(
+                "balance"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q139 — text normalization audit
+# ---------------------------------------------------------------------------
+
+
+def _q139_oracle() -> str:
+    norm = (
+        "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),"
+        "' +', ' ', 'g'))"
+    )
+    return f"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_before,
+           CAST(length({norm}) AS BIGINT) AS n_chars_after,
+           {norm} <> text AS changed,
+           md5({norm}) AS norm_digest
+    FROM documents
+    """
+
+
+@query("q139_normalization_audit", oracle=_q139_oracle())
+def q139_normalization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization (NFKC-lite for the ASCII fixture: lowercase,
+    strip non-alphanumerics, collapse runs of spaces, trim) with the
+    per-doc audit columns a cleaning pass reports — before/after char
+    counts, whether the doc changed, and the digest of the normalized
+    form (the key exact dedup runs on AFTER normalization, catching
+    case/punctuation variants raw q40 misses).
+
+    Map-only: lower/regexp_replace/trim/md5 are all JVM string
+    expressions inside whole-stage codegen; regex semantics pinned
+    global-replace on both engines (DuckDB needs the 'g' flag).
+    """
+    docs = _fanout(spark, table(spark, sf_dir, "documents"))
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_before"),
+        F.length(norm).cast("long").alias("n_chars_after"),
+        (norm != F.col("text")).alias("changed"),
+        F.md5(norm).alias("norm_digest"),
     )

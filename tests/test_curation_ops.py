@@ -105,3 +105,47 @@ def test_q132_rollup_levels(spark, sf_dir):
     per_source = sum(r.n_docs for r in rows if r.lang == "ALL" and r.source != "ALL")
     per_pair = sum(r.n_docs for r in rows if r.lang != "ALL" and r.source != "ALL")
     assert total == per_source == per_pair
+
+
+def test_q137_funnel_is_monotone(spark, sf_dir):
+    rows = sorted(
+        llm_ops.q137_survivorship_funnel(spark, sf_dir).collect(),
+        key=lambda r: r.stage,
+    )
+    assert [r.name for r in rows] == [
+        "ingested", "exact_dedup", "neardup_dedup", "quality_chain"
+    ]
+    counts = [r.n_docs for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert rows[0].frac == 1.0
+
+
+def test_q135_estimate_error_is_bounded(spark, sf_dir):
+    rows = llm_ops.q135_minhash_calibration(spark, sf_dir).collect()
+    assert rows  # LSH candidates exist on the fixture
+    for r in rows:
+        assert 0.0 <= r.est_jaccard <= 1.0
+        # abs_err rounds the RAW difference; comparing rounded columns
+        # reproduces it only to rounding precision
+        assert abs(abs(r.est_jaccard - r.exact_jaccard) - r.abs_err) < 2e-6
+    # 12-hash sketch: mean abs error should be well under one hash step
+    mean_err = sum(r.abs_err for r in rows) / len(rows)
+    assert mean_err < 2 / llm_ops.MINHASH_H
+
+
+def test_q139_normalization_idempotent(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    out = llm_ops.q139_normalization_audit(spark, sf_dir)
+    # normalizing an already-normalized doc must be a no-op: docs whose
+    # text was unchanged keep identical before/after char counts
+    bad = out.filter(
+        (~F.col("changed")) & (F.col("n_chars_before") != F.col("n_chars_after"))
+    ).count()
+    assert bad == 0
+
+
+def test_q134_matrix_totals_match_q41(spark, sf_dir):
+    pairs = llm_ops.q41_dedup_minhash_lsh(spark, sf_dir).count()
+    matrix = llm_ops.q134_cross_source_dup_matrix(spark, sf_dir)
+    assert sum(r.n_pairs for r in matrix.collect()) == pairs

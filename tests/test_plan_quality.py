@@ -125,6 +125,10 @@ BOUNDED_FILTER_HINT_OK = {
     "q129_source_score_calibration",
     # broadcasts the 256-row hash-prefix block-offset table (q71 discipline)
     "q130_shard_assignment",
+    # broadcasts the |sources|-row per-source doc-count table (fixed set)
+    "q133_boilerplate_segments",
+    "q136_length_histogram",  # broadcasts the 1-row corpus-count aggregate
+    "q138_label_balance",  # broadcasts the 1-row (total, n_labels) aggregate
 }
 
 
@@ -187,6 +191,9 @@ NESTED_LOOP_OK = {
     "q125_tfidf_sparse_cosine",  # 1-row corpus-count attach (cf. q63)
     # AUDIT_N-row bounded audit batch x corpus scoring pass (cf. q45)
     "q127_knn_label_audit",
+    "q136_length_histogram",  # 1-row corpus-count attach (cf. q63)
+    # 1-row totals attach into the bounded |labels|-row frame
+    "q138_label_balance",
 }
 
 

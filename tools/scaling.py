@@ -220,6 +220,12 @@ def main() -> None:
         "produces the identical pruned set / anchors / 6-dp cosines on",
         "the fixture (test_data_selection) and is hash-green against",
         "the DuckDB oracle at sf0.01.",
+        "The ANN rows intentionally do MORE work at x10 than a fixed",
+        "configuration would: ann_params scales centroids/nprobe/refine",
+        "with corpus size so recall holds (BENCH ann_recall ivfpq@10",
+        "0.96 at sf0.1 vs 0.84 under fixed params) — the jvm-encode",
+        "q112 row carries that extra compute, while the recommended",
+        "numpy encode backend stays near-flat at the same recall.",
         "",
         "## BPE trainer: merge-count scaling (x1 corpus)",
         "",
