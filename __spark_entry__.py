@@ -35,7 +35,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # whatever is least-recently-checked.
 _ROTATION_TAIL = [
     # New this round but OUTSIDE the 50-slot window (the 41 stale + the
-    # changed q42 + 8 highest-risk new queries fill it): these 7 get
+    # changed q42 + 8 highest-risk new queries fill it): these 11 get
     # their driver rows next round and are covered by the full
     # check_oracle sweep meanwhile.
     "q128_zipf_vocab_audit",
@@ -45,6 +45,10 @@ _ROTATION_TAIL = [
     "q136_length_histogram",
     "q138_label_balance",
     "q139_normalization_audit",
+    "q140_pit_tier_revenue",
+    "q141_ship_latency_percentiles",
+    "q142_basket_affinity",
+    "q143_market_concentration",
     # ---- the driver's tail-50 window starts here ----
     # changed this round (q42's result set changed: 64-bit signatures):
     "q42_dedup_simhash",

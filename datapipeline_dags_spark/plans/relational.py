@@ -990,3 +990,286 @@ def q89_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         li,
     )
     return null_ck.union(orphan_ck).union(price_ck).union(dup_ck).union(disc_ck)
+
+
+# ---------------------------------------------------------------------------
+# q140 — point-in-time (SCD2-style) tier enrichment
+# ---------------------------------------------------------------------------
+
+# Cumulative-spend tier boundaries (fixture-scaled: customers average ~10
+# orders totalling ~2.5M, so the thresholds split the corpus across all
+# three tiers as spend accumulates).
+TIER_SILVER = 1_000_000.0
+TIER_GOLD = 3_000_000.0
+
+
+@query(
+    "q140_pit_tier_revenue",
+    oracle=f"""
+    WITH h AS (
+      SELECT o_custkey, o_orderdate AS valid_from,
+             LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey)
+               AS valid_to,
+             SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey
+                                     ROWS UNBOUNDED PRECEDING) AS cum
+      FROM orders),
+    tiers AS (SELECT o_custkey, valid_from, valid_to,
+                     CASE WHEN cum < {TIER_SILVER} THEN 'bronze'
+                          WHEN cum < {TIER_GOLD} THEN 'silver'
+                          ELSE 'gold' END AS tier
+              FROM h),
+    li AS (SELECT o.o_custkey, l.l_shipdate,
+                  l.l_extendedprice * (1 - l.l_discount) AS rev
+           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+    SELECT tier,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           {sql_dec('SUM(rev)')} AS revenue
+    FROM li JOIN tiers t
+      ON li.o_custkey = t.o_custkey
+     AND li.l_shipdate >= t.valid_from
+     AND (t.valid_to IS NULL OR li.l_shipdate < t.valid_to)
+    GROUP BY tier
+    """,
+)
+def q140_pit_tier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension enrichment — the SCD-type-2 join: a
+    per-customer spend-tier HISTORY is derived from orders (each order
+    moves the cumulative total; the tier holds from that order's date
+    until the next), and every lineitem is attributed to the tier VALID
+    AT ITS SHIP DATE, not the customer's current tier.  The temporal-
+    correctness join every warehouse needs for "revenue by segment as
+    it was then" reporting (and the batch analog of `sinks/` SCD2
+    history).
+
+    Scale shape: interval derivation is two windows per customer
+    partition (cumulative sum + LEAD — deterministic order, so the
+    float accumulation sequence is identical in both engines); the
+    point-in-time join is an EQUI-join on custkey with the range
+    predicate as a post-join filter (SortMergeJoin, never a nested
+    loop — intervals per customer are bounded by order count).  A
+    same-date pair of orders produces a zero-width interval that
+    matches nothing — the later state wins, deterministically.
+    """
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    wo = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    h = orders.select(
+        "o_custkey",
+        F.col("o_orderdate").alias("valid_from"),
+        F.lead("o_orderdate").over(wo).alias("valid_to"),
+        F.sum("o_totalprice").over(wo.rowsBetween(W.unboundedPreceding, 0)).alias("cum"),
+    )
+    tiers = h.select(
+        "o_custkey",
+        "valid_from",
+        "valid_to",
+        F.when(F.col("cum") < TIER_SILVER, F.lit("bronze"))
+        .when(F.col("cum") < TIER_GOLD, F.lit("silver"))
+        .otherwise(F.lit("gold"))
+        .alias("tier"),
+    )
+    items = li.join(orders.select("o_orderkey", "o_custkey"),
+                    li.l_orderkey == F.col("o_orderkey")).select(
+        "o_custkey",
+        "l_shipdate",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+    )
+    joined = items.join(
+        tiers,
+        (items.o_custkey == tiers.o_custkey)
+        & (F.col("l_shipdate") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("l_shipdate") < F.col("valid_to"))),
+    )
+    return joined.groupBy("tier").agg(
+        F.count("*").cast("long").alias("n_items"),
+        dec(F.sum("rev")).alias("revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q141 — ship-latency percentiles by priority
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q141_ship_latency_percentiles",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderpriority,
+             date_diff('day', o_orderdate, l_shipdate) AS days
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           (ROUND(quantile_cont(days, 0.5), 4) + 0.0) AS p50_days,
+           (ROUND(quantile_cont(days, 0.9), 4) + 0.0) AS p90_days,
+           (ROUND(quantile_cont(days, 0.99), 4) + 0.0) AS p99_days
+    FROM t GROUP BY o_orderpriority
+    """,
+)
+def q141_ship_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fulfilment-latency SLA report: exact interpolated p50/p90/p99 of
+    order-to-ship days per order priority — the ops dashboard behind
+    priority-class SLAs.  One equi-join (orderkey) + one hash agg with
+    the q59 exact-percentile discipline (bounded group count; the
+    unbounded variant is q68's mergeable sketch).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    t = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "o_orderpriority",
+        F.datediff("l_shipdate", "o_orderdate").alias("days"),
+    )
+    pct = F.percentile("days", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    return (
+        t.groupBy("o_orderpriority")
+        .agg(F.count("*").cast("long").alias("n_items"), pct.alias("p"))
+        .select(
+            "o_orderpriority",
+            "n_items",
+            dec(F.element_at("p", 1), 4).alias("p50_days"),
+            dec(F.element_at("p", 2), 4).alias("p90_days"),
+            dec(F.element_at("p", 3), 4).alias("p99_days"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q142 — market-basket affinity (association lift)
+# ---------------------------------------------------------------------------
+
+BASKET_MIN_SUPPORT = 2  # co-occurrence floor
+BASKET_TOP = 20
+
+
+@query(
+    "q142_basket_affinity",
+    oracle=f"""
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM b),
+    cnt AS (SELECT l_partkey, COUNT(*) AS c FROM b GROUP BY 1),
+    pair AS (
+      SELECT a.l_partkey AS part_a, c.l_partkey AS part_b, COUNT(*) AS n_ab
+      FROM b a JOIN b c ON a.l_orderkey = c.l_orderkey
+       AND a.l_partkey < c.l_partkey
+      GROUP BY 1, 2),
+    scored AS (
+      SELECT part_a, part_b, n_ab,
+             ROUND(n_ab * 1.0 * n.n / (ca.c * cb.c), 6) + 0.0 AS lift
+      FROM pair CROSS JOIN n
+      JOIN cnt ca ON part_a = ca.l_partkey
+      JOIN cnt cb ON part_b = cb.l_partkey
+      WHERE n_ab >= {BASKET_MIN_SUPPORT})
+    SELECT part_a, part_b, CAST(n_ab AS BIGINT) AS n_ab, lift,
+           CAST(rk AS BIGINT) AS rk
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY lift DESC, part_a, part_b)
+                      AS rk
+          FROM scored)
+    WHERE rk <= {BASKET_TOP}
+    """,
+)
+def q142_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: the top part pairs by association LIFT
+    (P(a,b) / P(a)P(b)) over co-ordered baskets with a minimum support
+    floor — the association-rule primitive behind recommendations and
+    assortment planning.
+
+    Scale shape: the pair join is WITHIN an order (equi-join on
+    orderkey) so pair volume is Σ C(basket, 2) — bounded by basket
+    size, never corpus-quadratic; part marginals and the 1-row order
+    count are bounded aggregates; the final top-k ranks the ROUNDED
+    lift with part-id tie-breaks (deterministic k-cut both engines).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    b = li.select("l_orderkey", "l_partkey").distinct()
+    n_tbl = b.agg(F.countDistinct("l_orderkey").alias("n"))
+    cnt = b.groupBy("l_partkey").agg(F.count("*").alias("c"))
+    pair = (
+        b.alias("x")
+        .join(
+            b.alias("y"),
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .groupBy(
+            F.col("x.l_partkey").alias("part_a"),
+            F.col("y.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= BASKET_MIN_SUPPORT)
+    )
+    scored = (
+        pair.crossJoin(F.broadcast(n_tbl))
+        .join(cnt.select(F.col("l_partkey").alias("part_a"), F.col("c").alias("ca")), "part_a")
+        .join(cnt.select(F.col("l_partkey").alias("part_b"), F.col("c").alias("cb")), "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            dec(F.col("n_ab") * F.lit(1.0) * F.col("n") / (F.col("ca") * F.col("cb")), 6).alias("lift"),
+        )
+    )
+    rk = F.row_number().over(W.orderBy(F.col("lift").desc(), "part_a", "part_b"))
+    return (
+        scored.withColumn("rk", rk.cast("long"))
+        .filter(F.col("rk") <= BASKET_TOP)
+        .select("part_a", "part_b", F.col("n_ab").cast("long").alias("n_ab"), "lift", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q143 — supplier market concentration (HHI) per nation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q143_market_concentration",
+    oracle="""
+    WITH rev AS (
+      SELECT s_nationkey, l_suppkey,
+             SUM(l_extendedprice * (1 - l_discount)) AS r
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY 1, 2),
+    tot AS (SELECT s_nationkey, SUM(r) AS total FROM rev GROUP BY 1)
+    SELECT n_name AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           (ROUND(MAX(tot.total), 2) + 0.0) AS revenue,
+           (ROUND(SUM((r / tot.total) * (r / tot.total)), 6) + 0.0) AS hhi
+    FROM rev
+    JOIN tot USING (s_nationkey)
+    JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def q143_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier market concentration per nation — the Herfindahl-
+    Hirschman index (Σ revenue-share², 1/n = perfect competition, 1.0 =
+    monopoly), the antitrust-style concentration metric a marketplace
+    health report carries.
+
+    Scale shape: one (nation, supplier) revenue aggregate off the
+    lineitem join (supplier is a broadcast dim), a bounded per-nation
+    totals agg joined back, and a ≤|nations|-row output; share² sums
+    over the bounded supplier set per nation.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    sup = table(spark, sf_dir, "supplier")
+    nat = table(spark, sf_dir, "nation")
+    rev = (
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("r"))
+    )
+    tot = rev.groupBy("s_nationkey").agg(F.sum("r").alias("total"))
+    share = F.col("r") / F.col("total")
+    return (
+        rev.join(tot, "s_nationkey")
+        .join(F.broadcast(nat), rev.s_nationkey == nat.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").cast("long").alias("n_suppliers"),
+            dec(F.max("total")).alias("revenue"),
+            dec(F.sum(share * share), 6).alias("hhi"),
+        )
+    )

@@ -11,6 +11,7 @@ from __future__ import annotations
 import pytest
 
 from datapipeline_dags_spark.plans import llm_ops
+from datapipeline_dags_spark.plans.all import QUERIES
 
 
 @pytest.fixture()
@@ -149,3 +150,26 @@ def test_q134_matrix_totals_match_q41(spark, sf_dir):
     pairs = llm_ops.q41_dedup_minhash_lsh(spark, sf_dir).count()
     matrix = llm_ops.q134_cross_source_dup_matrix(spark, sf_dir)
     assert sum(r.n_pairs for r in matrix.collect()) == pairs
+
+
+def test_q140_tier_progression(spark, sf_dir):
+    rows = {r.tier: r for r in
+            QUERIES["q140_pit_tier_revenue"](spark, sf_dir).collect()}
+    assert set(rows) == {"bronze", "silver", "gold"}
+    assert all(r.n_items > 0 for r in rows.values())
+
+
+def test_q142_lift_properties(spark, sf_dir):
+    rows = QUERIES["q142_basket_affinity"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= llm_ops.__dict__.get("BASKET_TOP", 20) or rows
+    lifts = [r.lift for r in rows]
+    assert lifts == sorted(lifts, reverse=True)
+    assert all(r.part_a < r.part_b for r in rows)
+    assert all(r.n_ab >= 2 for r in rows)
+
+
+def test_q143_hhi_bounds(spark, sf_dir):
+    rows = QUERIES["q143_market_concentration"](spark, sf_dir).collect()
+    for r in rows:
+        # HHI lies in [1/n, 1]
+        assert 1.0 / r.n_suppliers - 1e-6 <= r.hhi <= 1.0 + 1e-6

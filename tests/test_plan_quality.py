@@ -129,6 +129,7 @@ BOUNDED_FILTER_HINT_OK = {
     "q133_boilerplate_segments",
     "q136_length_histogram",  # broadcasts the 1-row corpus-count aggregate
     "q138_label_balance",  # broadcasts the 1-row (total, n_labels) aggregate
+    "q142_basket_affinity",  # broadcasts the 1-row distinct-order count
 }
 
 
@@ -194,6 +195,7 @@ NESTED_LOOP_OK = {
     "q136_length_histogram",  # 1-row corpus-count attach (cf. q63)
     # 1-row totals attach into the bounded |labels|-row frame
     "q138_label_balance",
+    "q142_basket_affinity",  # 1-row order-count attach (cf. q63)
 }
 
 
