@@ -49,6 +49,9 @@ _ROTATION_TAIL = [
     "q141_ship_latency_percentiles",
     "q142_basket_affinity",
     "q143_market_concentration",
+    "q144_prefix_filter_jaccard",
+    "q145_multitouch_attribution",
+    "q146_pareto_frontier",
     # ---- the driver's tail-50 window starts here ----
     # changed this round (q42's result set changed: 64-bit signatures):
     "q42_dedup_simhash",

@@ -1001,3 +1001,110 @@ def q124_woe_iv_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
         dec(F.log(fp / fn), 6).alias("woe"),
         dec((fp - fn) * F.log(fp / fn), 6).alias("iv_term"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q145 — multi-touch attribution (linear + last-touch)
+# ---------------------------------------------------------------------------
+
+ATTR_LOOKBACK_US = 6 * 3600 * 1_000_000  # 6-hour attribution lookback
+
+
+@query(
+    "q145_multitouch_attribution",
+    oracle=f"""
+    WITH p AS (
+      SELECT event_id AS purchase_id, user_id,
+             epoch_us(ts) AS p_us,
+             CAST(ROUND(value * 10000) AS BIGINT) AS value_u
+      FROM events WHERE event_type = 'purchase'),
+    t AS (
+      SELECT event_id AS touch_id, user_id, event_type AS channel,
+             epoch_us(ts) AS t_us
+      FROM events WHERE event_type IN ('view', 'click')),
+    pt AS (
+      SELECT p.purchase_id, p.value_u, t.channel, t.touch_id
+      FROM p LEFT JOIN t
+        ON p.user_id = t.user_id
+       AND t.t_us < p.p_us
+       AND t.t_us >= p.p_us - {ATTR_LOOKBACK_US}),
+    per_purchase AS (
+      SELECT purchase_id, value_u,
+             COALESCE(channel, 'unattributed') AS channel,
+             COUNT(touch_id) OVER (PARTITION BY purchase_id) AS n_touches,
+             CASE WHEN touch_id IS NULL THEN true ELSE
+               ROW_NUMBER() OVER (
+                 PARTITION BY purchase_id
+                 ORDER BY touch_id DESC) = 1 END AS is_last
+      FROM pt)
+    SELECT channel,
+           COUNT(*) AS n_touches,
+           (ROUND(SUM(CASE WHEN n_touches = 0 THEN value_u
+                           ELSE value_u * 1.0 / n_touches END) / 10000.0, 4)
+            + 0.0) AS linear_revenue,
+           (ROUND(SUM(CASE WHEN is_last THEN value_u ELSE 0 END) / 10000.0, 4)
+            + 0.0) AS last_touch_revenue
+    FROM per_purchase
+    GROUP BY channel
+    """,
+)
+def q145_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing-style multi-touch attribution: every purchase's revenue
+    is credited to the view/click touches of the SAME user in the 6 h
+    before it — linearly (value / n_touches to each touch) and
+    last-touch (full value to the latest touch; latest = highest
+    event_id, which is assigned in ts order in the fixture and makes
+    the tie-break total).  Purchases with no preceding touch report
+    under an explicit ``unattributed`` channel rather than vanishing.
+
+    Scale shape: the purchase-touch pair join is keyed on ``user_id``
+    (bounded per-user event counts — never a time-only nested loop; cf.
+    q48 for the keyless variant), the per-purchase window functions
+    shuffle once on ``purchase_id``, and the output is |channels| + 1
+    rows at any SF.  Float discipline: revenue is fixed-pointed to
+    1e-4 units BEFORE any aggregation, so last-touch sums are exact
+    integers and the linear shares differ from the oracle only below
+    the rounding threshold.
+    """
+    ev = table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.unix_micros("ts").alias("p_us"),
+        F.round(F.col("value") * 10000).cast("long").alias("value_u"),
+    )
+    t = ev.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("event_id").alias("touch_id"),
+        F.col("user_id").alias("t_user"),
+        F.col("event_type").alias("channel"),
+        F.unix_micros("ts").alias("t_us"),
+    )
+    pt = p.join(
+        t,
+        (F.col("user_id") == F.col("t_user"))
+        & (F.col("t_us") < F.col("p_us"))
+        & (F.col("t_us") >= F.col("p_us") - ATTR_LOOKBACK_US),
+        "left",
+    ).select("purchase_id", "value_u", "channel", "touch_id")
+    w_cnt = W.partitionBy("purchase_id")
+    w_last = W.partitionBy("purchase_id").orderBy(F.col("touch_id").desc())
+    per = pt.select(
+        "purchase_id",
+        "value_u",
+        F.coalesce(F.col("channel"), F.lit("unattributed")).alias("channel"),
+        F.count("touch_id").over(w_cnt).alias("n_touches"),
+        F.when(F.col("touch_id").isNull(), F.lit(True))
+        .otherwise(F.row_number().over(w_last) == 1)
+        .alias("is_last"),
+    )
+    linear = F.when(
+        F.col("n_touches") == 0, F.col("value_u").cast("double")
+    ).otherwise(F.col("value_u") / F.col("n_touches"))
+    return per.groupBy("channel").agg(
+        F.count("*").cast("long").alias("n_touches"),
+        dec(F.sum(linear) / 10000.0, 4).alias("linear_revenue"),
+        dec(
+            F.sum(F.when(F.col("is_last"), F.col("value_u")).otherwise(0)) / 10000.0,
+            4,
+        ).alias("last_touch_revenue"),
+    )

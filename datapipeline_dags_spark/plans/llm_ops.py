@@ -6176,3 +6176,205 @@ def q139_normalization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (norm != F.col("text")).alias("changed"),
         F.md5(norm).alias("norm_digest"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q144 — prefix-filtering all-pairs Jaccard (PPJoin-style candidate gen)
+# ---------------------------------------------------------------------------
+
+
+def _q144_oracle() -> str:
+    return f"""
+    WITH docs AS (
+      SELECT doc_id, list_transform({_SHINGLES_SQL}, x -> md5(x)) AS sh
+      FROM documents),
+    ex AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+    dfc AS (SELECT s, COUNT(*) AS df FROM ex GROUP BY s),
+    ranked AS (
+      SELECT e.doc_id, e.s,
+             ROW_NUMBER() OVER (PARTITION BY e.doc_id ORDER BY d.df, e.s) AS rn,
+             COUNT(*) OVER (PARTITION BY e.doc_id) AS n
+      FROM ex e JOIN dfc d USING (s)),
+    pref AS (
+      SELECT doc_id, s FROM ranked
+      WHERE rn <= n - CEIL({JACCARD_T} * n) + 1),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM pref a JOIN pref b ON a.s = b.s AND a.doc_id < b.doc_id),
+    ver AS (
+      SELECT doc_a, doc_b,
+             len(list_intersect(da.sh, db.sh)) AS i,
+             len(da.sh) AS na, len(db.sh) AS nb
+      FROM cand
+      JOIN docs da ON da.doc_id = doc_a
+      JOIN docs db ON db.doc_id = doc_b)
+    SELECT doc_a, doc_b, {sql_dec('i * 1.0 / (na + nb - i)', 6)} AS jaccard
+    FROM ver WHERE i * 1.0 / (na + nb - i) >= {JACCARD_T}
+    """
+
+
+@query("q144_prefix_filter_jaccard", oracle=_q144_oracle())
+def q144_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-5-gram Jaccard >= 0.5 with PPJoin-style prefix
+    filtering (Bayardo et al. WWW'07 "Scaling Up All Pairs", Xiao et
+    al. WWW'08): each doc's shingles are canonically ordered by
+    ASCENDING global document frequency, and only the first
+    ``|d| - ceil(t*|d|) + 1`` shingles — the rarest ones — generate
+    candidates.  Two sets with Jaccard >= t MUST share a prefix
+    element, so recall is lossless; versus q43's any-shared-shingle
+    blocking the candidate join touches a small fraction of the
+    postings, and the df-hottest shingles are STRUCTURALLY excluded
+    from candidate generation (they sort to the suffix), so the hot-
+    bucket skew that forces q43's cap/salt discussion never forms.
+
+    Scale shape: shingles are md5-hashed at the scan, so every shuffle
+    key and array element is a fixed 32-char digest, never text.  One
+    explode feeds the df hash agg; the per-doc prefix is one more hash
+    agg (array_sort over (df, s) structs + slice — no window over a
+    global sort); the candidate equi-join runs on prefix postings only;
+    verification joins the two fixed-width digest arrays and takes
+    ``array_intersect`` per candidate.  Output identical to q43 at the
+    same threshold (asserted in tests/test_prefix_filter.py).
+    """
+    t = JACCARD_T
+    docs = (
+        _fanout(spark, table(spark, sf_dir, "documents"))
+        .select(
+            "doc_id",
+            F.transform(_shingles(F.col("text")), F.md5).alias("sh"),
+        )
+    )
+    ex = docs.select("doc_id", F.explode("sh").alias("s"))
+    dfc = ex.groupBy("s").agg(F.count("*").alias("df"))
+    prefix_len = (
+        F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1
+    ).cast("int")
+    pref = (
+        ex.join(dfc, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("df"), F.col("s")))
+            ).alias("ord"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.slice(F.col("ord"), F.lit(1), prefix_len), lambda x: x["s"]
+                )
+            ).alias("s"),
+        )
+    )
+    cand = (
+        pref.alias("a")
+        .join(
+            pref.alias("b"),
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    ver = (
+        cand.join(
+            docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sa", "sb")).alias("i"),
+            F.size("sa").alias("na"),
+            F.size("sb").alias("nb"),
+        )
+    )
+    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    return ver.filter(jac >= t).select(
+        "doc_a", "doc_b", dec(jac, 6).alias("jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q146 — Pareto frontier (quality x length skyline)
+# ---------------------------------------------------------------------------
+
+_Q50_QUALITY_SQL = (
+    "ROUND(LEAST(1.0, len(string_split(text, ' ')) / 50.0) * "
+    "(1 - len(list_filter(string_split(text, ' '), "
+    f"w -> list_contains({list(STOPWORDS)!r}, w))) * 1.0 / "
+    "len(string_split(text, ' '))), 4) + 0.0"
+)
+
+
+@query(
+    "q146_pareto_frontier",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, ({_Q50_QUALITY_SQL}) AS quality, n_chars
+      FROM documents),
+    per AS (SELECT quality, MAX(n_chars) AS qmax FROM b GROUP BY quality),
+    p2 AS (
+      SELECT quality, qmax,
+             MAX(qmax) OVER (ORDER BY quality DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS above
+      FROM per)
+    SELECT doc_id, b.quality, n_chars
+    FROM b JOIN p2 USING (quality)
+    WHERE (above IS NULL OR above < n_chars) AND qmax = n_chars
+    """,
+)
+def q146_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto-frontier selection: the documents not dominated
+    in (quality, length) — doc A dominates B iff A >= B in both
+    dimensions and strictly greater in at least one.  Curation use: the
+    set of docs where trading quality for length is forced, i.e. the
+    efficient frontier a mixture policy samples along.  Ties on both
+    dimensions are mutually non-dominating and all survive.
+
+    Scale shape (the reason this is not a quadratic NOT-EXISTS): the
+    quality score is ROUNDED to 4 decimals, so the distinct-quality
+    domain is <= 10^4 values at ANY corpus size.  Phase 1 is one hash
+    agg to per-quality max length; phase 2 runs the strictly-above
+    running max over that bounded domain (the single-partition window
+    is over <= 10^4 rows — a broadcast-scale model, same discipline as
+    q71/q118's offset tables); phase 3 is a broadcast join back to the
+    corpus with a map-side filter:  on the frontier iff len equals its
+    quality group's max AND strictly exceeds every higher-quality
+    group's max.  The oracle states the identical 3-phase form (DuckDB
+    evaluates NOT-EXISTS-free as well, keeping both engines O(n)).
+    """
+    docs = table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    nw = F.size(words)
+    nstop = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS)))
+    base = docs.select(
+        "doc_id",
+        dec(F.least(F.lit(1.0), nw / F.lit(50.0)) * (1 - nstop / nw), 4).alias(
+            "quality"
+        ),
+        "n_chars",
+    )
+    per = base.groupBy("quality").agg(F.max("n_chars").alias("qmax"))
+    p2 = per.withColumn(
+        "above",
+        F.max("qmax").over(
+            W.orderBy(F.col("quality").desc()).rowsBetween(
+                W.unboundedPreceding, -1
+            )
+        ),
+    )
+    return (
+        base.join(F.broadcast(p2), "quality")
+        .filter(
+            (F.col("above").isNull() | (F.col("above") < F.col("n_chars")))
+            & (F.col("qmax") == F.col("n_chars"))
+        )
+        .select("doc_id", "quality", "n_chars")
+    )
