@@ -52,6 +52,13 @@ _ROTATION_TAIL = [
     "q144_prefix_filter_jaccard",
     "q145_multitouch_attribution",
     "q146_pareto_frontier",
+    "q147_source_overlap_sketch",
+    "q148_train_val_test_split",
+    "q149_session_paths",
+    "q150_value_trend",
+    "q151_key_skew_diagnosis",
+    "q152_kgram_redundancy",
+    "q153_rrf_fusion",
     # ---- the driver's tail-50 window starts here ----
     # changed this round (q42's result set changed: 64-bit signatures):
     "q42_dedup_simhash",

@@ -14,7 +14,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from datapipeline_dags_spark.catalog import table
-from datapipeline_dags_spark.plans.helpers import dec
+from datapipeline_dags_spark.plans.helpers import dec, sql_dec
 from datapipeline_dags_spark.plans.registry import query
 
 
@@ -1107,4 +1107,194 @@ def q145_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("is_last"), F.col("value_u")).otherwise(0)) / 10000.0,
             4,
         ).alias("last_touch_revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q149 — session path analysis (top trigram journeys)
+# ---------------------------------------------------------------------------
+
+PATH_TOP_K = 20
+
+
+@query(
+    "q149_session_paths",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id)
+                       > 1800000000
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    sessions AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged),
+    tri AS (
+      SELECT event_type AS t1,
+             LEAD(event_type, 1) OVER w AS t2,
+             LEAD(event_type, 2) OVER w AS t3
+      FROM sessions
+      WINDOW w AS (PARTITION BY user_id, session_id ORDER BY ts, event_id)),
+    counted AS (
+      SELECT t1 || '>' || t2 || '>' || t3 AS path, COUNT(*) AS n
+      FROM tri WHERE t3 IS NOT NULL GROUP BY 1)
+    SELECT path, n FROM counted ORDER BY n DESC, path LIMIT {PATH_TOP_K}
+    """,
+)
+def q149_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top in-session user journeys: the {PATH_TOP_K} most common
+    3-step event-type paths WITHIN a session (q24's 30-min-gap
+    sessionization — a path never spans a session boundary, which is
+    what separates this from q84's global per-user transition matrix).
+
+    Scale shape: both windows (session numbering, LEAD trigrams) share
+    ONE shuffle on user_id — the trigram window partitions by
+    (user_id, session_id), a refinement of the session window's
+    partitioning, so Catalyst reuses the exchange; then one hash agg on
+    the path string and a TakeOrderedAndProject top-k (no global sort).
+    """
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    sessions = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+    ).withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    ws = W.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    tri = sessions.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(ws).alias("t2"),
+        F.lead("event_type", 2).over(ws).alias("t3"),
+    ).filter(F.col("t3").isNotNull())
+    return (
+        tri.groupBy(
+            F.concat_ws(">", "t1", "t2", "t3").alias("path")
+        )
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(PATH_TOP_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q150 — per-type linear trend (mergeable OLS) + next-hour forecast
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q150_value_trend",
+    oracle="""
+    WITH h AS (
+      SELECT event_type, value,
+             epoch_us(ts) // 3600000000 -
+               (SELECT MIN(epoch_us(ts) // 3600000000) FROM events) AS x
+      FROM events)
+    SELECT event_type,
+           COUNT(*) AS n,
+           (ROUND(regr_slope(value, x), 6) + 0.0) AS slope,
+           (ROUND(regr_intercept(value, x), 6) + 0.0) AS intercept,
+           (ROUND(corr(value, x), 6) + 0.0) AS r,
+           (ROUND(regr_intercept(value, x)
+                  + regr_slope(value, x) * (MAX(x) + 1), 6) + 0.0) AS forecast_next
+    FROM h GROUP BY event_type
+    """,
+)
+def q150_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type linear trend of ``value`` over hour index, with a
+    one-step-ahead forecast — the drift/trend monitor next to q108's
+    point anomalies and q123's distribution drift.
+
+    Scale shape: ``regr_slope`` / ``regr_intercept`` / ``corr`` are
+    single-pass MERGEABLE aggregates (Welford-style moment partials,
+    map-side combined — same discipline as q83/q128); the hour index is
+    RE-BASED to the corpus minimum (a 1-row aggregate broadcast in)
+    so the moment sums stay small — raw epoch-hour x would put the
+    cancellation error of n*mean(x)^2 above the rounding threshold.
+    Output is |event types| rows at any SF.
+    """
+    ev = table(spark, sf_dir, "events")
+    hour = (F.unix_micros("ts") / F.lit(3_600_000_000)).cast("long")
+    base = ev.select("event_type", "value", hour.alias("h"))
+    min_h = base.agg(F.min("h").alias("min_h"))
+    x = (F.col("h") - F.col("min_h")).cast("double")
+    return (
+        base.crossJoin(F.broadcast(min_h))
+        .select("event_type", "value", x.alias("x"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            dec(F.regr_slope("value", "x"), 6).alias("slope"),
+            dec(F.regr_intercept("value", "x"), 6).alias("intercept"),
+            dec(F.corr("value", "x"), 6).alias("r"),
+            dec(
+                F.regr_intercept("value", "x")
+                + F.regr_slope("value", "x") * (F.max("x") + 1),
+                6,
+            ).alias("forecast_next"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q151 — join-key skew diagnosis
+# ---------------------------------------------------------------------------
+
+SKEW_TOP_K = 10
+
+
+@query(
+    "q151_key_skew_diagnosis",
+    oracle=f"""
+    WITH k AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id),
+    tot AS (SELECT COUNT(*) AS n_rows, COUNT(DISTINCT user_id) AS n_keys
+            FROM events),
+    ranked AS (
+      SELECT user_id, cnt FROM k ORDER BY cnt DESC, user_id LIMIT {SKEW_TOP_K})
+    SELECT r.user_id, r.cnt,
+           {sql_dec('r.cnt * 1.0 / t.n_rows', 6)} AS share,
+           {sql_dec('r.cnt * t.n_keys * 1.0 / t.n_rows', 4)} AS skew_factor,
+           CAST(CEIL(r.cnt * t.n_keys * 1.0 / t.n_rows) AS BIGINT) AS suggested_salt
+    FROM ranked r CROSS JOIN tot t
+    """,
+)
+def q151_key_skew_diagnosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew profiler: the {SKEW_TOP_K} heaviest join/agg keys
+    with their row share, skew factor (count / mean-count-per-key), and
+    the salt-bucket count `operators/skew.py salted_join` would need to
+    level them — the diagnosis step that decides BETWEEN plain hash
+    join, AQE skew handling, and explicit salting before a 100 TB run.
+
+    Scale shape: one hash agg on the key, a TakeOrderedAndProject
+    top-k, and a 1-row totals attach — the profile costs one pass over
+    the probe side, which is exactly what you spend before committing
+    a multi-hour shuffle to a skewed layout.
+    """
+    ev = table(spark, sf_dir, "events")
+    k = ev.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    tot = ev.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("user_id").alias("n_keys"),
+    )
+    skew = F.col("cnt") * F.col("n_keys") / F.col("n_rows")
+    return (
+        k.orderBy(F.col("cnt").desc(), "user_id")
+        .limit(SKEW_TOP_K)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "user_id",
+            "cnt",
+            dec(F.col("cnt") / F.col("n_rows"), 6).alias("share"),
+            dec(skew, 4).alias("skew_factor"),
+            F.ceil(skew).cast("long").alias("suggested_salt"),
+        )
     )

@@ -6378,3 +6378,327 @@ def q146_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "quality", "n_chars")
     )
+
+
+# ---------------------------------------------------------------------------
+# q147 — source-pair overlap via fixed-threshold (theta) hash sketches
+# ---------------------------------------------------------------------------
+
+#: Hashes whose first hex digit is '0' are retained — a fixed theta =
+#: 1/16 sample of the md5 space, the same-for-every-source coin that
+#: makes per-source samples intersectable (theta-sketch set operations).
+THETA_HEX_PREFIX = "0"
+
+
+def _q147_oracle() -> str:
+    return f"""
+    WITH ex AS (
+      SELECT DISTINCT source, unnest(list_transform({_SHINGLES_SQL}, x -> md5(x))) AS h
+      FROM documents),
+    samp AS (SELECT source, h FROM ex WHERE substring(h, 1, 1) = '{THETA_HEX_PREFIX}'),
+    fsz AS (SELECT source, COUNT(*) AS nf FROM ex GROUP BY source),
+    ssz AS (SELECT source, COUNT(*) AS ns FROM samp GROUP BY source),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             a.nf AS nfa, b.nf AS nfb,
+             COALESCE(sa.ns, 0) AS nsa, COALESCE(sb.ns, 0) AS nsb
+      FROM fsz a JOIN fsz b ON a.source < b.source
+      LEFT JOIN ssz sa ON sa.source = a.source
+      LEFT JOIN ssz sb ON sb.source = b.source),
+    fint AS (
+      SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS fi
+      FROM ex a JOIN ex b ON a.h = b.h AND a.source < b.source
+      GROUP BY 1, 2),
+    sint AS (
+      SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS si
+      FROM samp a JOIN samp b ON a.h = b.h AND a.source < b.source
+      GROUP BY 1, 2)
+    SELECT p.source_a, p.source_b,
+           {sql_dec('COALESCE(fi, 0) * 1.0 / (nfa + nfb - COALESCE(fi, 0))', 6)}
+             AS exact_jaccard,
+           {sql_dec("CASE WHEN nsa + nsb - COALESCE(si, 0) = 0 THEN 0.0 ELSE "
+                    "COALESCE(si, 0) * 1.0 / (nsa + nsb - COALESCE(si, 0)) END", 6)}
+             AS est_jaccard,
+           {sql_dec("ABS(COALESCE(fi, 0) * 1.0 / (nfa + nfb - COALESCE(fi, 0)) - "
+                    "CASE WHEN nsa + nsb - COALESCE(si, 0) = 0 THEN 0.0 ELSE "
+                    "COALESCE(si, 0) * 1.0 / (nsa + nsb - COALESCE(si, 0)) END)", 6)}
+             AS abs_err
+    FROM pairs p
+    LEFT JOIN fint USING (source_a, source_b)
+    LEFT JOIN sint USING (source_a, source_b)
+    """
+
+
+@query("q147_source_overlap_sketch", oracle=_q147_oracle())
+def q147_source_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-set Jaccard between every SOURCE pair, estimated from
+    fixed-threshold (theta) hash sketches and audited against the exact
+    value — which crawls overlap, from sketches a fraction the size.
+
+    A theta sketch keeps exactly the distinct hashes below a fixed
+    threshold (here: md5 first hex digit '0', theta = 1/16).  Because
+    the coin is a pure function of the VALUE, per-source sketches
+    intersect/union meaningfully: Jaccard over the sampled subspace is
+    an unbiased estimate of the true Jaccard, and the sketch is
+    trivially MERGEABLE (union = set union, still threshold-bounded).
+
+    Scale shape: the theta filter is a map-side predicate on the hash —
+    no per-source sort or top-k (the failure mode of bottom-k MinHash
+    at source granularity: a per-source rank window sorts each source's
+    ENTIRE shingle set on |sources| partitions).  Sketch sizes are
+    |distinct|/16 here, and at 100 TB theta tightens (first TWO hex
+    digits, 1/256 ...) without changing the plan.  The exact-Jaccard
+    audit columns are the fixture-scale evidence (same discipline as
+    q36/q113/q117's error gates); at production scale you'd trust the
+    sketch and drop the exact branch.  Output is |sources|^2 / 2 rows.
+    """
+    docs = _fanout(spark, table(spark, sf_dir, "documents"))
+    ex = (
+        docs.select(
+            "source",
+            F.explode(F.transform(_shingles(F.col("text")), F.md5)).alias("h"),
+        )
+        .distinct()
+    )
+    samp = ex.filter(F.substring("h", 1, 1) == THETA_HEX_PREFIX)
+    fsz = ex.groupBy("source").agg(F.count("*").alias("nf"))
+    ssz = samp.groupBy("source").agg(F.count("*").alias("ns"))
+
+    def _pair_counts(side: DataFrame, out: str) -> DataFrame:
+        a, b = side.alias("a"), side.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.h") == F.col("b.h"))
+                & (F.col("a.source") < F.col("b.source")),
+            )
+            .groupBy(
+                F.col("a.source").alias("source_a"),
+                F.col("b.source").alias("source_b"),
+            )
+            .agg(F.count("*").alias(out))
+        )
+
+    pairs = (
+        fsz.alias("a")
+        .join(fsz.alias("b"), F.col("a.source") < F.col("b.source"))
+        .select(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+            F.col("a.nf").alias("nfa"),
+            F.col("b.nf").alias("nfb"),
+        )
+        .join(
+            ssz.select(F.col("source").alias("source_a"), F.col("ns").alias("nsa")),
+            "source_a",
+            "left",
+        )
+        .join(
+            ssz.select(F.col("source").alias("source_b"), F.col("ns").alias("nsb")),
+            "source_b",
+            "left",
+        )
+        .na.fill(0, ["nsa", "nsb"])
+    )
+    fi = F.coalesce(F.col("fi"), F.lit(0))
+    si = F.coalesce(F.col("si"), F.lit(0))
+    exact = fi / (F.col("nfa") + F.col("nfb") - fi)
+    s_union = F.col("nsa") + F.col("nsb") - si
+    est = F.when(s_union == 0, F.lit(0.0)).otherwise(si / s_union)
+    return (
+        pairs.join(_pair_counts(ex, "fi"), ["source_a", "source_b"], "left")
+        .join(_pair_counts(samp, "si"), ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            dec(exact, 6).alias("exact_jaccard"),
+            dec(est, 6).alias("est_jaccard"),
+            dec(F.abs(exact - est), 6).alias("abs_err"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q148 — deterministic train/val/test split assignment
+# ---------------------------------------------------------------------------
+
+SPLIT_TRAIN_FRAC = 0.8
+SPLIT_VAL_FRAC = 0.1
+
+
+@query(
+    "q148_train_val_test_split",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS n_lang
+      FROM documents)
+    SELECT doc_id, lang,
+           CASE WHEN rn <= CEIL(n_lang * {SPLIT_TRAIN_FRAC}) THEN 'train'
+                WHEN rn <= CEIL(n_lang * {SPLIT_TRAIN_FRAC})
+                         + CEIL(n_lang * {SPLIT_VAL_FRAC}) THEN 'val'
+                ELSE 'test' END AS split
+    FROM ranked
+    """,
+)
+def q148_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified train/val/test assignment: within each
+    language stratum, docs are md5-ranked (q61's engine-independent
+    coin) and cut at exactly ceil(0.8n) / ceil(0.1n) — every stratum is
+    proportionally represented in every split, the assignment is stable
+    under re-runs, resharding, and engine changes, and adding a
+    stratum never moves existing docs between splits.
+
+    Scale shape: one shuffle on the stratum key; rank and count share
+    the window exchange (q61's plan); the split label is a map-side
+    CASE.  This is the assignment q66 (split leakage) audits.
+    """
+    docs = table(spark, sf_dir, "documents")
+    order = W.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    counts = W.partitionBy("lang")
+    train_cut = F.ceil(F.col("n_lang") * SPLIT_TRAIN_FRAC)
+    val_cut = train_cut + F.ceil(F.col("n_lang") * SPLIT_VAL_FRAC)
+    return (
+        docs.withColumn("rn", F.row_number().over(order))
+        .withColumn("n_lang", F.count("*").over(counts))
+        .select(
+            "doc_id",
+            "lang",
+            F.when(F.col("rn") <= train_cut, "train")
+            .when(F.col("rn") <= val_cut, "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q152 — character-k-gram redundancy (compression-ratio proxy)
+# ---------------------------------------------------------------------------
+
+REDUN_K = 8  # character k-gram width
+REDUN_T = 0.6  # distinct-fraction below which a doc is flagged repetitive
+
+
+@query(
+    "q152_kgram_redundancy",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id,
+             CASE WHEN length(text) >= {REDUN_K} THEN
+               list_transform(generate_series(1, length(text) - {REDUN_K - 1}),
+                              i -> text[i:i+{REDUN_K - 1}])
+             ELSE [text] END AS grams
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(grams) AS BIGINT) AS n_kgrams,
+           CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+           {sql_dec('len(list_distinct(grams)) * 1.0 / len(grams)', 6)}
+             AS distinct_frac,
+           len(list_distinct(grams)) * 1.0 / len(grams) < {REDUN_T} AS repetitive
+    FROM g
+    """,
+)
+def q152_kgram_redundancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document redundancy via the distinct character-8-gram
+    fraction — a cheap, model-free proxy for compression ratio (LZ
+    compressors exploit exactly the repeated substrings this counts).
+    Low distinct fraction = boilerplate / stutter / template text; the
+    Gopher-adjacent signal q70 approximates at word level, here at
+    character level where tokenizer-invisible repetition (markup,
+    padding, ASCII art) shows up.
+
+    Scale shape: map-only — one sequence/transform/array_distinct chain
+    per row inside whole-stage codegen, zero shuffles, zero UDFs.  The
+    per-row gram array is O(len * k) chars; at 100 TB feed this after
+    q60 chunking so the per-row bound is the chunk width, not the
+    document length.
+    """
+    docs = table(spark, sf_dir, "documents")
+    n = F.length("text") - (REDUN_K - 1)
+    grams = F.when(
+        n >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n), lambda i: F.substring("text", i, REDUN_K)
+        ),
+    ).otherwise(F.array(F.col("text")))
+    g = docs.select("doc_id", grams.alias("grams"))
+    frac = F.size(F.array_distinct("grams")) / F.size("grams")
+    return g.select(
+        "doc_id",
+        F.size("grams").cast("long").alias("n_kgrams"),
+        F.size(F.array_distinct("grams")).cast("long").alias("n_distinct"),
+        dec(frac, 6).alias("distinct_frac"),
+        (frac < REDUN_T).alias("repetitive"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q153 — reciprocal-rank fusion of the LSH and IVF retrieval lists
+# ---------------------------------------------------------------------------
+
+RRF_C = 60  # the standard RRF dampening constant (Cormack et al. SIGIR'09)
+RRF_K = 5  # fused neighbors returned per query
+
+
+def _q153_oracle() -> str:
+    return f"""
+    WITH lsh AS (SELECT * FROM ({ORACLES['q46_ann_lsh_bucketed']})),
+    ivf AS (SELECT * FROM ({ORACLES['q47_ann_ivf']})),
+    un AS (
+      SELECT q_id, neighbor_id, "rank" FROM lsh WHERE q_id < {N_QUERIES}
+      UNION ALL
+      SELECT q_id, neighbor_id, "rank" FROM ivf),
+    fused AS (
+      SELECT q_id, neighbor_id,
+             {sql_dec(f'SUM(1.0 / ({RRF_C} + "rank"))', 6)} AS rrf_score,
+             COUNT(*) AS n_methods
+      FROM un GROUP BY q_id, neighbor_id),
+    ranked AS (
+      SELECT q_id, neighbor_id, rrf_score, CAST(n_methods AS BIGINT) AS n_methods,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+               ORDER BY rrf_score DESC, neighbor_id) AS fused_rank
+      FROM fused)
+    SELECT q_id, neighbor_id, rrf_score, n_methods,
+           CAST(fused_rank AS BIGINT) AS fused_rank
+    FROM ranked WHERE fused_rank <= {RRF_K}
+    """
+
+
+@query("q153_rrf_fusion", oracle=_q153_oracle())
+def q153_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (RRF, Cormack et al. SIGIR'09) of the two
+    cheap ANN retrieval lists: score(q, d) = sum over methods of
+    1 / (60 + rank_method(q, d)).  Rank-based fusion needs no score
+    calibration between methods (LSH cosine vs IVF cosine over
+    different candidate sets), and a document surfaced by BOTH methods
+    outranks either method's solo tail — the standard ensemble trick
+    to buy recall without a deeper single-method search.
+
+    Scale shape: composes q46 + q47 (each already scale-audited), adds
+    one union + one (q_id, neighbor) hash agg + a per-query top-k
+    window over <= LSH_K + IVF_K candidates per query.  The fused score
+    is a <= 2-term sum of exactly-representable reciprocals rounded to
+    6 decimals before ranking, so the k-boundary is engine-agreed.
+    """
+    lsh = (
+        q46_ann_lsh_bucketed(spark, sf_dir)
+        .filter(F.col("q_id") < N_QUERIES)
+        .select("q_id", "neighbor_id", "rank")
+    )
+    ivf = q47_ann_ivf(spark, sf_dir).select("q_id", "neighbor_id", "rank")
+    un = lsh.unionByName(ivf)
+    fused = un.groupBy("q_id", "neighbor_id").agg(
+        dec(F.sum(1.0 / (RRF_C + F.col("rank"))), 6).alias("rrf_score"),
+        F.count("*").cast("long").alias("n_methods"),
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("rrf_score").desc(), "neighbor_id")
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("fused_rank") <= RRF_K)
+        .select("q_id", "neighbor_id", "rrf_score", "n_methods", "fused_rank")
+    )

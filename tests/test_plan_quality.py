@@ -130,6 +130,13 @@ BOUNDED_FILTER_HINT_OK = {
     "q136_length_histogram",  # broadcasts the 1-row corpus-count aggregate
     "q138_label_balance",  # broadcasts the 1-row (total, n_labels) aggregate
     "q142_basket_affinity",  # broadcasts the 1-row distinct-order count
+    "q150_value_trend",  # broadcasts the 1-row corpus-min-hour aggregate
+    # broadcasts the <=10^4-row per-quality frontier model (bounded by
+    # the rounded-quality domain at any SF)
+    "q146_pareto_frontier",
+    "q151_key_skew_diagnosis",  # broadcasts the 1-row (n_rows, n_keys) totals
+    # composes q46+q47 and inherits their declared tiny-side attaches
+    "q153_rrf_fusion",
 }
 
 
@@ -196,6 +203,12 @@ NESTED_LOOP_OK = {
     # 1-row totals attach into the bounded |labels|-row frame
     "q138_label_balance",
     "q142_basket_affinity",  # 1-row order-count attach (cf. q63)
+    # |sources|-row theta self-join building the bounded pair grid
+    # (cf. q34's tiny-dim grid)
+    "q147_source_overlap_sketch",
+    "q150_value_trend",  # 1-row min-hour attach (cf. q100)
+    "q151_key_skew_diagnosis",  # 1-row totals attach onto the top-k rows
+    "q153_rrf_fusion",  # inherits q47's quantizer / probe-list attaches
 }
 
 
