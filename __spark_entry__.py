@@ -59,6 +59,9 @@ _ROTATION_TAIL = [
     "q151_key_skew_diagnosis",
     "q152_kgram_redundancy",
     "q153_rrf_fusion",
+    "q154_quantile_sketch",
+    "q155_bootstrap_ci",
+    "q156_score_auc",
     # ---- the driver's tail-50 window starts here ----
     # changed this round (q42's result set changed: 64-bit signatures):
     "q42_dedup_simhash",

@@ -6702,3 +6702,250 @@ def q153_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("fused_rank") <= RRF_K)
         .select("q_id", "neighbor_id", "rrf_score", "n_methods", "fused_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# q155 — Poisson-bootstrap confidence interval (distributed resampling)
+# ---------------------------------------------------------------------------
+
+BOOT_B = 32  # bootstrap replicas
+#: Inverse-CDF ladder of Poisson(1): P(X <= k) literals shared by both
+#: engines so the md5 coin maps to the identical weight everywhere.
+_POIS1_CDF = (0.367879, 0.735759, 0.919699, 0.981012, 0.996340, 0.999406)
+
+
+def _pois_sql(u: str) -> str:
+    clauses = " ".join(
+        f"WHEN {u} < {c} THEN {k}" for k, c in enumerate(_POIS1_CDF)
+    )
+    return f"CASE {clauses} ELSE {len(_POIS1_CDF)} END"
+
+
+def _q155_oracle() -> str:
+    lo_rank = max(1, math.ceil(0.05 * BOOT_B))
+    hi_rank = math.ceil(0.95 * BOOT_B)
+    u = (
+        "(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':' "
+        "|| CAST(b AS VARCHAR)), 1, 8)) AS UBIGINT) / 4294967296.0)"
+    )
+    return f"""
+    WITH q AS (
+      SELECT doc_id, lang,
+             ROUND(LEAST(1.0, len(string_split(text, ' ')) / 50.0) *
+               (1 - len(list_filter(string_split(text, ' '),
+                  w -> list_contains({list(STOPWORDS)!r}, w))) * 1.0 /
+                len(string_split(text, ' '))), 4) AS quality
+      FROM documents),
+    rep AS (
+      SELECT q.lang, q.doc_id, q.quality, b.b,
+             {_pois_sql(u)} AS w
+      FROM q CROSS JOIN (SELECT unnest(generate_series(0, {BOOT_B - 1})) AS b) b),
+    means AS (
+      SELECT lang, b, ROUND(SUM(w * quality) / SUM(w), 6) AS m
+      FROM rep GROUP BY lang, b HAVING SUM(w) > 0),
+    ranked AS (
+      SELECT lang, m,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY m, b) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS nb
+      FROM means),
+    ci AS (
+      SELECT lang,
+             MIN(CASE WHEN rn = {lo_rank} THEN m END) AS ci_lo,
+             MIN(CASE WHEN rn = {hi_rank} THEN m END) AS ci_hi,
+             CAST(MAX(nb) AS BIGINT) AS n_replicas
+      FROM ranked GROUP BY lang),
+    pt AS (SELECT lang, ROUND(AVG(quality), 6) AS point_mean FROM q GROUP BY lang)
+    SELECT pt.lang, (pt.point_mean + 0.0) AS point_mean,
+           (ci.ci_lo + 0.0) AS ci_lo, (ci.ci_hi + 0.0) AS ci_hi,
+           ci.n_replicas
+    FROM pt JOIN ci ON pt.lang = ci.lang
+    """
+
+
+@query("q155_bootstrap_ci", oracle=_q155_oracle())
+def q155_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """90% bootstrap confidence interval of mean document quality per
+    language, via the POISSON bootstrap (Chamandy et al., 'Estimating
+    Uncertainty for Massive Data Streams', Google TR 2012) — the
+    resampling scheme that works when n is too large to sample n rows
+    with replacement: each (row, replica) draws an independent
+    Poisson(1) inclusion weight, which converges to classical
+    bootstrap weights and needs ONE streaming pass.
+
+    Determinism: the weight is an inverse-CDF ladder over an md5 coin
+    keyed by (doc_id, replica) — the q58/q85 coin discipline — so both
+    engines draw the identical resample.  Replica means round to 6
+    decimals before rank-based CI selection (ties broken by replica id)
+    to keep the order-statistic choice engine-agreed.
+
+    Scale shape: the B={BOOT_B} explode is a constant-factor map-side
+    fan-out (no shuffle of its own); one (lang, replica) hash agg over
+    exact decimal-weighted sums; the CI rank window runs on B rows per
+    lang.  Memory is O(B * |langs|) — replicas never materialize the
+    corpus B times beyond the streaming pass.
+    """
+    lo_rank = max(1, math.ceil(0.05 * BOOT_B))
+    hi_rank = math.ceil(0.95 * BOOT_B)
+    docs = _fanout(spark, table(spark, sf_dir, "documents"))
+    words = F.split(F.col("text"), " ")
+    nw = F.size(words)
+    nstop = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS)))
+    q = docs.select(
+        "doc_id",
+        "lang",
+        F.round(
+            F.least(F.lit(1.0), nw / F.lit(50.0)) * (1 - nstop / nw), 4
+        ).alias("quality"),
+    )
+    rep = q.select(
+        "lang",
+        "doc_id",
+        "quality",
+        F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.col("doc_id").cast("string"), F.col("b").cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    w = F.lit(len(_POIS1_CDF))
+    for k in range(len(_POIS1_CDF) - 1, -1, -1):
+        w = F.when(u < _POIS1_CDF[k], F.lit(k)).otherwise(w)
+    means = (
+        rep.withColumn("w", w)
+        .groupBy("lang", "b")
+        .agg(
+            F.round(
+                F.sum(F.col("w") * F.col("quality")) / F.sum("w"), 6
+            ).alias("m"),
+            F.sum("w").alias("sw"),
+        )
+        .filter(F.col("sw") > 0)
+    )
+    wr = W.partitionBy("lang").orderBy("m", "b")
+    ranked = means.select(
+        "lang",
+        "m",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(W.partitionBy("lang")).alias("nb"),
+    )
+    ci = ranked.groupBy("lang").agg(
+        F.min(F.when(F.col("rn") == lo_rank, F.col("m"))).alias("ci_lo"),
+        F.min(F.when(F.col("rn") == hi_rank, F.col("m"))).alias("ci_hi"),
+        F.max("nb").cast("long").alias("n_replicas"),
+    )
+    pt = q.groupBy("lang").agg(F.round(F.avg("quality"), 6).alias("point_mean"))
+    return pt.join(ci, "lang").select(
+        "lang", "point_mean", "ci_lo", "ci_hi", "n_replicas"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q156 — per-source AUC of the quality score (Mann-Whitney rank-sum)
+# ---------------------------------------------------------------------------
+
+
+def _q156_oracle() -> str:
+    return f"""
+    WITH b AS (
+      SELECT source,
+             ROUND(LEAST(1.0, len(string_split(text, ' ')) / 50.0) *
+               (1 - len(list_filter(string_split(text, ' '),
+                  w -> list_contains({list(STOPWORDS)!r}, w))) * 1.0 /
+                len(string_split(text, ' '))), 4) AS score,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+      FROM documents),
+    g AS (
+      SELECT source, score, COUNT(*) AS n, SUM(pos) AS np
+      FROM b GROUP BY source, score),
+    r AS (
+      SELECT source, score, n, np,
+             COALESCE(SUM(n) OVER (PARTITION BY source ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      FROM g),
+    agg AS (
+      SELECT source,
+             SUM(np) AS n_pos, SUM(n - np) AS n_neg,
+             SUM(np * (cb + (n + 1) / 2.0)) AS r_pos
+      FROM r GROUP BY source
+      HAVING SUM(np) > 0 AND SUM(n - np) > 0)
+    SELECT source, CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+           {sql_dec('(r_pos - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg)', 6)}
+             AS auc
+    FROM agg
+    """
+
+
+@query("q156_score_auc", oracle=_q156_oracle())
+def q156_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source AUC of the q50 quality score as a predictor of
+    lang = 'en' — the Mann-Whitney rank-sum identity
+    AUC = (R+ − n+(n+1)/2) / (n+ n−) with AVERAGE ranks for ties, i.e.
+    the discrimination metric for any scorer (quality filters, LM
+    perplexity, a teacher model's labels) without choosing a cutoff.
+    Sources where either class is empty are excluded (AUC undefined).
+
+    Scale shape — the two-level trick that avoids ranking raw rows:
+    the score is ROUNDED to 4 decimals, so rows first collapse to a
+    (source, score) frequency table (<= 10^4 rows per source at ANY
+    corpus size); ranks are then reconstructed on the bounded table as
+    cum_before + (n+1)/2 — the average rank every member of a tied
+    score group shares.  One hash agg + one bounded window + one final
+    agg; no per-row rank window, no global sort.
+    """
+    docs = _fanout(spark, table(spark, sf_dir, "documents"))
+    words = F.split(F.col("text"), " ")
+    nw = F.size(words)
+    nstop = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS)))
+    b = docs.select(
+        "source",
+        F.round(
+            F.least(F.lit(1.0), nw / F.lit(50.0)) * (1 - nstop / nw), 4
+        ).alias("score"),
+        (F.col("lang") == "en").cast("int").alias("pos"),
+    )
+    g = b.groupBy("source", "score").agg(
+        F.count("*").alias("n"), F.sum("pos").alias("np")
+    )
+    r = g.withColumn(
+        "cb",
+        F.coalesce(
+            F.sum("n").over(
+                W.partitionBy("source").orderBy("score").rowsBetween(
+                    W.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ),
+    )
+    agg = (
+        r.groupBy("source")
+        .agg(
+            F.sum("np").alias("n_pos"),
+            F.sum(F.col("n") - F.col("np")).alias("n_neg"),
+            F.sum(F.col("np") * (F.col("cb") + (F.col("n") + 1) / 2.0)).alias(
+                "r_pos"
+            ),
+        )
+        .filter((F.col("n_pos") > 0) & (F.col("n_neg") > 0))
+    )
+    auc = (
+        F.col("r_pos") - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0
+    ) / (F.col("n_pos") * F.col("n_neg"))
+    return agg.select(
+        "source",
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.col("n_neg").cast("long").alias("n_neg"),
+        dec(auc, 6).alias("auc"),
+    )

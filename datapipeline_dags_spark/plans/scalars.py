@@ -14,10 +14,11 @@ is rounded to DECIMAL (see plans/helpers.py).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from datapipeline_dags_spark.catalog import table
-from datapipeline_dags_spark.plans.helpers import dec
+from datapipeline_dags_spark.plans.helpers import dec, sql_dec
 from datapipeline_dags_spark.plans.registry import query
 
 
@@ -398,4 +399,175 @@ def q83_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         dec(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_qty_price"),
         dec(F.stddev_samp("l_discount"), 6).alias("sd_discount"),
         dec(F.var_samp("l_quantity"), 4).alias("var_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q154 — mergeable histogram quantile sketch (error-gated vs exact)
+# ---------------------------------------------------------------------------
+
+QSK_BINS = 256
+QSK_PS = (0.5, 0.9, 0.99)
+
+
+def _q154_oracle() -> str:
+    ps = ", ".join(f"({p})" for p in QSK_PS)
+    return f"""
+    WITH b AS (SELECT l_returnflag AS g, l_extendedprice AS v FROM lineitem),
+    st AS (SELECT g, MIN(v) AS lo, MAX(v) AS hi, COUNT(*) AS n FROM b GROUP BY g),
+    binned AS (
+      SELECT b.g,
+             LEAST(CAST(FLOOR((b.v - st.lo) /
+               (CASE WHEN st.hi = st.lo THEN 1.0
+                     ELSE (st.hi - st.lo) / {QSK_BINS}.0 END)) AS INT),
+               {QSK_BINS - 1}) AS bin
+      FROM b JOIN st ON b.g = st.g),
+    h AS (SELECT g, bin, COUNT(*) AS c FROM binned GROUP BY g, bin),
+    cum AS (
+      SELECT g, bin, c,
+             SUM(c) OVER (PARTITION BY g ORDER BY bin) AS cm
+      FROM h),
+    ps(p) AS (VALUES {ps}),
+    sel AS (
+      SELECT cum.g, ps.p, MIN(cum.bin) AS bin
+      FROM cum JOIN st ON cum.g = st.g CROSS JOIN ps
+      WHERE cum.cm >= ps.p * st.n
+      GROUP BY cum.g, ps.p),
+    est AS (
+      SELECT sel.g, sel.p,
+             st.lo, st.hi, st.n,
+             CASE WHEN st.hi = st.lo THEN 1.0
+                  ELSE (st.hi - st.lo) / {QSK_BINS}.0 END AS w,
+             sel.bin, cum.c, cum.cm
+      FROM sel
+      JOIN cum ON cum.g = sel.g AND cum.bin = sel.bin
+      JOIN st ON st.g = sel.g),
+    scored AS (
+      SELECT g, p,
+             CASE WHEN hi = lo THEN lo
+                  ELSE lo + w * (bin + (p * n - (cm - c)) / c) END AS q_est,
+             w, hi, lo
+      FROM est),
+    exact AS (
+      SELECT g, unnest(list_value{tuple(QSK_PS)}) AS p,
+             unnest([quantile_cont(v, {QSK_PS[0]}),
+                     quantile_cont(v, {QSK_PS[1]}),
+                     quantile_cont(v, {QSK_PS[2]})]) AS q_exact
+      FROM b GROUP BY g)
+    SELECT s.g AS l_returnflag, s.p,
+           {sql_dec('s.q_est', 4)} AS q_est,
+           {sql_dec('e.q_exact', 4)} AS q_exact,
+           {sql_dec('ABS(s.q_est - e.q_exact)', 4)} AS abs_err,
+           ABS(s.q_est - e.q_exact) <= s.w AS within_bin_bound
+    FROM scored s JOIN exact e ON s.g = e.g AND s.p = e.p
+    """
+
+
+@query("q154_quantile_sketch", oracle=_q154_oracle())
+def q154_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentiles from a MERGEABLE fixed-width histogram sketch
+    ({QSK_BINS} bins per group), linearly interpolated inside the
+    selected bin, with the exact percentile and the theoretical error
+    bound (one bin width) as audit columns — the q36/q113 error-gate
+    discipline applied to quantiles.
+
+    Why it exists next to q59/q68: exact percentiles need a per-group
+    sort and Spark's approx_percentile is not oracle-reproducible; a
+    fixed-grid histogram is both deterministic AND mergeable (bin
+    counts add across partitions, shards, and days — the rollup/
+    streaming path q113 demonstrates for distinct counts), at a fixed
+    {QSK_BINS}-counter memory bound per group.
+
+    Scale shape: one bounds pass (|groups|-row broadcast), one
+    (group, bin) hash agg — map-side combinable, ≤ {QSK_BINS} rows per
+    group at any SF — then all selection/interpolation runs on the
+    bounded histogram.  Degenerate all-equal groups take the hi = lo
+    guard (the q123 zero-width lesson).  The estimate, exact value,
+    and |error| <= bin-width verdict are all in the output contract.
+    """
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("g"), F.col("l_extendedprice").alias("v")
+    )
+    st = li.groupBy("g").agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi"), F.count("*").alias("n")
+    )
+    w = F.when(F.col("hi") == F.col("lo"), F.lit(1.0)).otherwise(
+        (F.col("hi") - F.col("lo")) / QSK_BINS
+    )
+    binned = li.join(F.broadcast(st), "g").select(
+        "g",
+        F.least(
+            F.floor((F.col("v") - F.col("lo")) / w).cast("int"),
+            F.lit(QSK_BINS - 1),
+        ).alias("bin"),
+    )
+    h = binned.groupBy("g", "bin").agg(F.count("*").alias("c"))
+    cum = h.withColumn(
+        "cm",
+        F.sum("c").over(
+            W.partitionBy("g").orderBy("bin").rowsBetween(W.unboundedPreceding, 0)
+        ),
+    )
+    ps = spark.range(1).select(
+        F.explode(F.array(*[F.lit(p) for p in QSK_PS])).alias("p")
+    )
+    sel = (
+        cum.join(F.broadcast(st.select("g", "n")), "g")
+        .crossJoin(F.broadcast(ps))
+        .filter(F.col("cm") >= F.col("p") * F.col("n"))
+        .groupBy("g", "p")
+        .agg(F.min("bin").alias("bin"))
+    )
+    est = (
+        sel.join(cum, ["g", "bin"])
+        .join(F.broadcast(st), "g")
+        .select(
+            "g",
+            "p",
+            F.when(F.col("hi") == F.col("lo"), F.col("lo"))
+            .otherwise(
+                F.col("lo")
+                + w
+                * (
+                    F.col("bin")
+                    + (F.col("p") * F.col("n") - (F.col("cm") - F.col("c")))
+                    / F.col("c")
+                )
+            )
+            .alias("q_est"),
+            w.alias("w"),
+        )
+    )
+    exact = (
+        li.groupBy("g")
+        .agg(
+            *[
+                F.expr(f"percentile(v, {p})").alias(f"e_{i}")
+                for i, p in enumerate(QSK_PS)
+            ]
+        )
+        .select(
+            "g",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(p).alias("p"), F.col(f"e_{i}").alias("q_exact")
+                        )
+                        for i, p in enumerate(QSK_PS)
+                    ]
+                )
+            ).alias("s"),
+        )
+        .select("g", F.col("s.p").alias("p"), F.col("s.q_exact").alias("q_exact"))
+    )
+    return est.join(exact, ["g", "p"]).select(
+        F.col("g").alias("l_returnflag"),
+        "p",
+        dec(F.col("q_est"), 4).alias("q_est"),
+        dec(F.col("q_exact"), 4).alias("q_exact"),
+        dec(F.abs(F.col("q_est") - F.col("q_exact")), 4).alias("abs_err"),
+        (F.abs(F.col("q_est") - F.col("q_exact")) <= F.col("w")).alias(
+            "within_bin_bound"
+        ),
     )

@@ -36,6 +36,8 @@ REPS = 2
 TARGETS = (
     "q41_dedup_minhash_lsh",
     "q42_dedup_simhash",
+    "q43_ngram_jaccard",
+    "q144_prefix_filter_jaccard",
     "q69_dedup_clusters",
     "q75_ann_pq",
     "q112_ann_ivfpq",
