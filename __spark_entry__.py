@@ -62,6 +62,9 @@ _ROTATION_TAIL = [
     "q154_quantile_sketch",
     "q155_bootstrap_ci",
     "q156_score_auc",
+    "q157_nation_year_margin",
+    "q158_token_weighted_median",
+    "q159_ann_ndcg",
     # ---- the driver's tail-50 window starts here ----
     # changed this round (q42's result set changed: 64-bit signatures):
     "q42_dedup_simhash",

@@ -6949,3 +6949,175 @@ def q156_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_neg").cast("long").alias("n_neg"),
         dec(auc, 6).alias("auc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q158 — token-weighted median quality (what the median TOKEN sees)
+# ---------------------------------------------------------------------------
+
+
+def _q158_oracle() -> str:
+    return f"""
+    WITH b AS (
+      SELECT lang,
+             ROUND(LEAST(1.0, len(string_split(text, ' ')) / 50.0) *
+               (1 - len(list_filter(string_split(text, ' '),
+                  w -> list_contains({list(STOPWORDS)!r}, w))) * 1.0 /
+                len(string_split(text, ' '))), 4) AS q,
+             len(string_split(text, ' ')) AS w
+      FROM documents),
+    g AS (SELECT lang, q, SUM(w) AS w FROM b GROUP BY lang, q),
+    c AS (
+      SELECT lang, q, w,
+             SUM(w) OVER (PARTITION BY lang ORDER BY q) AS cm,
+             SUM(w) OVER (PARTITION BY lang) AS tot
+      FROM g)
+    SELECT lang,
+           (MIN(CASE WHEN cm * 2 >= tot THEN q END) + 0.0) AS weighted_median,
+           CAST(MAX(tot) AS BIGINT) AS total_tokens
+    FROM c GROUP BY lang
+    """
+
+
+@query("q158_token_weighted_median", oracle=_q158_oracle())
+def q158_token_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-weighted median quality per language: the quality level the
+    MEDIAN TRAINING TOKEN experiences (type-1 weighted quantile:
+    smallest q with cumulative token weight >= half the total).  A long
+    tail of short high-quality docs can hide that most token MASS sits
+    in low-quality pages — the document-median (q59 discipline) misses
+    exactly this, and mixture decisions (q73/q105/q120) weigh tokens,
+    not documents.
+
+    Scale shape: the q156 two-level trick — rows collapse to a
+    (lang, rounded-quality) weight table (<= 10^4 rows per lang at any
+    SF) in one hash agg; the cumulative-weight selection runs windows
+    over that bounded table only.  No per-row sort, no percentile over
+    raw rows.
+    """
+    docs = _fanout(spark, table(spark, sf_dir, "documents"))
+    words = F.split(F.col("text"), " ")
+    nw = F.size(words)
+    nstop = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS)))
+    b = docs.select(
+        "lang",
+        F.round(
+            F.least(F.lit(1.0), nw / F.lit(50.0)) * (1 - nstop / nw), 4
+        ).alias("q"),
+        nw.cast("long").alias("w"),
+    )
+    g = b.groupBy("lang", "q").agg(F.sum("w").alias("w"))
+    c = g.select(
+        "lang",
+        "q",
+        F.sum("w")
+        .over(
+            W.partitionBy("lang").orderBy("q").rowsBetween(
+                W.unboundedPreceding, 0
+            )
+        )
+        .alias("cm"),
+        F.sum("w").over(W.partitionBy("lang")).alias("tot"),
+    )
+    return c.groupBy("lang").agg(
+        F.min(
+            F.when(F.col("cm") * 2 >= F.col("tot"), F.col("q"))
+        ).alias("weighted_median"),
+        F.max("tot").cast("long").alias("total_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q159 — nDCG of each ANN method (graded retrieval quality)
+# ---------------------------------------------------------------------------
+
+
+def _idcg(k: int) -> float:
+    return sum((k + 1 - i) / math.log2(i + 1) for i in range(1, k + 1))
+
+
+def _q159_oracle() -> str:
+    from datapipeline_dags_spark.plans.registry import ORACLES
+
+    blocks = []
+    for name, qname, k in ANN_RECALL_METHODS:
+        blocks.append(
+            f"""
+      SELECT '{name}' AS method, CAST({k} AS BIGINT) AS k,
+             CAST(COUNT(*) AS BIGINT) AS n_queries,
+             {sql_dec('AVG(dcg / ' + repr(_idcg(k)) + ')', 6)} AS ndcg
+      FROM (
+        SELECT a.q_id,
+               SUM(CASE WHEN e.rank IS NOT NULL
+                        THEN ({k} + 1 - e.rank) / log2(a.rank + 1)
+                        ELSE 0 END) AS dcg
+        FROM (SELECT q_id, neighbor_id, rank FROM m_{name}
+              WHERE q_id < {N_QUERIES} AND rank <= {k}) a
+        LEFT JOIN (SELECT q_id, neighbor_id, rank FROM exact_full
+                   WHERE rank <= {k}) e
+          ON e.q_id = a.q_id AND e.neighbor_id = a.neighbor_id
+        GROUP BY a.q_id) per_q"""
+        )
+    ctes = ",\n    ".join(
+        f"m_{name} AS (SELECT * FROM ({ORACLES[qname]}) t)"
+        for name, qname, _ in ANN_RECALL_METHODS
+    )
+    return f"""
+    WITH exact_full AS (SELECT * FROM ({ORACLES["q45_ann_topk_bruteforce"]}) t),
+    {ctes}
+    {" UNION ALL ".join(blocks)}
+    """
+
+
+def _ndcg_row(
+    name: str, approx: DataFrame, exact: DataFrame, k: int
+) -> DataFrame:
+    """One (method, k, n_queries, ndcg) row.  Relevance of a retrieved
+    neighbor is GRADED by its exact rank — rel = k+1-exact_rank for
+    exact-top-k members, 0 otherwise (integer gains, so the only floats
+    are the shared log2 discount factors)."""
+    a = approx.filter(
+        (F.col("q_id") < N_QUERIES) & (F.col("rank") <= k)
+    ).select("q_id", "neighbor_id", F.col("rank").alias("arank"))
+    e = exact.filter(F.col("rank") <= k).select(
+        "q_id", "neighbor_id", F.col("rank").alias("erank")
+    )
+    gain = F.when(
+        F.col("erank").isNotNull(), (k + 1 - F.col("erank")) / F.log2(F.col("arank") + 1)
+    ).otherwise(F.lit(0.0))
+    per_q = (
+        a.join(e, ["q_id", "neighbor_id"], "left")
+        .groupBy("q_id")
+        .agg(F.sum(gain).alias("dcg"))
+    )
+    return per_q.agg(
+        F.lit(name).alias("method"),
+        F.lit(k).cast("long").alias("k"),
+        F.count("*").cast("long").alias("n_queries"),
+        dec(F.avg(F.col("dcg") / _idcg(k)), 6).alias("ndcg"),
+    )
+
+
+@query("q159_ann_ndcg", oracle=_q159_oracle())
+def q159_ann_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@k of each approximate ANN method against the exact top-k —
+    the GRADED companion to q90's recall: recall counts how many true
+    neighbors were found, nDCG also scores WHERE the method ranked
+    them (a method that returns the true top-k in reverse order keeps
+    recall 1.0 but loses nDCG).  Gains are integers derived from exact
+    rank (k+1-erank), so engine agreement rests only on the shared
+    log2 discount expression and the final 6-decimal rounding.
+
+    Scale shape: identical to q90 — the exact baseline is persisted
+    once (N_QUERIES x TOPK rows), each method contributes one
+    (q_id, neighbor) join + one per-query agg + one 1-row mean.
+    """
+    exact = q45_ann_topk_bruteforce(spark, sf_dir).persist()
+    rows = [
+        _ndcg_row(name, QUERIES[qname](spark, sf_dir), exact, k)
+        for name, qname, k in ANN_RECALL_METHODS
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out

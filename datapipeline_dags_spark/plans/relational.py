@@ -1273,3 +1273,66 @@ def q143_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec(F.sum(share * share), 6).alias("hhi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q157 — supplier-nation x order-year gross margin (TPC-H Q9 shape)
+# ---------------------------------------------------------------------------
+
+#: Cost proxy: the fixture has no partsupp/ps_supplycost, so unit cost
+#: is modeled as 60% of p_retailprice (fixed constant on both engines).
+MARGIN_COST_FRAC = 0.6
+
+
+@query(
+    "q157_nation_year_margin",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+           COUNT(*) AS n_lines,
+           (ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)
+                      - p.p_retailprice * {MARGIN_COST_FRAC} * l.l_quantity), 2)
+            + 0.0) AS margin
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    GROUP BY 1, 2
+    """,
+)
+def q157_nation_year_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gross margin by supplier nation and order year — the TPC-H Q9
+    plan shape (one fact table joined through two scaled dimensions and
+    a fixed-size dimension chain) over the fixture's columns: revenue
+    minus a retail-price cost proxy (no partsupp table exists here;
+    reference parity is the JOIN TOPOLOGY, not Q9's cost column).
+
+    Scale shape: lineitem shuffles once per scaled-dim key (orders on
+    orderkey, part on partkey — both co-partitionable by bucketing in a
+    warehouse layout); supplier joins the same way; only the 25-row
+    nation dim is broadcast.  The aggregate is |nations| x |years| rows
+    — map-side combinable to a bounded result at any SF.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    margin = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * MARGIN_COST_FRAC * F.col("l_quantity")
+    return (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(
+            F.count("*").alias("n_lines"),
+            dec(F.sum(margin), 2).alias("margin"),
+        )
+    )

@@ -89,6 +89,7 @@ BOUNDED_FILTER_HINT_OK = {
     # composes q45+q46+q47+q75 and inherits exactly their allowed
     # bounded-filter hints (fixed query set, quantizer, codebook/LUT)
     "q90_ann_recall",
+    "q159_ann_ndcg",
     # shares q47's cell assignment: broadcasts the N_CENTROIDS-row
     # quantizer (fixed-size at every SF), nothing else
     "q96_semantic_dedup",
@@ -182,6 +183,7 @@ NESTED_LOOP_OK = {
     # composes the ANN queries above and inherits their declared
     # tiny-side nested-loop attaches; adds none of its own
     "q90_ann_recall",
+    "q159_ann_ndcg",
     "q96_semantic_dedup",  # q47's 1-row quantizer attach, per cells side
     "q97_dsir_importance",  # 1-row totals attach (cf. q74)
     "q100_time_decay_engagement",  # 1-row reference-timestamp attach

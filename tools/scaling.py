@@ -228,6 +228,14 @@ def main() -> None:
         "0.96 at sf0.1 vs 0.84 under fixed params) — the jvm-encode",
         "q112 row carries that extra compute, while the recommended",
         "numpy encode backend stays near-flat at the same recall.",
+        "q43 vs q144 measure the same exact-Jaccard contract with two",
+        "candidate generators (any-shared-shingle vs df-ascending",
+        "prefix).  On THIS fixture nearly every shingle is df=1, so the",
+        "prefix prunes little and the pair track at the same ratio —",
+        "the prefix filter's payoff is hot-shingle corpora (boilerplate,",
+        "templates), where q43's hottest postings go quadratic while",
+        "q144 structurally excludes them from candidate generation",
+        "(tests/test_prefix_filter.py pins the candidate-count order).",
         "",
         "## BPE trainer: merge-count scaling (x1 corpus)",
         "",
