@@ -65,6 +65,7 @@ _ROTATION_TAIL = [
     "q157_nation_year_margin",
     "q158_token_weighted_median",
     "q159_ann_ndcg",
+    "q160_zorder_layout",
     # ---- the driver's tail-50 window starts here ----
     # changed this round (q42's result set changed: 64-bit signatures):
     "q42_dedup_simhash",

@@ -1298,3 +1298,106 @@ def q151_key_skew_diagnosis(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.ceil(skew).cast("long").alias("suggested_salt"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q160 — Z-order (Morton) clustering key + layout audit
+# ---------------------------------------------------------------------------
+
+ZORD_BITS = 8  # bits per dimension (16-bit interleaved key)
+
+
+def _z_sql(h: str, u: str) -> str:
+    terms = []
+    for i in range(ZORD_BITS):
+        terms.append(f"((({h}) // {1 << i}) % 2) * {1 << (2 * i + 1)}")
+        terms.append(f"((({u}) // {1 << i}) % 2) * {1 << (2 * i)}")
+    return " + ".join(terms)
+
+
+@query(
+    "q160_zorder_layout",
+    oracle=f"""
+    WITH b AS (
+      SELECT epoch_us(ts) // 3600000000 AS h, user_id AS u FROM events),
+    st AS (SELECT MIN(h) AS hlo, MAX(h) AS hhi, MIN(u) AS ulo, MAX(u) AS uhi
+           FROM b),
+    n AS (
+      SELECT CAST(CASE WHEN hhi = hlo THEN 0 ELSE
+               FLOOR((h - hlo) * {(1 << ZORD_BITS) - 1}.0 / (hhi - hlo)) END
+             AS BIGINT) AS hn,
+             CAST(CASE WHEN uhi = ulo THEN 0 ELSE
+               FLOOR((u - ulo) * {(1 << ZORD_BITS) - 1}.0 / (uhi - ulo)) END
+             AS BIGINT) AS un,
+             h, u
+      FROM b CROSS JOIN st)
+    SELECT ({_z_sql('hn', 'un')}) // {1 << ZORD_BITS} AS zbucket,
+           COUNT(*) AS n_rows,
+           MIN(h) AS hour_lo, MAX(h) AS hour_hi,
+           MIN(u) AS user_lo, MAX(u) AS user_hi
+    FROM n GROUP BY 1
+    """,
+)
+def q160_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (event hour, user_id) plus
+    the layout audit that justifies it: each dimension is normalized to
+    {ZORD_BITS} bits, bits are interleaved into a 16-bit key, and rows
+    grouped by the key's top byte report per-bucket min/max of BOTH
+    dimensions — the footprint rectangle file-level min/max statistics
+    would prune on.  A linear sort clusters one dimension perfectly and
+    scatters the other; the Z-curve bounds both, which is why Delta/
+    Iceberg `OPTIMIZE ZORDER BY` exists.  Writing
+    ``df.repartitionByRange(F.col("zkey")).sortWithinPartitions`` with
+    this key is the layout step; the audit here is the measurable
+    contract.
+
+    Scale shape: one 1-row min/max attach (broadcast), then the key is
+    pure map-side bit arithmetic inside codegen; the audit agg is <= 256
+    rows at any SF.  Degenerate constant dimensions normalize to 0 (the
+    q123 zero-width guard).
+    """
+    ev = table(spark, sf_dir, "events")
+    b = ev.select(
+        (F.unix_micros("ts") / F.lit(3_600_000_000)).cast("long").alias("h"),
+        F.col("user_id").alias("u"),
+    )
+    st = b.agg(
+        F.min("h").alias("hlo"),
+        F.max("h").alias("hhi"),
+        F.min("u").alias("ulo"),
+        F.max("u").alias("uhi"),
+    )
+    top = (1 << ZORD_BITS) - 1
+
+    def norm(v: str, lo: str, hi: str) -> Column:
+        return (
+            F.when(F.col(hi) == F.col(lo), F.lit(0))
+            .otherwise(
+                F.floor(
+                    (F.col(v) - F.col(lo)) * float(top) / (F.col(hi) - F.col(lo))
+                )
+            )
+            .cast("long")
+        )
+
+    n = b.crossJoin(F.broadcast(st)).select(
+        "h", "u", norm("h", "hlo", "hhi").alias("hn"), norm("u", "ulo", "uhi").alias("un")
+    )
+    z = F.lit(0)
+    for i in range(ZORD_BITS):
+        z = (
+            z
+            + F.shiftright("hn", i).bitwiseAND(F.lit(1)) * (1 << (2 * i + 1))
+            + F.shiftright("un", i).bitwiseAND(F.lit(1)) * (1 << (2 * i))
+        )
+    return (
+        n.withColumn("zbucket", (z / (1 << ZORD_BITS)).cast("long"))
+        .groupBy("zbucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("h").alias("hour_lo"),
+            F.max("h").alias("hour_hi"),
+            F.min("u").alias("user_lo"),
+            F.max("u").alias("user_hi"),
+        )
+    )
