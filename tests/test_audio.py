@@ -1,0 +1,97 @@
+"""Audio operators: AUD1 decode, frame features vs a numpy reference,
+linear resample round-trip, and the explicit non-AUD1 codec boundary."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+from datapipeline_dags_spark.operators.audio import (
+    _decode_audio,
+    decode_audio,
+    encode_aud1,
+    frame_energy_features,
+    resample_audio,
+)
+from datapipeline_dags_spark.operators.multimodal import read_binary_dir
+
+RATE = 8000
+
+
+def _sine(freq: float, seconds: float, amp: float = 0.5) -> np.ndarray:
+    t = np.arange(int(RATE * seconds)) / RATE
+    return (np.sin(2 * np.pi * freq * t) * amp * 32767).astype(np.int16)
+
+
+@pytest.fixture()
+def audio_dir(tmp_path):
+    d = tmp_path / "aud"
+    d.mkdir()
+    clips = {
+        "tone440.aud1": _sine(440, 0.5),
+        "tone880.aud1": _sine(880, 0.25, amp=0.25),
+        "silence.aud1": np.zeros(RATE // 4, dtype=np.int16),
+    }
+    for name, pcm in clips.items():
+        (d / name).write_bytes(encode_aud1(RATE, pcm))
+    return str(d), clips
+
+
+def test_decode_stats_match_numpy(spark, audio_dir):
+    d, clips = audio_dir
+    rows = {
+        os.path.basename(r["path"]): r
+        for r in decode_audio(read_binary_dir(spark, d)).collect()
+    }
+    assert set(rows) == set(clips)
+    for name, pcm in clips.items():
+        r = rows[name]
+        x = pcm.astype(np.float64) / 32768.0
+        assert r["sample_rate"] == RATE
+        assert r["n_samples"] == len(pcm)
+        assert r["rms"] == pytest.approx(float(np.sqrt(np.mean(x * x))), rel=1e-5)
+        assert r["peak"] == pytest.approx(float(np.max(np.abs(x))), rel=1e-5)
+
+
+def test_frame_features_silence_vs_tone(spark, audio_dir):
+    d, clips = audio_dir
+    rows = frame_energy_features(read_binary_dir(spark, d)).collect()
+    by_clip: dict[str, list] = {}
+    for r in rows:
+        by_clip.setdefault(os.path.basename(r["path"]), []).append(r)
+    # frame counts: 1 + (n - frame_len) // hop
+    for name, pcm in clips.items():
+        expect = 1 + (len(pcm) - 256) // 128
+        assert len(by_clip[name]) == expect
+    assert all(r["energy"] == 0.0 for r in by_clip["silence.aud1"])
+    assert all(r["energy"] > 0.1 for r in by_clip["tone440.aud1"])
+    # 880 Hz crosses zero ~2x as often as 440 Hz
+    z440 = np.mean([r["zcr"] for r in by_clip["tone440.aud1"]])
+    z880 = np.mean([r["zcr"] for r in by_clip["tone880.aud1"]])
+    assert 1.5 < z880 / z440 < 2.5
+
+
+def test_resample_halves_length_and_keeps_rms(spark, audio_dir):
+    d, clips = audio_dir
+    out = {
+        os.path.basename(r["path"]): r
+        for r in resample_audio(read_binary_dir(spark, d), RATE // 2).collect()
+    }
+    for name, pcm in clips.items():
+        rate, y = _decode_audio(bytes(out[name]["content"]))
+        assert rate == RATE // 2
+        assert abs(len(y) - len(pcm) / 2) <= 1
+        if name.startswith("tone440"):
+            # 440 Hz is far below the new Nyquist (2 kHz): RMS preserved
+            x = pcm.astype(np.float64) / 32768.0
+            yr = y.astype(np.float64) / 32768.0
+            assert np.sqrt(np.mean(yr * yr)) == pytest.approx(
+                np.sqrt(np.mean(x * x)), rel=0.05
+            )
+
+
+def test_non_aud1_raises_explicit_boundary():
+    with pytest.raises(NotImplementedError, match="soundfile"):
+        _decode_audio(b"RIFF....WAVE")
