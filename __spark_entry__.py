@@ -66,6 +66,7 @@ _ROTATION_TAIL = [
     "q158_token_weighted_median",
     "q159_ann_ndcg",
     "q160_zorder_layout",
+    "q161_incremental_rollup",
     # ---- the driver's tail-50 window starts here ----
     # changed this round (q42's result set changed: 64-bit signatures):
     "q42_dedup_simhash",

@@ -54,6 +54,11 @@ HEADLINE = [
     "q101_bpe_merges",
     "q118_session_concurrency",
     "q123_psi_drift",
+    # round-4 (cont.): prefix-filter Jaccard, mergeable quantile sketch,
+    # session path analysis
+    "q144_prefix_filter_jaccard",
+    "q154_quantile_sketch",
+    "q149_session_paths",
 ]
 
 REPS = 3

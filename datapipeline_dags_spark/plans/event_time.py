@@ -1401,3 +1401,67 @@ def q160_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("u").alias("user_hi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q161 — incremental rollup maintenance (base partials + delta partials)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q161_incremental_rollup",
+    oracle="""
+    SELECT date_trunc('day', ts) AS day, event_type,
+           COUNT(*) AS n_events,
+           (ROUND(SUM(value), 2) + 0.0) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q161_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the corpus is split at
+    its midpoint hour into a BASE batch (yesterday's stored partials)
+    and a DELTA batch (newly arrived data); each side aggregates to
+    hourly partials INDEPENDENTLY, and the day-level view merges the
+    partial streams without ever rescanning base rows — the
+    ``foreachBatch`` maintenance loop a streaming rollup runs on every
+    trigger (q49's partial-composition made incremental).
+
+    The oracle is deliberately NOT a mirror: it computes the day rollup
+    DIRECTLY from the raw table in one pass.  The hash match proves the
+    algebraic contract that makes incremental maintenance sound —
+    merge(partials(base), partials(delta)) == aggregate(base ∪ delta) —
+    rather than proving two engines ran the same plan.
+
+    Scale shape: each side is one (hour, type) hash agg; the merge
+    shuffles only |hours| x |types| partial rows; the split predicate
+    is a 1-row midpoint broadcast that pushes to the scan at 100 TB
+    (partition pruning on the date column).
+    """
+    ev = table(spark, sf_dir, "events")
+    mid = ev.agg(
+        F.date_trunc(
+            "hour",
+            F.timestamp_micros(
+                ((F.min(F.unix_micros("ts")) + F.max(F.unix_micros("ts"))) / 2).cast(
+                    "long"
+                )
+            ),
+        ).alias("mid")
+    )
+    with_mid = ev.crossJoin(F.broadcast(mid))
+
+    def partials(side: DataFrame) -> DataFrame:
+        return side.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), "event_type"
+        ).agg(F.count("*").alias("n"), F.sum("value").alias("sv"))
+
+    base = partials(with_mid.filter(F.col("ts") < F.col("mid")))
+    delta = partials(with_mid.filter(F.col("ts") >= F.col("mid")))
+    return (
+        base.unionByName(delta)
+        .groupBy(F.date_trunc("day", "hour").alias("day"), "event_type")
+        .agg(
+            F.sum("n").cast("long").alias("n_events"),
+            dec(F.sum("sv"), 2).alias("sum_value"),
+        )
+    )
