@@ -67,6 +67,8 @@ _ROTATION_TAIL = [
     "q159_ann_ndcg",
     "q160_zorder_layout",
     "q161_incremental_rollup",
+    "q162_rolling_active_users",
+    "q163_seasonal_anomalies",
     # ---- the driver's tail-50 window starts here ----
     # changed this round (q42's result set changed: 64-bit signatures):
     "q42_dedup_simhash",

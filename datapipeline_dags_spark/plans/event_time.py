@@ -1465,3 +1465,180 @@ def q161_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec(F.sum("sv"), 2).alias("sum_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q162 — rolling 7-day active users (DAU / WAU / stickiness)
+# ---------------------------------------------------------------------------
+
+WAU_DAYS = 7
+
+
+@query(
+    "q162_rolling_active_users",
+    oracle=f"""
+    WITH ud AS (
+      SELECT DISTINCT epoch_us(ts) // 86400000000 AS d, user_id FROM events),
+    days AS (SELECT DISTINCT d FROM ud),
+    contrib AS (
+      SELECT DISTINCT ud.d + i.i AS target, ud.user_id
+      FROM ud CROSS JOIN
+        (SELECT unnest(generate_series(0, {WAU_DAYS - 1})) AS i) i),
+    wau AS (
+      SELECT c.target AS d, COUNT(*) AS wau
+      FROM contrib c JOIN days ON days.d = c.target
+      GROUP BY c.target),
+    dau AS (SELECT d, COUNT(*) AS dau FROM ud GROUP BY d)
+    SELECT dau.d AS epoch_day, dau.dau, wau.wau,
+           {sql_dec('dau.dau * 1.0 / wau.wau', 6)} AS stickiness
+    FROM dau JOIN wau ON dau.d = wau.d
+    """,
+)
+def q162_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling engagement: per day, DAU, trailing-{WAU_DAYS}-day WAU,
+    and the DAU/WAU stickiness ratio — the growth metric next to q87's
+    new/retained accounting.  Rolling DISTINCT is the trap here: a
+    distinct count is NOT sum-decomposable over a sliding window, so
+    naive per-day windows recount users.  The scalable exact form
+    CONTRIBUTES each (day, user) activity to the {WAU_DAYS} target days
+    it keeps the user active for (a fixed x{WAU_DAYS} map-side fan-out
+    of the deduped user-day table — orders of magnitude smaller than
+    events), dedupes (target, user), and counts; the approximate form
+    at extreme scale merges per-day HLL sketches instead (q113's
+    mergeable discipline — same join shape, constant-size state).
+
+    Scale shape: one (day, user) distinct over the scan, one bounded
+    explode, one (target, user) distinct keyed like any big group-by,
+    final aggs on |days| rows.  No per-day rescans, no window over raw
+    events.
+    """
+    ev = table(spark, sf_dir, "events")
+    ud = (
+        ev.select(
+            (F.unix_micros("ts") / F.lit(86_400_000_000)).cast("long").alias("d"),
+            "user_id",
+        )
+        .distinct()
+    )
+    days = ud.select("d").distinct()
+    contrib = (
+        ud.select(
+            F.explode(
+                F.sequence(F.col("d"), F.col("d") + (WAU_DAYS - 1))
+            ).alias("target"),
+            "user_id",
+        )
+        .distinct()
+    )
+    wau = (
+        contrib.join(days, contrib["target"] == days["d"])
+        .groupBy("target")
+        .agg(F.count("*").alias("wau"))
+    )
+    dau = ud.groupBy("d").agg(F.count("*").alias("dau"))
+    return (
+        dau.join(wau, dau["d"] == wau["target"])
+        .select(
+            dau["d"].alias("epoch_day"),
+            "dau",
+            "wau",
+            dec(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q163 — seasonal-baseline anomalies (hour-of-day profile z-score)
+# ---------------------------------------------------------------------------
+
+SEASONAL_Z = 2.0
+
+
+@query(
+    "q163_seasonal_anomalies",
+    oracle=f"""
+    WITH mid AS (
+      SELECT date_trunc('hour', to_timestamp(
+               ((MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2) / 1000000.0))
+             AS mid
+      FROM events),
+    hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             EXTRACT(hour FROM ts) AS hod,
+             ROUND(SUM(value), 2) AS sv,
+             (date_trunc('hour', ts) < mid.mid) AS is_base
+      FROM events CROSS JOIN mid
+      GROUP BY 1, 2, 3, mid.mid),
+    profile AS (
+      SELECT event_type, hod,
+             ROUND(AVG(sv), 6) AS mu,
+             ROUND(STDDEV_SAMP(sv), 6) AS sd
+      FROM hourly WHERE is_base GROUP BY 1, 2
+      HAVING COUNT(*) > 1 AND STDDEV_SAMP(sv) > 0)
+    SELECT h.event_type, h.h AS hour, (h.sv + 0.0) AS sum_value,
+           {sql_dec('(h.sv - p.mu) / p.sd', 4)} AS z
+    FROM hourly h JOIN profile p
+      ON p.event_type = h.event_type AND p.hod = h.hod
+    WHERE NOT h.is_base AND ABS((h.sv - p.mu) / p.sd) > {SEASONAL_Z}
+    """,
+)
+def q163_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware anomaly detection: the corpus's first half
+    builds an hour-of-day profile (mean/sd of HOURLY value totals per
+    event type — the "same hour on a normal day" baseline), and each
+    second-half hour is z-scored against ITS OWN hour-of-day profile.
+    q108's trailing window flags level shifts; this catches "3 AM
+    traffic at noon levels", which a trailing window normalizes away
+    within hours.  Degenerate profiles (one sample, zero variance) are
+    excluded rather than dividing by zero (the q123 guard).
+
+    Scale shape: one (type, hour) hash agg over the scan; the profile
+    is a bounded |types| x 24 model (broadcast); scoring is a map-side
+    join + filter.  Hourly sums round to 2 and profile moments to 6
+    before the z computation, keeping the anomaly cut engine-agreed.
+    """
+    ev = table(spark, sf_dir, "events")
+    mid = ev.agg(
+        F.date_trunc(
+            "hour",
+            F.timestamp_micros(
+                ((F.min(F.unix_micros("ts")) + F.max(F.unix_micros("ts"))) / 2).cast(
+                    "long"
+                )
+            ),
+        ).alias("mid")
+    )
+    hourly = (
+        ev.crossJoin(F.broadcast(mid))
+        .groupBy(
+            "event_type",
+            F.date_trunc("hour", "ts").alias("h"),
+            F.hour("ts").alias("hod"),
+            "mid",
+        )
+        .agg(F.round(F.sum("value"), 2).alias("sv"))
+        .withColumn("is_base", F.col("h") < F.col("mid"))
+    )
+    profile = (
+        hourly.filter("is_base")
+        .groupBy("event_type", "hod")
+        .agg(
+            F.round(F.avg("sv"), 6).alias("mu"),
+            F.round(F.stddev_samp("sv"), 6).alias("sd"),
+            F.count("*").alias("np"),
+        )
+        .filter((F.col("np") > 1) & (F.col("sd") > 0))
+        .drop("np")
+    )
+    z = (F.col("sv") - F.col("mu")) / F.col("sd")
+    return (
+        hourly.filter(~F.col("is_base"))
+        .join(F.broadcast(profile), ["event_type", "hod"])
+        .filter(F.abs(z) > SEASONAL_Z)
+        .select(
+            "event_type",
+            F.col("h").alias("hour"),
+            F.col("sv").alias("sum_value"),
+            dec(z, 4).alias("z"),
+        )
+    )
