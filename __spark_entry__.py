@@ -69,6 +69,8 @@ _ROTATION_TAIL = [
     "q161_incremental_rollup",
     "q162_rolling_active_users",
     "q163_seasonal_anomalies",
+    "q164_abc_brands",
+    "q165_rfm_segments",
     # ---- the driver's tail-50 window starts here ----
     # changed this round (q42's result set changed: 64-bit signatures):
     "q42_dedup_simhash",

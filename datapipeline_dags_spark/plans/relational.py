@@ -1336,3 +1336,163 @@ def q157_nation_year_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec(F.sum(margin), 2).alias("margin"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q164 — ABC (Pareto) revenue classification by brand
+# ---------------------------------------------------------------------------
+
+ABC_A_CUT = 0.8
+ABC_B_CUT = 0.95
+
+
+@query(
+    "q164_abc_brands",
+    oracle=f"""
+    WITH rev AS (
+      SELECT p.p_brand AS brand,
+             ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1),
+    c AS (
+      SELECT brand, revenue,
+             SUM(revenue) OVER (ORDER BY revenue DESC, brand
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(revenue) OVER () AS tot
+      FROM rev)
+    SELECT brand, (revenue + 0.0) AS revenue,
+           {sql_dec('cum / tot', 6)} AS cum_share,
+           CASE WHEN cum / tot <= {ABC_A_CUT} THEN 'A'
+                WHEN cum / tot <= {ABC_B_CUT} THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM c
+    """,
+)
+def q164_abc_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification of brands by revenue: rank brands by
+    revenue, class A = the head carrying the first 80% of cumulative
+    revenue, B to 95%, C the tail — the classic inventory-prioritization
+    cut.  Revenue rounds to 2 decimals BEFORE the cumulative sum and
+    ties break on the brand name, so the class boundaries are
+    engine-agreed.
+
+    Scale shape: one fact-dim join + hash agg collapses the corpus to
+    |brands| rows; the ordered cumulative window runs over that BOUNDED
+    model table only (the same discipline as q146/q154 — collapse
+    first, order the bounded result).  Classifying unbounded-cardinality
+    keys (part-level ABC) would instead use the q71 two-phase prefix
+    sum over revenue buckets.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rev = (
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    w = W.orderBy(F.col("revenue").desc(), "brand").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    c = rev.select(
+        "brand",
+        "revenue",
+        F.sum("revenue").over(w).alias("cum"),
+        F.sum("revenue").over(W.partitionBy()).alias("tot"),
+    )
+    share = F.col("cum") / F.col("tot")
+    return c.select(
+        "brand",
+        "revenue",
+        dec(share, 6).alias("cum_share"),
+        F.when(share <= ABC_A_CUT, "A")
+        .when(share <= ABC_B_CUT, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q165 — RFM customer segmentation (exact-edge quartiles, no global NTILE)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q165_rfm_segments",
+    oracle="""
+    WITH base AS (
+      SELECT o_custkey AS cust,
+             MAX(o_orderdate) AS last_order,
+             COUNT(*) AS freq,
+             ROUND(SUM(o_totalprice), 2) AS monetary
+      FROM orders GROUP BY 1),
+    anchored AS (
+      SELECT cust,
+             date_diff('day', last_order, (SELECT MAX(o_orderdate) FROM orders))
+               AS recency_days,
+             freq, monetary
+      FROM base),
+    edges AS (
+      SELECT quantile_cont(recency_days, 0.5) AS r_med,
+             quantile_cont(freq, 0.5) AS f_med,
+             quantile_cont(monetary, 0.5) AS m_med
+      FROM anchored)
+    SELECT (CASE WHEN recency_days <= r_med THEN 'R+' ELSE 'R-' END ||
+            CASE WHEN freq > f_med THEN 'F+' ELSE 'F-' END ||
+            CASE WHEN monetary > m_med THEN 'M+' ELSE 'M-' END) AS segment,
+           COUNT(*) AS n_customers,
+           (ROUND(SUM(monetary), 2) + 0.0) AS segment_revenue
+    FROM anchored CROSS JOIN edges
+    GROUP BY 1
+    """,
+)
+def q165_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: each customer scored on Recency (days since
+    last order, anchored to the corpus max date — no wall clock),
+    Frequency (order count), and Monetary (total spend), split at the
+    exact median of each dimension into 8 segments with counts and
+    revenue — the classic CRM cut ("R+F+M+" = best customers,
+    "R-F-M-" = churned).
+
+    Scale shape: one (customer) hash agg collapses orders; the three
+    medians are EXACT percentiles computed once and broadcast as a
+    1-row edge table (the q59/q124 edges discipline — never a global
+    NTILE sort over customers); segment labeling is a map-side CASE;
+    output is <= 8 rows at any SF.  Median thresholds use <= for
+    recency and > for frequency/monetary so integer-median ties fall
+    on the engine-agreed side.
+    """
+    o = table(spark, sf_dir, "orders")
+    base = o.groupBy(F.col("o_custkey").alias("cust")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("freq"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    anchor = o.agg(F.max("o_orderdate").alias("anchor"))
+    anchored = base.crossJoin(F.broadcast(anchor)).select(
+        "cust",
+        F.datediff(F.col("anchor"), F.col("last_order")).alias("recency_days"),
+        "freq",
+        "monetary",
+    )
+    edges = anchored.agg(
+        F.expr("percentile(recency_days, 0.5)").alias("r_med"),
+        F.expr("percentile(freq, 0.5)").alias("f_med"),
+        F.expr("percentile(monetary, 0.5)").alias("m_med"),
+    )
+    seg = F.concat(
+        F.when(F.col("recency_days") <= F.col("r_med"), "R+").otherwise("R-"),
+        F.when(F.col("freq") > F.col("f_med"), "F+").otherwise("F-"),
+        F.when(F.col("monetary") > F.col("m_med"), "M+").otherwise("M-"),
+    )
+    return (
+        anchored.crossJoin(F.broadcast(edges))
+        .groupBy(seg.alias("segment"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            dec(F.sum("monetary"), 2).alias("segment_revenue"),
+        )
+    )
