@@ -71,6 +71,8 @@ _ROTATION_TAIL = [
     "q163_seasonal_anomalies",
     "q164_abc_brands",
     "q165_rfm_segments",
+    "q166_ensemble_score_blend",
+    "q167_conversion_latency",
     # ---- the driver's tail-50 window starts here ----
     # changed this round (q42's result set changed: 64-bit signatures):
     "q42_dedup_simhash",

@@ -1642,3 +1642,65 @@ def q163_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec(z, 4).alias("z"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q167 — conversion latency percentiles (first view -> first purchase)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q167_conversion_latency",
+    oracle="""
+    WITH v AS (SELECT user_id, MIN(ts) AS vt FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    p AS (
+      SELECT v.user_id, MIN(e.ts) AS pt
+      FROM v JOIN events e
+        ON e.user_id = v.user_id AND e.ts > v.vt
+      WHERE e.event_type = 'purchase'
+      GROUP BY v.user_id),
+    lat AS (
+      SELECT (epoch_us(p.pt) - epoch_us(v.vt)) / 1000000.0 AS s
+      FROM v JOIN p ON v.user_id = p.user_id)
+    SELECT COUNT(*) AS n_converted,
+           (ROUND(quantile_cont(s, 0.5), 4) + 0.0) AS p50_s,
+           (ROUND(quantile_cont(s, 0.9), 4) + 0.0) AS p90_s,
+           (ROUND(quantile_cont(s, 0.99), 4) + 0.0) AS p99_s
+    FROM lat
+    """,
+)
+def q167_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: seconds from each user's FIRST
+    view to their first purchase strictly after it, summarized as
+    p50/p90/p99 — the latency dimension q77's funnel counts omit
+    (how many convert vs how long conversion takes).
+
+    Scale shape: two user-keyed min-aggregates and one user-keyed
+    join — never an event-level self-join; the percentile runs over
+    one latency row per converted user (q59's exact-percentile
+    discipline at a corpus-bounded cardinality).  Output is 1 row.
+    """
+    ev = table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("vt"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("pu"), F.col("ts").alias("pt"))
+        .join(v, (F.col("pu") == F.col("user_id")) & (F.col("pt") > F.col("vt")))
+        .groupBy("user_id")
+        .agg(F.min("pt").alias("pt"))
+    )
+    lat = v.join(p, "user_id").select(
+        (F.unix_micros("pt") - F.unix_micros("vt")).alias("us")
+    )
+    s = F.col("us") / 1_000_000.0
+    return lat.agg(
+        F.count("*").alias("n_converted"),
+        dec(F.expr("percentile(us / 1000000.0, 0.5)"), 4).alias("p50_s"),
+        dec(F.expr("percentile(us / 1000000.0, 0.9)"), 4).alias("p90_s"),
+        dec(F.expr("percentile(us / 1000000.0, 0.99)"), 4).alias("p99_s"),
+    )

@@ -7121,3 +7121,90 @@ def q159_ann_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionAll(r)
     return out
+
+
+# ---------------------------------------------------------------------------
+# q166 — ensemble score blending (average of per-signal percentiles)
+# ---------------------------------------------------------------------------
+
+
+def _q166_oracle() -> str:
+    return f"""
+    WITH b AS (
+      SELECT doc_id,
+             ROUND(LEAST(1.0, len(string_split(text, ' ')) / 50.0) *
+               (1 - len(list_filter(string_split(text, ' '),
+                  w -> list_contains({list(STOPWORDS)!r}, w))) * 1.0 /
+                len(string_split(text, ' '))), 4) AS q,
+             n_chars AS l
+      FROM documents),
+    nq AS (SELECT COUNT(*) AS n FROM b),
+    gq AS (
+      SELECT q, SUM(COUNT(*)) OVER (ORDER BY q) AS cle FROM b GROUP BY q),
+    gl AS (
+      SELECT l, SUM(COUNT(*)) OVER (ORDER BY l) AS cle FROM b GROUP BY l)
+    SELECT b.doc_id,
+           {sql_dec('gq.cle * 1.0 / nq.n', 6)} AS pct_quality,
+           {sql_dec('gl.cle * 1.0 / nq.n', 6)} AS pct_length,
+           {sql_dec('(gq.cle * 1.0 / nq.n + gl.cle * 1.0 / nq.n) / 2', 6)}
+             AS blended
+    FROM b JOIN gq ON b.q = gq.q JOIN gl ON b.l = gl.l CROSS JOIN nq
+    """
+
+
+@query("q166_ensemble_score_blend", oracle=_q166_oracle())
+def q166_ensemble_score_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration-free ensemble of curation signals: each signal
+    (q50 quality, document length) is converted to its empirical CDF
+    percentile (fraction of corpus <= value) and the blended score is
+    the mean percentile — the rank-averaging trick (a dense Borda
+    count) that lets incommensurable scorers (a rule score, an LM
+    perplexity, a teacher logit) combine WITHOUT scale calibration,
+    exactly as q153 does for retrieval rank lists.
+
+    Scale shape: the q156 two-level discipline twice — each signal
+    collapses to its bounded distinct-value table (quality rounds to
+    <= 10^4 values; length is integer-domain), the running CDF runs on
+    those bounded tables only, and the corpus joins the two small CDF
+    tables back broadcast-style.  No per-row rank window over raw
+    documents.
+    """
+    docs = _fanout(spark, table(spark, sf_dir, "documents"))
+    words = F.split(F.col("text"), " ")
+    nw = F.size(words)
+    nstop = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS)))
+    b = docs.select(
+        "doc_id",
+        F.round(
+            F.least(F.lit(1.0), nw / F.lit(50.0)) * (1 - nstop / nw), 4
+        ).alias("q"),
+        F.col("n_chars").alias("l"),
+    )
+    n = b.agg(F.count("*").alias("n"))
+
+    def cdf(col: str) -> DataFrame:
+        return (
+            b.groupBy(col)
+            .agg(F.count("*").alias("c"))
+            .withColumn(
+                "cle",
+                F.sum("c").over(
+                    W.orderBy(col).rowsBetween(W.unboundedPreceding, 0)
+                ),
+            )
+            .drop("c")
+        )
+
+    pq = F.col("q_cle") / F.col("n")
+    pl = F.col("l_cle") / F.col("n")
+    return (
+        b.join(F.broadcast(cdf("q").withColumnRenamed("cle", "q_cle")), "q")
+        .join(F.broadcast(cdf("l").withColumnRenamed("cle", "l_cle")), "l")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            dec(pq, 6).alias("pct_quality"),
+            dec(pl, 6).alias("pct_length"),
+            dec((pq + pl) / 2, 6).alias("blended"),
+        )
+    )
