@@ -571,3 +571,58 @@ def q154_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "within_bin_bound"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q168 — semi-structured profiling of the JSON props column
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q168_json_props_profile",
+    oracle="""
+    WITH tot AS (SELECT COUNT(*) AS n FROM events),
+    kv AS (
+      SELECT key, json_extract_string(props, '$.' || key) AS val
+      FROM (SELECT props, unnest(json_keys(props)) AS key
+            FROM events WHERE props IS NOT NULL))
+    SELECT key, COUNT(*) AS n_rows,
+           (ROUND(COUNT(*) * 1.0 / tot.n, 6) + 0.0) AS frac,
+           COUNT(DISTINCT val) AS n_distinct_values
+    FROM kv CROSS JOIN tot
+    GROUP BY key, tot.n
+    """,
+)
+def q168_json_props_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read profiling of the semi-structured ``props`` JSON
+    column: which keys exist, in how many rows, and what fraction of
+    the corpus carries each — the first question against any
+    late-bound JSON payload (which keys are safe to promote to real
+    columns, which are sparse tail).  The column-profiler (q114) twin
+    for the part of the schema that ISN'T columns yet.
+
+    Scale shape: one JVM-side ``from_json`` map parse + explode feeds
+    one hash agg bounded by the distinct-key domain, plus a 1-row total
+    attach; values profile as strings (the raw JSON token text, so
+    numeric vs quoted forms stay distinguishable and engine-agreed).  At 100 TB the profile output is |distinct keys| rows —
+    the promotion decision input, not another big table.
+    """
+    ev = table(spark, sf_dir, "events")
+    tot = ev.agg(F.count("*").alias("n"))
+    kv = ev.filter(F.col("props").isNotNull()).select(
+        F.explode(F.from_json("props", "map<string,string>")).alias("key", "val")
+    )
+    return (
+        kv.groupBy("key")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("val").alias("n_distinct_values"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "key",
+            "n_rows",
+            dec(F.col("n_rows") / F.col("n"), 6).alias("frac"),
+            "n_distinct_values",
+        )
+    )
