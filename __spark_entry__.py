@@ -74,6 +74,8 @@ _ROTATION_TAIL = [
     "q166_ensemble_score_blend",
     "q167_conversion_latency",
     "q168_json_props_profile",
+    "q169_benford_audit",
+    "q170_total_reconciliation",
     # ---- the driver's tail-50 window starts here ----
     # changed this round (q42's result set changed: 64-bit signatures):
     "q42_dedup_simhash",

@@ -1496,3 +1496,128 @@ def q165_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec(F.sum("monetary"), 2).alias("segment_revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q169 — Benford first-digit audit (fraud / synthetic-data screen)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q169_benford_audit",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substring(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice >= 1),
+    tot AS (SELECT COUNT(*) AS n FROM d)
+    SELECT digit,
+           COUNT(*) AS n_orders,
+           (ROUND(COUNT(*) * 1.0 / tot.n, 6) + 0.0) AS observed,
+           (ROUND(log10(1.0 + 1.0 / digit), 6) + 0.0) AS benford,
+           (ROUND(ABS(COUNT(*) * 1.0 / tot.n - log10(1.0 + 1.0 / digit)), 6)
+            + 0.0) AS abs_dev
+    FROM d CROSS JOIN tot
+    GROUP BY digit, tot.n
+    """,
+)
+def q169_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals: naturally
+    occurring multi-scale amounts follow P(d) = log10(1 + 1/d);
+    fabricated, capped, or template-generated values don't — a
+    standard forensic / synthetic-data screen next to q89's structural
+    checks (and, for a training corpus, a cheap tell that numeric
+    fields were machine-generated).  Output is 9 rows of observed vs
+    expected share with absolute deviation; the fixture's uniform
+    price generator should and does FAIL the law — the audit's point
+    is measuring the deviation, not asserting conformance.
+
+    Scale shape: first digit via FLOOR + integer-string truncation
+    (explicit floor on both engines — DuckDB's double->BIGINT cast
+    ROUNDS while Spark's truncates), one bounded 9-bucket hash agg +
+    1-row total attach — map-side combinable everywhere.
+    """
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    d = o.select(
+        F.substring(
+            F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+        )
+        .cast("bigint")
+        .alias("digit")
+    )
+    tot = d.agg(F.count("*").alias("n"))
+    obs = F.col("n_orders") / F.col("n")
+    benford = F.log10(1.0 + 1.0 / F.col("digit"))
+    return (
+        d.groupBy("digit")
+        .agg(F.count("*").alias("n_orders"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n_orders",
+            dec(obs, 6).alias("observed"),
+            dec(benford, 6).alias("benford"),
+            dec(F.abs(obs - benford), 6).alias("abs_dev"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q170 — order-total value-consistency audit (cross-table reconciliation)
+# ---------------------------------------------------------------------------
+
+RECON_TOL = 0.05  # relative tolerance before an order counts as mismatched
+
+
+@query(
+    "q170_total_reconciliation",
+    oracle=f"""
+    WITH li AS (
+      SELECT l_orderkey, ROUND(SUM(l_extendedprice), 2) AS li_total
+      FROM lineitem GROUP BY 1),
+    j AS (
+      SELECT o.o_orderkey, ROUND(o.o_totalprice, 2) AS o_total, li.li_total,
+             CASE WHEN li.li_total IS NULL THEN 'no_lineitems'
+                  WHEN ABS(li.li_total - o.o_totalprice)
+                       > {RECON_TOL} * o.o_totalprice THEN 'mismatch'
+                  ELSE 'consistent' END AS status
+      FROM orders o LEFT JOIN li ON li.l_orderkey = o.o_orderkey)
+    SELECT status, COUNT(*) AS n_orders,
+           (ROUND(SUM(o_total), 2) + 0.0) AS order_revenue
+    FROM j GROUP BY status
+    """,
+)
+def q170_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table VALUE reconciliation: does each order's header total
+    agree with the sum of its line items within a relative tolerance?
+    q89 checks structure (keys exist, ranges hold); this checks the
+    money adds up — the audit a finance pipeline runs before
+    publishing revenue, generalizing to any header/detail pair
+    (shipment vs packages, batch vs records).  Orders with no line
+    items are their own explicit class, never silently 'consistent'.
+
+    Scale shape: one (orderkey) hash agg over lineitem, one keyed
+    left join against orders (both sides co-partitionable by
+    bucketing on the order key in a warehouse layout), 3-row output.
+    """
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_extendedprice"), 2).alias("li_total"))
+    )
+    j = o.join(li, F.col("l_orderkey") == F.col("o_orderkey"), "left").select(
+        F.round(F.col("o_totalprice"), 2).alias("o_total"),
+        F.when(F.col("li_total").isNull(), "no_lineitems")
+        .when(
+            F.abs(F.col("li_total") - F.col("o_totalprice"))
+            > RECON_TOL * F.col("o_totalprice"),
+            "mismatch",
+        )
+        .otherwise("consistent")
+        .alias("status"),
+    )
+    return j.groupBy("status").agg(
+        F.count("*").alias("n_orders"),
+        dec(F.sum("o_total"), 2).alias("order_revenue"),
+    )

@@ -143,6 +143,7 @@ BOUNDED_FILTER_HINT_OK = {
     # broadcasts the two bounded per-signal CDF tables + 1-row count
     "q166_ensemble_score_blend",
     "q168_json_props_profile",  # broadcasts the 1-row corpus count
+    "q169_benford_audit",  # broadcasts the 1-row corpus count
     # broadcasts the 1-row midpoint + the bounded |types|x24 profile
     "q163_seasonal_anomalies",
     # broadcasts the |groups|-row bounds table + the 3-row percentile list
@@ -226,6 +227,7 @@ NESTED_LOOP_OK = {
     "q165_rfm_segments",  # 1-row anchor + 1-row median-edges attaches
     "q166_ensemble_score_blend",  # 1-row corpus-count attach (cf. q63)
     "q168_json_props_profile",  # 1-row corpus-count attach (cf. q63)
+    "q169_benford_audit",  # 1-row corpus-count attach (cf. q63)
     "q163_seasonal_anomalies",  # 1-row midpoint attach (cf. q161)
     "q154_quantile_sketch",  # 3-row percentile-list attach onto the histogram
     "q153_rrf_fusion",  # inherits q47's quantizer / probe-list attaches
