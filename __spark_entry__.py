@@ -76,6 +76,8 @@ _ROTATION_TAIL = [
     "q168_json_props_profile",
     "q169_benford_audit",
     "q170_total_reconciliation",
+    "q171_wow_growth",
+    "q172_cluster_size_distribution",
     # ---- the driver's tail-50 window starts here ----
     # changed this round (q42's result set changed: 64-bit signatures):
     "q42_dedup_simhash",

@@ -1704,3 +1704,54 @@ def q167_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         dec(F.expr("percentile(us / 1000000.0, 0.9)"), 4).alias("p90_s"),
         dec(F.expr("percentile(us / 1000000.0, 0.99)"), 4).alias("p99_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q171 — weekly revenue with week-over-week growth
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q171_wow_growth",
+    oracle="""
+    WITH w AS (
+      SELECT date_trunc('week', ts) AS week,
+             ROUND(SUM(value), 2) AS revenue,
+             COUNT(*) AS n_events
+      FROM events WHERE event_type = 'purchase' GROUP BY 1)
+    SELECT week, (revenue + 0.0) AS revenue, n_events,
+           (ROUND(revenue - LAG(revenue) OVER (ORDER BY week), 2) + 0.0)
+             AS wow_delta,
+           (ROUND((revenue - LAG(revenue) OVER (ORDER BY week))
+                  / LAG(revenue) OVER (ORDER BY week), 6) + 0.0) AS wow_pct
+    FROM w
+    """,
+)
+def q171_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly purchase revenue with week-over-week delta and growth
+    rate — the standard growth-reporting cut (q87's accounting at the
+    revenue level).  First week reports null deltas rather than a
+    fabricated zero.
+
+    Scale shape: the corpus collapses to |weeks| rows in one pushed,
+    map-side-combinable hash agg; the LAG window runs over that bounded
+    table only (the q164 collapse-first discipline — the single-
+    partition window is over the model, never the data).  Revenue
+    rounds to 2 before the delta so both engines difference identical
+    numbers.
+    """
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    w = ev.groupBy(F.date_trunc("week", "ts").alias("week")).agg(
+        F.round(F.sum("value"), 2).alias("revenue"),
+        F.count("*").alias("n_events"),
+    )
+    prev = F.lag("revenue").over(W.orderBy("week"))
+    return w.select(
+        "week",
+        "revenue",
+        "n_events",
+        dec(F.col("revenue") - prev, 2).alias("wow_delta"),
+        dec((F.col("revenue") - prev) / prev, 6).alias("wow_pct"),
+    )

@@ -7208,3 +7208,43 @@ def q166_ensemble_score_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec((pq + pl) / 2, 6).alias("blended"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q172 — duplicate-cluster size distribution
+# ---------------------------------------------------------------------------
+
+
+def _q172_oracle() -> str:
+    return f"""
+    WITH base AS (SELECT * FROM ({_q69_oracle()}) t)
+    SELECT cluster_size,
+           COUNT(DISTINCT cluster_id) AS n_clusters,
+           COUNT(*) AS n_docs
+    FROM base GROUP BY cluster_size
+    """
+
+
+@query("q172_cluster_size_distribution", oracle=_q172_oracle())
+def q172_cluster_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size distribution of q69's duplicate clusters: how many clusters
+    of 2, of 3, ... and how many documents each size class holds — the
+    duplication power-law audit.  Web-crawl dedup decisions hinge on
+    this shape (a fat tail of giant clusters means boilerplate/mirrors
+    and argues for q133-style removal lists; mostly pairs means
+    ordinary re-posting handled by q122's representatives), and a
+    sudden shift between snapshots is a crawler regression signal.
+
+    Scale shape: composes q69 (anchor blocking + distributed connected
+    components, already scale-audited) and adds one bounded hash agg —
+    output rows = number of DISTINCT cluster sizes (<= tens at any
+    corpus, power-law or not).
+    """
+    return (
+        q69_dedup_clusters(spark, sf_dir)
+        .groupBy("cluster_size")
+        .agg(
+            F.countDistinct("cluster_id").alias("n_clusters"),
+            F.count("*").alias("n_docs"),
+        )
+    )
