@@ -78,6 +78,7 @@ _ROTATION_TAIL = [
     "q170_total_reconciliation",
     "q171_wow_growth",
     "q172_cluster_size_distribution",
+    "q173_cluster_cohesion",
     # ---- the driver's tail-50 window starts here ----
     # changed this round (q42's result set changed: 64-bit signatures):
     "q42_dedup_simhash",

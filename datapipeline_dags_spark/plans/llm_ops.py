@@ -7248,3 +7248,87 @@ def q172_cluster_size_distribution(spark: SparkSession, sf_dir: str) -> DataFram
             F.count("*").alias("n_docs"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q173 — dedup cluster cohesion audit (single-linkage chaining detector)
+# ---------------------------------------------------------------------------
+
+COHESION_MIN_SIZE = 3
+COHESION_T = 0.3  # a within-cluster pair below this marks the cluster chained
+
+
+def _q173_oracle() -> str:
+    return f"""
+    WITH cl AS (SELECT * FROM ({_q69_oracle()}) t WHERE cluster_size >= {COHESION_MIN_SIZE}),
+    sh AS (
+      SELECT doc_id, list_transform({_SHINGLES_SQL}, x -> md5(x)) AS sh
+      FROM documents),
+    pairs AS (
+      SELECT a.cluster_id,
+             len(list_intersect(sa.sh, sb.sh)) AS i,
+             len(sa.sh) AS na, len(sb.sh) AS nb
+      FROM cl a JOIN cl b
+        ON a.cluster_id = b.cluster_id AND a.doc_id < b.doc_id
+      JOIN sh sa ON sa.doc_id = a.doc_id
+      JOIN sh sb ON sb.doc_id = b.doc_id),
+    scored AS (
+      SELECT cluster_id, i * 1.0 / (na + nb - i) AS j FROM pairs)
+    SELECT cluster_id,
+           COUNT(*) AS n_pairs,
+           {sql_dec('MIN(j)', 6)} AS min_jaccard,
+           {sql_dec('AVG(j)', 6)} AS mean_jaccard,
+           MIN(j) < {COHESION_T} AS chained
+    FROM scored GROUP BY cluster_id
+    """
+
+
+@query("q173_cluster_cohesion", oracle=_q173_oracle())
+def q173_cluster_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohesion audit of q69's duplicate clusters: for every cluster of
+    >= {COHESION_MIN_SIZE} docs, the min/mean EXACT pairwise Jaccard
+    over ALL member pairs — including pairs the blocking never proposed.
+    Connected components is single-linkage, so A~B~C chains can merge
+    documents that are nothing alike (min pairwise similarity far below
+    the near-dup threshold); a `chained` cluster is one to split or to
+    route through q122's representative selection with suspicion.  This
+    is the measured answer to the classic MinHash-dedup failure mode,
+    not an assumption that transitive closure == semantic sameness.
+
+    Scale shape: clusters join on cluster_id (bounded members per
+    cluster — q69's bucket caps bound the blocking fan-in), pair
+    explode within cluster only, md5-digest arrays verify via
+    array_intersect (q144's fixed-width-shuffle discipline); output is
+    one row per audited cluster.
+    """
+    cl = q69_dedup_clusters(spark, sf_dir).filter(
+        F.col("cluster_size") >= COHESION_MIN_SIZE
+    )
+    sh = _fanout(spark, table(spark, sf_dir, "documents")).select(
+        "doc_id", F.transform(_shingles(F.col("text")), F.md5).alias("sh")
+    )
+    a = cl.select(F.col("cluster_id"), F.col("doc_id").alias("da"))
+    b = cl.select(F.col("cluster_id"), F.col("doc_id").alias("db"))
+    pairs = (
+        a.join(b, "cluster_id")
+        .filter(F.col("da") < F.col("db"))
+        .join(sh.select(F.col("doc_id").alias("da"), F.col("sh").alias("sa")), "da")
+        .join(sh.select(F.col("doc_id").alias("db"), F.col("sh").alias("sb")), "db")
+        .select(
+            "cluster_id",
+            F.size(F.array_intersect("sa", "sb")).alias("i"),
+            F.size("sa").alias("na"),
+            F.size("sb").alias("nb"),
+        )
+    )
+    j = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        pairs.select("cluster_id", j.alias("j"))
+        .groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            dec(F.min("j"), 6).alias("min_jaccard"),
+            dec(F.avg("j"), 6).alias("mean_jaccard"),
+            (F.min("j") < COHESION_T).alias("chained"),
+        )
+    )
