@@ -1,12 +1,18 @@
-"""Driver-contract shape of ``__spark_entry__``: the rotation must place
-every never-driver-checked query inside the tail-50 window the driver
-samples, with no dangling names (a misspelled rotation entry silently
-shrinks the window — exactly the failure this file exists to catch)."""
+"""Driver-contract shape of ``__spark_entry__``.
+
+CORRECTNESS_r04.json proved the driver samples the FIRST 50 entries of
+``queries()`` (it contained exactly positions 0-49 of the r4 order).
+The rotation must therefore place never-driver-checked queries at the
+HEAD; the tail-50 is a hedge in case the sampling end flips again.
+These tests pin the observed behavior and assert from the artifacts
+(not from an assumed driver design — r4's green test asserting
+tail-sampling was worse than no test)."""
 
 from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -15,11 +21,35 @@ sys.path.insert(0, REPO)
 import __spark_entry__ as entry  # noqa: E402
 
 
+def _driver_union(up_to_round: int | None = None) -> tuple[set[str], int]:
+    """Union of driver-checked query names across CORRECTNESS_r*.json,
+    and the latest round number found."""
+    union: set[str] = set()
+    latest = 0
+    for fn in os.listdir(REPO):
+        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", fn)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        if up_to_round is not None and rnd > up_to_round:
+            continue
+        latest = max(latest, rnd)
+        with open(os.path.join(REPO, fn)) as f:
+            union |= set(json.load(f))
+    return union, latest
+
+
 def test_rotation_names_all_registered():
     from datapipeline_dags_spark.plans.all import QUERIES
 
-    unknown = [n for n in entry._ROTATION_TAIL if n not in QUERIES]
+    unknown = [
+        n
+        for n in entry._ROTATION_HEAD + entry._ROTATION_TAIL
+        if n not in QUERIES
+    ]
     assert not unknown, f"rotation names not in registry: {unknown}"
+    overlap = set(entry._ROTATION_HEAD) & set(entry._ROTATION_TAIL)
+    assert not overlap, f"names in both head and tail: {overlap}"
 
 
 def test_rotation_preserves_registry():
@@ -31,7 +61,7 @@ def test_rotation_preserves_registry():
 
 
 def test_every_query_has_an_oracle():
-    """124/124 hash-checked: since q91 gained its integer-SQL oracle no
+    """173/173 hash-checked: since q91 gained its integer-SQL oracle no
     registered query is rows-only."""
     from datapipeline_dags_spark.plans.all import ORACLES, QUERIES
 
@@ -39,29 +69,55 @@ def test_every_query_has_an_oracle():
     assert not missing, f"queries without oracles: {missing}"
 
 
-def test_tail_window_covers_never_checked_queries():
-    """Every query registered BEFORE this round that has no driver row
-    must sit inside the tail-50 window; queries REGISTERED this round
-    may overflow (they rotate in next round, and the full check_oracle
-    sweep covers them meanwhile) — but only as the window-head spillover
-    explicitly listed at the top of _ROTATION_TAIL."""
-    covered: set[str] = set()
-    for r in (1, 2, 3):
-        p = os.path.join(REPO, f"CORRECTNESS_r0{r}.json")
-        if os.path.exists(p):
-            with open(p) as f:
-                covered |= set(json.load(f))
-    if not covered:  # artifacts not present (fresh clone) — nothing to pin
+def test_head_window_is_never_checked_queries():
+    """Positions 0-49 of queries() — the window the driver actually
+    samples (evidence: CORRECTNESS_r04.json == r4 positions 0-49) —
+    must all be queries with no driver row through r4, so the r5
+    artifact adds 50 to the union."""
+    union_r4, latest = _driver_union(up_to_round=4)
+    if not union_r4:  # fresh clone without artifacts — nothing to pin
         return
     qs = list(entry.queries())
-    window = set(qs[-50:])
-    import re
+    head = qs[:50]
+    already = [n for n in head if n in union_r4]
+    assert not already, (
+        f"head-50 wastes driver slots on already-checked queries: {already}"
+    )
 
-    new_this_round = {
-        n for n in qs if int(re.match(r"q(\d+)", n).group(1)) >= 125
-    }
-    stale_old = [n for n in qs if n not in covered and n not in new_this_round]
-    missing = [n for n in stale_old if n not in window]
-    assert not missing, f"pre-round stale queries outside driver window: {missing}"
-    overflow = [n for n in new_this_round if n not in window]
-    assert all(n in entry._ROTATION_TAIL for n in overflow), overflow
+
+def test_both_windows_cover_all_never_checked():
+    """Every query with no driver row through r4 sits in head-50 or
+    tail-50, so whichever end the driver samples adds coverage."""
+    union_r4, _ = _driver_union(up_to_round=4)
+    if not union_r4:
+        return
+    qs = list(entry.queries())
+    window = set(qs[:50]) | set(qs[-50:])
+    never = [n for n in qs if n not in union_r4]
+    # Queries registered after r4 may overflow both windows only if the
+    # windows are already saturated with older never-checked queries.
+    missing = [n for n in never if n not in window]
+    older_missing = [
+        n for n in missing if int(re.match(r"q(\d+)", n).group(1)) < 174
+    ]
+    assert not older_missing, (
+        f"pre-r5 never-checked queries outside both windows: {older_missing}"
+    )
+
+
+def test_latest_artifact_added_coverage():
+    """Once a round's CORRECTNESS artifact exists at this rotation
+    (r5+), it must contain queries absent from every earlier round —
+    the regression that motivated this file was two rounds of zero new
+    coverage."""
+    _, latest = _driver_union()
+    if latest < 5:  # r5 artifact not yet written by the driver
+        return
+    union_before, _ = _driver_union(up_to_round=latest - 1)
+    with open(os.path.join(REPO, f"CORRECTNESS_r{latest:02d}.json")) as f:
+        this_round = set(json.load(f))
+    new = this_round - union_before
+    assert new, (
+        f"CORRECTNESS_r{latest:02d} re-verified only already-checked "
+        "queries — rotation is misaligned with the driver's sampling"
+    )
