@@ -7256,16 +7256,34 @@ def q172_cluster_size_distribution(spark: SparkSession, sf_dir: str) -> DataFram
 
 COHESION_MIN_SIZE = 3
 COHESION_T = 0.3  # a within-cluster pair below this marks the cluster chained
+# Audit at most this many members per cluster (deterministic md5-rank
+# sample).  Connected components is single-linkage, so the chained
+# clusters this query exists to DETECT are exactly the ones whose size
+# is unbounded (q69's bucket caps bound candidate *edges*, not component
+# size — transitive unions merge buckets); an uncapped within-cluster
+# self-join is O(size²) and a 10⁵-doc boilerplate cluster would emit
+# 10¹⁰ pairs.  50 members ⇒ ≤ 1 225 pairs per cluster, and a min-Jaccard
+# over a uniform 50-member sample of a chained cluster still sits far
+# below COHESION_T (chaining is a property of the whole component, not
+# of rare member pairs).
+COHESION_MAX_MEMBERS = 50
 
 
 def _q173_oracle() -> str:
     return f"""
-    WITH cl AS (SELECT * FROM ({_q69_oracle()}) t WHERE cluster_size >= {COHESION_MIN_SIZE}),
+    WITH cl0 AS (SELECT * FROM ({_q69_oracle()}) t WHERE cluster_size >= {COHESION_MIN_SIZE}),
+    cl AS (
+      SELECT cluster_id, doc_id, cluster_size FROM (
+        SELECT cluster_id, doc_id, cluster_size,
+               ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS mr
+        FROM cl0) s
+      WHERE mr <= {COHESION_MAX_MEMBERS}),
     sh AS (
       SELECT doc_id, list_transform({_SHINGLES_SQL}, x -> md5(x)) AS sh
       FROM documents),
     pairs AS (
-      SELECT a.cluster_id,
+      SELECT a.cluster_id, a.cluster_size,
              len(list_intersect(sa.sh, sb.sh)) AS i,
              len(sa.sh) AS na, len(sb.sh) AS nb
       FROM cl a JOIN cl b
@@ -7273,8 +7291,11 @@ def _q173_oracle() -> str:
       JOIN sh sa ON sa.doc_id = a.doc_id
       JOIN sh sb ON sb.doc_id = b.doc_id),
     scored AS (
-      SELECT cluster_id, i * 1.0 / (na + nb - i) AS j FROM pairs)
+      SELECT cluster_id, cluster_size, i * 1.0 / (na + nb - i) AS j FROM pairs)
     SELECT cluster_id,
+           MAX(cluster_size) AS n_members_total,
+           CAST(LEAST(MAX(cluster_size), {COHESION_MAX_MEMBERS}) AS BIGINT)
+             AS n_members_audited,
            COUNT(*) AS n_pairs,
            {sql_dec('MIN(j)', 6)} AS min_jaccard,
            {sql_dec('AVG(j)', 6)} AS mean_jaccard,
@@ -7287,28 +7308,45 @@ def _q173_oracle() -> str:
 def q173_cluster_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohesion audit of q69's duplicate clusters: for every cluster of
     >= {COHESION_MIN_SIZE} docs, the min/mean EXACT pairwise Jaccard
-    over ALL member pairs — including pairs the blocking never proposed.
-    Connected components is single-linkage, so A~B~C chains can merge
-    documents that are nothing alike (min pairwise similarity far below
-    the near-dup threshold); a `chained` cluster is one to split or to
+    over the pairs of a deterministic {COHESION_MAX_MEMBERS}-member
+    sample — including pairs the blocking never proposed.  Connected
+    components is single-linkage, so A~B~C chains can merge documents
+    that are nothing alike (min pairwise similarity far below the
+    near-dup threshold); a `chained` cluster is one to split or to
     route through q122's representative selection with suspicion.  This
     is the measured answer to the classic MinHash-dedup failure mode,
     not an assumption that transitive closure == semantic sameness.
 
-    Scale shape: clusters join on cluster_id (bounded members per
-    cluster — q69's bucket caps bound the blocking fan-in), pair
-    explode within cluster only, md5-digest arrays verify via
-    array_intersect (q144's fixed-width-shuffle discipline); output is
-    one row per audited cluster.
+    Scale shape: component size is NOT bounded by q69's bucket caps
+    (transitive unions merge buckets), and giant chained clusters are
+    this query's own target failure mode — so members are sampled to
+    {COHESION_MAX_MEMBERS} per cluster by md5-rank (engine-agreed coin,
+    mirrored in the oracle) BEFORE the within-cluster pair join, capping
+    it at C({COHESION_MAX_MEMBERS},2) = 1 225 pairs per cluster.
+    ``n_members_total`` vs ``n_members_audited`` makes truncation
+    observable per row, and ``BUCKET_OBSERVATIONS['q173_cluster_cohesion']``
+    counts capped clusters as the plan runs.  md5-digest arrays verify
+    via array_intersect (q144's fixed-width-shuffle discipline); output
+    is one row per audited cluster.
     """
     cl = q69_dedup_clusters(spark, sf_dir).filter(
         F.col("cluster_size") >= COHESION_MIN_SIZE
     )
+    mw = W.partitionBy("cluster_id").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    sampled = (
+        cl.withColumn("mr", F.row_number().over(mw))
+        .filter(F.col("mr") <= COHESION_MAX_MEMBERS)
+        .select("cluster_id", "doc_id", "cluster_size")
+    )
     sh = _fanout(spark, table(spark, sf_dir, "documents")).select(
         "doc_id", F.transform(_shingles(F.col("text")), F.md5).alias("sh")
     )
-    a = cl.select(F.col("cluster_id"), F.col("doc_id").alias("da"))
-    b = cl.select(F.col("cluster_id"), F.col("doc_id").alias("db"))
+    a = sampled.select(
+        F.col("cluster_id"), F.col("doc_id").alias("da"), F.col("cluster_size")
+    )
+    b = sampled.select(F.col("cluster_id"), F.col("doc_id").alias("db"))
     pairs = (
         a.join(b, "cluster_id")
         .filter(F.col("da") < F.col("db"))
@@ -7316,19 +7354,34 @@ def q173_cluster_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sh.select(F.col("doc_id").alias("db"), F.col("sh").alias("sb")), "db")
         .select(
             "cluster_id",
+            "cluster_size",
             F.size(F.array_intersect("sa", "sb")).alias("i"),
             F.size("sa").alias("na"),
             F.size("sb").alias("nb"),
         )
     )
     j = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    obs = Observation()
+    BUCKET_OBSERVATIONS["q173_cluster_cohesion"] = obs
     return (
-        pairs.select("cluster_id", j.alias("j"))
+        pairs.select("cluster_id", "cluster_size", j.alias("j"))
         .groupBy("cluster_id")
         .agg(
+            F.max("cluster_size").alias("n_members_total"),
+            F.least(F.max("cluster_size"), F.lit(COHESION_MAX_MEMBERS))
+            .cast("long")
+            .alias("n_members_audited"),
             F.count("*").alias("n_pairs"),
             dec(F.min("j"), 6).alias("min_jaccard"),
             dec(F.avg("j"), 6).alias("mean_jaccard"),
             (F.min("j") < COHESION_T).alias("chained"),
+        )
+        .observe(
+            obs,
+            F.count(F.lit(1)).alias("buckets"),
+            F.sum(
+                (F.col("n_members_total") > COHESION_MAX_MEMBERS).cast("long")
+            ).alias("capped_buckets"),
+            F.max("n_members_total").alias("max_bucket_size"),
         )
     )

@@ -64,11 +64,17 @@ def _make_update(lo: float, hi: float):
         )
         for pdf in pdfs:
             for v in pdf["value"]:
-                b = int(math.floor((float(v) - lo) / w))
+                fv = float(v)
+                b = int(math.floor((fv - lo) / w))
                 if b < 0:
                     b, clamped = 0, clamped + 1
                 elif b >= QSK_STREAM_BINS:
-                    b, clamped = QSK_STREAM_BINS - 1, clamped + 1
+                    # v == hi is in-range boundary data (closed upper
+                    # bound): last bin, NOT a saturation event; only
+                    # v > hi counts as clamped.
+                    b = QSK_STREAM_BINS - 1
+                    if fv > hi:
+                        clamped += 1
                 counts[b] += 1
         state.update((counts, clamped))
         yield pd.DataFrame(

@@ -25,7 +25,8 @@ LO, HI = 0.0, 100.0
 
 rng = np.random.RandomState(7)
 BATCH1 = list(rng.uniform(5, 95, 400))
-BATCH2 = list(rng.uniform(20, 80, 300)) + [-3.0, 104.0]  # two out-of-range
+# two out-of-range + the closed upper bound (in-range, must NOT clamp)
+BATCH2 = list(rng.uniform(20, 80, 300)) + [-3.0, 104.0, HI]
 
 
 def _drop(dirpath, name, vals):
@@ -63,7 +64,9 @@ def _batch_reference(vals, p):
         if b < 0:
             b, clamped = 0, clamped + 1
         elif b >= QSK_STREAM_BINS:
-            b, clamped = QSK_STREAM_BINS - 1, clamped + 1
+            b = QSK_STREAM_BINS - 1
+            if v > HI:
+                clamped += 1
         counts[b] += 1
     return _estimate(counts, LO, HI, p), clamped
 
@@ -78,6 +81,7 @@ def test_cross_batch_merge_equals_batch_estimate(spark, tmp_path):
 
     allv = BATCH1 + BATCH2
     assert final["n"] == len(allv)
+    # exactly -3.0 and 104.0 clamp; v == HI is boundary data, not clamped
     assert final["n_clamped"] == 2
     bin_w = (HI - LO) / QSK_STREAM_BINS
     for p, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):

@@ -44,6 +44,10 @@ TARGETS = (
     "q112_ann_ivfpq_numpy",
     "q96_semantic_dedup",
     "q96_semantic_dedup_flat_jvm",
+    # the three widest plans in the corpus (VERDICT r4 ask #4):
+    "q125_tfidf_sparse_cosine",  # 33 shuffles / 14 scans
+    "q147_source_overlap_sketch",  # 23 shuffles
+    "q137_survivorship_funnel",  # 16 shuffles (q40 . q69 . q99)
 )
 
 # Per-(target, scale) keyword overrides: the SemDeDup contract is that
@@ -114,6 +118,57 @@ def build_fixtures() -> dict[str, str]:
     return dirs
 
 
+def build_chained_fixture(spokes_per_group: int) -> str:
+    """Hub-and-spoke 'boilerplate hub' corpus: one hub doc whose 4
+    anchor shingles each appear verbatim in ``spokes_per_group`` spoke
+    docs — connected components merges everything into ONE cluster
+    (diameter 2) whose members from different groups share no shingle
+    at all: the maximally chained cluster q173 exists to detect."""
+    d = f"{WORK}/chained_{spokes_per_group}"
+    os.makedirs(d, exist_ok=True)
+    import pandas as pd
+
+    hub_words = [f"g{i}" for i in range(8)]
+    hub_shingles = [hub_words[i : i + 5] for i in range(4)]
+    rows = [(0, " ".join(hub_words), "en", "hub")]
+    did = 1
+    for j in range(4):
+        for _ in range(spokes_per_group):
+            text = " ".join(
+                [f"u{did}a", f"u{did}b", f"u{did}c"] + hub_shingles[j]
+            )
+            rows.append((did, text, "en", "spoke"))
+            did += 1
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"])
+    pdf["n_chars"] = pdf["text"].str.len()
+    pdf.to_parquet(f"{d}/documents.parquet", index=False)
+    return d
+
+
+def chained_cluster_rows(spark) -> list[str]:
+    """q173 wall-clock on synthetic chained clusters of growing size:
+    the member cap keeps audited pairs constant while the would-be
+    uncapped pair count grows quadratically."""
+    out = []
+    for spokes in (250, 999):  # cluster sizes 1001 and 3997
+        d = build_chained_fixture(spokes)
+        n = 1 + 4 * spokes
+        runs = []
+        for _ in range(REPS):
+            t0 = time.time()
+            rows = QUERIES["q173_cluster_cohesion"](spark, d).collect()
+            runs.append(time.time() - t0)
+            spark.catalog.clearCache()
+        obs = dict(llm_ops.BUCKET_OBSERVATIONS["q173_cluster_cohesion"].get)
+        r = rows[0]
+        out.append(
+            f"| {n} | {n * (n - 1) // 2} | {r['n_pairs']} | "
+            f"{r['n_members_audited']} | {str(r['chained']).lower()} | "
+            f"{obs['capped_buckets']} | {round(statistics.median(runs), 2)} |"
+        )
+    return out
+
+
 def main() -> None:
     dirs = build_fixtures()
     spark = get_session("scaling")
@@ -156,6 +211,8 @@ def main() -> None:
             f"| bpe_train n={n_merges} batch={batch} | {n_out} | {round(sec, 2)} | "
             f"{round(sec / n_merges, 3)} |"
         )
+
+    chained_rows = chained_cluster_rows(spark)
 
     lines = [
         "# SCALING — 10x stress evidence (generated by tools/scaling.py)",
@@ -249,6 +306,28 @@ def main() -> None:
         "non-interacting pairs per rewrite pass — ~10x fewer rounds, the",
         "same merge set on this corpus (tests/test_bpe_batched.py), which",
         "is how a 50k-merge production vocabulary stays ~vocab/B rounds.",
+        "",
+        "## q173 cohesion audit on synthetic chained clusters",
+        "",
+        "Hub-and-spoke corpus (one hub doc, 4 anchor groups): connected",
+        "components merges everything into ONE diameter-2 cluster whose",
+        "cross-group members share zero shingles — the single-linkage",
+        "chaining failure mode q173 detects, at sizes where an uncapped",
+        "within-cluster pair join would be quadratic.",
+        "",
+        "| cluster size | uncapped pairs (C(n,2)) | audited pairs | "
+        "members audited | chained | capped_buckets | sec |",
+        "|---|---|---|---|---|---|---|",
+        *chained_rows,
+        "",
+        "The md5-rank member cap (COHESION_MAX_MEMBERS=50) keeps the",
+        "audited pair count constant at 1 225 while the would-be pair",
+        "count grows ~16x between the two sizes; wall-clock tracks the",
+        "q69 clustering of the corpus, not the square of the cluster",
+        "size, the chained verdict still fires (any cross-group sampled",
+        "pair has Jaccard 0), and the truncation is observable both per",
+        "row (n_members_total vs n_members_audited) and in the",
+        "bucket_cap_stats metrics sink.",
     ]
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.md")
     with open(out, "w") as f:
