@@ -53,6 +53,8 @@ _ROTATION_HEAD = [
     "q112_ann_ivfpq",
     "q167_conversion_latency",
     "q165_rfm_segments",
+    # new this round (video frame-sample -> per-frame dHash near-dup):
+    "q174_video_dhash_neardup",
     # VERDICT r4 ask #7 rotation-overflow queries:
     "q128_zipf_vocab_audit",
     "q129_source_score_calibration",
@@ -98,7 +100,6 @@ _ROTATION_HEAD = [
     "q117_count_min_sketch",
     "q119_corpus_diff",
     "q120_mixing_schedule",
-    "q121_bigram_lm_score",
 ]
 
 _ROTATION_TAIL = [
@@ -154,7 +155,7 @@ _ROTATION_TAIL = [
     "q44_embedding_cosine_neardup",
     "q45_ann_topk_bruteforce",
     "q46_ann_lsh_bucketed",
-    "q47_ann_ivf",
+    "q121_bigram_lm_score",
 ]
 
 

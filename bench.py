@@ -59,6 +59,11 @@ HEADLINE = [
     "q144_prefix_filter_jaccard",
     "q154_quantile_sketch",
     "q149_session_paths",
+    # round-5 additions: incremental rollup maintenance, RFM
+    # segmentation, post-cap cluster cohesion audit (VERDICT r4 ask #8)
+    "q161_incremental_rollup",
+    "q165_rfm_segments",
+    "q173_cluster_cohesion",
 ]
 
 REPS = 3

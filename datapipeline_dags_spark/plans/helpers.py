@@ -26,3 +26,70 @@ def dec(col: Column, scale: int = 2) -> Column:
 def sql_dec(expr: str, scale: int = 2) -> str:
     """DuckDB side of the parity rule."""
     return f"(ROUND({expr}, {scale}) + 0.0)"
+
+
+# ---------------------------------------------------------------------------
+# Exact-percentile audit gate (VERDICT r4 ask #3)
+#
+# Spark's exact ``percentile`` buffers EVERY value of a group in one
+# aggregation buffer; with a handful of groups (q154's 3 return flags,
+# q141's 5 priorities) that is the whole corpus held in a handful of
+# reducer tasks — fine at fixture scale, OOM at 100x.  The owners of
+# that pattern take an ``exact_audit`` knob:
+#
+#   "exact"   — current behavior (the oracle-parity path; also what
+#               "auto" resolves to at or below EXACT_AUDIT_MAX_ROWS,
+#               so the driver gate at sf<=0.1 never changes plans)
+#   "sampled" — exact percentile over a deterministic md5-coin row
+#               sample (the q58 coin: engine-reproducible, no RNG)
+#               sized to ~EXACT_AUDIT_TARGET_ROWS rows, bounding the
+#               per-group buffer at any SF while keeping counts exact
+#   "auto"    — "exact" until the input exceeds EXACT_AUDIT_MAX_ROWS,
+#               then "sampled" (the q96/q112 auto-select pattern: the
+#               registered default IS the scale-safe path)
+#
+# q59 stays exempt by contract ("exact" is the operator; unbounded
+# cardinality routes to q68), and the per-entity-collapsed medians
+# (q165/q167) are bounded by |entities| before the percentile.
+# ---------------------------------------------------------------------------
+
+EXACT_AUDIT_MAX_ROWS = 5_000_000
+EXACT_AUDIT_TARGET_ROWS = 1_000_000
+
+_ROW_COUNT_CACHE: dict[tuple[int, str], int] = {}
+
+
+def cached_count(df, cache_key: str) -> int:
+    """One control-plane count per (session, key) — the corpus_size
+    pattern (plans/llm_ops.py) for auto-mode scale decisions."""
+    sess_key = (id(df.sparkSession), cache_key)
+    if sess_key not in _ROW_COUNT_CACHE:
+        _ROW_COUNT_CACHE[sess_key] = df.count()
+    return _ROW_COUNT_CACHE[sess_key]
+
+
+def resolve_exact_audit(mode: str, n_rows_fn) -> str:
+    """Resolve an ``exact_audit`` knob to 'exact' or 'sampled'.
+
+    ``n_rows_fn`` is called only in auto mode so pinned modes never pay
+    the count job."""
+    if mode == "auto":
+        return "sampled" if n_rows_fn() > EXACT_AUDIT_MAX_ROWS else "exact"
+    if mode not in ("exact", "sampled"):
+        raise ValueError(f"exact_audit must be auto|exact|sampled, got {mode!r}")
+    return mode
+
+
+def exact_audit_frac(n_rows: int) -> float:
+    """Keep-fraction sizing the sampled exact audit to
+    ~EXACT_AUDIT_TARGET_ROWS rows (module global read at call time so
+    tests can shrink it)."""
+    return min(1.0, EXACT_AUDIT_TARGET_ROWS / max(n_rows, 1))
+
+
+def md5_coin(key: Column, frac: float) -> Column:
+    """Deterministic keep-coin: first 8 md5 hex chars of ``key`` as a
+    uniform in [0, 2^32), kept when below ``frac`` of the range.  Same
+    bytes both engines — the q58 sampling discipline."""
+    u = F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast("long")
+    return u < int(frac * 4294967296.0)

@@ -4062,7 +4062,7 @@ def _ivfpq_encode_numpy(spark: SparkSession, resid: DataFrame) -> DataFrame:
 
 @query("q112_ann_ivfpq", oracle=_q112_oracle())
 def q112_ann_ivfpq(
-    spark: SparkSession, sf_dir: str, *, encode_backend: str = "jvm"
+    spark: SparkSession, sf_dir: str, *, encode_backend: str | None = None
 ) -> DataFrame:
     """IVF-PQ: the production billion-vector ANN layout (FAISS IVFPQ) —
     coarse cells restrict WHICH vectors a query scores (q47), residual
@@ -4152,11 +4152,15 @@ def q112_ann_ivfpq(
         )["cid"],
     )
     # pass 2: encode residuals against the residual codebook.
-    # "jvm" (default, oracle-checked) folds the argmin into one
-    # constant-size HOF expression; "numpy" is the production fast path
-    # for the heaviest math — one BLAS distance matrix per Arrow batch
-    # via mapInPandas (identical codes on the fixture, asserted in
-    # tests; cf. q96's pair_backend).
+    # REGISTERED DEFAULT (None) auto-selects "numpy" when numpy imports
+    # — the q96 pair_backend pattern; SCALING.md shows jvm encode at
+    # 3.3x at 10x (it carries ann_params' extra recall work through a
+    # per-row HOF argmin) vs numpy near-flat at identical recall and
+    # identical codes (bit-equal on the fixture, asserted in tests;
+    # hash-green vs the oracle).  "jvm" remains the pure-SQL fallback
+    # and the plan the DuckDB oracle mirrors expression-for-expression.
+    if encode_backend is None:
+        encode_backend = "numpy" if _numpy_available() else "jvm"
     if encode_backend == "numpy":
         codes = _ivfpq_encode_numpy(spark, resid)
     else:

@@ -34,16 +34,26 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+import struct as _struct
 
 from datapipeline_dags_spark.catalog import table
 from datapipeline_dags_spark.operators.multimodal import (
     DHASH_BANDS,
     DHASH_H,
     DHASH_W,
+    VID_MAGIC,
     dhash_images,
     dhash_near_dup,
     encode_img1,
+    sample_frames,
 )
 from datapipeline_dags_spark.plans.llm_ops import _SHINGLES_SQL, SHINGLE_K, _fanout
 from datapipeline_dags_spark.plans.registry import query
@@ -163,6 +173,241 @@ def render_doc_images(
         F.col("doc_id").alias("id"), "text"
     )
     return _fanout(spark, docs).mapInPandas(render, RENDER_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# q174 — video near-dup: frame-sample -> per-frame dHash -> banded blocking
+# (VERDICT r4 ask #9: VID1 was the only modality without a feature/dedup
+# query; this runs the real sample_frames operator end to end)
+# ---------------------------------------------------------------------------
+
+VID_FRAMES = 4  # frames rendered per document video
+VID_SAMPLE_EVERY = 2  # sample_frames keeps frame_idx % 2 == 0
+VID_HAMMING_T = 2  # every sampled frame must be within this Hamming
+# Frames render at a smaller side than q91's single image: each frame
+# holds ~1/VID_FRAMES of the document's shingles, so the pixel space
+# shrinks with it to keep per-frame lit density in the regime where a
+# 9x8 dHash is informative (a sparse 32x32 frame downsamples to a
+# near-zero hash and EVERYTHING collides at small Hamming).
+VID_SIDE = 16
+
+
+def _q174_oracle() -> str:
+    """q91's integer-SQL dHash derivation lifted to (doc, frame): each
+    shingle lands in ONE frame (md5 byte 15 mod {VID_FRAMES} — the same
+    digest the pixels come from, mirrored by ``_render_video``), frames
+    with frame_idx % {VID_SAMPLE_EVERY} != 0 are dropped exactly as
+    ``sample_frames`` drops them, every (doc, sampled frame) gets a
+    64-bit dHash (all-zero frames included — their hash is 0), banding
+    blocks on (frame, band, 16-bit key), and a candidate doc pair
+    verifies over ALL its sampled frames.  As in q91, the VID1/IMG1
+    encode/decode round-trips are the identity on the pixel buffers,
+    so the SQL skips the codec and still checks every downstream value.
+    """
+    side, n_px = VID_SIDE, VID_SIDE * VID_SIDE
+    return f"""
+    WITH docs AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents),
+    s AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+    dig AS (SELECT doc_id, md5(s) AS h,
+                   ('0x'||substr(md5(s), 31, 2))::BIGINT % {VID_FRAMES} AS f
+            FROM s),
+    sampled AS (SELECT * FROM dig WHERE f % {VID_SAMPLE_EVERY} = 0),
+    ks AS (SELECT unnest(generate_series(0, {N_PIXEL_HASHES - 1})) AS k),
+    hits AS (
+      SELECT doc_id, f,
+             (('0x'||substr(h, 8*k+1, 2))::BIGINT
+              + ('0x'||substr(h, 8*k+3, 2))::BIGINT * 256
+              + ('0x'||substr(h, 8*k+5, 2))::BIGINT * 65536) % {n_px} AS pix,
+             ('0x'||substr(h, 8*k+7, 2))::BIGINT AS v
+      FROM sampled, ks),
+    lit AS (SELECT doc_id, f, pix, MAX(v) AS v FROM hits GROUP BY doc_id, f, pix),
+    fr AS (SELECT doc_id, fs.f
+           FROM (SELECT doc_id FROM documents) d,
+                (SELECT unnest(generate_series(0, {VID_FRAMES - 1})) AS f) fs
+           WHERE fs.f % {VID_SAMPLE_EVERY} = 0),
+    grid AS (SELECT x, y,
+                    LEAST({side - 1}, (y*{side})//{DHASH_H}) * {side}
+                    + LEAST({side - 1}, (x*{side})//{DHASH_W}) AS pos
+             FROM (SELECT unnest(generate_series(0, {DHASH_W - 1})) AS x),
+                  (SELECT unnest(generate_series(0, {DHASH_H - 1})) AS y)),
+    small AS (
+      SELECT d.doc_id, d.f, g.x, g.y, COALESCE(l.v, 0) AS v
+      FROM fr d
+      CROSS JOIN grid g
+      LEFT JOIN lit l ON l.doc_id = d.doc_id AND l.f = d.f AND l.pix = g.pos),
+    hsh AS (
+      SELECT a.doc_id, a.f,
+             BIT_OR(CASE WHEN a.v > b.v
+                    THEN (CAST(1 AS UBIGINT) << (63 - (a.y*{DHASH_W - 1} + a.x)))
+                    ELSE CAST(0 AS UBIGINT) END) AS u
+      FROM small a JOIN small b
+        ON a.doc_id = b.doc_id AND a.f = b.f AND a.y = b.y AND b.x = a.x + 1
+      WHERE a.x < {DHASH_W - 1}
+      GROUP BY a.doc_id, a.f),
+    bands AS (
+      SELECT doc_id, f, u, bb.b AS band, (u >> (16*bb.b)) & 65535 AS key
+      FROM hsh,
+           (SELECT unnest(generate_series(0, {DHASH_BANDS - 1})) AS b) bb),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+             FROM bands a JOIN bands c
+               ON a.f = c.f AND a.band = c.band AND a.key = c.key
+              AND a.doc_id < c.doc_id),
+    ham AS (
+      SELECT cand.id_a, cand.id_b, ha.f,
+             bit_count(xor(ha.u, hb.u)) AS hm
+      FROM cand
+      JOIN hsh ha ON ha.doc_id = cand.id_a
+      JOIN hsh hb ON hb.doc_id = cand.id_b AND hb.f = ha.f)
+    SELECT id_a, id_b,
+           CAST(MAX(hm) AS BIGINT) AS max_hamming,
+           CAST(SUM(hm) AS BIGINT) AS total_hamming
+    FROM ham GROUP BY id_a, id_b
+    HAVING MAX(hm) <= {VID_HAMMING_T}
+    """
+
+
+def _render_video(text: str, side: int, n_frames: int) -> bytes:
+    """Deterministic VID1 video per document: each shingle's md5 digest
+    picks ONE frame (byte 15 mod n_frames) and lights its q91 pixels in
+    that frame's buffer — so near-duplicate TEXTS render as videos whose
+    corresponding frames are near-identical IMAGES, the regime per-frame
+    perceptual hashing is built for.  Frames are IMG1-encoded so the
+    sampled frame blocks feed ``dhash_images`` unchanged."""
+    words = text.split(" ")
+    shingles = (
+        {" ".join(words[i : i + SHINGLE_K]) for i in range(len(words) - SHINGLE_K + 1)}
+        if len(words) >= SHINGLE_K
+        else {text}
+    )
+    n = side * side
+    bufs = [bytearray(n) for _ in range(n_frames)]
+    for s in shingles:
+        h = hashlib.md5(s.encode()).digest()
+        px = bufs[h[15] % n_frames]
+        for k in range(N_PIXEL_HASHES):
+            b = int.from_bytes(h[4 * k : 4 * k + 3], "little") % n
+            v = h[4 * k + 3]
+            if v > px[b]:
+                px[b] = v
+    frames = [encode_img1(side, side, bytes(b)) for b in bufs]
+    return (
+        VID_MAGIC
+        + _struct.pack("<HH", n_frames, len(frames[0]))
+        + b"".join(frames)
+    )
+
+
+VIDEO_SCHEMA = StructType(
+    [StructField("path", StringType()), StructField("content", BinaryType())]
+)
+
+
+def render_doc_videos(
+    spark: SparkSession,
+    sf_dir: str,
+    side: int = VID_SIDE,
+    n_frames: int = VID_FRAMES,
+) -> DataFrame:
+    """Deterministic per-document VID1 video (see _render_video); the
+    ``path`` column carries the doc_id as the media key, matching the
+    (path, content) contract of the video operators."""
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "path": pdf["path"],
+                    "content": [
+                        _render_video(t, side, n_frames) for t in pdf["text"]
+                    ],
+                }
+            )
+
+    from datapipeline_dags_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    docs = table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("path"), "text"
+    )
+    return _fanout(spark, docs).mapInPandas(render, VIDEO_SCHEMA)
+
+
+@query("q174_video_dhash_neardup", oracle=_q174_oracle())
+def q174_video_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup over the rendered corpus: ``sample_frames`` (the
+    real explode-shaped VID1 operator) keeps every {VID_SAMPLE_EVERY}th
+    frame, ONE Arrow pass dHashes each sampled frame, and q91's banded
+    blocking runs per (frame_idx, band, 16-bit key) — two videos are
+    near-duplicates when EVERY sampled frame pair is within
+    {VID_HAMMING_T} Hamming bits.
+
+    Scale shape: pixel data exists only inside the two map-only Arrow
+    passes (render, per-frame hash); the shuffle carries (frame, band,
+    key) + 8-byte hashes, the verify join is per-candidate-pair x
+    |sampled frames| rows, and the final agg is one bounded groupBy per
+    pair.  Hash-checked end to end: the DuckDB oracle re-derives the
+    per-frame dHashes from documents with pure integer SQL
+    (``_q174_oracle``)."""
+    frames = sample_frames(
+        render_doc_videos(spark, sf_dir), every_n=VID_SAMPLE_EVERY
+    )
+    fid = (
+        F.col("path").cast("long") * VID_FRAMES + F.col("frame_idx")
+    ).alias("id")
+    hashes = dhash_images(
+        frames.select(fid, F.col("frame").alias("content"))
+    ).select(
+        F.floor(F.col("id") / VID_FRAMES).cast("long").alias("doc_id"),
+        (F.col("id") % VID_FRAMES).cast("int").alias("f"),
+        "dhash",
+    )
+    bands = hashes.select(
+        "doc_id",
+        "f",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("dhash"), 16 * b).bitwiseAND(
+                        F.lit(0xFFFF)
+                    )
+                    for b in range(DHASH_BANDS)
+                ]
+            )
+        ).alias("band", "key"),
+    )
+    cand = (
+        bands.select(F.col("doc_id").alias("id_a"), "f", "band", "key")
+        .join(
+            bands.select(F.col("doc_id").alias("id_b"), "f", "band", "key"),
+            ["f", "band", "key"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ha = hashes.select(
+        F.col("doc_id").alias("id_a"), "f", F.col("dhash").alias("h_a")
+    )
+    hb = hashes.select(
+        F.col("doc_id").alias("id_b"), "f", F.col("dhash").alias("h_b")
+    )
+    per_frame = (
+        cand.join(ha, "id_a")
+        .join(hb, ["id_b", "f"])
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).alias("hm"),
+        )
+    )
+    return (
+        per_frame.groupBy("id_a", "id_b")
+        .agg(
+            F.max("hm").cast("long").alias("max_hamming"),
+            F.sum("hm").cast("long").alias("total_hamming"),
+        )
+        .filter(F.col("max_hamming") <= VID_HAMMING_T)
+    )
 
 
 @query("q91_image_phash_neardup", oracle=_q91_oracle())

@@ -20,7 +20,14 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from datapipeline_dags_spark.catalog import table
-from datapipeline_dags_spark.plans.helpers import dec, sql_dec
+from datapipeline_dags_spark.plans.helpers import (
+    cached_count,
+    dec,
+    exact_audit_frac,
+    md5_coin,
+    resolve_exact_audit,
+    sql_dec,
+)
 from datapipeline_dags_spark.plans.registry import query
 
 # ---------------------------------------------------------------------------
@@ -1108,18 +1115,36 @@ def q140_pit_tier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM t GROUP BY o_orderpriority
     """,
 )
-def q141_ship_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q141_ship_latency_percentiles(
+    spark: SparkSession, sf_dir: str, exact_audit: str = "auto"
+) -> DataFrame:
     """Fulfilment-latency SLA report: exact interpolated p50/p90/p99 of
     order-to-ship days per order priority — the ops dashboard behind
-    priority-class SLAs.  One equi-join (orderkey) + one hash agg with
-    the q59 exact-percentile discipline (bounded group count; the
-    unbounded variant is q68's mergeable sketch).
+    priority-class SLAs.  One equi-join (orderkey) + one hash agg.
+
+    ~5 priority groups over all of lineitem means Spark's exact
+    ``percentile`` buffers a fifth of the corpus per reducer task, so
+    the percentile inputs take the ``exact_audit`` gate
+    (plans/helpers.py): 'auto' (default) is the oracle-parity exact
+    path up to EXACT_AUDIT_MAX_ROWS and a deterministic md5-coin row
+    sample above it — ``n_items`` stays an exact count in every mode
+    (the percentile aggregates skip the NULLed-out unsampled rows).
+    The truly unbounded-cardinality variant remains q68's mergeable
+    sketch.
     """
     li = table(spark, sf_dir, "lineitem")
     orders = table(spark, sf_dir, "orders")
+    mode = resolve_exact_audit(
+        exact_audit, lambda: cached_count(li, f"{sf_dir}/lineitem")
+    )
+    if mode == "sampled":
+        frac = exact_audit_frac(cached_count(li, f"{sf_dir}/lineitem"))
+        coin = md5_coin(F.concat_ws("_", "l_orderkey", "l_linenumber"), frac)
+    else:
+        coin = F.lit(True)
     t = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
         "o_orderpriority",
-        F.datediff("l_shipdate", "o_orderdate").alias("days"),
+        F.when(coin, F.datediff("l_shipdate", "o_orderdate")).alias("days"),
     )
     pct = F.percentile("days", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
     return (
@@ -1210,11 +1235,21 @@ def q142_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec(F.col("n_ab") * F.lit(1.0) * F.col("n") / (F.col("ca") * F.col("cb")), 6).alias("lift"),
         )
     )
+    # Global top-k via orderBy+limit (TakeOrderedAndProject: per-
+    # partition heaps + driver merge) — NOT a global row_number filter,
+    # which puts every supported pair through one WindowExec partition
+    # (InferWindowGroupLimit never rewrites empty-partition windows).
+    # The rank column is then assigned on the bounded BASKET_TOP rows.
+    top = scored.orderBy(F.col("lift").desc(), "part_a", "part_b").limit(
+        BASKET_TOP
+    )
     rk = F.row_number().over(W.orderBy(F.col("lift").desc(), "part_a", "part_b"))
-    return (
-        scored.withColumn("rk", rk.cast("long"))
-        .filter(F.col("rk") <= BASKET_TOP)
-        .select("part_a", "part_b", F.col("n_ab").cast("long").alias("n_ab"), "lift", "rk")
+    return top.select(
+        "part_a",
+        "part_b",
+        F.col("n_ab").cast("long").alias("n_ab"),
+        "lift",
+        rk.cast("long").alias("rk"),
     )
 
 

@@ -18,7 +18,14 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from datapipeline_dags_spark.catalog import table
-from datapipeline_dags_spark.plans.helpers import dec, sql_dec
+from datapipeline_dags_spark.plans.helpers import (
+    cached_count,
+    dec,
+    exact_audit_frac,
+    md5_coin,
+    resolve_exact_audit,
+    sql_dec,
+)
 from datapipeline_dags_spark.plans.registry import query
 
 
@@ -464,7 +471,9 @@ def _q154_oracle() -> str:
 
 
 @query("q154_quantile_sketch", oracle=_q154_oracle())
-def q154_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q154_quantile_sketch(
+    spark: SparkSession, sf_dir: str, exact_audit: str = "auto"
+) -> DataFrame:
     """Percentiles from a MERGEABLE fixed-width histogram sketch
     ({QSK_BINS} bins per group), linearly interpolated inside the
     selected bin, with the exact percentile and the theoretical error
@@ -484,10 +493,35 @@ def q154_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded histogram.  Degenerate all-equal groups take the hi = lo
     guard (the q123 zero-width lesson).  The estimate, exact value,
     and |error| <= bin-width verdict are all in the output contract.
+
+    The EXACT audit column is the one non-sketch cost: Spark's
+    ``percentile`` buffers every raw group value, and with 3 return
+    flags that is the whole corpus in 3 reducer tasks.  ``exact_audit``
+    gates it (plans/helpers.py): 'auto' (default) keeps the
+    oracle-parity exact path up to EXACT_AUDIT_MAX_ROWS and switches to
+    a deterministic md5-coin row sample (~EXACT_AUDIT_TARGET_ROWS rows)
+    above it, so the audit that certifies the sketch's scale-safety no
+    longer defeats it.
     """
-    li = table(spark, sf_dir, "lineitem").select(
+    raw = table(spark, sf_dir, "lineitem")
+    li = raw.select(
         F.col("l_returnflag").alias("g"), F.col("l_extendedprice").alias("v")
     )
+    mode = resolve_exact_audit(
+        exact_audit, lambda: cached_count(raw, f"{sf_dir}/lineitem")
+    )
+    if mode == "sampled":
+        frac = exact_audit_frac(cached_count(raw, f"{sf_dir}/lineitem"))
+        audit_rows = raw.filter(
+            md5_coin(
+                F.concat_ws("_", "l_orderkey", "l_linenumber"), frac
+            )
+        ).select(
+            F.col("l_returnflag").alias("g"),
+            F.col("l_extendedprice").alias("v"),
+        )
+    else:
+        audit_rows = li
     st = li.groupBy("g").agg(
         F.min("v").alias("lo"), F.max("v").alias("hi"), F.count("*").alias("n")
     )
@@ -539,7 +573,7 @@ def q154_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     exact = (
-        li.groupBy("g")
+        audit_rows.groupBy("g")
         .agg(
             *[
                 F.expr(f"percentile(v, {p})").alias(f"e_{i}")

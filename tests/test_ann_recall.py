@@ -99,13 +99,15 @@ def test_ivfpq_numpy_encode_matches_jvm(spark):
     from tests.conftest import SF_DIR
 
     a = (
-        q112_ann_ivfpq(spark, SF_DIR)
+        q112_ann_ivfpq(spark, SF_DIR, encode_backend="jvm")
         .toPandas()
         .sort_values(["q_id", "rank"])
         .reset_index(drop=True)
     )
+    # default (None) auto-selects numpy when it imports — the
+    # registered path must be bit-equal to the oracle-parity jvm encode
     b = (
-        q112_ann_ivfpq(spark, SF_DIR, encode_backend="numpy")
+        q112_ann_ivfpq(spark, SF_DIR)
         .toPandas()
         .sort_values(["q_id", "rank"])
         .reset_index(drop=True)

@@ -1,0 +1,113 @@
+"""exact_audit gate (VERDICT r4 ask #3): the exact-percentile owners
+(q154's audit columns, q141) must keep the oracle-parity exact path at
+fixture scale and switch to a deterministic md5-coin sample above the
+row threshold — bounding the per-group percentile buffer at any SF."""
+
+from __future__ import annotations
+
+import pytest
+
+from datapipeline_dags_spark.plans import helpers
+from datapipeline_dags_spark.plans.relational import q141_ship_latency_percentiles
+from datapipeline_dags_spark.plans.scalars import q154_quantile_sketch
+
+
+def _rows_by_key(df, keys):
+    return {tuple(r[k] for k in keys): r.asDict() for r in df.collect()}
+
+
+def test_auto_is_exact_at_fixture_scale(spark, sf_dir):
+    """Below EXACT_AUDIT_MAX_ROWS the auto mode must produce the exact
+    path bit-for-bit — the driver gate's plans never change."""
+    auto = _rows_by_key(
+        q154_quantile_sketch(spark, sf_dir), ("l_returnflag", "p")
+    )
+    exact = _rows_by_key(
+        q154_quantile_sketch(spark, sf_dir, exact_audit="exact"),
+        ("l_returnflag", "p"),
+    )
+    assert auto == exact
+
+
+def test_auto_flips_to_sampled_above_threshold(spark, sf_dir, monkeypatch):
+    monkeypatch.setattr(helpers, "EXACT_AUDIT_MAX_ROWS", 10)
+    monkeypatch.setattr(helpers, "EXACT_AUDIT_TARGET_ROWS", 2_000)
+    helpers._ROW_COUNT_CACHE.clear()
+    sampled = _rows_by_key(
+        q154_quantile_sketch(spark, sf_dir), ("l_returnflag", "p")
+    )
+    exact = _rows_by_key(
+        q154_quantile_sketch(spark, sf_dir, exact_audit="exact"),
+        ("l_returnflag", "p"),
+    )
+    assert set(sampled) == set(exact)
+    some_diff = False
+    for k, srow in sampled.items():
+        erow = exact[k]
+        # the sketch estimate is untouched by the audit mode
+        assert srow["q_est"] == erow["q_est"]
+        # the sampled exact is an estimate: close, not necessarily equal
+        spread = abs(srow["q_exact"] - erow["q_exact"])
+        assert spread <= 0.15 * max(abs(erow["q_exact"]), 1.0)
+        some_diff = some_diff or spread > 0
+    # with a 2k-row budget over a ~6k-row fixture the coin must
+    # actually drop rows somewhere
+    assert some_diff
+
+
+def test_q141_sampled_keeps_counts_exact(spark, sf_dir, monkeypatch):
+    monkeypatch.setattr(helpers, "EXACT_AUDIT_TARGET_ROWS", 2_000)
+    helpers._ROW_COUNT_CACHE.clear()
+    exact = _rows_by_key(
+        q141_ship_latency_percentiles(spark, sf_dir, exact_audit="exact"),
+        ("o_orderpriority",),
+    )
+    sampled = _rows_by_key(
+        q141_ship_latency_percentiles(spark, sf_dir, exact_audit="sampled"),
+        ("o_orderpriority",),
+    )
+    assert set(sampled) == set(exact)
+    # reference: exact percentile over the SAME md5-coin-filtered rows
+    # (the deterministic contract of sampled mode — not "close to the
+    # full-data value", which at a ~400-rows-per-group fixture sample
+    # has unbounded median variance on this spread-out distribution)
+    from pyspark.sql import functions as F
+
+    from datapipeline_dags_spark.catalog import table
+    from datapipeline_dags_spark.plans.helpers import exact_audit_frac, md5_coin
+
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    frac = exact_audit_frac(li.count())
+    coin = md5_coin(F.concat_ws("_", "l_orderkey", "l_linenumber"), frac)
+    ref = _rows_by_key(
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            "o_orderpriority",
+            F.when(coin, F.datediff("l_shipdate", "o_orderdate")).alias("days"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            (F.round(F.expr("percentile(days, 0.5)"), 4) + 0.0).alias("p50_days"),
+            (F.round(F.expr("percentile(days, 0.9)"), 4) + 0.0).alias("p90_days"),
+            (F.round(F.expr("percentile(days, 0.99)"), 4) + 0.0).alias(
+                "p99_days"
+            ),
+        ),
+        ("o_orderpriority",),
+    )
+    for k, srow in sampled.items():
+        # n_items is a full count in every mode
+        assert srow["n_items"] == exact[k]["n_items"]
+        for c in ("p50_days", "p90_days", "p99_days"):
+            assert srow[c] == ref[k][c]
+    # and the sample genuinely dropped rows somewhere
+    assert any(
+        sampled[k]["p50_days"] != exact[k]["p50_days"] for k in sampled
+    )
+
+
+def test_bad_mode_rejected(spark, sf_dir):
+    with pytest.raises(ValueError):
+        q141_ship_latency_percentiles(spark, sf_dir, exact_audit="bogus")

@@ -198,3 +198,43 @@ def test_q91_image_neardup_query_recovers_text_neardups(spark, sf_dir):
     img_pairs = {(r.id_a, r.id_b) for r in rows}
     if text_pairs:
         assert len(text_pairs & img_pairs) / len(text_pairs) >= 0.5
+
+
+def test_q174_video_neardup_pipeline(spark, sf_dir):
+    """Video near-dup: the real sample_frames operator feeds per-frame
+    dHashes; output pairs are within VID_HAMMING_T on EVERY sampled
+    frame, and the pipeline recovers text near-dups from frames alone
+    (the q91 cross-modality property, per frame)."""
+    from datapipeline_dags_spark.plans.llm_ops import q41_dedup_minhash_lsh
+    from datapipeline_dags_spark.plans.multimodal_queries import (
+        VID_FRAMES,
+        VID_HAMMING_T,
+        VID_SAMPLE_EVERY,
+        q174_video_dhash_neardup,
+        render_doc_videos,
+    )
+    from datapipeline_dags_spark.operators.multimodal import sample_frames
+
+    # sample_frames really drops the odd frames of the rendered VID1s
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    frames = sample_frames(
+        render_doc_videos(spark, sf_dir), every_n=VID_SAMPLE_EVERY
+    )
+    per_doc = frames.groupBy("path").count().collect()
+    expected = -(-VID_FRAMES // VID_SAMPLE_EVERY)  # ceil
+    assert len(per_doc) == n_docs
+    assert all(r["count"] == expected for r in per_doc)
+
+    got = q174_video_dhash_neardup(spark, sf_dir)
+    rows = got.collect()
+    assert got.columns == ["id_a", "id_b", "max_hamming", "total_hamming"]
+    assert len(rows) > 0
+    assert all(0 <= r.max_hamming <= VID_HAMMING_T for r in rows)
+    assert all(r.max_hamming <= r.total_hamming for r in rows)
+    text_pairs = {
+        (min(r.doc_a, r.doc_b), max(r.doc_a, r.doc_b))
+        for r in q41_dedup_minhash_lsh(spark, sf_dir).collect()
+    }
+    vid_pairs = {(r.id_a, r.id_b) for r in rows}
+    if text_pairs:
+        assert len(text_pairs & vid_pairs) / len(text_pairs) >= 0.5

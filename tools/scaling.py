@@ -41,7 +41,7 @@ TARGETS = (
     "q69_dedup_clusters",
     "q75_ann_pq",
     "q112_ann_ivfpq",
-    "q112_ann_ivfpq_numpy",
+    "q112_ann_ivfpq_jvm",
     "q96_semantic_dedup",
     "q96_semantic_dedup_flat_jvm",
     # the three widest plans in the corpus (VERDICT r4 ask #4):
@@ -60,8 +60,8 @@ TARGETS = (
 # pins both knobs to the oracle-parity configuration and measures the
 # O(n*k) blowup the auto-default exists to avoid.
 SCALE_KWARGS: dict[tuple[str, str], dict] = {
-    ("q112_ann_ivfpq_numpy", "x1"): {"encode_backend": "numpy"},
-    ("q112_ann_ivfpq_numpy", "x10"): {"encode_backend": "numpy"},
+    ("q112_ann_ivfpq_jvm", "x1"): {"encode_backend": "jvm"},
+    ("q112_ann_ivfpq_jvm", "x10"): {"encode_backend": "jvm"},
     ("q96_semantic_dedup", "x1"): {"n_centroids": llm_ops.N_CENTROIDS},
     ("q96_semantic_dedup", "x10"): {"n_centroids": llm_ops.N_CENTROIDS * 10},
     ("q96_semantic_dedup_flat_jvm", "x1"): {
@@ -78,7 +78,7 @@ SCALE_KWARGS: dict[tuple[str, str], dict] = {
 
 # Harness-only labels resolve to a registered query + fixed kwargs.
 TARGET_FN = {
-    "q112_ann_ivfpq_numpy": "q112_ann_ivfpq",
+    "q112_ann_ivfpq_jvm": "q112_ann_ivfpq",
     "q96_semantic_dedup_flat_jvm": "q96_semantic_dedup",
 }
 
@@ -282,9 +282,13 @@ def main() -> None:
         "The ANN rows intentionally do MORE work at x10 than a fixed",
         "configuration would: ann_params scales centroids/nprobe/refine",
         "with corpus size so recall holds (BENCH ann_recall ivfpq@10",
-        "0.96 at sf0.1 vs 0.84 under fixed params) — the jvm-encode",
-        "q112 row carries that extra compute, while the recommended",
-        "numpy encode backend stays near-flat at the same recall.",
+        "0.96 at sf0.1 vs 0.84 under fixed params).  The plain q112 row",
+        "is the REGISTERED DEFAULT, which since r5 auto-selects the",
+        "numpy (BLAS mapInPandas) encode backend — near-flat at the same",
+        "recall and identical codes; the _jvm row pins the pure-SQL",
+        "fallback/oracle-parity backend, which carries the extra recall",
+        "work through a per-row HOF argmin (the explicitly-avoided case,",
+        "cf. q96_flat_jvm).",
         "q43 vs q144 measure the same exact-Jaccard contract with two",
         "candidate generators (any-shared-shingle vs df-ascending",
         "prefix).  On THIS fixture nearly every shingle is df=1, so the",
