@@ -145,16 +145,17 @@ _ROTATION_TAIL = [
     "q82_value_histogram",
     "q83_stats_aggregates",
     "q168_json_props_profile",
-    # 10 hedge slots — already driver-green, families changed recently:
+    # new-this-round queries (no driver row anywhere yet) + hedge
+    # refreshers for recently-changed families:
+    "q175_kaplan_meier",
+    "q176_cusum_changepoint",
+    "q177_calibration_ece",
+    "q179_itemset_triples",
+    "q180_gini_concentration",
+    "q182_order_backlog",
     "q42_dedup_simhash",
-    "q59_exact_percentiles",
-    "q68_approx_percentiles_gated",
-    "q113_sketch_rollup",
-    "q41_dedup_minhash_lsh",
-    "q69_dedup_clusters",
     "q44_embedding_cosine_neardup",
-    "q45_ann_topk_bruteforce",
-    "q46_ann_lsh_bucketed",
+    "q69_dedup_clusters",
     "q121_bigram_lm_score",
 ]
 

@@ -1755,3 +1755,65 @@ def q171_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         dec(F.col("revenue") - prev, 2).alias("wow_delta"),
         dec((F.col("revenue") - prev) / prev, 6).alias("wow_pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q176 — CUSUM change-point detection over daily event volume
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q176_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day, COUNT(*) AS n
+      FROM events GROUP BY 1),
+    m AS (SELECT ROUND(AVG(n), 6) AS mean_n FROM daily),
+    dev AS (SELECT day, n, ROUND(n - mean_n, 6) AS dv FROM daily, m),
+    cs AS (SELECT day, n,
+                  ROUND(SUM(dv) OVER (ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+                    AS cusum
+           FROM dev),
+    rk AS (SELECT day, n, cusum,
+                  ROW_NUMBER() OVER (ORDER BY ABS(cusum) DESC, day) AS r
+           FROM cs)
+    SELECT day, CAST(n AS BIGINT) AS n_events, (cusum + 0.0) AS cusum,
+           r = 1 AS is_changepoint
+    FROM rk
+    """,
+)
+def q176_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection on daily event volume: the
+    cumulative sum of mean deviations S_i = Σ (n_j - mean) peaks (in
+    absolute value) at the most likely level-shift day — the classic
+    non-reset CUSUM statistic behind pipeline-regression and traffic-
+    anomaly alarms, complementing q108's pointwise z-scores (which miss
+    gradual shifts a cumulative statistic accumulates).
+
+    Scale shape: the corpus collapses to |days| rows in one pushed hash
+    agg; the global mean is a 1-row broadcast attach and the cumulative
+    sum runs over the bounded day table only (collapse-first, q171).
+    Deviations round to 6dp BEFORE the cumsum and the cusum to 4dp
+    before the argmax ranking, so both engines accumulate and rank
+    identical numbers (day tiebreak for the peak).
+    """
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count("*").alias("n")
+    )
+    m = daily.agg(F.round(F.avg("n"), 6).alias("mean_n"))
+    dev = daily.crossJoin(F.broadcast(m)).select(
+        "day", "n", F.round(F.col("n") - F.col("mean_n"), 6).alias("dv")
+    )
+    cum_w = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    cs = dev.select(
+        "day", "n", F.round(F.sum("dv").over(cum_w), 4).alias("cusum")
+    )
+    rk = F.row_number().over(W.orderBy(F.abs(F.col("cusum")).desc(), "day"))
+    return cs.select(
+        "day",
+        F.col("n").cast("long").alias("n_events"),
+        dec(F.col("cusum"), 4).alias("cusum"),
+        (rk == 1).alias("is_changepoint"),
+    )

@@ -7389,3 +7389,109 @@ def q173_cluster_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_members_total").alias("max_bucket_size"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q177 — score calibration audit: reliability bins + ECE
+# ---------------------------------------------------------------------------
+
+CAL_LABEL = 1  # the "positive class" whose centroid-affinity is the score
+CAL_BINS = 10
+
+
+def _q177_oracle() -> str:
+    return f"""
+    WITH u AS (
+      SELECT label, unnest(list_transform(embedding,
+               (x, i) -> {{'pos': i - 1, 'v': x::DOUBLE}})) AS u
+      FROM embeddings),
+    cpos AS (SELECT u.pos AS pos, ROUND(SUM(u.v) / COUNT(*), 6) AS mv
+             FROM u WHERE label = {CAL_LABEL} GROUP BY 1),
+    cent AS (SELECT list(mv ORDER BY pos) AS c FROM cpos),
+    scored AS (
+      SELECT label,
+             ROUND((1 + {_COS_SQL.format(a='embedding', b='c')}) / 2, 6) AS s
+      FROM embeddings, cent),
+    b AS (SELECT LEAST(CAST(FLOOR(s * {CAL_BINS}) AS BIGINT),
+                       {CAL_BINS - 1}) AS bin,
+                 s, CASE WHEN label = {CAL_LABEL} THEN 1 ELSE 0 END AS y
+          FROM scored),
+    n AS (SELECT COUNT(*) AS n FROM b),
+    g AS (SELECT bin, COUNT(*) AS n_bin, ROUND(AVG(s), 6) AS avg_conf,
+                 ROUND(AVG(y * 1.0), 6) AS frac_pos
+          FROM b GROUP BY 1)
+    SELECT bin, CAST(n_bin AS BIGINT) AS n,
+           (avg_conf + 0.0) AS avg_conf, (frac_pos + 0.0) AS frac_pos,
+           {sql_dec('ABS(avg_conf - frac_pos)', 6)} AS abs_gap,
+           {sql_dec('n_bin * ABS(avg_conf - frac_pos) / n.n', 6)} AS ece_term
+    FROM g, n
+    """
+
+
+@query("q177_calibration_ece", oracle=_q177_oracle())
+def q177_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram calibration audit: score each vector by its
+    affinity to the label-{CAL_LABEL} centroid ((1+cos)/2 in [0,1]),
+    bin into {CAL_BINS} confidence buckets, and compare each bucket's
+    mean confidence against its observed positive rate — the per-bin
+    |gap| terms sum to the Expected Calibration Error.  This is the
+    model-eval complement of q156's AUC: AUC measures ranking, ECE
+    measures whether the scores MEAN what they say — the property
+    quality-filter thresholds (q99) and mixture weights (q105) silently
+    assume.
+
+    Scale shape: the centroid is a (dim)-bounded agg broadcast as ONE
+    row (q64's cell discipline), scoring is a single map-only pass, and
+    everything downstream lives on the {CAL_BINS}-row bin table; the
+    corpus-count attach is the q63 1-row pattern.  Scores round to 6dp
+    before binning so both engines cut identical bin edges.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    cpos = (
+        emb.filter(F.col("label") == CAL_LABEL)
+        .select(F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("pos")
+        .agg(
+            F.round(F.sum(F.col("v").cast("double")) / F.count("*"), 6).alias(
+                "mv"
+            )
+        )
+    )
+    cent = cpos.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mv"))),
+            lambda s: s["mv"],
+        ).alias("c")
+    )
+    scored = emb.crossJoin(F.broadcast(cent)).select(
+        "label",
+        F.round(
+            (F.lit(1.0) + _cosine(F.col("embedding"), F.col("c"))) / 2, 6
+        ).alias("s"),
+    )
+    b = scored.select(
+        F.least(
+            F.floor(F.col("s") * CAL_BINS).cast("long"), F.lit(CAL_BINS - 1)
+        ).alias("bin"),
+        "s",
+        (F.col("label") == CAL_LABEL).cast("int").alias("y"),
+    )
+    n_tbl = b.agg(F.count("*").alias("n_total"))
+    g = b.groupBy("bin").agg(
+        F.count("*").alias("n_bin"),
+        F.round(F.avg("s"), 6).alias("avg_conf"),
+        F.round(F.avg(F.col("y") * 1.0), 6).alias("frac_pos"),
+    )
+    return g.crossJoin(F.broadcast(n_tbl)).select(
+        "bin",
+        F.col("n_bin").cast("long").alias("n"),
+        dec(F.col("avg_conf"), 6).alias("avg_conf"),
+        dec(F.col("frac_pos"), 6).alias("frac_pos"),
+        dec(F.abs(F.col("avg_conf") - F.col("frac_pos")), 6).alias("abs_gap"),
+        dec(
+            F.col("n_bin")
+            * F.abs(F.col("avg_conf") - F.col("frac_pos"))
+            / F.col("n_total"),
+            6,
+        ).alias("ece_term"),
+    )

@@ -1656,3 +1656,322 @@ def q170_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         dec(F.sum("o_total"), 2).alias("order_revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q175 — Kaplan-Meier fulfilment survival curve
+# ---------------------------------------------------------------------------
+
+KM_HORIZON_DAYS = 90  # orders not fully shipped by then are censored
+
+
+@query(
+    "q175_kaplan_meier",
+    oracle=f"""
+    WITH dur AS (
+      SELECT o_orderkey,
+             date_diff('day', o_orderdate, MAX(l_shipdate)) AS dur
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderkey, o_orderdate),
+    obs AS (SELECT LEAST(GREATEST(dur, 0), {KM_HORIZON_DAYS}) AS t,
+                   CASE WHEN dur <= {KM_HORIZON_DAYS} THEN 1 ELSE 0 END AS e
+            FROM dur),
+    n AS (SELECT COUNT(*) AS n FROM obs),
+    g AS (SELECT t, SUM(e) AS d, SUM(1 - e) AS c FROM obs GROUP BY t),
+    r AS (SELECT t, d, c,
+                 n.n - COALESCE(SUM(d + c) OVER (ORDER BY t
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS at_risk
+          FROM g, n),
+    s AS (SELECT t, d, c, at_risk,
+                 PRODUCT((at_risk - d) * 1.0 / at_risk) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS surv
+          FROM r)
+    SELECT CAST(t AS BIGINT) AS t_days,
+           CAST(at_risk AS BIGINT) AS n_at_risk,
+           CAST(d AS BIGINT) AS n_events,
+           CAST(c AS BIGINT) AS n_censored,
+           {sql_dec('surv', 6)} AS survival
+    FROM s
+    """,
+)
+def q175_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve of order fulfilment: S(t) =
+    P(order not fully shipped by day t), with orders still open at the
+    {KM_HORIZON_DAYS}-day horizon right-CENSORED (they contribute to
+    the risk set but never to the event count) — the survival-analysis
+    primitive behind SLA curves, churn models, and time-to-label
+    estimation, which a plain percentile (q141) gets wrong whenever
+    observation windows truncate the slow tail.
+
+    Scale shape: the corpus collapses to one row per distinct duration
+    day (<= {KM_HORIZON_DAYS}+1 rows) in one pushed hash agg; the risk
+    set and the survival product both run over that bounded life table
+    only (the q164 collapse-first discipline).  The cumulative product
+    folds IEEE doubles strictly in day order on both engines —
+    identical factor sequence, identical rounding.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    dur = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("ship_end"))
+        .select(F.datediff("ship_end", "o_orderdate").alias("dur"))
+    )
+    # the synthetic fixture draws shipdates independent of orderdates,
+    # so durations can be negative — clamp the life-table clock at day 0
+    # (same-day-or-earlier ships are day-0 events), keeping the grid
+    # bounded to [0, horizon]
+    obs = dur.select(
+        F.least(F.greatest(F.col("dur"), F.lit(0)), F.lit(KM_HORIZON_DAYS)).alias("t"),
+        (F.col("dur") <= KM_HORIZON_DAYS).cast("int").alias("e"),
+    )
+    n_tbl = obs.agg(F.count("*").alias("n"))
+    g = obs.groupBy("t").agg(
+        F.sum("e").alias("d"), F.sum(F.lit(1) - F.col("e")).alias("c")
+    )
+    removed_w = W.orderBy("t").rowsBetween(W.unboundedPreceding, -1)
+    r = (
+        g.crossJoin(F.broadcast(n_tbl))
+        .withColumn(
+            "at_risk",
+            F.col("n")
+            - F.coalesce(
+                F.sum(F.col("d") + F.col("c")).over(removed_w), F.lit(0)
+            ),
+        )
+    )
+    factor = (F.col("at_risk") - F.col("d")) * F.lit(1.0) / F.col("at_risk")
+    cum_w = W.orderBy("t").rowsBetween(W.unboundedPreceding, 0)
+    surv = F.aggregate(
+        F.collect_list(factor).over(cum_w),
+        F.lit(1.0),
+        lambda acc, x: acc * x,
+    )
+    return r.select(
+        F.col("t").cast("long").alias("t_days"),
+        F.col("at_risk").cast("long").alias("n_at_risk"),
+        F.col("d").cast("long").alias("n_events"),
+        F.col("c").cast("long").alias("n_censored"),
+        dec(surv, 6).alias("survival"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q179 — frequent itemset triples (support-ranked basket triples)
+# ---------------------------------------------------------------------------
+
+TRIPLE_MIN_SUPPORT = 2
+TRIPLE_TOP = 20
+
+
+@query(
+    "q179_itemset_triples",
+    oracle=f"""
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    tri AS (
+      SELECT x.l_partkey AS part_a, y.l_partkey AS part_b,
+             z.l_partkey AS part_c, COUNT(*) AS support
+      FROM b x
+      JOIN b y ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+      JOIN b z ON y.l_orderkey = z.l_orderkey AND y.l_partkey < z.l_partkey
+      GROUP BY 1, 2, 3
+      HAVING COUNT(*) >= {TRIPLE_MIN_SUPPORT}),
+    top AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY support DESC, part_a, part_b,
+                                   part_c) AS rk
+      FROM tri)
+    SELECT part_a, part_b, part_c, CAST(support AS BIGINT) AS support,
+           CAST(rk AS BIGINT) AS rk
+    FROM top WHERE rk <= {TRIPLE_TOP}
+    """,
+)
+def q179_itemset_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent itemset mining one level above q142: the top part
+    TRIPLES by co-order support — the 3-way association signal behind
+    bundle design and "frequently bought together" at depth 2.
+
+    Scale shape: both triple-building joins are WITHIN an order
+    (equi-join on orderkey), so candidate volume is Σ C(basket, 3) —
+    bounded by basket size, never corpus-quadratic; the a<b<c ordering
+    emits each triple once.  The global top-k is orderBy+limit
+    (TakeOrderedAndProject) with the rank assigned on the bounded
+    {TRIPLE_TOP} rows (the q142 discipline).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    b = li.select("l_orderkey", "l_partkey").distinct()
+    x = b.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    y = b.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    z = b.select("l_orderkey", F.col("l_partkey").alias("part_c"))
+    tri = (
+        x.join(y, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .join(z, "l_orderkey")
+        .filter(F.col("part_b") < F.col("part_c"))
+        .groupBy("part_a", "part_b", "part_c")
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= TRIPLE_MIN_SUPPORT)
+    )
+    top = tri.orderBy(
+        F.col("support").desc(), "part_a", "part_b", "part_c"
+    ).limit(TRIPLE_TOP)
+    rk = F.row_number().over(
+        W.orderBy(F.col("support").desc(), "part_a", "part_b", "part_c")
+    )
+    return top.select(
+        "part_a",
+        "part_b",
+        "part_c",
+        F.col("support").cast("long").alias("support"),
+        rk.cast("long").alias("rk"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q180 — revenue Gini concentration per nation (Lorenz inequality)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q180_gini_concentration",
+    oracle="""
+    WITH rev AS (
+      SELECT s_nationkey, l_suppkey,
+             ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS r
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY 1, 2),
+    rk AS (
+      SELECT s_nationkey, r,
+             ROW_NUMBER() OVER (PARTITION BY s_nationkey
+                                ORDER BY r, l_suppkey) AS i
+      FROM rev),
+    g AS (
+      SELECT s_nationkey, COUNT(*) AS n, SUM(r) AS total,
+             SUM(i * r) AS weighted
+      FROM rk GROUP BY 1)
+    SELECT n_name AS nation, CAST(n AS BIGINT) AS n_suppliers,
+           (ROUND(total, 2) + 0.0) AS revenue,
+           (ROUND(2.0 * weighted / (n * total) - (n + 1.0) / n, 6) + 0.0)
+             AS gini
+    FROM g JOIN nation ON s_nationkey = n_nationkey
+    """,
+)
+def q180_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of supplier revenue within each nation — the
+    Lorenz-curve inequality measure that complements q143's HHI: HHI
+    weights the head (market power), Gini reads the whole distribution
+    (a long equal tail and a barbell can share an HHI but never a
+    Gini).  Computed by the rank formula G = 2*Σ(i*x_i)/(n*Σx) -
+    (n+1)/n over revenues ranked ascending.
+
+    Scale shape: lineitem collapses to one row per (nation, supplier)
+    in one pushed hash agg (revenue pre-rounded to 2dp so both engines
+    rank identical numbers with the suppkey tiebreak); the rank window
+    is partitioned per nation over that bounded supplier table; output
+    is |nations| rows.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    sup = table(spark, sf_dir, "supplier")
+    nat = table(spark, sf_dir, "nation")
+    rev = (
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("r")
+        )
+    )
+    iw = W.partitionBy("s_nationkey").orderBy("r", "l_suppkey")
+    g = (
+        rev.withColumn("i", F.row_number().over(iw))
+        .groupBy("s_nationkey")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("r").alias("total"),
+            F.sum(F.col("i") * F.col("r")).alias("weighted"),
+        )
+    )
+    return g.join(nat, g.s_nationkey == nat.n_nationkey).select(
+        F.col("n_name").alias("nation"),
+        F.col("n").cast("long").alias("n_suppliers"),
+        dec(F.col("total"), 2).alias("revenue"),
+        dec(
+            2.0 * F.col("weighted") / (F.col("n") * F.col("total"))
+            - (F.col("n") + 1.0) / F.col("n"),
+            6,
+        ).alias("gini"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q182 — open-order backlog sweep line (daily running balance)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q182_order_backlog",
+    oracle="""
+    WITH span AS (
+      SELECT o_orderkey, o_orderdate,
+             MAX(l_shipdate) AS ship_end
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY o_orderkey, o_orderdate),
+    deltas AS (
+      SELECT o_orderdate AS day, 1 AS opened, 0 AS closed FROM span
+      UNION ALL
+      SELECT ship_end AS day, 0 AS opened, 1 AS closed FROM span),
+    daily AS (
+      SELECT day, SUM(opened) AS n_opened, SUM(closed) AS n_closed
+      FROM deltas GROUP BY day)
+    SELECT day, CAST(n_opened AS BIGINT) AS n_opened,
+           CAST(n_closed AS BIGINT) AS n_closed,
+           CAST(SUM(n_opened - n_closed) OVER (ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS open_orders
+    FROM daily
+    """,
+)
+def q182_order_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog over time: each order contributes +1 on its
+    order date and -1 on the day its last line ships; the running
+    balance IS the backlog curve — the fulfilment-capacity twin of
+    q118's session sweep line, at daily grain over orders.
+
+    Scale shape: deltas collapse to ONE row per day (bounded |days|
+    domain) in a pushed hash agg BEFORE any window, so the cumulative
+    sum — integer arithmetic, no float drift — runs over the bounded
+    day table only (collapse-first; cf. q171).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    span = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("ship_end"))
+    )
+    deltas = span.select(
+        F.col("o_orderdate").alias("day"),
+        F.lit(1).alias("opened"),
+        F.lit(0).alias("closed"),
+    ).unionAll(
+        span.select(
+            F.col("ship_end").alias("day"),
+            F.lit(0).alias("opened"),
+            F.lit(1).alias("closed"),
+        )
+    )
+    daily = deltas.groupBy("day").agg(
+        F.sum("opened").alias("n_opened"), F.sum("closed").alias("n_closed")
+    )
+    cum_w = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    return daily.select(
+        "day",
+        F.col("n_opened").cast("long").alias("n_opened"),
+        F.col("n_closed").cast("long").alias("n_closed"),
+        F.sum(F.col("n_opened") - F.col("n_closed"))
+        .over(cum_w)
+        .cast("long")
+        .alias("open_orders"),
+    )

@@ -77,6 +77,10 @@ def test_watermark_predicate_pushes_to_parquet(spark):
 # fixed-size at every SF.  Nothing else may.
 BOUNDED_FILTER_HINT_OK = {
     "q45_ann_topk_bruteforce",
+    "q175_kaplan_meier",  # broadcasts the 1-row order-count aggregate
+    "q176_cusum_changepoint",  # broadcasts the 1-row daily-mean aggregate
+    # broadcasts the dim-bounded label centroid + the 1-row corpus count
+    "q177_calibration_ece",
     "q47_ann_ivf",
     "q63_tfidf_top_terms",  # broadcasts the 1-row corpus-count aggregate
     # broadcasts the per-block offset table: corpus/PACK_BLOCK rows, a
@@ -231,6 +235,10 @@ NESTED_LOOP_OK = {
     "q163_seasonal_anomalies",  # 1-row midpoint attach (cf. q161)
     "q154_quantile_sketch",  # 3-row percentile-list attach onto the histogram
     "q153_rrf_fusion",  # inherits q47's quantizer / probe-list attaches
+    "q175_kaplan_meier",  # 1-row order-count attach onto the life table
+    "q176_cusum_changepoint",  # 1-row daily-mean attach (cf. q100)
+    # 1-row centroid + 1-row corpus-count attaches (cf. q63/q64)
+    "q177_calibration_ece",
 }
 
 
@@ -275,6 +283,11 @@ GLOBAL_WINDOW_BOUNDED = {
     "q171_wow_growth": "|weeks| LAG frame",
     # rank assigned AFTER a TakeOrderedAndProject limit (20 rows)
     "q142_basket_affinity": "row_number over the BASKET_TOP-row limit",
+    "q179_itemset_triples": "row_number over the TRIPLE_TOP-row limit",
+    # collapse-first day/life tables
+    "q175_kaplan_meier": "life table <= KM_HORIZON_DAYS+1 rows",
+    "q176_cusum_changepoint": "|days| CUSUM frame",
+    "q182_order_backlog": "|days| running-balance frame",
 }
 
 
