@@ -148,14 +148,14 @@ _ROTATION_TAIL = [
     # new-this-round queries (no driver row anywhere yet) + hedge
     # refreshers for recently-changed families:
     "q175_kaplan_meier",
-    "q176_cusum_changepoint",
     "q177_calibration_ece",
+    "q178_pq_reconstruction",
     "q179_itemset_triples",
     "q180_gini_concentration",
+    "q181_duplicate_baskets",
     "q182_order_backlog",
-    "q42_dedup_simhash",
-    "q44_embedding_cosine_neardup",
-    "q69_dedup_clusters",
+    "q183_part_pagerank",
+    "q185_label_silhouette",
     "q121_bigram_lm_score",
 ]
 

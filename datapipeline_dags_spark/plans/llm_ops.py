@@ -7495,3 +7495,320 @@ def q177_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ece_term"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q178 — PQ reconstruction-error audit (quantization distortion per subspace)
+# ---------------------------------------------------------------------------
+
+
+def _q178_oracle() -> str:
+    d = PQ_D
+    return f"""
+    WITH cb AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+                WHERE vec_id < {PQ_K}),
+    ms AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m),
+    csub AS (SELECT cid, m, ce[m*{d}+1 : m*{d}+{d}] AS cs FROM cb, ms),
+    enc0 AS (SELECT e.vec_id, c.m, c.cid,
+             list_reduce(list_transform(generate_series(1, {d}),
+               i -> (e.embedding[c.m*{d}+i]::DOUBLE - c.cs[i]::DOUBLE)
+                    * (e.embedding[c.m*{d}+i]::DOUBLE - c.cs[i]::DOUBLE)),
+               (a, b) -> a + b) AS dist
+             FROM embeddings e CROSS JOIN csub c),
+    err AS (SELECT vec_id, m, dist FROM (
+              SELECT vec_id, m, dist,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                        ORDER BY dist, cid) AS rn
+              FROM enc0) WHERE rn = 1),
+    eng AS (SELECT e.vec_id, mm.m,
+            list_reduce(list_transform(generate_series(1, {d}),
+              i -> e.embedding[mm.m*{d}+i]::DOUBLE
+                   * e.embedding[mm.m*{d}+i]::DOUBLE),
+              (a, b) -> a + b) AS energy
+            FROM embeddings e CROSS JOIN ms mm)
+    SELECT err.m AS subspace, COUNT(*) AS n,
+           {sql_dec('AVG(err.dist)', 6)} AS mse,
+           {sql_dec('MAX(err.dist)', 6)} AS max_err,
+           {sql_dec('AVG(eng.energy)', 6)} AS mean_energy,
+           {sql_dec('AVG(err.dist) / AVG(eng.energy)', 6)} AS rel_distortion
+    FROM err JOIN eng ON err.vec_id = eng.vec_id AND err.m = eng.m
+    GROUP BY err.m
+    """
+
+
+@query("q178_pq_reconstruction", oracle=_q178_oracle())
+def q178_pq_reconstruction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ quantization-distortion audit: per subspace, the mean/max
+    squared reconstruction error of q75's codebook assignment and the
+    error relative to the subspace's signal energy — the codebook-
+    health metric that explains (and predicts) ADC recall BEFORE
+    running an expensive recall harness: a subspace whose
+    rel_distortion drifts up is where the codebook stopped fitting the
+    data (the retrain trigger in production PQ deployments).
+
+    Scale shape: the chosen code's distance IS the reconstruction
+    error, so the audit is q75's map-only encode pass (broadcast
+    codebook, HOF argmin keeping the min distance) plus one
+    ({PQ_M})-group hash agg; no pair joins, no windows over data.
+    """
+    corpus = table(spark, sf_dir, "embeddings")
+    cb1 = (
+        corpus.filter(F.col("vec_id") < PQ_K)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+        .agg(F.array_sort(F.collect_list(F.struct("cid", "ce"))).alias("cbs"))
+    )
+
+    def sub(v: Column, m: Column) -> Column:
+        return F.slice(v, m * PQ_D + 1, PQ_D)
+
+    def l2(a: Column, b: Column) -> Column:
+        diff2 = F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        )
+        return F.aggregate(diff2, F.lit(0.0), lambda acc, v: acc + v)
+
+    def energy(v: Column) -> Column:
+        return F.aggregate(
+            F.transform(v, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    ms = F.sequence(F.lit(0), F.lit(PQ_M - 1))
+    per_m = F.transform(
+        ms,
+        lambda m: F.struct(
+            m.alias("m"),
+            F.array_min(
+                F.transform(
+                    F.col("cbs"),
+                    lambda c: F.struct(
+                        l2(sub(F.col("embedding"), m), sub(c["ce"], m)).alias(
+                            "d"
+                        ),
+                        c["cid"].alias("cid"),
+                    ),
+                )
+            )["d"].alias("err"),
+            energy(sub(F.col("embedding"), m)).alias("energy"),
+        ),
+    )
+    rows = (
+        _fanout(spark, corpus)
+        .crossJoin(F.broadcast(cb1))
+        .select(F.explode(per_m).alias("r"))
+        .select(
+            F.col("r.m").cast("long").alias("subspace"),
+            F.col("r.err").alias("err"),
+            F.col("r.energy").alias("energy"),
+        )
+    )
+    return rows.groupBy("subspace").agg(
+        F.count("*").alias("n"),
+        dec(F.avg("err"), 6).alias("mse"),
+        dec(F.max("err"), 6).alias("max_err"),
+        dec(F.avg("energy"), 6).alias("mean_energy"),
+        dec(F.avg("err") / F.avg("energy"), 6).alias("rel_distortion"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q185 — embedding label-separation audit (centroid silhouette margin)
+# ---------------------------------------------------------------------------
+
+
+def _q185_oracle() -> str:
+    return f"""
+    WITH u AS (
+      SELECT label, unnest(list_transform(embedding,
+               (x, i) -> {{'pos': i - 1, 'v': x::DOUBLE}})) AS u
+      FROM embeddings),
+    cpos AS (SELECT label AS clabel, u.pos AS pos,
+                    ROUND(SUM(u.v) / COUNT(*), 6) AS mv
+             FROM u GROUP BY 1, 2),
+    cent AS (SELECT clabel, list(mv ORDER BY pos) AS c FROM cpos GROUP BY 1),
+    scored AS (
+      SELECT e.vec_id, e.label, cent.clabel,
+             ROUND({_COS_SQL.format(a='e.embedding', b='cent.c')}, 6) AS cs
+      FROM embeddings e CROSS JOIN cent),
+    margins AS (
+      SELECT vec_id, label,
+             MAX(CASE WHEN clabel = label THEN cs END) AS own,
+             MAX(CASE WHEN clabel != label THEN cs END) AS best_other
+      FROM scored GROUP BY vec_id, label)
+    SELECT label, COUNT(*) AS n,
+           {sql_dec('AVG(own - best_other)', 6)} AS mean_margin,
+           {sql_dec('AVG(CASE WHEN own < best_other THEN 1.0 ELSE 0.0 END)', 6)}
+             AS frac_misassigned
+    FROM margins GROUP BY label
+    """
+
+
+@query("q185_label_silhouette", oracle=_q185_oracle())
+def q185_label_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-separation audit (centroid silhouette): per vector, cosine
+    to its OWN label centroid minus the best OTHER-label centroid; per
+    label, the mean margin and the fraction of vectors that sit closer
+    to a foreign centroid — the label-quality signal behind q127's kNN
+    noise audit, computed against |labels| prototypes instead of a
+    neighbor sample (silhouette-style, linear not quadratic).
+
+    Scale shape: centroids are a (|labels| x dim)-bounded agg broadcast
+    as |labels| rows (q64's cell discipline); scoring is ONE map-side
+    pass per vector against the bounded prototype set; per-vector
+    margins collapse in the same pass's hash agg, and the output is
+    |labels| rows.  Cosines round to 6dp before the max so both
+    engines pick identical margins.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    cpos = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy(F.col("label").alias("clabel"), "pos")
+        .agg(
+            F.round(F.sum(F.col("v").cast("double")) / F.count("*"), 6).alias(
+                "mv"
+            )
+        )
+    )
+    cent = cpos.groupBy("clabel").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mv"))),
+            lambda s: s["mv"],
+        ).alias("c")
+    )
+    scored = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "label",
+        "clabel",
+        F.round(_cosine(F.col("embedding"), F.col("c")), 6).alias("cs"),
+    )
+    margins = scored.groupBy("vec_id", "label").agg(
+        F.max(F.when(F.col("clabel") == F.col("label"), F.col("cs"))).alias(
+            "own"
+        ),
+        F.max(F.when(F.col("clabel") != F.col("label"), F.col("cs"))).alias(
+            "best_other"
+        ),
+    )
+    return margins.groupBy("label").agg(
+        F.count("*").alias("n"),
+        dec(F.avg(F.col("own") - F.col("best_other")), 6).alias("mean_margin"),
+        dec(
+            F.avg(
+                F.when(F.col("own") < F.col("best_other"), 1.0).otherwise(0.0)
+            ),
+            6,
+        ).alias("frac_misassigned"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q181 — duplicate-basket detection (order-level near-dup, q41 cross-domain)
+# ---------------------------------------------------------------------------
+
+BASKET_ANCHOR_K = 2  # bottom-k md5(part) anchors emitted per basket
+BASKET_JACCARD_T = 0.5
+
+
+def _q181_oracle() -> str:
+    return f"""
+    WITH b AS (SELECT l_orderkey AS oid,
+                      list_sort(list(DISTINCT l_partkey)) AS parts
+               FROM lineitem GROUP BY 1),
+    anch_raw AS (SELECT oid,
+                 unnest((list_sort(list_transform(parts,
+                   p -> md5('p' || p))))[1:{BASKET_ANCHOR_K}]) AS a
+                 FROM b),
+    anch AS (SELECT oid, a FROM anch_raw
+             QUALIFY row_number() OVER (PARTITION BY a
+                                        ORDER BY oid) <= {BUCKET_CAP}),
+    cand AS (SELECT DISTINCT x.oid AS order_a, y.oid AS order_b
+             FROM anch x JOIN anch y ON x.a = y.a AND x.oid < y.oid),
+    j AS (SELECT order_a, order_b,
+                 len(list_intersect(ba.parts, bb.parts)) AS n_common,
+                 len(list_intersect(ba.parts, bb.parts)) * 1.0
+                   / len(list_distinct(ba.parts || bb.parts)) AS jac
+          FROM cand
+          JOIN b ba ON ba.oid = order_a
+          JOIN b bb ON bb.oid = order_b)
+    SELECT order_a, order_b, CAST(n_common AS BIGINT) AS n_common,
+           {sql_dec('jac', 6)} AS jaccard
+    FROM j WHERE jac >= {BASKET_JACCARD_T}
+    """
+
+
+@query("q181_duplicate_baskets", oracle=_q181_oracle())
+def q181_duplicate_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-order detection: q41's anchor-blocked near-dup pipeline
+    applied to ORDER BASKETS (the set of parts on an order) instead of
+    text shingles — the retry/fraud/double-submit signal in transaction
+    streams, and the demonstration that the dedup machinery is
+    domain-generic: bottom-{BASKET_ANCHOR_K} md5(part) anchors block,
+    capped buckets explode pairs, exact set Jaccard >= {BASKET_JACCARD_T}
+    verifies.
+
+    Scale shape: identical to q69's edge build — groupBy anchor +
+    in-bucket pair explode (never a basket self-join), buckets capped at
+    {BUCKET_CAP} with the truncation observable in
+    ``BUCKET_OBSERVATIONS['q181_duplicate_baskets']``; the verify join
+    carries the two bounded part arrays per candidate pair only.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    b = li.groupBy(F.col("l_orderkey").alias("oid")).agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    anchors = b.select(
+        "oid",
+        F.explode(
+            F.slice(
+                F.array_sort(
+                    F.transform(
+                        F.col("parts"),
+                        lambda p: F.md5(F.concat(F.lit("p"), p.cast("string"))),
+                    )
+                ),
+                1,
+                BASKET_ANCHOR_K,
+            )
+        ).alias("a"),
+    )
+    ids = F.col("ids")
+    pair_structs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("order_a"), y.alias("order_b")),
+            ),
+        )
+    )
+    bucketed = (
+        anchors.groupBy("a")
+        .agg(F.collect_list("oid").alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    cand = (
+        _cap_buckets(bucketed, "q181_duplicate_baskets", "ids")
+        .select(F.explode(pair_structs).alias("p"))
+        .select("p.order_a", "p.order_b")
+        .distinct()
+    )
+    ba = b.select(F.col("oid").alias("order_a"), F.col("parts").alias("pa"))
+    bb = b.select(F.col("oid").alias("order_b"), F.col("parts").alias("pb"))
+    inter = F.size(F.array_intersect("pa", "pb"))
+    union = F.size(F.array_union("pa", "pb"))
+    jac = inter * F.lit(1.0) / union
+    return (
+        cand.join(ba, "order_a")
+        .join(bb, "order_b")
+        .filter(jac >= BASKET_JACCARD_T)
+        .select(
+            "order_a",
+            "order_b",
+            inter.cast("long").alias("n_common"),
+            dec(jac, 6).alias("jaccard"),
+        )
+    )

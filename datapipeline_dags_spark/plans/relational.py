@@ -1975,3 +1975,185 @@ def q182_order_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("open_orders"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q183 — PageRank over the co-order part graph (integer fixed-point)
+# ---------------------------------------------------------------------------
+
+PR_ITERS = 5
+PR_SCALE = 1_000_000  # fixed-point unit: 1.0 == 1e6 rank units
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100  # damping 0.85 as an integer ratio
+PR_MIN_COOCCUR = 2  # co-order support floor for an edge
+
+
+def _q183_oracle() -> str:
+    base = PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN
+    prev = "pr0"
+    iters = []
+    for k in range(1, PR_ITERS + 1):
+        iters.append(f"""
+    pr{k} AS (
+      SELECT nd.node,
+             CAST({base} + ({PR_DAMP_NUM} * COALESCE(i.inflow, 0))
+                  // {PR_DAMP_DEN} AS BIGINT) AS r
+      FROM nodes nd LEFT JOIN (
+        SELECT s.dst AS node, SUM(p.r // dg.deg) AS inflow
+        FROM sym s
+        JOIN {prev} p ON p.node = s.src
+        JOIN deg dg ON dg.node = s.src
+        GROUP BY 1) i ON i.node = nd.node)""")
+        prev = f"pr{k}"
+    return f"""
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (SELECT x.l_partkey AS src, y.l_partkey AS dst
+          FROM b x JOIN b y
+            ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+          GROUP BY 1, 2 HAVING COUNT(*) >= {PR_MIN_COOCCUR}),
+    sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+    nodes AS (SELECT DISTINCT src AS node FROM sym),
+    deg AS (SELECT src AS node, COUNT(*) AS deg FROM sym GROUP BY 1),
+    pr0 AS (SELECT node, CAST({PR_SCALE} AS BIGINT) AS r FROM nodes),
+    {','.join(iters)}
+    SELECT node AS part, r AS pagerank_units FROM {prev}
+    """
+
+
+@query("q183_part_pagerank", oracle=_q183_oracle())
+def q183_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the co-order part graph ({PR_ITERS} power
+    iterations, damping {PR_DAMP_NUM}/{PR_DAMP_DEN}) — graph centrality
+    as the "anchor product" signal assortment and recommendation
+    ranking use where raw degree over-counts bulk orders.
+
+    Everything runs in INTEGER fixed-point ({PR_SCALE} units == rank
+    1.0): each node ships floor(r/deg) units along every edge and the
+    damped update is floor(85*inflow/100) + base.  Integer sums are
+    order-independent, so the result is bit-identical across engines
+    with NO rounding discipline — the float-free way to make iterative
+    numerics oracle-checkable (cf. q69's integer closure).
+
+    Scale shape: edges are within-order pair explodes (Σ C(basket, 2),
+    the q142 bound) with a support floor; each iteration is ONE
+    node-keyed join + ONE hash agg, localCheckpointed so round r's plan
+    never re-derives rounds 1..r-1 (the q101/graph.py loop
+    discipline); output is |parts in the graph| rows.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    b = li.select("l_orderkey", "l_partkey").distinct()
+    x = b.select("l_orderkey", F.col("l_partkey").alias("src"))
+    y = b.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    e = (
+        x.join(y, "l_orderkey")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= PR_MIN_COOCCUR)
+        .select("src", "dst")
+    )
+    sym = e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    sym = sym.persist()
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    deg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("deg")
+    )
+    base = PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN
+    cur = nodes.select(
+        "node", F.lit(PR_SCALE).cast("long").alias("r")
+    ).localCheckpoint()
+    shares = sym.join(deg, sym.src == deg.node).select(
+        F.col("src"), F.col("dst"), F.col("deg")
+    )
+    for _ in range(PR_ITERS):
+        inflow = (
+            shares.join(cur, shares.src == cur.node)
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("r div deg").alias("share"),
+            )
+            .groupBy("node")
+            .agg(F.sum("share").alias("inflow"))
+        )
+        cur = (
+            nodes.join(inflow, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({PR_DAMP_NUM} * coalesce(inflow, 0)) div {PR_DAMP_DEN}"
+                    )
+                )
+                .cast("long")
+                .alias("r"),
+            )
+            .localCheckpoint()
+        )
+    sym.unpersist()
+    return cur.select(F.col("node").alias("part"), F.col("r").alias("pagerank_units"))
+
+
+# ---------------------------------------------------------------------------
+# q184 — open-order aging report at the latest snapshot date
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q184_order_aging",
+    oracle="""
+    WITH span AS (
+      SELECT o_orderkey, o_orderdate, o_totalprice,
+             MAX(l_shipdate) AS ship_end
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY 1, 2, 3),
+    s AS (SELECT MAX(o_orderdate) AS snap FROM orders),
+    open_o AS (
+      SELECT date_diff('day', o_orderdate, snap) AS age, o_totalprice
+      FROM span, s
+      WHERE o_orderdate <= snap AND ship_end > snap)
+    SELECT CASE WHEN age <= 30 THEN '0-30'
+                WHEN age <= 60 THEN '31-60'
+                WHEN age <= 90 THEN '61-90'
+                ELSE '90+' END AS age_bucket,
+           COUNT(*) AS n_orders,
+           (ROUND(SUM(o_totalprice), 2) + 0.0) AS open_value
+    FROM open_o GROUP BY 1
+    """,
+)
+def q184_order_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order aging report: orders placed but not fully shipped as
+    of the latest order date, bucketed by how long they have been open
+    (0-30/31-60/61-90/90+ days) with the capital tied up in each
+    bucket — the accounts-receivable-style aging cut every fulfilment
+    dashboard carries next to q182's backlog curve.
+
+    Scale shape: one per-order collapse (orderkey hash agg), a 1-row
+    snapshot-date broadcast attach (cf. q100), and a 4-row output agg.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    span = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.max("l_shipdate").alias("ship_end"))
+    )
+    snap = orders.agg(F.max("o_orderdate").alias("snap"))
+    age = F.datediff(F.col("snap"), F.col("o_orderdate"))
+    bucket = (
+        F.when(age <= 30, "0-30")
+        .when(age <= 60, "31-60")
+        .when(age <= 90, "61-90")
+        .otherwise("90+")
+    )
+    return (
+        span.crossJoin(F.broadcast(snap))
+        .filter(
+            (F.col("o_orderdate") <= F.col("snap"))
+            & (F.col("ship_end") > F.col("snap"))
+        )
+        .groupBy(bucket.alias("age_bucket"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            dec(F.sum("o_totalprice"), 2).alias("open_value"),
+        )
+    )

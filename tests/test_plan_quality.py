@@ -81,6 +81,10 @@ BOUNDED_FILTER_HINT_OK = {
     "q176_cusum_changepoint",  # broadcasts the 1-row daily-mean aggregate
     # broadcasts the dim-bounded label centroid + the 1-row corpus count
     "q177_calibration_ece",
+    "q178_pq_reconstruction",  # broadcasts the 1-row PQ_K codebook (cf. q75)
+    "q184_order_aging",  # broadcasts the 1-row snapshot date
+    # broadcasts the |labels|-row centroid prototype table (cf. q64)
+    "q185_label_silhouette",
     "q47_ann_ivf",
     "q63_tfidf_top_terms",  # broadcasts the 1-row corpus-count aggregate
     # broadcasts the per-block offset table: corpus/PACK_BLOCK rows, a
@@ -239,6 +243,9 @@ NESTED_LOOP_OK = {
     "q176_cusum_changepoint",  # 1-row daily-mean attach (cf. q100)
     # 1-row centroid + 1-row corpus-count attaches (cf. q63/q64)
     "q177_calibration_ece",
+    "q178_pq_reconstruction",  # 1-row codebook attach (cf. q75)
+    "q184_order_aging",  # 1-row snapshot-date attach (cf. q100)
+    "q185_label_silhouette",  # |labels|-row prototype attach (cf. q64)
 }
 
 
