@@ -14,7 +14,14 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from datapipeline_dags_spark.catalog import table
-from datapipeline_dags_spark.plans.helpers import dec, sql_dec
+from datapipeline_dags_spark.plans.helpers import (
+    cached_count,
+    dec,
+    exact_audit_frac,
+    md5_coin,
+    resolve_exact_audit,
+    sql_dec,
+)
 from datapipeline_dags_spark.plans.registry import query
 
 
@@ -1670,16 +1677,22 @@ def q163_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lat
     """,
 )
-def q167_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q167_conversion_latency(
+    spark: SparkSession, sf_dir: str, exact_audit: str = "auto"
+) -> DataFrame:
     """Time-to-convert distribution: seconds from each user's FIRST
     view to their first purchase strictly after it, summarized as
     p50/p90/p99 — the latency dimension q77's funnel counts omit
     (how many convert vs how long conversion takes).
 
     Scale shape: two user-keyed min-aggregates and one user-keyed
-    join — never an event-level self-join; the percentile runs over
-    one latency row per converted user (q59's exact-percentile
-    discipline at a corpus-bounded cardinality).  Output is 1 row.
+    join — never an event-level self-join.  The percentile is a
+    single-group exact aggregate over one latency row per converted
+    user — corpus-bounded but not constant — so it takes the
+    ``exact_audit`` gate (plans/helpers.py; auto keys on |events|):
+    above the threshold the percentiles come from a deterministic
+    md5-coin user sample while ``n_converted`` stays an exact count.
+    Output is 1 row.
     """
     ev = table(spark, sf_dir, "events")
     v = (
@@ -1694,10 +1707,17 @@ def q167_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("pt").alias("pt"))
     )
-    lat = v.join(p, "user_id").select(
-        (F.unix_micros("pt") - F.unix_micros("vt")).alias("us")
+    mode = resolve_exact_audit(
+        exact_audit, lambda: cached_count(ev, f"{sf_dir}/events")
     )
-    s = F.col("us") / 1_000_000.0
+    if mode == "sampled":
+        frac = exact_audit_frac(cached_count(ev, f"{sf_dir}/events"))
+        coin = md5_coin(F.col("user_id"), frac)
+    else:
+        coin = F.lit(True)
+    lat = v.join(p, "user_id").select(
+        F.when(coin, F.unix_micros("pt") - F.unix_micros("vt")).alias("us")
+    )
     return lat.agg(
         F.count("*").alias("n_converted"),
         dec(F.expr("percentile(us / 1000000.0, 0.5)"), 4).alias("p50_s"),

@@ -1484,7 +1484,9 @@ def q164_abc_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1
     """,
 )
-def q165_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q165_rfm_segments(
+    spark: SparkSession, sf_dir: str, exact_audit: str = "auto"
+) -> DataFrame:
     """RFM segmentation: each customer scored on Recency (days since
     last order, anchored to the corpus max date — no wall clock),
     Frequency (order count), and Monetary (total spend), split at the
@@ -1493,12 +1495,17 @@ def q165_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     "R-F-M-" = churned).
 
     Scale shape: one (customer) hash agg collapses orders; the three
-    medians are EXACT percentiles computed once and broadcast as a
-    1-row edge table (the q59/q124 edges discipline — never a global
-    NTILE sort over customers); segment labeling is a map-side CASE;
-    output is <= 8 rows at any SF.  Median thresholds use <= for
-    recency and > for frequency/monetary so integer-median ties fall
-    on the engine-agreed side.
+    medians are computed once and broadcast as a 1-row edge table (the
+    q59/q124 edges discipline — never a global NTILE sort over
+    customers); segment labeling is a map-side CASE; output is <= 8
+    rows at any SF.  The medians are a single-group exact
+    ``percentile`` over the per-customer table, so they take the
+    ``exact_audit`` gate (plans/helpers.py; auto keys on |orders| as
+    the magnitude signal): above the threshold the median EDGES come
+    from a deterministic md5-coin customer sample while segment counts
+    and revenue stay exact over every customer.  Median thresholds use
+    <= for recency and > for frequency/monetary so integer-median ties
+    fall on the engine-agreed side.
     """
     o = table(spark, sf_dir, "orders")
     base = o.groupBy(F.col("o_custkey").alias("cust")).agg(
@@ -1513,7 +1520,15 @@ def q165_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "freq",
         "monetary",
     )
-    edges = anchored.agg(
+    mode = resolve_exact_audit(
+        exact_audit, lambda: cached_count(o, f"{sf_dir}/orders")
+    )
+    if mode == "sampled":
+        frac = exact_audit_frac(cached_count(o, f"{sf_dir}/orders"))
+        med_rows = anchored.filter(md5_coin(F.col("cust"), frac))
+    else:
+        med_rows = anchored
+    edges = med_rows.agg(
         F.expr("percentile(recency_days, 0.5)").alias("r_med"),
         F.expr("percentile(freq, 0.5)").alias("f_med"),
         F.expr("percentile(monetary, 0.5)").alias("m_med"),

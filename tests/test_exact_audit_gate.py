@@ -111,3 +111,31 @@ def test_q141_sampled_keeps_counts_exact(spark, sf_dir, monkeypatch):
 def test_bad_mode_rejected(spark, sf_dir):
     with pytest.raises(ValueError):
         q141_ship_latency_percentiles(spark, sf_dir, exact_audit="bogus")
+
+
+def test_q165_sampled_edges_keep_total_customers(spark, sf_dir, monkeypatch):
+    from datapipeline_dags_spark.plans.relational import q165_rfm_segments
+
+    monkeypatch.setattr(helpers, "EXACT_AUDIT_TARGET_ROWS", 200)
+    helpers._ROW_COUNT_CACHE.clear()
+    exact = q165_rfm_segments(spark, sf_dir, exact_audit="exact").collect()
+    sampled = q165_rfm_segments(spark, sf_dir, exact_audit="sampled").collect()
+    # the median EDGES come from a sample; every customer is still
+    # labeled and counted exactly once
+    assert sum(r["n_customers"] for r in sampled) == sum(
+        r["n_customers"] for r in exact
+    )
+
+
+def test_q167_sampled_keeps_n_converted_exact(spark, sf_dir, monkeypatch):
+    from datapipeline_dags_spark.plans.event_time import q167_conversion_latency
+
+    monkeypatch.setattr(helpers, "EXACT_AUDIT_TARGET_ROWS", 500)
+    helpers._ROW_COUNT_CACHE.clear()
+    exact = q167_conversion_latency(spark, sf_dir, exact_audit="exact").collect()[0]
+    sampled = q167_conversion_latency(
+        spark, sf_dir, exact_audit="sampled"
+    ).collect()[0]
+    assert sampled["n_converted"] == exact["n_converted"]
+    # percentiles still finite (a sample survived the coin)
+    assert sampled["p50_s"] is not None
