@@ -660,3 +660,146 @@ def q168_json_props_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_distinct_values",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q186 — distributed EXACT percentile (histogram route + in-bin selection)
+# ---------------------------------------------------------------------------
+
+DXP_BINS = 256
+DXP_PS = (0.5, 0.9, 0.99)
+
+
+@query(
+    "q186_distributed_exact_percentile",
+    oracle=f"""
+    WITH t AS (SELECT l_returnflag AS g, l_extendedprice AS v FROM lineitem),
+    q AS (SELECT g,
+                 quantile_cont(v, 0.5) AS q50,
+                 quantile_cont(v, 0.9) AS q90,
+                 quantile_cont(v, 0.99) AS q99
+          FROM t GROUP BY g)
+    SELECT g AS l_returnflag, 0.5 AS p, {sql_dec('q50', 4)} AS value FROM q
+    UNION ALL
+    SELECT g, 0.9, {sql_dec('q90', 4)} FROM q
+    UNION ALL
+    SELECT g, 0.99, {sql_dec('q99', 4)} FROM q
+    """,
+)
+def q186_distributed_exact_percentile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT interpolated percentiles WITHOUT the exact-percentile
+    anti-pattern: Spark's ``percentile`` buffers every group value in
+    one aggregation buffer (the q154/q141 scale hazard their
+    exact_audit knob samples around) — this operator computes the SAME
+    quantile_cont values in bounded memory:
+
+      1. one (group, bin) histogram pass ({DXP_BINS} fixed-width bins,
+         q154's sketch) with cumulative counts;
+      2. the target order-statistic RANKS (k = 1 + (n-1)p and its
+         successor) locate their bins on the bounded histogram;
+      3. only rows of the NEEDED bins (expected n/{DXP_BINS} per
+         group) are revisited, collapsed to (value, count) so even
+         all-equal bins stay tiny, ranked within the bin, and the two
+         adjacent order statistics interpolate exactly as
+         quantile_cont does.
+
+    Memory per task is max(histogram, distinct values of one bin) —
+    never the group.  The oracle is DuckDB's own quantile_cont, so
+    "exact" is checked against the reference definition, not a mirrored
+    reimplementation.
+    """
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("g"), F.col("l_extendedprice").alias("v")
+    )
+    st = li.groupBy("g").agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi"), F.count("*").alias("n")
+    )
+    w = F.when(F.col("hi") == F.col("lo"), F.lit(1.0)).otherwise(
+        (F.col("hi") - F.col("lo")) / DXP_BINS
+    )
+    binned = li.join(F.broadcast(st), "g").select(
+        "g",
+        "v",
+        F.least(
+            F.floor((F.col("v") - F.col("lo")) / w).cast("int"),
+            F.lit(DXP_BINS - 1),
+        ).alias("bin"),
+    )
+    cum_w = (
+        W.partitionBy("g").orderBy("bin").rowsBetween(W.unboundedPreceding, 0)
+    )
+    hist = (
+        binned.groupBy("g", "bin")
+        .agg(F.count("*").alias("c"))
+        .withColumn("cum", F.sum("c").over(cum_w))
+        .withColumn("cum_before", F.col("cum") - F.col("c"))
+    )
+    ps = spark.range(1).select(
+        F.explode(F.array(*[F.lit(p) for p in DXP_PS])).alias("p")
+    )
+    h = (F.col("n") - 1) * F.col("p")
+    ranks = (
+        st.crossJoin(F.broadcast(ps))
+        .select(
+            "g",
+            "p",
+            (F.floor(h) + 1).cast("long").alias("k0"),
+            F.least(F.floor(h) + 2, F.col("n")).cast("long").alias("k1"),
+            (h - F.floor(h)).alias("frac"),
+        )
+        .select(
+            "g",
+            "p",
+            "frac",
+            F.explode(
+                F.array(
+                    F.struct(F.lit(0).alias("which"), F.col("k0").alias("k")),
+                    F.struct(F.lit(1).alias("which"), F.col("k1").alias("k")),
+                )
+            ).alias("kk"),
+        )
+        .select("g", "p", "frac", "kk.which", "kk.k")
+    )
+    # locate each rank's bin on the bounded histogram (tiny x bounded)
+    needs = ranks.join(F.broadcast(hist), "g").filter(
+        (F.col("cum_before") < F.col("k")) & (F.col("k") <= F.col("cum"))
+    )
+    needed_bins = needs.select("g", "bin").distinct()
+    # revisit ONLY the needed bins' rows, collapsed to distinct values
+    invals = (
+        binned.join(F.broadcast(needed_bins), ["g", "bin"], "left_semi")
+        .groupBy("g", "bin", "v")
+        .agg(F.count("*").alias("c2"))
+    )
+    in_w = (
+        W.partitionBy("g", "bin")
+        .orderBy("v")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    invals = invals.withColumn("in_cum", F.sum("c2").over(in_w))
+    picked = (
+        needs.select("g", "p", "frac", "which", "k", "bin", "cum_before")
+        .join(invals, ["g", "bin"])
+        .filter(
+            (F.col("k") > F.col("cum_before") + F.col("in_cum") - F.col("c2"))
+            & (F.col("k") <= F.col("cum_before") + F.col("in_cum"))
+        )
+        .select("g", "p", "frac", "which", F.col("v").alias("x"))
+    )
+    return (
+        picked.groupBy("g", "p")
+        .agg(
+            F.max("frac").alias("frac"),
+            F.max(F.when(F.col("which") == 0, F.col("x"))).alias("x0"),
+            F.max(F.when(F.col("which") == 1, F.col("x"))).alias("x1"),
+        )
+        .select(
+            F.col("g").alias("l_returnflag"),
+            "p",
+            dec(
+                F.col("x0") + F.col("frac") * (F.col("x1") - F.col("x0")), 4
+            ).alias("value"),
+        )
+    )

@@ -139,3 +139,36 @@ def test_q167_sampled_keeps_n_converted_exact(spark, sf_dir, monkeypatch):
     assert sampled["n_converted"] == exact["n_converted"]
     # percentiles still finite (a sample survived the coin)
     assert sampled["p50_s"] is not None
+
+
+def test_q186_matches_buffering_percentile(spark, sf_dir):
+    """The distributed histogram-route exact percentile must equal
+    Spark's own buffering `percentile` aggregate bit-for-bit after the
+    4dp round — same definition, scale-safe plan."""
+    from pyspark.sql import functions as F
+
+    from datapipeline_dags_spark.catalog import table
+    from datapipeline_dags_spark.plans.scalars import (
+        DXP_PS,
+        q186_distributed_exact_percentile,
+    )
+
+    got = {
+        (r["l_returnflag"], r["p"]): r["value"]
+        for r in q186_distributed_exact_percentile(spark, sf_dir).collect()
+    }
+    li = table(spark, sf_dir, "lineitem")
+    ref_rows = li.groupBy("l_returnflag").agg(
+        *[
+            (F.round(F.expr(f"percentile(l_extendedprice, {p})"), 4) + 0.0).alias(
+                f"v{i}"
+            )
+            for i, p in enumerate(DXP_PS)
+        ]
+    ).collect()
+    ref = {
+        (r["l_returnflag"], p): r[f"v{i}"]
+        for r in ref_rows
+        for i, p in enumerate(DXP_PS)
+    }
+    assert got == ref

@@ -82,6 +82,9 @@ BOUNDED_FILTER_HINT_OK = {
     # broadcasts the dim-bounded label centroid + the 1-row corpus count
     "q177_calibration_ece",
     "q178_pq_reconstruction",  # broadcasts the 1-row PQ_K codebook (cf. q75)
+    # broadcasts |groups|-row bounds, the (groups x bins) histogram
+    # ranks, and the needed-bin list — all bounded model tables
+    "q186_distributed_exact_percentile",
     "q184_order_aging",  # broadcasts the 1-row snapshot date
     # broadcasts the |labels|-row centroid prototype table (cf. q64)
     "q185_label_silhouette",
@@ -246,6 +249,8 @@ NESTED_LOOP_OK = {
     "q178_pq_reconstruction",  # 1-row codebook attach (cf. q75)
     "q184_order_aging",  # 1-row snapshot-date attach (cf. q100)
     "q185_label_silhouette",  # |labels|-row prototype attach (cf. q64)
+    # 3-row percentile-list attach onto the |groups|-row bounds table
+    "q186_distributed_exact_percentile",
 }
 
 
