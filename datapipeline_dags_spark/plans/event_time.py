@@ -1837,3 +1837,98 @@ def q176_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         dec(F.col("cusum"), 4).alias("cusum"),
         (rk == 1).alias("is_changepoint"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q187 — window funnel (ordered stages within a time budget of the start)
+# ---------------------------------------------------------------------------
+
+WF_WINDOW_S = 7200  # the whole chain must complete within 2h of the view
+
+
+@query(
+    "q187_window_funnel",
+    oracle=f"""
+    WITH v AS (SELECT user_id, MIN(ts) AS vt FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(e.ts) AS ct
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.vt
+            AND epoch_us(e.ts) - epoch_us(v.vt) <= CAST({WF_WINDOW_S} AS BIGINT) * 1000000
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(e.ts) AS pt
+          FROM events e
+          JOIN v ON e.user_id = v.user_id
+          JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.ct
+            AND epoch_us(e.ts) - epoch_us(v.vt) <= CAST({WF_WINDOW_S} AS BIGINT) * 1000000
+          GROUP BY e.user_id),
+    depth AS (
+      SELECT v.user_id,
+             CASE WHEN p.user_id IS NOT NULL THEN 3
+                  WHEN c.user_id IS NOT NULL THEN 2
+                  ELSE 1 END AS funnel_depth
+      FROM v
+      LEFT JOIN c ON v.user_id = c.user_id
+      LEFT JOIN p ON v.user_id = p.user_id)
+    SELECT funnel_depth, COUNT(*) AS n_users
+    FROM depth GROUP BY funnel_depth
+    """,
+)
+def q187_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window funnel (the ClickHouse ``windowFunnel`` cut): how deep
+    each user progresses through view -> click -> purchase where every
+    later stage must happen strictly after the previous one AND within
+    {WF_WINDOW_S}s of the user's first view — q77's ordered funnel
+    measures eventual progression; this measures progression inside a
+    time budget, the difference between "converts" and "converts in
+    the session that started the journey".
+
+    Scale shape: three user-keyed min-aggregates chained by user-keyed
+    joins (never an event-level self-join), two left joins assemble
+    the depth, and the output collapses to <= 3 rows.  The time-budget
+    comparison is integer epoch microseconds on both engines (DuckDB's
+    date_diff('second') truncation trap — see q100's discipline).
+    """
+    ev = table(spark, sf_dir, "events")
+    budget_us = WF_WINDOW_S * 1_000_000
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("vt"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("cu"), F.col("ts").alias("cts"))
+        .join(v, F.col("cu") == v.user_id)
+        .filter(
+            (F.col("cts") > F.col("vt"))
+            & (F.unix_micros("cts") - F.unix_micros("vt") <= budget_us)
+        )
+        .groupBy(F.col("cu").alias("user_id"))
+        .agg(F.min("cts").alias("ct"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("pu"), F.col("ts").alias("pts"))
+        .join(v, F.col("pu") == v.user_id)
+        .join(c.select(F.col("user_id").alias("pcu"), "ct"), F.col("pu") == F.col("pcu"))
+        .filter(
+            (F.col("pts") > F.col("ct"))
+            & (F.unix_micros("pts") - F.unix_micros("vt") <= budget_us)
+        )
+        .groupBy(F.col("pu").alias("user_id"))
+        .agg(F.min("pts").alias("pt"))
+    )
+    depth = (
+        v.join(c.select(F.col("user_id").alias("cu2")), v.user_id == F.col("cu2"), "left")
+        .join(p.select(F.col("user_id").alias("pu2")), v.user_id == F.col("pu2"), "left")
+        .select(
+            F.when(F.col("pu2").isNotNull(), 3)
+            .when(F.col("cu2").isNotNull(), 2)
+            .otherwise(1)
+            .cast("long")
+            .alias("funnel_depth")
+        )
+    )
+    return depth.groupBy("funnel_depth").agg(F.count("*").alias("n_users"))
