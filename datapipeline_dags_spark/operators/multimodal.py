@@ -56,6 +56,40 @@ except ImportError:  # sandbox: IMG1-only
     _PILImage = None
     _HAS_PIL = False
 
+try:  # real-video demux path (PyAV/ffmpeg) — production clusters only
+    import av as _av
+
+    _HAS_AV = True
+except ImportError:  # sandbox: VID1-only
+    _av = None
+    _HAS_AV = False
+
+
+def _demux_real_video(content: bytes, every_n: int) -> list[tuple[int, bytes]]:
+    """Demux real container formats (mp4/mkv/webm/...) with PyAV and
+    return (frame_idx, grayscale frame bytes in the IMG1 wire format)
+    for every ``every_n``-th frame — the same (idx, bytes) contract the
+    VID1 branch produces, so everything downstream (per-frame dHash,
+    banding, features) is demuxer-agnostic.
+
+    UNTESTED IN THIS CONTAINER: PyAV/ffmpeg are not installed here, so
+    this branch is exercised only on a production deploy (import-gated,
+    same discipline as the PIL image path).  Decode stays inside the
+    Arrow batch worker: bytes in, frames out, no temp files.
+    """
+    import io
+
+    out: list[tuple[int, bytes]] = []
+    with _av.open(io.BytesIO(content)) as container:
+        stream = container.streams.video[0]
+        for idx, frame in enumerate(container.decode(stream)):
+            if idx % every_n:
+                continue
+            gray = frame.reformat(format="gray8")
+            plane = bytes(gray.planes[0])
+            out.append((idx, encode_img1(gray.width, gray.height, plane)))
+    return out
+
 
 def read_binary_dir(spark: SparkSession, path: str, glob: str = "*") -> DataFrame:
     """Ingest a directory of media files as (path, content, metadata) —
@@ -151,15 +185,20 @@ def sample_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
             rows = []
             for path, content in zip(pdf["path"], pdf["content"]):
                 b = bytes(content)
-                if b[:4] != VID_MAGIC:
+                if b[:4] == VID_MAGIC:
+                    n_frames, frame_len = _struct.unpack_from("<HH", b, 4)
+                    for i in range(0, n_frames, every_n):
+                        off = 8 + i * frame_len
+                        rows.append((path, i, b[off : off + frame_len]))
+                elif _HAS_AV:
+                    for i, frame in _demux_real_video(b, every_n):
+                        rows.append((path, i, frame))
+                else:
                     raise NotImplementedError(
-                        "real video demuxers (ffmpeg) are not available; "
-                        "only the VID1 test format decodes"
+                        "real video demuxers need PyAV/ffmpeg (pip install "
+                        "av); only the VID1 test format decodes in this "
+                        "container"
                     )
-                n_frames, frame_len = _struct.unpack_from("<HH", b, 4)
-                for i in range(0, n_frames, every_n):
-                    off = 8 + i * frame_len
-                    rows.append((path, i, b[off : off + frame_len]))
             yield pd.DataFrame(rows, columns=["path", "frame_idx", "frame"])
 
     ensure_package_shipped(df.sparkSession)

@@ -2172,3 +2172,132 @@ def q184_order_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec(F.sum("o_totalprice"), 2).alias("open_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q188 — split-shipment analysis per order priority
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q188_split_shipments",
+    oracle="""
+    WITH per_order AS (
+      SELECT o_orderkey, o_orderpriority,
+             COUNT(DISTINCT l_shipdate) AS n_ship_days,
+             date_diff('day', MIN(l_shipdate), MAX(l_shipdate)) AS spread_days,
+             COUNT(*) AS n_lines
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY 1, 2)
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CASE WHEN n_ship_days > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_split,
+           (ROUND(AVG(CASE WHEN n_ship_days > 1 THEN 1.0 ELSE 0.0 END), 6)
+             + 0.0) AS split_rate,
+           (ROUND(AVG(spread_days), 4) + 0.0) AS avg_spread_days,
+           (ROUND(AVG(n_lines), 4) + 0.0) AS avg_lines
+    FROM per_order GROUP BY 1
+    """,
+)
+def q188_split_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-shipment analysis: per order priority, how many orders ship
+    across more than one day, the average first-to-last shipment spread,
+    and basket size — the fulfilment-fragmentation metric behind
+    packaging cost and delivery-experience dashboards (a split order is
+    N deliveries the customer didn't ask for).
+
+    Scale shape: one per-order hash agg (distinct ship days via the
+    orderkey-partitioned aggregate — bounded by lines per order), one
+    |priorities|-row output agg.  Integer day spreads; rates/averages
+    rounded per the float discipline.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    per_order = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(
+            F.countDistinct("l_shipdate").alias("n_ship_days"),
+            F.datediff(F.max("l_shipdate"), F.min("l_shipdate")).alias(
+                "spread_days"
+            ),
+            F.count("*").alias("n_lines"),
+        )
+    )
+    split = F.when(F.col("n_ship_days") > 1, 1.0).otherwise(0.0)
+    return per_order.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(split.cast("int")).cast("long").alias("n_split"),
+        dec(F.avg(split), 6).alias("split_rate"),
+        dec(F.avg("spread_days"), 4).alias("avg_spread_days"),
+        dec(F.avg("n_lines"), 4).alias("avg_lines"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q189 — discount elasticity by brand (Pearson correlation + OLS slope)
+# ---------------------------------------------------------------------------
+
+ELASTICITY_MIN_N = 30  # brands with fewer observations are noise
+
+
+@query(
+    "q189_discount_elasticity",
+    oracle=f"""
+    WITH j AS (
+      SELECT p_brand, l_discount AS x, l_quantity AS y
+      FROM lineitem JOIN part ON l_partkey = p_partkey),
+    m AS (
+      SELECT p_brand, COUNT(*) AS n,
+             SUM(x) AS sx, SUM(y) AS sy, SUM(x*x) AS sxx,
+             SUM(y*y) AS syy, SUM(x*y) AS sxy
+      FROM j GROUP BY 1 HAVING COUNT(*) >= {ELASTICITY_MIN_N})
+    SELECT p_brand, CAST(n AS BIGINT) AS n,
+           {sql_dec('(n*sxy - sx*sy) / (n*sxx - sx*sx)', 6)} AS slope,
+           {sql_dec('(n*sxy - sx*sy) / (SQRT(n*sxx - sx*sx) * SQRT(n*syy - sy*sy))', 6)}
+             AS pearson_r
+    FROM m
+    """,
+)
+def q189_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discount elasticity by brand: OLS slope and Pearson correlation
+    of quantity against discount — the pricing-analytics primitive
+    ("does discounting this brand move volume?"), with a minimum-
+    observation floor so thin brands don't report noise.
+
+    Scale shape: ONE hash agg of mergeable moments (n, Σx, Σy, Σx²,
+    Σy², Σxy) per brand — the q150 OLS discipline: partial aggregation
+    combines map-side, no window, no second pass; slope and r derive
+    from the moments in closed form and round to 6dp (the only
+    order-dependent step is the float moment sums, same rounding
+    contract as every aggregate in the corpus).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    j = li.join(part, li.l_partkey == part.p_partkey).select(
+        "p_brand",
+        F.col("l_discount").alias("x"),
+        F.col("l_quantity").alias("y"),
+    )
+    m = (
+        j.groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        )
+        .filter(F.col("n") >= ELASTICITY_MIN_N)
+    )
+    cov_n = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    var_x = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    var_y = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return m.select(
+        "p_brand",
+        F.col("n").cast("long").alias("n"),
+        dec(cov_n / var_x, 6).alias("slope"),
+        dec(cov_n / (F.sqrt(var_x) * F.sqrt(var_y)), 6).alias("pearson_r"),
+    )
