@@ -15,7 +15,7 @@ Reference parity notes are cited per query (file:line into
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
@@ -29,6 +29,10 @@ from datapipeline_dags_spark.plans.helpers import (
     sql_dec,
 )
 from datapipeline_dags_spark.plans.registry import query
+
+#: q179's basket-cap counters, refreshed per plan build (the
+#: llm_ops.BUCKET_OBSERVATIONS discipline for relational-side caps).
+BASKET_OBSERVATIONS: dict[str, Observation] = {}
 
 # ---------------------------------------------------------------------------
 # Aggregations over a scan (SURVEY §2.6; reference's only aggregates are
@@ -1779,12 +1783,22 @@ def q175_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TRIPLE_MIN_SUPPORT = 2
 TRIPLE_TOP = 20
+# Within-basket triple volume is C(basket, 3) — CUBIC in basket size, so
+# one pathological 10^4-part basket emits 10^12 triples (the q173 lesson
+# one degree worse).  Baskets are capped to their TRIPLE_MAX_BASKET
+# smallest partkeys (deterministic, mirrored in the oracle) before the
+# triple explode; capped baskets are counted via df.observe.
+TRIPLE_MAX_BASKET = 50
 
 
 @query(
     "q179_itemset_triples",
     oracle=f"""
-    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    WITH b0 AS (SELECT l_orderkey,
+                       (list_sort(list(DISTINCT l_partkey)))[1:{TRIPLE_MAX_BASKET}]
+                         AS parts
+                FROM lineitem GROUP BY 1),
+    b AS (SELECT l_orderkey, unnest(parts) AS l_partkey FROM b0),
     tri AS (
       SELECT x.l_partkey AS part_a, y.l_partkey AS part_b,
              z.l_partkey AS part_c, COUNT(*) AS support
@@ -1808,14 +1822,36 @@ def q179_itemset_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     bundle design and "frequently bought together" at depth 2.
 
     Scale shape: both triple-building joins are WITHIN an order
-    (equi-join on orderkey), so candidate volume is Σ C(basket, 3) —
-    bounded by basket size, never corpus-quadratic; the a<b<c ordering
-    emits each triple once.  The global top-k is orderBy+limit
+    (equi-join on orderkey), and baskets are capped to their
+    {TRIPLE_MAX_BASKET} smallest parts BEFORE the explode — C(basket,3)
+    is cubic, so one pathological giant basket would otherwise emit
+    10^12 triples (the q173 single-linkage lesson, one degree worse).
+    Truncation is observable via
+    ``BASKET_OBSERVATIONS['q179_itemset_triples']`` and mirrored in the
+    oracle, so the contract stays hash-checkable.  The a<b<c ordering
+    emits each triple once; the global top-k is orderBy+limit
     (TakeOrderedAndProject) with the rank assigned on the bounded
     {TRIPLE_TOP} rows (the q142 discipline).
     """
     li = table(spark, sf_dir, "lineitem")
-    b = li.select("l_orderkey", "l_partkey").distinct()
+    obs = Observation()
+    BASKET_OBSERVATIONS["q179_itemset_triples"] = obs
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+        .observe(
+            obs,
+            F.count(F.lit(1)).alias("buckets"),
+            F.sum(
+                (F.size("parts") > TRIPLE_MAX_BASKET).cast("long")
+            ).alias("capped_buckets"),
+            F.max(F.size("parts")).alias("max_bucket_size"),
+        )
+    )
+    b = baskets.select(
+        "l_orderkey",
+        F.explode(F.slice("parts", 1, TRIPLE_MAX_BASKET)).alias("l_partkey"),
+    )
     x = b.select("l_orderkey", F.col("l_partkey").alias("part_a"))
     y = b.select("l_orderkey", F.col("l_partkey").alias("part_b"))
     z = b.select("l_orderkey", F.col("l_partkey").alias("part_c"))
