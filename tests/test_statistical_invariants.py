@@ -1,0 +1,74 @@
+"""Metamorphic invariants of the round-5 statistical operators: laws
+the MATH guarantees regardless of data, so a violation is always an
+implementation bug (complements the DuckDB hash oracle, which would
+happily agree with a mirrored mistake)."""
+
+from __future__ import annotations
+
+from datapipeline_dags_spark.plans.event_time import q176_cusum_changepoint
+from datapipeline_dags_spark.plans.relational import (
+    q175_kaplan_meier,
+    q180_gini_concentration,
+    q183_part_pagerank,
+    q184_order_aging,
+)
+from datapipeline_dags_spark.plans.scalars import (
+    DXP_PS,
+    q186_distributed_exact_percentile,
+)
+
+
+def test_km_survival_is_monotone_and_proper(spark, sf_dir):
+    rows = sorted(
+        q175_kaplan_meier(spark, sf_dir).collect(), key=lambda r: r["t_days"]
+    )
+    assert rows[0]["n_at_risk"] == sum(
+        r["n_events"] + r["n_censored"] for r in rows
+    )
+    prev_s, prev_risk = 1.0 + 1e-9, None
+    for r in rows:
+        assert 0.0 <= r["survival"] <= prev_s  # S(t) non-increasing in [0,1]
+        if prev_risk is not None:
+            assert r["n_at_risk"] < prev_risk  # risk set strictly shrinks
+        prev_s, prev_risk = r["survival"], r["n_at_risk"]
+
+
+def test_gini_in_range(spark, sf_dir):
+    for r in q180_gini_concentration(spark, sf_dir).collect():
+        assert 0.0 <= r["gini"] < 1.0
+        assert r["n_suppliers"] >= 1
+
+
+def test_pagerank_mass_conserved_up_to_floor_loss(spark, sf_dir):
+    from datapipeline_dags_spark.plans.relational import PR_SCALE
+
+    rows = q183_part_pagerank(spark, sf_dir).collect()
+    n = len(rows)
+    total = sum(r["pagerank_units"] for r in rows)
+    # floor-division leaks mass downward only, never creates it
+    assert total <= n * PR_SCALE
+    assert total >= int(n * PR_SCALE * 0.9)
+    assert all(r["pagerank_units"] > 0 for r in rows)
+
+
+def test_cusum_has_exactly_one_changepoint(spark, sf_dir):
+    rows = q176_cusum_changepoint(spark, sf_dir).collect()
+    flagged = [r for r in rows if r["is_changepoint"]]
+    assert len(flagged) == 1
+    peak = max(abs(r["cusum"]) for r in rows)
+    assert abs(flagged[0]["cusum"]) == peak
+
+
+def test_distributed_percentile_monotone_in_p(spark, sf_dir):
+    by_g: dict = {}
+    for r in q186_distributed_exact_percentile(spark, sf_dir).collect():
+        by_g.setdefault(r["l_returnflag"], {})[r["p"]] = r["value"]
+    for vals in by_g.values():
+        ordered = [vals[p] for p in DXP_PS]
+        assert ordered == sorted(ordered)
+
+
+def test_aging_buckets_partition_open_orders(spark, sf_dir):
+    rows = q184_order_aging(spark, sf_dir).collect()
+    assert {r["age_bucket"] for r in rows} <= {"0-30", "31-60", "61-90", "90+"}
+    assert all(r["n_orders"] > 0 for r in rows)
