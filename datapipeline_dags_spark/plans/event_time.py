@@ -1932,3 +1932,57 @@ def q187_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return depth.groupBy("funnel_depth").agg(F.count("*").alias("n_users"))
+
+
+# ---------------------------------------------------------------------------
+# q190 — weekday-uniformity chi-square audit of event volume
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q190_weekday_chisq",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(dayofweek(ts) AS BIGINT) AS dow, COUNT(*) AS n
+      FROM events GROUP BY 1),
+    t AS (SELECT SUM(n) AS total, COUNT(*) AS k FROM d)
+    SELECT dow, n AS n_events,
+           (ROUND(total * 1.0 / k, 4) + 0.0) AS expected,
+           (ROUND((n - total * 1.0 / k) * (n - total * 1.0 / k)
+                  / (total * 1.0 / k), 4) + 0.0) AS chisq_term,
+           (ROUND(SUM((n - total * 1.0 / k) * (n - total * 1.0 / k)
+                      / (total * 1.0 / k)) OVER (), 4) + 0.0) AS chisq_stat
+    FROM d, t
+    """,
+)
+def q190_weekday_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square goodness-of-fit of event volume against a uniform
+    weekday distribution: per-weekday observed vs expected counts, the
+    per-cell chi-square term, and the overall statistic (dof = 6) —
+    the classic load-seasonality test behind capacity planning and
+    synthetic-data sanity audits (a generator that forgot weekday
+    seasonality shows chisq ~ 0; real traffic shows a huge one).
+
+    Scale shape: the corpus collapses to <= 7 rows in one pushed hash
+    agg; the totals attach is a 1-row broadcast and the statistic sums
+    over the bounded weekday frame (allowlisted global window on <= 7
+    rows).
+    """
+    ev = table(spark, sf_dir, "events")
+    # Spark dayofweek is 1-7 Sunday-first; DuckDB's is 0-6 — align on 0-6
+    d = ev.groupBy(
+        (F.dayofweek("ts") - 1).cast("long").alias("dow")
+    ).agg(F.count("*").alias("n"))
+    t = d.agg(F.sum("n").alias("total"), F.count("*").alias("k"))
+    exp = F.col("total") * 1.0 / F.col("k")
+    term = (F.col("n") - exp) * (F.col("n") - exp) / exp
+    full_w = W.partitionBy().rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    return d.crossJoin(F.broadcast(t)).select(
+        "dow",
+        F.col("n").alias("n_events"),
+        dec(exp, 4).alias("expected"),
+        dec(term, 4).alias("chisq_term"),
+        dec(F.sum(term).over(full_w), 4).alias("chisq_stat"),
+    )

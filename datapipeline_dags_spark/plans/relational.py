@@ -2337,3 +2337,72 @@ def q189_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
         dec(cov_n / var_x, 6).alias("slope"),
         dec(cov_n / (F.sqrt(var_x) * F.sqrt(var_y)), 6).alias("pearson_r"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q191 — supplier SLA league table (worst p90 ship latency, floored n)
+# ---------------------------------------------------------------------------
+
+SLA_MIN_LINES = 20
+SLA_TOP = 15
+
+
+@query(
+    "q191_supplier_sla",
+    oracle=f"""
+    WITH t AS (
+      SELECT l_suppkey, date_diff('day', o_orderdate, l_shipdate) AS days
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    g AS (
+      SELECT l_suppkey, COUNT(*) AS n,
+             ROUND(quantile_cont(days, 0.5), 4) AS p50,
+             ROUND(quantile_cont(days, 0.9), 4) AS p90
+      FROM t GROUP BY 1 HAVING COUNT(*) >= {SLA_MIN_LINES}),
+    top AS (
+      SELECT s_name, n, p50, p90,
+             ROW_NUMBER() OVER (ORDER BY p90 DESC, s_name) AS rk
+      FROM g JOIN supplier ON l_suppkey = s_suppkey)
+    SELECT s_name, CAST(n AS BIGINT) AS n_lines,
+           (p50 + 0.0) AS p50_days, (p90 + 0.0) AS p90_days,
+           CAST(rk AS BIGINT) AS rk
+    FROM top WHERE rk <= {SLA_TOP}
+    """,
+)
+def q191_supplier_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier SLA league table: the {SLA_TOP} suppliers with the worst
+    p90 order-to-ship latency (minimum {SLA_MIN_LINES} lines so thin
+    suppliers don't top the board on noise) — the vendor-scorecard cut
+    procurement reviews run weekly.
+
+    Scale shape: the percentile groups are PER SUPPLIER — group size is
+    lines/suppliers, which stays bounded as both grow with SF (unlike
+    the q141/q154 few-groups regime), so the exact per-group percentile
+    is safe here; ranking on the 4dp-rounded p90 with a name tiebreak;
+    global top-k via orderBy+limit with the rank assigned on the
+    bounded {SLA_TOP} rows (the q142 discipline).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    sup = table(spark, sf_dir, "supplier")
+    t = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_suppkey", F.datediff("l_shipdate", "o_orderdate").alias("days")
+    )
+    g = (
+        t.groupBy("l_suppkey")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.expr("percentile(days, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(days, 0.9)"), 4).alias("p90"),
+        )
+        .filter(F.col("n") >= SLA_MIN_LINES)
+    )
+    j = g.join(sup, g.l_suppkey == sup.s_suppkey)
+    top = j.orderBy(F.col("p90").desc(), "s_name").limit(SLA_TOP)
+    rk = F.row_number().over(W.orderBy(F.col("p90").desc(), "s_name"))
+    return top.select(
+        "s_name",
+        F.col("n").cast("long").alias("n_lines"),
+        (F.col("p50") + 0.0).alias("p50_days"),
+        (F.col("p90") + 0.0).alias("p90_days"),
+        rk.cast("long").alias("rk"),
+    )

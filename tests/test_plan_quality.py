@@ -86,6 +86,7 @@ BOUNDED_FILTER_HINT_OK = {
     # ranks, and the needed-bin list — all bounded model tables
     "q186_distributed_exact_percentile",
     "q184_order_aging",  # broadcasts the 1-row snapshot date
+    "q190_weekday_chisq",  # broadcasts the 1-row weekday totals
     # broadcasts the |labels|-row centroid prototype table (cf. q64)
     "q185_label_silhouette",
     "q47_ann_ivf",
@@ -248,6 +249,7 @@ NESTED_LOOP_OK = {
     "q177_calibration_ece",
     "q178_pq_reconstruction",  # 1-row codebook attach (cf. q75)
     "q184_order_aging",  # 1-row snapshot-date attach (cf. q100)
+    "q190_weekday_chisq",  # 1-row totals attach onto the <=7-row frame
     "q185_label_silhouette",  # |labels|-row prototype attach (cf. q64)
     # 3-row percentile-list attach onto the |groups|-row bounds table
     "q186_distributed_exact_percentile",
@@ -300,6 +302,8 @@ GLOBAL_WINDOW_BOUNDED = {
     "q175_kaplan_meier": "life table <= KM_HORIZON_DAYS+1 rows",
     "q176_cusum_changepoint": "|days| CUSUM frame",
     "q182_order_backlog": "|days| running-balance frame",
+    "q190_weekday_chisq": "<=7-row weekday frame",
+    "q191_supplier_sla": "row_number over the SLA_TOP-row limit",
 }
 
 
