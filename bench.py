@@ -64,6 +64,8 @@ HEADLINE = [
     "q161_incremental_rollup",
     "q165_rfm_segments",
     "q173_cluster_cohesion",
+    # round-5 (cont.): the buffering-free exact percentile
+    "q186_distributed_exact_percentile",
 ]
 
 REPS = 3

@@ -40,13 +40,18 @@ def sql_dec(expr: str, scale: int = 2) -> str:
 #   "exact"   — current behavior (the oracle-parity path; also what
 #               "auto" resolves to at or below EXACT_AUDIT_MAX_ROWS,
 #               so the driver gate at sf<=0.1 never changes plans)
+#   "distributed" — the q186 ``distributed_percentiles`` route: still
+#               EXACT (identical quantile_cont values) but max task
+#               memory is one histogram bin, never the group; what
+#               "auto" picks above the threshold for owners whose
+#               inputs fit the (g, v) shape (q154, q141)
 #   "sampled" — exact percentile over a deterministic md5-coin row
 #               sample (the q58 coin: engine-reproducible, no RNG)
-#               sized to ~EXACT_AUDIT_TARGET_ROWS rows, bounding the
-#               per-group buffer at any SF while keeping counts exact
+#               sized to ~EXACT_AUDIT_TARGET_ROWS rows; the auto scale
+#               mode for entity-collapsed owners (q165, q167)
 #   "auto"    — "exact" until the input exceeds EXACT_AUDIT_MAX_ROWS,
-#               then "sampled" (the q96/q112 auto-select pattern: the
-#               registered default IS the scale-safe path)
+#               then the owner's scale_mode (the q96/q112 auto-select
+#               pattern: the registered default IS the scale-safe path)
 #
 # q59 stays exempt by contract ("exact" is the operator; unbounded
 # cardinality routes to q68), and the per-entity-collapsed medians
@@ -68,15 +73,24 @@ def cached_count(df, cache_key: str) -> int:
     return _ROW_COUNT_CACHE[sess_key]
 
 
-def resolve_exact_audit(mode: str, n_rows_fn) -> str:
-    """Resolve an ``exact_audit`` knob to 'exact' or 'sampled'.
+def resolve_exact_audit(
+    mode: str, n_rows_fn, scale_mode: str = "sampled"
+) -> str:
+    """Resolve an ``exact_audit`` knob to 'exact', 'sampled', or
+    'distributed'.
 
-    ``n_rows_fn`` is called only in auto mode so pinned modes never pay
-    the count job."""
+    ``scale_mode`` is what 'auto' picks ABOVE the threshold: owners
+    whose percentile inputs fit the (g, v) shape route through the
+    q186 ``distributed_percentiles`` machinery (still EXACT, bounded
+    memory); the rest fall back to the md5-coin sample.  ``n_rows_fn``
+    is called only in auto mode so pinned modes never pay the count
+    job."""
     if mode == "auto":
-        return "sampled" if n_rows_fn() > EXACT_AUDIT_MAX_ROWS else "exact"
-    if mode not in ("exact", "sampled"):
-        raise ValueError(f"exact_audit must be auto|exact|sampled, got {mode!r}")
+        return scale_mode if n_rows_fn() > EXACT_AUDIT_MAX_ROWS else "exact"
+    if mode not in ("exact", "sampled", "distributed"):
+        raise ValueError(
+            f"exact_audit must be auto|exact|sampled|distributed, got {mode!r}"
+        )
     return mode
 
 

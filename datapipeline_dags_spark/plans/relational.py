@@ -1130,17 +1130,47 @@ def q141_ship_latency_percentiles(
     ``percentile`` buffers a fifth of the corpus per reducer task, so
     the percentile inputs take the ``exact_audit`` gate
     (plans/helpers.py): 'auto' (default) is the oracle-parity exact
-    path up to EXACT_AUDIT_MAX_ROWS and a deterministic md5-coin row
-    sample above it — ``n_items`` stays an exact count in every mode
-    (the percentile aggregates skip the NULLed-out unsampled rows).
+    path up to EXACT_AUDIT_MAX_ROWS and the q186
+    ``distributed_percentiles`` route above it — still EXACT, max task
+    memory one histogram bin; 'sampled' (deterministic md5-coin row
+    sample) stays selectable.  ``n_items`` is an exact count in every
+    mode.
     The truly unbounded-cardinality variant remains q68's mergeable
     sketch.
     """
     li = table(spark, sf_dir, "lineitem")
     orders = table(spark, sf_dir, "orders")
     mode = resolve_exact_audit(
-        exact_audit, lambda: cached_count(li, f"{sf_dir}/lineitem")
+        exact_audit,
+        lambda: cached_count(li, f"{sf_dir}/lineitem"),
+        scale_mode="distributed",
     )
+    if mode == "distributed":
+        from datapipeline_dags_spark.plans.scalars import (
+            distributed_percentiles,
+        )
+
+        gv = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+            F.col("o_orderpriority").alias("g"),
+            F.datediff("l_shipdate", "o_orderdate").cast("double").alias("v"),
+        )
+        counts = gv.groupBy("g").agg(F.count("*").cast("long").alias("n_items"))
+        pcts = (
+            distributed_percentiles(gv, (0.5, 0.9, 0.99))
+            .groupBy("g")
+            .agg(
+                F.max(F.when(F.col("p") == 0.5, F.col("value"))).alias("v50"),
+                F.max(F.when(F.col("p") == 0.9, F.col("value"))).alias("v90"),
+                F.max(F.when(F.col("p") == 0.99, F.col("value"))).alias("v99"),
+            )
+        )
+        return counts.join(pcts, "g").select(
+            F.col("g").alias("o_orderpriority"),
+            "n_items",
+            dec(F.col("v50"), 4).alias("p50_days"),
+            dec(F.col("v90"), 4).alias("p90_days"),
+            dec(F.col("v99"), 4).alias("p99_days"),
+        )
     if mode == "sampled":
         frac = exact_audit_frac(cached_count(li, f"{sf_dir}/lineitem"))
         coin = md5_coin(F.concat_ws("_", "l_orderkey", "l_linenumber"), frac)

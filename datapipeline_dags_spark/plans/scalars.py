@@ -499,16 +499,20 @@ def q154_quantile_sketch(
     flags that is the whole corpus in 3 reducer tasks.  ``exact_audit``
     gates it (plans/helpers.py): 'auto' (default) keeps the
     oracle-parity exact path up to EXACT_AUDIT_MAX_ROWS and switches to
-    a deterministic md5-coin row sample (~EXACT_AUDIT_TARGET_ROWS rows)
-    above it, so the audit that certifies the sketch's scale-safety no
-    longer defeats it.
+    the q186 ``distributed_percentiles`` route above it — still EXACT
+    (identical quantile_cont values) with max task memory of one
+    histogram bin instead of the group; 'sampled' (deterministic
+    md5-coin row sample) stays selectable.  The audit that certifies
+    the sketch's scale-safety no longer defeats it at any scale.
     """
     raw = table(spark, sf_dir, "lineitem")
     li = raw.select(
         F.col("l_returnflag").alias("g"), F.col("l_extendedprice").alias("v")
     )
     mode = resolve_exact_audit(
-        exact_audit, lambda: cached_count(raw, f"{sf_dir}/lineitem")
+        exact_audit,
+        lambda: cached_count(raw, f"{sf_dir}/lineitem"),
+        scale_mode="distributed",
     )
     if mode == "sampled":
         frac = exact_audit_frac(cached_count(raw, f"{sf_dir}/lineitem"))
@@ -572,6 +576,20 @@ def q154_quantile_sketch(
             w.alias("w"),
         )
     )
+    if mode == "distributed":
+        exact = distributed_percentiles(li, QSK_PS).select(
+            "g", "p", F.col("value").alias("q_exact")
+        )
+        return est.join(exact, ["g", "p"]).select(
+            F.col("g").alias("l_returnflag"),
+            "p",
+            dec(F.col("q_est"), 4).alias("q_est"),
+            dec(F.col("q_exact"), 4).alias("q_exact"),
+            dec(F.abs(F.col("q_est") - F.col("q_exact")), 4).alias("abs_err"),
+            (F.abs(F.col("q_est") - F.col("q_exact")) <= F.col("w")).alias(
+                "within_bin_bound"
+            ),
+        )
     exact = (
         audit_rows.groupBy("g")
         .agg(
@@ -670,56 +688,25 @@ DXP_BINS = 256
 DXP_PS = (0.5, 0.9, 0.99)
 
 
-@query(
-    "q186_distributed_exact_percentile",
-    oracle=f"""
-    WITH t AS (SELECT l_returnflag AS g, l_extendedprice AS v FROM lineitem),
-    q AS (SELECT g,
-                 quantile_cont(v, 0.5) AS q50,
-                 quantile_cont(v, 0.9) AS q90,
-                 quantile_cont(v, 0.99) AS q99
-          FROM t GROUP BY g)
-    SELECT g AS l_returnflag, 0.5 AS p, {sql_dec('q50', 4)} AS value FROM q
-    UNION ALL
-    SELECT g, 0.9, {sql_dec('q90', 4)} FROM q
-    UNION ALL
-    SELECT g, 0.99, {sql_dec('q99', 4)} FROM q
-    """,
-)
-def q186_distributed_exact_percentile(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """EXACT interpolated percentiles WITHOUT the exact-percentile
-    anti-pattern: Spark's ``percentile`` buffers every group value in
-    one aggregation buffer (the q154/q141 scale hazard their
-    exact_audit knob samples around) — this operator computes the SAME
-    quantile_cont values in bounded memory:
+def distributed_percentiles(gv: DataFrame, ps: tuple) -> DataFrame:
+    """quantile_cont-exact interpolated percentiles of a (g, v)
+    DataFrame WITHOUT per-group value buffering — the reusable core of
+    q186, and the ``exact_audit='distributed'`` backend of q154/q141.
 
-      1. one (group, bin) histogram pass ({DXP_BINS} fixed-width bins,
-         q154's sketch) with cumulative counts;
-      2. the target order-statistic RANKS (k = 1 + (n-1)p and its
-         successor) locate their bins on the bounded histogram;
-      3. only rows of the NEEDED bins (expected n/{DXP_BINS} per
-         group) are revisited, collapsed to (value, count) so even
-         all-equal bins stay tiny, ranked within the bin, and the two
-         adjacent order statistics interpolate exactly as
-         quantile_cont does.
-
-    Memory per task is max(histogram, distinct values of one bin) —
-    never the group.  The oracle is DuckDB's own quantile_cont, so
-    "exact" is checked against the reference definition, not a mirrored
-    reimplementation.
+    Returns (g, p, value) with value UNROUNDED (callers apply their own
+    float discipline).  See q186's docstring for the three-pass design;
+    max task memory is max(histogram, distinct values of one needed
+    bin) — at {DXP_BINS} bins the revisit touches ~n/{DXP_BINS} of each
+    group, and the in-bin window partition holds that bin's DISTINCT
+    values only.
     """
-    li = table(spark, sf_dir, "lineitem").select(
-        F.col("l_returnflag").alias("g"), F.col("l_extendedprice").alias("v")
-    )
-    st = li.groupBy("g").agg(
+    st = gv.groupBy("g").agg(
         F.min("v").alias("lo"), F.max("v").alias("hi"), F.count("*").alias("n")
     )
     w = F.when(F.col("hi") == F.col("lo"), F.lit(1.0)).otherwise(
         (F.col("hi") - F.col("lo")) / DXP_BINS
     )
-    binned = li.join(F.broadcast(st), "g").select(
+    binned = gv.join(F.broadcast(st), "g").select(
         "g",
         "v",
         F.least(
@@ -736,12 +723,13 @@ def q186_distributed_exact_percentile(
         .withColumn("cum", F.sum("c").over(cum_w))
         .withColumn("cum_before", F.col("cum") - F.col("c"))
     )
-    ps = spark.range(1).select(
-        F.explode(F.array(*[F.lit(p) for p in DXP_PS])).alias("p")
+    spark = gv.sparkSession
+    ps_tbl = spark.range(1).select(
+        F.explode(F.array(*[F.lit(p) for p in ps])).alias("p")
     )
     h = (F.col("n") - 1) * F.col("p")
     ranks = (
-        st.crossJoin(F.broadcast(ps))
+        st.crossJoin(F.broadcast(ps_tbl))
         .select(
             "g",
             "p",
@@ -796,10 +784,58 @@ def q186_distributed_exact_percentile(
             F.max(F.when(F.col("which") == 1, F.col("x"))).alias("x1"),
         )
         .select(
-            F.col("g").alias("l_returnflag"),
+            "g",
             "p",
-            dec(
-                F.col("x0") + F.col("frac") * (F.col("x1") - F.col("x0")), 4
-            ).alias("value"),
+            (F.col("x0") + F.col("frac") * (F.col("x1") - F.col("x0"))).alias(
+                "value"
+            ),
         )
+    )
+
+
+@query(
+    "q186_distributed_exact_percentile",
+    oracle=f"""
+    WITH t AS (SELECT l_returnflag AS g, l_extendedprice AS v FROM lineitem),
+    q AS (SELECT g,
+                 quantile_cont(v, 0.5) AS q50,
+                 quantile_cont(v, 0.9) AS q90,
+                 quantile_cont(v, 0.99) AS q99
+          FROM t GROUP BY g)
+    SELECT g AS l_returnflag, 0.5 AS p, {sql_dec('q50', 4)} AS value FROM q
+    UNION ALL
+    SELECT g, 0.9, {sql_dec('q90', 4)} FROM q
+    UNION ALL
+    SELECT g, 0.99, {sql_dec('q99', 4)} FROM q
+    """,
+)
+def q186_distributed_exact_percentile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT interpolated percentiles WITHOUT the exact-percentile
+    anti-pattern: Spark's ``percentile`` buffers every group value in
+    one aggregation buffer (the q154/q141 scale hazard their
+    exact_audit knob samples around) — this operator computes the SAME
+    quantile_cont values in bounded memory:
+
+      1. one (group, bin) histogram pass ({DXP_BINS} fixed-width bins,
+         q154's sketch) with cumulative counts;
+      2. the target order-statistic RANKS (k = 1 + (n-1)p and its
+         successor) locate their bins on the bounded histogram;
+      3. only rows of the NEEDED bins (expected n/{DXP_BINS} per
+         group) are revisited, collapsed to (value, count) so even
+         all-equal bins stay tiny, ranked within the bin, and the two
+         adjacent order statistics interpolate exactly as
+         quantile_cont does.
+
+    Memory per task is max(histogram, distinct values of one bin) —
+    never the group.  The oracle is DuckDB's own quantile_cont, so
+    "exact" is checked against the reference definition, not a mirrored
+    reimplementation.
+    """
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("g"), F.col("l_extendedprice").alias("v")
+    )
+    return distributed_percentiles(li, DXP_PS).select(
+        F.col("g").alias("l_returnflag"), "p", dec(F.col("value"), 4).alias("value")
     )

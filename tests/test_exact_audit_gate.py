@@ -29,12 +29,41 @@ def test_auto_is_exact_at_fixture_scale(spark, sf_dir):
     assert auto == exact
 
 
-def test_auto_flips_to_sampled_above_threshold(spark, sf_dir, monkeypatch):
+def test_auto_flips_to_distributed_above_threshold(spark, sf_dir, monkeypatch):
+    """Above the threshold, auto resolves to the q186 distributed route
+    — still EXACT: bit-equal to the buffering percentile path."""
     monkeypatch.setattr(helpers, "EXACT_AUDIT_MAX_ROWS", 10)
+    helpers._ROW_COUNT_CACHE.clear()
+    auto = _rows_by_key(
+        q154_quantile_sketch(spark, sf_dir), ("l_returnflag", "p")
+    )
+    exact = _rows_by_key(
+        q154_quantile_sketch(spark, sf_dir, exact_audit="exact"),
+        ("l_returnflag", "p"),
+    )
+    assert auto == exact
+
+
+def test_q141_distributed_equals_exact(spark, sf_dir):
+    exact = _rows_by_key(
+        q141_ship_latency_percentiles(spark, sf_dir, exact_audit="exact"),
+        ("o_orderpriority",),
+    )
+    dist = _rows_by_key(
+        q141_ship_latency_percentiles(
+            spark, sf_dir, exact_audit="distributed"
+        ),
+        ("o_orderpriority",),
+    )
+    assert dist == exact
+
+
+def test_q154_sampled_mode_still_selectable(spark, sf_dir, monkeypatch):
     monkeypatch.setattr(helpers, "EXACT_AUDIT_TARGET_ROWS", 2_000)
     helpers._ROW_COUNT_CACHE.clear()
     sampled = _rows_by_key(
-        q154_quantile_sketch(spark, sf_dir), ("l_returnflag", "p")
+        q154_quantile_sketch(spark, sf_dir, exact_audit="sampled"),
+        ("l_returnflag", "p"),
     )
     exact = _rows_by_key(
         q154_quantile_sketch(spark, sf_dir, exact_audit="exact"),
