@@ -7812,3 +7812,118 @@ def q181_duplicate_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec(jac, 6).alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q192 — score decile lift table (campaign-targeting model eval)
+# ---------------------------------------------------------------------------
+
+
+def _q192_oracle() -> str:
+    return f"""
+    WITH u AS (
+      SELECT label, unnest(list_transform(embedding,
+               (x, i) -> {{'pos': i - 1, 'v': x::DOUBLE}})) AS u
+      FROM embeddings),
+    cpos AS (SELECT u.pos AS pos, ROUND(SUM(u.v) / COUNT(*), 6) AS mv
+             FROM u WHERE label = {CAL_LABEL} GROUP BY 1),
+    cent AS (SELECT list(mv ORDER BY pos) AS c FROM cpos),
+    scored AS (
+      SELECT vec_id,
+             CASE WHEN label = {CAL_LABEL} THEN 1 ELSE 0 END AS y,
+             ROUND((1 + {_COS_SQL.format(a='embedding', b='c')}) / 2, 6) AS s
+      FROM embeddings, cent),
+    ranked AS (
+      SELECT y, s, NTILE(10) OVER (ORDER BY s DESC, vec_id) AS decile
+      FROM scored),
+    base AS (SELECT AVG(y * 1.0) AS base_rate FROM scored),
+    g AS (SELECT decile, COUNT(*) AS n, SUM(y) AS n_pos,
+                 ROUND(AVG(y * 1.0), 6) AS resp_rate,
+                 ROUND(SUM(SUM(y)) OVER (ORDER BY decile
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   * 1.0 / SUM(COUNT(*)) OVER (ORDER BY decile
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+                   AS cum_resp_rate
+          FROM ranked GROUP BY decile)
+    SELECT CAST(decile AS BIGINT) AS decile, CAST(n AS BIGINT) AS n,
+           CAST(n_pos AS BIGINT) AS n_pos,
+           (resp_rate + 0.0) AS resp_rate,
+           {sql_dec('resp_rate / base_rate', 6)} AS lift,
+           (cum_resp_rate + 0.0) AS cum_resp_rate,
+           {sql_dec('cum_resp_rate / base_rate', 6)} AS cum_lift
+    FROM g, base
+    """
+
+
+@query("q192_decile_lift", oracle=_q192_oracle())
+def q192_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift table: rank the corpus by the q177 centroid-affinity
+    score, split into 10 equal-size deciles, and report each decile's
+    response rate and lift over the base rate plus the cumulative
+    variants — THE campaign-targeting eval (q156's AUC says the ranking
+    is good; the lift table says what you GET by mailing the top k
+    deciles).
+
+    Scale shape: scoring is one map-side pass against the broadcast
+    centroid; the NTILE runs on (score, vec_id) pairs — at production
+    scale the decile cut would come from q154/q186 percentile edges
+    instead of a global NTILE, which is why the window is allowlisted
+    with that route documented; everything downstream is a 10-row
+    frame with 1-row base-rate attach.  Scores round to 6dp before
+    ranking with the vec_id tiebreak (engine-agreed decile edges).
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    cpos = (
+        emb.filter(F.col("label") == CAL_LABEL)
+        .select(F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("pos")
+        .agg(
+            F.round(F.sum(F.col("v").cast("double")) / F.count("*"), 6).alias(
+                "mv"
+            )
+        )
+    )
+    cent = cpos.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mv"))),
+            lambda s: s["mv"],
+        ).alias("c")
+    )
+    scored = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        (F.col("label") == CAL_LABEL).cast("int").alias("y"),
+        F.round(
+            (F.lit(1.0) + _cosine(F.col("embedding"), F.col("c"))) / 2, 6
+        ).alias("s"),
+    )
+    ranked = scored.select(
+        "y",
+        F.ntile(10)
+        .over(W.orderBy(F.col("s").desc(), "vec_id"))
+        .alias("decile"),
+    )
+    base = scored.agg(F.avg(F.col("y") * 1.0).alias("base_rate"))
+    cum_w = W.orderBy("decile").rowsBetween(W.unboundedPreceding, 0)
+    g = (
+        ranked.groupBy("decile")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("y").alias("n_pos"),
+            F.round(F.avg(F.col("y") * 1.0), 6).alias("resp_rate"),
+        )
+        .withColumn(
+            "cum_resp_rate",
+            F.round(
+                F.sum("n_pos").over(cum_w) * 1.0 / F.sum("n").over(cum_w), 6
+            ),
+        )
+    )
+    return g.crossJoin(F.broadcast(base)).select(
+        F.col("decile").cast("long").alias("decile"),
+        F.col("n").cast("long").alias("n"),
+        F.col("n_pos").cast("long").alias("n_pos"),
+        dec(F.col("resp_rate"), 6).alias("resp_rate"),
+        dec(F.col("resp_rate") / F.col("base_rate"), 6).alias("lift"),
+        dec(F.col("cum_resp_rate"), 6).alias("cum_resp_rate"),
+        dec(F.col("cum_resp_rate") / F.col("base_rate"), 6).alias("cum_lift"),
+    )

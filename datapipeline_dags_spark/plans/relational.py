@@ -2436,3 +2436,83 @@ def q191_supplier_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p90") + 0.0).alias("p90_days"),
         rk.cast("long").alias("rk"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q193 — customer cohort LTV triangle (revenue by cohort x month offset)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q193_cohort_ltv",
+    oracle="""
+    WITH first_o AS (
+      SELECT o_custkey, date_trunc('month', MIN(o_orderdate)) AS cohort
+      FROM orders GROUP BY 1),
+    j AS (
+      SELECT f.cohort,
+             date_diff('month', f.cohort,
+                       date_trunc('month', o.o_orderdate)) AS month_offset,
+             o.o_totalprice
+      FROM orders o JOIN first_o f ON o.o_custkey = f.o_custkey
+      WHERE date_diff('month', f.cohort,
+                      date_trunc('month', o.o_orderdate)) <= 11),
+    sizes AS (SELECT cohort, COUNT(*) AS cohort_size FROM first_o GROUP BY 1),
+    g AS (SELECT cohort, month_offset,
+                 ROUND(SUM(o_totalprice), 2) AS revenue
+          FROM j GROUP BY 1, 2)
+    SELECT g.cohort, CAST(g.month_offset AS BIGINT) AS month_offset,
+           CAST(s.cohort_size AS BIGINT) AS cohort_size,
+           (g.revenue + 0.0) AS revenue,
+           (ROUND(SUM(g.revenue) OVER (PARTITION BY g.cohort
+                    ORDER BY g.month_offset
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  / s.cohort_size, 4) + 0.0) AS cum_ltv_per_customer
+    FROM g JOIN sizes s ON g.cohort = s.cohort
+    """,
+)
+def q193_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-cohort LTV triangle: revenue by (first-order cohort
+    month x month offset, first year) with the running cumulative LTV
+    per cohort customer — q78's retention triangle at the REVENUE
+    level, the payback-period curve growth teams steer spend by.
+
+    Scale shape: one per-customer min-collapse assigns cohorts, one
+    (cohort, offset) hash agg collapses orders (offset capped at 11 —
+    bounded triangle), cohort sizes join on the bounded cohort key, and
+    the cumulative window is per cohort over <= 12 rows.  Revenue
+    rounds to 2dp before the cumulative sum (both engines accumulate
+    identical numbers in offset order).
+    """
+    orders = table(spark, sf_dir, "orders")
+    first_o = orders.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort")
+    )
+    offset = (
+        (F.year(F.date_trunc("month", "o_orderdate")) - F.year("cohort")) * 12
+        + F.month(F.date_trunc("month", "o_orderdate"))
+        - F.month("cohort")
+    )
+    j = (
+        orders.join(first_o, "o_custkey")
+        .select("cohort", offset.alias("month_offset"), "o_totalprice")
+        .filter(F.col("month_offset") <= 11)
+    )
+    sizes = first_o.groupBy("cohort").agg(F.count("*").alias("cohort_size"))
+    g = j.groupBy("cohort", "month_offset").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue")
+    )
+    cum_w = (
+        W.partitionBy("cohort")
+        .orderBy("month_offset")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return g.join(sizes, "cohort").select(
+        "cohort",
+        F.col("month_offset").cast("long").alias("month_offset"),
+        F.col("cohort_size").cast("long").alias("cohort_size"),
+        F.col("revenue"),
+        dec(
+            F.sum("revenue").over(cum_w) / F.col("cohort_size"), 4
+        ).alias("cum_ltv_per_customer"),
+    )

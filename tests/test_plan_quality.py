@@ -87,6 +87,8 @@ BOUNDED_FILTER_HINT_OK = {
     "q186_distributed_exact_percentile",
     "q184_order_aging",  # broadcasts the 1-row snapshot date
     "q190_weekday_chisq",  # broadcasts the 1-row weekday totals
+    # broadcasts the dim-bounded centroid + the 1-row base rate
+    "q192_decile_lift",
     # broadcasts the |labels|-row centroid prototype table (cf. q64)
     "q185_label_silhouette",
     "q47_ann_ivf",
@@ -250,6 +252,7 @@ NESTED_LOOP_OK = {
     "q178_pq_reconstruction",  # 1-row codebook attach (cf. q75)
     "q184_order_aging",  # 1-row snapshot-date attach (cf. q100)
     "q190_weekday_chisq",  # 1-row totals attach onto the <=7-row frame
+    "q192_decile_lift",  # 1-row base-rate attach onto the 10-row frame
     "q185_label_silhouette",  # |labels|-row prototype attach (cf. q64)
     # 3-row percentile-list attach onto the |groups|-row bounds table
     "q186_distributed_exact_percentile",
@@ -304,6 +307,9 @@ GLOBAL_WINDOW_BOUNDED = {
     "q182_order_backlog": "|days| running-balance frame",
     "q190_weekday_chisq": "<=7-row weekday frame",
     "q191_supplier_sla": "row_number over the SLA_TOP-row limit",
+    # fixture-scale NTILE over (score, id) pairs; the production decile
+    # cut is q154/q186 percentile edges (documented in the docstring)
+    "q192_decile_lift": "global NTILE; edge-based cut at scale",
 }
 
 
