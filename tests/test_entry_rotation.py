@@ -71,37 +71,39 @@ def test_every_query_has_an_oracle():
 
 def test_head_window_is_never_checked_queries():
     """Positions 0-49 of queries() — the window the driver actually
-    samples (evidence: CORRECTNESS_r04.json == r4 positions 0-49) —
-    must all be queries with no driver row through r4, so the r5
-    artifact adds 50 to the union."""
-    union_r4, latest = _driver_union(up_to_round=4)
-    if not union_r4:  # fresh clone without artifacts — nothing to pin
+    samples (evidence: CORRECTNESS_r04/r05.json == positions 0-49 of
+    that round's order) — must all be queries with no driver row
+    through the latest artifact, except changed-this-round queries
+    placed up front for a fresh row (head positions occupied by
+    already-checked names must at least be a small prefix, never
+    filler)."""
+    union, latest = _driver_union()
+    if not union:  # fresh clone without artifacts — nothing to pin
         return
     qs = list(entry.queries())
     head = qs[:50]
-    already = [n for n in head if n in union_r4]
-    assert not already, (
+    already = [n for n in head if n in union]
+    assert len(already) <= 6, (
         f"head-50 wastes driver slots on already-checked queries: {already}"
     )
 
 
 def test_both_windows_cover_all_never_checked():
-    """Every query with no driver row through r4 sits in head-50 or
-    tail-50, so whichever end the driver samples adds coverage."""
-    union_r4, _ = _driver_union(up_to_round=4)
-    if not union_r4:
+    """Every query with no driver row through the latest artifact sits
+    in head-50 or tail-50, so whichever end the driver samples adds
+    coverage."""
+    union, _ = _driver_union()
+    if not union:
         return
     qs = list(entry.queries())
     window = set(qs[:50]) | set(qs[-50:])
-    never = [n for n in qs if n not in union_r4]
-    # Queries registered after r4 may overflow both windows only if the
-    # windows are already saturated with older never-checked queries.
+    never = [n for n in qs if n not in union]
+    # Queries registered after the latest artifact may overflow both
+    # windows only if the windows are already saturated with older
+    # never-checked queries.
     missing = [n for n in never if n not in window]
-    older_missing = [
-        n for n in missing if int(re.match(r"q(\d+)", n).group(1)) < 174
-    ]
-    assert not older_missing, (
-        f"pre-r5 never-checked queries outside both windows: {older_missing}"
+    assert len(missing) <= max(0, len(never) - 100), (
+        f"never-checked queries outside both windows: {missing}"
     )
 
 
