@@ -31,6 +31,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from datapipeline_dags_spark.catalog import table
+from datapipeline_dags_spark.operators import blocking
 from datapipeline_dags_spark.operators.graph import connected_components
 from datapipeline_dags_spark.plans.helpers import dec, sql_dec
 from datapipeline_dags_spark.plans.registry import ORACLES, QUERIES, query
@@ -73,32 +74,24 @@ def _fanout(spark: SparkSession, df: DataFrame) -> DataFrame:
 # members (never silently dropped — a dropped hot band would lose ALL of
 # its pairs at scale), and the truncation is mirrored in the DuckDB
 # oracle SQL (row_number per bucket ordered by the doc key), so the
-# contract stays hash-checkable at any scale.
-BUCKET_CAP = 1000
+# contract stays hash-checkable at any scale.  The machinery itself
+# lives in ``operators.blocking`` (the image/video dHash operators use
+# it too); this module keeps its historical globals as the
+# test-monkeypatchable knobs and forwards them per call.
+BUCKET_CAP = blocking.BUCKET_CAP
 
 #: Observation per capped query, refreshed on every plan build — after an
 #: action on the returned DataFrame, ``BUCKET_OBSERVATIONS[name].get``
 #: yields {"buckets": n, "capped_buckets": n, "max_bucket_size": n} so a
 #: cap that fires is an observable recall event, not a silent one.
-BUCKET_OBSERVATIONS: dict[str, Observation] = {}
+#: Shared with ``operators.blocking`` so metrics persistence sees every
+#: blocking operator's counters in one place.
+BUCKET_OBSERVATIONS: dict[str, Observation] = blocking.BUCKET_OBSERVATIONS
 
 
 def _cap_buckets(bucketed: DataFrame, name: str, members_col: str) -> DataFrame:
-    """Truncate oversized candidate buckets to their BUCKET_CAP smallest
-    members (natural array_sort order == doc-key order for the id /
-    struct-with-leading-id members used here) and attach bucket counters
-    via ``df.observe`` — computed as rows flow, no extra action/shuffle.
-    """
-    obs = Observation()
-    BUCKET_OBSERVATIONS[name] = obs
-    size = F.size(F.col(members_col))
-    return bucketed.observe(
-        obs,
-        F.count(F.lit(1)).alias("buckets"),
-        F.sum((size > BUCKET_CAP).cast("long")).alias("capped_buckets"),
-        F.max(size).alias("max_bucket_size"),
-    ).withColumn(
-        members_col, F.slice(F.array_sort(F.col(members_col)), 1, BUCKET_CAP)
+    return blocking.cap_buckets(
+        bucketed, name, members_col, cap=BUCKET_CAP, observations=BUCKET_OBSERVATIONS
     )
 
 
@@ -361,44 +354,9 @@ def _q42_oracle() -> str:
 
 
 def _chunk_buckets(bucketed: DataFrame, name: str, members_col: str) -> DataFrame:
-    """Split each candidate bucket's (sorted) member array into chunks of
-    ≤ BUCKET_CAP and explode to one row per (chunk_i, chunk_j) pair with
-    i ≤ j — so pair generation over an oversized bucket is DISTRIBUTED
-    across ≤ C² -sized tasks instead of truncated (zero recall loss,
-    bounded per-task memory).  A bucket of m members becomes
-    ceil(m/C)·(ceil(m/C)+1)/2 rows; small buckets (m ≤ C) stay one row.
-    The same counters as ``_cap_buckets`` attach via ``df.observe`` —
-    ``capped_buckets`` now counts buckets that *overflowed into chunks*
-    (an observable fan-out event, no longer a recall event).
-
-    Output columns: the bucket's grouping keys + ``ci``/``left`` and
-    ``cj``/``right`` chunk arrays; ``ci == cj`` rows are intra-chunk
-    (emit ordered pairs within ``left``), ``ci < cj`` rows are
-    cross-chunk (emit the full left×right product — global member order
-    is preserved because chunks are slices of one sorted array).
-    """
-    obs = Observation()
-    BUCKET_OBSERVATIONS[name] = obs
-    size = F.size(F.col(members_col))
-    ids = F.array_sort(F.col(members_col))
-    nchunks = F.ceil(size / F.lit(BUCKET_CAP)).cast("int")
-    chunks = F.transform(
-        F.sequence(F.lit(0), nchunks - 1),
-        lambda i: F.slice(ids, i * BUCKET_CAP + 1, BUCKET_CAP),
+    return blocking.chunk_buckets(
+        bucketed, name, members_col, cap=BUCKET_CAP, observations=BUCKET_OBSERVATIONS
     )
-    observed = bucketed.observe(
-        obs,
-        F.count(F.lit(1)).alias("buckets"),
-        F.sum((size > BUCKET_CAP).cast("long")).alias("capped_buckets"),
-        F.max(size).alias("max_bucket_size"),
-    )
-    keys = [c for c in bucketed.columns if c != members_col]
-    lhs = observed.select(
-        *keys, F.posexplode(chunks).alias("ci", "left"), chunks.alias("chunks")
-    )
-    return lhs.select(
-        *keys, "ci", "left", F.posexplode("chunks").alias("cj", "right")
-    ).filter(F.col("cj") >= F.col("ci"))
 
 
 @query("q42_dedup_simhash", oracle=_q42_oracle())
@@ -478,23 +436,7 @@ def q42_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed = bands.groupBy("band", "key").agg(
         F.collect_list(F.struct("doc_id", "hi", "lo")).alias("ids")
     ).filter(F.size("ids") >= 2)
-    left, right = F.col("left"), F.col("right")
-    intra = F.flatten(
-        F.transform(
-            left,
-            lambda x, i: F.transform(
-                F.slice(right, i + 2, F.size(right)),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
-            ),
-        )
-    )
-    cross = F.flatten(
-        F.transform(
-            left,
-            lambda x: F.transform(right, lambda y: F.struct(x.alias("a"), y.alias("b"))),
-        )
-    )
-    pair_structs = F.when(F.col("ci") == F.col("cj"), intra).otherwise(cross)
+    pair_structs = blocking.chunk_pair_structs()
 
     def seg(side: str, k: int) -> Column:
         half = F.col(f"p.{side}.hi") if k < 2 else F.col(f"p.{side}.lo")

@@ -44,12 +44,16 @@ from pyspark.sql.types import (
 
 import struct as _struct
 
+from pyspark.storagelevel import StorageLevel
+
 from datapipeline_dags_spark.catalog import table
+from datapipeline_dags_spark.operators import blocking
 from datapipeline_dags_spark.operators.multimodal import (
     DHASH_BANDS,
     DHASH_H,
     DHASH_W,
     VID_MAGIC,
+    dhash_band_keys,
     dhash_images,
     dhash_near_dup,
     encode_img1,
@@ -345,8 +349,14 @@ def q174_video_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     passes (render, per-frame hash); the shuffle carries (frame, band,
     key) + 8-byte hashes, the verify join is per-candidate-pair x
     |sampled frames| rows, and the final agg is one bounded groupBy per
-    pair.  Hash-checked end to end: the DuckDB oracle re-derives the
-    per-frame dHashes from documents with pure integer SQL
+    pair.  Hot (f, band, key) buckets — black/constant frames all share
+    one dHash, the ubiquitous real-video case — are CHUNK-DISTRIBUTED
+    via ``blocking.chunk_buckets`` (zero recall loss, counters
+    observable as ``q174_video_dhash_neardup``), the q42 machinery.
+    The hash table is persisted: it feeds candidate generation AND both
+    sides of the verify join, and recomputing it re-runs the render
+    Arrow pass.  Hash-checked end to end: the DuckDB oracle re-derives
+    the per-frame dHashes from documents with pure integer SQL
     (``_q174_oracle``)."""
     frames = sample_frames(
         render_doc_videos(spark, sf_dir), every_n=VID_SAMPLE_EVERY
@@ -360,29 +370,19 @@ def q174_video_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("id") / VID_FRAMES).cast("long").alias("doc_id"),
         (F.col("id") % VID_FRAMES).cast("int").alias("f"),
         "dhash",
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     bands = hashes.select(
-        "doc_id",
-        "f",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned(F.col("dhash"), 16 * b).bitwiseAND(
-                        F.lit(0xFFFF)
-                    )
-                    for b in range(DHASH_BANDS)
-                ]
-            )
-        ).alias("band", "key"),
+        "doc_id", "f", F.posexplode(dhash_band_keys()).alias("band", "key")
+    )
+    bucketed = (
+        bands.groupBy("f", "band", "key")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") >= 2)
     )
     cand = (
-        bands.select(F.col("doc_id").alias("id_a"), "f", "band", "key")
-        .join(
-            bands.select(F.col("doc_id").alias("id_b"), "f", "band", "key"),
-            ["f", "band", "key"],
-        )
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        blocking.chunk_buckets(bucketed, "q174_video_dhash_neardup", "ids")
+        .select(F.explode(blocking.chunk_pair_structs()).alias("p"))
+        .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
         .distinct()
     )
     ha = hashes.select(
@@ -419,7 +419,11 @@ def q91_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape matches q41: the shuffle carries (band, 16-bit key) pairs and
     8-byte hashes, never pixel data.  Hash-checked end to end: the
     DuckDB oracle re-derives the pair list from documents with pure
-    integer SQL (see ``_q91_oracle``)."""
+    integer SQL (see ``_q91_oracle``).  Hot (band, key) buckets
+    (constant-color images all share one dHash) are chunk-distributed
+    with observable counters — see ``dhash_near_dup``."""
     return dhash_near_dup(
-        dhash_images(render_doc_images(spark, sf_dir)), hamming_t=HAMMING_T
+        dhash_images(render_doc_images(spark, sf_dir)),
+        hamming_t=HAMMING_T,
+        name="q91_image_phash_neardup",
     )

@@ -1,0 +1,108 @@
+"""Hot-bucket discipline for the dHash banding family (q91/q174).
+
+Constant-color images and black/constant video frames all hash to the
+SAME 64-bit dHash — the most common content in real crawl/video
+corpora — so every such row lands in ONE (band, key) bucket.  The
+candidate join must CHUNK-DISTRIBUTE that bucket (zero recall loss,
+bounded per-task pair generation, q42's machinery) and fire observable
+counters, never go quadratic in a single task or silently drop pairs.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+
+from datapipeline_dags_spark.operators import blocking
+from datapipeline_dags_spark.operators.multimodal import (
+    dhash_images,
+    dhash_near_dup,
+    encode_img1,
+)
+from datapipeline_dags_spark.plans import multimodal_queries as mq
+
+
+@pytest.fixture()
+def hot_corpus_dir(spark, tmp_path):
+    """12 identical docs (identical renders -> one hot dHash bucket per
+    band) + 2 distinct docs."""
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, text, "en", "syn", len(text)) for i in range(1, 13)]
+    rows += [
+        (100, "one lonely document with completely different words here today", "en", "syn", 62),
+        (200, "another unrelated piece of text that matches nothing else at all", "en", "syn", 64),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = str(tmp_path / "sf_hot")
+    df.coalesce(1).write.parquet(out + "/documents.parquet")
+    return out
+
+
+def test_constant_image_bucket_chunks_without_recall_loss(
+    spark, hot_corpus_dir, monkeypatch
+):
+    """All 66 pairs among 12 identical images must survive a cap of 5
+    (chunk distribution, not truncation), with the fan-out observed."""
+    monkeypatch.setattr(blocking, "BUCKET_CAP", 5)
+    got = mq.q91_image_phash_neardup(spark, hot_corpus_dir)
+    pairs = {(r.id_a, r.id_b) for r in got.collect()}
+    assert pairs >= set(itertools.combinations(range(1, 13), 2))
+    obs = blocking.BUCKET_OBSERVATIONS["q91_image_phash_neardup"].get
+    assert obs["capped_buckets"] >= 1
+    assert obs["max_bucket_size"] >= 12
+    assert obs["buckets"] >= obs["capped_buckets"]
+
+
+def test_constant_frame_video_bucket_chunks_without_recall_loss(
+    spark, hot_corpus_dir, monkeypatch
+):
+    """q174's (f, band, key) buckets get the same treatment: 12
+    identical videos (frame-identical) keep all 66 pairs under a cap of
+    5 and the chunk fan-out is observable."""
+    monkeypatch.setattr(blocking, "BUCKET_CAP", 5)
+    got = mq.q174_video_dhash_neardup(spark, hot_corpus_dir)
+    pairs = {(r.id_a, r.id_b) for r in got.collect()}
+    assert pairs >= set(itertools.combinations(range(1, 13), 2))
+    obs = blocking.BUCKET_OBSERVATIONS["q174_video_dhash_neardup"].get
+    assert obs["capped_buckets"] >= 1
+    assert obs["max_bucket_size"] >= 12
+
+
+def test_dhash_pairs_emitted_exactly_once(spark):
+    """Identical hashes match in all 4 bands; the first-match-band
+    filter (not a distinct shuffle) must still emit each pair once —
+    including across chunk boundaries of a distributed hot bucket."""
+    blank = encode_img1(8, 8, bytes(64))
+    speck = encode_img1(8, 8, bytes([9] + [0] * 63))
+    rows = [(i, blank) for i in range(1, 8)] + [(10, speck)]
+    df = spark.createDataFrame(rows, "id long, content binary")
+    got = dhash_near_dup(dhash_images(df), hamming_t=4, name="t_once")
+    out = got.collect()
+    pairs = [(r.id_a, r.id_b) for r in out]
+    assert len(pairs) == len(set(pairs))
+    # 7 blanks are pairwise hamming 0; the speck differs in >4 bits or
+    # joins them — either way no duplicates and a < b ordering holds
+    assert all(a < b for a, b in pairs)
+    assert set(itertools.combinations(range(1, 8), 2)) <= set(pairs)
+
+
+def test_dhash_chunked_hot_bucket_matches_uncapped(spark, monkeypatch):
+    """Chunk distribution is pair-set-identical to the uncapped join."""
+    imgs = [
+        (i, encode_img1(8, 8, bytes([i % 3] * 64))) for i in range(1, 21)
+    ]
+    df = spark.createDataFrame(imgs, "id long, content binary")
+    baseline = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in dhash_near_dup(dhash_images(df), name="t_base").collect()
+    }
+    monkeypatch.setattr(blocking, "BUCKET_CAP", 3)
+    capped = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in dhash_near_dup(dhash_images(df), name="t_capped").collect()
+    }
+    assert capped == baseline
+    assert blocking.BUCKET_OBSERVATIONS["t_capped"].get["capped_buckets"] >= 1
