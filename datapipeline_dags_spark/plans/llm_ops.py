@@ -33,7 +33,12 @@ from pyspark.sql import functions as F
 from datapipeline_dags_spark.catalog import table
 from datapipeline_dags_spark.operators import blocking
 from datapipeline_dags_spark.operators.graph import connected_components
-from datapipeline_dags_spark.plans.helpers import dec, sql_dec
+from datapipeline_dags_spark.plans.helpers import (
+    cached_count,
+    dec,
+    resolve_exact_audit,
+    sql_dec,
+)
 from datapipeline_dags_spark.plans.registry import ORACLES, QUERIES, query
 
 # ---------------------------------------------------------------------------
@@ -7797,8 +7802,23 @@ def _q192_oracle() -> str:
     """
 
 
+def _decile_of(r: Column, n: Column) -> Column:
+    """NTILE(10) tile index of global rank ``r`` (1-based) over ``n``
+    rows — the closed form of Spark/DuckDB NTILE semantics: the first
+    n%10 tiles hold floor(n/10)+1 rows, the rest floor(n/10).  Pure
+    integer arithmetic carried in doubles (exact below 2^53 rows)."""
+    q = F.floor(n / 10).cast("long")
+    r0 = (n % 10).cast("long")
+    qp1 = q + 1
+    d1 = F.floor((r + qp1 - 1) / qp1).cast("long")
+    d2 = r0 + F.floor((r - r0 * qp1 + q - 1) / q).cast("long")
+    return F.when(r <= r0 * qp1, d1).otherwise(d2)
+
+
 @query("q192_decile_lift", oracle=_q192_oracle())
-def q192_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q192_decile_lift(
+    spark: SparkSession, sf_dir: str, exact_audit: str = "auto"
+) -> DataFrame:
     """Decile lift table: rank the corpus by the q177 centroid-affinity
     score, split into 10 equal-size deciles, and report each decile's
     response rate and lift over the base rate plus the cumulative
@@ -7807,12 +7827,22 @@ def q192_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     deciles).
 
     Scale shape: scoring is one map-side pass against the broadcast
-    centroid; the NTILE runs on (score, vec_id) pairs — at production
-    scale the decile cut would come from q154/q186 percentile edges
-    instead of a global NTILE, which is why the window is allowlisted
-    with that route documented; everything downstream is a 10-row
-    frame with 1-row base-rate attach.  Scores round to 6dp before
-    ranking with the vec_id tiebreak (engine-agreed decile edges).
+    centroid; everything downstream is a 10-row frame with a 1-row
+    base-rate attach.  Scores round to 6dp before ranking with the
+    vec_id tiebreak (engine-agreed decile edges).
+
+    The decile CUT takes the ``exact_audit`` knob (plans/helpers.py):
+    'auto' keeps the oracle-parity global NTILE up to
+    EXACT_AUDIT_MAX_ROWS and switches to the 'distributed' cut above it
+    — which is still BIT-EQUAL to NTILE, not an approximation: rows
+    collapse to distinct 6dp scores (≤ 1e6+1 values by construction),
+    one cumulative over that bounded table gives each tie class its
+    global rank span, whole classes bin map-side via the closed-form
+    NTILE tile formula, and only the ≤ 9 classes straddling a decile
+    boundary are re-ranked per-row (row_number within the tie class by
+    vec_id — the degenerate worst case is one giant all-equal-scores
+    class, the regime where ranking itself is meaningless).  Pinned
+    bit-equal to the NTILE path in tests/test_exact_audit_gate.py.
     """
     emb = table(spark, sf_dir, "embeddings")
     cpos = (
@@ -7838,27 +7868,85 @@ def q192_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(1.0) + _cosine(F.col("embedding"), F.col("c"))) / 2, 6
         ).alias("s"),
     )
-    ranked = scored.select(
-        "y",
-        F.ntile(10)
-        .over(W.orderBy(F.col("s").desc(), "vec_id"))
-        .alias("decile"),
+    mode = resolve_exact_audit(
+        exact_audit,
+        lambda: cached_count(emb, f"{sf_dir}/embeddings"),
+        scale_mode="distributed",
     )
-    base = scored.agg(F.avg(F.col("y") * 1.0).alias("base_rate"))
-    cum_w = W.orderBy("decile").rowsBetween(W.unboundedPreceding, 0)
-    g = (
-        ranked.groupBy("decile")
-        .agg(
-            F.count("*").alias("n"),
-            F.sum("y").alias("n_pos"),
-            F.round(F.avg(F.col("y") * 1.0), 6).alias("resp_rate"),
+    if mode == "distributed":
+        from pyspark.storagelevel import StorageLevel
+
+        # scored feeds the class collapse, the straddle re-rank AND the
+        # base rate — persist the one map-side scoring pass.
+        scored = scored.persist(StorageLevel.MEMORY_AND_DISK)
+        sgrp = scored.groupBy("s").agg(
+            F.count("*").alias("cnt"), F.sum("y").alias("pos")
         )
-        .withColumn(
-            "cum_resp_rate",
-            F.round(
-                F.sum("n_pos").over(cum_w) * 1.0 / F.sum("n").over(cum_w), 6
+        tot = sgrp.agg(F.sum("cnt").alias("n_total"))
+        # global window over DISTINCT 6dp scores — bounded by 1e6+1
+        # values by construction, not by the corpus
+        cum = sgrp.crossJoin(F.broadcast(tot)).withColumn(
+            "cum_before",
+            F.coalesce(
+                F.sum("cnt").over(
+                    W.orderBy(F.col("s").desc()).rowsBetween(
+                        W.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
             ),
         )
+        marked = cum.withColumn(
+            "d_lo", _decile_of(F.col("cum_before") + 1, F.col("n_total"))
+        ).withColumn(
+            "d_hi",
+            _decile_of(
+                F.col("cum_before") + F.col("cnt"), F.col("n_total")
+            ),
+        )
+        whole = (
+            marked.filter(F.col("d_lo") == F.col("d_hi"))
+            .groupBy(F.col("d_lo").alias("decile"))
+            .agg(F.sum("cnt").alias("n"), F.sum("pos").alias("n_pos"))
+        )
+        strad_keys = marked.filter(F.col("d_lo") != F.col("d_hi")).select(
+            "s", "cum_before", "n_total"
+        )
+        strad = (
+            scored.join(F.broadcast(strad_keys), "s")
+            .withColumn(
+                "r",
+                F.col("cum_before")
+                + F.row_number().over(W.partitionBy("s").orderBy("vec_id")),
+            )
+            .withColumn("decile", _decile_of(F.col("r"), F.col("n_total")))
+            .groupBy("decile")
+            .agg(F.count("*").alias("n"), F.sum("y").alias("n_pos"))
+        )
+        agg = (
+            whole.unionByName(strad)
+            .groupBy("decile")
+            .agg(F.sum("n").alias("n"), F.sum("n_pos").alias("n_pos"))
+        )
+    else:
+        ranked = scored.select(
+            "y",
+            F.ntile(10)
+            .over(W.orderBy(F.col("s").desc(), "vec_id"))
+            .alias("decile"),
+        )
+        agg = ranked.groupBy("decile").agg(
+            F.count("*").alias("n"), F.sum("y").alias("n_pos")
+        )
+    base = scored.agg(F.avg(F.col("y") * 1.0).alias("base_rate"))
+    cum_w = W.orderBy("decile").rowsBetween(W.unboundedPreceding, 0)
+    g = agg.withColumn(
+        "resp_rate", F.round(F.col("n_pos") * 1.0 / F.col("n"), 6)
+    ).withColumn(
+        "cum_resp_rate",
+        F.round(
+            F.sum("n_pos").over(cum_w) * 1.0 / F.sum("n").over(cum_w), 6
+        ),
     )
     return g.crossJoin(F.broadcast(base)).select(
         F.col("decile").cast("long").alias("decile"),

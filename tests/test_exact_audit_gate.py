@@ -201,3 +201,60 @@ def test_q186_matches_buffering_percentile(spark, sf_dir):
         for i, p in enumerate(DXP_PS)
     }
     assert got == ref
+
+
+def test_q192_distributed_decile_cut_equals_ntile(spark, sf_dir):
+    """The distributed tie-class decile cut must be BIT-EQUAL to the
+    global-NTILE oracle-parity path at fixture scale (VERDICT r5 ask
+    #3) — including straddling tie classes split by vec_id order."""
+    from datapipeline_dags_spark.plans.llm_ops import q192_decile_lift
+
+    exact = _rows_by_key(
+        q192_decile_lift(spark, sf_dir, exact_audit="exact"), ("decile",)
+    )
+    dist = _rows_by_key(
+        q192_decile_lift(spark, sf_dir, exact_audit="distributed"),
+        ("decile",),
+    )
+    assert dist == exact
+
+
+def test_q192_auto_flips_to_distributed_above_threshold(
+    spark, sf_dir, monkeypatch
+):
+    monkeypatch.setattr(helpers, "EXACT_AUDIT_MAX_ROWS", 10)
+    helpers._ROW_COUNT_CACHE.clear()
+    from datapipeline_dags_spark.plans.llm_ops import q192_decile_lift
+
+    auto = _rows_by_key(q192_decile_lift(spark, sf_dir), ("decile",))
+    exact = _rows_by_key(
+        q192_decile_lift(spark, sf_dir, exact_audit="exact"), ("decile",)
+    )
+    assert auto == exact
+
+
+def test_q192_distributed_cut_splits_straddling_tie_classes(spark, tmp_path):
+    """A tie class spanning a decile boundary must be split by vec_id
+    order exactly as NTILE splits it — the per-row refinement branch.
+    23 copies of one embedding + 17 of another guarantee straddles over
+    n=40 (deciles of 4)."""
+    from datapipeline_dags_spark.plans.llm_ops import CAL_LABEL, q192_decile_lift
+
+    rows = []
+    for i in range(23):
+        rows.append((i, [1.0, 0.5, 0.25, 0.0], CAL_LABEL if i % 3 == 0 else 1))
+    for i in range(23, 40):
+        rows.append((i, [0.0, 0.5, 1.0, 0.75], CAL_LABEL if i % 4 == 0 else 2))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = str(tmp_path / "sf_ties")
+    df.coalesce(1).write.parquet(out + "/embeddings.parquet")
+    exact = _rows_by_key(
+        q192_decile_lift(spark, out, exact_audit="exact"), ("decile",)
+    )
+    dist = _rows_by_key(
+        q192_decile_lift(spark, out, exact_audit="distributed"), ("decile",)
+    )
+    assert dist == exact
+    assert len(dist) == 10  # every decile populated (4 rows each)

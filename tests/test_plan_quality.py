@@ -307,9 +307,10 @@ GLOBAL_WINDOW_BOUNDED = {
     "q182_order_backlog": "|days| running-balance frame",
     "q190_weekday_chisq": "<=7-row weekday frame",
     "q191_supplier_sla": "row_number over the SLA_TOP-row limit",
-    # fixture-scale NTILE over (score, id) pairs; the production decile
-    # cut is q154/q186 percentile edges (documented in the docstring)
-    "q192_decile_lift": "global NTILE; edge-based cut at scale",
+    # oracle-parity NTILE below EXACT_AUDIT_MAX_ROWS only; above it
+    # exact_audit='auto' selects the distributed tie-class cut
+    # (bit-equal to NTILE, pinned in test_exact_audit_gate.py)
+    "q192_decile_lift": "NTILE at fixture scale; auto-distributed above",
 }
 
 
