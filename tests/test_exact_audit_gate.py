@@ -258,3 +258,77 @@ def test_q192_distributed_cut_splits_straddling_tie_classes(spark, tmp_path):
     )
     assert dist == exact
     assert len(dist) == 10  # every decile populated (4 rows each)
+
+
+def test_distributed_percentiles_narrowing_bounds_skewed_bin(
+    spark, monkeypatch
+):
+    """99% of the mass in one bin width (a price-like distribution)
+    must trigger the sub-binning pass, keep the in-bin window
+    partitions bounded, and return values bit-identical to both the
+    un-narrowed path and Spark's buffering percentile."""
+    from pyspark.sql import functions as F
+
+    from datapipeline_dags_spark.plans import scalars
+
+    # 9900 distinct values packed into [0, 1) + 100 outliers up to 256:
+    # bin width = 1 -> bin 0 holds 99% of rows AND of distinct values
+    rows = [(0, i / 10000.0) for i in range(9900)]
+    rows += [(0, 1.0 + i * 2.55) for i in range(100)]
+    gv = spark.createDataFrame(rows, "g int, v double")
+
+    monkeypatch.setattr(scalars, "DXP_NARROW_ROWS", 1000)
+    narrowed = {
+        (r["g"], r["p"]): r["value"]
+        for r in scalars.distributed_percentiles(gv, (0.5, 0.9, 0.99)).collect()
+    }
+    monkeypatch.setattr(scalars, "DXP_NARROW_ROWS", 10**12)
+    plain = {
+        (r["g"], r["p"]): r["value"]
+        for r in scalars.distributed_percentiles(gv, (0.5, 0.9, 0.99)).collect()
+    }
+    assert narrowed == plain
+    ref_row = gv.agg(
+        *[
+            F.expr(f"percentile(v, {p})").alias(f"v{i}")
+            for i, p in enumerate((0.5, 0.9, 0.99))
+        ]
+    ).collect()[0]
+    for i, p in enumerate((0.5, 0.9, 0.99)):
+        # last-ulp interpolation-order differences vs the buffering
+        # aggregate are expected; callers apply dec() float discipline
+        assert round(narrowed[(0, p)], 6) == round(ref_row[f"v{i}"], 6)
+
+    # and the narrowing genuinely bounds the window partition: the
+    # hot bin's distinct values spread over many sub-bins
+    monkeypatch.setattr(scalars, "DXP_NARROW_ROWS", 1000)
+    st = gv.groupBy("g").agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi")
+    )
+    w = (F.col("hi") - F.col("lo")) / scalars.DXP_BINS
+    binned = gv.join(st, "g").select(
+        "g",
+        "v",
+        F.least(
+            F.floor((F.col("v") - F.col("lo")) / w).cast("int"),
+            F.lit(scalars.DXP_BINS - 1),
+        ).alias("bin"),
+        F.col("lo"),
+        w.alias("w"),
+    )
+    sub = F.least(
+        F.floor(
+            (F.col("v") - (F.col("lo") + F.col("bin") * F.col("w")))
+            / (F.col("w") / scalars.DXP_BINS)
+        ).cast("int"),
+        F.lit(scalars.DXP_BINS - 1),
+    )
+    sizes = (
+        binned.filter(F.col("bin") == 0)
+        .select("g", "bin", sub.alias("sub"), "v")
+        .groupBy("g", "bin", "sub")
+        .agg(F.countDistinct("v").alias("nd"))
+        .agg(F.max("nd").alias("mx"))
+        .collect()[0]["mx"]
+    )
+    assert sizes <= 100  # 9900 distinct values / 256 sub-bins ≈ 39
