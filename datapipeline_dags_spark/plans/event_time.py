@@ -1692,7 +1692,11 @@ def q167_conversion_latency(
     ``exact_audit`` gate (plans/helpers.py; auto keys on |events|):
     above the threshold the percentiles come from a deterministic
     md5-coin user sample while ``n_converted`` stays an exact count.
-    Output is 1 row.
+    NB the oracle contract: the DuckDB SQL computes full-data
+    percentiles, so sampled mode (auto above EXACT_AUDIT_MAX_ROWS) is
+    NOT hash-checkable — fine at the fixture-scale driver gate, but a
+    large-SF CORRECTNESS run should pin exact_audit='exact' or expect
+    latency-percentile drift.  Output is 1 row.
     """
     ev = table(spark, sf_dir, "events")
     v = (

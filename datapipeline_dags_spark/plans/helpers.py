@@ -61,16 +61,28 @@ def sql_dec(expr: str, scale: int = 2) -> str:
 EXACT_AUDIT_MAX_ROWS = 5_000_000
 EXACT_AUDIT_TARGET_ROWS = 1_000_000
 
-_ROW_COUNT_CACHE: dict[tuple[int, str], int] = {}
+_ROW_COUNT_CACHE: dict[tuple[str, str], int] = {}
 
 
 def cached_count(df, cache_key: str) -> int:
     """One control-plane count per (session, key) — the corpus_size
-    pattern (plans/llm_ops.py) for auto-mode scale decisions."""
-    sess_key = (id(df.sparkSession), cache_key)
+    pattern (plans/llm_ops.py) for auto-mode scale decisions.
+
+    Keyed on applicationId (stable for the session's lifetime, never
+    reused the way a garbage-collected session object's ``id()`` can
+    be).  ``clear_row_count_cache`` is the invalidation hook for
+    callers that rewrite data at a cached path mid-session.
+    """
+    sess_key = (df.sparkSession.sparkContext.applicationId, cache_key)
     if sess_key not in _ROW_COUNT_CACHE:
         _ROW_COUNT_CACHE[sess_key] = df.count()
     return _ROW_COUNT_CACHE[sess_key]
+
+
+def clear_row_count_cache() -> None:
+    """Drop every cached auto-mode row count (e.g. after overwriting a
+    parquet path whose count gates an ``exact_audit`` decision)."""
+    _ROW_COUNT_CACHE.clear()
 
 
 def resolve_exact_audit(
@@ -104,6 +116,11 @@ def exact_audit_frac(n_rows: int) -> float:
 def md5_coin(key: Column, frac: float) -> Column:
     """Deterministic keep-coin: first 8 md5 hex chars of ``key`` as a
     uniform in [0, 2^32), kept when below ``frac`` of the range.  Same
-    bytes both engines — the q58 sampling discipline."""
+    bytes both engines — the q58 sampling discipline.  The threshold
+    rounds (not truncates) and clamps to >= 1 for any frac > 0, so a
+    tiny keep-fraction can never produce the all-false coin whose
+    empty sample would null out downstream percentiles."""
     u = F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast("long")
-    return u < int(frac * 4294967296.0)
+    if frac <= 0.0:
+        return F.lit(False)
+    return u < max(1, round(frac * 4294967296.0))

@@ -1537,7 +1537,12 @@ def q165_rfm_segments(
     ``exact_audit`` gate (plans/helpers.py; auto keys on |orders| as
     the magnitude signal): above the threshold the median EDGES come
     from a deterministic md5-coin customer sample while segment counts
-    and revenue stay exact over every customer.  Median thresholds use
+    and revenue stay exact over every customer.  NB the oracle
+    contract: the DuckDB SQL computes full-data medians, so sampled
+    mode (auto above EXACT_AUDIT_MAX_ROWS) is NOT hash-checkable —
+    fine at the fixture-scale driver gate, but a CORRECTNESS run at a
+    large SF should pin exact_audit='exact' or expect edge drift.
+    Median thresholds use
     <= for recency and > for frequency/monetary so integer-median ties
     fall on the engine-agreed side.
     """
