@@ -15,7 +15,7 @@ from datapipeline_dags_spark.plans import llm_ops
 #: method -> recall floor at the default operator settings (sf0.001 AND
 #: sf0.01 both measured above these; near-isotropic synthetic vectors
 #: are the worst case for sign-LSH, hence its lower tier).
-FLOORS = {"lsh": 0.60, "ivf": 0.85, "pq": 0.90, "ivfpq": 0.85}
+FLOORS = {"lsh": 0.85, "ivf": 0.85, "pq": 0.90, "ivfpq": 0.85}
 
 
 @pytest.mark.parametrize("n", [1, 100, 256, 500, 2000, 20000, 10**6, 10**9])
