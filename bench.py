@@ -66,6 +66,13 @@ HEADLINE = [
     "q173_cluster_cohesion",
     # round-5 (cont.): the buffering-free exact percentile
     "q186_distributed_exact_percentile",
+    # round-6 additions (VERDICT r5 ask #7): the newest heavy families —
+    # video frame near-dup, itemset triple explode, iterative PageRank,
+    # and the decile lift table post-distributed-cut
+    "q174_video_dhash_neardup",
+    "q179_itemset_triples",
+    "q183_part_pagerank",
+    "q192_decile_lift",
 ]
 
 REPS = 3

@@ -48,6 +48,11 @@ TARGETS = (
     "q125_tfidf_sparse_cosine",  # 33 shuffles / 14 scans
     "q147_source_overlap_sketch",  # 23 shuffles
     "q137_survivorship_funnel",  # 16 shuffles (q40 . q69 . q99)
+    # round-6 additions (VERDICT r5 ask #6): image/video dHash banding
+    # post-chunking, and the iterative fixed-point PageRank
+    "q91_image_phash_neardup",
+    "q174_video_dhash_neardup",
+    "q183_part_pagerank",
 )
 
 # Per-(target, scale) keyword overrides: the SemDeDup contract is that
@@ -114,6 +119,20 @@ def build_fixtures() -> dict[str, str]:
             ) TO '{dirs[scale]}/embeddings.parquet' (FORMAT PARQUET)
             """
         )
+        # lineitem for the graph/basket targets: orderkey AND partkey
+        # offset per replica -> 10 disjoint copies of the co-order
+        # graph (linear regime, no artificial cross-replica edges)
+        con.execute(
+            f"""
+            COPY (
+              SELECT * REPLACE (
+                l_orderkey + rep * 100000000 AS l_orderkey,
+                l_partkey + rep * 100000000 AS l_partkey)
+              FROM read_parquet('{BASE}/lineitem.parquet'),
+                   (SELECT unnest(generate_series(0, {n_reps - 1})) AS rep)
+            ) TO '{dirs[scale]}/lineitem.parquet' (FORMAT PARQUET)
+            """
+        )
     con.close()
     return dirs
 
@@ -169,6 +188,108 @@ def chained_cluster_rows(spark) -> list[str]:
     return out
 
 
+def build_constant_frame_fixture(n_docs: int) -> str:
+    """All-identical documents -> all-identical rendered videos ->
+    every sampled frame shares ONE dHash: the black/constant-frame
+    regime that used to put the whole corpus in one (f, band, key)
+    bucket of the q174 candidate join."""
+    d = f"{WORK}/constframe_{n_docs}"
+    os.makedirs(d, exist_ok=True)
+    import pandas as pd
+
+    text = "the same boilerplate frame content repeated verbatim everywhere"
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(1, n_docs + 1),
+            "text": [text] * n_docs,
+            "lang": ["en"] * n_docs,
+            "source": ["syn"] * n_docs,
+        }
+    )
+    pdf["n_chars"] = pdf["text"].str.len()
+    pdf.to_parquet(f"{d}/documents.parquet", index=False)
+    return d
+
+
+def constant_frame_rows(spark) -> list[str]:
+    """q174 on growing all-identical-video corpora: every pair is a
+    genuine near-dup (the output is inherently quadratic), but the
+    chunked buckets spread pair generation across ≤ BUCKET_CAP² tasks
+    — wall-clock tracks the EMITTED pair count, and no single task
+    holds the corpus."""
+    out = []
+    for n in (1200, 2400):
+        d = build_constant_frame_fixture(n)
+        runs = []
+        for _ in range(REPS):
+            t0 = time.time()
+            n_pairs = QUERIES["q174_video_dhash_neardup"](spark, d).count()
+            runs.append(time.time() - t0)
+            spark.catalog.clearCache()
+        obs = dict(
+            llm_ops.BUCKET_OBSERVATIONS["q174_video_dhash_neardup"].get
+        )
+        out.append(
+            f"| {n} | {n * (n - 1) // 2} | {n_pairs} | "
+            f"{obs['capped_buckets']} | {obs['max_bucket_size']} | "
+            f"{round(statistics.median(runs), 2)} |"
+        )
+    return out
+
+
+def build_giant_basket_fixture(basket: int, n_orders: int = 200) -> str:
+    """Every order holds the same ``basket``-part set: C(basket, 3)
+    triples per order uncapped — the cubic blowup q179's 50-part
+    basket cap exists to bound."""
+    d = f"{WORK}/basket_{basket}"
+    os.makedirs(d, exist_ok=True)
+    import pandas as pd
+
+    rows = [
+        (o, p, 1, 1.0, 100.0, 0.0)
+        for o in range(1, n_orders + 1)
+        for p in range(1, basket + 1)
+    ]
+    pdf = pd.DataFrame(
+        rows,
+        columns=[
+            "l_orderkey",
+            "l_partkey",
+            "l_suppkey",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+        ],
+    )
+    pdf.to_parquet(f"{d}/lineitem.parquet", index=False)
+    return d
+
+
+def giant_basket_rows(spark) -> list[str]:
+    from datapipeline_dags_spark.plans import relational
+
+    out = []
+    for basket in (100, 400):
+        d = build_giant_basket_fixture(basket)
+        runs = []
+        for _ in range(REPS):
+            t0 = time.time()
+            QUERIES["q179_itemset_triples"](spark, d).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            runs.append(time.time() - t0)
+            spark.catalog.clearCache()
+        obs = dict(
+            relational.BASKET_OBSERVATIONS["q179_itemset_triples"].get
+        )
+        c3 = basket * (basket - 1) * (basket - 2) // 6
+        out.append(
+            f"| {basket} | {c3} | {obs['capped_buckets']} | "
+            f"{obs['max_bucket_size']} | {round(statistics.median(runs), 2)} |"
+        )
+    return out
+
+
 def main() -> None:
     dirs = build_fixtures()
     spark = get_session("scaling")
@@ -213,6 +334,8 @@ def main() -> None:
         )
 
     chained_rows = chained_cluster_rows(spark)
+    constframe_rows = constant_frame_rows(spark)
+    basket_rows = giant_basket_rows(spark)
 
     lines = [
         "# SCALING — 10x stress evidence (generated by tools/scaling.py)",
@@ -264,7 +387,12 @@ def main() -> None:
         "distributes any oversized bucket across chunk-pair tasks",
         "instead of truncating it — its capped counter now records chunk",
         "fan-out (bounded per-task memory), not recall loss, and the",
-        "oracle checks the UNCAPPED exact pair set.  The q96",
+        "oracle checks the UNCAPPED exact pair set.  q91/q174 route",
+        "their dHash (band, key) buckets through the same chunk-pair",
+        "machinery (operators/blocking.py) since r6 — constant-color",
+        "images and black frames share one hash, so their hot buckets",
+        "are the image/video twin of q42's regime (see the",
+        "constant-frame section below).  The q96",
         "pair runs the SemDeDup regime (quantizer scales with the corpus,",
         "so per-cell pair work stays constant).  The plain row is the",
         "REGISTERED DEFAULT: at x10 the scaled quantizer (k=160) crosses",
@@ -332,6 +460,44 @@ def main() -> None:
         "pair has Jaccard 0), and the truncation is observable both per",
         "row (n_members_total vs n_members_audited) and in the",
         "bucket_cap_stats metrics sink.",
+        "",
+        "## q174 video near-dup on all-identical (constant-frame) corpora",
+        "",
+        "Every document renders to the same video, so every sampled",
+        "frame shares ONE dHash — the black/constant-frame regime that",
+        "is ubiquitous in real video corpora and used to concentrate the",
+        "whole corpus into one (f, band, key) bucket of the candidate",
+        "join.",
+        "",
+        "| identical docs | all pairs C(n,2) | emitted pairs | "
+        "capped_buckets | max_bucket_size | sec |",
+        "|---|---|---|---|---|---|",
+        *constframe_rows,
+        "",
+        "Chunked buckets (BUCKET_CAP=1000) distribute pair generation",
+        "across <= cap^2-sized tasks with the fan-out observable in",
+        "capped_buckets: per-task memory is bounded by the cap, never",
+        "the corpus.  The OUTPUT is inherently quadratic here — every",
+        "pair genuinely is a near-dup (the pairwise contract; collapse",
+        "byte-identical media with exact dedup first, as q42's notes",
+        "say for text) — so wall-clock tracks the emitted pair count",
+        "(4x pairs between the two sizes), not a single hot task.",
+        "",
+        "## q179 itemset triples on giant-basket corpora",
+        "",
+        "200 orders, every basket the same N parts: C(N,3) triples per",
+        "order uncapped — cubic in basket size.",
+        "",
+        "| basket size | uncapped triples/order C(N,3) | capped_buckets "
+        "| max_bucket_size | sec |",
+        "|---|---|---|---|---|",
+        *basket_rows,
+        "",
+        "The 50-part basket cap (TRIPLE_MAX_BASKET, mirrored in the",
+        "oracle) keeps triples/order constant at C(50,3) = 19 600, so",
+        "wall-clock stays flat while the would-be uncapped work grows",
+        "66x between basket sizes 100 and 400 — the cap firing is",
+        "observable per run and persisted via bucket_cap_stats.",
     ]
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.md")
     with open(out, "w") as f:
