@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
+from datapipeline_dags_spark.checkpoint import local_checkpoint
+
 DEFAULT_MAX_ITERS = 20
 
 #: rounds used by the most recent connected_components call — observable
@@ -59,8 +61,8 @@ def connected_components(
         sym.select(F.col("src").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("component"))
-        .localCheckpoint()
     )
+    cur = local_checkpoint(cur, "cc_init")
     global LAST_ROUNDS
     for i in range(max_iters):
         nbr = sym.join(cur.withColumnRenamed("node", "src"), "src").select(
@@ -88,8 +90,8 @@ def connected_components(
                 ).alias("changed"),
             )
             .select("node", "component")
-            .localCheckpoint()
         )
+        new = local_checkpoint(new, f"cc_round_{i + 1}")
         changed = int(obs.get["changed"] or 0)
         cur = new
         if changed == 0:

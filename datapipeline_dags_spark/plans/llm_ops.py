@@ -31,6 +31,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from datapipeline_dags_spark.catalog import table
+from datapipeline_dags_spark.checkpoint import local_checkpoint
 from datapipeline_dags_spark.operators import blocking
 from datapipeline_dags_spark.operators.graph import connected_components
 from datapipeline_dags_spark.plans.helpers import (
@@ -3137,7 +3138,8 @@ def bpe_train(
             F.lit(" "),
         ).alias("sym"),
         "freq",
-    ).localCheckpoint()
+    )
+    sym = local_checkpoint(sym, "bpe_init")
 
     merges: list[tuple[int, str, str, int]] = []
     rnd = 0
@@ -3178,7 +3180,7 @@ def bpe_train(
             )
         sym = sym.select(new_sym.alias("sym"), "freq")
         if rnd % checkpoint_every == 0:
-            sym = sym.localCheckpoint()
+            sym = local_checkpoint(sym, f"bpe_round_{rnd}")
     return spark.createDataFrame(
         merges, "merge_round long, pair string, merged string, pair_count long"
     )

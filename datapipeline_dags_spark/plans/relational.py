@@ -20,6 +20,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from datapipeline_dags_spark.catalog import table
+from datapipeline_dags_spark.checkpoint import local_checkpoint
 from datapipeline_dags_spark.plans.helpers import (
     cached_count,
     dec,
@@ -2144,9 +2145,10 @@ def q183_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("deg")
     )
     base = PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN
-    cur = nodes.select(
-        "node", F.lit(PR_SCALE).cast("long").alias("r")
-    ).localCheckpoint()
+    cur = local_checkpoint(
+        nodes.select("node", F.lit(PR_SCALE).cast("long").alias("r")),
+        "pr_init",
+    )
     shares = sym.join(deg, sym.src == deg.node).select(
         F.col("src"), F.col("dst"), F.col("deg")
     )
@@ -2160,9 +2162,8 @@ def q183_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("node")
             .agg(F.sum("share").alias("inflow"))
         )
-        cur = (
-            nodes.join(inflow, "node", "left")
-            .select(
+        cur = local_checkpoint(
+            nodes.join(inflow, "node", "left").select(
                 "node",
                 (
                     F.lit(base)
@@ -2172,8 +2173,8 @@ def q183_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 .cast("long")
                 .alias("r"),
-            )
-            .localCheckpoint()
+            ),
+            "pr_round",
         )
     sym.unpersist()
     return cur.select(F.col("node").alias("part"), F.col("r").alias("pagerank_units"))
