@@ -125,6 +125,13 @@ _ROTATION_TAIL = [
     "q42_dedup_simhash",
     "q154_quantile_sketch",
     "q141_ship_latency_percentiles",
+    # brand-new r6 queries (no driver row anywhere yet; rotate into the
+    # head at r7 with the rest of the never-checked residue):
+    "q194_mann_whitney_latency",
+    "q195_token_yield_curve",
+    "q196_sample_allocation",
+    "q197_char_entropy",
+    "q198_priority_markov",
 ]
 
 

@@ -7989,3 +7989,216 @@ def q192_decile_lift(
         dec(F.col("cum_resp_rate"), 6).alias("cum_resp_rate"),
         dec(F.col("cum_resp_rate") / F.col("base_rate"), 6).alias("cum_lift"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q195 — token yield curve over a quality cut (what a filter KEEPS)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q195_token_yield_curve",
+    oracle="""
+    WITH d AS (
+      SELECT len(string_split(text, ' ')) AS n_tok,
+             (len(list_distinct(string_split(text, ' '))) * 100)
+               // len(string_split(text, ' ')) AS q
+      FROM documents),
+    b AS (SELECT q, COUNT(*) AS n_docs, SUM(n_tok) AS n_tokens
+          FROM d GROUP BY q),
+    tot AS (SELECT SUM(n_tokens) AS total_tokens FROM b),
+    c AS (SELECT q, n_docs, n_tokens,
+                 SUM(n_docs) OVER (ORDER BY q DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_docs,
+                 SUM(n_tokens) OVER (ORDER BY q DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+          FROM b)
+    SELECT CAST(q AS BIGINT) AS quality_pct,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(cum_docs AS BIGINT) AS cum_docs,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens,
+           (ROUND(cum_tokens * 1.0 / tot.total_tokens, 6) + 0.0) AS cum_token_frac
+    FROM c, tot
+    """,
+)
+def q195_token_yield_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token yield curve: bin documents by a 2dp lexical-diversity
+    quality score (type-token ratio) and report, from the highest bin
+    down, how many documents and TOKENS a cut at that bin keeps — the
+    curve every corpus-filtering decision actually trades on ("dropping
+    the bottom 30% of docs costs how much training data?"), the
+    data-budget companion to q99's boolean filter chain.
+
+    Scale shape: one map-side score per doc collapses the corpus to
+    ≤ 101 quality bins (integer percentage of the ratio — integer
+    division, so the bin edge is engine-exact with no decimal-rounding
+    ties); the cumulative runs on that bounded table (allowlisted
+    global window) with a 1-row total attach.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    d = docs.select(
+        F.size(toks).alias("n_tok"),
+        F.expr(
+            "(size(array_distinct(split(text, ' '))) * 100)"
+            " div size(split(text, ' '))"
+        ).alias("q"),
+    )
+    b = d.groupBy("q").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tok").alias("n_tokens")
+    )
+    tot = b.agg(F.sum("n_tokens").alias("total_tokens"))
+    cum_w = W.orderBy(F.col("q").desc()).rowsBetween(W.unboundedPreceding, 0)
+    c = b.withColumn("cum_docs", F.sum("n_docs").over(cum_w)).withColumn(
+        "cum_tokens", F.sum("n_tokens").over(cum_w)
+    )
+    return c.crossJoin(F.broadcast(tot)).select(
+        F.col("q").cast("long").alias("quality_pct"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("cum_docs").cast("long").alias("cum_docs"),
+        F.col("cum_tokens").cast("long").alias("cum_tokens"),
+        dec(F.col("cum_tokens") * 1.0 / F.col("total_tokens"), 6).alias(
+            "cum_token_frac"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q196 — Neyman allocation for stratified corpus sampling
+# ---------------------------------------------------------------------------
+
+NEYMAN_BUDGET = 10_000
+
+
+@query(
+    "q196_sample_allocation",
+    oracle=f"""
+    WITH s AS (
+      SELECT source, COUNT(*) AS n,
+             SUM(n_chars) AS sx, SUM(n_chars * n_chars) AS sxx
+      FROM documents GROUP BY source),
+    sd AS (SELECT source, n,
+                  ROUND(CASE WHEN n > 1
+                        THEN sqrt((sxx - sx * 1.0 * sx / n) / (n - 1))
+                        ELSE 0 END, 4) AS sd
+           FROM s),
+    w AS (SELECT source, n, sd, n * sd AS wt FROM sd),
+    tot AS (SELECT SUM(wt) AS total_wt FROM w),
+    sh AS (SELECT source, n, sd,
+                  ROUND(wt / tot.total_wt, 6) AS share
+           FROM w, tot)
+    SELECT source, CAST(n AS BIGINT) AS n_docs, (sd + 0.0) AS len_stddev,
+           (share + 0.0) AS share,
+           CAST(ROUND({NEYMAN_BUDGET} * share) AS BIGINT) AS alloc
+    FROM sh
+    """,
+)
+def q196_sample_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman (optimal) allocation of a {NEYMAN_BUDGET}-document sample
+    budget across source strata: sample ∝ N_h·S_h, so variable strata
+    (high length-stddev sources) get proportionally more of the budget
+    than uniform ones — THE sampling-design primitive behind corpus
+    audits and eval-set construction (a uniform allocation wastes
+    budget on homogeneous strata).
+
+    Scale shape: one hash agg collapses the corpus to |sources| rows of
+    INTEGER moment sums (Σx, Σx² — exact in both engines, so the
+    stddev is bit-identical BEFORE its 4dp round); everything after
+    runs on the bounded strata table with a 1-row total attach.  The
+    allocation derives from the 6dp-rounded share so the final integer
+    is engine-agreed.
+    """
+    docs = table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.sum("n_chars").alias("sx"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).alias("sxx"),
+    )
+    sd = F.when(
+        F.col("n") > 1,
+        F.round(
+            F.sqrt(
+                (F.col("sxx") - F.col("sx") * 1.0 * F.col("sx") / F.col("n"))
+                / (F.col("n") - 1)
+            ),
+            4,
+        ),
+    ).otherwise(F.lit(0.0))
+    w = s.withColumn("sd", sd).withColumn("wt", F.col("n") * F.col("sd"))
+    tot = w.agg(F.sum("wt").alias("total_wt"))
+    return w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.col("n").cast("long").alias("n_docs"),
+        dec(F.col("sd"), 4).alias("len_stddev"),
+        dec(F.col("wt") / F.col("total_wt"), 6).alias("share"),
+        F.round(NEYMAN_BUDGET * F.round(F.col("wt") / F.col("total_wt"), 6))
+        .cast("long")
+        .alias("alloc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q197 — per-source character entropy (boilerplate / junk detector)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q197_char_entropy",
+    oracle="""
+    WITH ch AS (
+      SELECT source, substr(text, i, 1) AS c
+      FROM documents,
+           LATERAL (SELECT unnest(generate_series(1, length(text))) AS i)
+      WHERE length(text) >= 1),
+    cnt AS (SELECT source, c, COUNT(*) AS n FROM ch GROUP BY source, c),
+    st AS (SELECT source, SUM(n) AS total, COUNT(*) AS ndist,
+                  SUM(n * log2(n * 1.0)) AS sln
+           FROM cnt GROUP BY source)
+    SELECT source, CAST(total AS BIGINT) AS n_chars,
+           CAST(ndist AS BIGINT) AS n_distinct_chars,
+           (ROUND(log2(total * 1.0) - sln / total, 6) + 0.0) AS entropy_bits
+    FROM st
+    """,
+)
+def q197_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source character-level entropy: low bits/char flags
+    boilerplate, templated, or binary-junk sources BEFORE tokenization
+    — the source-granularity screen run ahead of q107's per-document
+    token entropy (compression-ratio proxies are this statistic in
+    disguise).
+
+    Scale shape: the position explode emits one row per character (the
+    exact contract — a corpus-bytes-sized map-side pass, combinable
+    into the (source, char) hash agg whose output is bounded by
+    |sources| × |alphabet|); entropy uses q107's algebraic form
+    H = log2(N) − Σ c·log2(c)/N so both engines sum the SAME per-char
+    terms.
+    """
+    docs = table(spark, sf_dir, "documents")
+    ch = (
+        docs.filter(F.length("text") >= 1)
+        .select(
+            "source",
+            "text",
+            F.explode(F.sequence(F.lit(1), F.length("text"))).alias("i"),
+        )
+        .select(
+            "source", F.col("text").substr(F.col("i"), F.lit(1)).alias("c")
+        )
+    )
+    cnt = ch.groupBy("source", "c").agg(F.count("*").alias("n"))
+    st = cnt.groupBy("source").agg(
+        F.sum("n").alias("total"),
+        F.count("*").alias("ndist"),
+        F.sum(F.col("n") * F.log2(F.col("n") * 1.0)).alias("sln"),
+    )
+    return st.select(
+        "source",
+        F.col("total").cast("long").alias("n_chars"),
+        F.col("ndist").cast("long").alias("n_distinct_chars"),
+        dec(
+            F.log2(F.col("total") * 1.0) - F.col("sln") / F.col("total"), 6
+        ).alias("entropy_bits"),
+    )

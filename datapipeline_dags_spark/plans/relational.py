@@ -2522,3 +2522,143 @@ def q193_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("revenue").over(cum_w) / F.col("cohort_size"), 4
         ).alias("cum_ltv_per_customer"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q194 — Mann-Whitney U rank-sum test (discounted vs full-price latency)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q194_mann_whitney_latency",
+    oracle="""
+    WITH lat AS (
+      SELECT date_diff('day', o_orderdate, l_shipdate) AS days,
+             (l_discount > 0)::INT AS grp
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    c AS (SELECT days, SUM(grp) AS n1v, SUM(1 - grp) AS n2v, COUNT(*) AS cnt
+          FROM lat GROUP BY days),
+    r AS (SELECT days, n1v, n2v, cnt,
+                 COALESCE(SUM(cnt) OVER (ORDER BY days
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 + (cnt + 1) / 2.0 AS rank_avg
+          FROM c),
+    s AS (SELECT SUM(n1v) AS n1, SUM(n2v) AS n2,
+                 SUM(n1v * rank_avg) AS r1,
+                 SUM(cnt * cnt * cnt - cnt) AS ties
+          FROM r)
+    SELECT CAST(n1 AS BIGINT) AS n_discounted,
+           CAST(n2 AS BIGINT) AS n_full_price,
+           (ROUND(r1 - n1 * (n1 + 1) / 2.0, 2) + 0.0) AS u1,
+           (ROUND((r1 - n1 * (n1 + 1) / 2.0 - n1 * n2 / 2.0)
+              / sqrt(n1 * n2 / 12.0
+                     * ((n1 + n2 + 1)
+                        - ties / ((n1 + n2) * (n1 + n2 - 1.0)))), 6)
+            + 0.0) AS z
+    FROM s
+    """,
+)
+def q194_mann_whitney_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test: do discounted lineitems ship on a
+    different latency distribution than full-price ones?  The
+    nonparametric two-sample test (no normality assumption — exactly
+    what skewed latency distributions need), with average ranks for
+    ties and the tie-corrected normal approximation z.
+
+    Scale shape: latencies collapse to the bounded (days, group-count)
+    table FIRST — |distinct transit days| rows at any SF — so the rank
+    assignment is a cumulative over a bounded domain (allowlisted
+    global window), and the test statistic is one 1-row aggregate of
+    half-integer rank sums.  All sums before the final division are
+    exact in doubles (integer counts and .5 steps), so cross-engine
+    parity needs only the final 6dp round.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    lat = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.datediff("l_shipdate", "o_orderdate").alias("days"),
+        (F.col("l_discount") > 0).cast("int").alias("grp"),
+    )
+    c = lat.groupBy("days").agg(
+        F.sum("grp").alias("n1v"),
+        F.sum(1 - F.col("grp")).alias("n2v"),
+        F.count("*").alias("cnt"),
+    )
+    cum_w = W.orderBy("days").rowsBetween(W.unboundedPreceding, -1)
+    r = c.withColumn(
+        "rank_avg",
+        F.coalesce(F.sum("cnt").over(cum_w), F.lit(0))
+        + (F.col("cnt") + 1) / 2.0,
+    )
+    s = r.agg(
+        F.sum("n1v").alias("n1"),
+        F.sum("n2v").alias("n2"),
+        F.sum(F.col("n1v") * F.col("rank_avg")).alias("r1"),
+        F.sum(
+            F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+        ).alias("ties"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    u1 = F.col("r1") - n1 * (n1 + 1) / 2.0
+    sigma = F.sqrt(
+        n1 * n2 / 12.0
+        * ((n1 + n2 + 1) - F.col("ties") / ((n1 + n2) * (n1 + n2 - 1.0)))
+    )
+    return s.select(
+        n1.cast("long").alias("n_discounted"),
+        n2.cast("long").alias("n_full_price"),
+        dec(u1, 2).alias("u1"),
+        dec((u1 - n1 * n2 / 2.0) / sigma, 6).alias("z"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q198 — order-priority Markov transition matrix (per-customer chains)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q198_priority_markov",
+    oracle="""
+    WITH seq AS (
+      SELECT o_custkey, o_orderpriority AS cur,
+             LAG(o_orderpriority) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS prev
+      FROM orders),
+    t AS (SELECT prev, cur, COUNT(*) AS n
+          FROM seq WHERE prev IS NOT NULL GROUP BY prev, cur),
+    tot AS (SELECT prev, SUM(n) AS row_n FROM t GROUP BY prev)
+    SELECT t.prev AS from_priority, t.cur AS to_priority,
+           CAST(t.n AS BIGINT) AS n_transitions,
+           (ROUND(t.n * 1.0 / tot.row_n, 6) + 0.0) AS p
+    FROM t JOIN tot ON t.prev = tot.prev
+    """,
+)
+def q198_priority_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each customer's
+    order-priority sequence: P(next priority | current priority) —
+    the behavioral-sequence model behind "does a rush order beget
+    rush orders", same machinery as churn-state or intent-transition
+    estimation on event streams.
+
+    Scale shape: ONE customer-partitioned LAG window (orders per
+    customer is activity-bounded, never corpus-scale), then the
+    transition agg collapses to the ≤ |priorities|² = 25-row matrix;
+    probabilities row-normalize on that bounded table.  Ties in
+    order dates break on o_orderkey so the chain order is
+    engine-agreed.
+    """
+    o = table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.select(
+        F.col("o_orderpriority").alias("cur"),
+        F.lag("o_orderpriority").over(w).alias("prev"),
+    ).filter(F.col("prev").isNotNull())
+    t = seq.groupBy("prev", "cur").agg(F.count("*").alias("n"))
+    tot = t.groupBy("prev").agg(F.sum("n").alias("row_n"))
+    return t.join(tot, "prev").select(
+        F.col("prev").alias("from_priority"),
+        F.col("cur").alias("to_priority"),
+        F.col("n").cast("long").alias("n_transitions"),
+        dec(F.col("n") * 1.0 / F.col("row_n"), 6).alias("p"),
+    )

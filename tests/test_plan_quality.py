@@ -164,6 +164,8 @@ BOUNDED_FILTER_HINT_OK = {
     "q154_quantile_sketch",
     # composes q46+q47 and inherits their declared tiny-side attaches
     "q153_rrf_fusion",
+    "q195_token_yield_curve",  # broadcasts the 1-row token-total aggregate
+    "q196_sample_allocation",  # broadcasts the 1-row total-weight aggregate
 }
 
 
@@ -256,6 +258,8 @@ NESTED_LOOP_OK = {
     "q185_label_silhouette",  # |labels|-row prototype attach (cf. q64)
     # 3-row percentile-list attach onto the |groups|-row bounds table
     "q186_distributed_exact_percentile",
+    "q195_token_yield_curve",  # 1-row token-total attach (cf. q63)
+    "q196_sample_allocation",  # 1-row total-weight attach (cf. q63)
 }
 
 
@@ -307,6 +311,8 @@ GLOBAL_WINDOW_BOUNDED = {
     "q182_order_backlog": "|days| running-balance frame",
     "q190_weekday_chisq": "<=7-row weekday frame",
     "q191_supplier_sla": "row_number over the SLA_TOP-row limit",
+    "q194_mann_whitney_latency": "collapsed |transit-days| rank table",
+    "q195_token_yield_curve": "<=101-bin quality yield curve",
     # oracle-parity NTILE below EXACT_AUDIT_MAX_ROWS only; above it
     # exact_audit='auto' selects the distributed tie-class cut
     # (bit-equal to NTILE, pinned in test_exact_audit_gate.py)
