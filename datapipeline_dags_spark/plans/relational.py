@@ -2139,11 +2139,14 @@ def q183_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
     )
     sym = e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    sym = sym.persist()
-    nodes = sym.select(F.col("src").alias("node")).distinct()
+    # The round loop reads nodes and the degree-weighted edge list
+    # every iteration — persist the DERIVED tables (not raw sym), so a
+    # round costs one join + one agg instead of re-running the edge
+    # build's distinct/groupBy chain five times.
     deg = sym.groupBy(F.col("src").alias("node")).agg(
         F.count("*").alias("deg")
     )
+    nodes = deg.select("node").persist()
     base = PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN
     cur = local_checkpoint(
         nodes.select("node", F.lit(PR_SCALE).cast("long").alias("r")),
@@ -2151,7 +2154,7 @@ def q183_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shares = sym.join(deg, sym.src == deg.node).select(
         F.col("src"), F.col("dst"), F.col("deg")
-    )
+    ).persist()
     for _ in range(PR_ITERS):
         inflow = (
             shares.join(cur, shares.src == cur.node)
@@ -2176,7 +2179,8 @@ def q183_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "pr_round",
         )
-    sym.unpersist()
+    nodes.unpersist()
+    shares.unpersist()
     return cur.select(F.col("node").alias("part"), F.col("r").alias("pagerank_units"))
 
 
