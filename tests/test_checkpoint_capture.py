@@ -1,0 +1,36 @@
+"""The iterative-plan audit hook (checkpoint.CAPTURE): per-round
+pre-checkpoint plans are recorded for PLANS.md's ITER flag, and the
+hook stays inert (None) outside audits."""
+
+from __future__ import annotations
+
+from datapipeline_dags_spark import checkpoint
+from datapipeline_dags_spark.plans.all import QUERIES
+
+
+def test_pagerank_rounds_captured(spark, sf_dir):
+    checkpoint.CAPTURE = []
+    try:
+        QUERIES["q183_part_pagerank"](spark, sf_dir)
+        rounds = [c for c in checkpoint.CAPTURE if "round" in c[0]]
+    finally:
+        checkpoint.CAPTURE = None
+    # PR_ITERS rounds + init; each captured plan is the REAL per-round
+    # structure (shuffles visible), not a checkpointed-RDD scan
+    assert len(rounds) == 5
+    assert all("Exchange" in plan for _, plan in rounds)
+
+
+def test_connected_components_rounds_captured(spark, sf_dir):
+    checkpoint.CAPTURE = []
+    try:
+        QUERIES["q69_dedup_clusters"](spark, sf_dir)
+        rounds = [c for c in checkpoint.CAPTURE if "cc_round" in c[0]]
+    finally:
+        checkpoint.CAPTURE = None
+    assert rounds, "no CC rounds captured"
+    assert all("Exchange" in plan for _, plan in rounds)
+
+
+def test_capture_off_by_default():
+    assert checkpoint.CAPTURE is None
