@@ -339,7 +339,10 @@ def dhash_band_keys(dhash: Column = None) -> Column:
 
 
 def dhash_near_dup(
-    hashes: DataFrame, hamming_t: int = 4, name: str = "dhash_near_dup"
+    hashes: DataFrame,
+    hamming_t: int = 4,
+    name: str = "dhash_near_dup",
+    skip_zero_hash: bool = True,
 ) -> DataFrame:
     """Near-duplicate image pairs from (id, dhash) rows: q41's banded
     blocking applied to the 64-bit perceptual hash — 4 x 16-bit band
@@ -357,10 +360,22 @@ def dhash_near_dup(
     machinery.  Cross-band duplicates are eliminated by a map-side
     first-match-band filter (the band keys are recomputable from the
     carried hashes), not a distinct shuffle of every candidate pair.
+
+    ``skip_zero_hash`` (default True) additionally excludes the
+    all-zero dHash — the hash every blank / constant-color image maps
+    to — from candidate generation entirely: a match on NO gradient
+    information is dedup noise, and the zero class is the one
+    equivalence class whose genuine pair count grows quadratically
+    with the corpus (SCALING.md's output-quadratic row).  Callers
+    that want blank-blank pairs (or exact-dedup them separately via
+    the digest column) pass False; the DuckDB oracles mirror the
+    filter so the contract stays hash-checkable.
     """
     bands = hashes.select(
         "id", "dhash", F.posexplode(dhash_band_keys()).alias("band", "key")
     )
+    if skip_zero_hash:
+        bands = bands.filter(F.col("dhash") != 0)
     # struct sorts by leading field, so chunk member order == id order
     bucketed = (
         bands.groupBy("band", "key")

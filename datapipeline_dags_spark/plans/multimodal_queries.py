@@ -115,7 +115,8 @@ def _q91_oracle() -> str:
     bands AS (
       SELECT doc_id, u, bb.b AS band, (u >> (16*bb.b)) & 65535 AS key
       FROM hsh,
-           (SELECT unnest(generate_series(0, {DHASH_BANDS - 1})) AS b) bb),
+           (SELECT unnest(generate_series(0, {DHASH_BANDS - 1})) AS b) bb
+      WHERE u <> 0),
     cand AS (SELECT DISTINCT a.doc_id AS id_a, a.u AS u_a,
                              c.doc_id AS id_b, c.u AS u_b
              FROM bands a JOIN bands c
@@ -251,7 +252,8 @@ def _q174_oracle() -> str:
     bands AS (
       SELECT doc_id, f, u, bb.b AS band, (u >> (16*bb.b)) & 65535 AS key
       FROM hsh,
-           (SELECT unnest(generate_series(0, {DHASH_BANDS - 1})) AS b) bb),
+           (SELECT unnest(generate_series(0, {DHASH_BANDS - 1})) AS b) bb
+      WHERE u <> 0),
     cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
              FROM bands a JOIN bands c
                ON a.f = c.f AND a.band = c.band AND a.key = c.key
@@ -371,7 +373,7 @@ def q174_video_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("id") % VID_FRAMES).cast("int").alias("f"),
         "dhash",
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    bands = hashes.select(
+    bands = hashes.filter(F.col("dhash") != 0).select(
         "doc_id", "f", F.posexplode(dhash_band_keys()).alias("band", "key")
     )
     bucketed = (

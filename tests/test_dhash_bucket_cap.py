@@ -79,7 +79,9 @@ def test_dhash_pairs_emitted_exactly_once(spark):
     speck = encode_img1(8, 8, bytes([9] + [0] * 63))
     rows = [(i, blank) for i in range(1, 8)] + [(10, speck)]
     df = spark.createDataFrame(rows, "id long, content binary")
-    got = dhash_near_dup(dhash_images(df), hamming_t=4, name="t_once")
+    got = dhash_near_dup(
+        dhash_images(df), hamming_t=4, name="t_once", skip_zero_hash=False
+    )
     out = got.collect()
     pairs = [(r.id_a, r.id_b) for r in out]
     assert len(pairs) == len(set(pairs))
@@ -97,12 +99,35 @@ def test_dhash_chunked_hot_bucket_matches_uncapped(spark, monkeypatch):
     df = spark.createDataFrame(imgs, "id long, content binary")
     baseline = {
         (r.id_a, r.id_b, r.hamming)
-        for r in dhash_near_dup(dhash_images(df), name="t_base").collect()
+        for r in dhash_near_dup(
+            dhash_images(df), name="t_base", skip_zero_hash=False
+        ).collect()
     }
     monkeypatch.setattr(blocking, "BUCKET_CAP", 3)
     capped = {
         (r.id_a, r.id_b, r.hamming)
-        for r in dhash_near_dup(dhash_images(df), name="t_capped").collect()
+        for r in dhash_near_dup(
+            dhash_images(df), name="t_capped", skip_zero_hash=False
+        ).collect()
     }
     assert capped == baseline
     assert blocking.BUCKET_OBSERVATIONS["t_capped"].get["capped_buckets"] >= 1
+
+
+def test_zero_hash_class_skipped_by_default(spark):
+    """Blank / constant-color images all map to dHash 0 — the one
+    equivalence class whose genuine pair count is quadratic in the
+    corpus.  The default contract excludes it from candidate
+    generation (match on no gradient information = dedup noise);
+    skip_zero_hash=False restores the exhaustive behavior."""
+    blank = encode_img1(8, 8, bytes(64))
+    df = spark.createDataFrame(
+        [(i, blank) for i in range(1, 6)], "id long, content binary"
+    )
+    assert dhash_near_dup(dhash_images(df), name="t_zero").count() == 0
+    assert (
+        dhash_near_dup(
+            dhash_images(df), name="t_zero_off", skip_zero_hash=False
+        ).count()
+        == 10
+    )

@@ -392,17 +392,17 @@ def main() -> None:
         "machinery (operators/blocking.py) since r6 — constant-color",
         "images and black frames share one hash, so their hot buckets",
         "are the image/video twin of q42's regime (see the",
-        "constant-frame section below).  q174's x10 ratio is the one",
-        "OUTPUT-quadratic row: sparse documents render near-empty",
-        "frames whose dHash is 0 in EVERY replica, so the all-zero",
-        "frame class grows 10x and its genuine near-dup pair count",
-        "~90x (745^2 -> 7071^2 per the max-bucket counters) —",
-        "wall-clock grows ~26x, SUB-linear in emitted pairs, with",
-        "per-task memory still bounded by the chunk cap.  The pairwise",
-        "contract is inherently quadratic on an equivalence class; the",
-        "production recipe is exact-dedup (q40) or an empty-frame",
-        "filter upstream, and the cluster-level contract (q69) when",
-        "pair lists are not required.  The q96",
+        "constant-frame section below).  The all-zero dHash class",
+        "(blank images / black frames; sparse docs render near-empty",
+        "frames in EVERY replica) is the one equivalence class whose",
+        "GENUINE pair count is corpus-quadratic — a pre-fix x10 run",
+        "measured q174 at 25.9x wall-clock tracking a ~90x pair count",
+        "(745^2 -> 7071^2 zero-class buckets).  Since r6 the default",
+        "contract excludes dHash 0 from candidate generation entirely",
+        "(skip_zero_hash, mirrored in the oracles: a match on no",
+        "gradient information is dedup noise); exact dedup (q40) or",
+        "the cluster contract (q69) cover intentional blank-blank",
+        "grouping.  The q96",
         "pair runs the SemDeDup regime (quantizer scales with the corpus,",
         "so per-cell pair work stays constant).  The plain row is the",
         "REGISTERED DEFAULT: at x10 the scaled quantizer (k=160) crosses",
