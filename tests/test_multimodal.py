@@ -170,7 +170,15 @@ def test_dhash_near_dup_blocks_and_verifies(spark):
         [(1, base), (2, near), (3, far), (4, base)], "id long, content binary"
     )
     hashes = dhash_images(df)
-    pairs = {(r.id_a, r.id_b): r.hamming for r in dhash_near_dup(hashes, hamming_t=4).collect()}
+    # skip_zero_hash=False: the uniform gradient's base dHash is exactly
+    # 0, which the default contract excludes as the blank/constant-media
+    # class (see test_dhash_bucket_cap.test_zero_hash_class_skipped_by_default)
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dhash_near_dup(
+            hashes, hamming_t=4, skip_zero_hash=False
+        ).collect()
+    }
     assert pairs[(1, 4)] == 0          # exact perceptual copy
     assert 0 < pairs[(1, 2)] <= 4      # near-dup caught with its distance
     assert (2, 4) in pairs             # transitively near base's copy
