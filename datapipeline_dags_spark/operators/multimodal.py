@@ -343,6 +343,7 @@ def dhash_near_dup(
     hamming_t: int = 4,
     name: str = "dhash_near_dup",
     skip_zero_hash: bool = True,
+    min_hash_bits: int | None = None,
 ) -> DataFrame:
     """Near-duplicate image pairs from (id, dhash) rows: q41's banded
     blocking applied to the 64-bit perceptual hash — 4 x 16-bit band
@@ -370,11 +371,22 @@ def dhash_near_dup(
     that want blank-blank pairs (or exact-dedup them separately via
     the digest column) pass False; the DuckDB oracles mirror the
     filter so the contract stays hash-checkable.
+
+    ``min_hash_bits`` is the stronger production density filter: only
+    hashes with at least that many set bits enter candidate
+    generation.  NEAR-empty media (a single surviving gradient cell)
+    collapses into ≤ 72 low-information dHash classes that stay
+    output-quadratic even after the zero skip (SCALING.md's x10 rows);
+    a floor of e.g. 4 bits excludes them.  Off (None) by default — it
+    trades recall on genuinely sparse-but-real media and is NOT
+    mirrored in the registered oracles.
     """
     bands = hashes.select(
         "id", "dhash", F.posexplode(dhash_band_keys()).alias("band", "key")
     )
-    if skip_zero_hash:
+    if min_hash_bits is not None:
+        bands = bands.filter(F.bit_count("dhash") >= min_hash_bits)
+    elif skip_zero_hash:
         bands = bands.filter(F.col("dhash") != 0)
     # struct sorts by leading field, so chunk member order == id order
     bucketed = (

@@ -131,3 +131,24 @@ def test_zero_hash_class_skipped_by_default(spark):
         ).count()
         == 10
     )
+
+
+def test_min_hash_bits_density_floor(spark):
+    """min_hash_bits excludes low-information hashes (a single lit
+    gradient cell -> few set bits) from candidate generation — the
+    production density filter for the output-quadratic near-empty
+    classes SCALING.md documents."""
+    speck = encode_img1(9, 8, bytes([0, 200] + [0] * 70))  # one edge
+    rich = encode_img1(
+        9, 8, bytes([(x * 37 + y * 11) % 251 for y in range(8) for x in range(9)])
+    )
+    rows = [(i, speck) for i in range(1, 5)] + [(10, rich), (11, rich)]
+    df = spark.createDataFrame(rows, "id long, content binary")
+    dense_only = dhash_near_dup(
+        dhash_images(df), name="t_dense", min_hash_bits=4
+    )
+    pairs = {(r.id_a, r.id_b) for r in dense_only.collect()}
+    assert pairs == {(10, 11)}  # speck class filtered, rich pair kept
+    # default keeps the speck class (its hash is nonzero)
+    default = {(r.id_a, r.id_b) for r in dhash_near_dup(dhash_images(df), name="t_def").collect()}
+    assert (1, 2) in default and (10, 11) in default
