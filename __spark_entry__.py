@@ -132,6 +132,11 @@ _ROTATION_TAIL = [
     "q196_sample_allocation",
     "q197_char_entropy",
     "q198_priority_markov",
+    "q199_copurchase_triangles",
+    "q200_ks_source_drift",
+    "q201_kmeans_fixed_point",
+    "q202_mad_outliers",
+    "q203_readability",
 ]
 
 

@@ -4,6 +4,7 @@ from datapipeline_dags_spark.plans import (  # noqa: F401
     advanced,
     event_time,
     llm_ops,
+    mining,
     multimodal_queries,
     relational,
     scalars,

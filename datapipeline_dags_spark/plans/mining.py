@@ -1,0 +1,633 @@
+"""Corpus-mining & statistics queries (SURVEY.md §2.11, r6 batch 2).
+
+Graph analytics (triangle counting), distribution drift (two-sample
+Kolmogorov–Smirnov), iterative clustering (Lloyd k-means in integer
+fixed-point), robust outlier detection (MAD built on the q186
+``distributed_percentiles`` primitive), and readability scoring — the
+second tier of analyses a training-data curation pipeline runs on top
+of the reference's ingest surface (reference scope:
+parallelized_data_pipeline_dag.py orchestrates ingest only; the engine
+declares the analytics the ingested corpus feeds).
+
+Scale discipline matches the rest of the corpus: basket caps before
+quadratic explodes, degree-ordered orientation bounding wedge fan-out,
+bounded-domain collapses before windows, integer arithmetic wherever a
+value crosses the engine-parity boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from datapipeline_dags_spark.catalog import table
+from datapipeline_dags_spark.plans.helpers import dec
+from datapipeline_dags_spark.plans.registry import query
+from datapipeline_dags_spark.plans.scalars import distributed_percentiles
+
+#: cap counters for this module's quadratic-risk explodes (the
+#: relational.BASKET_OBSERVATIONS / llm_ops.BUCKET_OBSERVATIONS
+#: discipline).
+MINING_OBSERVATIONS: dict[str, Observation] = {}
+
+# ---------------------------------------------------------------------------
+# q199 — co-purchase graph triangle census
+# ---------------------------------------------------------------------------
+
+#: baskets are capped to their TRI_MAX_BASKET smallest parts BEFORE the
+#: pair explode (mirrored in the oracle — the q179 contract).
+TRI_MAX_BASKET = 50
+#: co-purchase pairs below this order-support are noise, not edges;
+#: the threshold also sparsifies the graph before the wedge join.
+TRI_MIN_SUPPORT = 2
+
+
+@query(
+    "q199_copurchase_triangles",
+    oracle=f"""
+    WITH b0 AS (SELECT l_orderkey,
+                       (list_sort(list(DISTINCT l_partkey)))[1:{TRI_MAX_BASKET}]
+                         AS parts
+                FROM lineitem GROUP BY 1),
+    b AS (SELECT l_orderkey, unnest(parts) AS pk FROM b0),
+    e AS (SELECT x.pk AS a, y.pk AS bb
+          FROM b x JOIN b y
+            ON x.l_orderkey = y.l_orderkey AND x.pk < y.pk
+          GROUP BY 1, 2 HAVING COUNT(*) >= {TRI_MIN_SUPPORT}),
+    deg AS (SELECT n, COUNT(*) AS d
+            FROM (SELECT a AS n FROM e UNION ALL SELECT bb FROM e)
+            GROUP BY 1),
+    tri AS (SELECT COUNT(*) AS t
+            FROM e e1
+            JOIN e e2 ON e2.a = e1.bb
+            JOIN e e3 ON e3.a = e1.a AND e3.bb = e2.bb),
+    agg AS (SELECT COUNT(*) AS n_nodes,
+                   SUM(d * (d - 1) / 2) AS wedges
+            FROM deg)
+    SELECT CAST(agg.n_nodes AS BIGINT) AS n_nodes,
+           CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+           CAST(tri.t AS BIGINT) AS n_triangles,
+           CAST(agg.wedges AS BIGINT) AS n_wedges,
+           (ROUND(CASE WHEN agg.wedges = 0 THEN 0.0
+                       ELSE 3.0 * tri.t / agg.wedges END, 6) + 0.0)
+             AS global_clustering
+    FROM agg, tri
+    """,
+)
+def q199_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the part co-purchase graph: nodes are parts,
+    an edge joins two parts co-ordered in >= {TRI_MIN_SUPPORT} orders,
+    and the output is the triangle count plus the global clustering
+    coefficient 3*triangles/wedges — the graph-cohesion statistic
+    behind bundle discovery and link-spam detection on co-occurrence
+    graphs.
+
+    Scale shape (the Suri–Vassilvitskii MapReduce design): baskets are
+    capped to {TRI_MAX_BASKET} smallest parts BEFORE the quadratic
+    pair explode (observable via MINING_OBSERVATIONS, mirrored in the
+    oracle); the support threshold sparsifies edges before any graph
+    work; and the wedge join runs on DEGREE-ORIENTED edges — every
+    edge points from its (degree, id)-smaller endpoint, so a node's
+    out-degree is O(sqrt(m)) and the wedge fan-out is bounded m^1.5
+    total even on power-law degree distributions where the naive
+    per-node pair explode is quadratic in the hottest node's degree.
+    Orientation changes which node 'owns' each wedge, never the closed
+    count, so the id-ordered oracle agrees exactly.  All counts are
+    integers; the single ratio takes the final 6dp round.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    obs = Observation()
+    MINING_OBSERVATIONS["q199_copurchase_triangles"] = obs
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+        .observe(
+            obs,
+            F.count(F.lit(1)).alias("baskets"),
+            F.sum(
+                (F.size("parts") > TRI_MAX_BASKET).cast("long")
+            ).alias("capped_baskets"),
+            F.max(F.size("parts")).alias("max_basket_size"),
+        )
+    )
+    b = baskets.select(
+        "l_orderkey",
+        F.explode(F.slice("parts", 1, TRI_MAX_BASKET)).alias("pk"),
+    )
+    edges = (
+        b.select("l_orderkey", F.col("pk").alias("a"))
+        .join(b.select("l_orderkey", F.col("pk").alias("bb")), "l_orderkey")
+        .filter(F.col("a") < F.col("bb"))
+        .groupBy("a", "bb")
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= TRI_MIN_SUPPORT)
+        .select("a", "bb")
+    )
+    deg = (
+        edges.select(F.col("a").alias("n"))
+        .unionAll(edges.select(F.col("bb").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    # degree-oriented edges: u -> v iff (d_u, u) < (d_v, v)
+    e2 = (
+        edges.join(deg.select(F.col("n").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("n").alias("bb"), F.col("d").alias("db")), "bb")
+    )
+    fwd = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("bb"))
+    )
+    o = e2.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("bb")).alias("u"),
+        F.when(fwd, F.col("bb")).otherwise(F.col("a")).alias("v"),
+        F.when(fwd, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    )
+    x, y = o.alias("x"), o.alias("y")
+    wedge_lt = (F.col("x.dv") < F.col("y.dv")) | (
+        (F.col("x.dv") == F.col("y.dv")) & (F.col("x.v") < F.col("y.v"))
+    )
+    wedges = x.join(y, (F.col("x.u") == F.col("y.u")) & wedge_lt).select(
+        F.col("x.v").alias("u"), F.col("y.v").alias("v")
+    )
+    tri = wedges.join(o.select("u", "v"), ["u", "v"], "left_semi").agg(
+        F.count("*").alias("t")
+    )
+    stats = deg.agg(
+        F.count("*").alias("n_nodes"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_wedges"),
+    )
+    ecnt = edges.agg(F.count("*").alias("n_edges"))
+    return (
+        stats.crossJoin(ecnt)
+        .crossJoin(tri)
+        .select(
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            F.col("n_edges").cast("long").alias("n_edges"),
+            F.col("t").cast("long").alias("n_triangles"),
+            "n_wedges",
+            dec(
+                F.when(F.col("n_wedges") == 0, F.lit(0.0)).otherwise(
+                    3.0 * F.col("t") / F.col("n_wedges")
+                ),
+                6,
+            ).alias("global_clustering"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q200 — per-source Kolmogorov–Smirnov drift vs the rest of the corpus
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q200_ks_source_drift",
+    oracle="""
+    WITH c AS (SELECT source, n_chars AS v, COUNT(*) AS n
+               FROM documents GROUP BY 1, 2),
+    vals AS (SELECT DISTINCT n_chars AS v FROM documents),
+    tot AS (SELECT v, SUM(n) AS tn FROM c GROUP BY 1),
+    ns AS (SELECT source, SUM(n) AS ns FROM c GROUP BY 1),
+    bign AS (SELECT SUM(n) AS big_n FROM c),
+    grid AS (SELECT ns.source, ns.ns, vals.v, tot.tn,
+                    COALESCE(c.n, 0) AS n, bign.big_n
+             FROM ns CROSS JOIN vals
+             JOIN tot ON tot.v = vals.v
+             CROSS JOIN bign
+             LEFT JOIN c ON c.source = ns.source AND c.v = vals.v),
+    cum AS (SELECT source, v, ns, big_n,
+                   SUM(n) OVER (PARTITION BY source ORDER BY v) AS cs,
+                   SUM(tn) OVER (PARTITION BY source ORDER BY v) AS ct
+            FROM grid),
+    d AS (SELECT source, v, ns, big_n,
+                 ABS(cs * (big_n - ns) - (ct - cs) * ns) AS num,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                   ORDER BY ABS(cs * (big_n - ns) - (ct - cs) * ns) DESC,
+                            v) AS rk
+          FROM cum)
+    SELECT source, CAST(ns AS BIGINT) AS n_docs,
+           (ROUND(num * 1.0 / (ns * (big_n - ns)), 6) + 0.0) AS d_stat,
+           CAST(v AS BIGINT) AS at_len
+    FROM d WHERE rk = 1
+    """,
+)
+def q200_ks_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic per source: the max
+    ECDF gap between one source's document-length distribution and
+    the REST of the corpus — the standard nonparametric drift gate a
+    curation pipeline runs per ingest source (did src7 start shipping
+    truncated pages?), stronger than q123's binned PSI because it
+    needs no bin choice.
+
+    Scale shape: lengths collapse FIRST to the (source, length,
+    count) table — |sources| x |distinct lengths| rows, both
+    catalog/domain-bounded, never corpus-scale — the ECDFs are
+    per-source cumulative windows over that bounded grid (no global
+    window), and the KS sup-gap is computed in INTEGER
+    cross-multiplied form |cs*(N-ns) - (ct-cs)*ns| so the argmax and
+    tie-break (smallest length) are engine-exact; only the final
+    normalized D gets the 6dp round.
+    """
+    docs = table(spark, sf_dir, "documents")
+    c = docs.groupBy("source", F.col("n_chars").alias("v")).agg(
+        F.count("*").alias("n")
+    )
+    vals = docs.select(F.col("n_chars").alias("v")).distinct()
+    tot = c.groupBy("v").agg(F.sum("n").alias("tn"))
+    ns = c.groupBy("source").agg(F.sum("n").alias("ns"))
+    big_n = c.agg(F.sum("n").alias("big_n"))
+    grid = (
+        ns.crossJoin(F.broadcast(vals))
+        .join(F.broadcast(tot), "v")
+        .crossJoin(F.broadcast(big_n))
+        .join(c, ["source", "v"], "left")
+        .withColumn("n", F.coalesce("n", F.lit(0)))
+    )
+    cw = (
+        W.partitionBy("source")
+        .orderBy("v")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    cum = grid.select(
+        "source",
+        "v",
+        "ns",
+        "big_n",
+        F.sum("n").over(cw).alias("cs"),
+        F.sum("tn").over(cw).alias("ct"),
+    )
+    num = F.abs(
+        F.col("cs") * (F.col("big_n") - F.col("ns"))
+        - (F.col("ct") - F.col("cs")) * F.col("ns")
+    )
+    rw = W.partitionBy("source").orderBy(F.col("num").desc(), "v")
+    d = cum.withColumn("num", num).withColumn(
+        "rk", F.row_number().over(rw)
+    )
+    return d.filter(F.col("rk") == 1).select(
+        "source",
+        F.col("ns").cast("long").alias("n_docs"),
+        dec(
+            F.col("num") * 1.0 / (F.col("ns") * (F.col("big_n") - F.col("ns"))),
+            6,
+        ).alias("d_stat"),
+        F.col("v").cast("long").alias("at_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q201 — distributed Lloyd k-means in integer fixed-point
+# ---------------------------------------------------------------------------
+
+KM_K = 8
+KM_ROUNDS = 2
+#: fixed-point scale: embeddings quantize to round-half-up
+#: floor(x*1000 + 0.5) BIGINTs, so every distance / centroid update is
+#: integer (order-independent sums => engine-exact iterative numerics,
+#: the q183 PageRank discipline).
+KM_FP = 1000
+
+_KM_Q_SQL = (
+    "list_transform(embedding, x -> "
+    f"CAST(FLOOR(x::DOUBLE * {KM_FP} + 0.5) AS BIGINT))"
+)
+
+
+def _km_oracle() -> str:
+    """DuckDB mirror of the two Lloyd rounds (CTE chain)."""
+    pos_unnest = (
+        "unnest(list_transform(qa, (x, i) -> {'pos': i - 1, 'v': x})) AS u"
+    )
+    return f"""
+    WITH q AS (SELECT vec_id, {_KM_Q_SQL} AS qa FROM embeddings),
+    qpos AS (SELECT vec_id, us.u.pos AS pos, us.u.v AS qv
+             FROM (SELECT vec_id, {pos_unnest} FROM q) us),
+    seeds AS (SELECT vec_id, rn - 1 AS cid
+              FROM (SELECT vec_id, ROW_NUMBER() OVER (
+                      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+                    FROM embeddings)
+              WHERE rn <= {KM_K}),
+    c0 AS (SELECT seeds.cid, qpos.pos, qpos.qv AS cv
+           FROM seeds JOIN qpos ON qpos.vec_id = seeds.vec_id),
+    a1 AS (SELECT qpos.vec_id, c0.cid,
+                  SUM((qpos.qv - c0.cv) * (qpos.qv - c0.cv)) AS dist
+           FROM qpos JOIN c0 ON c0.pos = qpos.pos
+           GROUP BY 1, 2),
+    asg1 AS (SELECT vec_id, cid FROM (
+               SELECT vec_id, cid, ROW_NUMBER() OVER (
+                 PARTITION BY vec_id ORDER BY dist, cid) AS rk
+               FROM a1) WHERE rk = 1),
+    c1 AS (SELECT asg1.cid, qpos.pos,
+                  CAST(FLOOR(SUM(qpos.qv) * 1.0 / COUNT(*)) AS BIGINT) AS cv
+           FROM asg1 JOIN qpos ON qpos.vec_id = asg1.vec_id
+           GROUP BY 1, 2),
+    a2 AS (SELECT qpos.vec_id, c1.cid,
+                  SUM((qpos.qv - c1.cv) * (qpos.qv - c1.cv)) AS dist
+           FROM qpos JOIN c1 ON c1.pos = qpos.pos
+           GROUP BY 1, 2),
+    asg2 AS (SELECT vec_id, cid, dist FROM (
+               SELECT vec_id, cid, dist, ROW_NUMBER() OVER (
+                 PARTITION BY vec_id ORDER BY dist, cid) AS rk
+               FROM a2) WHERE rk = 1)
+    SELECT CAST(asg2.cid AS INT) AS cid,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(asg2.dist) AS BIGINT) AS inertia_fp,
+           CAST(MAX(cn.l2) AS BIGINT) AS centroid_l2sq_fp
+    FROM asg2
+    JOIN (SELECT cid, SUM(cv * cv) AS l2 FROM c1 GROUP BY 1) cn
+      ON cn.cid = asg2.cid
+    GROUP BY 1
+    """
+
+
+@query("q201_kmeans_fixed_point", oracle=_km_oracle())
+def q201_kmeans_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd rounds of k-means (k={KM_K}) over the embeddings
+    table, entirely in integer fixed-point — cluster sizes, inertia
+    and centroid norms after the second assignment.  The clustering
+    primitive behind corpus bucketing / topic sharding, expressed so
+    an iterative numeric algorithm stays bit-reproducible across
+    engines AND across partitionings (integer sums are
+    order-independent; float accumulation is not — the q183 PageRank
+    rule applied to ML).
+
+    Scale shape per round: assignment is MAP-ONLY — the k x dim
+    centroid table is a driver-side literal (bounded control plane,
+    the PQ-codebook pattern) folded into an array_min over k
+    (distance, cid) structs, so the corpus-sized table never shuffles
+    for assignment; the centroid UPDATE is posexplode -> groupBy
+    (cid, pos) where map-side partial aggregation collapses every
+    partition to <= k*dim cells before the shuffle (the q64 centroid
+    shape).  Seeds are the {KM_K} md5-smallest vec_ids via
+    orderBy().limit() (TakeOrderedAndProject — never a global
+    row_number).  Empty clusters drop out of the next round's
+    centroid literal exactly as they vanish from the oracle's c1.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * KM_FP + 0.5).cast("long"),
+        ).alias("qa"),
+    )
+    seeds = (
+        q.select("vec_id", "qa", F.md5(F.col("vec_id").cast("string")).alias("h"))
+        .orderBy("h", "vec_id")
+        .limit(KM_K)
+    )
+    sw = W.orderBy("h", "vec_id")
+    c0 = [
+        (int(r["cid"]), list(r["qa"]))
+        for r in seeds.select(
+            (F.row_number().over(sw) - 1).alias("cid"), "qa"
+        ).collect()
+    ]
+
+    def assign(qdf: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFrame:
+        structs = [
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        "qa",
+                        F.array(*[F.lit(v) for v in carr]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ).alias("dist"),
+                F.lit(cid).alias("cid"),
+            )
+            for cid, carr in cents
+        ]
+        best = F.array_min(F.array(*structs))
+        return qdf.select(
+            "vec_id",
+            "qa",
+            best.getField("cid").alias("cid"),
+            best.getField("dist").alias("dist"),
+        )
+
+    cents = c0
+    asg = assign(q, cents)
+    for _ in range(KM_ROUNDS - 1):
+        newc = (
+            asg.select("cid", F.posexplode("qa").alias("pos", "qv"))
+            .groupBy("cid", "pos")
+            .agg(
+                F.floor(F.sum("qv") * 1.0 / F.count("*"))
+                .cast("long")
+                .alias("cv")
+            )
+        )
+        rows = (
+            newc.groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "cv"))).alias("ps"))
+            .collect()
+        )
+        cents = [
+            (int(r["cid"]), [int(p["cv"]) for p in r["ps"]]) for r in rows
+        ]
+        cents.sort()
+        asg = assign(q, cents)
+
+    l2 = {cid: sum(v * v for v in carr) for cid, carr in cents}
+    l2_map = F.create_map(
+        *[F.lit(x) for kv in l2.items() for x in kv]
+    )
+    return (
+        asg.groupBy("cid")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sum("dist").alias("inertia_fp"),
+        )
+        .select(
+            F.col("cid").cast("int").alias("cid"),
+            F.col("n_members").cast("long").alias("n_members"),
+            F.col("inertia_fp").cast("long").alias("inertia_fp"),
+            l2_map[F.col("cid")].cast("long").alias("centroid_l2sq_fp"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q202 — MAD robust outlier audit (composes distributed_percentiles)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q202_mad_outliers",
+    oracle="""
+    WITH m AS (SELECT event_type AS g, quantile_cont(value, 0.5) AS med,
+                      COUNT(*) AS n
+               FROM events GROUP BY 1),
+    d AS (SELECT e.event_type AS g, e.value, m.med, m.n,
+                 ABS(e.value - m.med) AS dv
+          FROM events e JOIN m ON m.g = e.event_type),
+    md AS (SELECT g, quantile_cont(dv, 0.5) AS mad FROM d GROUP BY 1)
+    SELECT d.g AS event_type,
+           CAST(MAX(d.n) AS BIGINT) AS n_events,
+           (ROUND(MAX(d.med), 6) + 0.0) AS med,
+           (ROUND(MAX(md.mad), 6) + 0.0) AS mad,
+           CAST(SUM(CASE WHEN d.dv > 3 * md.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM d JOIN md ON md.g = d.g
+    GROUP BY 1
+    """,
+)
+def q202_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outlier audit per event type: med =
+    median(value), MAD = median(|value - med|), outliers = rows with
+    |value - med| > 3*MAD — the robust z-score that doesn't let the
+    outliers it hunts inflate its own scale estimate (unlike q108's
+    mean/stddev z).
+
+    Scale shape: BOTH medians run through q186's
+    ``distributed_percentiles`` (exact quantile_cont interpolation,
+    max task memory ~ one histogram sub-bin) — never Spark's
+    buffering ``percentile`` — so the two-pass median-of-deviations
+    pattern survives groups of any size; the per-group med/MAD then
+    broadcast back for one map-side comparison pass.  Parity: the
+    interpolated medians are bit-equal to DuckDB's quantile_cont
+    (proven by q186's oracle), so the strict > cut agrees exactly;
+    displayed medians take the 6dp round.
+    """
+    ev = table(spark, sf_dir, "events")
+    gv = ev.select(
+        F.col("event_type").alias("g"), F.col("value").cast("double").alias("v")
+    )
+    med = distributed_percentiles(gv, (0.5,)).select(
+        "g", F.col("value").alias("med")
+    )
+    j = gv.join(F.broadcast(med), "g").withColumn(
+        "dv", F.abs(F.col("v") - F.col("med"))
+    )
+    mad = distributed_percentiles(
+        j.select("g", F.col("dv").alias("v")), (0.5,)
+    ).select("g", F.col("value").alias("mad"))
+    return (
+        j.join(F.broadcast(mad), "g")
+        .groupBy("g")
+        .agg(
+            F.count("*").alias("n_events"),
+            dec(F.max("med"), 6).alias("med"),
+            dec(F.max("mad"), 6).alias("mad"),
+            F.sum(
+                (F.col("dv") > 3 * F.col("mad")).cast("long")
+            ).alias("n_outliers"),
+        )
+        .select(
+            F.col("g").alias("event_type"),
+            F.col("n_events").cast("long").alias("n_events"),
+            "med",
+            "mad",
+            F.col("n_outliers").cast("long").alias("n_outliers"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q203 — readability scoring (Flesch reading ease, per source)
+# ---------------------------------------------------------------------------
+
+_WORD_RE = "[a-z]+"
+_SENT_RE = "[.!?]+"
+_SYL_RE = "[aeiouy]+"
+
+
+@query(
+    "q203_readability",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT source,
+             GREATEST(len(regexp_extract_all(lower(text), '{_WORD_RE}')), 1)
+               AS w,
+             GREATEST(len(regexp_extract_all(text, '{_SENT_RE}')), 1) AS s,
+             len(regexp_extract_all(lower(text), '{_SYL_RE}')) AS y
+      FROM documents),
+    scored AS (
+      SELECT source, w, s, y,
+             206.835 - 1.015 * (w * 1.0 / s) - 84.6 * (y * 1.0 / w)
+               AS flesch
+      FROM per_doc)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(w) AS BIGINT) AS total_words,
+           (ROUND(206.835 - 1.015 * (SUM(w) * 1.0 / SUM(s))
+                  - 84.6 * (SUM(y) * 1.0 / SUM(w)), 4) + 0.0)
+             AS flesch_source,
+           CAST(SUM(CASE WHEN flesch >= 60 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_easy,
+           CAST(SUM(CASE WHEN flesch >= 30 AND flesch < 60 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_college,
+           CAST(SUM(CASE WHEN flesch < 30 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_graduate
+    FROM scored GROUP BY 1
+    """,
+)
+def q203_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per source: per-doc word / sentence /
+    syllable-proxy counts (vowel-cluster heuristic — no dictionary
+    needed, the standard streaming approximation), a source-level
+    Flesch computed from the INTEGER count totals, and per-doc grade
+    buckets — the readability leg of the q50/q99 quality-filter
+    family (curation pipelines gate on it to skew corpora toward
+    plain prose).
+
+    Scale shape: three regexp_extract_all counts per document,
+    map-only over the corpus scan, then ONE hash aggregate on source
+    — no shuffle carries text.  Parity: every aggregate is an integer
+    sum; the source-level Flesch is a single double expression over
+    exact integer totals (deterministic IEEE evaluation, no
+    order-dependent float accumulation) rounded at 4dp, and the
+    per-doc grade buckets compare per-doc expressions both engines
+    evaluate identically.
+    """
+    docs = table(spark, sf_dir, "documents")
+    lo = F.lower("text")
+    per_doc = docs.select(
+        "source",
+        F.greatest(
+            F.size(F.regexp_extract_all(lo, F.lit(_WORD_RE), F.lit(0))), F.lit(1)
+        ).alias("w"),
+        F.greatest(
+            F.size(F.regexp_extract_all(F.col("text"), F.lit(_SENT_RE), F.lit(0))),
+            F.lit(1),
+        ).alias("s"),
+        F.size(F.regexp_extract_all(lo, F.lit(_SYL_RE), F.lit(0))).alias("y"),
+    )
+    flesch = (
+        F.lit(206.835)
+        - 1.015 * (F.col("w") * 1.0 / F.col("s"))
+        - 84.6 * (F.col("y") * 1.0 / F.col("w"))
+    )
+    scored = per_doc.withColumn("flesch", flesch)
+    src = (
+        F.lit(206.835)
+        - 1.015 * (F.col("sw") * 1.0 / F.col("ss"))
+        - 84.6 * (F.col("sy") * 1.0 / F.col("sw"))
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("w").alias("sw"),
+            F.sum("s").alias("ss"),
+            F.sum("y").alias("sy"),
+            F.sum((F.col("flesch") >= 60).cast("long")).alias("n_easy"),
+            F.sum(
+                ((F.col("flesch") >= 30) & (F.col("flesch") < 60)).cast("long")
+            ).alias("n_college"),
+            F.sum((F.col("flesch") < 30).cast("long")).alias("n_graduate"),
+        )
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("sw").cast("long").alias("total_words"),
+            dec(src, 4).alias("flesch_source"),
+            "n_easy",
+            "n_college",
+            "n_graduate",
+        )
+    )

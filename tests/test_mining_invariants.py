@@ -1,0 +1,135 @@
+"""Metamorphic invariants of the r6 mining/statistics queries
+(plans/mining.py): laws the math guarantees regardless of data, so a
+violation is always an implementation bug — the complement of the
+DuckDB hash oracle (which agrees with mirrored mistakes)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datapipeline_dags_spark.plans.mining import (
+    KM_K,
+    MINING_OBSERVATIONS,
+    TRI_MAX_BASKET,
+    q199_copurchase_triangles,
+    q200_ks_source_drift,
+    q201_kmeans_fixed_point,
+    q202_mad_outliers,
+    q203_readability,
+)
+
+
+def test_triangles_bounded_by_wedges(spark, sf_dir):
+    """Every triangle closes exactly 3 wedges, so 3*T <= W; clustering
+    coefficient lands in [0, 1]; and the cap counter observes the
+    basket pass."""
+    r = q199_copurchase_triangles(spark, sf_dir).collect()[0]
+    assert 3 * r["n_triangles"] <= r["n_wedges"]
+    assert 0.0 <= r["global_clustering"] <= 1.0
+    assert r["n_nodes"] >= 3 or r["n_triangles"] == 0
+    obs = MINING_OBSERVATIONS["q199_copurchase_triangles"].get
+    assert obs["baskets"] > 0
+    assert obs["max_basket_size"] >= 1
+    assert "capped_baskets" in obs
+
+
+def test_triangle_census_on_known_graph(spark, tmp_path):
+    """K4 plus a pendant edge, encoded as orders: 4 triangles, 4
+    choose 2 + pendant wedges — exact closed-form check."""
+    # orders: each order = one basket whose pairs (support>=2 needs
+    # each pair in >=2 orders, so emit every basket twice)
+    baskets = [
+        [1, 2, 3, 4],  # K4: edges all 6 pairs, 4 triangles
+        [4, 5],  # pendant edge 4-5, no new triangle
+    ]
+    rows = []
+    ok = 0
+    for rep in range(2):  # duplicate so every pair clears support 2
+        for b in baskets:
+            ok += 1
+            for pk in b:
+                rows.append((ok, pk))
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    p = str(tmp_path / "lineitem.parquet")
+    df.write.parquet(p)
+    # q199 reads the lineitem table from sf_dir: write a mini sf dir
+    out = q199_copurchase_triangles(spark, str(tmp_path)).collect()[0]
+    assert out["n_edges"] == 7
+    assert out["n_triangles"] == 4
+    # wedges: deg(1)=deg(2)=deg(3)=3, deg(4)=4, deg(5)=1 -> 3*3 + 6 + 0
+    assert out["n_wedges"] == 15
+    assert abs(out["global_clustering"] - round(12 / 15, 6)) < 1e-9
+
+
+def test_ks_stat_in_unit_interval(spark, sf_dir):
+    rows = q200_ks_source_drift(spark, sf_dir).collect()
+    assert rows, "one row per source expected"
+    for r in rows:
+        assert 0.0 <= r["d_stat"] <= 1.0
+        assert r["n_docs"] > 0
+        assert r["at_len"] >= 0
+
+
+def test_ks_identical_distribution_is_zero(spark, tmp_path):
+    """Two sources with identical length multisets => D = 0 for both."""
+    rows = [(i, "x" * (10 + i % 3), "en", f"src{i % 2}", 10 + i % 3)
+            for i in range(60)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    out = q200_ks_source_drift(spark, str(tmp_path)).collect()
+    assert len(out) == 2
+    for r in out:
+        assert r["d_stat"] == 0.0
+
+
+def test_kmeans_partitions_the_corpus(spark, sf_dir):
+    emb_n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    rows = q201_kmeans_fixed_point(spark, sf_dir).collect()
+    assert sum(r["n_members"] for r in rows) == emb_n
+    assert len(rows) <= KM_K
+    assert all(r["n_members"] > 0 for r in rows)
+    assert all(r["inertia_fp"] >= 0 for r in rows)
+    # deterministic: second run bit-identical (md5 seeds, integer math)
+    again = q201_kmeans_fixed_point(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_mad_outliers_are_minority(spark, sf_dir):
+    """By construction |v - med| <= 3*MAD for >= half the rows of any
+    distribution (MAD is the median deviation), so outliers < n/2;
+    MAD and med are finite, MAD >= 0."""
+    for r in q202_mad_outliers(spark, sf_dir).collect():
+        assert r["mad"] >= 0.0
+        assert r["n_outliers"] < r["n_events"] / 2
+        assert r["n_outliers"] >= 0
+
+
+def test_readability_buckets_partition_docs(spark, sf_dir):
+    rows = q203_readability(spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    per_src = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    for r in rows:
+        assert r["n_easy"] + r["n_college"] + r["n_graduate"] == r["n_docs"]
+        assert r["n_docs"] == per_src[r["source"]]
+        assert r["total_words"] > 0
+
+
+def test_triangle_cap_fires_on_giant_basket(spark, tmp_path):
+    """A basket above TRI_MAX_BASKET parts is truncated BEFORE the
+    quadratic pair explode, and the cap counter reports it."""
+    rows = [(1, pk) for pk in range(TRI_MAX_BASKET + 25)]
+    rows += [(2, pk) for pk in range(TRI_MAX_BASKET + 25)]
+    spark.createDataFrame(rows, "l_orderkey long, l_partkey long").write.parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    out = q199_copurchase_triangles(spark, str(tmp_path)).collect()[0]
+    # only the TRI_MAX_BASKET smallest parts form edges
+    expected_edges = TRI_MAX_BASKET * (TRI_MAX_BASKET - 1) // 2
+    assert out["n_edges"] == expected_edges
+    obs = MINING_OBSERVATIONS["q199_copurchase_triangles"].get
+    assert obs["capped_baskets"] == 2
+    assert obs["max_basket_size"] == TRI_MAX_BASKET + 25

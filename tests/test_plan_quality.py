@@ -166,6 +166,13 @@ BOUNDED_FILTER_HINT_OK = {
     "q153_rrf_fusion",
     "q195_token_yield_curve",  # broadcasts the 1-row token-total aggregate
     "q196_sample_allocation",  # broadcasts the 1-row total-weight aggregate
+    # broadcasts the bounded |lengths|-row value/total tables + the
+    # 1-row corpus total into the ECDF grid build
+    "q200_ks_source_drift",
+    # broadcasts the |event-types|-row med/MAD tables + q186's bounds
+    # and percentile-list attaches (both medians run through
+    # distributed_percentiles)
+    "q202_mad_outliers",
 }
 
 
@@ -260,6 +267,15 @@ NESTED_LOOP_OK = {
     "q186_distributed_exact_percentile",
     "q195_token_yield_curve",  # 1-row token-total attach (cf. q63)
     "q196_sample_allocation",  # 1-row total-weight attach (cf. q63)
+    # three 1-row aggregate attaches (node/edge/triangle counts) onto
+    # the single summary row
+    "q199_copurchase_triangles",
+    # 1-row corpus-total attach + the bounded |sources| x |lengths|
+    # ECDF grid build (cf. q147's bounded pair grid)
+    "q200_ks_source_drift",
+    # inherits q186's 1-row percentile-list attach (both medians run
+    # through distributed_percentiles)
+    "q202_mad_outliers",
 }
 
 
