@@ -73,6 +73,10 @@ HEADLINE = [
     "q179_itemset_triples",
     "q183_part_pagerank",
     "q192_decile_lift",
+    # round-6 (cont.): the two heaviest new mining plans — degree-
+    # oriented triangle census and fixed-point iterative k-means
+    "q199_copurchase_triangles",
+    "q201_kmeans_fixed_point",
 ]
 
 REPS = 3

@@ -22,6 +22,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from datapipeline_dags_spark.catalog import table
+from datapipeline_dags_spark.checkpoint import local_checkpoint
 from datapipeline_dags_spark.plans.helpers import dec
 from datapipeline_dags_spark.plans.registry import query
 from datapipeline_dags_spark.plans.scalars import distributed_percentiles
@@ -115,20 +116,27 @@ def q199_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         F.explode(F.slice("parts", 1, TRI_MAX_BASKET)).alias("pk"),
     )
-    edges = (
+    # edges and deg feed five consumers each (orientation joins, wedge
+    # join, semi-close, summary counts): checkpoint once so the basket
+    # explode + pair agg run ONCE, not per consumer (the q183
+    # derived-table discipline; also what keeps the physical plan at
+    # ~6 shuffles instead of re-deriving the explode 5x).
+    edges = local_checkpoint(
         b.select("l_orderkey", F.col("pk").alias("a"))
         .join(b.select("l_orderkey", F.col("pk").alias("bb")), "l_orderkey")
         .filter(F.col("a") < F.col("bb"))
         .groupBy("a", "bb")
         .agg(F.count("*").alias("support"))
         .filter(F.col("support") >= TRI_MIN_SUPPORT)
-        .select("a", "bb")
+        .select("a", "bb"),
+        "q199 edge table",
     )
-    deg = (
+    deg = local_checkpoint(
         edges.select(F.col("a").alias("n"))
         .unionAll(edges.select(F.col("bb").alias("n")))
         .groupBy("n")
-        .agg(F.count("*").alias("d"))
+        .agg(F.count("*").alias("d")),
+        "q199 degree table",
     )
     # degree-oriented edges: u -> v iff (d_u, u) < (d_v, v)
     e2 = (
@@ -138,10 +146,15 @@ def q199_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     fwd = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("a") < F.col("bb"))
     )
-    o = e2.select(
-        F.when(fwd, F.col("a")).otherwise(F.col("bb")).alias("u"),
-        F.when(fwd, F.col("bb")).otherwise(F.col("a")).alias("v"),
-        F.when(fwd, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    # the oriented edge table feeds the wedge join twice plus the
+    # semi-close — checkpoint so the two degree joins run once
+    o = local_checkpoint(
+        e2.select(
+            F.when(fwd, F.col("a")).otherwise(F.col("bb")).alias("u"),
+            F.when(fwd, F.col("bb")).otherwise(F.col("a")).alias("v"),
+            F.when(fwd, F.col("db")).otherwise(F.col("da")).alias("dv"),
+        ),
+        "q199 oriented edges",
     )
     x, y = o.alias("x"), o.alias("y")
     wedge_lt = (F.col("x.dv") < F.col("y.dv")) | (
@@ -411,15 +424,19 @@ def q201_kmeans_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cents = c0
     asg = assign(q, cents)
-    for _ in range(KM_ROUNDS - 1):
-        newc = (
+    for rnd in range(KM_ROUNDS - 1):
+        # checkpoint the k*dim centroid update so the audit hook
+        # captures the per-round plan (assignment scan + one (cid,pos)
+        # agg collapsing map-side to k*dim cells)
+        newc = local_checkpoint(
             asg.select("cid", F.posexplode("qa").alias("pos", "qv"))
             .groupBy("cid", "pos")
             .agg(
                 F.floor(F.sum("qv") * 1.0 / F.count("*"))
                 .cast("long")
                 .alias("cv")
-            )
+            ),
+            f"q201 kmeans centroid update round {rnd + 2}",
         )
         rows = (
             newc.groupBy("cid")
@@ -486,28 +503,40 @@ def q202_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: BOTH medians run through q186's
     ``distributed_percentiles`` (exact quantile_cont interpolation,
     max task memory ~ one histogram sub-bin) — never Spark's
-    buffering ``percentile`` — so the two-pass median-of-deviations
-    pattern survives groups of any size; the per-group med/MAD then
-    broadcast back for one map-side comparison pass.  Parity: the
-    interpolated medians are bit-equal to DuckDB's quantile_cont
-    (proven by q186's oracle), so the strict > cut agrees exactly;
-    displayed medians take the 6dp round.
+    buffering ``percentile`` — and each |groups|-row result is
+    COLLECTED to a map-side literal before the next pass (bounded
+    control plane, the PQ-codebook pattern): composing the two
+    percentile plans symbolically would re-derive pass 1 inside every
+    self-reference of pass 2 (a ~400-shuffle physical plan at
+    compile time); the literal collapse keeps the final comparison
+    pass one map-only scan + one hash agg.  Parity: the interpolated
+    medians are bit-equal to DuckDB's quantile_cont (proven by q186's
+    oracle), so the strict > cut agrees exactly; displayed medians
+    take the 6dp round.
     """
     ev = table(spark, sf_dir, "events")
     gv = ev.select(
         F.col("event_type").alias("g"), F.col("value").cast("double").alias("v")
     )
-    med = distributed_percentiles(gv, (0.5,)).select(
-        "g", F.col("value").alias("med")
+    med_rows = local_checkpoint(
+        distributed_percentiles(gv, (0.5,)).select("g", "value"),
+        "q202 median pass",
+    ).collect()
+    med_map = F.create_map(
+        *[F.lit(x) for r in med_rows for x in (r["g"], float(r["value"]))]
     )
-    j = gv.join(F.broadcast(med), "g").withColumn(
+    j = gv.withColumn("med", med_map[F.col("g")]).withColumn(
         "dv", F.abs(F.col("v") - F.col("med"))
     )
-    mad = distributed_percentiles(
-        j.select("g", F.col("dv").alias("v")), (0.5,)
-    ).select("g", F.col("value").alias("mad"))
+    mad_rows = local_checkpoint(
+        distributed_percentiles(j.select("g", F.col("dv").alias("v")), (0.5,)),
+        "q202 MAD pass",
+    ).select("g", "value").collect()
+    mad_map = F.create_map(
+        *[F.lit(x) for r in mad_rows for x in (r["g"], float(r["value"]))]
+    )
     return (
-        j.join(F.broadcast(mad), "g")
+        j.withColumn("mad", mad_map[F.col("g")])
         .groupBy("g")
         .agg(
             F.count("*").alias("n_events"),

@@ -26,7 +26,7 @@ import duckdb
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from datapipeline_dags_spark.operators import graph  # noqa: E402
-from datapipeline_dags_spark.plans import llm_ops  # noqa: E402
+from datapipeline_dags_spark.plans import llm_ops, mining  # noqa: E402
 from datapipeline_dags_spark.plans.all import QUERIES  # noqa: E402
 from datapipeline_dags_spark.session import get_session  # noqa: E402
 
@@ -53,6 +53,11 @@ TARGETS = (
     "q91_image_phash_neardup",
     "q174_video_dhash_neardup",
     "q183_part_pagerank",
+    # round-6 batch 2: degree-oriented triangle census (wedge join must
+    # track edges, not degree^2) and fixed-point Lloyd k-means (map-only
+    # assignment + k*dim-cell update shuffle must stay flat per round)
+    "q199_copurchase_triangles",
+    "q201_kmeans_fixed_point",
 )
 
 # Per-(target, scale) keyword overrides: the SemDeDup contract is that
@@ -329,6 +334,8 @@ def main() -> None:
                 runs.append(time.time() - t0)
                 if qname in llm_ops.BUCKET_OBSERVATIONS:
                     info["buckets"] = dict(llm_ops.BUCKET_OBSERVATIONS[qname].get)
+                if qname in mining.MINING_OBSERVATIONS:
+                    info["baskets"] = dict(mining.MINING_OBSERVATIONS[qname].get)
                 if qname == "q69_dedup_clusters":
                     info["cc_rounds"] = graph.LAST_ROUNDS
                 spark.catalog.clearCache()
@@ -380,6 +387,13 @@ def main() -> None:
                 f"buckets {b1['buckets']} -> {b10['buckets']}, capped "
                 f"{b1['capped_buckets']} -> {b10['capped_buckets']}, max "
                 f"{b1['max_bucket_size']} -> {b10['max_bucket_size']}"
+            )
+        if "baskets" in r10:
+            m1, m10 = r1["baskets"], r10["baskets"]
+            signals.append(
+                f"baskets {m1['baskets']} -> {m10['baskets']}, capped "
+                f"{m1['capped_baskets']} -> {m10['capped_baskets']}, max "
+                f"{m1['max_basket_size']} -> {m10['max_basket_size']}"
             )
         kw1 = SCALE_KWARGS.get((qname, "x1"))
         kw10 = SCALE_KWARGS.get((qname, "x10"))
