@@ -137,6 +137,7 @@ _ROTATION_TAIL = [
     "q201_kmeans_fixed_point",
     "q202_mad_outliers",
     "q203_readability",
+    "q204_bfs_reach",
 ]
 
 

@@ -43,19 +43,63 @@ TRI_MAX_BASKET = 50
 #: the threshold also sparsifies the graph before the wedge join.
 TRI_MIN_SUPPORT = 2
 
-
-@query(
-    "q199_copurchase_triangles",
-    oracle=f"""
-    WITH b0 AS (SELECT l_orderkey,
-                       (list_sort(list(DISTINCT l_partkey)))[1:{TRI_MAX_BASKET}]
-                         AS parts
-                FROM lineitem GROUP BY 1),
+#: DuckDB CTE body shared by the q199/q204 oracles — the same capped
+#: basket explode -> support-thresholded pair agg the Spark side runs.
+_EDGE_CTES = f"""
+    b0 AS (SELECT l_orderkey,
+                  (list_sort(list(DISTINCT l_partkey)))[1:{TRI_MAX_BASKET}]
+                    AS parts
+           FROM lineitem GROUP BY 1),
     b AS (SELECT l_orderkey, unnest(parts) AS pk FROM b0),
     e AS (SELECT x.pk AS a, y.pk AS bb
           FROM b x JOIN b y
             ON x.l_orderkey = y.l_orderkey AND x.pk < y.pk
-          GROUP BY 1, 2 HAVING COUNT(*) >= {TRI_MIN_SUPPORT}),
+          GROUP BY 1, 2 HAVING COUNT(*) >= {TRI_MIN_SUPPORT})"""
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str, qname: str) -> DataFrame:
+    """The co-purchase edge table (a < bb, order-support >=
+    {TRI_MIN_SUPPORT}) both graph queries build on: capped basket
+    explode, pair agg, support threshold — checkpointed once because
+    every consumer fans out over it multiple times (the q183
+    derived-table discipline; keeps each consumer's physical plan at
+    single-digit shuffles instead of re-deriving the explode per
+    reference)."""
+    li = table(spark, sf_dir, "lineitem")
+    obs = Observation()
+    MINING_OBSERVATIONS[qname] = obs
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+        .observe(
+            obs,
+            F.count(F.lit(1)).alias("baskets"),
+            F.sum(
+                (F.size("parts") > TRI_MAX_BASKET).cast("long")
+            ).alias("capped_baskets"),
+            F.max(F.size("parts")).alias("max_basket_size"),
+        )
+    )
+    b = baskets.select(
+        "l_orderkey",
+        F.explode(F.slice("parts", 1, TRI_MAX_BASKET)).alias("pk"),
+    )
+    return local_checkpoint(
+        b.select("l_orderkey", F.col("pk").alias("a"))
+        .join(b.select("l_orderkey", F.col("pk").alias("bb")), "l_orderkey")
+        .filter(F.col("a") < F.col("bb"))
+        .groupBy("a", "bb")
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= TRI_MIN_SUPPORT)
+        .select("a", "bb"),
+        f"{qname} edge table",
+    )
+
+
+@query(
+    "q199_copurchase_triangles",
+    oracle=f"""
+    WITH {_EDGE_CTES},
     deg AS (SELECT n, COUNT(*) AS d
             FROM (SELECT a AS n FROM e UNION ALL SELECT bb FROM e)
             GROUP BY 1),
@@ -97,40 +141,7 @@ def q199_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     count, so the id-ordered oracle agrees exactly.  All counts are
     integers; the single ratio takes the final 6dp round.
     """
-    li = table(spark, sf_dir, "lineitem")
-    obs = Observation()
-    MINING_OBSERVATIONS["q199_copurchase_triangles"] = obs
-    baskets = (
-        li.groupBy("l_orderkey")
-        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
-        .observe(
-            obs,
-            F.count(F.lit(1)).alias("baskets"),
-            F.sum(
-                (F.size("parts") > TRI_MAX_BASKET).cast("long")
-            ).alias("capped_baskets"),
-            F.max(F.size("parts")).alias("max_basket_size"),
-        )
-    )
-    b = baskets.select(
-        "l_orderkey",
-        F.explode(F.slice("parts", 1, TRI_MAX_BASKET)).alias("pk"),
-    )
-    # edges and deg feed five consumers each (orientation joins, wedge
-    # join, semi-close, summary counts): checkpoint once so the basket
-    # explode + pair agg run ONCE, not per consumer (the q183
-    # derived-table discipline; also what keeps the physical plan at
-    # ~6 shuffles instead of re-deriving the explode 5x).
-    edges = local_checkpoint(
-        b.select("l_orderkey", F.col("pk").alias("a"))
-        .join(b.select("l_orderkey", F.col("pk").alias("bb")), "l_orderkey")
-        .filter(F.col("a") < F.col("bb"))
-        .groupBy("a", "bb")
-        .agg(F.count("*").alias("support"))
-        .filter(F.col("support") >= TRI_MIN_SUPPORT)
-        .select("a", "bb"),
-        "q199 edge table",
-    )
+    edges = _copurchase_edges(spark, sf_dir, "q199_copurchase_triangles")
     deg = local_checkpoint(
         edges.select(F.col("a").alias("n"))
         .unionAll(edges.select(F.col("bb").alias("n")))
@@ -659,4 +670,91 @@ def q203_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_college",
             "n_graduate",
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q204 — BFS reachability levels from the md5-seeded part
+# ---------------------------------------------------------------------------
+
+#: BFS frontier rounds (shortest-hop levels 0..BFS_MAX_LEVEL); a fixed
+#: round count keeps the driver loop deterministic — deeper nodes are
+#: simply "unreached" under the contract, exactly as in the oracle's
+#: lvl-capped recursion.
+BFS_MAX_LEVEL = 6
+
+
+@query(
+    "q204_bfs_reach",
+    oracle=f"""
+    WITH RECURSIVE {_EDGE_CTES},
+    sym AS (SELECT a AS src, bb AS dst FROM e
+            UNION ALL SELECT bb, a FROM e),
+    nodes AS (SELECT a AS n FROM e UNION SELECT bb FROM e),
+    seed AS (SELECT n FROM nodes
+             ORDER BY md5(CAST(n AS VARCHAR)), n LIMIT 1),
+    bfs(n, lvl) AS (
+      SELECT n, 0 FROM seed
+      UNION
+      SELECT s.dst, b.lvl + 1
+      FROM bfs b JOIN sym s ON s.src = b.n
+      WHERE b.lvl < {BFS_MAX_LEVEL}),
+    lv AS (SELECT n, MIN(lvl) AS lvl FROM bfs GROUP BY 1)
+    SELECT CAST(lvl AS INT) AS level,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(SUM(COUNT(*)) OVER (ORDER BY lvl) AS BIGINT) AS cum_reached
+    FROM lv GROUP BY lvl
+    """,
+)
+def q204_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadth-first reachability profile of the co-purchase graph:
+    node counts per shortest-hop level (0..{BFS_MAX_LEVEL}) from a
+    deterministic md5-seeded part — the frontier-expansion primitive
+    behind "how far does influence/contamination propagate", and the
+    engine's demonstration that a Spark ITERATIVE frontier loop and a
+    SQL RECURSIVE CTE are the same declarative contract (the oracle is
+    DuckDB's WITH RECURSIVE over the identical edge table).
+
+    Scale shape per round: ONE equi-join frontier x symmetric-edges +
+    distinct + anti-join against visited — all partitioned on the node
+    key, frontier never exceeds the corpus; each round
+    localCheckpoints (lineage cut + audit capture, the q69/q183
+    discipline).  Levels are shortest-hop by construction (a node
+    enters visited the first round it appears, the anti-join blocks
+    re-entry), which is exactly the oracle's MIN(lvl).  The level
+    histogram is <= {BFS_MAX_LEVEL}+1 rows; its cumulative window is
+    bounded-domain (allowlisted).
+    """
+    edges = _copurchase_edges(spark, sf_dir, "q204_bfs_reach")
+    sym = local_checkpoint(
+        edges.select(F.col("a").alias("src"), F.col("bb").alias("dst")).unionAll(
+            edges.select(F.col("bb").alias("src"), F.col("a").alias("dst"))
+        ),
+        "q204 symmetric edges",
+    )
+    nodes = sym.select(F.col("src").alias("n")).distinct()
+    seed = (
+        nodes.orderBy(F.md5(F.col("n").cast("string")), "n")
+        .limit(1)
+        .collect()[0]["n"]
+    )
+    visited = spark.createDataFrame([(int(seed), 0)], "n long, lvl int")
+    frontier = visited.select("n")
+    for lvl in range(1, BFS_MAX_LEVEL + 1):
+        nxt = local_checkpoint(
+            frontier.join(sym, frontier["n"] == sym["src"])
+            .select(F.col("dst").alias("n"))
+            .distinct()
+            .join(visited, "n", "left_anti")
+            .withColumn("lvl", F.lit(lvl)),
+            f"q204 bfs frontier round {lvl}",
+        )
+        visited = visited.unionAll(nxt)
+        frontier = nxt.select("n")
+    hist = visited.groupBy("lvl").agg(F.count("*").alias("n_nodes"))
+    cw = W.orderBy("lvl").rowsBetween(W.unboundedPreceding, 0)
+    return hist.select(
+        F.col("lvl").cast("int").alias("level"),
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        F.sum("n_nodes").over(cw).cast("long").alias("cum_reached"),
     )

@@ -133,3 +133,43 @@ def test_triangle_cap_fires_on_giant_basket(spark, tmp_path):
     obs = MINING_OBSERVATIONS["q199_copurchase_triangles"].get
     assert obs["capped_baskets"] == 2
     assert obs["max_basket_size"] == TRI_MAX_BASKET + 25
+
+
+def test_bfs_levels_are_proper(spark, sf_dir):
+    """Level 0 holds exactly the seed; cum_reached is the running sum
+    and ends at the total reached; levels are contiguous from 0."""
+    from datapipeline_dags_spark.plans.mining import q204_bfs_reach
+
+    rows = sorted(q204_bfs_reach(spark, sf_dir).collect(),
+                  key=lambda r: r["level"])
+    assert rows[0]["level"] == 0 and rows[0]["n_nodes"] == 1
+    assert [r["level"] for r in rows] == list(range(len(rows)))
+    run = 0
+    for r in rows:
+        run += r["n_nodes"]
+        assert r["cum_reached"] == run
+
+
+def test_bfs_on_known_chain(spark, tmp_path):
+    """A path graph 1-2-3-4-5 (each edge in 2 orders): whatever the
+    md5 seed, level counts must match that seed's hop distances."""
+    import hashlib
+
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 5)]
+    rows, ok = [], 0
+    for rep in range(2):
+        for a, b in pairs:
+            ok += 1
+            rows += [(ok, a), (ok, b)]
+    spark.createDataFrame(rows, "l_orderkey long, l_partkey long").write.parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    from datapipeline_dags_spark.plans.mining import q204_bfs_reach
+
+    seed = min(range(1, 6), key=lambda n: (hashlib.md5(str(n).encode()).hexdigest(), n))
+    expect = {}
+    for n in range(1, 6):
+        lvl = abs(n - seed)
+        expect[lvl] = expect.get(lvl, 0) + 1
+    got = {r["level"]: r["n_nodes"] for r in q204_bfs_reach(spark, str(tmp_path)).collect()}
+    assert got == expect

@@ -333,6 +333,7 @@ GLOBAL_WINDOW_BOUNDED = {
     # exact_audit='auto' selects the distributed tie-class cut
     # (bit-equal to NTILE, pinned in test_exact_audit_gate.py)
     "q192_decile_lift": "NTILE at fixture scale; auto-distributed above",
+    "q204_bfs_reach": "<= BFS_MAX_LEVEL+1-row level histogram cumulative",
 }
 
 
