@@ -138,6 +138,7 @@ _ROTATION_TAIL = [
     "q202_mad_outliers",
     "q203_readability",
     "q204_bfs_reach",
+    "q205_audio_energy_neardup",
 ]
 
 

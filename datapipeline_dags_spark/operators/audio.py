@@ -178,3 +178,50 @@ def resample_audio(df: DataFrame, out_rate: int) -> DataFrame:
 
     ensure_package_shipped(df.sparkSession)
     return df.select("path", "content").mapInPandas(rs, RESAMPLED_SCHEMA)
+
+
+FINGERPRINT_SCHEMA = StructType(
+    [StructField("id", LongType()), StructField("fp", LongType())]
+)
+
+
+def energy_fingerprints(df: DataFrame, frame_len: int = 100) -> DataFrame:
+    """64-bit acoustic energy fingerprint per clip — the audio twin of
+    the image dHash (`operators/multimodal.py _dhash64`): frame the PCM
+    into ``frame_len``-sample windows, take each frame's INTEGER
+    absolute-amplitude sum, and set bit i (MSB-first) when frame i is
+    louder than frame i+1.  Sign-of-delta over coarse energies is the
+    shape every audio fingerprinter shares (Shazam-style constellation
+    and Chromaprint both quantize band-energy deltas); a production
+    system swaps the energy row for a mel/chroma filterbank and keeps
+    the comparison-bit + banded-blocking plumbing unchanged.
+
+    All integer arithmetic (int16 |amplitude| sums) — bit-reproducible
+    across engines and partitionings, which is what lets the DuckDB
+    oracle re-derive the fingerprints with pure SQL.  Input: (path,
+    content) AUD1 rows (numeric path); output: (id, fp) with fp a
+    signed int64 reinterpretation of the 64-bit fingerprint.
+    """
+
+    def fps(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                _, pcm = _decode_audio(bytes(content))
+                n_frames = len(pcm) // frame_len
+                e = (
+                    np.abs(pcm[: n_frames * frame_len].astype(np.int64))
+                    .reshape(n_frames, frame_len)
+                    .sum(axis=1)
+                )
+                u = 0
+                for i in range(min(n_frames - 1, 64)):
+                    if e[i] > e[i + 1]:
+                        u |= 1 << (63 - i)
+                if u >= 1 << 63:
+                    u -= 1 << 64
+                out.append((int(path), u))
+            yield pd.DataFrame(out, columns=["id", "fp"])
+
+    ensure_package_shipped(df.sparkSession)
+    return df.select("path", "content").mapInPandas(fps, FINGERPRINT_SCHEMA)

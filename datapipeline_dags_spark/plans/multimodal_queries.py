@@ -48,6 +48,10 @@ from pyspark.storagelevel import StorageLevel
 
 from datapipeline_dags_spark.catalog import table
 from datapipeline_dags_spark.operators import blocking
+from datapipeline_dags_spark.operators.audio import (
+    encode_aud1,
+    energy_fingerprints,
+)
 from datapipeline_dags_spark.operators.multimodal import (
     DHASH_BANDS,
     DHASH_H,
@@ -428,4 +432,137 @@ def q91_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         dhash_images(render_doc_images(spark, sf_dir)),
         hamming_t=HAMMING_T,
         name="q91_image_phash_neardup",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q205 — audio energy-fingerprint near-dup (the audio leg of the trio)
+# ---------------------------------------------------------------------------
+
+#: synthesized words per clip (=> AUD_FP_WORDS frames => 64 comparison
+#: bits); shorter documents pad with silence, longer ones truncate —
+#: mirrored exactly in the oracle.
+AUD_FP_WORDS = 65
+#: samples per word/frame: the render emits one constant-amplitude
+#: frame per word, so the fingerprint's integer frame energies are
+#: AUD_FRAME * amplitude — no float DSP crosses the parity boundary.
+AUD_FRAME = 100
+AUD_RATE = 8000
+AUD_HAMMING_T = 4
+
+
+def _q205_oracle() -> str:
+    """SQL re-derivation of render -> energy fingerprint -> banded
+    near-dup.  Mirrors ``_render_audio_one`` (per-word amplitude =
+    little-endian first two md5 bytes mod 32768, one constant frame
+    per word, silence-padded to {AUD_FP_WORDS}),
+    ``audio.energy_fingerprints`` (integer frame-energy sums -> MSB-
+    first louder-than-next bits; constant frames make each energy
+    AUD_FRAME*amp, so amp comparisons suffice), and ``dhash_near_dup``
+    (16-bit band keys, zero-hash skip, bit_count(xor) <= T) — all
+    integer, bit-identical across engines."""
+    return f"""
+    WITH pos AS (SELECT unnest(generate_series(0, {AUD_FP_WORDS - 1})) AS i),
+    w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    amps AS (
+      SELECT doc_id, pos.i AS i,
+             CASE WHEN pos.i < len(ws)
+                  THEN (('0x' || substr(md5(ws[pos.i + 1]), 1, 2))::BIGINT
+                        + ('0x' || substr(md5(ws[pos.i + 1]), 3, 2))::BIGINT
+                          * 256) % 32768
+                  ELSE 0 END AS amp
+      FROM w, pos),
+    hsh AS (
+      SELECT a.doc_id,
+             BIT_OR(CASE WHEN a.amp > b.amp
+                    THEN CAST(1 AS UBIGINT) << (63 - a.i)
+                    ELSE CAST(0 AS UBIGINT) END) AS u
+      FROM amps a JOIN amps b
+        ON b.doc_id = a.doc_id AND b.i = a.i + 1
+      WHERE a.i < 64
+      GROUP BY 1),
+    bands AS (
+      SELECT doc_id, u, bb.b AS band, (u >> (16*bb.b)) & 65535 AS key
+      FROM hsh,
+           (SELECT unnest(generate_series(0, {DHASH_BANDS - 1})) AS b) bb
+      WHERE u <> 0),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, a.u AS u_a,
+                             c.doc_id AS id_b, c.u AS u_b
+             FROM bands a JOIN bands c
+               ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id)
+    SELECT id_a, id_b, CAST(bit_count(xor(u_a, u_b)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(u_a, u_b)) <= {AUD_HAMMING_T}
+    """
+
+
+def _render_audio_one(text: str) -> bytes:
+    """Deterministic AUD1 synthesis: one {AUD_FRAME}-sample constant-
+    amplitude frame per word (amplitude = little-endian first two md5
+    bytes of the word mod 32768), silence-padded/truncated to
+    {AUD_FP_WORDS} words.  A word edit moves one frame's energy and so
+    flips <= 2 adjacent fingerprint bits — text near-dups synthesize
+    to acoustic near-dups, the regime the fingerprint is built for."""
+    import numpy as np
+
+    words = text.split(" ")[:AUD_FP_WORDS]
+    amps = [
+        int.from_bytes(hashlib.md5(w.encode()).digest()[:2], "little") % 32768
+        for w in words
+    ]
+    amps += [0] * (AUD_FP_WORDS - len(amps))
+    pcm = np.repeat(np.array(amps, dtype=np.int16), AUD_FRAME)
+    return encode_aud1(AUD_RATE, pcm)
+
+
+def render_doc_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-document AUD1 clip (see _render_audio_one) —
+    the audio stand-in column; everything downstream treats the bytes
+    as opaque media."""
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "path": pdf["doc_id"].astype("int64").astype(str),
+                    "content": [_render_audio_one(t) for t in pdf["text"]],
+                }
+            )
+
+    from datapipeline_dags_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(
+        render,
+        StructType(
+            [StructField("path", StringType()), StructField("content", BinaryType())]
+        ),
+    )
+
+
+@query("q205_audio_energy_neardup", oracle=_q205_oracle())
+def q205_audio_energy_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup over the synthesized corpus — the third modality
+    leg (q91 images, q174 video, q205 audio): ONE Arrow pass decodes
+    AUD1 PCM and computes the 64-bit integer energy fingerprint
+    (``operators/audio.py energy_fingerprints``), then the SAME banded
+    blocking + Hamming verify machinery as the image/video twins
+    (``dhash_near_dup``: 16-bit band keys, chunk-distributed hot
+    buckets with observable counters, zero-hash skip, bit_count(xor)
+    verify in pure JVM).
+
+    Scale shape: PCM exists only inside the two map-only Arrow passes
+    (render, fingerprint); the shuffle carries (band, key) + 8-byte
+    fingerprints.  Silence (all-zero fingerprint: monotone or constant
+    energy) is excluded from candidate generation exactly like blank
+    images — the quadratic no-information class.  Hash-checked end to
+    end: the DuckDB oracle re-derives the fingerprints from documents
+    with pure integer SQL (``_q205_oracle``)."""
+    fps = energy_fingerprints(
+        render_doc_audio(spark, sf_dir), frame_len=AUD_FRAME
+    )
+    return dhash_near_dup(
+        fps.select("id", F.col("fp").alias("dhash")),
+        hamming_t=AUD_HAMMING_T,
+        name="q205_audio_energy_neardup",
     )

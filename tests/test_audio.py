@@ -95,3 +95,42 @@ def test_resample_halves_length_and_keeps_rms(spark, audio_dir):
 def test_non_aud1_raises_explicit_boundary():
     with pytest.raises(NotImplementedError, match="soundfile"):
         _decode_audio(b"RIFF....WAVE")
+
+
+def test_energy_fingerprint_golden(spark):
+    """Known amplitudes -> known fingerprint: frames [3,1,2] at
+    frame_len=2 give energies [6,2,4], bits (6>2)=1, (2>4)=0 -> only
+    bit 63 set -> signed int64 -2^63."""
+    import numpy as np
+
+    from datapipeline_dags_spark.operators.audio import (
+        encode_aud1,
+        energy_fingerprints,
+    )
+
+    pcm = np.repeat(np.array([3, 1, 2], dtype=np.int16), 2)
+    df = spark.createDataFrame(
+        [("7", bytearray(encode_aud1(8000, pcm)))], "path string, content binary"
+    )
+    row = energy_fingerprints(df, frame_len=2).collect()[0]
+    assert row["id"] == 7
+    assert row["fp"] == -(1 << 63)
+
+
+def test_audio_neardup_flips_few_bits(spark, tmp_path):
+    """A one-word edit moves one frame's energy => <= 2 fingerprint
+    bits flip => the pair survives the Hamming gate."""
+    base = " ".join(f"w{i}" for i in range(40))
+    edited = base.replace("w20", "zz")
+    rows = [(1, base, "en", "s", len(base)), (2, edited, "en", "s", len(edited))]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    from datapipeline_dags_spark.plans.multimodal_queries import (
+        q205_audio_energy_neardup,
+    )
+
+    out = q205_audio_energy_neardup(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    assert out[0]["id_a"] == 1 and out[0]["id_b"] == 2
+    assert out[0]["hamming"] <= 2
