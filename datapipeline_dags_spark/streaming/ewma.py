@@ -81,6 +81,9 @@ def streaming_ewma_anomalies(
     event-order key (an offset, an event id, an epoch) — folding in seq
     order is what makes the result independent of micro-batch
     boundaries."""
+    from datapipeline_dags_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(values.sparkSession)
     return values.groupBy(bucket_col).applyInPandasWithState(
         _make_update(alpha, k, warmup),
         outputStructType=EWMA_OUTPUT_SCHEMA,

@@ -84,6 +84,9 @@ def streaming_heavy_hitters(
     counter table every micro-batch.  Works on static frames too (one
     "batch" = the whole frame) for A/B tests against exact counts.
     """
+    from datapipeline_dags_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(tokens.sparkSession)
     return tokens.groupBy(bucket_col).applyInPandasWithState(
         _make_update(capacity),
         outputStructType=HH_OUTPUT_SCHEMA,

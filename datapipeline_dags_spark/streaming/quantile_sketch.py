@@ -99,6 +99,9 @@ def streaming_quantile_sketch(
     every micro-batch.  Merge across batches is bin-count addition, so
     the running estimate always equals the batch estimate over all data
     seen — the mergeability q154 claims, executed."""
+    from datapipeline_dags_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(values.sparkSession)
     return values.groupBy(bucket_col).applyInPandasWithState(
         _make_update(lo, hi),
         outputStructType=OUTPUT_SCHEMA,
