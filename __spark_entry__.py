@@ -139,6 +139,7 @@ _ROTATION_TAIL = [
     "q203_readability",
     "q204_bfs_reach",
     "q205_audio_energy_neardup",
+    "q206_sampling_ess",
 ]
 
 

@@ -758,3 +758,59 @@ def q204_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nodes").cast("long").alias("n_nodes"),
         F.sum("n_nodes").over(cw).cast("long").alias("cum_reached"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q206 — effective sample size of the sampling weights (Kish)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q206_sampling_ess",
+    oracle="""
+    WITH s AS (SELECT source,
+                      COUNT(*) AS n,
+                      SUM(n_chars) AS sw,
+                      SUM(n_chars * n_chars) AS sw2,
+                      MAX(n_chars) AS wmax
+               FROM documents GROUP BY 1)
+    SELECT source,
+           CAST(n AS BIGINT) AS n_docs,
+           (ROUND(sw * sw * 1.0 / sw2, 4) + 0.0) AS ess,
+           (ROUND(n * sw2 * 1.0 / (sw * sw), 4) + 0.0) AS design_effect,
+           (ROUND(wmax * 1.0 / sw, 6) + 0.0) AS max_weight_share
+    FROM s
+    """,
+)
+def q206_sampling_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kish effective sample size of the q85/q72 sampling weights, per
+    source stratum: ESS = (sum w)^2 / sum w^2, the design effect
+    n/ESS, and the heaviest document's weight share — the diagnostic
+    every importance-weighted pipeline needs BEFORE trusting a
+    weighted estimate (a stratum whose ESS collapses to ~1 is one
+    document wearing a distribution costume; DSIR/mixture resampling
+    results from it are noise).
+
+    Scale shape: one map-side pass, one hash aggregate on source —
+    the three moment sums are integers (n_chars weights), so partial
+    aggregation collapses every partition to |sources| cells before
+    the shuffle and the two ratios are single double expressions over
+    exact integer totals (engine-identical IEEE evaluation, the q203
+    discipline); 4dp/6dp final rounds only.
+    """
+    docs = table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.sum("n_chars").alias("sw"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).alias("sw2"),
+        F.max("n_chars").alias("wmax"),
+    )
+    return s.select(
+        "source",
+        F.col("n").cast("long").alias("n_docs"),
+        dec(F.col("sw") * F.col("sw") * 1.0 / F.col("sw2"), 4).alias("ess"),
+        dec(
+            F.col("n") * F.col("sw2") * 1.0 / (F.col("sw") * F.col("sw")), 4
+        ).alias("design_effect"),
+        dec(F.col("wmax") * 1.0 / F.col("sw"), 6).alias("max_weight_share"),
+    )
