@@ -440,8 +440,11 @@ def q91_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 #: synthesized words per clip (=> AUD_FP_WORDS frames => 64 comparison
-#: bits); shorter documents pad with silence, longer ones truncate —
-#: mirrored exactly in the oracle.
+#: bits); shorter documents CYCLE their word list (a looped clip, not
+#: silence padding — zero-padding put every short doc's trailing band
+#: at key 0, one degenerate bucket holding ~half the corpus; cycling
+#: keeps all 64 bits informative), longer ones truncate — mirrored
+#: exactly in the oracle.
 AUD_FP_WORDS = 65
 #: samples per word/frame: the render emits one constant-amplitude
 #: frame per word, so the fingerprint's integer frame energies are
@@ -466,11 +469,9 @@ def _q205_oracle() -> str:
     w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
     amps AS (
       SELECT doc_id, pos.i AS i,
-             CASE WHEN pos.i < len(ws)
-                  THEN (('0x' || substr(md5(ws[pos.i + 1]), 1, 2))::BIGINT
-                        + ('0x' || substr(md5(ws[pos.i + 1]), 3, 2))::BIGINT
-                          * 256) % 32768
-                  ELSE 0 END AS amp
+             (('0x' || substr(md5(ws[(pos.i % len(ws)) + 1]), 1, 2))::BIGINT
+              + ('0x' || substr(md5(ws[(pos.i % len(ws)) + 1]), 3, 2))::BIGINT
+                * 256) % 32768 AS amp
       FROM w, pos),
     hsh AS (
       SELECT a.doc_id,
@@ -498,18 +499,26 @@ def _q205_oracle() -> str:
 def _render_audio_one(text: str) -> bytes:
     """Deterministic AUD1 synthesis: one {AUD_FRAME}-sample constant-
     amplitude frame per word (amplitude = little-endian first two md5
-    bytes of the word mod 32768), silence-padded/truncated to
-    {AUD_FP_WORDS} words.  A word edit moves one frame's energy and so
-    flips <= 2 adjacent fingerprint bits — text near-dups synthesize
-    to acoustic near-dups, the regime the fingerprint is built for."""
+    bytes of the word mod 32768), the word list CYCLED/truncated to
+    {AUD_FP_WORDS} words.  A word edit moves one frame's energy per
+    cycle occurrence and so flips <= 2 adjacent fingerprint bits per
+    occurrence — text near-dups synthesize to acoustic near-dups, the
+    regime the fingerprint is built for.  Cycling (not silence
+    padding) keeps every comparison bit informative: a zero-padded
+    tail would give ALL short documents the same all-zero low band —
+    one degenerate (band, key) bucket holding half a real corpus
+    (measured: 2 219 of 5 000 fixture docs), the q42 hot-bucket
+    regime created by the render itself."""
     import numpy as np
 
-    words = text.split(" ")[:AUD_FP_WORDS]
+    words = text.split(" ")
     amps = [
-        int.from_bytes(hashlib.md5(w.encode()).digest()[:2], "little") % 32768
-        for w in words
+        int.from_bytes(
+            hashlib.md5(words[i % len(words)].encode()).digest()[:2], "little"
+        )
+        % 32768
+        for i in range(AUD_FP_WORDS)
     ]
-    amps += [0] * (AUD_FP_WORDS - len(amps))
     pcm = np.repeat(np.array(amps, dtype=np.int16), AUD_FRAME)
     return encode_aud1(AUD_RATE, pcm)
 

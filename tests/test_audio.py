@@ -119,7 +119,9 @@ def test_energy_fingerprint_golden(spark):
 
 def test_audio_neardup_flips_few_bits(spark, tmp_path):
     """A one-word edit moves one frame's energy => <= 2 fingerprint
-    bits flip => the pair survives the Hamming gate."""
+    bits flip => the pair survives the Hamming gate (the edited word recurs once
+    per cycle: 40 words cycle into 65 frames, so frames 20 and 60 move
+    => up to 4 bits)."""
     base = " ".join(f"w{i}" for i in range(40))
     edited = base.replace("w20", "zz")
     rows = [(1, base, "en", "s", len(base)), (2, edited, "en", "s", len(edited))]
@@ -133,4 +135,4 @@ def test_audio_neardup_flips_few_bits(spark, tmp_path):
     out = q205_audio_energy_neardup(spark, str(tmp_path)).collect()
     assert len(out) == 1
     assert out[0]["id_a"] == 1 and out[0]["id_b"] == 2
-    assert out[0]["hamming"] <= 2
+    assert out[0]["hamming"] <= 4

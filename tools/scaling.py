@@ -54,10 +54,15 @@ TARGETS = (
     "q174_video_dhash_neardup",
     "q183_part_pagerank",
     # round-6 batch 2: degree-oriented triangle census (wedge join must
-    # track edges, not degree^2) and fixed-point Lloyd k-means (map-only
-    # assignment + k*dim-cell update shuffle must stay flat per round)
+    # track edges, not degree^2), fixed-point Lloyd k-means (map-only
+    # assignment + k*dim-cell update shuffle must stay flat per round),
+    # BFS frontier expansion (per-round join bounded by edges), and the
+    # audio fingerprint near-dup (banded blocking, q91's regime on
+    # energy fingerprints)
     "q199_copurchase_triangles",
     "q201_kmeans_fixed_point",
+    "q204_bfs_reach",
+    "q205_audio_energy_neardup",
 )
 
 # Per-(target, scale) keyword overrides: the SemDeDup contract is that
@@ -470,6 +475,19 @@ def main() -> None:
         "templates), where q43's hottest postings go quadratic while",
         "q144 structurally excludes them from candidate generation",
         "(tests/test_prefix_filter.py pins the candidate-count order).",
+        "The r6 graph/ML rows: q199's lineitem replicas offset both",
+        "orderkey AND partkey, so x10 is 10 disjoint co-purchase",
+        "graphs — edges/wedges/triangles each grow 10x while the",
+        "degree-oriented wedge join's per-node fan-out is unchanged",
+        "(basket caps flat at 0); q204 runs the same edge build plus",
+        "6 frontier rounds whose joins are bounded by the edge table;",
+        "q201's assignment is map-only against a k x dim literal and",
+        "its update shuffle is <= k*dim cells per partition regardless",
+        "of corpus size, so the 10x ratio is dominated by the scan;",
+        "q205 is q91's banded-blocking regime on audio energy",
+        "fingerprints — replicas suffix every word, so fingerprints",
+        "differ across replicas and buckets grow linearly, with the",
+        "same chunk-cap machinery bounding any hot (band, key) class.",
         "",
         "## BPE trainer: merge-count scaling (x1 corpus)",
         "",
