@@ -317,16 +317,11 @@ def giant_basket_rows(spark) -> list[str]:
     return out
 
 
-def main() -> None:
-    dirs = build_fixtures()
-    spark = get_session("scaling")
-    spark.sparkContext.setLogLevel("ERROR")
-    spark.range(1000).count()  # warm up
-
-    results: dict[str, dict[str, dict]] = {q: {} for q in TARGETS}
+def measure(spark, dirs: dict[str, str], targets) -> dict[str, dict[str, dict]]:
+    results: dict[str, dict[str, dict]] = {q: {} for q in targets}
     for scale, sf_dir in dirs.items():
         n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
-        for qname in TARGETS:
+        for qname in targets:
             runs = []
             info: dict = {}
             kwargs = SCALE_KWARGS.get((qname, scale), {})
@@ -347,6 +342,78 @@ def main() -> None:
             info["sec"] = round(statistics.median(runs), 2)
             info["n_docs"] = n_docs
             results[qname][scale] = info
+    return results
+
+
+def format_row(qname: str, results: dict[str, dict[str, dict]]) -> str:
+    r1, r10 = results[qname]["x1"], results[qname]["x10"]
+    ratio = round(r10["sec"] / r1["sec"], 1) if r1["sec"] else float("nan")
+    signals = []
+    if "cc_rounds" in r10:
+        signals.append(
+            f"CC rounds {r1['cc_rounds']} -> {r10['cc_rounds']} (flat = "
+            "diameter, not corpus size)"
+        )
+    if "buckets" in r10:
+        b1, b10 = r1["buckets"], r10["buckets"]
+        signals.append(
+            f"buckets {b1['buckets']} -> {b10['buckets']}, capped "
+            f"{b1['capped_buckets']} -> {b10['capped_buckets']}, max "
+            f"{b1['max_bucket_size']} -> {b10['max_bucket_size']}"
+        )
+    if "baskets" in r10:
+        m1, m10 = r1["baskets"], r10["baskets"]
+        signals.append(
+            f"baskets {m1['baskets']} -> {m10['baskets']}, capped "
+            f"{m1['capped_baskets']} -> {m10['capped_baskets']}, max "
+            f"{m1['max_basket_size']} -> {m10['max_basket_size']}"
+        )
+    kw1 = SCALE_KWARGS.get((qname, "x1"))
+    kw10 = SCALE_KWARGS.get((qname, "x10"))
+    if kw1 or kw10:
+        signals.append(f"knobs {kw1 or {}} -> {kw10 or {}} (scaled with corpus)")
+    return (
+        f"| {qname} | {r1['sec']} | {r10['sec']} | {ratio}x | "
+        f"{'; '.join(signals) or '—'} |"
+    )
+
+
+def update_rows(targets: list[str]) -> None:
+    """Re-measure only *targets* and patch their rows in SCALING.md in
+    place — for refreshing a query whose plan changed without paying the
+    full ~45-min regeneration (the x1/x10 fixtures are rebuilt, so the
+    measurement regime is identical to a full run)."""
+    unknown = [t for t in targets if t not in TARGETS]
+    if unknown:
+        raise SystemExit(f"not in TARGETS: {unknown}")
+    dirs = build_fixtures()
+    spark = get_session("scaling")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000).count()
+    results = measure(spark, dirs, targets)
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.md"
+    )
+    with open(out) as f:
+        lines = f.read().splitlines()
+    for qname in targets:
+        row = format_row(qname, results)
+        hits = [i for i, ln in enumerate(lines) if ln.startswith(f"| {qname} |")]
+        if len(hits) != 1:
+            raise SystemExit(f"expected exactly one row for {qname}, found {len(hits)}")
+        lines[hits[0]] = row
+        print(row)
+    with open(out, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def main() -> None:
+    dirs = build_fixtures()
+    spark = get_session("scaling")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000).count()  # warm up
+
+    results = measure(spark, dirs, TARGETS)
 
     # BPE trainer: per-round cost must stay FLAT as the merge count
     # grows 10x (localCheckpoint stops lineage growth), and batching
@@ -378,36 +445,7 @@ def main() -> None:
         "|---|---|---|---|---|",
     ]
     for qname in TARGETS:
-        r1, r10 = results[qname]["x1"], results[qname]["x10"]
-        ratio = round(r10["sec"] / r1["sec"], 1) if r1["sec"] else float("nan")
-        signals = []
-        if "cc_rounds" in r10:
-            signals.append(
-                f"CC rounds {r1['cc_rounds']} -> {r10['cc_rounds']} (flat = "
-                "diameter, not corpus size)"
-            )
-        if "buckets" in r10:
-            b1, b10 = r1["buckets"], r10["buckets"]
-            signals.append(
-                f"buckets {b1['buckets']} -> {b10['buckets']}, capped "
-                f"{b1['capped_buckets']} -> {b10['capped_buckets']}, max "
-                f"{b1['max_bucket_size']} -> {b10['max_bucket_size']}"
-            )
-        if "baskets" in r10:
-            m1, m10 = r1["baskets"], r10["baskets"]
-            signals.append(
-                f"baskets {m1['baskets']} -> {m10['baskets']}, capped "
-                f"{m1['capped_baskets']} -> {m10['capped_baskets']}, max "
-                f"{m1['max_basket_size']} -> {m10['max_basket_size']}"
-            )
-        kw1 = SCALE_KWARGS.get((qname, "x1"))
-        kw10 = SCALE_KWARGS.get((qname, "x10"))
-        if kw1 or kw10:
-            signals.append(f"knobs {kw1 or {}} -> {kw10 or {}} (scaled with corpus)")
-        lines.append(
-            f"| {qname} | {r1['sec']} | {r10['sec']} | {ratio}x | "
-            f"{'; '.join(signals) or '—'} |"
-        )
+        lines.append(format_row(qname, results))
     lines += [
         "",
         "Reading: a blocking-based operator scales in the number of",
@@ -488,6 +526,14 @@ def main() -> None:
         "fingerprints — replicas suffix every word, so fingerprints",
         "differ across replicas and buckets grow linearly, with the",
         "same chunk-cap machinery bounding any hot (band, key) class.",
+        "Its render CYCLES short documents to fill the sample window",
+        "instead of zero-padding: a constant pad made every short",
+        "doc's trailing band all-zero — one (band, key) bucket held",
+        "44% of the corpus and the first x10 run went 33x — whereas",
+        "cycling keeps all 64 fingerprint bits informative (max",
+        "bucket 42 at x10, caps never fire).  Padding with a",
+        "constant before fingerprinting is the blocking-key",
+        "anti-pattern; wrap the input instead.",
         "",
         "## BPE trainer: merge-count scaling (x1 corpus)",
         "",
@@ -572,4 +618,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 2 and sys.argv[1] == "--update":
+        update_rows(sys.argv[2:])
+    else:
+        main()
