@@ -140,6 +140,10 @@ _ROTATION_TAIL = [
     "q204_bfs_reach",
     "q205_audio_energy_neardup",
     "q206_sampling_ess",
+    "q207_markov_attribution",
+    "q208_shapley_attribution",
+    "q209_grid_density_clusters",
+    "q210_theil_sen_trend",
 ]
 
 

@@ -77,6 +77,12 @@ HEADLINE = [
     # oriented triangle census and fixed-point iterative k-means
     "q199_copurchase_triangles",
     "q201_kmeans_fixed_point",
+    # round-6 batch 3 (this session): the two new model families with
+    # non-trivial plans — Markov removal-effect attribution (journey
+    # windows + driver-side fixed-point solve) and grid-density
+    # clustering (map-side projection + cell CC)
+    "q207_markov_attribution",
+    "q209_grid_density_clusters",
 ]
 
 REPS = 3

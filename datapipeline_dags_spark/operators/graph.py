@@ -46,6 +46,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iters: int = DEFAULT_MAX_ITERS,
+    pointer_jump: bool = False,
 ) -> DataFrame:
     """Resolve connected components of an undirected graph.
 
@@ -54,6 +55,16 @@ def connected_components(
     minimum node id reachable from ``node``.  Isolated nodes never
     appear in ``edges`` and so are absent — callers union them back as
     their own singletons if needed.
+
+    ``pointer_jump=True`` adds a label-of-label hop each round (one
+    extra node-keyed self-join): labels shortcut through the label
+    forest, so convergence is O(log diameter) rounds instead of
+    O(diameter).  Use it for graphs that are chain-like BY CONSTRUCTION
+    — grid-cell adjacency (q209), long path components — where plain
+    min-label propagation needs diameter rounds (the failure mode the
+    module docstring warns about, observed on q209's dense-cell blob at
+    sf0.1).  Blocking-key dup graphs (q69) keep the cheaper plain
+    rounds: their diameters are tiny and flat (see LAST_ROUNDS).
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     sym = e.union(e.select(F.col("dst"), F.col("src"))).toDF("src", "dst")
@@ -73,8 +84,7 @@ def connected_components(
         cand = cur.select(
             "node", "component", F.col("component").cast("long").alias("prev")
         )
-        obs = Observation()
-        new = (
+        merged = (
             cand.unionByName(nbr)
             .groupBy("node")
             .agg(
@@ -83,14 +93,31 @@ def connected_components(
                 # cur row); max() recovers it without a second join
                 F.max("prev").alias("prev"),
             )
-            .observe(
-                obs,
-                F.sum(
-                    (F.col("component") != F.col("prev")).cast("long")
-                ).alias("changed"),
-            )
-            .select("node", "component")
         )
+        if pointer_jump:
+            # label-of-label hop: component ids are node ids of the same
+            # component, so label(component) is too — taking the min
+            # keeps the invariant while halving chain distances.
+            lab = merged.select(
+                F.col("node").alias("jnode"), F.col("component").alias("jcomp")
+            )
+            merged = merged.join(
+                lab, merged["component"] == lab["jnode"], "left"
+            ).select(
+                "node",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("jcomp"), F.col("component")),
+                ).alias("component"),
+                "prev",
+            )
+        obs = Observation()
+        new = merged.observe(
+            obs,
+            F.sum((F.col("component") != F.col("prev")).cast("long")).alias(
+                "changed"
+            ),
+        ).select("node", "component")
         new = local_checkpoint(new, f"cc_round_{i + 1}")
         changed = int(obs.get["changed"] or 0)
         cur = new

@@ -5,6 +5,7 @@ from datapipeline_dags_spark.plans import (  # noqa: F401
     event_time,
     llm_ops,
     mining,
+    modeling,
     multimodal_queries,
     relational,
     scalars,

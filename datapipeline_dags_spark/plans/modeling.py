@@ -1,0 +1,650 @@
+"""Model-based analytics queries (SURVEY.md §2.11, r6 batch 3).
+
+Attribution models over user journeys (Markov removal-effect on the
+absorbing conversion chain, Shapley / position-based credit), density
+clustering over an embedding projection grid (the DBSCAN-family
+counterpart to q201's k-means), and Theil–Sen robust trend estimation
+(the median-of-slopes twin of q150's OLS) — the model layer a
+curation/marketing pipeline runs on top of the reference's ingest
+surface (reference scope: parallelized_data_pipeline_dag.py
+orchestrates ingest only; the engine declares the analytics the
+ingested corpus feeds).
+
+Parity discipline: every ranking/credit/absorption value is INTEGER
+fixed-point (ppm / ppb units, floor division) so iterative numerics
+and k-boundaries are engine-exact (the q183 rule); the only doubles
+are single expressions over exact integers or percentile interpolation
+over identically-ordered inputs, rounded once at the edge.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from datapipeline_dags_spark.catalog import table
+from datapipeline_dags_spark.operators.graph import connected_components
+from datapipeline_dags_spark.plans.helpers import dec
+from datapipeline_dags_spark.plans.registry import query
+
+# ---------------------------------------------------------------------------
+# Shared journey model (q207 / q208)
+#
+# A user's event stream splits into JOURNEYS at each purchase: journey
+# id = number of purchases strictly before the event, so every journey
+# is a run of non-purchase touches followed (if it converts) by the
+# purchase that increments the counter.  Trailing touches after the
+# last purchase — and users who never purchase — form non-converting
+# journeys.  The per-user window is the q145 regime (bounded per-user
+# event counts; partitioned on user_id, never a global sort).
+# ---------------------------------------------------------------------------
+
+#: DuckDB CTE bodies shared by the q207/q208 oracles (parity twins of
+#: ``_journey_seq`` below).
+_JOURNEY_SQL = """
+    seq AS MATERIALIZED (
+      SELECT user_id, event_type, ts, event_id,
+             COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS jid
+      FROM events),
+    conv AS MATERIALIZED (
+             SELECT DISTINCT user_id, jid FROM seq
+             WHERE event_type = 'purchase')"""
+
+
+def _journey_seq(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(seq, conv): events with journey ids, and converted journey keys."""
+    ev = table(spark, sf_dir, "events")
+    prior = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "purchase", 1)).over(prior),
+            F.lit(0),
+        ).alias("jid"),
+    )
+    conv = (
+        seq.filter(F.col("event_type") == "purchase")
+        .select("user_id", "jid")
+        .distinct()
+    )
+    return seq, conv
+
+
+# ---------------------------------------------------------------------------
+# q207 — Markov removal-effect attribution (absorbing conversion chain)
+# ---------------------------------------------------------------------------
+
+#: fixed-point unit for absorption probabilities: 1.0 == 1e9 ppb.
+ATTR_SCALE = 1_000_000_000
+#: fixed iteration count for the absorption solve — deterministic
+#: K-round contract (the q183/q204 rule: both engines iterate exactly K
+#: times, so non-asymptotic values are still bit-identical).  K=48
+#: leaves the fixture residual ~1e-5 of the true fixed point.
+ATTR_ITERS = 48
+
+
+def _q207_oracle() -> str:
+    prev = "p0"
+    iters = []
+    for k in range(1, ATTR_ITERS + 1):
+        iters.append(f"""
+    p{k} AS MATERIALIZED (
+      SELECT sc.removed, t.src AS s,
+             CAST(SUM(t.n * (CASE WHEN t.dst = 'CONV' THEN {ATTR_SCALE}
+                                  WHEN t.dst = 'NULL' THEN 0
+                                  WHEN t.dst = sc.removed THEN 0
+                                  ELSE COALESCE(pd.p, 0) END)) // tt.tot
+                  AS BIGINT) AS p
+      FROM trans t
+      CROSS JOIN scen sc
+      LEFT JOIN {prev} pd ON pd.removed = sc.removed AND pd.s = t.dst
+      JOIN tot tt ON tt.src = t.src
+      GROUP BY sc.removed, t.src, tt.tot)""")
+        prev = f"p{k}"
+    return f"""
+    WITH {_JOURNEY_SQL},
+    t AS MATERIALIZED (
+          SELECT s.user_id, s.jid, s.event_type AS ch, s.ts, s.event_id,
+                 LAG(s.event_type) OVER (PARTITION BY s.user_id, s.jid
+                                         ORDER BY s.ts, s.event_id) AS prev,
+                 ROW_NUMBER() OVER (PARTITION BY s.user_id, s.jid
+                                    ORDER BY s.ts DESC, s.event_id DESC) = 1
+                   AS is_last
+          FROM seq s WHERE s.event_type <> 'purchase'),
+    trans AS MATERIALIZED (
+      SELECT src, dst, COUNT(*) AS n FROM (
+        SELECT COALESCE(prev, 'START') AS src, ch AS dst FROM t
+        UNION ALL
+        SELECT t.ch, CASE WHEN c.user_id IS NOT NULL THEN 'CONV'
+                          ELSE 'NULL' END
+        FROM t LEFT JOIN conv c
+          ON t.user_id = c.user_id AND t.jid = c.jid
+        WHERE t.is_last
+        UNION ALL
+        SELECT 'START', 'CONV' FROM conv c
+        WHERE NOT EXISTS (SELECT 1 FROM t
+                          WHERE t.user_id = c.user_id AND t.jid = c.jid)
+      ) GROUP BY 1, 2),
+    tot AS MATERIALIZED (SELECT src, SUM(n) AS tot FROM trans GROUP BY 1),
+    scen AS MATERIALIZED (
+             SELECT '' AS removed
+             UNION ALL
+             SELECT DISTINCT src FROM trans WHERE src <> 'START'),
+    p0 AS MATERIALIZED (
+           SELECT sc.removed, st.src AS s, CAST(0 AS BIGINT) AS p
+           FROM scen sc CROSS JOIN (SELECT DISTINCT src FROM trans) st),
+    {','.join(iters)},
+    fin AS (SELECT removed, p FROM {prev} WHERE s = 'START'),
+    b AS (SELECT p AS pb FROM fin WHERE removed = ''),
+    eff AS (SELECT f.removed AS channel,
+                   CASE WHEN b.pb = 0 THEN 0
+                        ELSE (b.pb - f.p) * 1000000 // b.pb END AS removal_ppm
+            FROM fin f CROSS JOIN b WHERE f.removed <> ''),
+    te AS (SELECT SUM(removal_ppm) AS s FROM eff)
+    SELECT e.channel,
+           CAST(tt.tot AS BIGINT) AS n_touches,
+           CAST(e.removal_ppm AS BIGINT) AS removal_ppm,
+           CAST(CASE WHEN te.s = 0 THEN 0
+                     ELSE e.removal_ppm * 1000000 // te.s END AS BIGINT)
+             AS share_ppm,
+           CAST(b.pb AS BIGINT) AS p_conv_base_ppb
+    FROM eff e
+    CROSS JOIN te CROSS JOIN b
+    JOIN tot tt ON tt.src = e.channel
+    """
+
+
+@query("q207_markov_attribution", oracle=_q207_oracle())
+def q207_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-chain removal-effect attribution: user journeys become a
+    first-order chain over touch channels with absorbing CONV/NULL
+    states; each channel's credit is its removal effect — how much the
+    START→CONV absorption probability drops when entering that channel
+    is redirected to NULL — normalized into shares.  The
+    model-based answer to "which channel actually drives conversion"
+    that last-touch/linear (q145) and the raw transition matrix (q198)
+    cannot give.
+
+    Scale shape: journey segmentation and transition extraction are
+    two user-partitioned windows plus one hash aggregate — corpus-sized
+    work, all shuffled on user_id.  The aggregated transition matrix is
+    at most (|event types|+1)^2 cells REGARDLESS of corpus size, so it
+    is collected as bounded control plane (the BPE top-1 / PQ-codebook
+    discipline) and the absorption solve runs driver-side in exact
+    Python integers: {ATTR_ITERS} fixed-point rounds at {ATTR_SCALE}
+    ppb with floor division, one solve per removal scenario — identical
+    arithmetic to the oracle's chained-CTE iteration, hence
+    hash-exact with no float discipline at all (the q183 rule).
+    """
+    seq, conv = _journey_seq(spark, sf_dir)
+    touches = seq.filter(F.col("event_type") != "purchase")
+    jw = W.partitionBy("user_id", "jid").orderBy("ts", "event_id")
+    jw_desc = W.partitionBy("user_id", "jid").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    t = touches.select(
+        "user_id",
+        "jid",
+        F.col("event_type").alias("ch"),
+        F.lag("event_type").over(jw).alias("prev"),
+        (F.row_number().over(jw_desc) == 1).alias("is_last"),
+    )
+    internal = t.select(
+        F.coalesce(F.col("prev"), F.lit("START")).alias("src"),
+        F.col("ch").alias("dst"),
+    )
+    last = (
+        t.filter("is_last")
+        .join(conv.withColumn("hit", F.lit(1)), ["user_id", "jid"], "left")
+        .select(
+            F.col("ch").alias("src"),
+            F.when(F.col("hit").isNotNull(), "CONV").otherwise("NULL").alias("dst"),
+        )
+    )
+    zero_touch = (
+        conv.join(t.select("user_id", "jid").distinct(), ["user_id", "jid"], "left_anti")
+        .select(F.lit("START").alias("src"), F.lit("CONV").alias("dst"))
+    )
+    trans = (
+        internal.unionAll(last)
+        .unionAll(zero_touch)
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("n"))
+    )
+    # Bounded control plane: <= (|event types|+1)^2 cells at any SF.
+    mat: dict[str, dict[str, int]] = {}
+    for r in trans.collect():
+        mat.setdefault(r["src"], {})[r["dst"]] = r["n"]
+    tot = {s: sum(d.values()) for s, d in mat.items()}
+    channels = sorted(s for s in mat if s != "START")
+
+    def absorb(removed: str | None) -> int:
+        p = {s: 0 for s in mat}
+        for _ in range(ATTR_ITERS):
+            nxt = {}
+            for s, outs in mat.items():
+                acc = 0
+                for d, n in outs.items():
+                    if d == "CONV":
+                        pd = ATTR_SCALE
+                    elif d == "NULL" or d == removed:
+                        pd = 0
+                    else:
+                        pd = p.get(d, 0)
+                    acc += n * pd
+                nxt[s] = acc // tot[s]
+            p = nxt
+        return p.get("START", 0)
+
+    base = absorb(None)
+    effs = {
+        c: ((base - absorb(c)) * 1_000_000 // base if base else 0) for c in channels
+    }
+    te = sum(effs.values())
+    rows = [
+        (
+            c,
+            tot[c],
+            effs[c],
+            (effs[c] * 1_000_000 // te if te else 0),
+            base,
+        )
+        for c in channels
+    ]
+    return spark.createDataFrame(
+        rows,
+        "channel string, n_touches long, removal_ppm long, "
+        "share_ppm long, p_conv_base_ppb long",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q208 — Shapley / position-based (U-shape) attribution credits
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q208_shapley_attribution",
+    oracle=f"""
+    WITH {_JOURNEY_SQL},
+    t AS (SELECT s.user_id, s.jid, s.event_type AS ch,
+                 ROW_NUMBER() OVER (PARTITION BY s.user_id, s.jid
+                                    ORDER BY s.ts, s.event_id) AS pos,
+                 COUNT(*) OVER (PARTITION BY s.user_id, s.jid) AS n_t
+          FROM seq s JOIN conv c
+            ON s.user_id = c.user_id AND s.jid = c.jid
+          WHERE s.event_type <> 'purchase'),
+    ss AS (SELECT user_id, jid, COUNT(DISTINCT ch) AS setsz
+           FROM t GROUP BY 1, 2),
+    shap AS (SELECT t.user_id, t.jid, t.ch, MIN(1000000 // s.setsz) AS credit
+             FROM t JOIN ss s ON t.user_id = s.user_id AND t.jid = s.jid
+             GROUP BY t.user_id, t.jid, t.ch),
+    sh AS (SELECT ch, COUNT(*) AS n_j, SUM(credit) AS shp
+           FROM shap GROUP BY 1),
+    ush AS (SELECT ch, SUM(CASE WHEN n_t = 1 THEN 1000000
+                                WHEN n_t = 2 THEN 500000
+                                WHEN pos = 1 OR pos = n_t THEN 400000
+                                ELSE 200000 // (n_t - 2) END) AS u
+            FROM t GROUP BY 1)
+    SELECT sh.ch AS channel,
+           CAST(sh.n_j AS BIGINT) AS n_journeys,
+           CAST(sh.shp AS BIGINT) AS shapley_ppm,
+           CAST(u.u AS BIGINT) AS ushape_ppm
+    FROM sh JOIN ush u ON sh.ch = u.ch
+    """,
+)
+def q208_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shapley-value and position-based (U-shape) attribution credits
+    per channel, in integer ppm.  Each converting journey's unit of
+    credit splits (a) equally among its DISTINCT channels — exactly the
+    Shapley value of the unanimity-game decomposition v(T) = #journeys
+    whose touched-channel set ⊆ T — and (b) 40/20/40 across first /
+    middle / last TOUCHES (1 touch: 100%; 2 touches: 50/50).
+    Zero-touch conversions carry no attributable credit and are
+    excluded (q145 reports them as ``unattributed``).
+
+    Scale shape: two user-partitioned windows + three hash aggregates,
+    everything keyed on (user_id, jid) or channel; output is
+    |channels| rows.  All credits are integer floor divisions of 1e6 —
+    no float discipline anywhere.
+    """
+    seq, conv = _journey_seq(spark, sf_dir)
+    jw = W.partitionBy("user_id", "jid").orderBy("ts", "event_id")
+    jn = W.partitionBy("user_id", "jid")
+    t = (
+        seq.join(conv, ["user_id", "jid"])
+        .filter(F.col("event_type") != "purchase")
+        .select(
+            "user_id",
+            "jid",
+            F.col("event_type").alias("ch"),
+            F.row_number().over(jw).alias("pos"),
+            F.count("*").over(jn).alias("n_t"),
+        )
+    )
+    ss = t.groupBy("user_id", "jid").agg(F.countDistinct("ch").alias("setsz"))
+    shap = (
+        t.join(ss, ["user_id", "jid"])
+        .groupBy("user_id", "jid", "ch")
+        .agg(F.min(F.expr("1000000 div setsz")).alias("credit"))
+    )
+    sh = shap.groupBy("ch").agg(
+        F.count("*").alias("n_j"), F.sum("credit").alias("shp")
+    )
+    ush = t.groupBy("ch").agg(
+        F.sum(
+            F.when(F.col("n_t") == 1, 1_000_000)
+            .when(F.col("n_t") == 2, 500_000)
+            .when((F.col("pos") == 1) | (F.col("pos") == F.col("n_t")), 400_000)
+            .otherwise(F.expr("200000 div (n_t - 2)"))
+        ).alias("u")
+    )
+    return sh.join(ush, "ch").select(
+        F.col("ch").alias("channel"),
+        F.col("n_j").cast("long").alias("n_journeys"),
+        F.col("shp").cast("long").alias("shapley_ppm"),
+        F.col("u").cast("long").alias("ushape_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q209 — grid-density clustering over a 2D embedding projection
+# ---------------------------------------------------------------------------
+
+GRID_DIM = 64  # embedding width in the fixture
+GRID_QUANT = 1000  # per-coordinate fixed-point quantization
+GRID_CELL = 300  # grid cell width in quantized projection units
+GRID_MINPTS = 4  # density threshold: cells with >= this many points
+GRID_OFFSET = 10_000_000  # shift projections positive so div == floor
+GRID_ENC = 10_000_000  # cell_id = cu * ENC + cv (collision-free)
+GRID_TOPK = 20  # clusters reported (by size, id tiebreak)
+
+
+def _grid_signs(tag: str) -> list[int]:
+    """Deterministic ±1 projection vector from md5 — computed ONCE in
+    Python and embedded as literals in BOTH plans (hashlib.md5 ==
+    Spark md5 == DuckDB md5 on the same bytes)."""
+    return [
+        1 if int(hashlib.md5(f"{tag}:{d}".encode()).hexdigest()[:8], 16) % 2 else -1
+        for d in range(GRID_DIM)
+    ]
+
+
+_SIGNS_U = _grid_signs("gridproj0")
+_SIGNS_V = _grid_signs("gridproj1")
+
+
+def _proj_sql(signs: list[int]) -> str:
+    pos = ", ".join(str(d + 1) for d in range(GRID_DIM) if signs[d] == 1)
+    return (
+        f"list_sum(list_transform(generate_series(1, {GRID_DIM}), i -> "
+        f"CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * {GRID_QUANT} + 0.5) AS BIGINT)"
+        f" * (CASE WHEN i IN ({pos}) THEN 1 ELSE -1 END)))"
+    )
+
+
+def _proj_col(signs: list[int]) -> Column:
+    quant = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * GRID_QUANT + F.lit(0.5)).cast("long"),
+    )
+    sarr = F.array(*[F.lit(s) for s in signs])
+    return F.aggregate(
+        F.zip_with(quant, sarr, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _q209_oracle() -> str:
+    return f"""
+    WITH RECURSIVE
+    pts AS (SELECT vec_id, {_proj_sql(_SIGNS_U)} AS u, {_proj_sql(_SIGNS_V)} AS v
+            FROM embeddings),
+    cl AS (SELECT vec_id, (u + {GRID_OFFSET}) // {GRID_CELL} AS cu,
+                  (v + {GRID_OFFSET}) // {GRID_CELL} AS cv
+           FROM pts),
+    cells AS (SELECT cu, cv, cu * {GRID_ENC} + cv AS cell_id, COUNT(*) AS n
+              FROM cl GROUP BY 1, 2),
+    dense AS (SELECT * FROM cells WHERE n >= {GRID_MINPTS}),
+    edges AS (SELECT a.cell_id AS src, b.cell_id AS dst
+              FROM dense a JOIN dense b
+                ON b.cu BETWEEN a.cu - 1 AND a.cu + 1
+               AND b.cv BETWEEN a.cv - 1 AND a.cv + 1
+               AND a.cell_id < b.cell_id),
+    sym AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+    reach AS (
+      SELECT DISTINCT src AS cell_id, src AS node FROM sym
+      UNION
+      SELECT r.cell_id, s.dst FROM reach r JOIN sym s ON s.src = r.node),
+    lab AS (SELECT cell_id, MIN(node) AS comp FROM reach GROUP BY 1),
+    comp AS (SELECT d.cell_id, COALESCE(l.comp, d.cell_id) AS cluster_id, d.n
+             FROM dense d LEFT JOIN lab l ON l.cell_id = d.cell_id),
+    agg AS (SELECT cluster_id, SUM(n) AS n_points, COUNT(*) AS n_cells
+            FROM comp GROUP BY 1),
+    topk AS (SELECT cluster_id, n_points, n_cells FROM agg
+             ORDER BY n_points DESC, cluster_id LIMIT {GRID_TOPK})
+    SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+           CAST(n_points AS BIGINT) AS n_points,
+           CAST(n_cells AS BIGINT) AS n_cells
+    FROM topk
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT), CAST(COALESCE(SUM(n), 0) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM cells WHERE n < {GRID_MINPTS}
+    """
+
+
+@query("q209_grid_density_clusters", oracle=_q209_oracle())
+def q209_grid_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-density clustering (the DBSCAN-family counterpart to q201's
+    k-means): embeddings project to 2D through two deterministic ±1
+    md5-sign vectors in integer fixed-point, land in a quantized grid,
+    and clusters are connected components of 8-neighbor-adjacent DENSE
+    cells (>= {GRID_MINPTS} points); points in sparse cells are noise.
+    Density clustering finds arbitrary-shape clusters and an explicit
+    noise set — the two things k-means structurally cannot.
+
+    Scale shape: the projection and cell assignment are map-only
+    integer arithmetic (one corpus pass, no UDFs); the per-cell count
+    is one hash aggregate whose output is |occupied cells| — bounded by
+    the grid, not the corpus.  Everything after (density filter,
+    9-offset neighbor join, min-label CC via operators/graph.py, the
+    q69 machinery) runs on the CELL table, orders of magnitude smaller
+    than the corpus; the report is a global top-{GRID_TOPK} by integer
+    size with id tiebreak (TakeOrderedAndProject) plus one noise row.
+    At 100 TB the knobs scale like q47's ann_params: shrink GRID_CELL /
+    raise GRID_MINPTS with corpus density so the cell table stays
+    sub-linear in the corpus.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        _proj_col(_SIGNS_U).alias("u"),
+        _proj_col(_SIGNS_V).alias("v"),
+    )
+    cl = pts.select(
+        F.expr(f"(u + {GRID_OFFSET}) div {GRID_CELL}").alias("cu"),
+        F.expr(f"(v + {GRID_OFFSET}) div {GRID_CELL}").alias("cv"),
+    )
+    cells = (
+        cl.groupBy("cu", "cv")
+        .agg(F.count("*").alias("n"))
+        .withColumn("cell_id", F.col("cu") * GRID_ENC + F.col("cv"))
+    )
+    dense = cells.filter(F.col("n") >= GRID_MINPTS)
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    nb = dense.select(
+        F.col("cell_id").alias("src"),
+        F.explode(offsets).alias("o"),
+        "cu",
+        "cv",
+    ).select(
+        "src",
+        (F.col("cu") + F.col("o.dx")).alias("ncu"),
+        (F.col("cv") + F.col("o.dy")).alias("ncv"),
+    )
+    edges = (
+        nb.join(
+            dense.select(
+                F.col("cu").alias("ncu"),
+                F.col("cv").alias("ncv"),
+                F.col("cell_id").alias("dst"),
+            ),
+            ["ncu", "ncv"],
+        )
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+    )
+    # grid adjacency is chain-like by construction (a dense blob's cell
+    # graph has diameter ~ its width in cells), so plain min-label CC
+    # would need diameter rounds — pointer jumping converges in
+    # O(log diameter) (observed: sf0.1's blob exceeds 20 plain rounds).
+    comp = connected_components(edges, pointer_jump=True)
+    labeled = dense.join(
+        comp.withColumnRenamed("node", "cell_id"), "cell_id", "left"
+    ).select(
+        "cell_id",
+        F.coalesce(F.col("component"), F.col("cell_id")).alias("cluster_id"),
+        "n",
+    )
+    agg = labeled.groupBy("cluster_id").agg(
+        F.sum("n").alias("n_points"), F.count("*").alias("n_cells")
+    )
+    topk = agg.orderBy(F.col("n_points").desc(), "cluster_id").limit(GRID_TOPK)
+    noise = cells.filter(F.col("n") < GRID_MINPTS).agg(
+        F.lit(-1).cast("long").alias("cluster_id"),
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_points"),
+        F.count("*").cast("long").alias("n_cells"),
+    )
+    return topk.select(
+        F.col("cluster_id").cast("long"),
+        F.col("n_points").cast("long"),
+        F.col("n_cells").cast("long"),
+    ).unionAll(noise)
+
+
+# ---------------------------------------------------------------------------
+# q210 — Theil–Sen robust trend of monthly revenue per nation
+# ---------------------------------------------------------------------------
+
+TS_EPOCH_YEAR = 1992  # month index base for the fixture's date range
+
+
+@query(
+    "q210_theil_sen_trend",
+    oracle=f"""
+    WITH mo AS (
+      SELECT n.n_name AS nation,
+             (EXTRACT(year FROM o.o_orderdate) - {TS_EPOCH_YEAR}) * 12
+               + EXTRACT(month FROM o.o_orderdate) - 1 AS m,
+             SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS rev
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2),
+    pr AS (SELECT a.nation, (b.rev - a.rev) * 1.0 / (b.m - a.m) AS slope
+           FROM mo a JOIN mo b ON a.nation = b.nation AND a.m < b.m),
+    sl AS (SELECT nation, quantile_cont(slope, 0.5) AS ts_slope,
+                  COUNT(*) AS n_pairs
+           FROM pr GROUP BY 1),
+    ic AS (SELECT m.nation,
+                  quantile_cont(m.rev - s.ts_slope * m.m, 0.5) AS icpt,
+                  COUNT(*) AS n_months
+           FROM mo m JOIN sl s ON m.nation = s.nation GROUP BY 1)
+    SELECT s.nation,
+           CAST(i.n_months AS BIGINT) AS n_months,
+           CAST(s.n_pairs AS BIGINT) AS n_pairs,
+           (ROUND(s.ts_slope / 100.0, 4) + 0.0) AS slope_per_month,
+           (ROUND(i.icpt / 100.0, 2) + 0.0) AS intercept
+    FROM sl s JOIN ic i ON s.nation = i.nation
+    """,
+)
+def q210_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend per nation: the median of all pairwise
+    month-to-month slopes of monthly revenue (plus the median-residual
+    intercept) — the outlier-resistant twin of q150's OLS trend (one
+    blowout month moves OLS arbitrarily; Theil–Sen tolerates ~29%
+    contamination).
+
+    Scale shape: revenue collapses to a bounded (nation, month,
+    integer-cents) table FIRST — months are calendar-bounded, so the
+    within-nation pair explode is C(|months|, 2), bounded by the
+    calendar squared, never by the corpus (the q176/q182
+    collapse-first rule); the median runs in the safe exact-percentile
+    regime (bounded group sizes, q191's distinction).  Parity: cents
+    are floor-quantized integers, each slope is ONE IEEE division of
+    integer differences, and Spark ``percentile`` interpolates exactly
+    like DuckDB ``quantile_cont`` (the q59 rule); rounding happens once
+    at the edge.
+    """
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    mo = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            (
+                (F.year("o_orderdate") - TS_EPOCH_YEAR) * 12
+                + F.month("o_orderdate")
+                - 1
+            ).alias("m"),
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+            ).alias("rev")
+        )
+    )
+    a = mo.select("nation", F.col("m").alias("m1"), F.col("rev").alias("r1"))
+    b = mo.select("nation", F.col("m").alias("m2"), F.col("rev").alias("r2"))
+    pr = (
+        a.join(b, "nation")
+        .filter(F.col("m1") < F.col("m2"))
+        .select(
+            "nation",
+            ((F.col("r2") - F.col("r1")) * 1.0 / (F.col("m2") - F.col("m1"))).alias(
+                "slope"
+            ),
+        )
+    )
+    sl = pr.groupBy("nation").agg(
+        F.expr("percentile(slope, 0.5)").alias("ts_slope"),
+        F.count("*").alias("n_pairs"),
+    )
+    ic = (
+        mo.join(sl, "nation")
+        .groupBy("nation")
+        .agg(
+            F.expr("percentile(rev - ts_slope * m, 0.5)").alias("icpt"),
+            F.count("*").alias("n_months"),
+        )
+    )
+    return sl.join(ic, "nation").select(
+        "nation",
+        F.col("n_months").cast("long").alias("n_months"),
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        dec(F.col("ts_slope") / 100.0, 4).alias("slope_per_month"),
+        dec(F.col("icpt") / 100.0, 2).alias("intercept"),
+    )

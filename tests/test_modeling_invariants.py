@@ -1,0 +1,173 @@
+"""Metamorphic / known-answer invariants of the r6 modeling queries
+(plans/modeling.py): laws the model math guarantees regardless of
+data, so a violation is always an implementation bug — the complement
+of the DuckDB hash oracle (which agrees with mirrored mistakes)."""
+
+from __future__ import annotations
+
+import datetime
+
+from datapipeline_dags_spark.plans.modeling import (
+    ATTR_SCALE,
+    GRID_TOPK,
+    q207_markov_attribution,
+    q208_shapley_attribution,
+    q209_grid_density_clusters,
+    q210_theil_sen_trend,
+    _SIGNS_U,
+)
+
+
+def _write_events(spark, tmp_path, rows):
+    """rows: (event_id, seconds-offset, user_id, event_type)."""
+    base = datetime.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            (eid, base + datetime.timedelta(seconds=s), uid, et, 1.0, "{}")
+            for eid, s, uid, et in rows
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.write.parquet(str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+def test_markov_bounds(spark, sf_dir):
+    rows = q207_markov_attribution(spark, sf_dir).collect()
+    assert rows, "fixture has touches and conversions"
+    base = rows[0]["p_conv_base_ppb"]
+    assert 0 < base <= ATTR_SCALE
+    assert all(r["p_conv_base_ppb"] == base for r in rows)
+    assert all(0 <= r["removal_ppm"] <= 1_000_000 for r in rows)
+    assert all(r["n_touches"] > 0 for r in rows)
+    # shares are a floor-normalized partition of 1e6
+    share_sum = sum(r["share_ppm"] for r in rows)
+    assert 1_000_000 - len(rows) <= share_sum <= 1_000_000
+
+
+def test_markov_single_gateway_channel(spark, tmp_path):
+    """Every conversion passes through 'click' and 'view' never
+    converts: click's removal effect is exactly 1e6 ppm and view's is
+    0 — the model's defining property, exact in integer fixed-point."""
+    rows = [
+        # user 1: click -> purchase (converting journey via click)
+        (1, 0, 1, "click"),
+        (2, 60, 1, "purchase"),
+        # user 2: click -> purchase, then trailing view (no conversion)
+        (3, 0, 2, "click"),
+        (4, 60, 2, "purchase"),
+        (5, 120, 2, "view"),
+        # user 3: view only, never purchases
+        (6, 0, 3, "view"),
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    out = {r["channel"]: r for r in q207_markov_attribution(spark, sf).collect()}
+    assert out["click"]["removal_ppm"] == 1_000_000
+    assert out["view"]["removal_ppm"] == 0
+    assert out["click"]["share_ppm"] == 1_000_000
+    assert out["view"]["share_ppm"] == 0
+
+
+def test_shapley_known_journeys(spark, tmp_path):
+    """One converting journey view,click,view: Shapley splits the unit
+    between the two DISTINCT channels (500k each); U-shape credits
+    positions 40/20/40 (view 800k, click 200k)."""
+    rows = [
+        (1, 0, 1, "view"),
+        (2, 10, 1, "click"),
+        (3, 20, 1, "view"),
+        (4, 30, 1, "purchase"),
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    out = {r["channel"]: r for r in q208_shapley_attribution(spark, sf).collect()}
+    assert out["view"]["shapley_ppm"] == 500_000
+    assert out["click"]["shapley_ppm"] == 500_000
+    assert out["view"]["ushape_ppm"] == 800_000
+    assert out["click"]["ushape_ppm"] == 200_000
+    assert out["view"]["n_journeys"] == 1 and out["click"]["n_journeys"] == 1
+
+
+def test_shapley_conservation(spark, sf_dir):
+    """Each credit system hands out ~1e6 ppm per converting journey
+    (minus bounded floor loss), so the two totals agree within the
+    loss bound."""
+    rows = q208_shapley_attribution(spark, sf_dir).collect()
+    shap = sum(r["shapley_ppm"] for r in rows)
+    ush = sum(r["ushape_ppm"] for r in rows)
+    # floor loss per journey is < 10 ppm for either scheme
+    assert abs(shap - ush) <= 10 * max(r["n_journeys"] for r in rows) * len(rows)
+    assert shap > 0 and ush > 0
+
+
+def test_grid_density_partitions_corpus(spark, sf_dir):
+    rows = q209_grid_density_clusters(spark, sf_dir).collect()
+    noise = [r for r in rows if r["cluster_id"] == -1]
+    clusters = [r for r in rows if r["cluster_id"] != -1]
+    assert len(noise) == 1
+    ids = [r["cluster_id"] for r in clusters]
+    assert len(ids) == len(set(ids))
+    assert all(r["n_points"] > 0 and r["n_cells"] > 0 for r in clusters)
+    import duckdb
+
+    n_emb = (
+        duckdb.connect()
+        .execute(f"SELECT COUNT(*) FROM read_parquet('{sf_dir}/embeddings.parquet')")
+        .fetchone()[0]
+    )
+    total = sum(r["n_points"] for r in rows)
+    if len(clusters) < GRID_TOPK:  # no top-k truncation: exact partition
+        assert total == n_emb
+    else:
+        assert total <= n_emb
+
+
+def test_grid_density_known_clusters(spark, tmp_path):
+    """Two tight groups far apart plus one lone point: two clusters of
+    the right sizes and exactly one noise point."""
+    import pyspark.sql.functions as F  # noqa: F401
+
+    a = [0.5 * s for s in _SIGNS_U]  # projects to +32000 on u
+    b = [-0.5 * s for s in _SIGNS_U]  # projects to -32000
+    c = [5.0 * s for s in _SIGNS_U]  # lone far point -> sparse cell
+    vecs = [(i, a, 0) for i in range(6)]
+    vecs += [(10 + i, b, 1) for i in range(6)]
+    vecs += [(99, c, 2)]
+    df = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>, label int"
+    )
+    df.write.parquet(str(tmp_path / "embeddings.parquet"))
+    rows = q209_grid_density_clusters(spark, str(tmp_path)).collect()
+    sizes = sorted(r["n_points"] for r in rows if r["cluster_id"] != -1)
+    noise = [r for r in rows if r["cluster_id"] == -1][0]
+    assert sizes == [6, 6]
+    assert noise["n_points"] == 1
+
+
+def test_theil_sen_ignores_outlier_month(spark, tmp_path):
+    """Linear monthly revenue with one blowout month: the median of
+    pairwise slopes recovers the clean slope and intercept exactly."""
+    orders = []
+    ok = 1
+    for m in range(10):
+        orders.append(
+            (ok, 1, datetime.date(1992, m + 1, 15), 1000.0 + 100.0 * m)
+        )
+        ok += 1
+    # outlier: an extra 1e6 order in month 5
+    orders.append((ok, 1, datetime.date(1992, 6, 20), 1_000_000.0))
+    spark.createDataFrame(
+        orders, "o_orderkey long, o_custkey long, o_orderdate date, o_totalprice double"
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        [(1, 7)], "c_custkey long, c_nationkey int"
+    ).write.parquet(str(tmp_path / "customer.parquet"))
+    spark.createDataFrame(
+        [(7, "GERMANY")], "n_nationkey int, n_name string"
+    ).write.parquet(str(tmp_path / "nation.parquet"))
+    row = q210_theil_sen_trend(spark, str(tmp_path)).collect()[0]
+    assert row["nation"] == "GERMANY"
+    assert row["n_months"] == 10
+    assert row["n_pairs"] == 45
+    assert row["slope_per_month"] == 100.0
+    assert row["intercept"] == 1000.0

@@ -146,3 +146,24 @@ def test_connected_components_matches_union_find(spark, edges):
         r["node"]: r["component"] for r in connected_components(df).collect()
     }
     assert got == _union_find_components(edges)
+    jumped = {
+        r["node"]: r["component"]
+        for r in connected_components(df, pointer_jump=True).collect()
+    }
+    assert jumped == got
+
+
+def test_pointer_jump_converges_on_long_path(spark):
+    """A 300-node path has diameter 299 — far beyond the plain
+    min-label round budget; pointer jumping must converge in
+    O(log diameter) rounds (the q209 grid-cell regime)."""
+    from datapipeline_dags_spark.operators import graph
+    from datapipeline_dags_spark.operators.graph import connected_components
+
+    n = 300
+    edges = [(i, i + 1) for i in range(n - 1)]
+    df = spark.createDataFrame(edges, "src: long, dst: long")
+    got = connected_components(df, pointer_jump=True).collect()
+    assert all(r["component"] == 0 for r in got)
+    assert len(got) == n
+    assert graph.LAST_ROUNDS <= 14  # ~log2(300) + slack, vs 299 plain
