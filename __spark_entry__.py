@@ -144,6 +144,8 @@ _ROTATION_TAIL = [
     "q208_shapley_attribution",
     "q209_grid_density_clusters",
     "q210_theil_sen_trend",
+    "q211_holt_forecast",
+    "q212_isotonic_calibration",
 ]
 
 

@@ -648,3 +648,253 @@ def q210_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         dec(F.col("ts_slope") / 100.0, 4).alias("slope_per_month"),
         dec(F.col("icpt") / 100.0, 2).alias("intercept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q211 — Holt linear-trend forecast (integer fixed-point, power-of-2 α/β)
+# ---------------------------------------------------------------------------
+
+#: smoothing in eighths so every update is an ARITHMETIC SHIFT: α = 2/8,
+#: β = 1/8.  DuckDB's ``//`` truncates toward zero on NEGATIVES (unlike
+#: Python/SQL floor) and Spark's ``div`` does too — ``>>`` is an
+#: arithmetic (floor) shift in Spark, DuckDB, and Python alike, so
+#: signed fixed-point recurrences stay engine-exact only on power-of-2
+#: denominators.
+HOLT_ALPHA_NUM = 2
+HOLT_BETA_NUM = 1
+HOLT_SHIFT = 3  # denominator 8
+
+
+def _q211_oracle() -> str:
+    a, bnum, den = HOLT_ALPHA_NUM, HOLT_BETA_NUM, 1 << HOLT_SHIFT
+    lvl = f"(({a} * m.rev + {den - a} * (h.l + h.b)) >> {HOLT_SHIFT})"
+    return f"""
+    WITH RECURSIVE
+    mo AS MATERIALIZED (
+      SELECT n.n_name AS nation,
+             (EXTRACT(year FROM o.o_orderdate) - {TS_EPOCH_YEAR}) * 12
+               + EXTRACT(month FROM o.o_orderdate) - 1 AS m,
+             CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS rev
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2),
+    sq AS MATERIALIZED (
+      SELECT nation, ROW_NUMBER() OVER (PARTITION BY nation ORDER BY m) AS rn,
+             rev
+      FROM mo),
+    tmax AS MATERIALIZED (SELECT nation, MAX(rn) AS t FROM sq GROUP BY 1),
+    hw(nation, rn, l, b, sae) AS (
+      SELECT y1.nation, CAST(2 AS BIGINT), y2.rev, y2.rev - y1.rev,
+             CAST(0 AS BIGINT)
+      FROM sq y1 JOIN sq y2
+        ON y1.nation = y2.nation AND y1.rn = 1 AND y2.rn = 2
+      UNION ALL
+      SELECT h.nation, h.rn + 1,
+             {lvl},
+             (({lvl} - h.l) + {den - bnum} * h.b) >> {HOLT_SHIFT},
+             h.sae + ABS(m.rev - (h.l + h.b))
+      FROM hw h JOIN sq m ON m.nation = h.nation AND m.rn = h.rn + 1)
+    SELECT h.nation,
+           CAST(t.t AS BIGINT) AS n_months,
+           CAST(h.l AS BIGINT) AS level_cents,
+           CAST(h.b AS BIGINT) AS trend_cents,
+           CAST(h.l + h.b AS BIGINT) AS forecast_1_cents,
+           CAST(h.l + 3 * h.b AS BIGINT) AS forecast_3_cents,
+           CAST(CASE WHEN t.t > 2 THEN h.sae // (t.t - 2) ELSE 0 END
+                AS BIGINT) AS mae_cents
+    FROM hw h JOIN tmax t ON h.nation = t.nation AND h.rn = t.t
+    """
+
+
+@query("q211_holt_forecast", oracle=_q211_oracle())
+def q211_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential (level + trend) forecast of monthly
+    revenue per nation, in integer cents: smoothed level/trend, 1- and
+    3-month-ahead forecasts, and the mean absolute one-step error — the
+    model-based successor to q04's static aggregate and the trend
+    complement of q163's seasonal baseline.
+
+    Scale shape: revenue collapses FIRST to the calendar-bounded
+    (nation, month, cents) table (the q210 rule); the sequential
+    recurrence then folds over an array of <= |months| elements per
+    nation — ``aggregate`` over a collect_list, partition-parallel
+    across nations, never a corpus-sized window.  Parity: the
+    recurrence runs entirely in signed integer fixed-point with
+    power-of-2 smoothing (alpha=2/8, beta=1/8), so every update is an
+    arithmetic shift — engine-exact on negatives, where ``//`` and
+    ``div`` both truncate (see HOLT_SHIFT note); the oracle is the
+    identical recurrence as a DuckDB recursive CTE.
+    """
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    mo = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            (
+                (F.year("o_orderdate") - TS_EPOCH_YEAR) * 12
+                + F.month("o_orderdate")
+                - 1
+            ).alias("m"),
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+            ).alias("rev")
+        )
+    )
+    den = 1 << HOLT_SHIFT
+    a_num, b_num = HOLT_ALPHA_NUM, HOLT_BETA_NUM
+
+    def step(acc: Column, y: Column) -> Column:
+        pred = acc["l"] + acc["b"]
+        l2 = F.shiftright(a_num * y + (den - a_num) * pred, HOLT_SHIFT)
+        b2 = F.shiftright((l2 - acc["l"]) + (den - b_num) * acc["b"], HOLT_SHIFT)
+        return F.struct(
+            l2.alias("l"),
+            b2.alias("b"),
+            (acc["sae"] + F.abs(y - pred)).alias("sae"),
+        )
+
+    series = mo.groupBy("nation").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("m", "rev"))), lambda s: s["rev"]
+        ).alias("ys")
+    )
+    fitted = series.filter(F.size("ys") >= 2).select(
+        "nation",
+        F.size("ys").alias("t"),
+        F.aggregate(
+            F.expr("slice(ys, 3, greatest(size(ys) - 2, 0))"),
+            F.struct(
+                F.element_at("ys", 2).alias("l"),
+                (F.element_at("ys", 2) - F.element_at("ys", 1)).alias("b"),
+                F.lit(0).cast("long").alias("sae"),
+            ),
+            step,
+        ).alias("hw"),
+    )
+    return fitted.select(
+        "nation",
+        F.col("t").cast("long").alias("n_months"),
+        F.col("hw.l").cast("long").alias("level_cents"),
+        F.col("hw.b").cast("long").alias("trend_cents"),
+        (F.col("hw.l") + F.col("hw.b")).cast("long").alias("forecast_1_cents"),
+        (F.col("hw.l") + 3 * F.col("hw.b")).cast("long").alias("forecast_3_cents"),
+        F.when(F.col("t") > 2, F.expr("hw.sae div (t - 2)"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("mae_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q212 — isotonic (PAV) calibration of return rate vs price bin
+# ---------------------------------------------------------------------------
+
+ISO_BIN_WIDTH = 10_000  # l_extendedprice units per bin (bounded domain)
+
+
+@query(
+    "q212_isotonic_calibration",
+    oracle=f"""
+    WITH bins AS (
+      SELECT CAST(FLOOR(l_extendedprice / {ISO_BIN_WIDTH}) AS INT) AS bin,
+             CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS r,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM lineitem GROUP BY 1),
+    ps AS (SELECT bin, r, w,
+                  CAST(SUM(r) OVER (ORDER BY bin) AS BIGINT) AS cr,
+                  CAST(SUM(w) OVER (ORDER BY bin) AS BIGINT) AS cw
+           FROM bins),
+    segs AS (SELECT a.bin AS j, b.bin AS k,
+                    CAST(b.cr - (a.cr - a.r) AS DOUBLE)
+                      / CAST(b.cw - (a.cw - a.w) AS DOUBLE) AS seg_mean
+             FROM ps a JOIN ps b ON b.bin >= a.bin),
+    inner_min AS (SELECT i.bin AS bin, s.j,
+                         MIN(s.seg_mean) AS lo
+                  FROM bins i JOIN segs s ON s.j <= i.bin AND s.k >= i.bin
+                  GROUP BY 1, 2),
+    iso AS (SELECT bin, MAX(lo) AS iso_raw FROM inner_min GROUP BY 1)
+    SELECT b.bin,
+           CAST(b.w AS BIGINT) AS n_items,
+           (ROUND(b.r * 1.0 / b.w, 6) + 0.0) AS raw_rate,
+           (ROUND(i.iso_raw, 6) + 0.0) AS iso_rate
+    FROM bins b JOIN iso i ON b.bin = i.bin
+    """,
+)
+def q212_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAV) calibration: the nondecreasing step function
+    closest in L2 to the per-price-bin return rate — monotone
+    regression, the calibration machinery behind reliability curves
+    that q129's rank/z-score normalization and q177's fixed-bin ECE
+    don't provide.  Computed via the minimax identity iso(i) =
+    max_{{j<=i}} min_{{k>=i}} mean(y_j..y_k) — fully declarative, no
+    sequential pool-merging loop, and provably equal to PAV's unique
+    solution.
+
+    Scale shape: the corpus collapses in ONE map+agg pass to the
+    |price bins| table (bounded by the price domain / {ISO_BIN_WIDTH},
+    not the corpus); the prefix window, the O(bins^2) segment means,
+    and the O(bins^3)-pair minimax all run on that bounded frame
+    (allowlisted global window + tiny-side range joins).  Parity: every
+    segment mean is ONE IEEE division of exact integer prefix
+    differences, so min/max pick identical values in both engines;
+    6-dp round at the edge only.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    bins = (
+        li.select(
+            F.floor(F.col("l_extendedprice") / ISO_BIN_WIDTH)
+            .cast("int")
+            .alias("bin"),
+            (F.col("l_returnflag") == "R").cast("long").alias("ret"),
+        )
+        .groupBy("bin")
+        .agg(F.sum("ret").alias("r"), F.count("*").alias("w"))
+    )
+    pw = W.orderBy("bin").rowsBetween(W.unboundedPreceding, 0)
+    ps = bins.select(
+        "bin",
+        "r",
+        "w",
+        F.sum("r").over(pw).alias("cr"),
+        F.sum("w").over(pw).alias("cw"),
+    )
+    a = ps.select(
+        F.col("bin").alias("j"),
+        (F.col("cr") - F.col("r")).alias("crj"),
+        (F.col("cw") - F.col("w")).alias("cwj"),
+    )
+    b = ps.select(
+        F.col("bin").alias("k"), F.col("cr").alias("crk"), F.col("cw").alias("cwk")
+    )
+    segs = (
+        a.join(b, F.col("k") >= F.col("j"))
+        .select(
+            "j",
+            "k",
+            (
+                (F.col("crk") - F.col("crj")).cast("double")
+                / (F.col("cwk") - F.col("cwj")).cast("double")
+            ).alias("seg_mean"),
+        )
+    )
+    inner_min = (
+        bins.select(F.col("bin"))
+        .join(segs, (F.col("j") <= F.col("bin")) & (F.col("k") >= F.col("bin")))
+        .groupBy("bin", "j")
+        .agg(F.min("seg_mean").alias("lo"))
+    )
+    iso = inner_min.groupBy("bin").agg(F.max("lo").alias("iso_raw"))
+    return bins.join(iso, "bin").select(
+        "bin",
+        F.col("w").cast("long").alias("n_items"),
+        dec(F.col("r") * 1.0 / F.col("w"), 6).alias("raw_rate"),
+        dec(F.col("iso_raw"), 6).alias("iso_rate"),
+    )

@@ -171,3 +171,102 @@ def test_theil_sen_ignores_outlier_month(spark, tmp_path):
     assert row["n_pairs"] == 45
     assert row["slope_per_month"] == 100.0
     assert row["intercept"] == 1000.0
+
+
+def test_holt_recurrence_matches_python_reference(spark, tmp_path):
+    """The Spark fold must reproduce the exact integer recurrence —
+    including negative trends, where arithmetic-shift flooring is the
+    parity-critical detail."""
+    from datapipeline_dags_spark.plans.modeling import (
+        HOLT_ALPHA_NUM,
+        HOLT_BETA_NUM,
+        HOLT_SHIFT,
+        q211_holt_forecast,
+    )
+
+    # declining series -> negative b throughout
+    ys = [50000, 47000, 45000, 30000, 28000, 26000, 10000]
+    orders = [
+        (i + 1, 1, datetime.date(1992, i + 1, 10), y / 100.0)
+        for i, y in enumerate(ys)
+    ]
+    spark.createDataFrame(
+        orders, "o_orderkey long, o_custkey long, o_orderdate date, o_totalprice double"
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        [(1, 3)], "c_custkey long, c_nationkey int"
+    ).write.parquet(str(tmp_path / "customer.parquet"))
+    spark.createDataFrame(
+        [(3, "CANADA")], "n_nationkey int, n_name string"
+    ).write.parquet(str(tmp_path / "nation.parquet"))
+
+    den = 1 << HOLT_SHIFT
+    l, b, sae = ys[1], ys[1] - ys[0], 0
+    for y in ys[2:]:
+        pred = l + b
+        sae += abs(y - pred)
+        l2 = (HOLT_ALPHA_NUM * y + (den - HOLT_ALPHA_NUM) * pred) >> HOLT_SHIFT
+        b = ((l2 - l) + (den - HOLT_BETA_NUM) * b) >> HOLT_SHIFT
+        l = l2
+    row = q211_holt_forecast(spark, str(tmp_path)).collect()[0]
+    assert row["level_cents"] == l
+    assert row["trend_cents"] == b
+    assert b < 0  # the declining series really exercises signed shifts
+    assert row["forecast_1_cents"] == l + b
+    assert row["forecast_3_cents"] == l + 3 * b
+    assert row["mae_cents"] == sae // (len(ys) - 2)
+
+
+def _pav_reference(rates):
+    """Sequential pool-adjacent-violators on (sum, weight) pools."""
+    pools = [[r, w] for r, w in rates]  # [sum, weight]
+    i = 0
+    while i < len(pools) - 1:
+        if pools[i][0] * pools[i + 1][1] > pools[i + 1][0] * pools[i][1]:
+            pools[i] = [pools[i][0] + pools[i + 1][0], pools[i][1] + pools[i + 1][1]]
+            del pools[i + 1]
+            i = max(i - 1, 0)
+        else:
+            i += 1
+    return pools
+
+
+def test_isotonic_monotone_and_matches_pav(spark, sf_dir):
+    """The minimax identity must produce a nondecreasing curve equal to
+    sequential PAV's pooled means."""
+    import duckdb
+
+    from datapipeline_dags_spark.plans.modeling import (
+        ISO_BIN_WIDTH,
+        q212_isotonic_calibration,
+    )
+
+    rows = sorted(
+        q212_isotonic_calibration(spark, sf_dir).collect(), key=lambda r: r["bin"]
+    )
+    iso = [r["iso_rate"] for r in rows]
+    assert iso == sorted(iso), "isotonic fit must be nondecreasing"
+    # PAV reference on the same binned (returns, weight) data
+    raw = duckdb.connect().execute(
+        f"""
+        SELECT CAST(FLOOR(l_extendedprice / {ISO_BIN_WIDTH}) AS INT) AS bin,
+               SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS r,
+               COUNT(*) AS w
+        FROM read_parquet('{sf_dir}/lineitem.parquet')
+        GROUP BY 1 ORDER BY 1
+        """
+    ).fetchall()
+    pools = _pav_reference([(float(r), float(w)) for _, r, w in raw])
+    # expand pooled means back over their member bins
+    expanded = []
+    idx = 0
+    for s, w in pools:
+        mean = s / w
+        consumed = 0.0
+        while consumed < w - 1e-9:
+            consumed += raw[idx][2]
+            expanded.append(round(mean, 6))
+            idx += 1
+    assert len(expanded) == len(iso)
+    for got, want in zip(iso, expanded):
+        assert abs(got - want) <= 1e-6

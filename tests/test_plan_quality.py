@@ -276,6 +276,10 @@ NESTED_LOOP_OK = {
     # inherits q186's 1-row percentile-list attach (both medians run
     # through distributed_percentiles)
     "q202_mad_outliers",
+    # bounded-frame range joins of the minimax identity: segments and
+    # the (bin, segment) containment join both run on the
+    # |price-domain/ISO_BIN_WIDTH|-row collapse, never the corpus
+    "q212_isotonic_calibration",
 }
 
 
@@ -334,6 +338,7 @@ GLOBAL_WINDOW_BOUNDED = {
     # (bit-equal to NTILE, pinned in test_exact_audit_gate.py)
     "q192_decile_lift": "NTILE at fixture scale; auto-distributed above",
     "q204_bfs_reach": "<= BFS_MAX_LEVEL+1-row level histogram cumulative",
+    "q212_isotonic_calibration": "|price-domain/ISO_BIN_WIDTH|-row prefix frame",
 }
 
 
