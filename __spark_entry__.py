@@ -146,6 +146,8 @@ _ROTATION_TAIL = [
     "q210_theil_sen_trend",
     "q211_holt_forecast",
     "q212_isotonic_calibration",
+    "q213_target_encoding",
+    "q214_triplet_mining",
 ]
 
 

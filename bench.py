@@ -83,6 +83,9 @@ HEADLINE = [
     # clustering (map-side projection + cell CC)
     "q207_markov_attribution",
     "q209_grid_density_clusters",
+    # the triplet miner exercises q41's shared LSH engine plus the
+    # top-1 windows and the pool pick — the heaviest batch-5 plan
+    "q214_triplet_mining",
 ]
 
 REPS = 3

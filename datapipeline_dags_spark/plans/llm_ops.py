@@ -178,9 +178,12 @@ LSH_B = MINHASH_H // LSH_R  # 4 bands
 JACCARD_T = 0.5
 
 
-def _q41_oracle() -> str:
-    # One md5 per shingle; permutation i = h1 + i*h2 (h2 is 32-bit so
-    # i*h2 never overflows BIGINT in either engine).
+def _lsh_verified_ctes() -> str:
+    """Shared WITH-body of the q41/q214 oracles: shingles -> minhash
+    signatures -> capped band buckets -> candidate pairs -> exact
+    Jaccard, UNFILTERED (q41 applies the >= threshold, q214 uses both
+    sides of it).  One md5 per shingle; permutation i = h1 + i*h2 (h2
+    is 32-bit so i*h2 never overflows BIGINT in either engine)."""
     sig_cols = ", ".join(
         f"list_min(list_transform(hp, p -> p.h1 + {i} * p.h2)) AS m{i}"
         for i in range(MINHASH_H)
@@ -193,7 +196,7 @@ def _q41_oracle() -> str:
         for b in range(LSH_B)
     )
     return f"""
-    WITH docs AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents),
+    docs AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents),
     hp AS (SELECT doc_id, sh,
            list_transform(list_transform(sh, s -> md5(s)),
              h -> {{'h1': ('0x' || substr(h, 1, 15))::BIGINT,
@@ -215,14 +218,27 @@ def _q41_oracle() -> str:
       FROM cand c
       JOIN docs da ON da.doc_id = c.doc_a
       JOIN docs db ON db.doc_id = c.doc_b)
+    """
+
+
+def _q41_oracle() -> str:
+    return f"""
+    WITH {_lsh_verified_ctes()}
     SELECT doc_a, doc_b, (ROUND(j, 6) + 0.0) AS jaccard
     FROM verified WHERE j >= {JACCARD_T}
     """
 
 
-@query("q41_dedup_minhash_lsh", oracle=_q41_oracle())
-def q41_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(12)+LSH(4 bands × 3) near-dup, exact-Jaccard verified.
+def _lsh_verified_candidates(
+    spark: SparkSession, sf_dir: str, name: str
+) -> DataFrame:
+    """UNFILTERED MinHash-LSH candidate pairs with exact Jaccard —
+    (doc_a, doc_b, j): the shared engine of q41 (which keeps j >=
+    JACCARD_T) and q214's triplet miner (which also uses the same-bucket
+    pairs BELOW threshold as hard negatives).  ``name`` keys the bucket
+    observation so each caller's cap counters stay separate.
+
+    MinHash(12)+LSH(4 bands × 3) near-dup, exact-Jaccard verified.
 
     Candidate generation is a self-join on (band, band_key) — each doc
     emits 4 constant-width band keys, so the join is hash-partitioned on
@@ -295,7 +311,7 @@ def q41_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("ids") >= 2)
     )
     cand = (
-        _cap_buckets(bucketed, "q41_dedup_minhash_lsh", "ids")
+        _cap_buckets(bucketed, name, "ids")
         .select(F.explode(pair_structs).alias("p"))
         .select(F.col("p.doc_a"), F.col("p.doc_b"))
         .distinct()
@@ -306,8 +322,18 @@ def q41_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.join(sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
         .join(sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
         .withColumn("j", j)
-        .filter(F.col("j") >= JACCARD_T)
-        .select("doc_a", "doc_b", dec(F.col("j"), 6).alias("jaccard"))
+        .select("doc_a", "doc_b", "j")
+    )
+
+
+@query("q41_dedup_minhash_lsh", oracle=_q41_oracle())
+def q41_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(12)+LSH(4 bands × 3) near-dup, exact-Jaccard verified —
+    the >= JACCARD_T face of ``_lsh_verified_candidates`` (see its
+    docstring for the candidate-generation and hashing design)."""
+    v = _lsh_verified_candidates(spark, sf_dir, "q41_dedup_minhash_lsh")
+    return v.filter(F.col("j") >= JACCARD_T).select(
+        "doc_a", "doc_b", dec(F.col("j"), 6).alias("jaccard")
     )
 
 
@@ -5510,7 +5536,7 @@ CONTAIN_T = 0.8  # |A ∩ B| / |A| — A is (mostly) contained in B
 
 def _q131_oracle() -> str:
     return f"""
-    WITH docs AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents),
+    docs AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents),
     ex AS (SELECT doc_id, unnest(sh) AS s FROM docs),
     sizes AS (SELECT doc_id, len(sh) AS n FROM docs),
     inter AS (
@@ -5800,7 +5826,7 @@ def _q135_oracle() -> str:
         f"CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END" for i in range(MINHASH_H)
     )
     return f"""
-    WITH docs AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents),
+    docs AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents),
     hp AS (SELECT doc_id, sh,
            list_transform(list_transform(sh, s -> md5(s)),
              h -> {{'h1': ('0x' || substr(h, 1, 15))::BIGINT,
@@ -8201,4 +8227,145 @@ def q197_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         dec(
             F.log2(F.col("total") * 1.0) - F.col("sln") / F.col("total"), 6
         ).alias("entropy_bits"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q214 — contrastive triplet mining (anchor, positive, hard/random negative)
+# ---------------------------------------------------------------------------
+
+#: same-bucket pairs BELOW this Jaccard are "hard" negatives: the LSH
+#: blocking thought they might match, exact verification says they
+#: don't — exactly the near-miss band contrastive training wants.
+HARD_NEG_T = 0.2
+#: bounded random-negative pool: the NEG_POOL docs with the smallest
+#: md5(doc_id).  A per-anchor pick from a broadcast pool replaces the
+#: corpus-sized random join a naive sampler would do.
+NEG_POOL = 64
+
+
+def _q214_oracle() -> str:
+    coin = (
+        "(('0x' || substr(md5(CAST(p.anchor AS VARCHAR)), 1, 8))::BIGINT"
+        f" % {NEG_POOL})"
+    )
+    return f"""
+    WITH {_lsh_verified_ctes()},
+    sym AS (SELECT doc_a AS anchor, doc_b AS other, j FROM verified
+            UNION ALL SELECT doc_b, doc_a, j FROM verified),
+    sym6 AS (SELECT anchor, other, j, ROUND(j, 6) AS pj6 FROM sym),
+    pos AS (SELECT anchor, other AS positive, pj6 FROM sym6
+            WHERE j >= {JACCARD_T}
+            QUALIFY row_number() OVER (PARTITION BY anchor
+                                       ORDER BY pj6 DESC, other) = 1),
+    hard AS (SELECT anchor, other AS hard_neg, pj6 AS hj6 FROM sym6
+             WHERE j < {HARD_NEG_T}
+             QUALIFY row_number() OVER (PARTITION BY anchor
+                                        ORDER BY pj6 DESC, other) = 1),
+    pool AS (SELECT doc_id,
+                    row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                       doc_id) - 1 AS idx
+             FROM (SELECT doc_id FROM documents
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   LIMIT {NEG_POOL})),
+    rnd AS (SELECT p.anchor, pl.doc_id AS rand_neg
+            FROM pos p JOIN pool pl
+              ON pl.doc_id <> p.anchor AND pl.doc_id <> p.positive
+            QUALIFY row_number() OVER (PARTITION BY p.anchor
+              ORDER BY (pl.idx - {coin} + {NEG_POOL}) % {NEG_POOL}) = 1)
+    SELECT p.anchor, p.positive, (p.pj6 + 0.0) AS pos_jaccard,
+           h.hard_neg, (h.hj6 + 0.0) AS hard_jaccard, r.rand_neg
+    FROM pos p
+    LEFT JOIN hard h ON p.anchor = h.anchor
+    JOIN rnd r ON p.anchor = r.anchor
+    """
+
+
+@query("q214_triplet_mining", oracle=_q214_oracle())
+def q214_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training triplets from the q41 LSH machinery: per
+    anchor (any doc with a verified near-dup), the highest-Jaccard
+    partner as POSITIVE, the highest same-bucket pair BELOW
+    {HARD_NEG_T} as HARD negative (the blocking's near-misses — the
+    band a contrastive objective learns the most from), and a
+    deterministic md5-rotated pick from a bounded pool as RANDOM
+    negative — the (anchor, positive, negative) generator an
+    embedding-model training pipeline runs over the deduped corpus.
+
+    Scale shape: candidate generation + verification IS q41's capped
+    band-bucket engine (shared ``_lsh_verified_candidates``; its own
+    observation key, so cap counters stay attributable); the two
+    top-1-per-anchor windows rank on ROUNDED Jaccard + id (engine-
+    agreed boundaries); the random pool is a {NEG_POOL}-row
+    TakeOrderedAndProject broadcast — per-anchor pick is map-side,
+    never a corpus join.
+    """
+    v = _lsh_verified_candidates(spark, sf_dir, "q214_triplet_mining")
+    sym = (
+        v.select(F.col("doc_a").alias("anchor"), F.col("doc_b").alias("other"), "j")
+        .unionAll(
+            v.select(
+                F.col("doc_b").alias("anchor"), F.col("doc_a").alias("other"), "j"
+            )
+        )
+        .withColumn("pj6", F.round("j", 6))
+    )
+    wtop = W.partitionBy("anchor").orderBy(F.col("pj6").desc(), F.col("other"))
+    pos = (
+        sym.filter(F.col("j") >= JACCARD_T)
+        .withColumn("rn", F.row_number().over(wtop))
+        .filter(F.col("rn") == 1)
+        .select(
+            "anchor",
+            F.col("other").alias("positive"),
+            (F.col("pj6") + F.lit(0.0)).alias("pos_jaccard"),
+        )
+    )
+    hard = (
+        sym.filter(F.col("j") < HARD_NEG_T)
+        .withColumn("rn", F.row_number().over(wtop))
+        .filter(F.col("rn") == 1)
+        .select(
+            "anchor",
+            F.col("other").alias("hard_neg"),
+            (F.col("pj6") + F.lit(0.0)).alias("hard_jaccard"),
+        )
+    )
+    md5_order = [F.md5(F.col("doc_id").cast("string")), F.col("doc_id")]
+    pool = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .orderBy(*md5_order)
+        .limit(NEG_POOL)
+        .withColumn("idx", F.row_number().over(W.orderBy(*md5_order)) - 1)
+    )
+    h = (
+        F.conv(F.substring(F.md5(F.col("anchor").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % NEG_POOL
+    )
+    rnd = (
+        pos.select("anchor", "positive")
+        .withColumn("h", h)
+        .join(
+            F.broadcast(pool),
+            (F.col("doc_id") != F.col("anchor"))
+            & (F.col("doc_id") != F.col("positive")),
+        )
+        .withColumn("off", (F.col("idx") - F.col("h") + NEG_POOL) % NEG_POOL)
+        .withColumn("rn", F.row_number().over(W.partitionBy("anchor").orderBy("off")))
+        .filter(F.col("rn") == 1)
+        .select("anchor", F.col("doc_id").alias("rand_neg"))
+    )
+    return (
+        pos.join(hard, "anchor", "left")
+        .join(rnd, "anchor")
+        .select(
+            "anchor",
+            "positive",
+            "pos_jaccard",
+            "hard_neg",
+            "hard_jaccard",
+            "rand_neg",
+        )
     )

@@ -898,3 +898,106 @@ def q212_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         dec(F.col("r") * 1.0 / F.col("w"), 6).alias("raw_rate"),
         dec(F.col("iso_raw"), 6).alias("iso_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q213 — out-of-fold (leakage-free) smoothed target encoding
+# ---------------------------------------------------------------------------
+
+TE_FOLDS = 5  # md5-keyed cross-validation folds
+TE_SMOOTH = 100  # pseudo-count pulling rare categories toward the prior
+
+
+@query(
+    "q213_target_encoding",
+    oracle=f"""
+    WITH li AS (
+      SELECT p.p_brand AS brand,
+             ('0x' || substr(md5(CAST(l.l_orderkey AS VARCHAR) || '-' ||
+                                 CAST(l.l_linenumber AS VARCHAR)), 1, 8))::BIGINT
+               % {TE_FOLDS} AS fold,
+             CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+    cell AS (SELECT brand, fold,
+                    CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS r
+             FROM li GROUP BY 1, 2),
+    tot AS (SELECT brand, CAST(SUM(n) AS BIGINT) AS nb,
+                   CAST(SUM(r) AS BIGINT) AS rb
+            FROM cell GROUP BY 1),
+    g AS (SELECT CAST(SUM(n) AS BIGINT) AS ng, CAST(SUM(r) AS BIGINT) AS rg
+          FROM cell)
+    SELECT c.brand, CAST(c.fold AS BIGINT) AS fold,
+           CAST(t.nb - c.n AS BIGINT) AS n_oof,
+           (ROUND(((t.rb - c.r) + {TE_SMOOTH} * (g.rg * 1.0 / g.ng))
+                  / ((t.nb - c.n) + {TE_SMOOTH}), 6) + 0.0) AS enc,
+           (ROUND(c.r * 1.0 / c.n, 6) + 0.0) AS fold_rate
+    FROM cell c JOIN tot t ON c.brand = t.brand CROSS JOIN g
+    """,
+)
+def q213_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-fold smoothed target encoding of part brand against the
+    return flag: for every (brand, md5-fold) cell, the mean target of
+    the brand's OTHER folds with a {TE_SMOOTH}-pseudo-count pull toward
+    the global prior — the leakage-free categorical encoding a model
+    pipeline joins back onto training rows (encoding a row with
+    statistics that include the row itself is the classic target-
+    leakage bug; the fold exclusion is the fix, and the md5 fold key
+    makes the split reproducible — the q58/q148 discipline).
+
+    Scale shape: one corpus pass collapses to |brands| x {TE_FOLDS}
+    integer cells; everything after (per-brand totals, the 1-row global
+    prior attach, the encoding arithmetic) runs on that bounded frame.
+    Parity: counts are exact integers; the encoding is one double
+    expression over them (prior computed once, same association order
+    both engines), 6-dp round at the edge.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    pt = table(spark, sf_dir, "part")
+    fold = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "-",
+                        F.col("l_orderkey").cast("string"),
+                        F.col("l_linenumber").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % TE_FOLDS
+    )
+    cell = (
+        li.join(pt, li.l_partkey == pt.p_partkey)
+        .select(
+            F.col("p_brand").alias("brand"),
+            fold.alias("fold"),
+            (F.col("l_returnflag") == "R").cast("long").alias("y"),
+        )
+        .groupBy("brand", "fold")
+        .agg(F.count("*").alias("n"), F.sum("y").alias("r"))
+    )
+    tot = cell.groupBy("brand").agg(
+        F.sum("n").alias("nb"), F.sum("r").alias("rb")
+    )
+    g = cell.agg(F.sum("n").alias("ng"), F.sum("r").alias("rg"))
+    mu = F.col("rg") * 1.0 / F.col("ng")
+    return (
+        cell.join(tot, "brand")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "brand",
+            F.col("fold").cast("long").alias("fold"),
+            (F.col("nb") - F.col("n")).cast("long").alias("n_oof"),
+            dec(
+                ((F.col("rb") - F.col("r")) + TE_SMOOTH * mu)
+                / ((F.col("nb") - F.col("n")) + TE_SMOOTH),
+                6,
+            ).alias("enc"),
+            dec(F.col("r") * 1.0 / F.col("n"), 6).alias("fold_rate"),
+        )
+    )

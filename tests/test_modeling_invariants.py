@@ -270,3 +270,68 @@ def test_isotonic_monotone_and_matches_pav(spark, sf_dir):
     assert len(expanded) == len(iso)
     for got, want in zip(iso, expanded):
         assert abs(got - want) <= 1e-6
+
+
+def test_target_encoding_excludes_own_fold(spark, tmp_path):
+    """Construct folds with wildly different rates: each fold's encoding
+    must reflect only the OTHER folds (computed against a Python
+    reference), and fold + oof counts must cover the brand."""
+    import hashlib
+
+    from datapipeline_dags_spark.plans.modeling import (
+        TE_FOLDS,
+        TE_SMOOTH,
+        q213_target_encoding,
+    )
+
+    # one brand; craft line keys and per-line flags, fold derived the
+    # same way the query does it
+    rows = []
+    for ok in range(1, 121):
+        key = f"{ok}-1"
+        fold = int(hashlib.md5(key.encode()).hexdigest()[:8], 16) % TE_FOLDS
+        flag = "R" if (fold in (0, 1) and ok % 2 == 0) else "N"
+        rows.append((ok, 1, 101, flag))
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_linenumber long, l_partkey long, l_returnflag string"
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+    spark.createDataFrame(
+        [(101, "Brand#1")], "p_partkey long, p_brand string"
+    ).write.parquet(str(tmp_path / "part.parquet"))
+
+    from collections import defaultdict
+
+    n = defaultdict(int)
+    r = defaultdict(int)
+    for ok, _, _, flag in rows:
+        fold = int(hashlib.md5(f"{ok}-1".encode()).hexdigest()[:8], 16) % TE_FOLDS
+        n[fold] += 1
+        r[fold] += flag == "R"
+    nb, rb = sum(n.values()), sum(r.values())
+    mu = rb * 1.0 / nb
+    out = {row["fold"]: row for row in q213_target_encoding(spark, str(tmp_path)).collect()}
+    assert set(out) == set(range(TE_FOLDS))
+    for f in range(TE_FOLDS):
+        assert out[f]["n_oof"] == nb - n[f]
+        want = round(((rb - r[f]) + TE_SMOOTH * mu) / ((nb - n[f]) + TE_SMOOTH), 6)
+        assert abs(out[f]["enc"] - want) < 1e-9
+
+
+def test_triplet_mining_invariants(spark, sf_dir):
+    from datapipeline_dags_spark.plans.llm_ops import (
+        HARD_NEG_T,
+        JACCARD_T,
+        q214_triplet_mining,
+    )
+
+    rows = q214_triplet_mining(spark, sf_dir).collect()
+    assert rows, "fixture has near-dup pairs"
+    anchors = [r["anchor"] for r in rows]
+    assert len(anchors) == len(set(anchors)), "one triplet per anchor"
+    for r in rows:
+        assert r["positive"] != r["anchor"]
+        assert r["pos_jaccard"] >= JACCARD_T
+        assert r["rand_neg"] not in (r["anchor"], r["positive"])
+        if r["hard_neg"] is not None:
+            assert r["hard_neg"] != r["anchor"]
+            assert r["hard_jaccard"] < HARD_NEG_T

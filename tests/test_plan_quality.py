@@ -77,6 +77,9 @@ def test_watermark_predicate_pushes_to_parquet(spark):
 # fixed-size at every SF.  Nothing else may.
 BOUNDED_FILTER_HINT_OK = {
     "q45_ann_topk_bruteforce",
+    "q213_target_encoding",  # broadcasts the 1-row global-prior aggregate
+    # broadcasts the NEG_POOL-row (LIMIT) random-negative pool
+    "q214_triplet_mining",
     "q175_kaplan_meier",  # broadcasts the 1-row order-count aggregate
     "q176_cusum_changepoint",  # broadcasts the 1-row daily-mean aggregate
     # broadcasts the dim-bounded label centroid + the 1-row corpus count
@@ -280,6 +283,11 @@ NESTED_LOOP_OK = {
     # the (bin, segment) containment join both run on the
     # |price-domain/ISO_BIN_WIDTH|-row collapse, never the corpus
     "q212_isotonic_calibration",
+    # 1-row global-prior attach onto the |brands| x TE_FOLDS frame
+    "q213_target_encoding",
+    # NEG_POOL-row broadcast pool x anchors inequality pick (cf. q127's
+    # bounded audit-batch pattern)
+    "q214_triplet_mining",
 }
 
 
@@ -339,6 +347,7 @@ GLOBAL_WINDOW_BOUNDED = {
     "q192_decile_lift": "NTILE at fixture scale; auto-distributed above",
     "q204_bfs_reach": "<= BFS_MAX_LEVEL+1-row level histogram cumulative",
     "q212_isotonic_calibration": "|price-domain/ISO_BIN_WIDTH|-row prefix frame",
+    "q214_triplet_mining": "row_number over the NEG_POOL-row limit",
 }
 
 
