@@ -5536,7 +5536,7 @@ CONTAIN_T = 0.8  # |A ∩ B| / |A| — A is (mostly) contained in B
 
 def _q131_oracle() -> str:
     return f"""
-    docs AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents),
+    WITH docs AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents),
     ex AS (SELECT doc_id, unnest(sh) AS s FROM docs),
     sizes AS (SELECT doc_id, len(sh) AS n FROM docs),
     inter AS (
@@ -5826,7 +5826,7 @@ def _q135_oracle() -> str:
         f"CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END" for i in range(MINHASH_H)
     )
     return f"""
-    docs AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents),
+    WITH docs AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents),
     hp AS (SELECT doc_id, sh,
            list_transform(list_transform(sh, s -> md5(s)),
              h -> {{'h1': ('0x' || substr(h, 1, 15))::BIGINT,
