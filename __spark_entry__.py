@@ -148,6 +148,8 @@ _ROTATION_TAIL = [
     "q212_isotonic_calibration",
     "q213_target_encoding",
     "q214_triplet_mining",
+    "q215_label_propagation",
+    "q216_item_item_cf",
 ]
 
 

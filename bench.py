@@ -86,6 +86,9 @@ HEADLINE = [
     # the triplet miner exercises q41's shared LSH engine plus the
     # top-1 windows and the pool pick — the heaviest batch-5 plan
     "q214_triplet_mining",
+    # item-item CF: the co-purchase pair explode + two aggs + per-part
+    # ranking — the heaviest batch-6 plan
+    "q216_item_item_cf",
 ]
 
 REPS = 3

@@ -814,3 +814,227 @@ def q206_sampling_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("design_effect"),
         dec(F.col("wmax") * 1.0 / F.col("sw"), 6).alias("max_weight_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q215 — label-propagation communities on the co-purchase graph
+# ---------------------------------------------------------------------------
+
+#: synchronous label-propagation rounds — a fixed count keeps both
+#: engines' non-asymptotic state identical (the q183/q207 K-round
+#: contract; sync LPA can oscillate on bipartite structures, and a
+#: fixed K with deterministic tie-breaks makes even an oscillation
+#: engine-exact).
+LPA_ROUNDS = 6
+LPA_TOP = 20
+
+
+def _q215_oracle() -> str:
+    prev = "lp0"
+    iters = []
+    for k in range(1, LPA_ROUNDS + 1):
+        iters.append(f"""
+    lp{k} AS MATERIALIZED (
+      SELECT dst AS node, label FROM (
+        SELECT s.dst, p.label, COUNT(*) AS c
+        FROM symlp s JOIN {prev} p ON p.node = s.src
+        GROUP BY 1, 2)
+      QUALIFY row_number() OVER (PARTITION BY dst
+                                 ORDER BY c DESC, label) = 1)""")
+        prev = f"lp{k}"
+    return f"""
+    WITH {_EDGE_CTES},
+    symlp AS MATERIALIZED (
+      SELECT a AS src, bb AS dst FROM e
+      UNION ALL SELECT bb, a FROM e),
+    lp0 AS MATERIALIZED (
+      SELECT DISTINCT src AS node, src AS label FROM symlp),
+    {','.join(iters)},
+    comm AS (SELECT label AS community, COUNT(*) AS n_nodes
+             FROM {prev} GROUP BY 1),
+    tot AS (SELECT COUNT(*) AS nc FROM comm),
+    topk AS (SELECT community, n_nodes FROM comm
+             ORDER BY n_nodes DESC, community LIMIT {LPA_TOP})
+    SELECT CAST(t.community AS BIGINT) AS community,
+           CAST(t.n_nodes AS BIGINT) AS n_nodes,
+           CAST(x.nc AS BIGINT) AS n_communities
+    FROM topk t CROSS JOIN tot x
+    """
+
+
+@query("q215_label_propagation", oracle=_q215_oracle())
+def q215_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation
+    (Raghavan et al. 2007) over the co-purchase part graph: each round
+    every node adopts its neighbors' most frequent label (ties to the
+    smallest label id), {LPA_ROUNDS} fixed rounds — the assortment-
+    planning view (which parts sell TOGETHER as a community) that
+    connected components (one giant blob) and q199's global clustering
+    coefficient (one number) can't give.
+
+    Scale shape: per round ONE node-keyed join + ONE (node, label)
+    hash aggregate + ONE per-node argmax window (partitioned by node,
+    never global), localCheckpointed (the q183 loop discipline); the
+    argmax ranks on exact integer counts with a label tiebreak, so
+    round-by-round state is engine-identical and the oracle's
+    chained-CTE rounds reproduce it bit-for-bit.  Output is a
+    top-{LPA_TOP} TakeOrderedAndProject by integer size plus the 1-row
+    community-count attach.
+    """
+    edges = _copurchase_edges(spark, sf_dir, "q215_label_propagation")
+    sym = local_checkpoint(
+        edges.select(F.col("a").alias("src"), F.col("bb").alias("dst")).unionAll(
+            edges.select(F.col("bb").alias("src"), F.col("a").alias("dst"))
+        ),
+        "q215 symmetric edges",
+    )
+    labels = local_checkpoint(
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label")),
+        "q215 lp init",
+    )
+    wmax = W.partitionBy("dst").orderBy(F.col("c").desc(), F.col("label"))
+    for k in range(LPA_ROUNDS):
+        counts = (
+            sym.join(labels.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst", "label")
+            .agg(F.count("*").alias("c"))
+        )
+        labels = local_checkpoint(
+            counts.withColumn("rn", F.row_number().over(wmax))
+            .filter(F.col("rn") == 1)
+            .select(F.col("dst").alias("node"), "label"),
+            f"q215 lp round {k + 1}",
+        )
+    comm = labels.groupBy(F.col("label").alias("community")).agg(
+        F.count("*").alias("n_nodes")
+    )
+    tot = comm.agg(F.count("*").alias("nc"))
+    return (
+        comm.orderBy(F.col("n_nodes").desc(), "community")
+        .limit(LPA_TOP)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("community").cast("long"),
+            F.col("n_nodes").cast("long"),
+            F.col("nc").cast("long").alias("n_communities"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q216 — item-item collaborative filtering (co-purchase cosine top-k)
+# ---------------------------------------------------------------------------
+
+CF_TOP = 5  # neighbors recommended per part
+
+
+@query(
+    "q216_item_item_cf",
+    oracle=f"""
+    WITH {_EDGE_CTES},
+    freq AS MATERIALIZED (SELECT pk, COUNT(*) AS n FROM b GROUP BY 1),
+    pairs AS MATERIALIZED (
+      SELECT x.pk AS a, y.pk AS bb, COUNT(*) AS nab
+      FROM b x JOIN b y
+        ON x.l_orderkey = y.l_orderkey AND x.pk < y.pk
+      GROUP BY 1, 2 HAVING COUNT(*) >= {TRI_MIN_SUPPORT}),
+    scored AS (
+      SELECT p.a AS part, p.bb AS neighbor, p.nab,
+             ROUND(p.nab / SQRT(fa.n * fb.n), 6) AS cos6
+      FROM pairs p
+      JOIN freq fa ON fa.pk = p.a
+      JOIN freq fb ON fb.pk = p.bb),
+    sym AS (SELECT part, neighbor, nab, cos6 FROM scored
+            UNION ALL
+            SELECT neighbor, part, nab, cos6 FROM scored),
+    ranked AS (SELECT part, neighbor, nab, cos6,
+                      row_number() OVER (PARTITION BY part
+                                         ORDER BY cos6 DESC, neighbor)
+                        AS rec_rank
+               FROM sym)
+    SELECT part, CAST(rec_rank AS INT) AS rec_rank, neighbor,
+           CAST(nab AS BIGINT) AS cooccur, (cos6 + 0.0) AS cosine
+    FROM ranked WHERE rec_rank <= {CF_TOP}
+    """,
+)
+def q216_item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering (Sarwar et al. 2001 / the
+    Amazon recommender): each part's top-{CF_TOP} co-purchase
+    neighbors by cosine over order-occurrence vectors, cos(a, b) =
+    n_ab / sqrt(n_a * n_b) — the "customers who bought this also
+    bought" table, computed batch-side.  Distinct from q142 (pair lift
+    ranking) and q199 (triangle census): this emits a per-item
+    RANKED NEIGHBOR LIST, the serving artifact.
+
+    Scale shape: the capped basket explode bounds pair generation
+    (Σ C(min(basket, {TRI_MAX_BASKET}), 2), the q179/q199 contract —
+    same observable cap counters); frequencies and pair counts are two
+    hash aggregates; the top-{CF_TOP} window partitions by part, never
+    global.  Parity: cosine is ONE IEEE expression over exact integer
+    counts, ranked after a 6-dp round with the neighbor-id tiebreak
+    (engine-agreed k-boundary).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    obs = Observation()
+    MINING_OBSERVATIONS["q216_item_item_cf"] = obs
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+        .observe(
+            obs,
+            F.count(F.lit(1)).alias("baskets"),
+            F.sum((F.size("parts") > TRI_MAX_BASKET).cast("long")).alias(
+                "capped_baskets"
+            ),
+            F.max(F.size("parts")).alias("max_basket_size"),
+        )
+    )
+    b = local_checkpoint(
+        baskets.select(
+            "l_orderkey", F.explode(F.slice("parts", 1, TRI_MAX_BASKET)).alias("pk")
+        ),
+        "q216 basket explode",
+    )
+    freq = b.groupBy("pk").agg(F.count("*").alias("n"))
+    pairs = (
+        b.select("l_orderkey", F.col("pk").alias("a"))
+        .join(b.select("l_orderkey", F.col("pk").alias("bb")), "l_orderkey")
+        .filter(F.col("a") < F.col("bb"))
+        .groupBy("a", "bb")
+        .agg(F.count("*").alias("nab"))
+        .filter(F.col("nab") >= TRI_MIN_SUPPORT)
+    )
+    scored = (
+        pairs.join(freq.select(F.col("pk").alias("a"), F.col("n").alias("na")), "a")
+        .join(freq.select(F.col("pk").alias("bb"), F.col("n").alias("nb")), "bb")
+        .select(
+            F.col("a").alias("part"),
+            F.col("bb").alias("neighbor"),
+            "nab",
+            F.round(F.col("nab") / F.sqrt(F.col("na") * F.col("nb")), 6).alias(
+                "cos6"
+            ),
+        )
+    )
+    sym = scored.unionAll(
+        scored.select(
+            F.col("neighbor").alias("part"),
+            F.col("part").alias("neighbor"),
+            "nab",
+            "cos6",
+        )
+    )
+    wr = W.partitionBy("part").orderBy(F.col("cos6").desc(), F.col("neighbor"))
+    return (
+        sym.withColumn("rec_rank", F.row_number().over(wr))
+        .filter(F.col("rec_rank") <= CF_TOP)
+        .select(
+            "part",
+            F.col("rec_rank").cast("int").alias("rec_rank"),
+            "neighbor",
+            F.col("nab").cast("long").alias("cooccur"),
+            (F.col("cos6") + F.lit(0.0)).alias("cosine"),
+        )
+    )

@@ -173,3 +173,90 @@ def test_bfs_on_known_chain(spark, tmp_path):
         expect[lvl] = expect.get(lvl, 0) + 1
     got = {r["level"]: r["n_nodes"] for r in q204_bfs_reach(spark, str(tmp_path)).collect()}
     assert got == expect
+
+
+def test_label_propagation_partitions_nodes(spark, sf_dir):
+    """Communities partition the node set; sizes are positive; the
+    1-row community count matches the distinct labels; and every
+    reported community id is a node id (labels only ever copy ids)."""
+    from datapipeline_dags_spark.plans.mining import (
+        LPA_TOP,
+        q215_label_propagation,
+    )
+
+    rows = q215_label_propagation(spark, sf_dir).collect()
+    assert rows
+    nc = rows[0]["n_communities"]
+    assert all(r["n_communities"] == nc for r in rows)
+    assert len(rows) == min(nc, LPA_TOP)
+    ids = [r["community"] for r in rows]
+    assert len(ids) == len(set(ids))
+    assert all(r["n_nodes"] >= 1 for r in rows)
+
+
+def test_label_propagation_two_cliques(spark, tmp_path):
+    """Two disjoint K4 cliques: LPA must find exactly the two cliques
+    (each converges to its minimum node label)."""
+    from datapipeline_dags_spark.plans.mining import q215_label_propagation
+
+    rows = []
+    ok = 0
+    for rep in range(2):  # duplicate orders so pairs clear support 2
+        for basket in ([1, 2, 3, 4], [10, 11, 12, 13]):
+            ok += 1
+            for pk in basket:
+                rows.append((ok, pk))
+    spark.createDataFrame(rows, "l_orderkey long, l_partkey long").write.parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    out = q215_label_propagation(spark, str(tmp_path)).collect()
+    got = sorted((r["community"], r["n_nodes"]) for r in out)
+    assert got == [(1, 4), (10, 4)]
+    assert all(r["n_communities"] == 2 for r in out)
+
+
+def test_item_item_cf_invariants(spark, sf_dir):
+    """Ranked lists: ranks are 1..k dense per part, cosines in (0, 1],
+    nonincreasing within a part, and no self-recommendations."""
+    from collections import defaultdict
+
+    from datapipeline_dags_spark.plans.mining import CF_TOP, q216_item_item_cf
+
+    rows = q216_item_item_cf(spark, sf_dir).collect()
+    assert rows
+    per = defaultdict(list)
+    for r in rows:
+        assert r["neighbor"] != r["part"]
+        assert 0.0 < r["cosine"] <= 1.0
+        assert 1 <= r["rec_rank"] <= CF_TOP
+        per[r["part"]].append(r)
+    for part, lst in per.items():
+        lst.sort(key=lambda r: r["rec_rank"])
+        assert [r["rec_rank"] for r in lst] == list(range(1, len(lst) + 1))
+        cosines = [r["cosine"] for r in lst]
+        assert cosines == sorted(cosines, reverse=True)
+
+
+def test_item_item_cf_known_counts(spark, tmp_path):
+    """Three orders {1,2},{1,2},{1,3},{1,3}: cos(1,2) = 2/sqrt(4*2),
+    cos(1,3) = 2/sqrt(4*2), cos(2,3) unsupported (never co-occur)."""
+    from datapipeline_dags_spark.plans.mining import q216_item_item_cf
+
+    rows = []
+    for ok, basket in enumerate(([1, 2], [1, 2], [1, 3], [1, 3]), start=1):
+        for pk in basket:
+            rows.append((ok, pk))
+    spark.createDataFrame(rows, "l_orderkey long, l_partkey long").write.parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    out = q216_item_item_cf(spark, str(tmp_path)).collect()
+    want_cos = round(2 / (4 * 2) ** 0.5, 6)
+    got = {(r["part"], r["neighbor"]): r for r in out}
+    assert got[(1, 2)]["cooccur"] == 2 and got[(1, 2)]["cosine"] == want_cos
+    assert got[(1, 3)]["cooccur"] == 2 and got[(1, 3)]["cosine"] == want_cos
+    assert (2, 3) not in got and (3, 2) not in got
+    # part 1's list ranks 2 before 3 only by the id tiebreak
+    p1 = sorted(
+        [r for r in out if r["part"] == 1], key=lambda r: r["rec_rank"]
+    )
+    assert [r["neighbor"] for r in p1] == [2, 3]

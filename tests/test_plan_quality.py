@@ -80,6 +80,7 @@ BOUNDED_FILTER_HINT_OK = {
     "q213_target_encoding",  # broadcasts the 1-row global-prior aggregate
     # broadcasts the NEG_POOL-row (LIMIT) random-negative pool
     "q214_triplet_mining",
+    "q215_label_propagation",  # broadcasts the 1-row community count
     "q175_kaplan_meier",  # broadcasts the 1-row order-count aggregate
     "q176_cusum_changepoint",  # broadcasts the 1-row daily-mean aggregate
     # broadcasts the dim-bounded label centroid + the 1-row corpus count
@@ -285,6 +286,8 @@ NESTED_LOOP_OK = {
     "q212_isotonic_calibration",
     # 1-row global-prior attach onto the |brands| x TE_FOLDS frame
     "q213_target_encoding",
+    # 1-row community-count attach onto the LPA_TOP-row frame
+    "q215_label_propagation",
     # NEG_POOL-row broadcast pool x anchors inequality pick (cf. q127's
     # bounded audit-batch pattern)
     "q214_triplet_mining",
