@@ -150,6 +150,8 @@ _ROTATION_TAIL = [
     "q214_triplet_mining",
     "q215_label_propagation",
     "q216_item_item_cf",
+    "q217_ipf_raking",
+    "q218_emd_drift",
 ]
 
 

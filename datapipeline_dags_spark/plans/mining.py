@@ -1038,3 +1038,109 @@ def q216_item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cos6") + F.lit(0.0)).alias("cosine"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q218 — Wasserstein-1 (earth mover) drift per source vs rest-of-corpus
+# ---------------------------------------------------------------------------
+
+#: fixed-width length buckets: bounds the grid (and the exact integer
+#: sum) by the length domain / EMD_BIN, never the corpus.
+EMD_BIN = 16
+
+
+@query(
+    "q218_emd_drift",
+    oracle=f"""
+    WITH d AS (SELECT source, n_chars // {EMD_BIN} AS bin FROM documents),
+    g AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_tot FROM d GROUP BY 1),
+    sc AS (SELECT source, bin, CAST(COUNT(*) AS BIGINT) AS n_s
+           FROM d GROUP BY 1, 2),
+    srcs AS (SELECT source, CAST(SUM(n_s) AS BIGINT) AS ns FROM sc GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n_tot) AS BIGINT) AS nt FROM g),
+    frame AS (
+      SELECT s.source, g.bin, g.n_tot, COALESCE(c.n_s, 0) AS n_s
+      FROM srcs s CROSS JOIN g
+      LEFT JOIN sc c ON c.source = s.source AND c.bin = g.bin),
+    cums AS (
+      SELECT source, bin,
+             SUM(n_s) OVER (PARTITION BY source ORDER BY bin) AS cs,
+             SUM(n_tot) OVER (PARTITION BY source ORDER BY bin) AS ct,
+             LEAD(bin) OVER (PARTITION BY source ORDER BY bin) AS nxt
+      FROM frame),
+    terms AS (
+      SELECT c.source,
+             ABS(c.cs * (t.nt - s.ns) - (c.ct - c.cs) * s.ns)
+               * (c.nxt - c.bin) AS term,
+             s.ns, t.nt
+      FROM cums c
+      JOIN srcs s ON s.source = c.source
+      CROSS JOIN tot t
+      WHERE c.nxt IS NOT NULL)
+    SELECT source, CAST(ns AS BIGINT) AS n_docs,
+           (ROUND({EMD_BIN} * SUM(term) * 1.0
+                  / (ns * (nt - ns)), 4) + 0.0) AS emd_chars
+    FROM terms GROUP BY source, ns, nt
+    """,
+)
+def q218_emd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wasserstein-1 (earth mover) distance between each source's
+    doc-length distribution and the rest of the corpus, in characters:
+    EMD_1 = ∫|CDF_a − CDF_b| — the drift metric that, unlike q200's KS
+    sup-gap (worst point) and q123's PSI (binned likelihood), measures
+    HOW FAR mass must move, in the variable's own units.
+
+    Scale shape: the corpus collapses in one pass to the (source,
+    length-bucket) grid — bounded by |sources| × (length domain /
+    {EMD_BIN}), never the corpus (the q200 grid discipline);
+    cumulative windows partition by source.  Parity: the integrand is
+    the exact cross-multiplied integer |cs·n_rest − c_rest·n_s| times
+    the integer bucket gap, summed exactly; ONE double division at the
+    edge, 4-dp round.
+    """
+    docs = table(spark, sf_dir, "documents")
+    d = docs.select("source", F.expr(f"n_chars div {EMD_BIN}").alias("bin"))
+    g = d.groupBy("bin").agg(F.count("*").alias("n_tot"))
+    sc = d.groupBy("source", "bin").agg(F.count("*").alias("n_s"))
+    srcs = sc.groupBy("source").agg(F.sum("n_s").alias("ns"))
+    tot = g.agg(F.sum("n_tot").alias("nt"))
+    frame = (
+        srcs.crossJoin(g)
+        .join(sc, ["source", "bin"], "left")
+        .select("source", "bin", "n_tot", F.coalesce("n_s", F.lit(0)).alias("n_s"), "ns")
+    )
+    wc = W.partitionBy("source").orderBy("bin")
+    cums = frame.select(
+        "source",
+        "bin",
+        "ns",
+        F.sum("n_s").over(wc.rowsBetween(W.unboundedPreceding, 0)).alias("cs"),
+        F.sum("n_tot").over(wc.rowsBetween(W.unboundedPreceding, 0)).alias("ct"),
+        F.lead("bin").over(wc).alias("nxt"),
+    )
+    terms = (
+        cums.crossJoin(F.broadcast(tot))
+        .filter(F.col("nxt").isNotNull())
+        .select(
+            "source",
+            "ns",
+            "nt",
+            (
+                F.abs(
+                    F.col("cs") * (F.col("nt") - F.col("ns"))
+                    - (F.col("ct") - F.col("cs")) * F.col("ns")
+                )
+                * (F.col("nxt") - F.col("bin"))
+            ).alias("term"),
+        )
+    )
+    return terms.groupBy("source", "ns", "nt").agg(
+        F.sum("term").alias("s")
+    ).select(
+        "source",
+        F.col("ns").cast("long").alias("n_docs"),
+        dec(
+            EMD_BIN * F.col("s") * 1.0 / (F.col("ns") * (F.col("nt") - F.col("ns"))),
+            4,
+        ).alias("emd_chars"),
+    )

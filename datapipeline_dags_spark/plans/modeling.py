@@ -1001,3 +1001,120 @@ def q213_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec(F.col("r") * 1.0 / F.col("n"), 6).alias("fold_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q217 — IPF / Sinkhorn raking of the nation × segment customer table
+# ---------------------------------------------------------------------------
+
+IPF_SCALE = 10_000  # fixed-point weight unit per customer
+IPF_F = 1_000_000  # scale-factor fixed point (ratios in millionths)
+IPF_ROUNDS = 8  # alternating row/column scalings
+
+
+def _q217_oracle() -> str:
+    prev = "c0"
+    steps = []
+    for k in range(1, IPF_ROUNDS + 1):
+        steps.append(f"""
+    r{k}a AS MATERIALIZED (
+      SELECT p.nation, p.segment, p.n,
+             CAST(p.w * CAST((tr.t * {IPF_F}) // rs.s AS BIGINT)
+                  // {IPF_F} AS BIGINT) AS w
+      FROM {prev} p
+      JOIN (SELECT nation, SUM(w) AS s FROM {prev} GROUP BY 1) rs
+        ON rs.nation = p.nation
+      CROSS JOIN tr),
+    r{k}b AS MATERIALIZED (
+      SELECT p.nation, p.segment, p.n,
+             CAST(p.w * CAST((tc.t * {IPF_F}) // cs.s AS BIGINT)
+                  // {IPF_F} AS BIGINT) AS w
+      FROM r{k}a p
+      JOIN (SELECT segment, SUM(w) AS s FROM r{k}a GROUP BY 1) cs
+        ON cs.segment = p.segment
+      CROSS JOIN tc)""")
+        prev = f"r{k}b"
+    return f"""
+    WITH c0 AS MATERIALIZED (
+      SELECT n.n_name AS nation, c.c_mktsegment AS segment,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(*) * {IPF_SCALE} AS BIGINT) AS w
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2),
+    tr AS MATERIALIZED (
+      SELECT CAST(SUM(w) // COUNT(DISTINCT nation) AS BIGINT) AS t FROM c0),
+    tc AS MATERIALIZED (
+      SELECT CAST(SUM(w) // COUNT(DISTINCT segment) AS BIGINT) AS t FROM c0),
+    {','.join(steps)}
+    SELECT nation, segment, n AS n_customers,
+           CAST(w AS BIGINT) AS raked_units,
+           (ROUND(w * 1.0 / (n * {IPF_SCALE}), 6) + 0.0) AS weight_ratio
+    FROM {prev}
+    """
+
+
+@query("q217_ipf_raking", oracle=_q217_oracle())
+def q217_ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative proportional fitting (survey raking / Sinkhorn matrix
+    balancing) of the nation × market-segment customer table toward
+    UNIFORM margins: {IPF_ROUNDS} alternating row/column scalings in
+    integer fixed-point — the reweighting machinery survey estimation
+    and balanced data-mixing both use (make every nation and every
+    segment contribute equally without touching within-cell structure).
+
+    Scale shape: ONE corpus pass collapses to the |nations| ×
+    |segments| cell table (bounded by the two domains, never the
+    corpus); the solve is driver-side exact Python integers on that
+    bounded matrix (the q207 bounded-control-plane discipline), each
+    scale factor quantized to {IPF_F}ths with floor division — the
+    oracle's chained MATERIALIZED-CTE rounds reproduce it
+    bit-for-bit.  The one double (weight_ratio) is computed by the
+    ENGINE from the returned integers, not by Python, so rounding
+    stays on the dec()/ROUND parity pair.
+    """
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    cells = (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    # Bounded control plane: |nations| x |segments| cells at any SF.
+    rows = [
+        (r["nation"], r["segment"], r["n"], r["n"] * IPF_SCALE)
+        for r in cells.collect()
+    ]
+    nations = sorted({r[0] for r in rows})
+    segments = sorted({r[1] for r in rows})
+    total_w = sum(r[3] for r in rows)
+    t_row = total_w // len(nations)
+    t_col = total_w // len(segments)
+    w = {(r[0], r[1]): r[3] for r in rows}
+    nmap = {(r[0], r[1]): r[2] for r in rows}
+    for _ in range(IPF_ROUNDS):
+        for key_idx, keys, t in ((0, nations, t_row), (1, segments, t_col)):
+            sums = {k: 0 for k in keys}
+            for (na, seg), wv in w.items():
+                sums[(na, seg)[key_idx]] += wv
+            f = {k: (t * IPF_F) // sums[k] for k in keys}
+            w = {
+                cell: wv * f[cell[key_idx]] // IPF_F for cell, wv in w.items()
+            }
+    out = [
+        (na, seg, nmap[(na, seg)], w[(na, seg)]) for na, seg in sorted(w)
+    ]
+    df = spark.createDataFrame(
+        out, "nation string, segment string, n_customers long, raked_units long"
+    )
+    return df.select(
+        "nation",
+        "segment",
+        "n_customers",
+        "raked_units",
+        dec(
+            F.col("raked_units") * 1.0 / (F.col("n_customers") * IPF_SCALE), 6
+        ).alias("weight_ratio"),
+    )

@@ -335,3 +335,67 @@ def test_triplet_mining_invariants(spark, sf_dir):
         if r["hard_neg"] is not None:
             assert r["hard_neg"] != r["anchor"]
             assert r["hard_jaccard"] < HARD_NEG_T
+
+
+def test_ipf_raking_balances_margins(spark, sf_dir):
+    """After 8 Sinkhorn rounds, every nation margin and every segment
+    margin is within rounding slack of its uniform target, and total
+    mass is conserved up to floor loss."""
+    from collections import defaultdict
+
+    from datapipeline_dags_spark.plans.modeling import (
+        IPF_ROUNDS,
+        IPF_SCALE,
+        q217_ipf_raking,
+    )
+
+    rows = q217_ipf_raking(spark, sf_dir).collect()
+    assert rows
+    total0 = sum(r["n_customers"] for r in rows) * IPF_SCALE
+    rowsum = defaultdict(int)
+    colsum = defaultdict(int)
+    for r in rows:
+        rowsum[r["nation"]] += r["raked_units"]
+        colsum[r["segment"]] += r["raked_units"]
+    t_row = total0 // len(rowsum)
+    t_col = total0 // len(colsum)
+    # column scaling ran LAST, so columns are near-exact; rows within
+    # a small relative band (classic IPF convergence)
+    for s in colsum.values():
+        assert abs(s - t_col) <= t_col * 0.01
+    for s in rowsum.values():
+        assert abs(s - t_row) <= t_row * 0.05
+    raked_total = sum(r["raked_units"] for r in rows)
+    assert abs(raked_total - total0) <= total0 * 0.01
+    assert IPF_ROUNDS >= 2  # guards against accidental knob edits
+
+
+def test_emd_known_two_point(spark, tmp_path):
+    """Two sources at constant lengths L1/L2: EMD(source vs rest) is
+    exactly the binned distance |bin1 - bin2| * EMD_BIN for both."""
+    from datapipeline_dags_spark.plans.mining import EMD_BIN, q218_emd_drift
+
+    docs = [(i, "w", "en", "a", 48) for i in range(10)]
+    docs += [(100 + i, "w", "en", "b", 208) for i in range(10)]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars int"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    out = {r["source"]: r for r in q218_emd_drift(spark, str(tmp_path)).collect()}
+    want = abs(208 // EMD_BIN - 48 // EMD_BIN) * EMD_BIN
+    assert out["a"]["emd_chars"] == float(want)
+    assert out["b"]["emd_chars"] == float(want)
+
+
+def test_emd_identical_distributions_zero(spark, tmp_path):
+    """Two sources with the same length histogram: zero drift both ways."""
+    from datapipeline_dags_spark.plans.mining import q218_emd_drift
+
+    docs = []
+    for i, src in enumerate(("a", "b")):
+        for j, length in enumerate((50, 50, 100, 150)):
+            docs.append((i * 100 + j, "w", "en", src, length))
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars int"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    out = q218_emd_drift(spark, str(tmp_path)).collect()
+    assert all(r["emd_chars"] == 0.0 for r in out)

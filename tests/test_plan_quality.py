@@ -81,6 +81,7 @@ BOUNDED_FILTER_HINT_OK = {
     # broadcasts the NEG_POOL-row (LIMIT) random-negative pool
     "q214_triplet_mining",
     "q215_label_propagation",  # broadcasts the 1-row community count
+    "q218_emd_drift",  # broadcasts the 1-row corpus total
     "q175_kaplan_meier",  # broadcasts the 1-row order-count aggregate
     "q176_cusum_changepoint",  # broadcasts the 1-row daily-mean aggregate
     # broadcasts the dim-bounded label centroid + the 1-row corpus count
@@ -288,6 +289,9 @@ NESTED_LOOP_OK = {
     "q213_target_encoding",
     # 1-row community-count attach onto the LPA_TOP-row frame
     "q215_label_propagation",
+    # bounded |sources| x |length-buckets| grid build + 1-row total
+    # attach (cf. q200's ECDF grid)
+    "q218_emd_drift",
     # NEG_POOL-row broadcast pool x anchors inequality pick (cf. q127's
     # bounded audit-batch pattern)
     "q214_triplet_mining",

@@ -67,6 +67,11 @@ TARGETS = (
     # should keep the post-scan stages flat as the corpus grows (denser
     # cells, not more of them, on a replicated distribution)
     "q209_grid_density_clusters",
+    # round-6 batches 5-6: the triplet miner rides q41's LSH engine
+    # (ratio should track q41's), and item-item CF rides the q199
+    # capped basket explode (ratio should track q199's)
+    "q214_triplet_mining",
+    "q216_item_item_cf",
 )
 
 # Per-(target, scale) keyword overrides: the SemDeDup contract is that
@@ -556,6 +561,12 @@ def main() -> None:
         "CC blew the 20-round budget at sf0.1, so q209 runs the",
         "pointer-jumping variant (label-of-label hop per round,",
         "O(log diameter) rounds — 5 at both scales).",
+        "q214 rides q41's shared LSH engine (same band buckets, its",
+        "own cap counters — flat at 0, max bucket 4 at both scales)",
+        "plus per-anchor top-1 windows and the broadcast pool pick;",
+        "its ratio tracks q41's.  q216 rides the q199 capped basket",
+        "explode (caps flat, max basket 17) with two hash aggregates",
+        "and a per-part ranking window; its ratio tracks q199's.",
         "",
         "## BPE trainer: merge-count scaling (x1 corpus)",
         "",
