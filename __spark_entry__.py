@@ -152,6 +152,8 @@ _ROTATION_TAIL = [
     "q216_item_item_cf",
     "q217_ipf_raking",
     "q218_emd_drift",
+    "q219_cuped",
+    "q220_diff_in_diff",
 ]
 
 

@@ -1118,3 +1118,210 @@ def q217_ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("raked_units") * 1.0 / (F.col("n_customers") * IPF_SCALE), 6
         ).alias("weight_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q219 / q220 — experimentation estimators (CUPED, difference-in-differences)
+# ---------------------------------------------------------------------------
+
+#: pre/post split of the fixture's event window (Jan 1-30).
+AB_SPLIT = "2024-01-16 00:00:00"
+
+#: DuckDB twin of ``_ab_panel``: per-user purchase cents before/after
+#: the split plus a deterministic md5 arm (8/16 hex digits -> 50/50).
+_AB_PANEL_SQL = f"""
+    panel AS MATERIALIZED (
+      SELECT user_id,
+             CASE WHEN substr(md5(CAST(user_id AS VARCHAR) || '-arm'), 1, 1)
+                       >= '8'
+                  THEN 'treatment' ELSE 'control' END AS arm,
+             COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                                AND ts < TIMESTAMP '{AB_SPLIT}'
+                               THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                          END), 0) AS x,
+             COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                                AND ts >= TIMESTAMP '{AB_SPLIT}'
+                               THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                          END), 0) AS y
+      FROM events GROUP BY 1, 2)"""
+
+
+def _ab_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    is_purchase = F.col("event_type") == "purchase"
+    pre = is_purchase & (F.col("ts") < F.lit(AB_SPLIT).cast("timestamp"))
+    post = is_purchase & (F.col("ts") >= F.lit(AB_SPLIT).cast("timestamp"))
+    arm = F.when(
+        F.substring(F.md5(F.concat(F.col("user_id").cast("string"), F.lit("-arm"))), 1, 1)
+        >= "8",
+        "treatment",
+    ).otherwise("control")
+    return ev.groupBy("user_id", arm.alias("arm")).agg(
+        F.coalesce(F.sum(F.when(pre, cents)), F.lit(0)).alias("x"),
+        F.coalesce(F.sum(F.when(post, cents)), F.lit(0)).alias("y"),
+    )
+
+
+@query(
+    "q219_cuped",
+    oracle=f"""
+    WITH {_AB_PANEL_SQL},
+    g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(x * x) AS BIGINT) AS sxx,
+                 CAST(SUM(x * y) AS BIGINT) AS sxy
+          FROM panel),
+    th AS (SELECT n, sx,
+                  CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+                       ELSE (n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx)
+                  END AS theta
+           FROM g),
+    a AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS na,
+                 CAST(SUM(x) AS BIGINT) AS sxa, CAST(SUM(y) AS BIGINT) AS sya
+          FROM panel GROUP BY 1)
+    SELECT a.arm, a.na AS n_users,
+           (ROUND(a.sya * 1.0 / a.na, 2) + 0.0) AS mean_cents,
+           (ROUND(a.sya * 1.0 / a.na
+                  - th.theta * (a.sxa * 1.0 / a.na - th.sx * 1.0 / th.n),
+                  2) + 0.0) AS mean_cents_cuped,
+           (ROUND(th.theta, 6) + 0.0) AS theta
+    FROM a CROSS JOIN th
+    """,
+)
+def q219_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al. 2013): each arm's
+    post-period purchase mean adjusted by the PRE-period covariate,
+    y_adj = ȳ − θ(x̄_arm − x̄), θ = cov(x,y)/var(x) from pooled
+    per-user panels — the estimator that shrinks A/B confidence
+    intervals using pre-experiment behavior.  The md5 arm is a
+    deterministic 50/50 assignment (the q58 coin discipline), making
+    this an A/A audit on the fixture: adjusted means should agree
+    across arms more tightly than raw means.
+
+    Scale shape: one events pass collapses to the per-user panel
+    (partitioned by user), then FIVE integer moment sums — θ and both
+    adjusted means are single double expressions over exact integer
+    totals (the q206 discipline), 1-row broadcast attaches only.
+    """
+    panel = _ab_panel(spark, sf_dir)
+    g = panel.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    th = g.select(
+        "n",
+        "sx",
+        F.when(
+            F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") == 0, F.lit(0.0)
+        )
+        .otherwise(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            * 1.0
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        )
+        .alias("theta"),
+    )
+    a = panel.groupBy("arm").agg(
+        F.count("*").alias("na"),
+        F.sum("x").alias("sxa"),
+        F.sum("y").alias("sya"),
+    )
+    return a.crossJoin(F.broadcast(th)).select(
+        "arm",
+        F.col("na").cast("long").alias("n_users"),
+        dec(F.col("sya") * 1.0 / F.col("na"), 2).alias("mean_cents"),
+        dec(
+            F.col("sya") * 1.0 / F.col("na")
+            - F.col("theta")
+            * (F.col("sxa") * 1.0 / F.col("na") - F.col("sx") * 1.0 / F.col("n")),
+            2,
+        ).alias("mean_cents_cuped"),
+        dec(F.col("theta"), 6).alias("theta"),
+    )
+
+
+@query(
+    "q220_diff_in_diff",
+    oracle=f"""
+    WITH {_AB_PANEL_SQL},
+    a AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS na,
+                 CAST(SUM(x) AS BIGINT) AS sxa, CAST(SUM(y) AS BIGINT) AS sya
+          FROM panel GROUP BY 1),
+    w AS (SELECT
+            MAX(CASE WHEN arm = 'treatment' THEN sya * 1.0 / na END)
+          - MAX(CASE WHEN arm = 'treatment' THEN sxa * 1.0 / na END)
+          - MAX(CASE WHEN arm = 'control' THEN sya * 1.0 / na END)
+          + MAX(CASE WHEN arm = 'control' THEN sxa * 1.0 / na END) AS did
+          FROM a),
+    cells AS (
+      SELECT arm, 'pre' AS period, na, sxa AS total_cents,
+             sxa * 1.0 / na AS m
+      FROM a
+      UNION ALL
+      SELECT arm, 'post', na, sya, sya * 1.0 / na FROM a)
+    SELECT c.arm, c.period, c.na AS n_users,
+           CAST(c.total_cents AS BIGINT) AS total_cents,
+           (ROUND(c.m, 2) + 0.0) AS mean_cents,
+           (ROUND(w.did, 2) + 0.0) AS did_cents
+    FROM cells c CROSS JOIN w
+    """,
+)
+def q220_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences over the md5-assigned arms and the
+    pre/post split: the 2×2 (arm, period) mean-purchase table plus the
+    DiD estimate (Δtreatment − Δcontrol) — the parallel-trends causal
+    estimator, here as an A/A audit (true effect 0 on the fixture, so
+    the estimate doubles as an assignment-balance check).
+
+    Scale shape: the same per-user panel collapse as q219, then one
+    |arms|-row aggregate; every mean and the DiD are single double
+    expressions over exact integer sums with identical association
+    order in both engines; 2-dp rounds at the edge.
+    """
+    panel = _ab_panel(spark, sf_dir)
+    a = panel.groupBy("arm").agg(
+        F.count("*").alias("na"),
+        F.sum("x").alias("sxa"),
+        F.sum("y").alias("sya"),
+    )
+    w = a.agg(
+        (
+            F.max(F.when(F.col("arm") == "treatment", F.col("sya") * 1.0 / F.col("na")))
+            - F.max(
+                F.when(F.col("arm") == "treatment", F.col("sxa") * 1.0 / F.col("na"))
+            )
+            - F.max(
+                F.when(F.col("arm") == "control", F.col("sya") * 1.0 / F.col("na"))
+            )
+            + F.max(
+                F.when(F.col("arm") == "control", F.col("sxa") * 1.0 / F.col("na"))
+            )
+        ).alias("did")
+    )
+    cells = a.select(
+        "arm",
+        F.lit("pre").alias("period"),
+        "na",
+        F.col("sxa").alias("total_cents"),
+        (F.col("sxa") * 1.0 / F.col("na")).alias("m"),
+    ).unionAll(
+        a.select(
+            "arm",
+            F.lit("post").alias("period"),
+            "na",
+            F.col("sya").alias("total_cents"),
+            (F.col("sya") * 1.0 / F.col("na")).alias("m"),
+        )
+    )
+    return cells.crossJoin(F.broadcast(w)).select(
+        "arm",
+        "period",
+        F.col("na").cast("long").alias("n_users"),
+        F.col("total_cents").cast("long"),
+        dec(F.col("m"), 2).alias("mean_cents"),
+        dec(F.col("did"), 2).alias("did_cents"),
+    )

@@ -19,12 +19,19 @@ from datapipeline_dags_spark.plans.modeling import (
 
 
 def _write_events(spark, tmp_path, rows):
-    """rows: (event_id, seconds-offset, user_id, event_type)."""
+    """rows: (event_id, seconds-offset, user_id, event_type[, value])."""
     base = datetime.datetime(2024, 1, 1)
     df = spark.createDataFrame(
         [
-            (eid, base + datetime.timedelta(seconds=s), uid, et, 1.0, "{}")
-            for eid, s, uid, et in rows
+            (
+                r[0],
+                base + datetime.timedelta(seconds=r[1]),
+                r[2],
+                r[3],
+                float(r[4]) if len(r) > 4 else 1.0,
+                "{}",
+            )
+            for r in rows
         ],
         "event_id long, ts timestamp, user_id long, event_type string, "
         "value double, props string",
@@ -399,3 +406,84 @@ def test_emd_identical_distributions_zero(spark, tmp_path):
     ).write.parquet(str(tmp_path / "documents.parquet"))
     out = q218_emd_drift(spark, str(tmp_path)).collect()
     assert all(r["emd_chars"] == 0.0 for r in out)
+
+
+def test_cuped_matches_python_reference(spark, tmp_path):
+    """Panel with a strong pre/post correlation: theta and the adjusted
+    means must match a NumPy-free Python reference computed from the
+    same integer panel."""
+    import hashlib
+
+    from datapipeline_dags_spark.plans.modeling import q219_cuped
+
+    # craft purchases: user u buys u*1.00 pre and u*1.00 + noise post
+    rows = []
+    eid = 0
+    for u in range(1, 41):
+        rows.append((eid, 5 * 86400, u, "purchase", float(u)))  # pre
+        eid += 1
+        rows.append((eid, 20 * 86400, u, "purchase", float(u) + (u % 3)))  # post
+        eid += 1
+    sf = _write_events(spark, tmp_path, rows)
+    out = {r["arm"]: r for r in q219_cuped(spark, sf).collect()}
+
+    panel = {}
+    for u in range(1, 41):
+        arm = (
+            "treatment"
+            if hashlib.md5(f"{u}-arm".encode()).hexdigest()[0] >= "8"
+            else "control"
+        )
+        x = u * 100
+        y = (u + (u % 3)) * 100
+        panel[u] = (arm, x, y)
+    n = len(panel)
+    sx = sum(p[1] for p in panel.values())
+    sy = sum(p[2] for p in panel.values())
+    sxx = sum(p[1] * p[1] for p in panel.values())
+    sxy = sum(p[1] * p[2] for p in panel.values())
+    theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    for arm in ("treatment", "control"):
+        xs = [p[1] for p in panel.values() if p[0] == arm]
+        ys = [p[2] for p in panel.values() if p[0] == arm]
+        want_mean = sum(ys) / len(ys)
+        want_adj = want_mean - theta * (sum(xs) / len(xs) - sx / n)
+        assert out[arm]["n_users"] == len(xs)
+        assert abs(out[arm]["mean_cents"] - round(want_mean, 2)) < 1e-9
+        assert abs(out[arm]["mean_cents_cuped"] - round(want_adj, 2)) < 0.011
+        assert abs(out[arm]["theta"] - round(theta, 6)) < 1e-6
+    # CUPED on a highly-correlated covariate shrinks the between-arm
+    # gap of this A/A panel
+    raw_gap = abs(out["treatment"]["mean_cents"] - out["control"]["mean_cents"])
+    adj_gap = abs(
+        out["treatment"]["mean_cents_cuped"] - out["control"]["mean_cents_cuped"]
+    )
+    assert adj_gap <= raw_gap + 1e-9
+
+
+def test_did_identity(spark, sf_dir):
+    """The reported DiD equals the 2x2 identity computed from the
+    reported cell means, and both arms/periods are present."""
+    from datapipeline_dags_spark.plans.modeling import q220_diff_in_diff
+
+    rows = q220_diff_in_diff(spark, sf_dir).collect()
+    cells = {(r["arm"], r["period"]): r for r in rows}
+    assert set(cells) == {
+        ("treatment", "pre"),
+        ("treatment", "post"),
+        ("control", "pre"),
+        ("control", "post"),
+    }
+    did = rows[0]["did_cents"]
+    assert all(r["did_cents"] == did for r in rows)
+    # recompute from unrounded cell totals
+    m = {
+        k: cells[k]["total_cents"] / cells[k]["n_users"] for k in cells
+    }
+    want = (
+        m[("treatment", "post")]
+        - m[("treatment", "pre")]
+        - m[("control", "post")]
+        + m[("control", "pre")]
+    )
+    assert abs(did - round(want, 2)) < 0.011

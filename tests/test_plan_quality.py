@@ -82,6 +82,8 @@ BOUNDED_FILTER_HINT_OK = {
     "q214_triplet_mining",
     "q215_label_propagation",  # broadcasts the 1-row community count
     "q218_emd_drift",  # broadcasts the 1-row corpus total
+    "q219_cuped",  # broadcasts the 1-row pooled theta/moments
+    "q220_diff_in_diff",  # broadcasts the 1-row DiD estimate
     "q175_kaplan_meier",  # broadcasts the 1-row order-count aggregate
     "q176_cusum_changepoint",  # broadcasts the 1-row daily-mean aggregate
     # broadcasts the dim-bounded label centroid + the 1-row corpus count
@@ -292,6 +294,9 @@ NESTED_LOOP_OK = {
     # bounded |sources| x |length-buckets| grid build + 1-row total
     # attach (cf. q200's ECDF grid)
     "q218_emd_drift",
+    # 1-row pooled-moments / DiD attaches onto the |arms|-row frame
+    "q219_cuped",
+    "q220_diff_in_diff",
     # NEG_POOL-row broadcast pool x anchors inequality pick (cf. q127's
     # bounded audit-batch pattern)
     "q214_triplet_mining",
