@@ -448,8 +448,17 @@ def _q209_oracle() -> str:
     """
 
 
+#: auto cc_backend threshold: at or below this many dense cells the
+#: component resolve is a bounded-control-plane union-find on the
+#: driver (3 tiny actions on the persisted cell table, zero iterative
+#: jobs); above it, the distributed pointer-jump CC takes over.
+GRID_CC_DRIVER_MAX = 100_000
+
+
 @query("q209_grid_density_clusters", oracle=_q209_oracle())
-def q209_grid_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q209_grid_density_clusters(
+    spark: SparkSession, sf_dir: str, cc_backend: str = "auto"
+) -> DataFrame:
     """Grid-density clustering (the DBSCAN-family counterpart to q201's
     k-means): embeddings project to 2D through two deterministic ±1
     md5-sign vectors in integer fixed-point, land in a quantized grid,
@@ -469,6 +478,15 @@ def q209_grid_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the knobs scale like q47's ann_params: shrink GRID_CELL /
     raise GRID_MINPTS with corpus density so the cell table stays
     sub-linear in the corpus.
+
+    ``cc_backend`` (auto | driver | distributed): the component
+    resolve on the cell graph.  'auto' picks 'driver' — an exact
+    union-find over the collected dense cells (bounded control plane,
+    zero iterative Spark jobs) — when the dense-cell count is at most
+    {GRID_CC_DRIVER_MAX}, else the distributed pointer-jump CC.  Both
+    backends produce the identical min-label components (pinned in
+    tests), so the registered default is the fast path at fixture
+    scale AND the scale-safe path beyond — the exact_audit discipline.
     """
     emb = table(spark, sf_dir, "embeddings")
     pts = emb.select(
@@ -480,10 +498,14 @@ def q209_grid_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"(u + {GRID_OFFSET}) div {GRID_CELL}").alias("cu"),
         F.expr(f"(v + {GRID_OFFSET}) div {GRID_CELL}").alias("cv"),
     )
+    # the cell table is read by several downstream actions (density
+    # filter, edge build, the auto-gate count, the noise row) — persist
+    # it so the corpus scan+aggregate runs once, not per action.
     cells = (
         cl.groupBy("cu", "cv")
         .agg(F.count("*").alias("n"))
         .withColumn("cell_id", F.col("cu") * GRID_ENC + F.col("cv"))
+        .persist()
     )
     dense = cells.filter(F.col("n") >= GRID_MINPTS)
     offsets = F.array(
@@ -515,14 +537,40 @@ def q209_grid_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("src") < F.col("dst"))
         .select("src", "dst")
     )
-    # grid adjacency is chain-like by construction (a dense blob's cell
-    # graph has diameter ~ its width in cells), so plain min-label CC
-    # would need diameter rounds — pointer jumping converges in
-    # O(log diameter) (observed: sf0.1's blob exceeds 20 plain rounds).
-    comp = connected_components(edges, pointer_jump=True)
-    labeled = dense.join(
-        comp.withColumnRenamed("node", "cell_id"), "cell_id", "left"
-    ).select(
+    if cc_backend == "auto":
+        cc_backend = (
+            "driver" if dense.count() <= GRID_CC_DRIVER_MAX else "distributed"
+        )
+    if cc_backend == "driver":
+        # bounded control plane: |dense cells| rows and <= 4 edges per
+        # cell — exact union-find with min-id roots, identical
+        # components to the distributed path.
+        ids = [r["cell_id"] for r in dense.select("cell_id").collect()]
+        parent = {c: c for c in ids}
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in edges.collect():
+            ra, rb = find(r["src"]), find(r["dst"])
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        comp = spark.createDataFrame(
+            [(c, find(c)) for c in ids], "cell_id long, component long"
+        )
+    else:
+        # grid adjacency is chain-like by construction (a dense blob's
+        # cell graph has diameter ~ its width in cells), so plain
+        # min-label CC would need diameter rounds — pointer jumping
+        # converges in O(log diameter) (observed: sf0.1's blob exceeds
+        # 20 plain rounds).
+        comp = connected_components(edges, pointer_jump=True).withColumnRenamed(
+            "node", "cell_id"
+        )
+    labeled = dense.join(comp, "cell_id", "left").select(
         "cell_id",
         F.coalesce(F.col("component"), F.col("cell_id")).alias("cluster_id"),
         "n",

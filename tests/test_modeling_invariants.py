@@ -487,3 +487,20 @@ def test_did_identity(spark, sf_dir):
         + m[("control", "pre")]
     )
     assert abs(did - round(want, 2)) < 0.011
+
+
+def test_grid_density_cc_backends_agree(spark, sf_dir):
+    """The driver union-find (auto default at fixture scale) and the
+    distributed pointer-jump CC must emit identical cluster tables."""
+    from datapipeline_dags_spark.plans.modeling import q209_grid_density_clusters
+
+    drv = sorted(
+        map(tuple, q209_grid_density_clusters(spark, sf_dir, "driver").collect())
+    )
+    dist = sorted(
+        map(
+            tuple,
+            q209_grid_density_clusters(spark, sf_dir, "distributed").collect(),
+        )
+    )
+    assert drv == dist

@@ -552,15 +552,18 @@ def main() -> None:
         "anti-pattern; wrap the input instead.",
         "q209's grid-density clustering is flat at 10x by design:",
         "after the map-only projection + cell assignment, every later",
-        "stage (density filter, neighbor join, pointer-jump CC) runs",
+        "stage (density filter, neighbor join, component resolve) runs",
         "on the CELL table, whose size is set by the data's spread",
         "over the grid, not the corpus — replicas land in the same",
         "cells, so 10x data means denser cells, not more of them.",
         "Its cell adjacency graph is chain-like BY CONSTRUCTION (a",
         "dense blob's diameter ~ its width in cells): plain min-label",
-        "CC blew the 20-round budget at sf0.1, so q209 runs the",
-        "pointer-jumping variant (label-of-label hop per round,",
-        "O(log diameter) rounds — 5 at both scales).",
+        "CC blew the 20-round budget at sf0.1, and the auto",
+        "cc_backend resolves components with a driver-side exact",
+        "union-find while the cell count stays bounded (zero",
+        "iterative jobs — these rows), switching to the distributed",
+        "pointer-jumping CC (label-of-label hop, O(log diameter)",
+        "rounds — 5 at both scales) past GRID_CC_DRIVER_MAX.",
         "q214 rides q41's shared LSH engine (same band buckets, its",
         "own cap counters — flat at 0, max bucket 4 at both scales)",
         "plus per-anchor top-1 windows and the broadcast pool pick;",
