@@ -154,6 +154,8 @@ _ROTATION_TAIL = [
     "q218_emd_drift",
     "q219_cuped",
     "q220_diff_in_diff",
+    "q221_bradley_terry",
+    "q222_kcore_decomposition",
 ]
 
 

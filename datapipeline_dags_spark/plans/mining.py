@@ -1144,3 +1144,111 @@ def q218_emd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("emd_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q222 — k-core decomposition of the co-purchase graph
+# ---------------------------------------------------------------------------
+
+KCORE_K = 3
+#: fixed peel rounds (the q204 BFS contract: both engines run exactly
+#: this many rounds, so parity never depends on convergence; the
+#: fixture converges well inside the cap — fixpoint at round 11 at
+#: sf0.01, round 1 at sf0.001 — and the returned-degree invariant
+#: test catches a cap that stopped short).
+KCORE_ROUNDS = 12
+KCORE_TOP = 20
+
+
+def _q222_oracle() -> str:
+    prev = "kc0"
+    iters = []
+    for r in range(1, KCORE_ROUNDS + 1):
+        iters.append(f"""
+    kp{r} AS MATERIALIZED (
+      SELECT nd FROM (SELECT a AS nd FROM {prev}
+                      UNION ALL SELECT bb FROM {prev}) t
+      GROUP BY 1 HAVING COUNT(*) >= {KCORE_K}),
+    kc{r} AS MATERIALIZED (
+      SELECT c.a, c.bb FROM {prev} c
+      JOIN kp{r} ka ON ka.nd = c.a
+      JOIN kp{r} kb ON kb.nd = c.bb)""")
+        prev = f"kc{r}"
+    return f"""
+    WITH {_EDGE_CTES},
+    kc0 AS MATERIALIZED (SELECT a, bb FROM e),
+    {','.join(iters)},
+    deg AS (SELECT nd, COUNT(*) AS d
+            FROM (SELECT a AS nd FROM {prev}
+                  UNION ALL SELECT bb FROM {prev}) t
+            GROUP BY 1),
+    stats AS (SELECT (SELECT COUNT(*) FROM deg) AS n_core_nodes,
+                     (SELECT COUNT(*) FROM {prev}) AS n_core_edges)
+    SELECT CAST(d.nd AS BIGINT) AS part,
+           CAST(d.d AS BIGINT) AS core_degree,
+           CAST(s.n_core_nodes AS BIGINT) AS n_core_nodes,
+           CAST(s.n_core_edges AS BIGINT) AS n_core_edges
+    FROM deg d CROSS JOIN stats s
+    ORDER BY d.d DESC, d.nd LIMIT {KCORE_TOP}
+    """
+
+
+@query("q222_kcore_decomposition", oracle=_q222_oracle())
+def q222_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The {KCORE_K}-core of the co-purchase part graph: iteratively
+    peel nodes of degree < {KCORE_K} until every survivor has at least
+    {KCORE_K} surviving neighbors — the maximal dense backbone that
+    degree alone overstates (a hub whose neighbors are all leaves
+    peels away; a clique member stays).  Assortment planners read the
+    core as the "always merchandised together" nucleus; graph-ML
+    pipelines use coreness as a cheap density feature before expensive
+    community detection (q215).
+
+    Parity: pure integer set/degree arithmetic; a fixed
+    {KCORE_ROUNDS}-round peel keeps the two engines' non-asymptotic
+    states identical (the q204 fixed-cap contract), and the oracle's
+    chained MATERIALIZED CTEs replay the identical rounds.
+
+    Scale shape: rides the shared capped-basket edge engine
+    (``_copurchase_edges``: Σ C(min(basket,{TRI_MAX_BASKET}), 2) pair
+    explode, support floor, observed caps); each peel round is ONE
+    degree hash-agg + TWO semi joins on the shrinking edge table,
+    localCheckpointed so round r never re-derives rounds 1..r-1;
+    output is a top-{KCORE_TOP} TakeOrderedAndProject plus two 1-row
+    core-stat attaches.
+    """
+    cur = _copurchase_edges(spark, sf_dir, "q222_kcore_decomposition")
+    for r in range(KCORE_ROUNDS):
+        deg = (
+            cur.select(F.col("a").alias("nd"))
+            .unionAll(cur.select(F.col("bb").alias("nd")))
+            .groupBy("nd")
+            .agg(F.count("*").alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= KCORE_K).select("nd")
+        cur = local_checkpoint(
+            cur.join(keep.withColumnRenamed("nd", "a"), "a", "semi")
+            .join(keep.withColumnRenamed("nd", "bb"), "bb", "semi")
+            .select("a", "bb"),
+            f"q222 peel {r + 1}",
+        )
+    deg = (
+        cur.select(F.col("a").alias("part"))
+        .unionAll(cur.select(F.col("bb").alias("part")))
+        .groupBy("part")
+        .agg(F.count("*").alias("core_degree"))
+    )
+    stats = deg.agg(F.count("*").alias("n_core_nodes")).crossJoin(
+        cur.agg(F.count("*").alias("n_core_edges"))
+    )
+    return (
+        deg.crossJoin(F.broadcast(stats))
+        .orderBy(F.col("core_degree").desc(), "part")
+        .limit(KCORE_TOP)
+        .select(
+            F.col("part").cast("long"),
+            F.col("core_degree").cast("long"),
+            F.col("n_core_nodes").cast("long"),
+            F.col("n_core_edges").cast("long"),
+        )
+    )

@@ -26,6 +26,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from datapipeline_dags_spark.catalog import table
+from datapipeline_dags_spark.checkpoint import local_checkpoint
 from datapipeline_dags_spark.operators.graph import connected_components
 from datapipeline_dags_spark.plans.helpers import dec
 from datapipeline_dags_spark.plans.registry import query
@@ -1372,4 +1373,181 @@ def q220_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total_cents").cast("long"),
         dec(F.col("m"), 2).alias("mean_cents"),
         dec(F.col("did"), 2).alias("did_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q221 — Bradley–Terry supplier strength from head-to-head ship duels
+# ---------------------------------------------------------------------------
+
+#: fixed MM iterations (the q183/q207 K-round contract: both engines
+#: run the same non-asymptotic state, so convergence is a quality
+#: property asserted in tests, never a parity requirement).
+BT_ITERS = 8
+BT_UNIT = 1_000_000  # fixed-point strength unit: 1.0 == 1e6
+#: per-term scale for the MM denominator: t = (n*K) div (r_i + r_j).
+#: r stays O(BT_UNIT) (the MM map is homogeneous of degree 1, so the
+#: starting scale is preserved), so terms carry ~K/(2*UNIT) ≈ 5e3
+#: resolution per duel and wins*K tops out ~1e16 — inside BIGINT at
+#: any corpus size because wins-per-supplier grows with orders per
+#: supplier, not the corpus.
+BT_K = 10_000_000_000
+BT_TOP = 20
+
+
+def _q221_oracle() -> str:
+    prev = "bt0"
+    iters = []
+    for k in range(1, BT_ITERS + 1):
+        iters.append(f"""
+    bt{k} AS MATERIALIZED (
+      SELECT w.node,
+             CAST((w.wins * {BT_K}) // GREATEST(d2.den, 1) AS BIGINT) AS r
+      FROM wins w JOIN (
+        SELECT s.me AS node,
+               SUM((s.n * {BT_K}) // GREATEST(pi.r + pj.r, 1)) AS den
+        FROM sym s
+        JOIN {prev} pi ON pi.node = s.me
+        JOIN {prev} pj ON pj.node = s.opp
+        GROUP BY 1) d2 ON d2.node = w.node)""")
+        prev = f"bt{k}"
+    return f"""
+    WITH d AS MATERIALIZED (
+      SELECT l_orderkey, l_suppkey,
+             MIN(date_diff('day', o_orderdate, l_shipdate)) AS lat
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1, 2),
+    p AS MATERIALIZED (
+      SELECT a.l_suppkey AS i, b.l_suppkey AS j, COUNT(*) AS n,
+             SUM(CASE WHEN a.lat < b.lat THEN 1 ELSE 0 END) AS wi
+      FROM d a JOIN d b
+        ON a.l_orderkey = b.l_orderkey
+       AND a.l_suppkey < b.l_suppkey AND a.lat <> b.lat
+      GROUP BY 1, 2),
+    sym AS MATERIALIZED (
+      SELECT i AS me, j AS opp, n FROM p
+      UNION ALL SELECT j, i, n FROM p),
+    wins AS MATERIALIZED (
+      SELECT me AS node, SUM(wv) AS wins, SUM(n) AS games FROM (
+        SELECT i AS me, wi AS wv, n FROM p
+        UNION ALL SELECT j, n - wi, n FROM p) t
+      GROUP BY 1),
+    bt0 AS MATERIALIZED (
+      SELECT node, CAST({BT_UNIT} AS BIGINT) AS r FROM wins),
+    {','.join(iters)}
+    SELECT CAST(w.node AS BIGINT) AS suppkey,
+           CAST(w.wins AS BIGINT) AS wins,
+           CAST(w.games AS BIGINT) AS games,
+           CAST(b.r AS BIGINT) AS bt_units,
+           (ROUND(w.wins * 1.0 / w.games, 4) + 0.0) AS win_rate
+    FROM wins w JOIN {prev} b ON b.node = w.node
+    ORDER BY b.r DESC, w.node LIMIT {BT_TOP}
+    """
+
+
+@query("q221_bradley_terry", oracle=_q221_oracle())
+def q221_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley–Terry strength of every supplier from head-to-head ship
+    duels: two suppliers serving the SAME order are compared on their
+    best ship delay (paired comparison — the order-level confounders a
+    raw latency league like q191 can't control for cancel out), and
+    {BT_ITERS} minorize-maximize rounds fit the BT model
+    P(i beats j) = s_i / (s_i + s_j).  The same machinery a
+    preference-data pipeline runs on pairwise human judgments to turn
+    "A beat B" logs into per-item quality scores (RLHF reward data,
+    tournament ranking, model-arena leaderboards).
+
+    Parity: all INTEGER fixed-point ({BT_UNIT} units == strength 1.0,
+    per-term resolution BT_K/(2*UNIT)).  The MM update
+    s_i' = W_i / Σ_j n_ij/(s_i+s_j) is homogeneous of degree 1, so the
+    iteration never drifts in scale and needs NO normalization pass;
+    floor-division terms are exact integers, their sums
+    order-independent, hence bit-identical across engines (the q183
+    rule).  GREATEST(x, 1) guards the all-loss player whose strength
+    floors to 0.
+
+    Scale shape: duels are within-order pair explodes (Σ C(suppliers
+    per order, 2) ≈ Σ C(7,2) — the q142 bound); each MM round is two
+    node-keyed joins + one hash agg over the |supplier-pair| table,
+    localCheckpointed (the q183 loop discipline); output is a
+    top-{BT_TOP} TakeOrderedAndProject on integer strength.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    d = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.min(F.datediff("l_shipdate", "o_orderdate")).alias("lat"))
+    )
+    a = d.select(
+        "l_orderkey", F.col("l_suppkey").alias("i"), F.col("lat").alias("la")
+    )
+    b = d.select(
+        "l_orderkey", F.col("l_suppkey").alias("j"), F.col("lat").alias("lb")
+    )
+    p = (
+        a.join(b, "l_orderkey")
+        .filter((F.col("i") < F.col("j")) & (F.col("la") != F.col("lb")))
+        .groupBy("i", "j")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("la") < F.col("lb")).cast("long")).alias("wi"),
+        )
+    )
+    # the round loop fans out over BOTH derived tables every iteration
+    # — checkpoint them once (the q183 derived-table discipline).
+    sym = local_checkpoint(
+        p.select(F.col("i").alias("me"), F.col("j").alias("opp"), "n").unionAll(
+            p.select(F.col("j").alias("me"), F.col("i").alias("opp"), "n")
+        ),
+        "q221 sym duels",
+    )
+    wins = local_checkpoint(
+        p.select(F.col("i").alias("me"), F.col("wi").alias("wv"), "n")
+        .unionAll(
+            p.select(
+                F.col("j").alias("me"), (F.col("n") - F.col("wi")).alias("wv"), "n"
+            )
+        )
+        .groupBy("me")
+        .agg(F.sum("wv").alias("wins"), F.sum("n").alias("games"))
+        .select(F.col("me").alias("node"), "wins", "games"),
+        "q221 win totals",
+    )
+    cur = local_checkpoint(
+        wins.select("node", F.lit(BT_UNIT).cast("long").alias("r")), "q221 bt init"
+    )
+    for k in range(BT_ITERS):
+        ri = cur.select(F.col("node").alias("me"), F.col("r").alias("r_me"))
+        rj = cur.select(F.col("node").alias("opp"), F.col("r").alias("r_opp"))
+        den = (
+            sym.join(ri, "me")
+            .join(rj, "opp")
+            .select(
+                F.col("me").alias("node"),
+                F.expr(f"(n * {BT_K}) div greatest(r_me + r_opp, 1)").alias("t"),
+            )
+            .groupBy("node")
+            .agg(F.sum("t").alias("den"))
+        )
+        cur = local_checkpoint(
+            wins.join(den, "node").select(
+                "node",
+                F.expr(f"(wins * {BT_K}) div greatest(den, 1)")
+                .cast("long")
+                .alias("r"),
+            ),
+            f"q221 bt round {k + 1}",
+        )
+    return (
+        wins.join(cur, "node")
+        .select(
+            F.col("node").cast("long").alias("suppkey"),
+            F.col("wins").cast("long"),
+            F.col("games").cast("long"),
+            F.col("r").cast("long").alias("bt_units"),
+            dec(F.col("wins") * 1.0 / F.col("games"), 4).alias("win_rate"),
+        )
+        .orderBy(F.col("bt_units").desc(), "suppkey")
+        .limit(BT_TOP)
     )

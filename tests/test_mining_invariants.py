@@ -260,3 +260,21 @@ def test_item_item_cf_known_counts(spark, tmp_path):
         [r for r in out if r["part"] == 1], key=lambda r: r["rec_rank"]
     )
     assert [r["neighbor"] for r in p1] == [2, 3]
+
+
+def test_kcore_converged_within_round_cap(spark, sf_dir):
+    """Every returned core member must have core_degree >= KCORE_K —
+    true ONLY if the fixed KCORE_ROUNDS peel reached the fixpoint
+    (a cap that stops short leaves an under-degree node behind)."""
+    from datapipeline_dags_spark.plans.mining import (
+        KCORE_K,
+        q222_kcore_decomposition,
+    )
+
+    rows = q222_kcore_decomposition(spark, sf_dir).collect()
+    assert rows, "core emptied at fixture scale"
+    assert all(r["core_degree"] >= KCORE_K for r in rows)
+    n_nodes = rows[0]["n_core_nodes"]
+    n_edges = rows[0]["n_core_edges"]
+    # a K-core with n nodes has at least ceil(n*K/2) edges
+    assert 2 * n_edges >= n_nodes * KCORE_K

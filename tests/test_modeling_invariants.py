@@ -504,3 +504,18 @@ def test_grid_density_cc_backends_agree(spark, sf_dir):
         )
     )
     assert drv == dist
+
+
+def test_bradley_terry_invariants(spark, sf_dir):
+    """MM fixed point sanity: strengths positive, wins bounded by
+    games, output ordered by integer strength, and at least one
+    iteration's worth of separation (not everyone still at BT_UNIT)."""
+    from datapipeline_dags_spark.plans.modeling import q221_bradley_terry
+
+    rows = q221_bradley_terry(spark, sf_dir).collect()
+    assert rows, "no duels on the fixture"
+    units = [r["bt_units"] for r in rows]
+    assert all(u > 0 for u in units)
+    assert units == sorted(units, reverse=True)
+    assert all(0 <= r["wins"] <= r["games"] for r in rows)
+    assert len(set(units)) > 1, "iteration left every strength identical"

@@ -84,6 +84,7 @@ BOUNDED_FILTER_HINT_OK = {
     "q218_emd_drift",  # broadcasts the 1-row corpus total
     "q219_cuped",  # broadcasts the 1-row pooled theta/moments
     "q220_diff_in_diff",  # broadcasts the 1-row DiD estimate
+    "q222_kcore_decomposition",  # broadcasts the 1-row core node/edge stats
     "q175_kaplan_meier",  # broadcasts the 1-row order-count aggregate
     "q176_cusum_changepoint",  # broadcasts the 1-row daily-mean aggregate
     # broadcasts the dim-bounded label centroid + the 1-row corpus count
@@ -297,6 +298,8 @@ NESTED_LOOP_OK = {
     # 1-row pooled-moments / DiD attaches onto the |arms|-row frame
     "q219_cuped",
     "q220_diff_in_diff",
+    # two 1-row core-stat attaches onto the KCORE_TOP-row frame
+    "q222_kcore_decomposition",
     # NEG_POOL-row broadcast pool x anchors inequality pick (cf. q127's
     # bounded audit-batch pattern)
     "q214_triplet_mining",
