@@ -156,6 +156,8 @@ _ROTATION_TAIL = [
     "q220_diff_in_diff",
     "q221_bradley_terry",
     "q222_kcore_decomposition",
+    "q223_revenue_acf",
+    "q224_fano_burstiness",
 ]
 
 

@@ -1990,3 +1990,76 @@ def q190_weekday_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
         dec(term, 4).alias("chisq_term"),
         dec(F.sum(term).over(full_w), 4).alias("chisq_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q224 — Fano-factor burstiness of daily event volume per type
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q224_fano_burstiness",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+      FROM events GROUP BY 1, 2),
+    span AS (
+      SELECT date_diff('day', MIN(CAST(ts AS DATE)), MAX(CAST(ts AS DATE)))
+               + 1 AS dspan
+      FROM events),
+    m AS (
+      SELECT event_type, SUM(n) AS se, SUM(n * n) AS sn2,
+             COUNT(*) AS active_days
+      FROM d GROUP BY 1)
+    SELECT m.event_type,
+           CAST(m.se AS BIGINT) AS n_events,
+           CAST(m.active_days AS BIGINT) AS n_active_days,
+           (ROUND(m.se * 1.0 / s.dspan, 4) + 0.0) AS mean_per_day,
+           (ROUND((m.sn2 * 1.0 / s.dspan
+                   - (m.se * 1.0 / s.dspan) * (m.se * 1.0 / s.dspan))
+                  / (m.se * 1.0 / s.dspan), 4) + 0.0) AS fano
+    FROM m CROSS JOIN span s
+    """,
+)
+def q224_fano_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor (index of dispersion, var/mean of daily counts over
+    the full calendar span, zero days included) per event type: ~1 for
+    Poisson-like traffic, >>1 for bursty types — the bot/incident
+    screen that flags a type whose volume arrives in spikes, and the
+    overdispersion check that decides Poisson vs negative-binomial
+    capacity models.
+
+    Parity: the corpus collapses to the bounded (type, day) grid with
+    integer counts; the zero-day-inclusive moments need only Σn, Σn²
+    over ACTIVE days plus the global span (zeros contribute nothing),
+    so variance and mean are single double expressions over exact
+    integers with identical association order (the q203 rule); 4-dp
+    rounds at the edge.
+
+    Scale shape: one pushed hash agg to the (type, day) collapse, one
+    to |types| rows, and a 1-row calendar-span broadcast attach.
+    """
+    ev = table(spark, sf_dir, "events")
+    d = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("n")
+    )
+    span = ev.agg(
+        (
+            F.datediff(F.max(F.to_date("ts")), F.min(F.to_date("ts"))) + 1
+        ).alias("dspan")
+    )
+    m = d.groupBy("event_type").agg(
+        F.sum("n").alias("se"),
+        F.sum(F.col("n") * F.col("n")).alias("sn2"),
+        F.count("*").alias("active_days"),
+    )
+    mean = F.col("se") * 1.0 / F.col("dspan")
+    return m.crossJoin(F.broadcast(span)).select(
+        "event_type",
+        F.col("se").cast("long").alias("n_events"),
+        F.col("active_days").cast("long").alias("n_active_days"),
+        dec(mean, 4).alias("mean_per_day"),
+        dec(
+            (F.col("sn2") * 1.0 / F.col("dspan") - mean * mean) / mean, 4
+        ).alias("fano"),
+    )

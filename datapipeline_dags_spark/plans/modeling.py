@@ -1551,3 +1551,114 @@ def q221_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bt_units").desc(), "suppkey")
         .limit(BT_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# q223 — autocorrelation function (ACF) of daily revenue
+# ---------------------------------------------------------------------------
+
+ACF_LAGS = 14
+#: daily revenue is carried in $100 units (cents div 1e4) so the
+#: lag-products Σ x_t·x_{t+k} stay deep inside BIGINT at any fixture
+#: scale; at extreme corpus sizes the unit coarsens with the corpus
+#: (the q210 rescale note) — the ACF is scale-invariant, so the unit
+#: choice only sets integer resolution.
+ACF_UNIT_DIV = 10_000
+
+
+def _q223_oracle() -> str:
+    xbar = "(g.s * 1.0 / g.n)"
+    return f"""
+    WITH daily AS MATERIALIZED (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                  // {ACF_UNIT_DIV} AS BIGINT) AS x
+      FROM orders GROUP BY 1),
+    g AS (SELECT COUNT(*) AS n, SUM(x) AS s, SUM(x * x) AS sxx FROM daily),
+    lagk AS (SELECT CAST(k AS BIGINT) AS k FROM range(1, {ACF_LAGS + 1}) t(k)),
+    pr AS (
+      SELECT l.k,
+             COUNT(*) AS nk,
+             SUM(a.x * b.x) AS sxy,
+             SUM(a.x) AS sh,
+             SUM(b.x) AS st
+      FROM daily a
+      CROSS JOIN lagk l
+      JOIN daily b ON b.day = a.day + CAST(l.k AS INTEGER)
+      GROUP BY 1)
+    SELECT pr.k AS lag,
+           CAST(pr.nk AS BIGINT) AS n_pairs,
+           (ROUND((pr.sxy - {xbar} * pr.st - {xbar} * pr.sh
+                   + pr.nk * {xbar} * {xbar})
+                  / (g.sxx - g.n * {xbar} * {xbar}), 6) + 0.0) AS acf
+    FROM pr CROSS JOIN g
+    ORDER BY lag
+    """
+
+
+@query("q223_revenue_acf", oracle=_q223_oracle())
+def q223_revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the daily-revenue series at lags
+    1..{ACF_LAGS}: the model-selection diagnostic that decides whether
+    q211's Holt level/trend smoothing suffices or q163's seasonal
+    terms are needed (a weekly spike at lag 7 = seasonality; a slow
+    decay = trend), and the independence check behind every
+    block-bootstrap/batch-size choice.
+
+    Parity: the series collapses to the bounded |days| calendar domain
+    with integer revenue units, every moment (n, Σx, Σx², and per-lag
+    n_k, Σxy, head/tail sums) is an exact BIGINT, and the ACF is a
+    single double expression over those integers with identical
+    association order in both engines (the q203/q206 rule); one 6-dp
+    round at the edge.
+
+    Scale shape: ONE pushed hash agg collapses the corpus to |days|
+    rows; the lag-pair build is (|days| × {ACF_LAGS}) on the bounded
+    collapse, never the corpus; the global-moment attach is a 1-row
+    broadcast.  Output is {ACF_LAGS} rows.
+    """
+    orders = table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.expr(
+            f"CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))"
+            f" div {ACF_UNIT_DIV} AS BIGINT)"
+        ).alias("x")
+    )
+    g = daily.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    lags = spark.range(1, ACF_LAGS + 1).select(F.col("id").alias("k"))
+    a = daily.select(F.col("day").alias("d1"), F.col("x").alias("xa"))
+    b = daily.select(F.col("day").alias("d2"), F.col("x").alias("xb"))
+    pr = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("d2") == F.date_add(F.col("d1"), F.col("k").cast("int")))
+        .groupBy("k")
+        .agg(
+            F.count("*").alias("nk"),
+            F.sum(F.col("xa") * F.col("xb")).alias("sxy"),
+            F.sum("xa").alias("sh"),
+            F.sum("xb").alias("st"),
+        )
+    )
+    xbar = F.col("s") * 1.0 / F.col("n")
+    return (
+        pr.crossJoin(F.broadcast(g))
+        .select(
+            F.col("k").cast("long").alias("lag"),
+            F.col("nk").cast("long").alias("n_pairs"),
+            dec(
+                (
+                    F.col("sxy")
+                    - xbar * F.col("st")
+                    - xbar * F.col("sh")
+                    + F.col("nk") * xbar * xbar
+                )
+                / (F.col("sxx") - F.col("n") * xbar * xbar),
+                6,
+            ).alias("acf"),
+        )
+        .orderBy("lag")
+    )

@@ -519,3 +519,16 @@ def test_bradley_terry_invariants(spark, sf_dir):
     assert units == sorted(units, reverse=True)
     assert all(0 <= r["wins"] <= r["games"] for r in rows)
     assert len(set(units)) > 1, "iteration left every strength identical"
+
+
+def test_acf_invariants(spark, sf_dir):
+    """Sample ACF stays in [-1, 1], one row per lag, and pair counts
+    can only shrink as the lag grows (fewer aligned days)."""
+    from datapipeline_dags_spark.plans.modeling import ACF_LAGS, q223_revenue_acf
+
+    rows = q223_revenue_acf(spark, sf_dir).collect()
+    assert len(rows) == ACF_LAGS
+    assert all(abs(r["acf"]) <= 1.0 + 1e-9 for r in rows)
+    # missing calendar days make pair counts non-monotone in the lag;
+    # they just have to be positive and bounded by the day count
+    assert all(r["n_pairs"] > 0 for r in rows)

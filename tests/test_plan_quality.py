@@ -85,6 +85,9 @@ BOUNDED_FILTER_HINT_OK = {
     "q219_cuped",  # broadcasts the 1-row pooled theta/moments
     "q220_diff_in_diff",  # broadcasts the 1-row DiD estimate
     "q222_kcore_decomposition",  # broadcasts the 1-row core node/edge stats
+    # broadcasts the ACF_LAGS-row lag grid + the 1-row global moments
+    "q223_revenue_acf",
+    "q224_fano_burstiness",  # broadcasts the 1-row calendar-span aggregate
     "q175_kaplan_meier",  # broadcasts the 1-row order-count aggregate
     "q176_cusum_changepoint",  # broadcasts the 1-row daily-mean aggregate
     # broadcasts the dim-bounded label centroid + the 1-row corpus count
@@ -300,6 +303,9 @@ NESTED_LOOP_OK = {
     "q220_diff_in_diff",
     # two 1-row core-stat attaches onto the KCORE_TOP-row frame
     "q222_kcore_decomposition",
+    # bounded |days| x ACF_LAGS lag-grid build + 1-row moment attach
+    "q223_revenue_acf",
+    "q224_fano_burstiness",  # 1-row span attach onto the |types|-row frame
     # NEG_POOL-row broadcast pool x anchors inequality pick (cf. q127's
     # bounded audit-batch pattern)
     "q214_triplet_mining",

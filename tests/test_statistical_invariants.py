@@ -72,3 +72,17 @@ def test_aging_buckets_partition_open_orders(spark, sf_dir):
     rows = q184_order_aging(spark, sf_dir).collect()
     assert {r["age_bucket"] for r in rows} <= {"0-30", "31-60", "61-90", "90+"}
     assert all(r["n_orders"] > 0 for r in rows)
+
+
+def test_fano_burstiness_invariants(spark, sf_dir):
+    """Fano factors are positive, means are positive, and a type can't
+    have more events than days times its max... (weak sanity: events
+    >= active days, since an active day has >= 1 event)."""
+    from datapipeline_dags_spark.plans.event_time import q224_fano_burstiness
+
+    rows = q224_fano_burstiness(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_events"] >= r["n_active_days"] >= 1
+        assert r["mean_per_day"] > 0
+        assert r["fano"] > 0
