@@ -158,6 +158,8 @@ _ROTATION_TAIL = [
     "q222_kcore_decomposition",
     "q223_revenue_acf",
     "q224_fano_burstiness",
+    "q225_greedy_set_cover",
+    "q226_kmin_distinct_sketch",
 ]
 
 

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from datapipeline_dags_spark.catalog import table
 from datapipeline_dags_spark.checkpoint import local_checkpoint
 from datapipeline_dags_spark.plans.helpers import dec
+from datapipeline_dags_spark.plans.llm_ops import _SHINGLES_SQL, _shingles
 from datapipeline_dags_spark.plans.registry import query
 from datapipeline_dags_spark.plans.scalars import distributed_percentiles
 
@@ -1251,4 +1252,201 @@ def q222_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_core_nodes").cast("long"),
             F.col("n_core_edges").cast("long"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q225 — greedy set-cover data selection (submodular coverage pick)
+# ---------------------------------------------------------------------------
+
+SC_PICKS = 10
+
+
+def _q225_oracle() -> str:
+    iters = []
+    for r in range(1, SC_PICKS + 1):
+        prev_p, prev_c = f"picked{r - 1}", f"cov{r - 1}"
+        iters.append(f"""
+    g{r} AS MATERIALIZED (
+      SELECT t.doc_id, COUNT(*) AS gain
+      FROM tok t
+      WHERE t.doc_id NOT IN (SELECT doc_id FROM {prev_p})
+        AND t.tok NOT IN (SELECT tok FROM {prev_c})
+      GROUP BY 1),
+    p{r} AS MATERIALIZED (
+      SELECT doc_id, gain FROM g{r} ORDER BY gain DESC, doc_id LIMIT 1),
+    picked{r} AS MATERIALIZED (
+      SELECT doc_id, gain, CAST({r} AS BIGINT) AS pick_rank FROM p{r}
+      UNION ALL SELECT doc_id, gain, pick_rank FROM {prev_p}),
+    cov{r} AS MATERIALIZED (
+      SELECT tok FROM {prev_c}
+      UNION
+      SELECT t.tok FROM tok t JOIN p{r} pp ON t.doc_id = pp.doc_id)""")
+    return f"""
+    WITH tok AS MATERIALIZED (
+      SELECT doc_id, tok FROM (
+        SELECT doc_id, unnest({_SHINGLES_SQL}) AS tok FROM documents) x),
+    picked0 AS MATERIALIZED (
+      SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS gain,
+             CAST(NULL AS BIGINT) AS pick_rank WHERE 1 = 0),
+    cov0 AS MATERIALIZED (SELECT CAST(NULL AS VARCHAR) AS tok WHERE 1 = 0),
+    {','.join(iters)}
+    SELECT pick_rank, doc_id,
+           CAST(gain AS BIGINT) AS marginal_gain,
+           CAST(SUM(gain) OVER (ORDER BY pick_rank) AS BIGINT)
+             AS covered_tokens
+    FROM picked{SC_PICKS}
+    ORDER BY pick_rank
+    """
+
+
+@query("q225_greedy_set_cover", oracle=_q225_oracle())
+def q225_greedy_set_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy maximum-coverage data selection: pick {SC_PICKS} documents
+    that together cover the most distinct 5-gram shingles, one
+    highest-marginal-gain pick per round — the submodular
+    facility-location selection LLM curation pipelines use to choose a
+    small, diverse fine-tuning subset (greedy is (1-1/e)-optimal for
+    coverage, Nemhauser 1978).
+
+    Parity: gains are exact integer counts with a doc-id tiebreak on
+    the argmax, so every round's pick — and therefore the whole
+    trajectory — is engine-identical; the oracle replays the rounds as
+    chained MATERIALIZED CTEs (the q183/q207 contract).
+
+    Scale shape: the corpus collapses once to the (doc, shingle)
+    table (checkpointed); each round is one anti join against the
+    covered-token set (≤ picks × max-doc-vocab rows, bounded) + one
+    hash agg + a global top-1 TakeOrderedAndProject; the 1-row pick
+    per round is bounded control plane (the q101 BPE top-1 / q207
+    matrix-collect precedent).  Output is ≤ {SC_PICKS} rows built
+    driver-side from the picks.
+    """
+    docs = table(spark, sf_dir, "documents")
+    # _shingles emits array_distinct per doc, so (doc_id, tok) is
+    # already unique — no distinct shuffle needed before the loop.
+    tokens = local_checkpoint(
+        docs.select(
+            "doc_id", F.explode(_shingles(F.col("text"))).alias("tok")
+        ),
+        "q225 doc-shingle sets",
+    )
+    covered: DataFrame | None = None
+    picked: list[tuple[int, int, int, int]] = []
+    total = 0
+    for r in range(1, SC_PICKS + 1):
+        cand = tokens
+        if picked:
+            cand = cand.filter(
+                ~F.col("doc_id").isin([p[1] for p in picked])
+            )
+        if covered is not None:
+            cand = cand.join(covered, "tok", "anti")
+        top = (
+            cand.groupBy("doc_id")
+            .agg(F.count("*").alias("gain"))
+            .orderBy(F.col("gain").desc(), "doc_id")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        doc, gain = top[0]["doc_id"], top[0]["gain"]
+        total += gain
+        picked.append((r, doc, gain, total))
+        newtoks = tokens.filter(F.col("doc_id") == doc).select("tok")
+        covered = local_checkpoint(
+            newtoks if covered is None else covered.union(newtoks).distinct(),
+            f"q225 covered after pick {r}",
+        )
+    return spark.createDataFrame(
+        picked,
+        "pick_rank long, doc_id long, marginal_gain long, covered_tokens long",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q226 — k-mins distinct-count sketch audit (vocabulary size per source)
+# ---------------------------------------------------------------------------
+
+KMV_K = 64
+_KMV_SPACE = f"{2**60}.0"  # hash space size as an exact double literal
+
+
+@query(
+    "q226_kmin_distinct_sketch",
+    oracle=f"""
+    WITH t AS MATERIALIZED (
+      SELECT DISTINCT source, tok FROM (
+        SELECT source, unnest(string_split(text, ' ')) AS tok
+        FROM documents) x),
+    m AS (
+      SELECT t.source, s.salt,
+             MIN(('0x' || substr(md5(t.tok || '|' || CAST(s.salt AS VARCHAR)),
+                                 1, 15))::BIGINT) AS mn
+      FROM t CROSS JOIN range(0, {KMV_K}) s(salt)
+      GROUP BY 1, 2),
+    kv AS (SELECT source, SUM(mn) AS sm FROM m GROUP BY 1),
+    ex AS (SELECT source, COUNT(*) AS n_exact FROM t GROUP BY 1)
+    SELECT ex.source,
+           CAST(ex.n_exact AS BIGINT) AS n_exact,
+           (ROUND({KMV_K} * {_KMV_SPACE} / kv.sm - 1, 2) + 0.0)
+             AS kmin_estimate,
+           (ROUND(({KMV_K} * {_KMV_SPACE} / kv.sm - 1 - ex.n_exact)
+                  / ex.n_exact, 4) + 0.0) AS rel_error
+    FROM ex JOIN kv ON ex.source = kv.source
+    """,
+)
+def q226_kmin_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-mins distinct-count sketch (Flajolet–Martin / Bar-Yossef
+    family) of per-source vocabulary, audited against the exact
+    distinct count: {KMV_K} independent md5 permutations, the per-source
+    MIN under each, and the estimator n̂ = k·2^60/Σmin − 1 (each min of
+    n uniforms has mean space/(n+1)).  The mergeable way to size
+    vocabularies across shards: per-shard state is {KMV_K} longs per
+    source, merged by pairwise MIN — no sort, no per-source window,
+    unlike a bottom-k sketch.
+
+    Parity: the md5 bytes are identical in both engines, MIN/SUM over
+    them are exact integers, and the estimate is a single double
+    expression over those integers (the q203 rule); 2/4-dp rounds at
+    the edge.
+
+    Scale shape: one distinct collapse to (source, token); the sketch
+    pass is map-side md5 × {KMV_K} with partial-combine MINs, so the
+    shuffle carries |sources| × {KMV_K} cells regardless of corpus
+    size; the exact side is ONE count per source over the same
+    collapse (the audit's baseline cost, only paid when auditing).
+    """
+    docs = table(spark, sf_dir, "documents")
+    t = local_checkpoint(
+        docs.select(
+            "source", F.explode(F.split("text", " ")).alias("tok")
+        ).distinct(),
+        "q226 source-token sets",
+    )
+    salts = spark.range(0, KMV_K).select(F.col("id").alias("salt"))
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("tok"), F.lit("|"), F.col("salt").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    kv = (
+        t.crossJoin(F.broadcast(salts))
+        .groupBy("source", "salt")
+        .agg(F.min(u).alias("mn"))
+        .groupBy("source")
+        .agg(F.sum("mn").alias("sm"))
+    )
+    ex = t.groupBy("source").agg(F.count("*").alias("n_exact"))
+    est = F.expr(f"{KMV_K} * {_KMV_SPACE} / sm - 1")
+    return ex.join(kv, "source").select(
+        "source",
+        F.col("n_exact").cast("long"),
+        dec(est, 2).alias("kmin_estimate"),
+        dec((est - F.col("n_exact")) / F.col("n_exact"), 4).alias("rel_error"),
     )

@@ -278,3 +278,35 @@ def test_kcore_converged_within_round_cap(spark, sf_dir):
     n_edges = rows[0]["n_core_edges"]
     # a K-core with n nodes has at least ceil(n*K/2) edges
     assert 2 * n_edges >= n_nodes * KCORE_K
+
+
+def test_set_cover_greedy_invariants(spark, sf_dir):
+    """Marginal gains are non-increasing (submodularity of coverage
+    under a greedy argmax) and cumulative coverage is their prefix
+    sum."""
+    from datapipeline_dags_spark.plans.mining import q225_greedy_set_cover
+
+    rows = sorted(
+        q225_greedy_set_cover(spark, sf_dir).collect(),
+        key=lambda r: r["pick_rank"],
+    )
+    assert rows
+    gains = [r["marginal_gain"] for r in rows]
+    assert all(a >= b for a, b in zip(gains, gains[1:]))
+    run = 0
+    for r in rows:
+        run += r["marginal_gain"]
+        assert r["covered_tokens"] == run
+
+
+def test_kmin_sketch_within_tolerance(spark, sf_dir):
+    """With k=64 permutations the k-mins estimator's relative error
+    should stay inside ~4/sqrt(k) = 50% on every source (loose bound;
+    typical is ~12%)."""
+    from datapipeline_dags_spark.plans.mining import q226_kmin_distinct_sketch
+
+    rows = q226_kmin_distinct_sketch(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert abs(r["rel_error"]) < 0.5, (r["source"], r["rel_error"])
+        assert r["kmin_estimate"] > 0

@@ -88,6 +88,7 @@ BOUNDED_FILTER_HINT_OK = {
     # broadcasts the ACF_LAGS-row lag grid + the 1-row global moments
     "q223_revenue_acf",
     "q224_fano_burstiness",  # broadcasts the 1-row calendar-span aggregate
+    "q226_kmin_distinct_sketch",  # broadcasts the KMV_K-row salt grid
     "q175_kaplan_meier",  # broadcasts the 1-row order-count aggregate
     "q176_cusum_changepoint",  # broadcasts the 1-row daily-mean aggregate
     # broadcasts the dim-bounded label centroid + the 1-row corpus count
@@ -306,6 +307,9 @@ NESTED_LOOP_OK = {
     # bounded |days| x ACF_LAGS lag-grid build + 1-row moment attach
     "q223_revenue_acf",
     "q224_fano_burstiness",  # 1-row span attach onto the |types|-row frame
+    # KMV_K-row salt grid x token collapse: the map-side sketch fan-out
+    # (partial-combine MINs collapse it before the shuffle)
+    "q226_kmin_distinct_sketch",
     # NEG_POOL-row broadcast pool x anchors inequality pick (cf. q127's
     # bounded audit-batch pattern)
     "q214_triplet_mining",
