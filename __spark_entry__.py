@@ -160,6 +160,8 @@ _ROTATION_TAIL = [
     "q224_fano_burstiness",
     "q225_greedy_set_cover",
     "q226_kmin_distinct_sketch",
+    "q227_conformal_calibration",
+    "q228_degree_assortativity",
 ]
 
 

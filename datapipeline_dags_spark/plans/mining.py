@@ -1450,3 +1450,88 @@ def q226_kmin_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         dec(est, 2).alias("kmin_estimate"),
         dec((est - F.col("n_exact")) / F.col("n_exact"), 4).alias("rel_error"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q228 — degree assortativity of the co-purchase graph
+# ---------------------------------------------------------------------------
+
+
+def _q228_oracle() -> str:
+    return f"""
+    WITH {_EDGE_CTES},
+    sym AS MATERIALIZED (SELECT a AS s, bb AS d FROM e
+                         UNION ALL SELECT bb, a FROM e),
+    deg AS MATERIALIZED (SELECT s AS node, COUNT(*) AS dg FROM sym GROUP BY 1),
+    m AS (
+      SELECT COUNT(*) AS n,
+             SUM(da.dg) AS sx, SUM(db.dg) AS sy,
+             SUM(da.dg * db.dg) AS sxy,
+             SUM(da.dg * da.dg) AS sxx,
+             SUM(db.dg * db.dg) AS syy
+      FROM sym
+      JOIN deg da ON da.node = sym.s
+      JOIN deg db ON db.node = sym.d)
+    SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+           CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+           (ROUND((m.n * m.sxy - m.sx * m.sy) * 1.0
+                  / (sqrt(m.n * m.sxx - m.sx * m.sx)
+                     * sqrt(m.n * m.syy - m.sy * m.sy)), 6) + 0.0)
+             AS assortativity
+    FROM m
+    """
+
+
+@query("q228_degree_assortativity", oracle=_q228_oracle())
+def q228_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman 2002) of the co-purchase part
+    graph: the Pearson correlation of endpoint degrees over all
+    directed edge stubs — positive means hubs link to hubs (a
+    rich-club assortment), negative means hubs fan out to niche parts
+    (the typical retail disassortative shape).  One number that tells
+    a recommender whether popular-item neighborhoods are
+    self-reinforcing before anyone mines them (q216/q199/q222).
+
+    Parity: degree moments (n, Σx, Σy, Σxy, Σx², Σy²) are exact
+    BIGINTs over the symmetrized edge list; the correlation is a
+    single double expression over them (the q203 rule — sqrt of exact
+    integers is deterministic IEEE), rounded once at 6 dp.
+
+    Scale shape: rides the shared capped-basket edge engine; two
+    node-keyed joins attach endpoint degrees; ONE 1-row moment
+    aggregate — no window, no per-node state.  Degree products top out
+    around n·maxdeg² ≈ 1e19/corpus-dependent; at extreme corpus sizes
+    the degree cap is the support threshold's job (raise
+    TRI_MIN_SUPPORT with corpus density, the q47 ann_params note).
+    """
+    e = _copurchase_edges(spark, sf_dir, "q228_degree_assortativity")
+    sym = e.select(F.col("a").alias("s"), F.col("bb").alias("d")).unionAll(
+        e.select(F.col("bb").alias("s"), F.col("a").alias("d"))
+    )
+    deg = sym.groupBy(F.col("s").alias("node")).agg(F.count("*").alias("dg"))
+    da = deg.select(F.col("node").alias("s"), F.col("dg").alias("dx"))
+    db = deg.select(F.col("node").alias("d"), F.col("dg").alias("dy"))
+    m = (
+        sym.join(da, "s")
+        .join(db, "d")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("dx").alias("sx"),
+            F.sum("dy").alias("sy"),
+            F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+            F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+            F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+        )
+    )
+    counts = deg.agg(F.count("*").alias("n_nodes")).crossJoin(
+        e.agg(F.count("*").alias("n_edges"))
+    )
+    r = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) * 1.0 / (
+        F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return m.crossJoin(F.broadcast(counts)).select(
+        F.col("n_nodes").cast("long"),
+        F.col("n_edges").cast("long"),
+        dec(r, 6).alias("assortativity"),
+    )

@@ -1662,3 +1662,166 @@ def q223_revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lag")
     )
+
+
+# ---------------------------------------------------------------------------
+# q227 — split-conformal prediction interval calibration
+# ---------------------------------------------------------------------------
+
+#: miscoverage level: intervals target 1 - CONF_ALPHA_NUM/CONF_ALPHA_DEN
+#: coverage, kept as an integer ratio so the conformal rank
+#: k = ceil((1-alpha)(n+1)) is exact integer arithmetic in both engines.
+CONF_ALPHA_NUM, CONF_ALPHA_DEN = 1, 10
+
+
+def _q227_oracle() -> str:
+    cov = CONF_ALPHA_DEN - CONF_ALPHA_NUM  # 9 when alpha = 1/10
+    return f"""
+    WITH j AS MATERIALIZED (
+      SELECT c_mktsegment AS seg,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS y,
+             ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+               % 2 AS fold
+      FROM orders JOIN customer ON o_custkey = c_custkey),
+    mu AS (
+      SELECT seg, COUNT(*) AS n_cal,
+             CAST(SUM(y) // COUNT(*) AS BIGINT) AS yhat
+      FROM j WHERE fold = 0 GROUP BY 1),
+    calres AS (
+      SELECT j.seg, ABS(j.y - mu.yhat) // 100 AS r
+      FROM j JOIN mu ON j.seg = mu.seg WHERE j.fold = 0),
+    rk AS (
+      SELECT seg,
+             LEAST(({cov} * (n_cal + 1) + {CONF_ALPHA_DEN} - 1)
+                     // {CONF_ALPHA_DEN}, n_cal) AS k
+      FROM mu),
+    coll AS (SELECT seg, r, COUNT(*) AS cnt FROM calres GROUP BY 1, 2),
+    cum AS (
+      SELECT seg, r,
+             SUM(cnt) OVER (PARTITION BY seg ORDER BY r
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum
+      FROM coll),
+    qh AS (
+      SELECT c.seg, MIN(c.r) AS qhat
+      FROM cum c JOIN rk ON c.seg = rk.seg
+      WHERE c.cum >= rk.k GROUP BY 1),
+    tst AS (
+      SELECT j.seg, COUNT(*) AS n_test,
+             SUM(CASE WHEN ABS(j.y - mu.yhat) // 100 <= qh.qhat
+                      THEN 1 ELSE 0 END) AS n_cov
+      FROM j JOIN mu ON j.seg = mu.seg JOIN qh ON j.seg = qh.seg
+      WHERE j.fold = 1 GROUP BY 1)
+    SELECT t.seg AS segment,
+           CAST(m.n_cal AS BIGINT) AS n_cal,
+           CAST(t.n_test AS BIGINT) AS n_test,
+           CAST(q.qhat AS BIGINT) AS qhat_dollars,
+           (ROUND(t.n_cov * 1.0 / t.n_test, 4) + 0.0) AS coverage
+    FROM tst t JOIN mu m ON t.seg = m.seg JOIN qh q ON t.seg = q.seg
+    """
+
+
+@query("q227_conformal_calibration", oracle=_q227_oracle())
+def q227_conformal_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals (Vovk; Lei et al. 2018)
+    around a per-segment mean-price predictor, audited for empirical
+    coverage: the md5 fold-0 half calibrates q̂ = the
+    ceil((1-α)(n+1))-th smallest nonconformity score |y - ŷ| (whole
+    dollars), the fold-1 half measures how often the truth lands inside
+    ±q̂ — the distribution-free uncertainty wrapper every deployed
+    scorer should ship with (target coverage {CONF_ALPHA_DEN -
+    CONF_ALPHA_NUM}/{CONF_ALPHA_DEN} holds for ANY data distribution,
+    no normality assumption).
+
+    Parity: the fold coin, the floor-div mean predictor, the dollar
+    nonconformity scores, the conformal rank k, and the rank lookup
+    are ALL exact integer arithmetic; the rank lookup runs over the
+    domain-bounded (segment, score, count) collapse (the q212/q124
+    price-domain discipline — no per-row window), so the k-boundary is
+    engine-agreed with no float anywhere until the final 4-dp coverage
+    ratio.
+
+    Scale shape: two pushed hash aggs (fold stats, score collapse), a
+    per-segment cumulative window over the bounded collapse, and
+    broadcast-sized |segments|-row model tables joined map-side.
+    """
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    cov = CONF_ALPHA_DEN - CONF_ALPHA_NUM
+    j = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)").alias("y"),
+            (
+                F.conv(
+                    F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8),
+                    16,
+                    10,
+                ).cast("long")
+                % 2
+            ).alias("fold"),
+        )
+    )
+    mu = (
+        j.filter(F.col("fold") == 0)
+        .groupBy("seg")
+        .agg(
+            F.count("*").alias("n_cal"),
+            F.expr("CAST(SUM(y) div COUNT(*) AS BIGINT)").alias("yhat"),
+        )
+    )
+    calres = (
+        j.filter(F.col("fold") == 0)
+        .join(mu, "seg")
+        .select("seg", F.expr("abs(y - yhat) div 100").alias("r"))
+    )
+    rk = mu.select(
+        "seg",
+        F.least(
+            F.expr(
+                f"({cov} * (n_cal + 1) + {CONF_ALPHA_DEN} - 1)"
+                f" div {CONF_ALPHA_DEN}"
+            ),
+            F.col("n_cal"),
+        ).alias("k"),
+    )
+    coll = calres.groupBy("seg", "r").agg(F.count("*").alias("cnt"))
+    cum = coll.select(
+        "seg",
+        "r",
+        F.sum("cnt")
+        .over(
+            W.partitionBy("seg").orderBy("r").rowsBetween(W.unboundedPreceding, 0)
+        )
+        .alias("cum"),
+    )
+    qh = (
+        cum.join(rk, "seg")
+        .filter(F.col("cum") >= F.col("k"))
+        .groupBy("seg")
+        .agg(F.min("r").alias("qhat"))
+    )
+    tst = (
+        j.filter(F.col("fold") == 1)
+        .join(mu, "seg")
+        .join(qh, "seg")
+        .groupBy("seg")
+        .agg(
+            F.count("*").alias("n_test"),
+            F.sum(
+                (F.expr("abs(y - yhat) div 100") <= F.col("qhat")).cast("long")
+            ).alias("n_cov"),
+        )
+    )
+    return (
+        tst.join(mu.select("seg", "n_cal"), "seg")
+        .join(qh, "seg")
+        .select(
+            F.col("seg").alias("segment"),
+            F.col("n_cal").cast("long"),
+            F.col("n_test").cast("long"),
+            F.col("qhat").cast("long").alias("qhat_dollars"),
+            dec(F.col("n_cov") * 1.0 / F.col("n_test"), 4).alias("coverage"),
+        )
+    )

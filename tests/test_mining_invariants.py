@@ -310,3 +310,11 @@ def test_kmin_sketch_within_tolerance(spark, sf_dir):
     for r in rows:
         assert abs(r["rel_error"]) < 0.5, (r["source"], r["rel_error"])
         assert r["kmin_estimate"] > 0
+
+
+def test_assortativity_in_range(spark, sf_dir):
+    from datapipeline_dags_spark.plans.mining import q228_degree_assortativity
+
+    row = q228_degree_assortativity(spark, sf_dir).collect()[0]
+    assert -1.0 <= row["assortativity"] <= 1.0
+    assert row["n_nodes"] > 0 and row["n_edges"] > 0

@@ -532,3 +532,16 @@ def test_acf_invariants(spark, sf_dir):
     # missing calendar days make pair counts non-monotone in the lag;
     # they just have to be positive and bounded by the day count
     assert all(r["n_pairs"] > 0 for r in rows)
+
+
+def test_conformal_coverage_near_nominal(spark, sf_dir):
+    """Split-conformal theory guarantees E[coverage] >= 1 - alpha;
+    with ~600 test points per segment the empirical coverage should
+    sit within a few points of 0.9 and never collapse."""
+    from datapipeline_dags_spark.plans.modeling import q227_conformal_calibration
+
+    rows = q227_conformal_calibration(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.8 <= r["coverage"] <= 1.0, (r["segment"], r["coverage"])
+        assert r["qhat_dollars"] > 0

@@ -89,6 +89,7 @@ BOUNDED_FILTER_HINT_OK = {
     "q223_revenue_acf",
     "q224_fano_burstiness",  # broadcasts the 1-row calendar-span aggregate
     "q226_kmin_distinct_sketch",  # broadcasts the KMV_K-row salt grid
+    "q228_degree_assortativity",  # broadcasts the 1-row node/edge counts
     "q175_kaplan_meier",  # broadcasts the 1-row order-count aggregate
     "q176_cusum_changepoint",  # broadcasts the 1-row daily-mean aggregate
     # broadcasts the dim-bounded label centroid + the 1-row corpus count
@@ -310,6 +311,8 @@ NESTED_LOOP_OK = {
     # KMV_K-row salt grid x token collapse: the map-side sketch fan-out
     # (partial-combine MINs collapse it before the shuffle)
     "q226_kmin_distinct_sketch",
+    # two 1-row count attaches onto the 1-row moment frame
+    "q228_degree_assortativity",
     # NEG_POOL-row broadcast pool x anchors inequality pick (cf. q127's
     # bounded audit-batch pattern)
     "q214_triplet_mining",
