@@ -162,6 +162,8 @@ _ROTATION_TAIL = [
     "q226_kmin_distinct_sketch",
     "q227_conformal_calibration",
     "q228_degree_assortativity",
+    "q229_good_turing_richness",
+    "q230_sprt_sequential_test",
 ]
 
 

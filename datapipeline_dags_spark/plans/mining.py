@@ -1535,3 +1535,101 @@ def q228_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_edges").cast("long"),
         dec(r, 6).alias("assortativity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q229 — Good–Turing unseen mass + Chao1 vocabulary richness per source
+# ---------------------------------------------------------------------------
+
+#: raw (non-deduplicated) 5-gram occurrences — Good–Turing needs true
+#: frequencies, so this is llm_ops._SHINGLES_SQL minus the
+#: list_distinct (and its Spark twin below minus array_distinct).
+_RAW_W = "string_split(text, ' ')"
+_RAW_SHINGLES_SQL = (
+    f"CASE WHEN len({_RAW_W}) >= 5 THEN "
+    f"list_transform(generate_series(1, len({_RAW_W}) - 4), "
+    f"i -> array_to_string(({_RAW_W})[i:i+4], ' ')) "
+    "ELSE [text] END"
+)
+
+
+def _raw_shingles(text):  # Column -> Column
+    words = F.split(text, " ")
+    n = F.size(words) - 4
+    return F.when(
+        n >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.concat_ws(" ", F.slice(words, i, 5)),
+        ),
+    ).otherwise(F.array(text))
+
+
+@query(
+    "q229_good_turing_richness",
+    oracle=f"""
+    WITH s AS MATERIALIZED (
+      SELECT source, tok FROM (
+        SELECT source, unnest({_RAW_SHINGLES_SQL}) AS tok
+        FROM documents) x),
+    f AS (SELECT source, tok, COUNT(*) AS c FROM s GROUP BY 1, 2),
+    m AS (
+      SELECT source,
+             SUM(c) AS n, COUNT(*) AS v,
+             SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS n1,
+             SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS n2
+      FROM f GROUP BY 1)
+    SELECT source,
+           CAST(n AS BIGINT) AS n_shingles,
+           CAST(v AS BIGINT) AS vocab,
+           CAST(n1 AS BIGINT) AS n_singletons,
+           CAST(n2 AS BIGINT) AS n_doubletons,
+           (ROUND(n1 * 1.0 / n, 6) + 0.0) AS unseen_mass,
+           (ROUND(v + n1 * (n1 - 1) * 1.0 / (2 * (n2 + 1)), 2) + 0.0)
+             AS chao1_richness
+    FROM m
+    """,
+)
+def q229_good_turing_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good–Turing unseen-mass and Chao1 richness per source: the
+    singleton fraction n1/N estimates the probability the NEXT shingle
+    drawn from a source is one never seen (is this source exhausted,
+    or does more crawling pay?), and the bias-corrected Chao1
+    V + n1(n1-1)/(2(n2+1)) estimates how much vocabulary remains —
+    the coverage/deduplication-planning complement of q226's sketch
+    (which sizes what IS seen).
+
+    Parity: frequencies, N, V, n1, n2 are exact integers from two hash
+    aggs; both estimators are single double expressions over them (the
+    q203 rule); the Chao1 +1 correction also removes the n2 = 0
+    division guard, identically in both engines.
+
+    Scale shape: one raw 5-gram explode → (source, shingle) hash agg
+    with map-side partial combine → |sources|-row moment agg.  No
+    windows, no joins.
+    """
+    docs = table(spark, sf_dir, "documents")
+    f = (
+        docs.select("source", F.explode(_raw_shingles(F.col("text"))).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    m = f.groupBy("source").agg(
+        F.sum("c").alias("n"),
+        F.count("*").alias("v"),
+        F.sum((F.col("c") == 1).cast("long")).alias("n1"),
+        F.sum((F.col("c") == 2).cast("long")).alias("n2"),
+    )
+    return m.select(
+        "source",
+        F.col("n").cast("long").alias("n_shingles"),
+        F.col("v").cast("long").alias("vocab"),
+        F.col("n1").cast("long").alias("n_singletons"),
+        F.col("n2").cast("long").alias("n_doubletons"),
+        dec(F.col("n1") * 1.0 / F.col("n"), 6).alias("unseen_mass"),
+        dec(
+            F.col("v")
+            + F.col("n1") * (F.col("n1") - 1) * 1.0 / (2 * (F.col("n2") + 1)),
+            2,
+        ).alias("chao1_richness"),
+    )

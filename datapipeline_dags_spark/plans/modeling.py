@@ -1825,3 +1825,146 @@ def q227_conformal_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec(F.col("n_cov") * 1.0 / F.col("n_test"), 4).alias("coverage"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q230 — sequential probability ratio test (SPRT) on daily conversion
+# ---------------------------------------------------------------------------
+
+#: H0: p = 0.15 vs H1: p = 0.20 at alpha = beta = 0.05.  The
+#: log-likelihood increments and the Wald boundaries are PRECOMPUTED
+#: double literals embedded verbatim in both engines' expressions, so
+#: the LLR is (exact integer) x (identical literal) — deterministic
+#: IEEE, no engine ln() in the data path.
+SPRT_L1 = 0.287682072451781  # ln(p1/p0)
+SPRT_L0 = -0.060624621816434736  # ln((1-p1)/(1-p0))
+SPRT_A = 2.9444389791664403  # ln((1-beta)/alpha): accept H1 at/above
+SPRT_B = -2.9444389791664403  # ln(beta/(1-alpha)): accept H0 at/below
+
+
+def _q230_oracle() -> str:
+    return f"""
+    WITH e AS MATERIALIZED (
+      SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+               % 2 AS arm,
+             CAST(ts AS DATE) AS day,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS x
+      FROM events),
+    d AS (SELECT arm, day, COUNT(*) AS n, SUM(x) AS sx
+          FROM e GROUP BY 1, 2),
+    c AS (
+      SELECT arm, day,
+             SUM(n) OVER w AS cn, SUM(sx) OVER w AS cx
+      FROM d
+      WINDOW w AS (PARTITION BY arm ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    l AS (
+      SELECT arm, day, cn, cx,
+             cx * {SPRT_L1} + (cn - cx) * {SPRT_L0} AS llr
+      FROM c),
+    x1 AS (
+      SELECT arm, MIN(day) AS decision_day
+      FROM l WHERE llr >= {SPRT_A} OR llr <= {SPRT_B} GROUP BY 1),
+    xat AS (
+      SELECT l.arm, l.day, l.cn, l.llr
+      FROM l JOIN x1 ON l.arm = x1.arm AND l.day = x1.decision_day),
+    tot AS (
+      SELECT arm, SUM(n) AS n_trials, SUM(sx) AS n_success FROM d GROUP BY 1)
+    SELECT t.arm,
+           CAST(t.n_trials AS BIGINT) AS n_trials,
+           CAST(t.n_success AS BIGINT) AS n_success,
+           CASE WHEN xa.llr IS NULL THEN 'continue'
+                WHEN xa.llr >= {SPRT_A} THEN 'accept_h1'
+                ELSE 'accept_h0' END AS decision,
+           CAST(xa.day AS VARCHAR) AS decision_day,
+           CAST(xa.cn AS BIGINT) AS trials_at_decision,
+           (ROUND(t.n_success * {SPRT_L1}
+                  + (t.n_trials - t.n_success) * {SPRT_L0}, 4) + 0.0)
+             AS final_llr
+    FROM tot t LEFT JOIN xat xa ON t.arm = xa.arm
+    """
+
+
+@query("q230_sprt_sequential_test", oracle=_q230_oracle())
+def q230_sprt_sequential_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's sequential probability ratio test on each md5 arm's daily
+    conversion stream (H0: p=0.15 vs H1: p=0.20, α=β=0.05): the
+    cumulative log-likelihood ratio walks day by day until it exits
+    the [ln β/(1-α), ln (1-β)/α] band — the always-valid early-stopping
+    monitor that ends an A/B test the moment the evidence suffices,
+    instead of waiting for a fixed horizon (q219/q220's estimators
+    assume the horizon; this decides it).
+
+    Parity: trials and successes collapse to the bounded (arm, day)
+    grid as exact integers; the LLR multiplies those integers by
+    PRECOMPUTED double literals (identical text in both engines — no
+    engine ln() touches data), so every day's LLR is bit-identical and
+    the band-crossing day is engine-agreed; 4-dp round only on the
+    reported final LLR.
+
+    Scale shape: one pushed hash agg to (arm, day); the cumulative
+    window runs over that bounded calendar collapse (the q182/q176
+    collapse-first rule); crossing lookup and totals are |arms|-row
+    joins.
+    """
+    ev = table(spark, sf_dir, "events")
+    e = ev.select(
+        (
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+            ).cast("long")
+            % 2
+        ).alias("arm"),
+        F.to_date("ts").alias("day"),
+        (F.col("event_type") == "purchase").cast("long").alias("x"),
+    )
+    d = e.groupBy("arm", "day").agg(
+        F.count("*").alias("n"), F.sum("x").alias("sx")
+    )
+    w = W.partitionBy("arm").orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    l = d.select(
+        "arm",
+        "day",
+        F.sum("n").over(w).alias("cn"),
+        F.sum("sx").over(w).alias("cx"),
+    ).withColumn(
+        "llr",
+        F.col("cx") * SPRT_L1 + (F.col("cn") - F.col("cx")) * SPRT_L0,
+    )
+    crossed = local_checkpoint(
+        l.filter((F.col("llr") >= SPRT_A) | (F.col("llr") <= SPRT_B)),
+        "q230 crossed days",
+    )
+    x1 = crossed.groupBy("arm").agg(F.min("day").alias("decision_day")).select(
+        F.col("arm").alias("x1arm"), "decision_day"
+    )
+    xat = crossed.join(
+        x1,
+        (crossed.arm == x1.x1arm) & (crossed.day == x1.decision_day),
+    ).select(
+        F.col("x1arm").alias("xarm"),
+        "decision_day",
+        F.col("cn").alias("trials_at_decision"),
+        F.col("llr").alias("llr_at"),
+    )
+    tot = d.groupBy("arm").agg(
+        F.sum("n").alias("n_trials"), F.sum("sx").alias("n_success")
+    )
+    return tot.join(xat, tot.arm == xat.xarm, "left").select(
+        "arm",
+        F.col("n_trials").cast("long"),
+        F.col("n_success").cast("long"),
+        F.when(F.col("llr_at").isNull(), "continue")
+        .when(F.col("llr_at") >= SPRT_A, "accept_h1")
+        .otherwise("accept_h0")
+        .alias("decision"),
+        # ISO string, not DATE: the compare hashes repr() and the two
+        # engines' pandas date representations differ
+        F.col("decision_day").cast("string").alias("decision_day"),
+        F.col("trials_at_decision").cast("long"),
+        dec(
+            F.col("n_success") * SPRT_L1
+            + (F.col("n_trials") - F.col("n_success")) * SPRT_L0,
+            4,
+        ).alias("final_llr"),
+    )

@@ -318,3 +318,16 @@ def test_assortativity_in_range(spark, sf_dir):
     row = q228_degree_assortativity(spark, sf_dir).collect()[0]
     assert -1.0 <= row["assortativity"] <= 1.0
     assert row["n_nodes"] > 0 and row["n_edges"] > 0
+
+
+def test_good_turing_invariants(spark, sf_dir):
+    """n1 + 2*n2 <= N, unseen mass in [0,1], and Chao1 >= observed
+    vocabulary (the estimator only ever adds unseen species)."""
+    from datapipeline_dags_spark.plans.mining import q229_good_turing_richness
+
+    rows = q229_good_turing_richness(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_singletons"] + 2 * r["n_doubletons"] <= r["n_shingles"]
+        assert 0.0 <= r["unseen_mass"] <= 1.0
+        assert r["chao1_richness"] >= r["vocab"]

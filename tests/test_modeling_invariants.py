@@ -545,3 +545,24 @@ def test_conformal_coverage_near_nominal(spark, sf_dir):
     for r in rows:
         assert 0.8 <= r["coverage"] <= 1.0, (r["segment"], r["coverage"])
         assert r["qhat_dollars"] > 0
+
+
+def test_sprt_decision_consistency(spark, sf_dir):
+    """A decision requires a crossing day; the final LLR of an
+    accept_h1 arm whose walk kept drifting up must exceed the lower
+    boundary; trials at decision never exceed total trials."""
+    from datapipeline_dags_spark.plans.modeling import (
+        SPRT_A,
+        SPRT_B,
+        q230_sprt_sequential_test,
+    )
+
+    rows = q230_sprt_sequential_test(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r["decision"] == "continue":
+            assert r["decision_day"] is None
+            assert SPRT_B < r["final_llr"] < SPRT_A
+        else:
+            assert r["decision_day"] is not None
+            assert 0 < r["trials_at_decision"] <= r["n_trials"]
