@@ -164,6 +164,8 @@ _ROTATION_TAIL = [
     "q228_degree_assortativity",
     "q229_good_turing_richness",
     "q230_sprt_sequential_test",
+    "q231_structural_break",
+    "q232_cohens_kappa",
 ]
 
 

@@ -8369,3 +8369,109 @@ def q214_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rand_neg",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q232 — Cohen's kappa agreement audit of the q51 language classifier
+# ---------------------------------------------------------------------------
+
+
+def _q232_oracle() -> str:
+    return f"""
+    WITH f51 AS ({ORACLES["q51_lang_id"]}),
+    cm AS (SELECT lang, pred_lang, COUNT(*) AS n FROM f51 GROUP BY 1, 2),
+    cls AS (SELECT lang AS c FROM cm UNION SELECT pred_lang FROM cm),
+    lab AS (SELECT lang AS c, SUM(n) AS n_label FROM cm GROUP BY 1),
+    prd AS (SELECT pred_lang AS c, SUM(n) AS n_pred FROM cm GROUP BY 1),
+    dg AS (SELECT lang AS c, SUM(n) AS n_agree FROM cm
+           WHERE lang = pred_lang GROUP BY 1),
+    per AS (
+      SELECT cls.c,
+             COALESCE(lab.n_label, 0) AS n_label,
+             COALESCE(prd.n_pred, 0) AS n_pred,
+             COALESCE(dg.n_agree, 0) AS n_agree
+      FROM cls
+      LEFT JOIN lab ON lab.c = cls.c
+      LEFT JOIN prd ON prd.c = cls.c
+      LEFT JOIN dg ON dg.c = cls.c),
+    tot AS (
+      SELECT SUM(n_label) AS n, SUM(n_agree) AS agree,
+             SUM(n_label * n_pred) AS pe_num
+      FROM per)
+    SELECT per.c AS lang_class,
+           CAST(per.n_label AS BIGINT) AS n_label,
+           CAST(per.n_pred AS BIGINT) AS n_pred,
+           CAST(per.n_agree AS BIGINT) AS n_agree,
+           (ROUND(t.agree * 1e0 / t.n, 4) + 0.0) AS accuracy,
+           (ROUND(t.pe_num * 1e0 / (t.n * t.n), 6) + 0.0)
+             AS expected_agreement,
+           (ROUND((t.agree * 1e0 / t.n - t.pe_num * 1e0 / (t.n * t.n))
+                  / (1e0 - t.pe_num * 1e0 / (t.n * t.n)), 6) + 0.0)
+             AS kappa
+    FROM per CROSS JOIN tot t
+    """
+
+
+@query("q232_cohens_kappa", oracle=_q232_oracle())
+def q232_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the q51 marker-word language classifier
+    and the labeled ``lang`` column: chance-corrected agreement
+    κ = (p_o − p_e)/(1 − p_e) with the per-class confusion margins —
+    the annotation-QA metric every labeling pipeline reports instead
+    of raw accuracy (a classifier that always answers the majority
+    class can score high accuracy but κ ≈ 0).  Composes the REGISTERED
+    q51 operator (and its oracle) rather than re-deriving the
+    classifier, so the two can never drift (the q99 composition rule).
+
+    Parity: confusion counts and margins are exact integers; p_o, p_e,
+    and κ are single double expressions over them with identical
+    association order (1e0 literals — Spark SQL parses 1.0 as
+    DECIMAL); 4/6-dp rounds at the edge.
+
+    Scale shape: q51 is map-only; one (label, pred) hash agg collapses
+    the corpus to ≤ |langs|² cells, everything downstream is
+    bounded-frame joins and a 1-row attach.
+    """
+    d = q51_lang_id(spark, sf_dir)
+    cm = d.groupBy("lang", "pred_lang").agg(F.count("*").alias("n"))
+    cls = (
+        cm.select(F.col("lang").alias("c"))
+        .union(cm.select(F.col("pred_lang").alias("c")))
+        .distinct()
+    )
+    lab = cm.groupBy(F.col("lang").alias("c")).agg(F.sum("n").alias("n_label"))
+    prd = cm.groupBy(F.col("pred_lang").alias("c")).agg(
+        F.sum("n").alias("n_pred")
+    )
+    dg = (
+        cm.filter(F.col("lang") == F.col("pred_lang"))
+        .groupBy(F.col("lang").alias("c"))
+        .agg(F.sum("n").alias("n_agree"))
+    )
+    per = (
+        cls.join(lab, "c", "left")
+        .join(prd, "c", "left")
+        .join(dg, "c", "left")
+        .select(
+            "c",
+            F.coalesce("n_label", F.lit(0)).alias("n_label"),
+            F.coalesce("n_pred", F.lit(0)).alias("n_pred"),
+            F.coalesce("n_agree", F.lit(0)).alias("n_agree"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n_label").alias("n"),
+        F.sum("n_agree").alias("agree"),
+        F.sum(F.col("n_label") * F.col("n_pred")).alias("pe_num"),
+    )
+    po = F.expr("agree * 1e0 / n")
+    pe = F.expr("pe_num * 1e0 / (n * n)")
+    return per.crossJoin(F.broadcast(tot)).select(
+        F.col("c").alias("lang_class"),
+        F.col("n_label").cast("long"),
+        F.col("n_pred").cast("long"),
+        F.col("n_agree").cast("long"),
+        dec(po, 4).alias("accuracy"),
+        dec(pe, 6).alias("expected_agreement"),
+        dec((po - pe) / (F.lit(1.0) - pe), 6).alias("kappa"),
+    )

@@ -1968,3 +1968,176 @@ def q230_sprt_sequential_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("final_llr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q231 — structural-break detection in monthly revenue (Chow-style)
+# ---------------------------------------------------------------------------
+
+#: monthly revenue unit = $1k (cents div 1e5): keeps Σy² inside BIGINT
+#: to ~sf1e5 while the SSE resolution stays far below any real break.
+SB_UNIT_DIV = 100_000
+SB_MIN_SEG = 3  # months required on each side of a candidate break
+
+#: identical SQL text evaluated by BOTH engines (Spark via F.expr) —
+#: segment SSE from exact integer moments (n, Σx, Σy, Σx², Σxy, Σy²):
+#: SSE = Syy - Sy²/n - (Sxy - SxSy/n)²/(Sxx - Sx²/n).
+def _sse_sql(n: str, sx: str, sy: str, sxx: str, sxy: str, syy: str) -> str:
+    # 1e0, not 1.0: Spark SQL parses 1.0 as DECIMAL while DuckDB and
+    # the Column API mean DOUBLE — 1e0 is a DOUBLE literal in both.
+    # NULLIF guards: Spark ANSI codegen can evaluate the projection on
+    # join rows its own filter later drops, so a bare /0 would throw
+    # on rows that never reach the output; NULL propagates instead and
+    # is identity on every surviving row (both engines).
+    den = f"NULLIF({sxx} - {sx} * 1e0 * {sx} / NULLIF({n}, 0), 0e0)"
+    return (
+        f"({syy} - {sy} * 1e0 * {sy} / NULLIF({n}, 0))"
+        f" - ({sxy} - {sx} * 1e0 * {sy} / NULLIF({n}, 0))"
+        f" * ({sxy} - {sx} * 1e0 * {sy} / NULLIF({n}, 0))"
+        f" / {den}"
+    )
+
+
+def _q231_oracle() -> str:
+    sse_l = _sse_sql("cn", "csx", "csy", "csxx", "csxy", "csyy")
+    sse_r = _sse_sql("rn", "rsx", "rsy", "rsxx", "rsxy", "rsyy")
+    sse_0 = _sse_sql("n", "sx", "sy", "sxx", "sxy", "syy")
+    return f"""
+    WITH mo AS MATERIALIZED (
+      SELECT (EXTRACT(year FROM o_orderdate) - {TS_EPOCH_YEAR}) * 12
+               + EXTRACT(month FROM o_orderdate) - 1 AS m,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                  // {SB_UNIT_DIV} AS BIGINT) AS y
+      FROM orders GROUP BY 1),
+    tot AS (
+      SELECT COUNT(*) AS n, SUM(m) AS sx, SUM(y) AS sy,
+             SUM(m * m) AS sxx, SUM(m * y) AS sxy, SUM(y * y) AS syy
+      FROM mo),
+    pre AS (
+      SELECT m,
+             COUNT(*) OVER w AS cn,
+             SUM(m) OVER w AS csx, SUM(y) OVER w AS csy,
+             SUM(m * m) OVER w AS csxx, SUM(m * y) OVER w AS csxy,
+             SUM(y * y) OVER w AS csyy
+      FROM mo
+      WINDOW w AS (ORDER BY m ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)),
+    cand AS (
+      SELECT p.m, p.cn, p.csx, p.csy, p.csxx, p.csxy, p.csyy,
+             t.n - p.cn AS rn, t.sx - p.csx AS rsx, t.sy - p.csy AS rsy,
+             t.sxx - p.csxx AS rsxx, t.sxy - p.csxy AS rsxy,
+             t.syy - p.csyy AS rsyy
+      FROM pre p CROSS JOIN tot t
+      WHERE p.cn >= {SB_MIN_SEG} AND t.n - p.cn >= {SB_MIN_SEG}),
+    sc AS (
+      SELECT m, ROUND(({sse_l}) + ({sse_r}), 2) AS sse2 FROM cand),
+    best AS (
+      SELECT MIN(m) AS break_month FROM sc
+      WHERE sse2 = (SELECT MIN(sse2) FROM sc))
+    SELECT CAST(b.break_month AS BIGINT) AS break_month,
+           CAST(t.n AS BIGINT) AS n_months,
+           (ROUND({sse_0}, 2) + 0.0) AS sse_nobreak,
+           ((SELECT MIN(sse2) FROM sc) + 0.0) AS sse_break,
+           (ROUND((1e0 - (SELECT MIN(sse2) FROM sc) / ({sse_0})) * 100, 2)
+              + 0.0) AS reduction_pct
+    FROM best b CROSS JOIN tot t
+    """
+
+
+@query("q231_structural_break", oracle=_q231_oracle())
+def q231_structural_break(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chow-style structural-break detection on monthly revenue: fit a
+    separate OLS line to every prefix/suffix split of the month series
+    (≥{SB_MIN_SEG} months per side), pick the breakpoint that minimizes
+    the combined SSE, and report it against the single-line SSE — the
+    "did the trend change, and when" question behind every regime-shift
+    postmortem (q176's CUSUM finds a LEVEL shift; this finds a SLOPE
+    change with the month it happened).
+
+    Parity: the series collapses to the bounded month domain in $1k
+    integer units; prefix moments are integer cumulative sums over
+    that collapse, suffix moments their exact complements, and every
+    SSE is the SAME SQL text evaluated by both engines over those
+    integers (Spark via F.expr — not a re-derived expression tree).
+    The argmin runs on the 2-dp ROUNDED SSE with a month tiebreak, so
+    the pick is engine-agreed.
+
+    Scale shape: one pushed hash agg to |months| rows, one bounded
+    cumulative window, a 1-row totals attach, two 1-row argmin
+    aggregates.  Nothing grows with the corpus.
+    """
+    orders = table(spark, sf_dir, "orders")
+    mo = orders.groupBy(
+        (
+            (F.year("o_orderdate") - TS_EPOCH_YEAR) * 12
+            + F.month("o_orderdate")
+            - 1
+        ).alias("m")
+    ).agg(
+        F.expr(
+            f"CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))"
+            f" div {SB_UNIT_DIV} AS BIGINT)"
+        ).alias("y")
+    )
+    tot = mo.agg(
+        F.count("*").alias("n"),
+        F.sum("m").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("m") * F.col("m")).alias("sxx"),
+        F.sum(F.col("m") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    w = W.orderBy("m").rowsBetween(W.unboundedPreceding, 0)
+    pre = mo.select(
+        "m",
+        F.count("*").over(w).alias("cn"),
+        F.sum("m").over(w).alias("csx"),
+        F.sum("y").over(w).alias("csy"),
+        F.sum(F.col("m") * F.col("m")).over(w).alias("csxx"),
+        F.sum(F.col("m") * F.col("y")).over(w).alias("csxy"),
+        F.sum(F.col("y") * F.col("y")).over(w).alias("csyy"),
+    )
+    cand = (
+        pre.crossJoin(F.broadcast(tot))
+        .filter(
+            (F.col("cn") >= SB_MIN_SEG)
+            & (F.col("n") - F.col("cn") >= SB_MIN_SEG)
+        )
+        .select(
+            "m",
+            "cn",
+            "csx",
+            "csy",
+            "csxx",
+            "csxy",
+            "csyy",
+            (F.col("n") - F.col("cn")).alias("rn"),
+            (F.col("sx") - F.col("csx")).alias("rsx"),
+            (F.col("sy") - F.col("csy")).alias("rsy"),
+            (F.col("sxx") - F.col("csxx")).alias("rsxx"),
+            (F.col("sxy") - F.col("csxy")).alias("rsxy"),
+            (F.col("syy") - F.col("csyy")).alias("rsyy"),
+        )
+    )
+    sse_l = _sse_sql("cn", "csx", "csy", "csxx", "csxy", "csyy")
+    sse_r = _sse_sql("rn", "rsx", "rsy", "rsxx", "rsxy", "rsyy")
+    sse_0 = _sse_sql("n", "sx", "sy", "sxx", "sxy", "syy")
+    sc = cand.select(
+        "m", F.expr(f"ROUND(({sse_l}) + ({sse_r}), 2)").alias("sse2")
+    )
+    mn = sc.agg(F.min("sse2").alias("min_sse"))
+    best = (
+        sc.crossJoin(F.broadcast(mn))
+        .filter(F.col("sse2") == F.col("min_sse"))
+        .agg(F.min("m").alias("break_month"), F.min("min_sse").alias("sse_break"))
+    )
+    return best.crossJoin(F.broadcast(tot)).select(
+        F.col("break_month").cast("long"),
+        F.col("n").cast("long").alias("n_months"),
+        (F.expr(f"ROUND({sse_0}, 2)") + F.lit(0.0)).alias("sse_nobreak"),
+        (F.col("sse_break") + F.lit(0.0)).alias("sse_break"),
+        (
+            F.expr(f"ROUND((1e0 - sse_break / ({sse_0})) * 100, 2)")
+            + F.lit(0.0)
+        ).alias("reduction_pct"),
+    )

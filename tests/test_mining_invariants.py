@@ -331,3 +331,16 @@ def test_good_turing_invariants(spark, sf_dir):
         assert r["n_singletons"] + 2 * r["n_doubletons"] <= r["n_shingles"]
         assert 0.0 <= r["unseen_mass"] <= 1.0
         assert r["chao1_richness"] >= r["vocab"]
+
+
+def test_kappa_bounds_and_margins(spark, sf_dir):
+    from datapipeline_dags_spark.plans.llm_ops import q232_cohens_kappa
+
+    rows = q232_cohens_kappa(spark, sf_dir).collect()
+    assert rows
+    n = sum(r["n_label"] for r in rows)
+    assert sum(r["n_pred"] for r in rows) == n
+    for r in rows:
+        assert 0 <= r["n_agree"] <= min(r["n_label"], r["n_pred"])
+        assert -1.0 <= r["kappa"] <= 1.0
+        assert 0.0 <= r["expected_agreement"] <= 1.0

@@ -566,3 +566,33 @@ def test_sprt_decision_consistency(spark, sf_dir):
         else:
             assert r["decision_day"] is not None
             assert 0 < r["trials_at_decision"] <= r["n_trials"]
+
+
+def test_structural_break_known_series(spark, tmp_path):
+    """A series with slope 100 for 12 months then slope 1000: the
+    argmin breakpoint lands at the hinge and the two-line SSE is far
+    below the one-line SSE."""
+    import datetime as _dt
+
+    from datapipeline_dags_spark.plans.modeling import q231_structural_break
+
+    orders = []
+    ok = 1
+    for m in range(24):
+        base = 1000.0 + 100.0 * m if m < 12 else 2100.0 + 1000.0 * (m - 11)
+        # two orders per month so the monthly sum is 2x base
+        for _ in range(2):
+            orders.append(
+                (ok, 1, _dt.date(1992, 1, 15) + _dt.timedelta(days=30 * m), base)
+            )
+            ok += 1
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderdate date, o_totalprice double",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    row = q231_structural_break(spark, str(tmp_path)).collect()[0]
+    # the day arithmetic wobbles month boundaries by one; the hinge
+    # must land within one month of index 11 and slash the SSE
+    assert abs(row["break_month"] - 11) <= 1
+    assert row["sse_break"] < row["sse_nobreak"]
+    assert row["reduction_pct"] > 50

@@ -90,6 +90,9 @@ BOUNDED_FILTER_HINT_OK = {
     "q224_fano_burstiness",  # broadcasts the 1-row calendar-span aggregate
     "q226_kmin_distinct_sketch",  # broadcasts the KMV_K-row salt grid
     "q228_degree_assortativity",  # broadcasts the 1-row node/edge counts
+    # broadcasts the 1-row totals/argmin aggregates over the month collapse
+    "q231_structural_break",
+    "q232_cohens_kappa",  # broadcasts the 1-row kappa moment aggregate
     "q175_kaplan_meier",  # broadcasts the 1-row order-count aggregate
     "q176_cusum_changepoint",  # broadcasts the 1-row daily-mean aggregate
     # broadcasts the dim-bounded label centroid + the 1-row corpus count
@@ -313,6 +316,10 @@ NESTED_LOOP_OK = {
     "q226_kmin_distinct_sketch",
     # two 1-row count attaches onto the 1-row moment frame
     "q228_degree_assortativity",
+    # 1-row totals/min-SSE attaches onto the bounded month frame
+    "q231_structural_break",
+    # 1-row (n, agree, pe) attach onto the <=|langs|-row frame
+    "q232_cohens_kappa",
     # NEG_POOL-row broadcast pool x anchors inequality pick (cf. q127's
     # bounded audit-batch pattern)
     "q214_triplet_mining",
@@ -346,6 +353,8 @@ def test_no_global_sort_outside_topk(name, spark):
 # listed query that stops planning one fails too (stale allowlist).
 # (VERDICT r4 ask #5.)
 GLOBAL_WINDOW_BOUNDED = {
+    # prefix-moment cumsum over the bounded calendar collapse
+    "q231_structural_break": "|months| collapse (~84 rows at any SF)",
     # two-phase distributed prefix sums: the global stage runs on the
     # tiny per-block/per-hour totals table, not the corpus
     "q71_sequence_packing": "per-PACK_BLOCK totals (corpus/PACK_BLOCK rows)",
