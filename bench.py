@@ -89,6 +89,12 @@ HEADLINE = [
     # item-item CF: the co-purchase pair explode + two aggs + per-part
     # ranking — the heaviest batch-6 plan
     "q216_item_item_cf",
+    # round-6 batch 7: the three heaviest new plans — 8-round integer
+    # Bradley-Terry MM, the 12-round k-core peel, and the 10-round
+    # greedy set-cover (each round a full anti-join + argmax)
+    "q221_bradley_terry",
+    "q222_kcore_decomposition",
+    "q225_greedy_set_cover",
 ]
 
 REPS = 3

@@ -1748,7 +1748,10 @@ def q227_conformal_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders")
     customer = table(spark, sf_dir, "customer")
     cov = CONF_ALPHA_DEN - CONF_ALPHA_NUM
-    j = (
+    # three consumers (mu, calres, tst) fan out over the panel —
+    # checkpoint the 3-column collapse once instead of re-running the
+    # join per reference (the q183 derived-table discipline).
+    j = local_checkpoint(
         orders.join(customer, orders.o_custkey == customer.c_custkey)
         .select(
             F.col("c_mktsegment").alias("seg"),
@@ -1761,7 +1764,8 @@ def q227_conformal_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).cast("long")
                 % 2
             ).alias("fold"),
-        )
+        ),
+        "q227 fold panel",
     )
     mu = (
         j.filter(F.col("fold") == 0)

@@ -72,6 +72,15 @@ TARGETS = (
     # capped basket explode (ratio should track q199's)
     "q214_triplet_mining",
     "q216_item_item_cf",
+    # round-6 batch 7: iterative Bradley-Terry MM (per-round cost must
+    # track the pair table, not rounds x corpus), the 12-round k-core
+    # peel (shrinking edge table), the 10-round greedy set-cover (each
+    # round an anti-join + argmax over the shingle table), and the
+    # k-mins sketch (map-side MINs; shuffle must stay |sources| x 64)
+    "q221_bradley_terry",
+    "q222_kcore_decomposition",
+    "q225_greedy_set_cover",
+    "q226_kmin_distinct_sketch",
 )
 
 # Per-(target, scale) keyword overrides: the SemDeDup contract is that
@@ -150,6 +159,18 @@ def build_fixtures() -> dict[str, str]:
               FROM read_parquet('{BASE}/lineitem.parquet'),
                    (SELECT unnest(generate_series(0, {n_reps - 1})) AS rep)
             ) TO '{dirs[scale]}/lineitem.parquet' (FORMAT PARQUET)
+            """
+        )
+        # orders for the duel/calendar targets: orderkey offset matches
+        # lineitem's; suppliers are NOT offset, so 10x data = 10x duels
+        # among the SAME players (the natural BT densification regime)
+        con.execute(
+            f"""
+            COPY (
+              SELECT * REPLACE (o_orderkey + rep * 100000000 AS o_orderkey)
+              FROM read_parquet('{BASE}/orders.parquet'),
+                   (SELECT unnest(generate_series(0, {n_reps - 1})) AS rep)
+            ) TO '{dirs[scale]}/orders.parquet' (FORMAT PARQUET)
             """
         )
     con.close()
@@ -570,6 +591,14 @@ def main() -> None:
         "its ratio tracks q41's.  q216 rides the q199 capped basket",
         "explode (caps flat, max basket 17) with two hash aggregates",
         "and a per-part ranking window; its ratio tracks q199's.",
+        "q221's 8 MM rounds each join the checkpointed supplier-pair",
+        "table twice — wall-clock tracks the duel explode (linear in",
+        "orders), never rounds x corpus.  q222's peel shrinks its own",
+        "input; the first round dominates.  q225's 10 greedy rounds",
+        "re-scan the checkpointed (doc, shingle) table with a growing",
+        "anti-join whose right side is bounded by picks x max-doc-vocab.",
+        "q226 is two aggs; the x10 ratio is the scan, the sketch",
+        "shuffle stays |sources| x 64 cells at both scales.",
         "",
         "## BPE trainer: merge-count scaling (x1 corpus)",
         "",
