@@ -166,6 +166,8 @@ _ROTATION_TAIL = [
     "q230_sprt_sequential_test",
     "q231_structural_break",
     "q232_cohens_kappa",
+    "q233_join_cardinality_estimate",
+    "q234_cluster_purity_nmi",
 ]
 
 

@@ -319,13 +319,17 @@ _KM_Q_SQL = (
 )
 
 
-def _km_oracle() -> str:
-    """DuckDB mirror of the two Lloyd rounds (CTE chain)."""
-    pos_unnest = (
-        "unnest(list_transform(qa, (x, i) -> {'pos': i - 1, 'v': x})) AS u"
-    )
-    return f"""
-    WITH q AS (SELECT vec_id, {_KM_Q_SQL} AS qa FROM embeddings),
+_KM_POS_UNNEST = (
+    "unnest(list_transform(qa, (x, i) -> {'pos': i - 1, 'v': x})) AS u"
+)
+
+#: shared CTE chain of the two Lloyd rounds, ending at the final
+#: assignment ``asg2`` — composed by q201 (stats) and q234 (external
+#: validation vs labels), so the clustering and its audits can never
+#: drift (the q99/q232 composition rule).
+def _km_ctes() -> str:
+    pos_unnest = _KM_POS_UNNEST
+    return f"""q AS (SELECT vec_id, {_KM_Q_SQL} AS qa FROM embeddings),
     qpos AS (SELECT vec_id, us.u.pos AS pos, us.u.v AS qv
              FROM (SELECT vec_id, {pos_unnest} FROM q) us),
     seeds AS (SELECT vec_id, rn - 1 AS cid
@@ -354,7 +358,13 @@ def _km_oracle() -> str:
     asg2 AS (SELECT vec_id, cid, dist FROM (
                SELECT vec_id, cid, dist, ROW_NUMBER() OVER (
                  PARTITION BY vec_id ORDER BY dist, cid) AS rk
-               FROM a2) WHERE rk = 1)
+               FROM a2) WHERE rk = 1)"""
+
+
+def _km_oracle() -> str:
+    """DuckDB mirror of the two Lloyd rounds (CTE chain)."""
+    return f"""
+    WITH {_km_ctes()}
     SELECT CAST(asg2.cid AS INT) AS cid,
            CAST(COUNT(*) AS BIGINT) AS n_members,
            CAST(SUM(asg2.dist) AS BIGINT) AS inertia_fp,
@@ -366,29 +376,12 @@ def _km_oracle() -> str:
     """
 
 
-@query("q201_kmeans_fixed_point", oracle=_km_oracle())
-def q201_kmeans_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two Lloyd rounds of k-means (k={KM_K}) over the embeddings
-    table, entirely in integer fixed-point — cluster sizes, inertia
-    and centroid norms after the second assignment.  The clustering
-    primitive behind corpus bucketing / topic sharding, expressed so
-    an iterative numeric algorithm stays bit-reproducible across
-    engines AND across partitionings (integer sums are
-    order-independent; float accumulation is not — the q183 PageRank
-    rule applied to ML).
-
-    Scale shape per round: assignment is MAP-ONLY — the k x dim
-    centroid table is a driver-side literal (bounded control plane,
-    the PQ-codebook pattern) folded into an array_min over k
-    (distance, cid) structs, so the corpus-sized table never shuffles
-    for assignment; the centroid UPDATE is posexplode -> groupBy
-    (cid, pos) where map-side partial aggregation collapses every
-    partition to <= k*dim cells before the shuffle (the q64 centroid
-    shape).  Seeds are the {KM_K} md5-smallest vec_ids via
-    orderBy().limit() (TakeOrderedAndProject — never a global
-    row_number).  Empty clusters drop out of the next round's
-    centroid literal exactly as they vanish from the oracle's c1.
-    """
+def _kmeans_final(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, list[tuple[int, list[int]]]]:
+    """Shared Lloyd engine (two fixed-point rounds): returns the final
+    (vec_id, qa, cid, dist) assignment and the final centroid list —
+    composed by q201 (inertia stats) and q234 (purity/NMI vs labels)."""
     emb = table(spark, sf_dir, "embeddings")
     q = emb.select(
         "vec_id",
@@ -460,7 +453,33 @@ def q201_kmeans_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
         cents.sort()
         asg = assign(q, cents)
+    return asg, cents
 
+
+@query("q201_kmeans_fixed_point", oracle=_km_oracle())
+def q201_kmeans_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd rounds of k-means (k={KM_K}) over the embeddings
+    table, entirely in integer fixed-point — cluster sizes, inertia
+    and centroid norms after the second assignment.  The clustering
+    primitive behind corpus bucketing / topic sharding, expressed so
+    an iterative numeric algorithm stays bit-reproducible across
+    engines AND across partitionings (integer sums are
+    order-independent; float accumulation is not — the q183 PageRank
+    rule applied to ML).
+
+    Scale shape per round: assignment is MAP-ONLY — the k x dim
+    centroid table is a driver-side literal (bounded control plane,
+    the PQ-codebook pattern) folded into an array_min over k
+    (distance, cid) structs, so the corpus-sized table never shuffles
+    for assignment; the centroid UPDATE is posexplode -> groupBy
+    (cid, pos) where map-side partial aggregation collapses every
+    partition to <= k*dim cells before the shuffle (the q64 centroid
+    shape).  Seeds are the {KM_K} md5-smallest vec_ids via
+    orderBy().limit() (TakeOrderedAndProject — never a global
+    row_number).  Empty clusters drop out of the next round's
+    centroid literal exactly as they vanish from the oracle's c1.
+    """
+    asg, cents = _kmeans_final(spark, sf_dir)
     l2 = {cid: sum(v * v for v in carr) for cid, carr in cents}
     l2_map = F.create_map(
         *[F.lit(x) for kv in l2.items() for x in kv]
@@ -1632,4 +1651,233 @@ def q229_good_turing_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.col("n1") * (F.col("n1") - 1) * 1.0 / (2 * (F.col("n2") + 1)),
             2,
         ).alias("chao1_richness"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q233 — sketch-based join-cardinality estimation audit
+# ---------------------------------------------------------------------------
+
+#: key-sampling modulus: keep keys with md5(key) % M == 0 and scale
+#: the sampled partial-product sum by M — an unbiased estimator of
+#: |A JOIN B| = Σ_k cA(k)·cB(k) whose state is 1/M of the key domain.
+JCE_M = 16
+
+#: (join label, left table, left key, right table, right key)
+_JCE_JOINS = (
+    ("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders_customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("events_events", "events", "user_id", "events", "user_id"),
+)
+
+
+def _q233_oracle() -> str:
+    parts = []
+    for label, lt, lk, rt, rk in _JCE_JOINS:
+        parts.append(f"""
+    SELECT '{label}' AS join_name, exact_rows, est_rows,
+           (ROUND((est_rows - exact_rows) * 1e0 / exact_rows, 4) + 0.0)
+             AS rel_error
+    FROM (
+      SELECT CAST(SUM(a.c * b.c) AS BIGINT) AS exact_rows,
+             CAST({JCE_M} * SUM(CASE WHEN
+                    ('0x' || substr(md5(CAST(a.k AS VARCHAR)), 1, 8))::BIGINT
+                      % {JCE_M} = 0
+                    THEN a.c * b.c ELSE 0 END) AS BIGINT) AS est_rows
+      FROM (SELECT {lk} AS k, COUNT(*) AS c FROM {lt} GROUP BY 1) a
+      JOIN (SELECT {rk} AS k, COUNT(*) AS c FROM {rt} GROUP BY 1) b
+        ON a.k = b.k) t""")
+    return " UNION ALL ".join(parts)
+
+
+@query("q233_join_cardinality_estimate", oracle=_q233_oracle())
+def q233_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based join-size estimation audited against the exact
+    answer: |A ⋈ B| = Σ_k cA(k)·cB(k), estimated from the 1/{JCE_M}
+    md5-sampled key slice scaled by {JCE_M} — the cost-based-optimizer
+    primitive (join reordering, broadcast-threshold decisions) that
+    lets a planner predict a blow-up join (the events self-join's
+    Σ c(u)² here) BEFORE running it.  Deterministic md5 key sampling
+    makes the "estimate" reproducible and hash-checkable — the same
+    trick q58/q148 use for rows, applied to the key domain.
+
+    Parity: per-key counts, products, and both sums are exact
+    integers; the single division is the reported relative error
+    (4 dp).
+
+    Scale shape: per join, TWO key hash-aggs (map-side combine) and a
+    key-collapsed join — never the row-level join whose size is being
+    predicted; the sketch side is the same aggregate filtered to the
+    sampled key slice, so its state is 1/{JCE_M} of the key domain.
+    Output is {len(_JCE_JOINS)} rows.
+    """
+    out = None
+    for label, lt, lk, rt, rk in _JCE_JOINS:
+        a = (
+            table(spark, sf_dir, lt)
+            .groupBy(F.col(lk).alias("k"))
+            .agg(F.count("*").alias("ca"))
+        )
+        b = (
+            table(spark, sf_dir, rt)
+            .groupBy(F.col(rk).alias("k"))
+            .agg(F.count("*").alias("cb"))
+        )
+        coin = (
+            F.conv(F.substring(F.md5(F.col("k").cast("string")), 1, 8), 16, 10)
+            .cast("long")
+            % JCE_M
+            == 0
+        )
+        j = a.join(b, "k").select(
+            (F.col("ca") * F.col("cb")).alias("p"),
+            F.when(coin, F.col("ca") * F.col("cb")).otherwise(F.lit(0)).alias("sp"),
+        )
+        row = j.agg(
+            F.sum("p").cast("long").alias("exact_rows"),
+            (F.lit(JCE_M) * F.sum("sp")).cast("long").alias("est_rows"),
+        ).select(
+            F.lit(label).alias("join_name"),
+            "exact_rows",
+            "est_rows",
+            dec(
+                (F.col("est_rows") - F.col("exact_rows"))
+                * F.expr("1e0")
+                / F.col("exact_rows"),
+                4,
+            ).alias("rel_error"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# q234 — external cluster validation: purity + NMI of q201 vs labels
+# ---------------------------------------------------------------------------
+
+
+def _q234_oracle() -> str:
+    return f"""
+    WITH {_km_ctes()},
+    cont AS (
+      SELECT a.cid, e.label, COUNT(*) AS n
+      FROM asg2 a JOIN embeddings e ON e.vec_id = a.vec_id
+      GROUP BY 1, 2),
+    nc AS (SELECT cid, SUM(n) AS ncid FROM cont GROUP BY 1),
+    nl AS (SELECT label, SUM(n) AS nlab FROM cont GROUP BY 1),
+    tt AS (SELECT SUM(n) AS nn FROM cont),
+    mi AS (
+      SELECT SUM(c.n * ln((c.n * 1e0 * t.nn) / (nc.ncid * 1e0 * nl.nlab)))
+               / MAX(t.nn) AS i
+      FROM cont c
+      JOIN nc ON nc.cid = c.cid
+      JOIN nl ON nl.label = c.label
+      CROSS JOIN tt t),
+    hc AS (SELECT -SUM(ncid * ln(ncid * 1e0 / t.nn)) / MAX(t.nn) AS h
+           FROM nc CROSS JOIN tt t),
+    hl AS (SELECT -SUM(nlab * ln(nlab * 1e0 / t.nn)) / MAX(t.nn) AS h
+           FROM nl CROSS JOIN tt t),
+    mj AS (
+      SELECT cid, label AS majority_label, n AS majority_n
+      FROM (SELECT cid, label, n, ROW_NUMBER() OVER (
+              PARTITION BY cid ORDER BY n DESC, label) AS rk
+            FROM cont) WHERE rk = 1),
+    pur AS (SELECT SUM(majority_n) AS pn FROM mj)
+    SELECT mj.cid,
+           CAST(nc.ncid AS BIGINT) AS n_members,
+           mj.majority_label,
+           CAST(mj.majority_n AS BIGINT) AS majority_n,
+           (ROUND(p.pn * 1e0 / t.nn, 4) + 0.0) AS purity,
+           (ROUND(2 * mi.i / (hc.h + hl.h), 4) + 0.0) AS nmi
+    FROM mj
+    JOIN nc ON nc.cid = mj.cid
+    CROSS JOIN pur p CROSS JOIN tt t CROSS JOIN mi CROSS JOIN hc
+    CROSS JOIN hl
+    """
+
+
+@query("q234_cluster_purity_nmi", oracle=_q234_oracle())
+def q234_cluster_purity_nmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """External validation of the q201 k-means clustering against the
+    embeddings' ground-truth ``label``: per-cluster majority label +
+    size, corpus purity (Σ majority / N), and normalized mutual
+    information 2·I(C;L)/(H(C)+H(L)) — the does-the-clustering-mean-
+    anything audit that inertia (q201) and silhouette (q185) can't
+    answer because they never look at labels.  Composes the SHARED
+    Lloyd engine (``_kmeans_final`` / ``_km_ctes``), so the validated
+    clustering is exactly the registered one (the q99/q232 rule).
+
+    Parity: the contingency table and its margins are exact integers
+    over the bounded (k × |labels|) frame; purity is an integer ratio;
+    NMI's ln terms follow the q107 precedent (≤ k·|labels| bounded
+    addends, 4-dp edge round absorbs ulp).  Majority argmax ties break
+    on the label.
+
+    Scale shape: the assignment is q201's map-only scan; ONE
+    (cid, label) hash agg collapses the corpus; everything downstream
+    (margins, MI, entropies, majority window) runs on the ≤ k·|labels|
+    collapse with 1-row attaches.
+    """
+    asg, _ = _kmeans_final(spark, sf_dir)
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    cont = (
+        asg.select("vec_id", "cid")
+        .join(emb, "vec_id")
+        .groupBy("cid", "label")
+        .agg(F.count("*").alias("n"))
+    )
+    nc = cont.groupBy("cid").agg(F.sum("n").alias("ncid"))
+    nl = cont.groupBy("label").agg(F.sum("n").alias("nlab"))
+    tt = cont.agg(F.sum("n").alias("nn"))
+    mi = (
+        cont.join(nc, "cid")
+        .join(nl, "label")
+        .crossJoin(F.broadcast(tt))
+        .agg(
+            (
+                F.sum(
+                    F.col("n")
+                    * F.log(
+                        (F.col("n") * F.expr("1e0") * F.col("nn"))
+                        / (F.col("ncid") * F.expr("1e0") * F.col("nlab"))
+                    )
+                )
+                / F.max("nn")
+            ).alias("i")
+        )
+    )
+    hc = nc.crossJoin(F.broadcast(tt)).agg(
+        (
+            -F.sum(F.col("ncid") * F.log(F.col("ncid") * F.expr("1e0") / F.col("nn")))
+            / F.max("nn")
+        ).alias("hc")
+    )
+    hl = nl.crossJoin(F.broadcast(tt)).agg(
+        (
+            -F.sum(F.col("nlab") * F.log(F.col("nlab") * F.expr("1e0") / F.col("nn")))
+            / F.max("nn")
+        ).alias("hl")
+    )
+    wmj = W.partitionBy("cid").orderBy(F.col("n").desc(), "label")
+    mj = (
+        cont.withColumn("rk", F.row_number().over(wmj))
+        .filter(F.col("rk") == 1)
+        .select("cid", F.col("label").alias("majority_label"), F.col("n").alias("majority_n"))
+    )
+    pur = mj.agg(F.sum("majority_n").alias("pn"))
+    return (
+        mj.join(nc, "cid")
+        .crossJoin(F.broadcast(pur))
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(mi))
+        .crossJoin(F.broadcast(hc))
+        .crossJoin(F.broadcast(hl))
+        .select(
+            F.col("cid").cast("int"),
+            F.col("ncid").cast("long").alias("n_members"),
+            "majority_label",
+            F.col("majority_n").cast("long"),
+            dec(F.col("pn") * F.expr("1e0") / F.col("nn"), 4).alias("purity"),
+            dec(2 * F.col("i") / (F.col("hc") + F.col("hl")), 4).alias("nmi"),
+        )
     )

@@ -344,3 +344,39 @@ def test_kappa_bounds_and_margins(spark, sf_dir):
         assert 0 <= r["n_agree"] <= min(r["n_label"], r["n_pred"])
         assert -1.0 <= r["kappa"] <= 1.0
         assert 0.0 <= r["expected_agreement"] <= 1.0
+
+
+def test_purity_nmi_bounds(spark, sf_dir):
+    """Purity and NMI live in (0, 1]; majority counts are consistent
+    with member counts; purity >= 1/|labels| (majority beats uniform)."""
+    from datapipeline_dags_spark.plans.mining import q234_cluster_purity_nmi
+
+    rows = q234_cluster_purity_nmi(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["majority_n"] <= r["n_members"]
+        assert 0.0 < r["purity"] <= 1.0
+        assert 0.0 <= r["nmi"] <= 1.0 + 1e-9
+
+
+def test_join_cardinality_exact_side(spark, sf_dir):
+    """The 'exact' column must equal the true join size (checked by
+    actually running one of the joins), and the estimate must carry
+    the declared sign convention in rel_error."""
+    from datapipeline_dags_spark.catalog import table as _t
+    from datapipeline_dags_spark.plans.mining import (
+        q233_join_cardinality_estimate,
+    )
+
+    rows = {
+        r["join_name"]: r
+        for r in q233_join_cardinality_estimate(spark, sf_dir).collect()
+    }
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    true_n = li.join(o, li.l_orderkey == o.o_orderkey).count()
+    assert rows["lineitem_orders"]["exact_rows"] == true_n
+    for r in rows.values():
+        assert r["est_rows"] >= 0
+        got = round((r["est_rows"] - r["exact_rows"]) / r["exact_rows"], 4)
+        assert abs(got - r["rel_error"]) < 1e-9

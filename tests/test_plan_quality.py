@@ -93,6 +93,9 @@ BOUNDED_FILTER_HINT_OK = {
     # broadcasts the 1-row totals/argmin aggregates over the month collapse
     "q231_structural_break",
     "q232_cohens_kappa",  # broadcasts the 1-row kappa moment aggregate
+    # broadcasts the 1-row MI/entropy/purity aggregates over the
+    # bounded (k x |labels|) contingency collapse
+    "q234_cluster_purity_nmi",
     "q175_kaplan_meier",  # broadcasts the 1-row order-count aggregate
     "q176_cusum_changepoint",  # broadcasts the 1-row daily-mean aggregate
     # broadcasts the dim-bounded label centroid + the 1-row corpus count
@@ -320,6 +323,9 @@ NESTED_LOOP_OK = {
     "q231_structural_break",
     # 1-row (n, agree, pe) attach onto the <=|langs|-row frame
     "q232_cohens_kappa",
+    # five 1-row attaches (purity, totals, MI, two entropies) onto the
+    # KM_K-row majority frame
+    "q234_cluster_purity_nmi",
     # NEG_POOL-row broadcast pool x anchors inequality pick (cf. q127's
     # bounded audit-batch pattern)
     "q214_triplet_mining",
