@@ -168,6 +168,8 @@ _ROTATION_TAIL = [
     "q232_cohens_kappa",
     "q233_join_cardinality_estimate",
     "q234_cluster_purity_nmi",
+    "q235_embedding_centroid_drift",
+    "q236_mmr_selection",
 ]
 
 

@@ -8475,3 +8475,340 @@ def q232_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         dec(pe, 6).alias("expected_agreement"),
         dec((po - pe) / (F.lit(1.0) - pe), 6).alias("kappa"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q235 — embedding centroid drift (A/A split, integer fixed-point)
+# ---------------------------------------------------------------------------
+
+#: quantization scale for drift sums (the q201 KM_FP discipline:
+#: integer sums are order-independent, so centroid accumulation is
+#: engine- and partitioning-exact).
+DRIFT_FP = 1000
+
+
+def _q235_oracle() -> str:
+    return f"""
+    WITH q AS (
+      SELECT vec_id, label,
+             ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
+               % 2 AS half,
+             list_transform(embedding, x ->
+               CAST(FLOOR(x::DOUBLE * {DRIFT_FP} + 0.5) AS BIGINT)) AS qa
+      FROM embeddings),
+    pos AS (
+      SELECT label, half, us.u.pos AS pos, us.u.v AS qv
+      FROM (SELECT label, half,
+                   unnest(list_transform(qa,
+                     (x, i) -> {{'pos': i - 1, 'v': x}})) AS u
+            FROM q) us),
+    s AS (
+      SELECT label, half, pos, SUM(qv) AS sv, SUM(qv * qv) AS svv
+      FROM pos GROUP BY 1, 2, 3),
+    n AS (SELECT label, half, COUNT(*) AS nn FROM q GROUP BY 1, 2),
+    m AS (
+      SELECT s.label, s.half, s.pos,
+             CAST(s.sv // n.nn AS BIGINT) AS mv
+      FROM s JOIN n ON n.label = s.label AND n.half = s.half),
+    tr AS (
+      SELECT s.label, s.half,
+             SUM(n.nn * s.svv - s.sv * s.sv) AS tr_num
+      FROM s JOIN n ON n.label = s.label AND n.half = s.half
+      GROUP BY 1, 2),
+    pair AS (
+      SELECT a.label, a.pos, a.mv AS av, b.mv AS bv
+      FROM m a JOIN m b
+        ON a.label = b.label AND a.pos = b.pos
+       AND a.half = 0 AND b.half = 1),
+    mom AS (
+      SELECT label, SUM(av * bv) AS dot,
+             SUM(av * av) AS na2, SUM(bv * bv) AS nb2,
+             SUM((av - bv) * (av - bv)) AS gap2
+      FROM pair GROUP BY 1)
+    SELECT mom.label,
+           CAST(x.nn AS BIGINT) AS n_half_a,
+           CAST(y.nn AS BIGINT) AS n_half_b,
+           (ROUND(mom.dot / (sqrt(mom.na2 * 1e0) * sqrt(mom.nb2 * 1e0)), 6)
+              + 0.0) AS centroid_cosine,
+           (ROUND(sqrt(mom.na2 * 1e0) / sqrt(mom.nb2 * 1e0), 4) + 0.0)
+             AS norm_ratio,
+           (ROUND(mom.gap2
+                  / ((ta.tr_num * 1e0 / (x.nn * x.nn)
+                      + tb.tr_num * 1e0 / (y.nn * y.nn)) / 2), 6) + 0.0)
+             AS mean_shift_ratio
+    FROM mom
+    JOIN n x ON x.label = mom.label AND x.half = 0
+    JOIN n y ON y.label = mom.label AND y.half = 1
+    JOIN tr ta ON ta.label = mom.label AND ta.half = 0
+    JOIN tr tb ON tb.label = mom.label AND tb.half = 1
+    """
+
+
+@query("q235_embedding_centroid_drift", oracle=_q235_oracle())
+def q235_embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift monitor: per label, the cosine between the
+    centroid of md5-half A and md5-half B (plus the norm ratio) — run
+    between yesterday's and today's embedding batches this catches an
+    encoder change / re-normalization / pipeline bug BEFORE it poisons
+    ANN indexes and dedup thresholds.  The primary statistic is the
+    MEAN-SHIFT RATIO ||mA − mB||² / mean(trace varA/nA², varB/nB²·n²)
+    — ≈ 1/nA + 1/nB under A/A, dimension-free; the centroid cosine is
+    reported too but is only informative when label means are far from
+    the origin (on this fixture they are nearly centered).
+
+    Parity: embeddings quantize to {DRIFT_FP} fixed-point (the q201
+    rule) so the per-(label, half, dim) centroid sums are exact
+    integers; the mean is an engine-identical truncating div; dot and
+    norms are integer sums over the dim-bounded frame; ONE double
+    expression at the edge (6/4 dp).
+
+    Scale shape: one map-side quantize + posexplode into a
+    (label × 2 × dim)-cell hash agg (partial combine bounds the
+    shuffle), then everything runs on the dim-bounded collapse.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "label",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10
+            ).cast("long")
+            % 2
+        ).alias("half"),
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * DRIFT_FP + 0.5).cast("long"),
+        ).alias("qa"),
+    )
+    s = (
+        q.select("label", "half", F.posexplode("qa").alias("pos", "qv"))
+        .groupBy("label", "half", "pos")
+        .agg(
+            F.sum("qv").alias("sv"),
+            F.sum(F.col("qv") * F.col("qv")).alias("svv"),
+        )
+    )
+    n = q.groupBy("label", "half").agg(F.count("*").alias("nn"))
+    m = s.join(n, ["label", "half"]).select(
+        "label", "half", "pos", F.expr("CAST(sv div nn AS BIGINT)").alias("mv")
+    )
+    a = m.filter(F.col("half") == 0).select(
+        "label", "pos", F.col("mv").alias("av")
+    )
+    b = m.filter(F.col("half") == 1).select(
+        "label", "pos", F.col("mv").alias("bv")
+    )
+    mom = (
+        a.join(b, ["label", "pos"])
+        .groupBy("label")
+        .agg(
+            F.sum(F.col("av") * F.col("bv")).alias("dot"),
+            F.sum(F.col("av") * F.col("av")).alias("na2"),
+            F.sum(F.col("bv") * F.col("bv")).alias("nb2"),
+            F.sum(
+                (F.col("av") - F.col("bv")) * (F.col("av") - F.col("bv"))
+            ).alias("gap2"),
+        )
+    )
+    tr = (
+        s.join(n, ["label", "half"])
+        .groupBy("label", "half")
+        .agg(
+            F.sum(
+                F.col("nn") * F.col("svv") - F.col("sv") * F.col("sv")
+            ).alias("tr_num")
+        )
+    )
+    ta = tr.filter(F.col("half") == 0).select("label", F.col("tr_num").alias("tra"))
+    tb = tr.filter(F.col("half") == 1).select("label", F.col("tr_num").alias("trb"))
+    na = n.filter(F.col("half") == 0).select("label", F.col("nn").alias("n_half_a"))
+    nb = n.filter(F.col("half") == 1).select("label", F.col("nn").alias("n_half_b"))
+    return (
+        mom.join(na, "label")
+        .join(nb, "label")
+        .join(ta, "label")
+        .join(tb, "label")
+        .select(
+            "label",
+            F.col("n_half_a").cast("long"),
+            F.col("n_half_b").cast("long"),
+            dec(
+                F.col("dot")
+                / (
+                    F.sqrt(F.col("na2") * F.expr("1e0"))
+                    * F.sqrt(F.col("nb2") * F.expr("1e0"))
+                ),
+                6,
+            ).alias("centroid_cosine"),
+            dec(
+                F.sqrt(F.col("na2") * F.expr("1e0"))
+                / F.sqrt(F.col("nb2") * F.expr("1e0")),
+                4,
+            ).alias("norm_ratio"),
+            dec(
+                F.col("gap2")
+                / (
+                    (
+                        F.col("tra") * F.expr("1e0")
+                        / (F.col("n_half_a") * F.col("n_half_a"))
+                        + F.col("trb") * F.expr("1e0")
+                        / (F.col("n_half_b") * F.col("n_half_b"))
+                    )
+                    / 2
+                ),
+                6,
+            ).alias("mean_shift_ratio"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q236 — MMR (maximal marginal relevance) diversity selection
+# ---------------------------------------------------------------------------
+
+MMR_PICKS = 10
+#: λ = 7/10 as integer weights on the 6-dp-rounded cosines: the MMR
+#: score is 7·sim(query, d) − 3·max_{p∈picked} sim(d, p) — small-int
+#: scaling of identical doubles keeps every comparison engine-exact.
+MMR_REL_W, MMR_DIV_W = 7, 3
+
+
+def _q236_oracle() -> str:
+    cos_q = _COS_SQL.format(a="e.embedding", b="q.qv")
+    cos_p = _COS_SQL.format(a="c.embedding", b="pe.embedding")
+    iters = []
+    for r in range(1, MMR_PICKS + 1):
+        prev_p, prev_m = f"picked{r - 1}", f"ms{r - 1}"
+        iters.append(f"""
+    sc{r} AS MATERIALIZED (
+      SELECT c.vec_id, c.sq, COALESCE(m.ms, 0e0) AS ms,
+             {MMR_REL_W} * c.sq - {MMR_DIV_W} * COALESCE(m.ms, 0e0) AS mmr
+      FROM cand c LEFT JOIN {prev_m} m ON m.vec_id = c.vec_id
+      WHERE c.vec_id NOT IN (SELECT vec_id FROM {prev_p})),
+    p{r} AS MATERIALIZED (
+      SELECT vec_id, sq, mmr FROM sc{r} ORDER BY mmr DESC, vec_id LIMIT 1),
+    pe{r} AS MATERIALIZED (
+      SELECT c.vec_id, c.embedding FROM cand c
+      JOIN p{r} pp ON pp.vec_id = c.vec_id),
+    ms{r} AS MATERIALIZED (
+      SELECT c.vec_id,
+             GREATEST(COALESCE(m.ms, 0e0),
+                      ROUND({cos_p}, 6)) AS ms
+      FROM cand c
+      CROSS JOIN pe{r} pe
+      LEFT JOIN {prev_m} m ON m.vec_id = c.vec_id),
+    picked{r} AS MATERIALIZED (
+      SELECT vec_id, sq, mmr, CAST({r} AS BIGINT) AS pick_rank FROM p{r}
+      UNION ALL SELECT vec_id, sq, mmr, pick_rank FROM {prev_p})""")
+    return f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    cand AS MATERIALIZED (
+      SELECT e.vec_id, e.embedding,
+             ROUND({cos_q}, 6) AS sq
+      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0),
+    picked0 AS MATERIALIZED (
+      SELECT CAST(NULL AS BIGINT) AS vec_id, CAST(NULL AS DOUBLE) AS sq,
+             CAST(NULL AS DOUBLE) AS mmr, CAST(NULL AS BIGINT) AS pick_rank
+      WHERE 1 = 0),
+    ms0 AS MATERIALIZED (
+      SELECT CAST(NULL AS BIGINT) AS vec_id, CAST(NULL AS DOUBLE) AS ms
+      WHERE 1 = 0),
+    {','.join(iters)}
+    SELECT pick_rank, vec_id,
+           (sq + 0.0) AS rel_cos,
+           (ROUND(mmr, 4) + 0.0) AS mmr_score
+    FROM picked{MMR_PICKS}
+    ORDER BY pick_rank
+    """
+
+
+@query("q236_mmr_selection", oracle=_q236_oracle())
+def q236_mmr_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance selection (Carbonell & Goldstein
+    1998): greedily pick {MMR_PICKS} vectors maximizing
+    {MMR_REL_W}/10·sim(query, d) − {MMR_DIV_W}/10·max sim(d, picked) —
+    the relevance-vs-redundancy re-ranker behind diverse RAG retrieval
+    and diverse few-shot exemplar choice; q225 diversifies by token
+    coverage, this diversifies in embedding space.
+
+    Parity: every cosine uses the strict left-to-right _cosine /
+    list_cosine_similarity pair (bit-compatible, q45's contract) and
+    is 6-dp rounded BEFORE the small-integer-weighted MMR arithmetic,
+    so each round's argmax (vec_id tiebreak) — and hence the whole
+    trajectory — is engine-identical; the oracle replays it as chained
+    MATERIALIZED CTEs.
+
+    Scale shape: the candidate table (vec_id, embedding, rel-cos) is
+    computed once and checkpointed; each round is ONE map-side cosine
+    vs the newly-picked vector (a driver-side literal — bounded
+    control plane, the q201 centroid pattern), a running elementwise
+    MAX, and a global top-1 TakeOrderedAndProject.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    qvec = [
+        float(v)
+        for v in emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    ]
+    qcol = F.array(*[F.lit(v) for v in qvec])
+    cand = local_checkpoint(
+        emb.filter(F.col("vec_id") != 0).select(
+            "vec_id",
+            "embedding",
+            F.round(_cosine(F.col("embedding"), qcol), 6).alias("sq"),
+        ),
+        "q236 mmr candidates",
+    )
+    ms: DataFrame | None = None
+    picked: list[tuple[int, int, float, float]] = []
+    for r in range(1, MMR_PICKS + 1):
+        sc = cand
+        if picked:
+            sc = sc.filter(~F.col("vec_id").isin([p[1] for p in picked]))
+        if ms is not None:
+            sc = sc.join(ms, "vec_id", "left").withColumn(
+                "msv", F.coalesce(F.col("msv"), F.lit(0.0))
+            )
+        else:
+            sc = sc.withColumn("msv", F.lit(0.0))
+        sc = sc.withColumn(
+            "mmr", MMR_REL_W * F.col("sq") - MMR_DIV_W * F.col("msv")
+        )
+        top = (
+            sc.select("vec_id", "sq", "mmr")
+            .orderBy(F.col("mmr").desc(), "vec_id")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        vid, sq, mmr = int(top[0]["vec_id"]), top[0]["sq"], top[0]["mmr"]
+        picked.append((r, vid, float(sq), float(mmr)))
+        pvec = [
+            float(v)
+            for v in cand.filter(F.col("vec_id") == vid)
+            .select("embedding")
+            .collect()[0][0]
+        ]
+        pcol = F.array(*[F.lit(v) for v in pvec])
+        newcos = F.round(_cosine(F.col("embedding"), pcol), 6)
+        base = (
+            cand.join(ms, "vec_id", "left").withColumn(
+                "prev", F.coalesce(F.col("msv"), F.lit(0.0))
+            )
+            if ms is not None
+            else cand.withColumn("prev", F.lit(0.0))
+        )
+        ms = local_checkpoint(
+            base.select(
+                "vec_id", F.greatest(F.col("prev"), newcos).alias("msv")
+            ),
+            f"q236 mmr max-sim after pick {r}",
+        )
+    return spark.createDataFrame(
+        picked, "pick_rank long, vec_id long, rel_cos double, mmr_score double"
+    ).select(
+        "pick_rank",
+        "vec_id",
+        (F.col("rel_cos") + F.lit(0.0)).alias("rel_cos"),
+        (F.round(F.col("mmr_score"), 4) + F.lit(0.0)).alias("mmr_score"),
+    )

@@ -380,3 +380,47 @@ def test_join_cardinality_exact_side(spark, sf_dir):
         assert r["est_rows"] >= 0
         got = round((r["est_rows"] - r["exact_rows"]) / r["exact_rows"], 4)
         assert abs(got - r["rel_error"]) < 1e-9
+
+
+def test_centroid_drift_aa_calibration(spark, sf_dir):
+    """The md5 A/A split draws both halves from the same distribution,
+    so the mean-shift ratio should sit near its A/A expectation
+    ~ 1/nA + 1/nB and norms should roughly agree."""
+    from datapipeline_dags_spark.plans.llm_ops import (
+        q235_embedding_centroid_drift,
+    )
+
+    rows = q235_embedding_centroid_drift(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_half_a"] > 0 and r["n_half_b"] > 0
+        assert -1.0 <= r["centroid_cosine"] <= 1.0
+        assert 0.3 < r["norm_ratio"] < 3.0
+        # A/A expectation is ~ 1/nA + 1/nB (dimension-free); allow a
+        # generous sampling-noise factor
+        bound = 8 * (1.0 / r["n_half_a"] + 1.0 / r["n_half_b"])
+        assert 0.0 <= r["mean_shift_ratio"] < max(bound, 1.0), (
+            r["label"],
+            r["mean_shift_ratio"],
+        )
+
+
+def test_mmr_trajectory_properties(spark, sf_dir):
+    """Pick 1 is the pure-relevance argmax; MMR scores never exceed
+    REL_W x that pick's relevance; no duplicates."""
+    from datapipeline_dags_spark.plans.llm_ops import (
+        MMR_REL_W,
+        q236_mmr_selection,
+    )
+
+    rows = sorted(
+        q236_mmr_selection(spark, sf_dir).collect(),
+        key=lambda r: r["pick_rank"],
+    )
+    assert rows
+    ids = [r["vec_id"] for r in rows]
+    assert len(ids) == len(set(ids))
+    top_rel = rows[0]["rel_cos"]
+    assert abs(rows[0]["mmr_score"] - round(MMR_REL_W * top_rel, 4)) < 1e-6
+    assert all(r["rel_cos"] <= top_rel + 1e-9 for r in rows[:1])
+    assert all(r["mmr_score"] <= rows[0]["mmr_score"] + 1e-9 for r in rows)
