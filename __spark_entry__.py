@@ -115,18 +115,12 @@ _ROTATION_TAIL = [
     "q82_value_histogram",
     "q83_stats_aggregates",
     "q92_set_ops_keys",
-    # hedge refreshers: already-green queries whose implementations
-    # changed this round (dHash bucket chunking q91/q174, blocking
-    # machinery move q41/q42, distributed-percentile narrowing behind
-    # q154/q141's exact_audit gate):
-    "q91_image_phash_neardup",
-    "q174_video_dhash_neardup",
-    "q41_dedup_minhash_lsh",
-    "q42_dedup_simhash",
-    "q154_quantile_sketch",
-    "q141_ship_latency_percentiles",
-    # brand-new r6 queries (no driver row anywhere yet; rotate into the
-    # head at r7 with the rest of the never-checked residue):
+    # brand-new r6 queries (no driver row anywhere yet; rotate into
+    # the head at r7 with the rest of the never-checked residue).
+    # The r6-changed hedge refreshers (q91 q174 q41 q42 q154 q141)
+    # were dropped from the tail once q194+ outgrew it: every tail
+    # slot spent on an already-green query would push a never-checked
+    # one outside both sampling windows.
     "q194_mann_whitney_latency",
     "q195_token_yield_curve",
     "q196_sample_allocation",
