@@ -164,6 +164,8 @@ _ROTATION_TAIL = [
     "q234_cluster_purity_nmi",
     "q235_embedding_centroid_drift",
     "q236_mmr_selection",
+    "q237_ivm_delta_join",
+    "q238_online_agg_hoeffding",
 ]
 
 

@@ -2666,3 +2666,229 @@ def q198_priority_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_transitions"),
         dec(F.col("n") * 1.0 / F.col("row_n"), 6).alias("p"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q237 — incremental view maintenance of a join view (delta-join algebra)
+# ---------------------------------------------------------------------------
+
+#: batch boundaries splitting each base table into (base, delta): rows
+#: at/after the cut are "today's batch".  Any split works — the
+#: algebra must reproduce the full recompute for every split.
+IVM_ORDER_CUT = "1996-01-01"
+IVM_SHIP_CUT = "1996-06-01"
+
+
+@query(
+    "q237_ivm_delta_join",
+    oracle=f"""
+    WITH li AS (
+      SELECT l_orderkey, CAST(FLOOR(l_extendedprice * (1 - l_discount)
+                   * 100 + 0.5) AS BIGINT) AS rev,
+             (l_shipdate >= DATE '{IVM_SHIP_CUT}') AS d
+      FROM lineitem),
+    o AS (
+      SELECT o_orderkey, c_nationkey AS nk,
+             (o_orderdate >= DATE '{IVM_ORDER_CUT}') AS d
+      FROM orders JOIN customer ON o_custkey = c_custkey),
+    full_v AS (
+      SELECT o.nk, SUM(li.rev) AS v
+      FROM o JOIN li ON li.l_orderkey = o.o_orderkey GROUP BY 1),
+    base_v AS (
+      SELECT o.nk, SUM(li.rev) AS v
+      FROM o JOIN li ON li.l_orderkey = o.o_orderkey
+      WHERE NOT o.d AND NOT li.d GROUP BY 1),
+    dv AS (
+      SELECT o.nk, SUM(li.rev) AS v
+      FROM o JOIN li ON li.l_orderkey = o.o_orderkey
+      WHERE o.d OR li.d GROUP BY 1),
+    ivm AS (
+      SELECT COALESCE(b.nk, dv.nk) AS nk,
+             COALESCE(b.v, 0) + COALESCE(dv.v, 0) AS v
+      FROM base_v b FULL OUTER JOIN dv ON dv.nk = b.nk)
+    SELECT n.n_name AS nation,
+           CAST(f.v AS BIGINT) AS full_recompute_cents,
+           CAST(i.v AS BIGINT) AS ivm_cents,
+           (f.v = i.v) AS consistent
+    FROM full_v f
+    JOIN ivm i ON i.nk = f.nk
+    JOIN nation n ON n.n_nationkey = f.nk
+    """,
+)
+def q237_ivm_delta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance of the revenue-per-nation JOIN
+    view: with each base table split into (base, delta) batches, the
+    delta-join algebra ΔV = ΔA⋈B_old ∪ A_old⋈ΔB ∪ ΔA⋈ΔB — computed
+    here as ONE pass over the pre-joined rows where either side is new
+    — must land the view exactly on the full recompute, cent for cent.
+    q161 maintains an AGGREGATE incrementally; this is the JOIN-view
+    counterpart (the algebra every materialized-view refresh engine
+    implements), with the full recompute carried alongside as the
+    audit.
+
+    Parity: revenue is integer cents; both the recompute and the
+    base+delta path are integer sums; `consistent` is an integer
+    equality — the query PROVES the algebra in both engines.
+
+    Scale shape: at refresh time only the delta predicate's rows feed
+    the maintenance join (partition-pruned by ship/order date at
+    100 TB), so the incremental cost tracks the batch, not the base;
+    the full recompute here exists solely as the audit baseline.
+    """
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.expr(
+            "CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)"
+            " AS BIGINT)"
+        ).alias("rev"),
+        (F.col("l_shipdate") >= F.lit(IVM_SHIP_CUT).cast("date")).alias("ld"),
+    )
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    o = orders.join(customer, orders.o_custkey == customer.c_custkey).select(
+        "o_orderkey",
+        F.col("c_nationkey").alias("nk"),
+        (F.col("o_orderdate") >= F.lit(IVM_ORDER_CUT).cast("date")).alias("od"),
+    )
+    joined = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        "nk", "rev", "od", "ld"
+    )
+    full_v = joined.groupBy("nk").agg(F.sum("rev").alias("fv"))
+    base_v = (
+        joined.filter(~F.col("od") & ~F.col("ld"))
+        .groupBy("nk")
+        .agg(F.sum("rev").alias("bv"))
+    )
+    dv = (
+        joined.filter(F.col("od") | F.col("ld"))
+        .groupBy("nk")
+        .agg(F.sum("rev").alias("dv"))
+    )
+    ivm = (
+        base_v.join(dv, "nk", "full")
+        .select(
+            "nk",
+            (
+                F.coalesce(F.col("bv"), F.lit(0))
+                + F.coalesce(F.col("dv"), F.lit(0))
+            ).alias("iv"),
+        )
+    )
+    nation = table(spark, sf_dir, "nation")
+    return (
+        full_v.join(ivm, "nk")
+        .join(nation, F.col("nk") == nation.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("fv").cast("long").alias("full_recompute_cents"),
+            F.col("iv").cast("long").alias("ivm_cents"),
+            (F.col("fv") == F.col("iv")).alias("consistent"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q238 — online aggregation with Hoeffding guarantees (AQP audit)
+# ---------------------------------------------------------------------------
+
+#: declared value range for the Hoeffding bound (the operator's input
+#: contract — o_totalprice lives in [0, 600k] at every TPC-H scale).
+AQP_RANGE = 600_000.0
+#: ln(2/delta) for delta = 0.05, precomputed as a literal (the q230
+#: rule: no engine ln() in the data path).
+AQP_LN2D = 3.6888794541139363
+#: sampling ladder: md5 bucket of 1024, keep bucket < 1024*frac.
+AQP_STEPS = ((4, "1/256"), (16, "1/64"), (64, "1/16"), (256, "1/4"))
+
+
+def _q238_oracle() -> str:
+    steps = []
+    for keep, lbl in AQP_STEPS:
+        steps.append(f"""
+    SELECT '{lbl}' AS sample_frac,
+           CAST(COUNT(*) FILTER (WHERE b < {keep}) AS BIGINT) AS n_sampled,
+           (ROUND(SUM(y) FILTER (WHERE b < {keep}) * 1e0
+                  / COUNT(*) FILTER (WHERE b < {keep}) / 100, 2) + 0.0)
+             AS est_mean,
+           (ROUND({AQP_RANGE} * sqrt({AQP_LN2D}
+                  / (2 * COUNT(*) FILTER (WHERE b < {keep}))), 2) + 0.0)
+             AS hoeffding_eps,
+           (ROUND(SUM(y) * 1e0 / COUNT(*) / 100, 2) + 0.0) AS exact_mean,
+           (ABS(SUM(y) FILTER (WHERE b < {keep}) * 1e0
+                / COUNT(*) FILTER (WHERE b < {keep}) / 100
+                - SUM(y) * 1e0 / COUNT(*) / 100)
+            <= {AQP_RANGE} * sqrt({AQP_LN2D}
+                 / (2 * COUNT(*) FILTER (WHERE b < {keep}))))
+             AS within_bound
+    FROM s""")
+    return f"""
+    WITH s AS MATERIALIZED (
+      SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS y,
+             ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+               % 1024 AS b
+      FROM orders)
+    {' UNION ALL '.join(steps)}
+    """
+
+
+@query("q238_online_agg_hoeffding", oracle=_q238_oracle())
+def q238_online_agg_hoeffding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online aggregation (Hellerstein 1997) audit: the mean order
+    value estimated from a deterministic md5 sampling ladder
+    (1/256 → 1/4), each step reporting its Hoeffding 95% half-width
+    ε = R·√(ln(2/δ)/2n) and whether the estimate actually landed
+    within ε of the truth — the approximate-query-processing contract
+    ("stop scanning when the bound is tight enough") made
+    hash-checkable by the deterministic sample.
+
+    Parity: the sample ladder is the md5-bucket coin (nested: smaller
+    fractions are subsets of larger — the online-agg refinement
+    property), sums/counts are exact integers, ε multiplies them into
+    a precomputed literal (no engine ln() on data, the q230 rule), and
+    every comparison runs on identically-derived doubles.
+
+    Scale shape: ONE scan, ONE aggregate — every step is a FILTER
+    aggregate over the same pass (Spark computes all ladder steps in
+    one map-side combine); at 100 TB the production mode stops the
+    scan at the first ε below target instead of auditing all steps.
+    """
+    orders = table(spark, sf_dir, "orders")
+    s = orders.select(
+        F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)").alias("y"),
+        (
+            F.conv(
+                F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % 1024
+        ).alias("b"),
+    )
+    aggs = [F.sum("y").alias("ty"), F.count("*").alias("tn")]
+    for keep, lbl in AQP_STEPS:
+        tag = str(keep)
+        aggs.append(
+            F.sum(F.when(F.col("b") < keep, F.col("y"))).alias(f"sy{tag}")
+        )
+        aggs.append(
+            F.count(F.when(F.col("b") < keep, F.lit(1))).alias(f"sn{tag}")
+        )
+    m = s.agg(*aggs)
+    out = None
+    for keep, lbl in AQP_STEPS:
+        tag = str(keep)
+        est = F.col(f"sy{tag}") * F.expr("1e0") / F.col(f"sn{tag}") / 100
+        exact = F.col("ty") * F.expr("1e0") / F.col("tn") / 100
+        eps = F.lit(AQP_RANGE) * F.sqrt(
+            F.lit(AQP_LN2D) / (2 * F.col(f"sn{tag}"))
+        )
+        row = m.select(
+            F.lit(lbl).alias("sample_frac"),
+            F.col(f"sn{tag}").cast("long").alias("n_sampled"),
+            dec(est, 2).alias("est_mean"),
+            dec(eps, 2).alias("hoeffding_eps"),
+            dec(exact, 2).alias("exact_mean"),
+            (F.abs(est - exact) <= eps).alias("within_bound"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out

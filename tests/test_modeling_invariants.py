@@ -596,3 +596,32 @@ def test_structural_break_known_series(spark, tmp_path):
     assert abs(row["break_month"] - 11) <= 1
     assert row["sse_break"] < row["sse_nobreak"]
     assert row["reduction_pct"] > 50
+
+
+def test_ivm_consistency_everywhere(spark, sf_dir):
+    """The delta-join algebra must reproduce the full recompute for
+    EVERY nation — 'consistent' is the operator's own proof column."""
+    from datapipeline_dags_spark.plans.relational import q237_ivm_delta_join
+
+    rows = q237_ivm_delta_join(spark, sf_dir).collect()
+    assert rows
+    assert all(r["consistent"] for r in rows)
+    assert all(r["full_recompute_cents"] == r["ivm_cents"] for r in rows)
+
+
+def test_hoeffding_ladder_refines(spark, sf_dir):
+    """Sample sizes grow along the ladder (nested buckets), the bound
+    shrinks, and every step's estimate honors its own bound (the
+    Hoeffding guarantee holds deterministically here because the
+    md5 ladder is a fixed sample, not an adversarial one)."""
+    from datapipeline_dags_spark.plans.relational import (
+        q238_online_agg_hoeffding,
+    )
+
+    rows = q238_online_agg_hoeffding(spark, sf_dir).collect()
+    assert len(rows) == 4
+    ns = [r["n_sampled"] for r in rows]
+    eps = [r["hoeffding_eps"] for r in rows]
+    assert ns == sorted(ns)
+    assert eps == sorted(eps, reverse=True)
+    assert all(r["within_bound"] for r in rows)
