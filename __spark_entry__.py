@@ -166,6 +166,8 @@ _ROTATION_TAIL = [
     "q236_mmr_selection",
     "q237_ivm_delta_join",
     "q238_online_agg_hoeffding",
+    "q239_ccf_lead_lag",
+    "q240_zonemap_pruning",
 ]
 
 

@@ -2063,3 +2063,123 @@ def q224_fano_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("sn2") * 1.0 / F.col("dspan") - mean * mean) / mean, 4
         ).alias("fano"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q239 — cross-correlation lead-lag between event streams (hourly CCF)
+# ---------------------------------------------------------------------------
+
+CCF_MAX_LAG = 6  # hours each direction
+CCF_X, CCF_Y = "click", "purchase"
+
+
+def _q239_oracle() -> str:
+    xb = "(g.sx * 1e0 / g.n)"
+    yb = "(g.sy * 1e0 / g.n)"
+    return f"""
+    WITH hx AS MATERIALIZED (
+      SELECT date_trunc('hour', ts) AS h,
+             COUNT(*) FILTER (WHERE event_type = '{CCF_X}') AS x,
+             COUNT(*) FILTER (WHERE event_type = '{CCF_Y}') AS y
+      FROM events
+      WHERE event_type IN ('{CCF_X}', '{CCF_Y}')
+      GROUP BY 1),
+    g AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                 SUM(x * x) AS sxx, SUM(y * y) AS syy
+          FROM hx),
+    lagk AS (SELECT CAST(k AS BIGINT) AS k
+             FROM range(-{CCF_MAX_LAG}, {CCF_MAX_LAG + 1}) t(k)),
+    pr AS (
+      SELECT l.k, COUNT(*) AS nk,
+             SUM(a.x * b.y) AS sxy, SUM(a.x) AS sh, SUM(b.y) AS st
+      FROM hx a
+      CROSS JOIN lagk l
+      JOIN hx b ON b.h = a.h + to_hours(CAST(l.k AS BIGINT))
+      GROUP BY 1)
+    SELECT pr.k AS lag_hours,
+           CAST(pr.nk AS BIGINT) AS n_pairs,
+           (ROUND((pr.sxy - {xb} * pr.st - {yb} * pr.sh
+                   + pr.nk * {xb} * {yb})
+                  / (sqrt(g.sxx - g.n * {xb} * {xb})
+                     * sqrt(g.syy - g.n * {yb} * {yb})), 6) + 0.0) AS ccf
+    FROM pr CROSS JOIN g
+    ORDER BY lag_hours
+    """
+
+
+@query("q239_ccf_lead_lag", oracle=_q239_oracle())
+def q239_ccf_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation function between the hourly {CCF_X} and
+    {CCF_Y} volumes at lags ±{CCF_MAX_LAG} h: the lead-lag diagnostic
+    ("do clicks lead purchases, and by how many hours?") behind
+    attribution-window choices (q145/q207) and marketing-mix timing —
+    q223's autocorrelation generalized to TWO series.
+
+    Parity: both series collapse to the bounded hourly calendar with
+    integer counts; global and per-lag moments are exact BIGINTs; the
+    CCF is a single double expression over them (q223's discipline);
+    6-dp edge round.
+
+    Scale shape: ONE pushed hash agg to |hours| rows (both series in
+    one pass via filtered counts), a (|hours| × lags) grid join on the
+    bounded collapse, a 1-row moment attach.
+    """
+    ev = table(spark, sf_dir, "events")
+    hx = (
+        ev.filter(F.col("event_type").isin(CCF_X, CCF_Y))
+        .groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(
+            F.count(F.when(F.col("event_type") == CCF_X, 1)).alias("x"),
+            F.count(F.when(F.col("event_type") == CCF_Y, 1)).alias("y"),
+        )
+    )
+    g = hx.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    lags = spark.range(-CCF_MAX_LAG, CCF_MAX_LAG + 1).select(
+        F.col("id").alias("k")
+    )
+    a = hx.select(F.col("h").alias("h1"), F.col("x").alias("xa"))
+    b = hx.select(F.col("h").alias("h2"), F.col("y").alias("yb"))
+    pr = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            F.col("h2")
+            == F.col("h1") + F.make_interval(hours=F.col("k").cast("int")),
+        )
+        .groupBy("k")
+        .agg(
+            F.count("*").alias("nk"),
+            F.sum(F.col("xa") * F.col("yb")).alias("sxy"),
+            F.sum("xa").alias("sh"),
+            F.sum("yb").alias("st"),
+        )
+    )
+    xb = F.col("sx") * F.expr("1e0") / F.col("n")
+    yb = F.col("sy") * F.expr("1e0") / F.col("n")
+    return (
+        pr.crossJoin(F.broadcast(g))
+        .select(
+            F.col("k").cast("long").alias("lag_hours"),
+            F.col("nk").cast("long").alias("n_pairs"),
+            dec(
+                (
+                    F.col("sxy")
+                    - xb * F.col("st")
+                    - yb * F.col("sh")
+                    + F.col("nk") * xb * yb
+                )
+                / (
+                    F.sqrt(F.col("sxx") - F.col("n") * xb * xb)
+                    * F.sqrt(F.col("syy") - F.col("n") * yb * yb)
+                ),
+                6,
+            ).alias("ccf"),
+        )
+        .orderBy("lag_hours")
+    )

@@ -2892,3 +2892,103 @@ def q238_online_agg_hoeffding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# q240 — zone-map pruning audit (data-layout skipping effectiveness)
+# ---------------------------------------------------------------------------
+
+#: rows per simulated file chunk, keyed by orderkey range (map-side —
+#: no global row numbering), and the audit predicate: one quarter of
+#: the 7-year shipdate domain.
+ZM_CHUNK = 4_000
+ZM_LO, ZM_HI = "1995-01-01", "1995-04-01"
+
+
+@query(
+    "q240_zonemap_pruning",
+    oracle=f"""
+    WITH c AS (
+      SELECT l_orderkey // {ZM_CHUNK} AS chunk,
+             MIN(l_shipdate) AS mn, MAX(l_shipdate) AS mx,
+             COUNT(*) AS n,
+             SUM(CASE WHEN l_shipdate >= DATE '{ZM_LO}'
+                       AND l_shipdate < DATE '{ZM_HI}'
+                      THEN 1 ELSE 0 END) AS n_match
+      FROM lineitem GROUP BY 1),
+    a AS (
+      SELECT COUNT(*) AS n_chunks,
+             SUM(CASE WHEN mx >= DATE '{ZM_LO}' AND mn < DATE '{ZM_HI}'
+                      THEN 1 ELSE 0 END) AS n_scanned,
+             SUM(n) AS n_rows,
+             SUM(CASE WHEN mx >= DATE '{ZM_LO}' AND mn < DATE '{ZM_HI}'
+                      THEN n ELSE 0 END) AS rows_scanned,
+             SUM(n_match) AS rows_matched
+      FROM c)
+    SELECT CAST(n_chunks AS BIGINT) AS n_chunks,
+           CAST(n_scanned AS BIGINT) AS chunks_scanned,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(rows_scanned AS BIGINT) AS rows_scanned,
+           CAST(rows_matched AS BIGINT) AS rows_matched,
+           (ROUND(1e0 - n_scanned * 1e0 / n_chunks, 4) + 0.0)
+             AS chunk_prune_rate,
+           (ROUND(rows_matched * 1e0 / rows_scanned, 4) + 0.0)
+             AS scan_efficiency
+    FROM a
+    """,
+)
+def q240_zonemap_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (min/max skipping) effectiveness audit: partition the
+    fact table into orderkey-range "file chunks" of {ZM_CHUNK} orders,
+    compute each chunk's shipdate min/max zone map, and measure how
+    many chunks a [{ZM_LO}, {ZM_HI}) predicate could skip and how many
+    of the scanned rows actually match — the layout diagnostic that
+    tells you whether q160's Z-order / date clustering is WORTH a
+    rewrite (natural orderkey layout correlates only loosely with
+    shipdate, so expect low prune rates; a date-sorted layout sends
+    the prune rate toward the predicate's time fraction).
+
+    Parity: chunk ids are integer key division (map-side, no global
+    row numbering), zone maps are MIN/MAX dates, every measure an
+    exact integer; two ratios at the edge.
+
+    Scale shape: ONE scan → chunk-keyed hash agg (map-side combine; at
+    100 TB this is exactly the per-row-group metadata parquet already
+    stores — the audit reads data once to validate what the layout
+    engine would then exploit for free).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    lo = F.lit(ZM_LO).cast("date")
+    hi = F.lit(ZM_HI).cast("date")
+    c = li.groupBy(F.expr(f"l_orderkey div {ZM_CHUNK}").alias("chunk")).agg(
+        F.min("l_shipdate").alias("mn"),
+        F.max("l_shipdate").alias("mx"),
+        F.count("*").alias("n"),
+        F.sum(
+            ((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)).cast(
+                "long"
+            )
+        ).alias("n_match"),
+    )
+    scanned = (F.col("mx") >= lo) & (F.col("mn") < hi)
+    a = c.agg(
+        F.count("*").alias("n_chunks"),
+        F.sum(scanned.cast("long")).alias("n_scanned"),
+        F.sum("n").alias("n_rows"),
+        F.sum(F.when(scanned, F.col("n")).otherwise(0)).alias("rows_scanned"),
+        F.sum("n_match").alias("rows_matched"),
+    )
+    return a.select(
+        F.col("n_chunks").cast("long"),
+        F.col("n_scanned").cast("long").alias("chunks_scanned"),
+        F.col("n_rows").cast("long"),
+        F.col("rows_scanned").cast("long"),
+        F.col("rows_matched").cast("long"),
+        dec(
+            F.expr("1e0") - F.col("n_scanned") * F.expr("1e0") / F.col("n_chunks"),
+            4,
+        ).alias("chunk_prune_rate"),
+        dec(
+            F.col("rows_matched") * F.expr("1e0") / F.col("rows_scanned"), 4
+        ).alias("scan_efficiency"),
+    )

@@ -87,6 +87,8 @@ BOUNDED_FILTER_HINT_OK = {
     "q222_kcore_decomposition",  # broadcasts the 1-row core node/edge stats
     # broadcasts the ACF_LAGS-row lag grid + the 1-row global moments
     "q223_revenue_acf",
+    # broadcasts the 13-row lag grid + the 1-row global moments
+    "q239_ccf_lead_lag",
     "q224_fano_burstiness",  # broadcasts the 1-row calendar-span aggregate
     "q226_kmin_distinct_sketch",  # broadcasts the KMV_K-row salt grid
     "q228_degree_assortativity",  # broadcasts the 1-row node/edge counts
@@ -313,6 +315,8 @@ NESTED_LOOP_OK = {
     "q222_kcore_decomposition",
     # bounded |days| x ACF_LAGS lag-grid build + 1-row moment attach
     "q223_revenue_acf",
+    # bounded |hours| x 13 lag-grid build + 1-row moment attach
+    "q239_ccf_lead_lag",
     "q224_fano_burstiness",  # 1-row span attach onto the |types|-row frame
     # KMV_K-row salt grid x token collapse: the map-side sketch fan-out
     # (partial-combine MINs collapse it before the shuffle)

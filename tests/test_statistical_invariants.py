@@ -86,3 +86,28 @@ def test_fano_burstiness_invariants(spark, sf_dir):
         assert r["n_events"] >= r["n_active_days"] >= 1
         assert r["mean_per_day"] > 0
         assert r["fano"] > 0
+
+
+def test_ccf_bounds_and_zero_lag_symmetry(spark, sf_dir):
+    """CCF values live in [-1, 1]; the lag grid is complete; pair
+    counts at lag +k and -k agree (same aligned-hour set shifted)."""
+    from datapipeline_dags_spark.plans.event_time import (
+        CCF_MAX_LAG,
+        q239_ccf_lead_lag,
+    )
+
+    rows = {r["lag_hours"]: r for r in q239_ccf_lead_lag(spark, sf_dir).collect()}
+    assert len(rows) == 2 * CCF_MAX_LAG + 1
+    for k, r in rows.items():
+        assert abs(r["ccf"]) <= 1.0 + 1e-9, (k, r["ccf"])
+        assert r["n_pairs"] > 0
+
+
+def test_zonemap_accounting(spark, sf_dir):
+    from datapipeline_dags_spark.plans.relational import q240_zonemap_pruning
+
+    r = q240_zonemap_pruning(spark, sf_dir).collect()[0]
+    assert 0 < r["chunks_scanned"] <= r["n_chunks"]
+    assert 0 <= r["rows_matched"] <= r["rows_scanned"] <= r["n_rows"]
+    assert 0.0 <= r["chunk_prune_rate"] <= 1.0
+    assert 0.0 <= r["scan_efficiency"] <= 1.0
