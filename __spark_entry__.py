@@ -168,6 +168,9 @@ _ROTATION_TAIL = [
     "q238_online_agg_hoeffding",
     "q239_ccf_lead_lag",
     "q240_zonemap_pruning",
+    "q241_histogram_selectivity",
+    "q242_market_share",
+    "q243_promo_revenue_share",
 ]
 
 

@@ -2992,3 +2992,299 @@ def q240_zonemap_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rows_matched") * F.expr("1e0") / F.col("rows_scanned"), 4
         ).alias("scan_efficiency"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q241 — equi-width histogram selectivity audit (CBO estimator check)
+# ---------------------------------------------------------------------------
+
+HIST_BUCKETS = 20
+#: audited range predicates on o_totalprice, in whole dollars.
+HIST_PREDS = (
+    ("narrow_low", 1_000, 20_000),
+    ("mid_band", 50_000, 100_000),
+    ("wide", 20_000, 300_000),
+    ("upper_tail", 400_000, 600_000),
+    ("full", 0, 700_000),
+)
+
+
+def _q241_oracle() -> str:
+    rows = []
+    for lbl, a, b in HIST_PREDS:
+        a_c, b_c = a * 100, b * 100
+        rows.append(f"""
+    SELECT '{lbl}' AS predicate,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM s
+            WHERE y >= {a_c} AND y < {b_c}) AS exact_rows,
+           (SELECT (ROUND(SUM(n * GREATEST(0, LEAST(hi, {b_c})
+                                - GREATEST(lo, {a_c}))) * 1e0 / MAX(w), 2)
+                    + 0.0)
+            FROM h) AS est_rows""")
+    return f"""
+    WITH s AS MATERIALIZED (
+      SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS y
+      FROM orders),
+    bounds AS (SELECT MIN(y) AS mn,
+                      (MAX(y) - MIN(y)) // {HIST_BUCKETS} + 1 AS w
+               FROM s),
+    h AS MATERIALIZED (
+      SELECT (s.y - b.mn) // b.w AS bucket,
+             MIN(b.mn + ((s.y - b.mn) // b.w) * b.w) AS lo,
+             MIN(b.mn + ((s.y - b.mn) // b.w + 1) * b.w) AS hi,
+             COUNT(*) AS n,
+             MAX(b.w) AS w
+      FROM s CROSS JOIN bounds b
+      GROUP BY 1),
+    u AS ({' UNION ALL '.join(rows)})
+    SELECT predicate, exact_rows, est_rows,
+           (ROUND((est_rows - exact_rows) * 1e0
+                  / GREATEST(exact_rows, 1), 4) + 0.0) AS rel_error
+    FROM u
+    """
+
+
+@query("q241_histogram_selectivity", oracle=_q241_oracle())
+def q241_histogram_selectivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram selectivity audit: build the
+    {HIST_BUCKETS}-bucket histogram a cost-based optimizer keeps for
+    o_totalprice, estimate {len(HIST_PREDS)} range predicates under
+    the uniform-within-bucket assumption, and report each estimate
+    against the exact count — with q233 (join cardinality) and q240
+    (zone maps) this completes the planner-statistics toolkit: how
+    wrong will the optimizer's row estimates be, BEFORE it picks a
+    bad plan with them.
+
+    Parity: bucket ids, bucket bounds, counts, and the
+    overlap-interpolation NUMERATOR Σ nᵢ·overlapᵢ are all exact
+    integers (overlap = clamped integer interval intersection); the
+    estimate is that integer divided once by the bucket width —
+    no per-bucket float terms to accumulate.
+
+    Scale shape: one scan → {HIST_BUCKETS}-cell hash agg (map-side
+    combine) after a 1-row bounds attach; every audit row evaluates on
+    the bounded histogram.
+    """
+    orders = table(spark, sf_dir, "orders")
+    s = orders.select(
+        F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)").alias("y")
+    )
+    bounds = s.agg(
+        F.min("y").alias("mn"),
+        (
+            F.expr(f"(MAX(y) - MIN(y)) div {HIST_BUCKETS}") + 1
+        ).alias("w"),
+    )
+    h = (
+        s.crossJoin(F.broadcast(bounds))
+        .groupBy(F.expr("(y - mn) div w").alias("bucket"))
+        .agg(
+            F.min(F.expr("mn + ((y - mn) div w) * w")).alias("lo"),
+            F.min(F.expr("mn + ((y - mn) div w + 1) * w")).alias("hi"),
+            F.count("*").alias("n"),
+            F.max("w").alias("w"),
+        )
+    )
+    out = None
+    for lbl, a, b in HIST_PREDS:
+        a_c, b_c = a * 100, b * 100
+        ov = F.greatest(
+            F.lit(0),
+            F.least(F.col("hi"), F.lit(b_c)) - F.greatest(F.col("lo"), F.lit(a_c)),
+        )
+        # exact side re-derives from the bucket table: buckets are
+        # half-open [lo, hi) intervals of y, so per-bucket exact counts
+        # need the raw rows — carried via a filtered aggregate below.
+        row = (
+            s.crossJoin(F.broadcast(bounds))
+            .select(
+                "y",
+                F.expr("(y - mn) div w").alias("bucket"),
+            )
+            .groupBy("bucket")
+            .agg(
+                F.sum(
+                    ((F.col("y") >= a_c) & (F.col("y") < b_c)).cast("long")
+                ).alias("ex")
+            )
+            .join(h, "bucket")
+            .agg(
+                F.sum("ex").cast("long").alias("exact_rows"),
+                F.round(
+                    F.sum(F.col("n") * ov) * F.expr("1e0") / F.max("w"), 2
+                ).alias("est_rows"),
+            )
+            .select(
+                F.lit(lbl).alias("predicate"),
+                "exact_rows",
+                (F.col("est_rows") + F.lit(0.0)).alias("est_rows"),
+                dec(
+                    (F.col("est_rows") - F.col("exact_rows"))
+                    * F.expr("1e0")
+                    / F.greatest(F.col("exact_rows"), F.lit(1)),
+                    4,
+                ).alias("rel_error"),
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# q242 — market share of a supplier nation within a region (TPC-H Q8 shape)
+# ---------------------------------------------------------------------------
+
+MS_REGION = "EUROPE"
+MS_NATION = "GERMANY"
+
+
+@query(
+    "q242_market_share",
+    oracle=f"""
+    WITH rev AS (
+      SELECT EXTRACT(year FROM o.o_orderdate) AS yr,
+             CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+                  AS BIGINT) AS cents,
+             sn.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = cn.n_regionkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+      WHERE r.r_name = '{MS_REGION}'),
+    a AS (
+      SELECT yr,
+             SUM(CASE WHEN supp_nation = '{MS_NATION}'
+                      THEN cents ELSE 0 END) AS nat,
+             SUM(cents) AS tot
+      FROM rev GROUP BY 1)
+    SELECT CAST(yr AS BIGINT) AS o_year,
+           CAST(nat AS BIGINT) AS nation_cents,
+           CAST(tot AS BIGINT) AS total_cents,
+           (ROUND(nat * 1e0 / tot, 6) + 0.0) AS mkt_share
+    FROM a
+    """,
+)
+def q242_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8's market-share shape: within the {MS_REGION} customer
+    market, the yearly revenue share supplied by {MS_NATION} — the
+    six-table snowflake join (fact + orders + two customer dims + two
+    supplier dims) whose join ORDER is the classic CBO stress test
+    (reference test-query family; cf. q03's three-table core).
+
+    Parity: revenue in integer cents, the share a single division,
+    6-dp round.
+
+    Scale shape: the region filter pushes to the customer-side dim
+    chain (broadcast joins for every dim at any SF — nation/region are
+    fixed-size, supplier/customer prune by the join), partial
+    aggregation collapses to |years| cells before the shuffle.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    supplier = table(spark, sf_dir, "supplier")
+    cn = nation.alias("cn")
+    sn = nation.alias("sn")
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(cn, customer.c_nationkey == F.col("cn.n_nationkey"))
+        .join(region, F.col("cn.n_regionkey") == region.r_regionkey)
+        .filter(region.r_name == MS_REGION)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(sn, supplier.s_nationkey == F.col("sn.n_nationkey"))
+        .select(
+            F.year("o_orderdate").alias("yr"),
+            F.expr(
+                "CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)"
+                " AS BIGINT)"
+            ).alias("cents"),
+            F.col("sn.n_name").alias("supp_nation"),
+        )
+    )
+    a = rev.groupBy("yr").agg(
+        F.sum(
+            F.when(F.col("supp_nation") == MS_NATION, F.col("cents")).otherwise(0)
+        ).alias("nat"),
+        F.sum("cents").alias("tot"),
+    )
+    return a.select(
+        F.col("yr").cast("long").alias("o_year"),
+        F.col("nat").cast("long").alias("nation_cents"),
+        F.col("tot").cast("long").alias("total_cents"),
+        dec(F.col("nat") * F.expr("1e0") / F.col("tot"), 6).alias("mkt_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q243 — promotion-type revenue share by month (TPC-H Q14 shape)
+# ---------------------------------------------------------------------------
+
+PROMO_TYPE = "ECONOMY"
+
+
+@query(
+    "q243_promo_revenue_share",
+    oracle=f"""
+    WITH rev AS (
+      SELECT date_trunc('month', l.l_shipdate) AS mo,
+             CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+                  AS BIGINT) AS cents,
+             p.p_type AS ptype
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+    a AS (
+      SELECT mo,
+             SUM(CASE WHEN ptype = '{PROMO_TYPE}' THEN cents ELSE 0 END)
+               AS promo,
+             SUM(cents) AS tot
+      FROM rev GROUP BY 1)
+    SELECT strftime(mo, '%Y-%m') AS ship_month,
+           CAST(promo AS BIGINT) AS promo_cents,
+           CAST(tot AS BIGINT) AS total_cents,
+           (ROUND(100 * promo * 1e0 / tot, 4) + 0.0) AS promo_pct
+    FROM a
+    """,
+)
+def q243_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14's promotion-effect shape, widened to every ship
+    month: the percentage of revenue carried by '{PROMO_TYPE}'-type
+    parts — the campaign-effectiveness time series a merchandising
+    team tracks (reference test-query family).
+
+    Parity: integer cents; month key formatted 'yyyy-MM' explicitly on
+    both sides (the q230 date-column rule — engine default date
+    stringification differs); one division per row, 4-dp round.
+
+    Scale shape: fact ⋈ part FK join (broadcast/shuffle-hash by AQE at
+    SF), partial agg to |months| × 1 cells; the month collapse happens
+    in the same aggregate — no window.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    rev = li.join(part, li.l_partkey == part.p_partkey).select(
+        F.date_trunc("month", "l_shipdate").alias("mo"),
+        F.expr(
+            "CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)"
+            " AS BIGINT)"
+        ).alias("cents"),
+        F.col("p_type").alias("ptype"),
+    )
+    a = rev.groupBy("mo").agg(
+        F.sum(
+            F.when(F.col("ptype") == PROMO_TYPE, F.col("cents")).otherwise(0)
+        ).alias("promo"),
+        F.sum("cents").alias("tot"),
+    )
+    return a.select(
+        F.date_format("mo", "yyyy-MM").alias("ship_month"),
+        F.col("promo").cast("long").alias("promo_cents"),
+        F.col("tot").cast("long").alias("total_cents"),
+        dec(100 * F.col("promo") * F.expr("1e0") / F.col("tot"), 4).alias(
+            "promo_pct"
+        ),
+    )

@@ -92,6 +92,8 @@ BOUNDED_FILTER_HINT_OK = {
     "q224_fano_burstiness",  # broadcasts the 1-row calendar-span aggregate
     "q226_kmin_distinct_sketch",  # broadcasts the KMV_K-row salt grid
     "q228_degree_assortativity",  # broadcasts the 1-row node/edge counts
+    # broadcasts the 1-row histogram bounds (min, width)
+    "q241_histogram_selectivity",
     # broadcasts the 1-row totals/argmin aggregates over the month collapse
     "q231_structural_break",
     "q232_cohens_kappa",  # broadcasts the 1-row kappa moment aggregate
@@ -313,6 +315,8 @@ NESTED_LOOP_OK = {
     "q220_diff_in_diff",
     # two 1-row core-stat attaches onto the KCORE_TOP-row frame
     "q222_kcore_decomposition",
+    # 1-row bounds attach before the bucket hash agg (cf. q100/q160)
+    "q241_histogram_selectivity",
     # bounded |days| x ACF_LAGS lag-grid build + 1-row moment attach
     "q223_revenue_acf",
     # bounded |hours| x 13 lag-grid build + 1-row moment attach

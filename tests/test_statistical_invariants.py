@@ -111,3 +111,44 @@ def test_zonemap_accounting(spark, sf_dir):
     assert 0 <= r["rows_matched"] <= r["rows_scanned"] <= r["n_rows"]
     assert 0.0 <= r["chunk_prune_rate"] <= 1.0
     assert 0.0 <= r["scan_efficiency"] <= 1.0
+
+
+def test_histogram_estimates_sane(spark, sf_dir):
+    """The 'full' predicate covers the whole domain, so its estimate
+    and exact count agree exactly; every estimate is non-negative."""
+    from datapipeline_dags_spark.plans.relational import (
+        q241_histogram_selectivity,
+    )
+
+    rows = {
+        r["predicate"]: r
+        for r in q241_histogram_selectivity(spark, sf_dir).collect()
+    }
+    full = rows["full"]
+    assert abs(full["est_rows"] - full["exact_rows"]) < 0.51
+    assert abs(full["rel_error"]) < 0.001
+    for r in rows.values():
+        assert r["est_rows"] >= 0.0
+        assert r["exact_rows"] >= 0
+
+
+def test_market_share_bounds(spark, sf_dir):
+    from datapipeline_dags_spark.plans.relational import q242_market_share
+
+    rows = q242_market_share(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["nation_cents"] <= r["total_cents"]
+        assert 0.0 <= r["mkt_share"] <= 1.0
+
+
+def test_promo_share_bounds(spark, sf_dir):
+    from datapipeline_dags_spark.plans.relational import (
+        q243_promo_revenue_share,
+    )
+
+    rows = q243_promo_revenue_share(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["promo_cents"] <= r["total_cents"]
+        assert 0.0 <= r["promo_pct"] <= 100.0
