@@ -171,6 +171,8 @@ _ROTATION_TAIL = [
     "q241_histogram_selectivity",
     "q242_market_share",
     "q243_promo_revenue_share",
+    "q244_bottleneck_suppliers",
+    "q245_littles_law",
 ]
 
 

@@ -3288,3 +3288,218 @@ def q243_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             "promo_pct"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q244 — bottleneck suppliers in multi-supplier orders (TPC-H Q21 shape)
+# ---------------------------------------------------------------------------
+
+BOTTLENECK_TOP = 20
+
+
+@query(
+    "q244_bottleneck_suppliers",
+    oracle=f"""
+    WITH ps AS (
+      SELECT l_orderkey, l_suppkey, MAX(l_shipdate) AS last_ship
+      FROM lineitem GROUP BY 1, 2),
+    o AS (
+      SELECT l_orderkey, COUNT(*) AS n_supp, MAX(last_ship) AS omax
+      FROM ps GROUP BY 1),
+    am AS (
+      SELECT ps.l_orderkey, COUNT(*) AS n_at_max
+      FROM ps JOIN o ON o.l_orderkey = ps.l_orderkey
+      WHERE ps.last_ship = o.omax GROUP BY 1),
+    blame AS (
+      SELECT ps.l_suppkey AS suppkey, COUNT(*) AS n_blamed
+      FROM ps
+      JOIN o ON o.l_orderkey = ps.l_orderkey
+      JOIN am ON am.l_orderkey = ps.l_orderkey
+      WHERE o.n_supp > 1 AND am.n_at_max = 1 AND ps.last_ship = o.omax
+      GROUP BY 1),
+    tot AS (SELECT COUNT(*) AS n_multi FROM o WHERE n_supp > 1)
+    SELECT CAST(b.suppkey AS BIGINT) AS suppkey,
+           CAST(b.n_blamed AS BIGINT) AS n_blamed,
+           CAST(t.n_multi AS BIGINT) AS n_multi_supplier_orders,
+           (ROUND(b.n_blamed * 1e0 / t.n_multi, 6) + 0.0) AS blame_rate
+    FROM blame b CROSS JOIN tot t
+    ORDER BY b.n_blamed DESC, b.suppkey LIMIT {BOTTLENECK_TOP}
+    """,
+)
+def q244_bottleneck_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21's blame-assignment shape: in orders served by several
+    suppliers, the supplier who UNIQUELY shipped last (sole argmax of
+    ship date) is the order's bottleneck; rank suppliers by how many
+    orders they bottlenecked — the multi-party-accountability pattern
+    (Q21's EXISTS / NOT-EXISTS pair expressed as per-order counting,
+    which is both clearer and one-scan cheaper).
+
+    Parity: everything is integer counting over (order, supplier)
+    collapses with date equality; ties (n_at_max > 1) are EXCLUDED so
+    no engine tiebreak is ever consulted; top-k orders on integer
+    count + suppkey.
+
+    Scale shape: one (order, supplier) hash agg, one order-keyed
+    window ON THE COLLAPSE (bounded by suppliers-per-order ≤ 7), one
+    join back, one TakeOrderedAndProject.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    ps = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("last_ship")
+    )
+    wo = W.partitionBy("l_orderkey")
+    o = ps.select(
+        "l_orderkey",
+        "l_suppkey",
+        "last_ship",
+        F.count("*").over(wo).alias("n_supp"),
+        F.max("last_ship").over(wo).alias("omax"),
+        F.sum(
+            (F.col("last_ship") == F.max("last_ship").over(wo)).cast("long")
+        )
+        .over(wo)
+        .alias("n_at_max"),
+    )
+    blame = (
+        o.filter(
+            (F.col("n_supp") > 1)
+            & (F.col("n_at_max") == 1)
+            & (F.col("last_ship") == F.col("omax"))
+        )
+        .groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(F.count("*").alias("n_blamed"))
+    )
+    tot = (
+        o.select("l_orderkey", "n_supp")
+        .distinct()
+        .filter(F.col("n_supp") > 1)
+        .agg(F.count("*").alias("n_multi"))
+    )
+    return (
+        blame.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("suppkey").cast("long"),
+            F.col("n_blamed").cast("long"),
+            F.col("n_multi").cast("long").alias("n_multi_supplier_orders"),
+            dec(F.col("n_blamed") * F.expr("1e0") / F.col("n_multi"), 6).alias(
+                "blame_rate"
+            ),
+        )
+        .orderBy(F.col("n_blamed").desc(), "suppkey")
+        .limit(BOTTLENECK_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q245 — Little's law audit (L = λW) on the order backlog
+# ---------------------------------------------------------------------------
+
+#: month-start sampling instants for the measured backlog average:
+#: every month between the dataset's first order and last ship.
+@query(
+    "q245_littles_law",
+    oracle="""
+    WITH span AS (
+      SELECT o_orderkey, CAST(o_orderdate AS DATE) AS st,
+             CAST(MAX(l_shipdate) AS DATE) AS en
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY 1, 2),
+    w AS (SELECT MIN(st) AS t0, MAX(en) AS t1,
+                 COUNT(*) AS n,
+                 SUM(date_diff('day', st, en) + 1) AS busy
+          FROM span),
+    mo AS (SELECT CAST(date_trunc('month', w.t0)
+                        + to_months(CAST(t.m AS INTEGER)) AS DATE) AS inst
+           FROM w CROSS JOIN range(0, 200) t(m)
+           WHERE CAST(date_trunc('month', w.t0)
+                      + to_months(CAST(t.m AS INTEGER)) AS DATE)
+                 BETWEEN w.t0 AND w.t1),
+    samp AS (
+      SELECT COUNT(*) AS n_inst,
+             SUM(cnt) AS open_sum
+      FROM (SELECT mo.inst,
+                   (SELECT COUNT(*) FROM span s
+                    WHERE s.st <= mo.inst AND s.en >= mo.inst) AS cnt
+            FROM mo) z)
+    SELECT CAST(w.n AS BIGINT) AS n_orders,
+           CAST(date_diff('day', w.t0, w.t1) + 1 AS BIGINT) AS window_days,
+           CAST(samp.n_inst AS BIGINT) AS n_samples,
+           (ROUND(w.n * 1e0 / (date_diff('day', w.t0, w.t1) + 1), 4) + 0.0)
+             AS lambda_per_day,
+           (ROUND(w.busy * 1e0 / w.n, 4) + 0.0) AS w_days,
+           (ROUND(w.busy * 1e0 / (date_diff('day', w.t0, w.t1) + 1), 4)
+              + 0.0) AS l_timeavg,
+           (ROUND(samp.open_sum * 1e0 / samp.n_inst, 4) + 0.0) AS l_sampled,
+           (ROUND((samp.open_sum * 1e0 / samp.n_inst)
+                  / (w.busy * 1e0 / (date_diff('day', w.t0, w.t1) + 1)), 4)
+              + 0.0) AS sampled_over_timeavg
+    FROM w CROSS JOIN samp
+    """,
+)
+def q245_littles_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Little's law audit on the order backlog: arrival rate λ, mean
+    time-in-system W, the exact time-average backlog L = λW (an
+    identity when measured over the full window), and the MONTH-START
+    SAMPLED backlog average that a naive dashboard reports — the ratio
+    between the two quantifies the sampling bias of point-in-time
+    snapshots (the queueing sanity check behind every "open tickets"
+    metric; cf. q182's daily sweep).
+
+    Parity: busy-days, counts, and calendar arithmetic are exact
+    integers; each reported rate is a single double division; the
+    month-instant grid is bounded (|months|) and the per-instant count
+    is an interval-containment join on the bounded instant list.
+
+    Scale shape: one (order) collapse with min/max dates, a 1-row
+    window aggregate, and a bounded |months| × interval containment
+    join (broadcast the instant list); nothing scales beyond the
+    collapse.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    span = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", F.to_date("o_orderdate").alias("st"))
+        .agg(F.to_date(F.max("l_shipdate")).alias("en"))
+    )
+    w = span.agg(
+        F.min("st").alias("t0"),
+        F.max("en").alias("t1"),
+        F.count("*").alias("n"),
+        F.sum(F.datediff("en", "st") + 1).alias("busy"),
+    )
+    months = spark.range(0, 200).select(F.col("id").alias("m"))
+    mo = (
+        months.crossJoin(F.broadcast(w))
+        .select(
+            F.add_months(F.date_trunc("month", "t0"), F.col("m").cast("int"))
+            .cast("date")
+            .alias("inst"),
+            "t0",
+            "t1",
+        )
+        .filter((F.col("inst") >= F.col("t0")) & (F.col("inst") <= F.col("t1")))
+        .select("inst")
+    )
+    samp = (
+        span.join(
+            F.broadcast(mo),
+            (F.col("st") <= F.col("inst")) & (F.col("en") >= F.col("inst")),
+        )
+        .groupBy("inst")
+        .agg(F.count("*").alias("cnt"))
+        .agg(F.count("*").alias("n_inst"), F.sum("cnt").alias("open_sum"))
+    )
+    days = F.datediff("t1", "t0") + 1
+    lt = F.col("busy") * F.expr("1e0") / days
+    ls = F.col("open_sum") * F.expr("1e0") / F.col("n_inst")
+    return w.crossJoin(samp).select(
+        F.col("n").cast("long").alias("n_orders"),
+        days.cast("long").alias("window_days"),
+        F.col("n_inst").cast("long").alias("n_samples"),
+        dec(F.col("n") * F.expr("1e0") / days, 4).alias("lambda_per_day"),
+        dec(F.col("busy") * F.expr("1e0") / F.col("n"), 4).alias("w_days"),
+        dec(lt, 4).alias("l_timeavg"),
+        dec(ls, 4).alias("l_sampled"),
+        dec(ls / lt, 4).alias("sampled_over_timeavg"),
+    )

@@ -94,6 +94,9 @@ BOUNDED_FILTER_HINT_OK = {
     "q228_degree_assortativity",  # broadcasts the 1-row node/edge counts
     # broadcasts the 1-row histogram bounds (min, width)
     "q241_histogram_selectivity",
+    "q244_bottleneck_suppliers",  # broadcasts the 1-row multi-order total
+    # broadcasts the 1-row window aggregate + the bounded month-instant list
+    "q245_littles_law",
     # broadcasts the 1-row totals/argmin aggregates over the month collapse
     "q231_structural_break",
     "q232_cohens_kappa",  # broadcasts the 1-row kappa moment aggregate
@@ -317,6 +320,11 @@ NESTED_LOOP_OK = {
     "q222_kcore_decomposition",
     # 1-row bounds attach before the bucket hash agg (cf. q100/q160)
     "q241_histogram_selectivity",
+    # 1-row total attach onto the BOTTLENECK_TOP-row frame
+    "q244_bottleneck_suppliers",
+    # bounded |months| instant grid x interval containment (cf. q79's
+    # spine x bounded key set) + 1-row attaches
+    "q245_littles_law",
     # bounded |days| x ACF_LAGS lag-grid build + 1-row moment attach
     "q223_revenue_acf",
     # bounded |hours| x 13 lag-grid build + 1-row moment attach

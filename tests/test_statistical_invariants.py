@@ -152,3 +152,32 @@ def test_promo_share_bounds(spark, sf_dir):
     for r in rows:
         assert 0 <= r["promo_cents"] <= r["total_cents"]
         assert 0.0 <= r["promo_pct"] <= 100.0
+
+
+def test_bottleneck_blame_bounds(spark, sf_dir):
+    from datapipeline_dags_spark.plans.relational import (
+        q244_bottleneck_suppliers,
+    )
+
+    rows = q244_bottleneck_suppliers(spark, sf_dir).collect()
+    assert rows
+    total_blamed = sum(r["n_blamed"] for r in rows)
+    n_multi = rows[0]["n_multi_supplier_orders"]
+    # each order blames at most one supplier
+    assert total_blamed <= n_multi
+    for r in rows:
+        assert 0 < r["n_blamed"] <= n_multi
+        assert 0.0 < r["blame_rate"] <= 1.0
+
+
+def test_littles_law_identity_and_sampling(spark, sf_dir):
+    """L_timeavg = lambda x W holds as an identity up to the 4dp
+    rounds; the sampled average sits within a factor of 2."""
+    from datapipeline_dags_spark.plans.relational import q245_littles_law
+
+    r = q245_littles_law(spark, sf_dir).collect()[0]
+    assert abs(r["l_timeavg"] - r["lambda_per_day"] * r["w_days"]) < max(
+        0.01 * r["l_timeavg"], 0.02
+    )
+    assert 0.5 < r["sampled_over_timeavg"] < 2.0
+    assert r["n_samples"] > 0
