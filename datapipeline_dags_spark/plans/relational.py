@@ -3075,41 +3075,38 @@ def q241_histogram_selectivity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"(MAX(y) - MIN(y)) div {HIST_BUCKETS}") + 1
         ).alias("w"),
     )
-    h = (
+    # ONE scan: the histogram cells carry the per-predicate exact
+    # counts as filtered aggregates, so every audit row reads only the
+    # checkpointed HIST_BUCKETS-row table.
+    aggs = [
+        F.min(F.expr("mn + ((y - mn) div w) * w")).alias("lo"),
+        F.min(F.expr("mn + ((y - mn) div w + 1) * w")).alias("hi"),
+        F.count("*").alias("n"),
+        F.max("w").alias("w"),
+    ]
+    for i, (_, a, b) in enumerate(HIST_PREDS):
+        a_c, b_c = a * 100, b * 100
+        aggs.append(
+            F.sum(((F.col("y") >= a_c) & (F.col("y") < b_c)).cast("long")).alias(
+                f"ex{i}"
+            )
+        )
+    h = local_checkpoint(
         s.crossJoin(F.broadcast(bounds))
         .groupBy(F.expr("(y - mn) div w").alias("bucket"))
-        .agg(
-            F.min(F.expr("mn + ((y - mn) div w) * w")).alias("lo"),
-            F.min(F.expr("mn + ((y - mn) div w + 1) * w")).alias("hi"),
-            F.count("*").alias("n"),
-            F.max("w").alias("w"),
-        )
+        .agg(*aggs),
+        "q241 histogram cells",
     )
     out = None
-    for lbl, a, b in HIST_PREDS:
+    for i, (lbl, a, b) in enumerate(HIST_PREDS):
         a_c, b_c = a * 100, b * 100
         ov = F.greatest(
             F.lit(0),
             F.least(F.col("hi"), F.lit(b_c)) - F.greatest(F.col("lo"), F.lit(a_c)),
         )
-        # exact side re-derives from the bucket table: buckets are
-        # half-open [lo, hi) intervals of y, so per-bucket exact counts
-        # need the raw rows — carried via a filtered aggregate below.
         row = (
-            s.crossJoin(F.broadcast(bounds))
-            .select(
-                "y",
-                F.expr("(y - mn) div w").alias("bucket"),
-            )
-            .groupBy("bucket")
-            .agg(
-                F.sum(
-                    ((F.col("y") >= a_c) & (F.col("y") < b_c)).cast("long")
-                ).alias("ex")
-            )
-            .join(h, "bucket")
-            .agg(
-                F.sum("ex").cast("long").alias("exact_rows"),
+            h.agg(
+                F.sum(f"ex{i}").cast("long").alias("exact_rows"),
                 F.round(
                     F.sum(F.col("n") * ov) * F.expr("1e0") / F.max("w"), 2
                 ).alias("est_rows"),
