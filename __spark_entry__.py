@@ -173,6 +173,9 @@ _ROTATION_TAIL = [
     "q243_promo_revenue_share",
     "q244_bottleneck_suppliers",
     "q245_littles_law",
+    "q246_disjunctive_revenue",
+    "q247_min_cost_supplier",
+    "q248_mcv_selectivity",
 ]
 
 

