@@ -448,3 +448,20 @@ def test_global_windows_are_allowlisted_bounded(name, spark):
             f"{name}: listed in GLOBAL_WINDOW_BOUNDED but plans no global "
             "window — remove the stale entry"
         )
+
+
+def test_q246_disjunction_residuals_pushed(spark):
+    """Q19's OR-of-conjunctions must leave per-table residuals in the
+    scans: a quantity envelope on lineitem and a brand disjunction on
+    part — the whole point of the disjunctive shape."""
+    import re
+
+    plan = (
+        QUERIES["q246_disjunctive_revenue"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    pushed = re.findall(r"PushedFilters: \[[^\]]*", plan)
+    assert any("l_quantity" in p for p in pushed), pushed
+    assert any("p_brand" in p for p in pushed), pushed
