@@ -176,6 +176,8 @@ _ROTATION_TAIL = [
     "q246_disjunctive_revenue",
     "q247_min_cost_supplier",
     "q248_mcv_selectivity",
+    "q249_idle_high_balance",
+    "q250_edge_churn",
 ]
 
 

@@ -1881,3 +1881,119 @@ def q234_cluster_purity_nmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec(2 * F.col("i") / (F.col("hc") + F.col("hl")), 4).alias("nmi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q250 — co-purchase edge churn between consecutive years
+# ---------------------------------------------------------------------------
+
+
+def _q250_oracle() -> str:
+    return f"""
+    WITH b0 AS (
+      SELECT l.l_orderkey,
+             EXTRACT(year FROM o.o_orderdate) AS yr,
+             (list_sort(list(DISTINCT l.l_partkey)))[1:{TRI_MAX_BASKET}]
+               AS parts
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      GROUP BY 1, 2),
+    b AS (SELECT l_orderkey, yr, unnest(parts) AS pk FROM b0),
+    e AS MATERIALIZED (
+      SELECT x.yr AS yr, x.pk AS a, y.pk AS bb
+      FROM b x JOIN b y
+        ON x.l_orderkey = y.l_orderkey AND x.yr = y.yr AND x.pk < y.pk
+      GROUP BY 1, 2, 3 HAVING COUNT(*) >= {TRI_MIN_SUPPORT}),
+    yrs AS (SELECT DISTINCT yr FROM e),
+    pair AS (
+      SELECT p.yr AS y1, p.yr + 1 AS y2
+      FROM yrs p JOIN yrs q ON q.yr = p.yr + 1),
+    cmp AS (
+      SELECT pr.y1, pr.y2,
+             (SELECT COUNT(*) FROM e WHERE e.yr = pr.y1) AS n_old,
+             (SELECT COUNT(*) FROM e WHERE e.yr = pr.y2) AS n_new,
+             (SELECT COUNT(*) FROM e x JOIN e y
+               ON x.a = y.a AND x.bb = y.bb
+              WHERE x.yr = pr.y1 AND y.yr = pr.y2) AS n_common
+      FROM pair pr)
+    SELECT CAST(y1 AS BIGINT) AS year_from,
+           CAST(y2 AS BIGINT) AS year_to,
+           CAST(n_old AS BIGINT) AS n_edges_from,
+           CAST(n_new AS BIGINT) AS n_edges_to,
+           CAST(n_common AS BIGINT) AS n_common,
+           (ROUND(n_common * 1e0
+                  / GREATEST(n_old + n_new - n_common, 1), 6) + 0.0)
+             AS edge_jaccard
+    FROM cmp
+    """
+
+
+@query("q250_edge_churn", oracle=_q250_oracle())
+def q250_edge_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal graph evolution: the co-purchase edge set rebuilt PER
+    ORDER YEAR, then year-over-year edge Jaccard — how fast the
+    "bought together" structure churns, the drift monitor that decides
+    when q215/q216's mined communities and recommendations are stale
+    and must be refreshed.
+
+    Parity: per-year edges ride the capped-basket explode with the
+    support floor (q199's contract, per year); all counts exact
+    integers; one division per year pair.
+
+    Scale shape: the explode cost is the same Σ C(basket, 2) bound
+    sliced by year; the year-pair comparison is an edge-keyed
+    self-join of the year-tagged edge table (checkpointed once);
+    output is |years|−1 rows.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    baskets = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", F.year("o_orderdate").alias("yr"))
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+    )
+    b = baskets.select(
+        "l_orderkey", "yr", F.explode(F.slice("parts", 1, TRI_MAX_BASKET)).alias("pk")
+    )
+    e = local_checkpoint(
+        b.select("l_orderkey", "yr", F.col("pk").alias("a"))
+        .join(
+            b.select("l_orderkey", "yr", F.col("pk").alias("bb")),
+            ["l_orderkey", "yr"],
+        )
+        .filter(F.col("a") < F.col("bb"))
+        .groupBy("yr", "a", "bb")
+        .agg(F.count("*").alias("s"))
+        .filter(F.col("s") >= TRI_MIN_SUPPORT)
+        .select("yr", "a", "bb"),
+        "q250 yearly edges",
+    )
+    cnt = e.groupBy("yr").agg(F.count("*").alias("n"))
+    old = e.select(F.col("yr").alias("y1"), "a", "bb")
+    new = e.select((F.col("yr") - 1).alias("y1"), "a", "bb")
+    common = (
+        old.join(new, ["y1", "a", "bb"])
+        .groupBy("y1")
+        .agg(F.count("*").alias("n_common"))
+    )
+    co = cnt.select(F.col("yr").alias("y1"), F.col("n").alias("n_old"))
+    cn = cnt.select((F.col("yr") - 1).alias("y1"), F.col("n").alias("n_new"))
+    return (
+        co.join(cn, "y1")
+        .join(common, "y1", "left")
+        .select(
+            F.col("y1").cast("long").alias("year_from"),
+            (F.col("y1") + 1).cast("long").alias("year_to"),
+            F.col("n_old").cast("long").alias("n_edges_from"),
+            F.col("n_new").cast("long").alias("n_edges_to"),
+            F.coalesce("n_common", F.lit(0)).cast("long").alias("n_common"),
+            dec(
+                F.coalesce("n_common", F.lit(0))
+                * F.expr("1e0")
+                / F.greatest(
+                    F.col("n_old") + F.col("n_new") - F.coalesce("n_common", F.lit(0)),
+                    F.lit(1),
+                ),
+                6,
+            ).alias("edge_jaccard"),
+        )
+    )

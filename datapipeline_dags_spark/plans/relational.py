@@ -3777,3 +3777,89 @@ def q248_mcv_selectivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# q249 — idle high-balance customers by nation (TPC-H Q22 shape)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q249_idle_high_balance",
+    oracle="""
+    WITH thr AS (
+      SELECT CAST(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT))
+                  // COUNT(*) AS BIGINT) AS avg_cents
+      FROM customer WHERE c_acctbal > 0.0),
+    anchor AS (
+      SELECT CAST(MAX(o_orderdate) AS DATE) - INTERVAL 365 DAY AS cutoff
+      FROM orders),
+    idle AS (
+      SELECT c.c_nationkey,
+             CAST(FLOOR(c.c_acctbal * 100 + 0.5) AS BIGINT) AS bal
+      FROM customer c CROSS JOIN thr CROSS JOIN anchor
+      WHERE CAST(FLOOR(c.c_acctbal * 100 + 0.5) AS BIGINT) > thr.avg_cents
+        AND NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND CAST(o.o_orderdate AS DATE) >= anchor.cutoff))
+    SELECT n.n_name AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(i.bal) AS BIGINT) AS total_balance_cents
+    FROM idle i JOIN nation n ON n.n_nationkey = i.c_nationkey
+    GROUP BY 1
+    """,
+)
+def q249_idle_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22's lost-opportunity shape: customers whose balance
+    beats the positive-balance average yet who placed NO order in the
+    dataset's final year (every fixture customer has SOME order, so
+    "lapsed" is the non-degenerate reading), counted and summed by
+    nation — the scalar-threshold subquery + anti-join combination
+    (no phone column, so the country grouping comes from the nation
+    dim).  Reference test-query family; composes the q22
+    scalar-subquery and q07 anti-join surfaces into Q22's exact
+    shape.
+
+    Parity: balances in integer cents, the threshold a floor-div mean,
+    pure integer counting after the anti join.
+
+    Scale shape: two 1-row broadcasts (threshold, recency cutoff);
+    the anti join's right side is the cutoff-filtered order keys;
+    |nations|-row output via broadcast dim join.
+    """
+    customer = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    nation = table(spark, sf_dir, "nation")
+    bal = F.expr("CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)")
+    thr = (
+        customer.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT))"
+                " div COUNT(*) AS BIGINT)"
+            ).alias("avg_cents")
+        )
+    )
+    anchor = orders.agg(
+        F.date_sub(F.to_date(F.max("o_orderdate")), 365).alias("cutoff")
+    )
+    recent = (
+        orders.select("o_custkey", F.to_date("o_orderdate").alias("od"))
+        .crossJoin(F.broadcast(anchor))
+        .filter(F.col("od") >= F.col("cutoff"))
+        .select("o_custkey")
+    )
+    idle = (
+        customer.select("c_custkey", "c_nationkey", bal.alias("bal"))
+        .crossJoin(F.broadcast(thr))
+        .filter(F.col("bal") > F.col("avg_cents"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "anti")
+    )
+    return (
+        idle.join(nation, idle.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.sum("bal").cast("long").alias("total_balance_cents"),
+        )
+    )

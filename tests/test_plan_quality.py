@@ -95,6 +95,8 @@ BOUNDED_FILTER_HINT_OK = {
     # broadcasts the 1-row histogram bounds (min, width)
     "q241_histogram_selectivity",
     "q244_bottleneck_suppliers",  # broadcasts the 1-row multi-order total
+    # broadcasts the 1-row balance-threshold aggregate (Q22's scalar)
+    "q249_idle_high_balance",
     # broadcasts the 1-row window aggregate + the bounded month-instant list
     "q245_littles_law",
     # broadcasts the 1-row totals/argmin aggregates over the month collapse
@@ -325,6 +327,8 @@ NESTED_LOOP_OK = {
     # 1-row exact-count attach onto the 1-row estimate frame (both from
     # the checkpointed bounded value-stats collapse)
     "q248_mcv_selectivity",
+    # 1-row threshold attach into the customer scan (Q22's scalar)
+    "q249_idle_high_balance",
     # bounded |months| instant grid x interval containment (cf. q79's
     # spine x bounded key set) + 1-row attaches
     "q245_littles_law",

@@ -238,3 +238,48 @@ def test_mcv_exact_on_mcv_values(spark, sf_dir):
             (r["est_rows"] - r["exact_rows"]) / max(r["exact_rows"], 1), 4
         )
         assert abs(got - r["rel_error"]) < 1e-9
+
+
+def test_idle_high_balance_really_idle(spark, sf_dir):
+    """Total lapsed-rich customers must equal a direct recompute:
+    above-average positive balance AND no order in the final year."""
+    import datetime as _dt
+
+    from datapipeline_dags_spark.catalog import table as _t
+    from datapipeline_dags_spark.plans.relational import q249_idle_high_balance
+    import pyspark.sql.functions as F
+
+    rows = q249_idle_high_balance(spark, sf_dir).collect()
+    got = sum(r["n_customers"] for r in rows)
+    assert got > 0, "q249 degenerate: no lapsed high-balance customers"
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    pos = c.filter(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.expr("CAST(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT))"
+                   " div COUNT(*) AS BIGINT)")
+        ).alias("t")
+    ).collect()[0]["t"]
+    cutoff = o.agg(
+        F.date_sub(F.to_date(F.max("o_orderdate")), 365).alias("c")
+    ).collect()[0]["c"]
+    recent = o.filter(F.to_date("o_orderdate") >= F.lit(cutoff)).select(
+        "o_custkey"
+    )
+    want = (
+        c.filter(F.expr("CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)") > pos)
+        .join(recent, c.c_custkey == recent.o_custkey, "anti")
+        .count()
+    )
+    assert got == want
+
+
+def test_edge_churn_bounds(spark, sf_dir):
+    from datapipeline_dags_spark.plans.mining import q250_edge_churn
+
+    rows = q250_edge_churn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["year_to"] == r["year_from"] + 1
+        assert 0 <= r["n_common"] <= min(r["n_edges_from"], r["n_edges_to"])
+        assert 0.0 <= r["edge_jaccard"] <= 1.0
