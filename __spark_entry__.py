@@ -178,6 +178,8 @@ _ROTATION_TAIL = [
     "q248_mcv_selectivity",
     "q249_idle_high_balance",
     "q250_edge_churn",
+    "q251_session_threshold_sweep",
+    "q252_dedup_threshold_sweep",
 ]
 
 

@@ -2183,3 +2183,88 @@ def q239_ccf_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lag_hours")
     )
+
+
+# ---------------------------------------------------------------------------
+# q251 — sessionization inactivity-threshold sensitivity sweep
+# ---------------------------------------------------------------------------
+
+SESS_SWEEP_MINUTES = (5, 15, 30, 60, 120)
+
+
+def _q251_oracle() -> str:
+    rows = []
+    for m in SESS_SWEEP_MINUTES:
+        us = m * 60 * 1000000
+        rows.append(f"""
+    SELECT CAST({m} AS BIGINT) AS threshold_minutes,
+           CAST(MAX(n_users) + SUM(CASE WHEN gap_us > {us} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_sessions,
+           (ROUND(MAX(n_events) * 1e0
+                  / (MAX(n_users) + SUM(CASE WHEN gap_us > {us}
+                                        THEN 1 ELSE 0 END)), 4) + 0.0)
+             AS avg_events_per_session
+    FROM g""")
+    return f"""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS t,
+             LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS pt
+      FROM events),
+    g AS MATERIALIZED (
+      SELECT COALESCE(t - pt, NULL) AS gap_us,
+             (SELECT COUNT(DISTINCT user_id) FROM events) AS n_users,
+             (SELECT COUNT(*) FROM events) AS n_events
+      FROM e)
+    {' UNION ALL '.join(rows)}
+    """
+
+
+@query("q251_session_threshold_sweep", oracle=_q251_oracle())
+def q251_session_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inactivity-threshold sensitivity of sessionization: for τ ∈
+    {SESS_SWEEP_MINUTES} minutes, the session count is
+    |users| + |gaps > τ| — computed for ALL thresholds from ONE gap
+    pass, so the analyst reads the knee of the curve and picks the τ
+    that q24 / ST12 should run with, instead of inheriting a folk
+    constant.
+
+    Parity: gaps in integer epoch-microseconds (the repo's
+    date_diff-truncation rule), session counts are pure integer sums;
+    one division per row.
+
+    Scale shape: ONE user-partitioned LAG window over (user, ts), then
+    a single aggregate whose per-threshold counts are filtered sums —
+    the sweep costs exactly one sessionization, not five.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    e = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("t"),
+        F.lag(F.unix_micros("ts")).over(w).alias("pt"),
+    )
+    aggs = [
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    ]
+    for m in SESS_SWEEP_MINUTES:
+        us = m * 60 * 1000000
+        aggs.append(
+            F.sum(((F.col("t") - F.col("pt")) > us).cast("long")).alias(
+                f"brk{m}"
+            )
+        )
+    g = e.agg(*aggs)
+    out = None
+    for m in SESS_SWEEP_MINUTES:
+        ns = F.col("n_users") + F.col(f"brk{m}")
+        row = g.select(
+            F.lit(m).cast("long").alias("threshold_minutes"),
+            ns.cast("long").alias("n_sessions"),
+            dec(F.col("n_events") * F.expr("1e0") / ns, 4).alias(
+                "avg_events_per_session"
+            ),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out

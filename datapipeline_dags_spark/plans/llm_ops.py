@@ -8812,3 +8812,112 @@ def q236_mmr_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("rel_cos") + F.lit(0.0)).alias("rel_cos"),
         (F.round(F.col("mmr_score"), 4) + F.lit(0.0)).alias("mmr_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q252 — near-dup Jaccard-threshold sensitivity sweep
+# ---------------------------------------------------------------------------
+
+DEDUP_SWEEP_T = (0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
+
+
+def _q252_oracle() -> str:
+    rows = []
+    for t in DEDUP_SWEEP_T:
+        rows.append(f"""
+    SELECT {t} + 0.0 AS threshold,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM pj WHERE j6 >= {t})
+             AS n_pairs,
+           (SELECT CAST(COUNT(DISTINCT d) AS BIGINT) FROM
+             (SELECT doc_a AS d FROM pj WHERE j6 >= {t}
+              UNION ALL SELECT doc_b FROM pj WHERE j6 >= {t}) z)
+             AS n_docs_affected""")
+    return f"""
+    WITH docs AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents),
+    ex AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+    sizes AS (SELECT doc_id, len(sh) AS n FROM docs),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pj AS MATERIALIZED (
+      SELECT doc_a, doc_b,
+             ROUND(i * 1.0 / (sa.n + sb.n - i), 6) AS j6
+      FROM inter
+      JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id)
+    {' UNION ALL '.join(rows)}
+    """
+
+
+@query("q252_dedup_threshold_sweep", oracle=_q252_oracle())
+def q252_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard-threshold sensitivity of near-dup detection: candidate
+    pairs and affected documents at every threshold in
+    {DEDUP_SWEEP_T}, from ONE exact pair computation (q43's
+    shared-shingle blocking) — the calibration curve that decides what
+    q41's LSH banding should target before anyone deletes documents
+    (too low = collateral damage, too high = residual duplication;
+    q135 calibrates the SKETCH against exact Jaccard, this calibrates
+    the THRESHOLD against corpus impact).
+
+    Parity: intersections and sizes are integers; the 6-dp-rounded
+    Jaccard makes every threshold comparison engine-agreed (the q63
+    rounded-cut rule); counts are integers.
+
+    Scale shape: one q43-style blocked pair build (checkpointed),
+    then each sweep row is a filtered count over the bounded pair
+    table — seven thresholds for the price of one dedup pass.
+    """
+    docs = _fanout(spark, table(spark, sf_dir, "documents")).select(
+        "doc_id", _shingles(F.col("text")).alias("sh")
+    )
+    ex = docs.select("doc_id", F.explode("sh").alias("s"))
+    sizes = docs.select("doc_id", F.size("sh").alias("n"))
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("i"))
+    )
+    pj = local_checkpoint(
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), 6
+            ).alias("j6"),
+        ),
+        "q252 exact pair jaccards",
+    )
+    out = None
+    for t in DEDUP_SWEEP_T:
+        hit = pj.filter(F.col("j6") >= t)
+        n_pairs = hit.agg(F.count("*").cast("long").alias("n_pairs"))
+        n_docs = (
+            hit.select(F.col("doc_a").alias("d"))
+            .unionAll(hit.select(F.col("doc_b").alias("d")))
+            .agg(F.countDistinct("d").cast("long").alias("n_docs_affected"))
+        )
+        row = (
+            n_pairs.crossJoin(F.broadcast(n_docs))
+            .select(
+                (F.lit(t) + F.lit(0.0)).alias("threshold"),
+                "n_pairs",
+                "n_docs_affected",
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out

@@ -329,6 +329,9 @@ NESTED_LOOP_OK = {
     "q248_mcv_selectivity",
     # 1-row threshold attach into the customer scan (Q22's scalar)
     "q249_idle_high_balance",
+    # per-threshold 1-row (pairs x docs-affected) attaches over the
+    # checkpointed bounded pair table
+    "q252_dedup_threshold_sweep",
     # bounded |months| instant grid x interval containment (cf. q79's
     # spine x bounded key set) + 1-row attaches
     "q245_littles_law",

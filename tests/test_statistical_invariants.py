@@ -283,3 +283,37 @@ def test_edge_churn_bounds(spark, sf_dir):
         assert r["year_to"] == r["year_from"] + 1
         assert 0 <= r["n_common"] <= min(r["n_edges_from"], r["n_edges_to"])
         assert 0.0 <= r["edge_jaccard"] <= 1.0
+
+
+def test_session_sweep_monotone(spark, sf_dir):
+    """A larger inactivity threshold can only MERGE sessions, so the
+    session count is non-increasing along the sweep."""
+    from datapipeline_dags_spark.plans.event_time import (
+        q251_session_threshold_sweep,
+    )
+
+    rows = sorted(
+        q251_session_threshold_sweep(spark, sf_dir).collect(),
+        key=lambda r: r["threshold_minutes"],
+    )
+    ns = [r["n_sessions"] for r in rows]
+    assert ns == sorted(ns, reverse=True)
+    assert all(r["avg_events_per_session"] >= 1.0 for r in rows)
+
+
+def test_dedup_sweep_monotone(spark, sf_dir):
+    """A higher Jaccard threshold can only shrink the pair set and the
+    affected-doc set."""
+    from datapipeline_dags_spark.plans.llm_ops import (
+        q252_dedup_threshold_sweep,
+    )
+
+    rows = sorted(
+        q252_dedup_threshold_sweep(spark, sf_dir).collect(),
+        key=lambda r: r["threshold"],
+    )
+    pairs = [r["n_pairs"] for r in rows]
+    docs = [r["n_docs_affected"] for r in rows]
+    assert pairs == sorted(pairs, reverse=True)
+    assert docs == sorted(docs, reverse=True)
+    assert all(d <= 2 * p for p, d in zip(pairs, docs) if p)
