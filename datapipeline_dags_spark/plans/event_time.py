@@ -14,6 +14,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from datapipeline_dags_spark.catalog import table
+from datapipeline_dags_spark.checkpoint import local_checkpoint
 from datapipeline_dags_spark.plans.helpers import (
     cached_count,
     dec,
@@ -2255,7 +2256,9 @@ def q251_session_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"brk{m}"
             )
         )
-    g = e.agg(*aggs)
+    # one gap pass total: the 1-row moment aggregate is checkpointed,
+    # so each sweep row reads it instead of re-running the window.
+    g = local_checkpoint(e.agg(*aggs), "q251 gap moments")
     out = None
     for m in SESS_SWEEP_MINUTES:
         ns = F.col("n_users") + F.col(f"brk{m}")
