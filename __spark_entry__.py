@@ -25,102 +25,30 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Driver-gate rotation (VERDICT r5 ask #1): the driver samples the
-# FIRST 50 entries of ``queries()`` (confirmed by CORRECTNESS_r04/r05
-# matching head positions exactly).  After r1-r5 the union of
-# driver-checked queries is 133 of 193; 60 have never had a driver
-# CORRECTNESS row:
+# FIRST 50 entries of ``queries()`` (confirmed by CORRECTNESS_r04/r05/
+# r06 matching head positions exactly).  After r1-r6 the union of
+# driver-checked queries is 183 of 252; 69 have never had a driver
+# CORRECTNESS row: q34-q39, q67, q82, q83, q92, q194-q252.
 #
-#   * ``_ROTATION_HEAD`` (positions 0-49) — 50 of the 60, ordered:
-#     the two whose implementations changed this round first (q186
-#     distributed-percentile narrowing, q192 edge-based decile auto
-#     mode), then the r5 analytics layer (q175-q193, no driver row
-#     anywhere), then the remaining older never-checked queries ranked
-#     by plan complexity.
-#   * ``_ROTATION_TAIL`` (positions -N..-1) — the other 10
-#     never-checked queries (scalar codec / bounded-domain families
-#     with heavy pytest coverage, judge-green at sf0.01) + hedge
-#     refreshers for already-green queries whose implementations
-#     changed this round (dHash bucket chunking, blocking-machinery
-#     move, exact-audit narrowing), in case the sampling end flips.
+#   * ``_ROTATION_HEAD`` (positions 0-49) — 50 of the 69: q214 first
+#     (its negative-pick implementation changed this round, so it
+#     needs a fresh row anyway), then q194-q243 in numeric order.
+#   * ``_ROTATION_TAIL`` (positions -N..-1) — the other 19
+#     never-checked queries (q244-q252 plus the scalar-codec /
+#     bounded-domain ten: q34-q39 q67 q82 q83 q92 — judge-green,
+#     heavy pytest coverage) + hedge refreshers for already-green
+#     queries whose implementations changed this round (q43 hot-
+#     shingle cap, q186 pass-count trim, q91/q174/q205 min_hash_bits
+#     auto floor), in case the sampling end flips.  All 19 sit inside
+#     the final 50 positions, so either sampling end adds coverage.
 #
-# Round 7 rotates the head to whatever is least-recently-checked;
+# Round 8 rotates the head to whatever is least-recently-checked;
 # README.md "Driver correctness coverage" tracks the union per round.
 _ROTATION_HEAD = [
-    # changed this round — need fresh driver rows:
-    "q186_distributed_exact_percentile",
-    "q192_decile_lift",
-    # r5 analytics layer — never driver-checked anywhere:
-    "q175_kaplan_meier",
-    "q176_cusum_changepoint",
-    "q177_calibration_ece",
-    "q178_pq_reconstruction",
-    "q179_itemset_triples",
-    "q180_gini_concentration",
-    "q181_duplicate_baskets",
-    "q182_order_backlog",
-    "q183_part_pagerank",
-    "q184_order_aging",
-    "q185_label_silhouette",
-    "q187_window_funnel",
-    "q188_split_shipments",
-    "q189_discount_elasticity",
-    "q190_weekday_chisq",
-    "q191_supplier_sla",
-    "q193_cohort_ltv",
-    # older never-checked, riskiest multi-stage plans first:
-    "q90_ann_recall",
-    "q153_rrf_fusion",
-    "q95_eval_decontamination",
-    "q152_kgram_redundancy",
-    "q121_bigram_lm_score",
-    "q93_duplicate_spans",
-    "q94_pii_redaction",
-    "q145_multitouch_attribution",
-    "q149_session_paths",
-    "q151_key_skew_diagnosis",
-    "q160_zorder_layout",
-    "q161_incremental_rollup",
-    "q162_rolling_active_users",
-    "q163_seasonal_anomalies",
-    "q146_pareto_frontier",
-    "q148_train_val_test_split",
-    "q155_bootstrap_ci",
-    "q156_score_auc",
-    "q158_token_weighted_median",
-    "q166_ensemble_score_blend",
-    "q172_cluster_size_distribution",
-    "q150_value_trend",
-    "q171_wow_growth",
-    "q157_nation_year_margin",
-    "q164_abc_brands",
-    "q169_benford_audit",
-    "q170_total_reconciliation",
-    "q168_json_props_profile",
-    "q89_dq_checks",
-    "q32_right_outer_unused_parts",
-    "q33_full_outer_yearly_spend",
-]
-
-_ROTATION_TAIL = [
-    # the remaining 10 never-driver-checked queries (scalar codecs,
-    # bounded-domain aggregates — judge-green, heavy pytest coverage;
-    # head slots went to the riskier plans):
-    "q34_cross_join_status_grid",
-    "q35_dense_rank_lead",
-    "q36_approx_count_distinct",
-    "q37_map_funcs",
-    "q38_json_codec",
-    "q39_extended_json_codec",
-    "q67_binary_codec",
-    "q82_value_histogram",
-    "q83_stats_aggregates",
-    "q92_set_ops_keys",
-    # brand-new r6 queries (no driver row anywhere yet; rotate into
-    # the head at r7 with the rest of the never-checked residue).
-    # The r6-changed hedge refreshers (q91 q174 q41 q42 q154 q141)
-    # were dropped from the tail once q194+ outgrew it: every tail
-    # slot spent on an already-green query would push a never-checked
-    # one outside both sampling windows.
+    # changed this round — needs a fresh driver row:
+    "q214_triplet_mining",
+    # r6 analytics/graph/attribution/statistics layer — never
+    # driver-checked anywhere:
     "q194_mann_whitney_latency",
     "q195_token_yield_curve",
     "q196_sample_allocation",
@@ -141,7 +69,6 @@ _ROTATION_TAIL = [
     "q211_holt_forecast",
     "q212_isotonic_calibration",
     "q213_target_encoding",
-    "q214_triplet_mining",
     "q215_label_propagation",
     "q216_item_item_cf",
     "q217_ipf_raking",
@@ -171,6 +98,18 @@ _ROTATION_TAIL = [
     "q241_histogram_selectivity",
     "q242_market_share",
     "q243_promo_revenue_share",
+]
+
+_ROTATION_TAIL = [
+    # hedge refreshers — already driver-green but changed this round;
+    # placed at the far end of the tail window so the 19 never-checked
+    # below stay inside the final 50 positions either way:
+    "q43_ngram_jaccard",
+    "q91_image_phash_neardup",
+    "q174_video_dhash_neardup",
+    "q141_ship_latency_percentiles",
+    "q186_distributed_exact_percentile",
+    # the remaining 19 never-driver-checked queries:
     "q244_bottleneck_suppliers",
     "q245_littles_law",
     "q246_disjunctive_revenue",
@@ -180,6 +119,16 @@ _ROTATION_TAIL = [
     "q250_edge_churn",
     "q251_session_threshold_sweep",
     "q252_dedup_threshold_sweep",
+    "q34_cross_join_status_grid",
+    "q35_dense_rank_lead",
+    "q36_approx_count_distinct",
+    "q37_map_funcs",
+    "q38_json_codec",
+    "q39_extended_json_codec",
+    "q67_binary_codec",
+    "q82_value_histogram",
+    "q83_stats_aggregates",
+    "q92_set_ops_keys",
 ]
 
 
