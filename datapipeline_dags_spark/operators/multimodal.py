@@ -274,6 +274,39 @@ def byte_histogram_features(df: DataFrame, content_col: str = "content") -> Data
 DHASH_W, DHASH_H = 9, 8  # 9x8 downsample -> 8 comparisons x 8 rows = 64 bits
 DHASH_BANDS = 4  # 4 bands x 16 bits for candidate blocking
 
+#: ``min_hash_bits='auto'`` switch point (VERDICT r6 ask #2): at or
+#: below this many corpus rows the density floor stays OFF (the
+#: oracle-parity path — the driver gate at sf0.01 / 5k docs and every
+#: pytest fixture sit under it); above it, near-empty media's <= 72
+#: low-information dHash classes dominate candidate generation
+#: (SCALING.md measured q174 at ~100x pairs / 31.6x wall at 10x from
+#: exactly these classes), so auto resolves to the floor.  Same
+#: registered-default-is-the-scale-safe-path discipline as
+#: ``exact_audit`` / ``cc_backend`` / ``encode_backend``.
+DHASH_MIN_BITS_AUTO_ROWS = 20_000
+DHASH_MIN_BITS_FLOOR = 4
+
+
+def resolve_min_hash_bits(mode, corpus_size_fn=None):
+    """Resolve a ``min_hash_bits`` knob to an int floor or None (off).
+
+    ``'auto'`` → OFF at or below ``DHASH_MIN_BITS_AUTO_ROWS`` corpus
+    rows (and whenever no ``corpus_size_fn`` is supplied — a bare
+    operator call can't pay a count job it wasn't offered), else
+    ``DHASH_MIN_BITS_FLOOR``.  ``corpus_size_fn`` is called only in
+    auto mode so pinned modes never pay the count."""
+    if mode == "auto":
+        if corpus_size_fn is None:
+            return None
+        return (
+            DHASH_MIN_BITS_FLOOR
+            if corpus_size_fn() > DHASH_MIN_BITS_AUTO_ROWS
+            else None
+        )
+    if mode is None or isinstance(mode, int):
+        return mode
+    raise ValueError(f"min_hash_bits must be 'auto', an int, or None: {mode!r}")
+
 DHASH_SCHEMA = StructType(
     [StructField("id", LongType()), StructField("dhash", LongType())]
 )
@@ -343,7 +376,8 @@ def dhash_near_dup(
     hamming_t: int = 4,
     name: str = "dhash_near_dup",
     skip_zero_hash: bool = True,
-    min_hash_bits: int | None = None,
+    min_hash_bits: int | str | None = "auto",
+    corpus_size_fn=None,
 ) -> DataFrame:
     """Near-duplicate image pairs from (id, dhash) rows: q41's banded
     blocking applied to the 64-bit perceptual hash — 4 x 16-bit band
@@ -376,16 +410,21 @@ def dhash_near_dup(
     hashes with at least that many set bits enter candidate
     generation.  NEAR-empty media (a single surviving gradient cell)
     collapses into ≤ 72 low-information dHash classes that stay
-    output-quadratic even after the zero skip (SCALING.md's x10 rows);
-    a floor of e.g. 4 bits excludes them.  Off (None) by default — it
-    trades recall on genuinely sparse-but-real media and is NOT
-    mirrored in the registered oracles.
+    output-quadratic even after the zero skip (SCALING.md's x10 rows).
+    Default ``'auto'`` (VERDICT r6 ask #2): OFF at fixture scale so
+    the registered oracles stay hash-checkable, a floor of
+    {DHASH_MIN_BITS_FLOOR} set bits past {DHASH_MIN_BITS_AUTO_ROWS}
+    corpus rows (``corpus_size_fn``, one cached control-plane count —
+    the exact_audit/cc_backend auto-select pattern).  The floor trades
+    recall on genuinely sparse-but-real media and is NOT mirrored in
+    the registered oracles; callers pin an int or None to override.
     """
+    floor = resolve_min_hash_bits(min_hash_bits, corpus_size_fn)
     bands = hashes.select(
         "id", "dhash", F.posexplode(dhash_band_keys()).alias("band", "key")
     )
-    if min_hash_bits is not None:
-        bands = bands.filter(F.bit_count("dhash") >= min_hash_bits)
+    if floor is not None:
+        bands = bands.filter(F.bit_count("dhash") >= floor)
     elif skip_zero_hash:
         bands = bands.filter(F.col("dhash") != 0)
     # struct sorts by leading field, so chunk member order == id order

@@ -61,10 +61,22 @@ from datapipeline_dags_spark.operators.multimodal import (
     dhash_images,
     dhash_near_dup,
     encode_img1,
+    resolve_min_hash_bits,
     sample_frames,
 )
+from datapipeline_dags_spark.plans.helpers import cached_count
 from datapipeline_dags_spark.plans.llm_ops import _SHINGLES_SQL, SHINGLE_K, _fanout
 from datapipeline_dags_spark.plans.registry import query
+
+
+def _doc_corpus_size_fn(spark: SparkSession, sf_dir: str):
+    """corpus_size_fn for the three media near-dup queries: all three
+    render one media item per ``documents`` row, so the cached document
+    count is the auto ``min_hash_bits`` gate input (one control-plane
+    count per session, never a re-render of the media column)."""
+    return lambda: cached_count(
+        table(spark, sf_dir, "documents"), f"{sf_dir}/documents"
+    )
 
 IMG_SIDE = 32
 N_PIXEL_HASHES = 4  # pixels lit per shingle
@@ -377,7 +389,16 @@ def q174_video_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("id") % VID_FRAMES).cast("int").alias("f"),
         "dhash",
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    bands = hashes.filter(F.col("dhash") != 0).select(
+    # same auto density floor as dhash_near_dup (near-blank frames are
+    # the measured output-quadratic class — SCALING.md q174 x10 row);
+    # OFF at fixture scale so the oracle stays hash-checkable
+    floor = resolve_min_hash_bits("auto", _doc_corpus_size_fn(spark, sf_dir))
+    dense = (
+        F.bit_count("dhash") >= floor
+        if floor is not None
+        else F.col("dhash") != 0
+    )
+    bands = hashes.filter(dense).select(
         "doc_id", "f", F.posexplode(dhash_band_keys()).alias("band", "key")
     )
     bucketed = (
@@ -432,6 +453,7 @@ def q91_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         dhash_images(render_doc_images(spark, sf_dir)),
         hamming_t=HAMMING_T,
         name="q91_image_phash_neardup",
+        corpus_size_fn=_doc_corpus_size_fn(spark, sf_dir),
     )
 
 
@@ -574,4 +596,5 @@ def q205_audio_energy_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         fps.select("id", F.col("fp").alias("dhash")),
         hamming_t=AUD_HAMMING_T,
         name="q205_audio_energy_neardup",
+        corpus_size_fn=_doc_corpus_size_fn(spark, sf_dir),
     )

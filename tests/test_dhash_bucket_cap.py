@@ -15,10 +15,13 @@ import itertools
 import pytest
 
 from datapipeline_dags_spark.operators import blocking
+from datapipeline_dags_spark.operators import multimodal as mm
 from datapipeline_dags_spark.operators.multimodal import (
+    DHASH_MIN_BITS_FLOOR,
     dhash_images,
     dhash_near_dup,
     encode_img1,
+    resolve_min_hash_bits,
 )
 from datapipeline_dags_spark.plans import multimodal_queries as mq
 
@@ -152,3 +155,77 @@ def test_min_hash_bits_density_floor(spark):
     # default keeps the speck class (its hash is nonzero)
     default = {(r.id_a, r.id_b) for r in dhash_near_dup(dhash_images(df), name="t_def").collect()}
     assert (1, 2) in default and (10, 11) in default
+
+
+def test_resolve_min_hash_bits_modes():
+    """'auto' keys on the corpus count (the exact_audit/cc_backend
+    pattern); pinned modes never call the count fn."""
+    big = mm.DHASH_MIN_BITS_AUTO_ROWS + 1
+    small = mm.DHASH_MIN_BITS_AUTO_ROWS
+    assert resolve_min_hash_bits("auto", lambda: small) is None
+    assert resolve_min_hash_bits("auto", lambda: big) == DHASH_MIN_BITS_FLOOR
+    assert resolve_min_hash_bits("auto", None) is None  # bare operator call
+    def boom():
+        raise AssertionError("pinned mode paid the count job")
+    assert resolve_min_hash_bits(None, boom) is None
+    assert resolve_min_hash_bits(7, boom) == 7
+    with pytest.raises(ValueError):
+        resolve_min_hash_bits("always", boom)
+
+
+def test_min_hash_bits_auto_switch_equality(spark):
+    """The auto knob IS the two pinned modes at the two gate outcomes:
+    below the row threshold auto == default (floor off, oracle-parity
+    path — the driver-gate regime); above it auto == the explicit
+    min_hash_bits floor (near-empty classes excluded).  Same equality
+    discipline as test_exact_audit_gate / the cc_backend switch."""
+    speck = encode_img1(9, 8, bytes([0, 200] + [0] * 70))
+    rich = encode_img1(
+        9, 8, bytes([(x * 37 + y * 11) % 251 for y in range(8) for x in range(9)])
+    )
+    rows = [(i, speck) for i in range(1, 5)] + [(10, rich), (11, rich)]
+    df = spark.createDataFrame(rows, "id long, content binary")
+
+    def run(name, **kw):
+        return {
+            (r.id_a, r.id_b, r.hamming)
+            for r in dhash_near_dup(dhash_images(df), name=name, **kw).collect()
+        }
+
+    n = mm.DHASH_MIN_BITS_AUTO_ROWS
+    below = run("t_auto_lo", min_hash_bits="auto", corpus_size_fn=lambda: n)
+    assert below == run("t_off", min_hash_bits=None)
+    assert {(1, 2), (10, 11)} <= {(a, b) for a, b, _ in below}
+    above = run("t_auto_hi", min_hash_bits="auto", corpus_size_fn=lambda: n + 1)
+    assert above == run("t_floor", min_hash_bits=DHASH_MIN_BITS_FLOOR)
+    assert {(a, b) for a, b, _ in above} == {(10, 11)}
+
+
+def test_q174_inline_floor_keeps_dense_frames(spark, tmp_path, monkeypatch):
+    """q174 resolves the same auto floor inline (its banding is
+    per-frame, not dhash_near_dup): with the gate forced ON, dense
+    rendered frames (long texts -> ~20 set bits per frame) still pair
+    up, while the near-empty frames of short texts (<= 1 set bit — the
+    output-quadratic class) are shed from candidate generation."""
+    long_text = " ".join(f"w{i}token{i * 7 % 13}" for i in range(120))
+    short_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, long_text, "en", "syn", len(long_text)) for i in range(1, 7)]
+    rows += [(i, short_text, "en", "syn", len(short_text)) for i in range(20, 26)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = str(tmp_path / "sf_dense")
+    df.coalesce(1).write.parquet(out + "/documents.parquet")
+    baseline = {
+        (r.id_a, r.id_b)
+        for r in mq.q174_video_dhash_neardup(spark, out).collect()
+    }
+    assert baseline >= set(itertools.combinations(range(1, 7), 2))
+    assert baseline >= set(itertools.combinations(range(20, 26), 2))
+    monkeypatch.setattr(mm, "DHASH_MIN_BITS_AUTO_ROWS", 1)
+    floored = {
+        (r.id_a, r.id_b)
+        for r in mq.q174_video_dhash_neardup(spark, out).collect()
+    }
+    assert floored >= set(itertools.combinations(range(1, 7), 2))
+    assert not floored & set(itertools.combinations(range(20, 26), 2))
