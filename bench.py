@@ -95,6 +95,11 @@ HEADLINE = [
     "q221_bradley_terry",
     "q222_kcore_decomposition",
     "q225_greedy_set_cover",
+    # round-7 additions (VERDICT r6 ask #8): the widest unbenched r6
+    # plans — the 29-shuffle purity/NMI audit over the k-means
+    # assignment and the single-pass dedup threshold sweep
+    "q234_cluster_purity_nmi",
+    "q252_dedup_threshold_sweep",
 ]
 
 REPS = 3

@@ -6,6 +6,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from datapipeline_dags_spark.catalog import table
+from datapipeline_dags_spark.operators import blocking
 from datapipeline_dags_spark.plans.llm_ops import (
     JACCARD_T,
     _fanout,
@@ -84,3 +85,35 @@ def test_q144_prefix_shrinks_candidates(spark):
     )
     assert q144_cands < q43_cands
     assert q144_cands > 0
+
+
+def test_q43_hot_posting_chunking_lossless(spark, tmp_path, monkeypatch):
+    """One boilerplate shingle shared by every doc — the crawl-data
+    regime that made q43's raw postings self-join the scale-killer
+    (VERDICT r6 ask #3).  Chunk-distributing the hot posting list must
+    be output-IDENTICAL to the uncapped run (zero recall loss, exact
+    intersection counts preserved across chunk boundaries) and fire
+    the observable fan-out counters."""
+    boiler = "terms of service apply to all content on this site"
+    rows = [
+        (
+            i,
+            f"{boiler} document number {i} carries its own distinct tail words",
+            "en",
+            "syn",
+            80,
+        )
+        for i in range(1, 25)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = str(tmp_path / "sf_boiler")
+    df.coalesce(1).write.parquet(out + "/documents.parquet")
+    baseline = _pairs(q43_ngram_jaccard(spark, out))
+    monkeypatch.setattr(blocking, "BUCKET_CAP", 4)
+    got = q43_ngram_jaccard(spark, out)
+    assert _pairs(got) == baseline
+    obs = blocking.BUCKET_OBSERVATIONS["q43_ngram_jaccard"].get
+    assert obs["capped_buckets"] >= 1
+    assert obs["max_bucket_size"] >= 24
