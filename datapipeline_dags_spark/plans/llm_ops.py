@@ -8307,8 +8307,9 @@ def q214_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     observation key, so cap counters stay attributable); the two
     top-1-per-anchor windows rank on ROUNDED Jaccard + id (engine-
     agreed boundaries); the random pool is a {NEG_POOL}-row
-    TakeOrderedAndProject broadcast — per-anchor pick is map-side,
-    never a corpus join.
+    TakeOrderedAndProject collected to an array literal — the
+    per-anchor pick is a pure map-side element_at over the rotated
+    ring, never a corpus join (and no window).
     """
     v = _lsh_verified_candidates(spark, sf_dir, "q214_triplet_mining")
     sym = (
@@ -8341,35 +8342,45 @@ def q214_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("pj6") + F.lit(0.0)).alias("hard_jaccard"),
         )
     )
+    # Map-side random-negative pick (VERDICT r6 ask #6): the pool is a
+    # NEG_POOL-row TakeOrderedAndProject COLLECTED to an array literal
+    # (bounded control plane), and the per-anchor pick is element_at on
+    # the md5-rotated ring with anchor/positive skips — at most two
+    # pool slots are excluded per anchor, so probing three consecutive
+    # ring positions is exhaustive.  Replaces the |anchors|×NEG_POOL
+    # inequality join + row_number window the r6 plan carried; the
+    # ring-walk order is identical to the oracle's
+    # (idx - h + NEG_POOL) % NEG_POOL ranking, so the hash is unchanged.
     md5_order = [F.md5(F.col("doc_id").cast("string")), F.col("doc_id")]
-    pool = (
-        table(spark, sf_dir, "documents")
+    pool_ids = [
+        r["doc_id"]
+        for r in table(spark, sf_dir, "documents")
         .select("doc_id")
         .orderBy(*md5_order)
         .limit(NEG_POOL)
-        .withColumn("idx", F.row_number().over(W.orderBy(*md5_order)) - 1)
-    )
+        .collect()
+    ]
+    m = len(pool_ids)
+    arr = F.array(*[F.lit(i) for i in pool_ids])
     h = (
         F.conv(F.substring(F.md5(F.col("anchor").cast("string")), 1, 8), 16, 10)
         .cast("long")
         % NEG_POOL
     )
-    rnd = (
-        pos.select("anchor", "positive")
-        .withColumn("h", h)
-        .join(
-            F.broadcast(pool),
-            (F.col("doc_id") != F.col("anchor"))
-            & (F.col("doc_id") != F.col("positive")),
-        )
-        .withColumn("off", (F.col("idx") - F.col("h") + NEG_POOL) % NEG_POOL)
-        .withColumn("rn", F.row_number().over(W.partitionBy("anchor").orderBy("off")))
-        .filter(F.col("rn") == 1)
-        .select("anchor", F.col("doc_id").alias("rand_neg"))
-    )
+    # the oracle walks idx = h, h+1, …, NEG_POOL-1, 0, …; positions ≥ m
+    # don't exist when the corpus is smaller than the pool, so the walk
+    # effectively starts at h when h < m, else at 0
+    start = F.when(h < m, h).otherwise(F.lit(0))
+
+    def probe(k: int):
+        e = F.element_at(arr, ((start + k) % m + 1).cast("int"))
+        return F.when((e != F.col("anchor")) & (e != F.col("positive")), e)
+
+    pick = F.coalesce(*[probe(k) for k in range(min(3, m))])
     return (
-        pos.join(hard, "anchor", "left")
-        .join(rnd, "anchor")
+        pos.withColumn("rand_neg", pick)
+        .filter(F.col("rand_neg").isNotNull())
+        .join(hard, "anchor", "left")
         .select(
             "anchor",
             "positive",
