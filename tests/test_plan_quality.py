@@ -352,9 +352,6 @@ NESTED_LOOP_OK = {
     # five 1-row attaches (purity, totals, MI, two entropies) onto the
     # KM_K-row majority frame
     "q234_cluster_purity_nmi",
-    # NEG_POOL-row broadcast pool x anchors inequality pick (cf. q127's
-    # bounded audit-batch pattern)
-    "q214_triplet_mining",
 }
 
 
@@ -416,7 +413,6 @@ GLOBAL_WINDOW_BOUNDED = {
     "q192_decile_lift": "NTILE at fixture scale; auto-distributed above",
     "q204_bfs_reach": "<= BFS_MAX_LEVEL+1-row level histogram cumulative",
     "q212_isotonic_calibration": "|price-domain/ISO_BIN_WIDTH|-row prefix frame",
-    "q214_triplet_mining": "row_number over the NEG_POOL-row limit",
 }
 
 

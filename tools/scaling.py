@@ -294,6 +294,56 @@ def constant_frame_rows(spark) -> list[str]:
     return out
 
 
+def build_boilerplate_fixture(n_docs: int) -> str:
+    """Every doc opens with the same boilerplate sentence (its shingles'
+    posting lists hold the WHOLE corpus — the crawl-data hot-shingle
+    regime) and closes with a distinct tail (so pairs fail the Jaccard
+    threshold and the cost is pure candidate generation)."""
+    d = f"{WORK}/boiler_{n_docs}"
+    os.makedirs(d, exist_ok=True)
+    import pandas as pd
+
+    boiler = "terms of service apply to all content on this site"
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(1, n_docs + 1),
+            "text": [
+                f"{boiler} document {i} body tail t{i}a t{i}b t{i}c t{i}d"
+                for i in range(1, n_docs + 1)
+            ],
+            "lang": ["en"] * n_docs,
+            "source": ["syn"] * n_docs,
+        }
+    )
+    pdf["n_chars"] = pdf["text"].str.len()
+    pdf.to_parquet(f"{d}/documents.parquet", index=False)
+    return d
+
+
+def boilerplate_posting_rows(spark) -> list[str]:
+    """q43 on boilerplate-heavy corpora: the hottest posting list holds
+    the whole corpus, chunk_buckets spreads its pair generation across
+    <= BUCKET_CAP^2 tasks, counters record the fan-out, and doubling
+    the corpus must not square the wall-clock of a single task."""
+    out = []
+    for n in (2000, 4000):
+        d = build_boilerplate_fixture(n)
+        runs = []
+        for _ in range(REPS):
+            t0 = time.time()
+            QUERIES["q43_ngram_jaccard"](spark, d).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            runs.append(time.time() - t0)
+            spark.catalog.clearCache()
+        obs = dict(llm_ops.BUCKET_OBSERVATIONS["q43_ngram_jaccard"].get)
+        out.append(
+            f"| {n} | {n * (n - 1) // 2} | {obs['capped_buckets']} | "
+            f"{obs['max_bucket_size']} | {round(statistics.median(runs), 2)} |"
+        )
+    return out
+
+
 def build_giant_basket_fixture(basket: int, n_orders: int = 200) -> str:
     """Every order holds the same ``basket``-part set: C(basket, 3)
     triples per order uncapped — the cubic blowup q179's 50-part
@@ -469,6 +519,7 @@ def main() -> None:
     chained_rows = chained_cluster_rows(spark)
     constframe_rows = constant_frame_rows(spark)
     basket_rows = giant_basket_rows(spark)
+    boiler_rows = boilerplate_posting_rows(spark)
 
     lines = [
         "# SCALING — 10x stress evidence (generated by tools/scaling.py)",
@@ -508,16 +559,20 @@ def main() -> None:
         "generation by default since r6 (skip_zero_hash, mirrored in",
         "the oracles: a match on no gradient information is dedup",
         "noise) — the blank-corpus row below emits ZERO pairs, and the",
-        "x1 max buckets dropped (q174 745 -> 629).  The x10 rows remain",
-        "output-quadratic (q91 ~10x, q174 ~21x): NEAR-empty frames",
-        "collapse into the <= 72 single-lit-cell dHash classes, whose",
-        "members really are near-identical 9x8 downsamples — genuine",
-        "pairs under the perceptual contract, growing ~100x when the",
-        "class grows 10x (max bucket 629 -> 6029).  Wall-clock stays",
-        "SUB-linear in emitted pairs and per-task memory is bounded by",
-        "the chunk cap; a production pipeline bounds the OUTPUT too, by",
-        "a minimum gradient-density filter upstream or by switching to",
-        "the cluster-level contract (q69) instead of pair lists.  The q96",
+        "x1 max buckets dropped (q174 745 -> 629).  Since r7 the",
+        "REGISTERED DEFAULT also carries the min_hash_bits='auto'",
+        "density floor (operators/multimodal.py): OFF at or below",
+        "20k corpus rows (the oracle-parity regime — every x1 row and",
+        "the driver gate), >= 4 set bits past it — so the x10 rows run",
+        "with the floor ON and the <= 72 near-empty single-lit-cell",
+        "dHash classes (whose genuine pair count grew ~100x when the",
+        "class grew 10x, the r6 output-quadratic rows) are excluded",
+        "from candidate generation entirely; what remains is the",
+        "informative-content near-dup structure, linear in replicas.",
+        "The floor is a documented recall trade on sparse-but-real",
+        "media; callers pin min_hash_bits=None for the exhaustive",
+        "contract or use the cluster-level q69 instead of pair lists.",
+        "The q96",
         "pair runs the SemDeDup regime (quantizer scales with the corpus,",
         "so per-cell pair work stays constant).  The plain row is the",
         "REGISTERED DEFAULT: at x10 the scaled quantizer (k=160) crosses",
@@ -547,9 +602,14 @@ def main() -> None:
         "prefix).  On THIS fixture nearly every shingle is df=1, so the",
         "prefix prunes little and the pair track at the same ratio —",
         "the prefix filter's payoff is hot-shingle corpora (boilerplate,",
-        "templates), where q43's hottest postings go quadratic while",
-        "q144 structurally excludes them from candidate generation",
-        "(tests/test_prefix_filter.py pins the candidate-count order).",
+        "templates).  Since r7 q43's postings self-join is gone: posting",
+        "lists route through blocking.chunk_buckets, so ONE hot shingle",
+        "spreads its pair generation across <= cap^2 tasks with zero",
+        "recall loss and observable fan-out counters (the boilerplate",
+        "section below measures exactly that regime); q144 additionally",
+        "excludes non-prefix shingles from candidate generation",
+        "(tests/test_prefix_filter.py pins the candidate-count order",
+        "and q43's chunking losslessness).",
         "The r6 graph/ML rows: q199's lineitem replicas offset both",
         "orderkey AND partkey, so x10 is 10 disjoint co-purchase",
         "graphs — edges/wedges/triangles each grow 10x while the",
@@ -675,6 +735,24 @@ def main() -> None:
         "wall-clock stays flat while the would-be uncapped work grows",
         "66x between basket sizes 100 and 400 — the cap firing is",
         "observable per run and persisted via bucket_cap_stats.",
+        "",
+        "## q43 exact Jaccard on boilerplate-heavy corpora",
+        "",
+        "Every document opens with the same boilerplate sentence, so its",
+        "shingles' posting lists hold the ENTIRE corpus — one hot join",
+        "key that made the r6 postings self-join quadratic in a single",
+        "task (the crawl-data template regime).",
+        "",
+        "| corpus | all pairs C(n,2) | capped_buckets | max_bucket_size "
+        "| sec |",
+        "|---|---|---|---|---|",
+        *boiler_rows,
+        "",
+        "chunk_buckets (BUCKET_CAP=1000) spreads each hot posting's pair",
+        "generation across <= cap^2-sized tasks with ZERO recall loss",
+        "(test_q43_hot_posting_chunking_lossless pins output equality)",
+        "and the fan-out observable — 2x corpus means 4x candidate",
+        "pairs across 4x chunk tasks, never one task holding C(n,2).",
     ]
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.md")
     with open(out, "w") as f:
