@@ -109,7 +109,15 @@ _ROTATION_TAIL = [
     "q174_video_dhash_neardup",
     "q141_ship_latency_percentiles",
     "q186_distributed_exact_percentile",
-    # the remaining 19 never-driver-checked queries:
+    # the remaining never-driver-checked queries (q253+ are brand-new
+    # this round — judge-green at sf0.01, r8 head candidates):
+    "q253_priority_late_orders",
+    "q254_order_count_distribution",
+    "q255_bilateral_trade",
+    "q256_top_supplier",
+    "q257_small_quantity_revenue",
+    "q258_large_volume_customers",
+    "q259_dominant_suppliers",
     "q244_bottleneck_suppliers",
     "q245_littles_law",
     "q246_disjunctive_revenue",

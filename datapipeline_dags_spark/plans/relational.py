@@ -3863,3 +3863,444 @@ def q249_idle_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("bal").cast("long").alias("total_balance_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q253 — late-shipment priority audit (TPC-H Q4 shape)
+# ---------------------------------------------------------------------------
+
+#: an order is LATE when any line ships more than this many days after
+#: the order date (the fixture carries no commit/receipt dates, so the
+#: ship-vs-order lag stands in for Q4's commitdate < receiptdate)
+LATE_SHIP_DAYS = 60
+
+
+@query(
+    "q253_priority_late_orders",
+    oracle=f"""
+    SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+           o.o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_late_orders
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate > o.o_orderdate + INTERVAL {LATE_SHIP_DAYS} DAY)
+    GROUP BY 1, 2
+    """,
+)
+def q253_priority_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4's order-priority-checking shape: orders with at least
+    one line shipped more than {LATE_SHIP_DAYS} days after the order
+    date, counted per (year, priority) — the correlated-EXISTS the
+    optimizer must turn into a semi join, never a per-order subquery.
+
+    Parity: pure integer counts over a date comparison both engines
+    evaluate identically (DATE + INTERVAL vs date_add).
+
+    Scale shape: LeftSemi on the orderkey (the line side pre-filtered
+    by the lag predicate pushes nothing — it references both sides, so
+    the semi join carries it), one hash agg to |years|×5 cells.
+    """
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.to_date("o_orderdate").alias("od"),
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.to_date("l_shipdate").alias("sd")
+    )
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.sd > F.date_add(orders.od, LATE_SHIP_DAYS)),
+        "left_semi",
+    )
+    return late.groupBy(
+        F.year("od").cast("long").alias("o_year"),
+        F.col("o_orderpriority").alias("priority"),
+    ).agg(F.count("*").cast("long").alias("n_late_orders"))
+
+
+# ---------------------------------------------------------------------------
+# q254 — customer order-count distribution (TPC-H Q13 shape)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q254_order_count_distribution",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1)
+    SELECT CAST(c_count AS BIGINT) AS c_count,
+           CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM per_cust GROUP BY 1
+    """,
+)
+def q254_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13's customer-distribution shape: how many customers
+    placed exactly k orders, INCLUDING the zero-order customers the
+    left join exists to keep — the classic left-outer + double
+    aggregation whose first groupBy key (custkey) is high-cardinality
+    and whose second (the count) collapses to a handful of cells.
+
+    Parity: COUNT(o_orderkey) ignores the null-extended rows in both
+    engines; all integers.
+
+    Scale shape: the (cust ⋈ orders) shuffle is the unavoidable big
+    one; the first agg combines map-side per custkey, the second is
+    |distinct counts| cells.  No window, no skew key (custkeys are
+    near-uniform by construction).
+    """
+    customer = table(spark, sf_dir, "customer").select("c_custkey")
+    orders = table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        customer.join(
+            orders, customer.c_custkey == orders.o_custkey, "left"
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy(F.col("c_count").cast("long").alias("c_count")).agg(
+        F.count("*").cast("long").alias("custdist")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q255 — bilateral trade volume between two nations (TPC-H Q7 shape)
+# ---------------------------------------------------------------------------
+
+TRADE_NATION_A = "NATION_3"
+TRADE_NATION_B = "NATION_7"
+
+
+@query(
+    "q255_bilateral_trade",
+    oracle=f"""
+    SELECT sn.n_name AS supp_nation,
+           cn.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+           CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100
+                               + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+    WHERE (sn.n_name = '{TRADE_NATION_A}' AND cn.n_name = '{TRADE_NATION_B}')
+       OR (sn.n_name = '{TRADE_NATION_B}' AND cn.n_name = '{TRADE_NATION_A}')
+    GROUP BY 1, 2, 3
+    """,
+)
+def q255_bilateral_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7's volume-shipping shape: yearly revenue flowing each
+    way between {TRADE_NATION_A} and {TRADE_NATION_B} — the two-sided
+    nation filter that must prune BOTH dim chains before the fact join,
+    with the cross-pair disjunction evaluated on the joined row.
+
+    Parity: integer cents; year from the ship date in both engines.
+
+    Scale shape: nation is 25 rows (broadcast); the supplier/customer
+    dims prune to the two nations before touching the fact, so the
+    fact join's build sides are tiny; one hash agg to 2×|years| cells.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    supplier = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    pair = (TRADE_NATION_A, TRADE_NATION_B)
+    cn = nation.filter(F.col("n_name").isin(*pair)).alias("cn")
+    sn = nation.filter(F.col("n_name").isin(*pair)).alias("sn")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(cn), customer.c_nationkey == F.col("cn.n_nationkey"))
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(sn), supplier.s_nationkey == F.col("sn.n_nationkey"))
+        .filter(F.col("sn.n_name") != F.col("cn.n_name"))
+    )
+    return joined.groupBy(
+        F.col("sn.n_name").alias("supp_nation"),
+        F.col("cn.n_name").alias("cust_nation"),
+        F.year("l_shipdate").cast("long").alias("l_year"),
+    ).agg(
+        F.sum(
+            F.expr(
+                "CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)"
+                " AS BIGINT)"
+            )
+        )
+        .cast("long")
+        .alias("revenue_cents")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q256 — top revenue supplier over a quarter (TPC-H Q15 shape)
+# ---------------------------------------------------------------------------
+
+TOP_SUPP_START = "1998-01-01"
+TOP_SUPP_END = "1998-04-01"
+
+
+@query(
+    "q256_top_supplier",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l.l_suppkey,
+             SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100
+                            + 0.5) AS BIGINT)) AS total_cents
+      FROM lineitem l
+      WHERE l.l_shipdate >= DATE '{TOP_SUPP_START}'
+        AND l.l_shipdate < DATE '{TOP_SUPP_END}'
+      GROUP BY 1),
+    mx AS (SELECT MAX(total_cents) AS m FROM rev)
+    SELECT s.s_suppkey, s.s_name,
+           CAST(r.total_cents AS BIGINT) AS total_cents
+    FROM rev r JOIN mx ON r.total_cents = mx.m
+    JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    """,
+)
+def q256_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15's top-supplier shape: the supplier(s) with the maximum
+    revenue over [{TOP_SUPP_START}, {TOP_SUPP_END}) — the revenue-view
+    + scalar-max pattern; ALL ties are returned, as the spec demands,
+    so the answer never depends on an engine tiebreak.
+
+    Parity: integer cents make the max boundary exact.
+
+    Scale shape: date filter pushes to the fact scan; agg collapses to
+    |suppliers| cells; the max is a 1-row broadcast attach and the
+    supplier dim joins AFTER the max filter (a handful of rows).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    supplier = table(spark, sf_dir, "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit(TOP_SUPP_START).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(TOP_SUPP_END).cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100"
+                    " + 0.5) AS BIGINT)"
+                )
+            ).alias("total_cents")
+        )
+    )
+    mx = rev.agg(F.max("total_cents").alias("m"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_cents") == F.col("m"))
+        .join(supplier, F.col("l_suppkey") == supplier.s_suppkey)
+        .select(
+            "s_suppkey", "s_name", F.col("total_cents").cast("long").alias("total_cents")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q257 — small-quantity-order revenue (TPC-H Q17 shape)
+# ---------------------------------------------------------------------------
+
+SMALLQ_BRAND = "Brand#2"
+
+
+@query(
+    "q257_small_quantity_revenue",
+    oracle=f"""
+    WITH bl AS (
+      SELECT l.l_partkey,
+             CAST(FLOOR(l.l_quantity * 100 + 0.5) AS BIGINT) AS q100,
+             CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_brand = '{SMALLQ_BRAND}'),
+    st AS (SELECT l_partkey, SUM(q100) AS sq, COUNT(*) AS n
+           FROM bl GROUP BY 1)
+    SELECT CAST(SUM(bl.cents) AS BIGINT) AS total_cents,
+           (ROUND(SUM(bl.cents) * 1e0 / 700, 4) + 0.0) AS avg_yearly
+    FROM bl JOIN st ON st.l_partkey = bl.l_partkey
+    WHERE bl.q100 * 5 * st.n < st.sq
+    """,
+)
+def q257_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17's small-quantity-order shape for '{SMALLQ_BRAND}':
+    revenue from lines whose quantity is below 20% of the part's
+    average — the per-part correlated scalar subquery decorrelated
+    into one stats aggregate + re-join.
+
+    Parity: the 0.2·avg cut is evaluated as the INTEGER cross-product
+    q·5·n < Σq (no division, no float boundary); only the final
+    avg_yearly is one double division, 4-dp.
+
+    Scale shape: the brand filter prunes the part dim before the fact
+    join; per-part stats collapse to |brand parts| cells and broadcast
+    back; one global agg.  No window, no value buffering.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    # the brand filter prunes part to 1/|brands| — still SF-scaled, so
+    # no broadcast hint; AQE broadcasts while the pruned dim measures
+    # small and falls back to shuffle-hash beyond
+    part = table(spark, sf_dir, "part").filter(F.col("p_brand") == SMALLQ_BRAND)
+    bl = li.join(part, li.l_partkey == part.p_partkey).select(
+        "l_partkey",
+        F.expr("CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)").alias("q100"),
+        F.expr("CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    st = bl.groupBy("l_partkey").agg(
+        F.sum("q100").alias("sq"), F.count("*").alias("n")
+    )
+    # st scales with |parts of the brand| — no broadcast hint; AQE
+    # picks broadcast at fixture scale and shuffle-hash beyond
+    kept = bl.join(
+        st.withColumnRenamed("l_partkey", "pk"),
+        F.col("l_partkey") == F.col("pk"),
+    ).filter(F.col("q100") * 5 * F.col("n") < F.col("sq"))
+    return kept.agg(
+        F.sum("cents").cast("long").alias("total_cents"),
+        dec(F.sum("cents") * F.expr("1e0") / 700, 4).alias("avg_yearly"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q258 — large-volume customers (TPC-H Q18 shape)
+# ---------------------------------------------------------------------------
+
+LARGE_ORDER_QTY = 200
+
+
+@query(
+    "q258_large_volume_customers",
+    oracle=f"""
+    WITH oq AS (
+      SELECT l_orderkey,
+             SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS sq100
+      FROM lineitem GROUP BY 1
+      HAVING SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT))
+             > {LARGE_ORDER_QTY} * 100)
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(oq.sq100 // 100 AS BIGINT) AS total_qty,
+           CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)
+             AS o_totalprice_cents
+    FROM oq
+    JOIN orders o ON o.o_orderkey = oq.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+)
+def q258_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18's large-volume-customer shape: orders whose total line
+    quantity exceeds {LARGE_ORDER_QTY}, with their customers — the
+    HAVING-on-grouped-fact pattern where the heavy agg runs FIRST and
+    the dims join onto the (rare) survivors.
+
+    Parity: quantities summed as q×100 integers; the floor-div back to
+    units is exact because fixture quantities are integral.
+
+    Scale shape: one map-combined agg over the fact; the HAVING
+    survivor set is small, so both dim joins broadcast the survivors'
+    build side after AQE sizes them.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    oq = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sum(
+                F.expr("CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)")
+            ).alias("sq100")
+        )
+        .filter(F.col("sq100") > LARGE_ORDER_QTY * 100)
+    )
+    return (
+        oq.join(orders, oq.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            F.expr("CAST(sq100 div 100 AS BIGINT)").alias("total_qty"),
+            F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)").alias(
+                "o_totalprice_cents"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q259 — dominant part suppliers (TPC-H Q20-adjacent supply concentration)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q259_dominant_suppliers",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS q
+      FROM lineitem GROUP BY 1, 2),
+    pt AS (SELECT l_partkey, SUM(q) AS tq, COUNT(*) AS n_supp
+           FROM ps GROUP BY 1),
+    dom AS (
+      SELECT ps.l_suppkey
+      FROM ps JOIN pt ON pt.l_partkey = ps.l_partkey
+      WHERE pt.n_supp >= 2 AND 5 * ps.q > pt.tq)
+    SELECT s.s_suppkey, s.s_name,
+           CAST(COUNT(*) AS BIGINT) AS n_dominated
+    FROM dom JOIN supplier s ON s.s_suppkey = dom.l_suppkey
+    GROUP BY 1, 2
+    """,
+)
+def q259_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20's excess-availability shape re-expressed on the
+    fixture (no partsupp table exists): suppliers who shipped MORE THAN
+    20% of a multi-supplier part's total volume (the fixture spreads a
+    part over ~27 suppliers, so a fifth of the volume is ~5× the
+    expected share), counted per supplier — the supply-concentration
+    audit a procurement team runs before single-sourcing risk reviews.
+
+    Parity: the 20% cut is the integer comparison 5·q > Σq; counts
+    only.
+
+    Scale shape: two stacked aggs — (part, supplier) then part — both
+    map-combinable; the parts table attaches by broadcast of the
+    second (|parts|-row) agg; supplier dim joins the small dominated
+    set last.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    supplier = table(spark, sf_dir, "supplier")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.expr("CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)")).alias(
+            "q"
+        )
+    )
+    pt = ps.groupBy("l_partkey").agg(
+        F.sum("q").alias("tq"), F.count("*").alias("n_supp")
+    )
+    # pt is |parts|-sized — no broadcast hint (would OOM at extreme
+    # SF); both sides hash by partkey, AQE downgrades to broadcast
+    # only when the stats side measures small
+    dom = (
+        ps.join(
+            pt.withColumnRenamed("l_partkey", "pk"),
+            F.col("l_partkey") == F.col("pk"),
+        )
+        .filter((F.col("n_supp") >= 2) & (5 * F.col("q") > F.col("tq")))
+        .select("l_suppkey")
+    )
+    return (
+        dom.join(supplier, dom.l_suppkey == supplier.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count("*").cast("long").alias("n_dominated"))
+    )

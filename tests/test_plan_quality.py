@@ -95,6 +95,7 @@ BOUNDED_FILTER_HINT_OK = {
     # broadcasts the 1-row histogram bounds (min, width)
     "q241_histogram_selectivity",
     "q244_bottleneck_suppliers",  # broadcasts the 1-row multi-order total
+    "q256_top_supplier",  # broadcasts the 1-row revenue-max aggregate
     # broadcasts the 1-row balance-threshold aggregate (Q22's scalar)
     "q249_idle_high_balance",
     # broadcasts the 1-row window aggregate + the bounded month-instant list
