@@ -118,6 +118,13 @@ _ROTATION_TAIL = [
     "q257_small_quantity_revenue",
     "q258_large_volume_customers",
     "q259_dominant_suppliers",
+    "q260_common_neighbor_links",
+    "q261_local_clustering",
+    "q262_charset_profile",
+    "q263_shingle_novelty_curve",
+    "q264_pinball_backtest",
+    "q265_randomization_test",
+    "q266_seasonal_index",
     "q244_bottleneck_suppliers",
     "q245_littles_law",
     "q246_disjunctive_revenue",

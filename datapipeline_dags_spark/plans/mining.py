@@ -22,9 +22,10 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from datapipeline_dags_spark.catalog import table
+from datapipeline_dags_spark.operators import blocking
 from datapipeline_dags_spark.checkpoint import local_checkpoint
 from datapipeline_dags_spark.plans.helpers import dec
-from datapipeline_dags_spark.plans.llm_ops import _SHINGLES_SQL, _shingles
+from datapipeline_dags_spark.plans.llm_ops import _SHINGLES_SQL, _fanout, _shingles
 from datapipeline_dags_spark.plans.registry import query
 from datapipeline_dags_spark.plans.scalars import distributed_percentiles
 
@@ -1996,4 +1997,608 @@ def q250_edge_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("edge_jaccard"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q260 — common-neighbor link prediction on the co-purchase graph
+# ---------------------------------------------------------------------------
+
+LINK_TOP_K = 20
+
+
+@query(
+    "q260_common_neighbor_links",
+    oracle=f"""
+    WITH {_EDGE_CTES},
+    sym AS (SELECT a AS n, bb AS nb FROM e UNION ALL SELECT bb, a FROM e),
+    deg AS (SELECT n, COUNT(*) AS d FROM sym GROUP BY 1),
+    cn AS (SELECT s1.n AS u, s2.n AS v, COUNT(*) AS cnt
+           FROM sym s1 JOIN sym s2 ON s1.nb = s2.nb AND s1.n < s2.n
+           GROUP BY 1, 2),
+    ne AS (SELECT cn.u, cn.v, cn.cnt
+           FROM cn ANTI JOIN e ON e.a = cn.u AND e.bb = cn.v),
+    j AS (SELECT ne.u, ne.v, ne.cnt, du.d AS du, dv.d AS dv
+          FROM ne
+          JOIN deg du ON du.n = ne.u
+          JOIN deg dv ON dv.n = ne.v)
+    SELECT u AS part_a, v AS part_b,
+           CAST(cnt AS BIGINT) AS common_neighbors,
+           (ROUND(cnt * 1e0 / (du + dv - cnt), 6) + 0.0) AS jaccard
+    FROM j
+    QUALIFY row_number() OVER (ORDER BY cnt DESC, u, v) <= {LINK_TOP_K}
+    """,
+)
+def q260_common_neighbor_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the part co-purchase graph: the top
+    {LINK_TOP_K} NON-adjacent part pairs by common-neighbor count (with
+    their neighbor-set Jaccard) — the "customers who bought these also
+    bought..." candidate generator run before any learned recommender.
+
+    Scale shape: common-neighbor counting needs EVERY wedge, so the
+    triangle trick (degree orientation, which enumerates each wedge at
+    its lowest-order corner only) does not apply — instead each
+    center's neighbor list feeds ``blocking.chunk_buckets``: a hot hub
+    spreads its pair generation across ≤ cap²-sized tasks with zero
+    recall loss and observable fan-out counters (the q42/q43
+    machinery).  Candidate pairs anti-join the edge table; the global
+    top-k is a TakeOrderedAndProject on the total order (count desc,
+    id, id) so the k-boundary never depends on an engine tiebreak.
+
+    Parity: counts and degrees are integers; Jaccard = cnt/(du+dv−cnt)
+    is the single 6-dp division (the pair is a non-edge, so the union
+    needs no −2 correction).
+    """
+    edges = _copurchase_edges(spark, sf_dir, "q260_common_neighbor_links")
+    sym = edges.select(F.col("a").alias("n"), F.col("bb").alias("nb")).unionAll(
+        edges.select(F.col("bb").alias("n"), F.col("a").alias("nb"))
+    )
+    deg = local_checkpoint(
+        sym.groupBy("n").agg(F.count("*").alias("d")), "q260 degree table"
+    )
+    nbrs = (
+        sym.groupBy("n")
+        .agg(F.collect_list("nb").alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    pairs = blocking.chunk_buckets(
+        nbrs, "q260_common_neighbor_links", "ids"
+    ).select(F.explode(blocking.chunk_pair_structs()).alias("p"))
+    cn = pairs.groupBy(
+        F.col("p.a").alias("u"), F.col("p.b").alias("v")
+    ).agg(F.count("*").alias("cnt"))
+    ne = cn.join(
+        edges,
+        (cn.u == edges.a) & (cn.v == edges.bb),
+        "anti",
+    )
+    j = ne.join(
+        deg.select(F.col("n").alias("u"), F.col("d").alias("du")), "u"
+    ).join(deg.select(F.col("n").alias("v"), F.col("d").alias("dv")), "v")
+    return (
+        j.orderBy(F.col("cnt").desc(), "u", "v")
+        .limit(LINK_TOP_K)
+        .select(
+            F.col("u").alias("part_a"),
+            F.col("v").alias("part_b"),
+            F.col("cnt").cast("long").alias("common_neighbors"),
+            dec(
+                F.col("cnt")
+                * F.expr("1e0")
+                / (F.col("du") + F.col("dv") - F.col("cnt")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q261 — per-node local clustering coefficient
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q261_local_clustering",
+    oracle=f"""
+    WITH {_EDGE_CTES},
+    sym AS (SELECT a AS n, bb AS nb FROM e UNION ALL SELECT bb, a FROM e),
+    deg AS (SELECT n, COUNT(*) AS d FROM sym GROUP BY 1),
+    tri AS (SELECT e1.a AS x, e1.bb AS y, e2.bb AS z
+            FROM e e1
+            JOIN e e2 ON e2.a = e1.bb
+            JOIN e e3 ON e3.a = e1.a AND e3.bb = e2.bb),
+    tn AS (SELECT n, COUNT(*) AS t
+           FROM (SELECT unnest([x, y, z]) AS n FROM tri)
+           GROUP BY 1)
+    SELECT deg.n AS part, CAST(deg.d AS BIGINT) AS degree,
+           CAST(COALESCE(tn.t, 0) AS BIGINT) AS n_triangles,
+           (ROUND(2 * COALESCE(tn.t, 0) * 1e0
+                  / (deg.d * (deg.d - 1)), 6) + 0.0) AS clustering
+    FROM deg LEFT JOIN tn ON tn.n = deg.n
+    WHERE deg.d >= 2
+    """,
+)
+def q261_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part LOCAL clustering coefficient 2t/(d(d−1)) on the
+    co-purchase graph — q199 reports the global census; this
+    attributes each triangle to its three corners, the per-node cohesion
+    feature community detectors and spam filters consume.
+
+    Scale shape: triangles enumerate once via the degree-oriented
+    wedge join + edge close (m^1.5 bound, q199's machinery), each
+    closed triangle explodes to exactly 3 (node, 1) rows, and the
+    coefficient is a map-side expression over the |nodes|-row
+    degree⋈count join.
+
+    Parity: t and d are integers; the coefficient is the single 6-dp
+    division.
+    """
+    edges = _copurchase_edges(spark, sf_dir, "q261_local_clustering")
+    deg = local_checkpoint(
+        edges.select(F.col("a").alias("n"))
+        .unionAll(edges.select(F.col("bb").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d")),
+        "q261 degree table",
+    )
+    e2 = (
+        edges.join(deg.select(F.col("n").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("n").alias("bb"), F.col("d").alias("db")), "bb")
+    )
+    fwd = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("bb"))
+    )
+    o = local_checkpoint(
+        e2.select(
+            F.when(fwd, F.col("a")).otherwise(F.col("bb")).alias("u"),
+            F.when(fwd, F.col("bb")).otherwise(F.col("a")).alias("v"),
+            F.when(fwd, F.col("db")).otherwise(F.col("da")).alias("dv"),
+        ),
+        "q261 oriented edges",
+    )
+    x, y = o.alias("x"), o.alias("y")
+    wedge_lt = (F.col("x.dv") < F.col("y.dv")) | (
+        (F.col("x.dv") == F.col("y.dv")) & (F.col("x.v") < F.col("y.v"))
+    )
+    closed = (
+        x.join(y, (F.col("x.u") == F.col("y.u")) & wedge_lt)
+        .select(
+            F.col("x.u").alias("c"),
+            F.col("x.v").alias("u"),
+            F.col("y.v").alias("v"),
+        )
+        .join(o.select("u", "v"), ["u", "v"], "left_semi")
+    )
+    tn = closed.select(
+        F.explode(F.array("c", "u", "v")).alias("n")
+    ).groupBy("n").agg(F.count("*").alias("t"))
+    return (
+        deg.filter(F.col("d") >= 2)
+        .join(tn, "n", "left")
+        .select(
+            F.col("n").alias("part"),
+            F.col("d").cast("long").alias("degree"),
+            F.coalesce(F.col("t"), F.lit(0)).cast("long").alias("n_triangles"),
+            dec(
+                2
+                * F.coalesce(F.col("t"), F.lit(0))
+                * F.expr("1e0")
+                / (F.col("d") * (F.col("d") - 1)),
+                6,
+            ).alias("clustering"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q262 — character-class corpus profile
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q262_charset_profile",
+    oracle="""
+    WITH per AS (
+      SELECT source,
+             LEN(text) AS n,
+             LEN(text) - LEN(regexp_replace(text, '[a-zA-Z]', '', 'g'))
+               AS letters,
+             LEN(text) - LEN(regexp_replace(text, '[0-9]', '', 'g'))
+               AS digits,
+             LEN(text) - LEN(regexp_replace(text, ' ', '', 'g')) AS spaces
+      FROM documents)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS n_chars,
+           CAST(SUM(letters) AS BIGINT) AS letter_chars,
+           CAST(SUM(digits) AS BIGINT) AS digit_chars,
+           CAST(SUM(spaces) AS BIGINT) AS space_chars,
+           CAST(SUM(n - letters - digits - spaces) AS BIGINT) AS other_chars,
+           (ROUND(SUM(n - letters - digits - spaces) * 1e0
+                  / SUM(n), 6) + 0.0) AS other_ratio
+    FROM per GROUP BY 1
+    """,
+)
+def q262_charset_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class profile per source: letter / digit / space /
+    other densities — the mojibake & markup tripwire a crawl-ingest
+    pipeline runs before language ID (a source whose "other" ratio
+    jumps is emitting binary junk, entities, or a new markup format;
+    cf. q50's quality score, which consumes these shapes per doc).
+
+    Parity: counts are length deltas of regexp_replace (both engines
+    replace ALL matches — DuckDB needs the explicit 'g' flag); one
+    ratio at 6 dp.
+
+    Scale shape: map-only character counting (JVM regex inside
+    codegen, zero UDFs), one hash agg to |sources| cells.
+    """
+    d = table(spark, sf_dir, "documents")
+    n = F.length("text")
+    letters = n - F.length(F.regexp_replace("text", "[a-zA-Z]", ""))
+    digits = n - F.length(F.regexp_replace("text", "[0-9]", ""))
+    spaces = n - F.length(F.regexp_replace("text", " ", ""))
+    per = d.select(
+        "source",
+        n.alias("n"),
+        letters.alias("letters"),
+        digits.alias("digits"),
+        spaces.alias("spaces"),
+    )
+    other = F.sum(
+        F.col("n") - F.col("letters") - F.col("digits") - F.col("spaces")
+    )
+    return per.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n").cast("long").alias("n_chars"),
+        F.sum("letters").cast("long").alias("letter_chars"),
+        F.sum("digits").cast("long").alias("digit_chars"),
+        F.sum("spaces").cast("long").alias("space_chars"),
+        other.cast("long").alias("other_chars"),
+        dec(other * F.expr("1e0") / F.sum("n"), 6).alias("other_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q263 — shingle novelty curve (corpus growth diagnostics)
+# ---------------------------------------------------------------------------
+
+NOVELTY_BATCH = 50
+
+
+@query(
+    "q263_shingle_novelty_curve",
+    oracle=f"""
+    WITH docs AS (SELECT doc_id // {NOVELTY_BATCH} AS batch,
+                         {_SHINGLES_SQL} AS sh
+                  FROM documents),
+    ps AS (SELECT DISTINCT batch, unnest(sh) AS s FROM docs),
+    fs AS (SELECT s, MIN(batch) AS fb FROM ps GROUP BY 1)
+    SELECT CAST(ps.batch AS BIGINT) AS batch,
+           CAST(COUNT(*) AS BIGINT) AS distinct_shingles,
+           CAST(SUM(CASE WHEN fs.fb = ps.batch THEN 1 ELSE 0 END) AS BIGINT)
+             AS new_shingles,
+           (ROUND(SUM(CASE WHEN fs.fb = ps.batch THEN 1 ELSE 0 END) * 1e0
+                  / COUNT(*), 6) + 0.0) AS novelty
+    FROM ps JOIN fs ON fs.s = ps.s
+    GROUP BY 1
+    """,
+)
+def q263_shingle_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Novelty curve over ingest batches of {NOVELTY_BATCH} docs: the
+    fraction of a batch's distinct 5-gram shingles never seen in any
+    earlier batch — the diminishing-returns diagnostic that tells a
+    data-acquisition team when a source is mined out (and sizes the
+    dedup work q41/q43 will face as the corpus grows).
+
+    Parity: batch = integer floor-div of doc_id; everything is
+    distinct-counting; one ratio at 6 dp.
+
+    Scale shape: one shingle explode, ONE distinct collapse to
+    (batch, shingle), a min-batch agg keyed on the shingle (map-side
+    combinable), and the re-join is shingle-keyed — both sides hash by
+    the same key, so the first-seen attach reuses the collapse
+    partitioning.  Output is |batches| rows.
+    """
+    docs = _fanout(spark, table(spark, sf_dir, "documents")).select(
+        (F.col("doc_id").cast("long") / NOVELTY_BATCH)
+        .cast("long")
+        .alias("batch"),
+        _shingles(F.col("text")).alias("sh"),
+    )
+    ps = docs.select("batch", F.explode("sh").alias("s")).distinct()
+    fs = ps.groupBy("s").agg(F.min("batch").alias("fb"))
+    return (
+        ps.join(fs, "s")
+        .groupBy("batch")
+        .agg(
+            F.count("*").cast("long").alias("distinct_shingles"),
+            F.sum((F.col("fb") == F.col("batch")).cast("long"))
+            .cast("long")
+            .alias("new_shingles"),
+        )
+        .select(
+            F.col("batch").cast("long").alias("batch"),
+            "distinct_shingles",
+            "new_shingles",
+            dec(
+                F.col("new_shingles") * F.expr("1e0") / F.col("distinct_shingles"),
+                6,
+            ).alias("novelty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q264 — quantile forecast backtest (pinball loss)
+# ---------------------------------------------------------------------------
+
+#: pinball quantile (τ = 0.9) and the train/test year split
+PINBALL_TAU10 = 9
+PINBALL_SPLIT_YEAR = 1998
+
+
+@query(
+    "q264_pinball_backtest",
+    oracle=f"""
+    WITH o AS (
+      SELECT o_orderpriority AS pri,
+             EXTRACT(year FROM o_orderdate) AS yr,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders),
+    tr AS (SELECT pri, cents, COUNT(*) AS cnt FROM o
+           WHERE yr < {PINBALL_SPLIT_YEAR} GROUP BY 1, 2),
+    kt AS (SELECT pri, (({PINBALL_TAU10} * SUM(cnt) + 9) // 10) AS k
+           FROM tr GROUP BY 1),
+    cum AS (SELECT pri, cents,
+                   SUM(cnt) OVER (PARTITION BY pri ORDER BY cents
+                                  ROWS UNBOUNDED PRECEDING) AS cum
+            FROM tr),
+    yhat AS (SELECT cum.pri, MIN(cum.cents) AS yhat
+             FROM cum JOIN kt ON kt.pri = cum.pri
+             WHERE cum.cum >= kt.k GROUP BY 1),
+    te AS (SELECT o.pri, o.cents, y.yhat FROM o
+           JOIN yhat y ON y.pri = o.pri
+           WHERE o.yr >= {PINBALL_SPLIT_YEAR})
+    SELECT pri AS priority,
+           CAST(ANY_VALUE(yhat) AS BIGINT) AS yhat_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           (ROUND(SUM(GREATEST({PINBALL_TAU10} * (cents - yhat),
+                               yhat - cents)) * 1e0
+                  / (10 * COUNT(*)), 4) + 0.0) AS mean_pinball
+    FROM te GROUP BY 1
+    """,
+)
+def q264_pinball_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-forecast backtest: per order priority, predict the
+    τ=0.9 order-value quantile from the pre-{PINBALL_SPLIT_YEAR} years
+    and score it on the later years with pinball (quantile) loss — the
+    standard evaluation for the P90 capacity forecasts q141/q186
+    produce (a forecast that merely looks high is not checked; pinball
+    loss is minimized by the true quantile).
+
+    Parity: the predictor is an EXACT order statistic — the k-th
+    smallest train value, k = ⌈0.9·n⌉ via integer (9n+9)//10 — read
+    off a cumulative-count window over the (priority, cents) collapse
+    (the q227 rank pattern), so no interpolation crosses the engine
+    boundary; the loss is the integer GREATEST(9·(y−ŷ), ŷ−y) (10×
+    scale keeps τ=0.9 exact) with ONE division at the edge.
+
+    Scale shape: train collapses to (priority, distinct cents) before
+    the window (bounded by the value domain, never the row count);
+    test joins the 5-row ŷ table; both aggs map-combine.
+    """
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("pri"),
+        F.year("o_orderdate").alias("yr"),
+        F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    tr = (
+        o.filter(F.col("yr") < PINBALL_SPLIT_YEAR)
+        .groupBy("pri", "cents")
+        .agg(F.count("*").alias("cnt"))
+    )
+    kt = tr.groupBy("pri").agg(
+        F.expr(f"CAST(({PINBALL_TAU10} * SUM(cnt) + 9) div 10 AS BIGINT)").alias(
+            "k"
+        )
+    )
+    cum_w = (
+        W.partitionBy("pri").orderBy("cents").rowsBetween(W.unboundedPreceding, 0)
+    )
+    cum = tr.withColumn("cum", F.sum("cnt").over(cum_w))
+    yhat = (
+        cum.join(kt, "pri")
+        .filter(F.col("cum") >= F.col("k"))
+        .groupBy("pri")
+        .agg(F.min("cents").alias("yhat"))
+    )
+    te = o.filter(F.col("yr") >= PINBALL_SPLIT_YEAR).join(yhat, "pri")
+    loss10 = F.greatest(
+        PINBALL_TAU10 * (F.col("cents") - F.col("yhat")),
+        F.col("yhat") - F.col("cents"),
+    )
+    return te.groupBy(F.col("pri").alias("priority")).agg(
+        F.first("yhat").cast("long").alias("yhat_cents"),
+        F.count("*").cast("long").alias("n_test"),
+        dec(
+            F.sum(loss10) * F.expr("1e0") / (10 * F.count("*")), 4
+        ).alias("mean_pinball"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q265 — randomization test for a two-sample mean difference
+# ---------------------------------------------------------------------------
+
+RAND_TEST_K = 200
+RAND_TEST_LANG = "en"
+
+
+@query(
+    "q265_randomization_test",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, n_chars,
+                      CASE WHEN lang = '{RAND_TEST_LANG}' THEN 0 ELSE 1 END
+                        AS grp
+               FROM documents),
+    obs AS (
+      SELECT SUM(CASE WHEN grp = 0 THEN n_chars END) * 1e0
+               / COUNT(CASE WHEN grp = 0 THEN 1 END)
+             - SUM(CASE WHEN grp = 1 THEN n_chars END) * 1e0
+               / COUNT(CASE WHEN grp = 1 THEN 1 END) AS diff
+      FROM d),
+    perm AS (
+      SELECT ks.k,
+             ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '_'
+                                 || CAST(ks.k AS VARCHAR)), 1, 1))::BIGINT % 2
+               AS coin,
+             d.n_chars
+      FROM d, (SELECT unnest(generate_series(0, {RAND_TEST_K - 1})) AS k) ks),
+    stat AS (
+      SELECT k,
+             SUM(CASE WHEN coin = 0 THEN n_chars END) * 1e0
+               / NULLIF(COUNT(CASE WHEN coin = 0 THEN 1 END), 0)
+             - SUM(CASE WHEN coin = 1 THEN n_chars END) * 1e0
+               / NULLIF(COUNT(CASE WHEN coin = 1 THEN 1 END), 0) AS s
+      FROM perm GROUP BY 1)
+    SELECT (ROUND(obs.diff, 6) + 0.0) AS obs_diff,
+           CAST(SUM(CASE WHEN ABS(stat.s) >= ABS(obs.diff)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
+           (ROUND((1 + SUM(CASE WHEN ABS(stat.s) >= ABS(obs.diff)
+                                THEN 1 ELSE 0 END)) * 1e0
+                  / ({RAND_TEST_K} + 1), 6) + 0.0) AS p_value
+    FROM stat CROSS JOIN obs
+    GROUP BY obs.diff
+    """,
+)
+def q265_randomization_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Randomization (Monte-Carlo permutation) test: is the
+    '{RAND_TEST_LANG}'-vs-rest mean document length difference
+    explainable by chance?  {RAND_TEST_K} deterministic md5-coin
+    relabelings of the corpus re-compute the mean difference under the
+    null; the p-value is the add-one-smoothed fraction of relabelings
+    at least as extreme as the observed split — the assumption-free
+    significance test teams reach for when t-test normality is
+    dubious (long-tailed document lengths).
+
+    Parity: every relabeling is the q58 md5 coin keyed on
+    (doc_id, k) — identical bytes in both engines; each statistic is
+    ONE double expression over exact integer sums (deterministic IEEE
+    eval), so the |s| ≥ |obs| comparisons agree exactly; the p-value
+    is a count ratio.
+
+    Scale shape: the ×{RAND_TEST_K} explode is map-side and collapses
+    to 2·{RAND_TEST_K} partial-agg cells before the shuffle; the
+    observed split is a 1-row attach.  Linear in corpus × K.
+    """
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        F.when(F.col("lang") == RAND_TEST_LANG, 0).otherwise(1).alias("grp"),
+    )
+    obs = d.agg(
+        (
+            F.sum(F.when(F.col("grp") == 0, F.col("n_chars")))
+            * F.expr("1e0")
+            / F.count(F.when(F.col("grp") == 0, F.lit(1)))
+            - F.sum(F.when(F.col("grp") == 1, F.col("n_chars")))
+            * F.expr("1e0")
+            / F.count(F.when(F.col("grp") == 1, F.lit(1)))
+        ).alias("diff")
+    )
+    coin = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "_", F.col("doc_id").cast("string"), F.col("k").cast("string")
+                    )
+                ),
+                1,
+                1,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    perm = d.select(
+        "doc_id",
+        "n_chars",
+        F.explode(F.sequence(F.lit(0), F.lit(RAND_TEST_K - 1))).alias("k"),
+    ).select("k", "n_chars", coin.alias("coin"))
+    stat = perm.groupBy("k").agg(
+        (
+            F.sum(F.when(F.col("coin") == 0, F.col("n_chars")))
+            * F.expr("1e0")
+            / F.nullif(F.count(F.when(F.col("coin") == 0, F.lit(1))), F.lit(0))
+            - F.sum(F.when(F.col("coin") == 1, F.col("n_chars")))
+            * F.expr("1e0")
+            / F.nullif(F.count(F.when(F.col("coin") == 1, F.lit(1))), F.lit(0))
+        ).alias("s")
+    )
+    extreme = (F.abs(F.col("s")) >= F.abs(F.col("diff"))).cast("long")
+    return (
+        stat.crossJoin(F.broadcast(obs))
+        .groupBy("diff")
+        .agg(
+            F.sum(extreme).cast("long").alias("n_extreme"),
+        )
+        .select(
+            dec(F.col("diff"), 6).alias("obs_diff"),
+            "n_extreme",
+            dec(
+                (1 + F.col("n_extreme")) * F.expr("1e0") / (RAND_TEST_K + 1), 6
+            ).alias("p_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q266 — monthly seasonal index of order revenue
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q266_seasonal_index",
+    oracle="""
+    WITH m AS (
+      SELECT EXTRACT(month FROM o_orderdate) AS mo,
+             SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+      FROM orders GROUP BY 1),
+    t AS (SELECT SUM(cents) AS total FROM m)
+    SELECT CAST(m.mo AS BIGINT) AS month,
+           CAST(m.cents AS BIGINT) AS revenue_cents,
+           (ROUND(12 * m.cents * 1e0 / t.total, 6) + 0.0) AS seasonal_index
+    FROM m CROSS JOIN t
+    """,
+)
+def q266_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-month seasonal index of order revenue: each month's
+    share of total revenue normalized so a flat year is 1.0 — the
+    first-pass seasonality profile behind q163's anomaly bands and
+    q211's forecast initialization (an index of 1.3 in December is the
+    multiplicative factor a naive forecast must carry).
+
+    Parity: integer cents; one division per output row, 6 dp.
+
+    Scale shape: one hash agg to 12 cells, a 1-row total attach — the
+    q190 weekday pattern on the month axis.
+    """
+    o = table(spark, sf_dir, "orders")
+    m = o.groupBy(F.month("o_orderdate").alias("mo")).agg(
+        F.sum(
+            F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)")
+        ).alias("cents")
+    )
+    t = m.agg(F.sum("cents").alias("total"))
+    return m.crossJoin(F.broadcast(t)).select(
+        F.col("mo").cast("long").alias("month"),
+        F.col("cents").cast("long").alias("revenue_cents"),
+        dec(12 * F.col("cents") * F.expr("1e0") / F.col("total"), 6).alias(
+            "seasonal_index"
+        ),
     )

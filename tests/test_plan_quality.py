@@ -96,6 +96,9 @@ BOUNDED_FILTER_HINT_OK = {
     "q241_histogram_selectivity",
     "q244_bottleneck_suppliers",  # broadcasts the 1-row multi-order total
     "q256_top_supplier",  # broadcasts the 1-row revenue-max aggregate
+    # broadcasts the 1-row observed-difference aggregate
+    "q265_randomization_test",
+    "q266_seasonal_index",  # broadcasts the 1-row revenue total
     # broadcasts the 1-row balance-threshold aggregate (Q22's scalar)
     "q249_idle_high_balance",
     # broadcasts the 1-row window aggregate + the bounded month-instant list
@@ -353,6 +356,10 @@ NESTED_LOOP_OK = {
     # five 1-row attaches (purity, totals, MI, two entropies) onto the
     # KM_K-row majority frame
     "q234_cluster_purity_nmi",
+    # 1-row observed-difference attach onto the K-row permutation frame
+    "q265_randomization_test",
+    # 1-row revenue-total attach onto the 12-row month frame
+    "q266_seasonal_index",
 }
 
 
