@@ -125,6 +125,10 @@ _ROTATION_TAIL = [
     "q264_pinball_backtest",
     "q265_randomization_test",
     "q266_seasonal_index",
+    "q267_cf_holdout_eval",
+    "q268_percent_rank_bands",
+    "q269_order_reconciliation",
+    "q270_repeat_purchase_interval",
     "q244_bottleneck_suppliers",
     "q245_littles_law",
     "q246_disjunctive_revenue",

@@ -2602,3 +2602,402 @@ def q266_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             "seasonal_index"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q267 — co-purchase CF holdout evaluation (precision/recall @ k)
+# ---------------------------------------------------------------------------
+
+CF_EVAL_SPLIT_YEAR = 1998
+CF_EVAL_K = 5
+
+
+def _cf_eval_ctes() -> str:
+    """Year-split capped basket explodes shared by the q267 oracle —
+    the q199 edge build restricted to train/test order years."""
+    return f"""
+    ob AS (SELECT l.l_orderkey,
+                  EXTRACT(year FROM o.o_orderdate) AS yr,
+                  (list_sort(list(DISTINCT l.l_partkey)))[1:{TRI_MAX_BASKET}]
+                    AS parts
+           FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+           GROUP BY 1, 2),
+    bx AS (SELECT l_orderkey, yr, unnest(parts) AS pk FROM ob),
+    tre AS (SELECT x.pk AS a, y.pk AS bb, COUNT(*) AS cnt
+            FROM bx x JOIN bx y
+              ON x.l_orderkey = y.l_orderkey AND x.pk < y.pk
+            WHERE x.yr < {CF_EVAL_SPLIT_YEAR}
+            GROUP BY 1, 2 HAVING COUNT(*) >= {TRI_MIN_SUPPORT}),
+    tse AS (SELECT DISTINCT x.pk AS a, y.pk AS bb
+            FROM bx x JOIN bx y
+              ON x.l_orderkey = y.l_orderkey AND x.pk < y.pk
+            WHERE x.yr >= {CF_EVAL_SPLIT_YEAR}),
+    trs AS (SELECT a AS p, bb AS nb, cnt FROM tre
+            UNION ALL SELECT bb, a, cnt FROM tre),
+    tss AS (SELECT a AS p, bb AS nb FROM tse
+            UNION ALL SELECT bb, a FROM tse),
+    recs AS (SELECT p, nb FROM trs
+             QUALIFY row_number() OVER (PARTITION BY p
+                                        ORDER BY cnt DESC, nb)
+                     <= {CF_EVAL_K})"""
+
+
+@query(
+    "q267_cf_holdout_eval",
+    oracle=f"""
+    WITH {_cf_eval_ctes()},
+    nrec AS (SELECT p, COUNT(*) AS n_recs FROM recs GROUP BY 1),
+    ntst AS (SELECT p, COUNT(*) AS n_test FROM tss GROUP BY 1),
+    hits AS (SELECT recs.p, COUNT(*) AS h
+             FROM recs JOIN tss ON tss.p = recs.p AND tss.nb = recs.nb
+             GROUP BY 1)
+    SELECT nrec.p AS part,
+           CAST(nrec.n_recs AS BIGINT) AS n_recs,
+           CAST(ntst.n_test AS BIGINT) AS n_test,
+           CAST(COALESCE(hits.h, 0) AS BIGINT) AS hits,
+           (ROUND(COALESCE(hits.h, 0) * 1e0 / nrec.n_recs, 6) + 0.0)
+             AS precision_at_k,
+           (ROUND(COALESCE(hits.h, 0) * 1e0 / ntst.n_test, 6) + 0.0)
+             AS recall
+    FROM nrec
+    JOIN ntst ON ntst.p = nrec.p
+    LEFT JOIN hits ON hits.p = nrec.p
+    """,
+)
+def q267_cf_holdout_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline evaluation of the co-purchase recommender: train top-
+    {CF_EVAL_K} neighbor lists on pre-{CF_EVAL_SPLIT_YEAR} orders
+    (support-thresholded co-counts, the q216 model family), test
+    against what was ACTUALLY co-purchased from
+    {CF_EVAL_SPLIT_YEAR} on — per-part precision@k and recall, the
+    holdout gate a mined model passes before it ships (q216 builds
+    the model; this query decides whether to believe it).
+
+    Parity: co-counts and hits are integers; the per-part rank uses
+    the total order (count desc, id); two divisions at 6 dp.
+
+    Scale shape: both splits reuse the capped basket explode (caps
+    observable via MINING_OBSERVATIONS); the top-k window partitions
+    by part over its support-thresholded candidates; hit counting is
+    one equi-join of bounded rec lists against the distinct test
+    pairs.
+    """
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("yr")
+    )
+    obs = Observation()
+    MINING_OBSERVATIONS["q267_cf_holdout_eval"] = obs
+    baskets = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "yr")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+        .observe(
+            obs,
+            F.count(F.lit(1)).alias("baskets"),
+            F.sum((F.size("parts") > TRI_MAX_BASKET).cast("long")).alias(
+                "capped_baskets"
+            ),
+            F.max(F.size("parts")).alias("max_basket_size"),
+        )
+    )
+    b = baskets.select(
+        "l_orderkey",
+        "yr",
+        F.explode(F.slice("parts", 1, TRI_MAX_BASKET)).alias("pk"),
+    )
+    pairs = (
+        b.select("l_orderkey", "yr", F.col("pk").alias("a"))
+        .join(
+            b.select("l_orderkey", F.col("pk").alias("bb")), "l_orderkey"
+        )
+        .filter(F.col("a") < F.col("bb"))
+    )
+    tre = (
+        pairs.filter(F.col("yr") < CF_EVAL_SPLIT_YEAR)
+        .groupBy("a", "bb")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= TRI_MIN_SUPPORT)
+    )
+    tse = (
+        pairs.filter(F.col("yr") >= CF_EVAL_SPLIT_YEAR)
+        .select("a", "bb")
+        .distinct()
+    )
+    trs = tre.select(F.col("a").alias("p"), F.col("bb").alias("nb"), "cnt").unionAll(
+        tre.select(F.col("bb").alias("p"), F.col("a").alias("nb"), "cnt")
+    )
+    tss = local_checkpoint(
+        tse.select(F.col("a").alias("p"), F.col("bb").alias("nb")).unionAll(
+            tse.select(F.col("bb").alias("p"), F.col("a").alias("nb"))
+        ),
+        "q267 test pairs",
+    )
+    wk = W.partitionBy("p").orderBy(F.col("cnt").desc(), "nb")
+    recs = local_checkpoint(
+        trs.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= CF_EVAL_K)
+        .select("p", "nb"),
+        "q267 rec lists",
+    )
+    nrec = recs.groupBy("p").agg(F.count("*").alias("n_recs"))
+    ntst = tss.groupBy("p").agg(F.count("*").alias("n_test"))
+    hits = recs.join(tss, ["p", "nb"]).groupBy("p").agg(
+        F.count("*").alias("h")
+    )
+    return (
+        nrec.join(ntst, "p")
+        .join(hits, "p", "left")
+        .select(
+            F.col("p").alias("part"),
+            F.col("n_recs").cast("long").alias("n_recs"),
+            F.col("n_test").cast("long").alias("n_test"),
+            F.coalesce(F.col("h"), F.lit(0)).cast("long").alias("hits"),
+            dec(
+                F.coalesce(F.col("h"), F.lit(0)) * F.expr("1e0") / F.col("n_recs"),
+                6,
+            ).alias("precision_at_k"),
+            dec(
+                F.coalesce(F.col("h"), F.lit(0)) * F.expr("1e0") / F.col("n_test"),
+                6,
+            ).alias("recall"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q268 — percent_rank / cume_dist price bands (§2.7 window-rank surface)
+# ---------------------------------------------------------------------------
+
+PRICE_BAND_CENTS = 10_000  # $100-wide bands
+
+
+@query(
+    "q268_percent_rank_bands",
+    oracle=f"""
+    WITH b AS (
+      SELECT l_returnflag AS flag,
+             CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+               // {PRICE_BAND_CENTS} AS band,
+             COUNT(*) AS n
+      FROM lineitem GROUP BY 1, 2)
+    SELECT flag, CAST(band AS BIGINT) AS band, CAST(n AS BIGINT) AS n,
+           (ROUND(percent_rank() OVER (PARTITION BY flag ORDER BY band),
+                  6) + 0.0) AS pr,
+           (ROUND(cume_dist() OVER (PARTITION BY flag ORDER BY band),
+                  6) + 0.0) AS cd
+    FROM b
+    """,
+)
+def q268_percent_rank_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank and cume_dist over $100 price bands per return
+    flag — the remaining §2.7 window-rank surface (q88 covers NTILE,
+    q35 dense_rank/lead).  Banding first means the window runs over
+    the BOUNDED (flag, band) collapse: distinct keys, so no peers and
+    the ROWS/RANGE frame distinction is moot (the q156 collapse rule),
+    and the rank fractions are exact rationals over integer positions.
+
+    Parity: integer banding (floor-div of cents — never F.round, the
+    q195 lesson); both rank functions are position ratios, 6 dp.
+
+    Scale shape: one hash agg collapses the scan to ≤ |flags|×|bands|
+    cells; the windows sort only that bounded frame.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    b = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.expr(
+            f"CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)"
+            f" div {PRICE_BAND_CENTS}"
+        ).alias("band"),
+    ).agg(F.count("*").alias("n"))
+    w = W.partitionBy("flag").orderBy("band")
+    return b.select(
+        "flag",
+        F.col("band").cast("long").alias("band"),
+        F.col("n").cast("long").alias("n"),
+        dec(F.percent_rank().over(w), 6).alias("pr"),
+        dec(F.cume_dist().over(w), 6).alias("cd"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q269 — order-total reconciliation audit
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q269_order_reconciliation",
+    oracle="""
+    WITH d AS (
+      SELECT o.o_orderkey,
+             CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS head_cents,
+             SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount)
+                            * (1 + l.l_tax) * 100 + 0.5) AS BIGINT))
+               AS line_cents
+      FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2),
+    lab AS (
+      SELECT CASE
+               WHEN line_cents IS NULL THEN 'no_lines'
+               WHEN head_cents = line_cents THEN 'exact'
+               ELSE CASE WHEN head_cents > line_cents THEN 'over_' ELSE 'under_' END
+                    || CAST(LEN(CAST(ABS(head_cents - line_cents) AS VARCHAR))
+                            AS VARCHAR) || 'digits'
+             END AS bucket,
+             COALESCE(ABS(head_cents - line_cents), 0) AS adiff
+      FROM d)
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(adiff) AS BIGINT) AS total_abs_diff_cents
+    FROM lab GROUP BY 1
+    """,
+)
+def q269_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-vs-detail reconciliation: o_totalprice against the sum
+    of its lines' discounted, taxed prices, bucketed by direction and
+    DECIMAL MAGNITUDE of the discrepancy (digits of the cent diff —
+    an integer magnitude class, no log10 at the parity boundary) —
+    the first financial-audit query run against any ingested ledger
+    (q170 reconciles totals; this attributes the residual per order).
+
+    Parity: per-line cents round ONCE per line then sum (integer);
+    magnitude = string length of the absolute diff.
+
+    Scale shape: one fact agg keyed on orderkey (map-combined), a
+    broadcast-eligible join back to orders, a bounded bucket agg.
+    """
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)").alias(
+            "head_cents"
+        ),
+    )
+    lc = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(FLOOR(l_extendedprice * (1 - l_discount)"
+                    " * (1 + l_tax) * 100 + 0.5) AS BIGINT)"
+                )
+            ).alias("line_cents")
+        )
+    )
+    d = o.join(lc, o.o_orderkey == lc.l_orderkey, "left")
+    diff = F.col("head_cents") - F.col("line_cents")
+    bucket = (
+        F.when(F.col("line_cents").isNull(), F.lit("no_lines"))
+        .when(diff == 0, F.lit("exact"))
+        .otherwise(
+            F.concat(
+                F.when(diff > 0, F.lit("over_")).otherwise(F.lit("under_")),
+                F.length(F.abs(diff).cast("string")).cast("string"),
+                F.lit("digits"),
+            )
+        )
+    )
+    return d.select(
+        bucket.alias("bucket"),
+        F.coalesce(F.abs(diff), F.lit(0)).alias("adiff"),
+    ).groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum("adiff").cast("long").alias("total_abs_diff_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q270 — repeat-purchase interval distribution per market segment
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q270_repeat_purchase_interval",
+    oracle="""
+    WITH o AS (
+      SELECT c.c_mktsegment AS seg, o.o_custkey,
+             CAST(o.o_orderdate AS DATE) AS od
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+    g AS (
+      SELECT seg,
+             date_diff('day',
+                       lag(od) OVER (PARTITION BY o_custkey
+                                     ORDER BY od, seg),
+                       od) AS gap
+      FROM o),
+    gv AS (SELECT seg, gap, COUNT(*) AS cnt FROM g
+           WHERE gap IS NOT NULL GROUP BY 1, 2),
+    kt AS (SELECT seg, SUM(cnt) AS n,
+                  (SUM(cnt) + 1) // 2 AS k50,
+                  (9 * SUM(cnt) + 9) // 10 AS k90
+           FROM gv GROUP BY 1),
+    cum AS (SELECT seg, gap,
+                   SUM(cnt) OVER (PARTITION BY seg ORDER BY gap
+                                  ROWS UNBOUNDED PRECEDING) AS cum
+            FROM gv)
+    SELECT kt.seg AS segment,
+           CAST(kt.n AS BIGINT) AS n_gaps,
+           CAST(MIN(CASE WHEN cum.cum >= kt.k50 THEN cum.gap END) AS BIGINT)
+             AS median_gap_days,
+           CAST(MIN(CASE WHEN cum.cum >= kt.k90 THEN cum.gap END) AS BIGINT)
+             AS p90_gap_days
+    FROM kt JOIN cum ON cum.seg = kt.seg
+    GROUP BY 1, 2
+    """,
+)
+def q270_repeat_purchase_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase cadence per market segment: the (lower) median
+    and p90 of days between a customer's consecutive orders — the
+    inter-purchase-time distribution behind churn thresholds (q249's
+    "idle" cutoff) and session gaps (q251's sweep), computed as EXACT
+    order statistics, never an interpolating percentile.
+
+    Parity: calendar-day gaps are integers (date_diff('day') on DATEs
+    == Spark datediff); the k-th statistics read off a cumulative
+    window over the bounded (segment, gap) collapse — the q227/q264
+    rank pattern; ordering ties inside a customer's same-day orders
+    are broken by the stable (od, seg) sort both engines share.
+
+    Scale shape: the lag window partitions per customer (its frame is
+    that customer's orders); gaps collapse to (segment, distinct gap)
+    before the rank windows, bounded by the calendar span.
+    """
+    o = (
+        table(spark, sf_dir, "orders")
+        .join(
+            table(spark, sf_dir, "customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            "o_custkey",
+            F.to_date("o_orderdate").alias("od"),
+        )
+    )
+    lagw = W.partitionBy("o_custkey").orderBy("od", "seg")
+    g = o.select(
+        "seg", F.datediff(F.col("od"), F.lag("od").over(lagw)).alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    gv = g.groupBy("seg", "gap").agg(F.count("*").alias("cnt"))
+    kt = gv.groupBy("seg").agg(
+        F.sum("cnt").alias("n"),
+        F.expr("CAST((SUM(cnt) + 1) div 2 AS BIGINT)").alias("k50"),
+        F.expr("CAST((9 * SUM(cnt) + 9) div 10 AS BIGINT)").alias("k90"),
+    )
+    cum_w = (
+        W.partitionBy("seg").orderBy("gap").rowsBetween(W.unboundedPreceding, 0)
+    )
+    cum = gv.withColumn("cum", F.sum("cnt").over(cum_w))
+    return (
+        kt.join(cum, "seg")
+        .groupBy(F.col("seg").alias("segment"), F.col("n").cast("long").alias("n_gaps"))
+        .agg(
+            F.min(F.when(F.col("cum") >= F.col("k50"), F.col("gap")))
+            .cast("long")
+            .alias("median_gap_days"),
+            F.min(F.when(F.col("cum") >= F.col("k90"), F.col("gap")))
+            .cast("long")
+            .alias("p90_gap_days"),
+        )
+    )
