@@ -129,6 +129,10 @@ _ROTATION_TAIL = [
     "q268_percent_rank_bands",
     "q269_order_reconciliation",
     "q270_repeat_purchase_interval",
+    "q271_dedup_savings",
+    "q272_runtime_filter_audit",
+    "q273_capture_recapture",
+    "q274_iqr_outlier_fences",
     "q244_bottleneck_suppliers",
     "q245_littles_law",
     "q246_disjunctive_revenue",

@@ -3001,3 +3001,321 @@ def q270_repeat_purchase_interval(spark: SparkSession, sf_dir: str) -> DataFrame
             .alias("p90_gap_days"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q271 — exact-dedup savings report per source
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q271_dedup_savings",
+    oracle="""
+    WITH keep AS (
+      SELECT MIN(doc_id) AS keep_doc_id FROM documents GROUP BY text),
+    d AS (SELECT doc_id, source,
+                 LEN(string_split(text, ' ')) AS toks
+          FROM documents)
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(k.keep_doc_id) AS BIGINT) AS n_kept,
+           CAST(SUM(d.toks) AS BIGINT) AS tokens,
+           CAST(SUM(CASE WHEN k.keep_doc_id IS NULL THEN 0 ELSE d.toks END)
+                AS BIGINT) AS tokens_kept,
+           (ROUND(1e0 - SUM(CASE WHEN k.keep_doc_id IS NULL THEN 0
+                                 ELSE d.toks END) * 1e0
+                        / SUM(d.toks), 6) + 0.0) AS token_savings
+    FROM d LEFT JOIN keep k ON k.keep_doc_id = d.doc_id
+    GROUP BY 1
+    """,
+)
+def q271_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup impact report: per source, how many documents AND
+    whitespace tokens survive q40's digest dedup — the savings
+    statement a curation team attaches to every dedup run (tokens, not
+    docs, are what the training budget buys; a source can lose 2% of
+    docs and 30% of tokens).  Composes the REGISTERED q40 operator so
+    the keep-set can never drift from the dedup contract (the q99/q232
+    composition rule).
+
+    Parity: token counts are split-array lengths (integers); one
+    savings ratio at 6 dp.  q40 keeps MIN(doc_id) per digest; the
+    oracle groups by raw text (identical absent sha256 collisions —
+    q40's own documented equivalence).
+
+    Scale shape: q40's digest-keyed shuffle + one left join back on
+    doc_id + a |sources|-cell agg; token counting is map-side.
+    """
+    from datapipeline_dags_spark.plans.llm_ops import q40_dedup_exact
+
+    keep = q40_dedup_exact(spark, sf_dir).select("keep_doc_id")
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("toks")
+    )
+    j = d.join(keep, d.doc_id == keep.keep_doc_id, "left")
+    kept_toks = F.sum(
+        F.when(F.col("keep_doc_id").isNull(), 0).otherwise(F.col("toks"))
+    )
+    return j.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.count("keep_doc_id").cast("long").alias("n_kept"),
+        F.sum("toks").cast("long").alias("tokens"),
+        kept_toks.cast("long").alias("tokens_kept"),
+        dec(
+            F.expr("1e0") - kept_toks * F.expr("1e0") / F.sum("toks"), 6
+        ).alias("token_savings"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q272 — runtime-filter (semi-join reduction) audit
+# ---------------------------------------------------------------------------
+
+RF_PRIORITY = "1-URGENT"
+RF_YEAR = 1998
+
+
+@query(
+    "q272_runtime_filter_audit",
+    oracle=f"""
+    WITH sel AS (
+      SELECT o_orderkey FROM orders
+      WHERE o_orderpriority = '{RF_PRIORITY}'
+        AND EXTRACT(year FROM o_orderdate) = {RF_YEAR}),
+    t AS (SELECT (SELECT COUNT(*) FROM orders) AS n_orders,
+                 (SELECT COUNT(*) FROM sel) AS n_sel,
+                 (SELECT COUNT(*) FROM lineitem) AS n_lines,
+                 (SELECT COUNT(*) FROM lineitem l
+                   WHERE EXISTS (SELECT 1 FROM sel
+                                 WHERE sel.o_orderkey = l.l_orderkey))
+                   AS n_surviving)
+    SELECT CAST(n_orders AS BIGINT) AS n_orders,
+           CAST(n_sel AS BIGINT) AS n_selected_orders,
+           CAST(n_lines AS BIGINT) AS n_lines,
+           CAST(n_surviving AS BIGINT) AS n_surviving_lines,
+           (ROUND(n_sel * 1e0 / n_orders, 6) + 0.0) AS order_selectivity,
+           (ROUND(1e0 - n_surviving * 1e0 / n_lines, 6) + 0.0)
+             AS line_reduction
+    FROM t
+    """,
+)
+def q272_runtime_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter benefit audit: how much of the fact scan a
+    dimension-side predicate ('{RF_PRIORITY}' orders of {RF_YEAR})
+    would eliminate if pushed across the join as a runtime filter
+    (DPP / bloom / semi-join reduction) — the measurement that decides
+    whether enabling spark.sql.optimizer.runtimeFilter.* pays on a
+    workload; completes the q233/q240/q241/q248 planner-statistics
+    family with the JOIN-side estimate.
+
+    Parity: four exact counts and two divisions.
+
+    Scale shape: the surviving-line count IS the semi join the audit
+    models (LeftSemi on orderkey); the other three counts are
+    map-combined scans; final row is a 1-row assembly.
+    """
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    sel = orders.filter(
+        (F.col("o_orderpriority") == RF_PRIORITY)
+        & (F.year("o_orderdate") == RF_YEAR)
+    ).select("o_orderkey")
+    n_orders = orders.agg(F.count("*").alias("n_orders"))
+    n_sel = sel.agg(F.count("*").alias("n_sel"))
+    n_lines = li.agg(F.count("*").alias("n_lines"))
+    n_surv = (
+        li.join(sel, li.l_orderkey == sel.o_orderkey, "left_semi")
+        .agg(F.count("*").alias("n_surviving"))
+    )
+    return (
+        n_orders.crossJoin(F.broadcast(n_sel))
+        .crossJoin(F.broadcast(n_lines))
+        .crossJoin(F.broadcast(n_surv))
+        .select(
+            F.col("n_orders").cast("long").alias("n_orders"),
+            F.col("n_sel").cast("long").alias("n_selected_orders"),
+            F.col("n_lines").cast("long").alias("n_lines"),
+            F.col("n_surviving").cast("long").alias("n_surviving_lines"),
+            dec(F.col("n_sel") * F.expr("1e0") / F.col("n_orders"), 6).alias(
+                "order_selectivity"
+            ),
+            dec(
+                F.expr("1e0")
+                - F.col("n_surviving") * F.expr("1e0") / F.col("n_lines"),
+                6,
+            ).alias("line_reduction"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q273 — capture-recapture corpus-overlap estimate
+# ---------------------------------------------------------------------------
+
+CR_SOURCE_A = "src0"
+CR_SOURCE_B = "src1"
+
+
+@query(
+    "q273_capture_recapture",
+    oracle=f"""
+    WITH docs AS (SELECT source, {_SHINGLES_SQL} AS sh FROM documents
+                  WHERE source IN ('{CR_SOURCE_A}', '{CR_SOURCE_B}')),
+    s AS (SELECT DISTINCT source, unnest(sh) AS s FROM docs),
+    a AS (SELECT s FROM s WHERE source = '{CR_SOURCE_A}'),
+    b AS (SELECT s FROM s WHERE source = '{CR_SOURCE_B}'),
+    t AS (SELECT (SELECT COUNT(*) FROM a) AS n1,
+                 (SELECT COUNT(*) FROM b) AS n2,
+                 (SELECT COUNT(*) FROM a JOIN b ON a.s = b.s) AS m,
+                 (SELECT COUNT(DISTINCT s) FROM s) AS actual_union)
+    SELECT CAST(n1 AS BIGINT) AS n_a,
+           CAST(n2 AS BIGINT) AS n_b,
+           CAST(m AS BIGINT) AS n_overlap,
+           CAST(actual_union AS BIGINT) AS actual_union,
+           CAST(CASE WHEN m = 0 THEN NULL
+                     ELSE n1 * n2 // m END AS BIGINT) AS lincoln_petersen
+    FROM t
+    """,
+)
+def q273_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capture-recapture (Lincoln–Petersen) estimate of the underlying
+    shingle population from two sources' samples: N̂ = n₁·n₂/m where m
+    is the observed overlap — the mark-recapture estimator data teams
+    use to size "how much unique content is left" from two crawls of
+    the same domain (q229 estimates richness from ONE sample's
+    frequency profile; this triangulates from TWO samples' overlap).
+
+    Parity: distinct counts and an integer floor-division (NULL when
+    disjoint); the actual union is reported next to the estimate.
+
+    Scale shape: one distinct (source, shingle) collapse; the overlap
+    is a shingle-keyed self-join of the two pruned sides; all counts
+    map-combine.
+    """
+    docs = _fanout(
+        spark,
+        table(spark, sf_dir, "documents").filter(
+            F.col("source").isin(CR_SOURCE_A, CR_SOURCE_B)
+        ),
+    ).select("source", _shingles(F.col("text")).alias("sh"))
+    s = docs.select("source", F.explode("sh").alias("s")).distinct()
+    a = s.filter(F.col("source") == CR_SOURCE_A).select("s")
+    b = s.filter(F.col("source") == CR_SOURCE_B).select("s")
+    n1 = a.agg(F.count("*").alias("n1"))
+    n2 = b.agg(F.count("*").alias("n2"))
+    m = a.join(b, "s").agg(F.count("*").alias("m"))
+    uni = s.select("s").distinct().agg(F.count("*").alias("actual_union"))
+    return (
+        n1.crossJoin(F.broadcast(n2))
+        .crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(uni))
+        .select(
+            F.col("n1").cast("long").alias("n_a"),
+            F.col("n2").cast("long").alias("n_b"),
+            F.col("m").cast("long").alias("n_overlap"),
+            F.col("actual_union").cast("long").alias("actual_union"),
+            F.when(
+                F.col("m") == 0, F.lit(None).cast("long")
+            )
+            .otherwise(F.expr("CAST(n1 * n2 div m AS BIGINT)"))
+            .alias("lincoln_petersen"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q274 — Tukey IQR outlier fences per event type
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q274_iqr_outlier_fences",
+    oracle="""
+    WITH e AS (SELECT event_type,
+                      CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+               FROM events),
+    gv AS (SELECT event_type, c, COUNT(*) AS cnt FROM e GROUP BY 1, 2),
+    kt AS (SELECT event_type, SUM(cnt) AS n,
+                  (SUM(cnt) + 3) // 4 AS k1,
+                  (3 * SUM(cnt) + 3) // 4 AS k3
+           FROM gv GROUP BY 1),
+    cum AS (SELECT event_type, c,
+                   SUM(cnt) OVER (PARTITION BY event_type ORDER BY c
+                                  ROWS UNBOUNDED PRECEDING) AS cum
+            FROM gv),
+    q AS (SELECT kt.event_type, kt.n,
+                 MIN(CASE WHEN cum.cum >= kt.k1 THEN cum.c END) AS q1,
+                 MIN(CASE WHEN cum.cum >= kt.k3 THEN cum.c END) AS q3
+          FROM kt JOIN cum ON cum.event_type = kt.event_type
+          GROUP BY 1, 2)
+    SELECT e.event_type,
+           CAST(ANY_VALUE(q.n) AS BIGINT) AS n,
+           CAST(ANY_VALUE(q.q1) AS BIGINT) AS q1_cents,
+           CAST(ANY_VALUE(q.q3) AS BIGINT) AS q3_cents,
+           CAST(SUM(CASE WHEN 2 * e.c < 2 * q.q1 - 3 * (q.q3 - q.q1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_low_outliers,
+           CAST(SUM(CASE WHEN 2 * e.c > 2 * q.q3 + 3 * (q.q3 - q.q1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_high_outliers
+    FROM e JOIN q ON q.event_type = e.event_type
+    GROUP BY 1
+    """,
+)
+def q274_iqr_outlier_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey fences per event type: values beyond Q1−1.5·IQR /
+    Q3+1.5·IQR, with the quartiles as EXACT k-th order statistics
+    (k=⌈n/4⌉, ⌈3n/4⌉) over the (type, cents) collapse — the IQR
+    sibling of q202's MAD outliers (IQR is what box-plots and most
+    alerting defaults use; MAD is the heavier-tailed robust scale).
+
+    Parity: cents quantization, integer rank cuts, and the 1.5·IQR
+    fences as the ×2-scaled integer comparisons 2c < 2q1−3·IQR — no
+    float touches the boundary.
+
+    Scale shape: the q264/q270 collapse-then-rank pattern (bounded by
+    the value domain); the fence pass re-joins the 5-row quartile
+    table map-side.
+    """
+    e = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").alias("c"),
+    )
+    gv = e.groupBy("event_type", "c").agg(F.count("*").alias("cnt"))
+    kt = gv.groupBy("event_type").agg(
+        F.sum("cnt").alias("n"),
+        F.expr("CAST((SUM(cnt) + 3) div 4 AS BIGINT)").alias("k1"),
+        F.expr("CAST((3 * SUM(cnt) + 3) div 4 AS BIGINT)").alias("k3"),
+    )
+    cum_w = (
+        W.partitionBy("event_type")
+        .orderBy("c")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    cum = gv.withColumn("cum", F.sum("cnt").over(cum_w))
+    q = (
+        kt.join(cum, "event_type")
+        .groupBy("event_type", "n")
+        .agg(
+            F.min(F.when(F.col("cum") >= F.col("k1"), F.col("c"))).alias("q1"),
+            F.min(F.when(F.col("cum") >= F.col("k3"), F.col("c"))).alias("q3"),
+        )
+    )
+    iqr = F.col("q3") - F.col("q1")
+    return (
+        e.join(q, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.first("n").cast("long").alias("n"),
+            F.first("q1").cast("long").alias("q1_cents"),
+            F.first("q3").cast("long").alias("q3_cents"),
+            F.sum(
+                (2 * F.col("c") < 2 * F.col("q1") - 3 * iqr).cast("long")
+            )
+            .cast("long")
+            .alias("n_low_outliers"),
+            F.sum(
+                (2 * F.col("c") > 2 * F.col("q3") + 3 * iqr).cast("long")
+            )
+            .cast("long")
+            .alias("n_high_outliers"),
+        )
+    )

@@ -99,6 +99,10 @@ BOUNDED_FILTER_HINT_OK = {
     # broadcasts the 1-row observed-difference aggregate
     "q265_randomization_test",
     "q266_seasonal_index",  # broadcasts the 1-row revenue total
+    # broadcasts three 1-row count aggregates into the audit row
+    "q272_runtime_filter_audit",
+    # broadcasts three 1-row count aggregates into the estimate row
+    "q273_capture_recapture",
     # broadcasts the 1-row balance-threshold aggregate (Q22's scalar)
     "q249_idle_high_balance",
     # broadcasts the 1-row window aggregate + the bounded month-instant list
@@ -360,6 +364,10 @@ NESTED_LOOP_OK = {
     "q265_randomization_test",
     # 1-row revenue-total attach onto the 12-row month frame
     "q266_seasonal_index",
+    # four 1-row count attaches assembled into the single audit row
+    "q272_runtime_filter_audit",
+    # four 1-row count/estimate attaches assembled into the single row
+    "q273_capture_recapture",
 }
 
 
