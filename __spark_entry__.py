@@ -133,6 +133,8 @@ _ROTATION_TAIL = [
     "q272_runtime_filter_audit",
     "q273_capture_recapture",
     "q274_iqr_outlier_fences",
+    "q275_video_keyframes",
+    "q276_lsh_band_sweep",
     "q244_bottleneck_suppliers",
     "q245_littles_law",
     "q246_disjunctive_revenue",

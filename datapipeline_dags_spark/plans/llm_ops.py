@@ -8942,3 +8942,237 @@ def q252_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# q276 — LSH band-configuration sweep (recall/precision calibration)
+# ---------------------------------------------------------------------------
+
+#: (bands, rows) partitions of the MINHASH_H=12 signature swept in one
+#: signature pass; b·r = 12 for every config.
+LSH_SWEEP_CONFIGS = ((6, 2), (4, 3), (3, 4), (2, 6))
+
+
+def _q276_oracle() -> str:
+    sig_cols = ", ".join(
+        f"list_min(list_transform(hp, p -> p.h1 + {i} * p.h2)) AS m{i}"
+        for i in range(MINHASH_H)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT {cfg} AS cfg, doc_id, {b} AS band, {key} AS key FROM sig".format(
+            cfg=ci,
+            b=b,
+            key=" || '|' || ".join(
+                f"CAST(m{b * r + k} AS VARCHAR)" for k in range(r)
+            ),
+        )
+        for ci, (nb, r) in enumerate(LSH_SWEEP_CONFIGS)
+        for b in range(nb)
+    )
+    cfg_rows = " UNION ALL ".join(
+        f"SELECT {ci} AS cfg, {nb} AS b, {r} AS r"
+        for ci, (nb, r) in enumerate(LSH_SWEEP_CONFIGS)
+    )
+    return f"""
+    WITH docs AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents),
+    hp AS (SELECT doc_id, sh,
+           list_transform(list_transform(sh, s -> md5(s)),
+             h -> {{'h1': ('0x' || substr(h, 1, 15))::BIGINT,
+                    'h2': ('0x' || substr(h, 17, 8))::BIGINT}}) AS hp
+           FROM docs),
+    sig AS (SELECT doc_id, {sig_cols} FROM hp),
+    bands AS ({band_selects}),
+    cand AS (SELECT DISTINCT x.cfg, x.doc_id AS a, y.doc_id AS bb
+             FROM bands x JOIN bands y
+               ON x.cfg = y.cfg AND x.band = y.band AND x.key = y.key
+              AND x.doc_id < y.doc_id),
+    dp AS (SELECT DISTINCT a, bb FROM cand),
+    ver AS (SELECT dp.a, dp.bb,
+                   CASE WHEN len(list_intersect(da.sh, db.sh)) * 1.0
+                             / len(list_distinct(list_concat(da.sh, db.sh)))
+                             >= {JACCARD_T} THEN 1 ELSE 0 END AS is_true
+            FROM dp
+            JOIN docs da ON da.doc_id = dp.a
+            JOIN docs db ON db.doc_id = dp.bb),
+    ex AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+    tp AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS bb
+           FROM ex x JOIN ex y ON x.s = y.s AND x.doc_id < y.doc_id),
+    truth AS (
+      SELECT COUNT(*) AS total FROM tp
+      JOIN docs da ON da.doc_id = tp.a
+      JOIN docs db ON db.doc_id = tp.bb
+      WHERE len(list_intersect(da.sh, db.sh)) * 1.0
+            / len(list_distinct(list_concat(da.sh, db.sh))) >= {JACCARD_T}),
+    per AS (
+      SELECT cand.cfg, COUNT(*) AS n_candidates,
+             SUM(ver.is_true) AS n_true
+      FROM cand JOIN ver ON ver.a = cand.a AND ver.bb = cand.bb
+      GROUP BY 1)
+    SELECT c.b AS bands, c.r AS rows_per_band,
+           CAST(COALESCE(per.n_candidates, 0) AS BIGINT) AS n_candidates,
+           CAST(COALESCE(per.n_true, 0) AS BIGINT) AS n_true_pairs,
+           CAST(t.total AS BIGINT) AS truth_total,
+           (ROUND(COALESCE(per.n_true, 0) * 1e0 / t.total, 6) + 0.0)
+             AS recall,
+           (ROUND(COALESCE(per.n_true, 0) * 1e0
+                  / NULLIF(per.n_candidates, 0), 6) + 0.0) AS precision
+    FROM ({cfg_rows}) c
+    LEFT JOIN per ON per.cfg = c.cfg
+    CROSS JOIN truth t
+    """
+
+
+@query("q276_lsh_band_sweep", oracle=_q276_oracle())
+def q276_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding calibration sweep: candidate volume, verified true
+    pairs, recall and precision for every (bands, rows) partition of
+    the 12-hash MinHash signature — computed from ONE signature pass
+    (the sweep-as-filtered-aggregates discipline of q251/q252; q135
+    calibrates the Jaccard ESTIMATE, this calibrates the BLOCKING).
+    The S-curve tradeoff (more bands → higher recall, more candidates)
+    is measured, not assumed, before a threshold ships to q41.
+
+    Parity: candidates and hits are integer counts; truth is the
+    exact shared-shingle pair set at Jaccard ≥ {JACCARD_T} (complete —
+    a pair at J ≥ 0.5 shares a shingle); two 6-dp divisions.
+
+    Scale shape: signatures compute once; each config's band keys
+    explode map-side; hot (cfg, band, key) buckets chunk-distribute
+    (zero recall loss, observable); exact verification touches only
+    distinct candidate pairs; the truth pass rides q43's chunked
+    postings machinery.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    docs = (
+        _fanout(spark, table(spark, sf_dir, "documents"))
+        .select("doc_id", _shingles(F.col("text")).alias("sh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    hp = F.transform(
+        F.transform(F.col("sh"), lambda s: F.md5(s)),
+        lambda h: F.struct(
+            F.conv(F.substring(h, 1, 15), 16, 10).cast("long").alias("h1"),
+            F.conv(F.substring(h, 17, 8), 16, 10).cast("long").alias("h2"),
+        ),
+    )
+    hashed = docs.select("doc_id", hp.alias("hp"))
+
+    def minhash(i: int) -> Column:
+        mult = F.lit(i).cast("long")
+        return F.array_min(
+            F.transform(F.col("hp"), lambda p: p["h1"] + mult * p["h2"])
+        )
+
+    sigs = hashed.select(
+        "doc_id", *[minhash(i).alias(f"m{i}") for i in range(MINHASH_H)]
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    per_cfg_bands = []
+    for ci, (nb, r) in enumerate(LSH_SWEEP_CONFIGS):
+        keys = [
+            F.concat_ws(
+                "|", *[F.col(f"m{b * r + k}") for k in range(r)]
+            )
+            for b in range(nb)
+        ]
+        per_cfg_bands.append(
+            sigs.select(
+                F.lit(ci).alias("cfg"),
+                "doc_id",
+                F.posexplode(F.array(*keys)).alias("band", "key"),
+            )
+        )
+    bands = per_cfg_bands[0]
+    for extra in per_cfg_bands[1:]:
+        bands = bands.unionAll(extra)
+    bucketed = (
+        bands.groupBy("cfg", "band", "key")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    cand = (
+        blocking.chunk_buckets(bucketed, "q276_lsh_band_sweep", "ids")
+        .select("cfg", F.explode(blocking.chunk_pair_structs()).alias("p"))
+        .select("cfg", F.col("p.a").alias("a"), F.col("p.b").alias("bb"))
+        .distinct()
+    )
+    dp = cand.select("a", "bb").distinct()
+    sets = docs.select("doc_id", "sh")
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    ver = (
+        dp.join(
+            sets.select(F.col("doc_id").alias("a"), F.col("sh").alias("sh_a")),
+            "a",
+        )
+        .join(
+            sets.select(F.col("doc_id").alias("bb"), F.col("sh").alias("sh_b")),
+            "bb",
+        )
+        .select("a", "bb", (jac >= JACCARD_T).cast("long").alias("is_true"))
+    )
+    per = (
+        cand.join(ver, ["a", "bb"])
+        .groupBy("cfg")
+        .agg(
+            F.count("*").alias("n_candidates"),
+            F.sum("is_true").alias("n_true"),
+        )
+    )
+    # exact truth: q43's chunked shared-shingle postings + J >= T verify
+    ex = docs.select("doc_id", F.explode("sh").alias("s"))
+    postings = (
+        ex.groupBy("s")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    tp = (
+        blocking.chunk_buckets(postings, "q276_lsh_band_sweep_truth", "ids")
+        .select(F.explode(blocking.chunk_pair_structs()).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("bb"))
+        .distinct()
+    )
+    truth = (
+        tp.join(
+            sets.select(F.col("doc_id").alias("a"), F.col("sh").alias("sh_a")),
+            "a",
+        )
+        .join(
+            sets.select(F.col("doc_id").alias("bb"), F.col("sh").alias("sh_b")),
+            "bb",
+        )
+        .filter(jac >= JACCARD_T)
+        .agg(F.count("*").alias("total"))
+    )
+    cfgs = spark.createDataFrame(
+        [(ci, nb, r) for ci, (nb, r) in enumerate(LSH_SWEEP_CONFIGS)],
+        "cfg int, b int, r int",
+    )
+    return (
+        cfgs.join(per, "cfg", "left")
+        .crossJoin(F.broadcast(truth))
+        .select(
+            F.col("b").alias("bands"),
+            F.col("r").alias("rows_per_band"),
+            F.coalesce(F.col("n_candidates"), F.lit(0))
+            .cast("long")
+            .alias("n_candidates"),
+            F.coalesce(F.col("n_true"), F.lit(0))
+            .cast("long")
+            .alias("n_true_pairs"),
+            F.col("total").cast("long").alias("truth_total"),
+            dec(
+                F.coalesce(F.col("n_true"), F.lit(0))
+                * F.expr("1e0")
+                / F.col("total"),
+                6,
+            ).alias("recall"),
+            dec(
+                F.coalesce(F.col("n_true"), F.lit(0))
+                * F.expr("1e0")
+                / F.nullif(F.col("n_candidates"), F.lit(0)),
+                6,
+            ).alias("precision"),
+        )
+    )

@@ -33,6 +33,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
@@ -597,4 +598,110 @@ def q205_audio_energy_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         hamming_t=AUD_HAMMING_T,
         name="q205_audio_energy_neardup",
         corpus_size_fn=_doc_corpus_size_fn(spark, sf_dir),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q275 — video keyframe (scene-change) detection
+# ---------------------------------------------------------------------------
+
+#: consecutive-frame dHash Hamming above this marks a scene change
+KEYFRAME_T = 8
+
+
+def _q275_oracle() -> str:
+    """The q174 integer frame-dHash derivation with EVERY frame kept
+    (every_n=1) + a per-document lag window: delta = Hamming between
+    consecutive frame hashes, keyframe = first frame or delta >
+    {KEYFRAME_T}."""
+    side, n_px = VID_SIDE, VID_SIDE * VID_SIDE
+    return f"""
+    WITH docs AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents),
+    s AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+    dig AS (SELECT doc_id, md5(s) AS h,
+                   ('0x'||substr(md5(s), 31, 2))::BIGINT % {VID_FRAMES} AS f
+            FROM s),
+    ks AS (SELECT unnest(generate_series(0, {N_PIXEL_HASHES - 1})) AS k),
+    hits AS (
+      SELECT doc_id, f,
+             (('0x'||substr(h, 8*k+1, 2))::BIGINT
+              + ('0x'||substr(h, 8*k+3, 2))::BIGINT * 256
+              + ('0x'||substr(h, 8*k+5, 2))::BIGINT * 65536) % {n_px} AS pix,
+             ('0x'||substr(h, 8*k+7, 2))::BIGINT AS v
+      FROM dig, ks),
+    lit AS (SELECT doc_id, f, pix, MAX(v) AS v FROM hits GROUP BY doc_id, f, pix),
+    fr AS (SELECT doc_id, fs.f
+           FROM (SELECT doc_id FROM documents) d,
+                (SELECT unnest(generate_series(0, {VID_FRAMES - 1})) AS f) fs),
+    grid AS (SELECT x, y,
+                    LEAST({side - 1}, (y*{side})//{DHASH_H}) * {side}
+                    + LEAST({side - 1}, (x*{side})//{DHASH_W}) AS pos
+             FROM (SELECT unnest(generate_series(0, {DHASH_W - 1})) AS x),
+                  (SELECT unnest(generate_series(0, {DHASH_H - 1})) AS y)),
+    small AS (
+      SELECT d.doc_id, d.f, g.x, g.y, COALESCE(l.v, 0) AS v
+      FROM fr d
+      CROSS JOIN grid g
+      LEFT JOIN lit l ON l.doc_id = d.doc_id AND l.f = d.f AND l.pix = g.pos),
+    hsh AS (
+      SELECT a.doc_id, a.f,
+             BIT_OR(CASE WHEN a.v > b.v
+                    THEN (CAST(1 AS UBIGINT) << (63 - (a.y*{DHASH_W - 1} + a.x)))
+                    ELSE CAST(0 AS UBIGINT) END) AS u
+      FROM small a JOIN small b
+        ON a.doc_id = b.doc_id AND a.f = b.f AND a.y = b.y AND b.x = a.x + 1
+      WHERE a.x < {DHASH_W - 1}
+      GROUP BY a.doc_id, a.f),
+    lagd AS (
+      SELECT doc_id, f, u,
+             lag(u) OVER (PARTITION BY doc_id ORDER BY f) AS pu
+      FROM hsh)
+    SELECT doc_id, CAST(f AS BIGINT) AS f,
+           CAST(COALESCE(bit_count(xor(u, pu)), -1) AS BIGINT)
+             AS delta_hamming,
+           CAST(CASE WHEN f = 0
+                       OR bit_count(xor(u, pu)) > {KEYFRAME_T}
+                     THEN 1 ELSE 0 END AS BIGINT) AS is_keyframe
+    FROM lagd
+    """
+
+
+@query("q275_video_keyframes", oracle=_q275_oracle())
+def q275_video_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyframe (scene-change) detection over the rendered video
+    corpus: EVERY frame is dHashed (``sample_frames`` with every_n=1 —
+    the same explode-shaped operator q174 samples with), and a frame
+    is a keyframe when it opens the video or its Hamming distance to
+    the previous frame exceeds {KEYFRAME_T} — the shot-boundary pass a
+    video-training pipeline runs before picking representative frames
+    (q174 dedups across videos; this segments within one).
+
+    Parity: the per-frame hash is q174's pure-integer derivation;
+    delta = bit_count(xor) on consecutive frames via a per-document
+    lag window; first-frame delta is the sentinel -1.
+
+    Scale shape: pixels exist only inside the two Arrow passes; the
+    lag window partitions per document over ≤ {VID_FRAMES} rows; no
+    joins beyond the window.
+    """
+    frames = sample_frames(render_doc_videos(spark, sf_dir), every_n=1)
+    fid = (
+        F.col("path").cast("long") * VID_FRAMES + F.col("frame_idx")
+    ).alias("id")
+    hashes = dhash_images(
+        frames.select(fid, F.col("frame").alias("content"))
+    ).select(
+        F.floor(F.col("id") / VID_FRAMES).cast("long").alias("doc_id"),
+        (F.col("id") % VID_FRAMES).cast("long").alias("f"),
+        "dhash",
+    )
+    w = W.partitionBy("doc_id").orderBy("f")
+    delta = F.bit_count(F.col("dhash").bitwiseXOR(F.lag("dhash").over(w)))
+    return hashes.select("doc_id", "f", delta.alias("d")).select(
+        "doc_id",
+        "f",
+        F.coalesce(F.col("d"), F.lit(-1)).cast("long").alias("delta_hamming"),
+        ((F.col("f") == 0) | (F.col("d") > KEYFRAME_T))
+        .cast("long")
+        .alias("is_keyframe"),
     )

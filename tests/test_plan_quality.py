@@ -103,6 +103,8 @@ BOUNDED_FILTER_HINT_OK = {
     "q272_runtime_filter_audit",
     # broadcasts three 1-row count aggregates into the estimate row
     "q273_capture_recapture",
+    # broadcasts the 1-row exact-truth count onto the 4-config frame
+    "q276_lsh_band_sweep",
     # broadcasts the 1-row balance-threshold aggregate (Q22's scalar)
     "q249_idle_high_balance",
     # broadcasts the 1-row window aggregate + the bounded month-instant list
@@ -368,6 +370,8 @@ NESTED_LOOP_OK = {
     "q272_runtime_filter_audit",
     # four 1-row count/estimate attaches assembled into the single row
     "q273_capture_recapture",
+    # 1-row truth attach onto the 4-row config frame
+    "q276_lsh_band_sweep",
 }
 
 
