@@ -135,6 +135,8 @@ _ROTATION_TAIL = [
     "q274_iqr_outlier_fences",
     "q275_video_keyframes",
     "q276_lsh_band_sweep",
+    "q277_hill_tail_index",
+    "q278_feature_hash_audit",
     "q244_bottleneck_suppliers",
     "q245_littles_law",
     "q246_disjunctive_revenue",

@@ -3319,3 +3319,156 @@ def q274_iqr_outlier_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_high_outliers"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q277 — Hill tail-index estimate of the document-length distribution
+# ---------------------------------------------------------------------------
+
+HILL_K = 100
+
+
+@query(
+    "q277_hill_tail_index",
+    oracle=f"""
+    WITH topk AS (
+      SELECT n_chars, doc_id,
+             row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents
+      QUALIFY rn <= {HILL_K}),
+    xk AS (SELECT n_chars AS x_k FROM topk WHERE rn = {HILL_K}),
+    sums AS (
+      SELECT SUM(ln(topk.n_chars * 1e0 / xk.x_k))
+               OVER (ORDER BY topk.rn ROWS UNBOUNDED PRECEDING) AS s,
+             topk.rn
+      FROM topk CROSS JOIN xk
+      WHERE topk.rn < {HILL_K}),
+    tot AS (SELECT s FROM sums WHERE rn = {HILL_K - 1})
+    SELECT CAST({HILL_K} AS BIGINT) AS k,
+           CAST(xk.x_k AS BIGINT) AS x_k,
+           (ROUND(({HILL_K} - 1) * 1e0 / tot.s, 4) + 0.0) AS hill_alpha
+    FROM xk CROSS JOIN tot
+    """,
+)
+def q277_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the document-length power-law tail index:
+    α̂ = (k−1) / Σᵢ ln(xᵢ/x_k) over the k={HILL_K} largest lengths —
+    the heavy-tail diagnostic that tells a batch sizer whether extreme
+    documents are exponential outliers or a genuine Pareto tail
+    (q128's Zipf audit fits the vocabulary; this fits the length
+    distribution feeding q71's sequence packing).
+
+    Parity: the top-k multiset is fixed by the total order
+    (n_chars desc, doc_id); the ln-ratio sum folds in EXPLICIT rank
+    order in both engines (Spark: F.aggregate over the rank-sorted
+    collected array; DuckDB: cumulative window over rn — the q175
+    ordered-fold rule), so any per-ln ulp difference is absorbed by
+    the 4-dp round, never reordered.
+
+    Scale shape: TakeOrderedAndProject pulls k rows; everything after
+    is driver-scale arithmetic expressed on a 1-row frame.
+    """
+    topk = (
+        table(spark, sf_dir, "documents")
+        .select("n_chars", "doc_id")
+        .orderBy(F.col("n_chars").desc(), "doc_id")
+        .limit(HILL_K)
+    )
+    wrn = W.orderBy(F.col("n_chars").desc(), "doc_id")
+    ranked = topk.withColumn("rn", F.row_number().over(wrn))
+    agg = ranked.agg(
+        F.min(F.when(F.col("rn") == HILL_K, F.col("n_chars"))).alias("x_k"),
+        F.array_sort(
+            F.collect_list(
+                F.when(
+                    F.col("rn") < HILL_K,
+                    F.struct(F.col("rn"), F.col("n_chars").alias("x")),
+                )
+            )
+        ).alias("xs"),
+    )
+    s = F.aggregate(
+        F.col("xs"),
+        F.lit(0.0),
+        lambda acc, e: acc
+        + F.log(e["x"] * F.expr("1e0") / F.col("x_k")),
+    )
+    return agg.select(
+        F.lit(HILL_K).cast("long").alias("k"),
+        F.col("x_k").cast("long").alias("x_k"),
+        dec((HILL_K - 1) * F.expr("1e0") / s, 4).alias("hill_alpha"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q278 — hashing-trick (feature hashing) collision audit
+# ---------------------------------------------------------------------------
+
+FEATURE_HASH_BITS = 12  # 4096 buckets
+
+
+@query(
+    "q278_feature_hash_audit",
+    oracle=f"""
+    WITH w AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS w
+               FROM documents),
+    h AS (SELECT w,
+                 ('0x' || substr(md5(w), 1, 8))::BIGINT
+                   % {1 << FEATURE_HASH_BITS} AS b
+          FROM w),
+    per AS (SELECT b, COUNT(*) AS load FROM h GROUP BY 1)
+    SELECT CAST((SELECT COUNT(*) FROM w) AS BIGINT) AS n_features,
+           CAST({1 << FEATURE_HASH_BITS} AS BIGINT) AS n_buckets,
+           CAST((SELECT COUNT(*) FROM per) AS BIGINT) AS buckets_used,
+           CAST((SELECT MAX(load) FROM per) AS BIGINT) AS max_load,
+           CAST((SELECT SUM(load - 1) FROM per) AS BIGINT) AS n_collisions,
+           (ROUND((SELECT SUM(load - 1) FROM per) * 1e0
+                  / (SELECT COUNT(*) FROM w), 6) + 0.0) AS collision_rate
+    """,
+)
+def q278_feature_hash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing (hashing-trick) audit: map the distinct token
+    vocabulary into 2^{FEATURE_HASH_BITS} buckets with the md5 hash
+    and report occupancy, max load, and the collision rate — the
+    dimensionality-vs-collision tradeoff measured before a hashed
+    bag-of-words model ships (the Weinberger hashing-trick sizing
+    check; q117's count-min sketch is the counting sibling).
+
+    Parity: the bucket is the q58 md5 integer (identical bytes both
+    engines) masked to {FEATURE_HASH_BITS} bits; everything else is
+    distinct counting and ONE 6-dp division.
+
+    Scale shape: one distinct-token collapse (map-combined), one
+    |buckets|-bounded agg, 1-row assembly.
+    """
+    w = (
+        _fanout(spark, table(spark, sf_dir, "documents"))
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .distinct()
+    )
+    nb = 1 << FEATURE_HASH_BITS
+    h = w.select(
+        (F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long") % nb).alias(
+            "b"
+        )
+    )
+    per = h.groupBy("b").agg(F.count("*").alias("load"))
+    nf = w.agg(F.count("*").alias("n_features"))
+    stats = per.agg(
+        F.count("*").alias("buckets_used"),
+        F.max("load").alias("max_load"),
+        F.sum(F.col("load") - 1).alias("n_collisions"),
+    )
+    return (
+        nf.crossJoin(F.broadcast(stats))
+        .select(
+            F.col("n_features").cast("long").alias("n_features"),
+            F.lit(nb).cast("long").alias("n_buckets"),
+            F.col("buckets_used").cast("long").alias("buckets_used"),
+            F.col("max_load").cast("long").alias("max_load"),
+            F.col("n_collisions").cast("long").alias("n_collisions"),
+            dec(
+                F.col("n_collisions") * F.expr("1e0") / F.col("n_features"), 6
+            ).alias("collision_rate"),
+        )
+    )

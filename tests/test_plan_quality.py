@@ -105,6 +105,8 @@ BOUNDED_FILTER_HINT_OK = {
     "q273_capture_recapture",
     # broadcasts the 1-row exact-truth count onto the 4-config frame
     "q276_lsh_band_sweep",
+    # broadcasts the 1-row bucket-occupancy aggregate
+    "q278_feature_hash_audit",
     # broadcasts the 1-row balance-threshold aggregate (Q22's scalar)
     "q249_idle_high_balance",
     # broadcasts the 1-row window aggregate + the bounded month-instant list
@@ -372,6 +374,8 @@ NESTED_LOOP_OK = {
     "q273_capture_recapture",
     # 1-row truth attach onto the 4-row config frame
     "q276_lsh_band_sweep",
+    # 1-row occupancy-stats attach onto the 1-row feature count
+    "q278_feature_hash_audit",
 }
 
 
@@ -433,6 +437,7 @@ GLOBAL_WINDOW_BOUNDED = {
     "q192_decile_lift": "NTILE at fixture scale; auto-distributed above",
     "q204_bfs_reach": "<= BFS_MAX_LEVEL+1-row level histogram cumulative",
     "q212_isotonic_calibration": "|price-domain/ISO_BIN_WIDTH|-row prefix frame",
+    "q277_hill_tail_index": "row_number over the HILL_K-row limit",
 }
 
 
