@@ -2706,12 +2706,17 @@ def q267_cf_holdout_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "yr",
         F.explode(F.slice("parts", 1, TRI_MAX_BASKET)).alias("pk"),
     )
-    pairs = (
+    # the year-tagged pair explode feeds BOTH splits — checkpoint it
+    # once (q250's year-tagged-edge discipline) so train and test don't
+    # each re-run the basket build + self-join
+    pairs = local_checkpoint(
         b.select("l_orderkey", "yr", F.col("pk").alias("a"))
         .join(
             b.select("l_orderkey", F.col("pk").alias("bb")), "l_orderkey"
         )
         .filter(F.col("a") < F.col("bb"))
+        .select("yr", "a", "bb"),
+        "q267 year-tagged pairs",
     )
     tre = (
         pairs.filter(F.col("yr") < CF_EVAL_SPLIT_YEAR)
