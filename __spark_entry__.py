@@ -25,92 +25,56 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Driver-gate rotation (VERDICT r5 ask #1): the driver samples the
-# FIRST 50 entries of ``queries()`` (confirmed by CORRECTNESS_r04/r05/
-# r06 matching head positions exactly).  After r1-r6 the union of
-# driver-checked queries is 183 of 252; 69 have never had a driver
-# CORRECTNESS row: q34-q39, q67, q82, q83, q92, q194-q252.
+# FIRST 50 entries of ``queries()`` (confirmed by CORRECTNESS_r04-r07
+# matching head positions exactly).  After r1-r7 the union of
+# driver-checked queries is 233 of 278; exactly 45 have never had a
+# driver CORRECTNESS row: q34-q39, q67, q82, q83, q92, q244-q278.
 #
-#   * ``_ROTATION_HEAD`` (positions 0-49) — 50 of the 69: q214 first
-#     (its negative-pick implementation changed this round, so it
-#     needs a fresh row anyway), then q194-q243 in numeric order.
-#   * ``_ROTATION_TAIL`` (positions -N..-1) — the other 19
-#     never-checked queries (q244-q252 plus the scalar-codec /
-#     bounded-domain ten: q34-q39 q67 q82 q83 q92 — judge-green,
-#     heavy pytest coverage) + hedge refreshers for already-green
-#     queries whose implementations changed this round (q43 hot-
-#     shingle cap, q186 pass-count trim, q91/q174/q205 min_hash_bits
-#     auto floor), in case the sampling end flips.  All 19 sit inside
-#     the final 50 positions, so either sampling end adds coverage.
+#   * ``_ROTATION_HEAD`` (positions 0-49) — ALL 45 never-checked
+#     queries (this single rotation finishes driver coverage of the
+#     whole corpus) + 5 refresher slots for queries whose
+#     implementation changed in round 8 after their last driver row
+#     (q186 pass trim, q252 single-pass sweep, q221 broadcast
+#     strength table, q263 integer-div batch key, q214 empty-corpus
+#     guard — each change is hash-preserving, the refresh proves it).
+#   * ``_ROTATION_TAIL`` (positions -N..-1) — pure hedge in case the
+#     sampling end flips: recently-changed already-green queries plus
+#     the most complex plans, so a tail sample still re-verifies the
+#     highest-risk code.
 #
-# Round 8 rotates the head to whatever is least-recently-checked;
-# README.md "Driver correctness coverage" tracks the union per round.
-_ROTATION_HEAD = [
-    # changed this round — needs a fresh driver row:
-    "q214_triplet_mining",
-    # r6 analytics/graph/attribution/statistics layer — never
-    # driver-checked anywhere:
-    "q194_mann_whitney_latency",
-    "q195_token_yield_curve",
-    "q196_sample_allocation",
-    "q197_char_entropy",
-    "q198_priority_markov",
-    "q199_copurchase_triangles",
-    "q200_ks_source_drift",
-    "q201_kmeans_fixed_point",
-    "q202_mad_outliers",
-    "q203_readability",
-    "q204_bfs_reach",
-    "q205_audio_energy_neardup",
-    "q206_sampling_ess",
-    "q207_markov_attribution",
-    "q208_shapley_attribution",
-    "q209_grid_density_clusters",
-    "q210_theil_sen_trend",
-    "q211_holt_forecast",
-    "q212_isotonic_calibration",
-    "q213_target_encoding",
-    "q215_label_propagation",
-    "q216_item_item_cf",
-    "q217_ipf_raking",
-    "q218_emd_drift",
-    "q219_cuped",
-    "q220_diff_in_diff",
-    "q221_bradley_terry",
-    "q222_kcore_decomposition",
-    "q223_revenue_acf",
-    "q224_fano_burstiness",
-    "q225_greedy_set_cover",
-    "q226_kmin_distinct_sketch",
-    "q227_conformal_calibration",
-    "q228_degree_assortativity",
-    "q229_good_turing_richness",
-    "q230_sprt_sequential_test",
-    "q231_structural_break",
-    "q232_cohens_kappa",
-    "q233_join_cardinality_estimate",
-    "q234_cluster_purity_nmi",
-    "q235_embedding_centroid_drift",
-    "q236_mmr_selection",
-    "q237_ivm_delta_join",
-    "q238_online_agg_hoeffding",
-    "q239_ccf_lead_lag",
-    "q240_zonemap_pruning",
-    "q241_histogram_selectivity",
-    "q242_market_share",
-    "q243_promo_revenue_share",
-]
+# ``_ROTATION_FOR_ROUND`` marks which driver round this head targets;
+# tests/test_entry_rotation.py uses it to scope its staleness skip to
+# exactly one round (ADVICE r7 #5).  README.md "Driver correctness
+# coverage" tracks the union per round.
+_ROTATION_FOR_ROUND = 8
 
-_ROTATION_TAIL = [
-    # hedge refreshers — already driver-green but changed this round;
-    # placed at the far end of the tail window so the 19 never-checked
-    # below stay inside the final 50 positions either way:
-    "q43_ngram_jaccard",
-    "q91_image_phash_neardup",
-    "q174_video_dhash_neardup",
-    "q141_ship_latency_percentiles",
+_ROTATION_HEAD = [
+    # changed in round 8 — hash-preserving refactors needing a fresh
+    # driver row to prove parity held:
     "q186_distributed_exact_percentile",
-    # the remaining never-driver-checked queries (q253+ are brand-new
-    # this round — judge-green at sf0.01, r8 head candidates):
+    "q252_dedup_threshold_sweep",
+    "q221_bradley_terry",
+    "q263_shingle_novelty_curve",
+    "q214_triplet_mining",
+    # the 45 never-driver-checked queries (judge-green r7):
+    "q34_cross_join_status_grid",
+    "q35_dense_rank_lead",
+    "q36_approx_count_distinct",
+    "q37_map_funcs",
+    "q38_json_codec",
+    "q39_extended_json_codec",
+    "q67_binary_codec",
+    "q82_value_histogram",
+    "q83_stats_aggregates",
+    "q92_set_ops_keys",
+    "q244_bottleneck_suppliers",
+    "q245_littles_law",
+    "q246_disjunctive_revenue",
+    "q247_min_cost_supplier",
+    "q248_mcv_selectivity",
+    "q249_idle_high_balance",
+    "q250_edge_churn",
+    "q251_session_threshold_sweep",
     "q253_priority_late_orders",
     "q254_order_count_distribution",
     "q255_bilateral_trade",
@@ -121,7 +85,6 @@ _ROTATION_TAIL = [
     "q260_common_neighbor_links",
     "q261_local_clustering",
     "q262_charset_profile",
-    "q263_shingle_novelty_curve",
     "q264_pinball_backtest",
     "q265_randomization_test",
     "q266_seasonal_index",
@@ -137,25 +100,29 @@ _ROTATION_TAIL = [
     "q276_lsh_band_sweep",
     "q277_hill_tail_index",
     "q278_feature_hash_audit",
-    "q244_bottleneck_suppliers",
-    "q245_littles_law",
-    "q246_disjunctive_revenue",
-    "q247_min_cost_supplier",
-    "q248_mcv_selectivity",
-    "q249_idle_high_balance",
-    "q250_edge_churn",
-    "q251_session_threshold_sweep",
-    "q252_dedup_threshold_sweep",
-    "q34_cross_join_status_grid",
-    "q35_dense_rank_lead",
-    "q36_approx_count_distinct",
-    "q37_map_funcs",
-    "q38_json_codec",
-    "q39_extended_json_codec",
-    "q67_binary_codec",
-    "q82_value_histogram",
-    "q83_stats_aggregates",
-    "q92_set_ops_keys",
+]
+
+_ROTATION_TAIL = [
+    # pure hedge (all already driver-green): r7-changed
+    # implementations first, then the widest plans in the corpus, so
+    # a flipped sampling end still re-verifies the riskiest code.
+    "q43_ngram_jaccard",
+    "q91_image_phash_neardup",
+    "q174_video_dhash_neardup",
+    "q141_ship_latency_percentiles",
+    "q154_quantile_sketch",
+    "q202_mad_outliers",
+    "q241_histogram_selectivity",
+    "q96_semantic_dedup",
+    "q112_ann_ivfpq",
+    "q90_ann_recall",
+    "q159_ann_ndcg",
+    "q147_source_overlap_sketch",
+    "q183_part_pagerank",
+    "q199_copurchase_triangles",
+    "q225_greedy_set_cover",
+    "q207_markov_attribution",
+    "q234_cluster_purity_nmi",
 ]
 
 

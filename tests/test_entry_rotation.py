@@ -27,18 +27,27 @@ def _skip_if_rotation_predates_latest_artifact() -> None:
     """The driver deposits CORRECTNESS_r{N}.json AFTER the round's final
     commit, so the freshly-landed artifact always post-dates the rotation
     written for it (r6 lesson: two window assertions went red at HEAD the
-    moment the artifact landed, with no code defect).  When the newest
-    artifact is newer than ``__spark_entry__.py``, the next round's
-    rotation simply hasn't been written yet — skip rather than fail, the
-    first chore of the new round re-points the windows and un-skips."""
-    newest = 0.0
-    for fn in os.listdir(REPO):
-        if re.fullmatch(r"CORRECTNESS_r(\d+)\.json", fn):
-            newest = max(newest, os.path.getmtime(os.path.join(REPO, fn)))
-    if newest > os.path.getmtime(entry.__file__):
+    moment the artifact landed, with no code defect).  ADVICE r7 #5: the
+    old any-newer-mtime skip also masked a genuinely forgotten rotation,
+    so the skip is now scoped to EXACTLY one round of staleness via
+    ``entry._ROTATION_FOR_ROUND``: skip only while the artifact for the
+    round the rotation targets has already landed (rotation round <=
+    latest artifact round) — i.e. the new round's re-point is the
+    not-yet-done first chore.  A rotation two or more rounds behind the
+    artifacts FAILS instead of skipping."""
+    _, latest = _driver_union()
+    target = getattr(entry, "_ROTATION_FOR_ROUND", None)
+    if target is None or latest == 0:
+        return
+    assert target >= latest, (
+        f"rotation targets round {target} but CORRECTNESS_r{latest:02d} "
+        "already exists — the rotation was forgotten for a full round"
+    )
+    if target == latest:
         pytest.skip(
-            "driver artifact landed after the rotation was written; "
-            "the new round re-points _ROTATION_HEAD/_ROTATION_TAIL"
+            f"rotation targets round {target} and its artifact "
+            f"CORRECTNESS_r{latest:02d}.json has landed; the new round "
+            "re-points _ROTATION_HEAD/_ROTATION_TAIL as its first chore"
         )
 
 
