@@ -26,6 +26,7 @@ executor memory (spark.sql.execution.arrow.maxRecordsPerBatch).
 from __future__ import annotations
 
 import hashlib
+import os
 import struct as _struct
 from collections.abc import Iterator
 
@@ -287,15 +288,31 @@ DHASH_MIN_BITS_AUTO_ROWS = 20_000
 DHASH_MIN_BITS_FLOOR = 4
 
 
+#: Environment pin for hash-checked runs (ADVICE r7 #1): when set, an
+#: ``'auto'`` knob resolves to this value unconditionally — ``none`` /
+#: ``off`` / empty ⇒ the oracle-parity fixture default (floor OFF), an
+#: integer ⇒ that floor.  ``tools/check_oracle.py`` sets it to
+#: ``none`` so a correctness run on a >20k-row fixture can never flip
+#: q91/q174/q205 into the non-oracle regime silently; bench/production
+#: paths leave it unset and keep the data-size auto switch.
+MIN_HASH_BITS_PIN_ENV = "SPARK_GRAFT_PIN_MIN_HASH_BITS"
+
+
 def resolve_min_hash_bits(mode, corpus_size_fn=None):
     """Resolve a ``min_hash_bits`` knob to an int floor or None (off).
 
-    ``'auto'`` → OFF at or below ``DHASH_MIN_BITS_AUTO_ROWS`` corpus
-    rows (and whenever no ``corpus_size_fn`` is supplied — a bare
-    operator call can't pay a count job it wasn't offered), else
+    ``'auto'`` → first honor ``MIN_HASH_BITS_PIN_ENV`` if set (parity
+    harnesses pin the regime instead of assuming corpus size); else
+    OFF at or below ``DHASH_MIN_BITS_AUTO_ROWS`` corpus rows (and
+    whenever no ``corpus_size_fn`` is supplied — a bare operator call
+    can't pay a count job it wasn't offered), else
     ``DHASH_MIN_BITS_FLOOR``.  ``corpus_size_fn`` is called only in
     auto mode so pinned modes never pay the count."""
     if mode == "auto":
+        pin = os.environ.get(MIN_HASH_BITS_PIN_ENV)
+        if pin is not None:
+            pin = pin.strip().lower()
+            return None if pin in ("", "none", "off") else int(pin)
         if corpus_size_fn is None:
             return None
         return (

@@ -8361,6 +8361,15 @@ def q214_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     ]
     m = len(pool_ids)
+    if m == 0:
+        # Empty corpus: F.array()/F.coalesce() with zero args raise at
+        # construction (ADVICE r7 #2) — degrade to the empty result the
+        # pre-r7 join-based plan produced.
+        return spark.createDataFrame(
+            [],
+            "anchor long, positive long, pos_jaccard double, "
+            "hard_neg long, hard_jaccard double, rand_neg long",
+        )
     arr = F.array(*[F.lit(i) for i in pool_ids])
     h = (
         F.conv(F.substring(F.md5(F.col("anchor").cast("string")), 1, 8), 16, 10)
@@ -9040,7 +9049,11 @@ def q276_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode map-side; hot (cfg, band, key) buckets chunk-distribute
     (zero recall loss, observable); exact verification touches only
     distinct candidate pairs; the truth pass rides q43's chunked
-    postings machinery.
+    postings machinery.  The two persisted intermediates (docs, sigs)
+    are released by the harness's per-query ``spark.catalog
+    .clearCache()`` (bench.py per-rep, check_oracle.py per-query) —
+    they cannot be unpersisted here because the returned plan is lazy
+    (ADVICE r7 #4).
     """
     from pyspark.storagelevel import StorageLevel
 

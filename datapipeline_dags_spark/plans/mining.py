@@ -2300,9 +2300,12 @@ def q263_shingle_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same key, so the first-seen attach reuses the collapse
     partitioning.  Output is |batches| rows.
     """
+    # integer div, not double-div-then-cast: equal for the fixture's
+    # non-negative ids, but `div` keeps the batch key integer-routed
+    # like q268/q274 (ADVICE r7 #3 — float routing diverges from the
+    # oracle's `//` on negative ids).
     docs = _fanout(spark, table(spark, sf_dir, "documents")).select(
-        (F.col("doc_id").cast("long") / NOVELTY_BATCH)
-        .cast("long")
+        F.expr(f"CAST(CAST(doc_id AS BIGINT) div {NOVELTY_BATCH} AS BIGINT)")
         .alias("batch"),
         _shingles(F.col("text")).alias("sh"),
     )

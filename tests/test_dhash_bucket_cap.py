@@ -173,6 +173,28 @@ def test_resolve_min_hash_bits_modes():
         resolve_min_hash_bits("always", boom)
 
 
+def test_resolve_min_hash_bits_env_pin(monkeypatch):
+    """ADVICE r7 #1: a parity harness pins the regime via env var —
+    'auto' then ignores corpus size entirely (never pays the count),
+    so a hash-checked run on a >20k-row fixture stays in the
+    oracle-default path.  Pinned int modes still win over the env."""
+    big = mm.DHASH_MIN_BITS_AUTO_ROWS + 1
+
+    def boom():
+        raise AssertionError("env-pinned auto paid the count job")
+
+    monkeypatch.setenv(mm.MIN_HASH_BITS_PIN_ENV, "none")
+    assert resolve_min_hash_bits("auto", boom) is None
+    monkeypatch.setenv(mm.MIN_HASH_BITS_PIN_ENV, "")
+    assert resolve_min_hash_bits("auto", boom) is None
+    monkeypatch.setenv(mm.MIN_HASH_BITS_PIN_ENV, "6")
+    assert resolve_min_hash_bits("auto", boom) == 6
+    # explicit int knob beats the env pin
+    assert resolve_min_hash_bits(7, boom) == 7
+    monkeypatch.delenv(mm.MIN_HASH_BITS_PIN_ENV)
+    assert resolve_min_hash_bits("auto", lambda: big) == DHASH_MIN_BITS_FLOOR
+
+
 def test_min_hash_bits_auto_switch_equality(spark):
     """The auto knob IS the two pinned modes at the two gate outcomes:
     below the row threshold auto == default (floor off, oracle-parity

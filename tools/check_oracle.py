@@ -7,8 +7,15 @@ Usage: python tools/check_oracle.py [sf_dir] [query_name ...]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
+
+# Hash-checked runs pin the min_hash_bits regime to the oracle-parity
+# default BEFORE any plans import (ADVICE r7 #1): on a fixture larger
+# than DHASH_MIN_BITS_AUTO_ROWS the 'auto' density floor would
+# otherwise silently diverge q91/q174/q205 from their static oracles.
+os.environ.setdefault("SPARK_GRAFT_PIN_MIN_HASH_BITS", "none")
 
 from datapipeline_dags_spark.oracle import compare_frames, duckdb_connection
 from datapipeline_dags_spark.plans.all import ORACLES, QUERIES
@@ -46,6 +53,9 @@ def main() -> int:
         else:
             print(f"FAIL {name}: {res.detail}")
             n_fail += 1
+        # Queries that persist() intermediates (q41/q96/q276, …) must
+        # not accumulate caches across a 278-query sweep (ADVICE r7 #4)
+        spark.catalog.clearCache()
     print(f"\n{len(names) - n_fail}/{len(names)} passed")
     return 1 if n_fail else 0
 
