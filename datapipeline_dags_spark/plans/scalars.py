@@ -13,6 +13,8 @@ is rounded to DECIMAL (see plans/helpers.py).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -694,19 +696,261 @@ DXP_PS = (0.5, 0.9, 0.99)
 DXP_NARROW_ROWS = 1_000_000
 
 
+#: Group-cardinality bound for the collected-control-plane route: at
+#: or below this many groups the group stats and the (g, bin)
+#: histogram (≤ |g|·DXP_BINS rows of integer counts — never values)
+#: are COLLECTED, rank→bin location happens driver-side, and the whole
+#: operator is ONE distributed pass over the needed-bin rows.  Above
+#: it the fully-distributed locate path runs instead (same results —
+#: ``test_distributed_percentiles_routes_agree`` pins equality).
+DXP_COLLECT_GROUPS = 1024
+
+
 def distributed_percentiles(gv: DataFrame, ps: tuple) -> DataFrame:
     """quantile_cont-exact interpolated percentiles of a (g, v)
     DataFrame WITHOUT per-group value buffering — the reusable core of
     q186, and the ``exact_audit='distributed'`` backend of q154/q141.
 
     Returns (g, p, value) with value UNROUNDED (callers apply their own
-    float discipline).  See q186's docstring for the three-pass design;
-    max task memory is max(histogram, distinct values of one needed
-    SUB-bin): needed bins above DXP_NARROW_ROWS rows are re-binned into
-    {DXP_BINS} sub-bins map-side before the in-bin rank window, so the
-    window-partition bound is max(DXP_NARROW_ROWS, ~n/{DXP_BINS}²)
-    even when value skew concentrates a group into one bin width —
-    no longer a uniformity assumption.
+    float discipline).  Three passes over the input, never buffering a
+    group: group stats ``st``, a {DXP_BINS}-bin histogram, and a
+    revisit of only the NEEDED bins; needed bins above DXP_NARROW_ROWS
+    rows are re-binned into {DXP_BINS} sub-bins map-side before the
+    in-bin rank window, so the window-partition bound is
+    max(DXP_NARROW_ROWS, ~n/{DXP_BINS}²) even when value skew
+    concentrates a group into one bin width.
+
+    Route selection (VERDICT r7 ask #2 — pass trim): the histogram is
+    ≤ |g|·{DXP_BINS} integer-count rows, i.e. bounded control plane
+    whenever |g| is bounded — and every registered caller groups by a
+    low-cardinality category.  At ≤ {DXP_COLLECT_GROUPS} groups the
+    stats + histogram are collected, ranks locate their bins in plain
+    Python, and the returned plan is ONE distributed pass (needed-bin
+    filter → (v, count) collapse → in-bin rank window → interpolate) —
+    replacing the r7 plan's persisted-frame fan-out of broadcast
+    builds and bounded-window stages.  Above the bound, the
+    fully-distributed locate runs (persisted bounded intermediates,
+    same arithmetic, same results).
+    """
+    st = gv.groupBy("g").agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi"), F.count("*").alias("n")
+    )
+    st_rows = st.limit(DXP_COLLECT_GROUPS + 1).collect()
+    if len(st_rows) <= DXP_COLLECT_GROUPS:
+        return _dxp_collected(gv, st, ps, st_rows)
+    return _dxp_distributed(gv, st, ps)
+
+
+def _dxp_w() -> Column:
+    """Shared bin-width expression over (lo, hi) columns — identical in
+    both routes so results are bit-equal across the switch."""
+    return F.when(F.col("hi") == F.col("lo"), F.lit(1.0)).otherwise(
+        (F.col("hi") - F.col("lo")) / DXP_BINS
+    )
+
+
+def _dxp_binned(gv: DataFrame, st_small: DataFrame) -> DataFrame:
+    """gv with the map-side bin column, via a broadcast of the bounded
+    per-group stats — shared by both routes."""
+    w = _dxp_w()
+    return gv.join(F.broadcast(st_small), "g").select(
+        "g",
+        "v",
+        F.least(
+            F.floor((F.col("v") - F.col("lo")) / w).cast("int"),
+            F.lit(DXP_BINS - 1),
+        ).alias("bin"),
+    )
+
+
+def _dxp_ranks(n: int, p: float) -> tuple[int, int, float]:
+    """Driver-side twin of the SQL rank derivation: k0/k1 order
+    statistics and the interpolation fraction for quantile_cont.
+    Pure IEEE-double arithmetic, so bit-identical to the distributed
+    route's ``(n - 1) * p`` column expressions."""
+    h = (n - 1) * p
+    fl = float(math.floor(h))
+    k0 = int(fl) + 1
+    k1 = min(int(fl) + 2, n)
+    return k0, k1, h - fl
+
+
+def _dxp_locate(cum: list[tuple[int, int, int]], k: int) -> tuple[int, int, int]:
+    """Find (bin, cum_before, c) of the bin holding rank ``k`` on a
+    per-group cumulative histogram [(bin, cum, c), …] sorted by bin —
+    the driver-side twin of the distributed route's
+    ``cum_before < k <= cum`` locate join."""
+    for b, cm, c in cum:
+        if cm >= k:
+            return b, cm - c, c
+    raise ValueError(f"rank {k} beyond histogram total {cum[-1][1] if cum else 0}")
+
+
+def _dxp_collected(
+    gv: DataFrame, st: DataFrame, ps: tuple, st_rows: list
+) -> DataFrame:
+    """Bounded-|g| route: collect stats + histogram (integer counts
+    only — values never leave the cluster), locate ranks driver-side,
+    and return a single-pass plan over the needed bins."""
+    spark = gv.sparkSession
+    if not st_rows:
+        return gv.limit(0).select(
+            "g",
+            F.lit(0.0).alias("p"),
+            F.col("v").cast("double").alias("value"),
+        )
+    st_small = spark.createDataFrame(st_rows, st.schema)
+    binned = _dxp_binned(gv, st_small)
+    hist_rows = binned.groupBy("g", "bin").agg(F.count("*").alias("c")).collect()
+    cum: dict = {}
+    by_g: dict = {}
+    for r in hist_rows:
+        by_g.setdefault(r["g"], []).append((r["bin"], r["c"]))
+    for g_key, bins in by_g.items():
+        bins.sort()
+        acc, out = 0, []
+        for b, c in bins:
+            acc += c
+            out.append((b, acc, c))
+        cum[g_key] = out
+    n_by_g = {r["g"]: r["n"] for r in st_rows}
+    # driver-side locate: one needs row per (g, p, which) — the same
+    # (k0, k1, frac) ranks and cum_before<k<=cum bin test as the
+    # distributed route, over the collected integer histogram
+    needs_rows, big = [], set()
+    narrow = DXP_NARROW_ROWS
+    for g_key, n in n_by_g.items():
+        for p in ps:
+            k0, k1, frac = _dxp_ranks(n, p)
+            for which, k in ((0, k0), (1, k1)):
+                b, cum_before, c = _dxp_locate(cum[g_key], k)
+                needs_rows.append([g_key, float(p), frac, which, k, b, cum_before])
+                if c > narrow:
+                    big.add((g_key, b))
+    g_type = st.schema["g"].dataType.simpleString()
+    needs_schema = (
+        f"g {g_type}, p double, frac double, which int, k long, "
+        "bin int, cum_before long"
+    )
+    if not big:
+        needs = spark.createDataFrame(
+            [r + [0, 0] for r in needs_rows],
+            needs_schema + ", sub int, sub_cum_before long",
+        )
+        return _dxp_final_pass(binned, st_small, needs, big_bins=set())
+    # Skewed needed bin(s): one more bounded-count collect — the
+    # sub-histogram of the big bins — then the same single final pass
+    # with the map-side sub-bin split of the distributed route.
+    big_local = spark.createDataFrame(
+        [(g_key, b) for (g_key, b) in sorted(big, key=repr)],
+        f"g {g_type}, bin int",
+    )
+    sub_rows = (
+        _dxp_with_sub(binned, st_small, big_local)
+        .join(F.broadcast(big_local), ["g", "bin"])
+        .groupBy("g", "bin", "sub")
+        .agg(F.sum("one").alias("sc"))
+        .collect()
+    )
+    sub_cum: dict = {}
+    by_gb: dict = {}
+    for r in sub_rows:
+        by_gb.setdefault((r["g"], r["bin"]), []).append((r["sub"], r["sc"]))
+    for gb, subs in by_gb.items():
+        subs.sort()
+        acc, out = 0, []
+        for s, c in subs:
+            acc += c
+            out.append((s, acc, c))
+        sub_cum[gb] = out
+    full_rows = []
+    for g_key, p, frac, which, k, b, cum_before in needs_rows:
+        if (g_key, b) in big:
+            s, sub_before, _ = _dxp_locate(sub_cum[(g_key, b)], k - cum_before)
+        else:
+            s, sub_before = 0, 0
+        full_rows.append([g_key, p, frac, which, k, b, cum_before, s, sub_before])
+    needs = spark.createDataFrame(
+        full_rows, needs_schema + ", sub int, sub_cum_before long"
+    )
+    return _dxp_final_pass(binned, st_small, needs, big_bins=big)
+
+
+def _dxp_with_sub(
+    binned: DataFrame, st_small: DataFrame, big_local: DataFrame
+) -> DataFrame:
+    """Attach the map-side sub-bin split (big needed bins only; sub=0
+    elsewhere) — the same expressions as the distributed route."""
+    w = _dxp_w()
+    bin_lo = F.col("lo") + F.col("bin") * w
+    sub_w = w / DXP_BINS
+    is_big = F.col("big_flag").isNotNull()
+    sub = F.when(
+        is_big,
+        F.greatest(
+            F.lit(0),
+            F.least(
+                F.floor((F.col("v") - bin_lo) / sub_w).cast("int"),
+                F.lit(DXP_BINS - 1),
+            ),
+        ),
+    ).otherwise(F.lit(0))
+    flagged = binned.join(
+        F.broadcast(big_local.withColumn("big_flag", F.lit(1))),
+        ["g", "bin"],
+        "left",
+    ).join(F.broadcast(st_small.select("g", "lo", "hi")), "g")
+    return flagged.select(
+        "g", "bin", sub.alias("sub"), "v", F.lit(1).alias("one")
+    )
+
+
+def _dxp_final_pass(
+    binned: DataFrame, st_small: DataFrame, needs: DataFrame, big_bins: set
+) -> DataFrame:
+    """The ONE distributed pass of the collected route: filter to the
+    needed (g, bin) cells, collapse to (value, count), rank within the
+    (sub-)bin, pick the two order statistics, interpolate."""
+    spark = binned.sparkSession
+    nb = needs.select("g", "bin").distinct()
+    if big_bins:
+        g_type = needs.schema["g"].dataType.simpleString()
+        big_local = spark.createDataFrame(
+            [(g_key, b) for (g_key, b) in sorted(big_bins, key=repr)],
+            f"g {g_type}, bin int",
+        )
+        rows = _dxp_with_sub(binned, st_small, big_local).join(
+            F.broadcast(nb), ["g", "bin"]
+        )
+    else:
+        rows = binned.join(F.broadcast(nb), ["g", "bin"]).select(
+            "g", "bin", F.lit(0).alias("sub"), "v"
+        )
+    in_w = (
+        W.partitionBy("g", "bin", "sub")
+        .orderBy("v")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    invals = (
+        rows.groupBy("g", "bin", "sub", "v")
+        .agg(F.count("*").alias("c2"))
+        .withColumn("in_cum", F.sum("c2").over(in_w))
+    )
+    base = F.col("cum_before") + F.col("sub_cum_before")
+    picked = (
+        F.broadcast(needs)
+        .join(invals, ["g", "bin", "sub"])
+        .filter(
+            (F.col("k") > base + F.col("in_cum") - F.col("c2"))
+            & (F.col("k") <= base + F.col("in_cum"))
+        )
+        .select("g", "p", "frac", "which", F.col("v").alias("x"))
+    )
+    return _dxp_interpolate(picked)
+
+
+def _dxp_distributed(gv: DataFrame, st: DataFrame, ps: tuple) -> DataFrame:
+    """High-cardinality-|g| route: the fully-distributed locate.
 
     Pass discipline (VERDICT r6 ask #4): the input is scanned exactly
     THREE times — group stats ``st``, the histogram, and the needed-bin
@@ -719,12 +963,8 @@ def distributed_percentiles(gv: DataFrame, ps: tuple) -> DataFrame:
     (value, count) collapse of the needed bins only — the same frames
     the windows already partition on, spilled to disk if large.
     """
-    st = gv.groupBy("g").agg(
-        F.min("v").alias("lo"), F.max("v").alias("hi"), F.count("*").alias("n")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    w = F.when(F.col("hi") == F.col("lo"), F.lit(1.0)).otherwise(
-        (F.col("hi") - F.col("lo")) / DXP_BINS
-    )
+    st = st.persist(StorageLevel.MEMORY_AND_DISK)
+    w = _dxp_w()
     binned = gv.join(F.broadcast(st), "g").select(
         "g",
         "v",
@@ -783,7 +1023,18 @@ def distributed_percentiles(gv: DataFrame, ps: tuple) -> DataFrame:
     # two branches are bit-identical where they overlap —
     # test_distributed_percentiles_narrowing_bounds_skewed_bin pins
     # equality across the switch.
-    if needs.filter(F.col("c") > DXP_NARROW_ROWS).isEmpty():
+    #
+    # Pass trim (VERDICT r7 ask #2): a bin can only exceed
+    # DXP_NARROW_ROWS if its whole GROUP does, so when max(n) over the
+    # persisted group stats is already under the threshold the check
+    # needs no histogram at all — the blocking driver-side job then
+    # scans the input ONCE (st), and the histogram materializes inside
+    # the main job instead of the plan-build barrier.  Only genuinely
+    # large groups (never at bench SF) pay the exact per-bin probe.
+    n_max = st.agg(F.max("n").alias("m")).first()["m"] or 0
+    if n_max <= DXP_NARROW_ROWS or needs.filter(
+        F.col("c") > DXP_NARROW_ROWS
+    ).isEmpty():
         nb0 = needs.select("g", "bin").distinct()
         in_w0 = (
             W.partitionBy("g", "bin")

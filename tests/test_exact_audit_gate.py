@@ -260,6 +260,45 @@ def test_q192_distributed_cut_splits_straddling_tie_classes(spark, tmp_path):
     assert len(dist) == 10  # every decile populated (4 rows each)
 
 
+def test_distributed_percentiles_routes_agree(spark, monkeypatch):
+    """VERDICT r7 ask #2: the bounded-|g| collected-control-plane route
+    (driver-side rank→bin locate over integer counts) must be
+    bit-identical to the fully-distributed locate, including under
+    forced skew narrowing, and the empty input degrades to an empty
+    (g, p, value) frame on both routes."""
+    from datapipeline_dags_spark.plans import scalars
+
+    rows = [(g, (i * 37 % 101) / 7.0 + g) for g in range(4) for i in range(500)]
+    rows += [(9, 42.0)]  # singleton group: k0 == k1 == 1
+    gv = spark.createDataFrame(rows, "g int, v double")
+    ps = (0.5, 0.9, 0.99)
+
+    def run():
+        return {
+            (r["g"], r["p"]): r["value"]
+            for r in scalars.distributed_percentiles(gv, ps).collect()
+        }
+
+    monkeypatch.setattr(scalars, "DXP_COLLECT_GROUPS", 1024)
+    collected = run()
+    monkeypatch.setattr(scalars, "DXP_COLLECT_GROUPS", 0)
+    distributed = run()
+    assert collected == distributed
+    assert len(collected) == 5 * len(ps)
+    # forced narrowing: both routes sub-bin and still agree
+    monkeypatch.setattr(scalars, "DXP_NARROW_ROWS", 100)
+    monkeypatch.setattr(scalars, "DXP_COLLECT_GROUPS", 1024)
+    collected_skew = run()
+    monkeypatch.setattr(scalars, "DXP_COLLECT_GROUPS", 0)
+    distributed_skew = run()
+    assert collected_skew == distributed_skew == collected
+    # empty input: (g, p, value) schema, zero rows, no driver error
+    monkeypatch.setattr(scalars, "DXP_COLLECT_GROUPS", 1024)
+    empty = scalars.distributed_percentiles(gv.limit(0), ps)
+    assert empty.columns == ["g", "p", "value"]
+    assert empty.count() == 0
+
+
 def test_distributed_percentiles_narrowing_bounds_skewed_bin(
     spark, monkeypatch
 ):
