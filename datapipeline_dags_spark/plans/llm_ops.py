@@ -8896,8 +8896,14 @@ def q252_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded-cut rule); counts are integers.
 
     Scale shape: one q43-style blocked pair build (checkpointed),
-    then each sweep row is a filtered count over the bounded pair
-    table — seven thresholds for the price of one dedup pass.
+    then the WHOLE sweep is two single-pass aggregates (VERDICT r7
+    ask #3): seven filtered pair counts in one agg over the pair
+    table, and seven filtered doc counts in one agg over the per-doc
+    max-Jaccard collapse (a doc is affected at threshold t iff its
+    best pair reaches t, so COUNT DISTINCT per threshold folds into
+    one groupBy(doc).max(j6) + filtered counts).  One bounded 1-row
+    × 1-row attach + an explode emits the seven output rows — seven
+    thresholds for the price of one dedup pass and two aggregates.
     """
     docs = _fanout(spark, table(spark, sf_dir, "documents")).select(
         "doc_id", _shingles(F.col("text")).alias("sh")
@@ -8932,25 +8938,43 @@ def q252_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "q252 exact pair jaccards",
     )
-    out = None
-    for t in DEDUP_SWEEP_T:
-        hit = pj.filter(F.col("j6") >= t)
-        n_pairs = hit.agg(F.count("*").cast("long").alias("n_pairs"))
-        n_docs = (
-            hit.select(F.col("doc_a").alias("d"))
-            .unionAll(hit.select(F.col("doc_b").alias("d")))
-            .agg(F.countDistinct("d").cast("long").alias("n_docs_affected"))
-        )
-        row = (
-            n_pairs.crossJoin(F.broadcast(n_docs))
-            .select(
+    pair_counts = pj.agg(
+        *[
+            F.count(F.when(F.col("j6") >= t, F.lit(1)))
+            .cast("long")
+            .alias(f"np{i}")
+            for i, t in enumerate(DEDUP_SWEEP_T)
+        ]
+    )
+    doc_best = (
+        pj.select(F.col("doc_a").alias("d"), "j6")
+        .unionAll(pj.select(F.col("doc_b").alias("d"), "j6"))
+        .groupBy("d")
+        .agg(F.max("j6").alias("mj"))
+    )
+    doc_counts = doc_best.agg(
+        *[
+            F.count(F.when(F.col("mj") >= t, F.lit(1)))
+            .cast("long")
+            .alias(f"nd{i}")
+            for i, t in enumerate(DEDUP_SWEEP_T)
+        ]
+    )
+    rows = F.array(
+        *[
+            F.struct(
                 (F.lit(t) + F.lit(0.0)).alias("threshold"),
-                "n_pairs",
-                "n_docs_affected",
+                F.col(f"np{i}").alias("n_pairs"),
+                F.col(f"nd{i}").alias("n_docs_affected"),
             )
-        )
-        out = row if out is None else out.unionAll(row)
-    return out
+            for i, t in enumerate(DEDUP_SWEEP_T)
+        ]
+    )
+    return (
+        pair_counts.crossJoin(F.broadcast(doc_counts))
+        .select(F.explode(rows).alias("r"))
+        .select("r.threshold", "r.n_pairs", "r.n_docs_affected")
+    )
 
 
 # ---------------------------------------------------------------------------
