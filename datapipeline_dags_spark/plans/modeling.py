@@ -1393,6 +1393,14 @@ BT_UNIT = 1_000_000  # fixed-point strength unit: 1.0 == 1e6
 #: supplier, not the corpus.
 BT_K = 10_000_000_000
 BT_TOP = 20
+#: Broadcast the per-round strength table when the duel graph has at
+#: most this many nodes (VERDICT r7 ask #5).  localCheckpoint erases
+#: size statistics, so without the hint every MM round plans three
+#: SortMergeExchanges against a table the planner can't see is tiny;
+#: one count of the checkpointed node table (constant across rounds)
+#: gates the hint honestly — a 100 TB duel graph with more nodes than
+#: this keeps the shuffle joins.  ~1e6 (node, r) rows ≈ 30 MB built.
+BT_BROADCAST_NODES = 1_000_000
 
 
 def _q221_oracle() -> str:
@@ -1517,12 +1525,22 @@ def q221_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     cur = local_checkpoint(
         wins.select("node", F.lit(BT_UNIT).cast("long").alias("r")), "q221 bt init"
     )
+    # One count of the (checkpointed, already-materialized) node table
+    # gates the per-round broadcast hint — |nodes| is constant across
+    # rounds, so the probe runs once, and a duel graph too big to
+    # broadcast keeps the shuffle joins (the exact_audit auto-knob
+    # discipline; results are join-strategy-independent integers).
+    bt_bc = wins.count() <= BT_BROADCAST_NODES
+
+    def _side(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if bt_bc else df
+
     for k in range(BT_ITERS):
         ri = cur.select(F.col("node").alias("me"), F.col("r").alias("r_me"))
         rj = cur.select(F.col("node").alias("opp"), F.col("r").alias("r_opp"))
         den = (
-            sym.join(ri, "me")
-            .join(rj, "opp")
+            sym.join(_side(ri), "me")
+            .join(_side(rj), "opp")
             .select(
                 F.col("me").alias("node"),
                 F.expr(f"(n * {BT_K}) div greatest(r_me + r_opp, 1)").alias("t"),
@@ -1531,7 +1549,7 @@ def q221_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("t").alias("den"))
         )
         cur = local_checkpoint(
-            wins.join(den, "node").select(
+            wins.join(_side(den), "node").select(
                 "node",
                 F.expr(f"(wins * {BT_K}) div greatest(den, 1)")
                 .cast("long")
@@ -1540,7 +1558,7 @@ def q221_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"q221 bt round {k + 1}",
         )
     return (
-        wins.join(cur, "node")
+        wins.join(_side(cur), "node")
         .select(
             F.col("node").cast("long").alias("suppkey"),
             F.col("wins").cast("long"),
