@@ -49,13 +49,17 @@ def entry(spark: SparkSession) -> DataFrame:
 _ROTATION_FOR_ROUND = 8
 
 _ROTATION_HEAD = [
+    # brand-new in round 8 — no row anywhere yet:
+    "q279_late_line_priority_mix",
+    "q280_supplier_part_options",
+    "q281_part_value_concentration",
+    "q282_ivf_delta_refresh",
     # changed in round 8 — hash-preserving refactors needing a fresh
-    # driver row to prove parity held:
+    # driver row to prove parity held (q252/q263 are also in the
+    # never-checked set):
     "q186_distributed_exact_percentile",
     "q252_dedup_threshold_sweep",
-    "q221_bradley_terry",
     "q263_shingle_novelty_curve",
-    "q214_triplet_mining",
     # the 45 never-driver-checked queries (judge-green r7):
     "q34_cross_join_status_grid",
     "q35_dense_rank_lead",
@@ -103,9 +107,11 @@ _ROTATION_HEAD = [
 ]
 
 _ROTATION_TAIL = [
-    # pure hedge (all already driver-green): r7-changed
+    # pure hedge (all already driver-green): r7/r8-changed
     # implementations first, then the widest plans in the corpus, so
     # a flipped sampling end still re-verifies the riskiest code.
+    "q221_bradley_terry",
+    "q214_triplet_mining",
     "q43_ngram_jaccard",
     "q91_image_phash_neardup",
     "q174_video_dhash_neardup",

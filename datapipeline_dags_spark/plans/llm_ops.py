@@ -9213,3 +9213,154 @@ def q276_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("precision"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q282 — incremental IVF index maintenance (delta refresh, IVM audit)
+# ---------------------------------------------------------------------------
+
+#: the simulated ingest delta: vectors with vec_id % MOD == REM arrive
+#: AFTER the base index was built (deterministic at every SF)
+IVF_DELTA_MOD, IVF_DELTA_REM = 8, 5
+#: per-component integer quantization of the mergeable centroid
+#: partials (the q200/q201 floor(x*scale+0.5) rule — integer sums are
+#: order-independent, so merged == full bit-exactly when the plumbing
+#: is right)
+IVF_SUM_SCALE = 1_000_000
+
+
+def _q282_oracle() -> str:
+    return f"""
+    WITH {_ANN_PARAMS_SQL},
+    cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+                  WHERE vec_id < (SELECT n_cent FROM ann_p)),
+    scored AS (
+      SELECT e.vec_id, e.embedding, c.cid,
+             {_COS_SQL.format(a='e.embedding', b='c.ce')} AS cs
+      FROM embeddings e CROSS JOIN cent c),
+    cells AS (
+      SELECT vec_id, embedding, cid AS cell FROM (
+        SELECT vec_id, embedding, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+        FROM scored) t
+      WHERE rn = 1),
+    comp AS (
+      SELECT cell, vec_id,
+             CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE)
+                        * {IVF_SUM_SCALE} + 0.5) AS BIGINT) AS qv
+      FROM cells),
+    chk AS (SELECT cell, SUM(qv) AS centroid_checksum FROM comp GROUP BY 1),
+    cnt AS (
+      SELECT cell,
+             SUM(CASE WHEN vec_id % {IVF_DELTA_MOD} = {IVF_DELTA_REM}
+                      THEN 0 ELSE 1 END) AS n_base,
+             SUM(CASE WHEN vec_id % {IVF_DELTA_MOD} = {IVF_DELTA_REM}
+                      THEN 1 ELSE 0 END) AS n_delta
+      FROM cells GROUP BY 1)
+    SELECT CAST(cnt.cell AS BIGINT) AS cell,
+           CAST(n_base AS BIGINT) AS n_base,
+           CAST(n_delta AS BIGINT) AS n_delta,
+           CAST(n_base + n_delta AS BIGINT) AS n_total,
+           CAST(centroid_checksum AS BIGINT) AS centroid_checksum,
+           CAST(1 AS BIGINT) AS matches_full
+    FROM cnt JOIN chk ON chk.cell = cnt.cell
+    """
+
+
+@query("q282_ivf_delta_refresh", oracle=_q282_oracle())
+def q282_ivf_delta_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF index maintenance (VERDICT r7 ask #8 — the
+    q161/q237 IVM discipline applied to q47's index): a delta ingest
+    batch (vec_id % {IVF_DELTA_MOD} == {IVF_DELTA_REM}) is assigned
+    against the SAME broadcast coarse quantizer as the base build —
+    never a re-scan of the base corpus — and the per-cell centroid
+    state refreshes by MERGING integer partials: (count, Σ quantized
+    component) per (cell, component) from the base index plus the
+    delta batch's partials.  A 100 TB corpus cannot re-index per
+    ingest; this is the path that keeps q47's cells current between
+    full rebuilds.
+
+    The audit IS the result: an independent full recompute over all
+    vectors joins the merged state per (cell, component), and
+    ``matches_full`` certifies bit-equality (integer sums are
+    order-independent, so any 0 means the merge plumbing lost or
+    double-counted a vector — the q237 equality-column contract).
+    Output is one row per cell: counts, the merged centroid-sum
+    checksum, and the audit flag.
+
+    Parity: assignment is q47's argmax (cosine, lowest-cid tie);
+    components quantize with floor(x·{IVF_SUM_SCALE}+0.5) (the
+    q200/q201 rule); everything else is integer counts/sums.
+
+    Scale shape: ONE map-only assignment pass (persisted — base,
+    delta, and the audit recompute all read it; the harness clearCache
+    releases it); partial aggregates are map-side combinable
+    (cell, component) integer cells bounded by n_cent·dim; the merge
+    is a bounded outer join of two partial tables; no window over
+    unbounded rows, no corpus shuffle beyond the partial aggs.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    n_cent, _, _ = ann_params(corpus_size(spark, sf_dir))
+    is_delta = (F.col("vec_id") % IVF_DELTA_MOD) == IVF_DELTA_REM
+    qcells = (
+        ivf_cell_assignment(spark, sf_dir, n_cent)
+        .select(
+            "vec_id",
+            "cell",
+            is_delta.alias("d"),
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.floor(
+                    x.cast("double") * IVF_SUM_SCALE + F.lit(0.5)
+                ).cast("long"),
+            ).alias("qe"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    comp = qcells.select(
+        "cell", "d", F.posexplode("qe").alias("pos", "qv")
+    )
+
+    def partials(df: DataFrame, tag: str) -> DataFrame:
+        return df.groupBy("cell", "pos").agg(
+            F.sum("qv").alias(f"s_{tag}"), F.count("*").alias(f"n_{tag}")
+        )
+
+    bp = partials(comp.filter(~F.col("d")), "b")
+    dp = partials(comp.filter(F.col("d")), "del")
+    merged = (
+        bp.join(dp, ["cell", "pos"], "full_outer")
+        .select(
+            "cell",
+            "pos",
+            (
+                F.coalesce(F.col("s_b"), F.lit(0))
+                + F.coalesce(F.col("s_del"), F.lit(0))
+            ).alias("s_m"),
+            F.coalesce(F.col("n_b"), F.lit(0)).alias("nb"),
+            F.coalesce(F.col("n_del"), F.lit(0)).alias("nd"),
+        )
+    )
+    full = partials(comp, "f")
+    audit = merged.join(full, ["cell", "pos"], "full_outer").select(
+        "cell",
+        "pos",
+        F.coalesce(F.col("s_m"), F.lit(0)).alias("s_m"),
+        F.coalesce(F.col("nb"), F.lit(0)).alias("nb"),
+        F.coalesce(F.col("nd"), F.lit(0)).alias("nd"),
+        (
+            (F.coalesce(F.col("s_m"), F.lit(0)) == F.coalesce(F.col("s_f"), F.lit(-1)))
+            & (
+                F.coalesce(F.col("nb"), F.lit(0)) + F.coalesce(F.col("nd"), F.lit(0))
+                == F.coalesce(F.col("n_f"), F.lit(-1))
+            )
+        ).cast("long").alias("ok"),
+    )
+    return audit.groupBy(F.col("cell").cast("long").alias("cell")).agg(
+        (F.max("nb")).cast("long").alias("n_base"),
+        (F.max("nd")).cast("long").alias("n_delta"),
+        (F.max("nb") + F.max("nd")).cast("long").alias("n_total"),
+        F.sum("s_m").cast("long").alias("centroid_checksum"),
+        F.min("ok").cast("long").alias("matches_full"),
+    )

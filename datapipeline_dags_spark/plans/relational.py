@@ -4304,3 +4304,203 @@ def q259_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_suppkey", "s_name")
         .agg(F.count("*").cast("long").alias("n_dominated"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q279 — late-line priority mix (TPC-H Q12 shape)
+# ---------------------------------------------------------------------------
+
+#: Q12's critical-priority bucket: lines of URGENT/HIGH orders count
+#: separately from everything else in the late-shipment audit.
+Q12_HIGH = ("1-URGENT", "2-HIGH")
+Q12_SHIP_YEARS = (1996, 1998)  # inclusive l_shipdate year window
+
+
+@query(
+    "q279_late_line_priority_mix",
+    oracle=f"""
+    SELECT l.l_returnflag AS line_class,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('{Q12_HIGH[0]}',
+                                                    '{Q12_HIGH[1]}')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('{Q12_HIGH[0]}',
+                                                    '{Q12_HIGH[1]}')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE EXTRACT(year FROM l.l_shipdate) BETWEEN {Q12_SHIP_YEARS[0]}
+                                              AND {Q12_SHIP_YEARS[1]}
+      AND l.l_shipdate > o.o_orderdate + INTERVAL {LATE_SHIP_DAYS} DAY
+    GROUP BY 1
+    """,
+)
+def q279_late_line_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12's shipping-mode priority audit re-expressed on the
+    fixture's columns (no l_shipmode/receiptdate: the return-flag
+    class stands in for the mode, ship-vs-order lag > {LATE_SHIP_DAYS}
+    days for the late-receipt predicate — q253's convention): among
+    LATE lines shipped in {Q12_SHIP_YEARS}, how many belong to
+    critical-priority orders vs not, per line class.  The CASE-inside-
+    SUM two-way count is the Q12 signature — one pass, no pivot.
+
+    Reference parity target: the Q12 aggregation pattern
+    (grohan2002/datapipeline-dags exposes no analytic queries; TPC-H
+    shapes are the published stand-in per SURVEY.md §2.11).
+
+    Parity: integer conditional counts; the late cut is a date
+    comparison both engines evaluate identically.
+
+    Scale shape: the ship-year range prunes the lineitem scan
+    (pushed to parquet); the late predicate references both sides so
+    the orderkey join carries it; one hash agg to 3 cells, map-side
+    combinable.  No window, no distinct.
+    """
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.year(F.to_date("l_shipdate")).between(*Q12_SHIP_YEARS)
+    )
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", F.to_date("o_orderdate").alias("od")
+    )
+    is_high = F.col("o_orderpriority").isin(*Q12_HIGH)
+    return (
+        li.select("l_orderkey", "l_returnflag", F.to_date("l_shipdate").alias("sd"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("sd") > F.date_add(F.col("od"), LATE_SHIP_DAYS))
+        .groupBy(F.col("l_returnflag").alias("line_class"))
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0))
+            .cast("long")
+            .alias("high_line_count"),
+            F.sum(F.when(is_high, 0).otherwise(1))
+            .cast("long")
+            .alias("low_line_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q280 — supplier options per part attribute (TPC-H Q16 shape)
+# ---------------------------------------------------------------------------
+
+Q16_EXCLUDED_BRAND = "Brand#13"
+Q16_SIZES = (1, 5, 9, 14, 20, 27, 33, 40)
+
+
+@query(
+    "q280_supplier_part_options",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    ok AS (
+      SELECT p.p_brand, p.p_size, pr.l_suppkey
+      FROM pairs pr
+      JOIN part p ON p.p_partkey = pr.l_partkey
+      WHERE p.p_brand <> '{Q16_EXCLUDED_BRAND}'
+        AND p.p_size IN ({', '.join(str(s) for s in Q16_SIZES)})
+        AND pr.l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0))
+    SELECT p_brand,
+           CAST(p_size AS BIGINT) AS p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM ok GROUP BY 1, 2
+    """,
+)
+def q280_supplier_part_options(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16's parts/supplier-relationship shape on the fixture's
+    columns: how many distinct suppliers have ever shipped a part of
+    each surviving (brand, size) combination — the distinct-pair
+    collapse + NOT-IN supplier exclusion + distinct-count rollup.  No
+    partsupp table in the fixture, so shipment history (lineitem) IS
+    the part↔supplier relation, and negative account balance stands
+    in for Q16's complaint filter.
+
+    Parity: set semantics only (distinct pairs, NOT IN on a key
+    column with no NULLs, COUNT DISTINCT) — no floats anywhere.
+
+    Scale shape: the (partkey, suppkey) distinct collapse is the big
+    shuffle and combines map-side; brand/size filters prune the part
+    dim BEFORE its join (pushed to the part scan); the exclusion list
+    is an anti join on the supplier dim; the final distinct-count
+    groups |brands|×|sizes| cells.  No window; no broadcast hint on
+    the SF-scaled dims — AQE decides.
+    """
+    pairs = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    part = table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != Q16_EXCLUDED_BRAND)
+        & F.col("p_size").isin(*Q16_SIZES)
+    )
+    bad = table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0)
+    return (
+        pairs.join(bad, pairs.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", F.col("p_size").cast("long").alias("p_size"))
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q281 — part value concentration (TPC-H Q11 shape)
+# ---------------------------------------------------------------------------
+
+Q11_TOP = 25
+
+
+@query(
+    "q281_part_value_concentration",
+    oracle=f"""
+    WITH pv AS (
+      SELECT l_partkey,
+             SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100
+                            + 0.5) AS BIGINT)) AS value_cents
+      FROM lineitem GROUP BY 1),
+    tot AS (SELECT SUM(value_cents) AS t FROM pv)
+    SELECT CAST(l_partkey AS BIGINT) AS p_partkey,
+           CAST(value_cents AS BIGINT) AS value_cents,
+           CAST(value_cents * CAST(1000000 AS BIGINT) // t AS BIGINT)
+             AS share_ppm
+    FROM pv, tot
+    ORDER BY value_cents DESC, l_partkey LIMIT {Q11_TOP}
+    """,
+)
+def q281_part_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11's important-stock identification re-expressed on the
+    fixture (no partsupp: shipped revenue history per part stands in
+    for supplycost·availqty): the top-{Q11_TOP} parts by lifetime
+    value with each part's ppm share of the GRAND total — the scalar-
+    subquery-over-the-same-aggregate shape, decorrelated into one
+    1-row total broadcast onto the per-part collapse.
+
+    Parity: integer cents; share is integer-ppm floor division (both
+    engines floor on positives); the top-k boundary ties break on
+    partkey in both engines.
+
+    Scale shape: one map-combinable per-part agg; the grand total is a
+    second agg OVER THE BOUNDED collapse (never a second fact scan),
+    attached as a broadcast 1-row join; top-k plans
+    TakeOrderedAndProject (never a global sort).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    pv = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.expr(
+                "CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)"
+                " AS BIGINT)"
+            )
+        ).alias("value_cents")
+    )
+    tot = pv.agg(F.sum("value_cents").alias("t"))
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("l_partkey").cast("long").alias("p_partkey"),
+            F.col("value_cents").cast("long"),
+            F.expr("CAST(value_cents * CAST(1000000 AS BIGINT) div t AS BIGINT)")
+            .alias("share_ppm"),
+        )
+        .orderBy(F.col("value_cents").desc(), "p_partkey")
+        .limit(Q11_TOP)
+    )

@@ -107,6 +107,12 @@ BOUNDED_FILTER_HINT_OK = {
     "q276_lsh_band_sweep",
     # broadcasts the 1-row bucket-occupancy aggregate
     "q278_feature_hash_audit",
+    # broadcasts the 1-row grand-total aggregate over the bounded
+    # per-part collapse (TPC-H Q11's scalar subquery)
+    "q281_part_value_concentration",
+    # shares q47's cell assignment: broadcasts the n_cent-row
+    # quantizer (bounded-filter vec_id < n_cent), nothing else
+    "q282_ivf_delta_refresh",
     # broadcasts the 1-row balance-threshold aggregate (Q22's scalar)
     "q249_idle_high_balance",
     # broadcasts the 1-row window aggregate + the bounded month-instant list
@@ -341,8 +347,8 @@ NESTED_LOOP_OK = {
     "q248_mcv_selectivity",
     # 1-row threshold attach into the customer scan (Q22's scalar)
     "q249_idle_high_balance",
-    # per-threshold 1-row (pairs x docs-affected) attaches over the
-    # checkpointed bounded pair table
+    # one 1-row (pair counts) x 1-row (doc counts) attach over the
+    # checkpointed bounded pair table (the r8 single-pass sweep)
     "q252_dedup_threshold_sweep",
     # bounded |months| instant grid x interval containment (cf. q79's
     # spine x bounded key set) + 1-row attaches
@@ -376,6 +382,12 @@ NESTED_LOOP_OK = {
     "q276_lsh_band_sweep",
     # 1-row occupancy-stats attach onto the 1-row feature count
     "q278_feature_hash_audit",
+    # broadcasts the 1-row grand-total aggregate over the bounded
+    # per-part collapse (TPC-H Q11's scalar subquery)
+    "q281_part_value_concentration",
+    # shares q47's cell assignment: broadcasts the n_cent-row
+    # quantizer (bounded-filter vec_id < n_cent), nothing else
+    "q282_ivf_delta_refresh",
 }
 
 
