@@ -100,6 +100,16 @@ HEADLINE = [
     # assignment and the single-pass dedup threshold sweep
     "q234_cluster_purity_nmi",
     "q252_dedup_threshold_sweep",
+    # round-8 additions (VERDICT r7 ask #6): the audit queries were
+    # the biggest round-over-round blind spot — the 4-variant ANN
+    # recall and nDCG composites, the |sources|² sketch grid, the
+    # two-sample capture-recapture estimate — plus the new
+    # incremental IVF delta-refresh (ask #8)
+    "q90_ann_recall",
+    "q159_ann_ndcg",
+    "q147_source_overlap_sketch",
+    "q273_capture_recapture",
+    "q282_ivf_delta_refresh",
 ]
 
 REPS = 3
