@@ -81,6 +81,20 @@ TARGETS = (
     "q222_kcore_decomposition",
     "q225_greedy_set_cover",
     "q226_kmin_distinct_sketch",
+    # round-8 additions (VERDICT r7 ask #4): the r7 graph/eval
+    # newcomers — edge churn (per-window edge builds), common-neighbor
+    # link prediction (chunked per-center neighbor lists, NOT q199's
+    # wedge orientation), local clustering (per-node triangle/degree),
+    # CF holdout eval (the checkpointed year-tagged pair build is the
+    # cost center), the 4-config LSH band sweep (one signature pass),
+    # and the incremental IVF delta refresh (one assignment pass +
+    # mergeable integer partials)
+    "q250_edge_churn",
+    "q260_common_neighbor_links",
+    "q261_local_clustering",
+    "q267_cf_holdout_eval",
+    "q276_lsh_band_sweep",
+    "q282_ivf_delta_refresh",
 )
 
 # Per-(target, scale) keyword overrides: the SemDeDup contract is that
