@@ -107,6 +107,10 @@ _ROTATION_HEAD = [
 ]
 
 _ROTATION_TAIL = [
+    # brand-new after the r8 head was frozen at 50 — judge-green at
+    # sf0.01, r9 head candidates (no driver row yet):
+    "q283_product_profit",
+    "q284_lsh_delta_refresh",
     # pure hedge (all already driver-green): r7/r8-changed
     # implementations first, then the widest plans in the corpus, so
     # a flipped sampling end still re-verifies the riskiest code.

@@ -229,6 +229,42 @@ def _q41_oracle() -> str:
     """
 
 
+def _minhash_bands(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, key) MinHash-LSH band rows of a (doc_id, sh)
+    shingle table — the signature pipeline shared by
+    ``_lsh_verified_candidates`` (q41/q214) and q284's incremental
+    index refresh.  One md5 per shingle; permutation i = h1 + i·h2.
+
+    NB: single-arg lambdas only — a two-arg lambda (e.g.
+    ``lambda s, i=i``) makes Spark bind the second param to the
+    element INDEX column."""
+    hp = F.transform(
+        F.transform(F.col("sh"), lambda s: F.md5(s)),
+        lambda h: F.struct(
+            F.conv(F.substring(h, 1, 15), 16, 10).cast("long").alias("h1"),
+            F.conv(F.substring(h, 17, 8), 16, 10).cast("long").alias("h2"),
+        ),
+    )
+    hashed = docs.select("doc_id", hp.alias("hp"))
+
+    def minhash(i: int) -> Column:
+        mult = F.lit(i).cast("long")
+        return F.array_min(
+            F.transform(F.col("hp"), lambda p: p["h1"] + mult * p["h2"])
+        )
+
+    sigs = hashed.select(
+        "doc_id", *[minhash(i).alias(f"m{i}") for i in range(MINHASH_H)]
+    )
+    band_keys = [
+        F.concat_ws("|", *[F.col(f"m{b * LSH_R + r}") for r in range(LSH_R)])
+        for b in range(LSH_B)
+    ]
+    return sigs.select(
+        "doc_id", F.posexplode(F.array(*band_keys)).alias("band", "key")
+    )
+
+
 def _lsh_verified_candidates(
     spark: SparkSession, sf_dir: str, name: str
 ) -> DataFrame:
@@ -261,33 +297,7 @@ def _lsh_verified_candidates(
         .select("doc_id", _shingles(F.col("text")).alias("sh"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # NB: single-arg lambdas only — a two-arg lambda (e.g. `lambda s, i=i`)
-    # makes Spark bind the second param to the element INDEX column.
-    hp = F.transform(
-        F.transform(F.col("sh"), lambda s: F.md5(s)),
-        lambda h: F.struct(
-            F.conv(F.substring(h, 1, 15), 16, 10).cast("long").alias("h1"),
-            F.conv(F.substring(h, 17, 8), 16, 10).cast("long").alias("h2"),
-        ),
-    )
-    hashed = docs.select("doc_id", "sh", hp.alias("hp"))
-
-    def minhash(i: int) -> Column:
-        mult = F.lit(i).cast("long")
-        return F.array_min(
-            F.transform(F.col("hp"), lambda p: p["h1"] + mult * p["h2"])
-        )
-
-    sigs = hashed.select(
-        "doc_id", "sh", *[minhash(i).alias(f"m{i}") for i in range(MINHASH_H)]
-    )
-    band_keys = [
-        F.concat_ws("|", *[F.col(f"m{b * LSH_R + r}") for r in range(LSH_R)])
-        for b in range(LSH_B)
-    ]
-    bands = sigs.select(
-        "doc_id", F.posexplode(F.array(*band_keys)).alias("band", "key")
-    )
+    bands = _minhash_bands(docs)
     # Candidate pairs via ONE aggregation instead of a band self-join: a
     # self-join would execute the whole signature pipeline twice (Spark
     # cannot reuse the exchange across the broadcast side).  Bucket size
@@ -9363,4 +9373,166 @@ def q282_ivf_delta_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("nb") + F.max("nd")).cast("long").alias("n_total"),
         F.sum("s_m").cast("long").alias("centroid_checksum"),
         F.min("ok").cast("long").alias("matches_full"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q284 — incremental MinHash-LSH index maintenance (delta refresh audit)
+# ---------------------------------------------------------------------------
+
+#: the simulated ingest delta for the text index (q282's convention on
+#: the document corpus): doc_id % MOD == REM arrives after the base
+#: index was built
+DOC_DELTA_MOD, DOC_DELTA_REM = 8, 5
+
+
+def _q284_oracle() -> str:
+    # UNCAPPED pair derivation (the Spark side routes every bucket
+    # through lossless chunking, so no QUALIFY cap here — contrast
+    # _lsh_verified_ctes, whose BUCKET_CAP mirrors q41's _cap_buckets)
+    sig_cols = ", ".join(
+        f"list_min(list_transform(hp, p -> p.h1 + {i} * p.h2)) AS m{i}"
+        for i in range(MINHASH_H)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {key} AS key FROM sig".format(
+            b=b,
+            key=" || '|' || ".join(
+                f"CAST(m{b * LSH_R + r} AS VARCHAR)" for r in range(LSH_R)
+            ),
+        )
+        for b in range(LSH_B)
+    )
+    return f"""
+    WITH docs AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents),
+    hp AS (SELECT doc_id, sh,
+           list_transform(list_transform(sh, s -> md5(s)),
+             h -> {{'h1': ('0x' || substr(h, 1, 15))::BIGINT,
+                    'h2': ('0x' || substr(h, 17, 8))::BIGINT}}) AS hp
+           FROM docs),
+    sig AS (SELECT doc_id, {sig_cols} FROM hp),
+    bands AS ({band_selects}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+    ver AS (
+      SELECT c.doc_a, c.doc_b
+      FROM cand c
+      JOIN docs da ON da.doc_id = c.doc_a
+      JOIN docs db ON db.doc_id = c.doc_b
+      WHERE len(list_intersect(da.sh, db.sh)) * 1.0
+              / len(list_distinct(list_concat(da.sh, db.sh))) >= {JACCARD_T}),
+    f AS (
+      SELECT doc_a, doc_b,
+             CASE WHEN doc_a % {DOC_DELTA_MOD} = {DOC_DELTA_REM}
+                    OR doc_b % {DOC_DELTA_MOD} = {DOC_DELTA_REM}
+                  THEN 1 ELSE 0 END AS dlt
+      FROM ver)
+    SELECT CAST(SUM(1 - dlt) AS BIGINT) AS n_base_pairs,
+           CAST(SUM(dlt) AS BIGINT) AS n_delta_pairs,
+           CAST(COUNT(*) AS BIGINT) AS n_incremental,
+           CAST(COUNT(*) AS BIGINT) AS n_full,
+           CAST(1 AS BIGINT) AS matches_full
+    FROM f
+    """
+
+
+@query("q284_lsh_delta_refresh", oracle=_q284_oracle())
+def q284_lsh_delta_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash-LSH index maintenance — q282's IVM contract
+    on the TEXT dedup index: the delta ingest batch (doc_id %
+    {DOC_DELTA_MOD} == {DOC_DELTA_REM}) computes signatures for ITS
+    documents only and probes the band-bucket space, and the refreshed
+    near-dup pair set is the stored base-index pairs UNION the
+    delta-involving pairs — never a re-pairing of the base corpus
+    against itself.  A 100 TB text corpus re-shingles only what
+    arrived; this is the path between q41 full rebuilds.
+
+    The audit IS the result: base pairs derive from BASE-ONLY buckets
+    and delta pairs from the full buckets (≥ 1 delta member), so their
+    union equals a from-scratch rebuild ONLY if the bucketing is
+    lossless — every bucket routes through ``blocking.chunk_buckets``
+    (zero recall loss, unlike q41's observable truncation cap), and
+    ``matches_full`` certifies the set equality pair-by-pair against
+    an independent full rebuild.  Output is one summary row.
+
+    Parity: set semantics + integer counts; verification keeps
+    Jaccard ≥ {JACCARD_T} (the q63 rounded-cut rule is unnecessary —
+    the comparison is the same double in both engines).
+
+    Scale shape: ONE shingle pass (persisted — bands, both bucket
+    builds, and verification read it; harness clearCache releases it);
+    bucket collapses combine map-side; oversized buckets
+    chunk-distribute; verification touches each distinct candidate
+    pair once; the audit is one agg over the bounded verified-pair
+    table with membership flags.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    docs = (
+        _fanout(spark, table(spark, sf_dir, "documents"))
+        .select("doc_id", _shingles(F.col("text")).alias("sh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    bands = _minhash_bands(docs.select("doc_id", "sh")).withColumn(
+        "dlt", (F.col("doc_id") % DOC_DELTA_MOD) == DOC_DELTA_REM
+    )
+
+    def bucket_pairs(band_rows: DataFrame, name: str) -> DataFrame:
+        bucketed = (
+            band_rows.groupBy("band", "key")
+            .agg(F.collect_list("doc_id").alias("ids"))
+            .filter(F.size("ids") >= 2)
+        )
+        return (
+            blocking.chunk_buckets(bucketed, name, "ids")
+            .select(F.explode(blocking.chunk_pair_structs()).alias("p"))
+            .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .distinct()
+        )
+
+    base_pairs = bucket_pairs(
+        bands.filter(~F.col("dlt")), "q284_lsh_delta_refresh_base"
+    )
+    full_pairs = bucket_pairs(bands, "q284_lsh_delta_refresh_full")
+    is_d = lambda c: (F.col(c) % DOC_DELTA_MOD) == DOC_DELTA_REM  # noqa: E731
+    delta_pairs = full_pairs.filter(is_d("a") | is_d("b"))
+    # verify each distinct candidate once, then flag set membership
+    cand = full_pairs.unionAll(base_pairs).distinct()
+    sets = docs.select("doc_id", "sh")
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    ver = (
+        cand.join(
+            sets.select(F.col("doc_id").alias("a"), F.col("sh").alias("sh_a")),
+            "a",
+        )
+        .join(
+            sets.select(F.col("doc_id").alias("b"), F.col("sh").alias("sh_b")),
+            "b",
+        )
+        .filter(jac >= JACCARD_T)
+        .select("a", "b")
+    )
+    flags = (
+        ver.join(base_pairs.withColumn("in_b", F.lit(1)), ["a", "b"], "left")
+        .join(delta_pairs.withColumn("in_d", F.lit(1)), ["a", "b"], "left")
+        .join(full_pairs.withColumn("in_f", F.lit(1)), ["a", "b"], "left")
+        .select(
+            F.coalesce(F.col("in_b"), F.lit(0)).alias("in_b"),
+            F.coalesce(F.col("in_d"), F.lit(0)).alias("in_d"),
+            F.coalesce(F.col("in_f"), F.lit(0)).alias("in_f"),
+        )
+    )
+    inc = F.greatest(F.col("in_b"), F.col("in_d"))
+    return flags.agg(
+        F.sum("in_b").cast("long").alias("n_base_pairs"),
+        F.sum("in_d").cast("long").alias("n_delta_pairs"),
+        F.sum(inc).cast("long").alias("n_incremental"),
+        F.sum("in_f").cast("long").alias("n_full"),
+        F.min((inc == F.col("in_f")).cast("long"))
+        .cast("long")
+        .alias("matches_full"),
     )

@@ -4504,3 +4504,79 @@ def q281_part_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame
         .orderBy(F.col("value_cents").desc(), "p_partkey")
         .limit(Q11_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# q283 — product profit by nation-year (TPC-H Q9 shape)
+# ---------------------------------------------------------------------------
+
+Q9_NAME_PART = "bolt"
+#: cost stand-in: 60% of the part's retail price per unit (the fixture
+#: has no partsupp/ps_supplycost)
+Q9_COST_PCT = 60
+
+
+@query(
+    "q283_product_profit",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100
+                               + 0.5) AS BIGINT)
+                    - CAST(FLOOR(l.l_quantity * p.p_retailprice
+                                 * {Q9_COST_PCT} + 0.5) AS BIGINT))
+                AS BIGINT) AS profit_cents
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%{Q9_NAME_PART}%'
+    GROUP BY 1, 2
+    """,
+)
+def q283_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9's product-type profit measure on the fixture's columns
+    (no partsupp: cost per unit = {Q9_COST_PCT}% of the part's retail
+    price): for parts whose name contains '{Q9_NAME_PART}', net profit
+    per (supplier nation, order year) — the five-table star join whose
+    name filter must prune the part dim BEFORE the fact join.
+
+    Parity: revenue and cost each floor to integer cents per line
+    (identical double arithmetic inside both floors), then integer
+    subtraction/sums.
+
+    Scale shape: the LIKE filter prunes part to ~1/|nouns| before its
+    fact join (pushed to the part scan); supplier/orders join on their
+    keys (AQE picks strategies — no hints on SF-scaled dims); nation
+    (25 rows) broadcasts; one hash agg to |nations|×|years| cells.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").filter(
+        F.col("p_name").contains(Q9_NAME_PART)
+    )
+    supplier = table(spark, sf_dir, "supplier")
+    orders = table(spark, sf_dir, "orders")
+    nation = table(spark, sf_dir, "nation")
+    profit = (
+        F.expr(
+            "CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)"
+            " AS BIGINT)"
+        )
+        - F.expr(
+            f"CAST(FLOOR(l_quantity * p_retailprice * {Q9_COST_PCT} + 0.5)"
+            " AS BIGINT)"
+        )
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .select("n_name", F.year("o_orderdate").alias("yr"), profit.alias("pc"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.col("yr").cast("long").alias("o_year"),
+        )
+        .agg(F.sum("pc").cast("long").alias("profit_cents"))
+    )
