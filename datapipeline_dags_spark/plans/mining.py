@@ -922,11 +922,18 @@ def q215_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("dst", "label")
             .agg(F.count("*").alias("c"))
         )
-        labels = local_checkpoint(
+        nxt = (
             counts.withColumn("rn", F.row_number().over(wmax))
             .filter(F.col("rn") == 1)
-            .select(F.col("dst").alias("node"), "label"),
-            f"q215 lp round {k + 1}",
+            .select(F.col("dst").alias("node"), "label")
+        )
+        # labels has ONE consumer per round, so checkpointing every
+        # SECOND round (the q221/q183 r8 discipline) halves the eager
+        # checkpoint jobs with zero recompute and a ≤2-round lineage.
+        labels = (
+            local_checkpoint(nxt, f"q215 lp round {k + 1}")
+            if k % 2 == 1 or k == LPA_ROUNDS - 1
+            else nxt
         )
     comm = labels.groupBy(F.col("label").alias("community")).agg(
         F.count("*").alias("n_nodes")

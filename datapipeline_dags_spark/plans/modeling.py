@@ -1530,6 +1530,9 @@ def q221_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rounds, so the probe runs once, and a duel graph too big to
     # broadcast keeps the shuffle joins (the exact_audit auto-knob
     # discipline; results are join-strategy-independent integers).
+    # (A literal-map round regime was tried in r8 and REJECTED:
+    # GetMapValue on a |nodes|-entry literal map is a linear scan per
+    # duel row — 2x slower than the broadcast join at 1k nodes.)
     bt_bc = wins.count() <= BT_BROADCAST_NODES
 
     def _side(df: DataFrame) -> DataFrame:
@@ -1548,14 +1551,21 @@ def q221_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("node")
             .agg(F.sum("t").alias("den"))
         )
-        cur = local_checkpoint(
-            wins.join(_side(den), "node").select(
-                "node",
-                F.expr(f"(wins * {BT_K}) div greatest(den, 1)")
-                .cast("long")
-                .alias("r"),
-            ),
-            f"q221 bt round {k + 1}",
+        nxt = wins.join(_side(den), "node").select(
+            "node",
+            F.expr(f"(wins * {BT_K}) div greatest(den, 1)")
+            .cast("long")
+            .alias("r"),
+        )
+        # Checkpoint every SECOND round: the eager localCheckpoint is
+        # one scheduled job per call and dominates wall time at these
+        # table sizes; a two-round lineage stays bounded (the strength
+        # table is ≤|nodes| rows and the joins broadcast), and values
+        # are checkpoint-placement-independent.
+        cur = (
+            local_checkpoint(nxt, f"q221 bt round {k + 1}")
+            if k % 2 == 1 or k == BT_ITERS - 1
+            else nxt
         )
     return (
         wins.join(_side(cur), "node")

@@ -2155,7 +2155,7 @@ def q183_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     shares = sym.join(deg, sym.src == deg.node).select(
         F.col("src"), F.col("dst"), F.col("deg")
     ).persist()
-    for _ in range(PR_ITERS):
+    for i in range(PR_ITERS):
         inflow = (
             shares.join(cur, shares.src == cur.node)
             .select(
@@ -2165,19 +2165,25 @@ def q183_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("node")
             .agg(F.sum("share").alias("inflow"))
         )
-        cur = local_checkpoint(
-            nodes.join(inflow, "node", "left").select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.expr(
-                        f"({PR_DAMP_NUM} * coalesce(inflow, 0)) div {PR_DAMP_DEN}"
-                    )
+        nxt = nodes.join(inflow, "node", "left").select(
+            "node",
+            (
+                F.lit(base)
+                + F.expr(
+                    f"({PR_DAMP_NUM} * coalesce(inflow, 0)) div {PR_DAMP_DEN}"
                 )
-                .cast("long")
-                .alias("r"),
-            ),
-            "pr_round",
+            )
+            .cast("long")
+            .alias("r"),
+        )
+        # Checkpoint every SECOND round (the q221 r8 discipline): each
+        # eager localCheckpoint is a scheduled job, and a two-round
+        # lineage over the persisted shares/nodes stays bounded; values
+        # are checkpoint-placement-independent integers.
+        cur = (
+            local_checkpoint(nxt, "pr_round")
+            if i % 2 == 1 or i == PR_ITERS - 1
+            else nxt
         )
     nodes.unpersist()
     shares.unpersist()
