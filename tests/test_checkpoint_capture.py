@@ -15,9 +15,13 @@ def test_pagerank_rounds_captured(spark, sf_dir):
         rounds = [c for c in checkpoint.CAPTURE if "round" in c[0]]
     finally:
         checkpoint.CAPTURE = None
-    # PR_ITERS rounds + init; each captured plan is the REAL per-round
-    # structure (shuffles visible), not a checkpointed-RDD scan
-    assert len(rounds) == 5
+    # Since r8 the loop checkpoints every SECOND round (plus the last),
+    # so ceil(PR_ITERS/2) captures land, each carrying the REAL one- or
+    # two-round structure (shuffles visible), not a checkpointed-RDD
+    # scan.
+    from datapipeline_dags_spark.plans.relational import PR_ITERS
+
+    assert len(rounds) == (PR_ITERS + 1) // 2
     assert all("Exchange" in plan for _, plan in rounds)
 
 
