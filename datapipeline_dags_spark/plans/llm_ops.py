@@ -9475,8 +9475,14 @@ def q284_lsh_delta_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", _shingles(F.col("text")).alias("sh"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    bands = _minhash_bands(docs.select("doc_id", "sh")).withColumn(
-        "dlt", (F.col("doc_id") % DOC_DELTA_MOD) == DOC_DELTA_REM
+    # both bucket builds (base-only, full) consume the band rows —
+    # persist so the signature transform runs once per job
+    bands = (
+        _minhash_bands(docs.select("doc_id", "sh"))
+        .withColumn(
+            "dlt", (F.col("doc_id") % DOC_DELTA_MOD) == DOC_DELTA_REM
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
     def bucket_pairs(band_rows: DataFrame, name: str) -> DataFrame:

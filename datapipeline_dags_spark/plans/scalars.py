@@ -696,14 +696,23 @@ DXP_PS = (0.5, 0.9, 0.99)
 DXP_NARROW_ROWS = 1_000_000
 
 
-#: Group-cardinality bound for the collected-control-plane route: at
-#: or below this many groups the group stats and the (g, bin)
-#: histogram (≤ |g|·DXP_BINS rows of integer counts — never values)
-#: are COLLECTED, rank→bin location happens driver-side, and the whole
-#: operator is ONE distributed pass over the needed-bin rows.  Above
-#: it the fully-distributed locate path runs instead (same results —
+#: Collected-route bound: the (group, log-bin) histogram is collected
+#: when it fits in DXP_COLLECT_GROUPS x DXP_BINS integer-count cells
+#: (counts only — values never leave the cluster); rank->bin location
+#: then happens driver-side and the whole operator is TWO passes over
+#: the input (histogram + needed-bin revisit).  Above the bound the
+#: fully-distributed three-pass locate runs instead (same results —
 #: ``test_distributed_percentiles_routes_agree`` pins equality).
 DXP_COLLECT_GROUPS = 1024
+#: log-scale bin granularity of the collected route: ~DXP_LN_SCALE
+#: bins per e-fold of the value magnitude, <= ~2*709*DXP_LN_SCALE
+#: possible bins over the whole double range — data-INDEPENDENT, so
+#: binning needs no min/max pre-pass (the r8 pass trim: the old
+#: width-based route paid a third scan just to learn lo/hi).
+DXP_LN_SCALE = 16
+#: narrowing refinement of a needed bin holding > DXP_NARROW_ROWS
+#: rows: 256x finer log bins, the q186 sub-binning discipline.
+DXP_LN_SUB_SCALE = 4096
 
 
 def distributed_percentiles(gv: DataFrame, ps: tuple) -> DataFrame:
@@ -712,55 +721,56 @@ def distributed_percentiles(gv: DataFrame, ps: tuple) -> DataFrame:
     q186, and the ``exact_audit='distributed'`` backend of q154/q141.
 
     Returns (g, p, value) with value UNROUNDED (callers apply their own
-    float discipline).  Three passes over the input, never buffering a
-    group: group stats ``st``, a {DXP_BINS}-bin histogram, and a
-    revisit of only the NEEDED bins; needed bins above DXP_NARROW_ROWS
-    rows are re-binned into {DXP_BINS} sub-bins map-side before the
-    in-bin rank window, so the window-partition bound is
-    max(DXP_NARROW_ROWS, ~n/{DXP_BINS}²) even when value skew
-    concentrates a group into one bin width.
+    float discipline).
 
-    Route selection (VERDICT r7 ask #2 — pass trim): the histogram is
-    ≤ |g|·{DXP_BINS} integer-count rows, i.e. bounded control plane
-    whenever |g| is bounded — and every registered caller groups by a
-    low-cardinality category.  At ≤ {DXP_COLLECT_GROUPS} groups the
-    stats + histogram are collected, ranks locate their bins in plain
-    Python, and the returned plan is ONE distributed pass (needed-bin
-    filter → (v, count) collapse → in-bin rank window → interpolate) —
-    replacing the r7 plan's persisted-frame fan-out of broadcast
-    builds and bounded-window stages.  Above the bound, the
-    fully-distributed locate runs (persisted bounded intermediates,
-    same arithmetic, same results).
+    Route selection (VERDICT r7 ask #2 — pass trim): the collected
+    route bins on a data-independent monotone LOG transform
+    (``_dxp_obin``), so no min/max pre-pass exists and the input is
+    scanned exactly TWICE — (g, bin) integer histogram (collected,
+    bounded control plane) and the needed-bin revisit, with ranks
+    located driver-side.  The histogram collect doubles as the route
+    probe: if it exceeds DXP_COLLECT_GROUPS x DXP_BINS cells (high-
+    cardinality g), the fully-distributed three-pass locate runs
+    instead (persisted bounded intermediates, same arithmetic, same
+    results).  Needed bins above DXP_NARROW_ROWS rows are re-binned
+    {DXP_LN_SUB_SCALE}/{DXP_LN_SCALE}x finer map-side before the
+    in-bin rank window, and the (value, count) collapse bounds task
+    memory by the distinct values of one (sub-)bin either way.
     """
+    cells = DXP_COLLECT_GROUPS * DXP_BINS
+    ob = _dxp_obin(F.col("v"), DXP_LN_SCALE)
+    hist_rows = (
+        gv.groupBy("g", ob.alias("ob"))
+        .agg(F.count("*").alias("c"))
+        .limit(cells + 1)
+        .collect()
+    )
+    if len(hist_rows) <= cells:
+        return _dxp_collected(gv, ps, hist_rows)
     st = gv.groupBy("g").agg(
         F.min("v").alias("lo"), F.max("v").alias("hi"), F.count("*").alias("n")
     )
-    st_rows = st.limit(DXP_COLLECT_GROUPS + 1).collect()
-    if len(st_rows) <= DXP_COLLECT_GROUPS:
-        return _dxp_collected(gv, st, ps, st_rows)
     return _dxp_distributed(gv, st, ps)
 
 
 def _dxp_w() -> Column:
-    """Shared bin-width expression over (lo, hi) columns — identical in
-    both routes so results are bit-equal across the switch."""
+    """Bin-width expression over (lo, hi) columns — the distributed
+    route's width-based binning."""
     return F.when(F.col("hi") == F.col("lo"), F.lit(1.0)).otherwise(
         (F.col("hi") - F.col("lo")) / DXP_BINS
     )
 
 
-def _dxp_binned(gv: DataFrame, st_small: DataFrame) -> DataFrame:
-    """gv with the map-side bin column, via a broadcast of the bounded
-    per-group stats — shared by both routes."""
-    w = _dxp_w()
-    return gv.join(F.broadcast(st_small), "g").select(
-        "g",
-        "v",
-        F.least(
-            F.floor((F.col("v") - F.col("lo")) / w).cast("int"),
-            F.lit(DXP_BINS - 1),
-        ).alias("bin"),
-    )
+def _dxp_obin(v: Column, scale: int) -> Column:
+    """Data-independent MONOTONE log-scale bin of a double value:
+    ``floor(ln(v+1)*scale)`` for v >= 0, mirrored below zero.  Java's
+    ``Math.log`` is semi-monotonic by spec (JLS), so bin order always
+    agrees with value order — any monotone partition of the value axis
+    yields the same rank selection, which is why an engine-local
+    transform is safe inside a hash-checked operator."""
+    pos = F.floor(F.log(v + F.lit(1.0)) * scale)
+    neg = F.lit(-1) - F.floor(F.log(F.lit(1.0) - v) * scale)
+    return F.when(v >= 0, pos).otherwise(neg).cast("long")
 
 
 def _dxp_ranks(n: int, p: float) -> tuple[int, int, float]:
@@ -777,7 +787,7 @@ def _dxp_ranks(n: int, p: float) -> tuple[int, int, float]:
 
 def _dxp_locate(cum: list[tuple[int, int, int]], k: int) -> tuple[int, int, int]:
     """Find (bin, cum_before, c) of the bin holding rank ``k`` on a
-    per-group cumulative histogram [(bin, cum, c), …] sorted by bin —
+    per-group cumulative histogram [(bin, cum, c), ...] sorted by bin —
     the driver-side twin of the distributed route's
     ``cum_before < k <= cum`` locate join."""
     for b, cm, c in cum:
@@ -786,26 +796,23 @@ def _dxp_locate(cum: list[tuple[int, int, int]], k: int) -> tuple[int, int, int]
     raise ValueError(f"rank {k} beyond histogram total {cum[-1][1] if cum else 0}")
 
 
-def _dxp_collected(
-    gv: DataFrame, st: DataFrame, ps: tuple, st_rows: list
-) -> DataFrame:
-    """Bounded-|g| route: collect stats + histogram (integer counts
-    only — values never leave the cluster), locate ranks driver-side,
-    and return a single-pass plan over the needed bins."""
+def _dxp_collected(gv: DataFrame, ps: tuple, hist_rows: list) -> DataFrame:
+    """Bounded-cells route: the collected (g, log-bin) histogram
+    locates every rank driver-side; the returned plan is ONE
+    distributed pass over the needed bins (map-side log-bin filter ->
+    (value, count) collapse -> in-bin rank window -> interpolate)."""
     spark = gv.sparkSession
-    if not st_rows:
+    if not hist_rows:
         return gv.limit(0).select(
             "g",
             F.lit(0.0).alias("p"),
             F.col("v").cast("double").alias("value"),
         )
-    st_small = spark.createDataFrame(st_rows, st.schema)
-    binned = _dxp_binned(gv, st_small)
-    hist_rows = binned.groupBy("g", "bin").agg(F.count("*").alias("c")).collect()
+    g_type = gv.schema["g"].dataType.simpleString()
     cum: dict = {}
     by_g: dict = {}
     for r in hist_rows:
-        by_g.setdefault(r["g"], []).append((r["bin"], r["c"]))
+        by_g.setdefault(r["g"], []).append((r["ob"], r["c"]))
     for g_key, bins in by_g.items():
         bins.sort()
         acc, out = 0, []
@@ -813,10 +820,7 @@ def _dxp_collected(
             acc += c
             out.append((b, acc, c))
         cum[g_key] = out
-    n_by_g = {r["g"]: r["n"] for r in st_rows}
-    # driver-side locate: one needs row per (g, p, which) — the same
-    # (k0, k1, frac) ranks and cum_before<k<=cum bin test as the
-    # distributed route, over the collected integer histogram
+    n_by_g = {g_key: lst[-1][1] for g_key, lst in cum.items()}
     needs_rows, big = [], set()
     narrow = DXP_NARROW_ROWS
     for g_key, n in n_by_g.items():
@@ -827,105 +831,70 @@ def _dxp_collected(
                 needs_rows.append([g_key, float(p), frac, which, k, b, cum_before])
                 if c > narrow:
                     big.add((g_key, b))
-    g_type = st.schema["g"].dataType.simpleString()
     needs_schema = (
         f"g {g_type}, p double, frac double, which int, k long, "
-        "bin int, cum_before long"
+        "bin long, cum_before long, sub long, sub_cum_before long"
     )
-    if not big:
-        needs = spark.createDataFrame(
-            [r + [0, 0] for r in needs_rows],
-            needs_schema + ", sub int, sub_cum_before long",
-        )
-        return _dxp_final_pass(binned, st_small, needs, big_bins=set())
-    # Skewed needed bin(s): one more bounded-count collect — the
-    # sub-histogram of the big bins — then the same single final pass
-    # with the map-side sub-bin split of the distributed route.
-    big_local = spark.createDataFrame(
-        [(g_key, b) for (g_key, b) in sorted(big, key=repr)],
-        f"g {g_type}, bin int",
-    )
-    sub_rows = (
-        _dxp_with_sub(binned, st_small, big_local)
-        .join(F.broadcast(big_local), ["g", "bin"])
-        .groupBy("g", "bin", "sub")
-        .agg(F.sum("one").alias("sc"))
-        .collect()
-    )
+    big_local = None
     sub_cum: dict = {}
-    by_gb: dict = {}
-    for r in sub_rows:
-        by_gb.setdefault((r["g"], r["bin"]), []).append((r["sub"], r["sc"]))
-    for gb, subs in by_gb.items():
-        subs.sort()
-        acc, out = 0, []
-        for s, c in subs:
-            acc += c
-            out.append((s, acc, c))
-        sub_cum[gb] = out
+    if big:
+        # one more bounded-count collect: the 256x-finer sub-histogram
+        # of the oversized needed bins only
+        big_local = spark.createDataFrame(
+            sorted(big, key=repr), f"g {g_type}, bin long"
+        )
+        sub_rows = (
+            gv.select(
+                "g",
+                _dxp_obin(F.col("v"), DXP_LN_SCALE).alias("bin"),
+                _dxp_obin(F.col("v"), DXP_LN_SUB_SCALE).alias("sub"),
+            )
+            .join(F.broadcast(big_local), ["g", "bin"])
+            .groupBy("g", "bin", "sub")
+            .agg(F.count("*").alias("c"))
+            .collect()
+        )
+        by_gb: dict = {}
+        for r in sub_rows:
+            by_gb.setdefault((r["g"], r["bin"]), []).append((r["sub"], r["c"]))
+        for gb, subs in by_gb.items():
+            subs.sort()
+            acc, out = 0, []
+            for sb, c in subs:
+                acc += c
+                out.append((sb, acc, c))
+            sub_cum[gb] = out
     full_rows = []
     for g_key, p, frac, which, k, b, cum_before in needs_rows:
         if (g_key, b) in big:
-            s, sub_before, _ = _dxp_locate(sub_cum[(g_key, b)], k - cum_before)
+            sb, sub_before, _ = _dxp_locate(sub_cum[(g_key, b)], k - cum_before)
         else:
-            s, sub_before = 0, 0
-        full_rows.append([g_key, p, frac, which, k, b, cum_before, s, sub_before])
-    needs = spark.createDataFrame(
-        full_rows, needs_schema + ", sub int, sub_cum_before long"
-    )
-    return _dxp_final_pass(binned, st_small, needs, big_bins=big)
-
-
-def _dxp_with_sub(
-    binned: DataFrame, st_small: DataFrame, big_local: DataFrame
-) -> DataFrame:
-    """Attach the map-side sub-bin split (big needed bins only; sub=0
-    elsewhere) — the same expressions as the distributed route."""
-    w = _dxp_w()
-    bin_lo = F.col("lo") + F.col("bin") * w
-    sub_w = w / DXP_BINS
-    is_big = F.col("big_flag").isNotNull()
-    sub = F.when(
-        is_big,
-        F.greatest(
-            F.lit(0),
-            F.least(
-                F.floor((F.col("v") - bin_lo) / sub_w).cast("int"),
-                F.lit(DXP_BINS - 1),
-            ),
-        ),
-    ).otherwise(F.lit(0))
-    flagged = binned.join(
-        F.broadcast(big_local.withColumn("big_flag", F.lit(1))),
-        ["g", "bin"],
-        "left",
-    ).join(F.broadcast(st_small.select("g", "lo", "hi")), "g")
-    return flagged.select(
-        "g", "bin", sub.alias("sub"), "v", F.lit(1).alias("one")
-    )
-
-
-def _dxp_final_pass(
-    binned: DataFrame, st_small: DataFrame, needs: DataFrame, big_bins: set
-) -> DataFrame:
-    """The ONE distributed pass of the collected route: filter to the
-    needed (g, bin) cells, collapse to (value, count), rank within the
-    (sub-)bin, pick the two order statistics, interpolate."""
-    spark = binned.sparkSession
+            sb, sub_before = 0, 0
+        full_rows.append([g_key, p, frac, which, k, b, cum_before, sb, sub_before])
+    needs = spark.createDataFrame(full_rows, needs_schema)
     nb = needs.select("g", "bin").distinct()
-    if big_bins:
-        g_type = needs.schema["g"].dataType.simpleString()
-        big_local = spark.createDataFrame(
-            [(g_key, b) for (g_key, b) in sorted(big_bins, key=repr)],
-            f"g {g_type}, bin int",
-        )
-        rows = _dxp_with_sub(binned, st_small, big_local).join(
-            F.broadcast(nb), ["g", "bin"]
+    rows = gv.select(
+        "g", _dxp_obin(F.col("v"), DXP_LN_SCALE).alias("bin"), "v"
+    ).join(F.broadcast(nb), ["g", "bin"])
+    if big:
+        rows = rows.join(
+            F.broadcast(big_local.withColumn("big_flag", F.lit(1))),
+            ["g", "bin"],
+            "left",
+        ).select(
+            "g",
+            "bin",
+            F.when(
+                F.col("big_flag").isNotNull(),
+                _dxp_obin(F.col("v"), DXP_LN_SUB_SCALE),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("sub"),
+            "v",
         )
     else:
-        rows = binned.join(F.broadcast(nb), ["g", "bin"]).select(
-            "g", "bin", F.lit(0).alias("sub"), "v"
-        )
+        rows = rows.select("g", "bin", F.lit(0).cast("long").alias("sub"), "v")
     in_w = (
         W.partitionBy("g", "bin", "sub")
         .orderBy("v")

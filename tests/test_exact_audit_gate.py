@@ -260,6 +260,38 @@ def test_q192_distributed_cut_splits_straddling_tie_classes(spark, tmp_path):
     assert len(dist) == 10  # every decile populated (4 rows each)
 
 
+def test_collected_route_subbins_duplicate_heavy_bin(spark, monkeypatch):
+    """A log-bin stuffed with near-identical values (3000 copies each
+    of two values one ulp-scale apart) must trigger the collected
+    route's sub-histogram pass and still return values bit-identical
+    to Spark's buffering percentile and to the distributed route."""
+    from pyspark.sql import functions as F
+
+    from datapipeline_dags_spark.plans import scalars
+
+    rows = [(0, 5.0)] * 3000 + [(0, 5.0001)] * 3000
+    rows += [(0, float(x)) for x in range(200)]
+    gv = spark.createDataFrame(rows, "g int, v double")
+    ps = (0.5, 0.9, 0.99)
+    monkeypatch.setattr(scalars, "DXP_NARROW_ROWS", 1000)
+
+    def run():
+        return {
+            (r["g"], r["p"]): r["value"]
+            for r in scalars.distributed_percentiles(gv, ps).collect()
+        }
+
+    collected = run()
+    monkeypatch.setattr(scalars, "DXP_COLLECT_GROUPS", 0)
+    distributed = run()
+    assert collected == distributed
+    ref = gv.agg(
+        *[F.expr(f"percentile(v, {p})").alias(f"v{i}") for i, p in enumerate(ps)]
+    ).collect()[0]
+    for i, p in enumerate(ps):
+        assert round(collected[(0, p)], 6) == round(ref[f"v{i}"], 6)
+
+
 def test_distributed_percentiles_routes_agree(spark, monkeypatch):
     """VERDICT r7 ask #2: the bounded-|g| collected-control-plane route
     (driver-side rank→bin locate over integer counts) must be
