@@ -1151,15 +1151,17 @@ def q186_distributed_exact_percentile(
     exact_audit knob samples around) — this operator computes the SAME
     quantile_cont values in bounded memory:
 
-      1. one (group, bin) histogram pass ({DXP_BINS} fixed-width bins,
-         q154's sketch) with cumulative counts;
+      1. one (group, bin) integer histogram pass — log-scale
+         data-independent bins on the collected route (no min/max
+         pre-pass; two input scans total), {DXP_BINS} fixed-width bins
+         on the high-cardinality distributed route;
       2. the target order-statistic RANKS (k = 1 + (n-1)p and its
-         successor) locate their bins on the bounded histogram;
-      3. only rows of the NEEDED bins (expected n/{DXP_BINS} per
-         group) are revisited, collapsed to (value, count) so even
-         all-equal bins stay tiny, ranked within the bin, and the two
-         adjacent order statistics interpolate exactly as
-         quantile_cont does.
+         successor) locate their bins on the bounded histogram
+         (driver-side on the collected route);
+      3. only rows of the NEEDED bins are revisited, collapsed to
+         (value, count) so even all-equal bins stay tiny, ranked
+         within the bin, and the two adjacent order statistics
+         interpolate exactly as quantile_cont does.
 
     Memory per task is max(histogram, distinct values of one bin) —
     never the group.  The oracle is DuckDB's own quantile_cont, so
