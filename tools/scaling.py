@@ -95,6 +95,11 @@ TARGETS = (
     "q267_cf_holdout_eval",
     "q276_lsh_band_sweep",
     "q282_ivf_delta_refresh",
+    # r8: the two-scan log-bin collected percentile route (q186 is
+    # the distributed_percentiles primitive under q154/q141/q202 too)
+    "q186_distributed_exact_percentile",
+    # r8: the incremental text-index refresh (chunk-lossless buckets)
+    "q284_lsh_delta_refresh",
 )
 
 # Per-(target, scale) keyword overrides: the SemDeDup contract is that
