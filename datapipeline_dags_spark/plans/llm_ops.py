@@ -9429,8 +9429,8 @@ def _q284_oracle() -> str:
                     OR doc_b % {DOC_DELTA_MOD} = {DOC_DELTA_REM}
                   THEN 1 ELSE 0 END AS dlt
       FROM ver)
-    SELECT CAST(SUM(1 - dlt) AS BIGINT) AS n_base_pairs,
-           CAST(SUM(dlt) AS BIGINT) AS n_delta_pairs,
+    SELECT CAST(COALESCE(SUM(1 - dlt), 0) AS BIGINT) AS n_base_pairs,
+           CAST(COALESCE(SUM(dlt), 0) AS BIGINT) AS n_delta_pairs,
            CAST(COUNT(*) AS BIGINT) AS n_incremental,
            CAST(COUNT(*) AS BIGINT) AS n_full,
            CAST(1 AS BIGINT) AS matches_full
@@ -9533,12 +9533,15 @@ def q284_lsh_delta_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     inc = F.greatest(F.col("in_b"), F.col("in_d"))
+    # COALESCE the empty-corpus aggregates (sum/min over zero verified
+    # pairs are NULL, while a pair-free refresh is trivially consistent
+    # — mirrored in the oracle)
     return flags.agg(
-        F.sum("in_b").cast("long").alias("n_base_pairs"),
-        F.sum("in_d").cast("long").alias("n_delta_pairs"),
-        F.sum(inc).cast("long").alias("n_incremental"),
-        F.sum("in_f").cast("long").alias("n_full"),
-        F.min((inc == F.col("in_f")).cast("long"))
+        F.coalesce(F.sum("in_b"), F.lit(0)).cast("long").alias("n_base_pairs"),
+        F.coalesce(F.sum("in_d"), F.lit(0)).cast("long").alias("n_delta_pairs"),
+        F.coalesce(F.sum(inc), F.lit(0)).cast("long").alias("n_incremental"),
+        F.coalesce(F.sum("in_f"), F.lit(0)).cast("long").alias("n_full"),
+        F.coalesce(F.min((inc == F.col("in_f")).cast("long")), F.lit(1))
         .cast("long")
         .alias("matches_full"),
     )
