@@ -737,6 +737,9 @@ def distributed_percentiles(gv: DataFrame, ps: tuple) -> DataFrame:
     in-bin rank window, and the (value, count) collapse bounds task
     memory by the distinct values of one (sub-)bin either way.
     """
+    # quantile_cont ignores NULLs; without this filter a null value
+    # would land in a null bin and crash the driver-side locate sort
+    gv = gv.filter(F.col("v").isNotNull())
     cells = DXP_COLLECT_GROUPS * DXP_BINS
     ob = _dxp_obin(F.col("v"), DXP_LN_SCALE)
     hist_rows = (
