@@ -167,3 +167,40 @@ def test_pointer_jump_converges_on_long_path(spark):
     assert all(r["component"] == 0 for r in got)
     assert len(got) == n
     assert graph.LAST_ROUNDS <= 14  # ~log2(300) + slack, vs 299 plain
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.floats(
+            allow_nan=False,
+            allow_infinity=False,
+            min_value=-1e15,
+            max_value=1e15,
+        ),
+        min_size=2,
+        max_size=40,
+    )
+)
+def test_dxp_obin_monotone(spark, vals):
+    """The log-scale bin of the collected percentile route must be
+    MONOTONE in the value (bin order == value order) — the invariant
+    the driver-side rank locate relies on.  java Math.log guarantees
+    semi-monotonicity by spec; this pins the full expression
+    (sign split, +1 shift, scale, floor) over adversarial doubles."""
+    from datapipeline_dags_spark.plans.scalars import DXP_LN_SCALE, _dxp_obin
+
+    df = spark.createDataFrame([(float(v),) for v in vals], "v double")
+    rows = (
+        df.select("v", _dxp_obin(F.col("v"), DXP_LN_SCALE).alias("ob"))
+        .orderBy("v")
+        .collect()
+    )
+    bins = [r["ob"] for r in rows]
+    assert all(a <= b for a, b in zip(bins, bins[1:])), (
+        list(zip([r["v"] for r in rows], bins))
+    )
