@@ -111,6 +111,8 @@ _ROTATION_TAIL = [
     # sf0.01, r9 head candidates (no driver row yet):
     "q283_product_profit",
     "q284_lsh_delta_refresh",
+    "q285_cluster_representatives",
+    "q286_cohort_retention",
     # pure hedge (all already driver-green): r7/r8-changed
     # implementations first, then the widest plans in the corpus, so
     # a flipped sampling end still re-verifies the riskiest code.

@@ -9545,3 +9545,64 @@ def q284_lsh_delta_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("matches_full"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q285 — dedup cluster representative selection (keep-best, drop rest)
+# ---------------------------------------------------------------------------
+
+
+def _q285_oracle() -> str:
+    return f"""
+    WITH c AS ({ORACLES['q69_dedup_clusters']}),
+    f AS ({ORACLES['q50_text_quality']}),
+    j AS (
+      SELECT c.cluster_id, c.cluster_size, c.doc_id, f.quality,
+             ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                                ORDER BY f.quality DESC, c.doc_id) AS rn
+      FROM c JOIN f ON f.doc_id = c.doc_id)
+    SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+           CAST(doc_id AS BIGINT) AS kept_doc_id,
+           (quality + 0.0) AS kept_quality,
+           CAST(cluster_size AS BIGINT) AS n_members,
+           CAST(cluster_size - 1 AS BIGINT) AS n_dropped
+    FROM j WHERE rn = 1
+    """
+
+
+@query("q285_cluster_representatives", oracle=_q285_oracle())
+def q285_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The step between near-dup detection and deletion: per q69
+    cluster, KEEP the member with the best q50 quality score (ties to
+    the lowest doc_id) and count what gets dropped — production dedup
+    never deletes blindly, it keeps the best representative of each
+    duplicate group (the Gopher/RefinedWeb convention).
+
+    Parity: ranks on the 4-dp-rounded quality (engine-agreed
+    boundary, the q63 rule) with an id tiebreak.
+
+    Scale shape: composes q69's capped CC clusters with q50's
+    map-side per-doc metrics on the doc key; the keep-pick is a
+    map-side-combinable struct-max AGGREGATE per cluster (never a
+    window over cluster members — a boilerplate mega-cluster would
+    make that partition the straggler); output is |clusters| rows.
+    """
+    c = q69_dedup_clusters(spark, sf_dir)
+    f = q50_text_quality(spark, sf_dir).select("doc_id", "quality")
+    j = c.join(f, "doc_id")
+    best = F.max(
+        F.struct(
+            F.col("quality").alias("q"), (-F.col("doc_id")).alias("nid")
+        )
+    )
+    return (
+        j.groupBy(F.col("cluster_id").cast("long").alias("cluster_id"))
+        .agg(best.alias("b"), F.max("cluster_size").alias("sz"))
+        .select(
+            "cluster_id",
+            (-F.col("b.nid")).cast("long").alias("kept_doc_id"),
+            (F.col("b.q") + F.lit(0.0)).alias("kept_quality"),
+            F.col("sz").cast("long").alias("n_members"),
+            (F.col("sz") - 1).cast("long").alias("n_dropped"),
+        )
+    )

@@ -4586,3 +4586,77 @@ def q283_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum("pc").cast("long").alias("profit_cents"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q286 — customer cohort retention triangle
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q286_cohort_retention",
+    oracle="""
+    WITH fo AS (
+      SELECT o_custkey,
+             MIN(EXTRACT(year FROM o_orderdate)) AS cohort
+      FROM orders GROUP BY 1),
+    act AS (
+      SELECT fo.cohort,
+             EXTRACT(year FROM o.o_orderdate) AS o_year,
+             COUNT(DISTINCT o.o_custkey) AS n_active
+      FROM orders o JOIN fo ON fo.o_custkey = o.o_custkey
+      GROUP BY 1, 2),
+    base AS (
+      SELECT cohort, n_active AS cohort_size FROM act WHERE o_year = cohort)
+    SELECT CAST(a.cohort AS BIGINT) AS cohort_year,
+           CAST(a.o_year AS BIGINT) AS order_year,
+           CAST(a.n_active AS BIGINT) AS n_active,
+           CAST(b.cohort_size AS BIGINT) AS cohort_size,
+           CAST(a.n_active * CAST(1000000 AS BIGINT) // b.cohort_size
+                AS BIGINT) AS retention_ppm
+    FROM act a JOIN base b ON b.cohort = a.cohort
+    """,
+)
+def q286_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer cohort retention triangle: customers grouped by
+    first-order year, distinct actives counted per (cohort, order
+    year), retention as integer ppm of the cohort's size — the
+    acquisition-quality report every subscription/commerce analytics
+    stack runs, and a two-level aggregation shape (per-entity MIN →
+    re-join → distinct count) the corpus didn't yet carry.
+
+    Parity: all integer counts; ppm is integer floor division (both
+    engines floor on positives); every cohort customer orders in the
+    cohort year by definition, so the base join never drops rows.
+
+    Scale shape: the first-order MIN collapses per custkey map-side;
+    the cohort attach re-joins on the SAME custkey hash; the distinct
+    count collapses to |years|² cells; the cohort-size attach is a
+    |years|-row self-join of the bounded triangle.  No window.
+    """
+    orders = table(spark, sf_dir, "orders").select(
+        "o_custkey", F.year("o_orderdate").alias("o_year")
+    )
+    fo = orders.groupBy("o_custkey").agg(F.min("o_year").alias("cohort"))
+    act = (
+        orders.join(fo, "o_custkey")
+        .groupBy("cohort", "o_year")
+        .agg(F.countDistinct("o_custkey").alias("n_active"))
+    )
+    base = act.filter(F.col("o_year") == F.col("cohort")).select(
+        "cohort", F.col("n_active").alias("cohort_size")
+    )
+    # base is |years| rows — a bounded derived table, broadcast-safe
+    return (
+        act.join(F.broadcast(base), "cohort")
+        .select(
+            F.col("cohort").cast("long").alias("cohort_year"),
+            F.col("o_year").cast("long").alias("order_year"),
+            F.col("n_active").cast("long").alias("n_active"),
+            F.col("cohort_size").cast("long").alias("cohort_size"),
+            F.expr(
+                "CAST(n_active * CAST(1000000 AS BIGINT) div cohort_size"
+                " AS BIGINT)"
+            ).alias("retention_ppm"),
+        )
+    )

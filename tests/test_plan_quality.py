@@ -113,6 +113,8 @@ BOUNDED_FILTER_HINT_OK = {
     # shares q47's cell assignment: broadcasts the n_cent-row
     # quantizer (bounded-filter vec_id < n_cent), nothing else
     "q282_ivf_delta_refresh",
+    # broadcasts the |years|-row cohort-size collapse
+    "q286_cohort_retention",
     # broadcasts the 1-row balance-threshold aggregate (Q22's scalar)
     "q249_idle_high_balance",
     # broadcasts the 1-row window aggregate + the bounded month-instant list
