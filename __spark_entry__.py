@@ -30,16 +30,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # driver-checked queries is 233 of 278; exactly 45 have never had a
 # driver CORRECTNESS row: q34-q39, q67, q82, q83, q92, q244-q278.
 #
-#   * ``_ROTATION_HEAD`` (positions 0-49) — ALL 45 never-checked
-#     queries (this single rotation finishes driver coverage of the
-#     whole corpus) + 5 refresher slots for queries whose
-#     implementation changed in round 8 after their last driver row
-#     (q186 pass trim, q252 single-pass sweep, q221 broadcast
-#     strength table, q263 integer-div batch key, q214 empty-corpus
-#     guard — each change is hash-preserving, the refresh proves it).
-#   * ``_ROTATION_TAIL`` (positions -N..-1) — pure hedge in case the
-#     sampling end flips: recently-changed already-green queries plus
-#     the most complex plans, so a tail sample still re-verifies the
+#   * ``_ROTATION_HEAD`` (positions 0-49, exactly 50 names) — ALL 45
+#     never-checked queries (this single rotation finishes driver
+#     coverage of the r7 corpus), the four queries born in r8 before
+#     the head froze (q279-q282), and refresher slots for r8's
+#     hash-preserving rewrites (q186 two-scan log-bin route, q252
+#     single-pass sweep, q263 integer-div batch key; q252/q263 are
+#     also never-checked).
+#   * ``_ROTATION_TAIL`` (positions -N..-1) — the post-freeze r8
+#     queries (q283-q286, r9 head candidates) + pure hedge: the
+#     remaining r7/r8-changed already-green queries and the most
+#     complex plans, so a flipped sampling end still re-verifies the
 #     highest-risk code.
 #
 # ``_ROTATION_FOR_ROUND`` marks which driver round this head targets;
