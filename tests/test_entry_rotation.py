@@ -106,15 +106,27 @@ def test_head_window_is_never_checked_queries():
     through the latest artifact, except changed-this-round queries
     placed up front for a fresh row (head positions occupied by
     already-checked names must at least be a small prefix, never
-    filler)."""
+    filler).
+
+    Once the never-checked pool shrinks below the 50-slot window
+    (r9+: only queries registered since the previous head freeze lack
+    rows), the spare slots legitimately become hedge re-verification —
+    the binding requirement flips to "every never-checked query IS in
+    the head", with the already-checked allowance growing to exactly
+    the slots the pool cannot fill (plus the 6 refresher slots)."""
     _skip_if_rotation_predates_latest_artifact()
     union, latest = _driver_union()
     if not union:  # fresh clone without artifacts — nothing to pin
         return
     qs = list(entry.queries())
     head = qs[:50]
+    never = [n for n in qs if n not in union]
+    missed = [n for n in never if n not in head]
+    assert len(missed) <= max(0, len(never) - 44), (
+        f"never-checked queries left out of the head-50: {missed}"
+    )
     already = [n for n in head if n in union]
-    assert len(already) <= 6, (
+    assert len(already) <= max(6, 50 - len(never)), (
         f"head-50 wastes driver slots on already-checked queries: {already}"
     )
 
