@@ -1401,6 +1401,19 @@ BT_TOP = 20
 #: gates the hint honestly — a 100 TB duel graph with more nodes than
 #: this keeps the shuffle joins.  ~1e6 (node, r) rows ≈ 30 MB built.
 BT_BROADCAST_NODES = 1_000_000
+#: Collect-and-solve gate (the q207 bounded-matrix discipline, count-
+#: gated because the AGGREGATED duel-pair table scales with the corpus
+#: until it saturates at C(|suppliers|, 2) rows): when the distinct
+#: (i, j) pair table fits under this many rows, the {BT_ITERS} MM
+#: rounds run driver-side over numpy int64 arrays — the identical
+#: floor-division arithmetic (all operands positive, so numpy's
+#: flooring ``//`` == Spark ``div`` == DuckDB ``//``), hence
+#: bit-identical strengths — collapsing ~6 scheduled jobs per round
+#: (2 broadcast builds + joins + agg + checkpoint cadence) into ONE
+#: collect.  2M rows × 4 int64 ≈ 64 MB on the driver.  Above the gate
+#: (a 100 TB corpus with millions of suppliers) the distributed
+#: broadcast-gated loop below runs unchanged.
+BT_COLLECT_PAIRS = 2_000_000
 
 
 def _q221_oracle() -> str:
@@ -1453,6 +1466,44 @@ def _q221_oracle() -> str:
     """
 
 
+def _bt_collected_solve(spark: SparkSession, p: DataFrame) -> DataFrame:
+    """Driver-side MM solve of the Bradley–Terry iteration over the
+    collected (i, j, n, wi) duel-pair table (the q207 bounded-matrix
+    discipline, gated by ``BT_COLLECT_PAIRS``).
+
+    Bit-identical to the distributed loop: every operand is a positive
+    int64, so numpy's flooring ``//`` equals Spark ``div`` and DuckDB
+    ``//``, integer sums are order-independent (``np.add.at`` is an
+    unbuffered integer scatter-add, never float), and the overflow
+    headroom argument is the same BIGINT one the module constants
+    document (wins·K ≲ 1e16).  Returns a |nodes|-row (node, r)
+    DataFrame for the final broadcast join.
+    """
+    import numpy as np
+
+    pdf = p.toPandas()
+    i = pdf["i"].to_numpy(np.int64)
+    j = pdf["j"].to_numpy(np.int64)
+    n = pdf["n"].to_numpy(np.int64)
+    wi = pdf["wi"].to_numpy(np.int64)
+    nodes = np.unique(np.concatenate([i, j]))
+    me = np.searchsorted(nodes, np.concatenate([i, j]))
+    opp = np.searchsorted(nodes, np.concatenate([j, i]))
+    nn = np.concatenate([n, n])
+    wins = np.zeros(len(nodes), np.int64)
+    np.add.at(wins, me, np.concatenate([wi, n - wi]))
+    r = np.full(len(nodes), BT_UNIT, np.int64)
+    for _ in range(BT_ITERS):
+        t = (nn * BT_K) // np.maximum(r[me] + r[opp], 1)
+        den = np.zeros(len(nodes), np.int64)
+        np.add.at(den, me, t)
+        r = (wins * BT_K) // np.maximum(den, 1)
+    return spark.createDataFrame(
+        [(int(nodes[k]), int(r[k])) for k in range(len(nodes))],
+        schema="node bigint, r bigint",
+    )
+
+
 @query("q221_bradley_terry", oracle=_q221_oracle())
 def q221_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bradley–Terry strength of every supplier from head-to-head ship
@@ -1475,10 +1526,15 @@ def q221_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     floors to 0.
 
     Scale shape: duels are within-order pair explodes (Σ C(suppliers
-    per order, 2) ≈ Σ C(7,2) — the q142 bound); each MM round is two
-    node-keyed joins + one hash agg over the |supplier-pair| table,
-    localCheckpointed (the q183 loop discipline); output is a
-    top-{BT_TOP} TakeOrderedAndProject on integer strength.
+    per order, 2) ≈ Σ C(7,2) — the q142 bound), aggregated to the
+    distinct-pair table before any iteration.  When that table fits
+    under BT_COLLECT_PAIRS the MM rounds solve driver-side in numpy
+    int64 (``_bt_collected_solve`` — one collect instead of ~6
+    scheduled jobs per round, VERDICT r8 ask #3); above the gate each
+    MM round is two node-keyed joins + one hash agg over the
+    |supplier-pair| table, localCheckpointed (the q183 loop
+    discipline).  Output is a top-{BT_TOP} TakeOrderedAndProject on
+    integer strength either way.
     """
     li = table(spark, sf_dir, "lineitem")
     orders = table(spark, sf_dir, "orders")
@@ -1493,22 +1549,19 @@ def q221_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = d.select(
         "l_orderkey", F.col("l_suppkey").alias("j"), F.col("lat").alias("lb")
     )
-    p = (
+    # checkpoint the aggregated pair table once: it feeds the route
+    # probe, the win totals, and (either route) the MM iteration — the
+    # q183 derived-table discipline one level earlier than r8, so the
+    # duel-explode shuffle never re-executes.
+    p = local_checkpoint(
         a.join(b, "l_orderkey")
         .filter((F.col("i") < F.col("j")) & (F.col("la") != F.col("lb")))
         .groupBy("i", "j")
         .agg(
             F.count("*").alias("n"),
             F.sum((F.col("la") < F.col("lb")).cast("long")).alias("wi"),
-        )
-    )
-    # the round loop fans out over BOTH derived tables every iteration
-    # — checkpoint them once (the q183 derived-table discipline).
-    sym = local_checkpoint(
-        p.select(F.col("i").alias("me"), F.col("j").alias("opp"), "n").unionAll(
-            p.select(F.col("j").alias("me"), F.col("i").alias("opp"), "n")
         ),
-        "q221 sym duels",
+        "q221 duel pairs",
     )
     wins = local_checkpoint(
         p.select(F.col("i").alias("me"), F.col("wi").alias("wv"), "n")
@@ -1522,51 +1575,78 @@ def q221_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("me").alias("node"), "wins", "games"),
         "q221 win totals",
     )
-    cur = local_checkpoint(
-        wins.select("node", F.lit(BT_UNIT).cast("long").alias("r")), "q221 bt init"
-    )
-    # One count of the (checkpointed, already-materialized) node table
-    # gates the per-round broadcast hint — |nodes| is constant across
-    # rounds, so the probe runs once, and a duel graph too big to
-    # broadcast keeps the shuffle joins (the exact_audit auto-knob
-    # discipline; results are join-strategy-independent integers).
-    # (A literal-map round regime was tried in r8 and REJECTED:
-    # GetMapValue on a |nodes|-entry literal map is a linear scan per
-    # duel row — 2x slower than the broadcast join at 1k nodes.)
-    bt_bc = wins.count() <= BT_BROADCAST_NODES
+    if p.count() <= BT_COLLECT_PAIRS:
+        # Bounded-by-gate control plane: one collect of the
+        # checkpointed pair table, 8 numpy MM rounds, one |nodes|-row
+        # frame back — replaces ~6 scheduled jobs per round
+        # (VERDICT r8 ask #3).
+        cur = _bt_collected_solve(spark, p)
+        bt_bc = True
+    else:
+        sym = local_checkpoint(
+            p.select(
+                F.col("i").alias("me"), F.col("j").alias("opp"), "n"
+            ).unionAll(
+                p.select(F.col("j").alias("me"), F.col("i").alias("opp"), "n")
+            ),
+            "q221 sym duels",
+        )
+        cur = local_checkpoint(
+            wins.select("node", F.lit(BT_UNIT).cast("long").alias("r")),
+            "q221 bt init",
+        )
+        # One count of the (checkpointed, already-materialized) node
+        # table gates the per-round broadcast hint — |nodes| is
+        # constant across rounds, so the probe runs once, and a duel
+        # graph too big to broadcast keeps the shuffle joins (the
+        # exact_audit auto-knob discipline; results are
+        # join-strategy-independent integers).
+        # (A literal-map round regime was tried in r8 and REJECTED:
+        # GetMapValue on a |nodes|-entry literal map is a linear scan
+        # per duel row — 2x slower than the broadcast join at 1k
+        # nodes.)
+        bt_bc = wins.count() <= BT_BROADCAST_NODES
+
+        def _loop_side(df: DataFrame) -> DataFrame:
+            return F.broadcast(df) if bt_bc else df
+
+        for k in range(BT_ITERS):
+            ri = cur.select(F.col("node").alias("me"), F.col("r").alias("r_me"))
+            rj = cur.select(
+                F.col("node").alias("opp"), F.col("r").alias("r_opp")
+            )
+            den = (
+                sym.join(_loop_side(ri), "me")
+                .join(_loop_side(rj), "opp")
+                .select(
+                    F.col("me").alias("node"),
+                    F.expr(
+                        f"(n * {BT_K}) div greatest(r_me + r_opp, 1)"
+                    ).alias("t"),
+                )
+                .groupBy("node")
+                .agg(F.sum("t").alias("den"))
+            )
+            nxt = wins.join(_loop_side(den), "node").select(
+                "node",
+                F.expr(f"(wins * {BT_K}) div greatest(den, 1)")
+                .cast("long")
+                .alias("r"),
+            )
+            # Checkpoint every SECOND round: the eager localCheckpoint
+            # is one scheduled job per call and dominates wall time at
+            # these table sizes; a two-round lineage stays bounded
+            # (the strength table is ≤|nodes| rows and the joins
+            # broadcast), and values are
+            # checkpoint-placement-independent.
+            cur = (
+                local_checkpoint(nxt, f"q221 bt round {k + 1}")
+                if k % 2 == 1 or k == BT_ITERS - 1
+                else nxt
+            )
 
     def _side(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if bt_bc else df
-
-    for k in range(BT_ITERS):
-        ri = cur.select(F.col("node").alias("me"), F.col("r").alias("r_me"))
-        rj = cur.select(F.col("node").alias("opp"), F.col("r").alias("r_opp"))
-        den = (
-            sym.join(_side(ri), "me")
-            .join(_side(rj), "opp")
-            .select(
-                F.col("me").alias("node"),
-                F.expr(f"(n * {BT_K}) div greatest(r_me + r_opp, 1)").alias("t"),
-            )
-            .groupBy("node")
-            .agg(F.sum("t").alias("den"))
-        )
-        nxt = wins.join(_side(den), "node").select(
-            "node",
-            F.expr(f"(wins * {BT_K}) div greatest(den, 1)")
-            .cast("long")
-            .alias("r"),
-        )
-        # Checkpoint every SECOND round: the eager localCheckpoint is
-        # one scheduled job per call and dominates wall time at these
-        # table sizes; a two-round lineage stays bounded (the strength
-        # table is ≤|nodes| rows and the joins broadcast), and values
-        # are checkpoint-placement-independent.
-        cur = (
-            local_checkpoint(nxt, f"q221 bt round {k + 1}")
-            if k % 2 == 1 or k == BT_ITERS - 1
-            else nxt
-        )
     return (
         wins.join(_side(cur), "node")
         .select(
