@@ -129,11 +129,21 @@ def main() -> None:
     # the plan, not session bring-up.
     spark.range(1000).count()
 
+    # The two ANN audit metrics share every expensive input (the exact
+    # brute-force baseline + all four method retrievals); they are
+    # timed as one sequence per rep via ann_audit_frames — q90's slot
+    # pays the lazy frame build, q159's slot reuses the persisted
+    # frames (VERDICT r8 ask #4) — so the pair's combined cost is
+    # honest while the per-slot split shows where it lands.
+    ANN_AUDIT_PAIR = ("q90_ann_recall", "q159_ann_ndcg")
+
     timings: dict[str, float] = {}
     skipped: list[str] = []
     for name in HEADLINE:
         if name not in QUERIES:
             skipped.append(name)
+            continue
+        if name in ANN_AUDIT_PAIR:
             continue
         runs = []
         for _ in range(REPS):
@@ -146,14 +156,29 @@ def main() -> None:
             # or the GC pressure of abandoned ones.
             spark.catalog.clearCache()
         timings[name] = round(statistics.median(runs), 3)
+
+    from datapipeline_dags_spark.plans import llm_ops
+
+    if all(n in QUERIES for n in ANN_AUDIT_PAIR):
+        r90: list[float] = []
+        r159: list[float] = []
+        for _ in range(REPS):
+            frames = llm_ops.ann_audit_frames(spark, sf_dir)
+            t0 = time.time()
+            materialize(QUERIES[ANN_AUDIT_PAIR[0]](spark, sf_dir, frames=frames))
+            t1 = time.time()
+            materialize(QUERIES[ANN_AUDIT_PAIR[1]](spark, sf_dir, frames=frames))
+            r159.append(time.time() - t1)
+            r90.append(t1 - t0)
+            spark.catalog.clearCache()
+        timings[ANN_AUDIT_PAIR[0]] = round(statistics.median(r90), 3)
+        timings[ANN_AUDIT_PAIR[1]] = round(statistics.median(r159), 3)
     total = round(sum(timings.values()), 3)
 
     # ANN quality: recall@k of each approximate operator vs the exact
     # top-k (q90), plus the IVF nprobe recall trade-off curve.  Quality
     # is reported next to latency so a fast-but-blind ANN config can't
     # look like a win.
-    from datapipeline_dags_spark.plans import llm_ops
-
     recall_rows = llm_ops.q90_ann_recall(spark, sf_dir).collect()
     ann_recall = {
         f"{r.method}@{r.k}": float(r.recall) for r in recall_rows

@@ -4341,8 +4341,42 @@ def _q90_oracle() -> str:
     """
 
 
+def ann_audit_frames(
+    spark: SparkSession, sf_dir: str
+) -> dict[str, DataFrame]:
+    """Build and PERSIST the exact top-k baseline plus every
+    ``ANN_RECALL_METHODS`` retrieval once, for injection into both ANN
+    audit metrics (``q90_ann_recall`` and ``q159_ann_ndcg`` — VERDICT
+    r8 ask #4: the two audits otherwise duplicate the identical exact
+    baseline and all four method retrievals back-to-back).  Every frame
+    is bounded (~N_QUERIES × k rows) but costs a corpus pass to build;
+    the caller owns release (``spark.catalog.clearCache()``).
+
+    Each method frame persists PRE-FILTERED to the (q_id, rank ≤ k)
+    window both consumers apply: a persist boundary would otherwise
+    block that filter from pushing into the retrieval plan, where
+    ``rank <= k`` is what lets InferWindowGroupLimit prune the
+    candidate-pair ranking to a per-partition top-k — measured 3 s
+    slower at sf0.1 when the unfiltered frames were cached.  The
+    consumers re-apply the same predicates on the cached frame, a
+    no-op."""
+    frames = {"exact": q45_ann_topk_bruteforce(spark, sf_dir).persist()}
+    for name, qname, k in ANN_RECALL_METHODS:
+        frames[name] = (
+            QUERIES[qname](spark, sf_dir)
+            .filter((F.col("q_id") < N_QUERIES) & (F.col("rank") <= k))
+            .persist()
+        )
+    return frames
+
+
 @query("q90_ann_recall", oracle=_q90_oracle())
-def q90_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q90_ann_recall(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    frames: dict[str, DataFrame] | None = None,
+) -> DataFrame:
     """Recall@k of each approximate ANN operator (q46 LSH, q47 IVF, q75
     PQ/ADC) against the exact brute-force top-k (q45) over the same
     embeddings — the measurement that turns "deterministic approximate
@@ -4357,10 +4391,24 @@ def q90_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows (constant, tiny) but computing it is a full corpus scan — the
     one expensive input every recall row shares.  Without the persist
     the three union branches each re-run the brute-force pass.
+
+    ``frames`` (``ann_audit_frames``) injects pre-persisted exact +
+    method retrievals shared with q159 — identical plans, so the
+    result is unchanged (route-equality test); the default stays
+    self-contained for the driver gate.
     """
-    exact = q45_ann_topk_bruteforce(spark, sf_dir).persist()
+    exact = (
+        frames["exact"]
+        if frames is not None
+        else q45_ann_topk_bruteforce(spark, sf_dir).persist()
+    )
     rows = [
-        _recall_row(name, QUERIES[qname](spark, sf_dir), exact, k)
+        _recall_row(
+            name,
+            frames[name] if frames is not None else QUERIES[qname](spark, sf_dir),
+            exact,
+            k,
+        )
         for name, qname, k in ANN_RECALL_METHODS
     ]
     out = rows[0]
@@ -7128,7 +7176,12 @@ def _ndcg_row(
 
 
 @query("q159_ann_ndcg", oracle=_q159_oracle())
-def q159_ann_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q159_ann_ndcg(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    frames: dict[str, DataFrame] | None = None,
+) -> DataFrame:
     """nDCG@k of each approximate ANN method against the exact top-k —
     the GRADED companion to q90's recall: recall counts how many true
     neighbors were found, nDCG also scores WHERE the method ranked
@@ -7140,10 +7193,21 @@ def q159_ann_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: identical to q90 — the exact baseline is persisted
     once (N_QUERIES x TOPK rows), each method contributes one
     (q_id, neighbor) join + one per-query agg + one 1-row mean.
+    ``frames`` (``ann_audit_frames``) shares those inputs with q90 —
+    result unchanged, default self-contained.
     """
-    exact = q45_ann_topk_bruteforce(spark, sf_dir).persist()
+    exact = (
+        frames["exact"]
+        if frames is not None
+        else q45_ann_topk_bruteforce(spark, sf_dir).persist()
+    )
     rows = [
-        _ndcg_row(name, QUERIES[qname](spark, sf_dir), exact, k)
+        _ndcg_row(
+            name,
+            frames[name] if frames is not None else QUERIES[qname](spark, sf_dir),
+            exact,
+            k,
+        )
         for name, qname, k in ANN_RECALL_METHODS
     ]
     out = rows[0]

@@ -113,3 +113,18 @@ def test_ivfpq_numpy_encode_matches_jvm(spark):
         .reset_index(drop=True)
     )
     assert a.equals(b)
+
+
+def test_audit_frames_injection_is_equal(spark, sf_dir):
+    """VERDICT r8 ask #4: q90/q159 with a shared ann_audit_frames dict
+    must return exactly the default self-contained results — the
+    injection only changes WHERE the persisted inputs come from, never
+    the plans that consume them."""
+    frames = llm_ops.ann_audit_frames(spark, sf_dir)
+    try:
+        for fn in (llm_ops.q90_ann_recall, llm_ops.q159_ann_ndcg):
+            shared = sorted(map(tuple, fn(spark, sf_dir, frames=frames).collect()))
+            own = sorted(map(tuple, fn(spark, sf_dir).collect()))
+            assert shared == own, fn.__name__
+    finally:
+        spark.catalog.clearCache()
