@@ -110,6 +110,14 @@ HEADLINE = [
     "q147_source_overlap_sketch",
     "q273_capture_recapture",
     "q282_ivf_delta_refresh",
+    # round-9 additions (VERDICT r8 ask #6): q202 carries the
+    # distributed_percentiles log-bin route whose wins were previously
+    # invisible round-over-round; q286 is the widest new r8 relational
+    # plan (cohort retention triangle); q284 tracks the LSH
+    # delta-refresh after its pair-frame persists
+    "q202_mad_outliers",
+    "q286_cohort_retention",
+    "q284_lsh_delta_refresh",
 ]
 
 REPS = 3

@@ -9562,10 +9562,17 @@ def q284_lsh_delta_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
         )
 
+    # base_pairs feeds the candidate union and the in_b membership
+    # join; full_pairs additionally feeds the delta filter — persist
+    # both so the bucket collapse + chunk explode + distinct shuffle
+    # runs once per side, not once per reference (ADVICE r8 #3; the
+    # harness clearCache releases them like the other intermediates)
     base_pairs = bucket_pairs(
         bands.filter(~F.col("dlt")), "q284_lsh_delta_refresh_base"
-    )
-    full_pairs = bucket_pairs(bands, "q284_lsh_delta_refresh_full")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    full_pairs = bucket_pairs(
+        bands, "q284_lsh_delta_refresh_full"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     is_d = lambda c: (F.col(c) % DOC_DELTA_MOD) == DOC_DELTA_REM  # noqa: E731
     delta_pairs = full_pairs.filter(is_d("a") | is_d("b"))
     # verify each distinct candidate once, then flag set membership
