@@ -1,0 +1,304 @@
+"""Streaming index maintenance: the q282/q284 delta-refresh operators
+wired into a ``foreachBatch`` loop so both index families stay fresh as
+micro-batches land (VERDICT r8 ask #7 — the engine had ST1–ST6 ingest
+and the audited delta refreshers; this is the end-to-end bridge).
+
+Reference scope: the reference repo's sync DAGs re-run full loads per
+trigger (postgresql_mysql_sync_dag.py:14-110); a 100 TB corpus cannot
+re-index per ingest, so the engine maintains both ANN state (per-cell
+integer centroid partials, q282's merge contract) and the text near-dup
+pair set (band-bucket probe + verified union, q284's contract)
+incrementally.
+
+State layout (parquet, versioned by streaming batch id):
+
+    <state_dir>/<table>/v<batch_id>/
+
+Each ``foreachBatch`` invocation rebuilds ``v<batch_id>`` from
+``v<batch_id - 1>`` plus the batch rows and OVERWRITES it — Structured
+Streaming may replay a batch after a crash, and the rebuild is a pure
+function of (previous version, batch), so the replay converges to the
+same bytes (the sinks/sync.py idempotence discipline).  Batch ids are
+contiguous under one checkpoint, so "previous" needs no listing scan.
+
+Parity: all state is integer (quantized component sums / counts / pair
+ids), so merged-vs-full equality is exact, never float-tolerant — the
+``matches_full`` audits here assert the SAME contract q282/q284 compute
+in-query, but against parquet state that crossed micro-batch (and
+session) boundaries.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datapipeline_dags_spark.operators import blocking
+from datapipeline_dags_spark.plans.llm_ops import (
+    IVF_SUM_SCALE,
+    JACCARD_T,
+    _ivf_centroids,
+    _minhash_bands,
+    _nearest_id,
+    _shingles,
+)
+
+__all__ = [
+    "IvfIndexMaintainer",
+    "LshIndexMaintainer",
+    "run_maintenance_batch",
+]
+
+
+def _version_dir(state_dir: str, tbl: str, batch_id: int) -> str:
+    return os.path.join(state_dir, tbl, f"v{batch_id}")
+
+
+def _read_version(
+    spark: SparkSession, state_dir: str, tbl: str, batch_id: int, schema: str
+) -> DataFrame:
+    """Previous-version read; batch 0 (or a missing predecessor) is an
+    empty frame with the state schema."""
+    path = _version_dir(state_dir, tbl, batch_id)
+    if batch_id < 0 or not os.path.isdir(path):
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(path)
+
+
+class IvfIndexMaintainer:
+    """q282's merge contract as a streaming maintenance loop.
+
+    State table ``ivf`` = (cell, pos, s, n): per-(cell, component)
+    quantized-component sum and member count — the mergeable partials
+    q47's centroids refresh from.  The coarse quantizer ``cents`` (one
+    collected struct row, q47's ``_ivf_centroids``) is FIXED at
+    construction: delta batches assign against the same broadcast
+    quantizer as the base build, never a re-scan of prior batches.
+    """
+
+    STATE_SCHEMA = "cell bigint, pos int, s bigint, n bigint"
+
+    def __init__(
+        self, spark: SparkSession, state_dir: str, centroid_corpus: DataFrame
+    ):
+        self.spark = spark
+        self.state_dir = state_dir
+        # one broadcastable row; deterministic ids keep it auditable
+        self.cents = _ivf_centroids(centroid_corpus).collect()[0]["cents"]
+
+    def _partials(self, vectors: DataFrame) -> DataFrame:
+        """(cell, pos, s, n) integer partials of a (vec_id, embedding)
+        frame — map-side combinable, the only shuffle key is the
+        bounded (cell, component) grid."""
+        cents = self.spark.createDataFrame(
+            [(self.cents,)], "cents array<struct<cid: bigint, ce: array<float>>>"
+        )
+        assigned = vectors.crossJoin(F.broadcast(cents)).select(
+            "vec_id",
+            _nearest_id(F.col("cents"), F.col("embedding"), "cid", "ce").alias(
+                "cell"
+            ),
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.floor(
+                    x.cast("double") * IVF_SUM_SCALE + F.lit(0.5)
+                ).cast("long"),
+            ).alias("qe"),
+        )
+        return (
+            assigned.select("cell", F.posexplode("qe").alias("pos", "qv"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("qv").alias("s"), F.count("*").alias("n"))
+            .select(
+                F.col("cell").cast("bigint"),
+                F.col("pos").cast("int"),
+                F.col("s").cast("bigint"),
+                F.col("n").cast("bigint"),
+            )
+        )
+
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        """foreachBatch body: merge the batch's partials into the
+        previous state version and overwrite ``v<batch_id>``."""
+        prev = _read_version(
+            self.spark, self.state_dir, "ivf", batch_id - 1, self.STATE_SCHEMA
+        )
+        delta = self._partials(batch.select("vec_id", "embedding"))
+        merged = (
+            prev.unionByName(delta)
+            .groupBy("cell", "pos")
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+        )
+        merged.write.mode("overwrite").parquet(
+            _version_dir(self.state_dir, "ivf", batch_id)
+        )
+
+    def state(self, batch_id: int) -> DataFrame:
+        return _read_version(
+            self.spark, self.state_dir, "ivf", batch_id, self.STATE_SCHEMA
+        )
+
+    def matches_full(self, batch_id: int, all_vectors: DataFrame) -> bool:
+        """q282's audit across the parquet state: the maintained
+        partials must equal a from-scratch recompute over every vector
+        ingested so far, bit-exactly (integer sums are
+        order-independent)."""
+        full = self._partials(all_vectors.select("vec_id", "embedding"))
+        st = self.state(batch_id)
+        bad = (
+            st.join(full, ["cell", "pos"], "full_outer")
+            .where(
+                ~(st["s"].eqNullSafe(full["s"]) & st["n"].eqNullSafe(full["n"]))
+            )
+            .count()
+        )
+        return bad == 0
+
+
+class LshIndexMaintainer:
+    """q284's delta-refresh contract as a streaming maintenance loop.
+
+    State tables: ``sh`` (doc_id, sh) shingle sets, ``bands``
+    (doc_id, band, key) MinHash band rows, ``pairs`` (a, b) verified
+    near-dup pairs.  A delta batch shingles ITS documents only, probes
+    the stored band-bucket space for the buckets it touches, verifies
+    the candidate pairs with exact Jaccard, and unions into the stored
+    pair set — never a re-pairing of prior batches against themselves.
+    """
+
+    SH_SCHEMA = "doc_id bigint, sh array<string>"
+    BANDS_SCHEMA = "doc_id bigint, band int, key string"
+    PAIRS_SCHEMA = "a bigint, b bigint"
+
+    def __init__(self, spark: SparkSession, state_dir: str):
+        self.spark = spark
+        self.state_dir = state_dir
+
+    def _prev(self, tbl: str, batch_id: int, schema: str) -> DataFrame:
+        return _read_version(self.spark, self.state_dir, tbl, batch_id - 1, schema)
+
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        spark = self.spark
+        sh_prev = self._prev("sh", batch_id, self.SH_SCHEMA)
+        bands_prev = self._prev("bands", batch_id, self.BANDS_SCHEMA)
+        pairs_prev = self._prev("pairs", batch_id, self.PAIRS_SCHEMA)
+
+        sh_new = batch.select(
+            F.col("doc_id").cast("bigint"), _shingles(F.col("text")).alias("sh")
+        )
+        bands_new = _minhash_bands(sh_new).select(
+            F.col("doc_id").cast("bigint"),
+            F.col("band").cast("int"),
+            F.col("key").cast("string"),
+        )
+        sh_all = sh_prev.unionByName(sh_new)
+        bands_all = bands_prev.unionByName(bands_new)
+
+        # buckets the delta touches: only these can yield NEW pairs —
+        # an old-old pair in an untouched bucket is already stored
+        touched = bands_all.join(
+            bands_new.select("band", "key").distinct(), ["band", "key"], "left_semi"
+        )
+        bucketed = (
+            touched.groupBy("band", "key")
+            .agg(F.collect_list("doc_id").alias("ids"))
+            .filter(F.size("ids") >= 2)
+        )
+        cand = (
+            blocking.chunk_buckets(
+                bucketed, f"lsh_maintenance_b{batch_id}", "ids"
+            )
+            .select(F.explode(blocking.chunk_pair_structs()).alias("p"))
+            .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .distinct()
+        )
+        jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+            F.array_union("sh_a", "sh_b")
+        )
+        verified = (
+            cand.join(
+                sh_all.select(F.col("doc_id").alias("a"), F.col("sh").alias("sh_a")),
+                "a",
+            )
+            .join(
+                sh_all.select(F.col("doc_id").alias("b"), F.col("sh").alias("sh_b")),
+                "b",
+            )
+            .filter(jac >= JACCARD_T)
+            .select("a", "b")
+        )
+        pairs_all = pairs_prev.unionByName(verified).distinct()
+
+        for tbl, df in (("sh", sh_all), ("bands", bands_all), ("pairs", pairs_all)):
+            df.write.mode("overwrite").parquet(
+                _version_dir(self.state_dir, tbl, batch_id)
+            )
+
+    def pairs(self, batch_id: int) -> DataFrame:
+        return _read_version(
+            self.spark, self.state_dir, "pairs", batch_id, self.PAIRS_SCHEMA
+        )
+
+    def matches_full(self, batch_id: int, all_docs: DataFrame) -> bool:
+        """q284's audit across the parquet state: the maintained pair
+        set must equal a from-scratch LSH rebuild over every document
+        ingested so far (set equality — the bucketing is lossless via
+        ``chunk_buckets``, so no recall-loss excuse applies)."""
+        sh = all_docs.select(
+            F.col("doc_id").cast("bigint"), _shingles(F.col("text")).alias("sh")
+        ).persist()
+        bands = _minhash_bands(sh)
+        bucketed = (
+            bands.groupBy("band", "key")
+            .agg(F.collect_list("doc_id").alias("ids"))
+            .filter(F.size("ids") >= 2)
+        )
+        cand = (
+            blocking.chunk_buckets(bucketed, f"lsh_maintenance_full_{batch_id}", "ids")
+            .select(F.explode(blocking.chunk_pair_structs()).alias("p"))
+            .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .distinct()
+        )
+        jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+            F.array_union("sh_a", "sh_b")
+        )
+        full = (
+            cand.join(
+                sh.select(F.col("doc_id").alias("a"), F.col("sh").alias("sh_a")), "a"
+            )
+            .join(
+                sh.select(F.col("doc_id").alias("b"), F.col("sh").alias("sh_b")), "b"
+            )
+            .filter(jac >= JACCARD_T)
+            .select("a", "b")
+        )
+        stored = self.pairs(batch_id)
+        try:
+            missing = full.join(stored, ["a", "b"], "left_anti").count()
+            extra = stored.join(full, ["a", "b"], "left_anti").count()
+        finally:
+            sh.unpersist()
+        return missing == 0 and extra == 0
+
+
+def run_maintenance_batch(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    schema: str,
+    on_batch,
+) -> None:
+    """Drain everything new in ``source_dir`` through ``on_batch`` as
+    ONE checkpointed micro-batch (availableNow) — each call is one
+    "maintenance tick"; the checkpoint hands contiguous batch ids to
+    the maintainers across calls and sessions."""
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    q = (
+        stream.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

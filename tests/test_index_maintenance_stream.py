@@ -1,0 +1,114 @@
+"""End-to-end streaming index maintenance (VERDICT r8 ask #7): the
+q282 (IVF partials) and q284 (LSH pair set) delta-refresh contracts
+driven by a CHECKPOINTED Structured Streaming query over a parquet
+file source — files land, maintenance ticks run one micro-batch each,
+and after every batch the maintained state equals a from-scratch
+rebuild over everything ingested so far (``matches_full`` parity).
+
+The second tick runs as a NEW streaming query against the SAME
+checkpoint, so batch-id continuity and state chaining across query
+restarts is exercised, not just within one run.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from datapipeline_dags_spark.catalog import table
+from datapipeline_dags_spark.streaming.index_maintenance import (
+    IvfIndexMaintainer,
+    LshIndexMaintainer,
+    run_maintenance_batch,
+)
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    d = {
+        "source": str(tmp_path / "arrivals"),
+        "ckpt": str(tmp_path / "ckpt"),
+        "state": str(tmp_path / "state"),
+    }
+    (tmp_path / "arrivals").mkdir()
+    return d
+
+
+def _land(df, source_dir: str, name: str) -> None:
+    """Simulate a file arrival: write one parquet slice into the
+    watched directory (each slice becomes one micro-batch's content)."""
+    tmp = f"{source_dir}__stage_{name}"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    import glob
+    import os
+
+    part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+    shutil.move(part, os.path.join(source_dir, f"{name}.parquet"))
+    shutil.rmtree(tmp)
+
+
+def test_ivf_maintenance_stream(spark, dirs):
+    emb = table(spark, SF_DIR, "embeddings")
+    m = IvfIndexMaintainer(spark, dirs["state"], centroid_corpus=emb)
+    schema = "vec_id bigint, embedding array<float>"
+
+    batches = [
+        emb.filter(F.col("vec_id") % 3 == 0),
+        emb.filter(F.col("vec_id") % 3 == 1),
+        emb.filter(F.col("vec_id") % 3 == 2),
+    ]
+    seen = None
+    for bid, b in enumerate(batches):
+        _land(b.select("vec_id", "embedding"), dirs["source"], f"slice{bid}")
+        run_maintenance_batch(
+            spark, dirs["source"], dirs["ckpt"], schema, m.process_batch
+        )
+        seen = b if seen is None else seen.unionByName(b)
+        assert m.matches_full(bid, seen), f"IVF state diverged at batch {bid}"
+    # the maintained state must cover the whole corpus after the last tick
+    n_total = m.state(len(batches) - 1).agg(F.max("n")).collect()[0][0]
+    assert seen.count() == emb.count()
+    assert n_total is not None and n_total > 0
+
+
+def test_lsh_maintenance_stream(spark, dirs):
+    docs = table(spark, SF_DIR, "documents")
+    m = LshIndexMaintainer(spark, dirs["state"])
+    schema = "doc_id bigint, text string"
+
+    batches = [
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+    ]
+    seen = None
+    for bid, b in enumerate(batches):
+        _land(b.select("doc_id", "text"), dirs["source"], f"slice{bid}")
+        run_maintenance_batch(
+            spark, dirs["source"], dirs["ckpt"], schema, m.process_batch
+        )
+        seen = b if seen is None else seen.unionByName(b)
+        assert m.matches_full(bid, seen), f"LSH pairs diverged at batch {bid}"
+    # the fixture corpus has near-dup pairs, so the final state is
+    # non-trivial (parity on an empty pair set would prove nothing)
+    assert m.pairs(len(batches) - 1).count() > 0
+
+
+def test_ivf_batch_replay_is_idempotent(spark, dirs):
+    """foreachBatch may replay a batch after a crash: re-running the
+    same (batch, batch_id) must leave the state byte-for-byte
+    equivalent (same rows), because each version is a pure function of
+    its predecessor and the batch."""
+    emb = table(spark, SF_DIR, "embeddings")
+    m = IvfIndexMaintainer(spark, dirs["state"], centroid_corpus=emb)
+    b0 = emb.filter(F.col("vec_id") % 2 == 0).select("vec_id", "embedding")
+    b1 = emb.filter(F.col("vec_id") % 2 == 1).select("vec_id", "embedding")
+    m.process_batch(b0, 0)
+    m.process_batch(b1, 1)
+    before = sorted(map(tuple, m.state(1).collect()))
+    m.process_batch(b1, 1)  # replay
+    after = sorted(map(tuple, m.state(1).collect()))
+    assert before == after
+    assert m.matches_full(1, b0.unionByName(b1))
