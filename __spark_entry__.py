@@ -56,6 +56,11 @@ _ROTATION_HEAD = [
     "q284_lsh_delta_refresh",
     "q285_cluster_representatives",
     "q286_cohort_retention",
+    # NEW in round 9 (never driver-checked by construction):
+    "q287_bm25_topk",
+    "q288_epoch_shuffle_balance",
+    "q289_winnowing_fingerprints",
+    "q290_duplicate_run_lengths",
     # changed in round 9 — need fresh rows to prove parity held
     # through the perf rework (q154/q186 distributed_percentiles
     # route fix, q221 job-count fix, q90/q159 shared audit frame,
@@ -104,10 +109,6 @@ _ROTATION_HEAD = [
     "q144_prefix_filter_jaccard",
     "q98_bloom_incremental_dedup",
     "q76_incremental_dedup",
-    "q237_ivm_delta_join",
-    "q161_incremental_rollup",
-    "q101_bpe_merges",
-    "q104_pmi_collocations",
 ]
 
 _ROTATION_TAIL = [

@@ -9677,3 +9677,441 @@ def q285_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("sz") - 1).cast("long").alias("n_dropped"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q287 — BM25 top-k retrieval (lexical ranking over the corpus)
+# ---------------------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QT = 5  # query = the QT highest-document-frequency terms
+BM25_TOP = 20
+
+
+def _q287_oracle() -> str:
+    idf = "ln(1e0 + (st.n - qt.df + 0.5e0) / (qt.df + 0.5e0))"
+    tfc = (
+        f"(tf.tf * ({BM25_K1}e0 + 1e0)) / "
+        f"(tf.tf + {BM25_K1}e0 * (1e0 - {BM25_B}e0 + {BM25_B}e0 * tf.dl / st.avgdl))"
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+               FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf,
+                  SUM(COUNT(*)) OVER (PARTITION BY doc_id) AS dl
+           FROM t GROUP BY 1, 2),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    st AS (SELECT COUNT(*) AS n,
+                  SUM(len(string_split(text, ' '))) * 1e0 / COUNT(*) AS avgdl
+           FROM documents),
+    qt AS (SELECT term, df FROM df ORDER BY df DESC, term LIMIT {BM25_QT}),
+    s AS (
+      SELECT tf.doc_id,
+             CAST(FLOOR((ROUND({idf} * {tfc}, 6) + 0.0) * 1000000e0 + 0.5e0)
+                  AS BIGINT) AS m
+      FROM tf JOIN qt ON tf.term = qt.term CROSS JOIN st),
+    sc AS (SELECT doc_id, SUM(m) AS score_micro FROM s GROUP BY 1)
+    SELECT doc_id, CAST(score_micro AS BIGINT) AS score_micro,
+           CAST(ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id)
+                AS BIGINT) AS rank
+    FROM sc ORDER BY score_micro DESC, doc_id LIMIT {BM25_TOP}
+    """
+
+
+@query("q287_bm25_topk", oracle=_q287_oracle())
+def q287_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-{BM25_TOP} retrieval: the Okapi ranking function over
+    the corpus for a deterministic query (the {BM25_QT} highest-DF
+    terms — a real deployment swaps in user queries; the plan is
+    identical).  The lexical retrieval baseline every hybrid
+    (BM25 + ANN rerank) training-data search stack starts from — q86
+    builds the inverted index, this is the scorer on top of it.
+
+    Parity: per-(doc, term) scores round to 6 dp (the q63 ln rule —
+    ulp differences in the engines' ln cannot move a 6-dp boundary)
+    then quantize to integer micro-units via floor(x·1e6 + 0.5) on the
+    ROUNDED value (exact: the true product is an integer ± ulp), so
+    the per-doc SUM is an order-independent integer and the top-k cut
+    ties break on doc_id.
+
+    Scale shape: one explode → (doc, term) hash aggregate (map-side
+    combined); dl via the window SUM over the same partitioning (q63);
+    the query-term table is a LIMIT-{BM25_QT} TakeOrderedAndProject
+    broadcast back onto tf; corpus stats attach as a broadcast 1-row
+    aggregate; the global top-{BM25_TOP} is TakeOrderedAndProject
+    (per-partition heaps, never a global sort), with rank assigned
+    over the {BM25_TOP} collected rows only.
+    """
+    docs = table(spark, sf_dir, "documents")
+    ws = F.size(F.split(F.col("text"), " "))
+    st = docs.agg(
+        F.count("*").alias("n"),
+        (F.sum(ws) * F.lit(1.0) / F.count("*")).alias("avgdl"),
+    )
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("dl", F.sum("tf").over(W.partitionBy("doc_id")))
+    )
+    qt = (
+        tf.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.col("df").desc(), "term")
+        .limit(BM25_QT)
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tfc = (F.col("tf") * F.lit(BM25_K1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(BM25_K1)
+        * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.col("avgdl"))
+    )
+    sc = (
+        tf.join(F.broadcast(qt), "term")
+        .crossJoin(F.broadcast(st))
+        .select(
+            "doc_id",
+            F.floor(dec(idf * tfc, 6) * F.lit(1_000_000.0) + F.lit(0.5))
+            .cast("long")
+            .alias("m"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("m").alias("score_micro"))
+    )
+    top = sc.orderBy(F.col("score_micro").desc(), "doc_id").limit(BM25_TOP)
+    w = W.orderBy(F.col("score_micro").desc(), "doc_id")
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "doc_id", F.col("score_micro").cast("long"), "rank"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q288 — epoch shuffle shard balance (training-run data-order audit)
+# ---------------------------------------------------------------------------
+
+SHUF_EPOCHS = 2
+SHUF_SHARDS = 8
+
+
+def _shuf_shard_sql(epoch_expr: str) -> str:
+    return (
+        "('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '|' || "
+        f"CAST({epoch_expr} AS VARCHAR)), 1, 15))::BIGINT % {SHUF_SHARDS}"
+    )
+
+
+def _q288_oracle() -> str:
+    return f"""
+    WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS tok
+               FROM documents),
+    tot AS (SELECT SUM(tok) AS t FROM d),
+    e AS (SELECT unnest(generate_series(0, {SHUF_EPOCHS - 1})) AS epoch),
+    a AS (
+      SELECT e.epoch, d.tok,
+             {_shuf_shard_sql('e.epoch')} AS shard,
+             CASE WHEN e.epoch > 0
+                    AND {_shuf_shard_sql('e.epoch')}
+                        <> {_shuf_shard_sql('e.epoch - 1')}
+                  THEN 1 ELSE 0 END AS moved
+      FROM d CROSS JOIN e)
+    SELECT CAST(epoch AS BIGINT) AS epoch,
+           CAST(shard AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(tok) AS BIGINT) AS tokens,
+           CAST(SUM(tok) * 1000000 // tot.t AS BIGINT) AS share_ppm,
+           CAST(SUM(moved) AS BIGINT) AS n_moved
+    FROM a CROSS JOIN tot
+    GROUP BY epoch, shard, tot.t
+    """
+
+
+@query("q288_epoch_shuffle_balance", oracle=_q288_oracle())
+def q288_epoch_shuffle_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-epoch deterministic-shuffle shard audit: every training
+    epoch reshuffles the corpus by hashing (doc_id, epoch) — the
+    md5-coin discipline, so the "random" order is reproducible across
+    reruns and engines — and this audit reports, per (epoch, shard),
+    the document count, token count, token share (ppm of the corpus),
+    and how many documents MOVED shard versus the previous epoch.  The
+    imbalance a data loader actually feels (a shard 2x the others
+    straggles every step) and the reshuffle churn (≈ 1 - 1/SHARDS of
+    docs should move; ~0 means the shuffle key is broken) become
+    numbers a training-infra dashboard can alert on.
+
+    Parity: shard = md5(doc_id|epoch) as a 60-bit integer mod
+    {SHUF_SHARDS}; shares are integer-ppm floor divisions of exact
+    token sums; the previous-epoch shard recomputes the same md5 (no
+    self-join).
+
+    Scale shape: map-only per (doc, epoch) — the epoch grid is a
+    {SHUF_EPOCHS}-row broadcast explode — then ONE hash aggregate on
+    the bounded (epoch, shard) grid; the corpus token total attaches
+    as a broadcast 1-row aggregate.
+    """
+    docs = table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("tok")
+    )
+    tot = d.agg(F.sum("tok").alias("t"))
+    epochs = spark.range(SHUF_EPOCHS).select(F.col("id").alias("epoch"))
+
+    def shard(epoch: Column) -> Column:
+        h = F.md5(
+            F.concat(
+                F.col("doc_id").cast("string"),
+                F.lit("|"),
+                epoch.cast("string"),
+            )
+        )
+        return F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % SHUF_SHARDS
+
+    a = d.crossJoin(F.broadcast(epochs)).select(
+        "epoch",
+        "tok",
+        shard(F.col("epoch")).alias("shard"),
+        F.when(
+            (F.col("epoch") > 0)
+            & (shard(F.col("epoch")) != shard(F.col("epoch") - 1)),
+            1,
+        )
+        .otherwise(0)
+        .alias("moved"),
+    )
+    return (
+        a.groupBy("epoch", "shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("tok").alias("tokens"),
+            F.sum("moved").alias("n_moved"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("epoch").cast("long"),
+            F.col("shard").cast("long"),
+            F.col("n_docs").cast("long"),
+            F.col("tokens").cast("long"),
+            F.expr("tokens * 1000000 div t").cast("long").alias("share_ppm"),
+            F.col("n_moved").cast("long"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q289 — winnowing fingerprints (MOSS local document fingerprinting)
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 4  # tokens per k-gram
+WINNOW_W = 4  # hashes per winnowing window
+WINNOW_MIN_SHARED = 2  # report pairs sharing at least this many prints
+
+
+def _q289_oracle() -> str:
+    kg = (
+        "list_transform(generate_series(1, len(ws) - {km1}), "
+        "i -> ('0x' || substr(md5(array_to_string(ws[i:i+{km1}], ' ')), "
+        "1, 15))::BIGINT)"
+    ).format(km1=WINNOW_K - 1)
+    return f"""
+    WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws
+               FROM documents),
+    h AS (SELECT doc_id,
+                 CASE WHEN len(ws) >= {WINNOW_K} THEN {kg}
+                      ELSE [('0x' || substr(md5(text), 1, 15))::BIGINT]
+                 END AS hs
+          FROM w),
+    f AS (SELECT doc_id,
+                 list_distinct(
+                   CASE WHEN len(hs) >= {WINNOW_W} THEN
+                     list_transform(generate_series(1, len(hs) - {WINNOW_W - 1}),
+                                    j -> list_min(hs[j:j+{WINNOW_W - 1}]))
+                   ELSE [list_min(hs)] END) AS fps
+          FROM h),
+    p AS (SELECT DISTINCT doc_id, unnest(fps) AS fp FROM f)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM p a JOIN p b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= {WINNOW_MIN_SHARED}
+    """
+
+
+@query("q289_winnowing_fingerprints", oracle=_q289_oracle())
+def q289_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprint near-dup candidates: per document,
+    hash every POSITIONAL {WINNOW_K}-gram (no dedup — position
+    matters), slide a {WINNOW_W}-hash window and keep each window's
+    MINIMUM; the distinct window-minima are the document's
+    fingerprints.  Unlike q53's bottom-k MinHash (a global sample that
+    can miss any given region), winnowing GUARANTEES every
+    {WINNOW_K + WINNOW_W - 1}-token stretch contributes a fingerprint
+    — the locality property that makes it the standard for code /
+    plagiarism / contamination scanning.  Pairs sharing >=
+    {WINNOW_MIN_SHARED} fingerprints are the audit output.
+
+    Parity: hashes are 60-bit md5 slices (the q41 fragment); window
+    minima and shared-print counts are integers; short docs fall back
+    to the whole-text hash (q53's degenerate rule) and doc pairs order
+    a < b.
+
+    Scale shape: fingerprinting is map-only array work per document
+    (sequence + slice + array_min — no UDF); the candidate join is
+    shared-fingerprint blocking with hot posting lists
+    CHUNK-DISTRIBUTED via ``blocking.chunk_buckets`` (the q43
+    machinery — zero recall loss, observable fan-out counters); the
+    shared-print count is one hash aggregate over emitted pairs.
+    """
+    words = F.split(F.col("text"), " ")
+    n = F.size(words) - (WINNOW_K - 1)
+
+    def h60(c: Column) -> Column:
+        return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+    hs = F.when(
+        n >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: h60(F.concat_ws(" ", F.slice(words, i, WINNOW_K))),
+        ),
+    ).otherwise(F.array(h60(F.col("text"))))
+    docs = _fanout(spark, table(spark, sf_dir, "documents")).select(
+        "doc_id", hs.alias("hs")
+    )
+    m = F.size(F.col("hs")) - (WINNOW_W - 1)
+    fps = F.array_distinct(
+        F.when(
+            m >= 1,
+            F.transform(
+                F.sequence(F.lit(1), m),
+                lambda j: F.array_min(F.slice(F.col("hs"), j, WINNOW_W)),
+            ),
+        ).otherwise(F.array(F.array_min(F.col("hs"))))
+    )
+    p = docs.select("doc_id", F.explode(fps).alias("fp")).distinct()
+    postings = (
+        p.groupBy("fp")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    return (
+        blocking.chunk_buckets(postings, "q289_winnowing_fingerprints", "ids")
+        .select(F.explode(blocking.chunk_pair_structs()).alias("p"))
+        .groupBy(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q290 — maximal duplicate runs (exact-substring dedup beyond fixed K)
+# ---------------------------------------------------------------------------
+
+RUN_K = 10  # tokens per positional k-gram
+#: occurrence cap per k-gram hash, mirrored in BOTH engines (a
+#: boilerplate k-gram above it is excluded from run detection
+#: everywhere — the q41 BUCKET_CAP discipline, semantic and
+#: hash-checkable, not a silent Spark-side truncation)
+RUN_POSTING_CAP = 64
+
+
+def _q290_oracle() -> str:
+    return f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    s AS (SELECT doc_id, i AS pos,
+                 md5(array_to_string(ws[i:i+{RUN_K - 1}], ' ')) AS h
+          FROM w, unnest(generate_series(1, greatest(len(ws) - {RUN_K - 1}, 0)))
+               t(i)),
+    keep AS (SELECT h FROM s GROUP BY h
+             HAVING COUNT(DISTINCT doc_id) >= 2
+                AND COUNT(*) <= {RUN_POSTING_CAP}),
+    ss AS (SELECT s.* FROM s JOIN keep USING (h)),
+    pr AS (SELECT a.doc_id AS a, b.doc_id AS b, a.pos AS pa, b.pos AS pb
+           FROM ss a JOIN ss b ON a.h = b.h AND a.doc_id < b.doc_id),
+    isl AS (SELECT a, b, pa - pb AS diag,
+                   pa - ROW_NUMBER() OVER (PARTITION BY a, b, pa - pb
+                                           ORDER BY pa) AS rid
+            FROM pr),
+    runs AS (SELECT a, b, COUNT(*) AS ln
+             FROM isl GROUP BY a, b, diag, rid)
+    SELECT CAST(a AS BIGINT) AS doc_a, CAST(b AS BIGINT) AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_runs,
+           CAST(MAX(ln) + {RUN_K - 1} AS BIGINT) AS max_run_tokens,
+           CAST(SUM(ln) + COUNT(*) * {RUN_K - 1} AS BIGINT) AS dup_tokens
+    FROM runs GROUP BY a, b
+    """
+
+
+@query("q290_duplicate_run_lengths", oracle=_q290_oracle())
+def q290_duplicate_run_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated substring RUNS between document pairs — the
+    step past q93's fixed-{SPAN_K}-token span census toward Lee et
+    al.'s exact-substring dedup: consecutive shared positional
+    {RUN_K}-grams merge into maximal runs (the gaps-and-islands trick
+    on the pair diagonal pa − pb), so a copied 300-token passage
+    reports as ONE run of ~300 tokens instead of ~280 anonymous span
+    hits, and per-pair ``dup_tokens`` measures how much text the pair
+    actually shares — the number a dedup policy thresholds on.
+
+    Parity: spans hash via md5 (text never shuffles); the occurrence
+    cap {RUN_POSTING_CAP} is applied identically in both engines
+    (semantic exclusion of boilerplate k-grams, the q41 cap rule);
+    runs/lengths are integer counts; island ids are engine-agreed
+    because pa is unique within (pair, diagonal).
+
+    Scale shape: one positional-k-gram explode (map-only, hashes
+    immediately); the keep-filter bounds every posting list to
+    {RUN_POSTING_CAP} occurrences, so pair-position fan-out per hash
+    is ≤ cap²; the island window partitions on (pair, diagonal) —
+    bounded by the shared-span count of one pair, never corpus-wide;
+    two hash aggregates close it out.
+    """
+    words = F.split(F.col("text"), " ")
+    n = F.size(words) - (RUN_K - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n, F.lit(0))),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(words, i, RUN_K))),
+    )
+    s = (
+        _fanout(spark, table(spark, sf_dir, "documents"))
+        .select("doc_id", F.posexplode(grams).alias("p0", "h"))
+        .select("doc_id", (F.col("p0") + 1).alias("pos"), "h")
+    )
+    keep = (
+        s.groupBy("h")
+        .agg(
+            F.countDistinct("doc_id").alias("nd"), F.count("*").alias("occ")
+        )
+        .filter((F.col("nd") >= 2) & (F.col("occ") <= RUN_POSTING_CAP))
+        .select("h")
+    )
+    ss = s.join(keep, "h")
+    pr = (
+        ss.select(F.col("doc_id").alias("a"), F.col("pos").alias("pa"), "h")
+        .join(
+            ss.select(F.col("doc_id").alias("b"), F.col("pos").alias("pb"), "h"),
+            "h",
+        )
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "pa", "pb")
+    )
+    iw = W.partitionBy("a", "b", F.col("pa") - F.col("pb")).orderBy("pa")
+    isl = pr.select(
+        "a",
+        "b",
+        (F.col("pa") - F.col("pb")).alias("diag"),
+        (F.col("pa") - F.row_number().over(iw)).alias("rid"),
+    )
+    runs = isl.groupBy("a", "b", "diag", "rid").agg(F.count("*").alias("ln"))
+    return runs.groupBy(
+        F.col("a").cast("long").alias("doc_a"),
+        F.col("b").cast("long").alias("doc_b"),
+    ).agg(
+        F.count("*").cast("long").alias("n_runs"),
+        (F.max("ln") + (RUN_K - 1)).cast("long").alias("max_run_tokens"),
+        (F.sum("ln") + F.count("*") * (RUN_K - 1))
+        .cast("long")
+        .alias("dup_tokens"),
+    )

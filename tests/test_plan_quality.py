@@ -115,6 +115,12 @@ BOUNDED_FILTER_HINT_OK = {
     "q282_ivf_delta_refresh",
     # broadcasts the |years|-row cohort-size collapse
     "q286_cohort_retention",
+    # broadcasts the 1-row (n, avgdl) corpus-stats aggregate and the
+    # BM25_QT-row (LIMIT) query-term table
+    "q287_bm25_topk",
+    # broadcasts the 1-row token-total aggregate and the
+    # SHUF_EPOCHS-row epoch grid
+    "q288_epoch_shuffle_balance",
     # broadcasts the 1-row balance-threshold aggregate (Q22's scalar)
     "q249_idle_high_balance",
     # broadcasts the 1-row window aggregate + the bounded month-instant list
@@ -390,6 +396,12 @@ NESTED_LOOP_OK = {
     # shares q47's cell assignment: broadcasts the n_cent-row
     # quantizer (bounded-filter vec_id < n_cent), nothing else
     "q282_ivf_delta_refresh",
+    # broadcasts the 1-row (n, avgdl) corpus-stats aggregate and the
+    # BM25_QT-row (LIMIT) query-term table
+    "q287_bm25_topk",
+    # broadcasts the 1-row token-total aggregate and the
+    # SHUF_EPOCHS-row epoch grid
+    "q288_epoch_shuffle_balance",
 }
 
 
@@ -437,6 +449,7 @@ GLOBAL_WINDOW_BOUNDED = {
     # rank assigned AFTER a TakeOrderedAndProject limit (20 rows)
     "q142_basket_affinity": "row_number over the BASKET_TOP-row limit",
     "q179_itemset_triples": "row_number over the TRIPLE_TOP-row limit",
+    "q287_bm25_topk": "row_number over the BM25_TOP-row limit",
     # collapse-first day/life tables
     "q175_kaplan_meier": "life table <= KM_HORIZON_DAYS+1 rows",
     "q176_cusum_changepoint": "|days| CUSUM frame",
