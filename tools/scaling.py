@@ -100,6 +100,23 @@ TARGETS = (
     "q186_distributed_exact_percentile",
     # r8: the incremental text-index refresh (chunk-lossless buckets)
     "q284_lsh_delta_refresh",
+    # r9 (VERDICT r8 ask #5): the r8 newcomers without a row — the
+    # TPC-H Q9 star (10x facts + 10x parts, same suppliers), the q69
+    # composition (inherits its cap counters), and the cohort triangle
+    "q283_product_profit",
+    "q285_cluster_representatives",
+    "q286_cohort_retention",
+    # r9: the q154 sketch+audit pair now shares frames with
+    # distributed_percentiles — its audit route is the scale story
+    "q154_quantile_sketch",
+    # r9 newcomers: BM25 (tf/df aggregates + broadcast query terms),
+    # winnowing (posting-list blocking — the chunk counters must
+    # absorb the 10x), duplicate runs (capped posting fan-out + the
+    # per-pair-diagonal island window), epoch shuffle (map-only grid)
+    "q287_bm25_topk",
+    "q288_epoch_shuffle_balance",
+    "q289_winnowing_fingerprints",
+    "q290_duplicate_run_lengths",
 )
 
 # Per-(target, scale) keyword overrides: the SemDeDup contract is that
@@ -192,6 +209,25 @@ def build_fixtures() -> dict[str, str]:
             ) TO '{dirs[scale]}/orders.parquet' (FORMAT PARQUET)
             """
         )
+        # part replicated with partkeys matching lineitem's offset (the
+        # part dim grows with the fact table in TPC-H); supplier/nation
+        # copy verbatim — the same-players regime the duel targets use
+        con.execute(
+            f"""
+            COPY (
+              SELECT * REPLACE (p_partkey + rep * 100000000 AS p_partkey)
+              FROM read_parquet('{BASE}/part.parquet'),
+                   (SELECT unnest(generate_series(0, {n_reps - 1})) AS rep)
+            ) TO '{dirs[scale]}/part.parquet' (FORMAT PARQUET)
+            """
+        )
+        for dim in ("supplier", "nation", "region", "customer"):
+            con.execute(
+                f"""
+                COPY (SELECT * FROM read_parquet('{BASE}/{dim}.parquet'))
+                TO '{dirs[scale]}/{dim}.parquet' (FORMAT PARQUET)
+                """
+            )
     con.close()
     return dirs
 
