@@ -1287,6 +1287,50 @@ def q222_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 SC_PICKS = 10
+#: Collect-and-solve gate (the q221/q183 discipline): when the
+#: (doc, shingle) incidence table fits under this many rows, the
+#: greedy rounds run driver-side over factorized integer codes —
+#: exact integer gains with the same doc-id tiebreak, so the pick
+#: trajectory is identical — replacing {SC_PICKS} x (anti-join + agg
+#: + top-1 collect + covered-set checkpoint) scheduled jobs with ONE
+#: collect.  Above the gate the distributed loop runs unchanged.
+SC_COLLECT_TOKENS = 5_000_000
+
+
+def _sc_collected_solve(tokens) -> list[tuple[int, int, int, int]]:
+    """Driver-side greedy maximum-coverage over the collected
+    (doc_id, tok) incidence rows: tokens factorize to integer codes
+    (exact string identity — no hashing, so no collision caveat vs the
+    oracle), gains are ``np.bincount`` over the uncovered-row mask,
+    and ties break on the LOWEST doc_id exactly like the distributed
+    top-1's (gain DESC, doc_id) ordering."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = tokens.toPandas()
+    d = pdf["doc_id"].to_numpy(np.int64)
+    t, _ = pd.factorize(pdf["tok"])
+    n_tok = int(t.max()) + 1 if len(t) else 0
+    covered = np.zeros(n_tok, dtype=bool)
+    out: list[tuple[int, int, int, int]] = []
+    total = 0
+    picked_docs: set[int] = set()
+    for r in range(1, SC_PICKS + 1):
+        live = ~covered[t]
+        if picked_docs:
+            live &= ~np.isin(d, np.fromiter(picked_docs, np.int64))
+        if not live.any():
+            break
+        docs_live = d[live]
+        uniq, counts = np.unique(docs_live, return_counts=True)
+        best = counts.max()
+        doc = int(uniq[counts == best].min())
+        gain = int(best)
+        total += gain
+        picked_docs.add(doc)
+        covered[t[d == doc]] = True
+        out.append((r, doc, gain, total))
+    return out
 
 
 def _q225_oracle() -> str:
@@ -1342,12 +1386,15 @@ def q225_greedy_set_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
     chained MATERIALIZED CTEs (the q183/q207 contract).
 
     Scale shape: the corpus collapses once to the (doc, shingle)
-    table (checkpointed); each round is one anti join against the
-    covered-token set (≤ picks × max-doc-vocab rows, bounded) + one
-    hash agg + a global top-1 TakeOrderedAndProject; the 1-row pick
-    per round is bounded control plane (the q101 BPE top-1 / q207
-    matrix-collect precedent).  Output is ≤ {SC_PICKS} rows built
-    driver-side from the picks.
+    table (checkpointed).  Under SC_COLLECT_TOKENS the greedy rounds
+    solve driver-side on factorized codes (``_sc_collected_solve`` —
+    one collect instead of {SC_PICKS} anti-join/agg/top-1/checkpoint
+    rounds, the q221 collect-and-solve lever); above it each round is
+    one anti join against the covered-token set (≤ picks ×
+    max-doc-vocab rows, bounded) + one hash agg + a global top-1
+    TakeOrderedAndProject; the 1-row pick per round is bounded control
+    plane (the q101 BPE top-1 / q207 matrix-collect precedent).
+    Output is ≤ {SC_PICKS} rows built driver-side from the picks.
     """
     docs = table(spark, sf_dir, "documents")
     # _shingles emits array_distinct per doc, so (doc_id, tok) is
@@ -1358,6 +1405,14 @@ def q225_greedy_set_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "q225 doc-shingle sets",
     )
+    # Route probe: one count of the (already-materialized) checkpoint.
+    # Under the gate the whole greedy trajectory is bounded control
+    # plane — solve driver-side on factorized codes.
+    if tokens.count() <= SC_COLLECT_TOKENS:
+        return spark.createDataFrame(
+            _sc_collected_solve(tokens),
+            "pick_rank long, doc_id long, marginal_gain long, covered_tokens long",
+        )
     covered: DataFrame | None = None
     picked: list[tuple[int, int, int, int]] = []
     total = 0

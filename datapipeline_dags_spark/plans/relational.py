@@ -2072,6 +2072,43 @@ PR_ITERS = 5
 PR_SCALE = 1_000_000  # fixed-point unit: 1.0 == 1e6 rank units
 PR_DAMP_NUM, PR_DAMP_DEN = 85, 100  # damping 0.85 as an integer ratio
 PR_MIN_COOCCUR = 2  # co-order support floor for an edge
+#: Collect-and-solve gate (the q221 BT_COLLECT_PAIRS discipline): when
+#: the degree-weighted symmetric edge list fits under this many rows,
+#: the {PR_ITERS} power iterations run driver-side over numpy int64
+#: arrays — identical floor-division fixed-point arithmetic (all
+#: operands positive), bit-identical ranks — replacing the per-round
+#: join + agg + checkpoint-cadence jobs with ONE collect.  Above the
+#: gate (a 100 TB co-order graph) the distributed loop below runs
+#: unchanged.  2M rows x 3 int64 ≈ 48 MB on the driver.
+PR_COLLECT_EDGES = 2_000_000
+
+
+def _pr_collected_solve(spark: SparkSession, shares: DataFrame) -> DataFrame:
+    """Driver-side PageRank over the collected (src, dst, deg)
+    symmetric edge rows: share = r[src] // deg scatter-adds into
+    inflow (``np.add.at`` is an unbuffered integer scatter-add), and
+    the damped update floors exactly as the SQL iteration does.  Every
+    node appears as a src (the edge list is symmetric), so the node
+    table is the distinct src set."""
+    import numpy as np
+
+    pdf = shares.toPandas()
+    src = pdf["src"].to_numpy(np.int64)
+    dst = pdf["dst"].to_numpy(np.int64)
+    deg = pdf["deg"].to_numpy(np.int64)
+    nodes = np.unique(src)
+    si = np.searchsorted(nodes, src)
+    di = np.searchsorted(nodes, dst)
+    base = PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN
+    r = np.full(len(nodes), PR_SCALE, np.int64)
+    for _ in range(PR_ITERS):
+        inflow = np.zeros(len(nodes), np.int64)
+        np.add.at(inflow, di, r[si] // deg)
+        r = base + (PR_DAMP_NUM * inflow) // PR_DAMP_DEN
+    return spark.createDataFrame(
+        [(int(n), int(v)) for n, v in zip(nodes, r)],
+        schema="part bigint, pagerank_units bigint",
+    )
 
 
 def _q183_oracle() -> str:
@@ -2121,10 +2158,15 @@ def q183_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     numerics oracle-checkable (cf. q69's integer closure).
 
     Scale shape: edges are within-order pair explodes (Σ C(basket, 2),
-    the q142 bound) with a support floor; each iteration is ONE
-    node-keyed join + ONE hash agg, localCheckpointed so round r's plan
-    never re-derives rounds 1..r-1 (the q101/graph.py loop
-    discipline); output is |parts in the graph| rows.
+    the q142 bound) with a support floor, aggregated to the distinct
+    degree-weighted edge list before any iteration.  Under
+    PR_COLLECT_EDGES the power iterations solve driver-side in numpy
+    int64 (``_pr_collected_solve`` — one collect instead of per-round
+    join/agg/checkpoint jobs, the q221 collect-and-solve lever); above
+    it each iteration is ONE node-keyed join + ONE hash agg,
+    localCheckpointed so round r's plan never re-derives rounds
+    1..r-1 (the q101/graph.py loop discipline); output is |parts in
+    the graph| rows either way.
     """
     li = table(spark, sf_dir, "lineitem")
     b = li.select("l_orderkey", "l_partkey").distinct()
@@ -2146,15 +2188,23 @@ def q183_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = sym.groupBy(F.col("src").alias("node")).agg(
         F.count("*").alias("deg")
     )
+    shares = sym.join(deg, sym.src == deg.node).select(
+        F.col("src"), F.col("dst"), F.col("deg")
+    ).persist()
+    # Route probe: one count of the persisted edge list (also its
+    # materialization).  Under the gate the whole iteration is bounded
+    # control plane — solve driver-side (VERDICT r8's q221 lever
+    # applied to the other iterative slot).
+    if shares.count() <= PR_COLLECT_EDGES:
+        out = _pr_collected_solve(spark, shares)
+        shares.unpersist()
+        return out
     nodes = deg.select("node").persist()
     base = PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN
     cur = local_checkpoint(
         nodes.select("node", F.lit(PR_SCALE).cast("long").alias("r")),
         "pr_init",
     )
-    shares = sym.join(deg, sym.src == deg.node).select(
-        F.col("src"), F.col("dst"), F.col("deg")
-    ).persist()
     for i in range(PR_ITERS):
         inflow = (
             shares.join(cur, shares.src == cur.node)

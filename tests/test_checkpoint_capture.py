@@ -8,7 +8,12 @@ from datapipeline_dags_spark import checkpoint
 from datapipeline_dags_spark.plans.all import QUERIES
 
 
-def test_pagerank_rounds_captured(spark, sf_dir):
+def test_pagerank_rounds_captured(spark, sf_dir, monkeypatch):
+    # force the distributed loop (the default collects-and-solves under
+    # PR_COLLECT_EDGES, planning no checkpoint rounds at all)
+    from datapipeline_dags_spark.plans import relational
+
+    monkeypatch.setattr(relational, "PR_COLLECT_EDGES", 0)
     checkpoint.CAPTURE = []
     try:
         QUERIES["q183_part_pagerank"](spark, sf_dir)

@@ -299,6 +299,25 @@ def test_set_cover_greedy_invariants(spark, sf_dir):
         assert r["covered_tokens"] == run
 
 
+def test_set_cover_routes_agree(spark, sf_dir, monkeypatch):
+    """The collected factorized-code greedy (default under
+    SC_COLLECT_TOKENS) must reproduce the distributed loop's pick
+    trajectory exactly — integer gains, same doc-id tiebreak."""
+    from datapipeline_dags_spark.plans import mining
+
+    def run():
+        return sorted(
+            tuple(r)
+            for r in mining.q225_greedy_set_cover(spark, sf_dir).collect()
+        )
+
+    collected = run()
+    monkeypatch.setattr(mining, "SC_COLLECT_TOKENS", 0)
+    distributed = run()
+    assert collected == distributed
+    assert collected, "no picks on the fixture"
+
+
 def test_kmin_sketch_within_tolerance(spark, sf_dir):
     """With k=64 permutations the k-mins estimator's relative error
     should stay inside ~4/sqrt(k) = 50% on every source (loose bound;

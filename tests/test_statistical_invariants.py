@@ -51,6 +51,26 @@ def test_pagerank_mass_conserved_up_to_floor_loss(spark, sf_dir):
     assert all(r["pagerank_units"] > 0 for r in rows)
 
 
+def test_pagerank_routes_agree(spark, sf_dir, monkeypatch):
+    """The collected numpy power-iteration solve (default under
+    PR_COLLECT_EDGES) must be bit-identical to the distributed loop —
+    same floor-division fixed-point arithmetic, route chosen only by
+    the edge-count gate."""
+    from datapipeline_dags_spark.plans import relational
+
+    def run():
+        return sorted(
+            tuple(r)
+            for r in relational.q183_part_pagerank(spark, sf_dir).collect()
+        )
+
+    collected = run()
+    monkeypatch.setattr(relational, "PR_COLLECT_EDGES", 0)
+    distributed = run()
+    assert collected == distributed
+    assert collected, "no edges on the fixture"
+
+
 def test_cusum_has_exactly_one_changepoint(spark, sf_dir):
     rows = q176_cusum_changepoint(spark, sf_dir).collect()
     flagged = [r for r in rows if r["is_changepoint"]]
