@@ -2188,17 +2188,20 @@ def q183_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = sym.groupBy(F.col("src").alias("node")).agg(
         F.count("*").alias("deg")
     )
-    shares = sym.join(deg, sym.src == deg.node).select(
-        F.col("src"), F.col("dst"), F.col("deg")
-    ).persist()
-    # Route probe: one count of the persisted edge list (also its
-    # materialization).  Under the gate the whole iteration is bounded
+    # localCheckpoint (not a bare persist) so the staged edge-build
+    # plan stays visible to the PLANS.md capture hook, and the route
+    # probe's count reads the materialized table.
+    shares = local_checkpoint(
+        sym.join(deg, sym.src == deg.node).select(
+            F.col("src"), F.col("dst"), F.col("deg")
+        ),
+        "q183 degree-weighted edges",
+    )
+    # Route probe: under the gate the whole iteration is bounded
     # control plane — solve driver-side (VERDICT r8's q221 lever
     # applied to the other iterative slot).
     if shares.count() <= PR_COLLECT_EDGES:
-        out = _pr_collected_solve(spark, shares)
-        shares.unpersist()
-        return out
+        return _pr_collected_solve(spark, shares)
     nodes = deg.select("node").persist()
     base = PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN
     cur = local_checkpoint(
@@ -2236,7 +2239,6 @@ def q183_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             else nxt
         )
     nodes.unpersist()
-    shares.unpersist()
     return cur.select(F.col("node").alias("part"), F.col("r").alias("pagerank_units"))
 
 
