@@ -3262,13 +3262,22 @@ def q273_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a shingle-keyed self-join of the two pruned sides; all counts
     map-combine.
     """
+    from pyspark.storagelevel import StorageLevel
+
     docs = _fanout(
         spark,
         table(spark, sf_dir, "documents").filter(
             F.col("source").isin(CR_SOURCE_A, CR_SOURCE_B)
         ),
     ).select("source", _shingles(F.col("text")).alias("sh"))
-    s = docs.select("source", F.explode("sh").alias("s")).distinct()
+    # five branches read the distinct collapse (both counts, both join
+    # sides, the union) — persist so the shingle pass runs once, not
+    # per branch (the harness clearCache releases it)
+    s = (
+        docs.select("source", F.explode("sh").alias("s"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     a = s.filter(F.col("source") == CR_SOURCE_A).select("s")
     b = s.filter(F.col("source") == CR_SOURCE_B).select("s")
     n1 = a.agg(F.count("*").alias("n1"))
