@@ -61,10 +61,15 @@ _ROTATION_HEAD = [
     "q288_epoch_shuffle_balance",
     "q289_winnowing_fingerprints",
     "q290_duplicate_run_lengths",
+    "q291_tokenizer_fertility",
+    "q292_code_switch_mixture",
+    "q293_bm25_stats_delta_refresh",
+    "q294_hits_hubs_authorities",
     # changed in round 9 — need fresh rows to prove parity held
     # through the perf rework (q154/q186 distributed_percentiles
-    # route fix, q221 job-count fix, q90/q159 shared audit frame,
-    # q202 bench-slot route):
+    # route fix, q221/q183/q225 collect-and-solve routes, q90/q159
+    # shared audit frame, q202 bench-slot route; q273/q284's persists
+    # and q183/q225 sit in the hedge-fill slots below):
     "q154_quantile_sketch",
     "q186_distributed_exact_percentile",
     "q202_mad_outliers",
@@ -105,10 +110,6 @@ _ROTATION_HEAD = [
     "q222_kcore_decomposition",
     "q97_dsir_importance",
     "q103_segment_dedup",
-    "q109_lsh_decontamination",
-    "q144_prefix_filter_jaccard",
-    "q98_bloom_incremental_dedup",
-    "q76_incremental_dedup",
 ]
 
 _ROTATION_TAIL = [

@@ -10115,3 +10115,492 @@ def q290_duplicate_run_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("dup_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q291 — tokenizer fertility audit (subtokens per word, per language)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q291_tokenizer_fertility",
+    oracle="""
+    WITH d AS (
+      SELECT lang,
+             len(string_split(text, ' ')) AS words,
+             len(regexp_extract_all(text, '[a-z0-9]+')) AS subtoks,
+             n_chars AS chars
+      FROM documents)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(words) AS BIGINT) AS words,
+           CAST(SUM(subtoks) AS BIGINT) AS subtokens,
+           CAST(SUM(chars) AS BIGINT) AS chars,
+           (ROUND(SUM(subtoks) * 1e0 / SUM(words), 6) + 0.0) AS fertility,
+           (ROUND(SUM(chars) * 1e0 / SUM(subtoks), 6) + 0.0)
+             AS chars_per_subtoken,
+           CAST(SUM(CASE WHEN subtoks * 2 > words * 3 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_high_fertility_docs
+    FROM d GROUP BY lang
+    """,
+)
+def q291_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: subtokens-per-word and
+    chars-per-subtoken — the numbers a multilingual pretraining team
+    watches because a tokenizer with fertility 2x on some language
+    doubles that language's effective sequence length (and cost) at
+    the same text budget.  Whitespace words vs the BPE-ish [a-z0-9]+
+    runs (q52's two token counts, here turned into the RATIOS that
+    drive mix decisions), plus a per-doc high-fertility flag
+    (subtoks/words > 1.5 as the integer cross-multiplication
+    2·subtoks > 3·words — no float boundary).
+
+    Parity: ratios are single double expressions over exact integer
+    sums (the q203 rule); the flag is integer-exact.
+
+    Scale shape: map-only per-doc counts, ONE hash aggregate on lang;
+    partial aggregation collapses map-side.
+    """
+    docs = table(spark, sf_dir, "documents")
+    words = F.size(F.split(F.col("text"), " "))
+    subtoks = F.regexp_count(F.col("text"), F.lit("[a-z0-9]+"))
+    d = docs.select(
+        "lang",
+        words.alias("words"),
+        subtoks.alias("subtoks"),
+        F.col("n_chars").alias("chars"),
+    )
+    return d.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("words").cast("long").alias("words"),
+        F.sum("subtoks").cast("long").alias("subtokens"),
+        F.sum("chars").cast("long").alias("chars"),
+        dec(F.sum("subtoks") * F.expr("1e0") / F.sum("words"), 6).alias(
+            "fertility"
+        ),
+        dec(F.sum("chars") * F.expr("1e0") / F.sum("subtoks"), 6).alias(
+            "chars_per_subtoken"
+        ),
+        F.sum(
+            (F.col("subtoks") * 2 > F.col("words") * 3).cast("long")
+        )
+        .cast("long")
+        .alias("n_high_fertility_docs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q292 — code-switching detection (window-level language mixture)
+# ---------------------------------------------------------------------------
+
+CSW_WINDOW = 20  # words per language-ID window
+_CSW_ORDER = ("en", "de", "fr", "es")  # argmax tie order (q51's chain)
+
+
+def _q292_oracle() -> str:
+    win = f"wl[i * {CSW_WINDOW} + 1 : i * {CSW_WINDOW} + {CSW_WINDOW}]"
+    sc = {
+        lang: f"len(list_filter({win}, t -> list_contains({list(ms)!r}, t)))"
+        for lang, ms in LANG_MARKERS.items()
+    }
+    pred = f"""CASE WHEN {sc['en']} >= {sc['de']} AND {sc['en']} >= {sc['fr']}
+                     AND {sc['en']} >= {sc['es']} THEN 'en'
+                WHEN {sc['de']} >= {sc['fr']} AND {sc['de']} >= {sc['es']}
+                     THEN 'de'
+                WHEN {sc['fr']} >= {sc['es']} THEN 'fr'
+                ELSE 'es' END"""
+    counts = ", ".join(
+        f"len(list_filter(preds, p -> p = '{lang}')) AS c_{lang}"
+        for lang in _CSW_ORDER
+    )
+    maj = """CASE WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es THEN 'en'
+                  WHEN c_de >= c_fr AND c_de >= c_es THEN 'de'
+                  WHEN c_fr >= c_es THEN 'fr'
+                  ELSE 'es' END"""
+    nm = "GREATEST(GREATEST(c_en, c_de), GREATEST(c_fr, c_es))"
+    return f"""
+    WITH ws AS (SELECT doc_id, lang, string_split(text, ' ') AS wl
+                FROM documents),
+    p AS (
+      SELECT doc_id, lang,
+             list_transform(
+               generate_series(0, (len(wl) - 1) // {CSW_WINDOW}),
+               i -> {pred}) AS preds
+      FROM ws),
+    c AS (SELECT doc_id, lang, len(preds) AS n_windows, {counts} FROM p)
+    SELECT doc_id, lang,
+           CAST(n_windows AS BIGINT) AS n_windows,
+           CAST({nm} AS BIGINT) AS n_majority,
+           {maj} AS majority_lang,
+           CAST((n_windows - {nm}) * 1000000 // n_windows AS BIGINT)
+             AS mixed_ppm
+    FROM c
+    """
+
+
+@query("q292_code_switch_mixture", oracle=_q292_oracle())
+def q292_code_switch_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-level code-switching detection: each {CSW_WINDOW}-word
+    window language-IDs independently (q51's marker argmax with the
+    same tie chain), and a document's mixture = the ppm share of
+    windows disagreeing with the majority window language.  Whole-doc
+    langID (q51) averages a bilingual document into one confident
+    wrong label; curation pipelines filter or route code-switched
+    documents separately, and this is the signal they cut on.
+
+    Parity: marker counts and window tallies are integers; the
+    majority pick uses the identical fixed argmax order in both
+    engines; mixed_ppm is an integer floor division on positives.
+
+    Scale shape: map-only — windows, per-window scores, the argmax,
+    and the per-doc tally are all array expressions inside one
+    projection; NO shuffle at all (q51's shape, one level nested).
+    """
+    words = F.split(F.col("text"), " ")
+
+    def wpred(w: Column) -> Column:
+        sc = {}
+        for lang, ms in LANG_MARKERS.items():
+            values = list(ms)  # closure, NOT a lambda default (q41 note)
+            sc[lang] = F.size(F.filter(w, lambda t: t.isin(*values)))
+        return (
+            F.when(
+                (sc["en"] >= sc["de"])
+                & (sc["en"] >= sc["fr"])
+                & (sc["en"] >= sc["es"]),
+                "en",
+            )
+            .when((sc["de"] >= sc["fr"]) & (sc["de"] >= sc["es"]), "de")
+            .when(sc["fr"] >= sc["es"], "fr")
+            .otherwise("es")
+        )
+
+    preds = F.transform(
+        F.sequence(
+            F.lit(0), F.floor((F.size(words) - 1) / CSW_WINDOW).cast("int")
+        ),
+        lambda i: wpred(F.slice(words, i * CSW_WINDOW + 1, CSW_WINDOW)),
+    )
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", preds.alias("preds")
+    )
+    cnt = {}
+    for lang in _CSW_ORDER:
+        lit = lang  # closure over the loop variable (q41 note)
+        cnt[lang] = F.size(F.filter(F.col("preds"), lambda p: p == lit))
+    maj = (
+        F.when(
+            (cnt["en"] >= cnt["de"])
+            & (cnt["en"] >= cnt["fr"])
+            & (cnt["en"] >= cnt["es"]),
+            "en",
+        )
+        .when((cnt["de"] >= cnt["fr"]) & (cnt["de"] >= cnt["es"]), "de")
+        .when(cnt["fr"] >= cnt["es"], "fr")
+        .otherwise("es")
+    )
+    nm = F.greatest(
+        F.greatest(cnt["en"], cnt["de"]), F.greatest(cnt["fr"], cnt["es"])
+    )
+    nw = F.size(F.col("preds"))
+    return docs.select(
+        "doc_id",
+        "lang",
+        nw.cast("long").alias("n_windows"),
+        nm.cast("long").alias("n_majority"),
+        maj.alias("majority_lang"),
+        F.floor((nw - nm) * 1_000_000 / nw).cast("long").alias("mixed_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q293 — incremental BM25 stats maintenance (lexical-index IVM audit)
+# ---------------------------------------------------------------------------
+
+BMIVM_TOP = 20  # report the top-N terms by merged document frequency
+
+
+def _q293_oracle() -> str:
+    return f"""
+    WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+               FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf,
+                  doc_id % {DOC_DELTA_MOD} = {DOC_DELTA_REM} AS dlt
+           FROM t GROUP BY 1, 2),
+    base AS (SELECT term, COUNT(*) AS df_b, SUM(tf) AS cf_b
+             FROM tf WHERE NOT dlt GROUP BY 1),
+    dl AS (SELECT term, COUNT(*) AS df_d, SUM(tf) AS cf_d
+           FROM tf WHERE dlt GROUP BY 1),
+    merged AS (
+      SELECT COALESCE(b.term, d.term) AS term,
+             COALESCE(df_b, 0) AS df_base, COALESCE(df_d, 0) AS df_delta,
+             COALESCE(df_b, 0) + COALESCE(df_d, 0) AS df_merged,
+             COALESCE(cf_b, 0) + COALESCE(cf_d, 0) AS cf_merged
+      FROM base b FULL OUTER JOIN dl d ON b.term = d.term),
+    full_r AS (SELECT term, COUNT(*) AS df_f, SUM(tf) AS cf_f
+               FROM tf GROUP BY 1),
+    audit AS (
+      SELECT MIN(CASE WHEN m.df_merged = f.df_f AND m.cf_merged = f.cf_f
+                      THEN 1 ELSE 0 END) AS ok
+      FROM merged m FULL OUTER JOIN full_r f ON m.term = f.term)
+    SELECT m.term,
+           CAST(m.df_base AS BIGINT) AS df_base,
+           CAST(m.df_delta AS BIGINT) AS df_delta,
+           CAST(m.df_merged AS BIGINT) AS df_merged,
+           CAST(m.cf_merged AS BIGINT) AS cf_merged,
+           CAST(audit.ok AS BIGINT) AS matches_full
+    FROM merged m CROSS JOIN audit
+    ORDER BY m.df_merged DESC, m.term LIMIT {BMIVM_TOP}
+    """
+
+
+@query("q293_bm25_stats_delta_refresh", oracle=_q293_oracle())
+def q293_bm25_stats_delta_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental lexical-index statistics maintenance — the q282/q284
+    IVM contract applied to the THIRD index family: BM25/q86's term
+    statistics (document frequency, collection frequency).  The delta
+    ingest batch (doc_id % {DOC_DELTA_MOD} == {DOC_DELTA_REM})
+    tokenizes ITS documents only; the refreshed stats are integer
+    partial MERGES (df_base + df_delta), never a re-scan of the base
+    corpus — so q287's scorer stays current between full index
+    rebuilds at 100 TB.  ``matches_full`` certifies the merge against
+    an independent full recompute over EVERY term (a global MIN, not
+    just the reported rows).
+
+    Parity: all integer counts; the top-{BMIVM_TOP} report ties on the
+    term string.
+
+    Scale shape: one explode → (doc, term) hash aggregate carrying the
+    delta flag; base/delta/full partials are filtered re-aggregations
+    of that one table (persisted); merges are term-keyed full outer
+    joins; the report is TakeOrderedAndProject.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    docs = table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .withColumn(
+            "dlt", (F.col("doc_id") % DOC_DELTA_MOD) == DOC_DELTA_REM
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    def stats(df: DataFrame, tag: str) -> DataFrame:
+        return df.groupBy("term").agg(
+            F.count("*").alias(f"df_{tag}"), F.sum("tf").alias(f"cf_{tag}")
+        )
+
+    base = stats(tf.filter(~F.col("dlt")), "b")
+    dl = stats(tf.filter(F.col("dlt")), "d")
+    merged = base.join(dl, "term", "full_outer").select(
+        "term",
+        F.coalesce("df_b", F.lit(0)).alias("df_base"),
+        F.coalesce("df_d", F.lit(0)).alias("df_delta"),
+        (F.coalesce("df_b", F.lit(0)) + F.coalesce("df_d", F.lit(0))).alias(
+            "df_merged"
+        ),
+        (F.coalesce("cf_b", F.lit(0)) + F.coalesce("cf_d", F.lit(0))).alias(
+            "cf_merged"
+        ),
+    )
+    full_r = stats(tf, "f")
+    audit = (
+        merged.join(full_r, "term", "full_outer")
+        .agg(
+            F.min(
+                (
+                    F.coalesce("df_merged", F.lit(-1)).eqNullSafe(
+                        F.coalesce("df_f", F.lit(-2))
+                    )
+                    & F.coalesce("cf_merged", F.lit(-1)).eqNullSafe(
+                        F.coalesce("cf_f", F.lit(-2))
+                    )
+                ).cast("long")
+            ).alias("ok")
+        )
+    )
+    top = (
+        merged.crossJoin(F.broadcast(audit))
+        .orderBy(F.col("df_merged").desc(), "term")
+        .limit(BMIVM_TOP)
+    )
+    return top.select(
+        "term",
+        F.col("df_base").cast("long"),
+        F.col("df_delta").cast("long"),
+        F.col("df_merged").cast("long"),
+        F.col("cf_merged").cast("long"),
+        F.col("ok").cast("long").alias("matches_full"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q294 — HITS hubs & authorities on the customer→part purchase graph
+# ---------------------------------------------------------------------------
+
+HITS_ITERS = 4
+HITS_UNIT = 1_000_000  # L1-normalized fixed point: Σ scores ≈ 1e6 per side
+HITS_TOP = 10
+#: the q221/q183 collect-and-solve gate on the distinct (customer,
+#: part) edge list; above it the distributed loop runs unchanged
+HITS_COLLECT_EDGES = 2_000_000
+
+
+def _q294_oracle() -> str:
+    prev = "h0"
+    iters = []
+    for k in range(1, HITS_ITERS + 1):
+        iters.append(f"""
+    ar{k} AS MATERIALIZED (
+      SELECT e.p, SUM(h.h) AS raw FROM e JOIN {prev} h ON h.c = e.c
+      GROUP BY 1),
+    a{k} AS MATERIALIZED (
+      SELECT p, CAST(raw * {HITS_UNIT} // (SELECT SUM(raw) FROM ar{k})
+                AS BIGINT) AS a
+      FROM ar{k}),
+    hr{k} AS MATERIALIZED (
+      SELECT e.c, SUM(a.a) AS raw FROM e JOIN a{k} a ON a.p = e.p
+      GROUP BY 1),
+    h{k} AS MATERIALIZED (
+      SELECT c, CAST(raw * {HITS_UNIT} // (SELECT SUM(raw) FROM hr{k})
+                AS BIGINT) AS h
+      FROM hr{k})""")
+        prev = f"h{k}"
+    return f"""
+    WITH e AS MATERIALIZED (
+      SELECT DISTINCT o_custkey AS c, l_partkey AS p
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    h0 AS MATERIALIZED (
+      SELECT DISTINCT c, CAST({HITS_UNIT} AS BIGINT) AS h FROM e),
+    {','.join(iters)}
+    SELECT * FROM (
+      SELECT 'authority' AS kind, CAST(p AS BIGINT) AS node_id,
+             CAST(a AS BIGINT) AS score_units,
+             CAST(ROW_NUMBER() OVER (ORDER BY a DESC, p) AS BIGINT) AS rank
+      FROM a{HITS_ITERS} ORDER BY a DESC, p LIMIT {HITS_TOP})
+    UNION ALL
+    SELECT * FROM (
+      SELECT 'hub' AS kind, CAST(c AS BIGINT) AS node_id,
+             CAST(h AS BIGINT) AS score_units,
+             CAST(ROW_NUMBER() OVER (ORDER BY h DESC, c) AS BIGINT) AS rank
+      FROM h{HITS_ITERS} ORDER BY h DESC, c LIMIT {HITS_TOP})
+    """
+
+
+def _hits_collected_solve(spark: SparkSession, e: DataFrame) -> DataFrame:
+    """Driver-side HITS over the collected (c, p) edge list: integer
+    scatter-add rounds with L1 renormalization by floor division —
+    identical arithmetic to the distributed loop (all operands
+    positive), identical (score DESC, id) top-{HITS_TOP} cut."""
+    import numpy as np
+
+    pdf = e.toPandas()
+    c = pdf["c"].to_numpy(np.int64)
+    p = pdf["p"].to_numpy(np.int64)
+    cn = np.unique(c)
+    pn = np.unique(p)
+    ci = np.searchsorted(cn, c)
+    pi = np.searchsorted(pn, p)
+    h = np.full(len(cn), HITS_UNIT, np.int64)
+    a = np.zeros(len(pn), np.int64)
+    for _ in range(HITS_ITERS):
+        raw_a = np.zeros(len(pn), np.int64)
+        np.add.at(raw_a, pi, h[ci])
+        a = raw_a * HITS_UNIT // max(int(raw_a.sum()), 1)
+        raw_h = np.zeros(len(cn), np.int64)
+        np.add.at(raw_h, ci, a[pi])
+        h = raw_h * HITS_UNIT // max(int(raw_h.sum()), 1)
+
+    def top(nodes, scores, kind):
+        order = np.lexsort((nodes, -scores))[:HITS_TOP]
+        return [
+            (kind, int(nodes[i]), int(scores[i]), r + 1)
+            for r, i in enumerate(order)
+        ]
+
+    return spark.createDataFrame(
+        top(pn, a, "authority") + top(cn, h, "hub"),
+        schema="kind string, node_id bigint, score_units bigint, rank bigint",
+    )
+
+
+@query("q294_hits_hubs_authorities", oracle=_q294_oracle())
+def q294_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (Kleinberg) on the bipartite customer→part purchase graph:
+    hub customers are the broad high-signal buyers, authority parts
+    the products those hubs concentrate on — the mutually-reinforcing
+    centrality pair q183's PageRank (a single-mode random walk)
+    cannot express, and the classic bipartite-recommendation prior.
+
+    Parity: INTEGER fixed-point with L1 renormalization each half-step
+    (score = raw · {HITS_UNIT} // Σraw — HITS is defined up to scale,
+    and the floor renormalization keeps every value bounded and
+    engine-exact); top-{HITS_TOP} per side ties on the node id.
+
+    Scale shape: one distinct (customer, part) edge collapse
+    (checkpointed).  Under HITS_COLLECT_EDGES the {HITS_ITERS} rounds
+    solve driver-side in numpy int64 (the q221/q183 collect-and-solve
+    lever); above it each half-step is one edge-keyed join + hash agg
+    with the 1-row Σraw broadcast, localCheckpointed every second
+    round; output is 2×{HITS_TOP} rows either way.
+    """
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    e = local_checkpoint(
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct(),
+        "q294 purchase edges",
+    )
+    if e.count() <= HITS_COLLECT_EDGES:
+        return _hits_collected_solve(spark, e)
+
+    hs = local_checkpoint(
+        e.select("c").distinct().select(
+            "c", F.lit(HITS_UNIT).cast("long").alias("h")
+        ),
+        "q294 hits init",
+    )
+    a = None
+    for k in range(HITS_ITERS):
+        raw_a = (
+            e.join(hs, "c").groupBy("p").agg(F.sum("h").alias("raw"))
+        )
+        ta = raw_a.agg(F.sum("raw").alias("t"))
+        a = raw_a.crossJoin(F.broadcast(ta)).select(
+            "p", F.expr(f"CAST(raw * {HITS_UNIT} div greatest(t, 1) AS BIGINT)").alias("a")
+        )
+        raw_h = e.join(a, "p").groupBy("c").agg(F.sum("a").alias("raw"))
+        th = raw_h.agg(F.sum("raw").alias("t"))
+        nxt = raw_h.crossJoin(F.broadcast(th)).select(
+            "c", F.expr(f"CAST(raw * {HITS_UNIT} div greatest(t, 1) AS BIGINT)").alias("h")
+        )
+        hs = (
+            local_checkpoint(nxt, f"q294 hits round {k + 1}")
+            if k % 2 == 1 or k == HITS_ITERS - 1
+            else nxt
+        )
+    wa = W.orderBy(F.col("score_units").desc(), "node_id")
+    tops = []
+    for kind, df, idc, sc in (
+        ("authority", a, "p", "a"),
+        ("hub", hs, "c", "h"),
+    ):
+        t = (
+            df.select(
+                F.col(idc).cast("long").alias("node_id"),
+                F.col(sc).cast("long").alias("score_units"),
+            )
+            .orderBy(F.col("score_units").desc(), "node_id")
+            .limit(HITS_TOP)
+        )
+        tops.append(
+            t.withColumn("rank", F.row_number().over(wa).cast("long"))
+            .select(
+                F.lit(kind).alias("kind"), "node_id", "score_units", "rank"
+            )
+        )
+    return tops[0].unionAll(tops[1])

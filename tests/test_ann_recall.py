@@ -128,3 +128,20 @@ def test_audit_frames_injection_is_equal(spark, sf_dir):
             assert shared == own, fn.__name__
     finally:
         spark.catalog.clearCache()
+
+
+def test_hits_routes_agree(spark, sf_dir, monkeypatch):
+    """q294's collected numpy solve (default under HITS_COLLECT_EDGES)
+    must be bit-identical to the distributed half-step loop — same L1
+    floor renormalization, same (score DESC, id) top cut."""
+    collected = sorted(
+        tuple(r)
+        for r in llm_ops.q294_hits_hubs_authorities(spark, sf_dir).collect()
+    )
+    monkeypatch.setattr(llm_ops, "HITS_COLLECT_EDGES", 0)
+    distributed = sorted(
+        tuple(r)
+        for r in llm_ops.q294_hits_hubs_authorities(spark, sf_dir).collect()
+    )
+    assert collected == distributed
+    assert len(collected) == 2 * llm_ops.HITS_TOP

@@ -121,6 +121,8 @@ BOUNDED_FILTER_HINT_OK = {
     # broadcasts the 1-row token-total aggregate and the
     # SHUF_EPOCHS-row epoch grid
     "q288_epoch_shuffle_balance",
+    # broadcasts the 1-row global matches_full audit aggregate
+    "q293_bm25_stats_delta_refresh",
     # broadcasts the 1-row balance-threshold aggregate (Q22's scalar)
     "q249_idle_high_balance",
     # broadcasts the 1-row window aggregate + the bounded month-instant list
@@ -402,6 +404,8 @@ NESTED_LOOP_OK = {
     # broadcasts the 1-row token-total aggregate and the
     # SHUF_EPOCHS-row epoch grid
     "q288_epoch_shuffle_balance",
+    # broadcasts the 1-row global matches_full audit aggregate
+    "q293_bm25_stats_delta_refresh",
 }
 
 
