@@ -10445,8 +10445,10 @@ HITS_ITERS = 4
 HITS_UNIT = 1_000_000  # L1-normalized fixed point: Σ scores ≈ 1e6 per side
 HITS_TOP = 10
 #: the q221/q183 collect-and-solve gate on the distinct (customer,
-#: part) edge list; above it the distributed loop runs unchanged
-HITS_COLLECT_EDGES = 2_000_000
+#: part) edge list — 10M rows x 2 int64 ≈ 160 MB on the driver (the
+#: size of a large broadcast table); above it the distributed loop
+#: runs unchanged
+HITS_COLLECT_EDGES = 10_000_000
 
 
 def _q294_oracle() -> str:

@@ -117,6 +117,10 @@ TARGETS = (
     "q288_epoch_shuffle_balance",
     "q289_winnowing_fingerprints",
     "q290_duplicate_run_lengths",
+    # r9 batch 2: the lexical-stats IVM (term-keyed partial merges)
+    # and HITS (collected solve under the gate at both scales)
+    "q293_bm25_stats_delta_refresh",
+    "q294_hits_hubs_authorities",
 )
 
 # Per-(target, scale) keyword overrides: the SemDeDup contract is that
