@@ -47,6 +47,7 @@ from datapipeline_dags_spark.plans.llm_ops import (
 
 __all__ = [
     "IvfIndexMaintainer",
+    "LexicalStatsMaintainer",
     "LshIndexMaintainer",
     "run_maintenance_batch",
 ]
@@ -281,6 +282,106 @@ class LshIndexMaintainer:
         finally:
             sh.unpersist()
         return missing == 0 and extra == 0
+
+
+class LexicalStatsMaintainer:
+    """q293's contract as a streaming maintenance loop: the BM25/q86
+    term statistics (document frequency, collection frequency) plus
+    the corpus totals (N, Σdl) that q287's scorer needs, merged as
+    integer partials per micro-batch — an arriving batch tokenizes
+    ITS documents only.
+
+    State tables: ``terms`` (term, df, cf) and ``corpus``
+    (n_docs, total_tokens) — one row."""
+
+    TERMS_SCHEMA = "term string, df bigint, cf bigint"
+    CORPUS_SCHEMA = "n_docs bigint, total_tokens bigint"
+
+    def __init__(self, spark: SparkSession, state_dir: str):
+        self.spark = spark
+        self.state_dir = state_dir
+
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        terms_prev = _read_version(
+            self.spark, self.state_dir, "terms", batch_id - 1, self.TERMS_SCHEMA
+        )
+        corpus_prev = _read_version(
+            self.spark,
+            self.state_dir,
+            "corpus",
+            batch_id - 1,
+            self.CORPUS_SCHEMA,
+        )
+        tf = (
+            batch.select(
+                "doc_id", F.explode(F.split("text", " ")).alias("term")
+            )
+            .groupBy("doc_id", "term")
+            .agg(F.count("*").alias("tf"))
+        )
+        delta_terms = tf.groupBy("term").agg(
+            F.count("*").alias("df"), F.sum("tf").alias("cf")
+        )
+        terms = (
+            terms_prev.unionByName(delta_terms)
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+        )
+        delta_corpus = batch.agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(F.split("text", " "))).alias("total_tokens"),
+        )
+        corpus = corpus_prev.unionByName(delta_corpus).agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("total_tokens").alias("total_tokens"),
+        )
+        terms.write.mode("overwrite").parquet(
+            _version_dir(self.state_dir, "terms", batch_id)
+        )
+        corpus.write.mode("overwrite").parquet(
+            _version_dir(self.state_dir, "corpus", batch_id)
+        )
+
+    def terms(self, batch_id: int) -> DataFrame:
+        return _read_version(
+            self.spark, self.state_dir, "terms", batch_id, self.TERMS_SCHEMA
+        )
+
+    def matches_full(self, batch_id: int, all_docs: DataFrame) -> bool:
+        """q293's audit across the parquet state: maintained (df, cf)
+        per term AND the corpus totals must equal a from-scratch
+        recompute over every document ingested so far."""
+        tf = (
+            all_docs.select(
+                "doc_id", F.explode(F.split("text", " ")).alias("term")
+            )
+            .groupBy("doc_id", "term")
+            .agg(F.count("*").alias("tf"))
+        )
+        full = tf.groupBy("term").agg(
+            F.count("*").alias("df"), F.sum("tf").alias("cf")
+        )
+        st = self.terms(batch_id)
+        bad = (
+            st.join(full, "term", "full_outer")
+            .where(
+                ~(
+                    st["df"].eqNullSafe(full["df"])
+                    & st["cf"].eqNullSafe(full["cf"])
+                )
+            )
+            .count()
+        )
+        if bad:
+            return False
+        cs = _read_version(
+            self.spark, self.state_dir, "corpus", batch_id, self.CORPUS_SCHEMA
+        ).collect()[0]
+        fc = all_docs.agg(
+            F.count("*").alias("n"),
+            F.sum(F.size(F.split("text", " "))).alias("t"),
+        ).collect()[0]
+        return cs["n_docs"] == fc["n"] and cs["total_tokens"] == fc["t"]
 
 
 def run_maintenance_batch(

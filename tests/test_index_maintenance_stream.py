@@ -96,6 +96,30 @@ def test_lsh_maintenance_stream(spark, dirs):
     assert m.pairs(len(batches) - 1).count() > 0
 
 
+def test_lexical_stats_maintenance_stream(spark, dirs):
+    from datapipeline_dags_spark.streaming.index_maintenance import (
+        LexicalStatsMaintainer,
+    )
+
+    docs = table(spark, SF_DIR, "documents")
+    m = LexicalStatsMaintainer(spark, dirs["state"])
+    schema = "doc_id bigint, text string"
+
+    batches = [
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+    ]
+    seen = None
+    for bid, b in enumerate(batches):
+        _land(b.select("doc_id", "text"), dirs["source"], f"slice{bid}")
+        run_maintenance_batch(
+            spark, dirs["source"], dirs["ckpt"], schema, m.process_batch
+        )
+        seen = b if seen is None else seen.unionByName(b)
+        assert m.matches_full(bid, seen), f"lexical stats diverged at batch {bid}"
+    assert m.terms(len(batches) - 1).count() > 0
+
+
 def test_ivf_batch_replay_is_idempotent(spark, dirs):
     """foreachBatch may replay a batch after a crash: re-running the
     same (batch, batch_id) must leave the state byte-for-byte
