@@ -6313,13 +6313,20 @@ def q144_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``array_intersect`` per candidate.  Output identical to q43 at the
     same threshold (asserted in tests/test_prefix_filter.py).
     """
+    from pyspark.storagelevel import StorageLevel
+
     t = JACCARD_T
+    # the digest-array table is map-only work consumed three times
+    # (the df explode and both verification sides) — a map subtree is
+    # never deduped by exchange reuse, so persist it (the q41 rule;
+    # harness clearCache releases it)
     docs = (
         _fanout(spark, table(spark, sf_dir, "documents"))
         .select(
             "doc_id",
             F.transform(_shingles(F.col("text")), F.md5).alias("sh"),
         )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     ex = docs.select("doc_id", F.explode("sh").alias("s"))
     dfc = ex.groupBy("s").agg(F.count("*").alias("df"))
