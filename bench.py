@@ -151,7 +151,11 @@ def main() -> None:
         if name not in QUERIES:
             skipped.append(name)
             continue
-        if name in ANN_AUDIT_PAIR:
+        if name in ANN_AUDIT_PAIR and all(n in QUERIES for n in ANN_AUDIT_PAIR):
+            # timed as a shared-frame pair below; if only ONE member is
+            # registered the pair block can't run, so fall through and
+            # time it standalone here (frames=None rebuilds internally)
+            # rather than silently dropping it from the report.
             continue
         runs = []
         for _ in range(REPS):

@@ -10077,10 +10077,17 @@ def q290_duplicate_run_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     words = F.split(F.col("text"), " ")
     n = F.size(words) - (RUN_K - 1)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(n, F.lit(0))),
-        lambda i: F.md5(F.concat_ws(" ", F.slice(words, i, RUN_K))),
-    )
+    # Guard n < 1 explicitly (the q289 rule): Spark's sequence(1, 0)
+    # is the DESCENDING array [1, 0], whose transform would call
+    # slice(words, 0, K) and crash on any document shorter than
+    # RUN_K tokens — whereas DuckDB's generate_series(1, 0) is empty.
+    grams = F.when(
+        n >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(words, i, RUN_K))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     s = (
         _fanout(spark, table(spark, sf_dir, "documents"))
         .select("doc_id", F.posexplode(grams).alias("p0", "h"))
@@ -10483,7 +10490,7 @@ def _q294_oracle() -> str:
       SELECT DISTINCT o_custkey AS c, l_partkey AS p
       FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
     h0 AS MATERIALIZED (
-      SELECT DISTINCT c, CAST({HITS_UNIT} AS BIGINT) AS h FROM e),
+      SELECT DISTINCT c, CAST(1 AS BIGINT) AS h FROM e),
     {','.join(iters)}
     SELECT * FROM (
       SELECT 'authority' AS kind, CAST(p AS BIGINT) AS node_id,
@@ -10513,7 +10520,14 @@ def _hits_collected_solve(spark: SparkSession, e: DataFrame) -> DataFrame:
     pn = np.unique(p)
     ci = np.searchsorted(cn, c)
     pi = np.searchsorted(pn, p)
-    h = np.full(len(cn), HITS_UNIT, np.int64)
+    # h0 = 1, not HITS_UNIT: the uniform init factor cancels exactly in
+    # the first floor renormalization (floor(d·U·U/(E·U)) = floor(d·U/E),
+    # so output is bit-identical), and it removes the only half-step
+    # where scores are unnormalized — with h0 = UNIT, raw_a*UNIT wraps
+    # int64 (numpy AND Spark BIGINT) once a part has >9.2e6 distinct
+    # buyers, while DuckDB's HUGEINT SUM stays exact.  After any renorm
+    # Σscores ≤ UNIT, so every later product is ≤ UNIT² — always safe.
+    h = np.ones(len(cn), np.int64)
     a = np.zeros(len(pn), np.int64)
     for _ in range(HITS_ITERS):
         raw_a = np.zeros(len(pn), np.int64)
@@ -10567,9 +10581,12 @@ def q294_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     if e.count() <= HITS_COLLECT_EDGES:
         return _hits_collected_solve(spark, e)
 
+    # h0 = 1 (see _hits_collected_solve): bit-identical output, and the
+    # first half-step's raw·UNIT product can no longer wrap BIGINT
+    # under extreme in-degree skew.
     hs = local_checkpoint(
         e.select("c").distinct().select(
-            "c", F.lit(HITS_UNIT).cast("long").alias("h")
+            "c", F.lit(1).cast("long").alias("h")
         ),
         "q294 hits init",
     )

@@ -514,9 +514,14 @@ def q154_quantile_sketch(
     at any scale.
     """
     raw = table(spark, sf_dir, "lineitem")
+    # v IS NOT NULL up front: the st/binned/hist frames built below are
+    # injected into distributed_percentiles, whose contract requires
+    # NULL-free input (hist is pre-aggregated — a NULL contribution
+    # could not be filtered downstream).  Pushed to the parquet scan;
+    # free on the NOT NULL TPC-H column.
     li = raw.select(
         F.col("l_returnflag").alias("g"), F.col("l_extendedprice").alias("v")
-    )
+    ).filter(F.col("v").isNotNull())
     # 'auto' short-circuits to the shared-frame distributed audit (no
     # row-count job needed: the route is exact and never worse); the
     # pinned modes keep resolve_exact_audit's validation.
@@ -802,13 +807,14 @@ def distributed_percentiles(
     if binned is not None:
         if st is None:
             raise ValueError("injected `binned` requires `st`")
-        return _dxp_distributed(
-            gv,
-            st,
-            ps,
-            binned=binned.filter(F.col("v").isNotNull()),
-            hist=hist,
-        )
+        # Injected frames MUST be built from NULL-free (g, v) input:
+        # `hist` is pre-aggregated so a NULL contribution could not be
+        # filtered out here anyway, and filtering only `binned` (as an
+        # earlier revision did) would silently desynchronize the two —
+        # cum ranks counting rows the bin revisit no longer sees.
+        # q154 (the only injecting caller) filters v IS NOT NULL before
+        # building st/binned/hist; new callers must do the same.
+        return _dxp_distributed(gv, st, ps, binned=binned, hist=hist)
     if st is not None and st.count() > DXP_COLLECT_GROUPS:
         # bounded persisted group stats say the collected route cannot
         # win — skip the probe scan entirely (ADVICE r8 #1)
