@@ -41,6 +41,7 @@ from datapipeline_dags_spark.plans.helpers import (
     sql_dec,
 )
 from datapipeline_dags_spark.plans.registry import ORACLES, QUERIES, query
+from datapipeline_dags_spark.plans.route import collect_and_solve
 
 # ---------------------------------------------------------------------------
 # Shared building blocks
@@ -10578,55 +10579,62 @@ def q294_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct(),
         "q294 purchase edges",
     )
-    if e.count() <= HITS_COLLECT_EDGES:
-        return _hits_collected_solve(spark, e)
 
-    # h0 = 1 (see _hits_collected_solve): bit-identical output, and the
-    # first half-step's raw·UNIT product can no longer wrap BIGINT
-    # under extreme in-degree skew.
-    hs = local_checkpoint(
-        e.select("c").distinct().select(
-            "c", F.lit(1).cast("long").alias("h")
-        ),
-        "q294 hits init",
+    def _distributed(e: DataFrame) -> DataFrame:
+        # h0 = 1 (see _hits_collected_solve): bit-identical output, and
+        # the first half-step's raw·UNIT product can no longer wrap
+        # BIGINT under extreme in-degree skew.
+        hs = local_checkpoint(
+            e.select("c").distinct().select(
+                "c", F.lit(1).cast("long").alias("h")
+            ),
+            "q294 hits init",
+        )
+        a = None
+        for k in range(HITS_ITERS):
+            raw_a = (
+                e.join(hs, "c").groupBy("p").agg(F.sum("h").alias("raw"))
+            )
+            ta = raw_a.agg(F.sum("raw").alias("t"))
+            a = raw_a.crossJoin(F.broadcast(ta)).select(
+                "p", F.expr(f"CAST(raw * {HITS_UNIT} div greatest(t, 1) AS BIGINT)").alias("a")
+            )
+            raw_h = e.join(a, "p").groupBy("c").agg(F.sum("a").alias("raw"))
+            th = raw_h.agg(F.sum("raw").alias("t"))
+            nxt = raw_h.crossJoin(F.broadcast(th)).select(
+                "c", F.expr(f"CAST(raw * {HITS_UNIT} div greatest(t, 1) AS BIGINT)").alias("h")
+            )
+            hs = (
+                local_checkpoint(nxt, f"q294 hits round {k + 1}")
+                if k % 2 == 1 or k == HITS_ITERS - 1
+                else nxt
+            )
+        wa = W.orderBy(F.col("score_units").desc(), "node_id")
+        tops = []
+        for kind, df, idc, sc in (
+            ("authority", a, "p", "a"),
+            ("hub", hs, "c", "h"),
+        ):
+            t = (
+                df.select(
+                    F.col(idc).cast("long").alias("node_id"),
+                    F.col(sc).cast("long").alias("score_units"),
+                )
+                .orderBy(F.col("score_units").desc(), "node_id")
+                .limit(HITS_TOP)
+            )
+            tops.append(
+                t.withColumn("rank", F.row_number().over(wa).cast("long"))
+                .select(
+                    F.lit(kind).alias("kind"), "node_id", "score_units", "rank"
+                )
+            )
+        return tops[0].unionAll(tops[1])
+
+    return collect_and_solve(
+        e,
+        HITS_COLLECT_EDGES,
+        "q294_hits_hubs_authorities",
+        lambda ed: _hits_collected_solve(spark, ed),
+        _distributed,
     )
-    a = None
-    for k in range(HITS_ITERS):
-        raw_a = (
-            e.join(hs, "c").groupBy("p").agg(F.sum("h").alias("raw"))
-        )
-        ta = raw_a.agg(F.sum("raw").alias("t"))
-        a = raw_a.crossJoin(F.broadcast(ta)).select(
-            "p", F.expr(f"CAST(raw * {HITS_UNIT} div greatest(t, 1) AS BIGINT)").alias("a")
-        )
-        raw_h = e.join(a, "p").groupBy("c").agg(F.sum("a").alias("raw"))
-        th = raw_h.agg(F.sum("raw").alias("t"))
-        nxt = raw_h.crossJoin(F.broadcast(th)).select(
-            "c", F.expr(f"CAST(raw * {HITS_UNIT} div greatest(t, 1) AS BIGINT)").alias("h")
-        )
-        hs = (
-            local_checkpoint(nxt, f"q294 hits round {k + 1}")
-            if k % 2 == 1 or k == HITS_ITERS - 1
-            else nxt
-        )
-    wa = W.orderBy(F.col("score_units").desc(), "node_id")
-    tops = []
-    for kind, df, idc, sc in (
-        ("authority", a, "p", "a"),
-        ("hub", hs, "c", "h"),
-    ):
-        t = (
-            df.select(
-                F.col(idc).cast("long").alias("node_id"),
-                F.col(sc).cast("long").alias("score_units"),
-            )
-            .orderBy(F.col("score_units").desc(), "node_id")
-            .limit(HITS_TOP)
-        )
-        tops.append(
-            t.withColumn("rank", F.row_number().over(wa).cast("long"))
-            .select(
-                F.lit(kind).alias("kind"), "node_id", "score_units", "rank"
-            )
-        )
-    return tops[0].unionAll(tops[1])

@@ -27,6 +27,7 @@ from datapipeline_dags_spark.checkpoint import local_checkpoint
 from datapipeline_dags_spark.plans.helpers import dec
 from datapipeline_dags_spark.plans.llm_ops import _SHINGLES_SQL, _fanout, _shingles
 from datapipeline_dags_spark.plans.registry import query
+from datapipeline_dags_spark.plans.route import collect_and_solve
 from datapipeline_dags_spark.plans.scalars import distributed_percentiles
 
 #: cap counters for this module's quadratic-risk explodes (the
@@ -1405,45 +1406,53 @@ def q225_greedy_set_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "q225 doc-shingle sets",
     )
-    # Route probe: one count of the (already-materialized) checkpoint.
-    # Under the gate the whole greedy trajectory is bounded control
-    # plane — solve driver-side on factorized codes.
-    if tokens.count() <= SC_COLLECT_TOKENS:
-        return spark.createDataFrame(
-            _sc_collected_solve(tokens),
-            "pick_rank long, doc_id long, marginal_gain long, covered_tokens long",
-        )
-    covered: DataFrame | None = None
-    picked: list[tuple[int, int, int, int]] = []
-    total = 0
-    for r in range(1, SC_PICKS + 1):
-        cand = tokens
-        if picked:
-            cand = cand.filter(
-                ~F.col("doc_id").isin([p[1] for p in picked])
+    schema = (
+        "pick_rank long, doc_id long, marginal_gain long, covered_tokens long"
+    )
+
+    def _distributed(toks: DataFrame) -> DataFrame:
+        covered: DataFrame | None = None
+        picked: list[tuple[int, int, int, int]] = []
+        total = 0
+        for r in range(1, SC_PICKS + 1):
+            cand = toks
+            if picked:
+                cand = cand.filter(
+                    ~F.col("doc_id").isin([p[1] for p in picked])
+                )
+            if covered is not None:
+                cand = cand.join(covered, "tok", "anti")
+            top = (
+                cand.groupBy("doc_id")
+                .agg(F.count("*").alias("gain"))
+                .orderBy(F.col("gain").desc(), "doc_id")
+                .limit(1)
+                .collect()
             )
-        if covered is not None:
-            cand = cand.join(covered, "tok", "anti")
-        top = (
-            cand.groupBy("doc_id")
-            .agg(F.count("*").alias("gain"))
-            .orderBy(F.col("gain").desc(), "doc_id")
-            .limit(1)
-            .collect()
-        )
-        if not top:
-            break
-        doc, gain = top[0]["doc_id"], top[0]["gain"]
-        total += gain
-        picked.append((r, doc, gain, total))
-        newtoks = tokens.filter(F.col("doc_id") == doc).select("tok")
-        covered = local_checkpoint(
-            newtoks if covered is None else covered.union(newtoks).distinct(),
-            f"q225 covered after pick {r}",
-        )
-    return spark.createDataFrame(
-        picked,
-        "pick_rank long, doc_id long, marginal_gain long, covered_tokens long",
+            if not top:
+                break
+            doc, gain = top[0]["doc_id"], top[0]["gain"]
+            total += gain
+            picked.append((r, doc, gain, total))
+            newtoks = toks.filter(F.col("doc_id") == doc).select("tok")
+            covered = local_checkpoint(
+                newtoks
+                if covered is None
+                else covered.union(newtoks).distinct(),
+                f"q225 covered after pick {r}",
+            )
+        return spark.createDataFrame(picked, schema)
+
+    # Route probe (plans.route shared gate): one count of the
+    # (already-materialized) checkpoint.  Under the gate the whole
+    # greedy trajectory is bounded control plane — solve driver-side
+    # on factorized codes.
+    return collect_and_solve(
+        tokens,
+        SC_COLLECT_TOKENS,
+        "q225_greedy_set_cover",
+        lambda toks: spark.createDataFrame(_sc_collected_solve(toks), schema),
+        _distributed,
     )
 
 

@@ -30,6 +30,7 @@ from datapipeline_dags_spark.checkpoint import local_checkpoint
 from datapipeline_dags_spark.operators.graph import connected_components
 from datapipeline_dags_spark.plans.helpers import dec
 from datapipeline_dags_spark.plans.registry import query
+from datapipeline_dags_spark.plans.route import bounded_collect, collect_gate
 
 # ---------------------------------------------------------------------------
 # Shared journey model (q207 / q208)
@@ -225,9 +226,12 @@ def q207_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("src", "dst")
         .agg(F.count("*").alias("n"))
     )
-    # Bounded control plane: <= (|event types|+1)^2 cells at any SF.
+    # Bounded control plane: <= (|event types|+1)^2 cells at any SF —
+    # the bound is ASSERTED by plans.route.bounded_collect, so a
+    # fixture whose event_type column stops being low-cardinality
+    # fails loudly instead of growing the driver heap.
     mat: dict[str, dict[str, int]] = {}
-    for r in trans.collect():
+    for r in bounded_collect(trans, 10_000, "q207_markov_attribution"):
         mat.setdefault(r["src"], {})[r["dst"]] = r["n"]
     tot = {s: sum(d.values()) for s, d in mat.items()}
     channels = sorted(s for s in mat if s != "START")
@@ -1131,10 +1135,11 @@ def q217_ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n"))
     )
-    # Bounded control plane: |nations| x |segments| cells at any SF.
+    # Bounded control plane: |nations| x |segments| cells at any SF —
+    # bound asserted by plans.route.bounded_collect (q207 discipline).
     rows = [
         (r["nation"], r["segment"], r["n"], r["n"] * IPF_SCALE)
-        for r in cells.collect()
+        for r in bounded_collect(cells, 10_000, "q217_ipf_raking")
     ]
     nations = sorted({r[0] for r in rows})
     segments = sorted({r[1] for r in rows})
@@ -1575,7 +1580,7 @@ def q221_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("me").alias("node"), "wins", "games"),
         "q221 win totals",
     )
-    if p.count() <= BT_COLLECT_PAIRS:
+    if collect_gate(p, BT_COLLECT_PAIRS, "q221_bradley_terry"):
         # Bounded-by-gate control plane: one collect of the
         # checkpointed pair table, 8 numpy MM rounds, one |nodes|-row
         # frame back — replaces ~6 scheduled jobs per round

@@ -30,6 +30,7 @@ from datapipeline_dags_spark.plans.helpers import (
     sql_dec,
 )
 from datapipeline_dags_spark.plans.registry import query
+from datapipeline_dags_spark.plans.route import collect_and_solve
 
 #: q179's basket-cap counters, refreshed per plan build (the
 #: llm_ops.BUCKET_OBSERVATIONS discipline for relational-side caps).
@@ -2197,49 +2198,59 @@ def q183_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "q183 degree-weighted edges",
     )
-    # Route probe: under the gate the whole iteration is bounded
-    # control plane — solve driver-side (VERDICT r8's q221 lever
-    # applied to the other iterative slot).
-    if shares.count() <= PR_COLLECT_EDGES:
-        return _pr_collected_solve(spark, shares)
-    nodes = deg.select("node").persist()
-    base = PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN
-    cur = local_checkpoint(
-        nodes.select("node", F.lit(PR_SCALE).cast("long").alias("r")),
-        "pr_init",
-    )
-    for i in range(PR_ITERS):
-        inflow = (
-            shares.join(cur, shares.src == cur.node)
-            .select(
-                F.col("dst").alias("node"),
-                F.expr("r div deg").alias("share"),
-            )
-            .groupBy("node")
-            .agg(F.sum("share").alias("inflow"))
+    def _distributed(sh: DataFrame) -> DataFrame:
+        nodes = deg.select("node").persist()
+        base = PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN
+        cur = local_checkpoint(
+            nodes.select("node", F.lit(PR_SCALE).cast("long").alias("r")),
+            "pr_init",
         )
-        nxt = nodes.join(inflow, "node", "left").select(
-            "node",
-            (
-                F.lit(base)
-                + F.expr(
-                    f"({PR_DAMP_NUM} * coalesce(inflow, 0)) div {PR_DAMP_DEN}"
+        for i in range(PR_ITERS):
+            inflow = (
+                sh.join(cur, sh.src == cur.node)
+                .select(
+                    F.col("dst").alias("node"),
+                    F.expr("r div deg").alias("share"),
                 )
+                .groupBy("node")
+                .agg(F.sum("share").alias("inflow"))
             )
-            .cast("long")
-            .alias("r"),
+            nxt = nodes.join(inflow, "node", "left").select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({PR_DAMP_NUM} * coalesce(inflow, 0)) div {PR_DAMP_DEN}"
+                    )
+                )
+                .cast("long")
+                .alias("r"),
+            )
+            # Checkpoint every SECOND round (the q221 r8 discipline):
+            # each eager localCheckpoint is a scheduled job, and a
+            # two-round lineage over the persisted shares/nodes stays
+            # bounded; values are checkpoint-placement-independent
+            # integers.
+            cur = (
+                local_checkpoint(nxt, "pr_round")
+                if i % 2 == 1 or i == PR_ITERS - 1
+                else nxt
+            )
+        nodes.unpersist()
+        return cur.select(
+            F.col("node").alias("part"), F.col("r").alias("pagerank_units")
         )
-        # Checkpoint every SECOND round (the q221 r8 discipline): each
-        # eager localCheckpoint is a scheduled job, and a two-round
-        # lineage over the persisted shares/nodes stays bounded; values
-        # are checkpoint-placement-independent integers.
-        cur = (
-            local_checkpoint(nxt, "pr_round")
-            if i % 2 == 1 or i == PR_ITERS - 1
-            else nxt
-        )
-    nodes.unpersist()
-    return cur.select(F.col("node").alias("part"), F.col("r").alias("pagerank_units"))
+
+    # Route probe (plans.route shared gate): under the gate the whole
+    # iteration is bounded control plane — solve driver-side (VERDICT
+    # r8's q221 lever applied to the other iterative slot).
+    return collect_and_solve(
+        shares,
+        PR_COLLECT_EDGES,
+        "q183_part_pagerank",
+        lambda sh: _pr_collected_solve(spark, sh),
+        _distributed,
+    )
 
 
 # ---------------------------------------------------------------------------

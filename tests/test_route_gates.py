@@ -1,0 +1,96 @@
+"""Collect-and-solve route discipline (VERDICT r9 ask #4).
+
+The q294 r8 lesson, encoded once: a collect gate sized BETWEEN the x1
+and x10 stress-fixture cardinalities makes the 10x SCALING ratio
+measure a route TRANSITION, not the algorithm (6M edges crossing the
+old 2M gate read as 8x when the both-collected truth was 1.5x).  Every
+gated query must keep its gate above the x10 fixture's frame
+cardinality — or explicitly re-measure both routes in SCALING.md.
+
+Measured 2026-08-16 on the tools/scaling.py x10 derivative of sf0.1
+(10 disjoint replicas; re-measure with plans.route.ROUTE_GATES after
+running each query on /tmp/spark_graft_scale/x10).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from datapipeline_dags_spark.plans import llm_ops, mining, modeling, relational
+from datapipeline_dags_spark.plans import route
+
+#: query -> (module, gate constant name, measured x10 frame rows)
+GATED = {
+    "q183_part_pagerank": (relational, "PR_COLLECT_EDGES", 71_460),
+    "q221_bradley_terry": (modeling, "BT_COLLECT_PAIRS", 453_549),
+    "q225_greedy_set_cover": (mining, "SC_COLLECT_TOKENS", 2_507_040),
+    "q294_hits_hubs_authorities": (llm_ops, "HITS_COLLECT_EDGES", 5_993_510),
+}
+
+
+def test_gates_exceed_x10_fixture_cardinality():
+    """No gate may sit inside the (x1, x10) cardinality interval —
+    crossing it there turns the SCALING ratio into a route artifact."""
+    for name, (mod, const, x10_rows) in GATED.items():
+        gate = getattr(mod, const)
+        assert gate > x10_rows, (
+            f"{name}: {const}={gate} is at or below the x10 stress "
+            f"fixture's {x10_rows} rows — the 10x SCALING row would "
+            "measure a route transition, not the algorithm (q294 r8 "
+            "lesson). Raise the gate or measure both routes."
+        )
+
+
+def test_collect_gate_records_and_routes(spark):
+    df = spark.range(10).toDF("x")
+    assert route.collect_gate(df, 100, "t_under") is True
+    assert route.ROUTE_GATES["t_under"] == {
+        "gate": 100, "rows": 10, "route": "collected", "forced": False,
+    }
+    assert route.collect_gate(df, 5, "t_over") is False
+    assert route.ROUTE_GATES["t_over"]["route"] == "distributed"
+
+
+def test_collect_route_env_force(spark, monkeypatch):
+    df = spark.range(10).toDF("x")
+    monkeypatch.setenv("SPARK_GRAFT_COLLECT_ROUTE", "distributed")
+    assert route.collect_gate(df, 100, "t_forced") is False
+    assert route.ROUTE_GATES["t_forced"]["forced"] is True
+    assert route.ROUTE_GATES["t_forced"]["rows"] is None  # no probe paid
+    monkeypatch.setenv("SPARK_GRAFT_COLLECT_ROUTE", "collected")
+    assert route.collect_gate(df, 0, "t_forced2") is True
+
+
+def test_collect_and_solve_dispatch(spark):
+    df = spark.range(3).toDF("x")
+    got = route.collect_and_solve(
+        df, 100, "t_cas",
+        lambda d: d.selectExpr("x * 2 AS x"),
+        lambda d: (_ for _ in ()).throw(AssertionError("wrong route")),
+    )
+    assert sorted(r.x for r in got.collect()) == [0, 2, 4]
+
+
+def test_bounded_collect_asserts_bound(spark):
+    df = spark.range(50).toDF("x")
+    rows = route.bounded_collect(df, 50, "t_bc")
+    assert len(rows) == 50
+    assert route.ROUTE_GATES["t_bc"]["route"] == "bounded"
+    with pytest.raises(ValueError, match="bounded-by-construction"):
+        route.bounded_collect(df, 49, "t_bc_over")
+
+
+def test_env_force_produces_identical_results(spark, sf_dir, monkeypatch):
+    """The scaling harness's lever: forcing either route on a query
+    whose gate would pick the other must not change a single value
+    (q183 is the cheapest gated query at fixture scale)."""
+    base = {
+        tuple(r)
+        for r in relational.q183_part_pagerank(spark, sf_dir).collect()
+    }
+    monkeypatch.setenv("SPARK_GRAFT_COLLECT_ROUTE", "distributed")
+    forced = {
+        tuple(r)
+        for r in relational.q183_part_pagerank(spark, sf_dir).collect()
+    }
+    assert base == forced
