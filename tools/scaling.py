@@ -121,6 +121,11 @@ TARGETS = (
     # and HITS (collected solve under the gate at both scales)
     "q293_bm25_stats_delta_refresh",
     "q294_hits_hubs_authorities",
+    # r10 (VERDICT r9 ask #5): the two r9 newcomers without a row —
+    # both map-only (q292 is 0-shuffle in PLANS.md), so these rows are
+    # the cheap completeness of the book, not a risk retirement
+    "q291_tokenizer_fertility",
+    "q292_code_switch_mixture",
 )
 
 # Per-(target, scale) keyword overrides: the SemDeDup contract is that
@@ -454,6 +459,33 @@ def dup_run_boilerplate_rows(spark) -> list[str]:
     return out
 
 
+def bm25_boilerplate_rows(spark) -> list[str]:
+    """q287 on boilerplate-heavy corpora: the top-DF query terms are
+    the template words, whose df = n_docs by construction — the
+    broadcast query-term join fans out to BM25_QT rows PER DOCUMENT,
+    the worst case the per-doc hash aggregate must absorb.  The join
+    output is bounded by Σ df(query terms) <= corpus token count (a
+    term matches a (doc, term) tf row at most once), so wall-clock
+    must track the corpus linearly, never the df of a hot term times
+    anything super-linear."""
+    out = []
+    for n in (2000, 4000):
+        d = build_boilerplate_fixture(n)
+        runs = []
+        for _ in range(REPS):
+            t0 = time.time()
+            QUERIES["q287_bm25_topk"](spark, d).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            runs.append(time.time() - t0)
+            spark.catalog.clearCache()
+        out.append(
+            f"| {n} | {llm_ops.BM25_QT} | {n * llm_ops.BM25_QT} | "
+            f"{round(statistics.median(runs), 2)} |"
+        )
+    return out
+
+
 def build_giant_basket_fixture(basket: int, n_orders: int = 200) -> str:
     """Every order holds the same ``basket``-part set: C(basket, 3)
     triples per order uncapped — the cubic blowup q179's 50-part
@@ -632,6 +664,7 @@ def main() -> None:
     boiler_rows = boilerplate_posting_rows(spark)
     winnow_rows = winnow_boilerplate_rows(spark)
     duprun_rows = dup_run_boilerplate_rows(spark)
+    bm25_rows = bm25_boilerplate_rows(spark)
 
     lines = [
         "# SCALING — 10x stress evidence (generated by tools/scaling.py)",
@@ -897,6 +930,19 @@ def main() -> None:
         "every page shares a template paragraph costs O(corpus), and",
         "the template text itself is exactly what exact-substring",
         "dedup should NOT re-discover pairwise.",
+        "",
+        "## q287 BM25 on boilerplate-heavy corpora",
+        "",
+        "The top-DF query terms ARE the template words (df = n_docs by",
+        "construction), so the broadcast query-term join fans out to",
+        "BM25_QT rows per document — the hot-term worst case.  The join",
+        "output is bounded by sum(df) over query terms <= corpus token",
+        "count, and the per-doc hash aggregate (map-side combined)",
+        "absorbs it; 2x docs must mean ~2x wall, never df^2.",
+        "",
+        "| corpus | query terms | qt-join rows | sec |",
+        "|---|---|---|---|",
+        *bm25_rows,
     ]
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.md")
     with open(out, "w") as f:
