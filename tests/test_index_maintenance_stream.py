@@ -136,3 +136,95 @@ def test_ivf_batch_replay_is_idempotent(spark, dirs):
     after = sorted(map(tuple, m.state(1).collect()))
     assert before == after
     assert m.matches_full(1, b0.unionByName(b1))
+
+
+# ---------------------------------------------------------------------------
+# Crash-mid-overwrite chaos (VERDICT r9 ask #6): a writer killed
+# mid-overwrite leaves a PARTIAL v<batch_id> directory — torn part
+# files, _temporary droppings, no _SUCCESS.  Structured Streaming then
+# replays the same batch id (the offset never committed).  The replay
+# must converge to the exact same rows because the rebuild reads ONLY
+# v<batch_id - 1> (never its own partial output) and overwrite-replaces
+# the wreckage.  One helper corrupts the version dir; one test per
+# maintainer family asserts convergence + matches_full.
+# ---------------------------------------------------------------------------
+
+
+def _wreck_version_dir(state_dir: str, tbl: str, batch_id: int) -> None:
+    """Simulate a crash mid-overwrite: truncate every part file to half
+    its bytes (a torn write), drop _SUCCESS, and leave a _temporary
+    staging dir behind."""
+    import glob
+    import os
+
+    vdir = os.path.join(state_dir, tbl, f"v{batch_id}")
+    assert os.path.isdir(vdir), f"no version dir to wreck: {vdir}"
+    success = os.path.join(vdir, "_SUCCESS")
+    if os.path.exists(success):
+        os.remove(success)
+    parts = glob.glob(os.path.join(vdir, "part-*.parquet"))
+    assert parts, f"no part files in {vdir}"
+    for p in parts:
+        size = os.path.getsize(p)
+        with open(p, "r+b") as f:
+            f.truncate(max(1, size // 2))
+    os.makedirs(os.path.join(vdir, "_temporary", "0"), exist_ok=True)
+
+
+def test_ivf_crash_mid_overwrite_replay_converges(spark, dirs):
+    emb = table(spark, SF_DIR, "embeddings")
+    m = IvfIndexMaintainer(spark, dirs["state"], centroid_corpus=emb)
+    b0 = emb.filter(F.col("vec_id") % 2 == 0).select("vec_id", "embedding")
+    b1 = emb.filter(F.col("vec_id") % 2 == 1).select("vec_id", "embedding")
+    m.process_batch(b0, 0)
+    m.process_batch(b1, 1)
+    want = sorted(map(tuple, m.state(1).collect()))
+    _wreck_version_dir(dirs["state"], "ivf", 1)
+    m.process_batch(b1, 1)  # the replay Structured Streaming would run
+    assert sorted(map(tuple, m.state(1).collect())) == want
+    assert m.matches_full(1, b0.unionByName(b1))
+
+
+def test_lsh_crash_mid_overwrite_replay_converges(spark, dirs):
+    docs = table(spark, SF_DIR, "documents")
+    m = LshIndexMaintainer(spark, dirs["state"])
+    b0 = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text")
+    b1 = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text")
+    m.process_batch(b0, 0)
+    m.process_batch(b1, 1)
+    want = {
+        tbl: sorted(map(tuple, m.spark.read.parquet(
+            f"{dirs['state']}/{tbl}/v1").collect()))
+        for tbl in ("sh", "bands", "pairs")
+    }
+    # wreck ALL THREE state tables of the batch — a real crash tears
+    # whichever table was mid-write; tearing every one is the worst case
+    for tbl in ("sh", "bands", "pairs"):
+        _wreck_version_dir(dirs["state"], tbl, 1)
+    m.process_batch(b1, 1)
+    got = {
+        tbl: sorted(map(tuple, m.spark.read.parquet(
+            f"{dirs['state']}/{tbl}/v1").collect()))
+        for tbl in ("sh", "bands", "pairs")
+    }
+    assert got == want
+    assert m.matches_full(1, b0.unionByName(b1))
+
+
+def test_lexical_crash_mid_overwrite_replay_converges(spark, dirs):
+    from datapipeline_dags_spark.streaming.index_maintenance import (
+        LexicalStatsMaintainer,
+    )
+
+    docs = table(spark, SF_DIR, "documents")
+    m = LexicalStatsMaintainer(spark, dirs["state"])
+    b0 = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text")
+    b1 = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text")
+    m.process_batch(b0, 0)
+    m.process_batch(b1, 1)
+    want = sorted(map(tuple, m.terms(1).collect()))
+    for tbl in ("terms", "corpus"):
+        _wreck_version_dir(dirs["state"], tbl, 1)
+    m.process_batch(b1, 1)
+    assert sorted(map(tuple, m.terms(1).collect())) == want
+    assert m.matches_full(1, b0.unionByName(b1))
