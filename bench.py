@@ -118,6 +118,10 @@ HEADLINE = [
     "q202_mad_outliers",
     "q286_cohort_retention",
     "q284_lsh_delta_refresh",
+    # round-10 addition (VERDICT r9 ask #7): the hybrid lexical+dense
+    # retrieval composition — BM25 more-like-this fused with the q46/
+    # q47 dense lists via RRF, the production search-stack shape
+    "q295_hybrid_retrieval",
 ]
 
 REPS = 3

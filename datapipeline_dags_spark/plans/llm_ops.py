@@ -10638,3 +10638,177 @@ def q294_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda ed: _hits_collected_solve(spark, ed),
         _distributed,
     )
+
+
+# ---------------------------------------------------------------------------
+# q295 — hybrid retrieval: per-query BM25 (more-like-this) + the two
+# dense ANN lists, fused with reciprocal-rank fusion (VERDICT r9 ask #7)
+# ---------------------------------------------------------------------------
+
+HYB_QT = 8  # most-distinctive (lowest-df) terms taken from each query doc
+HYB_LEX_K = 10  # lexical candidates per query entering the fusion
+HYB_K = 10  # fused neighbors returned per query
+
+
+def _q295_oracle() -> str:
+    idf = "ln(1e0 + (st.n - qt.df + 0.5e0) / (qt.df + 0.5e0))"
+    tfc = (
+        f"(tf.tf * ({BM25_K1}e0 + 1e0)) / "
+        f"(tf.tf + {BM25_K1}e0 * (1e0 - {BM25_B}e0 + {BM25_B}e0 * tf.dl / st.avgdl))"
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+               FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf,
+                  SUM(COUNT(*)) OVER (PARTITION BY doc_id) AS dl
+           FROM t GROUP BY 1, 2),
+    dfr AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    st AS (SELECT COUNT(*) AS n,
+                  SUM(len(string_split(text, ' '))) * 1e0 / COUNT(*) AS avgdl
+           FROM documents),
+    qt AS (SELECT q_id, term, df FROM (
+             SELECT tf.doc_id AS q_id, tf.term, dfr.df,
+                    ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                       ORDER BY dfr.df ASC, tf.term) AS rn
+             FROM tf JOIN dfr USING (term)
+             WHERE tf.doc_id < {N_QUERIES})
+           WHERE rn <= {HYB_QT}),
+    s AS (
+      SELECT qt.q_id, tf.doc_id,
+             CAST(FLOOR((ROUND({idf} * {tfc}, 6) + 0.0) * 1000000e0 + 0.5e0)
+                  AS BIGINT) AS m
+      FROM qt JOIN tf ON tf.term = qt.term CROSS JOIN st
+      WHERE tf.doc_id <> qt.q_id),
+    scb AS (SELECT q_id, doc_id, SUM(m) AS score_micro FROM s GROUP BY 1, 2),
+    lex AS (SELECT q_id, neighbor_id, "rank" FROM (
+              SELECT q_id, doc_id AS neighbor_id,
+                     ROW_NUMBER() OVER (PARTITION BY q_id
+                       ORDER BY score_micro DESC, doc_id) AS "rank"
+              FROM scb)
+            WHERE "rank" <= {HYB_LEX_K}),
+    lsh AS (SELECT * FROM ({{Q46}})),
+    ivf AS (SELECT * FROM ({{Q47}})),
+    un AS (
+      SELECT q_id, neighbor_id, "rank" FROM lex
+      UNION ALL
+      SELECT q_id, neighbor_id, "rank" FROM lsh WHERE q_id < {N_QUERIES}
+      UNION ALL
+      SELECT q_id, neighbor_id, "rank" FROM ivf),
+    fused AS (
+      SELECT q_id, neighbor_id,
+             {sql_dec(f'SUM(1.0 / ({RRF_C} + "rank"))', 6)} AS rrf_score,
+             COUNT(*) AS n_methods
+      FROM un GROUP BY q_id, neighbor_id),
+    ranked AS (
+      SELECT q_id, neighbor_id, rrf_score,
+             CAST(n_methods AS BIGINT) AS n_methods,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+               ORDER BY rrf_score DESC, neighbor_id) AS fused_rank
+      FROM fused)
+    SELECT q_id, neighbor_id, rrf_score, n_methods,
+           CAST(fused_rank AS BIGINT) AS fused_rank
+    FROM ranked WHERE fused_rank <= {HYB_K}
+    """.replace("{Q46}", ORACLES["q46_ann_lsh_bucketed"]).replace(
+        "{Q47}", ORACLES["q47_ann_ivf"]
+    )
+
+
+@query("q295_hybrid_retrieval", oracle=_q295_oracle())
+def q295_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval — the composition a production training-data
+    search deployment actually runs: a per-query LEXICAL list (BM25
+    more-like-this: each query document's {HYB_QT} most distinctive =
+    lowest-df terms, scored with q287's Okapi discipline, self-match
+    excluded) fused with BOTH dense ANN lists (q46 LSH, q47 IVF) by
+    q153's reciprocal-rank fusion.  Rank-based fusion needs no score
+    calibration between BM25 micro-units and cosine distances, and a
+    neighbor surfaced by lexical AND dense legs outranks either leg's
+    solo tail — the standard recall ensemble over heterogeneous
+    retrievers.  The embeddings table is the documents' id-aligned
+    embedding companion (vec_id ≡ doc_id by fixture construction), so
+    all three legs rank the same id space.
+
+    Parity: the lexical leg reuses q287's 6-dp-round → integer-micro
+    quantization (order-independent per-doc sums, ties on doc_id);
+    query-term selection orders by (df ASC, term) — both engine-exact;
+    the fused score is a ≤ 3-term sum of exactly-representable
+    reciprocals rounded to 6 dp before ranking (the q153 rule).
+
+    Scale shape: the query-term table is N_QUERIES x {HYB_QT} rows
+    (broadcast); its tf join fans out to Σ df(term) over DISTINCTIVE
+    (low-df) terms — the cheapest posting lists in the index, the
+    reason real retrieval stacks query on rare terms; one (q, doc)
+    hash agg and a per-query top-{HYB_LEX_K} window close the lexical
+    leg; the dense legs are q46/q47 unchanged (each already
+    scale-audited); fusion adds one union + one bounded hash agg +
+    a per-query top-{HYB_K} window over ≤ {HYB_LEX_K} + LSH_K + IVF_K
+    candidates per query.
+    """
+    docs = table(spark, sf_dir, "documents")
+    ws = F.size(F.split(F.col("text"), " "))
+    st = docs.agg(
+        F.count("*").alias("n"),
+        (F.sum(ws) * F.lit(1.0) / F.count("*")).alias("avgdl"),
+    )
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("dl", F.sum("tf").over(W.partitionBy("doc_id")))
+    )
+    dfr = tf.groupBy("term").agg(F.count("*").alias("df"))
+    wq = W.partitionBy("q_id").orderBy(F.col("df").asc(), "term")
+    qt = (
+        tf.filter(F.col("doc_id") < N_QUERIES)
+        .select(F.col("doc_id").alias("q_id"), "term")
+        .join(dfr, "term")
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= HYB_QT)
+        .select("q_id", "term", "df")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tfc = (F.col("tf") * F.lit(BM25_K1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(BM25_K1)
+        * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.col("avgdl"))
+    )
+    s = (
+        tf.join(F.broadcast(qt), "term")
+        .filter(F.col("doc_id") != F.col("q_id"))
+        .crossJoin(F.broadcast(st))
+        .select(
+            "q_id",
+            "doc_id",
+            F.floor(dec(idf * tfc, 6) * F.lit(1_000_000.0) + F.lit(0.5))
+            .cast("long")
+            .alias("m"),
+        )
+    )
+    wl = W.partitionBy("q_id").orderBy(F.col("score_micro").desc(), "doc_id")
+    lex = (
+        s.groupBy("q_id", "doc_id")
+        .agg(F.sum("m").alias("score_micro"))
+        .withColumn("rank", F.row_number().over(wl).cast("long"))
+        .filter(F.col("rank") <= HYB_LEX_K)
+        .select("q_id", F.col("doc_id").alias("neighbor_id"), "rank")
+    )
+    lsh = (
+        q46_ann_lsh_bucketed(spark, sf_dir)
+        .filter(F.col("q_id") < N_QUERIES)
+        .select("q_id", "neighbor_id", "rank")
+    )
+    ivf = q47_ann_ivf(spark, sf_dir).select("q_id", "neighbor_id", "rank")
+    un = lex.unionByName(lsh).unionByName(ivf)
+    fused = un.groupBy("q_id", "neighbor_id").agg(
+        dec(F.sum(1.0 / (RRF_C + F.col("rank"))), 6).alias("rrf_score"),
+        F.count("*").cast("long").alias("n_methods"),
+    )
+    wf = W.partitionBy("q_id").orderBy(F.col("rrf_score").desc(), "neighbor_id")
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(wf).cast("long"))
+        .filter(F.col("fused_rank") <= HYB_K)
+        .select("q_id", "neighbor_id", "rrf_score", "n_methods", "fused_rank")
+    )

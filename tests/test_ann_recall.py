@@ -145,3 +145,46 @@ def test_hits_routes_agree(spark, sf_dir, monkeypatch):
     )
     assert collected == distributed
     assert len(collected) == 2 * llm_ops.HITS_TOP
+
+
+def test_q295_hybrid_fusion_properties(spark, sf_dir):
+    """q295 composes three retrieval legs via RRF: every fused neighbor
+    must come from at least one leg (n_methods counts its memberships
+    exactly), fused ranks are contiguous per query, and the lexical
+    leg never retrieves the query document itself."""
+    from pyspark.sql import functions as F
+
+    rows = llm_ops.q295_hybrid_retrieval(spark, sf_dir).collect()
+    per_q: dict[int, list] = {}
+    for r in rows:
+        per_q.setdefault(r.q_id, []).append(r)
+    assert len(per_q) == llm_ops.N_QUERIES
+    for q, rs in per_q.items():
+        assert sorted(r.fused_rank for r in rs) == list(range(1, len(rs) + 1))
+        assert all(1 <= r.n_methods <= 3 for r in rs)
+
+    legs = {}
+    legs["lsh"] = {
+        (r.q_id, r.neighbor_id)
+        for r in llm_ops.q46_ann_lsh_bucketed(spark, sf_dir)
+        .filter(F.col("q_id") < llm_ops.N_QUERIES)
+        .collect()
+    }
+    legs["ivf"] = {
+        (r.q_id, r.neighbor_id)
+        for r in llm_ops.q47_ann_ivf(spark, sf_dir).collect()
+    }
+    dense = legs["lsh"] | legs["ivf"]
+    for r in rows:
+        k = (r.q_id, r.neighbor_id)
+        # membership in >= n_methods - 1 dense legs implies the lexical
+        # leg supplied at most one count; exact per-leg membership for
+        # the lexical leg is covered by the DuckDB oracle, but a fused
+        # row NO leg produced would show up here as n_methods > dense
+        # memberships + 1
+        in_dense = (k in legs["lsh"]) + (k in legs["ivf"])
+        assert in_dense >= r.n_methods - 1, k
+        if r.n_methods - in_dense == 1 and r.q_id == r.neighbor_id:
+            raise AssertionError(
+                f"lexical leg retrieved the query document itself: {k}"
+            )

@@ -229,6 +229,10 @@ BOUNDED_FILTER_HINT_OK = {
     # and percentile-list attaches (both medians run through
     # distributed_percentiles)
     "q202_mad_outliers",
+    # broadcasts the N_QUERIES x HYB_QT query-term table (row_number
+    # <= HYB_QT over the fixed query set — bounded at any SF), the
+    # 1-row corpus stats, and inherits q46+q47's declared attaches
+    "q295_hybrid_retrieval",
 }
 
 
@@ -332,6 +336,9 @@ NESTED_LOOP_OK = {
     # inherits q186's 1-row percentile-list attach (both medians run
     # through distributed_percentiles)
     "q202_mad_outliers",
+    # 1-row corpus-stats attach onto the query-term join (cf. q63's
+    # count attach); inherits q46+q47's declared tiny-side attaches
+    "q295_hybrid_retrieval",
     # bounded-frame range joins of the minimax identity: segments and
     # the (bin, segment) containment join both run on the
     # |price-domain/ISO_BIN_WIDTH|-row collapse, never the corpus
