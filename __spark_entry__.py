@@ -51,8 +51,9 @@ _ROTATION_FOR_ROUND = 10
 
 _ROTATION_HEAD = [
     # NEW in round 10 (never driver-checked by construction; also the
-    # round's required new-coverage row):
+    # round's required new-coverage rows):
     "q295_hybrid_retrieval",
+    "q296_hybrid_retrieval_audit",
     # changed in round 10 — fresh rows prove parity held through the
     # changes (q290 short-doc guard, q294 h0=1 overflow fix + route
     # refactor, q174 lossless candidate pruning, q154 NULL pre-filter,
@@ -109,7 +110,6 @@ _ROTATION_HEAD = [
     "q97_dsir_importance",
     "q103_segment_dedup",
     "q144_prefix_filter_jaccard",
-    "q153_rrf_fusion",
 ]
 
 _ROTATION_TAIL = [

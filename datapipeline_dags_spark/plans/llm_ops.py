@@ -10812,3 +10812,136 @@ def q295_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("fused_rank") <= HYB_K)
         .select("q_id", "neighbor_id", "rrf_score", "n_methods", "fused_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# q296 — hybrid retrieval quality audit: recall@k + MRR of the fused
+# list and each dense leg against the exact cosine baseline (the q90
+# discipline applied to the q295 composition)
+# ---------------------------------------------------------------------------
+
+#: (method, k) audited — each list is cut at ITS OWN retrieval depth,
+#: the q90 per-method-k rule
+HYB_AUDIT_METHODS = (("lsh", LSH_K), ("ivf", IVF_K), ("hybrid", HYB_K))
+
+
+def _q296_oracle() -> str:
+    from datapipeline_dags_spark.plans.registry import ORACLES
+
+    srcs = {
+        "lsh": f"SELECT q_id, neighbor_id, \"rank\" FROM ({ORACLES['q46_ann_lsh_bucketed']}) t WHERE q_id < {N_QUERIES}",
+        "ivf": f"SELECT q_id, neighbor_id, \"rank\" FROM ({ORACLES['q47_ann_ivf']}) t",
+        "hybrid": f"SELECT q_id, neighbor_id, fused_rank AS \"rank\" FROM ({ORACLES['q295_hybrid_retrieval']}) t",
+    }
+    ctes = ",\n    ".join(f"m_{m} AS ({sql})" for m, sql in srcs.items())
+    rec = sql_dec(
+        "SUM(CASE WHEN m.q_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*)",
+        6,
+    )
+    blocks = []
+    for m, k in HYB_AUDIT_METHODS:
+        blocks.append(
+            f"""
+      SELECT '{m}' AS method, CAST({k} AS BIGINT) AS k, r.n_queries,
+             r.recall, s.mrr_micro
+      FROM (
+        SELECT CAST(COUNT(DISTINCT e.q_id) AS BIGINT) AS n_queries,
+               {rec} AS recall
+        FROM (SELECT q_id, neighbor_id FROM exact_full WHERE rank <= {k}) e
+        LEFT JOIN (SELECT q_id, neighbor_id FROM m_{m}
+                   WHERE "rank" <= {k}) m
+          ON m.q_id = e.q_id AND m.neighbor_id = e.neighbor_id) r
+      CROSS JOIN (
+        SELECT CAST(COALESCE(SUM(1000000 // l."rank"), 0) // {N_QUERIES}
+                    AS BIGINT) AS mrr_micro
+        FROM (SELECT q_id, neighbor_id FROM exact_full WHERE rank = 1) t1
+        LEFT JOIN (SELECT q_id, neighbor_id, "rank" FROM m_{m}
+                   WHERE "rank" <= {k}) l
+          ON l.q_id = t1.q_id AND l.neighbor_id = t1.neighbor_id) s"""
+        )
+    return f"""
+    WITH exact_full AS (SELECT * FROM ({ORACLES["q45_ann_topk_bruteforce"]}) t),
+    {ctes}
+    {" UNION ALL ".join(blocks)}
+    """
+
+
+@query("q296_hybrid_retrieval_audit", oracle=_q296_oracle())
+def q296_hybrid_retrieval_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality audit of the q295 hybrid stack: recall@k of
+    each list against the exact cosine top-k (q45, self excluded) plus
+    MRR of the exact TOP-1 neighbor — did the list surface the single
+    best match, and how high — for the two dense legs and the fused
+    list, each cut at its own retrieval depth (the q90 rule).  Fusion
+    quality becomes a number next to its legs, so a fused list that
+    silently degrades below its own inputs is visible in the audit,
+    not just in anecdote.
+
+    Parity: recall is the q90 integer-ratio / 6-dp pair; MRR is made
+    engine-exact by integer micro-units — per query floor(1e6 / rank)
+    of the exact-top-1 hit (0 when missed), summed and floor-divided
+    by N_QUERIES, so no float summation order exists at all.
+
+    Scale shape: composes q45 + q46 + q47 + q295 (each already
+    scale-audited); every audit frame is bounded (N_QUERIES x k rows,
+    persisted across its two metric consumers); the metrics are
+    single-row aggregates cross-joined per method — {len(HYB_AUDIT_METHODS)}
+    x 1-row attaches, never a corpus-wide operation.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    exact = (
+        q45_ann_topk_bruteforce(spark, sf_dir)
+        .select("q_id", "neighbor_id", "rank")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    lists = {
+        "lsh": q46_ann_lsh_bucketed(spark, sf_dir)
+        .filter(F.col("q_id") < N_QUERIES)
+        .select("q_id", "neighbor_id", "rank"),
+        "ivf": q47_ann_ivf(spark, sf_dir).select("q_id", "neighbor_id", "rank"),
+        "hybrid": q295_hybrid_retrieval(spark, sf_dir).select(
+            "q_id", "neighbor_id", F.col("fused_rank").alias("rank")
+        ),
+    }
+    out = None
+    for m, k in HYB_AUDIT_METHODS:
+        lst = (
+            lists[m]
+            .filter(F.col("rank") <= k)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        e = exact.filter(F.col("rank") <= k).select("q_id", "neighbor_id")
+        r = (
+            e.join(lst.select("q_id", "neighbor_id", F.lit(1).alias("hit")),
+                   ["q_id", "neighbor_id"], "left")
+            .agg(
+                F.countDistinct("q_id").cast("long").alias("n_queries"),
+                dec(F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+                    * F.lit(1.0) / F.count("*"), 6).alias("recall"),
+            )
+        )
+        t1 = exact.filter(F.col("rank") == 1).select("q_id", "neighbor_id")
+        s = (
+            t1.join(lst.select("q_id", "neighbor_id",
+                               F.col("rank").alias("lrank")),
+                    ["q_id", "neighbor_id"], "left")
+            .agg(
+                F.expr(
+                    f"CAST(coalesce(SUM(1000000 div lrank), 0) "
+                    f"div {N_QUERIES} AS BIGINT)"
+                ).alias("mrr_micro")
+            )
+        )
+        row = (
+            r.crossJoin(F.broadcast(s))
+            .select(
+                F.lit(m).alias("method"),
+                F.lit(k).cast("long").alias("k"),
+                "n_queries",
+                "recall",
+                "mrr_micro",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -233,6 +233,9 @@ BOUNDED_FILTER_HINT_OK = {
     # <= HYB_QT over the fixed query set — bounded at any SF), the
     # 1-row corpus stats, and inherits q46+q47's declared attaches
     "q295_hybrid_retrieval",
+    # broadcasts the 1-row per-method MRR aggregate onto the 1-row
+    # recall aggregate; inherits q45/q46/q47/q295's declared attaches
+    "q296_hybrid_retrieval_audit",
 }
 
 
@@ -339,6 +342,9 @@ NESTED_LOOP_OK = {
     # 1-row corpus-stats attach onto the query-term join (cf. q63's
     # count attach); inherits q46+q47's declared tiny-side attaches
     "q295_hybrid_retrieval",
+    # per-method 1-row x 1-row metric cross joins; inherits the
+    # composed retrievals' (q45/q46/q47/q295) declared attaches
+    "q296_hybrid_retrieval_audit",
     # bounded-frame range joins of the minimax identity: segments and
     # the (bin, segment) containment join both run on the
     # |price-domain/ISO_BIN_WIDTH|-row collapse, never the corpus
