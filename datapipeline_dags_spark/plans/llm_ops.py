@@ -10713,8 +10713,26 @@ def _q295_oracle() -> str:
     )
 
 
+def _hybrid_dense_legs(
+    spark: SparkSession, sf_dir: str
+) -> dict[str, DataFrame]:
+    """The two dense retrieval lists q295 fuses and q296 audits — built
+    once here so q296 can persist and INJECT them instead of paying the
+    q46/q47 passes three times (the q90/q159 ann_audit_frames lesson)."""
+    return {
+        "lsh": q46_ann_lsh_bucketed(spark, sf_dir)
+        .filter(F.col("q_id") < N_QUERIES)
+        .select("q_id", "neighbor_id", "rank"),
+        "ivf": q47_ann_ivf(spark, sf_dir).select("q_id", "neighbor_id", "rank"),
+    }
+
+
 @query("q295_hybrid_retrieval", oracle=_q295_oracle())
-def q295_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q295_hybrid_retrieval(
+    spark: SparkSession,
+    sf_dir: str,
+    legs: dict[str, DataFrame] | None = None,
+) -> DataFrame:
     """Hybrid retrieval — the composition a production training-data
     search deployment actually runs: a per-query LEXICAL list (BM25
     more-like-this: each query document's {HYB_QT} most distinctive =
@@ -10795,13 +10813,9 @@ def q295_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= HYB_LEX_K)
         .select("q_id", F.col("doc_id").alias("neighbor_id"), "rank")
     )
-    lsh = (
-        q46_ann_lsh_bucketed(spark, sf_dir)
-        .filter(F.col("q_id") < N_QUERIES)
-        .select("q_id", "neighbor_id", "rank")
-    )
-    ivf = q47_ann_ivf(spark, sf_dir).select("q_id", "neighbor_id", "rank")
-    un = lex.unionByName(lsh).unionByName(ivf)
+    if legs is None:
+        legs = _hybrid_dense_legs(spark, sf_dir)
+    un = lex.unionByName(legs["lsh"]).unionByName(legs["ivf"])
     fused = un.groupBy("q_id", "neighbor_id").agg(
         dec(F.sum(1.0 / (RRF_C + F.col("rank"))), 6).alias("rrf_score"),
         F.count("*").cast("long").alias("n_methods"),
@@ -10883,10 +10897,13 @@ def q296_hybrid_retrieval_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     by N_QUERIES, so no float summation order exists at all.
 
     Scale shape: composes q45 + q46 + q47 + q295 (each already
-    scale-audited); every audit frame is bounded (N_QUERIES x k rows,
-    persisted across its two metric consumers); the metrics are
-    single-row aggregates cross-joined per method — {len(HYB_AUDIT_METHODS)}
-    x 1-row attaches, never a corpus-wide operation.
+    scale-audited); the dense legs are built ONCE, persisted, and
+    INJECTED into q295's fusion (the q90/q159 shared-frame rule — the
+    naive composition pays the q46/q47 passes three times); every audit
+    frame is bounded (N_QUERIES x k rows, persisted across its two
+    metric consumers); the metrics are single-row aggregates
+    cross-joined per method — {len(HYB_AUDIT_METHODS)} x 1-row
+    attaches, never a corpus-wide operation.
     """
     from pyspark.storagelevel import StorageLevel
 
@@ -10895,12 +10912,14 @@ def q296_hybrid_retrieval_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "neighbor_id", "rank")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    legs = {
+        m: df.persist(StorageLevel.MEMORY_AND_DISK)
+        for m, df in _hybrid_dense_legs(spark, sf_dir).items()
+    }
     lists = {
-        "lsh": q46_ann_lsh_bucketed(spark, sf_dir)
-        .filter(F.col("q_id") < N_QUERIES)
-        .select("q_id", "neighbor_id", "rank"),
-        "ivf": q47_ann_ivf(spark, sf_dir).select("q_id", "neighbor_id", "rank"),
-        "hybrid": q295_hybrid_retrieval(spark, sf_dir).select(
+        "lsh": legs["lsh"],
+        "ivf": legs["ivf"],
+        "hybrid": q295_hybrid_retrieval(spark, sf_dir, legs=legs).select(
             "q_id", "neighbor_id", F.col("fused_rank").alias("rank")
         ),
     }

@@ -188,3 +188,22 @@ def test_q295_hybrid_fusion_properties(spark, sf_dir):
             raise AssertionError(
                 f"lexical leg retrieved the query document itself: {k}"
             )
+
+
+def test_q295_injected_legs_identical(spark, sf_dir):
+    """q296 persists and injects the dense legs into q295's fusion;
+    injection must only change WHERE the lists come from, never the
+    fused output (the q90/q159 frame-injection contract)."""
+    legs = llm_ops._hybrid_dense_legs(spark, sf_dir)
+    try:
+        legs = {m: df.persist() for m, df in legs.items()}
+        shared = sorted(
+            map(tuple, llm_ops.q295_hybrid_retrieval(
+                spark, sf_dir, legs=legs).collect())
+        )
+        own = sorted(
+            map(tuple, llm_ops.q295_hybrid_retrieval(spark, sf_dir).collect())
+        )
+        assert shared == own
+    finally:
+        spark.catalog.clearCache()
