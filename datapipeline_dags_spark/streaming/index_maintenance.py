@@ -20,6 +20,10 @@ Streaming may replay a batch after a crash, and the rebuild is a pure
 function of (previous version, batch), so the replay converges to the
 same bytes (the sinks/sync.py idempotence discipline).  Batch ids are
 contiguous under one checkpoint, so "previous" needs no listing scan.
+After a successful write, versions older than ``STATE_VERSIONS_KEPT``
+are pruned — without retention every batch leaves a FULL state copy
+behind, which is unbounded storage growth at streaming cadence; the
+floor of 2 keeps exactly the predecessor a crash-replay needs.
 
 Parity: all state is integer (quantized component sums / counts / pair
 ids), so merged-vs-full equality is exact, never float-tolerant — the
@@ -53,8 +57,43 @@ __all__ = [
 ]
 
 
+#: versions kept per state table after a successful write.  2 is the
+#: safety floor: a crash AFTER v<batch_id> lands but BEFORE the stream
+#: commits its offsets replays batch_id, whose rebuild reads
+#: v<batch_id - 1> — so the predecessor must survive until the NEXT
+#: batch's write proves the offset advanced.  Without retention every
+#: batch leaves a FULL state copy behind (unbounded storage growth at
+#: streaming cadence — the actual 100 TB killer in versioned-state
+#: designs).
+STATE_VERSIONS_KEPT = 2
+
+
 def _version_dir(state_dir: str, tbl: str, batch_id: int) -> str:
     return os.path.join(state_dir, tbl, f"v{batch_id}")
+
+
+def _prune_versions(
+    state_dir: str, tbl: str, batch_id: int, keep: int = STATE_VERSIONS_KEPT
+) -> None:
+    """Delete version dirs older than the ``keep`` newest, called only
+    AFTER v<batch_id> has been fully written.  Never touches
+    v<batch_id> or v<batch_id - 1> (keep >= 2 is enforced), so a
+    replay of the current batch always finds its input."""
+    import shutil
+
+    keep = max(keep, 2)
+    root = os.path.join(state_dir, tbl)
+    if not os.path.isdir(root):
+        return
+    for name in os.listdir(root):
+        if not name.startswith("v"):
+            continue
+        try:
+            vid = int(name[1:])
+        except ValueError:
+            continue
+        if vid <= batch_id - keep:
+            shutil.rmtree(os.path.join(root, name), ignore_errors=True)
 
 
 def _read_version(
@@ -135,6 +174,7 @@ class IvfIndexMaintainer:
         merged.write.mode("overwrite").parquet(
             _version_dir(self.state_dir, "ivf", batch_id)
         )
+        _prune_versions(self.state_dir, "ivf", batch_id)
 
     def state(self, batch_id: int) -> DataFrame:
         return _read_version(
@@ -236,6 +276,7 @@ class LshIndexMaintainer:
             df.write.mode("overwrite").parquet(
                 _version_dir(self.state_dir, tbl, batch_id)
             )
+            _prune_versions(self.state_dir, tbl, batch_id)
 
     def pairs(self, batch_id: int) -> DataFrame:
         return _read_version(
@@ -338,9 +379,11 @@ class LexicalStatsMaintainer:
         terms.write.mode("overwrite").parquet(
             _version_dir(self.state_dir, "terms", batch_id)
         )
+        _prune_versions(self.state_dir, "terms", batch_id)
         corpus.write.mode("overwrite").parquet(
             _version_dir(self.state_dir, "corpus", batch_id)
         )
+        _prune_versions(self.state_dir, "corpus", batch_id)
 
     def terms(self, batch_id: int) -> DataFrame:
         return _read_version(

@@ -228,3 +228,34 @@ def test_lexical_crash_mid_overwrite_replay_converges(spark, dirs):
     m.process_batch(b1, 1)
     assert sorted(map(tuple, m.terms(1).collect())) == want
     assert m.matches_full(1, b0.unionByName(b1))
+
+
+def test_version_retention_prunes_old_state(spark, dirs):
+    """Versioned state must not grow one full copy per batch forever:
+    after batch N, only the STATE_VERSIONS_KEPT newest versions remain,
+    the predecessor a crash-replay needs is always among them, and
+    replay + audit still work after pruning."""
+    import os
+
+    from datapipeline_dags_spark.streaming import index_maintenance as im
+
+    emb = table(spark, SF_DIR, "embeddings")
+    m = IvfIndexMaintainer(spark, dirs["state"], centroid_corpus=emb)
+    batches = [
+        emb.filter(F.col("vec_id") % 3 == r).select("vec_id", "embedding")
+        for r in range(3)
+    ]
+    for bid, b in enumerate(batches):
+        m.process_batch(b, bid)
+    root = os.path.join(dirs["state"], "ivf")
+    kept = sorted(os.listdir(root))
+    assert kept == [
+        f"v{i}"
+        for i in range(3 - im.STATE_VERSIONS_KEPT, 3)
+    ], kept
+    # replay of the LAST batch still has its predecessor and converges
+    want = sorted(map(tuple, m.state(2).collect()))
+    m.process_batch(batches[2], 2)
+    assert sorted(map(tuple, m.state(2).collect())) == want
+    seen = batches[0].unionByName(batches[1]).unionByName(batches[2])
+    assert m.matches_full(2, seen)
