@@ -126,6 +126,10 @@ TARGETS = (
     # the cheap completeness of the book, not a risk retirement
     "q291_tokenizer_fertility",
     "q292_code_switch_mixture",
+    # r10: the hybrid lexical+dense fusion (BM25 more-like-this posting
+    # fan-out + the q46/q47 legs + RRF; q296 the audit composite is
+    # excluded like q90/q159 — audits measure their components)
+    "q295_hybrid_retrieval",
 )
 
 # Per-(target, scale) keyword overrides: the SemDeDup contract is that
