@@ -2237,13 +2237,20 @@ def q80_fuzzy_name_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "c_name")
     )
     n = F.length("c_name")
-    variants = F.transform(
-        F.sequence(F.lit(1), n),
-        lambda i: F.concat(
-            F.col("c_name").substr(F.lit(1), i - F.lit(1)),
-            F.col("c_name").substr(i + F.lit(1), F.length("c_name") - i),
+    # n >= 1 guard (the q289/q290 rule): Spark's sequence(1, 0) is the
+    # DESCENDING [1, 0] while DuckDB's generate_series(1, 0) is empty —
+    # an empty name would emit two "" variants here and none in the
+    # oracle.  The fixture has no empty names; this pins the contract.
+    variants = F.when(
+        n >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.concat(
+                F.col("c_name").substr(F.lit(1), i - F.lit(1)),
+                F.col("c_name").substr(i + F.lit(1), F.length("c_name") - i),
+            ),
         ),
-    )
+    ).otherwise(F.array().cast("array<string>"))
     v = c.select(
         "c_custkey", "c_name", F.posexplode(variants).alias("pos0", "var")
     )
