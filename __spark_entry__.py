@@ -57,7 +57,8 @@ _ROTATION_HEAD = [
     # changed in round 10 — fresh rows prove parity held through the
     # changes (q290 short-doc guard, q294 h0=1 overflow fix + route
     # refactor, q174 lossless candidate pruning, q154 NULL pre-filter,
-    # q183/q221/q225 plans.route refactor, q207/q217 bounded_collect):
+    # q183/q221/q225 plans.route refactor, q207/q217 bounded_collect,
+    # q288/q281 DECIMAL ppm-multiply overflow fixes):
     "q290_duplicate_run_lengths",
     "q294_hits_hubs_authorities",
     "q174_video_dhash_neardup",
@@ -67,6 +68,8 @@ _ROTATION_HEAD = [
     "q225_greedy_set_cover",
     "q207_markov_attribution",
     "q217_ipf_raking",
+    "q288_epoch_shuffle_balance",
+    "q281_part_value_concentration",
     # hedge fill — widest / riskiest already-green plans (driver rows
     # exist for all; a fresh row re-proves them on round-10 code).
     # The dedup/ANN/index families lead because they share the most
@@ -108,8 +111,6 @@ _ROTATION_HEAD = [
     "q216_item_item_cf",
     "q222_kcore_decomposition",
     "q97_dsir_importance",
-    "q103_segment_dedup",
-    "q144_prefix_filter_jaccard",
 ]
 
 _ROTATION_TAIL = [
@@ -127,7 +128,7 @@ _ROTATION_TAIL = [
     "q259_dominant_suppliers",
     "q279_late_line_priority_mix",
     "q280_supplier_part_options",
-    "q281_part_value_concentration",
+    "q144_prefix_filter_jaccard",
     "q260_common_neighbor_links",
     "q261_local_clustering",
     "q267_cf_holdout_eval",

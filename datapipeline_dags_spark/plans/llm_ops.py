@@ -9909,7 +9909,14 @@ def q288_epoch_shuffle_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("shard").cast("long"),
             F.col("n_docs").cast("long"),
             F.col("tokens").cast("long"),
-            F.expr("tokens * 1000000 div t").cast("long").alias("share_ppm"),
+            # DECIMAL(38,0) multiply (the q294 overflow rule): per-shard
+            # token sums reach ~3e12 at a 25T-token corpus, so the
+            # BIGINT product tokens*1e6 silently wraps int64 while the
+            # oracle's HUGEINT SUM stays exact; decimal div is exact
+            # and the quotient (<= 1e6) always fits BIGINT.
+            F.expr(
+                "CAST(CAST(tokens AS DECIMAL(38,0)) * 1000000 div t AS BIGINT)"
+            ).alias("share_ppm"),
             F.col("n_moved").cast("long"),
         )
     )

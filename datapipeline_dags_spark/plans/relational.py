@@ -4567,8 +4567,15 @@ def q281_part_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame
         .select(
             F.col("l_partkey").cast("long").alias("p_partkey"),
             F.col("value_cents").cast("long"),
-            F.expr("CAST(value_cents * CAST(1000000 AS BIGINT) div t AS BIGINT)")
-            .alias("share_ppm"),
+            # DECIMAL(38,0) multiply (the q294/q288 overflow rule): a
+            # hot part's lifetime cents can exceed 9.2e12 at 100 TB, so
+            # the BIGINT product value_cents*1e6 would wrap int64 while
+            # the oracle's HUGEINT SUM stays exact; the quotient
+            # (<= 1e6) always fits BIGINT.
+            F.expr(
+                "CAST(CAST(value_cents AS DECIMAL(38,0)) * 1000000 div t"
+                " AS BIGINT)"
+            ).alias("share_ppm"),
         )
         .orderBy(F.col("value_cents").desc(), "p_partkey")
         .limit(Q11_TOP)
