@@ -70,6 +70,7 @@ _ROTATION_HEAD = [
     "q217_ipf_raking",
     "q288_epoch_shuffle_balance",
     "q281_part_value_concentration",
+    "q193_cohort_ltv",
     # hedge fill — widest / riskiest already-green plans (driver rows
     # exist for all; a fresh row re-proves them on round-10 code).
     # The dedup/ANN/index families lead because they share the most
@@ -110,7 +111,6 @@ _ROTATION_HEAD = [
     "q215_label_propagation",
     "q216_item_item_cf",
     "q222_kcore_decomposition",
-    "q97_dsir_importance",
 ]
 
 _ROTATION_TAIL = [

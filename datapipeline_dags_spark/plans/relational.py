@@ -2538,15 +2538,17 @@ def q191_supplier_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
                       date_trunc('month', o.o_orderdate)) <= 11),
     sizes AS (SELECT cohort, COUNT(*) AS cohort_size FROM first_o GROUP BY 1),
     g AS (SELECT cohort, month_offset,
-                 ROUND(SUM(o_totalprice), 2) AS revenue
+                 SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                   AS revenue_cents
           FROM j GROUP BY 1, 2)
     SELECT g.cohort, CAST(g.month_offset AS BIGINT) AS month_offset,
            CAST(s.cohort_size AS BIGINT) AS cohort_size,
-           (g.revenue + 0.0) AS revenue,
-           (ROUND(SUM(g.revenue) OVER (PARTITION BY g.cohort
-                    ORDER BY g.month_offset
+           (CAST(g.revenue_cents AS BIGINT) / 100.0 + 0.0) AS revenue,
+           (CAST((200 * CAST(SUM(g.revenue_cents) OVER (
+                    PARTITION BY g.cohort ORDER BY g.month_offset
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                  / s.cohort_size, 4) + 0.0) AS cum_ltv_per_customer
+                  AS BIGINT) + s.cohort_size) // (2 * s.cohort_size)
+                 AS BIGINT) / 10000.0 + 0.0) AS cum_ltv_per_customer
     FROM g JOIN sizes s ON g.cohort = s.cohort
     """,
 )
@@ -2559,9 +2561,18 @@ def q193_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one per-customer min-collapse assigns cohorts, one
     (cohort, offset) hash agg collapses orders (offset capped at 11 —
     bounded triangle), cohort sizes join on the bounded cohort key, and
-    the cumulative window is per cohort over <= 12 rows.  Revenue
-    rounds to 2dp before the cumulative sum (both engines accumulate
-    identical numbers in offset order).
+    the cumulative window is per cohort over <= 12 rows.
+
+    Parity: revenue accumulates as EXACT integer cents (the q281
+    FLOOR(x·100 + 0.5) pattern) — the earlier ROUND(SUM(double), 2)
+    design hit 4-dp midpoints where the engines' ROUND implementations
+    disagree (found by the full sf0.1 sweep, r10; cents/(100·size) has
+    a TERMINATING decimal expansion, so exact .xxxx5 midpoints are
+    common, unlike the irrational quotients the dec()/ROUND pair
+    normally sees).  The 4-dp cut is therefore computed in INTEGER
+    half-up arithmetic — (200·cum_cents + size) div (2·size), exact in
+    both engines — and only then divided by the 1e4 power of ten (one
+    identical IEEE op).
     """
     orders = table(spark, sf_dir, "orders")
     first_o = orders.groupBy("o_custkey").agg(
@@ -2579,7 +2590,9 @@ def q193_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sizes = first_o.groupBy("cohort").agg(F.count("*").alias("cohort_size"))
     g = j.groupBy("cohort", "month_offset").agg(
-        F.round(F.sum("o_totalprice"), 2).alias("revenue")
+        F.sum(
+            F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)")
+        ).alias("revenue_cents")
     )
     cum_w = (
         W.partitionBy("cohort")
@@ -2590,9 +2603,20 @@ def q193_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cohort",
         F.col("month_offset").cast("long").alias("month_offset"),
         F.col("cohort_size").cast("long").alias("cohort_size"),
-        F.col("revenue"),
-        dec(
-            F.sum("revenue").over(cum_w) / F.col("cohort_size"), 4
+        "revenue_cents",
+        F.sum("revenue_cents").over(cum_w).alias("cum_cents"),
+    ).select(
+        "cohort",
+        "month_offset",
+        "cohort_size",
+        (F.col("revenue_cents") / F.lit(100.0) + F.lit(0.0)).alias("revenue"),
+        (
+            F.expr(
+                "CAST((200 * cum_cents + cohort_size)"
+                " div (2 * cohort_size) AS BIGINT)"
+            )
+            / F.lit(10000.0)
+            + F.lit(0.0)
         ).alias("cum_ltv_per_customer"),
     )
 
