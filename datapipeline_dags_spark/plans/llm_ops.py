@@ -10978,3 +10978,88 @@ def q296_hybrid_retrieval_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# q297 — cross-modal duplicate consistency (text near-dups vs embeddings)
+# ---------------------------------------------------------------------------
+
+CMX_HI = 0.9  # rounded-cosine floor for "embedding agrees strongly"
+CMX_LO = 0.7  # rounded-cosine floor for "embedding agrees softly"
+
+
+def _q297_oracle() -> str:
+    cos = _COS_SQL.format(a="a.embedding", b="b.embedding")
+    return f"""
+    WITH pr AS (SELECT doc_a, doc_b, jaccard
+                FROM ({ORACLES['q41_dedup_minhash_lsh']}) t),
+    j AS (
+      SELECT pr.doc_a, pr.doc_b, pr.jaccard,
+             (ROUND({cos}, 6) + 0.0) AS cos
+      FROM pr
+      JOIN embeddings a ON a.vec_id = pr.doc_a
+      JOIN embeddings b ON b.vec_id = pr.doc_b)
+    SELECT CASE WHEN cos >= {CMX_HI} THEN 'agree_high'
+                WHEN cos >= {CMX_LO} THEN 'agree_soft'
+                ELSE 'disagree' END AS band,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           (MIN(cos) + 0.0) AS min_cos,
+           (MAX(cos) + 0.0) AS max_cos,
+           (MIN(jaccard) + 0.0) AS min_jaccard
+    FROM j GROUP BY 1
+    """
+
+
+@query("q297_crossmodal_dup_consistency", oracle=_q297_oracle())
+def q297_crossmodal_dup_consistency(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-modal duplicate consistency audit: every VERIFIED text
+    near-dup pair (q41's exact-Jaccard survivors) is scored against the
+    embedding table's cosine for the same two ids, banded into
+    agree_high (≥ {CMX_HI}), agree_soft (≥ {CMX_LO}) and DISAGREE — a
+    text-duplicate whose embeddings are far apart means the embedding
+    table is stale, built from different text, or poisoned, exactly the
+    drift a semantic-dedup (q96) or ANN-retrieval (q46/q47/q295) stack
+    silently inherits.  The id-aligned embeddings companion (vec_id ≡
+    doc_id) is what a production feature store keys the same way.
+
+    Parity: cosine rounds to 6 dp BEFORE banding and min/max (the q45
+    rule — band edges compare the rounded value to a constant); the
+    per-band aggregates are counts and MIN/MAX of already-rounded
+    doubles, all order-independent; no float summation exists.
+
+    Scale shape: q41's near-dup pair set (already blocking-audited) is
+    output-bounded; two hash joins attach the embedding rows by id; one
+    3-group hash aggregate closes it.  No new corpus-wide operation —
+    the audit costs two id-keyed joins over the PAIR table.
+
+    On the synthetic fixture the embeddings are generated independently
+    of the text, so the audit reports every text near-dup as DISAGREE —
+    the drifted-table state it exists to flag; the healthy agree_high
+    state is pinned by tests/test_crossmodal_audit.py with text-derived
+    embeddings.
+    """
+    pairs = q41_dedup_minhash_lsh(spark, sf_dir)
+    emb = table(spark, sf_dir, "embeddings")
+    ea = emb.select(F.col("vec_id").alias("doc_a"), F.col("embedding").alias("va"))
+    eb = emb.select(F.col("vec_id").alias("doc_b"), F.col("embedding").alias("vb"))
+    j = (
+        pairs.join(ea, "doc_a")
+        .join(eb, "doc_b")
+        .select(
+            "jaccard",
+            dec(_cosine(F.col("va"), F.col("vb")), 6).alias("cos"),
+        )
+    )
+    band = (
+        F.when(F.col("cos") >= CMX_HI, "agree_high")
+        .when(F.col("cos") >= CMX_LO, "agree_soft")
+        .otherwise("disagree")
+    )
+    return j.groupBy(band.alias("band")).agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        (F.min("cos") + F.lit(0.0)).alias("min_cos"),
+        (F.max("cos") + F.lit(0.0)).alias("max_cos"),
+        (F.min("jaccard") + F.lit(0.0)).alias("min_jaccard"),
+    )
