@@ -40,7 +40,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datapipeline_dags_spark.operators import blocking
+from datapipeline_dags_spark.plans.helpers import dec
 from datapipeline_dags_spark.plans.llm_ops import (
+    BM25_B,
+    BM25_K1,
     IVF_SUM_SCALE,
     JACCARD_T,
     _ivf_centroids,
@@ -332,11 +335,18 @@ class LexicalStatsMaintainer:
     integer partials per micro-batch — an arriving batch tokenizes
     ITS documents only.
 
-    State tables: ``terms`` (term, df, cf) and ``corpus``
-    (n_docs, total_tokens) — one row."""
+    State tables: ``terms`` (term, df, cf), ``corpus``
+    (n_docs, total_tokens) — one row — and ``postings``
+    (doc_id, term, tf, dl), the inverted index itself: each document
+    arrives ONCE, so the postings merge is a pure union of the
+    previous version with the batch's rows (no re-aggregation), and
+    ``topk`` can SERVE BM25 retrieval straight from the maintained
+    parquet state — build → maintain → serve, the full lexical-index
+    lifecycle."""
 
     TERMS_SCHEMA = "term string, df bigint, cf bigint"
     CORPUS_SCHEMA = "n_docs bigint, total_tokens bigint"
+    POSTINGS_SCHEMA = "doc_id bigint, term string, tf bigint, dl bigint"
 
     def __init__(self, spark: SparkSession, state_dir: str):
         self.spark = spark
@@ -353,15 +363,33 @@ class LexicalStatsMaintainer:
             batch_id - 1,
             self.CORPUS_SCHEMA,
         )
+        postings_prev = _read_version(
+            self.spark,
+            self.state_dir,
+            "postings",
+            batch_id - 1,
+            self.POSTINGS_SCHEMA,
+        )
+        from pyspark.sql import Window as _W
+
         tf = (
             batch.select(
                 "doc_id", F.explode(F.split("text", " ")).alias("term")
             )
             .groupBy("doc_id", "term")
             .agg(F.count("*").alias("tf"))
+            .withColumn("dl", F.sum("tf").over(_W.partitionBy("doc_id")))
         )
         delta_terms = tf.groupBy("term").agg(
             F.count("*").alias("df"), F.sum("tf").alias("cf")
+        )
+        postings = postings_prev.unionByName(
+            tf.select(
+                F.col("doc_id").cast("bigint"),
+                F.col("term").cast("string"),
+                F.col("tf").cast("bigint"),
+                F.col("dl").cast("bigint"),
+            )
         )
         terms = (
             terms_prev.unionByName(delta_terms)
@@ -384,10 +412,77 @@ class LexicalStatsMaintainer:
             _version_dir(self.state_dir, "corpus", batch_id)
         )
         _prune_versions(self.state_dir, "corpus", batch_id)
+        postings.write.mode("overwrite").parquet(
+            _version_dir(self.state_dir, "postings", batch_id)
+        )
+        _prune_versions(self.state_dir, "postings", batch_id)
 
     def terms(self, batch_id: int) -> DataFrame:
         return _read_version(
             self.spark, self.state_dir, "terms", batch_id, self.TERMS_SCHEMA
+        )
+
+    def postings(self, batch_id: int) -> DataFrame:
+        return _read_version(
+            self.spark,
+            self.state_dir,
+            "postings",
+            batch_id,
+            self.POSTINGS_SCHEMA,
+        )
+
+    def topk(
+        self, batch_id: int, query_terms: list[str], k: int = 10
+    ) -> DataFrame:
+        """SERVE BM25 top-k from the maintained parquet state — q287's
+        exact scoring discipline (6-dp round → integer micro-units, so
+        per-doc sums are order-independent and ties break on doc_id)
+        over the incrementally-maintained postings/stats instead of a
+        from-scratch corpus pass.  This is the query-time half of the
+        lexical index lifecycle; freshness equals the last maintenance
+        tick, parity with a full recompute is pinned by
+        tests/test_index_maintenance_stream.py."""
+        postings = self.postings(batch_id)
+        stats = _read_version(
+            self.spark, self.state_dir, "terms", batch_id, self.TERMS_SCHEMA
+        )
+        corpus = _read_version(
+            self.spark, self.state_dir, "corpus", batch_id, self.CORPUS_SCHEMA
+        ).select(
+            F.col("n_docs").alias("n"),
+            (F.col("total_tokens") * F.lit(1.0) / F.col("n_docs")).alias(
+                "avgdl"
+            ),
+        )
+        qt = stats.filter(F.col("term").isin(list(query_terms))).select(
+            "term", "df"
+        )
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n") - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+        )
+        tfc = (F.col("tf") * F.lit(BM25_K1 + 1.0)) / (
+            F.col("tf")
+            + F.lit(BM25_K1)
+            * (
+                F.lit(1.0 - BM25_B)
+                + F.lit(BM25_B) * F.col("dl") / F.col("avgdl")
+            )
+        )
+        return (
+            postings.join(F.broadcast(qt), "term")
+            .crossJoin(F.broadcast(corpus))
+            .select(
+                "doc_id",
+                F.floor(dec(idf * tfc, 6) * F.lit(1_000_000.0) + F.lit(0.5))
+                .cast("long")
+                .alias("m"),
+            )
+            .groupBy("doc_id")
+            .agg(F.sum("m").alias("score_micro"))
+            .orderBy(F.col("score_micro").desc(), "doc_id")
+            .limit(k)
         )
 
     def matches_full(self, batch_id: int, all_docs: DataFrame) -> bool:
@@ -416,6 +511,29 @@ class LexicalStatsMaintainer:
             .count()
         )
         if bad:
+            return False
+        from pyspark.sql import Window as _W
+
+        full_p = (
+            all_docs.select(
+                "doc_id", F.explode(F.split("text", " ")).alias("term")
+            )
+            .groupBy("doc_id", "term")
+            .agg(F.count("*").alias("tf"))
+            .withColumn("dl", F.sum("tf").over(_W.partitionBy("doc_id")))
+        )
+        sp = self.postings(batch_id)
+        bad_p = (
+            sp.join(full_p, ["doc_id", "term"], "full_outer")
+            .where(
+                ~(
+                    sp["tf"].eqNullSafe(full_p["tf"])
+                    & sp["dl"].eqNullSafe(full_p["dl"])
+                )
+            )
+            .count()
+        )
+        if bad_p:
             return False
         cs = _read_version(
             self.spark, self.state_dir, "corpus", batch_id, self.CORPUS_SCHEMA

@@ -223,10 +223,12 @@ def test_lexical_crash_mid_overwrite_replay_converges(spark, dirs):
     m.process_batch(b0, 0)
     m.process_batch(b1, 1)
     want = sorted(map(tuple, m.terms(1).collect()))
-    for tbl in ("terms", "corpus"):
+    want_p = sorted(map(tuple, m.postings(1).collect()))
+    for tbl in ("terms", "corpus", "postings"):
         _wreck_version_dir(dirs["state"], tbl, 1)
     m.process_batch(b1, 1)
     assert sorted(map(tuple, m.terms(1).collect())) == want
+    assert sorted(map(tuple, m.postings(1).collect())) == want_p
     assert m.matches_full(1, b0.unionByName(b1))
 
 
@@ -259,3 +261,36 @@ def test_version_retention_prunes_old_state(spark, dirs):
     assert sorted(map(tuple, m.state(2).collect())) == want
     seen = batches[0].unionByName(batches[1]).unionByName(batches[2])
     assert m.matches_full(2, seen)
+
+
+def test_lexical_serving_from_maintained_state(spark, dirs):
+    """The maintained lexical index must SERVE: BM25 top-k scored from
+    the incrementally-built postings/stats state equals the same
+    scoring over a single-batch (from-scratch) state of the identical
+    corpus — the maintenance merges change WHERE the index came from,
+    never a score."""
+    from datapipeline_dags_spark.streaming.index_maintenance import (
+        LexicalStatsMaintainer,
+    )
+
+    docs = table(spark, SF_DIR, "documents")
+    inc = LexicalStatsMaintainer(spark, dirs["state"] + "/inc")
+    b0 = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text")
+    b1 = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text")
+    inc.process_batch(b0, 0)
+    inc.process_batch(b1, 1)
+    # matches_full now audits postings (tf AND dl) against a
+    # from-scratch tokenization as well as the stats tables
+    assert inc.matches_full(1, b0.unionByName(b1))
+
+    full = LexicalStatsMaintainer(spark, dirs["state"] + "/full")
+    full.process_batch(docs.select("doc_id", "text"), 0)
+
+    qterms = [
+        r.term
+        for r in inc.terms(1).orderBy(F.col("df").desc(), "term").limit(5).collect()
+    ]
+    got = sorted(map(tuple, inc.topk(1, qterms, k=20).collect()))
+    want = sorted(map(tuple, full.topk(0, qterms, k=20).collect()))
+    assert got == want
+    assert len(got) == 20
