@@ -55,6 +55,7 @@ _ROTATION_HEAD = [
     "q295_hybrid_retrieval",
     "q296_hybrid_retrieval_audit",
     "q297_crossmodal_dup_consistency",
+    "q298_dedup_deletion_manifest",
     # changed in round 10 — fresh rows prove parity held through the
     # changes (q290 short-doc guard, q294 h0=1 overflow fix + route
     # refactor, q174 lossless candidate pruning, q154 NULL pre-filter,
@@ -110,7 +111,6 @@ _ROTATION_HEAD = [
     "q273_capture_recapture",
     "q209_grid_density_clusters",
     "q215_label_propagation",
-    "q216_item_item_cf",
 ]
 
 _ROTATION_TAIL = [

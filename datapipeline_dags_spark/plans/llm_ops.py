@@ -11063,3 +11063,81 @@ def q297_crossmodal_dup_consistency(
         (F.max("cos") + F.lit(0.0)).alias("max_cos"),
         (F.min("jaccard") + F.lit(0.0)).alias("min_jaccard"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q298 — dedup deletion manifest (the actionable drop list)
+# ---------------------------------------------------------------------------
+
+
+def _q298_oracle() -> str:
+    return f"""
+    WITH c AS ({ORACLES['q69_dedup_clusters']}),
+    f AS ({ORACLES['q50_text_quality']}),
+    j AS (
+      SELECT c.cluster_id, c.doc_id, f.quality, d.source,
+             ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                                ORDER BY f.quality DESC, c.doc_id) AS rn
+      FROM c
+      JOIN f ON f.doc_id = c.doc_id
+      JOIN documents d ON d.doc_id = c.doc_id),
+    keep AS (SELECT cluster_id, doc_id AS kept_doc_id FROM j WHERE rn = 1)
+    SELECT CAST(j.doc_id AS BIGINT) AS drop_doc_id,
+           CAST(k.kept_doc_id AS BIGINT) AS kept_doc_id,
+           CAST(j.cluster_id AS BIGINT) AS cluster_id,
+           j.source,
+           (j.quality + 0.0) AS dropped_quality
+    FROM j JOIN keep k ON k.cluster_id = j.cluster_id
+    WHERE j.rn > 1
+    """
+
+
+@query("q298_dedup_deletion_manifest", oracle=_q298_oracle())
+def q298_dedup_deletion_manifest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The deletion MANIFEST a dedup run actually ships: one row per
+    document to DROP — (drop_doc_id, the kept representative it
+    duplicates, its cluster, source, quality) — the doc-id-level
+    artifact a 100 TB pipeline feeds to its tombstone/requeue step,
+    where q285 reports the per-cluster summary and q271 the savings.
+    Keep-rule identical to q285 (best 4-dp quality, id tiebreak), so
+    manifest ∪ representatives = exactly the clustered corpus.
+
+    Parity: the keeper is the q285 struct-max rule on the rounded
+    quality; all joins are id-keyed; no float aggregation exists.
+
+    Scale shape: composes q69's capped CC clusters with q50's map-side
+    metrics and the documents source column on the doc key; the keeper
+    pick is the q285 map-side-combinable struct-max AGGREGATE (never a
+    window over cluster members — a boilerplate mega-cluster would
+    make that partition the straggler); output is |clustered docs| −
+    |clusters| rows, bounded by the true duplicate volume.
+    """
+    c = q69_dedup_clusters(spark, sf_dir)
+    f = q50_text_quality(spark, sf_dir).select("doc_id", "quality")
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
+    j = c.join(f, "doc_id").join(docs, "doc_id")
+    best = F.max(
+        F.struct(
+            F.col("quality").alias("q"), (-F.col("doc_id")).alias("nid")
+        )
+    )
+    keep = (
+        j.groupBy("cluster_id")
+        .agg(best.alias("b"))
+        .select(
+            "cluster_id", (-F.col("b.nid")).cast("long").alias("kept_doc_id")
+        )
+    )
+    return (
+        j.join(keep, "cluster_id")
+        .filter(F.col("doc_id") != F.col("kept_doc_id"))
+        .select(
+            F.col("doc_id").cast("long").alias("drop_doc_id"),
+            "kept_doc_id",
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+            "source",
+            (F.col("quality") + F.lit(0.0)).alias("dropped_quality"),
+        )
+    )

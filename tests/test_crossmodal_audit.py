@@ -72,3 +72,22 @@ def test_drifted_embedding_flips_pair_to_disagree(spark, tmp_path):
     assert set(rows) == {"disagree"}
     assert rows["disagree"].n_pairs == 1
     assert rows["disagree"].max_cos < llm_ops.CMX_LO
+
+
+def test_q298_manifest_and_representatives_partition_clusters(spark, sf_dir):
+    """manifest ∪ representatives must be EXACTLY the clustered corpus:
+    every clustered doc is either kept (q285) or dropped (q298), never
+    both, and each drop row names its cluster's keeper."""
+    clustered = {
+        r.doc_id for r in llm_ops.q69_dedup_clusters(spark, sf_dir).collect()
+    }
+    kept = {
+        r.kept_doc_id
+        for r in llm_ops.q285_cluster_representatives(spark, sf_dir).collect()
+    }
+    manifest = llm_ops.q298_dedup_deletion_manifest(spark, sf_dir).collect()
+    dropped = {r.drop_doc_id for r in manifest}
+    assert kept | dropped == clustered
+    assert not kept & dropped
+    assert all(r.kept_doc_id in kept for r in manifest)
+    assert all(r.drop_doc_id != r.kept_doc_id for r in manifest)
