@@ -47,36 +47,43 @@ def entry(spark: SparkSession) -> DataFrame:
 # tests/test_entry_rotation.py uses it to scope its staleness skip to
 # exactly one round (ADVICE r7 #5).  README.md "Driver correctness
 # coverage" tracks the union per round.
-_ROTATION_FOR_ROUND = 10
+_ROTATION_FOR_ROUND = 11
 
 _ROTATION_HEAD = [
-    # NEW in round 10 (never driver-checked by construction; also the
-    # round's required new-coverage rows):
+    # NEW in round 11 (never driver-checked by construction; also the
+    # round's required new-coverage rows) — the deletion half of the
+    # dedup/index lifecycle (VERDICT r10 ask #2):
+    "q299_deletion_manifest_apply",
+    "q300_ivf_delete_refresh",
+    "q301_lsh_delete_refresh",
+    "q302_bm25_stats_delete_refresh",
+    # changed in round 11 — fresh rows prove parity held through the
+    # changes (q153/q295 integer micro-unit RRF fusion + q296 which
+    # composes q295, ADVICE r10 #3; q193 DECIMAL(38,0) cumulative-cents
+    # headroom, ADVICE r10 #1):
+    "q153_rrf_fusion",
     "q295_hybrid_retrieval",
     "q296_hybrid_retrieval_audit",
+    "q193_cohort_ltv",
+    # hedge fill — widest / riskiest already-green plans (driver rows
+    # exist for all; a fresh row re-proves them on round-11 code).
+    # The dedup/ANN/index families lead because they share the most
+    # machinery with this round's changes (delta refresh, blocking,
+    # RRF, BM25), then last round's changed set as refreshers:
+    "q282_ivf_delta_refresh",
+    "q284_lsh_delta_refresh",
+    "q293_bm25_stats_delta_refresh",
+    "q287_bm25_topk",
     "q297_crossmodal_dup_consistency",
     "q298_dedup_deletion_manifest",
-    # changed in round 10 — fresh rows prove parity held through the
-    # changes (q290 short-doc guard, q294 h0=1 overflow fix + route
-    # refactor, q174 lossless candidate pruning, q154 NULL pre-filter,
-    # q183/q221/q225 plans.route refactor, q207/q217 bounded_collect,
-    # q288/q281 DECIMAL ppm-multiply overflow fixes):
     "q290_duplicate_run_lengths",
     "q294_hits_hubs_authorities",
     "q174_video_dhash_neardup",
     "q154_quantile_sketch",
     "q183_part_pagerank",
     "q221_bradley_terry",
-    "q225_greedy_set_cover",
-    "q207_markov_attribution",
-    "q217_ipf_raking",
     "q288_epoch_shuffle_balance",
     "q281_part_value_concentration",
-    "q193_cohort_ltv",
-    # hedge fill — widest / riskiest already-green plans (driver rows
-    # exist for all; a fresh row re-proves them on round-10 code).
-    # The dedup/ANN/index families lead because they share the most
-    # machinery with this round's changes (blocking, RRF, BM25):
     "q41_dedup_minhash_lsh",
     "q42_dedup_simhash",
     "q43_ngram_jaccard",
@@ -90,10 +97,6 @@ _ROTATION_HEAD = [
     "q159_ann_ndcg",
     "q69_dedup_clusters",
     "q214_triplet_mining",
-    "q282_ivf_delta_refresh",
-    "q284_lsh_delta_refresh",
-    "q293_bm25_stats_delta_refresh",
-    "q287_bm25_topk",
     "q289_winnowing_fingerprints",
     "q91_image_phash_neardup",
     "q205_audio_energy_neardup",
@@ -109,8 +112,6 @@ _ROTATION_HEAD = [
     "q252_dedup_threshold_sweep",
     "q276_lsh_band_sweep",
     "q273_capture_recapture",
-    "q209_grid_density_clusters",
-    "q215_label_propagation",
 ]
 
 _ROTATION_TAIL = [

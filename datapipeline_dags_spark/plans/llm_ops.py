@@ -6747,15 +6747,16 @@ def _q153_oracle() -> str:
       SELECT q_id, neighbor_id, "rank" FROM ivf),
     fused AS (
       SELECT q_id, neighbor_id,
-             {sql_dec(f'SUM(1.0 / ({RRF_C} + "rank"))', 6)} AS rrf_score,
+             SUM(1000000 // ({RRF_C} + "rank")) AS rrf_micro,
              COUNT(*) AS n_methods
       FROM un GROUP BY q_id, neighbor_id),
     ranked AS (
-      SELECT q_id, neighbor_id, rrf_score, CAST(n_methods AS BIGINT) AS n_methods,
+      SELECT q_id, neighbor_id, CAST(rrf_micro AS BIGINT) AS rrf_micro,
+             CAST(n_methods AS BIGINT) AS n_methods,
              ROW_NUMBER() OVER (PARTITION BY q_id
-               ORDER BY rrf_score DESC, neighbor_id) AS fused_rank
+               ORDER BY rrf_micro DESC, neighbor_id) AS fused_rank
       FROM fused)
-    SELECT q_id, neighbor_id, rrf_score, n_methods,
+    SELECT q_id, neighbor_id, rrf_micro, n_methods,
            CAST(fused_rank AS BIGINT) AS fused_rank
     FROM ranked WHERE fused_rank <= {RRF_K}
     """
@@ -6773,9 +6774,14 @@ def q153_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: composes q46 + q47 (each already scale-audited), adds
     one union + one (q_id, neighbor) hash agg + a per-query top-k
-    window over <= LSH_K + IVF_K candidates per query.  The fused score
-    is a <= 2-term sum of exactly-representable reciprocals rounded to
-    6 decimals before ranking, so the k-boundary is engine-agreed.
+    window over <= LSH_K + IVF_K candidates per query.
+
+    Parity: the fused score is an INTEGER micro-unit sum —
+    floor(1e6 / (60 + rank)) per leg — so no float summation order
+    exists at all (ADVICE r10 #3: 1/(60+rank) is NOT exactly
+    representable in binary, so the earlier double-sum + 6-dp-round
+    design was engine-order-dependent in principle; the q296 MRR
+    discipline applied here).
     """
     lsh = (
         q46_ann_lsh_bucketed(spark, sf_dir)
@@ -6785,14 +6791,16 @@ def q153_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf = q47_ann_ivf(spark, sf_dir).select("q_id", "neighbor_id", "rank")
     un = lsh.unionByName(ivf)
     fused = un.groupBy("q_id", "neighbor_id").agg(
-        dec(F.sum(1.0 / (RRF_C + F.col("rank"))), 6).alias("rrf_score"),
+        F.sum(F.expr(f"1000000 div ({RRF_C} + rank)"))
+        .cast("long")
+        .alias("rrf_micro"),
         F.count("*").cast("long").alias("n_methods"),
     )
-    w = W.partitionBy("q_id").orderBy(F.col("rrf_score").desc(), "neighbor_id")
+    w = W.partitionBy("q_id").orderBy(F.col("rrf_micro").desc(), "neighbor_id")
     return (
         fused.withColumn("fused_rank", F.row_number().over(w).cast("long"))
         .filter(F.col("fused_rank") <= RRF_K)
-        .select("q_id", "neighbor_id", "rrf_score", "n_methods", "fused_rank")
+        .select("q_id", "neighbor_id", "rrf_micro", "n_methods", "fused_rank")
     )
 
 
@@ -10710,16 +10718,16 @@ def _q295_oracle() -> str:
       SELECT q_id, neighbor_id, "rank" FROM ivf),
     fused AS (
       SELECT q_id, neighbor_id,
-             {sql_dec(f'SUM(1.0 / ({RRF_C} + "rank"))', 6)} AS rrf_score,
+             SUM(1000000 // ({RRF_C} + "rank")) AS rrf_micro,
              COUNT(*) AS n_methods
       FROM un GROUP BY q_id, neighbor_id),
     ranked AS (
-      SELECT q_id, neighbor_id, rrf_score,
+      SELECT q_id, neighbor_id, CAST(rrf_micro AS BIGINT) AS rrf_micro,
              CAST(n_methods AS BIGINT) AS n_methods,
              ROW_NUMBER() OVER (PARTITION BY q_id
-               ORDER BY rrf_score DESC, neighbor_id) AS fused_rank
+               ORDER BY rrf_micro DESC, neighbor_id) AS fused_rank
       FROM fused)
-    SELECT q_id, neighbor_id, rrf_score, n_methods,
+    SELECT q_id, neighbor_id, rrf_micro, n_methods,
            CAST(fused_rank AS BIGINT) AS fused_rank
     FROM ranked WHERE fused_rank <= {HYB_K}
     """.replace("{Q46}", ORACLES["q46_ann_lsh_bucketed"]).replace(
@@ -10763,8 +10771,11 @@ def q295_hybrid_retrieval(
     Parity: the lexical leg reuses q287's 6-dp-round → integer-micro
     quantization (order-independent per-doc sums, ties on doc_id);
     query-term selection orders by (df ASC, term) — both engine-exact;
-    the fused score is a ≤ 3-term sum of exactly-representable
-    reciprocals rounded to 6 dp before ranking (the q153 rule).
+    the fused score is an INTEGER micro-unit sum — floor(1e6 /
+    (60 + rank)) per leg, the q296 MRR discipline — so no float
+    summation order exists (ADVICE r10 #3: 1/(60+rank) is not exactly
+    representable in binary, so the earlier double-sum design was
+    engine-order-dependent in principle; q153 fixed the same way).
 
     Scale shape: the query-term table is N_QUERIES x {HYB_QT} rows
     (broadcast); its tf join fans out to Σ df(term) over DISTINCTIVE
@@ -10831,14 +10842,16 @@ def q295_hybrid_retrieval(
         legs = _hybrid_dense_legs(spark, sf_dir)
     un = lex.unionByName(legs["lsh"]).unionByName(legs["ivf"])
     fused = un.groupBy("q_id", "neighbor_id").agg(
-        dec(F.sum(1.0 / (RRF_C + F.col("rank"))), 6).alias("rrf_score"),
+        F.sum(F.expr(f"1000000 div ({RRF_C} + rank)"))
+        .cast("long")
+        .alias("rrf_micro"),
         F.count("*").cast("long").alias("n_methods"),
     )
-    wf = W.partitionBy("q_id").orderBy(F.col("rrf_score").desc(), "neighbor_id")
+    wf = W.partitionBy("q_id").orderBy(F.col("rrf_micro").desc(), "neighbor_id")
     return (
         fused.withColumn("fused_rank", F.row_number().over(wf).cast("long"))
         .filter(F.col("fused_rank") <= HYB_K)
-        .select("q_id", "neighbor_id", "rrf_score", "n_methods", "fused_rank")
+        .select("q_id", "neighbor_id", "rrf_micro", "n_methods", "fused_rank")
     )
 
 
@@ -11140,4 +11153,600 @@ def q298_dedup_deletion_manifest(
             "source",
             (F.col("quality") + F.lit(0.0)).alias("dropped_quality"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q299 — deletion manifest APPLY (tombstone consumption; VERDICT r10 #2)
+# ---------------------------------------------------------------------------
+
+
+def _q299_oracle() -> str:
+    return f"""
+    WITH m AS ({ORACLES['q298_dedup_deletion_manifest']}),
+    d AS (SELECT doc_id, source, len(string_split(text, ' ')) AS toks
+          FROM documents),
+    drops AS (SELECT source, COUNT(*) AS n_dropped FROM m GROUP BY 1),
+    ret AS (
+      SELECT d.source, COUNT(*) AS n_retained, SUM(d.toks) AS tokens_retained
+      FROM d
+      WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.drop_doc_id = d.doc_id)
+      GROUP BY 1),
+    tot AS (SELECT source, COUNT(*) AS n_docs, SUM(toks) AS tokens_total
+            FROM d GROUP BY 1)
+    SELECT t.source,
+           CAST(t.n_docs AS BIGINT) AS n_docs,
+           CAST(COALESCE(dr.n_dropped, 0) AS BIGINT) AS n_dropped,
+           CAST(COALESCE(r.n_retained, 0) AS BIGINT) AS n_retained,
+           CAST(t.tokens_total AS BIGINT) AS tokens_total,
+           CAST(COALESCE(r.tokens_retained, 0) AS BIGINT) AS tokens_retained,
+           CAST(CASE WHEN COALESCE(r.n_retained, 0)
+                          + COALESCE(dr.n_dropped, 0) = t.n_docs
+                THEN 1 ELSE 0 END AS BIGINT) AS audit_ok
+    FROM tot t
+    LEFT JOIN drops dr ON dr.source = t.source
+    LEFT JOIN ret r ON r.source = t.source
+    """
+
+
+@query("q299_deletion_manifest_apply", oracle=_q299_oracle())
+def q299_deletion_manifest_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the q298 deletion manifest — the tombstone-consumption
+    step that was the missing half of the dedup lifecycle: the retained
+    corpus is ``documents`` ANTI-JOINED against the manifest's
+    ``drop_doc_id`` (the id-keyed subtraction a 100 TB pipeline runs
+    before shipping a training shard), reported per source with an
+    in-query conservation audit.  ``audit_ok`` certifies, per source,
+    that retained + dropped == total where the three counts come from
+    INDEPENDENT paths (anti-join scan, manifest aggregate, corpus
+    aggregate) — a manifest with duplicate rows, or rows referencing
+    ids outside the corpus, fails the audit instead of silently
+    shipping the wrong document set.
+
+    Parity: all integer counts and token sums; the manifest keep-rule
+    is q298's (rounded-quality struct-max, id tiebreak).
+
+    Scale shape: the manifest is output-bounded (true duplicate
+    volume); the apply is ONE left-anti hash join on the doc key —
+    broadcastable when the manifest is small relative to the corpus,
+    shuffle-keyed otherwise (Spark/AQE picks); per-source rollups are
+    map-side-combinable aggregates; no window, no corpus-squared
+    anything.
+    """
+    m = q298_dedup_deletion_manifest(spark, sf_dir)
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).alias("toks"),
+    )
+    drops = m.groupBy("source").agg(F.count("*").alias("n_dropped"))
+    ret = (
+        d.join(
+            m.select(F.col("drop_doc_id").alias("doc_id")), "doc_id", "left_anti"
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_retained"),
+            F.sum("toks").alias("tokens_retained"),
+        )
+    )
+    tot = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("toks").alias("tokens_total")
+    )
+    return (
+        tot.join(drops, "source", "left")
+        .join(ret, "source", "left")
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.coalesce("n_dropped", F.lit(0)).cast("long").alias("n_dropped"),
+            F.coalesce("n_retained", F.lit(0)).cast("long").alias("n_retained"),
+            F.col("tokens_total").cast("long").alias("tokens_total"),
+            F.coalesce("tokens_retained", F.lit(0))
+            .cast("long")
+            .alias("tokens_retained"),
+            (
+                F.coalesce("n_retained", F.lit(0))
+                + F.coalesce("n_dropped", F.lit(0))
+                == F.col("n_docs")
+            )
+            .cast("long")
+            .alias("audit_ok"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q300 — IVF index maintenance with DELETIONS (signed retraction merge)
+# ---------------------------------------------------------------------------
+
+#: the simulated deletion batch: vec_id % MOD == DELETE_REM leaves the
+#: corpus at the same maintenance tick the insert delta (q282's
+#: % MOD == IVF_DELTA_REM) arrives.  Disjoint remainders, so a doc is
+#: never both inserted and deleted in one tick.
+IVF_DELETE_REM = 2
+DOC_DELETE_REM = 2
+
+
+def _q300_oracle() -> str:
+    return f"""
+    WITH {_ANN_PARAMS_SQL},
+    cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+                  WHERE vec_id < (SELECT n_cent FROM ann_p)),
+    scored AS (
+      SELECT e.vec_id, e.embedding, c.cid,
+             {_COS_SQL.format(a='e.embedding', b='c.ce')} AS cs
+      FROM embeddings e CROSS JOIN cent c),
+    cells AS (
+      SELECT vec_id, embedding, cid AS cell FROM (
+        SELECT vec_id, embedding, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+        FROM scored) t
+      WHERE rn = 1),
+    comp AS (
+      SELECT cell, vec_id,
+             CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE)
+                        * {IVF_SUM_SCALE} + 0.5) AS BIGINT) AS qv
+      FROM cells),
+    chk AS (SELECT cell,
+                   SUM(CASE WHEN vec_id % {IVF_DELTA_MOD} = {IVF_DELETE_REM}
+                            THEN 0 ELSE qv END) AS centroid_checksum
+            FROM comp GROUP BY 1),
+    cnt AS (
+      SELECT cell,
+             SUM(CASE WHEN vec_id % {IVF_DELTA_MOD} = {IVF_DELTA_REM}
+                      THEN 0 ELSE 1 END) AS n_base,
+             SUM(CASE WHEN vec_id % {IVF_DELTA_MOD} = {IVF_DELTA_REM}
+                      THEN 1 ELSE 0 END) AS n_ins,
+             SUM(CASE WHEN vec_id % {IVF_DELTA_MOD} = {IVF_DELETE_REM}
+                      THEN 1 ELSE 0 END) AS n_del
+      FROM cells GROUP BY 1)
+    SELECT CAST(cnt.cell AS BIGINT) AS cell,
+           CAST(n_base AS BIGINT) AS n_base,
+           CAST(n_ins AS BIGINT) AS n_ins,
+           CAST(n_del AS BIGINT) AS n_del,
+           CAST(n_base + n_ins - n_del AS BIGINT) AS n_live,
+           CAST(centroid_checksum AS BIGINT) AS centroid_checksum,
+           CAST(1 AS BIGINT) AS matches_full
+    FROM cnt JOIN chk ON chk.cell = cnt.cell
+    WHERE n_base + n_ins - n_del > 0
+    """
+
+
+@query("q300_ivf_delete_refresh", oracle=_q300_oracle())
+def q300_ivf_delete_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index maintenance with DELETIONS — the retraction half of
+    q282's IVM contract (VERDICT r10 ask #2): at one maintenance tick
+    an insert delta arrives (vec_id % {IVF_DELTA_MOD} ==
+    {IVF_DELTA_REM}) AND a deletion batch leaves (vec_id %
+    {IVF_DELTA_MOD} == {IVF_DELETE_REM}, e.g. q298's manifest ids).
+    Because the per-cell centroid state is SIGNED integer partials
+    (count, Σ quantized component), retraction is algebraically free:
+    merged = base + insert − delete, no rebuild, no re-scan of the
+    base corpus.  A cell whose members are all deleted retracts to
+    (0, 0) and drops from the live state.
+
+    The audit IS the result: an independent full recompute over the
+    LIVE corpus (all vectors minus the deletion batch) must equal the
+    merged state bit-exactly per (cell, component) — ``matches_full``
+    is a global MIN over every component cell, including cells that
+    retracted to zero (those must be ABSENT from the live recompute).
+
+    Parity: assignment is q47's argmax (cosine, lowest-cid tie);
+    components quantize with floor(x·{IVF_SUM_SCALE}+0.5); everything
+    else is integer counts/sums and exact subtraction.
+
+    Scale shape: ONE map-only assignment pass (persisted — base,
+    insert, delete and the audit recompute all filter it); partials
+    are map-side-combinable (cell, component) integer cells bounded by
+    n_cent·dim; the three-way merge is bounded outer joins of partial
+    tables; deletion costs ONE more filtered re-aggregation of the
+    same persisted frame, never a corpus re-index.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    n_cent, _, _ = ann_params(corpus_size(spark, sf_dir))
+    is_ins = (F.col("vec_id") % IVF_DELTA_MOD) == IVF_DELTA_REM
+    is_del = (F.col("vec_id") % IVF_DELTA_MOD) == IVF_DELETE_REM
+    qcells = (
+        ivf_cell_assignment(spark, sf_dir, n_cent)
+        .select(
+            "vec_id",
+            "cell",
+            is_ins.alias("i"),
+            is_del.alias("x"),
+            F.transform(
+                F.col("embedding"),
+                lambda v: F.floor(
+                    v.cast("double") * IVF_SUM_SCALE + F.lit(0.5)
+                ).cast("long"),
+            ).alias("qe"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    comp = qcells.select("cell", "i", "x", F.posexplode("qe").alias("pos", "qv"))
+
+    def partials(df: DataFrame, tag: str) -> DataFrame:
+        return df.groupBy("cell", "pos").agg(
+            F.sum("qv").alias(f"s_{tag}"), F.count("*").alias(f"n_{tag}")
+        )
+
+    bp = partials(comp.filter(~F.col("i")), "b")  # base incl. to-be-deleted
+    ip = partials(comp.filter(F.col("i")), "i")
+    xp = partials(comp.filter(F.col("x")), "x")
+    z = F.lit(0)
+    merged = (
+        bp.join(ip, ["cell", "pos"], "full_outer")
+        .join(xp, ["cell", "pos"], "full_outer")
+        .select(
+            "cell",
+            "pos",
+            (
+                F.coalesce("s_b", z) + F.coalesce("s_i", z) - F.coalesce("s_x", z)
+            ).alias("s_m"),
+            F.coalesce("n_b", z).alias("nb"),
+            F.coalesce("n_i", z).alias("ni"),
+            F.coalesce("n_x", z).alias("nx"),
+        )
+    )
+    full = partials(comp.filter(~F.col("x")), "f")
+    audit = merged.join(full, ["cell", "pos"], "full_outer").select(
+        "cell",
+        "pos",
+        F.coalesce("s_m", z).alias("s_m"),
+        F.coalesce("nb", z).alias("nb"),
+        F.coalesce("ni", z).alias("ni"),
+        F.coalesce("nx", z).alias("nx"),
+        (
+            (F.coalesce("s_m", z) == F.coalesce("s_f", z))
+            & (
+                F.coalesce("nb", z) + F.coalesce("ni", z) - F.coalesce("nx", z)
+                == F.coalesce("n_f", z)
+            )
+        )
+        .cast("long")
+        .alias("ok"),
+    )
+    return (
+        audit.groupBy(F.col("cell").cast("long").alias("cell"))
+        .agg(
+            F.max("nb").cast("long").alias("n_base"),
+            F.max("ni").cast("long").alias("n_ins"),
+            F.max("nx").cast("long").alias("n_del"),
+            (F.max("nb") + F.max("ni") - F.max("nx"))
+            .cast("long")
+            .alias("n_live"),
+            F.sum("s_m").cast("long").alias("centroid_checksum"),
+            F.min("ok").cast("long").alias("matches_full"),
+        )
+        .filter(F.col("n_live") > 0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q301 — MinHash-LSH index maintenance with DELETIONS (pair retraction)
+# ---------------------------------------------------------------------------
+
+
+def _q301_oracle() -> str:
+    sig_cols = ", ".join(
+        f"list_min(list_transform(hp, p -> p.h1 + {i} * p.h2)) AS m{i}"
+        for i in range(MINHASH_H)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {key} AS key FROM sig".format(
+            b=b,
+            key=" || '|' || ".join(
+                f"CAST(m{b * LSH_R + r} AS VARCHAR)" for r in range(LSH_R)
+            ),
+        )
+        for b in range(LSH_B)
+    )
+    return f"""
+    WITH docs AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents),
+    hp AS (SELECT doc_id, sh,
+           list_transform(list_transform(sh, s -> md5(s)),
+             h -> {{'h1': ('0x' || substr(h, 1, 15))::BIGINT,
+                    'h2': ('0x' || substr(h, 17, 8))::BIGINT}}) AS hp
+           FROM docs),
+    sig AS (SELECT doc_id, {sig_cols} FROM hp),
+    bands AS ({band_selects}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+    ver AS (
+      SELECT c.doc_a, c.doc_b
+      FROM cand c
+      JOIN docs da ON da.doc_id = c.doc_a
+      JOIN docs db ON db.doc_id = c.doc_b
+      WHERE len(list_intersect(da.sh, db.sh)) * 1.0
+              / len(list_distinct(list_concat(da.sh, db.sh))) >= {JACCARD_T}),
+    f AS (
+      SELECT doc_a, doc_b,
+             CASE WHEN doc_a % {DOC_DELTA_MOD} = {DOC_DELTA_REM}
+                    OR doc_b % {DOC_DELTA_MOD} = {DOC_DELTA_REM}
+                  THEN 1 ELSE 0 END AS ins,
+             CASE WHEN doc_a % {DOC_DELTA_MOD} = {DOC_DELETE_REM}
+                    OR doc_b % {DOC_DELTA_MOD} = {DOC_DELETE_REM}
+                  THEN 1 ELSE 0 END AS del_p
+      FROM ver)
+    SELECT CAST(COALESCE(SUM(CASE WHEN ins = 0 THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_base_pairs,
+           CAST(COALESCE(SUM(CASE WHEN ins = 0 AND del_p = 1 THEN 1 ELSE 0 END),
+                0) AS BIGINT) AS n_retracted,
+           CAST(COALESCE(SUM(CASE WHEN ins = 1 AND del_p = 0 THEN 1 ELSE 0 END),
+                0) AS BIGINT) AS n_delta_pairs,
+           CAST(COALESCE(SUM(CASE WHEN del_p = 0 THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_incremental,
+           CAST(COALESCE(SUM(CASE WHEN del_p = 0 THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_full,
+           CAST(1 AS BIGINT) AS matches_full
+    FROM f
+    """
+
+
+@query("q301_lsh_delete_refresh", oracle=_q301_oracle())
+def q301_lsh_delete_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH index maintenance with DELETIONS — the retraction
+    half of q284's IVM contract (VERDICT r10 ask #2): at one tick the
+    insert delta (doc_id % {DOC_DELTA_MOD} == {DOC_DELTA_REM}) arrives
+    AND a deletion batch (doc_id % {DOC_DELTA_MOD} == {DOC_DELETE_REM})
+    leaves.  The stored pair set retracts every pair touching a deleted
+    doc (an id-keyed filter — pair retraction needs no re-shingling),
+    then unions the delta-involving pairs among surviving docs; the
+    refreshed set must equal a from-scratch rebuild over the LIVE
+    corpus only.
+
+    The audit is structural, not circular: the surviving-base and
+    added-delta sets derive from TWO independent bucket builds
+    (base-only bands, all bands) while ``n_full`` derives from a THIRD
+    (live-only bands) — ``matches_full`` certifies pair-by-pair set
+    equality, which holds only because per-doc bucketing plus lossless
+    ``chunk_buckets`` makes pair discovery independent of which other
+    docs share the corpus.
+
+    Parity: set semantics + integer counts; verification keeps
+    Jaccard ≥ {JACCARD_T} (same double both engines).
+
+    Scale shape: ONE shingle pass and ONE signature pass (persisted —
+    all three bucket builds filter the same band rows); bucket
+    collapses combine map-side; oversized buckets chunk-distribute;
+    each distinct candidate pair verifies once; retraction itself is a
+    map-side id-mod filter on the bounded pair table.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    docs = (
+        _fanout(spark, table(spark, sf_dir, "documents"))
+        .select("doc_id", _shingles(F.col("text")).alias("sh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    bands = (
+        _minhash_bands(docs.select("doc_id", "sh"))
+        .withColumn("ins", (F.col("doc_id") % DOC_DELTA_MOD) == DOC_DELTA_REM)
+        .withColumn("dl", (F.col("doc_id") % DOC_DELTA_MOD) == DOC_DELETE_REM)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    def bucket_pairs(band_rows: DataFrame, name: str) -> DataFrame:
+        bucketed = (
+            band_rows.groupBy("band", "key")
+            .agg(F.collect_list("doc_id").alias("ids"))
+            .filter(F.size("ids") >= 2)
+        )
+        return (
+            blocking.chunk_buckets(bucketed, name, "ids")
+            .select(F.explode(blocking.chunk_pair_structs()).alias("p"))
+            .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .distinct()
+        )
+
+    base_pairs = bucket_pairs(
+        bands.filter(~F.col("ins")), "q301_lsh_delete_refresh_base"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    all_pairs = bucket_pairs(
+        bands, "q301_lsh_delete_refresh_all"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    live_pairs = bucket_pairs(
+        bands.filter(~F.col("dl")), "q301_lsh_delete_refresh_live"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # all-docs buckets generate a superset of both filtered builds
+    # (per-doc bucketing + lossless chunking), so all_pairs IS the
+    # candidate set; verify each distinct pair exactly once
+    sets = docs.select("doc_id", "sh")
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    ver = (
+        all_pairs.join(
+            sets.select(F.col("doc_id").alias("a"), F.col("sh").alias("sh_a")),
+            "a",
+        )
+        .join(
+            sets.select(F.col("doc_id").alias("b"), F.col("sh").alias("sh_b")),
+            "b",
+        )
+        .filter(jac >= JACCARD_T)
+        .select("a", "b")
+    )
+    is_ins = lambda c: (F.col(c) % DOC_DELTA_MOD) == DOC_DELTA_REM  # noqa: E731
+    is_del = lambda c: (F.col(c) % DOC_DELTA_MOD) == DOC_DELETE_REM  # noqa: E731
+    flags = (
+        ver.join(base_pairs.withColumn("in_b", F.lit(1)), ["a", "b"], "left")
+        .join(live_pairs.withColumn("in_f", F.lit(1)), ["a", "b"], "left")
+        .select(
+            F.coalesce("in_b", F.lit(0)).alias("in_b"),
+            F.coalesce("in_f", F.lit(0)).alias("in_f"),
+            (is_ins("a") | is_ins("b")).cast("int").alias("ins_p"),
+            (is_del("a") | is_del("b")).cast("int").alias("del_p"),
+        )
+    )
+    surv = (F.col("in_b") == 1) & (F.col("del_p") == 0)
+    added = (F.col("ins_p") == 1) & (F.col("del_p") == 0)
+    inc = (surv | added).cast("long")
+    z = F.lit(0)
+    return flags.agg(
+        F.coalesce(F.sum("in_b"), z).cast("long").alias("n_base_pairs"),
+        F.coalesce(F.sum(((F.col("in_b") == 1) & (F.col("del_p") == 1)).cast("long")), z)
+        .cast("long")
+        .alias("n_retracted"),
+        F.coalesce(F.sum(added.cast("long")), z).cast("long").alias("n_delta_pairs"),
+        F.coalesce(F.sum(inc), z).cast("long").alias("n_incremental"),
+        F.coalesce(F.sum("in_f"), z).cast("long").alias("n_full"),
+        F.coalesce(F.min((inc == F.col("in_f")).cast("long")), F.lit(1))
+        .cast("long")
+        .alias("matches_full"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q302 — BM25 stats maintenance with DELETIONS (df/cf retraction)
+# ---------------------------------------------------------------------------
+
+
+def _q302_oracle() -> str:
+    return f"""
+    WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+               FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf,
+                  doc_id % {DOC_DELTA_MOD} = {DOC_DELTA_REM} AS ins,
+                  doc_id % {DOC_DELTA_MOD} = {DOC_DELETE_REM} AS del_d
+           FROM t GROUP BY 1, 2),
+    base AS (SELECT term, COUNT(*) AS df_b, SUM(tf) AS cf_b
+             FROM tf WHERE NOT ins GROUP BY 1),
+    insd AS (SELECT term, COUNT(*) AS df_i, SUM(tf) AS cf_i
+             FROM tf WHERE ins GROUP BY 1),
+    deld AS (SELECT term, COUNT(*) AS df_x, SUM(tf) AS cf_x
+             FROM tf WHERE del_d GROUP BY 1),
+    merged AS (
+      SELECT term, df_base, df_ins, df_del,
+             df_base + df_ins - df_del AS df_merged,
+             cf_base + cf_ins - cf_del AS cf_merged
+      FROM (
+        SELECT COALESCE(b.term, i.term, x.term) AS term,
+               COALESCE(df_b, 0) AS df_base, COALESCE(df_i, 0) AS df_ins,
+               COALESCE(df_x, 0) AS df_del,
+               COALESCE(cf_b, 0) AS cf_base, COALESCE(cf_i, 0) AS cf_ins,
+               COALESCE(cf_x, 0) AS cf_del
+        FROM base b
+        FULL OUTER JOIN insd i ON b.term = i.term
+        FULL OUTER JOIN deld x ON COALESCE(b.term, i.term) = x.term)
+      WHERE df_base + df_ins - df_del > 0),
+    full_r AS (SELECT term, COUNT(*) AS df_f, SUM(tf) AS cf_f
+               FROM tf WHERE NOT del_d GROUP BY 1),
+    audit AS (
+      SELECT MIN(CASE WHEN m.df_merged = f.df_f AND m.cf_merged = f.cf_f
+                      THEN 1 ELSE 0 END) AS ok
+      FROM merged m FULL OUTER JOIN full_r f ON m.term = f.term)
+    SELECT m.term,
+           CAST(m.df_base AS BIGINT) AS df_base,
+           CAST(m.df_ins AS BIGINT) AS df_ins,
+           CAST(m.df_del AS BIGINT) AS df_del,
+           CAST(m.df_merged AS BIGINT) AS df_merged,
+           CAST(m.cf_merged AS BIGINT) AS cf_merged,
+           CAST(audit.ok AS BIGINT) AS matches_full
+    FROM merged m CROSS JOIN audit
+    ORDER BY m.df_merged DESC, m.term LIMIT {BMIVM_TOP}
+    """
+
+
+@query("q302_bm25_stats_delete_refresh", oracle=_q302_oracle())
+def q302_bm25_stats_delete_refresh(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BM25/lexical statistics maintenance with DELETIONS — the
+    retraction half of q293's IVM contract (VERDICT r10 ask #2): at one
+    tick the insert delta (doc_id % {DOC_DELTA_MOD} == {DOC_DELTA_REM})
+    tokenizes its documents and a deletion batch (doc_id %
+    {DOC_DELTA_MOD} == {DOC_DELETE_REM}) retracts ITS term
+    contributions — both as integer partial merges: df/cf = base +
+    insert − delete, never a re-scan of the base corpus.  A term whose
+    document frequency retracts to zero is TOMBSTONED out of the index
+    (the live recompute cannot contain it), which is exactly the state
+    transition additive-only maintenance can never produce.
+
+    ``matches_full`` certifies the merged stats against an independent
+    full recompute over the LIVE corpus across EVERY term (a global
+    MIN, not just the reported rows).
+
+    Parity: all integer counts; the top-{BMIVM_TOP} report ties on the
+    term string.
+
+    Scale shape: one explode → (doc, term) hash aggregate carrying the
+    insert/delete flags (persisted); base/insert/delete/full partials
+    are filtered re-aggregations of that one table; merges are
+    term-keyed outer joins; the report is TakeOrderedAndProject.  The
+    deleted docs' contributions come from the SAME stored posting rows
+    an inverted index already holds — retraction reads state, not the
+    corpus.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    docs = table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("ins", (F.col("doc_id") % DOC_DELTA_MOD) == DOC_DELTA_REM)
+        .withColumn(
+            "del_d", (F.col("doc_id") % DOC_DELTA_MOD) == DOC_DELETE_REM
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    def stats(df: DataFrame, tag: str) -> DataFrame:
+        return df.groupBy("term").agg(
+            F.count("*").alias(f"df_{tag}"), F.sum("tf").alias(f"cf_{tag}")
+        )
+
+    base = stats(tf.filter(~F.col("ins")), "b")
+    insd = stats(tf.filter(F.col("ins")), "i")
+    deld = stats(tf.filter(F.col("del_d")), "x")
+    z = F.lit(0)
+    merged = (
+        base.join(insd, "term", "full_outer")
+        .join(deld, "term", "full_outer")
+        .select(
+            "term",
+            F.coalesce("df_b", z).alias("df_base"),
+            F.coalesce("df_i", z).alias("df_ins"),
+            F.coalesce("df_x", z).alias("df_del"),
+            (
+                F.coalesce("df_b", z) + F.coalesce("df_i", z)
+                - F.coalesce("df_x", z)
+            ).alias("df_merged"),
+            (
+                F.coalesce("cf_b", z) + F.coalesce("cf_i", z)
+                - F.coalesce("cf_x", z)
+            ).alias("cf_merged"),
+        )
+        .filter(F.col("df_merged") > 0)
+    )
+    full_r = stats(tf.filter(~F.col("del_d")), "f")
+    audit = merged.join(full_r, "term", "full_outer").agg(
+        F.min(
+            (
+                F.coalesce("df_merged", F.lit(-1)).eqNullSafe(
+                    F.coalesce("df_f", F.lit(-2))
+                )
+                & F.coalesce("cf_merged", F.lit(-1)).eqNullSafe(
+                    F.coalesce("cf_f", F.lit(-2))
+                )
+            ).cast("long")
+        ).alias("ok")
+    )
+    top = (
+        merged.crossJoin(F.broadcast(audit))
+        .orderBy(F.col("df_merged").desc(), "term")
+        .limit(BMIVM_TOP)
+    )
+    return top.select(
+        "term",
+        F.col("df_base").cast("long"),
+        F.col("df_ins").cast("long"),
+        F.col("df_del").cast("long"),
+        F.col("df_merged").cast("long"),
+        F.col("cf_merged").cast("long"),
+        F.col("ok").cast("long").alias("matches_full"),
     )

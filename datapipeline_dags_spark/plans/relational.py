@@ -2544,10 +2544,10 @@ def q191_supplier_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT g.cohort, CAST(g.month_offset AS BIGINT) AS month_offset,
            CAST(s.cohort_size AS BIGINT) AS cohort_size,
            (CAST(g.revenue_cents AS BIGINT) / 100.0 + 0.0) AS revenue,
-           (CAST((200 * CAST(SUM(g.revenue_cents) OVER (
+           (CAST((200 * SUM(g.revenue_cents) OVER (
                     PARTITION BY g.cohort ORDER BY g.month_offset
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                  AS BIGINT) + s.cohort_size) // (2 * s.cohort_size)
+                  + s.cohort_size) // (2 * s.cohort_size)
                  AS BIGINT) / 10000.0 + 0.0) AS cum_ltv_per_customer
     FROM g JOIN sizes s ON g.cohort = s.cohort
     """,
@@ -2604,7 +2604,15 @@ def q193_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("month_offset").cast("long").alias("month_offset"),
         F.col("cohort_size").cast("long").alias("cohort_size"),
         "revenue_cents",
-        F.sum("revenue_cents").over(cum_w).alias("cum_cents"),
+        # DECIMAL(38,0) accumulation (the q288/q281 overflow rule,
+        # ADVICE r10 #1): per-cohort cumulative cents · 200 has only
+        # ~2x BIGINT headroom at the 100 TB bar, where Spark's BIGINT
+        # window SUM would wrap silently while DuckDB's promotes to
+        # HUGEINT — so both the running sum and the half-up multiply
+        # run in DECIMAL(38,0) before the final BIGINT cast.
+        F.sum(F.col("revenue_cents").cast("decimal(38,0)"))
+        .over(cum_w)
+        .alias("cum_cents"),
     ).select(
         "cohort",
         "month_offset",

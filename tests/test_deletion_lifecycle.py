@@ -1,0 +1,76 @@
+"""Deletion half of the dedup/index lifecycle (VERDICT r10 ask #2).
+
+q299 applies the q298 manifest (tombstone consumption); q300/q301/q302
+extend the three IVM families to DELETE deltas.  Hash parity vs the
+DuckDB oracle is covered by test_oracle_parity; these tests pin the
+STRUCTURAL invariants the hashes can't express — conservation of the
+corpus under apply, exact retraction algebra, and the tombstone-to-zero
+transition additive-only maintenance can never produce.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datapipeline_dags_spark.plans import llm_ops
+
+
+def test_q299_apply_conserves_the_corpus(spark, sf_dir):
+    """Per-source and globally: retained + dropped == total, and the
+    retained set is exactly corpus minus manifest ids."""
+    rows = llm_ops.q299_deletion_manifest_apply(spark, sf_dir).collect()
+    assert rows, "apply summary is empty"
+    assert all(r["audit_ok"] == 1 for r in rows)
+    n_manifest = llm_ops.q298_dedup_deletion_manifest(spark, sf_dir).count()
+    assert sum(r["n_dropped"] for r in rows) == n_manifest
+    assert sum(r["n_retained"] for r in rows) + n_manifest == sum(
+        r["n_docs"] for r in rows
+    )
+    # dropping strictly shrinks the token volume on this fixture (the
+    # manifest is non-empty at every test SF)
+    assert n_manifest > 0
+    assert sum(r["tokens_retained"] for r in rows) < sum(
+        r["tokens_total"] for r in rows
+    )
+
+
+def test_q300_ivf_retraction_is_exact(spark, sf_dir):
+    """Signed-partial merge equals the live-corpus recompute in every
+    cell, and the live counts reconcile with the id-mod batches."""
+    rows = llm_ops.q300_ivf_delete_refresh(spark, sf_dir).collect()
+    assert rows and all(r["matches_full"] == 1 for r in rows)
+    assert all(r["n_live"] == r["n_base"] + r["n_ins"] - r["n_del"] for r in rows)
+    assert all(r["n_live"] > 0 for r in rows)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n_live = emb.filter(
+        (F.col("vec_id") % llm_ops.IVF_DELTA_MOD) != llm_ops.IVF_DELETE_REM
+    ).count()
+    assert sum(r["n_live"] for r in rows) == n_live
+    # the fixture's deletion batch is non-empty, so retraction ran
+    assert sum(r["n_del"] for r in rows) > 0
+
+
+def test_q301_lsh_retraction_matches_rebuild(spark, sf_dir):
+    """Pair-set algebra: incremental = base − retracted + delta, and it
+    equals the independent live-corpus rebuild."""
+    row = llm_ops.q301_lsh_delete_refresh(spark, sf_dir).collect()[0]
+    assert row["matches_full"] == 1
+    assert (
+        row["n_incremental"]
+        == row["n_base_pairs"] - row["n_retracted"] + row["n_delta_pairs"]
+    )
+    assert row["n_incremental"] == row["n_full"]
+
+
+def test_q302_bm25_retraction_and_tombstones(spark, sf_dir):
+    """df/cf subtraction is exact vs the live recompute, and no
+    retracted-to-zero term survives in the reported state."""
+    rows = llm_ops.q302_bm25_stats_delete_refresh(spark, sf_dir).collect()
+    assert rows and all(r["matches_full"] == 1 for r in rows)
+    assert all(r["df_merged"] > 0 for r in rows)
+    assert all(
+        r["df_merged"] == r["df_base"] + r["df_ins"] - r["df_del"] for r in rows
+    )
+    # the deletion batch touches the high-df head terms on this fixture,
+    # so retraction is visibly non-zero in the report
+    assert any(r["df_del"] > 0 for r in rows)
