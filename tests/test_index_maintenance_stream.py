@@ -294,3 +294,238 @@ def test_lexical_serving_from_maintained_state(spark, dirs):
     want = sorted(map(tuple, full.topk(0, qterms, k=20).collect()))
     assert got == want
     assert len(got) == 20
+
+
+# ---------------------------------------------------------------------------
+# Deletion deltas (VERDICT r10 ask #2): each maintainer's process_batch
+# takes a tombstone frame; retraction reads STATE (stored assignments /
+# pairs / postings), never the corpus, and matches_full is asserted
+# against the LIVE corpus (ingested minus deleted).
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_maintenance_with_deletes(spark, dirs):
+    emb = table(spark, SF_DIR, "embeddings")
+    m = IvfIndexMaintainer(spark, dirs["state"], centroid_corpus=emb)
+    b0 = emb.filter(F.col("vec_id") % 2 == 0).select("vec_id", "embedding")
+    b1 = emb.filter(F.col("vec_id") % 2 == 1).select("vec_id", "embedding")
+    dels = emb.filter(F.col("vec_id") % 4 == 0).select("vec_id")
+    m.process_batch(b0, 0)
+    m.process_batch(b1, 1, deletes=dels)
+    live = b0.unionByName(b1).join(dels, "vec_id", "left_anti")
+    assert m.matches_full(1, live)
+    # the tombstoned ids are gone from the served assignment rows
+    assert m.assign(1).join(dels, "vec_id", "left_semi").count() == 0
+    assert dels.count() > 0
+    # deleting ids NOT in the state is a no-op (idempotent deletes)
+    before = sorted(map(tuple, m.state(1).collect()))
+    m.process_batch(
+        spark.createDataFrame([], "vec_id bigint, embedding array<float>"),
+        2,
+        deletes=spark.createDataFrame([(10**12,)], "vec_id bigint"),
+    )
+    assert sorted(map(tuple, m.state(2).collect())) == before
+
+
+def test_lsh_maintenance_with_deletes(spark, dirs):
+    docs = table(spark, SF_DIR, "documents")
+    m = LshIndexMaintainer(spark, dirs["state"])
+    b0 = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text")
+    b1 = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text")
+    m.process_batch(b0, 0)
+    # delete some batch-0 docs at the tick batch 1 arrives; choose a
+    # modulus that hits docs participating in near-dup pairs
+    dels = docs.filter(F.col("doc_id") % 8 == 0).select("doc_id")
+    m.process_batch(b1, 1, deletes=dels)
+    live = b0.unionByName(b1).join(dels, "doc_id", "left_anti")
+    assert m.matches_full(1, live)
+    pairs = m.pairs(1)
+    hit = pairs.join(
+        dels.select(F.col("doc_id").alias("a")), "a", "left_semi"
+    ).count() + pairs.join(
+        dels.select(F.col("doc_id").alias("b")), "b", "left_semi"
+    ).count()
+    assert hit == 0, "stored pairs still reference tombstoned docs"
+
+
+def test_lexical_maintenance_with_deletes_and_term_tombstone(spark, dirs):
+    """df/cf retraction against live recompute, plus the q302
+    transition: a term occurring ONLY in deleted docs must vanish from
+    the maintained stats (additive-only IVM can never produce this)."""
+    from datapipeline_dags_spark.streaming.index_maintenance import (
+        LexicalStatsMaintainer,
+    )
+
+    rows0 = [(1, "alpha beta gamma"), (2, "beta unique_zzz unique_zzz")]
+    rows1 = [(3, "alpha delta"), (4, "beta gamma delta")]
+    b0 = spark.createDataFrame(rows0, "doc_id bigint, text string")
+    b1 = spark.createDataFrame(rows1, "doc_id bigint, text string")
+    m = LexicalStatsMaintainer(spark, dirs["state"])
+    m.process_batch(b0, 0)
+    assert (
+        m.terms(0).filter(F.col("term") == "unique_zzz").count() == 1
+    )
+    dels = spark.createDataFrame([(2,)], "doc_id bigint")
+    m.process_batch(b1, 1, deletes=dels)
+    live = b0.unionByName(b1).filter(F.col("doc_id") != 2)
+    assert m.matches_full(1, live)
+    # the term lived only in doc 2 — tombstoned out with it
+    assert m.terms(1).filter(F.col("term") == "unique_zzz").count() == 0
+    # corpus totals retracted too
+    cs = spark.read.parquet(f"{dirs['state']}/corpus/v1").collect()[0]
+    assert cs["n_docs"] == 3
+
+
+def test_postings_writes_are_per_batch_deltas(spark, dirs):
+    """ADVICE r10 #2: the postings store must not be rewritten in full
+    per tick — each version dir holds ONLY its own batch's rows."""
+    from datapipeline_dags_spark.streaming.index_maintenance import (
+        LexicalStatsMaintainer,
+    )
+
+    docs = table(spark, SF_DIR, "documents")
+    m = LexicalStatsMaintainer(spark, dirs["state"])
+    b0 = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text")
+    b1 = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text")
+    m.process_batch(b0, 0)
+    m.process_batch(b1, 1)
+    v1 = spark.read.parquet(f"{dirs['state']}/postings/v1")
+    # v1 contains batch-1 docs only (odd ids) — not the whole corpus
+    assert v1.filter(F.col("doc_id") % 2 == 0).count() == 0
+    assert v1.count() > 0
+    # and the union read still serves the complete live posting list
+    assert m.postings(1).select("doc_id").distinct().count() == docs.count()
+
+
+def test_ivf_serving_from_maintained_state(spark, dirs):
+    """The maintained ANN index must SERVE: IVF top-k scored from the
+    incrementally-built (insert + delete) assignment state equals the
+    same probe over a single-batch state of the identical live corpus —
+    maintenance changes WHERE the index came from, never a score."""
+    emb = table(spark, SF_DIR, "embeddings")
+    inc = IvfIndexMaintainer(spark, dirs["state"] + "/inc", centroid_corpus=emb)
+    b0 = emb.filter(F.col("vec_id") % 2 == 0).select("vec_id", "embedding")
+    b1 = emb.filter(F.col("vec_id") % 2 == 1).select("vec_id", "embedding")
+    dels = emb.filter(F.col("vec_id") % 5 == 3).select("vec_id")
+    inc.process_batch(b0, 0)
+    inc.process_batch(b1, 1, deletes=dels)
+
+    live = emb.join(dels, "vec_id", "left_anti")
+    full = IvfIndexMaintainer(spark, dirs["state"] + "/full", centroid_corpus=emb)
+    full.process_batch(live.select("vec_id", "embedding"), 0)
+
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    got = sorted(map(tuple, inc.topk(1, queries, k=5).collect()))
+    want = sorted(map(tuple, full.topk(0, queries, k=5).collect()))
+    assert got == want
+    assert len(got) > 0
+
+
+def test_hybrid_serving_from_maintained_state(spark, dirs):
+    """VERDICT r10 ask #4: the full hybrid stack served from maintained
+    state — maintained-IVF dense leg fused with the maintained-BM25
+    lexical leg via integer micro-unit RRF.  Parity is pinned per leg
+    (each equals its single-batch from-scratch twin, proven above) and
+    the fusion against an independent pure-python RRF of the two served
+    lists.  (q295 is the batch twin but fuses a THIRD leg — LSH — so
+    leg-wise parity, not 3-leg output equality, is the right oracle.)"""
+    from datapipeline_dags_spark.streaming.index_maintenance import (
+        LexicalStatsMaintainer,
+        hybrid_topk_from_state,
+    )
+
+    emb = table(spark, SF_DIR, "embeddings")
+    docs = table(spark, SF_DIR, "documents")
+    ivf = IvfIndexMaintainer(spark, dirs["state"] + "/ivf", centroid_corpus=emb)
+    lex = LexicalStatsMaintainer(spark, dirs["state"] + "/lex")
+    ivf.process_batch(
+        emb.filter(F.col("vec_id") % 2 == 0).select("vec_id", "embedding"), 0
+    )
+    ivf.process_batch(
+        emb.filter(F.col("vec_id") % 2 == 1).select("vec_id", "embedding"), 1
+    )
+    lex.process_batch(
+        docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text"), 0
+    )
+    lex.process_batch(
+        docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text"), 1
+    )
+    q = emb.filter(F.col("vec_id") == 0).collect()[0]
+    qterms = [
+        r.term
+        for r in lex.terms(1).orderBy(F.col("df").desc(), "term").limit(4).collect()
+    ]
+    k = 10
+    fused = hybrid_topk_from_state(
+        spark, ivf, lex, 1, 0, list(q["embedding"]), qterms, k=k
+    ).collect()
+    assert fused and all(r["fused_rank"] <= k for r in fused)
+
+    # independent fusion of the two served leg lists, pure python
+    qdf = spark.createDataFrame(
+        [(0, list(q["embedding"]))], "q_id bigint, embedding array<float>"
+    )
+    dense = {
+        r["neighbor_id"]: r["rank"]
+        for r in ivf.topk(1, qdf, k=k).collect()
+    }
+    lex_rows = lex.topk(1, qterms, k=k).collect()
+    lexical = {
+        r["doc_id"]: i + 1
+        for i, r in enumerate(
+            sorted(lex_rows, key=lambda r: (-r["score_micro"], r["doc_id"]))
+        )
+    }
+    scores: dict[int, tuple[int, int]] = {}
+    for leg in (dense, lexical):
+        for d, rk in leg.items():
+            mic, n = scores.get(d, (0, 0))
+            scores[d] = (mic + 1_000_000 // (60 + rk), n + 1)
+    expect = sorted(scores.items(), key=lambda kv: (-kv[1][0], kv[0]))[:k]
+    got = sorted(
+        ((r["doc_id"], (r["rrf_micro"], r["n_methods"])) for r in fused),
+        key=lambda kv: (-kv[1][0], kv[0]),
+    )
+    assert got == expect
+
+
+def test_tombstones_through_checkpointed_stream(spark, dirs):
+    """End-to-end: deletions ride the SAME checkpointed stream as
+    arrivals (tombstone flag column, split inside foreachBatch), and
+    the maintained lexical state matches the live corpus after each
+    tick."""
+    from datapipeline_dags_spark.streaming.index_maintenance import (
+        LexicalStatsMaintainer,
+    )
+
+    docs = table(spark, SF_DIR, "documents")
+    m = LexicalStatsMaintainer(spark, dirs["state"])
+    schema = "doc_id bigint, text string, is_delete boolean"
+
+    def on_batch(df, bid):
+        m.process_batch(
+            df.filter(~F.col("is_delete")).select("doc_id", "text"),
+            bid,
+            deletes=df.filter(F.col("is_delete")).select("doc_id"),
+        )
+
+    b0 = docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", "text", F.lit(False).alias("is_delete")
+    )
+    _land(b0, dirs["source"], "slice0")
+    run_maintenance_batch(spark, dirs["source"], dirs["ckpt"], schema, on_batch)
+    assert m.matches_full(0, b0.select("doc_id", "text"))
+
+    # tick 2: odd docs arrive AND doc_id % 6 == 0 docs are tombstoned
+    b1 = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "text", F.lit(False).alias("is_delete")
+    )
+    tomb = docs.filter(F.col("doc_id") % 6 == 0).select(
+        "doc_id", F.lit("").alias("text"), F.lit(True).alias("is_delete")
+    )
+    _land(b1.unionByName(tomb), dirs["source"], "slice1")
+    run_maintenance_batch(spark, dirs["source"], dirs["ckpt"], schema, on_batch)
+    live = docs.filter(F.col("doc_id") % 6 != 0).select("doc_id", "text")
+    assert m.matches_full(1, live)
