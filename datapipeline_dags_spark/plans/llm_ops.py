@@ -41,7 +41,7 @@ from datapipeline_dags_spark.plans.helpers import (
     sql_dec,
 )
 from datapipeline_dags_spark.plans.registry import ORACLES, QUERIES, query
-from datapipeline_dags_spark.plans.route import collect_and_solve
+from datapipeline_dags_spark.plans.route import bounded_collect, collect_and_solve
 
 # ---------------------------------------------------------------------------
 # Shared building blocks
@@ -3200,13 +3200,14 @@ def bpe_train(
     while len(merges) < n_merges:
         rnd += 1
         want = min(batch_size, n_merges - len(merges))
-        cand = (
+        cand = bounded_collect(
             sym.select(F.explode(_bpe_pairs(F.col("sym"))).alias("pair"), "freq")
             .groupBy("pair")
             .agg(F.sum("freq").cast("long").alias("cnt"))
             .orderBy(F.col("cnt").desc(), "pair")
-            .limit(want * overprovision)
-            .collect()
+            .limit(want * overprovision),
+            want * overprovision,
+            "q101_bpe_merge_batch",
         )
         if not cand:
             break
@@ -4058,7 +4059,11 @@ def _ivfpq_encode_numpy(spark: SparkSession, resid: DataFrame) -> DataFrame:
     from datapipeline_dags_spark.shipping import ensure_package_shipped
 
     ensure_package_shipped(spark)
-    cb_rows = resid.filter(F.col("vec_id") < PQ_K).select("vec_id", "res").collect()
+    cb_rows = bounded_collect(
+        resid.filter(F.col("vec_id") < PQ_K).select("vec_id", "res"),
+        PQ_K,
+        "pq_codebook",
+    )
     cb_rows = sorted(cb_rows, key=lambda r: r["vec_id"])
     # positional indexing below assumes vec_ids 0..PQ_K-1 are ALL present;
     # a fixture missing one id would silently shift every code, so fail
@@ -4442,12 +4447,16 @@ def ivf_recall_sweep(
     out: dict[int, float] = {}
     try:
         for np_ in nprobes:
-            row = _recall_row(
-                "ivf",
-                q47_ann_ivf(spark, sf_dir, nprobe=np_, cells=cells),
-                exact,
-                IVF_K,
-            ).collect()[0]
+            row = bounded_collect(
+                _recall_row(
+                    "ivf",
+                    q47_ann_ivf(spark, sf_dir, nprobe=np_, cells=cells),
+                    exact,
+                    IVF_K,
+                ),
+                1,
+                "ivf_recall_sweep_row",
+            )[0]
             out[np_] = float(row.recall)
     finally:
         exact.unpersist()
@@ -8451,11 +8460,14 @@ def q214_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5_order = [F.md5(F.col("doc_id").cast("string")), F.col("doc_id")]
     pool_ids = [
         r["doc_id"]
-        for r in table(spark, sf_dir, "documents")
-        .select("doc_id")
-        .orderBy(*md5_order)
-        .limit(NEG_POOL)
-        .collect()
+        for r in bounded_collect(
+            table(spark, sf_dir, "documents")
+            .select("doc_id")
+            .orderBy(*md5_order)
+            .limit(NEG_POOL),
+            NEG_POOL,
+            "q214_negative_pool",
+        )
     ]
     m = len(pool_ids)
     if m == 0:
@@ -8874,7 +8886,11 @@ def q236_mmr_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     qvec = [
         float(v)
-        for v in emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+        for v in bounded_collect(
+            emb.filter(F.col("vec_id") == 0).select("embedding"),
+            1,
+            "q236_mmr_query_vector",
+        )[0][0]
     ]
     qcol = F.array(*[F.lit(v) for v in qvec])
     cand = local_checkpoint(
@@ -8900,11 +8916,12 @@ def q236_mmr_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         sc = sc.withColumn(
             "mmr", MMR_REL_W * F.col("sq") - MMR_DIV_W * F.col("msv")
         )
-        top = (
+        top = bounded_collect(
             sc.select("vec_id", "sq", "mmr")
             .orderBy(F.col("mmr").desc(), "vec_id")
-            .limit(1)
-            .collect()
+            .limit(1),
+            1,
+            "q236_mmr_pick",
         )
         if not top:
             break
@@ -8912,9 +8929,11 @@ def q236_mmr_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         picked.append((r, vid, float(sq), float(mmr)))
         pvec = [
             float(v)
-            for v in cand.filter(F.col("vec_id") == vid)
-            .select("embedding")
-            .collect()[0][0]
+            for v in bounded_collect(
+                cand.filter(F.col("vec_id") == vid).select("embedding"),
+                1,
+                "q236_mmr_picked_vector",
+            )[0][0]
         ]
         pcol = F.array(*[F.lit(v) for v in pvec])
         newcos = F.round(_cosine(F.col("embedding"), pcol), 6)
@@ -10346,7 +10365,18 @@ def q292_code_switch_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         nw.cast("long").alias("n_windows"),
         nm.cast("long").alias("n_majority"),
         maj.alias("majority_lang"),
-        F.floor((nw - nm) * 1_000_000 / nw).cast("long").alias("mixed_ppm"),
+    ).withColumn(
+        # exact BIGINT integer division (the r11 fixed-point SUM/multiply
+        # audit): the earlier (nw - nm) * 1_000_000 was an INT multiply —
+        # under ANSI it throws ARITHMETIC_OVERFLOW on any doc with more
+        # than 2147 disagreeing windows (~43k words; reachable in a web
+        # corpus) while DuckDB's BIGINT len() sails through — and the
+        # / + FLOOR pair was double division where `div` is exact
+        "mixed_ppm",
+        F.expr(
+            "CAST((CAST(n_windows - n_majority AS BIGINT) * 1000000)"
+            " div n_windows AS BIGINT)"
+        ),
     )
 
 

@@ -27,7 +27,7 @@ from datapipeline_dags_spark.checkpoint import local_checkpoint
 from datapipeline_dags_spark.plans.helpers import dec
 from datapipeline_dags_spark.plans.llm_ops import _SHINGLES_SQL, _fanout, _shingles
 from datapipeline_dags_spark.plans.registry import query
-from datapipeline_dags_spark.plans.route import collect_and_solve
+from datapipeline_dags_spark.plans.route import bounded_collect, collect_and_solve
 from datapipeline_dags_spark.plans.scalars import distributed_percentiles
 
 #: cap counters for this module's quadratic-risk explodes (the
@@ -400,9 +400,11 @@ def _kmeans_final(
     sw = W.orderBy("h", "vec_id")
     c0 = [
         (int(r["cid"]), list(r["qa"]))
-        for r in seeds.select(
-            (F.row_number().over(sw) - 1).alias("cid"), "qa"
-        ).collect()
+        for r in bounded_collect(
+            seeds.select((F.row_number().over(sw) - 1).alias("cid"), "qa"),
+            KM_K,
+            "q201_kmeans_seeds",
+        )
     ]
 
     def assign(qdf: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFrame:
@@ -445,10 +447,12 @@ def _kmeans_final(
             ),
             f"q201 kmeans centroid update round {rnd + 2}",
         )
-        rows = (
-            newc.groupBy("cid")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "cv"))).alias("ps"))
-            .collect()
+        rows = bounded_collect(
+            newc.groupBy("cid").agg(
+                F.array_sort(F.collect_list(F.struct("pos", "cv"))).alias("ps")
+            ),
+            KM_K,
+            "q201_kmeans_centroids",
         )
         cents = [
             (int(r["cid"]), [int(p["cv"]) for p in r["ps"]]) for r in rows
@@ -505,6 +509,16 @@ def q201_kmeans_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q202 — MAD robust outlier audit (composes distributed_percentiles)
 # ---------------------------------------------------------------------------
 
+#: q202 collects one (group, median) row per event TYPE — a
+#: low-cardinality enum by construction.  The bound is asserted by
+#: plans.route.bounded_collect (q207 discipline): a fixture or schema
+#: change that turns event_type high-cardinality fails loudly instead
+#: of growing the driver heap and the broadcast literal map.
+MAD_COLLECT_GROUPS = 100_000
+
+# ---------------------------------------------------------------------------
+# ---------------------------------------------------------------------------
+
 
 @query(
     "q202_mad_outliers",
@@ -551,20 +565,28 @@ def q202_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     gv = ev.select(
         F.col("event_type").alias("g"), F.col("value").cast("double").alias("v")
     )
-    med_rows = local_checkpoint(
-        distributed_percentiles(gv, (0.5,)).select("g", "value"),
-        "q202 median pass",
-    ).collect()
+    med_rows = bounded_collect(
+        local_checkpoint(
+            distributed_percentiles(gv, (0.5,)).select("g", "value"),
+            "q202 median pass",
+        ),
+        MAD_COLLECT_GROUPS,
+        "q202_mad_outliers_medians",
+    )
     med_map = F.create_map(
         *[F.lit(x) for r in med_rows for x in (r["g"], float(r["value"]))]
     )
     j = gv.withColumn("med", med_map[F.col("g")]).withColumn(
         "dv", F.abs(F.col("v") - F.col("med"))
     )
-    mad_rows = local_checkpoint(
-        distributed_percentiles(j.select("g", F.col("dv").alias("v")), (0.5,)),
-        "q202 MAD pass",
-    ).select("g", "value").collect()
+    mad_rows = bounded_collect(
+        local_checkpoint(
+            distributed_percentiles(j.select("g", F.col("dv").alias("v")), (0.5,)),
+            "q202 MAD pass",
+        ).select("g", "value"),
+        MAD_COLLECT_GROUPS,
+        "q202_mad_outliers_mads",
+    )
     mad_map = F.create_map(
         *[F.lit(x) for r in mad_rows for x in (r["g"], float(r["value"]))]
     )
@@ -755,11 +777,11 @@ def q204_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q204 symmetric edges",
     )
     nodes = sym.select(F.col("src").alias("n")).distinct()
-    seed = (
-        nodes.orderBy(F.md5(F.col("n").cast("string")), "n")
-        .limit(1)
-        .collect()[0]["n"]
-    )
+    seed = bounded_collect(
+        nodes.orderBy(F.md5(F.col("n").cast("string")), "n").limit(1),
+        1,
+        "q204_bfs_seed",
+    )[0]["n"]
     visited = spark.createDataFrame([(int(seed), 0)], "n long, lvl int")
     frontier = visited.select("n")
     for lvl in range(1, BFS_MAX_LEVEL + 1):
@@ -1422,12 +1444,13 @@ def q225_greedy_set_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             if covered is not None:
                 cand = cand.join(covered, "tok", "anti")
-            top = (
+            top = bounded_collect(
                 cand.groupBy("doc_id")
                 .agg(F.count("*").alias("gain"))
                 .orderBy(F.col("gain").desc(), "doc_id")
-                .limit(1)
-                .collect()
+                .limit(1),
+                1,
+                "q225_set_cover_pick",
             )
             if not top:
                 break

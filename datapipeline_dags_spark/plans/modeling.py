@@ -543,14 +543,27 @@ def q209_grid_density_clusters(
         .select("src", "dst")
     )
     if cc_backend == "auto":
+        # uniform gate (plans.route): recorded in ROUTE_GATES and
+        # overridable with the one env knob the scaling harness uses
         cc_backend = (
-            "driver" if dense.count() <= GRID_CC_DRIVER_MAX else "distributed"
+            "driver"
+            if collect_gate(dense, GRID_CC_DRIVER_MAX, "q209_grid_cc")
+            else "distributed"
         )
     if cc_backend == "driver":
         # bounded control plane: |dense cells| rows and <= 4 edges per
         # cell — exact union-find with min-id roots, identical
-        # components to the distributed path.
-        ids = [r["cell_id"] for r in dense.select("cell_id").collect()]
+        # components to the distributed path.  Bounds ASSERTED by
+        # bounded_collect (a forced-driver call on an over-gate frame
+        # fails loudly instead of flooding the driver heap).
+        ids = [
+            r["cell_id"]
+            for r in bounded_collect(
+                dense.select("cell_id"),
+                GRID_CC_DRIVER_MAX,
+                "q209_grid_cc_cells",
+            )
+        ]
         parent = {c: c for c in ids}
 
         def find(x: int) -> int:
@@ -559,7 +572,9 @@ def q209_grid_density_clusters(
                 x = parent[x]
             return x
 
-        for r in edges.collect():
+        for r in bounded_collect(
+            edges, 4 * GRID_CC_DRIVER_MAX, "q209_grid_cc_edges"
+        ):
             ra, rb = find(r["src"]), find(r["dst"])
             if ra != rb:
                 parent[max(ra, rb)] = min(ra, rb)

@@ -91,6 +91,38 @@ def collect_and_solve(
     return fallback_fn(frame)
 
 
+def probe_collect(
+    frame: DataFrame, max_rows: int, label: str
+) -> list[Row] | None:
+    """Probe-or-fallback collect (q186's histogram shape): collect
+    ``frame`` if it fits ``max_rows``, else return None — exceeding the
+    cap is a ROUTE decision (take the distributed path), not an error,
+    which is what distinguishes this from ``bounded_collect``.  One
+    limit(max_rows + 1) scan; the outcome is recorded in
+    ``ROUTE_GATES`` like every other driver-side materialization."""
+    forced = _forced_route()
+    if forced == "distributed":
+        ROUTE_GATES[label] = {
+            "gate": max_rows, "rows": None, "route": forced, "forced": True,
+        }
+        return None
+    rows = frame.limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        # over the cap the collected answer would be TRUNCATED, so even
+        # a forced 'collected' override cannot take it — correctness
+        # over the measurement knob
+        ROUTE_GATES[label] = {
+            "gate": max_rows, "rows": len(rows), "route": "distributed",
+            "forced": False,
+        }
+        return None
+    ROUTE_GATES[label] = {
+        "gate": max_rows, "rows": len(rows), "route": "collected",
+        "forced": forced == "collected",
+    }
+    return rows
+
+
 def bounded_collect(frame: DataFrame, max_rows: int, label: str) -> list[Row]:
     """Collect a frame whose size is bounded by CONSTRUCTION (a cells
     table over low-cardinality dimensions — q207's |channels|² Markov

@@ -30,6 +30,7 @@ from datapipeline_dags_spark.plans.helpers import (
     sql_dec,
 )
 from datapipeline_dags_spark.plans.registry import query
+from datapipeline_dags_spark.plans.route import bounded_collect, probe_collect
 
 
 @query(
@@ -821,13 +822,15 @@ def distributed_percentiles(
         return _dxp_distributed(gv, st, ps)
     cells = DXP_COLLECT_GROUPS * DXP_BINS
     ob = _dxp_obin(F.col("v"), DXP_LN_SCALE)
-    hist_rows = (
-        gv.groupBy("g", ob.alias("ob"))
-        .agg(F.count("*").alias("c"))
-        .limit(cells + 1)
-        .collect()
+    # the histogram collect doubles as the route probe (plans.route:
+    # exceeding the cap is a ROUTE to the distributed path, not an
+    # error, and the decision lands in ROUTE_GATES)
+    hist_rows = probe_collect(
+        gv.groupBy("g", ob.alias("ob")).agg(F.count("*").alias("c")),
+        cells,
+        "q186_distributed_percentiles_hist",
     )
-    if len(hist_rows) <= cells:
+    if hist_rows is not None:
         return _dxp_collected(gv, ps, hist_rows)
     if st is None:
         st = gv.groupBy("g").agg(
@@ -928,7 +931,9 @@ def _dxp_collected(gv: DataFrame, ps: tuple, hist_rows: list) -> DataFrame:
         big_local = spark.createDataFrame(
             sorted(big, key=repr), f"g {g_type}, bin long"
         )
-        sub_rows = (
+        # bounded by construction: each oversized coarse bin splits
+        # into at most DXP_LN_SUB_SCALE / DXP_LN_SCALE sub-bins
+        sub_rows = bounded_collect(
             gv.select(
                 "g",
                 _dxp_obin(F.col("v"), DXP_LN_SCALE).alias("bin"),
@@ -936,8 +941,9 @@ def _dxp_collected(gv: DataFrame, ps: tuple, hist_rows: list) -> DataFrame:
             )
             .join(F.broadcast(big_local), ["g", "bin"])
             .groupBy("g", "bin", "sub")
-            .agg(F.count("*").alias("c"))
-            .collect()
+            .agg(F.count("*").alias("c")),
+            len(big) * (DXP_LN_SUB_SCALE // DXP_LN_SCALE + 1),
+            "q186_distributed_percentiles_subhist",
         )
         by_gb: dict = {}
         for r in sub_rows:
@@ -1100,7 +1106,12 @@ def _dxp_distributed(
     # scans the input ONCE (st), and the histogram materializes inside
     # the main job instead of the plan-build barrier.  Only genuinely
     # large groups (never at bench SF) pay the exact per-bin probe.
-    n_max = st.agg(F.max("n").alias("m")).first()["m"] or 0
+    n_max = (
+        bounded_collect(
+            st.agg(F.max("n").alias("m")), 1, "q186_distributed_nmax"
+        )[0]["m"]
+        or 0
+    )
     if n_max <= DXP_NARROW_ROWS or needs.filter(
         F.col("c") > DXP_NARROW_ROWS
     ).isEmpty():

@@ -94,3 +94,37 @@ def test_env_force_produces_identical_results(spark, sf_dir, monkeypatch):
         for r in relational.q183_part_pagerank(spark, sf_dir).collect()
     }
     assert base == forced
+
+
+def test_probe_collect_routes_and_records(spark, monkeypatch):
+    """probe_collect (q186's histogram shape): under the cap →
+    collected rows; over the cap → None (a ROUTE, not an error); a
+    forced 'collected' override can never take a TRUNCATED collect."""
+    df = spark.range(10).toDF("x")
+    rows = route.probe_collect(df, 100, "t_pc_under")
+    assert rows is not None and len(rows) == 10
+    assert route.ROUTE_GATES["t_pc_under"]["route"] == "collected"
+    assert route.probe_collect(df, 5, "t_pc_over") is None
+    assert route.ROUTE_GATES["t_pc_over"]["route"] == "distributed"
+    monkeypatch.setenv("SPARK_GRAFT_COLLECT_ROUTE", "distributed")
+    assert route.probe_collect(df, 100, "t_pc_forced") is None
+    assert route.ROUTE_GATES["t_pc_forced"]["forced"] is True
+    monkeypatch.setenv("SPARK_GRAFT_COLLECT_ROUTE", "collected")
+    # over-cap + forced collected: correctness wins, distributed route
+    assert route.probe_collect(df, 5, "t_pc_forced2") is None
+
+
+def test_q209_env_force_produces_identical_results(spark, sf_dir, monkeypatch):
+    """q209's auto backend now routes through collect_gate: forcing the
+    distributed CC must not change a single cluster row."""
+    base = {
+        tuple(r)
+        for r in modeling.q209_grid_density_clusters(spark, sf_dir).collect()
+    }
+    monkeypatch.setenv("SPARK_GRAFT_COLLECT_ROUTE", "distributed")
+    forced = {
+        tuple(r)
+        for r in modeling.q209_grid_density_clusters(spark, sf_dir).collect()
+    }
+    assert base == forced
+    assert route.ROUTE_GATES["q209_grid_cc"]["forced"] is True
