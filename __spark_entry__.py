@@ -60,11 +60,24 @@ _ROTATION_HEAD = [
     # changed in round 11 — fresh rows prove parity held through the
     # changes (q153/q295 integer micro-unit RRF fusion + q296 which
     # composes q295, ADVICE r10 #3; q193 DECIMAL(38,0) cumulative-cents
-    # headroom, ADVICE r10 #1):
+    # headroom, ADVICE r10 #1; q292 BIGINT-div ppm after the ANSI
+    # int-multiply overflow fix; the plans.route conversions — q186
+    # probe_collect, q209 collect_gate backend, and bounded_collect
+    # swaps in q225/q201/q204/q236/q101/q214/q202):
     "q153_rrf_fusion",
     "q295_hybrid_retrieval",
     "q296_hybrid_retrieval_audit",
     "q193_cohort_ltv",
+    "q292_code_switch_mixture",
+    "q186_distributed_exact_percentile",
+    "q209_grid_density_clusters",
+    "q225_greedy_set_cover",
+    "q201_kmeans_fixed_point",
+    "q204_bfs_reach",
+    "q236_mmr_selection",
+    "q101_bpe_merges",
+    "q214_triplet_mining",
+    "q202_mad_outliers",
     # hedge fill — widest / riskiest already-green plans (driver rows
     # exist for all; a fresh row re-proves them on round-11 code).
     # The dedup/ANN/index families lead because they share the most
@@ -96,22 +109,12 @@ _ROTATION_HEAD = [
     "q90_ann_recall",
     "q159_ann_ndcg",
     "q69_dedup_clusters",
-    "q214_triplet_mining",
     "q289_winnowing_fingerprints",
     "q91_image_phash_neardup",
     "q205_audio_energy_neardup",
     "q275_video_keyframes",
     "q141_ship_latency_percentiles",
-    "q186_distributed_exact_percentile",
-    "q202_mad_outliers",
-    "q241_histogram_selectivity",
     "q147_source_overlap_sketch",
-    "q199_copurchase_triangles",
-    "q234_cluster_purity_nmi",
-    "q263_shingle_novelty_curve",
-    "q252_dedup_threshold_sweep",
-    "q276_lsh_band_sweep",
-    "q273_capture_recapture",
 ]
 
 _ROTATION_TAIL = [
