@@ -122,6 +122,11 @@ HEADLINE = [
     # retrieval composition — BM25 more-like-this fused with the q46/
     # q47 dense lists via RRF, the production search-stack shape
     "q295_hybrid_retrieval",
+    # round-11 additions (VERDICT r10 ask #2): the deletion half of the
+    # lifecycle — the manifest APPLY (anti-join + conservation audit)
+    # and the widest DELETE-delta IVM (signed IVF retraction)
+    "q299_deletion_manifest_apply",
+    "q300_ivf_delete_refresh",
 ]
 
 REPS = 3

@@ -113,6 +113,9 @@ BOUNDED_FILTER_HINT_OK = {
     # shares q47's cell assignment: broadcasts the n_cent-row
     # quantizer (bounded-filter vec_id < n_cent), nothing else
     "q282_ivf_delta_refresh",
+    # same n_cent-row quantizer broadcast as q282 (the delete-delta
+    # twin shares the one assignment pass)
+    "q300_ivf_delete_refresh",
     # broadcasts the |years|-row cohort-size collapse
     "q286_cohort_retention",
     # broadcasts the 1-row (n, avgdl) corpus-stats aggregate and the
@@ -123,6 +126,9 @@ BOUNDED_FILTER_HINT_OK = {
     "q288_epoch_shuffle_balance",
     # broadcasts the 1-row global matches_full audit aggregate
     "q293_bm25_stats_delta_refresh",
+    # broadcasts the same 1-row matches_full audit aggregate (the
+    # delete-delta twin of q293)
+    "q302_bm25_stats_delete_refresh",
     # broadcasts the 1-row balance-threshold aggregate (Q22's scalar)
     "q249_idle_high_balance",
     # broadcasts the 1-row window aggregate + the bounded month-instant list
@@ -411,6 +417,9 @@ NESTED_LOOP_OK = {
     # shares q47's cell assignment: broadcasts the n_cent-row
     # quantizer (bounded-filter vec_id < n_cent), nothing else
     "q282_ivf_delta_refresh",
+    # same n_cent-row quantizer broadcast as q282 (the delete-delta
+    # twin shares the one assignment pass)
+    "q300_ivf_delete_refresh",
     # broadcasts the 1-row (n, avgdl) corpus-stats aggregate and the
     # BM25_QT-row (LIMIT) query-term table
     "q287_bm25_topk",
@@ -419,6 +428,9 @@ NESTED_LOOP_OK = {
     "q288_epoch_shuffle_balance",
     # broadcasts the 1-row global matches_full audit aggregate
     "q293_bm25_stats_delta_refresh",
+    # broadcasts the same 1-row matches_full audit aggregate (the
+    # delete-delta twin of q293)
+    "q302_bm25_stats_delete_refresh",
 }
 
 

@@ -127,9 +127,25 @@ TARGETS = (
     "q291_tokenizer_fertility",
     "q292_code_switch_mixture",
     # r10: the hybrid lexical+dense fusion (BM25 more-like-this posting
-    # fan-out + the q46/q47 legs + RRF; q296 the audit composite is
-    # excluded like q90/q159 — audits measure their components)
+    # fan-out + the q46/q47 legs + RRF)
     "q295_hybrid_retrieval",
+    # r11 (VERDICT r10 ask #5): rows for the r10 newcomers — the q296
+    # audit composite (exact baseline + both dense legs + fusion; the
+    # previous audits-measure-their-components exclusion is overridden
+    # by the explicit ask), the cross-modal consistency audit (its x10
+    # run IS the all-DISAGREE adversarial regime: scale-harness
+    # embeddings are independent of the text, see the q297 section),
+    # and the deletion manifest — plus the r11 deletion-lifecycle
+    # queries (manifest apply, and the three DELETE-delta IVMs whose
+    # retraction legs are filtered re-aggregations of the same
+    # persisted frames their insert twins already stress)
+    "q296_hybrid_retrieval_audit",
+    "q297_crossmodal_dup_consistency",
+    "q298_dedup_deletion_manifest",
+    "q299_deletion_manifest_apply",
+    "q300_ivf_delete_refresh",
+    "q301_lsh_delete_refresh",
+    "q302_bm25_stats_delete_refresh",
 )
 
 # Per-(target, scale) keyword overrides: the SemDeDup contract is that
