@@ -139,13 +139,37 @@ def _write_delta(df: DataFrame, state_dir: str, tbl: str, batch_id: int) -> None
     df.write.mode("overwrite").parquet(_version_dir(state_dir, tbl, batch_id))
 
 
+def _latest_compact(state_dir: str, tbl: str, batch_id: int) -> int | None:
+    """Newest COMPLETE compaction ≤ ``batch_id`` (``compact_v<k>`` dir
+    with its ``_SUCCESS`` marker — a torn compaction without the marker
+    is invisible, so readers fall back to the raw deltas)."""
+    root = os.path.join(state_dir, tbl)
+    best = None
+    if os.path.isdir(root):
+        for name in os.listdir(root):
+            if not name.startswith("compact_v"):
+                continue
+            try:
+                k = int(name[len("compact_v"):])
+            except ValueError:
+                continue
+            if k <= batch_id and os.path.exists(
+                os.path.join(root, name, "_SUCCESS")
+            ):
+                best = k if best is None else max(best, k)
+    return best
+
+
 def _read_delta_union(
     spark: SparkSession, state_dir: str, tbl: str, batch_id: int, schema: str
 ) -> DataFrame:
-    """Union of every delta version ≤ ``batch_id`` — the full delta
-    table as of that batch.  Missing/empty ⇒ empty frame."""
+    """The full delta table as of ``batch_id``: the newest complete
+    compaction ≤ batch_id (if any) plus every per-batch delta version
+    in (compaction, batch_id].  Missing/empty ⇒ empty frame."""
     root = os.path.join(state_dir, tbl)
-    paths = []
+    k = _latest_compact(state_dir, tbl, batch_id)
+    paths = [] if k is None else [os.path.join(root, f"compact_v{k}")]
+    floor = -1 if k is None else k
     if os.path.isdir(root):
         for name in os.listdir(root):
             if not name.startswith("v"):
@@ -154,11 +178,50 @@ def _read_delta_union(
                 vid = int(name[1:])
             except ValueError:
                 continue
-            if vid <= batch_id:
+            if floor < vid <= batch_id:
                 paths.append(os.path.join(root, name))
     if batch_id < 0 or not paths:
         return spark.createDataFrame([], schema)
     return spark.read.schema(schema).parquet(*paths)
+
+
+def _prune_compacted(state_dir: str, tbl: str, batch_id: int) -> None:
+    """After ``compact_v<batch_id>`` landed (marker present), drop the
+    delta versions ≤ batch_id and older compactions it superseded.
+    Safe in every crash window: before the marker the compact dir is
+    invisible (readers use raw deltas); after it, readers prefer the
+    compaction and ignore ≤-batch_id deltas whether or not this
+    cleanup finished."""
+    import shutil
+
+    root = os.path.join(state_dir, tbl)
+    if not os.path.isdir(root):
+        return
+    for name in os.listdir(root):
+        victim = None
+        if name.startswith("compact_v"):
+            try:
+                victim = int(name[len("compact_v"):]) < batch_id
+            except ValueError:
+                continue
+        elif name.startswith("v"):
+            try:
+                victim = int(name[1:]) <= batch_id
+            except ValueError:
+                continue
+        if victim:
+            shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+
+
+def _write_compaction(
+    df: DataFrame, state_dir: str, tbl: str, batch_id: int
+) -> None:
+    """Land ``compact_v<batch_id>`` (the _SUCCESS marker makes it
+    visible atomically), then drop the deltas it supersedes."""
+    df.write.mode("overwrite").parquet(
+        os.path.join(state_dir, tbl, f"compact_v{batch_id}")
+    )
+    _prune_compacted(state_dir, tbl, batch_id)
 
 
 TOMBSTONES_SCHEMA = "id bigint"
@@ -272,9 +335,18 @@ class IvfIndexMaintainer:
         tombs = _normalize_deletes(deletes)
         if tombs is not None:
             # retraction reads the assignment rows live as of the
-            # PREVIOUS version (ids already deleted are ignored)
-            victim = self.assign(batch_id - 1).join(
-                tombs.select(F.col("id").alias("vec_id")), "vec_id", "left_semi"
+            # PREVIOUS version (ids already deleted are ignored) PLUS
+            # this batch's own rows — a vector that arrives and is
+            # tombstoned in the SAME tick must retract what the batch
+            # just added (caught by a vanilla-session drive, r11)
+            victim = (
+                self.assign(batch_id - 1)
+                .unionByName(assigned)
+                .join(
+                    tombs.select(F.col("id").alias("vec_id")),
+                    "vec_id",
+                    "left_semi",
+                )
             )
             merged = merged.unionByName(self._partials_of(victim, sign=-1))
         merged = (
@@ -299,6 +371,24 @@ class IvfIndexMaintainer:
     def state(self, batch_id: int) -> DataFrame:
         return _read_version(
             self.spark, self.state_dir, "ivf", batch_id, self.STATE_SCHEMA
+        )
+
+    def compact(self, batch_id: int) -> None:
+        """Fold every assignment delta ≤ ``batch_id`` (minus consumed
+        tombstones) into one ``compact_v<batch_id>`` dir.  At streaming
+        cadence the per-batch delta layout accumulates one dir per tick
+        — unbounded read fan-in — so a periodic compaction bounds the
+        union a read plans over; crash-safe because the compaction is
+        invisible until its _SUCCESS marker lands and readers ignore
+        superseded deltas from then on."""
+        _write_compaction(
+            self.assign(batch_id), self.state_dir, "assign", batch_id
+        )
+        _write_compaction(
+            self.spark.createDataFrame([], TOMBSTONES_SCHEMA),
+            self.state_dir,
+            "tombstones",
+            batch_id,
         )
 
     def topk(
@@ -493,6 +583,30 @@ class LshIndexMaintainer:
             self.spark, self.state_dir, "pairs", batch_id, self.PAIRS_SCHEMA
         )
 
+    def compact(self, batch_id: int) -> None:
+        """Fold the shingle/band deltas ≤ ``batch_id`` (minus consumed
+        tombstones) into one compaction dir each — the read fan-in
+        bound; see IvfIndexMaintainer.compact.  ``pairs`` is versioned
+        (already one dir), so only the row stores compact."""
+        _write_compaction(
+            self._live("sh", batch_id, self.SH_SCHEMA),
+            self.state_dir,
+            "sh",
+            batch_id,
+        )
+        _write_compaction(
+            self._live("bands", batch_id, self.BANDS_SCHEMA),
+            self.state_dir,
+            "bands",
+            batch_id,
+        )
+        _write_compaction(
+            self.spark.createDataFrame([], TOMBSTONES_SCHEMA),
+            self.state_dir,
+            "tombstones",
+            batch_id,
+        )
+
     def matches_full(self, batch_id: int, all_docs: DataFrame) -> bool:
         """q284/q301's audit across the parquet state: the maintained
         pair set must equal a from-scratch LSH rebuild over every LIVE
@@ -607,8 +721,15 @@ class LexicalStatsMaintainer:
             tombs = self.spark.createDataFrame([], TOMBSTONES_SCHEMA)
         # retraction reads the STORED posting rows of ids actually live
         # in the previous state (repeated/unknown deletes are no-ops)
-        victim = self.postings(batch_id - 1).join(
-            tombs.select(F.col("id").alias("doc_id")), "doc_id", "left_semi"
+        # PLUS this batch's own rows — a doc arriving and tombstoned in
+        # the SAME tick must retract what the batch just added to the
+        # stats (caught by a vanilla-session drive, r11)
+        victim = (
+            self.postings(batch_id - 1)
+            .unionByName(tf)
+            .join(
+                tombs.select(F.col("id").alias("doc_id")), "doc_id", "left_semi"
+            )
         )
         neg_terms = victim.groupBy("term").agg(
             (-F.count("*")).cast("bigint").alias("df"),
@@ -661,6 +782,21 @@ class LexicalStatsMaintainer:
         )
         return rows.join(
             tombs.select(F.col("id").alias("doc_id")), "doc_id", "left_anti"
+        )
+
+    def compact(self, batch_id: int) -> None:
+        """Fold the posting deltas ≤ ``batch_id`` (minus consumed
+        tombstones) into one compaction dir — the read fan-in bound;
+        see IvfIndexMaintainer.compact.  ``terms``/``corpus`` are
+        versioned aggregates (already one dir each)."""
+        _write_compaction(
+            self.postings(batch_id), self.state_dir, "postings", batch_id
+        )
+        _write_compaction(
+            self.spark.createDataFrame([], TOMBSTONES_SCHEMA),
+            self.state_dir,
+            "tombstones",
+            batch_id,
         )
 
     def topk(

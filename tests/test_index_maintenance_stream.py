@@ -529,3 +529,147 @@ def test_tombstones_through_checkpointed_stream(spark, dirs):
     run_maintenance_batch(spark, dirs["source"], dirs["ckpt"], schema, on_batch)
     live = docs.filter(F.col("doc_id") % 6 != 0).select("doc_id", "text")
     assert m.matches_full(1, live)
+
+
+# ---------------------------------------------------------------------------
+# Delta compaction: the append-only delta layout accumulates one dir per
+# tick (unbounded read fan-in at streaming cadence) — compact() folds
+# the live rows into one _SUCCESS-marked dir, invisible until complete,
+# after which superseded deltas (and consumed tombstones) are dropped.
+# ---------------------------------------------------------------------------
+
+
+def test_lexical_compaction_preserves_reads_and_bounds_dirs(spark, dirs):
+    import os
+
+    from datapipeline_dags_spark.streaming.index_maintenance import (
+        LexicalStatsMaintainer,
+    )
+
+    docs = table(spark, SF_DIR, "documents")
+    m = LexicalStatsMaintainer(spark, dirs["state"])
+    b0 = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text")
+    b1 = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text")
+    dels = docs.filter(F.col("doc_id") % 6 == 0).select("doc_id")
+    m.process_batch(b0, 0)
+    m.process_batch(b1, 1, deletes=dels)
+    before = sorted(map(tuple, m.postings(1).collect()))
+    m.compact(1)
+    assert sorted(map(tuple, m.postings(1).collect())) == before
+    # superseded delta dirs are gone; one compaction dir remains
+    names = sorted(os.listdir(f"{dirs['state']}/postings"))
+    assert names == ["compact_v1"], names
+    # maintenance continues on top of the compaction
+    live = docs.filter(F.col("doc_id") % 6 != 0).select("doc_id", "text")
+    m.process_batch(spark.createDataFrame([], "doc_id bigint, text string"), 2)
+    assert m.matches_full(2, live)
+    # serving parity vs a never-compacted twin over the same corpus
+    full = LexicalStatsMaintainer(spark, dirs["state"] + "/full")
+    full.process_batch(live, 0)
+    qterms = [
+        r.term
+        for r in m.terms(2).orderBy(F.col("df").desc(), "term").limit(5).collect()
+    ]
+    got = sorted(map(tuple, m.topk(2, qterms, k=15).collect()))
+    want = sorted(map(tuple, full.topk(0, qterms, k=15).collect()))
+    assert got == want
+
+
+def test_torn_compaction_is_invisible_and_retry_converges(spark, dirs):
+    import glob
+    import os
+
+    from datapipeline_dags_spark.streaming.index_maintenance import (
+        LexicalStatsMaintainer,
+    )
+
+    docs = table(spark, SF_DIR, "documents")
+    m = LexicalStatsMaintainer(spark, dirs["state"])
+    b0 = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text")
+    b1 = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text")
+    m.process_batch(b0, 0)
+    m.process_batch(b1, 1)
+    want = sorted(map(tuple, m.postings(1).collect()))
+    # simulate a crash mid-compaction: torn part files, NO _SUCCESS,
+    # and the delta dirs not yet pruned (pruning runs after the marker)
+    cdir = f"{dirs['state']}/postings/compact_v1"
+    os.makedirs(cdir, exist_ok=True)
+    with open(os.path.join(cdir, "part-00000.parquet"), "wb") as f:
+        f.write(b"\x00" * 16)
+    assert sorted(map(tuple, m.postings(1).collect())) == want
+    parts = glob.glob(os.path.join(cdir, "part-*.parquet"))
+    assert parts  # the wreck is really there; readers just ignore it
+    m.compact(1)  # the retry a scheduler would run
+    assert sorted(map(tuple, m.postings(1).collect())) == want
+    assert os.path.exists(os.path.join(cdir, "_SUCCESS"))
+
+
+def test_ivf_compaction_with_subsequent_deletes(spark, dirs):
+    """Retraction reads the assignment store THROUGH a compaction: a
+    delete arriving after compact() must still find the stored rows."""
+    emb = table(spark, SF_DIR, "embeddings")
+    m = IvfIndexMaintainer(spark, dirs["state"], centroid_corpus=emb)
+    b0 = emb.filter(F.col("vec_id") % 2 == 0).select("vec_id", "embedding")
+    b1 = emb.filter(F.col("vec_id") % 2 == 1).select("vec_id", "embedding")
+    m.process_batch(b0, 0)
+    m.process_batch(b1, 1)
+    m.compact(1)
+    dels = emb.filter(F.col("vec_id") % 5 == 2).select("vec_id")
+    m.process_batch(
+        spark.createDataFrame([], "vec_id bigint, embedding array<float>"),
+        2,
+        deletes=dels,
+    )
+    live = emb.join(dels, "vec_id", "left_anti")
+    assert m.matches_full(2, live)
+    assert m.assign(2).join(dels, "vec_id", "left_semi").count() == 0
+
+
+def test_same_tick_arrival_and_deletion_retracts(spark, dirs):
+    """A doc/vector that ARRIVES and is tombstoned in the SAME tick
+    must leave no trace in any state table — the batch's own
+    contribution retracts too (found by a vanilla-session drive: the
+    victim lookup used to read only the previous state)."""
+    from datapipeline_dags_spark.streaming.index_maintenance import (
+        LexicalStatsMaintainer,
+    )
+
+    docs = table(spark, SF_DIR, "documents")
+    emb = table(spark, SF_DIR, "embeddings")
+    # deletes hit BOTH a batch-0 doc (mod 18 == 0, even) and docs
+    # arriving in batch 1 itself (mod 9 odd multiples: 9, 27, ...)
+    dels = docs.filter(F.col("doc_id") % 9 == 0).select("doc_id")
+    lex = LexicalStatsMaintainer(spark, dirs["state"] + "/lex")
+    lex.process_batch(
+        docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text"), 0
+    )
+    lex.process_batch(
+        docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text"),
+        1,
+        deletes=dels,
+    )
+    live = docs.filter(F.col("doc_id") % 9 != 0).select("doc_id", "text")
+    assert lex.matches_full(1, live)
+
+    vdels = emb.filter(F.col("vec_id") % 9 == 0).select("vec_id")
+    ivf = IvfIndexMaintainer(spark, dirs["state"] + "/ivf", centroid_corpus=emb)
+    ivf.process_batch(
+        emb.filter(F.col("vec_id") % 2 == 0).select("vec_id", "embedding"), 0
+    )
+    ivf.process_batch(
+        emb.filter(F.col("vec_id") % 2 == 1).select("vec_id", "embedding"),
+        1,
+        deletes=vdels,
+    )
+    assert ivf.matches_full(1, emb.join(vdels, "vec_id", "left_anti"))
+
+    lsh = LshIndexMaintainer(spark, dirs["state"] + "/lsh")
+    lsh.process_batch(
+        docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text"), 0
+    )
+    lsh.process_batch(
+        docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text"),
+        1,
+        deletes=dels,
+    )
+    assert lsh.matches_full(1, live)
