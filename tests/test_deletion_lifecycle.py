@@ -74,3 +74,34 @@ def test_q302_bm25_retraction_and_tombstones(spark, sf_dir):
     # the deletion batch touches the high-df head terms on this fixture,
     # so retraction is visibly non-zero in the report
     assert any(r["df_del"] > 0 for r in rows)
+
+
+def test_manifest_drives_streaming_tombstones(spark, sf_dir, tmp_path):
+    """End-to-end lifecycle: the q298 deletion manifest IS the
+    tombstone feed — its drop ids retract from the maintained lexical
+    index, and the resulting state equals a from-scratch recompute
+    over exactly the corpus q299 retains."""
+    from pyspark.sql import functions as F
+
+    from datapipeline_dags_spark.streaming.index_maintenance import (
+        LexicalStatsMaintainer,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    manifest = llm_ops.q298_dedup_deletion_manifest(spark, sf_dir).select(
+        F.col("drop_doc_id").alias("doc_id")
+    )
+    m = LexicalStatsMaintainer(spark, str(tmp_path / "lex"))
+    m.process_batch(docs.select("doc_id", "text"), 0)
+    m.process_batch(
+        spark.createDataFrame([], "doc_id bigint, text string"),
+        1,
+        deletes=manifest,
+    )
+    retained = docs.join(manifest, "doc_id", "left_anti").select(
+        "doc_id", "text"
+    )
+    assert m.matches_full(1, retained)
+    # and the retained cardinality is exactly q299's audit numbers
+    rows = llm_ops.q299_deletion_manifest_apply(spark, sf_dir).collect()
+    assert retained.count() == sum(r["n_retained"] for r in rows)
