@@ -51,8 +51,10 @@ _ROTATION_FOR_ROUND = 11
 
 _ROTATION_HEAD = [
     # NEW in round 11 (never driver-checked by construction; also the
-    # round's required new-coverage rows) — the deletion half of the
-    # dedup/index lifecycle (VERDICT r10 ask #2):
+    # round's required new-coverage rows) — the semantic benchmark
+    # decon screen and the deletion half of the dedup/index lifecycle
+    # (VERDICT r10 ask #2):
+    "q303_semantic_decontamination",
     "q299_deletion_manifest_apply",
     "q300_ivf_delete_refresh",
     "q301_lsh_delete_refresh",
@@ -114,7 +116,6 @@ _ROTATION_HEAD = [
     "q205_audio_energy_neardup",
     "q275_video_keyframes",
     "q141_ship_latency_percentiles",
-    "q147_source_overlap_sketch",
 ]
 
 _ROTATION_TAIL = [

@@ -11780,3 +11780,103 @@ def q302_bm25_stats_delete_refresh(
         F.col("cf_merged").cast("long"),
         F.col("ok").cast("long").alias("matches_full"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q303 — semantic cross-split decontamination (embedding-cosine screen
+# of the train corpus against a fixed benchmark set)
+# ---------------------------------------------------------------------------
+
+SEMDECON_N = 64  # benchmark-set size (fixed, corpus-independent)
+SEMDECON_T = 0.9  # rounded-cosine contamination floor
+
+
+def _q303_oracle() -> str:
+    cos = _COS_SQL.format(a="e.embedding", b="b.te")
+    return f"""
+    WITH b AS (SELECT vec_id AS tid, embedding AS te FROM embeddings
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+               LIMIT {SEMDECON_N}),
+    s AS (
+      SELECT e.vec_id, b.tid, (ROUND({cos}, 6) + 0.0) AS cs
+      FROM embeddings e CROSS JOIN b
+      WHERE NOT EXISTS (SELECT 1 FROM b bb WHERE bb.tid = e.vec_id)),
+    r AS (
+      SELECT vec_id, tid, cs,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY cs DESC, tid) AS rn
+      FROM s)
+    SELECT CAST(vec_id AS BIGINT) AS train_id,
+           CAST(tid AS BIGINT) AS matched_test_id,
+           cs AS cos_sim,
+           CAST(CASE WHEN cs >= {SEMDECON_T} THEN 1 ELSE 0 END AS BIGINT)
+             AS contaminated
+    FROM r WHERE rn = 1
+    """
+
+
+@query("q303_semantic_decontamination", oracle=_q303_oracle())
+def q303_semantic_decontamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Semantic cross-split decontamination — the embedding-space
+    counterpart of q109's shingle-based screen, and the decon step a
+    training run performs against its EVAL BENCHMARKS: every train
+    document scores its maximum cosine against a FIXED benchmark set
+    ({SEMDECON_N} docs picked by deterministic md5 order — in
+    production, the actual benchmark suite), and documents at or above
+    {SEMDECON_T} are flagged ``contaminated`` for the q299-style drop
+    step.  Lexical screens (q109) miss paraphrases and translations;
+    the embedding screen is how those leak cases are caught
+    (GPT-3/LLaMA-class decon, at the representation level).
+
+    Output is one row per train document (best match, similarity,
+    flag) — the per-doc audit a curation dashboard ranks; on the
+    synthetic fixture the embeddings carry no train-benchmark overlap,
+    so every flag is 0 (the healthy state) — the positive case is
+    pinned by tests/test_deletion_lifecycle.py with a planted copy.
+
+    Parity: cosine rounds to 6 dp before the argmax and the flag
+    compare; the argmax ties to the lowest benchmark id (array_max
+    over (cs, -tid) == ROW_NUMBER ORDER BY cs DESC, tid); benchmark
+    selection orders by (md5(id), id) — identical bytes both engines.
+
+    Scale shape: the benchmark set is CORPUS-INDEPENDENT (LIMIT
+    {SEMDECON_N} — eval suites do not grow with the train corpus), so
+    the screen is ONE map-only pass: broadcast the benchmark structs,
+    per-row transform + array_max, zero shuffles beyond the
+    TakeOrderedAndProject that picks the benchmark — the q45 broadcast
+    discipline pointed at the decon problem.  At 100 TB this is the
+    cheapest possible shape: no join, no agg, no candidate explosion.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    bench = emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id").limit(
+        SEMDECON_N
+    )
+    tb = bench.agg(
+        F.collect_list(
+            F.struct(F.col("vec_id").alias("tid"), F.col("embedding").alias("te"))
+        ).alias("ts")
+    )
+    best = F.array_max(
+        F.transform(
+            F.col("ts"),
+            lambda t: F.struct(
+                dec(_cosine(F.col("embedding"), t["te"]), 6).alias("cs"),
+                (-t["tid"]).alias("ntid"),
+            ),
+        )
+    )
+    train = _fanout(spark, emb).join(
+        bench.select("vec_id"), "vec_id", "left_anti"
+    )
+    return (
+        train.crossJoin(F.broadcast(tb))
+        .select("vec_id", best.alias("b"))
+        .select(
+            F.col("vec_id").cast("long").alias("train_id"),
+            (-F.col("b.ntid")).cast("long").alias("matched_test_id"),
+            (F.col("b.cs") + F.lit(0.0)).alias("cos_sim"),
+            (F.col("b.cs") >= SEMDECON_T).cast("long").alias("contaminated"),
+        )
+    )

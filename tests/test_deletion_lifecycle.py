@@ -105,3 +105,69 @@ def test_manifest_drives_streaming_tombstones(spark, sf_dir, tmp_path):
     # and the retained cardinality is exactly q299's audit numbers
     rows = llm_ops.q299_deletion_manifest_apply(spark, sf_dir).collect()
     assert retained.count() == sum(r["n_retained"] for r in rows)
+
+
+def test_q303_flags_planted_benchmark_copy(spark, tmp_path):
+    """The positive decontamination case the synthetic fixture lacks:
+    plant a train vector that IS a benchmark vector (cosine 1.0) and a
+    near-copy, and check the WHOLE output against a pure-python
+    mini-oracle of the operator's semantics (md5-order benchmark head,
+    6-dp rounded cosine argmax, 0.9 flag floor)."""
+    import hashlib
+    import math
+
+    dim = 8
+    rows = []
+    for i in range(70):
+        v = [float((i * 31 + j * 17 + (i * j) % 13) % 97 - 48) for j in range(dim)]
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        rows.append((i, [x / n for x in v], "base"))
+    v7 = list(rows[7][1])
+    rows.append((1000, v7, "copy"))
+    v7b = [x + (0.001 if j == 0 else 0.0) for j, x in enumerate(v7)]
+    n = math.sqrt(sum(x * x for x in v7b))
+    rows.append((1001, [x / n for x in v7b], "near"))
+    d = tmp_path / "fx"
+    d.mkdir()
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label string"
+    ).write.mode("overwrite").parquet(str(d / "embeddings.parquet"))
+
+    # ---- pure-python mini-oracle (float32 inputs, like parquet) ----
+    import struct as _struct
+
+    f32 = lambda x: _struct.unpack("f", _struct.pack("f", x))[0]  # noqa: E731
+    vecs = {i: [f32(x) for x in v] for i, v, _ in rows}
+    bench = sorted(
+        vecs, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
+    )[: llm_ops.SEMDECON_N]
+    bset = set(bench)
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        den = math.sqrt(sum(x * x for x in a)) * math.sqrt(
+            sum(x * x for x in b)
+        )
+        return round(num / den, 6)
+
+    expect = {}
+    for i, v in vecs.items():
+        if i in bset:
+            continue
+        best = max((cos(v, vecs[t]), -t) for t in bench)
+        expect[i] = (-best[1], best[0], 1 if best[0] >= llm_ops.SEMDECON_T else 0)
+
+    out = {
+        r["train_id"]: (r["matched_test_id"], r["cos_sim"], r["contaminated"])
+        for r in llm_ops.q303_semantic_decontamination(spark, str(d)).collect()
+    }
+    assert set(out) == set(expect)
+    for i in expect:
+        assert out[i][0] == expect[i][0], (i, out[i], expect[i])
+        assert abs(out[i][1] - expect[i][1]) < 1e-9, (i, out[i], expect[i])
+        assert out[i][2] == expect[i][2], (i, out[i], expect[i])
+    # the planted family flags whenever it is outside the benchmark
+    for planted in (1000, 1001):
+        if planted in expect:
+            assert out[planted][2] == 1, planted
+    assert any(f for _, _, f in expect.values()), "no positive case materialized"

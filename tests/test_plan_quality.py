@@ -77,6 +77,9 @@ def test_watermark_predicate_pushes_to_parquet(spark):
 # fixed-size at every SF.  Nothing else may.
 BOUNDED_FILTER_HINT_OK = {
     "q45_ann_topk_bruteforce",
+    # broadcasts the SEMDECON_N-row (LIMIT) benchmark-struct row; the
+    # screen itself is one map-only pass (the q45 discipline)
+    "q303_semantic_decontamination",
     "q213_target_encoding",  # broadcasts the 1-row global-prior aggregate
     # broadcasts the NEG_POOL-row (LIMIT) random-negative pool
     "q214_triplet_mining",
@@ -275,6 +278,9 @@ def test_topk_plans_take_ordered(name, spark):
 NESTED_LOOP_OK = {
     "q34_cross_join_status_grid",
     "q45_ann_topk_bruteforce",
+    # broadcasts the SEMDECON_N-row (LIMIT) benchmark-struct row; the
+    # screen itself is one map-only pass (the q45 discipline)
+    "q303_semantic_decontamination",
     "q47_ann_ivf",
     "q63_tfidf_top_terms",
     # 1-row scalar attach (global-min stratum size / grand token total)

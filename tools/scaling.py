@@ -146,6 +146,9 @@ TARGETS = (
     "q300_ivf_delete_refresh",
     "q301_lsh_delete_refresh",
     "q302_bm25_stats_delete_refresh",
+    # r11: the benchmark decon screen — map-only broadcast pass, the
+    # cheapest shape in the corpus; its row is completeness, not risk
+    "q303_semantic_decontamination",
 )
 
 # Per-(target, scale) keyword overrides: the SemDeDup contract is that
