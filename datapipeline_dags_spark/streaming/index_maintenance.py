@@ -63,8 +63,17 @@ from datapipeline_dags_spark.plans.helpers import dec
 from datapipeline_dags_spark.plans.llm_ops import (
     BM25_B,
     BM25_K1,
+    HYB_K,
+    HYB_LEX_K,
+    HYB_QT,
     IVF_SUM_SCALE,
     JACCARD_T,
+    LSH_K,
+    LSH_PROBES,
+    LSH_SIGN_BITS,
+    LSH_TABLES,
+    N_CENTROIDS,
+    RRF_C,
     _cosine,
     _ivf_centroids,
     _minhash_bands,
@@ -76,6 +85,8 @@ __all__ = [
     "IvfIndexMaintainer",
     "LexicalStatsMaintainer",
     "LshIndexMaintainer",
+    "SignLshIndexMaintainer",
+    "hybrid_full_from_state",
     "hybrid_topk_from_state",
     "run_maintenance_batch",
 ]
@@ -257,12 +268,21 @@ class IvfIndexMaintainer:
     )
 
     def __init__(
-        self, spark: SparkSession, state_dir: str, centroid_corpus: DataFrame
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        centroid_corpus: DataFrame,
+        n_centroids: int = N_CENTROIDS,
     ):
         self.spark = spark
         self.state_dir = state_dir
-        # one broadcastable row; deterministic ids keep it auditable
-        self.cents = _ivf_centroids(centroid_corpus).collect()[0]["cents"]
+        # one broadcastable row; deterministic ids keep it auditable.
+        # ``n_centroids`` is THE scale knob (q47's ann_params rule) —
+        # pass the same value the batch queries derive to make the
+        # served lists bit-compare against them.
+        self.cents = _ivf_centroids(centroid_corpus, n_centroids).collect()[0][
+            "cents"
+        ]
 
     def _cents_frame(self) -> DataFrame:
         return self.spark.createDataFrame(
@@ -853,6 +873,80 @@ class LexicalStatsMaintainer:
             .limit(k)
         )
 
+    def morelikethis(
+        self,
+        batch_id: int,
+        query_doc_ids: list[int],
+        qt: int = HYB_QT,
+        k: int = HYB_LEX_K,
+    ) -> DataFrame:
+        """SERVE q295's lexical leg from maintained state: each query
+        document's ``qt`` most distinctive (lowest-df, ties on term)
+        terms — read from its own stored posting rows and the
+        maintained df stats — score the corpus with q287's BM25
+        micro-unit discipline, self excluded, top-``k`` per query by
+        (score desc, doc_id).  Returns (q_id, neighbor_id, rank) —
+        q295's lex frame, bit-comparable when the maintained state
+        covers the same corpus."""
+        from pyspark.sql import Window as _W
+
+        postings = self.postings(batch_id)
+        stats = _read_version(
+            self.spark, self.state_dir, "terms", batch_id, self.TERMS_SCHEMA
+        )
+        corpus = _read_version(
+            self.spark, self.state_dir, "corpus", batch_id, self.CORPUS_SCHEMA
+        ).select(
+            F.col("n_docs").alias("n"),
+            (F.col("total_tokens") * F.lit(1.0) / F.col("n_docs")).alias(
+                "avgdl"
+            ),
+        )
+        wq = _W.partitionBy("q_id").orderBy(F.col("df").asc(), "term")
+        qterms = (
+            postings.filter(F.col("doc_id").isin(list(query_doc_ids)))
+            .select(F.col("doc_id").alias("q_id"), "term")
+            .join(stats.select("term", "df"), "term")
+            .withColumn("rn", F.row_number().over(wq))
+            .filter(F.col("rn") <= qt)
+            .select("q_id", "term", "df")
+        )
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n") - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+        )
+        tfc = (F.col("tf") * F.lit(BM25_K1 + 1.0)) / (
+            F.col("tf")
+            + F.lit(BM25_K1)
+            * (
+                F.lit(1.0 - BM25_B)
+                + F.lit(BM25_B) * F.col("dl") / F.col("avgdl")
+            )
+        )
+        s = (
+            postings.join(F.broadcast(qterms), "term")
+            .filter(F.col("doc_id") != F.col("q_id"))
+            .crossJoin(F.broadcast(corpus))
+            .select(
+                "q_id",
+                "doc_id",
+                F.floor(dec(idf * tfc, 6) * F.lit(1_000_000.0) + F.lit(0.5))
+                .cast("long")
+                .alias("m"),
+            )
+        )
+        wl = _W.partitionBy("q_id").orderBy(
+            F.col("score_micro").desc(), "doc_id"
+        )
+        return (
+            s.groupBy("q_id", "doc_id")
+            .agg(F.sum("m").alias("score_micro"))
+            .withColumn("rank", F.row_number().over(wl).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select("q_id", F.col("doc_id").alias("neighbor_id"), "rank")
+        )
+
     def matches_full(self, batch_id: int, all_docs: DataFrame) -> bool:
         """q293/q302's audit across the parquet state: maintained
         (df, cf) per term AND the corpus totals must equal a
@@ -989,4 +1083,188 @@ def hybrid_topk_from_state(
         )
         .withColumn("fused_rank", F.row_number().over(wf).cast("long"))
         .filter(F.col("fused_rank") <= k)
+    )
+
+
+class SignLshIndexMaintainer:
+    """q46's sign-LSH ANN index as a streaming maintenance loop — the
+    THIRD dense-serving leg, completing the q295 stack from maintained
+    state.  Delta tables: ``sigs`` (vec_id, t, bucket) — each vector's
+    data-side signature per hash table, computed ONCE on arrival — and
+    ``vecs`` (vec_id, embedding) for exact rescoring, plus
+    ``tombstones``.  There is no aggregate state to merge: deletion is
+    pure tombstoning, and ``topk`` replays q46's multi-probe search
+    (identity bucket + one-bit-flipped probes per table, candidates
+    deduped, 6-dp rounded cosine, ties on neighbor id) against the
+    live rows."""
+
+    SIGS_SCHEMA = "vec_id bigint, t int, bucket string"
+    VECS_SCHEMA = "vec_id bigint, embedding array<float>"
+
+    def __init__(self, spark: SparkSession, state_dir: str):
+        self.spark = spark
+        self.state_dir = state_dir
+
+    @staticmethod
+    def _bucket(t: int, flip: int = 0):
+        bits = []
+        for i in range(1, LSH_SIGN_BITS + 1):
+            cond = F.element_at("embedding", t * LSH_SIGN_BITS + i) >= 0
+            if i == flip:
+                cond = ~cond
+            bits.append(F.when(cond, F.lit("1")).otherwise(F.lit("0")))
+        return F.concat(*bits)
+
+    def process_batch(
+        self, batch: DataFrame, batch_id: int, deletes: DataFrame | None = None
+    ) -> None:
+        rows = batch.select(
+            F.col("vec_id").cast("bigint"), "embedding"
+        )
+        sigs = rows.select(
+            "vec_id",
+            F.posexplode(
+                F.array(*[self._bucket(t) for t in range(LSH_TABLES)])
+            ).alias("t", "bucket"),
+        ).select(
+            "vec_id", F.col("t").cast("int"), F.col("bucket").cast("string")
+        )
+        _write_delta(sigs, self.state_dir, "sigs", batch_id)
+        _write_delta(rows, self.state_dir, "vecs", batch_id)
+        tombs = _normalize_deletes(deletes)
+        _write_delta(
+            tombs
+            if tombs is not None
+            else self.spark.createDataFrame([], TOMBSTONES_SCHEMA),
+            self.state_dir,
+            "tombstones",
+            batch_id,
+        )
+
+    def _live(self, tbl: str, batch_id: int, schema: str) -> DataFrame:
+        tombs = _read_delta_union(
+            self.spark, self.state_dir, "tombstones", batch_id, TOMBSTONES_SCHEMA
+        )
+        return _read_delta_union(
+            self.spark, self.state_dir, tbl, batch_id, schema
+        ).join(tombs.select(F.col("id").alias("vec_id")), "vec_id", "left_anti")
+
+    def compact(self, batch_id: int) -> None:
+        """Read fan-in bound; see IvfIndexMaintainer.compact."""
+        _write_compaction(
+            self._live("sigs", batch_id, self.SIGS_SCHEMA),
+            self.state_dir,
+            "sigs",
+            batch_id,
+        )
+        _write_compaction(
+            self._live("vecs", batch_id, self.VECS_SCHEMA),
+            self.state_dir,
+            "vecs",
+            batch_id,
+        )
+        _write_compaction(
+            self.spark.createDataFrame([], TOMBSTONES_SCHEMA),
+            self.state_dir,
+            "tombstones",
+            batch_id,
+        )
+
+    def topk(
+        self, batch_id: int, queries: DataFrame, k: int = LSH_K
+    ) -> DataFrame:
+        """SERVE q46's multi-table multi-probe search from the
+        maintained signature/vector state: (q_id, neighbor_id, cos_sim,
+        rank ≤ k).  Bit-compares against the batch q46 on the same
+        corpus (pytest-pinned)."""
+        sigs = self._live("sigs", batch_id, self.SIGS_SCHEMA)
+        vecs = self._live("vecs", batch_id, self.VECS_SCHEMA)
+        probes = F.array(
+            *[
+                F.struct(F.lit(t).alias("t"), self._bucket(t, p).alias("bucket"))
+                for t in range(LSH_TABLES)
+                for p in range(LSH_PROBES)
+            ]
+        )
+        # _bucket reads the column name "embedding" directly
+        a = (
+            queries.select(F.col("q_id").cast("bigint"), "embedding")
+            .select("q_id", "embedding", F.explode(probes).alias("tb"))
+            .select(
+                "q_id",
+                "embedding",
+                F.col("tb.t").cast("int").alias("t"),
+                F.col("tb.bucket").alias("bucket"),
+            )
+        )
+        cand = (
+            a.join(sigs, ["t", "bucket"])
+            .filter(F.col("vec_id") != F.col("q_id"))
+            .select("q_id", "embedding", F.col("vec_id").alias("neighbor_id"))
+            .distinct()
+        )
+        scored = cand.join(
+            vecs.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("ne"),
+            ),
+            "neighbor_id",
+        ).select(
+            "q_id",
+            "neighbor_id",
+            (dec(_cosine(F.col("embedding"), F.col("ne")), 6) + F.lit(0.0))
+            .alias("cos_sim"),
+        )
+        from pyspark.sql import Window as _W
+
+        w = _W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
+        return (
+            scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+        )
+
+
+def hybrid_full_from_state(
+    spark: SparkSession,
+    ivf: IvfIndexMaintainer,
+    slsh: "SignLshIndexMaintainer",
+    lex: LexicalStatsMaintainer,
+    batch_id: int,
+    queries: DataFrame,
+    k: int = HYB_K,
+) -> DataFrame:
+    """SERVE q295's FULL three-leg hybrid from maintained state: the
+    BM25 more-like-this leg (``LexicalStatsMaintainer.morelikethis``),
+    the q46 sign-LSH leg and the q47 IVF leg, fused with q295's exact
+    integer micro-unit RRF and cut at fused_rank ≤ k.  ``queries`` is a
+    (q_id, embedding) frame whose q_id ARE document ids (the id-aligned
+    embedding companion, q295's convention).  With the maintainers fed
+    the same corpus and the IVF maintainer built with q47's ann_params
+    centroid count, the output BIT-COMPARES against the batch
+    q295_hybrid_retrieval — the parity
+    tests/test_index_maintenance_stream.py pins."""
+    from pyspark.sql import Window as _W
+
+    qids = [r["q_id"] for r in queries.select("q_id").collect()]
+    lexl = lex.morelikethis(batch_id, qids)
+    lshl = slsh.topk(batch_id, queries, k=LSH_K).select(
+        "q_id", "neighbor_id", F.col("rank").cast("long")
+    )
+    from datapipeline_dags_spark.plans.llm_ops import IVF_K
+
+    ivfl = ivf.topk(batch_id, queries, k=IVF_K).select(
+        "q_id", "neighbor_id", F.col("rank").cast("long")
+    )
+    un = lexl.unionByName(lshl).unionByName(ivfl)
+    fused = un.groupBy("q_id", "neighbor_id").agg(
+        F.sum(F.expr(f"1000000 div ({RRF_C} + rank)"))
+        .cast("long")
+        .alias("rrf_micro"),
+        F.count("*").cast("long").alias("n_methods"),
+    )
+    wf = _W.partitionBy("q_id").orderBy(F.col("rrf_micro").desc(), "neighbor_id")
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(wf).cast("long"))
+        .filter(F.col("fused_rank") <= k)
+        .select("q_id", "neighbor_id", "rrf_micro", "n_methods", "fused_rank")
     )

@@ -673,3 +673,107 @@ def test_same_tick_arrival_and_deletion_retracts(spark, dirs):
         deletes=dels,
     )
     assert lsh.matches_full(1, live)
+
+
+def test_full_hybrid_serving_matches_q295(spark, dirs):
+    """The COMPLETE q295 stack served from maintained state — BM25
+    more-like-this + sign-LSH + IVF legs, integer micro-unit RRF — must
+    BIT-COMPARE against the batch q295 over the same corpus (and each
+    dense leg against its batch query), with the IVF maintainer built
+    on q47's ann_params centroid count."""
+    from datapipeline_dags_spark.plans import llm_ops
+    from datapipeline_dags_spark.streaming.index_maintenance import (
+        LexicalStatsMaintainer,
+        SignLshIndexMaintainer,
+        hybrid_full_from_state,
+    )
+
+    emb = table(spark, SF_DIR, "embeddings")
+    docs = table(spark, SF_DIR, "documents")
+    n_cent, _, _ = llm_ops.ann_params(llm_ops.corpus_size(spark, SF_DIR))
+    ivf = IvfIndexMaintainer(
+        spark, dirs["state"] + "/ivf", centroid_corpus=emb, n_centroids=n_cent
+    )
+    slsh = SignLshIndexMaintainer(spark, dirs["state"] + "/slsh")
+    lex = LexicalStatsMaintainer(spark, dirs["state"] + "/lex")
+    for bid, pred in ((0, 0), (1, 1)):
+        ivf.process_batch(
+            emb.filter(F.col("vec_id") % 2 == pred).select("vec_id", "embedding"),
+            bid,
+        )
+        slsh.process_batch(
+            emb.filter(F.col("vec_id") % 2 == pred).select("vec_id", "embedding"),
+            bid,
+        )
+        lex.process_batch(
+            docs.filter(F.col("doc_id") % 2 == pred).select("doc_id", "text"),
+            bid,
+        )
+    queries = emb.filter(F.col("vec_id") < llm_ops.N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    # dense leg parity vs the batch queries
+    got_lsh = sorted(
+        map(tuple, slsh.topk(1, queries, k=llm_ops.LSH_K).collect())
+    )
+    want_lsh = sorted(
+        map(
+            tuple,
+            llm_ops.q46_ann_lsh_bucketed(spark, SF_DIR)
+            .filter(F.col("q_id") < llm_ops.N_QUERIES)
+            .collect(),
+        )
+    )
+    assert got_lsh == want_lsh and got_lsh
+    got_ivf = sorted(
+        map(tuple, ivf.topk(1, queries, k=llm_ops.IVF_K).collect())
+    )
+    want_ivf = sorted(map(tuple, llm_ops.q47_ann_ivf(spark, SF_DIR).collect()))
+    assert got_ivf == want_ivf and got_ivf
+    # full three-leg fusion parity vs the batch q295
+    got = sorted(
+        map(
+            tuple,
+            hybrid_full_from_state(spark, ivf, slsh, lex, 1, queries).collect(),
+        )
+    )
+    want = sorted(
+        map(tuple, llm_ops.q295_hybrid_retrieval(spark, SF_DIR).collect())
+    )
+    assert got == want and got
+
+
+def test_sign_lsh_serving_with_deletes_and_compaction(spark, dirs):
+    """Sign-LSH serving through tombstones and a compaction equals a
+    single-batch maintainer over the live corpus (merge/layout
+    invariance: maintenance changes WHERE the index came from, never a
+    score)."""
+    from datapipeline_dags_spark.plans import llm_ops
+    from datapipeline_dags_spark.streaming.index_maintenance import (
+        SignLshIndexMaintainer,
+    )
+
+    emb = table(spark, SF_DIR, "embeddings")
+    inc = SignLshIndexMaintainer(spark, dirs["state"] + "/inc")
+    inc.process_batch(
+        emb.filter(F.col("vec_id") % 2 == 0).select("vec_id", "embedding"), 0
+    )
+    dels = emb.filter(F.col("vec_id") % 7 == 3).select("vec_id")
+    inc.process_batch(
+        emb.filter(F.col("vec_id") % 2 == 1).select("vec_id", "embedding"),
+        1,
+        deletes=dels,
+    )
+    inc.compact(1)
+    live = emb.join(dels, "vec_id", "left_anti")
+    full = SignLshIndexMaintainer(spark, dirs["state"] + "/full")
+    full.process_batch(live.select("vec_id", "embedding"), 0)
+    queries = live.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    got = sorted(map(tuple, inc.topk(1, queries, k=llm_ops.LSH_K).collect()))
+    want = sorted(map(tuple, full.topk(0, queries, k=llm_ops.LSH_K).collect()))
+    assert got == want and got
+    assert inc._live("vecs", 1, inc.VECS_SCHEMA).join(
+        dels, "vec_id", "left_semi"
+    ).count() == 0
