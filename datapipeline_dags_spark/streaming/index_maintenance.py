@@ -1245,7 +1245,16 @@ def hybrid_full_from_state(
     tests/test_index_maintenance_stream.py pins."""
     from pyspark.sql import Window as _W
 
-    qids = [r["q_id"] for r in queries.select("q_id").collect()]
+    from datapipeline_dags_spark.plans.route import bounded_collect
+
+    # the query set is caller-bounded (an eval/query batch, never the
+    # corpus) — assert it like every other driver-side materialization
+    qids = [
+        r["q_id"]
+        for r in bounded_collect(
+            queries.select("q_id"), 100_000, "hybrid_full_from_state_queries"
+        )
+    ]
     lexl = lex.morelikethis(batch_id, qids)
     lshl = slsh.topk(batch_id, queries, k=LSH_K).select(
         "q_id", "neighbor_id", F.col("rank").cast("long")
