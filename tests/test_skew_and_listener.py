@@ -93,8 +93,12 @@ def test_streaming_listener_records_batches(spark, tmp_path):
         rows = []
         # Listener events are delivered asynchronously; under heavy
         # machine load (parallel suites) delivery has been observed to
-        # exceed 10 s, so the poll budget is 20 s.
-        for _ in range(80):
+        # exceed 20 s (flaked at 20 s in the r11 full run with a
+        # concurrent Spark session), so the budget is WALL-CLOCK 120 s
+        # — the assertion is about delivery-at-all, not latency, and a
+        # generous budget costs nothing when delivery is prompt.
+        deadline = time.time() + 120
+        while time.time() < deadline:
             if os.path.exists(db):
                 con = duckdb.connect(db)
                 try:
