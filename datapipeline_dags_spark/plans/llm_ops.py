@@ -685,6 +685,22 @@ LSH_K = 3  # neighbors returned per vector
 LSH_PROBES = 1 + LSH_SIGN_BITS
 
 
+def lsh_sign_bucket(t: int, flip: int = 0) -> Column:
+    """q46's sign-bucket key for hash table ``t`` (dims are 1-indexed
+    groups of LSH_SIGN_BITS), with probe ``flip`` > 0 flipping that
+    bit — THE single definition both the batch query and the streaming
+    SignLshIndexMaintainer hash with, so the maintained index can
+    never silently diverge from the batch bucketing.  Reads the
+    column named ``embedding``."""
+    bits = []
+    for i in range(1, LSH_SIGN_BITS + 1):
+        cond = F.element_at("embedding", t * LSH_SIGN_BITS + i) >= 0
+        if i == flip:
+            cond = ~cond
+        bits.append(F.when(cond, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
 def _bucket_sql(tbl: str, t: int, flip: int = 0) -> str:
     return " || ".join(
         "CASE WHEN {e} {op} 0 THEN '1' ELSE '0' END".format(
@@ -752,15 +768,7 @@ def q46_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-checkable.
     """
     emb = table(spark, sf_dir, "embeddings")
-
-    def bucket(t: int, flip: int = 0) -> Column:
-        bits = []
-        for i in range(1, LSH_SIGN_BITS + 1):
-            cond = F.element_at("embedding", t * LSH_SIGN_BITS + i) >= 0
-            if i == flip:
-                cond = ~cond
-            bits.append(F.when(cond, F.lit("1")).otherwise(F.lit("0")))
-        return F.concat(*bits)
+    bucket = lsh_sign_bucket  # the shared definition (see its docstring)
 
     fanned = _fanout(spark, emb)
     b = fanned.select(
@@ -11359,8 +11367,10 @@ def q300_ivf_delete_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     The audit IS the result: an independent full recompute over the
     LIVE corpus (all vectors minus the deletion batch) must equal the
     merged state bit-exactly per (cell, component) — ``matches_full``
-    is a global MIN over every component cell, including cells that
-    retracted to zero (those must be ABSENT from the live recompute).
+    is ONE GLOBAL MIN over every component cell, attached to every
+    output row (the q302 pattern), including cells that retracted to
+    zero (those must be ABSENT from the live recompute and emit no
+    report row, but still participate in the audit).
 
     Parity: assignment is q47's argmax (cosine, lowest-cid tie);
     components quantize with floor(x·{IVF_SUM_SCALE}+0.5); everything
@@ -11437,19 +11447,29 @@ def q300_ivf_delete_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("ok"),
     )
+    per_cell = audit.groupBy(F.col("cell").cast("long").alias("cell")).agg(
+        F.max("nb").cast("long").alias("n_base"),
+        F.max("ni").cast("long").alias("n_ins"),
+        F.max("nx").cast("long").alias("n_del"),
+        (F.max("nb") + F.max("ni") - F.max("nx")).cast("long").alias("n_live"),
+        F.sum("s_m").cast("long").alias("centroid_checksum"),
+        F.min("ok").cast("long").alias("ok"),
+    )
+    from pyspark.storagelevel import StorageLevel as _SL
+
+    per_cell = per_cell.persist(_SL.MEMORY_AND_DISK)
+    # GLOBAL audit flag over EVERY cell — including cells that
+    # retracted to zero, which the live report below excludes (the
+    # q302 pattern; a broken retraction leaving residue in a
+    # fully-deleted cell must fail matches_full even though that cell
+    # has no output row)
+    glob = per_cell.agg(
+        F.coalesce(F.min("ok"), F.lit(1)).cast("long").alias("matches_full")
+    )
     return (
-        audit.groupBy(F.col("cell").cast("long").alias("cell"))
-        .agg(
-            F.max("nb").cast("long").alias("n_base"),
-            F.max("ni").cast("long").alias("n_ins"),
-            F.max("nx").cast("long").alias("n_del"),
-            (F.max("nb") + F.max("ni") - F.max("nx"))
-            .cast("long")
-            .alias("n_live"),
-            F.sum("s_m").cast("long").alias("centroid_checksum"),
-            F.min("ok").cast("long").alias("matches_full"),
-        )
-        .filter(F.col("n_live") > 0)
+        per_cell.filter(F.col("n_live") > 0)
+        .drop("ok")
+        .crossJoin(F.broadcast(glob))
     )
 
 
@@ -11845,13 +11865,21 @@ def q303_semantic_decontamination(
     {SEMDECON_N} — eval suites do not grow with the train corpus), so
     the screen is ONE map-only pass: broadcast the benchmark structs,
     per-row transform + array_max, zero shuffles beyond the
-    TakeOrderedAndProject that picks the benchmark — the q45 broadcast
-    discipline pointed at the decon problem.  At 100 TB this is the
-    cheapest possible shape: no join, no agg, no candidate explosion.
+    TakeOrderedAndProject that picks the benchmark (materialized ONCE
+    — it feeds both the broadcast row and the train-side anti-join) —
+    the q45 broadcast discipline pointed at the decon problem.  At
+    100 TB this is the cheapest possible shape: one tiny anti-join,
+    no agg, no candidate explosion.
     """
     emb = table(spark, sf_dir, "embeddings")
-    bench = emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id").limit(
-        SEMDECON_N
+    # materialize the tiny benchmark pick once — it feeds BOTH the
+    # broadcast struct row and the train-side anti-join, and without
+    # this the corpus-wide TakeOrdered pre-pass would run twice
+    bench = local_checkpoint(
+        emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id").limit(
+            SEMDECON_N
+        ),
+        "q303 benchmark pick",
     )
     tb = bench.agg(
         F.collect_list(

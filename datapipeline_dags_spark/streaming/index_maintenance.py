@@ -73,7 +73,9 @@ from datapipeline_dags_spark.plans.llm_ops import (
     LSH_SIGN_BITS,
     LSH_TABLES,
     N_CENTROIDS,
+    NPROBE,
     RRF_C,
+    lsh_sign_bucket,
     _cosine,
     _ivf_centroids,
     _minhash_bands,
@@ -235,7 +237,7 @@ def _write_compaction(
     _prune_compacted(state_dir, tbl, batch_id)
 
 
-TOMBSTONES_SCHEMA = "id bigint"
+TOMBSTONES_SCHEMA = "id bigint, v bigint"
 
 
 def _normalize_deletes(deletes: DataFrame | None) -> DataFrame | None:
@@ -245,6 +247,50 @@ def _normalize_deletes(deletes: DataFrame | None) -> DataFrame | None:
         return None
     first = deletes.columns[0]
     return deletes.select(F.col(first).cast("bigint").alias("id")).distinct()
+
+
+def _tomb_delta(
+    spark: SparkSession, tombs: DataFrame | None, batch_id: int
+) -> DataFrame:
+    """This batch's tombstone rows, stamped with the deleting batch id
+    — tombstones are VERSION-SCOPED, so an id deleted at tick t and
+    re-ingested at a later tick t' > t is visible again (delete ->
+    re-crawl -> re-insert is a normal lifecycle once a deletion
+    manifest exists).  Only ids arriving twice WITHOUT an intervening
+    delete remain out of contract."""
+    if tombs is None:
+        return spark.createDataFrame([], TOMBSTONES_SCHEMA)
+    return tombs.select(
+        "id", F.lit(batch_id).cast("bigint").alias("v")
+    )
+
+
+def _live_delta(
+    spark: SparkSession,
+    state_dir: str,
+    tbl: str,
+    batch_id: int,
+    schema: str,
+    id_col: str,
+    keep_v: bool = False,
+) -> DataFrame:
+    """Live rows of a delta table as of ``batch_id``: every delta
+    version ≤ batch_id minus rows whose id carries a tombstone at or
+    after the row's own writing version (``row.v <= max(tombstone.v)``
+    ⇒ dead; a later re-insert writes a fresher v and survives)."""
+    rows = _read_delta_union(spark, state_dir, tbl, batch_id, schema)
+    tombs = _read_delta_union(
+        spark, state_dir, "tombstones", batch_id, TOMBSTONES_SCHEMA
+    )
+    tv = (
+        tombs.groupBy("id")
+        .agg(F.max("v").alias("_tv"))
+        .withColumnRenamed("id", id_col)
+    )
+    live = rows.join(tv, id_col, "left").filter(
+        F.col("_tv").isNull() | (F.col("v") > F.col("_tv"))
+    ).drop("_tv")
+    return live if keep_v else live.drop("v")
 
 
 class IvfIndexMaintainer:
@@ -264,7 +310,8 @@ class IvfIndexMaintainer:
 
     STATE_SCHEMA = "cell bigint, pos int, s bigint, n bigint"
     ASSIGN_SCHEMA = (
-        "vec_id bigint, cell bigint, embedding array<float>, qe array<bigint>"
+        "vec_id bigint, cell bigint, embedding array<float>, "
+        "qe array<bigint>, v bigint"
     )
 
     def __init__(
@@ -329,15 +376,15 @@ class IvfIndexMaintainer:
 
     def assign(self, batch_id: int) -> DataFrame:
         """Live assignment rows as of ``batch_id`` (deltas minus
-        tombstones)."""
-        rows = _read_delta_union(
-            self.spark, self.state_dir, "assign", batch_id, self.ASSIGN_SCHEMA
-        )
-        tombs = _read_delta_union(
-            self.spark, self.state_dir, "tombstones", batch_id, TOMBSTONES_SCHEMA
-        )
-        return rows.join(
-            tombs.select(F.col("id").alias("vec_id")), "vec_id", "left_anti"
+        version-scoped tombstones — a re-inserted id is visible
+        again)."""
+        return _live_delta(
+            self.spark,
+            self.state_dir,
+            "assign",
+            batch_id,
+            self.ASSIGN_SCHEMA,
+            "vec_id",
         )
 
     def process_batch(
@@ -378,11 +425,14 @@ class IvfIndexMaintainer:
             _version_dir(self.state_dir, "ivf", batch_id)
         )
         _prune_versions(self.state_dir, "ivf", batch_id)
-        _write_delta(assigned, self.state_dir, "assign", batch_id)
         _write_delta(
-            tombs
-            if tombs is not None
-            else self.spark.createDataFrame([], TOMBSTONES_SCHEMA),
+            assigned.withColumn("v", F.lit(batch_id).cast("bigint")),
+            self.state_dir,
+            "assign",
+            batch_id,
+        )
+        _write_delta(
+            _tomb_delta(self.spark, tombs, batch_id),
             self.state_dir,
             "tombstones",
             batch_id,
@@ -394,21 +444,40 @@ class IvfIndexMaintainer:
         )
 
     def compact(self, batch_id: int) -> None:
-        """Fold every assignment delta ≤ ``batch_id`` (minus consumed
-        tombstones) into one ``compact_v<batch_id>`` dir.  At streaming
-        cadence the per-batch delta layout accumulates one dir per tick
-        — unbounded read fan-in — so a periodic compaction bounds the
-        union a read plans over; crash-safe because the compaction is
-        invisible until its _SUCCESS marker lands and readers ignore
-        superseded deltas from then on."""
+        """Fold the assignment deltas STRICTLY BEFORE ``batch_id``
+        (minus consumed tombstones) into one ``compact_v<batch_id-1>``
+        dir.  At streaming cadence the per-batch delta layout
+        accumulates one dir per tick — unbounded read fan-in — so a
+        periodic compaction bounds the union a read plans over.
+        Crash-safe twice over: the compaction is invisible until its
+        _SUCCESS marker lands (readers ignore superseded deltas from
+        then on), and the CURRENT batch's delta is never folded in —
+        Structured Streaming may still replay ``batch_id`` before its
+        offset commits, and a replay must find state-as-of
+        ``batch_id - 1`` intact, not its own rows pre-baked into the
+        compaction (the STATE_VERSIONS_KEPT invariant, delta edition)."""
+        k = batch_id - 1
+        if k < 0:
+            return
         _write_compaction(
-            self.assign(batch_id), self.state_dir, "assign", batch_id
+            _live_delta(
+                self.spark,
+                self.state_dir,
+                "assign",
+                k,
+                self.ASSIGN_SCHEMA,
+                "vec_id",
+                keep_v=True,
+            ),
+            self.state_dir,
+            "assign",
+            k,
         )
         _write_compaction(
             self.spark.createDataFrame([], TOMBSTONES_SCHEMA),
             self.state_dir,
             "tombstones",
-            batch_id,
+            k,
         )
 
     def topk(
@@ -427,7 +496,9 @@ class IvfIndexMaintainer:
         (q_id, embedding) frame; freshness equals the last maintenance
         tick.  Returns (q_id, neighbor_id, cos_sim, rank ≤ k)."""
         if nprobe is None:
-            nprobe = max(1, -(-len(self.cents) // 2))  # q47's ceil(n/2) rule
+            # q47's rule is max(NPROBE, ceil(n_cent / 2)) — the NPROBE
+            # floor matters for small quantizers (n_centroids < 16)
+            nprobe = max(NPROBE, -(-len(self.cents) // 2))
         live = self.assign(batch_id).select("vec_id", "cell", "embedding")
         ranked_cells = F.slice(
             F.sort_array(
@@ -508,21 +579,20 @@ class LshIndexMaintainer:
     prior batches against themselves.
     """
 
-    SH_SCHEMA = "doc_id bigint, sh array<string>"
-    BANDS_SCHEMA = "doc_id bigint, band int, key string"
+    SH_SCHEMA = "doc_id bigint, sh array<string>, v bigint"
+    BANDS_SCHEMA = "doc_id bigint, band int, key string, v bigint"
     PAIRS_SCHEMA = "a bigint, b bigint"
 
     def __init__(self, spark: SparkSession, state_dir: str):
         self.spark = spark
         self.state_dir = state_dir
 
-    def _delta(self, tbl: str, batch_id: int, schema: str) -> DataFrame:
-        return _read_delta_union(self.spark, self.state_dir, tbl, batch_id, schema)
-
-    def _live(self, tbl: str, batch_id: int, schema: str) -> DataFrame:
-        tombs = self._delta("tombstones", batch_id, TOMBSTONES_SCHEMA)
-        return self._delta(tbl, batch_id, schema).join(
-            tombs.select(F.col("id").alias("doc_id")), "doc_id", "left_anti"
+    def _live(
+        self, tbl: str, batch_id: int, schema: str, keep_v: bool = False
+    ) -> DataFrame:
+        return _live_delta(
+            self.spark, self.state_dir, tbl, batch_id, schema, "doc_id",
+            keep_v=keep_v,
         )
 
     def process_batch(
@@ -532,9 +602,12 @@ class LshIndexMaintainer:
             self.spark, self.state_dir, "pairs", batch_id - 1, self.PAIRS_SCHEMA
         )
         tombs = _normalize_deletes(deletes)
-        if tombs is None:
-            tombs = self.spark.createDataFrame([], TOMBSTONES_SCHEMA)
-        _write_delta(tombs, self.state_dir, "tombstones", batch_id)
+        _write_delta(
+            _tomb_delta(self.spark, tombs, batch_id),
+            self.state_dir,
+            "tombstones",
+            batch_id,
+        )
 
         sh_new = batch.select(
             F.col("doc_id").cast("bigint"), _shingles(F.col("text")).alias("sh")
@@ -544,8 +617,13 @@ class LshIndexMaintainer:
             F.col("band").cast("int"),
             F.col("key").cast("string"),
         )
-        _write_delta(sh_new, self.state_dir, "sh", batch_id)
-        _write_delta(bands_new, self.state_dir, "bands", batch_id)
+        vlit = F.lit(batch_id).cast("bigint")
+        _write_delta(
+            sh_new.withColumn("v", vlit), self.state_dir, "sh", batch_id
+        )
+        _write_delta(
+            bands_new.withColumn("v", vlit), self.state_dir, "bands", batch_id
+        )
         # live = all deltas ≤ batch_id minus all tombstones ≤ batch_id
         # (this batch's rows and deletes included)
         sh_all = self._live("sh", batch_id, self.SH_SCHEMA)
@@ -584,13 +662,16 @@ class LshIndexMaintainer:
             .filter(jac >= JACCARD_T)
             .select("a", "b")
         )
-        # retraction: stored pairs touching ANY tombstoned id drop (an
-        # id-keyed filter over the output-bounded pair table — no
-        # re-shingling, the q301 contract)
-        all_tombs = self._delta("tombstones", batch_id, TOMBSTONES_SCHEMA)
+        # retraction: stored pairs touching any CURRENTLY-dead id drop
+        # (an id-keyed filter over the output-bounded pair table — no
+        # re-shingling, the q301 contract).  "Currently dead" = ids
+        # with no live shingle row, so a re-inserted doc's fresh pairs
+        # survive while its pre-deletion pairs were already dropped at
+        # deletion time.
+        live_ids = sh_all.select("doc_id")
         surviving = pairs_prev.join(
-            all_tombs.select(F.col("id").alias("a")), "a", "left_anti"
-        ).join(all_tombs.select(F.col("id").alias("b")), "b", "left_anti")
+            live_ids.withColumnRenamed("doc_id", "a"), "a", "left_semi"
+        ).join(live_ids.withColumnRenamed("doc_id", "b"), "b", "left_semi")
         pairs_all = surviving.select("a", "b").unionByName(verified).distinct()
 
         pairs_all.write.mode("overwrite").parquet(
@@ -604,27 +685,31 @@ class LshIndexMaintainer:
         )
 
     def compact(self, batch_id: int) -> None:
-        """Fold the shingle/band deltas ≤ ``batch_id`` (minus consumed
-        tombstones) into one compaction dir each — the read fan-in
-        bound; see IvfIndexMaintainer.compact.  ``pairs`` is versioned
-        (already one dir), so only the row stores compact."""
+        """Fold the shingle/band deltas STRICTLY BEFORE ``batch_id``
+        into one compaction dir each — the read fan-in bound with the
+        replay-window guarantee; see IvfIndexMaintainer.compact.
+        ``pairs`` is versioned (already one dir), so only the row
+        stores compact."""
+        k = batch_id - 1
+        if k < 0:
+            return
         _write_compaction(
-            self._live("sh", batch_id, self.SH_SCHEMA),
+            self._live("sh", k, self.SH_SCHEMA, keep_v=True),
             self.state_dir,
             "sh",
-            batch_id,
+            k,
         )
         _write_compaction(
-            self._live("bands", batch_id, self.BANDS_SCHEMA),
+            self._live("bands", k, self.BANDS_SCHEMA, keep_v=True),
             self.state_dir,
             "bands",
-            batch_id,
+            k,
         )
         _write_compaction(
             self.spark.createDataFrame([], TOMBSTONES_SCHEMA),
             self.state_dir,
             "tombstones",
-            batch_id,
+            k,
         )
 
     def matches_full(self, batch_id: int, all_docs: DataFrame) -> bool:
@@ -690,7 +775,9 @@ class LexicalStatsMaintainer:
 
     TERMS_SCHEMA = "term string, df bigint, cf bigint"
     CORPUS_SCHEMA = "n_docs bigint, total_tokens bigint"
-    POSTINGS_SCHEMA = "doc_id bigint, term string, tf bigint, dl bigint"
+    POSTINGS_SCHEMA = (
+        "doc_id bigint, term string, tf bigint, dl bigint, v bigint"
+    )
 
     def __init__(self, spark: SparkSession, state_dir: str):
         self.spark = spark
@@ -737,8 +824,11 @@ class LexicalStatsMaintainer:
         merged_terms = terms_prev.unionByName(delta_terms)
         merged_corpus = corpus_prev.unionByName(delta_corpus)
         tombs = _normalize_deletes(deletes)
-        if tombs is None:
-            tombs = self.spark.createDataFrame([], TOMBSTONES_SCHEMA)
+        tomb_ids = (
+            tombs
+            if tombs is not None
+            else self.spark.createDataFrame([], "id bigint")
+        )
         # retraction reads the STORED posting rows of ids actually live
         # in the previous state (repeated/unknown deletes are no-ops)
         # PLUS this batch's own rows — a doc arriving and tombstoned in
@@ -748,7 +838,9 @@ class LexicalStatsMaintainer:
             self.postings(batch_id - 1)
             .unionByName(tf)
             .join(
-                tombs.select(F.col("id").alias("doc_id")), "doc_id", "left_semi"
+                tomb_ids.select(F.col("id").alias("doc_id")),
+                "doc_id",
+                "left_semi",
             )
         )
         neg_terms = victim.groupBy("term").agg(
@@ -779,8 +871,18 @@ class LexicalStatsMaintainer:
             _version_dir(self.state_dir, "corpus", batch_id)
         )
         _prune_versions(self.state_dir, "corpus", batch_id)
-        _write_delta(tf, self.state_dir, "postings", batch_id)
-        _write_delta(tombs, self.state_dir, "tombstones", batch_id)
+        _write_delta(
+            tf.withColumn("v", F.lit(batch_id).cast("bigint")),
+            self.state_dir,
+            "postings",
+            batch_id,
+        )
+        _write_delta(
+            _tomb_delta(self.spark, tombs, batch_id),
+            self.state_dir,
+            "tombstones",
+            batch_id,
+        )
 
     def terms(self, batch_id: int) -> DataFrame:
         return _read_version(
@@ -789,34 +891,45 @@ class LexicalStatsMaintainer:
 
     def postings(self, batch_id: int) -> DataFrame:
         """Live posting rows as of ``batch_id`` (append-only deltas
-        minus tombstones)."""
-        rows = _read_delta_union(
+        minus version-scoped tombstones — a re-inserted doc is visible
+        again)."""
+        return _live_delta(
             self.spark,
             self.state_dir,
             "postings",
             batch_id,
             self.POSTINGS_SCHEMA,
-        )
-        tombs = _read_delta_union(
-            self.spark, self.state_dir, "tombstones", batch_id, TOMBSTONES_SCHEMA
-        )
-        return rows.join(
-            tombs.select(F.col("id").alias("doc_id")), "doc_id", "left_anti"
+            "doc_id",
         )
 
     def compact(self, batch_id: int) -> None:
-        """Fold the posting deltas ≤ ``batch_id`` (minus consumed
-        tombstones) into one compaction dir — the read fan-in bound;
-        see IvfIndexMaintainer.compact.  ``terms``/``corpus`` are
-        versioned aggregates (already one dir each)."""
+        """Fold the posting deltas STRICTLY BEFORE ``batch_id`` into
+        one compaction dir — the read fan-in bound with the
+        replay-window guarantee; see IvfIndexMaintainer.compact.
+        ``terms``/``corpus`` are versioned aggregates (already one dir
+        each)."""
+        k = batch_id - 1
+        if k < 0:
+            return
         _write_compaction(
-            self.postings(batch_id), self.state_dir, "postings", batch_id
+            _live_delta(
+                self.spark,
+                self.state_dir,
+                "postings",
+                k,
+                self.POSTINGS_SCHEMA,
+                "doc_id",
+                keep_v=True,
+            ),
+            self.state_dir,
+            "postings",
+            k,
         )
         _write_compaction(
             self.spark.createDataFrame([], TOMBSTONES_SCHEMA),
             self.state_dir,
             "tombstones",
-            batch_id,
+            k,
         )
 
     def topk(
@@ -876,7 +989,7 @@ class LexicalStatsMaintainer:
     def morelikethis(
         self,
         batch_id: int,
-        query_doc_ids: list[int],
+        query_doc_ids: "list[int] | DataFrame",
         qt: int = HYB_QT,
         k: int = HYB_LEX_K,
     ) -> DataFrame:
@@ -903,8 +1016,23 @@ class LexicalStatsMaintainer:
             ),
         )
         wq = _W.partitionBy("q_id").orderBy(F.col("df").asc(), "term")
+        if isinstance(query_doc_ids, DataFrame):
+            # distributed id set: semi-join (broadcastable), no driver
+            # round-trip, no isin() literal explosion
+            first = query_doc_ids.columns[0]
+            qdocs = postings.join(
+                F.broadcast(
+                    query_doc_ids.select(
+                        F.col(first).cast("bigint").alias("doc_id")
+                    )
+                ),
+                "doc_id",
+                "left_semi",
+            )
+        else:
+            qdocs = postings.filter(F.col("doc_id").isin(list(query_doc_ids)))
         qterms = (
-            postings.filter(F.col("doc_id").isin(list(query_doc_ids)))
+            qdocs
             .select(F.col("doc_id").alias("q_id"), "term")
             .join(stats.select("term", "df"), "term")
             .withColumn("rn", F.row_number().over(wq))
@@ -1076,9 +1204,9 @@ def hybrid_topk_from_state(
     return (
         un.groupBy("doc_id")
         .agg(
-            F.sum(F.expr("1000000 div (60 + rank)")).cast("long").alias(
-                "rrf_micro"
-            ),
+            F.sum(F.expr(f"1000000 div ({RRF_C} + rank)"))
+            .cast("long")
+            .alias("rrf_micro"),
             F.count("*").cast("long").alias("n_methods"),
         )
         .withColumn("fused_rank", F.row_number().over(wf).cast("long"))
@@ -1098,22 +1226,17 @@ class SignLshIndexMaintainer:
     deduped, 6-dp rounded cosine, ties on neighbor id) against the
     live rows."""
 
-    SIGS_SCHEMA = "vec_id bigint, t int, bucket string"
-    VECS_SCHEMA = "vec_id bigint, embedding array<float>"
+    SIGS_SCHEMA = "vec_id bigint, t int, bucket string, v bigint"
+    VECS_SCHEMA = "vec_id bigint, embedding array<float>, v bigint"
 
     def __init__(self, spark: SparkSession, state_dir: str):
         self.spark = spark
         self.state_dir = state_dir
 
-    @staticmethod
-    def _bucket(t: int, flip: int = 0):
-        bits = []
-        for i in range(1, LSH_SIGN_BITS + 1):
-            cond = F.element_at("embedding", t * LSH_SIGN_BITS + i) >= 0
-            if i == flip:
-                cond = ~cond
-            bits.append(F.when(cond, F.lit("1")).otherwise(F.lit("0")))
-        return F.concat(*bits)
+    # ONE bucket definition shared with the batch q46 (llm_ops.
+    # lsh_sign_bucket) — the maintained index can never silently
+    # diverge from the batch hashing
+    _bucket = staticmethod(lsh_sign_bucket)
 
     def process_batch(
         self, batch: DataFrame, batch_id: int, deletes: DataFrame | None = None
@@ -1121,53 +1244,61 @@ class SignLshIndexMaintainer:
         rows = batch.select(
             F.col("vec_id").cast("bigint"), "embedding"
         )
+        vlit = F.lit(batch_id).cast("bigint")
         sigs = rows.select(
             "vec_id",
             F.posexplode(
                 F.array(*[self._bucket(t) for t in range(LSH_TABLES)])
             ).alias("t", "bucket"),
         ).select(
-            "vec_id", F.col("t").cast("int"), F.col("bucket").cast("string")
+            "vec_id",
+            F.col("t").cast("int"),
+            F.col("bucket").cast("string"),
+            vlit.alias("v"),
         )
         _write_delta(sigs, self.state_dir, "sigs", batch_id)
-        _write_delta(rows, self.state_dir, "vecs", batch_id)
-        tombs = _normalize_deletes(deletes)
         _write_delta(
-            tombs
-            if tombs is not None
-            else self.spark.createDataFrame([], TOMBSTONES_SCHEMA),
+            rows.withColumn("v", vlit), self.state_dir, "vecs", batch_id
+        )
+        _write_delta(
+            _tomb_delta(self.spark, _normalize_deletes(deletes), batch_id),
             self.state_dir,
             "tombstones",
             batch_id,
         )
 
-    def _live(self, tbl: str, batch_id: int, schema: str) -> DataFrame:
-        tombs = _read_delta_union(
-            self.spark, self.state_dir, "tombstones", batch_id, TOMBSTONES_SCHEMA
+    def _live(
+        self, tbl: str, batch_id: int, schema: str, keep_v: bool = False
+    ) -> DataFrame:
+        return _live_delta(
+            self.spark, self.state_dir, tbl, batch_id, schema, "vec_id",
+            keep_v=keep_v,
         )
-        return _read_delta_union(
-            self.spark, self.state_dir, tbl, batch_id, schema
-        ).join(tombs.select(F.col("id").alias("vec_id")), "vec_id", "left_anti")
 
     def compact(self, batch_id: int) -> None:
-        """Read fan-in bound; see IvfIndexMaintainer.compact."""
+        """Read fan-in bound with the replay-window guarantee (folds
+        deltas STRICTLY BEFORE ``batch_id``); see
+        IvfIndexMaintainer.compact."""
+        k = batch_id - 1
+        if k < 0:
+            return
         _write_compaction(
-            self._live("sigs", batch_id, self.SIGS_SCHEMA),
+            self._live("sigs", k, self.SIGS_SCHEMA, keep_v=True),
             self.state_dir,
             "sigs",
-            batch_id,
+            k,
         )
         _write_compaction(
-            self._live("vecs", batch_id, self.VECS_SCHEMA),
+            self._live("vecs", k, self.VECS_SCHEMA, keep_v=True),
             self.state_dir,
             "vecs",
-            batch_id,
+            k,
         )
         _write_compaction(
             self.spark.createDataFrame([], TOMBSTONES_SCHEMA),
             self.state_dir,
             "tombstones",
-            batch_id,
+            k,
         )
 
     def topk(
@@ -1245,17 +1376,10 @@ def hybrid_full_from_state(
     tests/test_index_maintenance_stream.py pins."""
     from pyspark.sql import Window as _W
 
-    from datapipeline_dags_spark.plans.route import bounded_collect
-
-    # the query set is caller-bounded (an eval/query batch, never the
-    # corpus) — assert it like every other driver-side materialization
-    qids = [
-        r["q_id"]
-        for r in bounded_collect(
-            queries.select("q_id"), 100_000, "hybrid_full_from_state_queries"
-        )
-    ]
-    lexl = lex.morelikethis(batch_id, qids)
+    # the query ids stay DISTRIBUTED: morelikethis semi-joins the
+    # frame instead of round-tripping ids through the driver into a
+    # giant isin() literal
+    lexl = lex.morelikethis(batch_id, queries.select("q_id"))
     lshl = slsh.topk(batch_id, queries, k=LSH_K).select(
         "q_id", "neighbor_id", F.col("rank").cast("long")
     )

@@ -554,7 +554,7 @@ def test_lexical_compaction_preserves_reads_and_bounds_dirs(spark, dirs):
     m.process_batch(b0, 0)
     m.process_batch(b1, 1, deletes=dels)
     before = sorted(map(tuple, m.postings(1).collect()))
-    m.compact(1)
+    m.compact(2)  # compaction folds deltas STRICTLY BEFORE the tick
     assert sorted(map(tuple, m.postings(1).collect())) == before
     # superseded delta dirs are gone; one compaction dir remains
     names = sorted(os.listdir(f"{dirs['state']}/postings"))
@@ -599,7 +599,7 @@ def test_torn_compaction_is_invisible_and_retry_converges(spark, dirs):
     assert sorted(map(tuple, m.postings(1).collect())) == want
     parts = glob.glob(os.path.join(cdir, "part-*.parquet"))
     assert parts  # the wreck is really there; readers just ignore it
-    m.compact(1)  # the retry a scheduler would run
+    m.compact(2)  # the retry a scheduler would run
     assert sorted(map(tuple, m.postings(1).collect())) == want
     assert os.path.exists(os.path.join(cdir, "_SUCCESS"))
 
@@ -613,7 +613,7 @@ def test_ivf_compaction_with_subsequent_deletes(spark, dirs):
     b1 = emb.filter(F.col("vec_id") % 2 == 1).select("vec_id", "embedding")
     m.process_batch(b0, 0)
     m.process_batch(b1, 1)
-    m.compact(1)
+    m.compact(2)  # folds batches 0-1; tick 2 may still replay safely
     dels = emb.filter(F.col("vec_id") % 5 == 2).select("vec_id")
     m.process_batch(
         spark.createDataFrame([], "vec_id bigint, embedding array<float>"),
@@ -764,7 +764,7 @@ def test_sign_lsh_serving_with_deletes_and_compaction(spark, dirs):
         1,
         deletes=dels,
     )
-    inc.compact(1)
+    inc.compact(2)
     live = emb.join(dels, "vec_id", "left_anti")
     full = SignLshIndexMaintainer(spark, dirs["state"] + "/full")
     full.process_batch(live.select("vec_id", "embedding"), 0)
@@ -777,3 +777,53 @@ def test_sign_lsh_serving_with_deletes_and_compaction(spark, dirs):
     assert inc._live("vecs", 1, inc.VECS_SCHEMA).join(
         dels, "vec_id", "left_semi"
     ).count() == 0
+
+
+def test_delete_then_reinsert_is_visible_again(spark, dirs):
+    """Version-scoped tombstones: an id deleted at tick t and
+    re-ingested at t' > t must be fully live again — in the aggregate
+    state, the delta reads, AND the served lists (the review finding:
+    permanent tombstones silently suppressed re-inserts from serving
+    while the versioned aggregates counted them)."""
+    from datapipeline_dags_spark.streaming.index_maintenance import (
+        LexicalStatsMaintainer,
+    )
+
+    docs = table(spark, SF_DIR, "documents")
+    m = LexicalStatsMaintainer(spark, dirs["state"] + "/lex")
+    reins = docs.filter(F.col("doc_id") % 10 == 4).select("doc_id", "text")
+    m.process_batch(docs.select("doc_id", "text"), 0)
+    m.process_batch(
+        spark.createDataFrame([], "doc_id bigint, text string"),
+        1,
+        deletes=reins.select("doc_id"),
+    )
+    live1 = docs.join(reins.select("doc_id"), "doc_id", "left_anti").select(
+        "doc_id", "text"
+    )
+    assert m.matches_full(1, live1)
+    m.process_batch(reins, 2)  # the re-crawl
+    assert m.matches_full(2, docs.select("doc_id", "text"))
+    assert (
+        m.postings(2).join(reins.select("doc_id"), "doc_id", "left_semi")
+        .select("doc_id").distinct().count()
+        == reins.count()
+    )
+
+    # same contract on the IVF side, THROUGH a compaction
+    emb = table(spark, SF_DIR, "embeddings")
+    ivf = IvfIndexMaintainer(spark, dirs["state"] + "/ivf", centroid_corpus=emb)
+    vre = emb.filter(F.col("vec_id") % 10 == 4).select("vec_id", "embedding")
+    ivf.process_batch(emb.select("vec_id", "embedding"), 0)
+    ivf.process_batch(
+        spark.createDataFrame([], "vec_id bigint, embedding array<float>"),
+        1,
+        deletes=vre.select("vec_id"),
+    )
+    ivf.compact(2)
+    ivf.process_batch(vre, 2)
+    assert ivf.matches_full(2, emb)
+    assert (
+        ivf.assign(2).join(vre.select("vec_id"), "vec_id", "left_semi").count()
+        == vre.count()
+    )
