@@ -58,19 +58,27 @@ def collect_gate(frame: DataFrame, gate_rows: int, label: str) -> bool:
     recorded in ``ROUTE_GATES[label]``.
 
     ``SPARK_GRAFT_COLLECT_ROUTE=collected|distributed`` overrides the
-    gate (no probe count is paid) — the scaling harness uses it to
-    measure both routes of one query under identical conditions.
+    gate — the scaling harness uses it to measure both routes of one
+    query under identical conditions.  A forced ``distributed`` pays no
+    probe count; a forced ``collected`` still probes and ROUTES
+    DISTRIBUTED when the frame exceeds the gate (probe_collect's
+    correctness-over-knob rule, ADVICE r11 #3): the collected backends
+    assert their bounds via ``bounded_collect``, so honoring the knob
+    over-gate would crash mid-query instead of measuring.
     """
     forced = _forced_route()
-    if forced is not None:
+    if forced == "distributed":
         ROUTE_GATES[label] = {
             "gate": gate_rows, "rows": None, "route": forced, "forced": True,
         }
-        return forced == "collected"
+        return False
     n = frame.count()
+    # over the gate the collected backend's bound assertion would
+    # raise — route distributed even under a forced-collected override
     route = "collected" if n <= gate_rows else "distributed"
     ROUTE_GATES[label] = {
-        "gate": gate_rows, "rows": n, "route": route, "forced": False,
+        "gate": gate_rows, "rows": n, "route": route,
+        "forced": forced == "collected" and route == "collected",
     }
     return route == "collected"
 

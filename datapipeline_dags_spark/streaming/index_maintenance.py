@@ -178,9 +178,25 @@ def _read_delta_union(
 ) -> DataFrame:
     """The full delta table as of ``batch_id``: the newest complete
     compaction ≤ batch_id (if any) plus every per-batch delta version
-    in (compaction, batch_id].  Missing/empty ⇒ empty frame."""
+    in (compaction, batch_id].  Missing/empty ⇒ empty frame.
+
+    Historical snapshots older than the newest complete compaction are
+    GONE — their raw deltas were pruned when the compaction landed — so
+    such a read raises instead of silently returning empty/partial
+    state (ADVICE r11 #2).  Every live path reads at ≥ newest: the
+    current tick reads state-as-of ``batch_id − 1`` and ``compact()``
+    folds strictly before the tick, so ``newest ≤ batch_id − 1`` always
+    holds for them; only a genuinely-historical read trips this."""
     root = os.path.join(state_dir, tbl)
     k = _latest_compact(state_dir, tbl, batch_id)
+    newest = _latest_compact(state_dir, tbl, 1 << 62)
+    if batch_id >= 0 and newest is not None and newest > batch_id:
+        raise ValueError(
+            f"{tbl}: snapshot as of batch {batch_id} predates the newest "
+            f"compaction (compact_v{newest}) and its raw deltas were "
+            "pruned — historical reads older than a landed compaction "
+            "are unrecoverable, refusing to return partial state"
+        )
     paths = [] if k is None else [os.path.join(root, f"compact_v{k}")]
     floor = -1 if k is None else k
     if os.path.isdir(root):
@@ -230,7 +246,21 @@ def _write_compaction(
     df: DataFrame, state_dir: str, tbl: str, batch_id: int
 ) -> None:
     """Land ``compact_v<batch_id>`` (the _SUCCESS marker makes it
-    visible atomically), then drop the deltas it supersedes."""
+    visible atomically), then drop the deltas it supersedes.
+
+    Idempotent: a COMPLETE ``compact_v<batch_id>`` (marker present) is
+    the final result — re-invoking for the same tick (a foreachBatch
+    replay after a crash between compaction and offset commit) must
+    not re-write it, because by then the input ``df`` (a
+    ``_live_delta`` over state ≤ batch_id) reads ``compact_v<batch_id>``
+    as its only source path and Spark refuses to overwrite a path that
+    is also being read from — the replayed batch would fail on every
+    retry and wedge the stream (ADVICE r11 #1).  The fold is a pure
+    function of state ≤ batch_id, so the landed dir IS the result;
+    only the (idempotent) prune re-runs."""
+    if _latest_compact(state_dir, tbl, batch_id) == batch_id:
+        _prune_compacted(state_dir, tbl, batch_id)
+        return
     df.write.mode("overwrite").parquet(
         os.path.join(state_dir, tbl, f"compact_v{batch_id}")
     )

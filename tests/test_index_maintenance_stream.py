@@ -604,6 +604,67 @@ def test_torn_compaction_is_invisible_and_retry_converges(spark, dirs):
     assert os.path.exists(os.path.join(cdir, "_SUCCESS"))
 
 
+def test_completed_compaction_retry_is_idempotent(spark, dirs):
+    """Re-invoking compact() for a tick whose compaction ALREADY landed
+    (a foreachBatch replay after a crash between compaction and offset
+    commit) must be a no-op — before the guard, the fold's input read
+    compact_v<k> as its only source while overwriting that same path,
+    so the replayed batch failed on every retry and wedged the stream
+    (ADVICE r11 #1; the torn-compaction test only covers the
+    no-_SUCCESS half of the crash window)."""
+    import os
+
+    from datapipeline_dags_spark.streaming.index_maintenance import (
+        LexicalStatsMaintainer,
+    )
+
+    docs = table(spark, SF_DIR, "documents")
+    m = LexicalStatsMaintainer(spark, dirs["state"])
+    b0 = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text")
+    b1 = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text")
+    dels = docs.filter(F.col("doc_id") % 6 == 0).select("doc_id")
+    m.process_batch(b0, 0)
+    m.process_batch(b1, 1, deletes=dels)
+    m.compact(2)
+    want = sorted(map(tuple, m.postings(1).collect()))
+    mtimes = {
+        n: os.path.getmtime(os.path.join(dirs["state"], "postings", n))
+        for n in os.listdir(f"{dirs['state']}/postings")
+    }
+    m.compact(2)  # the replay — must neither throw nor rewrite
+    assert sorted(map(tuple, m.postings(1).collect())) == want
+    assert sorted(os.listdir(f"{dirs['state']}/postings")) == ["compact_v1"]
+    for n, t in mtimes.items():
+        got = os.path.getmtime(os.path.join(dirs["state"], "postings", n))
+        assert got == t, f"replayed compact rewrote {n}"
+    # and maintenance continues normally on top
+    m.process_batch(spark.createDataFrame([], "doc_id bigint, text string"), 2)
+    live = docs.filter(F.col("doc_id") % 6 != 0).select("doc_id", "text")
+    assert m.matches_full(2, live)
+
+
+def test_stale_read_older_than_compaction_raises(spark, dirs):
+    """A snapshot read OLDER than the newest landed compaction is
+    unrecoverable (its raw deltas were pruned) — it must raise loudly
+    instead of silently returning empty/partial state (ADVICE r11 #2)."""
+    from datapipeline_dags_spark.streaming.index_maintenance import (
+        LexicalStatsMaintainer,
+    )
+
+    docs = table(spark, SF_DIR, "documents")
+    m = LexicalStatsMaintainer(spark, dirs["state"])
+    b0 = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text")
+    b1 = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text")
+    m.process_batch(b0, 0)
+    m.process_batch(b1, 1)
+    m.compact(2)  # folds snapshots ≤ 1 into compact_v1
+    # the replay window (reads at ≥ the compaction) stays open ...
+    assert m.postings(1).count() > 0
+    # ... but a historical read below it is loud, not silently empty
+    with pytest.raises(ValueError, match="predates the newest compaction"):
+        m.postings(0).count()
+
+
 def test_ivf_compaction_with_subsequent_deletes(spark, dirs):
     """Retraction reads the assignment store THROUGH a compaction: a
     delete arriving after compact() must still find the stored rows."""

@@ -58,7 +58,15 @@ def test_collect_route_env_force(spark, monkeypatch):
     assert route.ROUTE_GATES["t_forced"]["forced"] is True
     assert route.ROUTE_GATES["t_forced"]["rows"] is None  # no probe paid
     monkeypatch.setenv("SPARK_GRAFT_COLLECT_ROUTE", "collected")
-    assert route.collect_gate(df, 0, "t_forced2") is True
+    assert route.collect_gate(df, 100, "t_forced2") is True
+    assert route.ROUTE_GATES["t_forced2"]["forced"] is True
+    # over-gate + forced collected: correctness wins — the collected
+    # backends assert their bounds via bounded_collect, so honoring
+    # the knob would crash mid-query instead of measuring; mirrors
+    # probe_collect's rule (ADVICE r11 #3)
+    assert route.collect_gate(df, 5, "t_forced3") is False
+    assert route.ROUTE_GATES["t_forced3"]["route"] == "distributed"
+    assert route.ROUTE_GATES["t_forced3"]["forced"] is False
 
 
 def test_collect_and_solve_dispatch(spark):
@@ -112,6 +120,30 @@ def test_probe_collect_routes_and_records(spark, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_COLLECT_ROUTE", "collected")
     # over-cap + forced collected: correctness wins, distributed route
     assert route.probe_collect(df, 5, "t_pc_forced2") is None
+
+
+def test_q209_forced_collected_over_gate_routes_distributed(
+    spark, sf_dir, monkeypatch
+):
+    """ADVICE r11 #3's exact scenario: SPARK_GRAFT_COLLECT_ROUTE=
+    collected forced while the dense-cell count exceeds
+    GRID_CC_DRIVER_MAX used to take the driver route and crash in
+    bounded_collect mid-query; it must route distributed and produce
+    identical rows, so a scaling-harness both-routes sweep measures
+    instead of crashing."""
+    base = {
+        tuple(r)
+        for r in modeling.q209_grid_density_clusters(spark, sf_dir).collect()
+    }
+    monkeypatch.setattr(modeling, "GRID_CC_DRIVER_MAX", 1)
+    monkeypatch.setenv("SPARK_GRAFT_COLLECT_ROUTE", "collected")
+    got = {
+        tuple(r)
+        for r in modeling.q209_grid_density_clusters(spark, sf_dir).collect()
+    }
+    assert got == base
+    assert route.ROUTE_GATES["q209_grid_cc"]["route"] == "distributed"
+    assert route.ROUTE_GATES["q209_grid_cc"]["forced"] is False
 
 
 def test_q209_env_force_produces_identical_results(spark, sf_dir, monkeypatch):
