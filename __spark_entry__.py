@@ -47,75 +47,73 @@ def entry(spark: SparkSession) -> DataFrame:
 # tests/test_entry_rotation.py uses it to scope its staleness skip to
 # exactly one round (ADVICE r7 #5).  README.md "Driver correctness
 # coverage" tracks the union per round.
-_ROTATION_FOR_ROUND = 11
+_ROTATION_FOR_ROUND = 12
 
 _ROTATION_HEAD = [
-    # NEW in round 11 (never driver-checked by construction; also the
-    # round's required new-coverage rows) — the semantic benchmark
-    # decon screen and the deletion half of the dedup/index lifecycle
-    # (VERDICT r10 ask #2):
-    "q303_semantic_decontamination",
-    "q299_deletion_manifest_apply",
-    "q300_ivf_delete_refresh",
-    "q301_lsh_delete_refresh",
-    "q302_bm25_stats_delete_refresh",
-    # changed in round 11 — fresh rows prove parity held through the
-    # changes (q153/q295 integer micro-unit RRF fusion + q296 which
-    # composes q295, ADVICE r10 #3; q193 DECIMAL(38,0) cumulative-cents
-    # headroom, ADVICE r10 #1; q292 BIGINT-div ppm after the ANSI
-    # int-multiply overflow fix; the plans.route conversions — q186
-    # probe_collect, q209 collect_gate backend, and bounded_collect
-    # swaps in q225/q201/q204/q236/q101/q214/q202):
-    "q153_rrf_fusion",
-    "q295_hybrid_retrieval",
-    "q296_hybrid_retrieval_audit",
-    "q193_cohort_ltv",
-    "q292_code_switch_mixture",
-    "q186_distributed_exact_percentile",
+    # NEW in round 12 (never driver-checked by construction; also the
+    # round's required new-coverage rows) — the PQ/IVF-PQ index
+    # family's IVM + deletion contract and its codebook-staleness
+    # retrain trigger (VERDICT r11 ask #2):
+    "q304_pq_codes_delta_refresh",
+    "q305_pq_codes_delete_refresh",
+    "q306_pq_codebook_staleness",
+    # changed in round 12 — fresh rows prove parity held through the
+    # changes (q75/q178: the PQ encode/LUT/ADC expressions extracted
+    # into shared module-level helpers the IVM family and the
+    # streaming PqIndexMaintainer reuse; q209 and the collect_gate
+    # users: the forced-collected over-gate route fix, ADVICE r11 #3):
+    "q75_ann_pq",
+    "q178_pq_reconstruction",
     "q209_grid_density_clusters",
+    "q183_part_pagerank",
+    "q221_bradley_terry",
     "q225_greedy_set_cover",
-    "q201_kmeans_fixed_point",
-    "q204_bfs_reach",
-    "q236_mmr_selection",
-    "q101_bpe_merges",
-    "q214_triplet_mining",
-    "q202_mad_outliers",
+    "q294_hits_hubs_authorities",
     # hedge fill — widest / riskiest already-green plans (driver rows
-    # exist for all; a fresh row re-proves them on round-11 code).
-    # The dedup/ANN/index families lead because they share the most
-    # machinery with this round's changes (delta refresh, blocking,
-    # RRF, BM25), then last round's changed set as refreshers:
+    # exist for all; a fresh row re-proves them on round-12 code).
+    # The PQ-composing audits and the index-maintenance families lead
+    # because they share the most machinery with this round's changes
+    # (the shared PQ expressions, delta refresh, RRF, BM25):
+    "q112_ann_ivfpq",
+    "q90_ann_recall",
+    "q159_ann_ndcg",
     "q282_ivf_delta_refresh",
     "q284_lsh_delta_refresh",
     "q293_bm25_stats_delta_refresh",
-    "q287_bm25_topk",
-    "q297_crossmodal_dup_consistency",
+    "q300_ivf_delete_refresh",
+    "q301_lsh_delete_refresh",
+    "q302_bm25_stats_delete_refresh",
+    "q299_deletion_manifest_apply",
     "q298_dedup_deletion_manifest",
-    "q290_duplicate_run_lengths",
-    "q294_hits_hubs_authorities",
-    "q174_video_dhash_neardup",
-    "q154_quantile_sketch",
-    "q183_part_pagerank",
-    "q221_bradley_terry",
-    "q288_epoch_shuffle_balance",
-    "q281_part_value_concentration",
-    "q41_dedup_minhash_lsh",
-    "q42_dedup_simhash",
-    "q43_ngram_jaccard",
-    "q96_semantic_dedup",
-    "q112_ann_ivfpq",
-    "q75_ann_pq",
+    "q303_semantic_decontamination",
+    "q295_hybrid_retrieval",
+    "q296_hybrid_retrieval_audit",
+    "q153_rrf_fusion",
+    "q287_bm25_topk",
     "q47_ann_ivf",
     "q46_ann_lsh_bucketed",
     "q45_ann_topk_bruteforce",
-    "q90_ann_recall",
-    "q159_ann_ndcg",
+    "q96_semantic_dedup",
+    "q41_dedup_minhash_lsh",
+    "q42_dedup_simhash",
+    "q43_ngram_jaccard",
     "q69_dedup_clusters",
     "q289_winnowing_fingerprints",
+    "q290_duplicate_run_lengths",
+    "q297_crossmodal_dup_consistency",
+    "q174_video_dhash_neardup",
     "q91_image_phash_neardup",
     "q205_audio_energy_neardup",
     "q275_video_keyframes",
+    "q154_quantile_sketch",
+    "q186_distributed_exact_percentile",
     "q141_ship_latency_percentiles",
+    "q193_cohort_ltv",
+    "q292_code_switch_mixture",
+    "q288_epoch_shuffle_balance",
+    "q281_part_value_concentration",
+    "q214_triplet_mining",
+    "q101_bpe_merges",
 ]
 
 _ROTATION_TAIL = [

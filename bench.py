@@ -127,6 +127,10 @@ HEADLINE = [
     # and the widest DELETE-delta IVM (signed IVF retraction)
     "q299_deletion_manifest_apply",
     "q300_ivf_delete_refresh",
+    # round-12 additions (VERDICT r11 ask #2): the PQ code-table IVM
+    # pair — insert-delta encode merge and id-keyed delete retraction
+    "q304_pq_codes_delta_refresh",
+    "q305_pq_codes_delete_refresh",
 ]
 
 REPS = 3
@@ -155,7 +159,23 @@ def main() -> None:
     ANN_AUDIT_PAIR = ("q90_ann_recall", "q159_ann_ndcg")
 
     timings: dict[str, float] = {}
+    # Per-query [min, median, max] of the REPS — the noise evidence the
+    # headline median alone can't carry (VERDICT r11 ask #3): this VM's
+    # wall clock swings 2-10x between reps (JVM/codegen warm-up, host
+    # load), so a cross-session mover whose own spread straddles the
+    # delta is variance, not a regression.  See BASELINE.md "Reading
+    # the bench spread".
+    spread: dict[str, list[float]] = {}
     skipped: list[str] = []
+
+    def record(name: str, runs: list[float]) -> None:
+        timings[name] = round(statistics.median(runs), 3)
+        spread[name] = [
+            round(min(runs), 3),
+            round(statistics.median(runs), 3),
+            round(max(runs), 3),
+        ]
+
     for name in HEADLINE:
         if name not in QUERIES:
             skipped.append(name)
@@ -176,7 +196,7 @@ def main() -> None:
             # must pay its own materialization, not inherit a warm cache
             # or the GC pressure of abandoned ones.
             spark.catalog.clearCache()
-        timings[name] = round(statistics.median(runs), 3)
+        record(name, runs)
 
     from datapipeline_dags_spark.plans import llm_ops
 
@@ -192,8 +212,8 @@ def main() -> None:
             r159.append(time.time() - t1)
             r90.append(t1 - t0)
             spark.catalog.clearCache()
-        timings[ANN_AUDIT_PAIR[0]] = round(statistics.median(r90), 3)
-        timings[ANN_AUDIT_PAIR[1]] = round(statistics.median(r159), 3)
+        record(ANN_AUDIT_PAIR[0], r90)
+        record(ANN_AUDIT_PAIR[1], r159)
     total = round(sum(timings.values()), 3)
 
     # ANN quality: recall@k of each approximate operator vs the exact
@@ -215,6 +235,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
                 "skipped": skipped,
                 "reps": REPS,
                 "agg": "median",

@@ -1940,6 +1940,155 @@ PQ_K = 32  # centroids per subspace (sampled codebook, cf. q47's quantizer)
 PQ_REFINE = 100
 
 
+# --- shared PQ encode expressions (q75 / q178 / q304 / q305 / q306 and
+# the streaming PqIndexMaintainer all read ONE definition, so the
+# maintained codes can never silently diverge from the batch encode) ---
+
+
+def _pq_sub(v: Column, m: Column) -> Column:
+    """Subvector ``m`` (PQ_D dims) of a flat embedding array."""
+    return F.slice(v, m * PQ_D + 1, PQ_D)
+
+
+def _pq_l2(a: Column, b: Column) -> Column:
+    """Squared L2 distance between two equal-length float arrays."""
+    diff2 = F.zip_with(
+        a,
+        b,
+        lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double")),
+    )
+    return F.aggregate(diff2, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _pq_dot(a: Column, b: Column) -> Column:
+    """Dot product of two equal-length float arrays (strict
+    left-to-right double accumulation — matches the oracle's ordered
+    list_reduce)."""
+    prod = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prod, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _pq_lut_col() -> Column:
+    """Per-query ADC lookup table against the broadcast ``cbs`` row:
+    lut[m][cid] = dot(query subvector m, centroid cid's subvector m) —
+    PQ_M x PQ_K doubles per query, built from ``embedding``.  cbs is
+    sorted by cid with contiguous ids 0..PQ_K-1, so position i holds
+    cid i-1 and codes index the inner array directly."""
+    ms = F.sequence(F.lit(0), F.lit(PQ_M - 1))
+    return F.transform(
+        ms,
+        lambda m: F.transform(
+            F.col("cbs"),
+            lambda c: _pq_dot(_pq_sub(F.col("embedding"), m), _pq_sub(c["ce"], m)),
+        ),
+    )
+
+
+#: ADC score = Σ_m lut[m][codes[m]] — strict left-to-right in m order
+#: (matches the oracle's ORDER BY m reduce); shared by q75 and the
+#: PqIndexMaintainer's served path.
+def _pq_adc_score() -> Column:
+    return F.aggregate(
+        F.zip_with(
+            "lut", "codes", lambda l, c: F.element_at(l, (c + 1).cast("int"))
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _pq_codebook_row(corpus: DataFrame) -> DataFrame:
+    """The frozen PQ codebook as ONE broadcastable struct row: the
+    first PQ_K corpus vectors sorted by cid (a trained per-subspace
+    KMeans codebook in production — deterministic ids keep it
+    oracle-checkable, cf. q47's quantizer)."""
+    return (
+        corpus.filter(F.col("vec_id") < PQ_K)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+        .agg(F.array_sort(F.collect_list(F.struct("cid", "ce"))).alias("cbs"))
+    )
+
+
+def _pq_codes_col() -> Column:
+    """PQ_M argmin-L2 codes of ``embedding`` against the broadcast
+    ``cbs`` codebook row — q75's encode, map-only.  The m/cid loops run
+    inside higher-order functions so the plan stays constant-size at
+    any (M, K); array_min on (dist, cid) structs ties to the lowest
+    cid (the oracle's ORDER BY dist, cid)."""
+    ms = F.sequence(F.lit(0), F.lit(PQ_M - 1))
+    return F.transform(
+        ms,
+        lambda m: F.array_min(
+            F.transform(
+                F.col("cbs"),
+                lambda c: F.struct(
+                    _pq_l2(
+                        _pq_sub(F.col("embedding"), m), _pq_sub(c["ce"], m)
+                    ).alias("d"),
+                    c["cid"].alias("cid"),
+                ),
+            )
+        )["cid"],
+    )
+
+
+def _pq_energy(v: Column) -> Column:
+    """Squared-norm (signal energy) of a float array."""
+    return F.aggregate(
+        F.transform(v, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _pq_err_energy_col() -> Column:
+    """Per-subspace (m, err, energy) structs of ``embedding`` against
+    the broadcast ``cbs`` codebook row — q178's distortion pass (the
+    chosen code's argmin distance IS the reconstruction error)."""
+    ms = F.sequence(F.lit(0), F.lit(PQ_M - 1))
+    return F.transform(
+        ms,
+        lambda m: F.struct(
+            m.alias("m"),
+            F.array_min(
+                F.transform(
+                    F.col("cbs"),
+                    lambda c: F.struct(
+                        _pq_l2(
+                            _pq_sub(F.col("embedding"), m), _pq_sub(c["ce"], m)
+                        ).alias("d"),
+                        c["cid"].alias("cid"),
+                    ),
+                )
+            )["d"].alias("err"),
+            _pq_energy(_pq_sub(F.col("embedding"), m)).alias("energy"),
+        ),
+    )
+
+
+def _pq_enc_sql() -> str:
+    """DuckDB CTE chain (cb → ms → csub → enc0) shared by the PQ
+    oracles: per (vec_id, m, cid) squared distances against the frozen
+    codebook — q75's encode, oracle side."""
+    d = PQ_D
+    return f"""cb AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+                WHERE vec_id < {PQ_K}),
+    ms AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m),
+    csub AS (SELECT cid, m, ce[m*{d}+1 : m*{d}+{d}] AS cs FROM cb, ms),
+    enc0 AS (SELECT e.vec_id, c.m, c.cid,
+             list_reduce(list_transform(generate_series(1, {d}),
+               i -> (e.embedding[c.m*{d}+i]::DOUBLE - c.cs[i]::DOUBLE)
+                    * (e.embedding[c.m*{d}+i]::DOUBLE - c.cs[i]::DOUBLE)),
+               (a, b) -> a + b) AS dist
+             FROM embeddings e CROSS JOIN csub c),
+    codes AS (SELECT vec_id, m, cid, dist FROM (
+              SELECT vec_id, m, cid, dist,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                        ORDER BY dist, cid) AS rn
+              FROM enc0) WHERE rn = 1)"""
+
+
 def _q75_oracle() -> str:
     d = PQ_D
     return f"""
@@ -2016,74 +2165,29 @@ def q75_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines, so even the ADC scores hash-match the oracle.
     """
     corpus = table(spark, sf_dir, "embeddings")
-    cb1 = (
-        corpus.filter(F.col("vec_id") < PQ_K)
-        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
-        .agg(F.array_sort(F.collect_list(F.struct("cid", "ce"))).alias("cbs"))
-    )
+    cb1 = _pq_codebook_row(corpus)
 
     # The m-loop and cid-loop run INSIDE higher-order functions
     # (transform over a sequence), not as PQ_M x PQ_K Python-unrolled
     # column expressions — an unrolled tree at M=16, K=32 is ~512
     # aggregate subtrees and its codegen/analysis time dwarfs the actual
     # scan; the HOF form keeps the plan constant-size at any (M, K).
-    def sub(v: Column, m: Column) -> Column:
-        return F.slice(v, m * PQ_D + 1, PQ_D)
-
-    def l2(a: Column, b: Column) -> Column:
-        diff2 = F.zip_with(
-            a, b, lambda x, y: (x.cast("double") - y.cast("double"))
-            * (x.cast("double") - y.cast("double"))
-        )
-        return F.aggregate(diff2, F.lit(0.0), lambda acc, v: acc + v)
-
-    def dot(a: Column, b: Column) -> Column:
-        prod = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
-        return F.aggregate(prod, F.lit(0.0), lambda acc, v: acc + v)
-
-    ms = F.sequence(F.lit(0), F.lit(PQ_M - 1))
-    codes_col = F.transform(
-        ms,
-        lambda m: F.array_min(
-            F.transform(
-                F.col("cbs"),
-                lambda c: F.struct(
-                    l2(sub(F.col("embedding"), m), sub(c["ce"], m)).alias("d"),
-                    c["cid"].alias("cid"),
-                ),
-            )
-        )["cid"],
-    )
+    # (_pq_sub/_pq_l2/_pq_codes_col/_pq_lut_col/_pq_adc_score are the
+    # shared module-level definitions the IVM family and the streaming
+    # maintainer reuse.)
     codes = (
         _fanout(spark, corpus)
         .crossJoin(F.broadcast(cb1))
-        .select("vec_id", codes_col.alias("codes"))
+        .select("vec_id", _pq_codes_col().alias("codes"))
     )
-    # Per-query LUT: lut[m][cid] = dot(query subvector m, centroid cid's
-    # subvector m) — N_QUERIES x PQ_M x PQ_K doubles, broadcast to the
-    # scorer.  cbs is sorted by cid with contiguous ids 0..PQ_K-1, so
-    # position i holds cid i-1 and codes index the inner array directly.
-    lut_col = F.transform(
-        ms,
-        lambda m: F.transform(
-            F.col("cbs"),
-            lambda c: dot(sub(F.col("embedding"), m), sub(c["ce"], m)),
-        ),
-    )
+    # Per-query LUT: N_QUERIES x PQ_M x PQ_K doubles, broadcast to the
+    # scorer (see _pq_lut_col).
     qlut = (
         corpus.filter(F.col("vec_id") < N_QUERIES)
         .crossJoin(F.broadcast(cb1))
-        .select(F.col("vec_id").alias("q_id"), lut_col.alias("lut"))
+        .select(F.col("vec_id").alias("q_id"), _pq_lut_col().alias("lut"))
     )
-    # ADC score = Σ_m lut[m][codes[m]] — strict left-to-right in m order
-    # (matches the oracle's ORDER BY m reduce).
-    score = F.aggregate(
-        F.zip_with(
-            "lut", "codes", lambda l, c: F.element_at(l, (c + 1).cast("int"))
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    score = _pq_adc_score()
     scored = (
         F.broadcast(qlut)
         .join(codes, F.col("vec_id") != F.col("q_id"))
@@ -7681,54 +7785,11 @@ def q178_pq_reconstruction(spark: SparkSession, sf_dir: str) -> DataFrame:
     ({PQ_M})-group hash agg; no pair joins, no windows over data.
     """
     corpus = table(spark, sf_dir, "embeddings")
-    cb1 = (
-        corpus.filter(F.col("vec_id") < PQ_K)
-        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
-        .agg(F.array_sort(F.collect_list(F.struct("cid", "ce"))).alias("cbs"))
-    )
-
-    def sub(v: Column, m: Column) -> Column:
-        return F.slice(v, m * PQ_D + 1, PQ_D)
-
-    def l2(a: Column, b: Column) -> Column:
-        diff2 = F.zip_with(
-            a,
-            b,
-            lambda x, y: (x.cast("double") - y.cast("double"))
-            * (x.cast("double") - y.cast("double")),
-        )
-        return F.aggregate(diff2, F.lit(0.0), lambda acc, v: acc + v)
-
-    def energy(v: Column) -> Column:
-        return F.aggregate(
-            F.transform(v, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    ms = F.sequence(F.lit(0), F.lit(PQ_M - 1))
-    per_m = F.transform(
-        ms,
-        lambda m: F.struct(
-            m.alias("m"),
-            F.array_min(
-                F.transform(
-                    F.col("cbs"),
-                    lambda c: F.struct(
-                        l2(sub(F.col("embedding"), m), sub(c["ce"], m)).alias(
-                            "d"
-                        ),
-                        c["cid"].alias("cid"),
-                    ),
-                )
-            )["d"].alias("err"),
-            energy(sub(F.col("embedding"), m)).alias("energy"),
-        ),
-    )
+    cb1 = _pq_codebook_row(corpus)
     rows = (
         _fanout(spark, corpus)
         .crossJoin(F.broadcast(cb1))
-        .select(F.explode(per_m).alias("r"))
+        .select(F.explode(_pq_err_energy_col()).alias("r"))
         .select(
             F.col("r.m").cast("long").alias("subspace"),
             F.col("r.err").alias("err"),
@@ -11907,4 +11968,371 @@ def q303_semantic_decontamination(
             (F.col("b.cs") + F.lit(0.0)).alias("cos_sim"),
             (F.col("b.cs") >= SEMDECON_T).cast("long").alias("contaminated"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q304/q305 — PQ code-table maintenance (insert delta / deletion
+# retraction) + q306 — codebook-staleness retrain trigger.  The fourth
+# index family's IVM contract (VERDICT r11 ask #2): IVF (q282/q300),
+# LSH (q284/q301) and BM25 (q293/q302) maintain incrementally; the PQ
+# codes table was still rebuilt from scratch each run.
+# ---------------------------------------------------------------------------
+
+#: retrain trigger: flag a subspace when its live-corpus relative
+#: distortion exceeds the base epoch's by this factor — the q178
+#: reconstruction audit wired to a threshold (codebook-staleness alarm)
+PQ_RETRAIN_RATIO = 1.25
+
+
+def _q304_oracle() -> str:
+    return f"""
+    WITH {_pq_enc_sql()},
+    f AS (SELECT vec_id, m, cid,
+          CASE WHEN vec_id % {IVF_DELTA_MOD} = {IVF_DELTA_REM}
+               THEN 1 ELSE 0 END AS ins
+          FROM codes)
+    SELECT CAST(m AS BIGINT) AS subspace, CAST(cid AS BIGINT) AS cid,
+           CAST(SUM(1 - ins) AS BIGINT) AS n_base,
+           CAST(SUM(ins) AS BIGINT) AS n_delta,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(vec_id) AS BIGINT) AS member_checksum,
+           CAST(1 AS BIGINT) AS matches_full
+    FROM f GROUP BY m, cid
+    """
+
+
+@query("q304_pq_codes_delta_refresh", oracle=_q304_oracle())
+def q304_pq_codes_delta_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental PQ code-table maintenance — the q282 IVM contract
+    applied to q75's index: a delta ingest batch (vec_id %
+    {IVF_DELTA_MOD} == {IVF_DELTA_REM}) encodes map-only against the
+    SAME frozen broadcast codebook as the base build — never a
+    re-encode of the base corpus, never a codebook retrain — and the
+    maintained codes table is the UNION of the stored base codes and
+    the delta batch's codes.  This is how a production ANN stack keeps
+    PQ/IVF-PQ codes current between codebook retrains: the codebook is
+    a frozen MODEL artifact; only new vectors pay an encode.
+
+    The audit IS the result: an independent full re-encode over all
+    vectors must equal the merged table per (subspace, centroid) cell
+    — member count AND an id checksum, so a lost or double-counted
+    vector fails instead of shipping — with ``matches_full`` ONE
+    GLOBAL MIN attached to every row (the q300 pattern: a cell present
+    in only one side still fails the audit even though it may emit no
+    report row).
+
+    Parity: the encode is q75's argmin-L2 (lowest-cid tie) against the
+    first-{PQ_K}-vectors codebook; everything downstream is integer
+    counts/sums.  The checksum accumulates in DECIMAL(38,0) before the
+    final BIGINT cast (the q193/q288 overflow rule — SUM(vec_id) over
+    a cell wraps int64 at ~1e10 ids x 1e9 rows).
+
+    Scale shape: ONE map-only encode pass over base+delta (persisted —
+    merged and the audit recompute both filter it; PQ_M codes per
+    vector, the {PQ_M}-byte-per-vector structure); partials are
+    map-side-combinable (m, cid) integer cells bounded by
+    {PQ_M}x{PQ_K}; the merge is one bounded full-outer join; no
+    window, no corpus-squared anything.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    corpus = table(spark, sf_dir, "embeddings")
+    is_ins = (F.col("vec_id") % IVF_DELTA_MOD) == IVF_DELTA_REM
+    rows = (
+        _fanout(spark, corpus)
+        .crossJoin(F.broadcast(_pq_codebook_row(corpus)))
+        .select(
+            "vec_id",
+            is_ins.alias("i"),
+            F.posexplode(_pq_codes_col()).alias("m", "cid"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    def partials(df: DataFrame, tag: str) -> DataFrame:
+        return df.groupBy("m", "cid").agg(
+            F.count("*").alias(f"n_{tag}"),
+            F.sum(F.col("vec_id").cast("decimal(38,0)")).alias(f"c_{tag}"),
+        )
+
+    zc = F.lit(0).cast("decimal(38,0)")
+    z = F.lit(0)
+    bp = partials(rows.filter(~F.col("i")), "b")
+    ip = partials(rows.filter(F.col("i")), "i")
+    merged = bp.join(ip, ["m", "cid"], "full_outer").select(
+        "m",
+        "cid",
+        F.coalesce("n_b", z).alias("nb"),
+        F.coalesce("n_i", z).alias("ni"),
+        (F.coalesce("c_b", zc) + F.coalesce("c_i", zc)).alias("c_m"),
+    )
+    full = partials(rows, "f")
+    audit = merged.join(full, ["m", "cid"], "full_outer").select(
+        "m",
+        "cid",
+        F.coalesce("nb", z).alias("nb"),
+        F.coalesce("ni", z).alias("ni"),
+        F.coalesce("c_m", zc).alias("c_m"),
+        (
+            F.coalesce("c_m", zc).eqNullSafe(F.coalesce("c_f", zc))
+            & (
+                F.coalesce("nb", z) + F.coalesce("ni", z)
+                == F.coalesce("n_f", F.lit(-1))
+            )
+        )
+        .cast("long")
+        .alias("ok"),
+    )
+    audit = audit.persist(StorageLevel.MEMORY_AND_DISK)
+    glob = audit.agg(
+        F.coalesce(F.min("ok"), F.lit(1)).cast("long").alias("matches_full")
+    )
+    return audit.crossJoin(F.broadcast(glob)).select(
+        F.col("m").cast("long").alias("subspace"),
+        F.col("cid").cast("long").alias("cid"),
+        F.col("nb").cast("long").alias("n_base"),
+        F.col("ni").cast("long").alias("n_delta"),
+        (F.col("nb") + F.col("ni")).cast("long").alias("n_total"),
+        F.col("c_m").cast("long").alias("member_checksum"),
+        "matches_full",
+    )
+
+
+def _q305_oracle() -> str:
+    return f"""
+    WITH {_pq_enc_sql()},
+    f AS (SELECT vec_id, m, cid,
+          CASE WHEN vec_id % {IVF_DELTA_MOD} = {IVF_DELTA_REM}
+               THEN 1 ELSE 0 END AS ins,
+          CASE WHEN vec_id % {IVF_DELTA_MOD} = {IVF_DELETE_REM}
+               THEN 1 ELSE 0 END AS del_f
+          FROM codes),
+    g AS (SELECT m, cid,
+          SUM(1 - ins) AS n_base, SUM(ins) AS n_ins, SUM(del_f) AS n_del,
+          SUM(CASE WHEN del_f = 0 THEN vec_id ELSE 0 END) AS member_checksum
+          FROM f GROUP BY m, cid)
+    SELECT CAST(m AS BIGINT) AS subspace, CAST(cid AS BIGINT) AS cid,
+           CAST(n_base AS BIGINT) AS n_base,
+           CAST(n_ins AS BIGINT) AS n_ins,
+           CAST(n_del AS BIGINT) AS n_del,
+           CAST(n_base + n_ins - n_del AS BIGINT) AS n_live,
+           CAST(member_checksum AS BIGINT) AS member_checksum,
+           CAST(1 AS BIGINT) AS matches_full
+    FROM g WHERE n_base + n_ins - n_del > 0
+    """
+
+
+@query("q305_pq_codes_delete_refresh", oracle=_q305_oracle())
+def q305_pq_codes_delete_refresh(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PQ code-table maintenance with DELETIONS — the retraction half
+    of q304's contract (the q300/q301/q302 discipline on the fourth
+    index family): at one maintenance tick an insert delta arrives
+    (vec_id % {IVF_DELTA_MOD} == {IVF_DELTA_REM}) AND a deletion batch
+    leaves (vec_id % {IVF_DELTA_MOD} == {IVF_DELETE_REM}, e.g. q298's
+    manifest ids).  Retraction is an ID-KEYED DROP of the stored code
+    rows — codes carry no cross-vector state, so deletion never
+    touches the codebook, never re-encodes, never reads the corpus.
+    Note the codebook keeps centroids sourced from since-DELETED
+    vectors: it is a frozen model artifact, not live data — exactly
+    the drift q306's staleness trigger watches.
+
+    Audit: an independent re-encode over the LIVE corpus (all minus
+    the deletion batch) must equal the maintained live table per
+    (subspace, centroid) — count and DECIMAL(38,0)-accumulated id
+    checksum — with ``matches_full`` one GLOBAL MIN over every cell
+    including cells that retracted to zero (absent from the report,
+    still audited — the q300 rule).
+
+    Scale shape: the same single persisted encode pass as q304 (three
+    filtered re-aggregations of it, never a second corpus read);
+    bounded (m, cid) partial tables; deletion cost is one more
+    filtered re-aggregation — at serving time it is a tombstone
+    anti-join on the O(corpus) codes table, the PqIndexMaintainer
+    path.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    corpus = table(spark, sf_dir, "embeddings")
+    is_ins = (F.col("vec_id") % IVF_DELTA_MOD) == IVF_DELTA_REM
+    is_del = (F.col("vec_id") % IVF_DELTA_MOD) == IVF_DELETE_REM
+    rows = (
+        _fanout(spark, corpus)
+        .crossJoin(F.broadcast(_pq_codebook_row(corpus)))
+        .select(
+            "vec_id",
+            is_ins.alias("i"),
+            is_del.alias("x"),
+            F.posexplode(_pq_codes_col()).alias("m", "cid"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    def partials(df: DataFrame, tag: str) -> DataFrame:
+        return df.groupBy("m", "cid").agg(
+            F.count("*").alias(f"n_{tag}"),
+            F.sum(F.col("vec_id").cast("decimal(38,0)")).alias(f"c_{tag}"),
+        )
+
+    zc = F.lit(0).cast("decimal(38,0)")
+    z = F.lit(0)
+    bp = partials(rows.filter(~F.col("i")), "b")  # base incl. to-be-deleted
+    ip = partials(rows.filter(F.col("i")), "i")
+    xp = partials(rows.filter(F.col("x")), "x")
+    merged = (
+        bp.join(ip, ["m", "cid"], "full_outer")
+        .join(xp, ["m", "cid"], "full_outer")
+        .select(
+            "m",
+            "cid",
+            F.coalesce("n_b", z).alias("nb"),
+            F.coalesce("n_i", z).alias("ni"),
+            F.coalesce("n_x", z).alias("nx"),
+            (
+                F.coalesce("c_b", zc)
+                + F.coalesce("c_i", zc)
+                - F.coalesce("c_x", zc)
+            ).alias("c_m"),
+        )
+    )
+    full = partials(rows.filter(~F.col("x")), "f")
+    audit = merged.join(full, ["m", "cid"], "full_outer").select(
+        "m",
+        "cid",
+        F.coalesce("nb", z).alias("nb"),
+        F.coalesce("ni", z).alias("ni"),
+        F.coalesce("nx", z).alias("nx"),
+        F.coalesce("c_m", zc).alias("c_m"),
+        (
+            F.coalesce("c_m", zc).eqNullSafe(F.coalesce("c_f", zc))
+            & (
+                F.coalesce("nb", z) + F.coalesce("ni", z) - F.coalesce("nx", z)
+                == F.coalesce("n_f", z)
+            )
+        )
+        .cast("long")
+        .alias("ok"),
+    )
+    audit = audit.persist(StorageLevel.MEMORY_AND_DISK)
+    glob = audit.agg(
+        F.coalesce(F.min("ok"), F.lit(1)).cast("long").alias("matches_full")
+    )
+    return (
+        audit.filter(F.col("nb") + F.col("ni") - F.col("nx") > 0)
+        .crossJoin(F.broadcast(glob))
+        .select(
+            F.col("m").cast("long").alias("subspace"),
+            F.col("cid").cast("long").alias("cid"),
+            F.col("nb").cast("long").alias("n_base"),
+            F.col("ni").cast("long").alias("n_ins"),
+            F.col("nx").cast("long").alias("n_del"),
+            (F.col("nb") + F.col("ni") - F.col("nx"))
+            .cast("long")
+            .alias("n_live"),
+            F.col("c_m").cast("long").alias("member_checksum"),
+            "matches_full",
+        )
+    )
+
+
+def _q306_oracle() -> str:
+    d = PQ_D
+    drift = "(ml / el) / (mb / eb)"
+    return f"""
+    WITH {_pq_enc_sql()},
+    eng AS (SELECT e.vec_id, mm.m,
+            list_reduce(list_transform(generate_series(1, {d}),
+              i -> e.embedding[mm.m*{d}+i]::DOUBLE
+                   * e.embedding[mm.m*{d}+i]::DOUBLE),
+              (a, b) -> a + b) AS energy
+            FROM embeddings e CROSS JOIN ms mm),
+    j AS (SELECT c.vec_id, c.m, c.dist, eng.energy,
+          CASE WHEN c.vec_id % {IVF_DELTA_MOD} = {IVF_DELTA_REM}
+               THEN 1 ELSE 0 END AS ins,
+          CASE WHEN c.vec_id % {IVF_DELTA_MOD} = {IVF_DELETE_REM}
+               THEN 1 ELSE 0 END AS del_f
+          FROM codes c JOIN eng ON eng.vec_id = c.vec_id AND eng.m = c.m),
+    b AS (SELECT m, COUNT(*) AS n_base, AVG(dist) AS mb, AVG(energy) AS eb
+          FROM j WHERE ins = 0 GROUP BY m),
+    l AS (SELECT m, COUNT(*) AS n_live, AVG(dist) AS ml, AVG(energy) AS el
+          FROM j WHERE del_f = 0 GROUP BY m)
+    SELECT CAST(b.m AS BIGINT) AS subspace,
+           CAST(n_base AS BIGINT) AS n_base,
+           CAST(n_live AS BIGINT) AS n_live,
+           {sql_dec('mb', 6)} AS mse_base,
+           {sql_dec('ml', 6)} AS mse_live,
+           {sql_dec('mb / eb', 6)} AS rel_base,
+           {sql_dec('ml / el', 6)} AS rel_live,
+           {sql_dec(drift, 6)} AS drift_ratio,
+           CAST(CASE WHEN {sql_dec(drift, 6)} > {PQ_RETRAIN_RATIO}
+                THEN 1 ELSE 0 END AS BIGINT) AS retrain
+    FROM b JOIN l ON b.m = l.m
+    """
+
+
+@query("q306_pq_codebook_staleness", oracle=_q306_oracle())
+def q306_pq_codebook_staleness(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PQ codebook-staleness retrain trigger — q178's reconstruction
+    audit WIRED to the q304/q305 maintenance loop (VERDICT r11 ask #2's
+    last clause): per subspace, the relative distortion (mean
+    reconstruction error / mean signal energy) of the BASE epoch (the
+    corpus the codebook was frozen against — everything except the
+    later-arriving insert delta) is compared with the LIVE corpus
+    (after the tick's inserts AND deletes), and a subspace whose live
+    relative distortion exceeds {PQ_RETRAIN_RATIO}x the base epoch's
+    raises ``retrain`` — the codebook-staleness alarm that schedules a
+    retrain + re-encode in a production PQ deployment, instead of
+    serving a drifted codebook until recall quietly decays.  On the
+    stationary synthetic fixture every flag is 0 (the healthy state);
+    the positive case is pinned by tests with a planted drifted batch.
+
+    Parity: the encode is the shared q75 argmin (lowest-cid tie); the
+    drift ratio divides UNROUNDED double averages and rounds once at 6
+    dp on both engines; the flag compares the ROUNDED value, so both
+    engines flag from identical bits.
+
+    Scale shape: ONE map-only encode pass (the chosen code's distance
+    IS the reconstruction error — no decode join), two filtered
+    re-aggregations to {PQ_M} rows each, one {PQ_M}-row join; no
+    window, no pair explosion — the audit costs one corpus scan
+    regardless of index size.
+    """
+    corpus = table(spark, sf_dir, "embeddings")
+    is_ins = (F.col("vec_id") % IVF_DELTA_MOD) == IVF_DELTA_REM
+    is_del = (F.col("vec_id") % IVF_DELTA_MOD) == IVF_DELETE_REM
+    rows = (
+        _fanout(spark, corpus)
+        .crossJoin(F.broadcast(_pq_codebook_row(corpus)))
+        .select(
+            is_ins.alias("i"),
+            is_del.alias("x"),
+            F.explode(_pq_err_energy_col()).alias("r"),
+        )
+        .select("i", "x", F.col("r.m").alias("m"), "r.err", "r.energy")
+    )
+    base = rows.filter(~F.col("i")).groupBy("m").agg(
+        F.count("*").alias("n_base"),
+        F.avg("err").alias("mb"),
+        F.avg("energy").alias("eb"),
+    )
+    live = rows.filter(~F.col("x")).groupBy("m").agg(
+        F.count("*").alias("n_live"),
+        F.avg("err").alias("ml"),
+        F.avg("energy").alias("el"),
+    )
+    drift = dec((F.col("ml") / F.col("el")) / (F.col("mb") / F.col("eb")), 6)
+    return base.join(live, "m").select(
+        F.col("m").cast("long").alias("subspace"),
+        F.col("n_base").cast("long"),
+        F.col("n_live").cast("long"),
+        dec(F.col("mb"), 6).alias("mse_base"),
+        dec(F.col("ml"), 6).alias("mse_live"),
+        dec(F.col("mb") / F.col("eb"), 6).alias("rel_base"),
+        dec(F.col("ml") / F.col("el"), 6).alias("rel_live"),
+        drift.alias("drift_ratio"),
+        (drift > F.lit(PQ_RETRAIN_RATIO)).cast("long").alias("retrain"),
     )

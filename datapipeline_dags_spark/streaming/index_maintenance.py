@@ -74,12 +74,20 @@ from datapipeline_dags_spark.plans.llm_ops import (
     LSH_TABLES,
     N_CENTROIDS,
     NPROBE,
+    PQ_REFINE,
+    PQ_RETRAIN_RATIO,
     RRF_C,
+    TOPK,
     lsh_sign_bucket,
     _cosine,
     _ivf_centroids,
     _minhash_bands,
     _nearest_id,
+    _pq_adc_score,
+    _pq_codebook_row,
+    _pq_codes_col,
+    _pq_err_energy_col,
+    _pq_lut_col,
     _shingles,
 )
 
@@ -87,6 +95,7 @@ __all__ = [
     "IvfIndexMaintainer",
     "LexicalStatsMaintainer",
     "LshIndexMaintainer",
+    "PqIndexMaintainer",
     "SignLshIndexMaintainer",
     "hybrid_full_from_state",
     "hybrid_topk_from_state",
@@ -1171,6 +1180,8 @@ def run_maintenance_batch(
     checkpoint_dir: str,
     schema: str,
     on_batch,
+    maintainers=(),
+    compact_every: int | None = None,
 ) -> None:
     """Drain everything new in ``source_dir`` through ``on_batch`` as
     ONE checkpointed micro-batch (availableNow) — each call is one
@@ -1182,10 +1193,29 @@ def run_maintenance_batch(
         lambda df, bid: m.process_batch(
             df.filter(~df.is_delete), bid,
             deletes=df.filter(df.is_delete).select("doc_id"))
-    """
+
+    ``compact_every=K`` is the compaction CADENCE POLICY (VERDICT r11
+    ask #4): every K-th tick, each maintainer in ``maintainers``
+    compacts after its ``process_batch`` — bounding the per-table delta
+    read fan-in at K + 1 dirs (plus one compaction dir) no matter how
+    long the stream runs, where a caller-driven-only compact() silently
+    accumulates one delta dir per tick forever.  Safe in every crash
+    window: compact(t) folds strictly before tick t (a replay of t
+    still finds state-as-of t−1, now as compact_v<t-1>), and a replay
+    that re-invokes a completed compaction is a guarded no-op
+    (_write_compaction's idempotence)."""
+    if compact_every is not None and compact_every < 1:
+        raise ValueError(f"compact_every must be >= 1, got {compact_every}")
+
+    def _tick(df: DataFrame, batch_id: int) -> None:
+        on_batch(df, batch_id)
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            for m in maintainers:
+                m.compact(batch_id)
+
     stream = spark.readStream.schema(schema).parquet(source_dir)
     q = (
-        stream.writeStream.foreachBatch(on_batch)
+        stream.writeStream.foreachBatch(_tick)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
@@ -1382,6 +1412,255 @@ class SignLshIndexMaintainer:
         return (
             scored.withColumn("rank", F.row_number().over(w).cast("long"))
             .filter(F.col("rank") <= k)
+        )
+
+
+class PqIndexMaintainer:
+    """q304/q305's contract as a streaming maintenance loop — the
+    FOURTH index family maintained incrementally (VERDICT r11 ask #2),
+    plus q75-parity ADC serving and the q306/q178 codebook-staleness
+    trigger.
+
+    The codebook is FROZEN at construction (one collected struct row,
+    q75's first-PQ_K-vectors rule — a trained per-subspace KMeans
+    codebook in production): delta batches encode map-only against the
+    same broadcast codebook as the base build, never a retrain, never
+    a re-encode of prior batches.  Delta tables: ``codes`` (vec_id,
+    codes array<bigint>) — the PQ_M-byte-per-vector structure ADC
+    scores — and ``vecs`` (vec_id, embedding) for the exact-cosine
+    refine stage, plus ``tombstones``.  There is no aggregate state to
+    merge: codes carry no cross-vector state, so deletion is pure
+    id-keyed tombstoning (the q305 retraction) and never touches the
+    codebook — which is exactly why the codebook goes STALE under
+    churn and ``staleness()`` exists (q306's retrain alarm computed
+    from the maintained state instead of a batch re-read).
+    """
+
+    CODES_SCHEMA = "vec_id bigint, codes array<bigint>, v bigint"
+    VECS_SCHEMA = "vec_id bigint, embedding array<float>, v bigint"
+
+    def __init__(self, spark: SparkSession, state_dir: str, codebook_corpus: DataFrame):
+        self.spark = spark
+        self.state_dir = state_dir
+        # one broadcastable row, frozen for the maintainer's lifetime —
+        # the SAME definition q75/q304/q305 derive, so the maintained
+        # codes bit-compare against the batch queries
+        self.cbs = _pq_codebook_row(codebook_corpus).collect()[0]["cbs"]
+        # the base-epoch distortion baseline for staleness() — computed
+        # lazily from the codebook corpus on first use, then cached
+        self._codebook_corpus = codebook_corpus
+        self._base_rel: dict[int, float] | None = None
+
+    def _cb_frame(self) -> DataFrame:
+        return self.spark.createDataFrame(
+            [(self.cbs,)], "cbs array<struct<cid: bigint, ce: array<float>>>"
+        )
+
+    def _encode(self, vectors: DataFrame) -> DataFrame:
+        """(vec_id, codes) of a (vec_id, embedding) frame — map-only
+        against the broadcast frozen codebook (q75's encode)."""
+        return vectors.crossJoin(F.broadcast(self._cb_frame())).select(
+            F.col("vec_id").cast("bigint"),
+            _pq_codes_col().alias("codes"),
+        )
+
+    def process_batch(
+        self, batch: DataFrame, batch_id: int, deletes: DataFrame | None = None
+    ) -> None:
+        rows = batch.select(F.col("vec_id").cast("bigint"), "embedding")
+        vlit = F.lit(batch_id).cast("bigint")
+        _write_delta(
+            self._encode(rows).withColumn("v", vlit),
+            self.state_dir,
+            "codes",
+            batch_id,
+        )
+        _write_delta(
+            rows.withColumn("v", vlit), self.state_dir, "vecs", batch_id
+        )
+        _write_delta(
+            _tomb_delta(self.spark, _normalize_deletes(deletes), batch_id),
+            self.state_dir,
+            "tombstones",
+            batch_id,
+        )
+
+    def _live(
+        self, tbl: str, batch_id: int, schema: str, keep_v: bool = False
+    ) -> DataFrame:
+        return _live_delta(
+            self.spark, self.state_dir, tbl, batch_id, schema, "vec_id",
+            keep_v=keep_v,
+        )
+
+    def codes(self, batch_id: int) -> DataFrame:
+        """Live (vec_id, codes) rows as of ``batch_id`` (deltas minus
+        version-scoped tombstones — a re-inserted id is visible
+        again)."""
+        return self._live("codes", batch_id, self.CODES_SCHEMA)
+
+    def vecs(self, batch_id: int) -> DataFrame:
+        return self._live("vecs", batch_id, self.VECS_SCHEMA)
+
+    def compact(self, batch_id: int) -> None:
+        """Read fan-in bound with the replay-window guarantee (folds
+        deltas STRICTLY BEFORE ``batch_id``); see
+        IvfIndexMaintainer.compact."""
+        k = batch_id - 1
+        if k < 0:
+            return
+        _write_compaction(
+            self._live("codes", k, self.CODES_SCHEMA, keep_v=True),
+            self.state_dir,
+            "codes",
+            k,
+        )
+        _write_compaction(
+            self._live("vecs", k, self.VECS_SCHEMA, keep_v=True),
+            self.state_dir,
+            "vecs",
+            k,
+        )
+        _write_compaction(
+            self.spark.createDataFrame([], TOMBSTONES_SCHEMA),
+            self.state_dir,
+            "tombstones",
+            k,
+        )
+
+    def topk(
+        self, batch_id: int, queries: DataFrame, k: int = TOPK
+    ) -> DataFrame:
+        """SERVE q75's ADC + exact-refine retrieval from the maintained
+        state: per-query LUT against the frozen broadcast codebook, ADC
+        score over the live codes table (the corpus-wide pass reads
+        ONLY the PQ_M-code rows, never an embedding), top-PQ_REFINE
+        shortlist re-scored with the TRUE cosine against the stored
+        vectors, re-ranked to ``k`` (6-dp round, ties on neighbor id).
+        ``queries`` is a (q_id, embedding) frame; bit-compares against
+        the batch q75 on the same corpus (pytest-pinned)."""
+        from pyspark.sql import Window as _W
+
+        live_codes = self.codes(batch_id)
+        qlut = queries.select(
+            F.col("q_id").cast("bigint"), "embedding"
+        ).crossJoin(F.broadcast(self._cb_frame())).select(
+            "q_id", _pq_lut_col().alias("lut")
+        )
+        scored = (
+            F.broadcast(qlut)
+            .join(live_codes, F.col("vec_id") != F.col("q_id"))
+            .select(
+                "q_id",
+                F.col("vec_id").alias("neighbor_id"),
+                dec(_pq_adc_score(), 6).alias("approx_dot"),
+            )
+        )
+        w = _W.partitionBy("q_id").orderBy(
+            F.col("approx_dot").desc(), "neighbor_id"
+        )
+        short = (
+            scored.withColumn("srank", F.row_number().over(w))
+            .filter(F.col("srank") <= PQ_REFINE)
+            .select("q_id", "neighbor_id")
+        )
+        refined = (
+            F.broadcast(short)
+            .join(
+                queries.select(
+                    F.col("q_id").cast("bigint"),
+                    F.col("embedding").alias("qe"),
+                ),
+                "q_id",
+            )
+            .join(
+                self.vecs(batch_id).select(
+                    F.col("vec_id").alias("neighbor_id"),
+                    F.col("embedding").alias("ne"),
+                ),
+                "neighbor_id",
+            )
+            .select(
+                "q_id",
+                "neighbor_id",
+                dec(_cosine(F.col("qe"), F.col("ne")), 6).alias("cos_sim"),
+            )
+        )
+        w2 = _W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
+        return (
+            refined.withColumn("rank", F.row_number().over(w2).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "neighbor_id", "cos_sim", "rank")
+        )
+
+    def matches_full(self, batch_id: int, all_vectors: DataFrame) -> bool:
+        """q304/q305's audit across the parquet state: the maintained
+        live codes must equal a from-scratch re-encode over every LIVE
+        vector, row-for-row (same ids, same code arrays — argmin codes
+        are deterministic, so any mismatch means the maintenance
+        plumbing lost, duplicated, or failed to retract a vector)."""
+        full = self._encode(all_vectors.select("vec_id", "embedding")).select(
+            "vec_id", F.col("codes").alias("codes_f")
+        )
+        st = self.codes(batch_id)
+        bad = (
+            st.join(full, "vec_id", "full_outer")
+            .where(~F.col("codes").eqNullSafe(F.col("codes_f")))
+            .count()
+        )
+        return bad == 0
+
+    def _base_rel_distortion(self) -> dict[int, float]:
+        """Per-subspace relative distortion of the BASE epoch (the
+        codebook corpus at freeze time) — q306's denominator, computed
+        once and cached for the maintainer's lifetime (PQ_M scalars —
+        a codebook attribute, like the centroids themselves)."""
+        if self._base_rel is None:
+            rows = (
+                self._codebook_corpus.select("vec_id", "embedding")
+                .crossJoin(F.broadcast(self._cb_frame()))
+                .select(F.explode(_pq_err_energy_col()).alias("r"))
+                .groupBy(F.col("r.m").alias("m"))
+                .agg(
+                    (F.avg("r.err") / F.avg("r.energy")).alias("rel")
+                )
+                .collect()
+            )
+            self._base_rel = {int(r["m"]): float(r["rel"]) for r in rows}
+        return self._base_rel
+
+    def staleness(
+        self, batch_id: int, threshold: float = PQ_RETRAIN_RATIO
+    ) -> DataFrame:
+        """q306's codebook-staleness retrain trigger over the MAINTAINED
+        state: per subspace, the live corpus's relative distortion
+        (from the stored vectors, one scan — the chosen code's distance
+        IS the reconstruction error) against the frozen base-epoch
+        baseline; ``retrain`` flags subspaces whose drift ratio exceeds
+        ``threshold``.  A production loop watches this between ticks
+        and schedules a codebook retrain + re-encode when it fires."""
+        base = self.spark.createDataFrame(
+            [(m, rel) for m, rel in sorted(self._base_rel_distortion().items())],
+            "m int, rel_base double",
+        )
+        live = (
+            self.vecs(batch_id)
+            .crossJoin(F.broadcast(self._cb_frame()))
+            .select(F.explode(_pq_err_energy_col()).alias("r"))
+            .groupBy(F.col("r.m").alias("m"))
+            .agg(
+                F.count("*").alias("n_live"),
+                (F.avg("r.err") / F.avg("r.energy")).alias("rel_live"),
+            )
+        )
+        drift = F.round(F.col("rel_live") / F.col("rel_base"), 6) + F.lit(0.0)
+        return live.join(F.broadcast(base), "m").select(
+            F.col("m").cast("long").alias("subspace"),
+            F.col("n_live").cast("long"),
+            (F.round("rel_base", 6) + F.lit(0.0)).alias("rel_base"),
+            (F.round("rel_live", 6) + F.lit(0.0)).alias("rel_live"),
+            drift.alias("drift_ratio"),
+            (drift > F.lit(threshold)).cast("long").alias("retrain"),
         )
 
 

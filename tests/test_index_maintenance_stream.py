@@ -840,6 +840,397 @@ def test_sign_lsh_serving_with_deletes_and_compaction(spark, dirs):
     ).count() == 0
 
 
+# ---------------------------------------------------------------------------
+# PQ code-table maintenance — the FOURTH index family's IVM contract
+# (VERDICT r11 ask #2): frozen codebook, map-only delta encode, id-keyed
+# delete retraction, matches_full vs full re-encode, q75-parity serving,
+# q306 staleness trigger.
+# ---------------------------------------------------------------------------
+
+
+def test_pq_maintenance_stream(spark, dirs):
+    from datapipeline_dags_spark.streaming.index_maintenance import (
+        PqIndexMaintainer,
+    )
+
+    emb = table(spark, SF_DIR, "embeddings")
+    m = PqIndexMaintainer(spark, dirs["state"], codebook_corpus=emb)
+    schema = "vec_id bigint, embedding array<float>"
+    batches = [
+        emb.filter(F.col("vec_id") % 3 == 0),
+        emb.filter(F.col("vec_id") % 3 == 1),
+        emb.filter(F.col("vec_id") % 3 == 2),
+    ]
+    seen = None
+    for bid, b in enumerate(batches):
+        _land(b.select("vec_id", "embedding"), dirs["source"], f"slice{bid}")
+        run_maintenance_batch(
+            spark, dirs["source"], dirs["ckpt"], schema, m.process_batch
+        )
+        seen = b if seen is None else seen.unionByName(b)
+        assert m.matches_full(bid, seen), f"PQ codes diverged at batch {bid}"
+    assert m.codes(len(batches) - 1).count() == emb.count()
+
+
+def test_pq_maintenance_with_deletes_and_reinsert(spark, dirs):
+    """The q305 retraction through state: same-tick arrival+deletion,
+    id-keyed drop (no re-encode), delete→re-insert visible again, and
+    the whole thing THROUGH a compaction."""
+    from datapipeline_dags_spark.streaming.index_maintenance import (
+        PqIndexMaintainer,
+    )
+
+    emb = table(spark, SF_DIR, "embeddings")
+    m = PqIndexMaintainer(spark, dirs["state"], codebook_corpus=emb)
+    # deletes hit BOTH a batch-0 vector (mod 18 == 0, even) and vectors
+    # arriving in batch 1 itself (odd multiples of 9)
+    dels = emb.filter(F.col("vec_id") % 9 == 0).select("vec_id")
+    m.process_batch(
+        emb.filter(F.col("vec_id") % 2 == 0).select("vec_id", "embedding"), 0
+    )
+    m.process_batch(
+        emb.filter(F.col("vec_id") % 2 == 1).select("vec_id", "embedding"),
+        1,
+        deletes=dels,
+    )
+    live = emb.join(dels, "vec_id", "left_anti")
+    assert m.matches_full(1, live)
+    assert m.codes(1).join(dels, "vec_id", "left_semi").count() == 0
+    m.compact(2)
+    reins = emb.filter(F.col("vec_id") % 18 == 9).select("vec_id", "embedding")
+    m.process_batch(reins, 2)  # the re-crawl of half the deleted ids
+    live2 = emb.filter(
+        (F.col("vec_id") % 9 != 0) | (F.col("vec_id") % 18 == 9)
+    )
+    assert m.matches_full(2, live2)
+    assert (
+        m.codes(2).join(reins.select("vec_id"), "vec_id", "left_semi").count()
+        == reins.count()
+    )
+
+
+def test_pq_crash_mid_delta_write_replay_converges(spark, dirs):
+    """A torn codes-delta write followed by a foreachBatch replay must
+    converge (the delta dir is a pure function of the batch)."""
+    import os
+
+    from datapipeline_dags_spark.streaming.index_maintenance import (
+        PqIndexMaintainer,
+    )
+
+    emb = table(spark, SF_DIR, "embeddings")
+    m = PqIndexMaintainer(spark, dirs["state"], codebook_corpus=emb)
+    b0 = emb.filter(F.col("vec_id") % 2 == 0).select("vec_id", "embedding")
+    b1 = emb.filter(F.col("vec_id") % 2 == 1).select("vec_id", "embedding")
+    m.process_batch(b0, 0)
+    m.process_batch(b1, 1)
+    # wreck batch 1's codes delta (simulated crash mid-overwrite) ...
+    _wreck_version_dir(dirs["state"], "codes", 1)
+    # ... and replay the batch, as Structured Streaming would
+    m.process_batch(b1, 1)
+    assert m.matches_full(1, emb)
+
+
+def test_pq_serving_matches_batch_q75(spark, dirs):
+    """The maintained PQ index SERVES q75's ADC + exact-refine path
+    bit-equal to the batch query over the same corpus — the q296-style
+    served-vs-batch parity for the ADC scoring path (VERDICT r11 ask
+    #2's done-criterion)."""
+    from datapipeline_dags_spark.plans import llm_ops
+    from datapipeline_dags_spark.streaming.index_maintenance import (
+        PqIndexMaintainer,
+    )
+
+    emb = table(spark, SF_DIR, "embeddings")
+    m = PqIndexMaintainer(spark, dirs["state"], codebook_corpus=emb)
+    m.process_batch(
+        emb.filter(F.col("vec_id") % 2 == 0).select("vec_id", "embedding"), 0
+    )
+    m.process_batch(
+        emb.filter(F.col("vec_id") % 2 == 1).select("vec_id", "embedding"), 1
+    )
+    queries = emb.filter(F.col("vec_id") < llm_ops.N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    got = sorted(map(tuple, m.topk(1, queries, k=llm_ops.TOPK).collect()))
+    want = sorted(map(tuple, llm_ops.q75_ann_pq(spark, SF_DIR).collect()))
+    assert got == want and got
+
+
+def test_pq_staleness_flags_planted_drift(spark, dirs):
+    """q306's retrain trigger from maintained state: a live corpus
+    equal to the base epoch reads drift 1.0 / no flags; planting a
+    distribution-shifted batch (negated + offset embeddings, far from
+    every frozen centroid relative to their energy) must raise the
+    retrain flag on every subspace."""
+    from datapipeline_dags_spark.streaming.index_maintenance import (
+        PqIndexMaintainer,
+    )
+
+    emb = table(spark, SF_DIR, "embeddings")
+    m = PqIndexMaintainer(spark, dirs["state"], codebook_corpus=emb)
+    m.process_batch(emb.select("vec_id", "embedding"), 0)
+    healthy = m.staleness(0).collect()
+    assert healthy and all(r["retrain"] == 0 for r in healthy)
+    assert all(abs(r["drift_ratio"] - 1.0) < 1e-4 for r in healthy)
+    drifted = emb.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x: (x.cast("double") * F.lit(-1.0) + F.lit(2.0)).cast(
+                "float"
+            ),
+        ).alias("embedding"),
+    )
+    m.process_batch(drifted, 1)
+    stale = m.staleness(1).collect()
+    assert len(stale) == len(healthy)
+    assert all(r["retrain"] == 1 for r in stale), stale
+    assert all(r["drift_ratio"] > 1.5 for r in stale)
+
+
+def test_compaction_cadence_policy_bounds_delta_dirs(spark, dirs):
+    """VERDICT r11 ask #4: run_maintenance_batch(compact_every=K) must
+    bound the per-table delta-dir count at K + 1 (plus one compaction
+    dir) over a LONG drive with deletes — where the caller-driven-only
+    design accumulated one dir per tick forever — with reads staying
+    correct through every fold."""
+    import os
+
+    from datapipeline_dags_spark.streaming.index_maintenance import (
+        LexicalStatsMaintainer,
+    )
+
+    docs = table(spark, SF_DIR, "documents")
+    m = LexicalStatsMaintainer(spark, dirs["state"])
+    schema = "doc_id bigint, text string, is_delete boolean"
+
+    def on_batch(df, bid):
+        m.process_batch(
+            df.filter(~F.col("is_delete")).select("doc_id", "text"),
+            bid,
+            deletes=df.filter(F.col("is_delete")).select("doc_id"),
+        )
+
+    n_ticks, k = 30, 4
+    arrived = None
+    deleted = None
+    for t in range(n_ticks):
+        arr = docs.filter(F.col("doc_id") % n_ticks == t).select(
+            "doc_id", "text", F.lit(False).alias("is_delete")
+        )
+        slice_t = arr
+        if t > 0:
+            # tombstone a third of the PREVIOUS tick's arrivals
+            dels = docs.filter(
+                (F.col("doc_id") % n_ticks == t - 1)
+                & (F.col("doc_id") % 3 == 0)
+            ).select(
+                "doc_id", F.lit("").alias("text"), F.lit(True).alias("is_delete")
+            )
+            slice_t = arr.unionByName(dels)
+            deleted = (
+                dels.select("doc_id")
+                if deleted is None
+                else deleted.unionByName(dels.select("doc_id"))
+            )
+        _land(slice_t, dirs["source"], f"slice{t:03d}")
+        run_maintenance_batch(
+            spark,
+            dirs["source"],
+            dirs["ckpt"],
+            schema,
+            on_batch,
+            maintainers=[m],
+            compact_every=k,
+        )
+        arrived = (
+            arr.select("doc_id", "text")
+            if arrived is None
+            else arrived.unionByName(arr.select("doc_id", "text"))
+        )
+    # dir bound: at most K deltas since the last cadence fold + 1
+    # compaction dir (ticks n_ticks-1 down to the last multiple of K)
+    for tbl in ("postings", "tombstones"):
+        names = os.listdir(os.path.join(dirs["state"], tbl))
+        n_deltas = sum(1 for n in names if not n.startswith("compact_"))
+        n_compacts = sum(1 for n in names if n.startswith("compact_"))
+        assert n_deltas <= k + 1, (tbl, sorted(names))
+        assert n_compacts == 1, (tbl, sorted(names))
+    live = arrived.join(deleted, "doc_id", "left_anti")
+    assert m.matches_full(n_ticks - 1, live)
+
+
+def test_manifest_to_serving_lifecycle(spark, dirs, tmp_path):
+    """VERDICT r11 ask #5 — the lifecycle composed END TO END: build
+    all three serving indexes over the full corpus, apply the q298
+    dedup deletion manifest as streaming tombstones, and the SERVED
+    three-leg hybrid (a) never returns a dropped document as query or
+    neighbor and (b) BIT-MATCHES the batch q295 computed over the
+    retained corpus.  The maintainers' model artifacts (IVF quantizer)
+    are pinned to the retained corpus so the batch comparison is
+    well-defined; the deletion itself flows purely through state —
+    full-corpus build, manifest tombstones, no rebuild."""
+    from datapipeline_dags_spark.plans import llm_ops
+    from datapipeline_dags_spark.streaming.index_maintenance import (
+        LexicalStatsMaintainer,
+        SignLshIndexMaintainer,
+        hybrid_full_from_state,
+    )
+
+    docs = table(spark, SF_DIR, "documents")
+    emb = table(spark, SF_DIR, "embeddings")
+    manifest = llm_ops.q298_dedup_deletion_manifest(spark, SF_DIR).select(
+        F.col("drop_doc_id").alias("doc_id")
+    )
+    assert manifest.count() > 0
+    retained_docs = docs.join(manifest, "doc_id", "left_anti")
+    retained_emb = emb.join(
+        manifest.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_anti"
+    )
+    # the retained corpus as a batch fixture dir (q295's ground truth)
+    ret_dir = str(tmp_path / "retained_sf")
+    retained_docs.write.parquet(f"{ret_dir}/documents.parquet")
+    retained_emb.write.parquet(f"{ret_dir}/embeddings.parquet")
+    n_cent, _, _ = llm_ops.ann_params(retained_emb.count())
+
+    ivf = IvfIndexMaintainer(
+        spark,
+        dirs["state"] + "/ivf",
+        centroid_corpus=retained_emb,
+        n_centroids=n_cent,
+    )
+    slsh = SignLshIndexMaintainer(spark, dirs["state"] + "/slsh")
+    lex = LexicalStatsMaintainer(spark, dirs["state"] + "/lex")
+    # tick 0: the FULL corpus is indexed; tick 1: the manifest applies
+    # as tombstones — deletion through state, never a re-index
+    ivf.process_batch(emb.select("vec_id", "embedding"), 0)
+    slsh.process_batch(emb.select("vec_id", "embedding"), 0)
+    lex.process_batch(docs.select("doc_id", "text"), 0)
+    no_vecs = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
+    no_docs = spark.createDataFrame([], "doc_id bigint, text string")
+    ivf.process_batch(no_vecs, 1, deletes=manifest)
+    slsh.process_batch(no_vecs, 1, deletes=manifest)
+    lex.process_batch(no_docs, 1, deletes=manifest)
+
+    queries = retained_emb.filter(F.col("vec_id") < llm_ops.N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    served = hybrid_full_from_state(spark, ivf, slsh, lex, 1, queries)
+    served_rows = sorted(map(tuple, served.collect()))
+    # (a) no dropped document is ever served
+    assert (
+        served.join(
+            manifest.select(F.col("doc_id").alias("neighbor_id")),
+            "neighbor_id",
+            "left_semi",
+        ).count()
+        == 0
+    )
+    # (b) bit-parity with the batch q295 over the retained corpus
+    want = sorted(
+        map(tuple, llm_ops.q295_hybrid_retrieval(spark, ret_dir).collect())
+    )
+    assert served_rows == want and served_rows
+
+
+def test_served_recall_floor_after_churn(spark, dirs):
+    """VERDICT r11 ask #7: after a 10-tick insert/delete drive with
+    compactions, each served ANN leg's recall vs the exact top-k over
+    the live corpus must EQUAL the batch leg's floor (a fresh
+    single-batch maintainer over the same live corpus) — heavy churn
+    may not cost the maintained index a single point of recall."""
+    from datapipeline_dags_spark.plans import llm_ops
+    from datapipeline_dags_spark.streaming.index_maintenance import (
+        PqIndexMaintainer,
+        SignLshIndexMaintainer,
+    )
+
+    emb = table(spark, SF_DIR, "embeddings")
+    n_cent, _, _ = llm_ops.ann_params(llm_ops.corpus_size(spark, SF_DIR))
+    ivf = IvfIndexMaintainer(
+        spark, dirs["state"] + "/ivf", centroid_corpus=emb, n_centroids=n_cent
+    )
+    pq = PqIndexMaintainer(spark, dirs["state"] + "/pq", codebook_corpus=emb)
+    slsh = SignLshIndexMaintainer(spark, dirs["state"] + "/slsh")
+    deleted = None
+    for t in range(10):
+        arr = emb.filter(F.col("vec_id") % 10 == t).select(
+            "vec_id", "embedding"
+        )
+        dels = None
+        if t in (3, 6, 9):
+            # delete a slice of everything already arrived (mods < t)
+            dels = emb.filter(
+                (F.col("vec_id") % 10 < t) & (F.col("vec_id") % 17 == t)
+            ).select("vec_id")
+            deleted = dels if deleted is None else deleted.unionByName(dels)
+        for m in (ivf, pq, slsh):
+            m.process_batch(arr, t, deletes=dels)
+        if t in (4, 8):
+            for m in (ivf, pq, slsh):
+                m.compact(t + 1)
+    live = emb.join(deleted, "vec_id", "left_anti")
+    assert ivf.matches_full(9, live) and pq.matches_full(9, live)
+
+    queries = live.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    # exact ground truth over the live corpus
+    from pyspark.sql import Window as _W
+
+    exact = (
+        queries.crossJoin(
+            live.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("ne"),
+            )
+        )
+        .filter(F.col("neighbor_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "neighbor_id",
+            F.round(llm_ops._cosine(F.col("embedding"), F.col("ne")), 6).alias(
+                "cs"
+            ),
+        )
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                _W.partitionBy("q_id").orderBy(F.col("cs").desc(), "neighbor_id")
+            ),
+        )
+    )
+
+    def recall(served, k):
+        truth = exact.filter(F.col("rank") <= k).select("q_id", "neighbor_id")
+        hit = served.join(truth, ["q_id", "neighbor_id"], "left_semi").count()
+        return hit / truth.count()
+
+    fresh_ivf = IvfIndexMaintainer(
+        spark, dirs["state"] + "/fivf", centroid_corpus=emb, n_centroids=n_cent
+    )
+    fresh_pq = PqIndexMaintainer(
+        spark, dirs["state"] + "/fpq", codebook_corpus=emb
+    )
+    fresh_slsh = SignLshIndexMaintainer(spark, dirs["state"] + "/fslsh")
+    for m in (fresh_ivf, fresh_pq, fresh_slsh):
+        m.process_batch(live.select("vec_id", "embedding"), 0)
+    for churned, fresh, k in (
+        (ivf.topk(9, queries, k=5), fresh_ivf.topk(0, queries, k=5), 5),
+        (pq.topk(9, queries, k=10), fresh_pq.topk(0, queries, k=10), 10),
+        (
+            slsh.topk(9, queries, k=llm_ops.LSH_K),
+            fresh_slsh.topk(0, queries, k=llm_ops.LSH_K),
+            llm_ops.LSH_K,
+        ),
+    ):
+        r_churned = recall(churned, k)
+        r_fresh = recall(fresh, k)
+        assert r_churned == r_fresh, (k, r_churned, r_fresh)
+        assert r_churned > 0.5, (k, r_churned)
+
+
 def test_delete_then_reinsert_is_visible_again(spark, dirs):
     """Version-scoped tombstones: an id deleted at tick t and
     re-ingested at t' > t must be fully live again — in the aggregate
