@@ -245,6 +245,13 @@ BOUNDED_FILTER_HINT_OK = {
     # broadcasts the 1-row per-method MRR aggregate onto the 1-row
     # recall aggregate; inherits q45/q46/q47/q295's declared attaches
     "q296_hybrid_retrieval_audit",
+    # broadcast the 1-row PQ codebook struct row (bounded-filter
+    # vec_id < PQ_K — q75's frozen-codebook attach) plus the 1-row
+    # global matches_full audit aggregate (q304/q305) / the 16-row
+    # per-subspace distortion collapse (q306)
+    "q304_pq_codes_delta_refresh",
+    "q305_pq_codes_delete_refresh",
+    "q306_pq_codebook_staleness",
 }
 
 
@@ -437,6 +444,12 @@ NESTED_LOOP_OK = {
     # broadcasts the same 1-row matches_full audit aggregate (the
     # delete-delta twin of q293)
     "q302_bm25_stats_delete_refresh",
+    # q75's 1-row frozen-codebook attach on the shared encode pass,
+    # plus the 1-row global matches_full audit attach (q304/q305) /
+    # the 16-row per-subspace base//live distortion join (q306)
+    "q304_pq_codes_delta_refresh",
+    "q305_pq_codes_delete_refresh",
+    "q306_pq_codebook_staleness",
 }
 
 

@@ -149,6 +149,14 @@ TARGETS = (
     # r11: the benchmark decon screen — map-only broadcast pass, the
     # cheapest shape in the corpus; its row is completeness, not risk
     "q303_semantic_decontamination",
+    # r12 (VERDICT r11 ask #2): the PQ code-table IVM family — one
+    # persisted map-only encode pass feeding filtered re-aggregations
+    # (q304 insert merge, q305 delete retraction) and the per-subspace
+    # distortion pass behind the q306 staleness trigger; all three
+    # should track the q75 encode's scan cost
+    "q304_pq_codes_delta_refresh",
+    "q305_pq_codes_delete_refresh",
+    "q306_pq_codebook_staleness",
 )
 
 # Per-(target, scale) keyword overrides: the SemDeDup contract is that
@@ -649,9 +657,11 @@ def update_rows(targets: list[str]) -> None:
         if hits:
             lines[hits[0]] = row
         else:
-            # new target: append to the main table (after its last row)
+            # new target: append to the main table (after its last row;
+            # the slice bounds the search to the main table, which ends
+            # well before line 120 — the first section header is later)
             last = max(
-                i for i, ln in enumerate(lines[:60]) if ln.startswith("| q")
+                i for i, ln in enumerate(lines[:120]) if ln.startswith("| q")
             )
             lines.insert(last + 1, row)
         print(row)
