@@ -57,6 +57,7 @@ _ROTATION_HEAD = [
     "q304_pq_codes_delta_refresh",
     "q305_pq_codes_delete_refresh",
     "q306_pq_codebook_staleness",
+    "q307_ivfpq_codes_refresh",
     # changed in round 12 — fresh rows prove parity held through the
     # changes (q75/q178: the PQ encode/LUT/ADC expressions extracted
     # into shared module-level helpers the IVM family and the
@@ -113,7 +114,6 @@ _ROTATION_HEAD = [
     "q288_epoch_shuffle_balance",
     "q281_part_value_concentration",
     "q214_triplet_mining",
-    "q101_bpe_merges",
 ]
 
 _ROTATION_TAIL = [

@@ -128,9 +128,12 @@ HEADLINE = [
     "q299_deletion_manifest_apply",
     "q300_ivf_delete_refresh",
     # round-12 additions (VERDICT r11 ask #2): the PQ code-table IVM
-    # pair — insert-delta encode merge and id-keyed delete retraction
+    # pair — insert-delta encode merge and id-keyed delete retraction —
+    # and the IVF-PQ residual-code refresh (insert+delete in one tick,
+    # the contract on q112's production composition)
     "q304_pq_codes_delta_refresh",
     "q305_pq_codes_delete_refresh",
+    "q307_ivfpq_codes_refresh",
 ]
 
 REPS = 3

@@ -4155,6 +4155,104 @@ def _q112_oracle() -> str:
     """
 
 
+# --- shared IVF-PQ expressions (q112 / q307 and the streaming
+# IvfPqIndexMaintainer read ONE definition, the q75/_pq_* pattern on
+# the residual-coding composition) ---
+
+
+def _ivfpq_cents_row(corpus: DataFrame, n_cent: int) -> DataFrame:
+    """The coarse quantizer as ONE broadcastable struct row, sorted by
+    contiguous ccid so ``element_at(cents, cell+1)`` is the assigned
+    centroid."""
+    return (
+        corpus.filter(F.col("vec_id") < n_cent)
+        .select(F.col("vec_id").alias("ccid"), F.col("embedding").alias("ce"))
+        .agg(F.array_sort(F.collect_list(F.struct("ccid", "ce"))).alias("cents"))
+    )
+
+
+def _ivfpq_best_cell(emb: Column) -> Column:
+    """q47's argmax assignment (cosine, lowest-ccid tie) against the
+    broadcast ``cents`` row."""
+    top = F.array_max(
+        F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                _cosine(emb, c["ce"]).alias("cs"), (-c["ccid"]).alias("ncid")
+            ),
+        )
+    )
+    return -top["ncid"]
+
+
+def _ivfpq_res_col() -> Column:
+    """The residual embedding − centroid(cell) as double — reads the
+    ``embedding``, ``cell`` and broadcast ``cents`` columns."""
+    return F.zip_with(
+        "embedding",
+        F.element_at(F.col("cents"), (F.col("cell") + 1).cast("int"))["ce"],
+        lambda x, y: x.cast("double") - y.cast("double"),
+    )
+
+
+def _ivfpq_res_codebook_row(resid: DataFrame) -> DataFrame:
+    """The frozen residual codebook as ONE broadcastable struct row:
+    the first PQ_K vectors' RESIDUALS, sorted by cid."""
+    return (
+        resid.filter(F.col("vec_id") < PQ_K)
+        .select(F.col("vec_id").alias("cid"), F.col("res").alias("re"))
+        .agg(F.array_sort(F.collect_list(F.struct("cid", "re"))).alias("cbs"))
+    )
+
+
+def _ivfpq_res_sub(v: Column, m: Column) -> Column:
+    return F.slice(v, m * PQ_D + 1, PQ_D)
+
+
+def _ivfpq_res_l2(a: Column, b: Column) -> Column:
+    # residuals are already double — NO cast, unlike _pq_l2 (casting
+    # would be a no-op but the expression must mirror the oracle's)
+    diff2 = F.zip_with(a, b, lambda x, y: (x - y) * (x - y))
+    return F.aggregate(diff2, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _ivfpq_codes_col() -> Column:
+    """PQ_M argmin-L2 codes of the ``res`` column against the broadcast
+    residual codebook ``cbs`` — q112's JVM encode."""
+    ms = F.sequence(F.lit(0), F.lit(PQ_M - 1))
+    return F.transform(
+        ms,
+        lambda m: F.array_min(
+            F.transform(
+                F.col("cbs"),
+                lambda c: F.struct(
+                    _ivfpq_res_l2(
+                        _ivfpq_res_sub(F.col("res"), m),
+                        _ivfpq_res_sub(c["re"], m),
+                    ).alias("d"),
+                    c["cid"].alias("cid"),
+                ),
+            )
+        )["cid"],
+    )
+
+
+def _ivfpq_lut_col() -> Column:
+    """Per-query residual-codebook LUT: lut[m][cid] = dot(query
+    subvector m, residual centroid cid's subvector m) — reads the
+    ``qe`` and broadcast ``cbs`` columns."""
+    ms = F.sequence(F.lit(0), F.lit(PQ_M - 1))
+    return F.transform(
+        ms,
+        lambda m: F.transform(
+            F.col("cbs"),
+            lambda c: _pq_dot(
+                _ivfpq_res_sub(F.col("qe"), m), _ivfpq_res_sub(c["re"], m)
+            ),
+        ),
+    )
+
+
 def _ivfpq_encode_numpy(spark: SparkSession, resid: DataFrame) -> DataFrame:
     """PQ residual encoding as one BLAS distance matrix per Arrow batch.
 
@@ -4238,69 +4336,21 @@ def q112_ann_ivfpq(
     """
     corpus = table(spark, sf_dir, "embeddings")
     n_cent, nprobe, refine = ann_params(corpus_size(spark, sf_dir))
-    cent1 = (
-        corpus.filter(F.col("vec_id") < n_cent)
-        .select(F.col("vec_id").alias("ccid"), F.col("embedding").alias("ce"))
-        .agg(F.array_sort(F.collect_list(F.struct("ccid", "ce"))).alias("cents"))
-    )
-
-    def dot(a: Column, b: Column) -> Column:
-        prod = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
-        return F.aggregate(prod, F.lit(0.0), lambda acc, v: acc + v)
-
-    def best_cell(emb: Column) -> Column:
-        top = F.array_max(
-            F.transform(
-                F.col("cents"),
-                lambda c: F.struct(
-                    _cosine(emb, c["ce"]).alias("cs"), (-c["ccid"]).alias("ncid")
-                ),
-            )
-        )
-        return -top["ncid"]
+    # (_ivfpq_* are the shared module-level definitions q307 and the
+    # streaming IvfPqIndexMaintainer reuse.)
+    cent1 = _ivfpq_cents_row(corpus, n_cent)
+    dot = _pq_dot
 
     # pass 1: cell assignment + residual (cents sorted by contiguous ccid,
     # so element_at(cell+1) is the assigned centroid)
     resid = (
         _fanout(spark, corpus)
         .crossJoin(F.broadcast(cent1))
-        .withColumn("cell", best_cell(F.col("embedding")))
-        .select(
-            "vec_id",
-            "cell",
-            F.zip_with(
-                "embedding",
-                F.element_at(F.col("cents"), (F.col("cell") + 1).cast("int"))["ce"],
-                lambda x, y: x.cast("double") - y.cast("double"),
-            ).alias("res"),
-        )
+        .withColumn("cell", _ivfpq_best_cell(F.col("embedding")))
+        .select("vec_id", "cell", _ivfpq_res_col().alias("res"))
     )
-    cbres1 = (
-        resid.filter(F.col("vec_id") < PQ_K)
-        .select(F.col("vec_id").alias("cid"), F.col("res").alias("re"))
-        .agg(F.array_sort(F.collect_list(F.struct("cid", "re"))).alias("cbs"))
-    )
-
-    def sub(v: Column, m: Column) -> Column:
-        return F.slice(v, m * PQ_D + 1, PQ_D)
-
-    def l2(a: Column, b: Column) -> Column:
-        diff2 = F.zip_with(a, b, lambda x, y: (x - y) * (x - y))
-        return F.aggregate(diff2, F.lit(0.0), lambda acc, v: acc + v)
-
-    ms = F.sequence(F.lit(0), F.lit(PQ_M - 1))
-    codes_col = F.transform(
-        ms,
-        lambda m: F.array_min(
-            F.transform(
-                F.col("cbs"),
-                lambda c: F.struct(
-                    l2(sub(F.col("res"), m), sub(c["re"], m)).alias("d"),
-                    c["cid"].alias("cid"),
-                ),
-            )
-        )["cid"],
-    )
+    cbres1 = _ivfpq_res_codebook_row(resid)
+    codes_col = _ivfpq_codes_col()
     # pass 2: encode residuals against the residual codebook.
     # REGISTERED DEFAULT (None) auto-selects "numpy" when numpy imports
     # — the q96 pair_backend pattern; SCALING.md shows jvm encode at
@@ -4337,13 +4387,9 @@ def q112_ann_ivfpq(
         .select("q_id", "cell", "base")
     )
     # per-query LUT over the residual codebook
-    lut_col = F.transform(
-        ms,
-        lambda m: F.transform(
-            F.col("cbs"), lambda c: dot(sub(F.col("qe"), m), sub(c["re"], m))
-        ),
+    qlut = queries.crossJoin(F.broadcast(cbres1)).select(
+        "q_id", _ivfpq_lut_col().alias("lut")
     )
-    qlut = queries.crossJoin(F.broadcast(cbres1)).select("q_id", lut_col.alias("lut"))
     adc_sum = F.aggregate(
         F.zip_with("lut", "codes", lambda l, c: F.element_at(l, (c + 1).cast("int"))),
         F.lit(0.0),
@@ -12335,4 +12381,213 @@ def q306_pq_codebook_staleness(
         dec(F.col("ml") / F.col("el"), 6).alias("rel_live"),
         drift.alias("drift_ratio"),
         (drift > F.lit(PQ_RETRAIN_RATIO)).cast("long").alias("retrain"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q307 — IVF-PQ residual-code maintenance (insert delta + deletion
+# retraction in one tick — the q304/q305 contract on q112's composition)
+# ---------------------------------------------------------------------------
+
+
+def _q307_oracle() -> str:
+    d, dim = PQ_D, 64
+    res = (
+        f"list_transform(generate_series(1, {dim}), "
+        "i -> embedding[i]::DOUBLE - ce[i]::DOUBLE)"
+    )
+    return f"""
+    WITH {_ANN_PARAMS_SQL},
+    cent AS (SELECT vec_id AS ccid, embedding AS ce FROM embeddings
+                  WHERE vec_id < (SELECT n_cent FROM ann_p)),
+    scored0 AS (
+      SELECT e.vec_id, e.embedding, c.ccid,
+             {_COS_SQL.format(a='e.embedding', b='c.ce')} AS cs
+      FROM embeddings e CROSS JOIN cent c),
+    cells AS (
+      SELECT vec_id, embedding, ccid AS cell FROM (
+        SELECT vec_id, embedding, ccid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, ccid) AS rn
+        FROM scored0) t
+      WHERE rn = 1),
+    resid AS (
+      SELECT cl.vec_id, cl.cell, {res} AS res
+      FROM cells cl JOIN cent ON cent.ccid = cl.cell),
+    cbres AS (SELECT vec_id AS cid, res AS re FROM resid WHERE vec_id < {PQ_K}),
+    ms AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m),
+    csub AS (SELECT cid, m, re[m*{d}+1 : m*{d}+{d}] AS cs FROM cbres, ms),
+    enc0 AS (SELECT r.vec_id, r.cell, c.m, c.cid,
+             list_reduce(list_transform(generate_series(1, {d}),
+               i -> (r.res[c.m*{d}+i] - c.cs[i]) * (r.res[c.m*{d}+i] - c.cs[i])),
+               (a, b) -> a + b) AS dist
+             FROM resid r CROSS JOIN csub c),
+    codes AS (SELECT vec_id, cell, m, cid FROM (
+              SELECT vec_id, cell, m, cid,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                        ORDER BY dist, cid) AS rn
+              FROM enc0) WHERE rn = 1),
+    f AS (SELECT vec_id, cell, m, cid,
+          CASE WHEN vec_id % {IVF_DELTA_MOD} = {IVF_DELTA_REM}
+               THEN 1 ELSE 0 END AS ins,
+          CASE WHEN vec_id % {IVF_DELTA_MOD} = {IVF_DELETE_REM}
+               THEN 1 ELSE 0 END AS del_f
+          FROM codes),
+    g AS (SELECT cell, m, cid,
+          SUM(1 - ins) AS nb, SUM(ins) AS ni, SUM(del_f) AS nx,
+          SUM(CASE WHEN del_f = 0 THEN vec_id ELSE 0 END) AS chk
+          FROM f GROUP BY cell, m, cid),
+    r AS (SELECT m, cid,
+          SUM(nb) AS n_base, SUM(ni) AS n_ins, SUM(nx) AS n_del,
+          SUM(nb + ni - nx) AS n_live,
+          SUM(CASE WHEN nb + ni - nx > 0 THEN 1 ELSE 0 END) AS n_cells_live,
+          SUM(chk) AS member_checksum
+          FROM g GROUP BY m, cid)
+    SELECT CAST(m AS BIGINT) AS subspace, CAST(cid AS BIGINT) AS cid,
+           CAST(n_base AS BIGINT) AS n_base,
+           CAST(n_ins AS BIGINT) AS n_ins,
+           CAST(n_del AS BIGINT) AS n_del,
+           CAST(n_live AS BIGINT) AS n_live,
+           CAST(n_cells_live AS BIGINT) AS n_cells_live,
+           CAST(member_checksum AS BIGINT) AS member_checksum,
+           CAST(1 AS BIGINT) AS matches_full
+    FROM r WHERE n_live > 0
+    """
+
+
+@query("q307_ivfpq_codes_refresh", oracle=_q307_oracle())
+def q307_ivfpq_codes_refresh(
+    spark: SparkSession, sf_dir: str, *, encode_backend: str | None = None
+) -> DataFrame:
+    """IVF-PQ residual-code maintenance — the q304/q305 IVM contract on
+    q112's production composition, closing the index-family book: at
+    one maintenance tick an insert delta arrives (vec_id %
+    {IVF_DELTA_MOD} == {IVF_DELTA_REM}) AND a deletion batch leaves
+    (== {IVF_DELETE_REM}).  Delta vectors pay exactly TWO map-only
+    passes against the FROZEN model artifacts — the broadcast coarse
+    quantizer (cell + residual) and the broadcast residual codebook
+    (codes) — never a retrain, never a base re-encode; deletion is an
+    id-keyed drop of stored (cell, codes) rows.  Both artifacts keep
+    centroids sourced from since-deleted vectors (frozen models, not
+    live data) — the drift q306's staleness trigger watches.
+
+    Audit: an independent re-encode over the LIVE corpus must equal
+    the maintained live table per (cell, subspace, centroid) cell —
+    count and DECIMAL(38,0)-accumulated id checksum — with
+    ``matches_full`` one GLOBAL MIN over every cell including cells
+    retracted to zero.  The report rolls up to (subspace, centroid)
+    with ``n_cells_live`` carrying the coarse-cell structure (the
+    bounded {PQ_M}x{PQ_K} table a dashboard reads).
+
+    Parity: q112's exact expressions (q47 argmax assignment, residual
+    subtraction in double, argmin-L2 lowest-cid codes); the encode
+    backend auto-selects numpy (identical codes, pinned) with the
+    pure-SQL JVM fallback the oracle mirrors.
+
+    Scale shape: the same two broadcast passes as q112; one persisted
+    exploded code-row frame feeds four filtered re-aggregations
+    (base/ins/del/full); partials are map-side-combinable
+    (cell, m, cid) integer cells bounded by n_cent·{PQ_M}·{PQ_K}; no
+    window over data, no pair joins — maintenance costs one encode of
+    the DELTA plus bounded merges, the 100 TB contract.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    corpus = table(spark, sf_dir, "embeddings")
+    n_cent, _, _ = ann_params(corpus_size(spark, sf_dir))
+    cent1 = _ivfpq_cents_row(corpus, n_cent)
+    resid = (
+        _fanout(spark, corpus)
+        .crossJoin(F.broadcast(cent1))
+        .withColumn("cell", _ivfpq_best_cell(F.col("embedding")))
+        .select("vec_id", "cell", _ivfpq_res_col().alias("res"))
+    )
+    if encode_backend is None:
+        encode_backend = "numpy" if _numpy_available() else "jvm"
+    if encode_backend == "numpy":
+        codes = _ivfpq_encode_numpy(spark, resid)
+    else:
+        codes = resid.crossJoin(F.broadcast(_ivfpq_res_codebook_row(resid))).select(
+            "vec_id", "cell", _ivfpq_codes_col().alias("codes")
+        )
+    is_ins = (F.col("vec_id") % IVF_DELTA_MOD) == IVF_DELTA_REM
+    is_del = (F.col("vec_id") % IVF_DELTA_MOD) == IVF_DELETE_REM
+    rows = codes.select(
+        "vec_id",
+        "cell",
+        is_ins.alias("i"),
+        is_del.alias("x"),
+        F.posexplode("codes").alias("m", "cid"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    def partials(df: DataFrame, tag: str) -> DataFrame:
+        return df.groupBy("cell", "m", "cid").agg(
+            F.count("*").alias(f"n_{tag}"),
+            F.sum(F.col("vec_id").cast("decimal(38,0)")).alias(f"c_{tag}"),
+        )
+
+    zc = F.lit(0).cast("decimal(38,0)")
+    z = F.lit(0)
+    keys = ["cell", "m", "cid"]
+    bp = partials(rows.filter(~F.col("i")), "b")  # base incl. to-be-deleted
+    ip = partials(rows.filter(F.col("i")), "i")
+    xp = partials(rows.filter(F.col("x")), "x")
+    merged = (
+        bp.join(ip, keys, "full_outer")
+        .join(xp, keys, "full_outer")
+        .select(
+            *keys,
+            F.coalesce("n_b", z).alias("nb"),
+            F.coalesce("n_i", z).alias("ni"),
+            F.coalesce("n_x", z).alias("nx"),
+            (
+                F.coalesce("c_b", zc)
+                + F.coalesce("c_i", zc)
+                - F.coalesce("c_x", zc)
+            ).alias("c_m"),
+        )
+    )
+    full = partials(rows.filter(~F.col("x")), "f")
+    audit = merged.join(full, keys, "full_outer").select(
+        *keys,
+        F.coalesce("nb", z).alias("nb"),
+        F.coalesce("ni", z).alias("ni"),
+        F.coalesce("nx", z).alias("nx"),
+        F.coalesce("c_m", zc).alias("c_m"),
+        (
+            F.coalesce("c_m", zc).eqNullSafe(F.coalesce("c_f", zc))
+            & (
+                F.coalesce("nb", z) + F.coalesce("ni", z) - F.coalesce("nx", z)
+                == F.coalesce("n_f", z)
+            )
+        )
+        .cast("long")
+        .alias("ok"),
+    )
+    audit = audit.persist(StorageLevel.MEMORY_AND_DISK)
+    glob = audit.agg(
+        F.coalesce(F.min("ok"), F.lit(1)).cast("long").alias("matches_full")
+    )
+    live = F.col("nb") + F.col("ni") - F.col("nx")
+    report = (
+        audit.groupBy("m", "cid")
+        .agg(
+            F.sum("nb").alias("n_base"),
+            F.sum("ni").alias("n_ins"),
+            F.sum("nx").alias("n_del"),
+            F.sum(live).alias("n_live"),
+            F.sum((live > 0).cast("long")).alias("n_cells_live"),
+            F.sum("c_m").alias("chk"),
+        )
+        .filter(F.col("n_live") > 0)
+    )
+    return report.crossJoin(F.broadcast(glob)).select(
+        F.col("m").cast("long").alias("subspace"),
+        F.col("cid").cast("long").alias("cid"),
+        F.col("n_base").cast("long"),
+        F.col("n_ins").cast("long"),
+        F.col("n_del").cast("long"),
+        F.col("n_live").cast("long"),
+        F.col("n_cells_live").cast("long"),
+        F.col("chk").cast("long").alias("member_checksum"),
+        "matches_full",
     )

@@ -81,11 +81,18 @@ from datapipeline_dags_spark.plans.llm_ops import (
     lsh_sign_bucket,
     _cosine,
     _ivf_centroids,
+    _ivfpq_best_cell,
+    _ivfpq_cents_row,
+    _ivfpq_codes_col,
+    _ivfpq_lut_col,
+    _ivfpq_res_codebook_row,
+    _ivfpq_res_col,
     _minhash_bands,
     _nearest_id,
     _pq_adc_score,
     _pq_codebook_row,
     _pq_codes_col,
+    _pq_dot,
     _pq_err_energy_col,
     _pq_lut_col,
     _shingles,
@@ -93,6 +100,7 @@ from datapipeline_dags_spark.plans.llm_ops import (
 
 __all__ = [
     "IvfIndexMaintainer",
+    "IvfPqIndexMaintainer",
     "LexicalStatsMaintainer",
     "LshIndexMaintainer",
     "PqIndexMaintainer",
@@ -1662,6 +1670,257 @@ class PqIndexMaintainer:
             drift.alias("drift_ratio"),
             (drift > F.lit(threshold)).cast("long").alias("retrain"),
         )
+
+
+class IvfPqIndexMaintainer:
+    """q307's contract as a streaming maintenance loop — the IVF-PQ
+    composition (q112, the production billion-vector layout) maintained
+    incrementally, with q112-parity serving.
+
+    BOTH model artifacts are FROZEN at construction (collected struct
+    rows): the coarse quantizer (first ``n_centroids`` corpus vectors,
+    q47's rule) and the residual codebook (the first PQ_K vectors'
+    residuals).  A delta batch pays two map-only passes — assign+
+    residual against the broadcast quantizer, encode against the
+    broadcast residual codebook — never a retrain, never a base
+    re-encode.  Delta tables: ``codes`` (vec_id, cell, codes) — the
+    cell-restricted ADC structure — and ``vecs`` for the exact refine,
+    plus ``tombstones``; deletion is pure id-keyed tombstoning (the
+    q307 retraction).  ``topk`` replays q112's serving (probe top-
+    nprobe cells, base dot + residual-ADC over probed cells' codes,
+    exact-cosine refine) against the live rows, bit-equal to the batch
+    q112 over the same corpus (pytest-pinned).  Codebook staleness
+    under churn is the PQ story — q306 / PqIndexMaintainer.staleness
+    — applied to the residual codebook by re-running the same audit on
+    residuals."""
+
+    CODES_SCHEMA = "vec_id bigint, cell bigint, codes array<bigint>, v bigint"
+    VECS_SCHEMA = "vec_id bigint, embedding array<float>, v bigint"
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        corpus: DataFrame,
+        n_centroids: int,
+    ):
+        self.spark = spark
+        self.state_dir = state_dir
+        self.cents = _ivfpq_cents_row(corpus, n_centroids).collect()[0][
+            "cents"
+        ]
+        # residual codebook: the first PQ_K vectors' residuals against
+        # the just-frozen quantizer (only those rows are read)
+        from datapipeline_dags_spark.plans.llm_ops import PQ_K
+
+        cb_resid = (
+            corpus.filter(F.col("vec_id") < PQ_K)
+            .select("vec_id", "embedding")
+            .crossJoin(F.broadcast(self._cents_frame()))
+            .withColumn("cell", _ivfpq_best_cell(F.col("embedding")))
+            .select("vec_id", "cell", _ivfpq_res_col().alias("res"))
+        )
+        self.cbs = _ivfpq_res_codebook_row(cb_resid).collect()[0]["cbs"]
+
+    def _cents_frame(self) -> DataFrame:
+        return self.spark.createDataFrame(
+            [(self.cents,)],
+            "cents array<struct<ccid: bigint, ce: array<float>>>",
+        )
+
+    def _cbs_frame(self) -> DataFrame:
+        return self.spark.createDataFrame(
+            [(self.cbs,)], "cbs array<struct<cid: bigint, re: array<double>>>"
+        )
+
+    def _encode(self, vectors: DataFrame) -> DataFrame:
+        """(vec_id, cell, codes) of a (vec_id, embedding) frame — the
+        two map-only passes against the frozen broadcast artifacts."""
+        resid = (
+            vectors.select(F.col("vec_id").cast("bigint"), "embedding")
+            .crossJoin(F.broadcast(self._cents_frame()))
+            .withColumn("cell", _ivfpq_best_cell(F.col("embedding")))
+            .select("vec_id", "cell", _ivfpq_res_col().alias("res"))
+        )
+        return resid.crossJoin(F.broadcast(self._cbs_frame())).select(
+            "vec_id",
+            F.col("cell").cast("bigint"),
+            F.transform(_ivfpq_codes_col(), lambda c: c.cast("bigint")).alias(
+                "codes"
+            ),
+        )
+
+    def process_batch(
+        self, batch: DataFrame, batch_id: int, deletes: DataFrame | None = None
+    ) -> None:
+        rows = batch.select(F.col("vec_id").cast("bigint"), "embedding")
+        vlit = F.lit(batch_id).cast("bigint")
+        _write_delta(
+            self._encode(rows).withColumn("v", vlit),
+            self.state_dir,
+            "codes",
+            batch_id,
+        )
+        _write_delta(
+            rows.withColumn("v", vlit), self.state_dir, "vecs", batch_id
+        )
+        _write_delta(
+            _tomb_delta(self.spark, _normalize_deletes(deletes), batch_id),
+            self.state_dir,
+            "tombstones",
+            batch_id,
+        )
+
+    def _live(
+        self, tbl: str, batch_id: int, schema: str, keep_v: bool = False
+    ) -> DataFrame:
+        return _live_delta(
+            self.spark, self.state_dir, tbl, batch_id, schema, "vec_id",
+            keep_v=keep_v,
+        )
+
+    def codes(self, batch_id: int) -> DataFrame:
+        return self._live("codes", batch_id, self.CODES_SCHEMA)
+
+    def vecs(self, batch_id: int) -> DataFrame:
+        return self._live("vecs", batch_id, self.VECS_SCHEMA)
+
+    def compact(self, batch_id: int) -> None:
+        """Read fan-in bound with the replay-window guarantee (folds
+        deltas STRICTLY BEFORE ``batch_id``); see
+        IvfIndexMaintainer.compact."""
+        k = batch_id - 1
+        if k < 0:
+            return
+        _write_compaction(
+            self._live("codes", k, self.CODES_SCHEMA, keep_v=True),
+            self.state_dir,
+            "codes",
+            k,
+        )
+        _write_compaction(
+            self._live("vecs", k, self.VECS_SCHEMA, keep_v=True),
+            self.state_dir,
+            "vecs",
+            k,
+        )
+        _write_compaction(
+            self.spark.createDataFrame([], TOMBSTONES_SCHEMA),
+            self.state_dir,
+            "tombstones",
+            k,
+        )
+
+    def topk(
+        self,
+        batch_id: int,
+        queries: DataFrame,
+        k: int = TOPK,
+        nprobe: int = NPROBE,
+        refine: int = PQ_REFINE,
+    ) -> DataFrame:
+        """SERVE q112's IVF-PQ retrieval from the maintained state:
+        probe the top-``nprobe`` cells per query against the frozen
+        quantizer (base = dot(q, centroid)), ADC-score ONLY the probed
+        cells' live code rows with the residual-codebook LUT, keep the
+        top-``refine`` shortlist, exact-cosine refine against the
+        stored vectors, rank ≤ k (6-dp round, ties on neighbor id).
+        Pass q112's ann_params (nprobe, refine) to bit-compare against
+        the batch query (pytest-pinned)."""
+        from pyspark.sql import Window as _W
+
+        qs = queries.select(
+            F.col("q_id").cast("bigint"), F.col("embedding").alias("qe")
+        )
+        pw = _W.partitionBy("q_id").orderBy(F.col("cs").desc(), "cell")
+        probes = (
+            qs.crossJoin(F.broadcast(self._cents_frame()))
+            .select("q_id", "qe", F.explode("cents").alias("c"))
+            .select(
+                "q_id",
+                "qe",
+                F.col("c.ccid").alias("cell"),
+                _cosine(F.col("qe"), F.col("c.ce")).alias("cs"),
+                _pq_dot(F.col("qe"), F.col("c.ce")).alias("base"),
+            )
+            .withColumn("rn", F.row_number().over(pw))
+            .filter(F.col("rn") <= nprobe)
+            .select("q_id", "cell", "base")
+        )
+        qlut = qs.crossJoin(F.broadcast(self._cbs_frame())).select(
+            "q_id", _ivfpq_lut_col().alias("lut")
+        )
+        scored = (
+            self.codes(batch_id)
+            .join(F.broadcast(probes), "cell")
+            .filter(F.col("vec_id") != F.col("q_id"))
+            .join(F.broadcast(qlut), "q_id")
+            .select(
+                "q_id",
+                F.col("vec_id").alias("neighbor_id"),
+                dec(F.col("base") + _pq_adc_score(), 6).alias("approx"),
+            )
+        )
+        sw = _W.partitionBy("q_id").orderBy(
+            F.col("approx").desc(), "neighbor_id"
+        )
+        short = (
+            scored.withColumn("srank", F.row_number().over(sw))
+            .filter(F.col("srank") <= refine)
+            .select("q_id", "neighbor_id")
+        )
+        refined = (
+            F.broadcast(short)
+            .join(
+                queries.select(
+                    F.col("q_id").cast("bigint"),
+                    F.col("embedding").alias("qe"),
+                ),
+                "q_id",
+            )
+            .join(
+                self.vecs(batch_id).select(
+                    F.col("vec_id").alias("neighbor_id"),
+                    F.col("embedding").alias("ne"),
+                ),
+                "neighbor_id",
+            )
+            .select(
+                "q_id",
+                "neighbor_id",
+                dec(_cosine(F.col("qe"), F.col("ne")), 6).alias("cos_sim"),
+            )
+        )
+        w2 = _W.partitionBy("q_id").orderBy(
+            F.col("cos_sim").desc(), "neighbor_id"
+        )
+        return (
+            refined.withColumn("rank", F.row_number().over(w2).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "neighbor_id", "cos_sim", "rank")
+        )
+
+    def matches_full(self, batch_id: int, all_vectors: DataFrame) -> bool:
+        """q307's audit across the parquet state: the maintained live
+        (cell, codes) rows must equal a from-scratch re-encode over
+        every LIVE vector, row-for-row."""
+        full = self._encode(all_vectors.select("vec_id", "embedding")).select(
+            "vec_id",
+            F.col("cell").alias("cell_f"),
+            F.col("codes").alias("codes_f"),
+        )
+        st = self.codes(batch_id)
+        bad = (
+            st.join(full, "vec_id", "full_outer")
+            .where(
+                ~(
+                    F.col("cell").eqNullSafe(F.col("cell_f"))
+                    & F.col("codes").eqNullSafe(F.col("codes_f"))
+                )
+            )
+            .count()
+        )
+        return bad == 0
 
 
 def hybrid_full_from_state(

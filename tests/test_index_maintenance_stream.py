@@ -1231,6 +1231,79 @@ def test_served_recall_floor_after_churn(spark, dirs):
         assert r_churned > 0.5, (k, r_churned)
 
 
+def test_ivfpq_maintenance_with_deletes_and_reinsert(spark, dirs):
+    """q307's contract through state: the IVF-PQ (cell, codes) rows
+    maintain under same-tick arrival+deletion, survive a compaction,
+    and a delete→re-insert is visible again — with matches_full
+    auditing against a full re-encode over the live corpus."""
+    from datapipeline_dags_spark.plans import llm_ops
+    from datapipeline_dags_spark.streaming.index_maintenance import (
+        IvfPqIndexMaintainer,
+    )
+
+    emb = table(spark, SF_DIR, "embeddings")
+    n_cent, _, _ = llm_ops.ann_params(llm_ops.corpus_size(spark, SF_DIR))
+    m = IvfPqIndexMaintainer(
+        spark, dirs["state"], corpus=emb, n_centroids=n_cent
+    )
+    dels = emb.filter(F.col("vec_id") % 9 == 0).select("vec_id")
+    m.process_batch(
+        emb.filter(F.col("vec_id") % 2 == 0).select("vec_id", "embedding"), 0
+    )
+    m.process_batch(
+        emb.filter(F.col("vec_id") % 2 == 1).select("vec_id", "embedding"),
+        1,
+        deletes=dels,
+    )
+    live = emb.join(dels, "vec_id", "left_anti")
+    assert m.matches_full(1, live)
+    assert m.codes(1).join(dels, "vec_id", "left_semi").count() == 0
+    m.compact(2)
+    reins = emb.filter(F.col("vec_id") % 18 == 9).select("vec_id", "embedding")
+    m.process_batch(reins, 2)
+    live2 = emb.filter(
+        (F.col("vec_id") % 9 != 0) | (F.col("vec_id") % 18 == 9)
+    )
+    assert m.matches_full(2, live2)
+
+
+def test_ivfpq_serving_matches_batch_q112(spark, dirs):
+    """The maintained IVF-PQ index SERVES q112's probe + residual-ADC +
+    exact-refine path bit-equal to the batch query over the same corpus
+    (with the maintainer handed q112's ann_params)."""
+    from datapipeline_dags_spark.plans import llm_ops
+    from datapipeline_dags_spark.streaming.index_maintenance import (
+        IvfPqIndexMaintainer,
+    )
+
+    emb = table(spark, SF_DIR, "embeddings")
+    n_cent, nprobe, refine = llm_ops.ann_params(
+        llm_ops.corpus_size(spark, SF_DIR)
+    )
+    m = IvfPqIndexMaintainer(
+        spark, dirs["state"], corpus=emb, n_centroids=n_cent
+    )
+    m.process_batch(
+        emb.filter(F.col("vec_id") % 2 == 0).select("vec_id", "embedding"), 0
+    )
+    m.process_batch(
+        emb.filter(F.col("vec_id") % 2 == 1).select("vec_id", "embedding"), 1
+    )
+    queries = emb.filter(F.col("vec_id") < llm_ops.N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    got = sorted(
+        map(
+            tuple,
+            m.topk(
+                1, queries, k=llm_ops.TOPK, nprobe=nprobe, refine=refine
+            ).collect(),
+        )
+    )
+    want = sorted(map(tuple, llm_ops.q112_ann_ivfpq(spark, SF_DIR).collect()))
+    assert got == want and got
+
+
 def test_delete_then_reinsert_is_visible_again(spark, dirs):
     """Version-scoped tombstones: an id deleted at tick t and
     re-ingested at t' > t must be fully live again — in the aggregate

@@ -184,6 +184,9 @@ BOUNDED_FILTER_HINT_OK = {
     # q47's quantizer + q75's codebook/LUT/probe-list attaches, all
     # fixed-size at every SF (N_CENTROIDS / PQ_K / N_QUERIES x NPROBE)
     "q112_ann_ivfpq",
+    # the same frozen-artifact attaches on q112's composition (coarse
+    # quantizer + residual codebook), plus the 1-row global audit
+    "q307_ivfpq_codes_refresh",
     # broadcasts the FIXED CMS_D x CMS_W counter grid (256 cells at any SF)
     "q117_count_min_sketch",
     # broadcasts the |hours|-row prefix-sum offset table (q71 discipline)
@@ -311,6 +314,9 @@ NESTED_LOOP_OK = {
     # inherits q47+q75's tiny-side attaches (quantizer, residual
     # codebook, probe list, per-query LUT)
     "q112_ann_ivfpq",
+    # the same attaches on the q112 composition's IVM audit, plus the
+    # 1-row global matches_full attach
+    "q307_ivfpq_codes_refresh",
     "q120_mixing_schedule",  # 1-row totals attach (cf. q74)
     "q121_bigram_lm_score",  # 1-row grand-total attach (cf. q74)
     "q123_psi_drift",  # 1-row time-span attach (cf. q100)

@@ -157,6 +157,9 @@ TARGETS = (
     "q304_pq_codes_delta_refresh",
     "q305_pq_codes_delete_refresh",
     "q306_pq_codebook_staleness",
+    # r12: the q112-composition refresh (two broadcast passes + bounded
+    # (cell, m, cid) merges; registered default = numpy encode backend)
+    "q307_ivfpq_codes_refresh",
 )
 
 # Per-(target, scale) keyword overrides: the SemDeDup contract is that
