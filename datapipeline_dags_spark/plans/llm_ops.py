@@ -4205,8 +4205,9 @@ def _ivfpq_res_codebook_row(resid: DataFrame) -> DataFrame:
     )
 
 
-def _ivfpq_res_sub(v: Column, m: Column) -> Column:
-    return F.slice(v, m * PQ_D + 1, PQ_D)
+# subvector slicing is layout-identical for raw embeddings and
+# residuals — one definition, not a stale twin
+_ivfpq_res_sub = _pq_sub
 
 
 def _ivfpq_res_l2(a: Column, b: Column) -> Column:

@@ -203,10 +203,31 @@ def _read_delta_union(
     state (ADVICE r11 #2).  Every live path reads at ≥ newest: the
     current tick reads state-as-of ``batch_id − 1`` and ``compact()``
     folds strictly before the tick, so ``newest ≤ batch_id − 1`` always
-    holds for them; only a genuinely-historical read trips this."""
+    holds for them; only a genuinely-historical read trips this.
+
+    ONE directory listing serves all three decisions (covering
+    compaction, newest compaction, delta versions) — state reads run
+    per served query and per retraction, so per-call listdir fan-out
+    is a real cost on network filesystems."""
     root = os.path.join(state_dir, tbl)
-    k = _latest_compact(state_dir, tbl, batch_id)
-    newest = _latest_compact(state_dir, tbl, 1 << 62)
+    deltas: list[int] = []
+    compacts: list[int] = []
+    if os.path.isdir(root):
+        for name in os.listdir(root):
+            if name.startswith("compact_v"):
+                try:
+                    c = int(name[len("compact_v"):])
+                except ValueError:
+                    continue
+                if os.path.exists(os.path.join(root, name, "_SUCCESS")):
+                    compacts.append(c)
+            elif name.startswith("v"):
+                try:
+                    deltas.append(int(name[1:]))
+                except ValueError:
+                    continue
+    k = max((c for c in compacts if c <= batch_id), default=None)
+    newest = max(compacts, default=None)
     if batch_id >= 0 and newest is not None and newest > batch_id:
         raise ValueError(
             f"{tbl}: snapshot as of batch {batch_id} predates the newest "
@@ -216,16 +237,11 @@ def _read_delta_union(
         )
     paths = [] if k is None else [os.path.join(root, f"compact_v{k}")]
     floor = -1 if k is None else k
-    if os.path.isdir(root):
-        for name in os.listdir(root):
-            if not name.startswith("v"):
-                continue
-            try:
-                vid = int(name[1:])
-            except ValueError:
-                continue
-            if floor < vid <= batch_id:
-                paths.append(os.path.join(root, name))
+    paths += [
+        os.path.join(root, f"v{vid}")
+        for vid in sorted(deltas)
+        if floor < vid <= batch_id
+    ]
     if batch_id < 0 or not paths:
         return spark.createDataFrame([], schema)
     return spark.read.schema(schema).parquet(*paths)
@@ -1214,6 +1230,16 @@ def run_maintenance_batch(
     (_write_compaction's idempotence)."""
     if compact_every is not None and compact_every < 1:
         raise ValueError(f"compact_every must be >= 1, got {compact_every}")
+    # a half-wired cadence (maintainers without a period, or a period
+    # with nobody to compact) silently reverts to unbounded delta
+    # fan-in — exactly the failure the knob exists to prevent, so it
+    # fails loudly instead
+    if (compact_every is None) != (not maintainers):
+        raise ValueError(
+            "compact_every and maintainers must be passed together: "
+            f"got compact_every={compact_every!r}, "
+            f"maintainers={list(maintainers)!r}"
+        )
 
     def _tick(df: DataFrame, batch_id: int) -> None:
         on_batch(df, batch_id)
@@ -1423,54 +1449,26 @@ class SignLshIndexMaintainer:
         )
 
 
-class PqIndexMaintainer:
-    """q304/q305's contract as a streaming maintenance loop — the
-    FOURTH index family maintained incrementally (VERDICT r11 ask #2),
-    plus q75-parity ADC serving and the q306/q178 codebook-staleness
-    trigger.
+class _CodesVecsMaintainerBase:
+    """Shared delta-table lifecycle of the code-serving maintainers
+    (PQ / IVF-PQ): O(batch) codes+vecs delta writes per tick,
+    version-scoped tombstones, crash-replay-safe compaction, live
+    reads, and the re-encode ``matches_full`` audit.  Subclasses
+    define ``CODES_SCHEMA`` and ``_encode`` (the frozen-model encode of
+    a (vec_id, embedding) frame); serving (``topk``) stays per-class —
+    the retrieval algebra is what distinguishes the families, the
+    state lifecycle is not, and keeping ONE copy of the replay/
+    compaction plumbing means a lifecycle fix can never drift between
+    them."""
 
-    The codebook is FROZEN at construction (one collected struct row,
-    q75's first-PQ_K-vectors rule — a trained per-subspace KMeans
-    codebook in production): delta batches encode map-only against the
-    same broadcast codebook as the base build, never a retrain, never
-    a re-encode of prior batches.  Delta tables: ``codes`` (vec_id,
-    codes array<bigint>) — the PQ_M-byte-per-vector structure ADC
-    scores — and ``vecs`` (vec_id, embedding) for the exact-cosine
-    refine stage, plus ``tombstones``.  There is no aggregate state to
-    merge: codes carry no cross-vector state, so deletion is pure
-    id-keyed tombstoning (the q305 retraction) and never touches the
-    codebook — which is exactly why the codebook goes STALE under
-    churn and ``staleness()`` exists (q306's retrain alarm computed
-    from the maintained state instead of a batch re-read).
-    """
-
-    CODES_SCHEMA = "vec_id bigint, codes array<bigint>, v bigint"
+    CODES_SCHEMA: str
     VECS_SCHEMA = "vec_id bigint, embedding array<float>, v bigint"
 
-    def __init__(self, spark: SparkSession, state_dir: str, codebook_corpus: DataFrame):
-        self.spark = spark
-        self.state_dir = state_dir
-        # one broadcastable row, frozen for the maintainer's lifetime —
-        # the SAME definition q75/q304/q305 derive, so the maintained
-        # codes bit-compare against the batch queries
-        self.cbs = _pq_codebook_row(codebook_corpus).collect()[0]["cbs"]
-        # the base-epoch distortion baseline for staleness() — computed
-        # lazily from the codebook corpus on first use, then cached
-        self._codebook_corpus = codebook_corpus
-        self._base_rel: dict[int, float] | None = None
-
-    def _cb_frame(self) -> DataFrame:
-        return self.spark.createDataFrame(
-            [(self.cbs,)], "cbs array<struct<cid: bigint, ce: array<float>>>"
-        )
+    spark: SparkSession
+    state_dir: str
 
     def _encode(self, vectors: DataFrame) -> DataFrame:
-        """(vec_id, codes) of a (vec_id, embedding) frame — map-only
-        against the broadcast frozen codebook (q75's encode)."""
-        return vectors.crossJoin(F.broadcast(self._cb_frame())).select(
-            F.col("vec_id").cast("bigint"),
-            _pq_codes_col().alias("codes"),
-        )
+        raise NotImplementedError
 
     def process_batch(
         self, batch: DataFrame, batch_id: int, deletes: DataFrame | None = None
@@ -1502,7 +1500,7 @@ class PqIndexMaintainer:
         )
 
     def codes(self, batch_id: int) -> DataFrame:
-        """Live (vec_id, codes) rows as of ``batch_id`` (deltas minus
+        """Live code rows as of ``batch_id`` (deltas minus
         version-scoped tombstones — a re-inserted id is visible
         again)."""
         return self._live("codes", batch_id, self.CODES_SCHEMA)
@@ -1534,6 +1532,89 @@ class PqIndexMaintainer:
             self.state_dir,
             "tombstones",
             k,
+        )
+
+    def matches_full(self, batch_id: int, all_vectors: DataFrame) -> bool:
+        """The IVM audit across the parquet state: the maintained live
+        code rows must equal a from-scratch re-encode over every LIVE
+        vector, row-for-row over EVERY encoded column (argmin codes —
+        and, for IVF-PQ, cell assignments — are deterministic, so any
+        mismatch means the maintenance plumbing lost, duplicated, or
+        failed to retract a vector)."""
+        full = self._encode(all_vectors.select("vec_id", "embedding"))
+        cols = [c for c in full.columns if c != "vec_id"]
+        fullr = full.select(
+            "vec_id", *[F.col(c).alias(f"{c}_f") for c in cols]
+        )
+        st = self.codes(batch_id)
+        ok = None
+        for c in cols:
+            e = F.col(c).eqNullSafe(F.col(f"{c}_f"))
+            ok = e if ok is None else (ok & e)
+        bad = st.join(fullr, "vec_id", "full_outer").where(~ok).count()
+        return bad == 0
+
+
+class PqIndexMaintainer(_CodesVecsMaintainerBase):
+    """q304/q305's contract as a streaming maintenance loop — the
+    FOURTH index family maintained incrementally (VERDICT r11 ask #2),
+    plus q75-parity ADC serving and the q306/q178 codebook-staleness
+    trigger.
+
+    The codebook is FROZEN at construction (one collected struct row,
+    q75's first-PQ_K-vectors rule — a trained per-subspace KMeans
+    codebook in production): delta batches encode map-only against the
+    same broadcast codebook as the base build, never a retrain, never
+    a re-encode of prior batches.  Delta tables: ``codes`` (vec_id,
+    codes array<bigint>) — the PQ_M-byte-per-vector structure ADC
+    scores — and ``vecs`` (vec_id, embedding) for the exact-cosine
+    refine stage, plus ``tombstones``.  There is no aggregate state to
+    merge: codes carry no cross-vector state, so deletion is pure
+    id-keyed tombstoning (the q305 retraction) and never touches the
+    codebook — which is exactly why the codebook goes STALE under
+    churn and ``staleness()`` exists (q306's retrain alarm computed
+    from the maintained state instead of a batch re-read).
+    """
+
+    CODES_SCHEMA = "vec_id bigint, codes array<bigint>, v bigint"
+    VECS_SCHEMA = "vec_id bigint, embedding array<float>, v bigint"
+
+    def __init__(self, spark: SparkSession, state_dir: str, codebook_corpus: DataFrame):
+        self.spark = spark
+        self.state_dir = state_dir
+        # one broadcastable row, frozen for the maintainer's lifetime —
+        # the SAME definition q75/q304/q305 derive, so the maintained
+        # codes bit-compare against the batch queries
+        self.cbs = _pq_codebook_row(codebook_corpus).collect()[0]["cbs"]
+        # the base-epoch distortion baseline for staleness() — PQ_M
+        # scalars computed EAGERLY, like the codebook itself: a lazy
+        # read would re-scan the source DataFrame at first use and
+        # reflect whatever the path holds THEN (post-drift data makes
+        # the alarm read ~1.0 and never fire), breaking the
+        # frozen-at-freeze-time contract
+        self._base_rel: dict[int, float] = {
+            int(r["m"]): float(r["rel"])
+            for r in (
+                codebook_corpus.select("vec_id", "embedding")
+                .crossJoin(F.broadcast(self._cb_frame()))
+                .select(F.explode(_pq_err_energy_col()).alias("r"))
+                .groupBy(F.col("r.m").alias("m"))
+                .agg((F.avg("r.err") / F.avg("r.energy")).alias("rel"))
+                .collect()
+            )
+        }
+
+    def _cb_frame(self) -> DataFrame:
+        return self.spark.createDataFrame(
+            [(self.cbs,)], "cbs array<struct<cid: bigint, ce: array<float>>>"
+        )
+
+    def _encode(self, vectors: DataFrame) -> DataFrame:
+        """(vec_id, codes) of a (vec_id, embedding) frame — map-only
+        against the broadcast frozen codebook (q75's encode)."""
+        return vectors.crossJoin(F.broadcast(self._cb_frame())).select(
+            F.col("vec_id").cast("bigint"),
+            _pq_codes_col().alias("codes"),
         )
 
     def topk(
@@ -1601,42 +1682,6 @@ class PqIndexMaintainer:
             .select("q_id", "neighbor_id", "cos_sim", "rank")
         )
 
-    def matches_full(self, batch_id: int, all_vectors: DataFrame) -> bool:
-        """q304/q305's audit across the parquet state: the maintained
-        live codes must equal a from-scratch re-encode over every LIVE
-        vector, row-for-row (same ids, same code arrays — argmin codes
-        are deterministic, so any mismatch means the maintenance
-        plumbing lost, duplicated, or failed to retract a vector)."""
-        full = self._encode(all_vectors.select("vec_id", "embedding")).select(
-            "vec_id", F.col("codes").alias("codes_f")
-        )
-        st = self.codes(batch_id)
-        bad = (
-            st.join(full, "vec_id", "full_outer")
-            .where(~F.col("codes").eqNullSafe(F.col("codes_f")))
-            .count()
-        )
-        return bad == 0
-
-    def _base_rel_distortion(self) -> dict[int, float]:
-        """Per-subspace relative distortion of the BASE epoch (the
-        codebook corpus at freeze time) — q306's denominator, computed
-        once and cached for the maintainer's lifetime (PQ_M scalars —
-        a codebook attribute, like the centroids themselves)."""
-        if self._base_rel is None:
-            rows = (
-                self._codebook_corpus.select("vec_id", "embedding")
-                .crossJoin(F.broadcast(self._cb_frame()))
-                .select(F.explode(_pq_err_energy_col()).alias("r"))
-                .groupBy(F.col("r.m").alias("m"))
-                .agg(
-                    (F.avg("r.err") / F.avg("r.energy")).alias("rel")
-                )
-                .collect()
-            )
-            self._base_rel = {int(r["m"]): float(r["rel"]) for r in rows}
-        return self._base_rel
-
     def staleness(
         self, batch_id: int, threshold: float = PQ_RETRAIN_RATIO
     ) -> DataFrame:
@@ -1648,7 +1693,7 @@ class PqIndexMaintainer:
         ``threshold``.  A production loop watches this between ticks
         and schedules a codebook retrain + re-encode when it fires."""
         base = self.spark.createDataFrame(
-            [(m, rel) for m, rel in sorted(self._base_rel_distortion().items())],
+            [(m, rel) for m, rel in sorted(self._base_rel.items())],
             "m int, rel_base double",
         )
         live = (
@@ -1672,7 +1717,7 @@ class PqIndexMaintainer:
         )
 
 
-class IvfPqIndexMaintainer:
+class IvfPqIndexMaintainer(_CodesVecsMaintainerBase):
     """q307's contract as a streaming maintenance loop — the IVF-PQ
     composition (q112, the production billion-vector layout) maintained
     incrementally, with q112-parity serving.
@@ -1750,74 +1795,13 @@ class IvfPqIndexMaintainer:
             ),
         )
 
-    def process_batch(
-        self, batch: DataFrame, batch_id: int, deletes: DataFrame | None = None
-    ) -> None:
-        rows = batch.select(F.col("vec_id").cast("bigint"), "embedding")
-        vlit = F.lit(batch_id).cast("bigint")
-        _write_delta(
-            self._encode(rows).withColumn("v", vlit),
-            self.state_dir,
-            "codes",
-            batch_id,
-        )
-        _write_delta(
-            rows.withColumn("v", vlit), self.state_dir, "vecs", batch_id
-        )
-        _write_delta(
-            _tomb_delta(self.spark, _normalize_deletes(deletes), batch_id),
-            self.state_dir,
-            "tombstones",
-            batch_id,
-        )
-
-    def _live(
-        self, tbl: str, batch_id: int, schema: str, keep_v: bool = False
-    ) -> DataFrame:
-        return _live_delta(
-            self.spark, self.state_dir, tbl, batch_id, schema, "vec_id",
-            keep_v=keep_v,
-        )
-
-    def codes(self, batch_id: int) -> DataFrame:
-        return self._live("codes", batch_id, self.CODES_SCHEMA)
-
-    def vecs(self, batch_id: int) -> DataFrame:
-        return self._live("vecs", batch_id, self.VECS_SCHEMA)
-
-    def compact(self, batch_id: int) -> None:
-        """Read fan-in bound with the replay-window guarantee (folds
-        deltas STRICTLY BEFORE ``batch_id``); see
-        IvfIndexMaintainer.compact."""
-        k = batch_id - 1
-        if k < 0:
-            return
-        _write_compaction(
-            self._live("codes", k, self.CODES_SCHEMA, keep_v=True),
-            self.state_dir,
-            "codes",
-            k,
-        )
-        _write_compaction(
-            self._live("vecs", k, self.VECS_SCHEMA, keep_v=True),
-            self.state_dir,
-            "vecs",
-            k,
-        )
-        _write_compaction(
-            self.spark.createDataFrame([], TOMBSTONES_SCHEMA),
-            self.state_dir,
-            "tombstones",
-            k,
-        )
-
     def topk(
         self,
         batch_id: int,
         queries: DataFrame,
         k: int = TOPK,
-        nprobe: int = NPROBE,
-        refine: int = PQ_REFINE,
+        nprobe: int | None = None,
+        refine: int | None = None,
     ) -> DataFrame:
         """SERVE q112's IVF-PQ retrieval from the maintained state:
         probe the top-``nprobe`` cells per query against the frozen
@@ -1825,10 +1809,27 @@ class IvfPqIndexMaintainer:
         cells' live code rows with the residual-codebook LUT, keep the
         top-``refine`` shortlist, exact-cosine refine against the
         stored vectors, rank ≤ k (6-dp round, ties on neighbor id).
-        Pass q112's ann_params (nprobe, refine) to bit-compare against
-        the batch query (pytest-pinned)."""
+
+        Defaults derive by ann_params' rules — nprobe from the frozen
+        quantizer's size, refine from the LIVE corpus count (one count
+        of the codes table) — so default-arg serving matches what a
+        batch q112 over the same corpus would use; static floors here
+        would silently under-probe any non-floor corpus and collapse
+        recall with nothing flagging it.  Pass q112's exact ann_params
+        to bit-compare against the batch query (pytest-pinned)."""
+        import math as _math
+
         from pyspark.sql import Window as _W
 
+        if nprobe is None:
+            nprobe = max(NPROBE, _math.ceil(len(self.cents) / 2.0))
+        if refine is None:
+            from datapipeline_dags_spark.plans.llm_ops import ANN_MIN_REFINE
+
+            refine = max(
+                ANN_MIN_REFINE,
+                _math.ceil(self.codes(batch_id).count() / 20.0),
+            )
         qs = queries.select(
             F.col("q_id").cast("bigint"), F.col("embedding").alias("qe")
         )
@@ -1899,28 +1900,6 @@ class IvfPqIndexMaintainer:
             .filter(F.col("rank") <= k)
             .select("q_id", "neighbor_id", "cos_sim", "rank")
         )
-
-    def matches_full(self, batch_id: int, all_vectors: DataFrame) -> bool:
-        """q307's audit across the parquet state: the maintained live
-        (cell, codes) rows must equal a from-scratch re-encode over
-        every LIVE vector, row-for-row."""
-        full = self._encode(all_vectors.select("vec_id", "embedding")).select(
-            "vec_id",
-            F.col("cell").alias("cell_f"),
-            F.col("codes").alias("codes_f"),
-        )
-        st = self.codes(batch_id)
-        bad = (
-            st.join(full, "vec_id", "full_outer")
-            .where(
-                ~(
-                    F.col("cell").eqNullSafe(F.col("cell_f"))
-                    & F.col("codes").eqNullSafe(F.col("codes_f"))
-                )
-            )
-            .count()
-        )
-        return bad == 0
 
 
 def hybrid_full_from_state(
