@@ -58,6 +58,12 @@ _ROTATION_HEAD = [
     "q305_pq_codes_delete_refresh",
     "q306_pq_codebook_staleness",
     "q307_ivfpq_codes_refresh",
+    # NEW in round 12 (second batch): the boilerplate STRIP (q133's
+    # apply half), the token-budget curriculum take, and the fused
+    # lexical+semantic contamination verdict:
+    "q308_boilerplate_strip",
+    "q309_token_budget_curriculum",
+    "q310_contamination_fusion",
     # changed in round 12 — fresh rows prove parity held through the
     # changes (q75/q178: the PQ encode/LUT/ADC expressions extracted
     # into shared module-level helpers the IVM family and the
@@ -111,9 +117,6 @@ _ROTATION_HEAD = [
     "q141_ship_latency_percentiles",
     "q193_cohort_ltv",
     "q292_code_switch_mixture",
-    "q288_epoch_shuffle_balance",
-    "q281_part_value_concentration",
-    "q214_triplet_mining",
 ]
 
 _ROTATION_TAIL = [

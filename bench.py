@@ -134,6 +134,14 @@ HEADLINE = [
     "q304_pq_codes_delta_refresh",
     "q305_pq_codes_delete_refresh",
     "q307_ivfpq_codes_refresh",
+    # round-12 additions (second batch): the boilerplate STRIP (q133's
+    # apply half — segment explode + re-stitch + conservation audit),
+    # the token-budget curriculum take (per-source window + bounded
+    # bucket waterline), and the fused contamination verdict (q109 ∪
+    # q303 with lexical precedence)
+    "q308_boilerplate_strip",
+    "q309_token_budget_curriculum",
+    "q310_contamination_fusion",
 ]
 
 REPS = 3

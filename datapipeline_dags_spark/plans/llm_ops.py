@@ -12592,3 +12592,458 @@ def q307_ivfpq_codes_refresh(
         F.col("chk").cast("long").alias("member_checksum"),
         "matches_full",
     )
+
+
+# ---------------------------------------------------------------------------
+# q308 — boilerplate STRIP (the apply half of q133; CCNet removal step)
+# ---------------------------------------------------------------------------
+
+#: strip threshold: a fixed-width segment repeated in >= this many
+#: distinct docs OF THE SAME SOURCE is stripped.  2 (vs q133's report
+#: threshold of 3) so the removal path is exercised at every fixture SF
+#: (the sf0.001/sf0.01 corpora have zero 3-doc repeats at the SEG_W
+#: alignment); production runs tune this per source.
+BP_STRIP_MIN_DOCS = 2
+
+
+def _q308_oracle() -> str:
+    return f"""
+    WITH words AS (SELECT doc_id, source, string_split(text, ' ') AS w
+                   FROM documents),
+    segs AS (
+      SELECT doc_id, source, i,
+             array_to_string(w[(i - 1) * {SEG_W} + 1 : i * {SEG_W}], ' ') AS seg,
+             len(w[(i - 1) * {SEG_W} + 1 : i * {SEG_W}]) AS sw
+      FROM words,
+           unnest(generate_series(
+             1, CAST(ceil(len(w) / {SEG_W}.0) AS INT))) AS t(i)),
+    bp AS (SELECT source, seg FROM (
+             SELECT source, seg, COUNT(DISTINCT doc_id) AS nd
+             FROM segs GROUP BY 1, 2) WHERE nd >= {BP_STRIP_MIN_DOCS}),
+    tagged AS (
+      SELECT s.doc_id, s.source, s.i, s.seg, s.sw,
+             (bp.seg IS NOT NULL) AS is_bp
+      FROM segs s
+      LEFT JOIN bp ON bp.source = s.source AND bp.seg = s.seg),
+    per_doc AS (
+      SELECT doc_id, source,
+             string_agg(seg, ' ' ORDER BY i)
+               FILTER (WHERE NOT is_bp) AS cleaned,
+             COALESCE(SUM(sw) FILTER (WHERE NOT is_bp), 0) AS wk,
+             COALESCE(SUM(sw) FILTER (WHERE is_bp), 0) AS wd,
+             COUNT(*) AS st,
+             SUM(CASE WHEN is_bp THEN 1 ELSE 0 END) AS sd
+      FROM tagged GROUP BY 1, 2),
+    joined AS (
+      SELECT p.*, len(words.w) AS wt,
+             CASE WHEN cleaned IS NULL OR cleaned = '' THEN 0
+                  ELSE len(string_split(cleaned, ' ')) END AS ws
+      FROM per_doc p JOIN words USING (doc_id))
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN sd > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_touched,
+           CAST(SUM(st) AS BIGINT) AS segs_total,
+           CAST(SUM(sd) AS BIGINT) AS segs_dropped,
+           CAST(SUM(wt) AS BIGINT) AS words_total,
+           CAST(SUM(wk) AS BIGINT) AS words_kept,
+           CAST(SUM(wd) AS BIGINT) AS words_dropped,
+           CAST(CASE WHEN SUM(wk) + SUM(wd) = SUM(wt)
+                      AND SUM(ws) = SUM(wk)
+                THEN 1 ELSE 0 END AS BIGINT) AS audit_ok
+    FROM joined GROUP BY source
+    """
+
+
+@query("q308_boilerplate_strip", oracle=_q308_oracle())
+def q308_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRIP the per-source boilerplate — the apply half of q133 (as
+    q299 is to q298): every fixed-width word segment (q103/q133's unit)
+    repeated in >= {BP_STRIP_MIN_DOCS} distinct docs of the same source
+    is removed from every document carrying it, and the survivors are
+    RE-STITCHED in original position order — the CCNet removal step
+    that turns q133's report into a cleaned corpus.  Reported per
+    source with a three-path conservation audit: ``audit_ok`` certifies
+    (a) per-segment kept + dropped word counts == the raw pre-explode
+    word count, and (b) the word count of the RE-STITCHED text == the
+    per-segment kept sum — a mis-ordered stitch, a double-dropped
+    segment, or a lossy segmentation fails the audit instead of
+    silently shipping a corrupted corpus.
+
+    Parity: segmentation, flagging and stitch order are integer/string
+    exact on both sides; all outputs are integer counts.
+
+    Scale shape: segment explode → (source, seg) hash agg on
+    fixed-width segments (q133's shape) → one (source, seg)-keyed join
+    tagging segments (the boilerplate list is the small side in any
+    real corpus — AQE broadcasts it) → per-doc agg whose collect_list
+    is bounded by the doc's own segment count (never cross-doc) → a
+    per-source map-side-combinable rollup.  No window, no all-pairs.
+    """
+    docs = _fanout(spark, table(spark, sf_dir, "documents"))
+    words = docs.select(
+        "doc_id", "source", F.split(F.col("text"), " ").alias("w")
+    )
+    segs = (
+        words.select(
+            "doc_id",
+            "source",
+            F.size("w").alias("wt"),
+            F.posexplode(
+                F.transform(
+                    F.sequence(
+                        F.lit(1),
+                        F.ceil(F.size(F.col("w")) / F.lit(SEG_W)).cast("int"),
+                    ),
+                    lambda i: F.slice(
+                        F.col("w"), (i - F.lit(1)) * SEG_W + 1, SEG_W
+                    ),
+                )
+            ).alias("i", "seg_w"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "wt",
+            "i",
+            F.concat_ws(" ", F.col("seg_w")).alias("seg"),
+            F.size("seg_w").alias("sw"),
+        )
+    )
+    bp = (
+        segs.select("source", "seg", "doc_id")
+        .distinct()
+        .groupBy("source", "seg")
+        .agg(F.count("*").alias("nd"))
+        .filter(F.col("nd") >= BP_STRIP_MIN_DOCS)
+        .select("source", "seg", F.lit(True).alias("is_bp"))
+    )
+    tagged = segs.join(bp, ["source", "seg"], "left").withColumn(
+        "is_bp", F.coalesce(F.col("is_bp"), F.lit(False))
+    )
+    kept_struct = F.when(
+        ~F.col("is_bp"), F.struct(F.col("i"), F.col("seg"))
+    )
+    per_doc = tagged.groupBy("doc_id", "source", "wt").agg(
+        F.count("*").alias("st"),
+        F.sum(F.col("is_bp").cast("long")).alias("sd"),
+        F.coalesce(
+            F.sum(F.when(~F.col("is_bp"), F.col("sw"))), F.lit(0)
+        ).alias("wk"),
+        F.coalesce(
+            F.sum(F.when(F.col("is_bp"), F.col("sw"))), F.lit(0)
+        ).alias("wd"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda s: s["seg"],
+            ),
+        ).alias("cleaned"),
+    )
+    per_doc = per_doc.withColumn(
+        "ws",
+        F.when(F.length("cleaned") == 0, F.lit(0)).otherwise(
+            F.size(F.split(F.col("cleaned"), " "))
+        ),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum((F.col("sd") > 0).cast("long")).cast("long").alias("docs_touched"),
+        F.sum("st").cast("long").alias("segs_total"),
+        F.sum("sd").cast("long").alias("segs_dropped"),
+        F.sum("wt").cast("long").alias("words_total"),
+        F.sum("wk").cast("long").alias("words_kept"),
+        F.sum("wd").cast("long").alias("words_dropped"),
+        (
+            (F.sum("wk") + F.sum("wd") == F.sum("wt"))
+            & (F.sum("ws") == F.sum("wk"))
+        )
+        .cast("long")
+        .alias("audit_ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q310 helpers live further down; q309 — token-budget curriculum take
+# ---------------------------------------------------------------------------
+
+#: global training-token budget as a percent of the corpus
+CURR_BUDGET_PCT = 50
+#: per-source cap as a percent of the BUDGET (anti-domination)
+CURR_SRC_CAP_PCT = 40
+#: quality-bucket width in score micro-units (score_u in [0, 1e6] →
+#: <= 21 buckets; the waterline admits WHOLE buckets, the granularity
+#: at which the selection stays a bounded aggregate instead of a
+#: corpus-wide ordered prefix)
+CURR_BUCKET_W = 50_000
+
+
+def _q309_oracle() -> str:
+    return f"""
+    WITH base AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+             (CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+                * 1000000)
+               // CAST(len(string_split(text, ' ')) AS BIGINT) AS score_u
+      FROM documents),
+    budget AS (SELECT (SUM(toks) * {CURR_BUDGET_PCT}) // 100 AS b_total,
+                      ((SUM(toks) * {CURR_BUDGET_PCT}) // 100
+                        * {CURR_SRC_CAP_PCT}) // 100 AS src_cap
+               FROM base),
+    s1 AS (
+      SELECT base.*, b_total, src_cap,
+             SUM(toks) OVER (PARTITION BY source
+                             ORDER BY score_u DESC, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS src_cum
+      FROM base CROSS JOIN budget),
+    surv AS (SELECT *, score_u // {CURR_BUCKET_W} AS bkt
+             FROM s1 WHERE src_cum <= src_cap),
+    bcum AS (
+      SELECT bkt,
+             SUM(btoks) OVER (ORDER BY bkt DESC
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM (SELECT bkt, SUM(toks) AS btoks FROM surv GROUP BY 1)),
+    wl AS (SELECT COALESCE(MIN(bkt), -1) AS waterline
+           FROM bcum, budget WHERE cum <= b_total),
+    taken AS (SELECT surv.* FROM surv, wl WHERE bkt >= waterline),
+    g AS (SELECT COALESCE(SUM(toks), 0) AS g_toks FROM taken),
+    srcs AS (SELECT source, COUNT(*) AS n_docs_src, SUM(toks) AS tokens_src
+             FROM base GROUP BY 1),
+    pt AS (SELECT source, COUNT(*) AS docs_taken, SUM(toks) AS tokens_taken
+           FROM taken GROUP BY 1)
+    SELECT s.source,
+           CAST(s.n_docs_src AS BIGINT) AS n_docs_src,
+           CAST(s.tokens_src AS BIGINT) AS tokens_src,
+           CAST(COALESCE(pt.docs_taken, 0) AS BIGINT) AS docs_taken,
+           CAST(COALESCE(pt.tokens_taken, 0) AS BIGINT) AS tokens_taken,
+           CAST(COALESCE(pt.tokens_taken, 0) * 1000000
+                  // budget.b_total AS BIGINT) AS budget_share_u,
+           CAST(wl.waterline AS BIGINT) AS waterline_bucket,
+           CAST(CASE WHEN g.g_toks <= budget.b_total
+                      AND COALESCE(pt.tokens_taken, 0) <= budget.src_cap
+                THEN 1 ELSE 0 END AS BIGINT) AS audit_ok
+    FROM srcs s
+    LEFT JOIN pt ON pt.source = s.source
+    CROSS JOIN budget CROSS JOIN wl CROSS JOIN g
+    """
+
+
+@query("q309_token_budget_curriculum", oracle=_q309_oracle())
+def q309_token_budget_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-BUDGET curriculum take: select the highest-quality slice
+    of the corpus under (a) a global training-token budget
+    ({CURR_BUDGET_PCT}% of corpus tokens) and (b) a per-source
+    anti-domination cap ({CURR_SRC_CAP_PCT}% of the budget) — the
+    selection step that turns per-doc quality scores (q50's family)
+    into the shard list a training run reads.  Two-stage waterline
+    policy, every step integer-exact: stage 1 takes each source's
+    maximal quality-ordered prefix under the cap (toks > 0 makes the
+    inclusive cumsum monotone, so the filter IS the maximal prefix);
+    stage 2 admits whole quality BUCKETS (score div {CURR_BUCKET_W})
+    from the top while the bucket-cumulative fits the budget — the
+    conservative waterline that keeps the global step a <= 21-row
+    aggregate instead of a corpus-wide ordered prefix.  ``audit_ok``
+    certifies from independent aggregation paths that the take respects
+    both the budget and the cap.
+
+    Parity: the quality score is pure integer micro-units
+    (distinct-word ratio: nd * 1e6 div toks) — no float enters any
+    ordering or sum; ties break on doc_id.
+
+    Scale shape: one map pass computes (toks, score_u); the stage-1
+    window is PARTITIONED BY SOURCE (parallel across sources; within a
+    source it is the standard quota shape q110 uses); the global stage
+    is a bounded bucket aggregate + a <= 21-row running sum; budget /
+    waterline / audit attaches are 1-row broadcasts.  No corpus-wide
+    window, no all-pairs.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    docs = _fanout(spark, table(spark, sf_dir, "documents"))
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("toks"),
+        F.expr(
+            "CAST(size(array_distinct(split(text, ' '))) AS BIGINT)"
+            " * 1000000 div CAST(size(split(text, ' ')) AS BIGINT)"
+        ).alias("score_u"),
+    )
+    budget = base.agg(F.sum("toks").alias("t")).select(
+        F.expr(f"t * {CURR_BUDGET_PCT} div 100").alias("b_total"),
+        F.expr(
+            f"(t * {CURR_BUDGET_PCT} div 100) * {CURR_SRC_CAP_PCT} div 100"
+        ).alias("src_cap"),
+    )
+    src_cum = F.sum("toks").over(
+        W.partitionBy("source")
+        .orderBy(F.col("score_u").desc(), "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    surv = (
+        base.crossJoin(F.broadcast(budget))
+        .withColumn("src_cum", src_cum)
+        .filter(F.col("src_cum") <= F.col("src_cap"))
+        .withColumn("bkt", F.expr(f"score_u div {CURR_BUCKET_W}"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    bcum = (
+        surv.groupBy("bkt")
+        .agg(F.sum("toks").alias("btoks"))
+        .withColumn(
+            "cum",
+            F.sum("btoks").over(
+                W.orderBy(F.col("bkt").desc()).rowsBetween(
+                    W.unboundedPreceding, W.currentRow
+                )
+            ),
+        )
+    )
+    wl = (
+        bcum.crossJoin(F.broadcast(budget))
+        .filter(F.col("cum") <= F.col("b_total"))
+        .agg(F.coalesce(F.min("bkt"), F.lit(-1)).alias("waterline"))
+    )
+    taken = surv.crossJoin(F.broadcast(wl)).filter(
+        F.col("bkt") >= F.col("waterline")
+    )
+    g = taken.agg(F.coalesce(F.sum("toks"), F.lit(0)).alias("g_toks"))
+    srcs = base.groupBy("source").agg(
+        F.count("*").alias("n_docs_src"), F.sum("toks").alias("tokens_src")
+    )
+    pt = taken.groupBy("source").agg(
+        F.count("*").alias("docs_taken"), F.sum("toks").alias("tokens_taken")
+    )
+    return (
+        srcs.join(pt, "source", "left")
+        .crossJoin(F.broadcast(budget))
+        .crossJoin(F.broadcast(wl))
+        .crossJoin(F.broadcast(g))
+        .select(
+            "source",
+            F.col("n_docs_src").cast("long").alias("n_docs_src"),
+            F.col("tokens_src").cast("long").alias("tokens_src"),
+            F.coalesce("docs_taken", F.lit(0)).cast("long").alias("docs_taken"),
+            F.coalesce("tokens_taken", F.lit(0))
+            .cast("long")
+            .alias("tokens_taken"),
+            F.expr("coalesce(tokens_taken, 0) * 1000000 div b_total")
+            .cast("long")
+            .alias("budget_share_u"),
+            F.col("waterline").cast("long").alias("waterline_bucket"),
+            (
+                (F.col("g_toks") <= F.col("b_total"))
+                & (F.coalesce("tokens_taken", F.lit(0)) <= F.col("src_cap"))
+            )
+            .cast("long")
+            .alias("audit_ok"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q310 — contamination verdict FUSION (lexical q109 ∪ semantic q303)
+# ---------------------------------------------------------------------------
+
+
+def _q310_oracle() -> str:
+    return f"""
+    WITH lex AS ({ORACLES['q109_lsh_decontamination']}),
+    sem AS ({ORACLES['q303_semantic_decontamination']}),
+    d AS (SELECT doc_id, source,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+          FROM documents),
+    fused AS (
+      SELECT d.doc_id, d.source, d.toks,
+             CASE WHEN COALESCE(lex.contaminated, FALSE) THEN 'lexical'
+                  WHEN COALESCE(sem.contaminated, 0) = 1 THEN 'semantic'
+                  ELSE 'clean' END AS verdict
+      FROM d
+      LEFT JOIN lex ON lex.doc_id = d.doc_id
+      LEFT JOIN sem ON sem.train_id = d.doc_id),
+    per AS (
+      SELECT source, verdict, COUNT(*) AS n_docs, SUM(toks) AS tokens
+      FROM fused GROUP BY 1, 2),
+    s2 AS (SELECT source, SUM(n_docs) AS fused_docs FROM per GROUP BY 1),
+    srcs AS (SELECT source, COUNT(*) AS src_docs FROM d GROUP BY 1)
+    SELECT per.source, per.verdict,
+           CAST(per.n_docs AS BIGINT) AS n_docs,
+           CAST(per.tokens AS BIGINT) AS tokens,
+           CAST(per.n_docs * 1000000 // srcs.src_docs AS BIGINT) AS share_u,
+           CAST(CASE WHEN s2.fused_docs = srcs.src_docs
+                THEN 1 ELSE 0 END AS BIGINT) AS audit_ok
+    FROM per
+    JOIN s2 ON s2.source = per.source
+    JOIN srcs ON srcs.source = per.source
+    """
+
+
+@query("q310_contamination_fusion", oracle=_q310_oracle())
+def q310_contamination_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUSE the two decontamination channels into the one quarantine
+    verdict a shipping pipeline acts on: per document, 'lexical' when
+    q109's MinHash-LSH cross-split screen flags it (near-exact token
+    overlap — the strongest evidence, so it takes precedence),
+    'semantic' when only q303's embedding screen flags it (paraphrase /
+    translation-class leaks the lexical channel can't see), else
+    'clean'; rolled up per (source, verdict) with token volume and the
+    per-source micro-unit share.  ``audit_ok`` certifies per source
+    that the verdict partition is exhaustive and disjoint (fused doc
+    count == an INDEPENDENT corpus count) — a doc double-counted by a
+    duplicate flag row, or dropped by a bad join, fails the audit.
+
+    Parity: composes the REGISTERED q109/q303 (both oracle-green);
+    flags fuse via CASE precedence; all outputs are integer counts /
+    micro-unit shares.
+
+    Scale shape: both channels are candidate-generation-first (q109
+    LSH-banded, q303 map-only vs a broadcast benchmark); the fusion
+    adds two doc_id-keyed LEFT joins projecting only (id, flag) — the
+    flag tables are bounded by the channels' screened populations —
+    and a (source, verdict) agg bounded at |sources| x 3 rows.
+    """
+    lex = QUERIES["q109_lsh_decontamination"](spark, sf_dir).select(
+        "doc_id", F.col("contaminated").alias("lex_c")
+    )
+    sem = QUERIES["q303_semantic_decontamination"](spark, sf_dir).select(
+        F.col("train_id").alias("doc_id"),
+        F.col("contaminated").alias("sem_c"),
+    )
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("toks"),
+    )
+    fused = (
+        d.join(lex, "doc_id", "left")
+        .join(sem, "doc_id", "left")
+        .select(
+            "source",
+            "toks",
+            F.when(F.coalesce(F.col("lex_c"), F.lit(False)), "lexical")
+            .when(F.coalesce(F.col("sem_c"), F.lit(0)) == 1, "semantic")
+            .otherwise("clean")
+            .alias("verdict"),
+        )
+    )
+    per = fused.groupBy("source", "verdict").agg(
+        F.count("*").alias("n_docs"), F.sum("toks").alias("tokens")
+    )
+    s2 = per.groupBy("source").agg(F.sum("n_docs").alias("fused_docs"))
+    srcs = d.groupBy("source").agg(F.count("*").alias("src_docs"))
+    return (
+        per.join(s2, "source")
+        .join(srcs, "source")
+        .select(
+            "source",
+            "verdict",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("tokens").cast("long").alias("tokens"),
+            F.expr("n_docs * 1000000 div src_docs").cast("long").alias("share_u"),
+            (F.col("fused_docs") == F.col("src_docs"))
+            .cast("long")
+            .alias("audit_ok"),
+        )
+    )

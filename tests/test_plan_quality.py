@@ -187,6 +187,10 @@ BOUNDED_FILTER_HINT_OK = {
     # the same frozen-artifact attaches on q112's composition (coarse
     # quantizer + residual codebook), plus the 1-row global audit
     "q307_ivfpq_codes_refresh",
+    # broadcasts the 1-row budget/cap aggregate, the 1-row bucket
+    # waterline, and the 1-row global-take audit — all fixed-size
+    # collapses of the corpus, never corpus rows
+    "q309_token_budget_curriculum",
     # broadcasts the FIXED CMS_D x CMS_W counter grid (256 cells at any SF)
     "q117_count_min_sketch",
     # broadcasts the |hours|-row prefix-sum offset table (q71 discipline)
@@ -317,6 +321,13 @@ NESTED_LOOP_OK = {
     # the same attaches on the q112 composition's IVM audit, plus the
     # 1-row global matches_full attach
     "q307_ivfpq_codes_refresh",
+    # 1-row budget/cap + 1-row waterline + 1-row global-take attaches
+    # (the curriculum's bounded control values, cf. q74's discipline)
+    "q309_token_budget_curriculum",
+    # composes q109 + q303 and inherits q303's SEMDECON_N-row
+    # benchmark-struct attach; the fusion itself adds only id-keyed
+    # hash joins
+    "q310_contamination_fusion",
     "q120_mixing_schedule",  # 1-row totals attach (cf. q74)
     "q121_bigram_lm_score",  # 1-row grand-total attach (cf. q74)
     "q123_psi_drift",  # 1-row time-span attach (cf. q100)
@@ -519,6 +530,10 @@ GLOBAL_WINDOW_BOUNDED = {
     "q204_bfs_reach": "<= BFS_MAX_LEVEL+1-row level histogram cumulative",
     "q212_isotonic_calibration": "|price-domain/ISO_BIN_WIDTH|-row prefix frame",
     "q277_hill_tail_index": "row_number over the HILL_K-row limit",
+    # the waterline cumulative runs on the quality-BUCKET collapse
+    # (score_u div CURR_BUCKET_W — <= 21 rows at any SF); the
+    # per-source stage-1 window is partitioned, not global
+    "q309_token_budget_curriculum": "<=21-row quality-bucket cumulative",
 }
 
 

@@ -160,6 +160,15 @@ TARGETS = (
     # r12: the q112-composition refresh (two broadcast passes + bounded
     # (cell, m, cid) merges; registered default = numpy encode backend)
     "q307_ivfpq_codes_refresh",
+    # r12 (second batch): boilerplate strip (segment explode + re-stitch
+    # — the word-count shape), the token-budget curriculum (per-source
+    # window + <=21-row bucket waterline), and the fused contamination
+    # verdict (composes q109's LSH screen + q303's map-only screen;
+    # q109 measured standalone to attribute the composition's cost)
+    "q109_lsh_decontamination",
+    "q308_boilerplate_strip",
+    "q309_token_budget_curriculum",
+    "q310_contamination_fusion",
 )
 
 # Per-(target, scale) keyword overrides: the SemDeDup contract is that
