@@ -502,6 +502,35 @@ def dup_run_boilerplate_rows(spark) -> list[str]:
     return out
 
 
+def strip_boilerplate_rows(spark) -> list[str]:
+    """q308 on boilerplate-heavy corpora — its adversarial regime: the
+    shared template segment is flagged for EVERY document (the hottest
+    (source, seg) join key holds the whole corpus), every doc is
+    touched, and the re-stitch runs corpus-wide.  The hot key joins a
+    corpus-size stream side against ONE build row (hash join, linear)
+    and the per-doc collect_list stays bounded by the doc's OWN segment
+    count, so 2x docs must cost ~2x — never the square of the hot
+    bucket.  The conservation audit must hold at full-touch volume."""
+    out = []
+    for n in (10000, 20000):
+        d = build_boilerplate_fixture(n)
+        runs = []
+        touched = dropped = audit = 0
+        for _ in range(REPS):
+            t0 = time.time()
+            rows = QUERIES["q308_boilerplate_strip"](spark, d).collect()
+            runs.append(time.time() - t0)
+            touched = sum(r["docs_touched"] for r in rows)
+            dropped = sum(r["words_dropped"] for r in rows)
+            audit = min(r["audit_ok"] for r in rows)
+            spark.catalog.clearCache()
+        out.append(
+            f"| {n} | {touched} | {dropped} | {audit} | "
+            f"{round(statistics.median(runs), 2)} |"
+        )
+    return out
+
+
 def bm25_boilerplate_rows(spark) -> list[str]:
     """q287 on boilerplate-heavy corpora: the top-DF query terms are
     the template words, whose df = n_docs by construction — the
@@ -710,6 +739,7 @@ def main() -> None:
     winnow_rows = winnow_boilerplate_rows(spark)
     duprun_rows = dup_run_boilerplate_rows(spark)
     bm25_rows = bm25_boilerplate_rows(spark)
+    strip_rows = strip_boilerplate_rows(spark)
 
     lines = [
         "# SCALING — 10x stress evidence (generated by tools/scaling.py)",
@@ -988,6 +1018,20 @@ def main() -> None:
         "| corpus | query terms | qt-join rows | sec |",
         "|---|---|---|---|",
         *bm25_rows,
+        "",
+        "## q308 boilerplate strip on boilerplate-heavy corpora",
+        "",
+        "The shared template segment is flagged for EVERY document —",
+        "the hottest (source, seg) join key holds the whole corpus and",
+        "every doc gets re-stitched.  The hot key is a 1-build-row hash",
+        "join (linear in the stream side) and the per-doc collect_list",
+        "is bounded by the doc's own segments, so 2x docs ~ 2x wall;",
+        "the three-path conservation audit must hold at full-touch",
+        "volume (docs_touched == corpus).",
+        "",
+        "| corpus | docs_touched | words_dropped | audit_ok | sec |",
+        "|---|---|---|---|---|",
+        *strip_rows,
     ]
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.md")
     with open(out, "w") as f:
