@@ -64,6 +64,9 @@ _ROTATION_HEAD = [
     "q308_boilerplate_strip",
     "q309_token_budget_curriculum",
     "q310_contamination_fusion",
+    # NEW in round 12 (third batch): the end-to-end curation funnel
+    # accounted in tokens (dedup → strip → floor → budget take):
+    "q311_curation_token_waterfall",
     # changed in round 12 — fresh rows prove parity held through the
     # changes (q75/q178: the PQ encode/LUT/ADC expressions extracted
     # into shared module-level helpers the IVM family and the
@@ -114,7 +117,6 @@ _ROTATION_HEAD = [
     "q275_video_keyframes",
     "q154_quantile_sketch",
     "q186_distributed_exact_percentile",
-    "q141_ship_latency_percentiles",
     "q193_cohort_ltv",
     "q292_code_switch_mixture",
 ]

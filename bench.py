@@ -142,6 +142,9 @@ HEADLINE = [
     "q308_boilerplate_strip",
     "q309_token_budget_curriculum",
     "q310_contamination_fusion",
+    # the end-to-end curation funnel (dedup → strip → floor → budget)
+    # accounted in tokens, with per-stage independent audits
+    "q311_curation_token_waterfall",
 ]
 
 REPS = 3

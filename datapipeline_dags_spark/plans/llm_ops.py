@@ -12655,6 +12655,76 @@ def _q308_oracle() -> str:
     """
 
 
+def _strip_segments(docs: DataFrame) -> DataFrame:
+    """q308's per-document core over an arbitrary (doc_id, source,
+    text) frame: fixed-width segmentation, per-source boilerplate
+    flagging (>= {BP_STRIP_MIN_DOCS} distinct docs), position-ordered
+    re-stitch.  Returns one row per doc: (doc_id, source, wt raw words,
+    st segments, sd segments dropped, wk kept words, wd dropped words,
+    cleaned re-stitched text, ws re-stitched word count).  q308
+    aggregates this per source; q311 feeds its stage-2 rewrite from it.
+    """
+    words = docs.select(
+        "doc_id", "source", F.split(F.col("text"), " ").alias("w")
+    )
+    segs = words.select(
+        "doc_id",
+        "source",
+        F.size("w").alias("wt"),
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.ceil(F.size(F.col("w")) / F.lit(SEG_W)).cast("int"),
+                ),
+                lambda i: F.slice(F.col("w"), (i - F.lit(1)) * SEG_W + 1, SEG_W),
+            )
+        ).alias("i", "seg_w"),
+    ).select(
+        "doc_id",
+        "source",
+        "wt",
+        "i",
+        F.concat_ws(" ", F.col("seg_w")).alias("seg"),
+        F.size("seg_w").alias("sw"),
+    )
+    bp = (
+        segs.select("source", "seg", "doc_id")
+        .distinct()
+        .groupBy("source", "seg")
+        .agg(F.count("*").alias("nd"))
+        .filter(F.col("nd") >= BP_STRIP_MIN_DOCS)
+        .select("source", "seg", F.lit(True).alias("is_bp"))
+    )
+    tagged = segs.join(bp, ["source", "seg"], "left").withColumn(
+        "is_bp", F.coalesce(F.col("is_bp"), F.lit(False))
+    )
+    kept_struct = F.when(~F.col("is_bp"), F.struct(F.col("i"), F.col("seg")))
+    per_doc = tagged.groupBy("doc_id", "source", "wt").agg(
+        F.count("*").alias("st"),
+        F.sum(F.col("is_bp").cast("long")).alias("sd"),
+        F.coalesce(
+            F.sum(F.when(~F.col("is_bp"), F.col("sw"))), F.lit(0)
+        ).alias("wk"),
+        F.coalesce(
+            F.sum(F.when(F.col("is_bp"), F.col("sw"))), F.lit(0)
+        ).alias("wd"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda s: s["seg"],
+            ),
+        ).alias("cleaned"),
+    )
+    return per_doc.withColumn(
+        "ws",
+        F.when(F.length("cleaned") == 0, F.lit(0)).otherwise(
+            F.size(F.split(F.col("cleaned"), " "))
+        ),
+    )
+
+
 @query("q308_boilerplate_strip", oracle=_q308_oracle())
 def q308_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STRIP the per-source boilerplate — the apply half of q133 (as
@@ -12681,72 +12751,7 @@ def q308_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-source map-side-combinable rollup.  No window, no all-pairs.
     """
     docs = _fanout(spark, table(spark, sf_dir, "documents"))
-    words = docs.select(
-        "doc_id", "source", F.split(F.col("text"), " ").alias("w")
-    )
-    segs = (
-        words.select(
-            "doc_id",
-            "source",
-            F.size("w").alias("wt"),
-            F.posexplode(
-                F.transform(
-                    F.sequence(
-                        F.lit(1),
-                        F.ceil(F.size(F.col("w")) / F.lit(SEG_W)).cast("int"),
-                    ),
-                    lambda i: F.slice(
-                        F.col("w"), (i - F.lit(1)) * SEG_W + 1, SEG_W
-                    ),
-                )
-            ).alias("i", "seg_w"),
-        )
-        .select(
-            "doc_id",
-            "source",
-            "wt",
-            "i",
-            F.concat_ws(" ", F.col("seg_w")).alias("seg"),
-            F.size("seg_w").alias("sw"),
-        )
-    )
-    bp = (
-        segs.select("source", "seg", "doc_id")
-        .distinct()
-        .groupBy("source", "seg")
-        .agg(F.count("*").alias("nd"))
-        .filter(F.col("nd") >= BP_STRIP_MIN_DOCS)
-        .select("source", "seg", F.lit(True).alias("is_bp"))
-    )
-    tagged = segs.join(bp, ["source", "seg"], "left").withColumn(
-        "is_bp", F.coalesce(F.col("is_bp"), F.lit(False))
-    )
-    kept_struct = F.when(
-        ~F.col("is_bp"), F.struct(F.col("i"), F.col("seg"))
-    )
-    per_doc = tagged.groupBy("doc_id", "source", "wt").agg(
-        F.count("*").alias("st"),
-        F.sum(F.col("is_bp").cast("long")).alias("sd"),
-        F.coalesce(
-            F.sum(F.when(~F.col("is_bp"), F.col("sw"))), F.lit(0)
-        ).alias("wk"),
-        F.coalesce(
-            F.sum(F.when(F.col("is_bp"), F.col("sw"))), F.lit(0)
-        ).alias("wd"),
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(F.collect_list(kept_struct)),
-                lambda s: s["seg"],
-            ),
-        ).alias("cleaned"),
-    )
-    per_doc = per_doc.withColumn(
-        "ws",
-        F.when(F.length("cleaned") == 0, F.lit(0)).otherwise(
-            F.size(F.split(F.col("cleaned"), " "))
-        ),
-    )
+    per_doc = _strip_segments(docs)
     return per_doc.groupBy("source").agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum((F.col("sd") > 0).cast("long")).cast("long").alias("docs_touched"),
@@ -12830,47 +12835,17 @@ def _q309_oracle() -> str:
     """
 
 
-@query("q309_token_budget_curriculum", oracle=_q309_oracle())
-def q309_token_budget_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token-BUDGET curriculum take: select the highest-quality slice
-    of the corpus under (a) a global training-token budget
-    ({CURR_BUDGET_PCT}% of corpus tokens) and (b) a per-source
-    anti-domination cap ({CURR_SRC_CAP_PCT}% of the budget) — the
-    selection step that turns per-doc quality scores (q50's family)
-    into the shard list a training run reads.  Two-stage waterline
-    policy, every step integer-exact: stage 1 takes each source's
-    maximal quality-ordered prefix under the cap (toks > 0 makes the
-    inclusive cumsum monotone, so the filter IS the maximal prefix);
-    stage 2 admits whole quality BUCKETS (score div {CURR_BUCKET_W})
-    from the top while the bucket-cumulative fits the budget — the
-    conservative waterline that keeps the global step a <= 21-row
-    aggregate instead of a corpus-wide ordered prefix.  ``audit_ok``
-    certifies from independent aggregation paths that the take respects
-    both the budget and the cap.
-
-    Parity: the quality score is pure integer micro-units
-    (distinct-word ratio: nd * 1e6 div toks) — no float enters any
-    ordering or sum; ties break on doc_id.
-
-    Scale shape: one map pass computes (toks, score_u); the stage-1
-    window is PARTITIONED BY SOURCE (parallel across sources; within a
-    source it is the standard quota shape q110 uses); the global stage
-    is a bounded bucket aggregate + a <= 21-row running sum; budget /
-    waterline / audit attaches are 1-row broadcasts.  No corpus-wide
-    window, no all-pairs.
-    """
+def _curriculum_take(base: DataFrame):
+    """q309's selection core over an arbitrary (doc_id, source, toks,
+    score_u) frame: global budget + per-source cap from the frame's own
+    totals, per-source maximal quality-ordered prefix, whole-bucket
+    waterline.  Returns (taken, budget, wl, g): the taken per-doc frame
+    (persisted, with bkt/src_cum attached), the 1-row budget frame
+    (b_total, src_cap), the 1-row waterline frame, and the 1-row
+    global-take aggregate.  q309 rolls these up per source; q311 feeds
+    its final funnel stage from them."""
     from pyspark.storagelevel import StorageLevel
 
-    docs = _fanout(spark, table(spark, sf_dir, "documents"))
-    base = docs.select(
-        "doc_id",
-        "source",
-        F.size(F.split(F.col("text"), " ")).cast("long").alias("toks"),
-        F.expr(
-            "CAST(size(array_distinct(split(text, ' '))) AS BIGINT)"
-            " * 1000000 div CAST(size(split(text, ' ')) AS BIGINT)"
-        ).alias("score_u"),
-    )
     budget = base.agg(F.sum("toks").alias("t")).select(
         F.expr(f"t * {CURR_BUDGET_PCT} div 100").alias("b_total"),
         F.expr(
@@ -12910,6 +12885,49 @@ def q309_token_budget_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bkt") >= F.col("waterline")
     )
     g = taken.agg(F.coalesce(F.sum("toks"), F.lit(0)).alias("g_toks"))
+    return taken, budget, wl, g
+
+
+@query("q309_token_budget_curriculum", oracle=_q309_oracle())
+def q309_token_budget_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-BUDGET curriculum take: select the highest-quality slice
+    of the corpus under (a) a global training-token budget
+    ({CURR_BUDGET_PCT}% of corpus tokens) and (b) a per-source
+    anti-domination cap ({CURR_SRC_CAP_PCT}% of the budget) — the
+    selection step that turns per-doc quality scores (q50's family)
+    into the shard list a training run reads.  Two-stage waterline
+    policy, every step integer-exact: stage 1 takes each source's
+    maximal quality-ordered prefix under the cap (toks > 0 makes the
+    inclusive cumsum monotone, so the filter IS the maximal prefix);
+    stage 2 admits whole quality BUCKETS (score div {CURR_BUCKET_W})
+    from the top while the bucket-cumulative fits the budget — the
+    conservative waterline that keeps the global step a <= 21-row
+    aggregate instead of a corpus-wide ordered prefix.  ``audit_ok``
+    certifies from independent aggregation paths that the take respects
+    both the budget and the cap.
+
+    Parity: the quality score is pure integer micro-units
+    (distinct-word ratio: nd * 1e6 div toks) — no float enters any
+    ordering or sum; ties break on doc_id.
+
+    Scale shape: one map pass computes (toks, score_u); the stage-1
+    window is PARTITIONED BY SOURCE (parallel across sources; within a
+    source it is the standard quota shape q110 uses); the global stage
+    is a bounded bucket aggregate + a <= 21-row running sum; budget /
+    waterline / audit attaches are 1-row broadcasts.  No corpus-wide
+    window, no all-pairs.
+    """
+    docs = _fanout(spark, table(spark, sf_dir, "documents"))
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("toks"),
+        F.expr(
+            "CAST(size(array_distinct(split(text, ' '))) AS BIGINT)"
+            " * 1000000 div CAST(size(split(text, ' ')) AS BIGINT)"
+        ).alias("score_u"),
+    )
+    taken, budget, wl, g = _curriculum_take(base)
     srcs = base.groupBy("source").agg(
         F.count("*").alias("n_docs_src"), F.sum("toks").alias("tokens_src")
     )
@@ -13047,3 +13065,284 @@ def q310_contamination_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("audit_ok"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q311 — curation TOKEN waterfall (dedup → strip → floor → budget)
+# ---------------------------------------------------------------------------
+
+#: stage-3 quality floor in score micro-units (distinct-word ratio on
+#: the STRIPPED text; the fixture median sits near 455k, so 400k drops
+#: a real share at every SF without emptying the funnel)
+Q_FLOOR_U = 400_000
+
+
+def _q311_oracle() -> str:
+    return f"""
+    WITH d0 AS (SELECT doc_id, source, text,
+                       CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+                FROM documents),
+    a0 AS (SELECT COUNT(*) AS n0, SUM(toks) AS t0 FROM d0),
+    keep AS (SELECT MIN(doc_id) AS doc_id FROM d0 GROUP BY text),
+    d1 AS (SELECT d0.* FROM d0 JOIN keep USING (doc_id)),
+    a1 AS (SELECT COUNT(*) AS n1, SUM(toks) AS t1 FROM d1),
+    k1 AS (SELECT COUNT(*) AS nk FROM keep),
+    words AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM d1),
+    segs AS (
+      SELECT doc_id, source, len(w) AS wt, i,
+             array_to_string(w[(i - 1) * {SEG_W} + 1 : i * {SEG_W}], ' ') AS seg,
+             len(w[(i - 1) * {SEG_W} + 1 : i * {SEG_W}]) AS sw
+      FROM words,
+           unnest(generate_series(
+             1, CAST(ceil(len(w) / {SEG_W}.0) AS INT))) AS t(i)),
+    bp AS (SELECT source, seg FROM (
+             SELECT source, seg, COUNT(DISTINCT doc_id) AS nd
+             FROM segs GROUP BY 1, 2) WHERE nd >= {BP_STRIP_MIN_DOCS}),
+    tagged AS (
+      SELECT s.doc_id, s.source, s.wt, s.i, s.seg, s.sw,
+             (bp.seg IS NOT NULL) AS is_bp
+      FROM segs s
+      LEFT JOIN bp ON bp.source = s.source AND bp.seg = s.seg),
+    pd2 AS (
+      SELECT doc_id, source, MIN(wt) AS wt,
+             string_agg(seg, ' ' ORDER BY i)
+               FILTER (WHERE NOT is_bp) AS cleaned,
+             COALESCE(SUM(sw) FILTER (WHERE NOT is_bp), 0) AS wk,
+             COALESCE(SUM(sw) FILTER (WHERE is_bp), 0) AS wd
+      FROM tagged GROUP BY 1, 2),
+    pd2c AS (
+      SELECT *, CASE WHEN cleaned IS NULL OR cleaned = '' THEN 0
+                     ELSE len(string_split(cleaned, ' ')) END AS ws
+      FROM pd2),
+    a2 AS (SELECT COUNT(*) AS n2, SUM(wt) AS wt2, SUM(wk) AS wk2,
+                  SUM(wd) AS wd2, SUM(ws) AS ws2 FROM pd2c),
+    b3 AS (
+      SELECT doc_id, source, CAST(ws AS BIGINT) AS toks,
+             CASE WHEN ws = 0 THEN 0 ELSE
+               (CAST(len(list_distinct(string_split(cleaned, ' '))) AS BIGINT)
+                  * 1000000) // CAST(ws AS BIGINT) END AS score_u
+      FROM pd2c),
+    a3 AS (SELECT
+             SUM(CASE WHEN score_u >= {Q_FLOOR_U} THEN 1 ELSE 0 END) AS n_ge,
+             SUM(CASE WHEN score_u < {Q_FLOOR_U} THEN 1 ELSE 0 END) AS n_lt,
+             COALESCE(SUM(CASE WHEN score_u >= {Q_FLOOR_U} THEN toks END), 0)
+               AS t_ge
+           FROM b3),
+    d3 AS (SELECT * FROM b3 WHERE score_u >= {Q_FLOOR_U}),
+    budget AS (SELECT (SUM(toks) * {CURR_BUDGET_PCT}) // 100 AS b_total,
+                      ((SUM(toks) * {CURR_BUDGET_PCT}) // 100
+                        * {CURR_SRC_CAP_PCT}) // 100 AS src_cap
+               FROM d3),
+    s1c AS (
+      SELECT d3.*, b_total, src_cap,
+             SUM(toks) OVER (PARTITION BY source
+                             ORDER BY score_u DESC, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS src_cum
+      FROM d3 CROSS JOIN budget),
+    surv AS (SELECT *, score_u // {CURR_BUCKET_W} AS bkt
+             FROM s1c WHERE src_cum <= src_cap),
+    bcum AS (
+      SELECT bkt,
+             SUM(btoks) OVER (ORDER BY bkt DESC
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM (SELECT bkt, SUM(toks) AS btoks FROM surv GROUP BY 1)),
+    wl AS (SELECT COALESCE(MIN(bkt), -1) AS waterline
+           FROM bcum, budget WHERE cum <= b_total),
+    taken AS (SELECT surv.* FROM surv, wl WHERE bkt >= waterline),
+    a4 AS (SELECT COUNT(*) AS n4, COALESCE(SUM(toks), 0) AS t4 FROM taken),
+    ps AS (SELECT COALESCE(MAX(stoks), 0) AS max_src FROM
+             (SELECT source, SUM(toks) AS stoks FROM taken GROUP BY 1))
+    SELECT CAST(stage AS BIGINT) AS stage, name,
+           CAST(docs_in AS BIGINT) AS docs_in,
+           CAST(docs_out AS BIGINT) AS docs_out,
+           CAST(tokens_in AS BIGINT) AS tokens_in,
+           CAST(tokens_out AS BIGINT) AS tokens_out,
+           CAST(audit_ok AS BIGINT) AS audit_ok
+    FROM (
+      SELECT 1 AS stage, 'exact_dedup' AS name, n0 AS docs_in, n1 AS docs_out,
+             t0 AS tokens_in, t1 AS tokens_out,
+             CASE WHEN n1 = nk THEN 1 ELSE 0 END AS audit_ok
+      FROM a0, a1, k1
+      UNION ALL
+      SELECT 2, 'boilerplate_strip', n1, n2, t1, ws2,
+             CASE WHEN n2 = n1 AND wk2 + wd2 = wt2 AND wt2 = t1
+                   AND ws2 = wk2 THEN 1 ELSE 0 END
+      FROM a1, a2
+      UNION ALL
+      SELECT 3, 'quality_floor', n2, n_ge, ws2, t_ge,
+             CASE WHEN n_ge + n_lt = n2 THEN 1 ELSE 0 END
+      FROM a2, a3
+      UNION ALL
+      SELECT 4, 'token_budget', n_ge, n4, t_ge, t4,
+             CASE WHEN t4 <= b_total AND max_src <= src_cap
+             THEN 1 ELSE 0 END
+      FROM a3, a4, ps, budget)
+    """
+
+
+@query("q311_curation_token_waterfall", oracle=_q311_oracle())
+def q311_curation_token_waterfall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The curation pipeline END TO END as one query, accounted in
+    TOKENS: exact dedup (q40's keep-first) → boilerplate STRIP on the
+    deduped corpus (q308's core — the stage that REWRITES text, so
+    tokens shrink inside surviving docs) → quality floor scored on the
+    STRIPPED text ({Q_FLOOR_U} micro-units) → token-budget take (q309's
+    core on the survivors).  One waterfall row per stage with
+    (docs_in, docs_out, tokens_in, tokens_out) and a PER-STAGE
+    independent audit: stage 1 re-counts keepers from the digest
+    aggregate vs the semi-joined corpus; stage 2 checks the explode
+    path's raw word total against the direct pre-explode count AND the
+    re-stitch total against the kept-segment sum; stage 3 certifies the
+    floor partitions the corpus; stage 4 certifies budget + per-source
+    cap from independent aggregates.  q137 publishes the doc-count
+    survivorship of the FILTER-only pipeline; this is the
+    token-accounted funnel whose middle stage mutates documents — the
+    number a training-run capacity plan actually needs.
+
+    Parity: every stage is integer-exact (digest keep-first, integer
+    word counts, micro-unit scores, integer budget arithmetic).
+
+    Scale shape: each stage keeps its component's scale story (digest
+    groupBy; q308's segment agg + 1-build-row hot-key join; map-only
+    floor; q309's per-source window + <=21-row waterline); stages
+    chain through persisted narrow frames; the waterfall itself is
+    four 1-row aggregate attaches unioned into 4 rows.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    docs = _fanout(spark, table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "source",
+        "text",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("toks"),
+    )
+    a0 = docs.agg(
+        F.count("*").alias("n0"), F.sum("toks").alias("t0")
+    )
+    keep = docs.groupBy(F.sha2(F.col("text"), 256).alias("h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    d1 = docs.join(keep.select("doc_id"), "doc_id", "left_semi").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    a1 = d1.agg(F.count("*").alias("n1"), F.sum("toks").alias("t1"))
+    k1 = keep.agg(F.count("*").alias("nk"))
+
+    pd2 = _strip_segments(d1.select("doc_id", "source", "text")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    a2 = pd2.agg(
+        F.count("*").alias("n2"),
+        F.sum("wt").alias("wt2"),
+        F.sum("wk").alias("wk2"),
+        F.sum("wd").alias("wd2"),
+        F.sum("ws").alias("ws2"),
+    )
+    b3 = pd2.select(
+        "doc_id",
+        "source",
+        F.col("ws").cast("long").alias("toks"),
+        F.when(F.col("ws") == 0, F.lit(0))
+        .otherwise(
+            F.expr(
+                "CAST(size(array_distinct(split(cleaned, ' '))) AS BIGINT)"
+                " * 1000000 div CAST(ws AS BIGINT)"
+            )
+        )
+        .cast("long")
+        .alias("score_u"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    a3 = b3.agg(
+        F.sum((F.col("score_u") >= Q_FLOOR_U).cast("long")).alias("n_ge"),
+        F.sum((F.col("score_u") < Q_FLOOR_U).cast("long")).alias("n_lt"),
+        F.coalesce(
+            F.sum(F.when(F.col("score_u") >= Q_FLOOR_U, F.col("toks"))),
+            F.lit(0),
+        ).alias("t_ge"),
+    )
+    d3 = b3.filter(F.col("score_u") >= Q_FLOOR_U)
+
+    taken, budget, wl, g = _curriculum_take(d3)
+    a4 = taken.agg(
+        F.count("*").alias("n4"),
+        F.coalesce(F.sum("toks"), F.lit(0)).alias("t4"),
+    )
+    ps = (
+        taken.groupBy("source")
+        .agg(F.sum("toks").alias("stoks"))
+        .agg(F.coalesce(F.max("stoks"), F.lit(0)).alias("max_src"))
+    )
+
+    def row(stage, name, cols, frames):
+        base = frames[0]
+        for fr in frames[1:]:
+            base = base.crossJoin(F.broadcast(fr))
+        return base.select(
+            F.lit(stage).cast("long").alias("stage"),
+            F.lit(name).alias("name"),
+            cols[0].cast("long").alias("docs_in"),
+            cols[1].cast("long").alias("docs_out"),
+            cols[2].cast("long").alias("tokens_in"),
+            cols[3].cast("long").alias("tokens_out"),
+            cols[4].cast("long").alias("audit_ok"),
+        )
+
+    r1 = row(
+        1,
+        "exact_dedup",
+        [
+            F.col("n0"),
+            F.col("n1"),
+            F.col("t0"),
+            F.col("t1"),
+            (F.col("n1") == F.col("nk")).cast("long"),
+        ],
+        [a0, a1, k1],
+    )
+    r2 = row(
+        2,
+        "boilerplate_strip",
+        [
+            F.col("n1"),
+            F.col("n2"),
+            F.col("t1"),
+            F.col("ws2"),
+            (
+                (F.col("n2") == F.col("n1"))
+                & (F.col("wk2") + F.col("wd2") == F.col("wt2"))
+                & (F.col("wt2") == F.col("t1"))
+                & (F.col("ws2") == F.col("wk2"))
+            ).cast("long"),
+        ],
+        [a1, a2],
+    )
+    r3 = row(
+        3,
+        "quality_floor",
+        [
+            F.col("n2"),
+            F.col("n_ge"),
+            F.col("ws2"),
+            F.col("t_ge"),
+            (F.col("n_ge") + F.col("n_lt") == F.col("n2")).cast("long"),
+        ],
+        [a2, a3],
+    )
+    r4 = row(
+        4,
+        "token_budget",
+        [
+            F.col("n_ge"),
+            F.col("n4"),
+            F.col("t_ge"),
+            F.col("t4"),
+            (
+                (F.col("t4") <= F.col("b_total"))
+                & (F.col("max_src") <= F.col("src_cap"))
+            ).cast("long"),
+        ],
+        [a3, a4, ps, budget],
+    )
+    return r1.unionAll(r2).unionAll(r3).unionAll(r4)

@@ -191,6 +191,10 @@ BOUNDED_FILTER_HINT_OK = {
     # waterline, and the 1-row global-take audit — all fixed-size
     # collapses of the corpus, never corpus rows
     "q309_token_budget_curriculum",
+    # the waterfall's four stage rows are built from 1-row stage
+    # aggregates (a0..a4, k1, ps, budget, waterline) broadcast onto
+    # each other — every hinted frame is a 1-row collapse
+    "q311_curation_token_waterfall",
     # broadcasts the FIXED CMS_D x CMS_W counter grid (256 cells at any SF)
     "q117_count_min_sketch",
     # broadcasts the |hours|-row prefix-sum offset table (q71 discipline)
@@ -324,6 +328,9 @@ NESTED_LOOP_OK = {
     # 1-row budget/cap + 1-row waterline + 1-row global-take attaches
     # (the curriculum's bounded control values, cf. q74's discipline)
     "q309_token_budget_curriculum",
+    # the same 1-row attaches chained for four waterfall stage rows
+    # (stage aggregates x stage aggregates, all 1-row frames)
+    "q311_curation_token_waterfall",
     # composes q109 + q303 and inherits q303's SEMDECON_N-row
     # benchmark-struct attach; the fusion itself adds only id-keyed
     # hash joins
@@ -534,6 +541,8 @@ GLOBAL_WINDOW_BOUNDED = {
     # (score_u div CURR_BUCKET_W — <= 21 rows at any SF); the
     # per-source stage-1 window is partitioned, not global
     "q309_token_budget_curriculum": "<=21-row quality-bucket cumulative",
+    # q309's waterline window inherited by the funnel's final stage
+    "q311_curation_token_waterfall": "<=21-row quality-bucket cumulative",
 }
 
 

@@ -169,6 +169,10 @@ TARGETS = (
     "q308_boilerplate_strip",
     "q309_token_budget_curriculum",
     "q310_contamination_fusion",
+    # the end-to-end funnel chains the dedup digest agg, q308's strip,
+    # the map-only floor and q309's take through persisted frames —
+    # each stage's scale story is its component's
+    "q311_curation_token_waterfall",
 )
 
 # Per-(target, scale) keyword overrides: the SemDeDup contract is that
