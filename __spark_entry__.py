@@ -65,8 +65,10 @@ _ROTATION_HEAD = [
     "q309_token_budget_curriculum",
     "q310_contamination_fusion",
     # NEW in round 12 (third batch): the end-to-end curation funnel
-    # accounted in tokens (dedup → strip → floor → budget take):
+    # accounted in tokens (dedup → strip → floor → budget take), and
+    # the selection-bias coverage audit of the budget take:
     "q311_curation_token_waterfall",
+    "q312_take_coverage_audit",
     # changed in round 12 — fresh rows prove parity held through the
     # changes (q75/q178: the PQ encode/LUT/ADC expressions extracted
     # into shared module-level helpers the IVM family and the
@@ -117,7 +119,6 @@ _ROTATION_HEAD = [
     "q275_video_keyframes",
     "q154_quantile_sketch",
     "q186_distributed_exact_percentile",
-    "q193_cohort_ltv",
     "q292_code_switch_mixture",
 ]
 

@@ -145,6 +145,9 @@ HEADLINE = [
     # the end-to-end curation funnel (dedup → strip → floor → budget)
     # accounted in tokens, with per-stage independent audits
     "q311_curation_token_waterfall",
+    # the selection-bias audit: eval-shingle coverage of the budget
+    # take vs the full pool
+    "q312_take_coverage_audit",
 ]
 
 REPS = 3

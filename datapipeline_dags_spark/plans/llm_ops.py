@@ -13346,3 +13346,190 @@ def q311_curation_token_waterfall(
         [a3, a4, ps, budget],
     )
     return r1.unionAll(r2).unionAll(r3).unionAll(r4)
+
+
+# ---------------------------------------------------------------------------
+# q312 — curation-take COVERAGE audit (selection bias vs the eval slice)
+# ---------------------------------------------------------------------------
+
+
+def _q312_oracle() -> str:
+    bucket = (
+        f"('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
+        f" % {EVAL_MOD}"
+    )
+    return f"""
+    WITH d AS (
+      SELECT doc_id, source, text,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+             (CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+                * 1000000)
+               // CAST(len(string_split(text, ' ')) AS BIGINT) AS score_u,
+             ({bucket}) = 0 AS is_eval
+      FROM documents),
+    eg AS (
+      SELECT DISTINCT source, md5(g) AS h
+      FROM (SELECT source, unnest({_SHINGLES_SQL}) AS g
+            FROM d WHERE is_eval)),
+    pool AS (SELECT * FROM d WHERE NOT is_eval),
+    pg AS (
+      SELECT DISTINCT md5(g) AS h
+      FROM (SELECT unnest({_SHINGLES_SQL}) AS g FROM pool)),
+    budget AS (SELECT (SUM(toks) * {CURR_BUDGET_PCT}) // 100 AS b_total,
+                      ((SUM(toks) * {CURR_BUDGET_PCT}) // 100
+                        * {CURR_SRC_CAP_PCT}) // 100 AS src_cap
+               FROM pool),
+    s1c AS (
+      SELECT pool.*, b_total, src_cap,
+             SUM(toks) OVER (PARTITION BY source
+                             ORDER BY score_u DESC, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS src_cum
+      FROM pool CROSS JOIN budget),
+    surv AS (SELECT *, score_u // {CURR_BUCKET_W} AS bkt
+             FROM s1c WHERE src_cum <= src_cap),
+    bcum AS (
+      SELECT bkt,
+             SUM(btoks) OVER (ORDER BY bkt DESC
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM (SELECT bkt, SUM(toks) AS btoks FROM surv GROUP BY 1)),
+    wl AS (SELECT COALESCE(MIN(bkt), -1) AS waterline
+           FROM bcum, budget WHERE cum <= b_total),
+    taken AS (SELECT surv.* FROM surv, wl WHERE bkt >= waterline),
+    tg AS (
+      SELECT DISTINCT md5(g) AS h
+      FROM (SELECT unnest({_SHINGLES_SQL}) AS g FROM taken)),
+    ev AS (SELECT source, COUNT(*) AS n_grams FROM eg GROUP BY 1),
+    cf AS (SELECT source, COUNT(*) AS c_full FROM eg
+           WHERE EXISTS (SELECT 1 FROM pg WHERE pg.h = eg.h) GROUP BY 1),
+    ct AS (SELECT source, COUNT(*) AS c_take FROM eg
+           WHERE EXISTS (SELECT 1 FROM tg WHERE tg.h = eg.h) GROUP BY 1),
+    ed AS (SELECT source, COUNT(*) AS n_eval_docs FROM d
+           WHERE is_eval GROUP BY 1)
+    SELECT ev.source,
+           CAST(ed.n_eval_docs AS BIGINT) AS n_eval_docs,
+           CAST(ev.n_grams AS BIGINT) AS n_eval_grams,
+           CAST(COALESCE(cf.c_full, 0) AS BIGINT) AS grams_covered_full,
+           CAST(COALESCE(ct.c_take, 0) AS BIGINT) AS grams_covered_take,
+           CAST(COALESCE(cf.c_full, 0) * 1000000
+                  // ev.n_grams AS BIGINT) AS coverage_full_u,
+           CAST(COALESCE(ct.c_take, 0) * 1000000
+                  // ev.n_grams AS BIGINT) AS coverage_take_u,
+           CAST(CASE WHEN COALESCE(ct.c_take, 0) <= COALESCE(cf.c_full, 0)
+                THEN 1 ELSE 0 END AS BIGINT) AS audit_ok
+    FROM ev
+    JOIN ed ON ed.source = ev.source
+    LEFT JOIN cf ON cf.source = ev.source
+    LEFT JOIN ct ON ct.source = ev.source
+    """
+
+
+@query("q312_take_coverage_audit", oracle=_q312_oracle())
+def q312_take_coverage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECTION-BIAS audit of the curation take: after q309's
+    budget-constrained selection over the training pool, how much of
+    the held-out (eval) slice's distinct shingle mass is still covered
+    by what was KEPT, vs by the full pool — the number that says
+    whether aggressive quality selection quietly narrowed the
+    distribution the model will be evaluated on.  Per eval source:
+    distinct eval shingles, covered-by-pool, covered-by-take, both as
+    micro-unit coverage rates; ``audit_ok`` pins take-coverage <=
+    pool-coverage (the take is a subset — a violation means the gram
+    sets were built inconsistently).
+
+    Parity: the eval split is the house md5 bucket (q58/q95/q109); the
+    shingle unit is the registered 5-gram pair (_shingles /
+    _SHINGLES_SQL); the take is q309's integer waterline core; all
+    outputs are integer counts / micro-units.
+
+    Scale shape: shingles hash to md5 at the scan and reduce to
+    DISTINCT hashes before any join; coverage is two hash-keyed
+    LEFT-SEMI probes of the 1/{EVAL_MOD} eval gram set against the
+    pool/take gram sets (hash-partitioned, never broadcast at corpus
+    scale); the take reuses q309's per-source window + <= 21-row
+    waterline.  No text leaves the executors after the scan.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    docs = _fanout(spark, table(spark, sf_dir, "documents"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % EVAL_MOD
+    )
+    d = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("toks"),
+        F.expr(
+            "CAST(size(array_distinct(split(text, ' '))) AS BIGINT)"
+            " * 1000000 div CAST(size(split(text, ' ')) AS BIGINT)"
+        ).alias("score_u"),
+        (bucket == 0).alias("is_eval"),
+    )
+    ev_docs = d.filter(F.col("is_eval")).persist(StorageLevel.MEMORY_AND_DISK)
+    pool = d.filter(~F.col("is_eval")).persist(StorageLevel.MEMORY_AND_DISK)
+    eg = (
+        ev_docs.select(
+            "source", F.explode(_shingles(F.col("text"))).alias("g")
+        )
+        .select("source", F.md5("g").alias("h"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    pg = (
+        pool.select(F.explode(_shingles(F.col("text"))).alias("g"))
+        .select(F.md5("g").alias("h"))
+        .distinct()
+    )
+    taken, budget, wl, g = _curriculum_take(
+        pool.select("doc_id", "source", "toks", "score_u")
+    )
+    take_docs = pool.join(
+        taken.select("doc_id"), "doc_id", "left_semi"
+    )
+    tg = (
+        take_docs.select(F.explode(_shingles(F.col("text"))).alias("g"))
+        .select(F.md5("g").alias("h"))
+        .distinct()
+    )
+    ev = eg.groupBy("source").agg(F.count("*").alias("n_grams"))
+    cf = (
+        eg.join(pg, "h", "left_semi")
+        .groupBy("source")
+        .agg(F.count("*").alias("c_full"))
+    )
+    ct = (
+        eg.join(tg, "h", "left_semi")
+        .groupBy("source")
+        .agg(F.count("*").alias("c_take"))
+    )
+    ed = ev_docs.groupBy("source").agg(F.count("*").alias("n_eval_docs"))
+    return (
+        ev.join(ed, "source")
+        .join(cf, "source", "left")
+        .join(ct, "source", "left")
+        .select(
+            "source",
+            F.col("n_eval_docs").cast("long").alias("n_eval_docs"),
+            F.col("n_grams").cast("long").alias("n_eval_grams"),
+            F.coalesce("c_full", F.lit(0))
+            .cast("long")
+            .alias("grams_covered_full"),
+            F.coalesce("c_take", F.lit(0))
+            .cast("long")
+            .alias("grams_covered_take"),
+            F.expr("coalesce(c_full, 0) * 1000000 div n_grams")
+            .cast("long")
+            .alias("coverage_full_u"),
+            F.expr("coalesce(c_take, 0) * 1000000 div n_grams")
+            .cast("long")
+            .alias("coverage_take_u"),
+            (
+                F.coalesce("c_take", F.lit(0))
+                <= F.coalesce("c_full", F.lit(0))
+            )
+            .cast("long")
+            .alias("audit_ok"),
+        )
+    )

@@ -195,6 +195,9 @@ BOUNDED_FILTER_HINT_OK = {
     # aggregates (a0..a4, k1, ps, budget, waterline) broadcast onto
     # each other — every hinted frame is a 1-row collapse
     "q311_curation_token_waterfall",
+    # q309's 1-row budget/waterline attaches inherited through
+    # _curriculum_take on the pool slice
+    "q312_take_coverage_audit",
     # broadcasts the FIXED CMS_D x CMS_W counter grid (256 cells at any SF)
     "q117_count_min_sketch",
     # broadcasts the |hours|-row prefix-sum offset table (q71 discipline)
@@ -331,6 +334,8 @@ NESTED_LOOP_OK = {
     # the same 1-row attaches chained for four waterfall stage rows
     # (stage aggregates x stage aggregates, all 1-row frames)
     "q311_curation_token_waterfall",
+    # q309's 1-row budget/waterline attaches inherited on the pool
+    "q312_take_coverage_audit",
     # composes q109 + q303 and inherits q303's SEMDECON_N-row
     # benchmark-struct attach; the fusion itself adds only id-keyed
     # hash joins
@@ -543,6 +548,8 @@ GLOBAL_WINDOW_BOUNDED = {
     "q309_token_budget_curriculum": "<=21-row quality-bucket cumulative",
     # q309's waterline window inherited by the funnel's final stage
     "q311_curation_token_waterfall": "<=21-row quality-bucket cumulative",
+    # q309's waterline window inherited by the coverage audit's take
+    "q312_take_coverage_audit": "<=21-row quality-bucket cumulative",
 }
 
 

@@ -173,6 +173,9 @@ TARGETS = (
     # the map-only floor and q309's take through persisted frames —
     # each stage's scale story is its component's
     "q311_curation_token_waterfall",
+    # eval-gram coverage of the budget take vs the full pool: two
+    # distinct-hash builds + two hash-keyed semi probes
+    "q312_take_coverage_audit",
 )
 
 # Per-(target, scale) keyword overrides: the SemDeDup contract is that
