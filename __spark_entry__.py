@@ -69,6 +69,9 @@ _ROTATION_HEAD = [
     # the selection-bias coverage audit of the budget take:
     "q311_curation_token_waterfall",
     "q312_take_coverage_audit",
+    # NEW in round 12 (third batch, cont.): keeper succession under
+    # deletion — promotion / dissolution of dup-cluster representatives:
+    "q313_keeper_succession",
     # changed in round 12 — fresh rows prove parity held through the
     # changes (q75/q178: the PQ encode/LUT/ADC expressions extracted
     # into shared module-level helpers the IVM family and the
@@ -111,7 +114,6 @@ _ROTATION_HEAD = [
     "q43_ngram_jaccard",
     "q69_dedup_clusters",
     "q289_winnowing_fingerprints",
-    "q290_duplicate_run_lengths",
     "q297_crossmodal_dup_consistency",
     "q174_video_dhash_neardup",
     "q91_image_phash_neardup",

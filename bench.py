@@ -148,6 +148,9 @@ HEADLINE = [
     # the selection-bias audit: eval-shingle coverage of the budget
     # take vs the full pool
     "q312_take_coverage_audit",
+    # keeper succession under deletion (promotion / dissolution over
+    # the q69 clusters)
+    "q313_keeper_succession",
 ]
 
 REPS = 3

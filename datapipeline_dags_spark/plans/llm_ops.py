@@ -13533,3 +13533,182 @@ def q312_take_coverage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("audit_ok"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q313 — keeper SUCCESSION under deletion (the re-crawl case)
+# ---------------------------------------------------------------------------
+
+
+def _q313_oracle() -> str:
+    dele = f"% {DOC_DELTA_MOD} = {DOC_DELETE_REM}"
+    return f"""
+    WITH c AS ({ORACLES['q69_dedup_clusters']}),
+    f AS ({ORACLES['q50_text_quality']}),
+    j AS (SELECT c.cluster_id, c.doc_id, f.quality,
+                 (c.doc_id {dele}) AS is_del
+          FROM c JOIN f ON f.doc_id = c.doc_id),
+    sizes AS (SELECT cluster_id, COUNT(*) AS n_members,
+                     SUM(CASE WHEN is_del THEN 0 ELSE 1 END) AS n_live
+              FROM j GROUP BY 1),
+    okk AS (SELECT cluster_id, doc_id AS old_keeper FROM (
+              SELECT cluster_id, doc_id,
+                     ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                        ORDER BY quality DESC, doc_id) AS rn
+              FROM j) WHERE rn = 1),
+    nkk AS (SELECT cluster_id, doc_id AS new_keeper FROM (
+              SELECT cluster_id, doc_id,
+                     ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                        ORDER BY quality DESC, doc_id) AS rn
+              FROM j WHERE NOT is_del) WHERE rn = 1),
+    st AS (
+      SELECT s.cluster_id, s.n_members, s.n_live, o.old_keeper,
+             COALESCE(n.new_keeper, -1) AS new_keeper,
+             CASE WHEN s.n_live = 0 THEN 'dissolved'
+                  WHEN n.new_keeper = o.old_keeper THEN 'unchanged'
+                  ELSE 'promoted' END AS status
+      FROM sizes s
+      JOIN okk o ON o.cluster_id = s.cluster_id
+      LEFT JOIN nkk n ON n.cluster_id = s.cluster_id),
+    tot AS (SELECT COUNT(DISTINCT cluster_id) AS n_clusters FROM j),
+    aud AS (
+      SELECT
+        (SELECT COUNT(*) FROM st) =
+          (SELECT n_clusters FROM tot)
+        AND COALESCE((SELECT MIN(CASE WHEN old_keeper {dele}
+                                       AND NOT (new_keeper {dele})
+                                       AND new_keeper <> old_keeper
+                                  THEN 1 ELSE 0 END)
+                      FROM st WHERE status = 'promoted'), 1) = 1
+        AND COALESCE((SELECT MIN(CASE WHEN NOT (old_keeper {dele})
+                                       AND new_keeper = old_keeper
+                                  THEN 1 ELSE 0 END)
+                      FROM st WHERE status = 'unchanged'), 1) = 1
+        AS ok)
+    SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+           CAST(n_members AS BIGINT) AS n_members,
+           CAST(n_live AS BIGINT) AS n_live,
+           CAST(old_keeper AS BIGINT) AS old_keeper,
+           CAST(new_keeper AS BIGINT) AS new_keeper,
+           status,
+           CAST(CASE WHEN aud.ok THEN 1 ELSE 0 END AS BIGINT) AS audit_ok
+    FROM st, aud
+    """
+
+
+@query("q313_keeper_succession", oracle=_q313_oracle())
+def q313_keeper_succession(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keeper SUCCESSION under deletion — the re-crawl case the
+    manifest lifecycle (q298 drop / q299 apply) does not cover: when a
+    dup cluster's KEPT representative is itself tombstoned (doc_id %
+    {DOC_DELTA_MOD} == {DOC_DELETE_REM}, the house deletion batch), a
+    retained duplicate must be PROMOTED by the same keep-rule (best
+    quality, id tiebreak) or the whole group's content silently leaves
+    the corpus.  One row per q69 cluster: members, live members, old
+    keeper, new keeper (-1 when the cluster dissolves), and status in
+    unchanged / promoted / dissolved.  ``audit_ok`` certifies globally
+    that the status partition covers every cluster (independent
+    distinct-cluster count), every promotion's old keeper is deleted
+    and its new keeper is live and different, and every unchanged
+    keeper is live.
+
+    Parity: composes the registered q69 clusters + q50 quality with
+    q298's exact keep-rule on both sides; all ids/counts integer.
+
+    Scale shape: two keeper picks are per-cluster aggregates over the
+    SAME joined frame (the q285/q298 struct-max shape, map-side
+    combinable — never a window over an unbounded cluster); output is
+    |clusters| rows (bounded by true duplicate volume); the audit is
+    three conditional aggregates broadcast onto the cluster rows.
+    """
+    is_del = (F.col("doc_id") % DOC_DELTA_MOD) == DOC_DELETE_REM
+    c = q69_dedup_clusters(spark, sf_dir)
+    f = q50_text_quality(spark, sf_dir).select("doc_id", "quality")
+    j = c.join(f, "doc_id").withColumn("is_del", is_del)
+    best = F.max(
+        F.struct(F.col("quality").alias("q"), (-F.col("doc_id")).alias("nid"))
+    )
+    okk = (
+        j.groupBy("cluster_id")
+        .agg(best.alias("b"))
+        .select("cluster_id", (-F.col("b.nid")).cast("long").alias("old_keeper"))
+    )
+    nkk = (
+        j.filter(~F.col("is_del"))
+        .groupBy("cluster_id")
+        .agg(best.alias("b"))
+        .select("cluster_id", (-F.col("b.nid")).cast("long").alias("new_keeper"))
+    )
+    sizes = j.groupBy("cluster_id").agg(
+        F.count("*").alias("n_members"),
+        F.sum((~F.col("is_del")).cast("long")).alias("n_live"),
+    )
+    st = (
+        sizes.join(okk, "cluster_id")
+        .join(nkk, "cluster_id", "left")
+        .select(
+            "cluster_id",
+            "n_members",
+            "n_live",
+            "old_keeper",
+            F.coalesce("new_keeper", F.lit(-1)).cast("long").alias("new_keeper"),
+            F.when(F.col("n_live") == 0, "dissolved")
+            .when(F.col("new_keeper") == F.col("old_keeper"), "unchanged")
+            .otherwise("promoted")
+            .alias("status"),
+        )
+    )
+    from pyspark.storagelevel import StorageLevel
+
+    st = st.persist(StorageLevel.MEMORY_AND_DISK)
+    del_of = lambda col: (F.col(col) % DOC_DELTA_MOD) == DOC_DELETE_REM  # noqa: E731
+    tot = j.agg(F.countDistinct("cluster_id").alias("n_clusters"))
+    aud = (
+        st.agg(
+            F.count("*").alias("n_rows"),
+            F.coalesce(
+                F.min(
+                    F.when(
+                        F.col("status") == "promoted",
+                        (
+                            del_of("old_keeper")
+                            & ~del_of("new_keeper")
+                            & (F.col("new_keeper") != F.col("old_keeper"))
+                        ).cast("long"),
+                    )
+                ),
+                F.lit(1),
+            ).alias("promo_ok"),
+            F.coalesce(
+                F.min(
+                    F.when(
+                        F.col("status") == "unchanged",
+                        (
+                            ~del_of("old_keeper")
+                            & (F.col("new_keeper") == F.col("old_keeper"))
+                        ).cast("long"),
+                    )
+                ),
+                F.lit(1),
+            ).alias("unch_ok"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            (
+                (F.col("n_rows") == F.col("n_clusters"))
+                & (F.col("promo_ok") == 1)
+                & (F.col("unch_ok") == 1)
+            )
+            .cast("long")
+            .alias("audit_ok")
+        )
+    )
+    return st.crossJoin(F.broadcast(aud)).select(
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.col("n_members").cast("long").alias("n_members"),
+        F.col("n_live").cast("long").alias("n_live"),
+        "old_keeper",
+        "new_keeper",
+        "status",
+        "audit_ok",
+    )

@@ -198,6 +198,9 @@ BOUNDED_FILTER_HINT_OK = {
     # q309's 1-row budget/waterline attaches inherited through
     # _curriculum_take on the pool slice
     "q312_take_coverage_audit",
+    # 1-row cluster-count + 1-row status-audit attaches onto the
+    # bounded |clusters| frame (succession report)
+    "q313_keeper_succession",
     # broadcasts the FIXED CMS_D x CMS_W counter grid (256 cells at any SF)
     "q117_count_min_sketch",
     # broadcasts the |hours|-row prefix-sum offset table (q71 discipline)
@@ -336,6 +339,8 @@ NESTED_LOOP_OK = {
     "q311_curation_token_waterfall",
     # q309's 1-row budget/waterline attaches inherited on the pool
     "q312_take_coverage_audit",
+    # 1-row distinct-cluster count + 1-row audit attach (succession)
+    "q313_keeper_succession",
     # composes q109 + q303 and inherits q303's SEMDECON_N-row
     # benchmark-struct attach; the fusion itself adds only id-keyed
     # hash joins

@@ -176,6 +176,9 @@ TARGETS = (
     # eval-gram coverage of the budget take vs the full pool: two
     # distinct-hash builds + two hash-keyed semi probes
     "q312_take_coverage_audit",
+    # keeper succession: q69's CC rounds + two struct-max keeper picks
+    # over the same joined frame
+    "q313_keeper_succession",
 )
 
 # Per-(target, scale) keyword overrides: the SemDeDup contract is that
