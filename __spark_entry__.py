@@ -70,8 +70,10 @@ _ROTATION_HEAD = [
     "q311_curation_token_waterfall",
     "q312_take_coverage_audit",
     # NEW in round 12 (third batch, cont.): keeper succession under
-    # deletion — promotion / dissolution of dup-cluster representatives:
+    # deletion — promotion / dissolution of dup-cluster representatives —
+    # and the PQ subspace-count tuning sweep (distortion/recall frontier):
     "q313_keeper_succession",
+    "q314_pq_subspace_sweep",
     # changed in round 12 — fresh rows prove parity held through the
     # changes (q75/q178: the PQ encode/LUT/ADC expressions extracted
     # into shared module-level helpers the IVM family and the
@@ -112,7 +114,6 @@ _ROTATION_HEAD = [
     "q41_dedup_minhash_lsh",
     "q42_dedup_simhash",
     "q43_ngram_jaccard",
-    "q69_dedup_clusters",
     "q289_winnowing_fingerprints",
     "q297_crossmodal_dup_consistency",
     "q174_video_dhash_neardup",

@@ -151,6 +151,9 @@ HEADLINE = [
     # keeper succession under deletion (promotion / dissolution over
     # the q69 clusters)
     "q313_keeper_succession",
+    # the PQ subspace-count sweep: 3 encode configs + pure-ADC recall
+    # vs the exact truth (the m tuning frontier)
+    "q314_pq_subspace_sweep",
 ]
 
 REPS = 3

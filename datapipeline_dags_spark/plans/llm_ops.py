@@ -13712,3 +13712,221 @@ def q313_keeper_succession(spark: SparkSession, sf_dir: str) -> DataFrame:
         "status",
         "audit_ok",
     )
+
+
+# ---------------------------------------------------------------------------
+# q314 — PQ subspace-count SWEEP (the m tradeoff: distortion vs recall)
+# ---------------------------------------------------------------------------
+
+#: swept (subspaces, dims-per-subspace) configs; m * d == embedding dim
+PQ_SWEEP = ((8, 8), (16, 4), (32, 2))
+
+
+def _q314_cfg_sql(mm: int, dd: int) -> str:
+    """One sweep config's CTE chain (suffix _{mm}): parameterized twin
+    of q75's encode + PURE-ADC top-k (no refine — the refine stage
+    masks exactly the quantization tradeoff the sweep measures)."""
+    s = mm
+    return f"""
+    ms_{s} AS (SELECT unnest(generate_series(0, {mm - 1})) AS m),
+    csub_{s} AS (SELECT cid, m, ce[m*{dd}+1 : m*{dd}+{dd}] AS cs
+                 FROM cb, ms_{s}),
+    enc_{s} AS (SELECT e.vec_id, c.m, c.cid,
+             list_reduce(list_transform(generate_series(1, {dd}),
+               i -> (e.embedding[c.m*{dd}+i]::DOUBLE - c.cs[i]::DOUBLE)
+                    * (e.embedding[c.m*{dd}+i]::DOUBLE - c.cs[i]::DOUBLE)),
+               (a, b) -> a + b) AS dist
+             FROM embeddings e CROSS JOIN csub_{s} c),
+    codes_{s} AS (SELECT vec_id, m, cid, dist FROM (
+              SELECT vec_id, m, cid, dist,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                        ORDER BY dist, cid) AS rn
+              FROM enc_{s}) WHERE rn = 1),
+    err_{s} AS (SELECT ROUND(SUM(dist) / COUNT(DISTINCT vec_id), 6) + 0.0
+                  AS mse FROM codes_{s}),
+    lut_{s} AS (SELECT q.q_id, c.m, c.cid,
+            list_reduce(list_transform(generate_series(1, {dd}),
+              i -> q.qe[c.m*{dd}+i]::DOUBLE * c.cs[i]::DOUBLE),
+              (a, b) -> a + b) AS pd
+            FROM qs q CROSS JOIN csub_{s} c),
+    adc_{s} AS (SELECT l.q_id, c.vec_id AS neighbor_id, SUM(l.pd) AS sc
+             FROM lut_{s} l
+             JOIN codes_{s} c ON c.m = l.m AND c.cid = l.cid
+             WHERE c.vec_id <> l.q_id
+             GROUP BY l.q_id, c.vec_id),
+    top_{s} AS (SELECT q_id, neighbor_id FROM (
+              SELECT q_id, neighbor_id,
+                     ROW_NUMBER() OVER (PARTITION BY q_id
+                                        ORDER BY ROUND(sc, 6) DESC,
+                                                 neighbor_id) AS rn
+              FROM adc_{s}) WHERE rn <= {TOPK}),
+    hit_{s} AS (SELECT COUNT(*) AS h FROM top_{s} t
+                WHERE EXISTS (SELECT 1 FROM truth
+                              WHERE truth.q_id = t.q_id
+                                AND truth.neighbor_id = t.neighbor_id))"""
+
+
+def _q314_oracle() -> str:
+    cfg_blocks = ",".join(_q314_cfg_sql(mm, dd) for mm, dd in PQ_SWEEP)
+    rows = " UNION ALL ".join(
+        f"""SELECT CAST({mm} AS BIGINT) AS m, CAST({dd} AS BIGINT) AS d,
+               (SELECT mse FROM err_{mm}) AS mse,
+               CAST((SELECT h FROM hit_{mm}) * 1000000
+                      // (SELECT nt FROM tc) AS BIGINT) AS recall_u"""
+        for mm, dd in PQ_SWEEP
+    )
+    return f"""
+    WITH cb AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+                WHERE vec_id < {PQ_K}),
+    qs AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+           WHERE vec_id < {N_QUERIES}),
+    truth AS (SELECT q_id, vec_id AS neighbor_id FROM (
+        SELECT q.q_id, e.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q.q_id
+                 ORDER BY ROUND({_COS_SQL.format(a='q.qe', b='e.embedding')},
+                                6) DESC, e.vec_id) AS rn
+        FROM qs q CROSS JOIN embeddings e WHERE e.vec_id <> q.q_id)
+      WHERE rn <= {TOPK}),
+    tc AS (SELECT COUNT(*) AS nt FROM truth),
+    {cfg_blocks}
+    SELECT * FROM ({rows})
+    """
+
+
+@query("q314_pq_subspace_sweep", oracle=_q314_oracle())
+def q314_pq_subspace_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ TUNING sweep over the subspace count — the axis q276 sweeps
+    for LSH bands and q252 for dedup thresholds: for m in {PQ_SWEEP}
+    subspaces (d = 64/m dims each, same {PQ_K}-centroid codebook),
+    re-encode the corpus and report the per-vector reconstruction MSE
+    against the PURE-ADC recall@{TOPK} vs the exact cosine truth — the
+    distortion/recall frontier an ANN capacity plan reads before
+    freezing m (the refine stage is deliberately OFF: it masks exactly
+    the quantization loss the sweep measures; q75 carries the refined
+    production path).
+
+    Parity: parameterized twins of q75's encode/LUT/ADC expressions
+    (module helpers stay frozen at the production m=16 — the sweep
+    never perturbs the IVM family's shared definitions); the exact
+    truth is the q45-style rounded-cosine top-k; recall is integer
+    micro-units.
+
+    Scale shape: per config, encoding is one map-only pass against the
+    broadcast codebook row (HOF loops — constant plan size at any
+    m, k); ADC joins the fixed N_QUERIES x m x k LUT against the codes;
+    the exact-truth pass is the q45 fixed-query-set discipline.  Three
+    configs = three bounded passes, no pass reads another's output.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    corpus = table(spark, sf_dir, "embeddings")
+    cb1 = _pq_codebook_row(corpus)
+    queries = corpus.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    truth = (
+        queries.crossJoin(
+            corpus.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("ne"),
+            )
+        )
+        .filter(F.col("neighbor_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "neighbor_id",
+            dec(_cosine(F.col("qe"), F.col("ne")), 6).alias("cs"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("q_id").orderBy(
+                    F.col("cs").desc(), "neighbor_id"
+                )
+            ),
+        )
+        .filter(F.col("rn") <= TOPK)
+        .select("q_id", "neighbor_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    tc = truth.agg(F.count("*").alias("nt"))
+
+    def sub(v, m, dd):
+        return F.slice(v, m * dd + 1, dd)
+
+    out = None
+    for mm, dd in PQ_SWEEP:
+        ms = F.sequence(F.lit(0), F.lit(mm - 1))
+        enc_struct = lambda m: F.array_min(  # noqa: E731
+            F.transform(
+                F.col("cbs"),
+                lambda c: F.struct(
+                    _pq_l2(
+                        sub(F.col("embedding"), m, dd), sub(c["ce"], m, dd)
+                    ).alias("d"),
+                    c["cid"].alias("cid"),
+                ),
+            )
+        )
+        enc = (
+            _fanout(spark, corpus)
+            .crossJoin(F.broadcast(cb1))
+            .select(
+                "vec_id",
+                F.transform(ms, lambda m: enc_struct(m)["cid"]).alias("codes"),
+                F.aggregate(
+                    F.transform(ms, lambda m: enc_struct(m)["d"]),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ).alias("err_total"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        mse = enc.agg(dec(F.avg("err_total"), 6).alias("mse"))
+        lut = queries.crossJoin(F.broadcast(cb1)).select(
+            "q_id",
+            F.transform(
+                ms,
+                lambda m: F.transform(
+                    F.col("cbs"),
+                    lambda c: _pq_dot(sub(F.col("qe"), m, dd), sub(c["ce"], m, dd)),
+                ),
+            ).alias("lut"),
+        )
+        topk = (
+            F.broadcast(lut)
+            .join(
+                enc.select("vec_id", "codes"),
+                F.col("vec_id") != F.col("q_id"),
+            )
+            .select(
+                "q_id",
+                F.col("vec_id").alias("neighbor_id"),
+                dec(_pq_adc_score(), 6).alias("sc"),
+            )
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    W.partitionBy("q_id").orderBy(
+                        F.col("sc").desc(), "neighbor_id"
+                    )
+                ),
+            )
+            .filter(F.col("rn") <= TOPK)
+            .select("q_id", "neighbor_id")
+        )
+        hits = topk.join(truth, ["q_id", "neighbor_id"], "left_semi").agg(
+            F.count("*").alias("h")
+        )
+        row = (
+            mse.crossJoin(F.broadcast(hits))
+            .crossJoin(F.broadcast(tc))
+            .select(
+                F.lit(mm).cast("long").alias("m"),
+                F.lit(dd).cast("long").alias("d"),
+                (F.col("mse") + F.lit(0.0)).alias("mse"),
+                F.expr("h * 1000000 div nt").cast("long").alias("recall_u"),
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out

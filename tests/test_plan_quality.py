@@ -201,6 +201,10 @@ BOUNDED_FILTER_HINT_OK = {
     # 1-row cluster-count + 1-row status-audit attaches onto the
     # bounded |clusters| frame (succession report)
     "q313_keeper_succession",
+    # q75's frozen-artifact attaches per sweep config (PQ_K-row
+    # codebook, N_QUERIES-row LUT/query set) + 1-row mse/hits/truth
+    # attaches building the 3 sweep rows
+    "q314_pq_subspace_sweep",
     # broadcasts the FIXED CMS_D x CMS_W counter grid (256 cells at any SF)
     "q117_count_min_sketch",
     # broadcasts the |hours|-row prefix-sum offset table (q71 discipline)
@@ -341,6 +345,9 @@ NESTED_LOOP_OK = {
     "q312_take_coverage_audit",
     # 1-row distinct-cluster count + 1-row audit attach (succession)
     "q313_keeper_succession",
+    # q75/q45's tiny-side attaches per sweep config (codebook, LUT,
+    # fixed query set) + the 1-row sweep-row attaches
+    "q314_pq_subspace_sweep",
     # composes q109 + q303 and inherits q303's SEMDECON_N-row
     # benchmark-struct attach; the fusion itself adds only id-keyed
     # hash joins

@@ -179,6 +179,9 @@ TARGETS = (
     # keeper succession: q69's CC rounds + two struct-max keeper picks
     # over the same joined frame
     "q313_keeper_succession",
+    # PQ m-sweep: three map-only encode passes + fixed-query ADC joins
+    # + one exact-truth pass (the q45 discipline)
+    "q314_pq_subspace_sweep",
 )
 
 # Per-(target, scale) keyword overrides: the SemDeDup contract is that
