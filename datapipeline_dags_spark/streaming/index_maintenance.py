@@ -1948,3 +1948,150 @@ def hybrid_full_from_state(
         .filter(F.col("fused_rank") <= k)
         .select("q_id", "neighbor_id", "rrf_micro", "n_methods", "fused_rank")
     )
+
+
+class ExactDedupMaintainer:
+    """Maintained exact-dedup KEEPER state — the dedup stage of the
+    curation funnel (q40's digest keep-first, q311 stage 1) kept
+    incrementally under insert AND delete churn, so the retained
+    corpus never needs a from-scratch re-dedup:
+
+    - an arriving doc with a LOWER id than its digest group's keeper
+      DISPLACES it (the old keeper stays live but is no longer
+      retained — the retraction a drop-only pipeline cannot express);
+    - deleting a keeper PROMOTES the lowest live duplicate (q313's
+      succession, served from state);
+    - tombstones are version-scoped, so delete → re-crawl → re-insert
+      restores the id's standing (same contract as the index
+      maintainers above).
+
+    State is one O(batch)-per-tick narrow delta table of (doc_id,
+    digest) — document TEXT never enters state; the keeper view is a
+    digest-keyed aggregate over live rows (map-side combinable, the
+    q40 shape).  ``matches_full`` audits keepers + group sizes against
+    a from-scratch q40 recompute over the live corpus.  Crash-replay /
+    compaction semantics are identical to the index maintainers
+    (overwrite-idempotent per-batch dirs, ``_SUCCESS``-gated folds
+    strictly before the current tick).
+
+    Reference parity: the reference repo has no streaming dedup (see
+    SURVEY §0); this extends the mandated dedup-lifecycle family.
+    """
+
+    DOCS_SCHEMA = "doc_id bigint, digest string, v bigint"
+
+    def __init__(self, spark: SparkSession, state_dir: str):
+        self.spark = spark
+        self.state_dir = state_dir
+
+    def process_batch(
+        self, batch: DataFrame, batch_id: int, deletes: DataFrame | None = None
+    ) -> None:
+        rows = batch.select(
+            F.col("doc_id").cast("bigint"),
+            F.sha2(F.col("text"), 256).alias("digest"),
+        ).withColumn("v", F.lit(batch_id).cast("bigint"))
+        _write_delta(rows, self.state_dir, "docs", batch_id)
+        _write_delta(
+            _tomb_delta(self.spark, _normalize_deletes(deletes), batch_id),
+            self.state_dir,
+            "tombstones",
+            batch_id,
+        )
+
+    def live(self, batch_id: int, keep_v: bool = False) -> DataFrame:
+        return _live_delta(
+            self.spark,
+            self.state_dir,
+            "docs",
+            batch_id,
+            self.DOCS_SCHEMA,
+            "doc_id",
+            keep_v=keep_v,
+        )
+
+    def keepers(self, batch_id: int) -> DataFrame:
+        """(digest, keeper, n_copies) over the live corpus as of
+        ``batch_id`` — q40's keep-first rule served from state."""
+        return (
+            self.live(batch_id)
+            .groupBy("digest")
+            .agg(
+                F.min("doc_id").alias("keeper"),
+                F.count("*").alias("n_copies"),
+            )
+        )
+
+    def retained(self, batch_id: int) -> DataFrame:
+        """The deduplicated corpus as of ``batch_id``: one live doc id
+        per digest group (what a training shard reads)."""
+        return self.keepers(batch_id).select(F.col("keeper").alias("doc_id"))
+
+    def transitions(self, prev_batch_id: int, batch_id: int) -> DataFrame:
+        """Keeper churn between two ticks, per digest: ``unchanged``,
+        ``succeeded`` (old keeper left the corpus — q313's promotion),
+        ``displaced`` (a lower id arrived; the old keeper is live but
+        no longer retained), ``new_group``, ``dissolved``."""
+        old = self.keepers(prev_batch_id).select(
+            "digest",
+            F.col("keeper").alias("old_keeper"),
+        )
+        new = self.keepers(batch_id).select(
+            "digest", F.col("keeper").alias("new_keeper")
+        )
+        return old.join(new, "digest", "full_outer").select(
+            "digest",
+            F.coalesce("old_keeper", F.lit(-1)).alias("old_keeper"),
+            F.coalesce("new_keeper", F.lit(-1)).alias("new_keeper"),
+            F.when(F.col("old_keeper").isNull(), "new_group")
+            .when(F.col("new_keeper").isNull(), "dissolved")
+            .when(F.col("new_keeper") == F.col("old_keeper"), "unchanged")
+            .when(F.col("new_keeper") > F.col("old_keeper"), "succeeded")
+            .otherwise("displaced")
+            .alias("status"),
+        )
+
+    def compact(self, batch_id: int) -> None:
+        """Same replay-window contract as the index maintainers: folds
+        deltas STRICTLY BEFORE ``batch_id``."""
+        k = batch_id - 1
+        if k < 0:
+            return
+        _write_compaction(
+            self.live(k, keep_v=True), self.state_dir, "docs", k
+        )
+        _write_compaction(
+            self.spark.createDataFrame([], TOMBSTONES_SCHEMA),
+            self.state_dir,
+            "tombstones",
+            k,
+        )
+
+    def matches_full(self, batch_id: int, all_docs: DataFrame) -> bool:
+        """Audit: maintained keepers + group sizes == a from-scratch
+        q40 recompute over the live corpus (doc_id, text) — any
+        mismatch means the maintenance lost, duplicated, or failed to
+        retract a document."""
+        full = (
+            all_docs.select(
+                F.col("doc_id").cast("bigint"),
+                F.sha2(F.col("text"), 256).alias("digest"),
+            )
+            .groupBy("digest")
+            .agg(
+                F.min("doc_id").alias("keeper_f"),
+                F.count("*").alias("n_copies_f"),
+            )
+        )
+        st = self.keepers(batch_id)
+        bad = (
+            st.join(full, "digest", "full_outer")
+            .where(
+                ~(
+                    F.col("keeper").eqNullSafe(F.col("keeper_f"))
+                    & F.col("n_copies").eqNullSafe(F.col("n_copies_f"))
+                )
+            )
+            .count()
+        )
+        return bad == 0
