@@ -74,6 +74,8 @@ _ROTATION_HEAD = [
     # and the PQ subspace-count tuning sweep (distortion/recall frontier):
     "q313_keeper_succession",
     "q314_pq_subspace_sweep",
+    # and the lexical twin of the q314 sweep — BM25 (k1, b) tuning:
+    "q315_bm25_param_sweep",
     # changed in round 12 — fresh rows prove parity held through the
     # changes (q75/q178: the PQ encode/LUT/ADC expressions extracted
     # into shared module-level helpers the IVM family and the
@@ -110,7 +112,6 @@ _ROTATION_HEAD = [
     "q47_ann_ivf",
     "q46_ann_lsh_bucketed",
     "q45_ann_topk_bruteforce",
-    "q96_semantic_dedup",
     "q41_dedup_minhash_lsh",
     "q42_dedup_simhash",
     "q43_ngram_jaccard",

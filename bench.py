@@ -154,6 +154,8 @@ HEADLINE = [
     # the PQ subspace-count sweep: 3 encode configs + pure-ADC recall
     # vs the exact truth (the m tuning frontier)
     "q314_pq_subspace_sweep",
+    # the BM25 (k1, b) sweep: one tf/df build, 3 re-scorings
+    "q315_bm25_param_sweep",
 ]
 
 REPS = 3

@@ -13930,3 +13930,162 @@ def q314_pq_subspace_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# q315 — BM25 (k1, b) parameter SWEEP (the lexical-leg tuning axis)
+# ---------------------------------------------------------------------------
+
+#: swept (k1, b) in milli-units; index 0 is q287's production default
+BM25_SWEEP = ((1200, 750), (900, 400), (2000, 0))
+
+
+def _q315_cfg_sql(k1m: int, bm: int) -> str:
+    k1, b = k1m / 1000.0, bm / 1000.0
+    idf = "ln(1e0 + (st.n - qt.df + 0.5e0) / (qt.df + 0.5e0))"
+    tfc = (
+        f"(tf.tf * ({k1}e0 + 1e0)) / "
+        f"(tf.tf + {k1}e0 * (1e0 - {b}e0 + {b}e0 * tf.dl / st.avgdl))"
+    )
+    return f"""
+    top_{k1m}_{bm} AS (
+      SELECT doc_id, score_micro FROM (
+        SELECT doc_id, SUM(m) AS score_micro FROM (
+          SELECT tf.doc_id,
+                 CAST(FLOOR((ROUND({idf} * {tfc}, 6) + 0.0)
+                      * 1000000e0 + 0.5e0) AS BIGINT) AS m
+          FROM tf JOIN qt ON tf.term = qt.term CROSS JOIN st)
+        GROUP BY 1)
+      ORDER BY score_micro DESC, doc_id LIMIT {BM25_TOP})"""
+
+
+def _q315_oracle() -> str:
+    cfg_blocks = ",".join(_q315_cfg_sql(k, b) for k, b in BM25_SWEEP)
+    dk, db = BM25_SWEEP[0]
+    rows = " UNION ALL ".join(
+        f"""SELECT CAST({k} AS BIGINT) AS k1_milli, CAST({b} AS BIGINT) AS b_milli,
+               CAST((SELECT COUNT(*) FROM top_{k}_{b}) AS BIGINT) AS n_top,
+               CAST((SELECT COUNT(*) FROM top_{k}_{b} t
+                     WHERE EXISTS (SELECT 1 FROM top_{dk}_{db} d
+                                   WHERE d.doc_id = t.doc_id)) AS BIGINT)
+                 AS n_overlap_default,
+               CAST((SELECT COUNT(*) FROM top_{k}_{b} t
+                     WHERE EXISTS (SELECT 1 FROM top_{dk}_{db} d
+                                   WHERE d.doc_id = t.doc_id)) * 1000000
+                      // {BM25_TOP} AS BIGINT) AS overlap_u,
+               CAST((SELECT SUM(score_micro) FROM top_{k}_{b}) AS BIGINT)
+                 AS score_sum_micro"""
+        for k, b in BM25_SWEEP
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+               FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf,
+                  SUM(COUNT(*)) OVER (PARTITION BY doc_id) AS dl
+           FROM t GROUP BY 1, 2),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    st AS (SELECT COUNT(*) AS n,
+                  SUM(len(string_split(text, ' '))) * 1e0 / COUNT(*) AS avgdl
+           FROM documents),
+    qt AS (SELECT term, df FROM df ORDER BY df DESC, term LIMIT {BM25_QT}),
+    {cfg_blocks}
+    SELECT * FROM ({rows})
+    """
+
+
+@query("q315_bm25_param_sweep", oracle=_q315_oracle())
+def q315_bm25_param_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 TUNING sweep over (k1, b) — the lexical twin of q314's PQ
+    sweep and q276's band sweep: for each config (saturation k1, length
+    normalization b; index 0 = q287's production default) the
+    top-{BM25_TOP} list is re-ranked and reported as overlap with the
+    default config's list plus the integer score mass — the stability
+    surface a retrieval stack reads before freezing its lexical leg
+    (b=0 turns length normalization off entirely; low k1 saturates tf
+    fast — the swept corners are the standard Okapi extremes).
+
+    Parity: q287's exact quantization discipline per config (6-dp
+    round then floor(x*1e6 + 0.5) — integer micro-unit sums, doc_id
+    tiebreaks); configs carried as integer milli-units so no float
+    column reaches the output.
+
+    Scale shape: the tf / df / corpus-stats / query-term frames build
+    ONCE (q287's shapes: one explode + hash aggs + a LIMIT broadcast);
+    each config adds only a re-scoring of the tf x qt join (bounded by
+    sum(df) over the {BM25_QT} query terms) and a
+    TakeOrderedAndProject top-{BM25_TOP}; the sweep rows are 1-row
+    aggregate attaches.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    docs = table(spark, sf_dir, "documents")
+    ws = F.size(F.split(F.col("text"), " "))
+    st = docs.agg(
+        F.count("*").alias("n"),
+        (F.sum(ws) * F.lit(1.0) / F.count("*")).alias("avgdl"),
+    )
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("dl", F.sum("tf").over(W.partitionBy("doc_id")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    qt = (
+        tf.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.col("df").desc(), "term")
+        .limit(BM25_QT)
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+
+    def top_of(k1m: int, bm: int) -> DataFrame:
+        k1, b = k1m / 1000.0, bm / 1000.0
+        tfc = (F.col("tf") * F.lit(k1 + 1.0)) / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+        )
+        return (
+            tf.join(F.broadcast(qt), "term")
+            .crossJoin(F.broadcast(st))
+            .select(
+                "doc_id",
+                F.floor(dec(idf * tfc, 6) * F.lit(1_000_000.0) + F.lit(0.5))
+                .cast("long")
+                .alias("m"),
+            )
+            .groupBy("doc_id")
+            .agg(F.sum("m").alias("score_micro"))
+            .orderBy(F.col("score_micro").desc(), "doc_id")
+            .limit(BM25_TOP)
+        )
+
+    default_top = top_of(*BM25_SWEEP[0]).select("doc_id").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    out = None
+    for k1m, bm in BM25_SWEEP:
+        top = top_of(k1m, bm).persist(StorageLevel.MEMORY_AND_DISK)
+        counts = top.agg(
+            F.count("*").alias("n_top"),
+            F.sum("score_micro").alias("score_sum_micro"),
+        )
+        ov = top.join(default_top, "doc_id", "left_semi").agg(
+            F.count("*").alias("n_overlap_default")
+        )
+        row = counts.crossJoin(F.broadcast(ov)).select(
+            F.lit(k1m).cast("long").alias("k1_milli"),
+            F.lit(bm).cast("long").alias("b_milli"),
+            F.col("n_top").cast("long").alias("n_top"),
+            F.col("n_overlap_default").cast("long").alias("n_overlap_default"),
+            F.expr(f"n_overlap_default * 1000000 div {BM25_TOP}")
+            .cast("long")
+            .alias("overlap_u"),
+            F.col("score_sum_micro").cast("long").alias("score_sum_micro"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out

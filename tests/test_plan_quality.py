@@ -124,6 +124,9 @@ BOUNDED_FILTER_HINT_OK = {
     # broadcasts the 1-row (n, avgdl) corpus-stats aggregate and the
     # BM25_QT-row (LIMIT) query-term table
     "q287_bm25_topk",
+    # q287's attaches per sweep config + the 1-row overlap/score
+    # attaches building the 3 sweep rows
+    "q315_bm25_param_sweep",
     # broadcasts the 1-row token-total aggregate and the
     # SHUF_EPOCHS-row epoch grid
     "q288_epoch_shuffle_balance",
@@ -477,6 +480,9 @@ NESTED_LOOP_OK = {
     # broadcasts the 1-row (n, avgdl) corpus-stats aggregate and the
     # BM25_QT-row (LIMIT) query-term table
     "q287_bm25_topk",
+    # q287's attaches per sweep config + the 1-row overlap/score
+    # attaches building the 3 sweep rows
+    "q315_bm25_param_sweep",
     # broadcasts the 1-row token-total aggregate and the
     # SHUF_EPOCHS-row epoch grid
     "q288_epoch_shuffle_balance",

@@ -182,6 +182,9 @@ TARGETS = (
     # PQ m-sweep: three map-only encode passes + fixed-query ADC joins
     # + one exact-truth pass (the q45 discipline)
     "q314_pq_subspace_sweep",
+    # BM25 (k1,b) sweep: ONE persisted tf/df build + three bounded
+    # re-scorings of the tf x query-term join
+    "q315_bm25_param_sweep",
 )
 
 # Per-(target, scale) keyword overrides: the SemDeDup contract is that
