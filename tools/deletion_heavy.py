@@ -41,6 +41,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from datapipeline_dags_spark.session import get_session  # noqa: E402
 from datapipeline_dags_spark.streaming.index_maintenance import (  # noqa: E402
+    ExactDedupMaintainer,
     IvfIndexMaintainer,
     LexicalStatsMaintainer,
 )
@@ -116,12 +117,45 @@ def ivf_rows(spark, dirs) -> list[str]:
     return out
 
 
+def dedup_rows(spark, dirs) -> list[str]:
+    """``ExactDedupMaintainer`` — the narrowest store (doc_id, digest):
+    deleting half the corpus stresses keeper PROMOTION (every digest
+    group whose keeper fell must re-elect from live members inside the
+    keepers() aggregate) on top of the shared tombstone-join story."""
+    out = []
+    for scale, sf_dir in dirs.items():
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        dels = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id")
+        n, nd = docs.count(), dels.count()
+        state = f"{WORK}/delheavy_dedup_{scale}_{int(time.time())}"
+        m = ExactDedupMaintainer(spark, state)
+        t0 = time.time()
+        m.process_batch(docs, 0)
+        t_ingest = round(time.time() - t0, 2)
+        empty = spark.createDataFrame([], "doc_id bigint, text string")
+        t0 = time.time()
+        m.process_batch(empty, 1, deletes=dels)
+        t_retract = round(time.time() - t0, 2)
+        live = docs.filter(F.col("doc_id") % 2 == 1)
+        assert m.matches_full(1, live), f"dedup diverged at {scale}"
+        t_read = _timed(lambda: m.keepers(1).count())
+        m.compact(2)
+        t_read_c = _timed(lambda: m.keepers(1).count())
+        out.append(
+            f"| dedup keepers | {scale} | {n} | {nd} | {t_ingest} | "
+            f"{t_retract} | {t_read} | {t_read_c} |"
+        )
+    return out
+
+
 def main() -> None:
     dirs = build_fixtures()
     spark = get_session("deletion-heavy")
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000).count()
-    rows = lexical_rows(spark, dirs) + ivf_rows(spark, dirs)
+    rows = lexical_rows(spark, dirs) + ivf_rows(spark, dirs) + dedup_rows(spark, dirs)
     print(
         "| store | scale | rows | deleted (50%) | ingest s | retract50 s "
         "| read_live s | read_compacted s |"
