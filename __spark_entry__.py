@@ -74,8 +74,10 @@ _ROTATION_HEAD = [
     # and the PQ subspace-count tuning sweep (distortion/recall frontier):
     "q313_keeper_succession",
     "q314_pq_subspace_sweep",
-    # and the lexical twin of the q314 sweep — BM25 (k1, b) tuning:
+    # and the lexical twin of the q314 sweep — BM25 (k1, b) tuning —
+    # plus the greedy source acquisition ordering:
     "q315_bm25_param_sweep",
+    "q316_source_acquisition_order",
     # changed in round 12 — fresh rows prove parity held through the
     # changes (q75/q178: the PQ encode/LUT/ADC expressions extracted
     # into shared module-level helpers the IVM family and the
@@ -119,7 +121,6 @@ _ROTATION_HEAD = [
     "q297_crossmodal_dup_consistency",
     "q174_video_dhash_neardup",
     "q91_image_phash_neardup",
-    "q205_audio_energy_neardup",
     "q275_video_keyframes",
     "q154_quantile_sketch",
     "q186_distributed_exact_percentile",

@@ -156,6 +156,8 @@ HEADLINE = [
     "q314_pq_subspace_sweep",
     # the BM25 (k1, b) sweep: one tf/df build, 3 re-scorings
     "q315_bm25_param_sweep",
+    # greedy source acquisition ordering (catalog-bounded rounds)
+    "q316_source_acquisition_order",
 ]
 
 REPS = 3

@@ -14089,3 +14089,183 @@ def q315_bm25_param_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# q316 — source ACQUISITION ordering (greedy marginal-novelty cover)
+# ---------------------------------------------------------------------------
+
+#: greedy rounds — the fixtures carry exactly 20 sources at every SF;
+#: extra rounds are harmless no-ops on a smaller corpus (both engines
+#: skip an empty remainder identically)
+SRC_ACQ_ROUNDS = 20
+
+#: collect gate for the (source, tok)-distinct incidence frame (q225's
+#: SC_COLLECT_TOKENS discipline; measured x10 cardinality pinned in
+#: tests/test_route_gates.py) — under it the whole greedy trajectory
+#: is one driver-side numpy solve instead of SRC_ACQ_ROUNDS Spark jobs
+ACQ_COLLECT_TOKENS = 5_000_000
+
+
+def _acq_collected_solve(src_toks) -> list[tuple[int, str, int, int, int]]:
+    """Driver-side greedy over the collected (source, tok) incidence
+    rows: toks factorize to integer codes (exact string identity), per
+    -round gains are an ``np.unique`` count over the uncovered-row
+    mask, ties break (gain DESC, source ASC) exactly like the
+    distributed round's ordering — bit-equal by construction."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = src_toks.toPandas()
+    s_codes, s_names = pd.factorize(pdf["source"])
+    t_codes, _ = pd.factorize(pdf["tok"])
+    total = int(t_codes.max()) + 1 if len(t_codes) else 0
+    covered = np.zeros(total, dtype=bool)
+    remaining = sorted(map(str, s_names))
+    code_of = {str(n): i for i, n in enumerate(s_names)}
+    out: list[tuple[int, str, int, int, int]] = []
+    cum = 0
+    for r in range(1, min(SRC_ACQ_ROUNDS, len(remaining)) + 1):
+        live = ~covered[t_codes]
+        gains: dict[str, int] = {}
+        if live.any():
+            uniq, counts = np.unique(s_codes[live], return_counts=True)
+            gains = {str(s_names[c]): int(n) for c, n in zip(uniq, counts)}
+        best = min(remaining, key=lambda n: (-gains.get(n, 0), n))
+        gain = gains.get(best, 0)
+        cum += gain
+        out.append((r, best, gain, cum, cum * 1_000_000 // total))
+        covered[t_codes[s_codes == code_of[best]]] = True
+        remaining.remove(best)
+    return out
+
+
+def _q316_oracle() -> str:
+    iters = []
+    for r in range(1, SRC_ACQ_ROUNDS + 1):
+        prev_p, prev_c = f"picked{r - 1}", f"cov{r - 1}"
+        iters.append(f"""
+    rem{r} AS MATERIALIZED (
+      SELECT source FROM srcs
+      WHERE source NOT IN (SELECT source FROM {prev_p})),
+    g{r} AS MATERIALIZED (
+      SELECT s.source, COALESCE(c.cnt, 0) AS gain
+      FROM rem{r} s LEFT JOIN (
+        SELECT source, COUNT(*) AS cnt FROM tok
+        WHERE tok NOT IN (SELECT tok FROM {prev_c})
+        GROUP BY 1) c ON c.source = s.source),
+    p{r} AS MATERIALIZED (
+      SELECT source, gain FROM g{r} ORDER BY gain DESC, source LIMIT 1),
+    picked{r} AS MATERIALIZED (
+      SELECT source, gain, CAST({r} AS BIGINT) AS pick_rank FROM p{r}
+      UNION ALL SELECT source, gain, pick_rank FROM {prev_p}),
+    cov{r} AS MATERIALIZED (
+      SELECT tok FROM {prev_c}
+      UNION
+      SELECT t.tok FROM tok t JOIN p{r} pp ON t.source = pp.source)""")
+    return f"""
+    WITH tok AS MATERIALIZED (
+      SELECT DISTINCT source, tok FROM (
+        SELECT source, unnest({_SHINGLES_SQL}) AS tok FROM documents) x),
+    srcs AS MATERIALIZED (SELECT DISTINCT source FROM tok),
+    tot AS (SELECT COUNT(DISTINCT tok) AS n FROM tok),
+    picked0 AS MATERIALIZED (
+      SELECT CAST(NULL AS VARCHAR) AS source, CAST(NULL AS BIGINT) AS gain,
+             CAST(NULL AS BIGINT) AS pick_rank WHERE 1 = 0),
+    cov0 AS MATERIALIZED (SELECT CAST(NULL AS VARCHAR) AS tok WHERE 1 = 0),
+    {','.join(iters)}
+    SELECT pick_rank, source,
+           CAST(gain AS BIGINT) AS marginal_gain,
+           CAST(SUM(gain) OVER (ORDER BY pick_rank) AS BIGINT)
+             AS covered_cum,
+           CAST(SUM(gain) OVER (ORDER BY pick_rank) * 1000000
+                  // (SELECT n FROM tot) AS BIGINT) AS coverage_u
+    FROM picked{SRC_ACQ_ROUNDS}
+    ORDER BY pick_rank
+    """
+
+
+@query("q316_source_acquisition_order", oracle=_q316_oracle())
+def q316_source_acquisition_order(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Source ACQUISITION ordering: rank every source by greedy
+    marginal distinct-shingle novelty — pick the source adding the
+    most not-yet-covered 5-gram mass, fold its grams into the covered
+    set, repeat — q225's submodular maximum-coverage greedy
+    ((1-1/e)-optimal, Nemhauser 1978) lifted from document grain to
+    SOURCE grain: the "which dump to acquire / ingest next" order and
+    its diminishing-returns curve, the artifact a data-acquisition
+    budget reads next to q312's coverage audit.  Zero-marginal sources
+    (fully shadowed by earlier picks) still rank — gain 0, name
+    tiebreak — so the output is a TOTAL ordering of the catalog.
+
+    Parity: the shingle unit is the registered pair (_shingles /
+    _SHINGLES_SQL); picks tie on (gain DESC, source); coverage is
+    integer micro-units of the global distinct-gram count; the oracle
+    unrolls the same {SRC_ACQ_ROUNDS} rounds with MATERIALIZED CTEs.
+
+    Scale shape: ONE (source, tok)-distinct build (grams md5-free here
+    — tok strings stay executor-side; the per-round shuffle keys are
+    constant-width), then <= {SRC_ACQ_ROUNDS} rounds of one anti-join +
+    one |sources|-bounded hash agg + a 1-row gated pick (q225's loop
+    discipline, localCheckpointed covered set so lineage stays flat);
+    round count is the CATALOG size — never corpus-dependent.
+    """
+    docs = table(spark, sf_dir, "documents")
+    src_toks = local_checkpoint(
+        docs.select(
+            "source", F.explode(_shingles(F.col("text"))).alias("tok")
+        ).distinct(),
+        "q316 source-shingle sets",
+    )
+    schema = (
+        "pick_rank long, source string, marginal_gain long, "
+        "covered_cum long, coverage_u long"
+    )
+
+    def _distributed(toks: DataFrame) -> DataFrame:
+        total = toks.select("tok").distinct().count()
+        sources = sorted(
+            r["source"]
+            for r in bounded_collect(
+                toks.select("source").distinct(), 1024, "q316_sources"
+            )
+        )
+        covered: DataFrame | None = None
+        picked: list[tuple[int, str, int, int, int]] = []
+        cum = 0
+        for r in range(1, min(SRC_ACQ_ROUNDS, len(sources)) + 1):
+            taken = {p[1] for p in picked}
+            remaining = [s for s in sources if s not in taken]
+            cand = toks.filter(F.col("source").isin(remaining))
+            if covered is not None:
+                cand = cand.join(covered, "tok", "anti")
+            gains = {
+                row["source"]: row["cnt"]
+                for row in bounded_collect(
+                    cand.groupBy("source").agg(F.count("*").alias("cnt")),
+                    1024,
+                    "q316_acq_gains",
+                )
+            }
+            best = min(remaining, key=lambda s: (-gains.get(s, 0), s))
+            gain = gains.get(best, 0)
+            cum += gain
+            picked.append((r, best, gain, cum, cum * 1_000_000 // total))
+            newtoks = toks.filter(F.col("source") == best).select("tok")
+            covered = local_checkpoint(
+                newtoks
+                if covered is None
+                else covered.union(newtoks).distinct(),
+                f"q316 covered after pick {r}",
+            )
+        return spark.createDataFrame(picked, schema)
+
+    return collect_and_solve(
+        src_toks,
+        ACQ_COLLECT_TOKENS,
+        "q316_source_acquisition_order",
+        lambda toks: spark.createDataFrame(_acq_collected_solve(toks), schema),
+        _distributed,
+    )

@@ -25,6 +25,7 @@ GATED = {
     "q221_bradley_terry": (modeling, "BT_COLLECT_PAIRS", 453_549),
     "q225_greedy_set_cover": (mining, "SC_COLLECT_TOKENS", 2_507_040),
     "q294_hits_hubs_authorities": (llm_ops, "HITS_COLLECT_EDGES", 5_993_510),
+    "q316_source_acquisition_order": (llm_ops, "ACQ_COLLECT_TOKENS", 2_503_880),
 }
 
 

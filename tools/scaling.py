@@ -185,6 +185,9 @@ TARGETS = (
     # BM25 (k1,b) sweep: ONE persisted tf/df build + three bounded
     # re-scorings of the tf x query-term join
     "q315_bm25_param_sweep",
+    # greedy acquisition ordering: one (source, tok) distinct build +
+    # |catalog| rounds of anti-join + bounded agg (q225's loop)
+    "q316_source_acquisition_order",
 )
 
 # Per-(target, scale) keyword overrides: the SemDeDup contract is that
