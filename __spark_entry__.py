@@ -78,6 +78,18 @@ _ROTATION_HEAD = [
     # plus the greedy source acquisition ordering:
     "q315_bm25_param_sweep",
     "q316_source_acquisition_order",
+    # NEW in round 12 (fourth batch): the Kneser-Ney continuation-
+    # probability scorer (the CCNet/kenlm smoothing, one rung past
+    # q121's Jelinek-Mercer), and the ratio-margin bitext miner
+    # (CCMatrix/LASER pair mining over the blocked embedding pools):
+    "q317_kneser_ney_score",
+    "q318_bitext_margin_mining",
+    # and the padding-waste audit of the training batch layout
+    # (arrival vs length-sorted bucketing, integer micro-unit waste),
+    # and the k-center greedy coreset (farthest-point diversity
+    # selection with the coverage-radius curve):
+    "q319_padding_waste_audit",
+    "q320_kcenter_coreset",
     # changed in round 12 — fresh rows prove parity held through the
     # changes (q75/q178: the PQ encode/LUT/ADC expressions extracted
     # into shared module-level helpers the IVM family and the
@@ -121,10 +133,6 @@ _ROTATION_HEAD = [
     "q297_crossmodal_dup_consistency",
     "q174_video_dhash_neardup",
     "q91_image_phash_neardup",
-    "q275_video_keyframes",
-    "q154_quantile_sketch",
-    "q186_distributed_exact_percentile",
-    "q292_code_switch_mixture",
 ]
 
 _ROTATION_TAIL = [

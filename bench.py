@@ -158,6 +158,18 @@ HEADLINE = [
     "q315_bm25_param_sweep",
     # greedy source acquisition ordering (catalog-bounded rounds)
     "q316_source_acquisition_order",
+    # round-12 additions (fourth batch): the Kneser-Ney continuation
+    # scorer (bigram-type aggs + doc-keyed join, the q121 shape)
+    "q317_kneser_ney_score",
+    # the ratio-margin bitext miner (label-blocked pair join + two
+    # partitioned top-k neighborhood aggs, exact integer margins)
+    "q318_bitext_margin_mining",
+    # the padding-waste audit (two per-source windows over a
+    # 3-integer collapse; |sources| x 2 rows)
+    "q319_padding_waste_audit",
+    # the k-center greedy coreset (k map-side center attaches +
+    # TakeOrdered(1) argmax rounds over the checkpointed state)
+    "q320_kcenter_coreset",
 ]
 
 REPS = 3

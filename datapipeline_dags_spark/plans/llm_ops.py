@@ -14269,3 +14269,523 @@ def q316_source_acquisition_order(
         lambda toks: spark.createDataFrame(_acq_collected_solve(toks), schema),
         _distributed,
     )
+
+
+# ---------------------------------------------------------------------------
+# q317 — Kneser-Ney bigram scoring (continuation-probability smoothing)
+# ---------------------------------------------------------------------------
+
+#: absolute discount subtracted from every observed bigram count —
+#: 0.75 is the standard fixed-D choice (Chen & Goodman 1999) and is
+#: exactly representable in binary, so (cab - D) is bit-identical in
+#: both engines
+KN_DISCOUNT = 0.75
+
+
+def _q317_oracle() -> str:
+    p = (
+        f"((bc.cab - {KN_DISCOUNT}) / lc.ca "
+        f"+ ({KN_DISCOUNT} * lc.n1pa / lc.ca) * (rc.n1mb * 1.0 / bt.btot))"
+    )
+    return f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    db AS (SELECT doc_id, words[i] AS a, words[i+1] AS b
+           FROM w, unnest(generate_series(1, len(words) - 1)) s(i)),
+    bcnt AS (SELECT a, b, COUNT(*) AS cab FROM db GROUP BY a, b),
+    lc AS (SELECT a, SUM(cab) AS ca, COUNT(*) AS n1pa FROM bcnt GROUP BY a),
+    rc AS (SELECT b, COUNT(*) AS n1mb FROM bcnt GROUP BY b),
+    bt AS (SELECT COUNT(*) AS btot FROM bcnt),
+    scored AS (
+      SELECT db.doc_id, -log2({p}) AS nll,
+             CASE WHEN bc.cab = 1 THEN 1 ELSE 0 END AS hapax
+      FROM db JOIN bcnt bc ON db.a = bc.a AND db.b = bc.b
+              JOIN lc ON db.a = lc.a
+              JOIN rc ON db.b = rc.b, bt)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(hapax) AS BIGINT) AS n_hapax_bigrams,
+           (ROUND(AVG(nll), 4) + 0.0) AS mean_nll_bits
+    FROM scored GROUP BY doc_id
+    """
+
+
+@query("q317_kneser_ney_score", oracle=_q317_oracle())
+def q317_kneser_ney_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring: per-document mean −log2
+    of P_KN(b|a) = (c(a,b) − D)/c(a·) + D·N1+(a·)/c(a·) · N1+(·b)/N1+(··)
+    under the corpus's own counts — the smoothing the CCNet / kenlm
+    perplexity filters actually run (Chen & Goodman 1999), one rung up
+    from q121's Jelinek-Mercer interpolation: the backoff mass is the
+    CONTINUATION probability (how many distinct left contexts a word
+    completes), not the raw unigram frequency, so boilerplate tokens
+    that are frequent but context-locked score as unpredictable instead
+    of free.  ``n_hapax_bigrams`` counts the doc's count-1 bigrams —
+    the mass the discount D removes entirely, the per-doc novelty
+    signal a curation pass reads next to the score.
+
+    Parity: D = 0.75 (binary-exact); the probability expression is
+    written with the same association order in both engines; the
+    unordered float mean is pinned by the 4-dp round (q74/q121's
+    discipline).
+
+    Scale shape (cf. q121): one bigram-type hash agg (constant-width
+    (a, b) token keys, never document text), two token-keyed context
+    aggs DERIVED from the type table (left-context totals + distinct
+    continuation fan-outs), a 1-row broadcast bigram-type total, then
+    one doc-keyed hash agg.  No new shuffle class over q121 — the
+    continuation statistics fall out of the same bcnt frame.
+    """
+    docs = _fanout(spark, table(spark, sf_dir, "documents"))
+    words = F.split(F.col("text"), " ")
+    w = docs.select("doc_id", words.alias("words"))
+    n1 = F.size(F.col("words")) - 1
+    pairs = F.zip_with(
+        F.slice(F.col("words"), 1, n1),
+        F.slice(F.col("words"), 2, n1),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+    )
+    db = w.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", "p.a", "p.b"
+    )
+    bcnt = db.groupBy("a", "b").agg(F.count("*").alias("cab"))
+    lc = bcnt.groupBy("a").agg(
+        F.sum("cab").alias("ca"), F.count("*").alias("n1pa")
+    )
+    rc = bcnt.groupBy("b").agg(F.count("*").alias("n1mb"))
+    bt = bcnt.agg(F.count("*").alias("btot"))
+    prob = (F.col("cab") - KN_DISCOUNT) / F.col("ca") + (
+        F.lit(KN_DISCOUNT) * F.col("n1pa") / F.col("ca")
+    ) * (F.col("n1mb") * 1.0 / F.col("btot"))
+    return (
+        db.join(bcnt, ["a", "b"])
+        .join(lc, "a")
+        .join(rc, "b")
+        .crossJoin(F.broadcast(bt))
+        .select(
+            "doc_id",
+            (-F.log2(prob)).alias("nll"),
+            F.when(F.col("cab") == 1, F.lit(1)).otherwise(F.lit(0)).alias("hapax"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum("hapax").cast("long").alias("n_hapax_bigrams"),
+            dec(F.avg("nll"), 4).alias("mean_nll_bits"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q318 — margin-based bitext mining (ratio margin, blocked)
+# ---------------------------------------------------------------------------
+
+#: neighbor depth of the margin denominators (the k in avg-of-top-k)
+BITEXT_K = 4
+
+#: ratio-margin acceptance threshold in micro-units (1.15 = the pair's
+#: cosine must beat the mean of both endpoints' top-k neighborhoods by
+#: >= 15% — the separation band where sf0.01 keeps ~70% of sources)
+BITEXT_MARGIN_T = 1_150_000
+
+
+def _q318_oracle() -> str:
+    cos_u = (
+        "CAST(ROUND(list_cosine_similarity(a.embedding::DOUBLE[], "
+        "b.embedding::DOUBLE[]) * 1000000, 0) AS BIGINT)"
+    )
+    return f"""
+    WITH a AS (SELECT vec_id, label, embedding FROM embeddings
+               WHERE vec_id % 2 = 0),
+    b AS (SELECT vec_id, label, embedding FROM embeddings
+          WHERE vec_id % 2 = 1),
+    pp AS (
+      SELECT * FROM (
+        SELECT a.vec_id AS src, b.vec_id AS tgt, {cos_u} AS cos_u
+        FROM a JOIN b ON a.label = b.label) x
+      WHERE cos_u > 0),
+    rs AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY src
+                                        ORDER BY cos_u DESC, tgt) AS r
+           FROM pp),
+    asrc AS (SELECT src, SUM(cos_u) AS ssum, COUNT(*) AS sn
+             FROM rs WHERE r <= {BITEXT_K} GROUP BY src),
+    rt AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY tgt
+                                        ORDER BY cos_u DESC, src) AS r
+           FROM pp),
+    atgt AS (SELECT tgt, SUM(cos_u) AS tsum, COUNT(*) AS tn
+             FROM rt WHERE r <= {BITEXT_K} GROUP BY tgt),
+    m AS (
+      SELECT pp.src, pp.tgt, pp.cos_u,
+             CAST((2 * pp.cos_u * sn * tn * 1000000)
+                    // (ssum * tn + tsum * sn) AS BIGINT) AS margin_u
+      FROM pp JOIN asrc ON pp.src = asrc.src
+              JOIN atgt ON pp.tgt = atgt.tgt),
+    best AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY src
+                                          ORDER BY margin_u DESC, tgt) AS rb
+             FROM m),
+    best_t AS (SELECT tgt, src AS t_best_src FROM (
+                 SELECT *, ROW_NUMBER() OVER (PARTITION BY tgt
+                                              ORDER BY margin_u DESC, src)
+                        AS rt FROM m) y WHERE rt = 1)
+    SELECT best.src AS src_id, best.tgt AS tgt_id, best.cos_u,
+           best.margin_u,
+           CAST(CASE WHEN bt.t_best_src = best.src THEN 1 ELSE 0 END
+                AS BIGINT) AS mutual
+    FROM best LEFT JOIN best_t bt ON best.tgt = bt.tgt
+    WHERE rb = 1 AND margin_u >= {BITEXT_MARGIN_T}
+    """
+
+
+@query("q318_bitext_margin_mining", oracle=_q318_oracle())
+def q318_bitext_margin_mining(
+    spark: SparkSession, sf_dir: str, block_splits: int = 1
+) -> DataFrame:
+    """Margin-based parallel-pair mining (the CCMatrix / LASER ratio
+    margin, Artetxe & Schwenk 2019): split the corpus into two pools
+    (even/odd vec_id — the two "languages"), and for each source
+    vector accept its best candidate only when the pair's cosine beats
+    the MEAN of both endpoints' top-{BITEXT_K} neighborhoods by the
+    ratio threshold — absolute-cosine cuts can't separate hubs (vectors
+    near everything) from true translations; the margin can.
+    ``mutual`` flags pairs that are ALSO the target's best source (the
+    high-precision subset a bitext curation pass ships first).
+
+    Parity: the margin is EXACT integer arithmetic — cosines quantize
+    to micro-units (the q116 ROUND(x*1e6) idiom), the two top-k
+    averages stay as (sum, count) integer pairs, and the ratio is one
+    BIGINT floor division — no float averaging anywhere past the
+    per-pair cosine round.
+
+    Scale shape (the q44 discipline): candidates are label-blocked
+    (coarse-quantizer cells), never all-pairs — the pair frame is one
+    hash join on the cell key; both margin denominators are
+    partitioned-window top-k aggs over that SAME persisted frame
+    (constant-width (src, tgt, cos_u) rows, document text never
+    shuffles); skewed cells split by AQE.  At 100 TB the pools are
+    per-language corpora, the blocks are IVF cells from q47's
+    quantizer, and the mining stays one cell-local join + two
+    neighborhood aggs per direction.  The CONTRACT (q96's regime) is
+    that blocking granularity grows WITH the corpus so block size
+    stays constant — ``block_splits`` is that knob for the scaling
+    harness (each pool sub-partitions s ways inside a label; the
+    registered default s=1 is the oracle-exact configuration).
+    """
+    emb = _fanout(spark, table(spark, sf_dir, "embeddings"))
+    salt = F.expr(f"(vec_id div 2) % {block_splits}")
+    a = emb.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("src"),
+        "label",
+        salt.alias("salt"),
+        F.col("embedding").alias("ea"),
+    )
+    b = emb.filter(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("tgt"),
+        "label",
+        salt.alias("salt"),
+        F.col("embedding").alias("eb"),
+    )
+    cos_u = F.round(_cosine(F.col("ea"), F.col("eb")) * 1_000_000, 0).cast(
+        "long"
+    )
+    pp = local_checkpoint(
+        a.join(b, ["label", "salt"])
+        .select("src", "tgt", cos_u.alias("cos_u"))
+        .filter(F.col("cos_u") > 0),
+        "q318 blocked candidate pairs",
+    )
+    ws = W.partitionBy("src").orderBy(F.col("cos_u").desc(), "tgt")
+    asrc = (
+        pp.withColumn("r", F.row_number().over(ws))
+        .filter(F.col("r") <= BITEXT_K)
+        .groupBy("src")
+        .agg(F.sum("cos_u").alias("ssum"), F.count("*").alias("sn"))
+    )
+    wt = W.partitionBy("tgt").orderBy(F.col("cos_u").desc(), "src")
+    atgt = (
+        pp.withColumn("r", F.row_number().over(wt))
+        .filter(F.col("r") <= BITEXT_K)
+        .groupBy("tgt")
+        .agg(F.sum("cos_u").alias("tsum"), F.count("*").alias("tn"))
+    )
+    m = local_checkpoint(
+        pp.join(asrc, "src")
+        .join(atgt, "tgt")
+        .withColumn(
+            "margin_u",
+            F.expr(
+                "(2 * cos_u * sn * tn * 1000000) div (ssum * tn + tsum * sn)"
+            ),
+        )
+        .select("src", "tgt", "cos_u", "margin_u"),
+        "q318 margin-scored pairs",
+    )
+    wb = W.partitionBy("src").orderBy(F.col("margin_u").desc(), "tgt")
+    best = (
+        m.withColumn("rb", F.row_number().over(wb))
+        .filter((F.col("rb") == 1) & (F.col("margin_u") >= BITEXT_MARGIN_T))
+        .drop("rb")
+    )
+    wbt = W.partitionBy("tgt").orderBy(F.col("margin_u").desc(), "src")
+    best_t = (
+        m.withColumn("rt", F.row_number().over(wbt))
+        .filter(F.col("rt") == 1)
+        .select("tgt", F.col("src").alias("t_best_src"))
+    )
+    return (
+        best.join(best_t, "tgt", "left")
+        .select(
+            F.col("src").alias("src_id"),
+            F.col("tgt").alias("tgt_id"),
+            "cos_u",
+            "margin_u",
+            F.when(F.col("t_best_src") == F.col("src"), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("mutual"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q319 — padding-waste audit (arrival vs length-sorted batching)
+# ---------------------------------------------------------------------------
+
+#: training batch size (sequences per batch) for the padding audit
+PAD_BATCH = 8
+
+#: sequence-length cap — tokens past this truncate (the max_seq_len of
+#: the training run the batches feed)
+PAD_MAXLEN = 64
+
+
+def _q319_oracle() -> str:
+    base = f"""
+      SELECT doc_id, source,
+             LEAST(len(string_split(text, ' ')), {PAD_MAXLEN}) AS eff,
+             len(string_split(text, ' '))
+               - LEAST(len(string_split(text, ' ')), {PAD_MAXLEN}) AS trunc
+      FROM documents"""
+    return f"""
+    WITH base AS ({base}),
+    ranked AS (
+      SELECT *,
+             'arrival' AS policy,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM base
+      UNION ALL
+      SELECT *,
+             'sorted' AS policy,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY eff, doc_id) AS rn
+      FROM base),
+    batches AS (
+      SELECT source, policy, (rn - 1) // {PAD_BATCH} AS batch,
+             COUNT(*) AS n, MAX(eff) AS mx,
+             SUM(eff) AS real, SUM(trunc) AS trunc
+      FROM ranked GROUP BY 1, 2, 3)
+    SELECT source, policy,
+           CAST(COUNT(*) AS BIGINT) AS n_batches,
+           CAST(SUM(real) AS BIGINT) AS real_tokens,
+           CAST(SUM(n * mx) AS BIGINT) AS padded_tokens,
+           CAST(SUM(trunc) AS BIGINT) AS truncated_tokens,
+           CAST((SUM(n * mx) - SUM(real)) * 1000000
+                  // SUM(n * mx) AS BIGINT) AS waste_u
+    FROM batches GROUP BY source, policy
+    """
+
+
+@query("q319_padding_waste_audit", oracle=_q319_oracle())
+def q319_padding_waste_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste audit of the training batch layout: per source,
+    form {PAD_BATCH}-sequence batches under the ARRIVAL order and
+    under LENGTH-SORTED bucketing (each batch pads to its own longest
+    member, capped at {PAD_MAXLEN}), and report real vs padded token
+    mass, the truncated overflow, and the waste fraction in integer
+    micro-units — the measured answer to "how much accelerator time
+    does sorting by length actually buy", the audit run before q71's
+    packing decides whether concat-packing is worth its attention-mask
+    complexity.  Sorted bucketing is never worse per source (pinned by
+    a pytest property).
+
+    Scale shape: batching is PER SOURCE (the shard grain a real
+    pipeline batches within), so both orderings are partitioned
+    windows over a 3-integer-column collapse of the corpus — there is
+    NO global sort and no corpus-wide ordered prefix anywhere; the
+    per-batch and per-source rollups are two bounded hash aggs
+    (|sources| x 2 output rows at any SF).  Entirely integer
+    arithmetic end to end.
+    """
+    docs = _fanout(spark, table(spark, sf_dir, "documents"))
+    ntok = F.size(F.split("text", " "))
+    eff = F.least(ntok, F.lit(PAD_MAXLEN))
+    base = local_checkpoint(
+        docs.select(
+            "doc_id",
+            "source",
+            eff.alias("eff"),
+            (ntok - eff).alias("trunc"),
+        ),
+        "q319 effective-length collapse",
+    )
+    wa = W.partitionBy("source").orderBy("doc_id")
+    wsrt = W.partitionBy("source").orderBy("eff", "doc_id")
+    ranked = base.select(
+        "source", "eff", "trunc",
+        F.lit("arrival").alias("policy"),
+        F.row_number().over(wa).alias("rn"),
+    ).unionAll(
+        base.select(
+            "source", "eff", "trunc",
+            F.lit("sorted").alias("policy"),
+            F.row_number().over(wsrt).alias("rn"),
+        )
+    )
+    batches = (
+        ranked.withColumn("batch", F.expr(f"(rn - 1) div {PAD_BATCH}"))
+        .groupBy("source", "policy", "batch")
+        .agg(
+            F.count("*").alias("n"),
+            F.max("eff").alias("mx"),
+            F.sum("eff").alias("real"),
+            F.sum("trunc").alias("trunc"),
+        )
+    )
+    return (
+        batches.groupBy("source", "policy")
+        .agg(
+            F.count("*").cast("long").alias("n_batches"),
+            F.sum("real").cast("long").alias("real_tokens"),
+            F.sum(F.col("n") * F.col("mx")).cast("long").alias("padded_tokens"),
+            F.sum("trunc").cast("long").alias("truncated_tokens"),
+        )
+        .withColumn(
+            "waste_u",
+            F.expr(
+                "(padded_tokens - real_tokens) * 1000000 div padded_tokens"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q320 — k-center greedy coreset (farthest-point traversal)
+# ---------------------------------------------------------------------------
+
+#: coreset size — the number of greedy farthest-point centers
+KCENTER_K = 8
+
+_KC_DIST = (
+    "1000000 - CAST(ROUND(list_cosine_similarity("
+    "{a}.embedding::DOUBLE[], {b}.embedding::DOUBLE[]) * 1000000, 0) "
+    "AS BIGINT)"
+)
+
+
+def _q320_oracle() -> str:
+    steps = []
+    rows = []
+    for r in range(1, KCENTER_K + 1):
+        if r == 1:
+            steps.append(
+                "c1 AS (SELECT vec_id, embedding FROM emb "
+                "ORDER BY vec_id LIMIT 1)"
+            )
+            steps.append(
+                f"m1 AS (SELECT e.vec_id, e.embedding, "
+                f"{_KC_DIST.format(a='e', b='c')} AS mind "
+                "FROM emb e, c1 c)"
+            )
+        else:
+            p = r - 1
+            steps.append(
+                f"c{r} AS (SELECT e.vec_id, e.embedding "
+                f"FROM emb e, t{p} WHERE e.vec_id = t{p}.vec_id)"
+            )
+            steps.append(
+                f"m{r} AS (SELECT m.vec_id, m.embedding, "
+                f"LEAST(m.mind, {_KC_DIST.format(a='m', b='c')}) AS mind "
+                f"FROM m{p} m, c{r} c)"
+            )
+        steps.append(
+            f"t{r} AS (SELECT vec_id, mind FROM m{r} "
+            "ORDER BY mind DESC, vec_id LIMIT 1)"
+        )
+        rows.append(
+            f"SELECT CAST({r} AS BIGINT) AS pick_rank, "
+            f"(SELECT vec_id FROM c{r}) AS vec_id, "
+            f"(SELECT mind FROM t{r}) AS radius_u"
+        )
+    return (
+        "WITH emb AS (SELECT vec_id, embedding FROM embeddings),\n"
+        + ",\n".join(steps)
+        + "\n"
+        + "\nUNION ALL ".join(rows)
+    )
+
+
+@query("q320_kcenter_coreset", oracle=_q320_oracle())
+def q320_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-center greedy coreset (Gonzalez 1985 farthest-point
+    traversal, the 2-approximation): seed with the minimum vec_id,
+    then {KCENTER_K - 1} times pick the vector FARTHEST (max min
+    cosine-distance) from the selected set — the diversity-first
+    selection a curation pass uses to seed balanced fine-tuning pools
+    or pick prototype documents, complementary to q236's MMR (which
+    trades off against a relevance score) and q64's label centroids
+    (which need labels).  Each output row carries the coverage
+    ``radius_u`` — the max min-distance AFTER that pick — the
+    diminishing-returns curve that says when the coreset is big
+    enough.
+
+    Parity: distances are integer micro-units (1e6 − the q116-rounded
+    cosine), LEAST-folded per round; pick ties break on vec_id; the
+    oracle unrolls the same {KCENTER_K} rounds.  The monotone
+    non-increasing radius is pinned by pytest.
+
+    Scale shape: the state is one (vec_id, embedding, mind) frame,
+    localCheckpointed per round so lineage stays flat; each round is
+    ONE map-side pass (1-row broadcast center attach — no shuffle)
+    plus a TakeOrdered(1) argmax; round count is the CONSTANT k, never
+    corpus-dependent.  At 100 TB this is k linear scans — the same
+    shape as q201's k-means assignment step — and the per-round argmax
+    is a per-partition heap + driver merge, not a global sort.
+    """
+    emb = local_checkpoint(
+        _fanout(spark, table(spark, sf_dir, "embeddings")).select(
+            "vec_id", "embedding"
+        ),
+        "q320 embedding state",
+    )
+    n = emb.count()
+    seed = bounded_collect(
+        emb.select(F.min("vec_id").alias("v")), 1, "q320_kcenter_seed"
+    )[0]["v"]
+    d_u = F.lit(1_000_000) - F.round(
+        _cosine(F.col("embedding"), F.col("ce")) * 1_000_000, 0
+    ).cast("long")
+    state = emb.withColumn("mind", F.lit(2_000_001).cast("long"))
+    cur = seed
+    out: list[tuple[int, int, int]] = []
+    for r in range(1, min(KCENTER_K, n) + 1):
+        cvec = emb.filter(F.col("vec_id") == cur).select(
+            F.col("embedding").alias("ce")
+        )
+        state = local_checkpoint(
+            state.crossJoin(F.broadcast(cvec)).select(
+                "vec_id",
+                "embedding",
+                F.least(F.col("mind"), d_u).alias("mind"),
+            ),
+            f"q320 min-dist state after pick {r}",
+        )
+        top = bounded_collect(
+            state.select("vec_id", "mind")
+            .orderBy(F.col("mind").desc(), "vec_id")
+            .limit(1),
+            1,
+            "q320_kcenter_pick",
+        )[0]
+        out.append((r, cur, top["mind"]))
+        cur = top["vec_id"]
+    return spark.createDataFrame(
+        out, "pick_rank long, vec_id long, radius_u long"
+    )

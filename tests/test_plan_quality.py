@@ -214,6 +214,9 @@ BOUNDED_FILTER_HINT_OK = {
     "q118_session_concurrency",
     "q120_mixing_schedule",  # broadcasts the 1-row corpus totals
     "q121_bigram_lm_score",  # broadcasts the 1-row grand token total
+    # broadcasts the 1-row bigram-type total (the KN continuation
+    # denominator — q121's grand-total discipline)
+    "q317_kneser_ney_score",
     # broadcasts the 1-row time span + |types|-row value-range table
     "q123_psi_drift",
     # broadcasts the 1-row decile-edge vector + 1-row pos/neg totals
@@ -357,6 +360,8 @@ NESTED_LOOP_OK = {
     "q310_contamination_fusion",
     "q120_mixing_schedule",  # 1-row totals attach (cf. q74)
     "q121_bigram_lm_score",  # 1-row grand-total attach (cf. q74)
+    # 1-row bigram-type-total attach (the KN continuation denominator)
+    "q317_kneser_ney_score",
     "q123_psi_drift",  # 1-row time-span attach (cf. q100)
     "q124_woe_iv_binning",  # 1-row edge-vector + totals attaches
     "q125_tfidf_sparse_cosine",  # 1-row corpus-count attach (cf. q63)

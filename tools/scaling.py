@@ -188,6 +188,20 @@ TARGETS = (
     # greedy acquisition ordering: one (source, tok) distinct build +
     # |catalog| rounds of anti-join + bounded agg (q225's loop)
     "q316_source_acquisition_order",
+    # r12 (fourth batch): KN continuation scoring — bigram-type hash
+    # aggs + the doc-keyed scoring join (should track q121's cost)
+    "q317_kneser_ney_score",
+    # r12 (fourth batch): margin bitext mining — the q44 label-blocked
+    # pair join + two partitioned window top-k aggs over the SAME
+    # persisted pair frame; block sizes govern, corpus never cross-joins
+    "q318_bitext_margin_mining",
+    # r12 (fourth batch): padding-waste audit — two per-source windows
+    # over the 3-integer length collapse, two bounded hash aggs
+    "q319_padding_waste_audit",
+    # r12 (fourth batch): k-center coreset — KCENTER_K rounds of one
+    # map-side 1-row center attach + TakeOrdered(1); rounds are
+    # constant, so the ratio should read the linear scan term
+    "q320_kcenter_coreset",
 )
 
 # Per-(target, scale) keyword overrides: the SemDeDup contract is that
@@ -214,6 +228,11 @@ SCALE_KWARGS: dict[tuple[str, str], dict] = {
         "two_level": False,
         "pair_backend": "jvm",
     },
+    # q318's contract (the q96 regime): blocking granularity grows with
+    # the corpus so block size stays constant — the x10 fixture keeps
+    # the x1 label count, so the knob sub-partitions each label 10x
+    ("q318_bitext_margin_mining", "x1"): {"block_splits": 1},
+    ("q318_bitext_margin_mining", "x10"): {"block_splits": 10},
 }
 
 # Harness-only labels resolve to a registered query + fixed kwargs.
