@@ -90,6 +90,9 @@ _ROTATION_HEAD = [
     # selection with the coverage-radius curve):
     "q319_padding_waste_audit",
     "q320_kcenter_coreset",
+    # and the in-engine GLM trainer (logistic IRLS — the engine FITS
+    # the model: map-side sufficient statistics, 3x3 Newton solve):
+    "q321_logistic_irls",
     # changed in round 12 — fresh rows prove parity held through the
     # changes (q75/q178: the PQ encode/LUT/ADC expressions extracted
     # into shared module-level helpers the IVM family and the
@@ -132,7 +135,6 @@ _ROTATION_HEAD = [
     "q289_winnowing_fingerprints",
     "q297_crossmodal_dup_consistency",
     "q174_video_dhash_neardup",
-    "q91_image_phash_neardup",
 ]
 
 _ROTATION_TAIL = [

@@ -170,6 +170,9 @@ HEADLINE = [
     # the k-center greedy coreset (k map-side center attaches +
     # TakeOrdered(1) argmax rounds over the checkpointed state)
     "q320_kcenter_coreset",
+    # the in-engine logistic trainer (3 map-side sufficient-statistic
+    # passes + 1-row collects; model state = 3 doubles)
+    "q321_logistic_irls",
 ]
 
 REPS = 3

@@ -14789,3 +14789,201 @@ def q320_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "pick_rank long, vec_id long, radius_u long"
     )
+
+
+# ---------------------------------------------------------------------------
+# q321 — in-engine logistic regression (IRLS / Newton, fixed steps)
+# ---------------------------------------------------------------------------
+
+#: fixed Newton (IRLS) step count — constant, never data-dependent
+IRLS_STEPS = 3
+
+#: the label the cheap structural model distills: lang == 'en'
+IRLS_TARGET_LANG = "en"
+
+#: Levenberg damping added to the Hessian diagonal — keeps the Newton
+#: solve defined when a feature degenerates to a constant (singular
+#: Gram matrix); applied TEXTUALLY identically in both engines
+IRLS_RIDGE = 1e-06
+
+# Closed-form symmetric-3x3 Newton update, shared TEXTUALLY by the
+# DuckDB oracle and the Spark driver solve so both engines walk the
+# same expression tree: H = [[a,b,c],[b,d,e],[c,e,f]], gradient
+# (g1,g2,g3), det and adjugate cofactors spelled out.
+_IRLS_DET = "(a*(d*f - e*e) - b*(b*f - c*e) + c*(b*e - c*d))"
+_IRLS_DW = (
+    "(((d*f - e*e)*g1 + (c*e - b*f)*g2 + (b*e - c*d)*g3) / {det})",
+    "(((c*e - b*f)*g1 + (a*f - c*c)*g2 + (b*c - a*e)*g3) / {det})",
+    "(((b*e - c*d)*g1 + (b*c - a*e)*g2 + (a*d - b*b)*g3) / {det})",
+)
+
+
+def _q321_oracle() -> str:
+    steps = [
+        """feats AS (
+      SELECT CASE WHEN lang = '{tgt}' THEN 1 ELSE 0 END AS y,
+             len(string_split(text, ' ')) / 100.0 AS x1,
+             len(list_distinct(string_split(text, ' ')))
+               / len(string_split(text, ' ')) AS x2
+      FROM documents)""".format(tgt=IRLS_TARGET_LANG),
+        "wk0 AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2)",
+    ]
+    for t in range(1, IRLS_STEPS + 1):
+        steps.append(
+            f"""p{t} AS (
+      SELECT y, x1, x2,
+             1.0 / (1.0 + EXP(-(b0 + b1*x1 + b2*x2))) AS p
+      FROM feats, wk{t - 1})"""
+        )
+        steps.append(
+            f"""s{t} AS (
+      SELECT SUM(p*(1-p)) + {IRLS_RIDGE} AS a, SUM(p*(1-p)*x1) AS b,
+             SUM(p*(1-p)*x2) AS c,
+             SUM(p*(1-p)*x1*x1) + {IRLS_RIDGE} AS d,
+             SUM(p*(1-p)*x1*x2) AS e,
+             SUM(p*(1-p)*x2*x2) + {IRLS_RIDGE} AS f,
+             SUM(y - p) AS g1, SUM((y - p)*x1) AS g2,
+             SUM((y - p)*x2) AS g3
+      FROM p{t})"""
+        )
+        dws = [dw.format(det=_IRLS_DET) for dw in _IRLS_DW]
+        steps.append(
+            f"""wk{t} AS (
+      SELECT b0 + {dws[0]} AS b0,
+             b1 + {dws[1]} AS b1,
+             b2 + {dws[2]} AS b2
+      FROM s{t}, wk{t - 1})"""
+        )
+    k = IRLS_STEPS
+    return (
+        "WITH "
+        + ",\n    ".join(steps)
+        + f""",
+    pred AS (
+      SELECT y, 1.0 / (1.0 + EXP(-(b0 + b1*x1 + b2*x2))) AS p
+      FROM feats, wk{k}),
+    met AS (
+      SELECT CAST(SUM(CASE WHEN (p >= 0.5) = (y = 1) THEN 1 ELSE 0 END)
+                    * 1000000 // COUNT(*) AS BIGINT) AS acc_u,
+             (ROUND(AVG(-(y*LN(p) + (1 - y)*LN(1 - p))), 4) + 0.0)
+               AS mean_nll
+      FROM pred)
+    SELECT 'intercept' AS feature, (ROUND(b0, 4) + 0.0) AS weight,
+           acc_u, mean_nll FROM wk{k}, met
+    UNION ALL
+    SELECT 'tokens_per_100', (ROUND(b1, 4) + 0.0), acc_u, mean_nll
+    FROM wk{k}, met
+    UNION ALL
+    SELECT 'distinct_ratio', (ROUND(b2, 4) + 0.0), acc_u, mean_nll
+    FROM wk{k}, met"""
+    )
+
+
+def _irls_update(w: list[float], s: dict) -> list[float]:
+    """One Newton step from the collected sufficient statistics —
+    evaluates the SAME cofactor expressions as the oracle's wk CTE
+    (same association order, IEEE doubles in both engines)."""
+    a, b, c, d, e, f = s["a"], s["b"], s["c"], s["d"], s["e"], s["f"]
+    g1, g2, g3 = s["g1"], s["g2"], s["g3"]
+    det = a * (d * f - e * e) - b * (b * f - c * e) + c * (b * e - c * d)
+    dw0 = ((d * f - e * e) * g1 + (c * e - b * f) * g2 + (b * e - c * d) * g3) / det
+    dw1 = ((c * e - b * f) * g1 + (a * f - c * c) * g2 + (b * c - a * e) * g3) / det
+    dw2 = ((b * e - c * d) * g1 + (b * c - a * e) * g2 + (a * d - b * b) * g3) / det
+    return [w[0] + dw0, w[1] + dw1, w[2] + dw2]
+
+
+@query("q321_logistic_irls", oracle=_q321_oracle())
+def q321_logistic_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine GLM training: logistic regression fit by {IRLS_STEPS}
+    exact Newton (IRLS) steps — the engine TRAINS the model, not just
+    scores one.  Label = (lang == '{IRLS_TARGET_LANG}'); features =
+    intercept + token count (per 100) + distinct-token ratio — the
+    "distill an expensive label into a cheap structural model" pattern
+    a curation stack uses to replace a slow classifier with a scan-time
+    scorer (q97 scores by likelihood RATIOS with no trained weights;
+    q212's isotonic fit is 1-D and monotone; this is the multivariate
+    discriminative trainer).  Output: the fitted coefficients plus the
+    training accuracy (integer micro-units) and mean log-loss.
+
+    Parity: both engines walk the same expression tree — the
+    symmetric-3x3 Newton update is ONE shared cofactor formula
+    (_IRLS_DET/_IRLS_DW, textually identical in the oracle SQL and the
+    driver solve), sigmoid/log terms are written in the same
+    association order, and the outputs round at the edge (4-dp
+    weights/log-loss, micro-unit accuracy — the q97/q121 float
+    discipline).
+
+    Scale shape: each Newton step is ONE map-side pass (weights enter
+    as literals — no join, no shuffle) into a 9-term hash agg; the
+    step count is a CONSTANT; the solve is a 1-row collect + a 3x3
+    closed form.  At 100 TB this is the canonical distributed-GLM
+    shape: sufficient statistics reduce tree-style, the model state
+    never exceeds 3 doubles.
+    """
+    docs = _fanout(spark, table(spark, sf_dir, "documents"))
+    words = F.split(F.col("text"), " ")
+    feats = local_checkpoint(
+        docs.select(
+            F.when(F.col("lang") == IRLS_TARGET_LANG, F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("y"),
+            (F.size(words) / F.lit(100.0)).alias("x1"),
+            (F.size(F.array_distinct(words)) / F.size(words)).alias("x2"),
+        ),
+        "q321 feature frame",
+    )
+
+    def _p(w: list[float]) -> Column:
+        z = F.lit(w[0]) + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2")
+        return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+    w = [0.0, 0.0, 0.0]
+    for _ in range(IRLS_STEPS):
+        p = _p(w)
+        r = p * (1 - p)
+        stats = bounded_collect(
+            feats.agg(
+                (F.sum(r) + F.lit(IRLS_RIDGE)).alias("a"),
+                F.sum(r * F.col("x1")).alias("b"),
+                F.sum(r * F.col("x2")).alias("c"),
+                (F.sum(r * F.col("x1") * F.col("x1")) + F.lit(IRLS_RIDGE)).alias("d"),
+                F.sum(r * F.col("x1") * F.col("x2")).alias("e"),
+                (F.sum(r * F.col("x2") * F.col("x2")) + F.lit(IRLS_RIDGE)).alias("f"),
+                F.sum(F.col("y") - p).alias("g1"),
+                F.sum((F.col("y") - p) * F.col("x1")).alias("g2"),
+                F.sum((F.col("y") - p) * F.col("x2")).alias("g3"),
+            ),
+            1,
+            "q321_irls_stats",
+        )[0].asDict()
+        w = _irls_update(w, stats)
+
+    p = _p(w)
+    met = feats.agg(
+        F.sum(
+            F.when((p >= 0.5) == (F.col("y") == 1), F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("ncorrect"),
+        F.count("*").alias("n"),
+        dec(
+            F.avg(
+                -(
+                    F.col("y") * F.log(p)
+                    + (F.lit(1) - F.col("y")) * F.log(F.lit(1.0) - p)
+                )
+            ),
+            4,
+        ).alias("mean_nll"),
+    ).select(
+        F.expr("CAST(ncorrect * 1000000 div n AS BIGINT)").alias("acc_u"),
+        "mean_nll",
+    )
+    names = ["intercept", "tokens_per_100", "distinct_ratio"]
+    coef = spark.createDataFrame(
+        [(n, float(round(wi, 4))) for n, wi in zip(names, w)],
+        "feature string, weight double",
+    )
+    return coef.crossJoin(F.broadcast(met))

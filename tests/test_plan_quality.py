@@ -362,6 +362,8 @@ NESTED_LOOP_OK = {
     "q121_bigram_lm_score",  # 1-row grand-total attach (cf. q74)
     # 1-row bigram-type-total attach (the KN continuation denominator)
     "q317_kneser_ney_score",
+    # 1-row trained-metrics attach onto the 3-row coefficient frame
+    "q321_logistic_irls",
     "q123_psi_drift",  # 1-row time-span attach (cf. q100)
     "q124_woe_iv_binning",  # 1-row edge-vector + totals attaches
     "q125_tfidf_sparse_cosine",  # 1-row corpus-count attach (cf. q63)

@@ -202,6 +202,9 @@ TARGETS = (
     # map-side 1-row center attach + TakeOrdered(1); rounds are
     # constant, so the ratio should read the linear scan term
     "q320_kcenter_coreset",
+    # r12 (fourth batch): logistic IRLS — IRLS_STEPS constant map-side
+    # 9-term aggs; the ratio should read the feature-scan term
+    "q321_logistic_irls",
 )
 
 # Per-(target, scale) keyword overrides: the SemDeDup contract is that
