@@ -91,8 +91,14 @@ _ROTATION_HEAD = [
     "q319_padding_waste_audit",
     "q320_kcenter_coreset",
     # and the in-engine GLM trainer (logistic IRLS — the engine FITS
-    # the model: map-side sufficient statistics, 3x3 Newton solve):
+    # the model: map-side sufficient statistics, 3x3 Newton solve),
+    # and the weighted multiset-Jaccard verifier (rejects the
+    # repetition-inflated lookalikes set-Jaccard waves through):
     "q321_logistic_irls",
+    "q322_weighted_jaccard",
+    # and the worst-group disparity audit of the q321 model (shared
+    # IRLS fit, per-source accuracy/log-loss/gap + worst flag):
+    "q323_model_disparity_audit",
     # changed in round 12 — fresh rows prove parity held through the
     # changes (q75/q178: the PQ encode/LUT/ADC expressions extracted
     # into shared module-level helpers the IVM family and the
@@ -133,8 +139,6 @@ _ROTATION_HEAD = [
     "q42_dedup_simhash",
     "q43_ngram_jaccard",
     "q289_winnowing_fingerprints",
-    "q297_crossmodal_dup_consistency",
-    "q174_video_dhash_neardup",
 ]
 
 _ROTATION_TAIL = [

@@ -173,6 +173,12 @@ HEADLINE = [
     # the in-engine logistic trainer (3 map-side sufficient-statistic
     # passes + 1-row collects; model state = 3 doubles)
     "q321_logistic_irls",
+    # the weighted multiset-Jaccard verifier (anchor-blocked
+    # candidates x (doc, token)-keyed count joins, all integer)
+    "q322_weighted_jaccard",
+    # the worst-group disparity audit (q321's fit + one bounded
+    # per-source agg + TakeOrdered(1) worst pick)
+    "q323_model_disparity_audit",
 ]
 
 REPS = 3

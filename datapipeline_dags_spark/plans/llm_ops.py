@@ -14818,10 +14818,15 @@ _IRLS_DW = (
 )
 
 
-def _q321_oracle() -> str:
+def _irls_sql_prefix() -> str:
+    """The shared IRLS CTE chain: feats → wk0 → (p/s/wk)x{IRLS_STEPS}.
+    q321 (the trainer's report) and q323 (the per-source disparity
+    audit) both start from this prefix, so their fitted weights are
+    definitionally the same model."""
     steps = [
         """feats AS (
-      SELECT CASE WHEN lang = '{tgt}' THEN 1 ELSE 0 END AS y,
+      SELECT source,
+             CASE WHEN lang = '{tgt}' THEN 1 ELSE 0 END AS y,
              len(string_split(text, ' ')) / 100.0 AS x1,
              len(list_distinct(string_split(text, ' ')))
                / len(string_split(text, ' ')) AS x2
@@ -14854,10 +14859,13 @@ def _q321_oracle() -> str:
              b2 + {dws[2]} AS b2
       FROM s{t}, wk{t - 1})"""
         )
+    return "WITH " + ",\n    ".join(steps)
+
+
+def _q321_oracle() -> str:
     k = IRLS_STEPS
     return (
-        "WITH "
-        + ",\n    ".join(steps)
+        _irls_sql_prefix()
         + f""",
     pred AS (
       SELECT y, 1.0 / (1.0 + EXP(-(b0 + b1*x1 + b2*x2))) AS p
@@ -14892,6 +14900,62 @@ def _irls_update(w: list[float], s: dict) -> list[float]:
     return [w[0] + dw0, w[1] + dw1, w[2] + dw2]
 
 
+def _irls_featurize(docs: DataFrame, keep: tuple[str, ...] = ("source",)) -> DataFrame:
+    """THE single featurization both the batch trainer and the
+    streaming ``GlmMaintainer`` apply (one definition — maintained
+    feature state can never silently diverge from the batch model):
+    y = target-language label, x1 = tokens/100, x2 = distinct ratio."""
+    words = F.split(F.col("text"), " ")
+    return docs.select(
+        *keep,
+        F.when(F.col("lang") == IRLS_TARGET_LANG, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("y"),
+        (F.size(words) / F.lit(100.0)).alias("x1"),
+        (F.size(F.array_distinct(words)) / F.size(words)).alias("x2"),
+    )
+
+
+def _irls_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared (source, y, x1, x2) feature frame, checkpointed —
+    the Spark twin of the oracle prefix's ``feats`` CTE."""
+    docs = _fanout(spark, table(spark, sf_dir, "documents"))
+    return local_checkpoint(_irls_featurize(docs), "irls feature frame")
+
+
+def _irls_p(w: list[float]) -> Column:
+    """sigmoid(w·x) with the oracle's association order."""
+    z = F.lit(w[0]) + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2")
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+def _irls_fit(feats: DataFrame) -> list[float]:
+    """{IRLS_STEPS} Newton steps over the shared feature frame — each
+    one map-side sufficient-statistic agg + a 1-row gated collect +
+    the shared cofactor solve."""
+    w = [0.0, 0.0, 0.0]
+    for _ in range(IRLS_STEPS):
+        p = _irls_p(w)
+        r = p * (1 - p)
+        stats = bounded_collect(
+            feats.agg(
+                (F.sum(r) + F.lit(IRLS_RIDGE)).alias("a"),
+                F.sum(r * F.col("x1")).alias("b"),
+                F.sum(r * F.col("x2")).alias("c"),
+                (F.sum(r * F.col("x1") * F.col("x1")) + F.lit(IRLS_RIDGE)).alias("d"),
+                F.sum(r * F.col("x1") * F.col("x2")).alias("e"),
+                (F.sum(r * F.col("x2") * F.col("x2")) + F.lit(IRLS_RIDGE)).alias("f"),
+                F.sum(F.col("y") - p).alias("g1"),
+                F.sum((F.col("y") - p) * F.col("x1")).alias("g2"),
+                F.sum((F.col("y") - p) * F.col("x2")).alias("g3"),
+            ),
+            1,
+            "q321_irls_stats",
+        )[0].asDict()
+        w = _irls_update(w, stats)
+    return w
+
+
 @query("q321_logistic_irls", oracle=_q321_oracle())
 def q321_logistic_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-engine GLM training: logistic regression fit by {IRLS_STEPS}
@@ -14920,45 +14984,9 @@ def q321_logistic_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape: sufficient statistics reduce tree-style, the model state
     never exceeds 3 doubles.
     """
-    docs = _fanout(spark, table(spark, sf_dir, "documents"))
-    words = F.split(F.col("text"), " ")
-    feats = local_checkpoint(
-        docs.select(
-            F.when(F.col("lang") == IRLS_TARGET_LANG, F.lit(1))
-            .otherwise(F.lit(0))
-            .alias("y"),
-            (F.size(words) / F.lit(100.0)).alias("x1"),
-            (F.size(F.array_distinct(words)) / F.size(words)).alias("x2"),
-        ),
-        "q321 feature frame",
-    )
-
-    def _p(w: list[float]) -> Column:
-        z = F.lit(w[0]) + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2")
-        return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
-
-    w = [0.0, 0.0, 0.0]
-    for _ in range(IRLS_STEPS):
-        p = _p(w)
-        r = p * (1 - p)
-        stats = bounded_collect(
-            feats.agg(
-                (F.sum(r) + F.lit(IRLS_RIDGE)).alias("a"),
-                F.sum(r * F.col("x1")).alias("b"),
-                F.sum(r * F.col("x2")).alias("c"),
-                (F.sum(r * F.col("x1") * F.col("x1")) + F.lit(IRLS_RIDGE)).alias("d"),
-                F.sum(r * F.col("x1") * F.col("x2")).alias("e"),
-                (F.sum(r * F.col("x2") * F.col("x2")) + F.lit(IRLS_RIDGE)).alias("f"),
-                F.sum(F.col("y") - p).alias("g1"),
-                F.sum((F.col("y") - p) * F.col("x1")).alias("g2"),
-                F.sum((F.col("y") - p) * F.col("x2")).alias("g3"),
-            ),
-            1,
-            "q321_irls_stats",
-        )[0].asDict()
-        w = _irls_update(w, stats)
-
-    p = _p(w)
+    feats = _irls_feats(spark, sf_dir)
+    w = _irls_fit(feats)
+    p = _irls_p(w)
     met = feats.agg(
         F.sum(
             F.when((p >= 0.5) == (F.col("y") == 1), F.lit(1)).otherwise(
@@ -14987,3 +15015,244 @@ def q321_logistic_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
         "feature string, weight double",
     )
     return coef.crossJoin(F.broadcast(met))
+
+
+# ---------------------------------------------------------------------------
+# q322 — weighted (multiset) Jaccard verification
+# ---------------------------------------------------------------------------
+
+#: weighted-Jaccard acceptance threshold in micro-units (0.6 — the
+#: band where repetition-inflated lookalikes fall out but true
+#: near-dups at the fixture's >=0.9 mass overlap stay in)
+WJ_T_U = 600_000
+
+
+def _q322_oracle() -> str:
+    return f"""
+    WITH docs AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents),
+    anch_raw AS (SELECT doc_id,
+             unnest((list_sort(list_transform(sh, s -> md5(s))))[1:{ANCHOR_K}]) AS a
+             FROM docs),
+    anch AS (SELECT doc_id, a FROM anch_raw
+             QUALIFY row_number() OVER (PARTITION BY a
+                                        ORDER BY doc_id) <= {BUCKET_CAP}),
+    cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+             FROM anch x JOIN anch y ON x.a = y.a AND x.doc_id < y.doc_id),
+    tc AS (SELECT doc_id, w, COUNT(*) AS c FROM (
+             SELECT doc_id, unnest(string_split(text, ' ')) AS w
+             FROM documents) z GROUP BY 1, 2),
+    tot AS (SELECT doc_id, SUM(c) AS n FROM tc GROUP BY 1),
+    inter AS (
+      SELECT cand.doc_a, cand.doc_b, SUM(LEAST(ta.c, tb.c)) AS i
+      FROM cand JOIN tc ta ON ta.doc_id = cand.doc_a
+                JOIN tc tb ON tb.doc_id = cand.doc_b AND tb.w = ta.w
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           CAST(i AS BIGINT) AS inter_tokens,
+           CAST(i * 1000000 // (na.n + nb.n - i) AS BIGINT) AS wjaccard_u
+    FROM inter JOIN tot na ON doc_a = na.doc_id
+               JOIN tot nb ON doc_b = nb.doc_id
+    WHERE i * 1000000 // (na.n + nb.n - i) >= {WJ_T_U}
+    """
+
+
+@query("q322_weighted_jaccard", oracle=_q322_oracle())
+def q322_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted (multiset) Jaccard near-dup verification:
+    J_w = Σ_t min(cA_t, cB_t) / Σ_t max(cA_t, cB_t) over TOKEN
+    MULTIPLICITIES — the verification q43's distinct-set Jaccard
+    cannot express: a doc padded with a repeated filler token shares
+    almost the full distinct-shingle SET with its source (set-J ~ 1.0)
+    while barely half its token MASS matches (J_w ~ 0.5), so the
+    weighted cut rejects repetition-inflated lookalikes that set
+    semantics wave through (planted pytest pins exactly that pair,
+    plus a true near-dup that passes both).  Candidates come from
+    q69's bottom-{ANCHOR_K} MinHash anchor blocking (capped buckets,
+    observable counters) — never an all-pairs join.
+
+    Parity: everything is integer — token counts, LEAST fold, and one
+    BIGINT floor division to micro-units; Σ max falls out of the
+    multiset identity Σmax = nA + nB − Σmin, so only the intersection
+    aggregates.
+
+    Scale shape: the verification joins are (doc_id)- and
+    (doc_id, token)-keyed hash joins between the bounded candidate
+    pair table and the per-doc token-count frame (constant-width keys,
+    text never shuffles); candidate cardinality is governed by the
+    anchor-bucket cap exactly as in q69/q43.
+    """
+    docs = _fanout(spark, table(spark, sf_dir, "documents"))
+    sh = docs.select("doc_id", _shingles(F.col("text")).alias("sh"))
+    anchors = sh.select(
+        "doc_id",
+        F.explode(
+            F.slice(
+                F.array_sort(F.transform(F.col("sh"), lambda s: F.md5(s))),
+                1,
+                ANCHOR_K,
+            )
+        ).alias("a"),
+    )
+    ids = F.col("ids")
+    pair_structs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    bucketed = (
+        anchors.groupBy("a")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    cand = (
+        _cap_buckets(bucketed, "q322_weighted_jaccard", "ids")
+        .select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .distinct()
+    )
+    tc = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = tc.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    ta = tc.select(
+        F.col("doc_id").alias("doc_a"), "w", F.col("c").alias("ca")
+    )
+    tb = tc.select(
+        F.col("doc_id").alias("doc_b"), "w", F.col("c").alias("cb")
+    )
+    inter = (
+        cand.join(ta, "doc_a")
+        .join(tb, ["doc_b", "w"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.least("ca", "cb")).alias("i"))
+    )
+    na = tot.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = tot.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn(
+            "wjaccard_u", F.expr("i * 1000000 div (na + nb - i)")
+        )
+        .filter(F.col("wjaccard_u") >= WJ_T_U)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("i").cast("long").alias("inter_tokens"),
+            F.col("wjaccard_u").cast("long"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q323 — per-source model disparity audit (worst-group evaluation)
+# ---------------------------------------------------------------------------
+
+
+def _q323_oracle() -> str:
+    k = IRLS_STEPS
+    return (
+        _irls_sql_prefix()
+        + f""",
+    predq AS (
+      SELECT source, y, 1.0 / (1.0 + EXP(-(b0 + b1*x1 + b2*x2))) AS p
+      FROM feats, wk{k}),
+    per AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN (p >= 0.5) = (y = 1) THEN 1 ELSE 0 END)
+                    * 1000000 // COUNT(*) AS BIGINT) AS acc_u,
+             (ROUND(AVG(-(y*LN(p) + (1 - y)*LN(1 - p))), 4) + 0.0)
+               AS mean_nll
+      FROM predq GROUP BY source),
+    gmet AS (
+      SELECT (ROUND(AVG(-(y*LN(p) + (1 - y)*LN(1 - p))), 4) + 0.0)
+               AS gnll
+      FROM predq),
+    worst AS (
+      SELECT source AS worst_source FROM per
+      ORDER BY mean_nll DESC, source LIMIT 1)
+    SELECT per.source, per.n_docs, per.acc_u, per.mean_nll,
+           (ROUND(per.mean_nll - gmet.gnll, 4) + 0.0) AS nll_gap,
+           CAST(CASE WHEN per.source = worst.worst_source
+                THEN 1 ELSE 0 END AS BIGINT) AS is_worst
+    FROM per, gmet, worst"""
+    )
+
+
+@query("q323_model_disparity_audit", oracle=_q323_oracle())
+def q323_model_disparity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Worst-group evaluation of the q321 model: refit the SAME
+    logistic model (shared feature frame, shared IRLS solve — the
+    weights are definitionally q321's), then break the training metrics
+    out PER SOURCE: accuracy, mean log-loss, the gap to the corpus
+    log-loss, and the worst-group flag — the group-robustness audit
+    (the Group-DRO question: "which slice is this model failing?") a
+    curation stack runs before trusting a distilled quality model on a
+    new crawl; a source whose gap blows out is out-of-distribution for
+    the cheap model and must keep the expensive labeler.
+
+    Parity: the model is the shared IRLS prefix (one expression tree in
+    both engines); per-source accuracy is integer micro-units;
+    log-losses round at 4dp and the gap is a difference of the two
+    ROUNDED values (identical inputs in both engines); the worst pick
+    tie-breaks on source.
+
+    Scale shape: one extra |sources|-bounded hash agg and a
+    TakeOrdered(1) worst pick on top of q321's constant-pass training —
+    the audit costs one scan more than the fit, never a new shuffle
+    class.
+    """
+    feats = _irls_feats(spark, sf_dir)
+    w = _irls_fit(feats)
+    p = _irls_p(w)
+    nll = -(
+        F.col("y") * F.log(p)
+        + (F.lit(1) - F.col("y")) * F.log(F.lit(1.0) - p)
+    )
+    per = local_checkpoint(
+        feats.groupBy("source").agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(
+                F.when((p >= 0.5) == (F.col("y") == 1), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("ncorrect"),
+            dec(F.avg(nll), 4).alias("mean_nll"),
+        ).select(
+            "source",
+            "n_docs",
+            F.expr("CAST(ncorrect * 1000000 div n_docs AS BIGINT)").alias(
+                "acc_u"
+            ),
+            "mean_nll",
+        ),
+        "q323 per-source metrics",
+    )
+    glob = feats.agg(dec(F.avg(nll), 4).alias("gnll"))
+    worst = per.orderBy(F.col("mean_nll").desc(), "source").limit(1).select(
+        F.col("source").alias("worst_source")
+    )
+    return (
+        per.crossJoin(F.broadcast(glob))
+        .crossJoin(F.broadcast(worst))
+        .select(
+            "source",
+            "n_docs",
+            "acc_u",
+            "mean_nll",
+            dec(F.col("mean_nll") - F.col("gnll"), 4).alias("nll_gap"),
+            F.when(F.col("source") == F.col("worst_source"), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("is_worst"),
+        )
+    )

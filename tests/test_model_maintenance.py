@@ -1,0 +1,118 @@
+"""GlmMaintainer — streaming model maintenance contracts.
+
+Mirrors the index-maintainer test battery for the model family: state
+parity after insert ticks, delete retraction, delete→re-insert
+visibility, same-tick arrival+deletion, crash replay idempotence,
+compaction invariance, and fit parity with the batch q321 trainer at
+its 4-dp reporting precision.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datapipeline_dags_spark.catalog import table
+from datapipeline_dags_spark.plans import llm_ops
+from datapipeline_dags_spark.streaming.model_maintenance import GlmMaintainer
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture()
+def state(tmp_path):
+    return str(tmp_path / "state")
+
+
+def _docs(spark):
+    return table(spark, SF_DIR, "documents")
+
+
+def _w4(w):
+    return [round(x, 4) for x in w]
+
+
+def test_glm_state_and_fit_parity_after_inserts(spark, state):
+    docs = _docs(spark)
+    m = GlmMaintainer(spark, state)
+    b0 = docs.filter(F.col("doc_id") % 3 == 0)
+    b1 = docs.filter(F.col("doc_id") % 3 == 1)
+    b2 = docs.filter(F.col("doc_id") % 3 == 2)
+    for i, b in enumerate((b0, b1, b2)):
+        m.process_batch(b, i)
+    assert m.matches_full(2, docs)
+    # refit from state == batch q321 fit at reporting precision
+    batch_w = llm_ops._irls_fit(llm_ops._irls_feats(spark, SF_DIR))
+    assert _w4(m.fit(2)) == _w4(batch_w)
+
+
+def test_glm_delete_retraction_and_reinsert(spark, state):
+    docs = _docs(spark)
+    m = GlmMaintainer(spark, state)
+    m.process_batch(docs, 0)
+    dels = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id")
+    m.process_batch(docs.limit(0), 1, deletes=dels)
+    live = docs.join(dels, "doc_id", "anti")
+    assert m.matches_full(1, live)
+    # the refit is the fit of the REMAINING corpus
+    from datapipeline_dags_spark.checkpoint import local_checkpoint
+
+    live_w = llm_ops._irls_fit(
+        local_checkpoint(llm_ops._irls_featurize(live), "t live feats")
+    )
+    assert _w4(m.fit(1)) == _w4(live_w)
+    # re-insert at a later tick: visible again (version-scoped tombs)
+    back = docs.filter(F.col("doc_id") % 5 == 0)
+    m.process_batch(back, 2)
+    assert m.matches_full(2, docs)
+
+
+def test_glm_same_tick_arrival_and_deletion(spark, state):
+    docs = _docs(spark)
+    m = GlmMaintainer(spark, state)
+    m.process_batch(docs, 0)
+    newb = docs.limit(0)
+    dels = docs.filter(F.col("doc_id") < 10).select("doc_id")
+    # tick 1: nothing arrives, first 10 retract
+    m.process_batch(newb, 1, deletes=dels)
+    # tick 2: doc 3 arrives AND is deleted in the same tick — the
+    # version-scoped tombstone (v=2 >= row v=2) keeps it dead
+    doc3 = docs.filter(F.col("doc_id") == 3)
+    m.process_batch(doc3, 2, deletes=doc3.select("doc_id"))
+    live = docs.filter(F.col("doc_id") >= 10)
+    assert m.matches_full(2, live)
+
+
+def test_glm_crash_replay_idempotent(spark, state):
+    docs = _docs(spark)
+    m = GlmMaintainer(spark, state)
+    m.process_batch(docs.filter(F.col("doc_id") % 2 == 0), 0)
+    b1 = docs.filter(F.col("doc_id") % 2 == 1)
+    m.process_batch(b1, 1)
+    # crash before offset commit: the same batch id replays
+    m.process_batch(b1, 1)
+    assert m.matches_full(1, docs)
+
+
+def test_glm_compaction_preserves_fit(spark, state):
+    docs = _docs(spark)
+    m = GlmMaintainer(spark, state)
+    for i in range(4):
+        m.process_batch(docs.filter(F.col("doc_id") % 4 == i), i)
+    dels = docs.filter(F.col("doc_id") % 7 == 0).select("doc_id")
+    m.process_batch(docs.limit(0), 4, deletes=dels)
+    before = _w4(m.fit(4))
+    m.compact(4)
+    after = _w4(m.fit(4))
+    assert before == after
+    live = docs.join(dels, "doc_id", "anti")
+    assert m.matches_full(4, live)
+
+
+def test_glm_matches_full_detects_lost_rows(spark, state):
+    """The audit must FAIL when state and corpus disagree — feed it a
+    corpus containing a document the maintainer never saw."""
+    docs = _docs(spark)
+    m = GlmMaintainer(spark, state)
+    m.process_batch(docs.filter(F.col("doc_id") > 0), 0)
+    assert m.matches_full(0, docs.filter(F.col("doc_id") > 0))
+    assert not m.matches_full(0, docs)

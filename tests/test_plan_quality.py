@@ -364,6 +364,9 @@ NESTED_LOOP_OK = {
     "q317_kneser_ney_score",
     # 1-row trained-metrics attach onto the 3-row coefficient frame
     "q321_logistic_irls",
+    # 1-row global-nll + 1-row worst-pick attaches onto the bounded
+    # |sources|-row metrics frame
+    "q323_model_disparity_audit",
     "q123_psi_drift",  # 1-row time-span attach (cf. q100)
     "q124_woe_iv_binning",  # 1-row edge-vector + totals attaches
     "q125_tfidf_sparse_cosine",  # 1-row corpus-count attach (cf. q63)

@@ -205,6 +205,12 @@ TARGETS = (
     # r12 (fourth batch): logistic IRLS — IRLS_STEPS constant map-side
     # 9-term aggs; the ratio should read the feature-scan term
     "q321_logistic_irls",
+    # r12 (fourth batch): weighted Jaccard — q69's anchor blocking +
+    # (doc, token)-keyed count joins on the bounded candidate table
+    "q322_weighted_jaccard",
+    # r12 (fourth batch): the disparity audit — q321's constant-pass
+    # fit + one |sources|-bounded agg + TakeOrdered(1)
+    "q323_model_disparity_audit",
 )
 
 # Per-(target, scale) keyword overrides: the SemDeDup contract is that
