@@ -97,8 +97,11 @@ _ROTATION_HEAD = [
     "q321_logistic_irls",
     "q322_weighted_jaccard",
     # and the worst-group disparity audit of the q321 model (shared
-    # IRLS fit, per-source accuracy/log-loss/gap + worst flag):
+    # IRLS fit, per-source accuracy/log-loss/gap + worst flag),
+    # and the held-out perplexity contamination screen (the fourth
+    # decontamination modality: statistical LM):
     "q323_model_disparity_audit",
+    "q324_perplexity_contamination",
     # changed in round 12 — fresh rows prove parity held through the
     # changes (q75/q178: the PQ encode/LUT/ADC expressions extracted
     # into shared module-level helpers the IVM family and the
@@ -138,7 +141,6 @@ _ROTATION_HEAD = [
     "q41_dedup_minhash_lsh",
     "q42_dedup_simhash",
     "q43_ngram_jaccard",
-    "q289_winnowing_fingerprints",
 ]
 
 _ROTATION_TAIL = [

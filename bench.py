@@ -179,6 +179,9 @@ HEADLINE = [
     # the worst-group disparity audit (q321's fit + one bounded
     # per-source agg + TakeOrdered(1) worst pick)
     "q323_model_disparity_audit",
+    # the held-out perplexity contamination screen (train-split LM
+    # counts + token-keyed eval scoring joins, q121's shuffle classes)
+    "q324_perplexity_contamination",
 ]
 
 REPS = 3

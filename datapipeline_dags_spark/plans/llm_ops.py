@@ -15256,3 +15256,161 @@ def q323_model_disparity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("is_worst"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q324 — held-out perplexity contamination screen
+# ---------------------------------------------------------------------------
+
+#: an eval doc whose mean NLL is below this fraction of the TRAIN
+#: corpus's own mean NLL reads as "memorized" — the leak suspicion cut
+LEAK_FRAC = 0.75
+
+#: add-alpha smoothing mass — LIGHT (0.01, the kenlm-style regime),
+#: because add-1 over a web-scale vocabulary flattens every
+#: probability toward 1/V and erases the very predictability gap the
+#: screen measures (both engines parse the literal to the same double)
+LM_ALPHA = 0.01
+
+
+def _q324_oracle() -> str:
+    b = f"('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % {EVAL_MOD}"
+    lam, oml, al = LM_LAMBDA, 1 - LM_LAMBDA, LM_ALPHA
+    p = (
+        f"({lam} * ((COALESCE(bc.cab, 0) + {al}) / "
+        f"(COALESCE(ua.c, 0) + {al} * v.v)) "
+        f"+ {oml} * ((COALESCE(ub.c, 0) + {al}) / (t.t + {al} * v.v)))"
+    )
+    return f"""
+    WITH tagged AS (SELECT doc_id, text, {b} = 0 AS is_eval FROM documents),
+    w AS (SELECT doc_id, is_eval, string_split(text, ' ') AS words FROM tagged),
+    db AS (SELECT doc_id, is_eval, words[i] AS a, words[i+1] AS b
+           FROM w, unnest(generate_series(1, len(words) - 1)) s(i)),
+    uni AS (SELECT tok, COUNT(*) AS c FROM (
+              SELECT unnest(words) AS tok FROM w WHERE NOT is_eval) z
+            GROUP BY tok),
+    t AS (SELECT SUM(c) AS t FROM uni),
+    v AS (SELECT COUNT(*) AS v FROM uni),
+    bcnt AS (SELECT a, b, COUNT(*) AS cab FROM db
+             WHERE NOT is_eval GROUP BY a, b),
+    scored AS (
+      SELECT db.doc_id, db.is_eval, -log2({p}) AS nll,
+             CASE WHEN bc.cab IS NULL THEN 1 ELSE 0 END AS oov
+      FROM db LEFT JOIN bcnt bc ON db.a = bc.a AND db.b = bc.b
+              LEFT JOIN uni ua ON db.a = ua.tok
+              LEFT JOIN uni ub ON db.b = ub.tok, t, v),
+    ref AS (SELECT (ROUND(AVG(nll), 4) + 0.0) AS train_nll
+            FROM scored WHERE NOT is_eval)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(oov) AS BIGINT) AS n_oov_bigrams,
+           (ROUND(AVG(nll), 4) + 0.0) AS mean_nll_bits,
+           CAST(CASE WHEN ROUND(AVG(nll), 4) < {LEAK_FRAC} * ref.train_nll
+                THEN 1 ELSE 0 END AS BIGINT) AS leak_flag
+    FROM scored, ref WHERE is_eval GROUP BY doc_id, ref.train_nll
+    """
+
+
+@query("q324_perplexity_contamination", oracle=_q324_oracle())
+def q324_perplexity_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out perplexity contamination screen: train the bigram LM
+    on the TRAIN split only (q148's md5-bucket rule, add-{LM_ALPHA}
+    smoothing over the train vocabulary so OOV eval bigrams stay
+    finite WITHOUT flattening the predictability gap), score every
+    EVAL document, and flag docs whose mean NLL is anomalously BELOW
+    the train corpus's own mean — a held-out document the train-split
+    model predicts better than its own training text is the
+    statistical signature of leakage, catching paraphrased
+    contamination that q95's exact 13-gram overlap misses and q303's
+    embedding screen only sees if the encoder does.  The fourth
+    decontamination modality (exact n-gram q95 / LSH q109 / semantic
+    q303 / statistical LM q324).  ``n_oov_bigrams`` counts eval
+    bigrams unseen in train — the coverage denominator a reviewer
+    reads next to the flag.
+
+    Parity: add-alpha-smoothed JM interpolation written in the same
+    association order in both engines; the unordered float means pin
+    at the 4-dp round (q121's discipline); the leak cut compares the
+    ROUNDED doc score against {LEAK_FRAC} x the ROUNDED train mean.
+
+    Scale shape: train counts are token-keyed hash aggs; eval scoring
+    joins on (a, b)/token keys with constant-width keys; the train
+    reference is a 1-row broadcast attach; output is |eval split|
+    rows.  Identical shuffle classes to q121 — the split tag rides
+    the scan.
+    """
+    docs = _fanout(spark, table(spark, sf_dir, "documents"))
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("bigint") % EVAL_MOD
+    words = F.split(F.col("text"), " ")
+    w = docs.select(
+        "doc_id", (bucket == 0).alias("is_eval"), words.alias("words")
+    )
+    n1 = F.size(F.col("words")) - 1
+    pairs = F.zip_with(
+        F.slice(F.col("words"), 1, n1),
+        F.slice(F.col("words"), 2, n1),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+    )
+    db = w.select("doc_id", "is_eval", F.explode(pairs).alias("p")).select(
+        "doc_id", "is_eval", "p.a", "p.b"
+    )
+    train_toks = w.filter(~F.col("is_eval")).select(
+        F.explode("words").alias("tok")
+    )
+    uni = train_toks.groupBy("tok").agg(F.count("*").alias("c"))
+    tv = uni.agg(
+        F.sum("c").alias("t"), F.count("*").alias("v")
+    )
+    bcnt = (
+        db.filter(~F.col("is_eval"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("cab"))
+    )
+    ua = uni.select(F.col("tok").alias("a"), F.col("c").alias("ca"))
+    ub = uni.select(F.col("tok").alias("b"), F.col("c").alias("cb"))
+    lam, al = F.lit(LM_LAMBDA), F.lit(LM_ALPHA)
+    prob = lam * (
+        (F.coalesce(F.col("cab"), F.lit(0)) + al)
+        / (F.coalesce(F.col("ca"), F.lit(0)) + al * F.col("v"))
+    ) + F.lit(1 - LM_LAMBDA) * (
+        (F.coalesce(F.col("cb"), F.lit(0)) + al) / (F.col("t") + al * F.col("v"))
+    )
+    scored = local_checkpoint(
+        db.join(bcnt, ["a", "b"], "left")
+        .join(ua, "a", "left")
+        .join(ub, "b", "left")
+        .crossJoin(F.broadcast(tv))
+        .select(
+            "doc_id",
+            "is_eval",
+            (-F.log2(prob)).alias("nll"),
+            F.when(F.col("cab").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("oov"),
+        ),
+        "q324 scored bigrams",
+    )
+    ref = scored.filter(~F.col("is_eval")).agg(
+        dec(F.avg("nll"), 4).alias("train_nll")
+    )
+    return (
+        scored.filter(F.col("is_eval"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum("oov").cast("long").alias("n_oov_bigrams"),
+            dec(F.avg("nll"), 4).alias("mean_nll_bits"),
+        )
+        .crossJoin(F.broadcast(ref))
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "n_oov_bigrams",
+            "mean_nll_bits",
+            F.when(
+                F.col("mean_nll_bits") < F.lit(LEAK_FRAC) * F.col("train_nll"),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("leak_flag"),
+        )
+    )

@@ -116,3 +116,28 @@ def test_glm_matches_full_detects_lost_rows(spark, state):
     m.process_batch(docs.filter(F.col("doc_id") > 0), 0)
     assert m.matches_full(0, docs.filter(F.col("doc_id") > 0))
     assert not m.matches_full(0, docs)
+
+
+def test_glm_joins_manifest_lifecycle(spark, state, tmp_path):
+    """The model family composed into the deletion lifecycle: index
+    the full corpus, apply the q298 dedup deletion manifest as
+    tombstones, and the REFIT model equals a batch q321 fit over the
+    retained corpus (state row-parity exact; weights at the 4-dp
+    reporting precision) — model freshness flows through the same
+    manifest the serving indexes consume, no re-featurization."""
+    from datapipeline_dags_spark.checkpoint import local_checkpoint
+
+    docs = _docs(spark)
+    manifest = llm_ops.q298_dedup_deletion_manifest(spark, SF_DIR).select(
+        F.col("drop_doc_id").alias("doc_id")
+    )
+    assert manifest.count() > 0
+    m = GlmMaintainer(spark, state)
+    m.process_batch(docs, 0)
+    m.process_batch(docs.limit(0), 1, deletes=manifest)
+    retained = docs.join(manifest, "doc_id", "left_anti")
+    assert m.matches_full(1, retained)
+    want = llm_ops._irls_fit(
+        local_checkpoint(llm_ops._irls_featurize(retained), "t retained feats")
+    )
+    assert _w4(m.fit(1)) == _w4(want)

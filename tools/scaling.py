@@ -211,6 +211,9 @@ TARGETS = (
     # r12 (fourth batch): the disparity audit — q321's constant-pass
     # fit + one |sources|-bounded agg + TakeOrdered(1)
     "q323_model_disparity_audit",
+    # r12 (fourth batch): held-out perplexity screen — train-split
+    # count aggs + (a,b)-keyed eval scoring joins (the q121 shape)
+    "q324_perplexity_contamination",
 )
 
 # Per-(target, scale) keyword overrides: the SemDeDup contract is that
