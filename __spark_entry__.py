@@ -102,6 +102,9 @@ _ROTATION_HEAD = [
     # decontamination modality: statistical LM):
     "q323_model_disparity_audit",
     "q324_perplexity_contamination",
+    # and personalized-PageRank seed expansion over the doc graph
+    # (integer fixed-point, collected/distributed route parity):
+    "q325_ppr_seed_expansion",
     # changed in round 12 — fresh rows prove parity held through the
     # changes (q75/q178: the PQ encode/LUT/ADC expressions extracted
     # into shared module-level helpers the IVM family and the
@@ -140,7 +143,6 @@ _ROTATION_HEAD = [
     "q45_ann_topk_bruteforce",
     "q41_dedup_minhash_lsh",
     "q42_dedup_simhash",
-    "q43_ngram_jaccard",
 ]
 
 _ROTATION_TAIL = [

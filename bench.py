@@ -182,6 +182,9 @@ HEADLINE = [
     # the held-out perplexity contamination screen (train-split LM
     # counts + token-keyed eval scoring joins, q121's shuffle classes)
     "q324_perplexity_contamination",
+    # personalized-PageRank seed expansion (q69's anchor graph +
+    # q183's gated integer power iterations, seed-restart vector)
+    "q325_ppr_seed_expansion",
 ]
 
 REPS = 3

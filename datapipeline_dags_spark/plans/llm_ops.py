@@ -15414,3 +15414,238 @@ def q324_perplexity_contamination(spark: SparkSession, sf_dir: str) -> DataFrame
             .alias("leak_flag"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q325 — seed-set expansion via personalized PageRank (integer)
+# ---------------------------------------------------------------------------
+
+PPR_ITERS = 5
+PPR_SCALE = 1_000_000  # fixed-point unit: rank 1.0 == 1e6 units
+PPR_DAMP_NUM, PPR_DAMP_DEN = 85, 100
+PPR_NSEEDS = 8  # the curated seed set: the 8 smallest doc ids in graph
+
+#: restart numerator: (1-damping) * SCALE, exact integer (= 150000)
+PPR_SEED_NUM = PPR_SCALE * (PPR_DAMP_DEN - PPR_DAMP_NUM) // PPR_DAMP_DEN
+
+#: under this edge count the power iterations solve driver-side in
+#: numpy int64 (the q183 collect-and-solve lever); gate pinned above
+#: the x10 fixture's edge cardinality in tests/test_route_gates.py
+PPR_COLLECT_EDGES = 2_000_000
+
+
+def _ppr_collected_solve(spark: SparkSession, shares) -> DataFrame:
+    """Driver-side PPR over the collected (src, dst, deg) symmetric
+    edges — identical floor-division fixed-point arithmetic to the
+    distributed loop and the SQL oracle (all operands nonnegative
+    int64), bit-identical ranks (the q183 _pr_collected_solve idiom
+    with a seed-concentrated restart vector)."""
+    import numpy as np
+
+    pdf = shares.toPandas()
+    src = pdf["src"].to_numpy(np.int64)
+    dst = pdf["dst"].to_numpy(np.int64)
+    deg = pdf["deg"].to_numpy(np.int64)
+    nodes = np.unique(src)
+    si = np.searchsorted(nodes, src)
+    di = np.searchsorted(nodes, dst)
+    n = len(nodes)
+    seed_base = (PPR_SEED_NUM * n) // PPR_NSEEDS
+    sb = np.zeros(n, np.int64)
+    sb[: min(PPR_NSEEDS, n)] = seed_base  # np.unique is sorted
+    r = sb.copy()
+    for _ in range(PPR_ITERS):
+        inflow = np.zeros(n, np.int64)
+        np.add.at(inflow, di, r[si] // deg)
+        r = sb + (PPR_DAMP_NUM * inflow) // PPR_DAMP_DEN
+    return spark.createDataFrame(
+        [
+            (int(nd), int(v), int(1 if s > 0 else 0))
+            for nd, v, s in zip(nodes, r, sb)
+        ],
+        schema="doc_id bigint, ppr_units bigint, is_seed bigint",
+    )
+
+
+def _q325_oracle() -> str:
+    prev = "pr0"
+    iters = []
+    for k in range(1, PPR_ITERS + 1):
+        iters.append(f"""
+    pr{k} AS (
+      SELECT sv.node,
+             CAST(sv.sb + ({PPR_DAMP_NUM} * COALESCE(i.inflow, 0))
+                  // {PPR_DAMP_DEN} AS BIGINT) AS r
+      FROM sv LEFT JOIN (
+        SELECT s.dst AS node, SUM(p.r // dg.deg) AS inflow
+        FROM sym s
+        JOIN {prev} p ON p.node = s.src
+        JOIN deg dg ON dg.node = s.src
+        GROUP BY 1) i ON i.node = sv.node)""")
+        prev = f"pr{k}"
+    return f"""
+    WITH docs AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents),
+    anch_raw AS (SELECT doc_id,
+             unnest((list_sort(list_transform(sh, s -> md5(s))))[1:{ANCHOR_K}]) AS a
+             FROM docs),
+    anch AS (SELECT doc_id, a FROM anch_raw
+             QUALIFY row_number() OVER (PARTITION BY a
+                                        ORDER BY doc_id) <= {BUCKET_CAP}),
+    e AS (SELECT DISTINCT x.doc_id AS src, y.doc_id AS dst
+          FROM anch x JOIN anch y ON x.a = y.a AND x.doc_id < y.doc_id),
+    sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+    nodes AS (SELECT DISTINCT src AS node FROM sym),
+    deg AS (SELECT src AS node, COUNT(*) AS deg FROM sym GROUP BY 1),
+    cnt AS (SELECT COUNT(*) AS n FROM nodes),
+    seeds AS (SELECT node FROM nodes ORDER BY node LIMIT {PPR_NSEEDS}),
+    sv AS (SELECT nd.node,
+                  CASE WHEN s.node IS NOT NULL
+                       THEN ({PPR_SEED_NUM} * (SELECT n FROM cnt))
+                              // {PPR_NSEEDS}
+                       ELSE 0 END AS sb
+           FROM nodes nd LEFT JOIN seeds s ON nd.node = s.node),
+    pr0 AS (SELECT node, CAST(sb AS BIGINT) AS r FROM sv),
+    {','.join(iters)}
+    SELECT p.node AS doc_id, p.r AS ppr_units,
+           CAST(CASE WHEN sv.sb > 0 THEN 1 ELSE 0 END AS BIGINT) AS is_seed
+    FROM {prev} p JOIN sv ON p.node = sv.node
+    """
+
+
+@query("q325_ppr_seed_expansion", oracle=_q325_oracle())
+def q325_ppr_seed_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seed-set EXPANSION via personalized PageRank: {PPR_ITERS} power
+    iterations over q69's anchor-blocked document similarity graph
+    with the restart mass concentrated on a {PPR_NSEEDS}-doc seed set
+    — the "grow a curated seed corpus by graph proximity" selector
+    (seed-based data selection: rank the whole graph by proximity to
+    trusted exemplars), which q183's global PageRank cannot express
+    (its restart is uniform — centrality, not relevance-to-seeds) and
+    q96/q303's embedding screens only approximate when the similarity
+    signal is lexical.
+
+    Everything runs in INTEGER fixed-point (the q183 discipline):
+    restart = {PPR_SEED_NUM}·n/{PPR_NSEEDS} units on each seed and 0
+    elsewhere, each node ships floor(r/deg) along every edge, damped
+    update floors at {PPR_DAMP_NUM}/{PPR_DAMP_DEN} — integer sums are
+    order-independent, so ranks are bit-identical across engines and
+    across the collected/distributed routes.
+
+    Scale shape: the edge build is q69's capped anchor blocking;
+    under PPR_COLLECT_EDGES the iterations solve driver-side in numpy
+    int64 (one collect, the q183/q221 lever); above it each round is
+    ONE node-keyed join + ONE hash agg with two-round localCheckpoint
+    cadence; output is |docs in the graph| rows either way.
+    """
+    docs = _fanout(spark, table(spark, sf_dir, "documents"))
+    sh = docs.select("doc_id", _shingles(F.col("text")).alias("sh"))
+    anchors = sh.select(
+        "doc_id",
+        F.explode(
+            F.slice(
+                F.array_sort(F.transform(F.col("sh"), lambda s: F.md5(s))),
+                1,
+                ANCHOR_K,
+            )
+        ).alias("a"),
+    )
+    ids = F.col("ids")
+    pair_structs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("src"), y.alias("dst")),
+            ),
+        )
+    )
+    bucketed = (
+        anchors.groupBy("a")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    edges = (
+        _cap_buckets(bucketed, "q325_ppr_seed_expansion", "ids")
+        .select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.src").alias("src"), F.col("p.dst").alias("dst"))
+        .distinct()
+    )
+    sym = edges.unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("deg")
+    )
+    shares = local_checkpoint(
+        sym.join(deg, sym.src == deg.node).select("src", "dst", "deg"),
+        "q325 degree-weighted edges",
+    )
+
+    def _distributed(shr: DataFrame) -> DataFrame:
+        nodes = deg.select("node").persist()
+        n = nodes.count()
+        seed_base = (PPR_SEED_NUM * n) // PPR_NSEEDS
+        seeds = [
+            r["node"]
+            for r in bounded_collect(
+                nodes.orderBy("node").limit(PPR_NSEEDS),
+                PPR_NSEEDS,
+                "q325_ppr_seeds",
+            )
+        ]
+        sv = local_checkpoint(
+            nodes.select(
+                "node",
+                F.when(F.col("node").isin(seeds), F.lit(seed_base))
+                .otherwise(F.lit(0))
+                .cast("long")
+                .alias("sb"),
+            ),
+            "q325 restart vector",
+        )
+        cur = sv.select("node", F.col("sb").alias("r"))
+        for i in range(PPR_ITERS):
+            inflow = (
+                shr.join(cur, shr.src == cur.node)
+                .select(
+                    F.col("dst").alias("node"),
+                    F.expr("r div deg").alias("share"),
+                )
+                .groupBy("node")
+                .agg(F.sum("share").alias("inflow"))
+            )
+            nxt = sv.join(inflow, "node", "left").select(
+                "node",
+                "sb",
+                (
+                    F.col("sb")
+                    + F.expr(
+                        f"({PPR_DAMP_NUM} * coalesce(inflow, 0)) "
+                        f"div {PPR_DAMP_DEN}"
+                    )
+                )
+                .cast("long")
+                .alias("r"),
+            )
+            cur = (
+                local_checkpoint(nxt, "q325 ppr round")
+                if i % 2 == 1 or i == PPR_ITERS - 1
+                else nxt
+            )
+        nodes.unpersist()
+        return cur.select(
+            F.col("node").alias("doc_id"),
+            F.col("r").alias("ppr_units"),
+            F.when(F.col("sb") > 0, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("is_seed"),
+        )
+
+    return collect_and_solve(
+        shares,
+        PPR_COLLECT_EDGES,
+        "q325_ppr_seed_expansion",
+        lambda shr: _ppr_collected_solve(spark, shr),
+        _distributed,
+    )

@@ -26,6 +26,7 @@ GATED = {
     "q225_greedy_set_cover": (mining, "SC_COLLECT_TOKENS", 2_507_040),
     "q294_hits_hubs_authorities": (llm_ops, "HITS_COLLECT_EDGES", 5_993_510),
     "q316_source_acquisition_order": (llm_ops, "ACQ_COLLECT_TOKENS", 2_503_880),
+    "q325_ppr_seed_expansion": (llm_ops, "PPR_COLLECT_EDGES", 6_326),
 }
 
 

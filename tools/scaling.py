@@ -214,6 +214,9 @@ TARGETS = (
     # r12 (fourth batch): held-out perplexity screen — train-split
     # count aggs + (a,b)-keyed eval scoring joins (the q121 shape)
     "q324_perplexity_contamination",
+    # r12 (fourth batch): PPR seed expansion — q69's capped anchor
+    # blocking + the q183 collect-and-solve iteration lever
+    "q325_ppr_seed_expansion",
 )
 
 # Per-(target, scale) keyword overrides: the SemDeDup contract is that
