@@ -112,6 +112,19 @@ class GlmMaintainer:
             k,
         )
 
+    @staticmethod
+    def drift_u(w_old: list[float], w_new: list[float]) -> int:
+        """Coefficient drift between two fits in integer micro-units
+        (max absolute per-coefficient delta x 1e6, rounded) — the
+        q306-for-models: a tick whose refit moves any coefficient past
+        the caller's threshold is the retrain/rollback alarm (benign
+        churn moves coefficients marginally; a poisoned or
+        regime-shifted batch moves them by orders of magnitude —
+        pinned by the drive test)."""
+        return max(
+            int(round(abs(a - b) * 1_000_000)) for a, b in zip(w_old, w_new)
+        )
+
     def matches_full(self, batch_id: int, all_docs: DataFrame) -> bool:
         """The IVM audit: maintained live feature rows must equal a
         from-scratch featurization of every LIVE document, row for row

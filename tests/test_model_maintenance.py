@@ -141,3 +141,36 @@ def test_glm_joins_manifest_lifecycle(spark, state, tmp_path):
         local_checkpoint(llm_ops._irls_featurize(retained), "t retained feats")
     )
     assert _w4(m.fit(1)) == _w4(want)
+
+
+def test_glm_drift_alarm_separates_benign_from_poisoned(spark, state):
+    """The q306-for-models: benign churn (a delete-and-reinsert of a
+    random slice) barely moves the refit, while a poisoned tick (a
+    large batch with the label pattern INVERTED) moves coefficients by
+    orders of magnitude more — the drift monitor separates the two."""
+    docs = _docs(spark)
+    m = GlmMaintainer(spark, state)
+    m.process_batch(docs, 0)
+    w0 = m.fit(0)
+    # benign tick: re-crawl of an existing slice (delete + re-insert)
+    slice_ = docs.filter(F.col("doc_id") % 11 == 0)
+    m.process_batch(slice_, 1, deletes=slice_.select("doc_id"))
+    m.process_batch(slice_, 2)
+    w_benign = m.fit(2)
+    benign = GlmMaintainer.drift_u(w0, w_benign)
+    # poisoned tick: a same-sized corpus with length-label INVERTED
+    # (long docs tagged non-target) lands as new ids
+    inverted = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        "text",
+        F.when(F.col("lang") == llm_ops.IRLS_TARGET_LANG, F.lit("zz"))
+        .otherwise(F.lit(llm_ops.IRLS_TARGET_LANG))
+        .alias("lang"),
+        "source",
+        "n_chars",
+    )
+    m.process_batch(inverted, 3)
+    w_poisoned = m.fit(3)
+    poisoned = GlmMaintainer.drift_u(w0, w_poisoned)
+    assert benign < poisoned
+    assert poisoned > 10 * max(benign, 1)
