@@ -14712,7 +14712,8 @@ def _q320_oracle() -> str:
         rows.append(
             f"SELECT CAST({r} AS BIGINT) AS pick_rank, "
             f"(SELECT vec_id FROM c{r}) AS vec_id, "
-            f"(SELECT mind FROM t{r}) AS radius_u"
+            f"(SELECT mind FROM t{r}) AS radius_u "
+            f"WHERE {r} <= (SELECT COUNT(*) FROM emb)"
         )
     return (
         "WITH emb AS (SELECT vec_id, embedding FROM embeddings),\n"
@@ -14738,8 +14739,9 @@ def q320_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Parity: distances are integer micro-units (1e6 − the q116-rounded
     cosine), LEAST-folded per round; pick ties break on vec_id; the
-    oracle unrolls the same {KCENTER_K} rounds.  The monotone
-    non-increasing radius is pinned by pytest.
+    oracle unrolls the same {KCENTER_K} rounds and guards each output
+    row at min(k, n), matching the loop's early stop on a sub-k
+    corpus.  The monotone non-increasing radius is pinned by pytest.
 
     Scale shape: the state is one (vec_id, embedding, mind) frame,
     localCheckpointed per round so lineage stays flat; each round is
@@ -14887,6 +14889,17 @@ def _q321_oracle() -> str:
     )
 
 
+def _round_half_away(x: float, nd: int = 4) -> float:
+    """Half-AWAY-from-zero rounding for driver-side floats that must
+    hash-match the oracle's ROUND(): Python's round() is half-to-even,
+    so an exact binary-representable 4-dp tie (any odd multiple of
+    2^-5, e.g. 0.03125) rounds DOWN in Python and UP in both engines'
+    SQL ROUND — the one rounding-mode mismatch in the dec() parity
+    discipline (caught in the r12 self-review)."""
+    q = math.floor(abs(x) * 10**nd + 0.5) / 10**nd
+    return math.copysign(q, x)
+
+
 def _irls_update(w: list[float], s: dict) -> list[float]:
     """One Newton step from the collected sufficient statistics —
     evaluates the SAME cofactor expressions as the oracle's wk CTE
@@ -15011,7 +15024,7 @@ def q321_logistic_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     names = ["intercept", "tokens_per_100", "distinct_ratio"]
     coef = spark.createDataFrame(
-        [(n, float(round(wi, 4))) for n, wi in zip(names, w)],
+        [(n, _round_half_away(wi)) for n, wi in zip(names, w)],
         "feature string, weight double",
     )
     return coef.crossJoin(F.broadcast(met))

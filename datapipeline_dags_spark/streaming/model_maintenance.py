@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from datapipeline_dags_spark.checkpoint import local_checkpoint
 from datapipeline_dags_spark.plans.llm_ops import (
     IRLS_STEPS,
     _irls_featurize,
@@ -93,8 +94,13 @@ class GlmMaintainer:
     def fit(self, batch_id: int) -> list[float]:
         """Refit the GLM over the live state — {IRLS_STEPS} constant
         map-side passes over O(live corpus) compact feature rows; the
-        model state in flight is 3 doubles."""
-        return _irls_fit(self.feats(batch_id))
+        model state in flight is 3 doubles.  The live-delta frame is
+        checkpointed ONCE so the delta-union + tombstone anti-join is
+        not re-executed per IRLS pass (the batch path's _irls_feats
+        contract)."""
+        return _irls_fit(
+            local_checkpoint(self.feats(batch_id), "glm live feats")
+        )
 
     def compact(self, batch_id: int) -> None:
         """Fold deltas strictly before ``batch_id`` (the index
