@@ -1511,6 +1511,50 @@ ANCHOR_K = 4  # bottom-k md5(shingle) anchors emitted per document
 CC_MAX_ITERS = 20  # label propagation rounds before declaring non-convergence
 
 
+def _anchor_pair_candidates(docs: DataFrame, cap_name: str) -> DataFrame:
+    """q69's bottom-{ANCHOR_K} MinHash anchor blocking as a reusable
+    candidate generator: the distinct (doc_a < doc_b) pair frame of
+    documents sharing ANY anchor, buckets capped through
+    ``_cap_buckets`` under ``cap_name``'s observable counters.  The
+    SQL twin is the docs/anch_raw/anch/cand CTE block the q322/q325
+    oracles inline.  (``docs`` = the raw documents frame; shingling
+    happens here so every consumer blocks on the SAME unit.)"""
+    sh = docs.select("doc_id", _shingles(F.col("text")).alias("sh"))
+    anchors = sh.select(
+        "doc_id",
+        F.explode(
+            F.slice(
+                F.array_sort(F.transform(F.col("sh"), lambda s: F.md5(s))),
+                1,
+                ANCHOR_K,
+            )
+        ).alias("a"),
+    )
+    ids = F.col("ids")
+    pair_structs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    bucketed = (
+        anchors.groupBy("a")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    return (
+        _cap_buckets(bucketed, cap_name, "ids")
+        .select(F.explode(pair_structs).alias("p"))
+        .select(
+            F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
 def _q69_oracle() -> str:
     return f"""
     WITH RECURSIVE
@@ -15095,38 +15139,7 @@ def q322_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     anchor-bucket cap exactly as in q69/q43.
     """
     docs = _fanout(spark, table(spark, sf_dir, "documents"))
-    sh = docs.select("doc_id", _shingles(F.col("text")).alias("sh"))
-    anchors = sh.select(
-        "doc_id",
-        F.explode(
-            F.slice(
-                F.array_sort(F.transform(F.col("sh"), lambda s: F.md5(s))),
-                1,
-                ANCHOR_K,
-            )
-        ).alias("a"),
-    )
-    ids = F.col("ids")
-    pair_structs = F.flatten(
-        F.transform(
-            ids,
-            lambda x, i: F.transform(
-                F.slice(ids, i + 2, F.size(ids)),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
-    )
-    bucketed = (
-        anchors.groupBy("a")
-        .agg(F.collect_list("doc_id").alias("ids"))
-        .filter(F.size("ids") >= 2)
-    )
-    cand = (
-        _cap_buckets(bucketed, "q322_weighted_jaccard", "ids")
-        .select(F.explode(pair_structs).alias("p"))
-        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
-        .distinct()
-    )
+    cand = _anchor_pair_candidates(docs, "q322_weighted_jaccard")
     tc = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
         .groupBy("doc_id", "w")
@@ -15551,37 +15564,8 @@ def q325_ppr_seed_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     cadence; output is |docs in the graph| rows either way.
     """
     docs = _fanout(spark, table(spark, sf_dir, "documents"))
-    sh = docs.select("doc_id", _shingles(F.col("text")).alias("sh"))
-    anchors = sh.select(
-        "doc_id",
-        F.explode(
-            F.slice(
-                F.array_sort(F.transform(F.col("sh"), lambda s: F.md5(s))),
-                1,
-                ANCHOR_K,
-            )
-        ).alias("a"),
-    )
-    ids = F.col("ids")
-    pair_structs = F.flatten(
-        F.transform(
-            ids,
-            lambda x, i: F.transform(
-                F.slice(ids, i + 2, F.size(ids)),
-                lambda y: F.struct(x.alias("src"), y.alias("dst")),
-            ),
-        )
-    )
-    bucketed = (
-        anchors.groupBy("a")
-        .agg(F.collect_list("doc_id").alias("ids"))
-        .filter(F.size("ids") >= 2)
-    )
-    edges = (
-        _cap_buckets(bucketed, "q325_ppr_seed_expansion", "ids")
-        .select(F.explode(pair_structs).alias("p"))
-        .select(F.col("p.src").alias("src"), F.col("p.dst").alias("dst"))
-        .distinct()
+    edges = _anchor_pair_candidates(docs, "q325_ppr_seed_expansion").select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
     sym = edges.unionAll(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
