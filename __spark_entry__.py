@@ -103,8 +103,11 @@ _ROTATION_HEAD = [
     "q323_model_disparity_audit",
     "q324_perplexity_contamination",
     # and personalized-PageRank seed expansion over the doc graph
-    # (integer fixed-point, collected/distributed route parity):
+    # (integer fixed-point, collected/distributed route parity),
+    # and per-source group influence on the q321 model (the
+    # Koh & Liang closed form — data valuation without refits):
     "q325_ppr_seed_expansion",
+    "q326_group_influence",
     # changed in round 12 — fresh rows prove parity held through the
     # changes (q75/q178: the PQ encode/LUT/ADC expressions extracted
     # into shared module-level helpers the IVM family and the
@@ -142,7 +145,6 @@ _ROTATION_HEAD = [
     "q46_ann_lsh_bucketed",
     "q45_ann_topk_bruteforce",
     "q41_dedup_minhash_lsh",
-    "q42_dedup_simhash",
 ]
 
 _ROTATION_TAIL = [

@@ -185,6 +185,9 @@ HEADLINE = [
     # personalized-PageRank seed expansion (q69's anchor graph +
     # q183's gated integer power iterations, seed-restart vector)
     "q325_ppr_seed_expansion",
+    # per-source group influence (one Hessian agg + one bounded
+    # gradient agg over the trained model's scores — no refits)
+    "q326_group_influence",
 ]
 
 REPS = 3

@@ -15646,3 +15646,126 @@ def q325_ppr_seed_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda shr: _ppr_collected_solve(spark, shr),
         _distributed,
     )
+
+
+# ---------------------------------------------------------------------------
+# q326 — per-source group influence (data valuation on the GLM)
+# ---------------------------------------------------------------------------
+
+# The per-source Newton influence components reuse the IRLS cofactor
+# strings with the group-gradient columns substituted, so q321's
+# training solve and q326's influence algebra are ONE expression tree.
+_INFL_DW = tuple(
+    dw.format(det=_IRLS_DET).replace("g1", "gs1").replace("g2", "gs2").replace("g3", "gs3")
+    for dw in _IRLS_DW
+)
+
+
+def _q326_oracle() -> str:
+    k = IRLS_STEPS
+    d1, d2, d3 = _INFL_DW
+    return (
+        _irls_sql_prefix()
+        + f""",
+    pf AS (
+      SELECT source, y, x1, x2,
+             1.0 / (1.0 + EXP(-(b0 + b1*x1 + b2*x2))) AS p
+      FROM feats, wk{k}),
+    hess AS (
+      SELECT SUM(p*(1-p)) + {IRLS_RIDGE} AS a, SUM(p*(1-p)*x1) AS b,
+             SUM(p*(1-p)*x2) AS c,
+             SUM(p*(1-p)*x1*x1) + {IRLS_RIDGE} AS d,
+             SUM(p*(1-p)*x1*x2) AS e,
+             SUM(p*(1-p)*x2*x2) + {IRLS_RIDGE} AS f
+      FROM pf),
+    g AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             SUM(y - p) AS gs1, SUM((y - p)*x1) AS gs2,
+             SUM((y - p)*x2) AS gs3
+      FROM pf GROUP BY source),
+    infl AS (
+      SELECT source, n_docs,
+             {d1} AS i0, {d2} AS i1, {d3} AS i2,
+             gs1, gs2, gs3
+      FROM g, hess)
+    SELECT source, n_docs,
+           (ROUND(i0, 6) + 0.0) AS infl_intercept,
+           (ROUND(i1, 6) + 0.0) AS infl_tokens,
+           (ROUND(i2, 6) + 0.0) AS infl_distinct,
+           (ROUND(gs1*i0 + gs2*i1 + gs3*i2, 6) + 0.0) AS self_influence
+    FROM infl"""
+    )
+
+
+@query("q326_group_influence", oracle=_q326_oracle())
+def q326_group_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source GROUP INFLUENCE on the q321 model (the Koh & Liang
+    influence-function closed form at group grain): influence_s =
+    H⁻¹·g_s, where H is the trained model's (ridged) Hessian and g_s
+    the source's summed score gradient — the first-order answer to
+    "how would the model move if this source were removed", WITHOUT
+    refitting per source (a |sources|-fold refit sweep is the thing
+    this approximation replaces at scale).  ``self_influence`` =
+    g_sᵀH⁻¹g_s ≥ 0 is the scalar leverage each source exerts — the
+    data-valuation score read next to q316's acquisition order and
+    q323's disparity audit (a source with HIGH influence and BAD
+    worst-group metrics is actively steering the model wrong).
+
+    Parity: the model is the shared IRLS prefix; H and g_s are sums at
+    the FULL model's p; the per-source solve reuses q321's cofactor
+    strings verbatim with group-gradient columns substituted
+    (_INFL_DW — one expression tree in both engines); outputs round at
+    6dp.
+
+    Scale shape: ONE extra map-side pass over the trained model's
+    scores — a 6-term global Hessian agg (1-row broadcast) and a
+    |sources|-bounded gradient agg; the influence algebra is
+    expression-level on the joined bounded frame.  No refits, no new
+    shuffle class over q321.
+    """
+    feats = _irls_feats(spark, sf_dir)
+    w = _irls_fit(feats)
+    p = _irls_p(w)
+    r = p * (1 - p)
+    hess = feats.agg(
+        (F.sum(r) + F.lit(IRLS_RIDGE)).alias("a"),
+        F.sum(r * F.col("x1")).alias("b"),
+        F.sum(r * F.col("x2")).alias("c"),
+        (F.sum(r * F.col("x1") * F.col("x1")) + F.lit(IRLS_RIDGE)).alias("d"),
+        F.sum(r * F.col("x1") * F.col("x2")).alias("e"),
+        (F.sum(r * F.col("x2") * F.col("x2")) + F.lit(IRLS_RIDGE)).alias("f"),
+    )
+    g = feats.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.col("y") - p).alias("gs1"),
+        F.sum((F.col("y") - p) * F.col("x1")).alias("gs2"),
+        F.sum((F.col("y") - p) * F.col("x2")).alias("gs3"),
+    )
+    d1, d2, d3 = _INFL_DW
+    return (
+        g.crossJoin(F.broadcast(hess))
+        .select(
+            "source",
+            "n_docs",
+            F.expr(d1).alias("i0"),
+            F.expr(d2).alias("i1"),
+            F.expr(d3).alias("i2"),
+            "gs1",
+            "gs2",
+            "gs3",
+        )
+        .select(
+            "source",
+            "n_docs",
+            dec(F.col("i0"), 6).alias("infl_intercept"),
+            dec(F.col("i1"), 6).alias("infl_tokens"),
+            dec(F.col("i2"), 6).alias("infl_distinct"),
+            dec(
+                F.col("gs1") * F.col("i0")
+                + F.col("gs2") * F.col("i1")
+                + F.col("gs3") * F.col("i2"),
+                6,
+            ).alias("self_influence"),
+        )
+    )

@@ -370,6 +370,8 @@ NESTED_LOOP_OK = {
     # 1-row train-totals (t, v) + 1-row train-reference attaches
     # (q121's grand-total discipline on the split-tagged frame)
     "q324_perplexity_contamination",
+    # 1-row Hessian attach onto the |sources|-bounded gradient frame
+    "q326_group_influence",
     "q123_psi_drift",  # 1-row time-span attach (cf. q100)
     "q124_woe_iv_binning",  # 1-row edge-vector + totals attaches
     "q125_tfidf_sparse_cosine",  # 1-row corpus-count attach (cf. q63)

@@ -217,6 +217,9 @@ TARGETS = (
     # r12 (fourth batch): PPR seed expansion — q69's capped anchor
     # blocking + the q183 collect-and-solve iteration lever
     "q325_ppr_seed_expansion",
+    # r12 (fourth batch): group influence — q321's fit + one Hessian
+    # agg + one |sources|-bounded gradient agg (no refits)
+    "q326_group_influence",
 )
 
 # Per-(target, scale) keyword overrides: the SemDeDup contract is that
