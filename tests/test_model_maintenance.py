@@ -174,3 +174,86 @@ def test_glm_drift_alarm_separates_benign_from_poisoned(spark, state):
     poisoned = GlmMaintainer.drift_u(w0, w_poisoned)
     assert benign < poisoned
     assert poisoned > 10 * max(benign, 1)
+
+
+def test_glm_through_checkpointed_stream_with_cadence(spark, tmp_path):
+    """End-to-end: the GLM maintainer rides run_maintenance_batch —
+    arrivals and tombstone-flagged deletions in ONE checkpointed
+    stream, the compact_every cadence invoking the maintainer's
+    compaction — and the refit matches the batch fit of the live
+    corpus after every tick (the index maintainers' ST integration,
+    extended to the model family)."""
+    import shutil as _sh
+    import glob as _glob
+    import os as _os
+
+    from datapipeline_dags_spark.streaming.index_maintenance import (
+        run_maintenance_batch,
+    )
+
+    src = str(tmp_path / "arrivals")
+    ckpt = str(tmp_path / "ckpt")
+    state = str(tmp_path / "state")
+    _os.makedirs(src)
+
+    def land(df, name):
+        stage = f"{src}__stage_{name}"
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = _glob.glob(_os.path.join(stage, "part-*.parquet"))[0]
+        _sh.move(part, _os.path.join(src, f"{name}.parquet"))
+        _sh.rmtree(stage)
+
+    docs = _docs(spark)
+    m = GlmMaintainer(spark, state)
+    schema = (
+        "doc_id bigint, text string, lang string, source string, "
+        "is_delete boolean"
+    )
+
+    def on_batch(df, bid):
+        m.process_batch(
+            df.filter(~F.col("is_delete")).select(
+                "doc_id", "text", "lang", "source"
+            ),
+            bid,
+            deletes=df.filter(F.col("is_delete")).select("doc_id"),
+        )
+
+    cols = ["doc_id", "text", "lang", "source"]
+    b0 = docs.filter(F.col("doc_id") % 2 == 0).select(
+        *cols, F.lit(False).alias("is_delete")
+    )
+    land(b0, "slice0")
+    run_maintenance_batch(
+        spark, src, ckpt, schema, on_batch,
+        maintainers=[m], compact_every=2,
+    )
+    assert m.matches_full(0, b0.select(*cols))
+
+    # tick 1: odd docs arrive; tick 2 (cadence tick): doc_id%6==0
+    # tombstoned — compaction fires inside the stream
+    b1 = docs.filter(F.col("doc_id") % 2 == 1).select(
+        *cols, F.lit(False).alias("is_delete")
+    )
+    land(b1, "slice1")
+    run_maintenance_batch(
+        spark, src, ckpt, schema, on_batch,
+        maintainers=[m], compact_every=2,
+    )
+    tomb = docs.filter(F.col("doc_id") % 6 == 0).select(
+        "doc_id", F.lit("x").alias("text"), F.lit("en").alias("lang"),
+        F.lit("s").alias("source"), F.lit(True).alias("is_delete"),
+    )
+    land(tomb, "slice2")
+    run_maintenance_batch(
+        spark, src, ckpt, schema, on_batch,
+        maintainers=[m], compact_every=2,
+    )
+    live = docs.filter(F.col("doc_id") % 6 != 0)
+    assert m.matches_full(2, live)
+    from datapipeline_dags_spark.checkpoint import local_checkpoint
+
+    want = llm_ops._irls_fit(
+        local_checkpoint(llm_ops._irls_featurize(live), "t stream live")
+    )
+    assert _w4(m.fit(2)) == _w4(want)
