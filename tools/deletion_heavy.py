@@ -150,12 +150,57 @@ def dedup_rows(spark, dirs) -> list[str]:
     return out
 
 
+def glm_rows(spark, dirs) -> list[str]:
+    """``GlmMaintainer`` — the model family's feature store: the
+    "read" here is the full REFIT (IRLS_STEPS aggs over the live
+    state), so read_live vs read_compacted measures what the 50%
+    tombstone anti-join costs every retrain until compaction folds it
+    away."""
+    from datapipeline_dags_spark.streaming.model_maintenance import (
+        GlmMaintainer,
+    )
+
+    out = []
+    for scale, sf_dir in dirs.items():
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text", "lang", "source"
+        )
+        dels = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id")
+        n, nd = docs.count(), dels.count()
+        state = f"{WORK}/delheavy_glm_{scale}_{int(time.time())}"
+        m = GlmMaintainer(spark, state)
+        t0 = time.time()
+        m.process_batch(docs, 0)
+        t_ingest = round(time.time() - t0, 2)
+        empty = spark.createDataFrame(
+            [], "doc_id bigint, text string, lang string, source string"
+        )
+        t0 = time.time()
+        m.process_batch(empty, 1, deletes=dels)
+        t_retract = round(time.time() - t0, 2)
+        live = docs.filter(F.col("doc_id") % 2 == 1)
+        assert m.matches_full(1, live), f"glm diverged at {scale}"
+        t_read = _timed(lambda: m.fit(1))
+        m.compact(2)
+        t_read_c = _timed(lambda: m.fit(1))
+        out.append(
+            f"| GLM features (read = refit) | {scale} | {n} | {nd} | "
+            f"{t_ingest} | {t_retract} | {t_read} | {t_read_c} |"
+        )
+    return out
+
+
 def main() -> None:
     dirs = build_fixtures()
     spark = get_session("deletion-heavy")
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000).count()
-    rows = lexical_rows(spark, dirs) + ivf_rows(spark, dirs) + dedup_rows(spark, dirs)
+    rows = (
+        lexical_rows(spark, dirs)
+        + ivf_rows(spark, dirs)
+        + dedup_rows(spark, dirs)
+        + glm_rows(spark, dirs)
+    )
     print(
         "| store | scale | rows | deleted (50%) | ingest s | retract50 s "
         "| read_live s | read_compacted s |"
