@@ -113,6 +113,10 @@ _ROTATION_HEAD = [
     # into shared module-level helpers the IVM family and the
     # streaming PqIndexMaintainer reuse; q209 and the collect_gate
     # users: the forced-collected over-gate route fix, ADVICE r11 #3):
+    # q69: its anchor-pair edge build now routes through the shared
+    # _anchor_pair_candidates helper (q322/q325's blocking — behavior-
+    # preserving, oracle-verified, but a fresh row proves it):
+    "q69_dedup_clusters",
     "q75_ann_pq",
     "q178_pq_reconstruction",
     "q209_grid_density_clusters",
@@ -144,7 +148,6 @@ _ROTATION_HEAD = [
     "q47_ann_ivf",
     "q46_ann_lsh_bucketed",
     "q45_ann_topk_bruteforce",
-    "q41_dedup_minhash_lsh",
 ]
 
 _ROTATION_TAIL = [

@@ -1608,40 +1608,10 @@ def q69_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.storagelevel import StorageLevel
 
-    docs = _fanout(spark, table(spark, sf_dir, "documents")).select(
-        "doc_id", _shingles(F.col("text")).alias("sh")
-    )
-    anchors = docs.select(
-        "doc_id",
-        F.explode(
-            F.slice(
-                F.array_sort(F.transform(F.col("sh"), lambda s: F.md5(s))),
-                1,
-                ANCHOR_K,
-            )
-        ).alias("a"),
-    )
-    # members arrive SORTED from _cap_buckets — no second sort
-    ids = F.col("ids")
-    pair_structs = F.flatten(
-        F.transform(
-            ids,
-            lambda x, i: F.transform(
-                F.slice(ids, i + 2, F.size(ids)),
-                lambda y: F.struct(x.alias("src"), y.alias("dst")),
-            ),
-        )
-    )
-    bucketed = (
-        anchors.groupBy("a")
-        .agg(F.collect_list("doc_id").alias("ids"))
-        .filter(F.size("ids") >= 2)
-    )
+    docs = _fanout(spark, table(spark, sf_dir, "documents"))
     edges = (
-        _cap_buckets(bucketed, "q69_dedup_clusters", "ids")
-        .select(F.explode(pair_structs).alias("p"))
-        .select(F.col("p.src").alias("src"), F.col("p.dst").alias("dst"))
-        .distinct()
+        _anchor_pair_candidates(docs, "q69_dedup_clusters")
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     labels = connected_components(edges, max_iters=CC_MAX_ITERS)

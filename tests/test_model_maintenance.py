@@ -183,13 +183,12 @@ def test_glm_through_checkpointed_stream_with_cadence(spark, tmp_path):
     compaction — and the refit matches the batch fit of the live
     corpus after every tick (the index maintainers' ST integration,
     extended to the model family)."""
-    import shutil as _sh
-    import glob as _glob
     import os as _os
 
     from datapipeline_dags_spark.streaming.index_maintenance import (
         run_maintenance_batch,
     )
+    from tests.test_index_maintenance_stream import _land
 
     src = str(tmp_path / "arrivals")
     ckpt = str(tmp_path / "ckpt")
@@ -197,11 +196,7 @@ def test_glm_through_checkpointed_stream_with_cadence(spark, tmp_path):
     _os.makedirs(src)
 
     def land(df, name):
-        stage = f"{src}__stage_{name}"
-        df.coalesce(1).write.mode("overwrite").parquet(stage)
-        part = _glob.glob(_os.path.join(stage, "part-*.parquet"))[0]
-        _sh.move(part, _os.path.join(src, f"{name}.parquet"))
-        _sh.rmtree(stage)
+        _land(df, src, name)
 
     docs = _docs(spark)
     m = GlmMaintainer(spark, state)
