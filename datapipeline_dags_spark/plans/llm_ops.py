@@ -13882,14 +13882,25 @@ def q314_pq_subspace_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         )
+        # One argmin evaluation per (vector, m): materialize the
+        # (d, cid) struct array in its OWN projection, then split codes
+        # / err_total out of it.  Referencing enc_struct twice in a
+        # single select (once for ["cid"], once for ["d"]) leaves TWO
+        # full array_min(transform(...)) evaluations in the physical
+        # plan — the whole encode pass ran twice (guide §1.2 step 2;
+        # verified by counting array_min in executedPlan).  The struct
+        # alias is expensive, so CollapseProject keeps the boundary.
         enc = (
             _fanout(spark, corpus)
             .crossJoin(F.broadcast(cb1))
             .select(
+                "vec_id", F.transform(ms, lambda m: enc_struct(m)).alias("es")
+            )
+            .select(
                 "vec_id",
-                F.transform(ms, lambda m: enc_struct(m)["cid"]).alias("codes"),
+                F.transform("es", lambda s: s["cid"]).alias("codes"),
                 F.aggregate(
-                    F.transform(ms, lambda m: enc_struct(m)["d"]),
+                    F.transform("es", lambda s: s["d"]),
                     F.lit(0.0),
                     lambda acc, v: acc + v,
                 ).alias("err_total"),
