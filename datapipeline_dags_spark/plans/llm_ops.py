@@ -143,6 +143,203 @@ _COS_SQL = "list_cosine_similarity({a}::DOUBLE[], {b}::DOUBLE[])"
 
 
 # ---------------------------------------------------------------------------
+# numpy scoring backends (optimization r12 — guide §4.2)
+#
+# The ANN family's per-row math (_cosine, the PQ/IVF argmin/argmax
+# encodes) runs in Catalyst higher-order functions, which are
+# CodegenFallback: every element is boxed and the lambda interpreted,
+# measured ~20 µs per 64-dim cosine — the dominant term of every ANN
+# bench slot, and a per-row cost that scales straight into the 100 TB
+# corpus.  These backends run the same arithmetic vectorized per Arrow
+# batch (the established q96 pair_backend / q112 encode_backend
+# pattern).  BIT-EQUALITY is by construction, not by luck:
+#
+# - accumulations loop over the DIMENSION index (acc += a[:, i] * b[:, i]),
+#   so each row's dot/norm/L2 is the SAME IEEE operation sequence as the
+#   JVM aggregate's left-to-right fold (never np.sum, whose pairwise
+#   blocks reorder additions);
+# - products/differences of float32-valued doubles, sqrt and division
+#   are correctly rounded identically in both engines;
+# - ties: np.argmin/argmax take the FIRST extremum, and centroid rows
+#   are sorted by ascending cid, which is exactly array_min/array_max's
+#   struct tie-break on (metric, cid);
+# - decimal rounding (``dec``) deliberately STAYS in the JVM on the
+#   returned raw double, so the rounding engine is unchanged.
+#
+# tests/test_numpy_backends.py pins numpy-vs-jvm bit-equality per helper.
+# ---------------------------------------------------------------------------
+
+
+def _cos_pairs_numpy(
+    spark: SparkSession,
+    df: DataFrame,
+    carry: tuple[str, ...],
+    a: str,
+    b: str,
+) -> DataFrame:
+    """Raw cosine over paired float-array columns in ONE Arrow pass:
+    carry columns + ``cos_raw`` double, bit-equal to ``_cosine`` (see
+    the section comment).  Only ``carry + (a, b)`` cross the Python
+    boundary (guide §4.1)."""
+    import numpy as np
+    import pandas as pd
+
+    from datapipeline_dags_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    src = df.select(*carry, a, b)
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    schema = StructType(
+        [src.schema[c] for c in carry] + [StructField("cos_raw", DoubleType())]
+    )
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ea = np.stack(pdf[a].to_numpy()).astype(np.float64)
+            eb = np.stack(pdf[b].to_numpy()).astype(np.float64)
+            dot = np.zeros(len(pdf))
+            na = np.zeros(len(pdf))
+            nb = np.zeros(len(pdf))
+            for i in range(ea.shape[1]):
+                x, y = ea[:, i], eb[:, i]
+                dot += x * y
+                na += x * x
+                nb += y * y
+            out = {c: pdf[c] for c in carry}
+            out["cos_raw"] = dot / (np.sqrt(na) * np.sqrt(nb))
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(score, schema)
+
+
+def _collect_centroids(
+    corpus: DataFrame, n: int, label: str
+) -> "list[tuple[int, list[float]]]":
+    """The fixed-size quantizer (first ``n`` corpus vectors) as a sorted
+    (cid, vector) list — the bounded control-plane collect the numpy
+    assignment backend closes over (cf. _ivfpq_encode_numpy's codebook)."""
+    rows = bounded_collect(
+        corpus.filter(F.col("vec_id") < n).select("vec_id", "embedding"),
+        n,
+        label,
+    )
+    return sorted((int(r["vec_id"]), list(r["embedding"])) for r in rows)
+
+
+def _nearest_centroid_numpy(
+    spark: SparkSession,
+    df: DataFrame,
+    cents: "list[tuple[int, list[float]]]",
+    carry: tuple[str, ...],
+    emb: str = "embedding",
+    out: str = "cell",
+) -> DataFrame:
+    """argmax-cosine centroid id per row (carry + ``emb`` + out long),
+    bit-equal to the array_max(struct(cos, -cid)) HOF: cosines use the
+    dimension-loop accumulation, and first-argmax over ascending-cid
+    columns reproduces the smallest-cid tie-break (NaN ranks greatest
+    in both engines)."""
+    import numpy as np
+    import pandas as pd
+
+    from datapipeline_dags_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    cids = np.asarray([c for c, _ in cents], dtype=np.int64)
+    cb = np.asarray([v for _, v in cents], dtype=np.float64)
+    ncent = np.zeros(len(cents))
+    for i in range(cb.shape[1]):
+        ncent += cb[:, i] * cb[:, i]
+    ncent = np.sqrt(ncent)
+    src = df.select(*carry, emb) if emb not in carry else df.select(*carry)
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        [src.schema[c] for c in src.columns] + [StructField(out, LongType())]
+    )
+
+    src_cols = list(src.columns)
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            e = np.stack(pdf[emb].to_numpy()).astype(np.float64)
+            dots = np.zeros((len(pdf), len(cids)))
+            ne = np.zeros(len(pdf))
+            for i in range(e.shape[1]):
+                dots += e[:, i : i + 1] * cb[None, :, i]
+                ne += e[:, i] * e[:, i]
+            cs = dots / (np.sqrt(ne)[:, None] * ncent[None, :])
+            res = {c: pdf[c] for c in src_cols}
+            res[out] = cids[np.argmax(cs, axis=1)]
+            yield pd.DataFrame(res)
+
+    return src.mapInPandas(assign, schema)
+
+
+def _pq_encode_cfg_numpy(
+    spark: SparkSession,
+    corpus: DataFrame,
+    mm: int,
+    dd: int,
+    with_err: bool,
+    cb_source: DataFrame | None = None,
+) -> DataFrame:
+    """(vec_id, codes[, err_total]) against the frozen first-PQ_K
+    codebook for an (mm, dd) subspace layout — the numpy twin of
+    ``_pq_codes_col`` / q314's per-config encode.  Distances accumulate
+    dimension-at-a-time (same IEEE sequence as _pq_l2's fold), argmin
+    takes the first minimum (lowest cid), and err_total folds the
+    per-subspace minima in m order from 0.0 — bit-equal throughout."""
+    import numpy as np
+    import pandas as pd
+
+    from datapipeline_dags_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    cents = _collect_centroids(
+        cb_source if cb_source is not None else corpus, PQ_K, "pq_codebook"
+    )
+    got = [c for c, _ in cents]
+    if got != list(range(PQ_K)):
+        raise ValueError(
+            f"PQ codebook requires contiguous vec_ids 0..{PQ_K - 1}, got {got}"
+        )
+    cb = np.asarray([v for _, v in cents], dtype=np.float64)
+    fields = "vec_id long, codes array<int>"
+    if with_err:
+        fields += ", err_total double"
+
+    def encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            e = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            n = len(pdf)
+            codes = np.empty((n, mm), dtype=np.int32)
+            err = np.zeros(n)
+            for m in range(mm):
+                d = np.zeros((n, PQ_K))
+                for i in range(m * dd, (m + 1) * dd):
+                    diff = e[:, i : i + 1] - cb[None, :, i]
+                    d += diff * diff
+                am = np.argmin(d, axis=1)
+                codes[:, m] = am
+                if with_err:
+                    err += d[np.arange(n), am]
+            res = {"vec_id": pdf["vec_id"], "codes": list(codes)}
+            if with_err:
+                res["err_total"] = err
+            yield pd.DataFrame(res)
+
+    return corpus.select("vec_id", "embedding").mapInPandas(encode, fields)
+
+
+# ---------------------------------------------------------------------------
 # q40 — exact dedup
 # ---------------------------------------------------------------------------
 
@@ -639,7 +836,9 @@ N_QUERIES = 20  # fixed query-set size — does NOT scale with the corpus
     SELECT q_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= {TOPK}
     """,
 )
-def q45_ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q45_ann_topk_bruteforce(
+    spark: SparkSession, sf_dir: str, score_backend: str | None = None
+) -> DataFrame:
     """Exact top-k cosine neighbors for a FIXED query set (20 ids).
 
     The query set has constant cardinality regardless of corpus size —
@@ -655,15 +854,30 @@ def q45_ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
     )
-    pairs = (
-        F.broadcast(q)
-        .join(emb, F.col("vec_id") != F.col("q_id"))
-        .select(
+    raw_pairs = F.broadcast(q).join(emb, F.col("vec_id") != F.col("q_id"))
+    # scoring backend: "jvm" HOF default — q45's pair volume (N_QUERIES
+    # × n) is small enough that the Arrow roundtrip costs more than the
+    # interpreted cosine saves (interleaved A/B at sf0.1: jvm 0.48 s vs
+    # numpy 0.62 s); the bit-equal "numpy" path stays selectable for
+    # larger regimes (see the numpy-backends section comment)
+    if score_backend is None:
+        score_backend = "jvm"
+    if score_backend == "numpy":
+        pairs = _cos_pairs_numpy(
+            spark,
+            raw_pairs.select(
+                "q_id", F.col("vec_id").alias("neighbor_id"), "qe", "embedding"
+            ),
+            ("q_id", "neighbor_id"),
+            "qe",
+            "embedding",
+        ).select("q_id", "neighbor_id", dec(F.col("cos_raw"), 6).alias("cos_sim"))
+    else:
+        pairs = raw_pairs.select(
             "q_id",
             F.col("vec_id").alias("neighbor_id"),
             dec(_cosine(F.col("qe"), F.col("embedding")), 6).alias("cos_sim"),
         )
-    )
     w = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
     return (
         pairs.withColumn("rank", F.row_number().over(w).cast("long"))
@@ -744,7 +958,9 @@ def _q46_oracle() -> str:
 
 
 @query("q46_ann_lsh_bucketed", oracle=_q46_oracle())
-def q46_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q46_ann_lsh_bucketed(
+    spark: SparkSession, sf_dir: str, score_backend: str | None = None
+) -> DataFrame:
     """Multi-table multi-probe LSH ANN: LSH_TABLES hash tables, each
     hashing a DISJOINT group of LSH_SIGN_BITS dimensions into sign
     buckets; a vector's top-LSH_K neighbors are searched within the
@@ -794,23 +1010,29 @@ def q46_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     vec = emb.select("vec_id", "embedding")
-    pairs = (
-        cand.join(
-            vec.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")),
-            "q_id",
-        )
-        .join(
-            vec.select(
-                F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne")
-            ),
-            "neighbor_id",
-        )
-        .select(
+    joined = cand.join(
+        vec.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")),
+        "q_id",
+    ).join(
+        vec.select(
+            F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne")
+        ),
+        "neighbor_id",
+    )
+    # pair scoring: numpy Arrow pass by default (bit-equal raw doubles;
+    # 6-dp rounding stays in the JVM), "jvm" HOF fallback
+    if score_backend is None:
+        score_backend = "numpy" if _numpy_available() else "jvm"
+    if score_backend == "numpy":
+        pairs = _cos_pairs_numpy(
+            spark, joined, ("q_id", "neighbor_id"), "qe", "ne"
+        ).select("q_id", "neighbor_id", dec(F.col("cos_raw"), 6).alias("cos_sim"))
+    else:
+        pairs = joined.select(
             "q_id",
             "neighbor_id",
             dec(_cosine(F.col("qe"), F.col("ne")), 6).alias("cos_sim"),
         )
-    )
     w = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
     return (
         pairs.withColumn("rank", F.row_number().over(w).cast("long"))
@@ -930,14 +1152,35 @@ def _ivf_centroids(corpus: DataFrame, n_centroids: int = N_CENTROIDS) -> DataFra
 
 
 def ivf_cell_assignment(
-    spark: SparkSession, sf_dir: str, n_centroids: int = N_CENTROIDS
+    spark: SparkSession,
+    sf_dir: str,
+    n_centroids: int = N_CENTROIDS,
+    backend: str | None = None,
 ) -> DataFrame:
     """Map-only nearest-centroid assignment of the whole corpus:
     (vec_id, embedding, cell).  NPROBE-independent — ``ivf_recall_sweep``
     persists ONE assignment and reuses it across every probe setting.
     ``n_centroids`` is THE scale knob: production grows it with the
-    corpus so cells stay ~constant-sized (see q96)."""
+    corpus so cells stay ~constant-sized (see q96).
+
+    ``backend`` picks the argmax evaluator: "numpy" is one Arrow pass
+    with the n×k cosine grid vectorized per batch, bit-equal to the
+    "jvm" HOF by construction (tests/test_numpy_backends.py); "jvm"
+    (default) keeps the pure-expression plan the oracle mirrors — at
+    the bench SF the two are a wash inside q47 (interleaved A/B:
+    1.01 s vs 1.04 s), so the default preserves the shared-definition
+    plan the streaming IvfIndexMaintainer parity-checks against; the
+    numpy path is the scale lever when n×k grows."""
+    if backend is None:
+        backend = "jvm"
     corpus = table(spark, sf_dir, "embeddings")
+    if backend == "numpy":
+        return _nearest_centroid_numpy(
+            spark,
+            _fanout(spark, corpus),
+            _collect_centroids(corpus, n_centroids, "ivf_quantizer"),
+            carry=("vec_id",),
+        )
     cent = _ivf_centroids(corpus, n_centroids)
 
     def best_cell(emb: Column) -> Column:
@@ -1042,6 +1285,7 @@ def q47_ann_ivf(
     sf_dir: str,
     nprobe: int | None = None,
     cells: DataFrame | None = None,
+    score_backend: str | None = None,
 ) -> DataFrame:
     """IVF top-k ANN: a fixed coarse quantizer partitions the corpus into
     cells; each query probes only its NPROBE nearest cells.
@@ -1101,13 +1345,30 @@ def q47_ann_ivf(
     cand = cells.join(F.broadcast(probes), "cell").filter(
         F.col("vec_id") != F.col("q_id")
     )
-    w = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
-    return (
-        cand.select(
+    # candidate scoring: "jvm" HOF default — q47's candidate volume
+    # (~N_QUERIES × nprobe/n_cent of the corpus) is small enough at the
+    # bench SF that the Arrow roundtrip outweighs the interpreted cosine
+    # (interleaved A/B at sf0.1: jvm 1.03 s vs numpy 1.23 s); the
+    # bit-equal "numpy" path stays selectable for larger regimes
+    if score_backend is None:
+        score_backend = "jvm"
+    if score_backend == "numpy":
+        scored = _cos_pairs_numpy(
+            spark,
+            cand.select("q_id", F.col("vec_id").alias("neighbor_id"), "qe", "embedding"),
+            ("q_id", "neighbor_id"),
+            "qe",
+            "embedding",
+        ).select("q_id", "neighbor_id", dec(F.col("cos_raw"), 6).alias("cos_sim"))
+    else:
+        scored = cand.select(
             "q_id",
             F.col("vec_id").alias("neighbor_id"),
             dec(_cosine(F.col("qe"), F.col("embedding")), 6).alias("cos_sim"),
         )
+    w = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
+    return (
+        scored
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= IVF_K)
         .select("q_id", "neighbor_id", "cos_sim", "rank")
@@ -2153,7 +2414,9 @@ def _q75_oracle() -> str:
 
 
 @query("q75_ann_pq", oracle=_q75_oracle())
-def q75_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q75_ann_pq(
+    spark: SparkSession, sf_dir: str, *, backend: str | None = None
+) -> DataFrame:
     """Product-quantization ANN: ADC shortlist + exact-cosine refine.
 
     Each 64-dim vector is encoded as PQ_M codes (argmin-L2 centroid per
@@ -2188,12 +2451,21 @@ def q75_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scan; the HOF form keeps the plan constant-size at any (M, K).
     # (_pq_sub/_pq_l2/_pq_codes_col/_pq_lut_col/_pq_adc_score are the
     # shared module-level definitions the IVM family and the streaming
-    # maintainer reuse.)
-    codes = (
-        _fanout(spark, corpus)
-        .crossJoin(F.broadcast(cb1))
-        .select("vec_id", _pq_codes_col().alias("codes"))
-    )
+    # maintainer reuse.)  ``backend`` (default auto — the q112
+    # encode_backend pattern) swaps the encode AND the refine cosine for
+    # their bit-equal numpy Arrow passes; "jvm" keeps the HOF plan.
+    if backend is None:
+        backend = "numpy" if _numpy_available() else "jvm"
+    if backend == "numpy":
+        codes = _pq_encode_cfg_numpy(
+            spark, _fanout(spark, corpus), PQ_M, PQ_D, False, cb_source=corpus
+        )
+    else:
+        codes = (
+            _fanout(spark, corpus)
+            .crossJoin(F.broadcast(cb1))
+            .select("vec_id", _pq_codes_col().alias("codes"))
+        )
     # Per-query LUT: N_QUERIES x PQ_M x PQ_K doubles, broadcast to the
     # scorer (see _pq_lut_col).
     qlut = (
@@ -2221,7 +2493,7 @@ def q75_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "neighbor_id")
     )
     vec = corpus.select("vec_id", "embedding")
-    refined = (
+    rejoined = (
         F.broadcast(short)
         .join(
             vec.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")),
@@ -2233,12 +2505,17 @@ def q75_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "neighbor_id",
         )
-        .select(
+    )
+    if backend == "numpy":
+        refined = _cos_pairs_numpy(
+            spark, rejoined, ("q_id", "neighbor_id"), "qe", "ne"
+        ).select("q_id", "neighbor_id", dec(F.col("cos_raw"), 6).alias("cos_sim"))
+    else:
+        refined = rejoined.select(
             "q_id",
             "neighbor_id",
             dec(_cosine(F.col("qe"), F.col("ne")), 6).alias("cos_sim"),
         )
-    )
     w2 = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
     return (
         refined.withColumn("rank", F.row_number().over(w2).cast("long"))
@@ -6965,8 +7242,11 @@ def q153_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     design was engine-order-dependent in principle; the q296 MRR
     discipline applied here).
     """
+    # legs pinned to the jvm scorer: fused into one union plan the pure
+    # JVM legs share a codegen pipeline (the q295 _hybrid_dense_legs
+    # measurement — an Arrow node mid-leg costs more than it saves here)
     lsh = (
-        q46_ann_lsh_bucketed(spark, sf_dir)
+        q46_ann_lsh_bucketed(spark, sf_dir, score_backend="jvm")
         .filter(F.col("q_id") < N_QUERIES)
         .select("q_id", "neighbor_id", "rank")
     )
@@ -10900,9 +11180,16 @@ def _hybrid_dense_legs(
 ) -> dict[str, DataFrame]:
     """The two dense retrieval lists q295 fuses and q296 audits — built
     once here so q296 can persist and INJECT them instead of paying the
-    q46/q47 passes three times (the q90/q159 ann_audit_frames lesson)."""
+    q46/q47 passes three times (the q90/q159 ann_audit_frames lesson).
+
+    The LSH leg pins score_backend="jvm": fused into q295's single
+    union plan the Arrow roundtrip reads ~1.6 s SLOWER than the pure-
+    expression leg (interleaved A/B at sf0.1: 4.41 vs 5.99 s for the
+    whole q295), the opposite of q46's standalone result — pure JVM
+    legs fuse into one codegen pipeline; a Python node in the middle
+    forces an exchange-like boundary per leg."""
     return {
-        "lsh": q46_ann_lsh_bucketed(spark, sf_dir)
+        "lsh": q46_ann_lsh_bucketed(spark, sf_dir, score_backend="jvm")
         .filter(F.col("q_id") < N_QUERIES)
         .select("q_id", "neighbor_id", "rank"),
         "ivf": q47_ann_ivf(spark, sf_dir).select("q_id", "neighbor_id", "rank"),
@@ -13808,7 +14095,9 @@ def _q314_oracle() -> str:
 
 
 @query("q314_pq_subspace_sweep", oracle=_q314_oracle())
-def q314_pq_subspace_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q314_pq_subspace_sweep(
+    spark: SparkSession, sf_dir: str, *, backend: str | None = None
+) -> DataFrame:
     """PQ TUNING sweep over the subspace count — the axis q276 sweeps
     for LSH bands and q252 for dedup thresholds: for m in {PQ_SWEEP}
     subspaces (d = 64/m dims each, same {PQ_K}-centroid codebook),
@@ -13833,24 +14122,34 @@ def q314_pq_subspace_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.storagelevel import StorageLevel
 
+    # backend (default auto — the q112 encode_backend pattern): "numpy"
+    # runs the truth cosines and each config's encode as bit-equal Arrow
+    # passes; "jvm" keeps the HOF plan the oracle mirrors.
+    if backend is None:
+        backend = "numpy" if _numpy_available() else "jvm"
     corpus = table(spark, sf_dir, "embeddings")
     cb1 = _pq_codebook_row(corpus)
     queries = corpus.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
     )
-    truth = (
-        queries.crossJoin(
-            corpus.select(
-                F.col("vec_id").alias("neighbor_id"),
-                F.col("embedding").alias("ne"),
-            )
+    truth_pairs = queries.crossJoin(
+        corpus.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("ne"),
         )
-        .filter(F.col("neighbor_id") != F.col("q_id"))
-        .select(
+    ).filter(F.col("neighbor_id") != F.col("q_id"))
+    if backend == "numpy":
+        truth_scored = _cos_pairs_numpy(
+            spark, truth_pairs, ("q_id", "neighbor_id"), "qe", "ne"
+        ).select("q_id", "neighbor_id", dec(F.col("cos_raw"), 6).alias("cs"))
+    else:
+        truth_scored = truth_pairs.select(
             "q_id",
             "neighbor_id",
             dec(_cosine(F.col("qe"), F.col("ne")), 6).alias("cs"),
         )
+    truth = (
+        truth_scored
         .withColumn(
             "rn",
             F.row_number().over(
@@ -13890,23 +14189,28 @@ def q314_pq_subspace_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         # plan — the whole encode pass ran twice (guide §1.2 step 2;
         # verified by counting array_min in executedPlan).  The struct
         # alias is expensive, so CollapseProject keeps the boundary.
-        enc = (
-            _fanout(spark, corpus)
-            .crossJoin(F.broadcast(cb1))
-            .select(
-                "vec_id", F.transform(ms, lambda m: enc_struct(m)).alias("es")
+        if backend == "numpy":
+            enc = _pq_encode_cfg_numpy(
+                spark, _fanout(spark, corpus), mm, dd, True, cb_source=corpus
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+        else:
+            enc = (
+                _fanout(spark, corpus)
+                .crossJoin(F.broadcast(cb1))
+                .select(
+                    "vec_id", F.transform(ms, lambda m: enc_struct(m)).alias("es")
+                )
+                .select(
+                    "vec_id",
+                    F.transform("es", lambda s: s["cid"]).alias("codes"),
+                    F.aggregate(
+                        F.transform("es", lambda s: s["d"]),
+                        F.lit(0.0),
+                        lambda acc, v: acc + v,
+                    ).alias("err_total"),
+                )
+                .persist(StorageLevel.MEMORY_AND_DISK)
             )
-            .select(
-                "vec_id",
-                F.transform("es", lambda s: s["cid"]).alias("codes"),
-                F.aggregate(
-                    F.transform("es", lambda s: s["d"]),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                ).alias("err_total"),
-            )
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
         mse = enc.agg(dec(F.avg("err_total"), 6).alias("mse"))
         lut = queries.crossJoin(F.broadcast(cb1)).select(
             "q_id",
