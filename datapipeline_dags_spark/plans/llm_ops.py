@@ -599,8 +599,78 @@ def _chunk_buckets(bucketed: DataFrame, name: str, members_col: str) -> DataFram
     )
 
 
+#: Below this many corpus rows, post-aggregation frames that feed a
+#: CPU-heavy pair explode are round-robin re-spread across cores: AQE
+#: coalesces shuffle partitions by BYTES, so a few-hundred-KB bucket
+#: table lands in ONE partition and the entire pair-explode + verify
+#: runs serially in one task (measured: q42's verify stage = 1 task,
+#: ~2 s CPU, while 31 cores idle).  Above the gate the coalesced
+#: partition count is already >= the core count and the extra shuffle
+#: would only re-move the posting lists, so the spread is skipped —
+#: the gate keys on input size, not on the local core count.
+SPREAD_GATE_ROWS = 1_000_000
+
+
+def _spread_small(
+    spark: SparkSession, df: DataFrame, corpus_rows: int
+) -> DataFrame:
+    """Round-robin repartition of a small post-agg frame so that the
+    CPU-heavy explode downstream parallelizes (see SPREAD_GATE_ROWS)."""
+    if corpus_rows > SPREAD_GATE_ROWS:
+        return df
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
+def _simhash_sigs_numpy(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """q42's 64-bit SimHash signature pass as one Arrow batch pass:
+    (doc_id, sig 64-char bitstring).  ALL-INTEGER arithmetic, so the
+    backend is trivially bit-exact with the HOF fold: hashlib.md5 hex
+    digests are byte-identical to F.md5, the per-token ±1 votes sum in
+    any order, and the bit rules mirror the JVM expression (hex digit d
+    high bit for bits 1..32, nibble bit 2 for bits 33..64).  The JVM
+    fold costs ~4.4 ms/doc interpreted (64-wide zip_with + two substr
+    per token per bit); this runs the same math in ~tens of µs/doc."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from datapipeline_dags_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+
+    # nibble value -> (+1/-1) vote per bit rule, precomputed for all 16
+    # hex digits: bits 1..32 use the digit's high bit (>= '8'); bits
+    # 33..64 use nibble bit 2 ('4'-'7' or >= 'c').
+    hexd = "0123456789abcdef"
+    hi_vote = {c: (1 if c >= "8" else -1) for c in hexd}
+    lo_vote = {
+        c: (1 if ("4" <= c <= "7") or (c >= "c") else -1) for c in hexd
+    }
+
+    def sigs(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = []
+            for text in pdf["text"]:
+                acc = np.zeros(SIMHASH_BITS, dtype=np.int64)
+                for t in dict.fromkeys(text.split(" ")):
+                    h = hashlib.md5(t.encode()).hexdigest()
+                    acc[:32] += [hi_vote[c] for c in h]
+                    acc[32:] += [lo_vote[c] for c in h]
+                out.append("".join("1" if v >= 0 else "0" for v in acc))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "sig": out})
+
+    return docs.select("doc_id", "text").mapInPandas(
+        sigs, "doc_id long, sig string"
+    )
+
+
 @query("q42_dedup_simhash", oracle=_q42_oracle())
-def q42_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q42_dedup_simhash(
+    spark: SparkSession, sf_dir: str, sig_backend: str | None = None
+) -> DataFrame:
     """SimHash(64-bit) near-dup — the Manku et al. (WWW'07) web-dedup
     configuration: bit d = sign of Σ±1 token votes, 4×16-bit bands for
     candidate generation, Hamming distance ≤ 3 keeps near-dups.
@@ -650,9 +720,22 @@ def q42_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             bit_sums, lambda s: F.when(s >= 0, F.lit("1")).otherwise(F.lit("0"))
         ),
     )
-    sigs = _fanout(spark, table(spark, sf_dir, "documents")).select(
-        "doc_id", sig.alias("sig")
-    )
+    # signature backend: "jvm" default — once the verify explode is
+    # re-spread (_spread_small), the 32-way interpreted fold wins the
+    # interleaved A/B at sf0.1 (1.59 s vs 1.86 s numpy: the Arrow text
+    # transfer costs more than the fold saves at 5k docs); the
+    # bit-exact numpy pass (test_numpy_backends.py) stays selectable
+    # for corpora where the ~4.4 ms/doc interpreted fold dominates.
+    if sig_backend is None:
+        sig_backend = "jvm"
+    if sig_backend == "numpy":
+        sigs = _simhash_sigs_numpy(
+            spark, _fanout(spark, table(spark, sf_dir, "documents"))
+        )
+    else:
+        sigs = _fanout(spark, table(spark, sf_dir, "documents")).select(
+            "doc_id", sig.alias("sig")
+        )
     bands = sigs.select(
         "doc_id",
         # The 64-bit signature rides as two 32-bit longs (conv of a full
@@ -691,8 +774,13 @@ def q42_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     hamming = F.bit_count(
         F.col("p.a.hi").bitwiseXOR(F.col("p.b.hi"))
     ) + F.bit_count(F.col("p.a.lo").bitwiseXOR(F.col("p.b.lo")))
+    chunked = _spread_small(
+        spark,
+        _chunk_buckets(bucketed, "q42_dedup_simhash", "ids"),
+        cached_count(table(spark, sf_dir, "documents"), f"{sf_dir}/documents"),
+    )
     return (
-        _chunk_buckets(bucketed, "q42_dedup_simhash", "ids")
+        chunked
         .select("band", F.explode(pair_structs).alias("p"))
         .filter(first_match & (hamming <= HAMMING_T))
         .select(

@@ -437,8 +437,20 @@ def q174_video_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.size("ids") >= 2)
     )
+    from datapipeline_dags_spark.plans.llm_ops import _spread_small
+
+    # AQE coalesces the small bucket aggregate into one partition, which
+    # serializes the entire pair explode + band-count verify in a single
+    # task (measured ~4.6 s CPU while 31 cores idle) — re-spread in the
+    # small regime (llm_ops._spread_small; no-op above SPREAD_GATE_ROWS).
     pf = (
-        blocking.chunk_buckets(bucketed, "q174_video_dhash_neardup", "ids")
+        _spread_small(
+            spark,
+            blocking.chunk_buckets(bucketed, "q174_video_dhash_neardup", "ids"),
+            cached_count(
+                table(spark, sf_dir, "documents"), f"{sf_dir}/documents"
+            ),
+        )
         .select("f", F.explode(blocking.chunk_pair_structs()).alias("p"))
         # rule (a): map-side bitcount prefilter, before the shuffle
         .filter(

@@ -70,6 +70,28 @@ def test_q75_backends_bit_equal(spark, sf_dir):
     )
 
 
+def test_q42_sig_backends_bit_equal(spark, sf_dir):
+    _assert_backends_equal(
+        spark,
+        llm_ops.q42_dedup_simhash(spark, sf_dir, sig_backend="numpy"),
+        llm_ops.q42_dedup_simhash(spark, sf_dir, sig_backend="jvm"),
+    )
+
+
+def test_spread_small_gates_on_corpus_rows(spark):
+    df = spark.range(100)
+    # small regime: re-spread to defaultParallelism
+    spread = llm_ops._spread_small(spark, df, corpus_rows=10)
+    assert (
+        spread.rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
+    # large regime: untouched frame (no extra shuffle at scale)
+    assert llm_ops._spread_small(
+        spark, df, corpus_rows=llm_ops.SPREAD_GATE_ROWS + 1
+    ) is df
+
+
 def test_q314_backends_bit_equal(spark, sf_dir):
     _assert_backends_equal(
         spark,
