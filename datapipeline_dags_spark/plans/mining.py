@@ -1202,6 +1202,15 @@ def q218_emd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 KCORE_K = 3
+#: Collect-and-solve gate (the q221/q183/q225 discipline): when the
+#: checkpointed co-purchase edge table fits under this many rows, the
+#: {12}-round peel runs driver-side over numpy int64 arrays — pure
+#: integer degree/set arithmetic, so the surviving edge set is
+#: IDENTICAL to the distributed rounds (route-equality test pins it) —
+#: replacing 12 x (degree agg + two semi-joins + localCheckpoint)
+#: scheduled jobs with ONE collect.  Above the gate the distributed
+#: loop runs unchanged.
+KCORE_COLLECT_EDGES = 10_000_000
 #: fixed peel rounds (the q204 BFS contract: both engines run exactly
 #: this many rounds, so parity never depends on convergence; the
 #: fixture converges well inside the cap — fixpoint at round 11 at
@@ -1268,40 +1277,85 @@ def q222_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     output is a top-{KCORE_TOP} TakeOrderedAndProject plus two 1-row
     core-stat attaches.
     """
-    cur = _copurchase_edges(spark, sf_dir, "q222_kcore_decomposition")
-    for r in range(KCORE_ROUNDS):
+    e = _copurchase_edges(spark, sf_dir, "q222_kcore_decomposition")
+
+    def _distributed(e: DataFrame) -> DataFrame:
+        cur = e
+        for r in range(KCORE_ROUNDS):
+            deg = (
+                cur.select(F.col("a").alias("nd"))
+                .unionAll(cur.select(F.col("bb").alias("nd")))
+                .groupBy("nd")
+                .agg(F.count("*").alias("d"))
+            )
+            keep = deg.filter(F.col("d") >= KCORE_K).select("nd")
+            cur = local_checkpoint(
+                cur.join(keep.withColumnRenamed("nd", "a"), "a", "semi")
+                .join(keep.withColumnRenamed("nd", "bb"), "bb", "semi")
+                .select("a", "bb"),
+                f"q222 peel {r + 1}",
+            )
         deg = (
-            cur.select(F.col("a").alias("nd"))
-            .unionAll(cur.select(F.col("bb").alias("nd")))
-            .groupBy("nd")
-            .agg(F.count("*").alias("d"))
+            cur.select(F.col("a").alias("part"))
+            .unionAll(cur.select(F.col("bb").alias("part")))
+            .groupBy("part")
+            .agg(F.count("*").alias("core_degree"))
         )
-        keep = deg.filter(F.col("d") >= KCORE_K).select("nd")
-        cur = local_checkpoint(
-            cur.join(keep.withColumnRenamed("nd", "a"), "a", "semi")
-            .join(keep.withColumnRenamed("nd", "bb"), "bb", "semi")
-            .select("a", "bb"),
-            f"q222 peel {r + 1}",
+        stats = deg.agg(F.count("*").alias("n_core_nodes")).crossJoin(
+            cur.agg(F.count("*").alias("n_core_edges"))
         )
-    deg = (
-        cur.select(F.col("a").alias("part"))
-        .unionAll(cur.select(F.col("bb").alias("part")))
-        .groupBy("part")
-        .agg(F.count("*").alias("core_degree"))
-    )
-    stats = deg.agg(F.count("*").alias("n_core_nodes")).crossJoin(
-        cur.agg(F.count("*").alias("n_core_edges"))
-    )
-    return (
-        deg.crossJoin(F.broadcast(stats))
-        .orderBy(F.col("core_degree").desc(), "part")
-        .limit(KCORE_TOP)
-        .select(
-            F.col("part").cast("long"),
-            F.col("core_degree").cast("long"),
-            F.col("n_core_nodes").cast("long"),
-            F.col("n_core_edges").cast("long"),
+        return (
+            deg.crossJoin(F.broadcast(stats))
+            .orderBy(F.col("core_degree").desc(), "part")
+            .limit(KCORE_TOP)
+            .select(
+                F.col("part").cast("long"),
+                F.col("core_degree").cast("long"),
+                F.col("n_core_nodes").cast("long"),
+                F.col("n_core_edges").cast("long"),
+            )
         )
+
+    def _collected(e: DataFrame) -> DataFrame:
+        import numpy as np
+
+        pdf = e.toPandas()
+        a = pdf["a"].to_numpy(np.int64)
+        b = pdf["bb"].to_numpy(np.int64)
+        for _ in range(KCORE_ROUNDS):
+            if not len(a):
+                break
+            nodes = np.concatenate([a, b])
+            uniq, cnt = np.unique(nodes, return_counts=True)
+            kept = uniq[cnt >= KCORE_K]
+            mask = np.isin(a, kept) & np.isin(b, kept)
+            if mask.all():
+                # fixpoint: remaining rounds peel nothing — the final
+                # state equals running every fixed round
+                break
+            a, b = a[mask], b[mask]
+        schema = (
+            "part long, core_degree long, n_core_nodes long, n_core_edges long"
+        )
+        if not len(a):
+            return spark.createDataFrame([], schema=schema)
+        uniq, cnt = np.unique(np.concatenate([a, b]), return_counts=True)
+        order = np.lexsort((uniq, -cnt))[:KCORE_TOP]
+        n_nodes, n_edges = int(len(uniq)), int(len(a))
+        return spark.createDataFrame(
+            [
+                (int(uniq[i]), int(cnt[i]), n_nodes, n_edges)
+                for i in order
+            ],
+            schema=schema,
+        )
+
+    return collect_and_solve(
+        e,
+        KCORE_COLLECT_EDGES,
+        "q222_kcore_decomposition",
+        _collected,
+        _distributed,
     )
 
 

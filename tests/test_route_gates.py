@@ -23,6 +23,7 @@ from datapipeline_dags_spark.plans import route
 GATED = {
     "q183_part_pagerank": (relational, "PR_COLLECT_EDGES", 71_460),
     "q221_bradley_terry": (modeling, "BT_COLLECT_PAIRS", 453_549),
+    "q222_kcore_decomposition": (mining, "KCORE_COLLECT_EDGES", 35_730),
     "q225_greedy_set_cover": (mining, "SC_COLLECT_TOKENS", 2_507_040),
     "q294_hits_hubs_authorities": (llm_ops, "HITS_COLLECT_EDGES", 5_993_510),
     "q316_source_acquisition_order": (llm_ops, "ACQ_COLLECT_TOKENS", 2_503_880),
@@ -162,3 +163,20 @@ def test_q209_env_force_produces_identical_results(spark, sf_dir, monkeypatch):
     }
     assert base == forced
     assert route.ROUTE_GATES["q209_grid_cc"]["forced"] is True
+
+
+def test_q222_routes_produce_identical_results(spark, sf_dir, monkeypatch):
+    """q222's r12 driver-side peel (collect_and_solve) must be
+    bit-equal to the distributed 12-round peel — integer degree/set
+    arithmetic, same (core_degree DESC, part) top-k boundary."""
+    base = sorted(
+        tuple(r)
+        for r in mining.q222_kcore_decomposition(spark, sf_dir).collect()
+    )
+    assert route.ROUTE_GATES["q222_kcore_decomposition"]["route"] == "collected"
+    monkeypatch.setenv("SPARK_GRAFT_COLLECT_ROUTE", "distributed")
+    forced = sorted(
+        tuple(r)
+        for r in mining.q222_kcore_decomposition(spark, sf_dir).collect()
+    )
+    assert base == forced
