@@ -378,12 +378,54 @@ def _km_oracle() -> str:
     """
 
 
+def _km_assign_numpy(
+    spark: SparkSession, qdf: DataFrame, cents: "list[tuple[int, list[int]]]"
+) -> DataFrame:
+    """Numpy twin of the assign() HOF below: ALL-INTEGER fixed-point
+    distances (int64 wraps identically to the JVM long), first-argmin
+    over ascending-cid columns = array_min's (dist, cid) tie-break —
+    trivially bit-exact, one Arrow pass instead of an interpreted
+    k × dim zip_with fold per row."""
+    import numpy as np
+    import pandas as pd
+
+    from datapipeline_dags_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    cids = np.asarray([c for c, _ in cents], dtype=np.int64)
+    cb = np.asarray([v for _, v in cents], dtype=np.int64)
+
+    def go(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            e = np.stack(pdf["qa"].to_numpy()).astype(np.int64)
+            d = ((e[:, None, :] - cb[None, :, :]) ** 2).sum(-1)
+            am = np.argmin(d, axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "qa": pdf["qa"],
+                    "cid": cids[am].astype(np.int32),
+                    "dist": d[np.arange(len(pdf)), am],
+                }
+            )
+
+    return qdf.select("vec_id", "qa").mapInPandas(
+        go, "vec_id long, qa array<long>, cid int, dist long"
+    )
+
+
 def _kmeans_final(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, assign_backend: str | None = None
 ) -> tuple[DataFrame, list[tuple[int, list[int]]]]:
     """Shared Lloyd engine (two fixed-point rounds): returns the final
     (vec_id, qa, cid, dist) assignment and the final centroid list —
-    composed by q201 (inertia stats) and q234 (purity/NMI vs labels)."""
+    composed by q201 (inertia stats) and q234 (purity/NMI vs labels).
+    ``assign_backend`` picks the per-round assignment evaluator: the
+    "numpy" Arrow pass (bit-exact — integer arithmetic throughout;
+    test_numpy_backends.py) or the "jvm" HOF fold the oracle mirrors;
+    default auto-selects numpy when importable."""
     emb = table(spark, sf_dir, "embeddings")
     q = emb.select(
         "vec_id",
@@ -407,7 +449,14 @@ def _kmeans_final(
         )
     ]
 
+    if assign_backend is None:
+        from datapipeline_dags_spark.plans.llm_ops import _numpy_available
+
+        assign_backend = "numpy" if _numpy_available() else "jvm"
+
     def assign(qdf: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFrame:
+        if assign_backend == "numpy":
+            return _km_assign_numpy(spark, qdf, cents)
         structs = [
             F.struct(
                 F.aggregate(

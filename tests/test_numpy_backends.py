@@ -98,3 +98,13 @@ def test_q314_backends_bit_equal(spark, sf_dir):
         llm_ops.q314_pq_subspace_sweep(spark, sf_dir, backend="numpy"),
         llm_ops.q314_pq_subspace_sweep(spark, sf_dir, backend="jvm"),
     )
+
+
+def test_kmeans_assign_backends_bit_equal(spark, sf_dir):
+    from datapipeline_dags_spark.plans import mining
+
+    a, _ = mining._kmeans_final(spark, sf_dir, assign_backend="numpy")
+    b, _ = mining._kmeans_final(spark, sf_dir, assign_backend="jvm")
+    ra = sorted(map(tuple, a.select("vec_id", "cid", "dist").collect()))
+    rb = sorted(map(tuple, b.select("vec_id", "cid", "dist").collect()))
+    assert ra == rb and len(ra) > 0
