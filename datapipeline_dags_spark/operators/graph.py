@@ -33,12 +33,66 @@ from datapipeline_dags_spark.checkpoint import local_checkpoint
 
 DEFAULT_MAX_ITERS = 20
 
+#: Collect-and-solve gate (the q183/q221/q222 discipline): when the
+#: edge list fits under this many rows, the transitive closure runs
+#: driver-side as a union-find over the collected edges — identical
+#: min-label components (pure integer set semantics; pinned by the
+#: route-equality test and the existing union-find property test) —
+#: replacing diameter-many (join + agg + checkpoint + probe) jobs with
+#: ONE collect.  Above the gate the iterative propagation runs
+#: unchanged; SPARK_GRAFT_COLLECT_ROUTE forces either side.
+CC_COLLECT_EDGES = 10_000_000
+
 #: rounds used by the most recent connected_components call — observable
 #: scale signal: for blocking-key dup graphs this should stay flat as
 #: the corpus grows (diameter is a property of cluster shape, not corpus
 #: size); a growing round count means adversarial chain structure and
 #: time to switch to large-star/small-star.
 LAST_ROUNDS: int = 0
+
+
+def _cc_collected_solve(spark, e: DataFrame) -> DataFrame:
+    """Driver-side union-find over the collected (src, dst) edges:
+    component = min node id of each connected set — exactly the
+    min-label fixpoint the distributed rounds converge to (integer set
+    semantics, no floats anywhere)."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = e.toPandas()
+    schema = "node long, component long"
+    if not len(pdf):
+        return spark.createDataFrame([], schema=schema)
+    s = pdf["src"].to_numpy(np.int64)
+    d = pdf["dst"].to_numpy(np.int64)
+    nodes, idx = np.unique(np.concatenate([s, d]), return_inverse=True)
+    parent = np.arange(len(nodes))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    si, di = idx[: len(s)], idx[len(s) :]
+    for a, b in zip(si, di):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[rb] = ra
+    roots = np.fromiter((find(int(i)) for i in range(len(nodes))), np.int64)
+    # component label = MIN node id in the set (nodes sorted ascending,
+    # so the first occurrence of each root is its minimum node)
+    comp_min: dict[int, int] = {}
+    for i, r in enumerate(roots):
+        if int(r) not in comp_min:
+            comp_min[int(r)] = int(nodes[i])
+    out = pd.DataFrame(
+        {
+            "node": nodes,
+            "component": [comp_min[int(r)] for r in roots],
+        }
+    )
+    return spark.createDataFrame(out, schema=schema)
 
 
 def connected_components(
@@ -67,6 +121,12 @@ def connected_components(
     rounds: their diameters are tiny and flat (see LAST_ROUNDS).
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    from datapipeline_dags_spark.plans.route import collect_gate
+
+    global LAST_ROUNDS
+    if collect_gate(e, CC_COLLECT_EDGES, "connected_components"):
+        LAST_ROUNDS = 1
+        return _cc_collected_solve(edges.sparkSession, e)
     sym = e.union(e.select(F.col("dst"), F.col("src"))).toDF("src", "dst")
     cur = (
         sym.select(F.col("src").alias("node"))
@@ -74,7 +134,6 @@ def connected_components(
         .select("node", F.col("node").alias("component"))
     )
     cur = local_checkpoint(cur, "cc_init")
-    global LAST_ROUNDS
     for i in range(max_iters):
         nbr = sym.join(cur.withColumnRenamed("node", "src"), "src").select(
             F.col("dst").alias("node"),

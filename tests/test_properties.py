@@ -7,6 +7,7 @@ are adversarial (random unicode, extreme decimals, duplicate keys)."""
 from __future__ import annotations
 
 import datetime as dt
+import os
 from decimal import Decimal
 
 import duckdb
@@ -142,14 +143,25 @@ def test_connected_components_matches_union_find(spark, edges):
     from datapipeline_dags_spark.operators.graph import connected_components
 
     df = spark.createDataFrame(edges, "src: long, dst: long")
+    # default route (r12: gated driver-side union-find at this size)
     got = {
         r["node"]: r["component"] for r in connected_components(df).collect()
     }
     assert got == _union_find_components(edges)
-    jumped = {
-        r["node"]: r["component"]
-        for r in connected_components(df, pointer_jump=True).collect()
-    }
+    # the distributed propagation must agree too — force it past the gate
+    os.environ["SPARK_GRAFT_COLLECT_ROUTE"] = "distributed"
+    try:
+        dist = {
+            r["node"]: r["component"]
+            for r in connected_components(df).collect()
+        }
+        jumped = {
+            r["node"]: r["component"]
+            for r in connected_components(df, pointer_jump=True).collect()
+        }
+    finally:
+        del os.environ["SPARK_GRAFT_COLLECT_ROUTE"]
+    assert dist == got
     assert jumped == got
 
 
@@ -163,7 +175,14 @@ def test_pointer_jump_converges_on_long_path(spark):
     n = 300
     edges = [(i, i + 1) for i in range(n - 1)]
     df = spark.createDataFrame(edges, "src: long, dst: long")
-    got = connected_components(df, pointer_jump=True).collect()
+    # force the distributed propagation: the round-count bound is the
+    # property under test, and the r12 collect gate would otherwise
+    # solve this tiny graph driver-side
+    os.environ["SPARK_GRAFT_COLLECT_ROUTE"] = "distributed"
+    try:
+        got = connected_components(df, pointer_jump=True).collect()
+    finally:
+        del os.environ["SPARK_GRAFT_COLLECT_ROUTE"]
     assert all(r["component"] == 0 for r in got)
     assert len(got) == n
     assert graph.LAST_ROUNDS <= 14  # ~log2(300) + slack, vs 299 plain

@@ -16,12 +16,16 @@ from __future__ import annotations
 
 import pytest
 
+from datapipeline_dags_spark.operators import graph
 from datapipeline_dags_spark.plans import llm_ops, mining, modeling, relational
 from datapipeline_dags_spark.plans import route
 
 #: query -> (module, gate constant name, measured x10 frame rows)
 GATED = {
     "q183_part_pagerank": (relational, "PR_COLLECT_EDGES", 71_460),
+    # x10 = 10x the measured x1 anchor-pair edges (328 at sf0.1;
+    # disjoint replicas) — the largest CC consumer's edge frame
+    "connected_components": (graph, "CC_COLLECT_EDGES", 3_280),
     "q221_bradley_terry": (modeling, "BT_COLLECT_PAIRS", 453_549),
     "q222_kcore_decomposition": (mining, "KCORE_COLLECT_EDGES", 35_730),
     "q225_greedy_set_cover": (mining, "SC_COLLECT_TOKENS", 2_507_040),
