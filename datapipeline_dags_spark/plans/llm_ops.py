@@ -4911,10 +4911,22 @@ def ann_audit_frames(
     slower at sf0.1 when the unfiltered frames were cached.  The
     consumers re-apply the same predicates on the cached frame, a
     no-op."""
+    # Method frames pin their scoring/encode knobs to the JVM
+    # expression backends: materialized back-to-back into persisted
+    # frames late in a long bench session, the Arrow-pass variants
+    # measured consistently SLOWER here (q90 slot 5.7 -> 8.2-9.4 s
+    # across two full bench runs with tight spreads) even though each
+    # wins standalone in a fresh session — the r12 lesson that backend
+    # defaults are context-dependent; the knobs stay selectable.
+    jvm_kw: dict[str, dict] = {
+        "q46_ann_lsh_bucketed": {"score_backend": "jvm"},
+        "q75_ann_pq": {"backend": "jvm"},
+    }
     frames = {"exact": q45_ann_topk_bruteforce(spark, sf_dir).persist()}
     for name, qname, k in ANN_RECALL_METHODS:
+        fn = globals().get(qname) or QUERIES[qname]
         frames[name] = (
-            QUERIES[qname](spark, sf_dir)
+            fn(spark, sf_dir, **jvm_kw.get(qname, {}))
             .filter((F.col("q_id") < N_QUERIES) & (F.col("rank") <= k))
             .persist()
         )
