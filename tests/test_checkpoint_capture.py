@@ -30,7 +30,12 @@ def test_pagerank_rounds_captured(spark, sf_dir, monkeypatch):
     assert all("Exchange" in plan for _, plan in rounds)
 
 
-def test_connected_components_rounds_captured(spark, sf_dir):
+def test_connected_components_rounds_captured(spark, sf_dir, monkeypatch):
+    # force the distributed propagation (the r12 default collects-and-
+    # solves under CC_COLLECT_EDGES, planning no checkpoint rounds)
+    from datapipeline_dags_spark.operators import graph
+
+    monkeypatch.setattr(graph, "CC_COLLECT_EDGES", 0)
     checkpoint.CAPTURE = []
     try:
         QUERIES["q69_dedup_clusters"](spark, sf_dir)
