@@ -124,27 +124,32 @@ _ROTATION_HEAD = [
     "q221_bradley_terry",
     "q225_greedy_set_cover",
     "q294_hits_hubs_authorities",
+    # changed in the r12 OPTIMIZATION phase — fresh rows prove parity
+    # held through the backend/route work (all oracle-verified locally;
+    # see OPTIMIZATION_r12.md): q42 verify re-spread + sig knob, q174
+    # verify re-spread, q201/q234 numpy k-means assignment, q222
+    # driver-side peel, q173/q172/q285 compose the CC driver solve:
+    "q42_dedup_simhash",
+    "q174_video_dhash_neardup",
+    "q201_kmeans_fixed_point",
+    "q234_cluster_purity_nmi",
+    "q222_kcore_decomposition",
+    "q173_cluster_cohesion",
+    "q172_cluster_size_distribution",
+    "q285_cluster_representatives",
     # hedge fill — widest / riskiest already-green plans (driver rows
     # exist for all; a fresh row re-proves them on round-12 code).
-    # The PQ-composing audits and the index-maintenance families lead
-    # because they share the most machinery with this round's changes
-    # (the shared PQ expressions, delta refresh, RRF, BM25):
+    # The PQ/ANN-composing audits lead because they share the most
+    # machinery with this round's changes (scoring backends, shared PQ
+    # expressions, RRF, audit frames):
     "q112_ann_ivfpq",
     "q90_ann_recall",
     "q159_ann_ndcg",
-    "q282_ivf_delta_refresh",
-    "q284_lsh_delta_refresh",
-    "q293_bm25_stats_delta_refresh",
-    "q300_ivf_delete_refresh",
-    "q301_lsh_delete_refresh",
-    "q302_bm25_stats_delete_refresh",
     "q299_deletion_manifest_apply",
     "q298_dedup_deletion_manifest",
-    "q303_semantic_decontamination",
     "q295_hybrid_retrieval",
     "q296_hybrid_retrieval_audit",
     "q153_rrf_fusion",
-    "q287_bm25_topk",
     "q47_ann_ivf",
     "q46_ann_lsh_bucketed",
     "q45_ann_topk_bruteforce",
