@@ -908,6 +908,49 @@ TOPK = 10
 N_QUERIES = 20  # fixed query-set size — does NOT scale with the corpus
 
 
+def ann_pair_scores(
+    spark: SparkSession, sf_dir: str, score_backend: str | None = None
+) -> DataFrame:
+    """Every (q_id < N_QUERIES, neighbor_id ≠ q_id) pair scored with the
+    exact rounded cosine — (q_id, neighbor_id, cos_sim).  THE one
+    scoring pass all five ANN audit frames share (optimization r13,
+    guide §1.2): q45 ranks it directly, and the method retrievals can
+    join their candidate ids against it (``pair_scores=``) instead of
+    each re-scoring its own candidate subset — every method's candidate
+    set is a subset of this table by construction (q_id < N_QUERIES,
+    neighbor ≠ q).  At 100 TB this is exactly the work the exact
+    baseline already pays (N_QUERIES is fixed), so sharing it adds no
+    scale cost."""
+    emb = _fanout(spark, table(spark, sf_dir, "embeddings"))
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    raw_pairs = F.broadcast(q).join(emb, F.col("vec_id") != F.col("q_id"))
+    # scoring backend: "jvm" HOF default — q45's pair volume (N_QUERIES
+    # × n) is small enough that the Arrow roundtrip costs more than the
+    # interpreted cosine saves (interleaved A/B at sf0.1: jvm 0.48 s vs
+    # numpy 0.62 s); the bit-equal "numpy" path stays selectable for
+    # larger regimes (see the numpy-backends section comment)
+    if score_backend is None:
+        score_backend = "jvm"
+    if score_backend == "numpy":
+        return _cos_pairs_numpy(
+            spark,
+            raw_pairs.select(
+                "q_id", F.col("vec_id").alias("neighbor_id"), "qe", "embedding"
+            ),
+            ("q_id", "neighbor_id"),
+            "qe",
+            "embedding",
+        ).select("q_id", "neighbor_id", dec(F.col("cos_raw"), 6).alias("cos_sim"))
+    return raw_pairs.select(
+        "q_id",
+        F.col("vec_id").alias("neighbor_id"),
+        dec(_cosine(F.col("qe"), F.col("embedding")), 6).alias("cos_sim"),
+    )
+
+
+
 @query(
     "q45_ann_topk_bruteforce",
     oracle=f"""
@@ -925,7 +968,10 @@ N_QUERIES = 20  # fixed query-set size — does NOT scale with the corpus
     """,
 )
 def q45_ann_topk_bruteforce(
-    spark: SparkSession, sf_dir: str, score_backend: str | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    score_backend: str | None = None,
+    pair_scores: DataFrame | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for a FIXED query set (20 ids).
 
@@ -937,35 +983,18 @@ def q45_ann_topk_bruteforce(
     uses the *rounded* cosine with a vec_id tie-break so the k-boundary
     is deterministic across engines.  At 100 TB this is the
     exact-scoring baseline; q46 is the scale path.
+
+    ``pair_scores`` (``ann_pair_scores``, usually persisted) injects a
+    pre-scored all-pairs table shared with the other audit frames —
+    identical pair construction and cosine expression, so the result
+    is unchanged (route-equality test); None keeps the self-contained
+    plan the driver gate runs.
     """
-    emb = _fanout(spark, table(spark, sf_dir, "embeddings"))
-    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    pairs = (
+        pair_scores
+        if pair_scores is not None
+        else ann_pair_scores(spark, sf_dir, score_backend)
     )
-    raw_pairs = F.broadcast(q).join(emb, F.col("vec_id") != F.col("q_id"))
-    # scoring backend: "jvm" HOF default — q45's pair volume (N_QUERIES
-    # × n) is small enough that the Arrow roundtrip costs more than the
-    # interpreted cosine saves (interleaved A/B at sf0.1: jvm 0.48 s vs
-    # numpy 0.62 s); the bit-equal "numpy" path stays selectable for
-    # larger regimes (see the numpy-backends section comment)
-    if score_backend is None:
-        score_backend = "jvm"
-    if score_backend == "numpy":
-        pairs = _cos_pairs_numpy(
-            spark,
-            raw_pairs.select(
-                "q_id", F.col("vec_id").alias("neighbor_id"), "qe", "embedding"
-            ),
-            ("q_id", "neighbor_id"),
-            "qe",
-            "embedding",
-        ).select("q_id", "neighbor_id", dec(F.col("cos_raw"), 6).alias("cos_sim"))
-    else:
-        pairs = raw_pairs.select(
-            "q_id",
-            F.col("vec_id").alias("neighbor_id"),
-            dec(_cosine(F.col("qe"), F.col("embedding")), 6).alias("cos_sim"),
-        )
     w = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
     return (
         pairs.withColumn("rank", F.row_number().over(w).cast("long"))
@@ -1047,7 +1076,10 @@ def _q46_oracle() -> str:
 
 @query("q46_ann_lsh_bucketed", oracle=_q46_oracle())
 def q46_ann_lsh_bucketed(
-    spark: SparkSession, sf_dir: str, score_backend: str | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    score_backend: str | None = None,
+    pair_scores: DataFrame | None = None,
 ) -> DataFrame:
     """Multi-table multi-probe LSH ANN: LSH_TABLES hash tables, each
     hashing a DISJOINT group of LSH_SIGN_BITS dimensions into sign
@@ -1070,6 +1102,13 @@ def q46_ann_lsh_bucketed(
     once, and scoring re-joins the narrow (vec_id, embedding)
     projection on both sides.  Deterministic planes (no RNG) keep it
     oracle-checkable.
+
+    ``pair_scores`` (``ann_pair_scores``) restricts the query side to
+    q_id < N_QUERIES and swaps the candidate re-scoring for a
+    (q_id, neighbor_id)-keyed join against the shared pre-scored pair
+    table — same cosine expression over the same pairs, so the rows are
+    identical on that query subset (the ann_audit_frames route); None
+    keeps the self-contained all-queries plan the driver gate runs.
     """
     emb = table(spark, sf_dir, "embeddings")
     bucket = lsh_sign_bucket  # the shared definition (see its docstring)
@@ -1088,7 +1127,10 @@ def q46_ann_lsh_bucketed(
             for p in range(LSH_PROBES)
         ]
     )
-    a = fanned.select(
+    qside = (
+        fanned if pair_scores is None else fanned.filter(F.col("vec_id") < N_QUERIES)
+    )
+    a = qside.select(
         F.col("vec_id").alias("q_id"), F.explode(probes).alias("tb")
     ).select("q_id", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
     cand = (
@@ -1097,30 +1139,39 @@ def q46_ann_lsh_bucketed(
         .select("q_id", F.col("vec_id").alias("neighbor_id"))
         .distinct()
     )
-    vec = emb.select("vec_id", "embedding")
-    joined = cand.join(
-        vec.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")),
-        "q_id",
-    ).join(
-        vec.select(
-            F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne")
-        ),
-        "neighbor_id",
-    )
-    # pair scoring: numpy Arrow pass by default (bit-equal raw doubles;
-    # 6-dp rounding stays in the JVM), "jvm" HOF fallback
-    if score_backend is None:
-        score_backend = "numpy" if _numpy_available() else "jvm"
-    if score_backend == "numpy":
-        pairs = _cos_pairs_numpy(
-            spark, joined, ("q_id", "neighbor_id"), "qe", "ne"
-        ).select("q_id", "neighbor_id", dec(F.col("cos_raw"), 6).alias("cos_sim"))
+    if pair_scores is not None:
+        # candidate ids look their cosine up in the shared pre-scored
+        # pair table instead of re-joining embeddings and re-scoring
+        pairs = cand.join(pair_scores, ["q_id", "neighbor_id"])
     else:
-        pairs = joined.select(
+        vec = emb.select("vec_id", "embedding")
+        joined = cand.join(
+            vec.select(
+                F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+            ),
             "q_id",
+        ).join(
+            vec.select(
+                F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne")
+            ),
             "neighbor_id",
-            dec(_cosine(F.col("qe"), F.col("ne")), 6).alias("cos_sim"),
         )
+        # pair scoring: numpy Arrow pass by default (bit-equal raw
+        # doubles; 6-dp rounding stays in the JVM), "jvm" HOF fallback
+        if score_backend is None:
+            score_backend = "numpy" if _numpy_available() else "jvm"
+        if score_backend == "numpy":
+            pairs = _cos_pairs_numpy(
+                spark, joined, ("q_id", "neighbor_id"), "qe", "ne"
+            ).select(
+                "q_id", "neighbor_id", dec(F.col("cos_raw"), 6).alias("cos_sim")
+            )
+        else:
+            pairs = joined.select(
+                "q_id",
+                "neighbor_id",
+                dec(_cosine(F.col("qe"), F.col("ne")), 6).alias("cos_sim"),
+            )
     w = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
     return (
         pairs.withColumn("rank", F.row_number().over(w).cast("long"))
@@ -1374,6 +1425,7 @@ def q47_ann_ivf(
     nprobe: int | None = None,
     cells: DataFrame | None = None,
     score_backend: str | None = None,
+    pair_scores: DataFrame | None = None,
 ) -> DataFrame:
     """IVF top-k ANN: a fixed coarse quantizer partitions the corpus into
     cells; each query probes only its NPROBE nearest cells.
@@ -1437,23 +1489,34 @@ def q47_ann_ivf(
     # (~N_QUERIES × nprobe/n_cent of the corpus) is small enough at the
     # bench SF that the Arrow roundtrip outweighs the interpreted cosine
     # (interleaved A/B at sf0.1: jvm 1.03 s vs numpy 1.23 s); the
-    # bit-equal "numpy" path stays selectable for larger regimes
-    if score_backend is None:
-        score_backend = "jvm"
-    if score_backend == "numpy":
-        scored = _cos_pairs_numpy(
-            spark,
-            cand.select("q_id", F.col("vec_id").alias("neighbor_id"), "qe", "embedding"),
-            ("q_id", "neighbor_id"),
-            "qe",
-            "embedding",
-        ).select("q_id", "neighbor_id", dec(F.col("cos_raw"), 6).alias("cos_sim"))
-    else:
+    # bit-equal "numpy" path stays selectable for larger regimes.
+    # ``pair_scores`` (ann_pair_scores — the audit-frames route) swaps
+    # the re-scoring for a keyed lookup in the shared pre-scored table.
+    if pair_scores is not None:
         scored = cand.select(
-            "q_id",
-            F.col("vec_id").alias("neighbor_id"),
-            dec(_cosine(F.col("qe"), F.col("embedding")), 6).alias("cos_sim"),
-        )
+            "q_id", F.col("vec_id").alias("neighbor_id")
+        ).join(pair_scores, ["q_id", "neighbor_id"])
+    else:
+        if score_backend is None:
+            score_backend = "jvm"
+        if score_backend == "numpy":
+            scored = _cos_pairs_numpy(
+                spark,
+                cand.select(
+                    "q_id", F.col("vec_id").alias("neighbor_id"), "qe", "embedding"
+                ),
+                ("q_id", "neighbor_id"),
+                "qe",
+                "embedding",
+            ).select(
+                "q_id", "neighbor_id", dec(F.col("cos_raw"), 6).alias("cos_sim")
+            )
+        else:
+            scored = cand.select(
+                "q_id",
+                F.col("vec_id").alias("neighbor_id"),
+                dec(_cosine(F.col("qe"), F.col("embedding")), 6).alias("cos_sim"),
+            )
     w = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
     return (
         scored
@@ -2503,7 +2566,11 @@ def _q75_oracle() -> str:
 
 @query("q75_ann_pq", oracle=_q75_oracle())
 def q75_ann_pq(
-    spark: SparkSession, sf_dir: str, *, backend: str | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    backend: str | None = None,
+    pair_scores: DataFrame | None = None,
 ) -> DataFrame:
     """Product-quantization ANN: ADC shortlist + exact-cosine refine.
 
@@ -2580,30 +2647,40 @@ def q75_ann_pq(
         .filter(F.col("srank") <= PQ_REFINE)
         .select("q_id", "neighbor_id")
     )
-    vec = corpus.select("vec_id", "embedding")
-    rejoined = (
-        F.broadcast(short)
-        .join(
-            vec.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")),
-            "q_id",
-        )
-        .join(
-            vec.select(
-                F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne")
-            ),
-            "neighbor_id",
-        )
-    )
-    if backend == "numpy":
-        refined = _cos_pairs_numpy(
-            spark, rejoined, ("q_id", "neighbor_id"), "qe", "ne"
-        ).select("q_id", "neighbor_id", dec(F.col("cos_raw"), 6).alias("cos_sim"))
+    if pair_scores is not None:
+        # the shortlist's exact cosines come from the shared pre-scored
+        # pair table (ann_audit_frames) instead of a re-join + re-score
+        refined = F.broadcast(short).join(pair_scores, ["q_id", "neighbor_id"])
     else:
-        refined = rejoined.select(
-            "q_id",
-            "neighbor_id",
-            dec(_cosine(F.col("qe"), F.col("ne")), 6).alias("cos_sim"),
+        vec = corpus.select("vec_id", "embedding")
+        rejoined = (
+            F.broadcast(short)
+            .join(
+                vec.select(
+                    F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+                ),
+                "q_id",
+            )
+            .join(
+                vec.select(
+                    F.col("vec_id").alias("neighbor_id"),
+                    F.col("embedding").alias("ne"),
+                ),
+                "neighbor_id",
+            )
         )
+        if backend == "numpy":
+            refined = _cos_pairs_numpy(
+                spark, rejoined, ("q_id", "neighbor_id"), "qe", "ne"
+            ).select(
+                "q_id", "neighbor_id", dec(F.col("cos_raw"), 6).alias("cos_sim")
+            )
+        else:
+            refined = rejoined.select(
+                "q_id",
+                "neighbor_id",
+                dec(_cosine(F.col("qe"), F.col("ne")), 6).alias("cos_sim"),
+            )
     w2 = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
     return (
         refined.withColumn("rank", F.row_number().over(w2).cast("long"))
@@ -4690,7 +4767,12 @@ def _ivfpq_encode_numpy(spark: SparkSession, resid: DataFrame) -> DataFrame:
 
 @query("q112_ann_ivfpq", oracle=_q112_oracle())
 def q112_ann_ivfpq(
-    spark: SparkSession, sf_dir: str, *, encode_backend: str | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    encode_backend: str | None = None,
+    cells: DataFrame | None = None,
+    pair_scores: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ: the production billion-vector ANN layout (FAISS IVFPQ) —
     coarse cells restrict WHICH vectors a query scores (q47), residual
@@ -4722,13 +4804,23 @@ def q112_ann_ivfpq(
     dot = _pq_dot
 
     # pass 1: cell assignment + residual (cents sorted by contiguous ccid,
-    # so element_at(cell+1) is the assigned centroid)
-    resid = (
-        _fanout(spark, corpus)
-        .crossJoin(F.broadcast(cent1))
-        .withColumn("cell", _ivfpq_best_cell(F.col("embedding")))
-        .select("vec_id", "cell", _ivfpq_res_col().alias("res"))
-    )
+    # so element_at(cell+1) is the assigned centroid).  ``cells`` may
+    # carry a precomputed (persisted) assignment from
+    # ``ivf_cell_assignment`` — bit-identical to the inline argmax (same
+    # (cosine, lowest-cid) expression against the same first-n_cent
+    # quantizer; the ann_audit_frames route shares ONE assignment pass
+    # between q47 and q112); None keeps the fused assign+residual pass.
+    if cells is not None:
+        resid = cells.crossJoin(F.broadcast(cent1)).select(
+            "vec_id", "cell", _ivfpq_res_col().alias("res")
+        )
+    else:
+        resid = (
+            _fanout(spark, corpus)
+            .crossJoin(F.broadcast(cent1))
+            .withColumn("cell", _ivfpq_best_cell(F.col("embedding")))
+            .select("vec_id", "cell", _ivfpq_res_col().alias("res"))
+        )
     cbres1 = _ivfpq_res_codebook_row(resid)
     codes_col = _ivfpq_codes_col()
     # pass 2: encode residuals against the residual codebook.
@@ -4791,22 +4883,33 @@ def q112_ann_ivfpq(
         .filter(F.col("srank") <= refine)
         .select("q_id", "neighbor_id")
     )
-    vec = corpus.select("vec_id", "embedding")
-    refined = (
-        F.broadcast(short)
-        .join(vec.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")), "q_id")
-        .join(
-            vec.select(
-                F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne")
-            ),
-            "neighbor_id",
+    if pair_scores is not None:
+        # the shortlist's exact cosines come from the shared pre-scored
+        # pair table (ann_audit_frames) instead of a re-join + re-score
+        refined = F.broadcast(short).join(pair_scores, ["q_id", "neighbor_id"])
+    else:
+        vec = corpus.select("vec_id", "embedding")
+        refined = (
+            F.broadcast(short)
+            .join(
+                vec.select(
+                    F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+                ),
+                "q_id",
+            )
+            .join(
+                vec.select(
+                    F.col("vec_id").alias("neighbor_id"),
+                    F.col("embedding").alias("ne"),
+                ),
+                "neighbor_id",
+            )
+            .select(
+                "q_id",
+                "neighbor_id",
+                dec(_cosine(F.col("qe"), F.col("ne")), 6).alias("cos_sim"),
+            )
         )
-        .select(
-            "q_id",
-            "neighbor_id",
-            dec(_cosine(F.col("qe"), F.col("ne")), 6).alias("cos_sim"),
-        )
-    )
     w2 = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
     return (
         refined.withColumn("rank", F.row_number().over(w2).cast("long"))
@@ -4910,23 +5013,47 @@ def ann_audit_frames(
     candidate-pair ranking to a per-partition top-k — measured 3 s
     slower at sf0.1 when the unfiltered frames were cached.  The
     consumers re-apply the same predicates on the cached frame, a
-    no-op."""
-    # Method frames pin their scoring/encode knobs to the JVM
-    # expression backends: materialized back-to-back into persisted
-    # frames late in a long bench session, the Arrow-pass variants
-    # measured consistently SLOWER here (q90 slot 5.7 -> 8.2-9.4 s
-    # across two full bench runs with tight spreads) even though each
-    # wins standalone in a fresh session — the r12 lesson that backend
-    # defaults are context-dependent; the knobs stay selectable.
-    jvm_kw: dict[str, dict] = {
-        "q46_ann_lsh_bucketed": {"score_backend": "jvm"},
-        "q75_ann_pq": {"backend": "jvm"},
+    no-op.
+
+    Optimization r13 (guide §1.2 — score once, slice five ways): the
+    five frames previously each re-scored their own candidate pairs
+    with the exact cosine (4–5 separate scoring stages).  Now ONE
+    persisted ``ann_pair_scores`` table (every (q < N_QUERIES,
+    neighbor ≠ q) pair — exactly the work the exact baseline pays
+    anyway) feeds q45's ranking directly and the four method frames'
+    final cosines by (q_id, neighbor_id) lookup; and ONE persisted
+    ``ivf_cell_assignment`` is shared by q47 and q112 (bit-identical
+    argmax — see q112's ``cells``).  Same expressions over the same
+    pairs, so every frame's rows are unchanged (route-equality test).
+    """
+    # Backend pins (the r12 lesson that defaults are context-dependent:
+    # every pin here is set by an interleaved A/B of THIS frame-build
+    # sequence at sf0.1, r13 session): pair table on the JVM HOF (q90
+    # slot 4.78 s jvm vs 5.17 s numpy — one fused codegen pipeline into
+    # the persist beats the Arrow roundtrip at 40 k pairs); q75 keeps
+    # its numpy ENCODE default (4.9–5.1 s vs 5.2 s jvm now that its
+    # refine cosine is the shared lookup — the r12 jvm pin existed for
+    # the refine, which no longer runs here); the shared cell
+    # assignment runs numpy (4.5–4.8 s vs 4.9–5.1 s jvm across two
+    # 4/6-rep A/Bs).  Old all-jvm-pinned build: 5.65 s median.
+    pair_scores = ann_pair_scores(spark, sf_dir, score_backend="jvm").persist()
+    n_cent, _, _ = ann_params(corpus_size(spark, sf_dir))
+    cells = ivf_cell_assignment(spark, sf_dir, n_cent, backend="numpy").persist()
+    shared_kw: dict[str, dict] = {
+        "q46_ann_lsh_bucketed": {"pair_scores": pair_scores},
+        "q47_ann_ivf": {"pair_scores": pair_scores, "cells": cells},
+        "q75_ann_pq": {"pair_scores": pair_scores},
+        "q112_ann_ivfpq": {"pair_scores": pair_scores, "cells": cells},
     }
-    frames = {"exact": q45_ann_topk_bruteforce(spark, sf_dir).persist()}
+    frames = {
+        "exact": q45_ann_topk_bruteforce(
+            spark, sf_dir, pair_scores=pair_scores
+        ).persist()
+    }
     for name, qname, k in ANN_RECALL_METHODS:
         fn = globals().get(qname) or QUERIES[qname]
         frames[name] = (
-            fn(spark, sf_dir, **jvm_kw.get(qname, {}))
+            fn(spark, sf_dir, **shared_kw.get(qname, {}))
             .filter((F.col("q_id") < N_QUERIES) & (F.col("rank") <= k))
             .persist()
         )

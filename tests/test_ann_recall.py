@@ -130,6 +130,42 @@ def test_audit_frames_injection_is_equal(spark, sf_dir):
         spark.catalog.clearCache()
 
 
+def test_pair_scores_injection_is_equal(spark, sf_dir):
+    """Optimization r13 (score once, slice five ways): every ANN frame
+    built against the shared ``ann_pair_scores`` table (and the shared
+    q47/q112 ``cells`` assignment) must return exactly the rows of its
+    self-contained default — the injection replaces each frame's own
+    re-scoring join with a keyed lookup of the SAME cosine over the
+    SAME pairs, never a different score."""
+    from pyspark.sql import functions as F
+
+    ps = llm_ops.ann_pair_scores(spark, sf_dir).persist()
+    n_cent, _, _ = llm_ops.ann_params(llm_ops.corpus_size(spark, sf_dir))
+    cells = llm_ops.ivf_cell_assignment(
+        spark, sf_dir, n_cent, backend="numpy"
+    ).persist()
+    cases = [
+        (llm_ops.q45_ann_topk_bruteforce, {"pair_scores": ps}, {}),
+        (llm_ops.q46_ann_lsh_bucketed, {"pair_scores": ps}, {}),
+        (llm_ops.q47_ann_ivf, {"pair_scores": ps, "cells": cells}, {}),
+        (llm_ops.q75_ann_pq, {"pair_scores": ps}, {}),
+        (llm_ops.q112_ann_ivfpq, {"pair_scores": ps, "cells": cells}, {}),
+    ]
+    try:
+        for fn, kw, default_kw in cases:
+            shared = fn(spark, sf_dir, **kw).filter(
+                F.col("q_id") < llm_ops.N_QUERIES
+            )
+            own = fn(spark, sf_dir, **default_kw).filter(
+                F.col("q_id") < llm_ops.N_QUERIES
+            )
+            assert sorted(map(tuple, shared.collect())) == sorted(
+                map(tuple, own.collect())
+            ), fn.__name__
+    finally:
+        spark.catalog.clearCache()
+
+
 def test_hits_routes_agree(spark, sf_dir, monkeypatch):
     """q294's collected numpy solve (default under HITS_COLLECT_EDGES)
     must be bit-identical to the distributed half-step loop — same L1
