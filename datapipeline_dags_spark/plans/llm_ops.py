@@ -10045,69 +10045,58 @@ def q282_ivf_delta_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     components quantize with floor(x·{IVF_SUM_SCALE}+0.5) (the
     q200/q201 rule); everything else is integer counts/sums.
 
-    Scale shape: ONE map-only assignment pass (persisted — base,
-    delta, and the audit recompute all read it; the harness clearCache
-    releases it); partial aggregates are map-side combinable
-    (cell, component) integer cells bounded by n_cent·dim; the merge
-    is a bounded outer join of two partial tables; no window over
-    unbounded rows, no corpus shuffle beyond the partial aggs.
+    Scale shape: ONE map-only assignment pass streaming into ONE
+    fused conditional aggregation (base/delta/full partials are
+    conditional sums of the same frame — r13, guide §2.4); partial
+    aggregates are map-side combinable (cell, component) integer cells
+    bounded by n_cent·dim; no window over unbounded rows, no corpus
+    shuffle beyond the single partial agg.
     """
-    from pyspark.storagelevel import StorageLevel
-
     n_cent, _, _ = ann_params(corpus_size(spark, sf_dir))
     is_delta = (F.col("vec_id") % IVF_DELTA_MOD) == IVF_DELTA_REM
-    qcells = (
-        ivf_cell_assignment(spark, sf_dir, n_cent)
-        .select(
-            "vec_id",
-            "cell",
-            is_delta.alias("d"),
-            F.transform(
-                F.col("embedding"),
-                lambda x: F.floor(
-                    x.cast("double") * IVF_SUM_SCALE + F.lit(0.5)
-                ).cast("long"),
-            ).alias("qe"),
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    qcells = ivf_cell_assignment(spark, sf_dir, n_cent).select(
+        "vec_id",
+        "cell",
+        is_delta.alias("d"),
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(
+                x.cast("double") * IVF_SUM_SCALE + F.lit(0.5)
+            ).cast("long"),
+        ).alias("qe"),
     )
     comp = qcells.select(
         "cell", "d", F.posexplode("qe").alias("pos", "qv")
     )
 
-    def partials(df: DataFrame, tag: str) -> DataFrame:
-        return df.groupBy("cell", "pos").agg(
-            F.sum("qv").alias(f"s_{tag}"), F.count("*").alias(f"n_{tag}")
-        )
-
-    bp = partials(comp.filter(~F.col("d")), "b")
-    dp = partials(comp.filter(F.col("d")), "del")
-    merged = (
-        bp.join(dp, ["cell", "pos"], "full_outer")
-        .select(
-            "cell",
-            "pos",
-            (
-                F.coalesce(F.col("s_b"), F.lit(0))
-                + F.coalesce(F.col("s_del"), F.lit(0))
-            ).alias("s_m"),
-            F.coalesce(F.col("n_b"), F.lit(0)).alias("nb"),
-            F.coalesce(F.col("n_del"), F.lit(0)).alias("nd"),
-        )
+    # Optimization r13 (guide §2.4/§1.2 — VERDICT r12 ask #6): the
+    # base/delta/full partials are CONDITIONAL aggregates of one frame,
+    # so they fuse into ONE map-side-combinable groupBy instead of
+    # three filtered re-aggregations + two full-outer merges (plan: 4
+    # Exchanges -> 1, and the persisted assignment pass is consumed
+    # once, so its cache is gone too).  The audit stays three
+    # INDEPENDENT EXPRESSION paths — merged = base-slice + delta-slice
+    # vs full = unconditional sum/count — fused per-expression, not
+    # per-job; any lost or double-counted row still fails ``ok``.
+    z = F.lit(0)
+    agg = comp.groupBy("cell", "pos").agg(
+        F.sum(F.when(~F.col("d"), F.col("qv"))).alias("s_b"),
+        F.count(F.when(~F.col("d"), F.lit(1))).alias("n_b"),
+        F.sum(F.when(F.col("d"), F.col("qv"))).alias("s_del"),
+        F.count(F.when(F.col("d"), F.lit(1))).alias("n_del"),
+        F.sum("qv").alias("s_f"),
+        F.count("*").alias("n_f"),
     )
-    full = partials(comp, "f")
-    audit = merged.join(full, ["cell", "pos"], "full_outer").select(
+    s_m = F.coalesce(F.col("s_b"), z) + F.coalesce(F.col("s_del"), z)
+    audit = agg.select(
         "cell",
         "pos",
-        F.coalesce(F.col("s_m"), F.lit(0)).alias("s_m"),
-        F.coalesce(F.col("nb"), F.lit(0)).alias("nb"),
-        F.coalesce(F.col("nd"), F.lit(0)).alias("nd"),
+        s_m.alias("s_m"),
+        F.col("n_b").alias("nb"),
+        F.col("n_del").alias("nd"),
         (
-            (F.coalesce(F.col("s_m"), F.lit(0)) == F.coalesce(F.col("s_f"), F.lit(-1)))
-            & (
-                F.coalesce(F.col("nb"), F.lit(0)) + F.coalesce(F.col("nd"), F.lit(0))
-                == F.coalesce(F.col("n_f"), F.lit(-1))
-            )
+            (s_m == F.coalesce(F.col("s_f"), F.lit(-1)))
+            & (F.col("n_b") + F.col("n_del") == F.col("n_f"))
         ).cast("long").alias("ok"),
     )
     return audit.groupBy(F.col("cell").cast("long").alias("cell")).agg(
@@ -11075,9 +11064,10 @@ def q293_bm25_stats_delta_refresh(spark: SparkSession, sf_dir: str) -> DataFrame
     term string.
 
     Scale shape: one explode → (doc, term) hash aggregate carrying the
-    delta flag; base/delta/full partials are filtered re-aggregations
-    of that one table (persisted); merges are term-keyed full outer
-    joins; the report is TakeOrderedAndProject.
+    delta flag, streaming into ONE fused conditional term aggregation
+    (base/delta/full partials as conditional sums — r13, guide §2.4);
+    the report is TakeOrderedAndProject over the persisted bounded
+    term table.
     """
     from pyspark.storagelevel import StorageLevel
 
@@ -11089,42 +11079,44 @@ def q293_bm25_stats_delta_refresh(spark: SparkSession, sf_dir: str) -> DataFrame
         .withColumn(
             "dlt", (F.col("doc_id") % DOC_DELTA_MOD) == DOC_DELTA_REM
         )
+    )
+
+    # Optimization r13 (guide §2.4/§1.2 — VERDICT r12 ask #6): the
+    # base/delta/full partials fuse into ONE conditional groupBy(term)
+    # (3 Exchanges + 2 full-outer merges -> 1 Exchange); the (doc,
+    # term) table streams into it, so its persist moves to the bounded
+    # term-level result the audit and the top-k report both read.
+    # Audit independence stays per-expression: merged = base-slice +
+    # delta-slice vs full = the unconditional count/sum.
+    z = F.lit(0)
+    merged = (
+        tf.groupBy("term")
+        .agg(
+            F.count(F.when(~F.col("dlt"), F.lit(1))).alias("df_b"),
+            F.sum(F.when(~F.col("dlt"), F.col("tf"))).alias("cf_b"),
+            F.count(F.when(F.col("dlt"), F.lit(1))).alias("df_d"),
+            F.sum(F.when(F.col("dlt"), F.col("tf"))).alias("cf_d"),
+            F.count("*").alias("df_f"),
+            F.sum("tf").alias("cf_f"),
+        )
+        .select(
+            "term",
+            F.col("df_b").alias("df_base"),
+            F.col("df_d").alias("df_delta"),
+            (F.col("df_b") + F.col("df_d")).alias("df_merged"),
+            (F.coalesce("cf_b", z) + F.coalesce("cf_d", z)).alias("cf_merged"),
+            "df_f",
+            "cf_f",
+        )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-
-    def stats(df: DataFrame, tag: str) -> DataFrame:
-        return df.groupBy("term").agg(
-            F.count("*").alias(f"df_{tag}"), F.sum("tf").alias(f"cf_{tag}")
-        )
-
-    base = stats(tf.filter(~F.col("dlt")), "b")
-    dl = stats(tf.filter(F.col("dlt")), "d")
-    merged = base.join(dl, "term", "full_outer").select(
-        "term",
-        F.coalesce("df_b", F.lit(0)).alias("df_base"),
-        F.coalesce("df_d", F.lit(0)).alias("df_delta"),
-        (F.coalesce("df_b", F.lit(0)) + F.coalesce("df_d", F.lit(0))).alias(
-            "df_merged"
-        ),
-        (F.coalesce("cf_b", F.lit(0)) + F.coalesce("cf_d", F.lit(0))).alias(
-            "cf_merged"
-        ),
-    )
-    full_r = stats(tf, "f")
-    audit = (
-        merged.join(full_r, "term", "full_outer")
-        .agg(
-            F.min(
-                (
-                    F.coalesce("df_merged", F.lit(-1)).eqNullSafe(
-                        F.coalesce("df_f", F.lit(-2))
-                    )
-                    & F.coalesce("cf_merged", F.lit(-1)).eqNullSafe(
-                        F.coalesce("cf_f", F.lit(-2))
-                    )
-                ).cast("long")
-            ).alias("ok")
-        )
+    audit = merged.agg(
+        F.min(
+            (
+                (F.col("df_merged") == F.col("df_f"))
+                & (F.col("cf_merged") == F.col("cf_f"))
+            ).cast("long")
+        ).alias("ok")
     )
     top = (
         merged.crossJoin(F.broadcast(audit))
@@ -12012,73 +12004,63 @@ def q300_ivf_delete_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     components quantize with floor(x·{IVF_SUM_SCALE}+0.5); everything
     else is integer counts/sums and exact subtraction.
 
-    Scale shape: ONE map-only assignment pass (persisted — base,
-    insert, delete and the audit recompute all filter it); partials
-    are map-side-combinable (cell, component) integer cells bounded by
-    n_cent·dim; the three-way merge is bounded outer joins of partial
-    tables; deletion costs ONE more filtered re-aggregation of the
-    same persisted frame, never a corpus re-index.
+    Scale shape: ONE map-only assignment pass streaming into ONE
+    fused conditional aggregation (base/insert/delete/full partials
+    are conditional sums of the same frame — r13, guide §2.4);
+    partials are map-side-combinable (cell, component) integer cells
+    bounded by n_cent·dim; deletion costs one more conditional column,
+    never a corpus re-index.
     """
     from pyspark.storagelevel import StorageLevel
 
     n_cent, _, _ = ann_params(corpus_size(spark, sf_dir))
     is_ins = (F.col("vec_id") % IVF_DELTA_MOD) == IVF_DELTA_REM
     is_del = (F.col("vec_id") % IVF_DELTA_MOD) == IVF_DELETE_REM
-    qcells = (
-        ivf_cell_assignment(spark, sf_dir, n_cent)
-        .select(
-            "vec_id",
-            "cell",
-            is_ins.alias("i"),
-            is_del.alias("x"),
-            F.transform(
-                F.col("embedding"),
-                lambda v: F.floor(
-                    v.cast("double") * IVF_SUM_SCALE + F.lit(0.5)
-                ).cast("long"),
-            ).alias("qe"),
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    qcells = ivf_cell_assignment(spark, sf_dir, n_cent).select(
+        "vec_id",
+        "cell",
+        is_ins.alias("i"),
+        is_del.alias("x"),
+        F.transform(
+            F.col("embedding"),
+            lambda v: F.floor(
+                v.cast("double") * IVF_SUM_SCALE + F.lit(0.5)
+            ).cast("long"),
+        ).alias("qe"),
     )
     comp = qcells.select("cell", "i", "x", F.posexplode("qe").alias("pos", "qv"))
 
-    def partials(df: DataFrame, tag: str) -> DataFrame:
-        return df.groupBy("cell", "pos").agg(
-            F.sum("qv").alias(f"s_{tag}"), F.count("*").alias(f"n_{tag}")
-        )
-
-    bp = partials(comp.filter(~F.col("i")), "b")  # base incl. to-be-deleted
-    ip = partials(comp.filter(F.col("i")), "i")
-    xp = partials(comp.filter(F.col("x")), "x")
+    # Optimization r13 (guide §2.4/§1.2 — VERDICT r12 ask #6): the four
+    # filtered partial aggregations (base/insert/delete/full) of one
+    # exploded frame fuse into ONE conditional groupBy — 4 Exchanges +
+    # 3 full-outer merges -> 1 Exchange; the assignment pass streams
+    # straight into it, so its persist is gone too.  The audit keeps
+    # its independent EXPRESSION paths: merged = base + ins − del
+    # slices vs full = the unconditional ~x sum/count.
     z = F.lit(0)
-    merged = (
-        bp.join(ip, ["cell", "pos"], "full_outer")
-        .join(xp, ["cell", "pos"], "full_outer")
-        .select(
-            "cell",
-            "pos",
-            (
-                F.coalesce("s_b", z) + F.coalesce("s_i", z) - F.coalesce("s_x", z)
-            ).alias("s_m"),
-            F.coalesce("n_b", z).alias("nb"),
-            F.coalesce("n_i", z).alias("ni"),
-            F.coalesce("n_x", z).alias("nx"),
-        )
+    agg = comp.groupBy("cell", "pos").agg(
+        F.sum(F.when(~F.col("i"), F.col("qv"))).alias("s_b"),
+        F.count(F.when(~F.col("i"), F.lit(1))).alias("n_b"),
+        F.sum(F.when(F.col("i"), F.col("qv"))).alias("s_i"),
+        F.count(F.when(F.col("i"), F.lit(1))).alias("n_i"),
+        F.sum(F.when(F.col("x"), F.col("qv"))).alias("s_x"),
+        F.count(F.when(F.col("x"), F.lit(1))).alias("n_x"),
+        F.sum(F.when(~F.col("x"), F.col("qv"))).alias("s_f"),
+        F.count(F.when(~F.col("x"), F.lit(1))).alias("n_f"),
     )
-    full = partials(comp.filter(~F.col("x")), "f")
-    audit = merged.join(full, ["cell", "pos"], "full_outer").select(
+    s_m = (
+        F.coalesce("s_b", z) + F.coalesce("s_i", z) - F.coalesce("s_x", z)
+    )
+    audit = agg.select(
         "cell",
         "pos",
-        F.coalesce("s_m", z).alias("s_m"),
-        F.coalesce("nb", z).alias("nb"),
-        F.coalesce("ni", z).alias("ni"),
-        F.coalesce("nx", z).alias("nx"),
+        s_m.alias("s_m"),
+        F.col("n_b").alias("nb"),
+        F.col("n_i").alias("ni"),
+        F.col("n_x").alias("nx"),
         (
-            (F.coalesce("s_m", z) == F.coalesce("s_f", z))
-            & (
-                F.coalesce("nb", z) + F.coalesce("ni", z) - F.coalesce("nx", z)
-                == F.coalesce("n_f", z)
-            )
+            (s_m == F.coalesce("s_f", z))
+            & (F.col("n_b") + F.col("n_i") - F.col("n_x") == F.col("n_f"))
         )
         .cast("long")
         .alias("ok"),
@@ -12360,12 +12342,12 @@ def q302_bm25_stats_delete_refresh(
     term string.
 
     Scale shape: one explode → (doc, term) hash aggregate carrying the
-    insert/delete flags (persisted); base/insert/delete/full partials
-    are filtered re-aggregations of that one table; merges are
-    term-keyed outer joins; the report is TakeOrderedAndProject.  The
-    deleted docs' contributions come from the SAME stored posting rows
-    an inverted index already holds — retraction reads state, not the
-    corpus.
+    insert/delete flags, streaming into ONE fused conditional term
+    aggregation (base/insert/delete/full partials as conditional sums
+    — r13, guide §2.4); the report is TakeOrderedAndProject over the
+    persisted bounded term table.  The deleted docs' contributions
+    come from the SAME stored posting rows an inverted index already
+    holds — retraction reads state, not the corpus.
     """
     from pyspark.storagelevel import StorageLevel
 
@@ -12378,47 +12360,48 @@ def q302_bm25_stats_delete_refresh(
         .withColumn(
             "del_d", (F.col("doc_id") % DOC_DELTA_MOD) == DOC_DELETE_REM
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
-    def stats(df: DataFrame, tag: str) -> DataFrame:
-        return df.groupBy("term").agg(
-            F.count("*").alias(f"df_{tag}"), F.sum("tf").alias(f"cf_{tag}")
-        )
-
-    base = stats(tf.filter(~F.col("ins")), "b")
-    insd = stats(tf.filter(F.col("ins")), "i")
-    deld = stats(tf.filter(F.col("del_d")), "x")
+    # Optimization r13 (guide §2.4/§1.2 — VERDICT r12 ask #6): the four
+    # filtered partials fuse into ONE conditional groupBy(term); audit
+    # independence stays per-expression (merged slices vs the
+    # unconditional live count/sum); the posting rows stream into the
+    # single aggregation, whose bounded term-level result is persisted
+    # for the audit + report reads.
     z = F.lit(0)
-    merged = (
-        base.join(insd, "term", "full_outer")
-        .join(deld, "term", "full_outer")
+    stats_all = (
+        tf.groupBy("term")
+        .agg(
+            F.count(F.when(~F.col("ins"), F.lit(1))).alias("df_b"),
+            F.sum(F.when(~F.col("ins"), F.col("tf"))).alias("cf_b"),
+            F.count(F.when(F.col("ins"), F.lit(1))).alias("df_i"),
+            F.sum(F.when(F.col("ins"), F.col("tf"))).alias("cf_i"),
+            F.count(F.when(F.col("del_d"), F.lit(1))).alias("df_x"),
+            F.sum(F.when(F.col("del_d"), F.col("tf"))).alias("cf_x"),
+            F.count(F.when(~F.col("del_d"), F.lit(1))).alias("df_f"),
+            F.sum(F.when(~F.col("del_d"), F.col("tf"))).alias("cf_f"),
+        )
         .select(
             "term",
-            F.coalesce("df_b", z).alias("df_base"),
-            F.coalesce("df_i", z).alias("df_ins"),
-            F.coalesce("df_x", z).alias("df_del"),
-            (
-                F.coalesce("df_b", z) + F.coalesce("df_i", z)
-                - F.coalesce("df_x", z)
-            ).alias("df_merged"),
+            F.col("df_b").alias("df_base"),
+            F.col("df_i").alias("df_ins"),
+            F.col("df_x").alias("df_del"),
+            (F.col("df_b") + F.col("df_i") - F.col("df_x")).alias("df_merged"),
             (
                 F.coalesce("cf_b", z) + F.coalesce("cf_i", z)
                 - F.coalesce("cf_x", z)
             ).alias("cf_merged"),
+            "df_f",
+            "cf_f",
         )
-        .filter(F.col("df_merged") > 0)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    full_r = stats(tf.filter(~F.col("del_d")), "f")
-    audit = merged.join(full_r, "term", "full_outer").agg(
+    merged = stats_all.filter(F.col("df_merged") > 0)
+    audit = stats_all.agg(
         F.min(
             (
-                F.coalesce("df_merged", F.lit(-1)).eqNullSafe(
-                    F.coalesce("df_f", F.lit(-2))
-                )
-                & F.coalesce("cf_merged", F.lit(-1)).eqNullSafe(
-                    F.coalesce("cf_f", F.lit(-2))
-                )
+                (F.col("df_merged") == F.col("df_f"))
+                & (F.col("cf_merged") == F.coalesce("cf_f", z))
             ).cast("long")
         ).alias("ok")
     )
@@ -12578,7 +12561,9 @@ def _q304_oracle() -> str:
 
 
 @query("q304_pq_codes_delta_refresh", oracle=_q304_oracle())
-def q304_pq_codes_delta_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q304_pq_codes_delta_refresh(
+    spark: SparkSession, sf_dir: str, *, encode_backend: str | None = None
+) -> DataFrame:
     """Incremental PQ code-table maintenance — the q282 IVM contract
     applied to q75's index: a delta ingest batch (vec_id %
     {IVF_DELTA_MOD} == {IVF_DELTA_REM}) encodes map-only against the
@@ -12603,58 +12588,62 @@ def q304_pq_codes_delta_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     final BIGINT cast (the q193/q288 overflow rule — SUM(vec_id) over
     a cell wraps int64 at ~1e10 ids x 1e9 rows).
 
-    Scale shape: ONE map-only encode pass over base+delta (persisted —
-    merged and the audit recompute both filter it; PQ_M codes per
-    vector, the {PQ_M}-byte-per-vector structure); partials are
-    map-side-combinable (m, cid) integer cells bounded by
-    {PQ_M}x{PQ_K}; the merge is one bounded full-outer join; no
-    window, no corpus-squared anything.
+    Scale shape: ONE map-only encode pass over base+delta (PQ_M codes
+    per vector, the {PQ_M}-byte-per-vector structure) streaming into
+    ONE fused conditional aggregation (base/delta/full partials are
+    conditional sums of the same code rows — r13, guide §2.4);
+    partials are map-side-combinable (m, cid) integer cells bounded by
+    {PQ_M}x{PQ_K}; no window, no corpus-squared anything.
     """
     from pyspark.storagelevel import StorageLevel
 
     corpus = table(spark, sf_dir, "embeddings")
     is_ins = (F.col("vec_id") % IVF_DELTA_MOD) == IVF_DELTA_REM
-    rows = (
-        _fanout(spark, corpus)
-        .crossJoin(F.broadcast(_pq_codebook_row(corpus)))
-        .select(
-            "vec_id",
-            is_ins.alias("i"),
-            F.posexplode(_pq_codes_col()).alias("m", "cid"),
+    # encode backend (the q75/q112/q307 pattern): auto-selects the
+    # bit-equal numpy Arrow encode (tests/test_numpy_backends.py pins
+    # the codes); "jvm" keeps the HOF plan the oracle mirrors.
+    if encode_backend is None:
+        encode_backend = "numpy" if _numpy_available() else "jvm"
+    if encode_backend == "numpy":
+        coded = _pq_encode_cfg_numpy(
+            spark, _fanout(spark, corpus), PQ_M, PQ_D, False, cb_source=corpus
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    else:
+        coded = (
+            _fanout(spark, corpus)
+            .crossJoin(F.broadcast(_pq_codebook_row(corpus)))
+            .select("vec_id", _pq_codes_col().alias("codes"))
+        )
+    rows = coded.select(
+        "vec_id", is_ins.alias("i"), F.posexplode("codes").alias("m", "cid")
     )
 
-    def partials(df: DataFrame, tag: str) -> DataFrame:
-        return df.groupBy("m", "cid").agg(
-            F.count("*").alias(f"n_{tag}"),
-            F.sum(F.col("vec_id").cast("decimal(38,0)")).alias(f"c_{tag}"),
-        )
-
+    # Optimization r13 (guide §2.4/§1.2 — VERDICT r12 ask #6): the
+    # base/delta/full partials fuse into ONE conditional groupBy of the
+    # exploded code rows (3 Exchanges + 2 full-outer merges -> 1
+    # Exchange; the encode streams straight into it, so its persist is
+    # gone).  The audit keeps independent EXPRESSION paths: merged =
+    # base-slice + delta-slice vs full = the unconditional sum/count.
     zc = F.lit(0).cast("decimal(38,0)")
-    z = F.lit(0)
-    bp = partials(rows.filter(~F.col("i")), "b")
-    ip = partials(rows.filter(F.col("i")), "i")
-    merged = bp.join(ip, ["m", "cid"], "full_outer").select(
-        "m",
-        "cid",
-        F.coalesce("n_b", z).alias("nb"),
-        F.coalesce("n_i", z).alias("ni"),
-        (F.coalesce("c_b", zc) + F.coalesce("c_i", zc)).alias("c_m"),
+    dec_id = F.col("vec_id").cast("decimal(38,0)")
+    agg = rows.groupBy("m", "cid").agg(
+        F.count(F.when(~F.col("i"), F.lit(1))).alias("n_b"),
+        F.sum(F.when(~F.col("i"), dec_id)).alias("c_b"),
+        F.count(F.when(F.col("i"), F.lit(1))).alias("n_i"),
+        F.sum(F.when(F.col("i"), dec_id)).alias("c_i"),
+        F.count("*").alias("n_f"),
+        F.sum(dec_id).alias("c_f"),
     )
-    full = partials(rows, "f")
-    audit = merged.join(full, ["m", "cid"], "full_outer").select(
+    c_m = F.coalesce("c_b", zc) + F.coalesce("c_i", zc)
+    audit = agg.select(
         "m",
         "cid",
-        F.coalesce("nb", z).alias("nb"),
-        F.coalesce("ni", z).alias("ni"),
-        F.coalesce("c_m", zc).alias("c_m"),
+        F.col("n_b").alias("nb"),
+        F.col("n_i").alias("ni"),
+        c_m.alias("c_m"),
         (
-            F.coalesce("c_m", zc).eqNullSafe(F.coalesce("c_f", zc))
-            & (
-                F.coalesce("nb", z) + F.coalesce("ni", z)
-                == F.coalesce("n_f", F.lit(-1))
-            )
+            c_m.eqNullSafe(F.coalesce("c_f", zc))
+            & (F.col("n_b") + F.col("n_i") == F.col("n_f"))
         )
         .cast("long")
         .alias("ok"),
@@ -12700,7 +12689,7 @@ def _q305_oracle() -> str:
 
 @query("q305_pq_codes_delete_refresh", oracle=_q305_oracle())
 def q305_pq_codes_delete_refresh(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, *, encode_backend: str | None = None
 ) -> DataFrame:
     """PQ code-table maintenance with DELETIONS — the retraction half
     of q304's contract (the q300/q301/q302 discipline on the fourth
@@ -12721,70 +12710,68 @@ def q305_pq_codes_delete_refresh(
     including cells that retracted to zero (absent from the report,
     still audited — the q300 rule).
 
-    Scale shape: the same single persisted encode pass as q304 (three
-    filtered re-aggregations of it, never a second corpus read);
+    Scale shape: the same single encode pass as q304 streaming into
+    ONE fused conditional aggregation (never a second corpus read);
     bounded (m, cid) partial tables; deletion cost is one more
-    filtered re-aggregation — at serving time it is a tombstone
-    anti-join on the O(corpus) codes table, the PqIndexMaintainer
-    path.
+    conditional column — at serving time it is a tombstone anti-join
+    on the O(corpus) codes table, the PqIndexMaintainer path.
     """
     from pyspark.storagelevel import StorageLevel
 
     corpus = table(spark, sf_dir, "embeddings")
     is_ins = (F.col("vec_id") % IVF_DELTA_MOD) == IVF_DELTA_REM
     is_del = (F.col("vec_id") % IVF_DELTA_MOD) == IVF_DELETE_REM
-    rows = (
-        _fanout(spark, corpus)
-        .crossJoin(F.broadcast(_pq_codebook_row(corpus)))
-        .select(
-            "vec_id",
-            is_ins.alias("i"),
-            is_del.alias("x"),
-            F.posexplode(_pq_codes_col()).alias("m", "cid"),
+    # encode backend (the q75/q112/q307 pattern): auto-selects the
+    # bit-equal numpy Arrow encode; "jvm" keeps the HOF oracle twin.
+    if encode_backend is None:
+        encode_backend = "numpy" if _numpy_available() else "jvm"
+    if encode_backend == "numpy":
+        coded = _pq_encode_cfg_numpy(
+            spark, _fanout(spark, corpus), PQ_M, PQ_D, False, cb_source=corpus
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    else:
+        coded = (
+            _fanout(spark, corpus)
+            .crossJoin(F.broadcast(_pq_codebook_row(corpus)))
+            .select("vec_id", _pq_codes_col().alias("codes"))
+        )
+    rows = coded.select(
+        "vec_id",
+        is_ins.alias("i"),
+        is_del.alias("x"),
+        F.posexplode("codes").alias("m", "cid"),
     )
 
-    def partials(df: DataFrame, tag: str) -> DataFrame:
-        return df.groupBy("m", "cid").agg(
-            F.count("*").alias(f"n_{tag}"),
-            F.sum(F.col("vec_id").cast("decimal(38,0)")).alias(f"c_{tag}"),
-        )
-
+    # One fused conditional groupBy replaces the four filtered partials
+    # + three full-outer merges (guide §2.4/§1.2 — VERDICT r12 ask #6);
+    # audit independence stays per-expression (merged slices vs the
+    # unconditional live sum/count).
     zc = F.lit(0).cast("decimal(38,0)")
-    z = F.lit(0)
-    bp = partials(rows.filter(~F.col("i")), "b")  # base incl. to-be-deleted
-    ip = partials(rows.filter(F.col("i")), "i")
-    xp = partials(rows.filter(F.col("x")), "x")
-    merged = (
-        bp.join(ip, ["m", "cid"], "full_outer")
-        .join(xp, ["m", "cid"], "full_outer")
-        .select(
-            "m",
-            "cid",
-            F.coalesce("n_b", z).alias("nb"),
-            F.coalesce("n_i", z).alias("ni"),
-            F.coalesce("n_x", z).alias("nx"),
-            (
-                F.coalesce("c_b", zc)
-                + F.coalesce("c_i", zc)
-                - F.coalesce("c_x", zc)
-            ).alias("c_m"),
-        )
+    dec_id = F.col("vec_id").cast("decimal(38,0)")
+    agg = rows.groupBy("m", "cid").agg(
+        F.count(F.when(~F.col("i"), F.lit(1))).alias("n_b"),
+        F.sum(F.when(~F.col("i"), dec_id)).alias("c_b"),
+        F.count(F.when(F.col("i"), F.lit(1))).alias("n_i"),
+        F.sum(F.when(F.col("i"), dec_id)).alias("c_i"),
+        F.count(F.when(F.col("x"), F.lit(1))).alias("n_x"),
+        F.sum(F.when(F.col("x"), dec_id)).alias("c_x"),
+        F.count(F.when(~F.col("x"), F.lit(1))).alias("n_f"),
+        F.sum(F.when(~F.col("x"), dec_id)).alias("c_f"),
     )
-    full = partials(rows.filter(~F.col("x")), "f")
-    audit = merged.join(full, ["m", "cid"], "full_outer").select(
+    c_m = (
+        F.coalesce("c_b", zc) + F.coalesce("c_i", zc) - F.coalesce("c_x", zc)
+    )
+    audit = agg.select(
         "m",
         "cid",
-        F.coalesce("nb", z).alias("nb"),
-        F.coalesce("ni", z).alias("ni"),
-        F.coalesce("nx", z).alias("nx"),
-        F.coalesce("c_m", zc).alias("c_m"),
+        F.col("n_b").alias("nb"),
+        F.col("n_i").alias("ni"),
+        F.col("n_x").alias("nx"),
+        c_m.alias("c_m"),
         (
-            F.coalesce("c_m", zc).eqNullSafe(F.coalesce("c_f", zc))
+            c_m.eqNullSafe(F.coalesce("c_f", zc))
             & (
-                F.coalesce("nb", z) + F.coalesce("ni", z) - F.coalesce("nx", z)
-                == F.coalesce("n_f", z)
+                F.col("n_b") + F.col("n_i") - F.col("n_x") == F.col("n_f")
             )
         )
         .cast("long")
@@ -13012,12 +12999,13 @@ def q307_ivfpq_codes_refresh(
     backend auto-selects numpy (identical codes, pinned) with the
     pure-SQL JVM fallback the oracle mirrors.
 
-    Scale shape: the same two broadcast passes as q112; one persisted
-    exploded code-row frame feeds four filtered re-aggregations
-    (base/ins/del/full); partials are map-side-combinable
-    (cell, m, cid) integer cells bounded by n_cent·{PQ_M}·{PQ_K}; no
-    window over data, no pair joins — maintenance costs one encode of
-    the DELTA plus bounded merges, the 100 TB contract.
+    Scale shape: the same two broadcast passes as q112; the exploded
+    code rows stream into ONE fused conditional aggregation
+    (base/ins/del/full partials as conditional sums — r13, guide
+    §2.4); partials are map-side-combinable (cell, m, cid) integer
+    cells bounded by n_cent·{PQ_M}·{PQ_K}; no window over data, no
+    pair joins — maintenance costs one encode of the DELTA plus
+    bounded merges, the 100 TB contract.
     """
     from pyspark.storagelevel import StorageLevel
 
@@ -13046,47 +13034,39 @@ def q307_ivfpq_codes_refresh(
         is_ins.alias("i"),
         is_del.alias("x"),
         F.posexplode("codes").alias("m", "cid"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-
-    def partials(df: DataFrame, tag: str) -> DataFrame:
-        return df.groupBy("cell", "m", "cid").agg(
-            F.count("*").alias(f"n_{tag}"),
-            F.sum(F.col("vec_id").cast("decimal(38,0)")).alias(f"c_{tag}"),
-        )
-
-    zc = F.lit(0).cast("decimal(38,0)")
-    z = F.lit(0)
-    keys = ["cell", "m", "cid"]
-    bp = partials(rows.filter(~F.col("i")), "b")  # base incl. to-be-deleted
-    ip = partials(rows.filter(F.col("i")), "i")
-    xp = partials(rows.filter(F.col("x")), "x")
-    merged = (
-        bp.join(ip, keys, "full_outer")
-        .join(xp, keys, "full_outer")
-        .select(
-            *keys,
-            F.coalesce("n_b", z).alias("nb"),
-            F.coalesce("n_i", z).alias("ni"),
-            F.coalesce("n_x", z).alias("nx"),
-            (
-                F.coalesce("c_b", zc)
-                + F.coalesce("c_i", zc)
-                - F.coalesce("c_x", zc)
-            ).alias("c_m"),
-        )
     )
-    full = partials(rows.filter(~F.col("x")), "f")
-    audit = merged.join(full, keys, "full_outer").select(
+
+    # One fused conditional groupBy replaces the four filtered partials
+    # + three full-outer merges (guide §2.4/§1.2 — VERDICT r12 ask #6);
+    # audit independence stays per-expression (merged slices vs the
+    # unconditional live sum/count); the encode streams straight into
+    # the single aggregation, so the exploded-frame persist is gone.
+    zc = F.lit(0).cast("decimal(38,0)")
+    keys = ["cell", "m", "cid"]
+    dec_id = F.col("vec_id").cast("decimal(38,0)")
+    agg = rows.groupBy(*keys).agg(
+        F.count(F.when(~F.col("i"), F.lit(1))).alias("n_b"),
+        F.sum(F.when(~F.col("i"), dec_id)).alias("c_b"),
+        F.count(F.when(F.col("i"), F.lit(1))).alias("n_i"),
+        F.sum(F.when(F.col("i"), dec_id)).alias("c_i"),
+        F.count(F.when(F.col("x"), F.lit(1))).alias("n_x"),
+        F.sum(F.when(F.col("x"), dec_id)).alias("c_x"),
+        F.count(F.when(~F.col("x"), F.lit(1))).alias("n_f"),
+        F.sum(F.when(~F.col("x"), dec_id)).alias("c_f"),
+    )
+    c_m = (
+        F.coalesce("c_b", zc) + F.coalesce("c_i", zc) - F.coalesce("c_x", zc)
+    )
+    audit = agg.select(
         *keys,
-        F.coalesce("nb", z).alias("nb"),
-        F.coalesce("ni", z).alias("ni"),
-        F.coalesce("nx", z).alias("nx"),
-        F.coalesce("c_m", zc).alias("c_m"),
+        F.col("n_b").alias("nb"),
+        F.col("n_i").alias("ni"),
+        F.col("n_x").alias("nx"),
+        c_m.alias("c_m"),
         (
-            F.coalesce("c_m", zc).eqNullSafe(F.coalesce("c_f", zc))
+            c_m.eqNullSafe(F.coalesce("c_f", zc))
             & (
-                F.coalesce("nb", z) + F.coalesce("ni", z) - F.coalesce("nx", z)
-                == F.coalesce("n_f", z)
+                F.col("n_b") + F.col("n_i") - F.col("n_x") == F.col("n_f")
             )
         )
         .cast("long")
