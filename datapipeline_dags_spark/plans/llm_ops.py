@@ -13860,11 +13860,21 @@ def q311_curation_token_waterfall(
     Parity: every stage is integer-exact (digest keep-first, integer
     word counts, micro-unit scores, integer budget arithmetic).
 
-    Scale shape: each stage keeps its component's scale story (digest
-    groupBy; q308's segment agg + 1-build-row hot-key join; map-only
-    floor; q309's per-source window + <=21-row waterline); stages
-    chain through persisted narrow frames; the waterfall itself is
-    four 1-row aggregate attaches unioned into 4 rows.
+    Scale shape (r13, guide §2.4/§1.2): each stage keeps its
+    component's scale story (digest-window dedup; q308's segment agg +
+    1-build-row hot-key join; map-only floor; q309's per-source window
+    + <=21-row waterline), but sibling stage aggregates over the SAME
+    frame are fused into one multi-aggregate pass each — stage 0+1's
+    corpus totals, keeper totals and distinct-digest audit path ride
+    one aggregation of the digest-flagged corpus (the keep-first
+    groupBy + semi-join became a digest-partitioned min window: one
+    shuffle instead of two, same keeper set); stage 2+3 share one
+    aggregation of the stripped+scored frame; stage 4's take totals
+    and per-source cap roll up from one per-source aggregate.  The
+    waterfall is then ONE wide 1-row crossjoin exploded into 4 rows
+    (the q114 unpivot), not four separately-built union branches.
+    Audit independence is per-expression throughout (e.g. n1 =
+    keeper-flag sum vs nk = countDistinct digest).
     """
     from pyspark.storagelevel import StorageLevel
 
@@ -13874,93 +13884,101 @@ def q311_curation_token_waterfall(
         "text",
         F.size(F.split(F.col("text"), " ")).cast("long").alias("toks"),
     )
-    a0 = docs.agg(
-        F.count("*").alias("n0"), F.sum("toks").alias("t0")
+    flagged = docs.withColumn("h", F.sha2(F.col("text"), 256)).withColumn(
+        "keeper",
+        F.col("doc_id") == F.min("doc_id").over(W.partitionBy("h")),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # one pass: corpus totals (stage-1 in), keeper totals (stage-1
+    # out), and the INDEPENDENT distinct-digest count the audit
+    # compares keepers against
+    s1 = flagged.agg(
+        F.count("*").alias("n0"),
+        F.sum("toks").alias("t0"),
+        F.sum(F.col("keeper").cast("long")).alias("n1"),
+        F.sum(F.when(F.col("keeper"), F.col("toks"))).alias("t1"),
+        F.countDistinct("h").alias("nk"),
     )
-    keep = docs.groupBy(F.sha2(F.col("text"), 256).alias("h")).agg(
-        F.min("doc_id").alias("doc_id")
-    )
-    d1 = docs.join(keep.select("doc_id"), "doc_id", "left_semi").persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    a1 = d1.agg(F.count("*").alias("n1"), F.sum("toks").alias("t1"))
-    k1 = keep.agg(F.count("*").alias("nk"))
+    d1 = flagged.filter(F.col("keeper"))
 
-    pd2 = _strip_segments(d1.select("doc_id", "source", "text")).persist(
-        StorageLevel.MEMORY_AND_DISK
+    pd2 = (
+        _strip_segments(d1.select("doc_id", "source", "text"))
+        .withColumn(
+            "score_u",
+            F.when(F.col("ws") == 0, F.lit(0))
+            .otherwise(
+                F.expr(
+                    "CAST(size(array_distinct(split(cleaned, ' '))) AS BIGINT)"
+                    " * 1000000 div CAST(ws AS BIGINT)"
+                )
+            )
+            .cast("long"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    a2 = pd2.agg(
+    # one pass: stage-2 conservation sums AND stage-3 floor partition
+    s23 = pd2.agg(
         F.count("*").alias("n2"),
         F.sum("wt").alias("wt2"),
         F.sum("wk").alias("wk2"),
         F.sum("wd").alias("wd2"),
         F.sum("ws").alias("ws2"),
-    )
-    b3 = pd2.select(
-        "doc_id",
-        "source",
-        F.col("ws").cast("long").alias("toks"),
-        F.when(F.col("ws") == 0, F.lit(0))
-        .otherwise(
-            F.expr(
-                "CAST(size(array_distinct(split(cleaned, ' '))) AS BIGINT)"
-                " * 1000000 div CAST(ws AS BIGINT)"
-            )
-        )
-        .cast("long")
-        .alias("score_u"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    a3 = b3.agg(
         F.sum((F.col("score_u") >= Q_FLOOR_U).cast("long")).alias("n_ge"),
         F.sum((F.col("score_u") < Q_FLOOR_U).cast("long")).alias("n_lt"),
         F.coalesce(
-            F.sum(F.when(F.col("score_u") >= Q_FLOOR_U, F.col("toks"))),
+            F.sum(F.when(F.col("score_u") >= Q_FLOOR_U, F.col("ws").cast("long"))),
             F.lit(0),
         ).alias("t_ge"),
     )
-    d3 = b3.filter(F.col("score_u") >= Q_FLOOR_U)
+    d3 = pd2.filter(F.col("score_u") >= Q_FLOOR_U).select(
+        "doc_id",
+        "source",
+        F.col("ws").cast("long").alias("toks"),
+        "score_u",
+    )
 
     taken, budget, wl, g = _curriculum_take(d3)
-    a4 = taken.agg(
-        F.count("*").alias("n4"),
-        F.coalesce(F.sum("toks"), F.lit(0)).alias("t4"),
-    )
-    ps = (
+    # one per-source rollup carries the take totals AND the
+    # anti-domination cap check (integer sums — associative)
+    s4 = (
         taken.groupBy("source")
-        .agg(F.sum("toks").alias("stoks"))
-        .agg(F.coalesce(F.max("stoks"), F.lit(0)).alias("max_src"))
+        .agg(F.count("*").alias("ns"), F.sum("toks").alias("stoks"))
+        .agg(
+            F.coalesce(F.sum("ns"), F.lit(0)).alias("n4"),
+            F.coalesce(F.sum("stoks"), F.lit(0)).alias("t4"),
+            F.coalesce(F.max("stoks"), F.lit(0)).alias("max_src"),
+        )
     )
 
-    def row(stage, name, cols, frames):
-        base = frames[0]
-        for fr in frames[1:]:
-            base = base.crossJoin(F.broadcast(fr))
-        return base.select(
+    wide = (
+        s1.crossJoin(F.broadcast(s23))
+        .crossJoin(F.broadcast(s4))
+        .crossJoin(F.broadcast(budget))
+    )
+
+    def srow(stage, name, din, dout, tin, tout, ok):
+        return F.struct(
             F.lit(stage).cast("long").alias("stage"),
             F.lit(name).alias("name"),
-            cols[0].cast("long").alias("docs_in"),
-            cols[1].cast("long").alias("docs_out"),
-            cols[2].cast("long").alias("tokens_in"),
-            cols[3].cast("long").alias("tokens_out"),
-            cols[4].cast("long").alias("audit_ok"),
+            din.cast("long").alias("docs_in"),
+            dout.cast("long").alias("docs_out"),
+            tin.cast("long").alias("tokens_in"),
+            tout.cast("long").alias("tokens_out"),
+            ok.cast("long").alias("audit_ok"),
         )
 
-    r1 = row(
-        1,
-        "exact_dedup",
-        [
+    stages = F.array(
+        srow(
+            1,
+            "exact_dedup",
             F.col("n0"),
             F.col("n1"),
             F.col("t0"),
             F.col("t1"),
-            (F.col("n1") == F.col("nk")).cast("long"),
-        ],
-        [a0, a1, k1],
-    )
-    r2 = row(
-        2,
-        "boilerplate_strip",
-        [
+            (F.col("n1") == F.col("nk")),
+        ),
+        srow(
+            2,
+            "boilerplate_strip",
             F.col("n1"),
             F.col("n2"),
             F.col("t1"),
@@ -13970,26 +13988,20 @@ def q311_curation_token_waterfall(
                 & (F.col("wk2") + F.col("wd2") == F.col("wt2"))
                 & (F.col("wt2") == F.col("t1"))
                 & (F.col("ws2") == F.col("wk2"))
-            ).cast("long"),
-        ],
-        [a1, a2],
-    )
-    r3 = row(
-        3,
-        "quality_floor",
-        [
+            ),
+        ),
+        srow(
+            3,
+            "quality_floor",
             F.col("n2"),
             F.col("n_ge"),
             F.col("ws2"),
             F.col("t_ge"),
-            (F.col("n_ge") + F.col("n_lt") == F.col("n2")).cast("long"),
-        ],
-        [a2, a3],
-    )
-    r4 = row(
-        4,
-        "token_budget",
-        [
+            (F.col("n_ge") + F.col("n_lt") == F.col("n2")),
+        ),
+        srow(
+            4,
+            "token_budget",
             F.col("n_ge"),
             F.col("n4"),
             F.col("t_ge"),
@@ -13997,11 +14009,10 @@ def q311_curation_token_waterfall(
             (
                 (F.col("t4") <= F.col("b_total"))
                 & (F.col("max_src") <= F.col("src_cap"))
-            ).cast("long"),
-        ],
-        [a3, a4, ps, budget],
+            ),
+        ),
     )
-    return r1.unionAll(r2).unionAll(r3).unionAll(r4)
+    return wide.select(F.explode(stages).alias("s")).select("s.*")
 
 
 # ---------------------------------------------------------------------------
