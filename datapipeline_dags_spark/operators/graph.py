@@ -52,46 +52,51 @@ LAST_ROUNDS: int = 0
 
 
 def _cc_collected_solve(spark, e: DataFrame) -> DataFrame:
-    """Driver-side union-find over the collected (src, dst) edges:
+    """Driver-side solve over the collected (src, dst) edges:
     component = min node id of each connected set — exactly the
     min-label fixpoint the distributed rounds converge to (integer set
-    semantics, no floats anywhere)."""
+    semantics, no floats anywhere).
+
+    Vectorized min-label propagation with pointer jumping: per round
+    one ``np.minimum.at`` scatter over the edge list plus label-chain
+    halving to idempotence — O(E) numpy work per round, O(log n)
+    rounds — replacing the per-edge Python union loop that cost tens
+    of seconds of driver CPU near the 10M-edge gate boundary.  Labels
+    are indexes into the ascending-sorted node array and only ever
+    decrease toward the component minimum, so ``nodes[label]`` is the
+    min node id once every edge agrees."""
     import numpy as np
     import pandas as pd
 
     pdf = e.toPandas()
     schema = "node long, component long"
+    # mirror the distributed route's null-join semantics: an edge with
+    # a null endpoint never matches the equality join, so it
+    # contributes neither a node nor a connection
+    pdf = pdf.dropna(subset=["src", "dst"])
     if not len(pdf):
         return spark.createDataFrame([], schema=schema)
     s = pdf["src"].to_numpy(np.int64)
     d = pdf["dst"].to_numpy(np.int64)
     nodes, idx = np.unique(np.concatenate([s, d]), return_inverse=True)
-    parent = np.arange(len(nodes))
-
-    def find(x: int) -> int:
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
     si, di = idx[: len(s)], idx[len(s) :]
-    for a, b in zip(si, di):
-        ra, rb = find(int(a)), find(int(b))
-        if ra != rb:
-            parent[rb] = ra
-    roots = np.fromiter((find(int(i)) for i in range(len(nodes))), np.int64)
-    # component label = MIN node id in the set (nodes sorted ascending,
-    # so the first occurrence of each root is its minimum node)
-    comp_min: dict[int, int] = {}
-    for i, r in enumerate(roots):
-        if int(r) not in comp_min:
-            comp_min[int(r)] = int(nodes[i])
-    out = pd.DataFrame(
-        {
-            "node": nodes,
-            "component": [comp_min[int(r)] for r in roots],
-        }
-    )
+    u = np.concatenate([si, di])
+    v = np.concatenate([di, si])
+    lab = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        # every endpoint takes the min of its own and its neighbor's
+        # label (unbuffered scatter-min handles duplicate endpoints)
+        np.minimum.at(lab, u, lab[v])
+        # pointer-jump the label forest to idempotence so chains
+        # collapse in O(log) rounds instead of O(diameter)
+        while True:
+            nl = lab[lab]
+            if np.array_equal(nl, lab):
+                break
+            lab = nl
+        if not (lab[u] != lab[v]).any():
+            break
+    out = pd.DataFrame({"node": nodes, "component": nodes[lab]})
     return spark.createDataFrame(out, schema=schema)
 
 
@@ -109,6 +114,13 @@ def connected_components(
     minimum node id reachable from ``node``.  Isolated nodes never
     appear in ``edges`` and so are absent — callers union them back as
     their own singletons if needed.
+
+    ``edges`` should be MATERIALIZED (checkpointed/persisted) by the
+    caller: the collect-and-solve gate counts it eagerly at plan-build
+    time (collect_gate's contract), so a non-materialized derivation
+    would be computed twice — once for the probe count and once for
+    the route taken.  Every in-repo caller passes a checkpointed pair
+    frame.
 
     ``pointer_jump=True`` adds a label-of-label hop each round (one
     extra node-keyed self-join): labels shortcut through the label

@@ -14142,40 +14142,38 @@ def q312_take_coverage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("source", F.md5("g").alias("h"))
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    pg = (
-        pool.select(F.explode(_shingles(F.col("text"))).alias("g"))
-        .select(F.md5("g").alias("h"))
-        .distinct()
     )
     taken, budget, wl, g = _curriculum_take(
         pool.select("doc_id", "source", "toks", "score_u")
     )
-    take_docs = pool.join(
-        taken.select("doc_id"), "doc_id", "left_semi"
+    # ONE gram pass over the pool carrying the take flag (take ⊆ pool,
+    # so covered-by-take ≡ covered-by-a-flagged-pool-gram): replaces
+    # the separate pool-gram and take-gram explodes + two semi-join
+    # probes with one explode, one hash agg and one LEFT join — the
+    # gram hash work roughly halves and two joins become one
+    pgt = (
+        pool.join(
+            taken.select("doc_id", F.lit(True).alias("tk")), "doc_id", "left"
+        )
+        .select(F.explode(_shingles(F.col("text"))).alias("g"), "tk")
+        .select(F.md5("g").alias("h"), "tk")
+        .groupBy("h")
+        .agg(F.max(F.coalesce("tk", F.lit(False))).alias("in_take"))
     )
-    tg = (
-        take_docs.select(F.explode(_shingles(F.col("text"))).alias("g"))
-        .select(F.md5("g").alias("h"))
-        .distinct()
-    )
-    ev = eg.groupBy("source").agg(F.count("*").alias("n_grams"))
-    cf = (
-        eg.join(pg, "h", "left_semi")
+    per = (
+        eg.join(pgt, "h", "left")
         .groupBy("source")
-        .agg(F.count("*").alias("c_full"))
-    )
-    ct = (
-        eg.join(tg, "h", "left_semi")
-        .groupBy("source")
-        .agg(F.count("*").alias("c_take"))
+        .agg(
+            F.count("*").alias("n_grams"),
+            # in_take is non-null exactly when the gram exists in the
+            # pool; true when any pool doc containing it was taken
+            F.count("in_take").alias("c_full"),
+            F.sum(F.when(F.col("in_take"), 1).otherwise(0)).alias("c_take"),
+        )
     )
     ed = ev_docs.groupBy("source").agg(F.count("*").alias("n_eval_docs"))
     return (
-        ev.join(ed, "source")
-        .join(cf, "source", "left")
-        .join(ct, "source", "left")
+        per.join(ed, "source")
         .select(
             "source",
             F.col("n_eval_docs").cast("long").alias("n_eval_docs"),

@@ -448,6 +448,12 @@ def _kmeans_final(
             "q201_kmeans_seeds",
         )
     ]
+    # collect() row order of a windowed projection is not contractual;
+    # _km_assign_numpy's first-argmin tie-break requires centroids
+    # ascending by cid (the JVM array_min path is order-independent) —
+    # sort defensively so an equidistant tie can't diverge on an
+    # unsorted round-1 c0
+    c0.sort()
 
     if assign_backend is None:
         from datapipeline_dags_spark.plans.llm_ops import _numpy_available

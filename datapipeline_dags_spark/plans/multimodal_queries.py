@@ -447,9 +447,16 @@ def q174_video_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         _spread_small(
             spark,
             blocking.chunk_buckets(bucketed, "q174_video_dhash_neardup", "ids"),
+            # gate on the row count of the table the bucket frame
+            # actually derives from — the sampled-frame hash table
+            # (docs x sampled frames), not bare documents: frames are a
+            # fixed per-doc multiple here, but the gate's reasoning
+            # (AQE partition count vs aggregated-input size) is about
+            # the hash rows feeding the bucket aggregate
             cached_count(
                 table(spark, sf_dir, "documents"), f"{sf_dir}/documents"
-            ),
+            )
+            * n_sampled,
         )
         .select("f", F.explode(blocking.chunk_pair_structs()).alias("p"))
         # rule (a): map-side bitcount prefilter, before the shuffle
